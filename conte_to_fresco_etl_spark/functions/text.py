@@ -1,0 +1,197 @@
+"""Text-analysis expressions for training-data pipelines.
+
+These extend the reference's surface (it processes HPC metrics, not text)
+with the operators a 100 TB LLM-data pipeline needs: tokenization, n-gram
+shingling, quality scoring, language ID, fingerprinting, SimHash.
+
+Everything is built from ``pyspark.sql.functions`` higher-order array
+expressions — JVM-side, codegen-friendly, no Python UDFs.  Hash primitives
+use md5 (identical hex output in Spark and DuckDB/ANSI SQL) so every
+operator has an exact cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import _col
+
+#: Small per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately tiny and deterministic; real deployments swap
+#: in bigger lists without changing the plan shape.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"],
+    "zh": ["的", "了", "是", "我", "在", "有", "和", "不", "这", "他"],
+}
+
+#: English stopwords reused by the quality score.
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(c: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array.
+
+    ``split(trim(x), '\\s+')`` — on an empty string Spark returns
+    ``['']``, so guard explicitly to yield ``[]``.
+    """
+    c = _col(c)
+    if lowercase:
+        c = F.lower(c)
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (BPE-ish proxy: see ``approx_bpe_count``)."""
+    return F.size(tokens(c)).cast("long")
+
+
+def approx_bpe_count(c: Column | str, chars_per_token: float = 4.0) -> Column:
+    """Cheap BPE token estimate: ``ceil(len(text)/chars_per_token)`` —
+    the standard ~4-chars/token heuristic, exact-arithmetic so it has a
+    SQL oracle."""
+    return F.ceil(F.length(_col(c)) / F.lit(float(chars_per_token))).cast("long")
+
+
+def char_shingles(c: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles) of the lowercased text.
+
+    ``transform(sequence(1, len-n+1), i -> substr(text, i, n))`` — a pure
+    higher-order expression, no explode (no row blow-up before the MinHash
+    aggregate).  Guarded: Spark's ``sequence(1, 0)`` DESCENDS, so short
+    texts must short-circuit to an empty array."""
+    c = F.lower(_col(c))
+    return F.when(
+        F.length(c) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+                lambda i: c.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) for n-gram Jaccard dedup."""
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def md5_long(c: Column | str, hex_chars: int = 15) -> Column:
+    """Portable 60-bit hash: first ``hex_chars`` hex digits of md5 as a
+    BIGINT.  DuckDB oracle: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(_col(c)), 1, hex_chars), 16, 10).cast("long")
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = _col(c)
+    stripped = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    sw = stopwords if stopwords is not None else EN_STOPWORDS
+    toks = tokens(c)
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]:
+
+      0.4 * min(1, n_tokens/100)      — enough content
+    + 0.3 * (1 - punct_ratio)         — not symbol soup
+    + 0.3 * min(1, 4*stopword_ratio)  — natural-language-like
+
+    Deterministic arithmetic only, so it has an exact SQL oracle.
+    """
+    nt = token_count(c).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(c))
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(c))
+    )
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-hit language ID over LANG_STOPWORDS.
+
+    Score per language = #tokens in that language's stopword list; winner
+    by (score desc, language code asc); zero hits anywhere → 'und'.
+    Ties resolved deterministically by code order, so the CASE chain below
+    (codes in sorted order, strict '>' against already-seen codes) is an
+    exact argmax.
+    """
+    toks = tokens(c)
+    scores = {}
+    for code, words in LANG_STOPWORDS.items():
+        sw_arr = F.array(*[F.lit(w) for w in words])
+        scores[code] = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    codes = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold left in sorted order; strict > keeps the earliest code on ties
+    for code in codes:
+        is_better = scores[code] > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, scores[code]).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """64-bit-ish (60-bit) content fingerprint of whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    norm = F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", " ")
+    return md5_long(norm)
+
+
+def simhash32(c: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    Per token: 32-bit hash from md5.  Per bit b: sum over tokens of
+    (+1 if bit set else -1); simhash bit b = 1 iff sum > 0.  Built as
+    nested higher-order aggregates — no explode, no shuffle.
+    """
+    toks = tokens(c)
+    hashes = F.transform(toks, lambda t: md5_long(t, hex_chars=8))
+
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out

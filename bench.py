@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count() (full pipeline execution, no
+collect-to-driver cost for wide results).  A warmup query absorbs JVM/
+codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conte_to_fresco_etl_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    "conte_set3",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q_interval_join",
+    "q_window_rate",
+    "q_pivot_scatter",
+    "q_semi_join",
+    "q_anti_join",
+    "q_union_distinct",
+    "q_minmax_summary",
+    "q_walltime_parse",
+    "q_exitcode_case",
+    "q_hostlist_parse",
+    "q_jobid_normalize",
+    "q_doc_profile",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_simhash_pairs",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_ann_topk",
+    "q_lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    qs["q_minmax_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

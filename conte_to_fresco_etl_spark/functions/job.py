@@ -23,6 +23,29 @@ from pyspark.sql import functions as F
 from conte_to_fresco_etl_spark.functions.core import _col
 
 
+#: Accounting datetime formats tried in order (the reference parses these
+#: columns with pandas free-format ``pd.to_datetime(errors='coerce')``,
+#: conte-etl-step-2-processor.py:1219-1221; raw PBS dumps use
+#: MM/DD/YYYY HH:MM:SS while restaged CSVs use ISO).
+_ACCT_TS_FORMATS = [
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+]
+
+
+def parse_acct_timestamp(c: Column | str) -> Column:
+    """Free-format datetime parse, null on failure (S2/F8 semantics,
+    conte-etl-step-2-processor.py:1219-1221).  Tries each known PBS/ISO
+    format; ``try_to_timestamp`` keeps every branch ANSI-safe."""
+    c = _col(c)
+    return F.coalesce(
+        *[F.try_to_timestamp(c, F.lit(fmt)) for fmt in _ACCT_TS_FORMATS],
+        F.try_to_timestamp(c),
+    )
+
+
 def std_job_id_replace(c: Column | str) -> Column:
     """Step-1 normalization: replace a case-insensitive ``jobID`` prefix
     with ``JOB`` (transform_conte_ts_data.py:263)."""

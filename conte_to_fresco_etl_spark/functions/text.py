@@ -179,19 +179,34 @@ def simhash32(c: Column | str) -> Column:
     """
     toks = tokens(c)
     hashes = F.transform(toks, lambda t: md5_long(t, hex_chars=8))
-
-    def vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+    # Single pass over the token hashes: the accumulator is the 32-vector
+    # of bit votes, merged with zip_with (vs. 32 separate aggregates — a
+    # 32x traversal reduction; same integer votes, same result).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(32)
+                ]
             ),
-        )
-    out = F.lit(0).cast("long")
-    for b in range(32):
-        out = out + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+            lambda x, y: x + y,
+        ),
+    )
+    bit_values = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bit_values,
+            lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

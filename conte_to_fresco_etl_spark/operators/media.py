@@ -1,0 +1,203 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata (MEDIA_SCHEMA).
+
+The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning posture — while the codec layer
+is deliberately pluggable: the actual image/audio libraries are not
+available in this environment, so each operator takes a ``codec``
+callable and ships with
+
+  * a **deterministic fake** (default in tests): decodes a payload into
+    reproducible arrays from its bytes alone, so the distributed
+    plumbing has exact assertions, and
+  * a **strict stub** that raises ``NotImplementedError`` with the
+    library it expects (Pillow / soundfile / pyav), marking exactly
+    where a real deployment plugs in.
+
+Scale posture: payloads stay opaque bytes end-to-end (no base64 blow-up,
+no driver collection); per-batch decode cost is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — lower it for large
+media (the default 10k rows x multi-MB payloads would overrun executor
+memory); feature vectors come back as fixed-width ``array<float>``
+compatible with the similarity/dedup operators (dedup.py, similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+Codec = Callable[[bytes, str], np.ndarray]
+
+#: Fixed output grid for decode/resize fakes (H, W).
+_FAKE_DIM = 8
+
+
+def strict_codec(payload: bytes, modality: str) -> np.ndarray:
+    """The production plug-point.  Raises until a real codec library is
+    wired in."""
+    raise NotImplementedError(
+        "media decode requires a codec library not present in this "
+        "environment (image: Pillow, audio: soundfile, video: pyav); "
+        "pass codec=... to the operator"
+    )
+
+
+def fake_codec(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic fake decode: md5-seeded uniform grid.  Same payload
+    → same 'pixels'/'samples' on every executor, so distributed tests
+    assert exact values without any media library."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    if modality == "audio":
+        return rng.random(64, dtype=np.float64).astype(np.float32)
+    return rng.random((_FAKE_DIM, _FAKE_DIM), dtype=np.float64).astype(
+        np.float32
+    )
+
+
+def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
+    """Decode each payload and emit summary stats — the minimal
+    decode-then-reduce pattern (schema: id, modality, n_values, mean,
+    std).  One Arrow round-trip; payloads never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "modality": [],
+                "n_values": [],
+                "mean": [],
+                "std": [],
+            }
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                arr = codec(bytes(payload), mod)
+                out["media_id"].append(mid)
+                out["modality"].append(mod)
+                out["n_values"].append(int(arr.size))
+                out["mean"].append(float(arr.mean()))
+                out["std"].append(float(arr.std()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        batches,
+        schema="media_id long, modality string, n_values long, "
+        "mean double, std double",
+    )
+
+
+def extract_features(
+    df: DataFrame, codec: Codec = strict_codec, dim: int = 64
+) -> DataFrame:
+    """Decode → fixed-width feature vector (``array<float>``), the
+    embedding-column producer: output feeds similarity.brute_force_topk /
+    lsh_topk and dedup.embedding_neardup_pairs unchanged.
+
+    The fake path flattens/pads the decoded array to ``dim`` — a real
+    deployment swaps in a model forward pass per Arrow batch (the batch
+    boundary is exactly where GPU batching would sit)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                flat = codec(bytes(payload), mod).ravel().astype(np.float32)
+                vec = np.zeros(dim, dtype=np.float32)
+                vec[: min(dim, flat.size)] = flat[:dim]
+                ids.append(mid)
+                vecs.append(vec.tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema="media_id long, embedding array<float>"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec: Codec = strict_codec,
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-emit as binary (float32
+    bytes in the fake path; a real codec would re-encode).  Keeps the
+    MEDIA_SCHEMA shape so resized outputs flow back into the same
+    pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if payload is None or mod != "image":
+                    continue
+                img = codec(bytes(payload), mod)
+                ys = (np.arange(height) * img.shape[0] // height).clip(
+                    0, img.shape[0] - 1
+                )
+                xs = (np.arange(width) * img.shape[1] // width).clip(
+                    0, img.shape[1] - 1
+                )
+                ids.append(mid)
+                payloads.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    codec: Codec = strict_codec,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (row
+    explosion happens inside the Arrow batch, not via ``explode`` on a
+    materialized frame array — frames never exist as one giant row).
+    Frame count derives from ``meta.duration_ms``; the fake 'frame' is
+    the decoded grid perturbed per frame index."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ts, payloads = [], [], [], []
+            for mid, mod, payload, meta in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None or mod != "video":
+                    continue
+                duration = (meta or {}).get("duration_ms") or 0
+                n_frames = max(1, int(duration // every_ms))
+                base = codec(bytes(payload), mod)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ts.append(i * every_ms)
+                    payloads.append((base + np.float32(i)).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "timestamp_ms": ts,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select("media_id", "modality", "payload", "meta").mapInPandas(
+        batches,
+        schema="media_id long, frame_index int, timestamp_ms long, "
+        "payload binary",
+    )

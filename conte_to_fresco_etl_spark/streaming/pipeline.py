@@ -1,0 +1,127 @@
+"""Structured Streaming replacement for the reference's micro-batch daemons.
+
+The reference "streams" by hand (SURVEY §2.10): two daemons poll a shared
+directory every 60 s (conte-etl-step-2-processor.py:54, 1876-1990;
+conte-etl-step-2-manager.py:39, 793-856), hand off work through
+``YYYY-MM.{ready,processing,complete,failed}`` signal files
+(utils/ready_signal_creator.py:15-21), and track processed inputs in JSON
+checkpoints (conte-etl-step-2-manager.py:61-149).
+
+Under Structured Streaming every one of those mechanisms maps to an
+engine primitive:
+
+  reference mechanism                      Spark primitive
+  ---------------------------------------- ---------------------------
+  60 s directory polling                   file source + ProcessingTime
+                                           trigger (or AvailableNow for
+                                           drain-then-stop batches)
+  ready/processing/complete signal files   checkpoint + exactly-once
+                                           file-sink commit log
+  processed-set JSON bookkeeping           checkpoint offset tracking
+  retry w/ exponential backoff             query restart from checkpoint
+  dedup-on-append                          idempotent file-sink commits
+
+The step-2 dataflow itself (join + pivot + projection) is stateless, so
+the SAME ``process_month`` plan runs unchanged on a streaming ts source —
+a stream-static broadcast join.  Spark adds what the reference cannot do:
+event-time windows with watermarked late-data handling
+(``windowed_event_rates``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from conte_to_fresco_etl_spark.operators.join import process_month
+from conte_to_fresco_etl_spark.schemas import FRESCO_TS_SCHEMA
+
+
+def stream_eav_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming FRESCO EAV source: new parquet files under ``path``
+    become micro-batches (replaces the processor's 60 s poll loop +
+    filename bookkeeping).  ``max_files_per_trigger`` bounds batch size
+    the way the manager's 1M-row chunking did."""
+    reader = spark.readStream.schema(FRESCO_TS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_set3(ts_stream: DataFrame, jobs: DataFrame) -> DataFrame:
+    """Streaming step-2: the batch ``process_month`` plan applied to a
+    streaming ts source.  Stream-static inner join: the accounting side
+    is static (re-read per micro-batch) and broadcast, so the streaming
+    side never shuffles — identical physical shape to the batch plan."""
+    return process_month(ts_stream, jobs)
+
+
+def start_set3_stream(
+    ts_stream: DataFrame,
+    jobs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+) -> StreamingQuery:
+    """Start the streaming set3 sink.
+
+    ``available_now=True`` drains everything currently on disk and stops
+    — the idempotent replacement for one manager/processor cycle.  With
+    ``available_now=False`` the query keeps running at
+    ``processing_time`` cadence (the reference's 60 s poll, minus the
+    signal files: the checkpoint + file-sink commit log carry the
+    exactly-once contract)."""
+    writer = (
+        stream_set3(ts_stream, jobs)
+        .withColumn("d", F.date_format("time", "yyyy-MM-dd"))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("d")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_event_rates(
+    ts_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-(Event, window) aggregate — mean/min/max/count of
+    ``Value``.  The streaming-native capability the reference lacks: its
+    late-data story is "dedup on append" (SURVEY §2.10); here late rows
+    within ``watermark_delay`` merge into their event-time window and
+    older ones are dropped, with state bounded by the watermark."""
+    return (
+        ts_stream.withWatermark("Timestamp", watermark_delay)
+        .groupBy(
+            F.window("Timestamp", window_duration).alias("w"),
+            F.col("Event"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("Value").alias("avg_value"),
+            F.min("Value").alias("min_value"),
+            F.max("Value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "Event",
+            "n",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )

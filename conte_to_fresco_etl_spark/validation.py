@@ -1,0 +1,142 @@
+"""Data-quality validation utilities.
+
+Spark port of the reference's statistical validation script
+(utils/analyze-timestamps.py:13-89) plus the dropped-row accounting the
+transforms log inline (transform_conte_ts_data.py:233-241):
+
+  * P7  1% seeded job sample                (analyze-timestamps.py:23)
+  * J4  semi-join ts rows to sampled jobs   (analyze-timestamps.py:53)
+  * J5  per-job count of ts rows OUTSIDE [start, end]
+                                            (analyze-timestamps.py:73-85)
+  * A6  dropped-% metrics — via ``observe()`` so counters ride the same
+        job instead of extra count() passes (SURVEY §2.2 P2)
+
+The reference runs these as a standalone pandas script over full files;
+here they are composable DataFrame functions usable on any scale tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def sample_jobs(
+    jobs: DataFrame,
+    id_col: str = "jobID",
+    fraction: float = 0.01,
+    seed: int = 42,
+    method: str = "hash",
+) -> DataFrame:
+    """P7: seeded sample of distinct job ids (analyze-timestamps.py:23 —
+    frac=0.01, random_state=42).
+
+    ``method='hash'`` (default) samples by key hash: ``md5(seed || id)``
+    below the fraction cutoff.  Unlike ``df.sample`` (per-partition
+    Bernoulli, so membership shifts whenever partitioning or
+    intra-partition order shifts), the hash sample is a pure function of
+    the id — stable across runs, cluster sizes, and AQE re-plans, which
+    is what a validation sample needs.  ``method='bernoulli'`` keeps the
+    reference-style draw."""
+    distinct = jobs.select(id_col).distinct()
+    if method == "bernoulli":
+        return distinct.sample(fraction, seed=seed)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.col(id_col))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return distinct.filter(bucket < int(fraction * 0xFFFFFFFF))
+
+
+def ts_rows_for_jobs(
+    ts: DataFrame,
+    job_ids: DataFrame,
+    ts_key: str = "Job Id",
+    job_key: str = "jobID",
+) -> DataFrame:
+    """J4: left-semi join — ts rows whose job id is in the sampled set
+    (analyze-timestamps.py:53).  The sample is tiny → broadcast, so the
+    ts side never shuffles."""
+    return ts.join(
+        F.broadcast(job_ids),
+        ts[ts_key] == job_ids[job_key],
+        "left_semi",
+    )
+
+
+def interval_violations(
+    ts: DataFrame,
+    jobs: DataFrame,
+    ts_key: str = "Job Id",
+    job_key: str = "jobID",
+    ts_col: str = "Timestamp",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """J5: per job, total ts rows and how many fall OUTSIDE the job's
+    [start, end] — the data-quality probe on exactly the predicate the
+    interval join enforces (analyze-timestamps.py:73-85).
+
+    Returns (job id, n_ts, n_outside, pct_outside)."""
+    j = jobs.select(
+        F.col(job_key),
+        F.col(start_col).alias("__start"),
+        F.col(end_col).alias("__end"),
+    )
+    joined = ts.join(F.broadcast(j), ts[ts_key] == j[job_key], "inner")
+    outside = (F.col(ts_col) < F.col("__start")) | (
+        F.col(ts_col) > F.col("__end")
+    )
+    return (
+        joined.groupBy(job_key)
+        .agg(
+            F.count("*").alias("n_ts"),
+            F.sum(outside.cast("long")).alias("n_outside"),
+        )
+        .withColumn(
+            "pct_outside",
+            F.round(F.col("n_outside") * 100.0 / F.col("n_ts"), 4),
+        )
+    )
+
+
+@dataclass
+class DropReport:
+    total: int
+    kept: int
+
+    @property
+    def dropped(self) -> int:
+        return self.total - self.kept
+
+    @property
+    def pct_dropped(self) -> float:
+        return 100.0 * self.dropped / self.total if self.total else 0.0
+
+
+def drop_required_nulls_observed(
+    df: DataFrame, required: list[str]
+) -> tuple[DataFrame, Observation]:
+    """P2 + A6: drop rows with nulls in required columns, with the
+    dropped-% the reference logs (transform_conte_ts_data.py:233-241)
+    captured by ``observe()`` — the counters ride the SAME job as the
+    real work, where the reference needs separate len() passes.
+
+    Read metrics after an action:
+        out, obs = drop_required_nulls_observed(df, cols)
+        out.write...; report = obs.get   # {'total': .., 'kept': ..}
+    """
+    obs = Observation("drop_required_nulls")
+    keep = F.forall(
+        F.array(*[F.col(f"`{c}`").isNotNull() for c in required]),
+        lambda x: x,
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(keep.cast("long")).alias("kept"),
+    )
+    return observed.filter(keep), obs

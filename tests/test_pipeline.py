@@ -1,0 +1,51 @@
+"""Batch pipeline driver test: run_step1 landing-folder ingest and
+run_step2 month loop (discovery → join → idempotent partitioned write),
+including idempotent re-run semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from conte_to_fresco_etl_spark.pipeline import run_step1, run_step2
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "cpu.csv").write_text(
+        "jobID,node,timestamp,user,nice,system,idle,iowait,irq,softirq\n"
+        "jobID7,h1,03/01/2015 10:00:00,50,0,0,50,0,0,0\n"
+        "jobID7,h1,03/02/2015 10:00:00,25,0,0,75,0,0,0\n"
+    )
+    monthly = str(tmp_path / "monthly")
+    run_step1(spark, str(raw), monthly)
+    assert glob.glob(f"{monthly}/ym=2015_03/*.parquet")
+
+    ts_dir = str(tmp_path / "ts")
+    os.makedirs(ts_dir)
+    for i, p in enumerate(glob.glob(f"{monthly}/ym=2015_03/*.parquet")):
+        shutil.copy(p, f"{ts_dir}/FRESCO_Conte_ts_2015_03_v1_chunk{i:03d}.parquet")
+    acct_dir = str(tmp_path / "acct")
+    os.makedirs(acct_dir)
+    with open(f"{acct_dir}/2015-03.csv", "w") as f:
+        f.write(
+            "jobID,qtime,start,end,Resource_List.walltime,"
+            "Resource_List.nodect,Resource_List.ncpus,account,queue,"
+            "jobname,user,group,exec_host,jobevent,Exit_status\n"
+            "7.adm,03/01/2015 00:00:00,03/01/2015 00:00:00,"
+            "03/02/2015 23:59:59,10:00:00,1,8,a,q,j,u,g,h1/0,E,0\n"
+        )
+
+    out_pq = str(tmp_path / "set3")
+    out_csv = str(tmp_path / "daily")
+    results = run_step2(spark, ts_dir, acct_dir, out_pq, out_csv)
+    assert [(r.year, r.month, r.rows) for r in results] == [("2015", "03", 2)]
+    days = sorted(os.path.basename(d) for d in glob.glob(f"{out_csv}/d=*"))
+    assert days == ["d=2015-03-01", "d=2015-03-02"]
+
+    # idempotent re-run: same outputs, no duplicate accumulation
+    results2 = run_step2(spark, ts_dir, acct_dir, out_pq, out_csv)
+    assert results2[0].rows == 2
+    assert spark.read.parquet(f"{out_pq}/ym=2015_03").count() == 2

@@ -1,0 +1,140 @@
+"""Structured Streaming pipeline tests (SURVEY §2.10).
+
+Drives the streaming set3 query with availableNow over staged EAV
+parquet and asserts the drained output matches the batch plan row-for-
+row; then exercises incremental arrival (second file → second drain
+appends only new rows) and the watermarked windowed aggregate.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.operators.join import process_month
+from conte_to_fresco_etl_spark.schemas import FRESCO_TS_SCHEMA
+from conte_to_fresco_etl_spark.sources.readers import read_accounting_csv
+from conte_to_fresco_etl_spark.streaming import (
+    start_set3_stream,
+    stream_eav_source,
+    windowed_event_rates,
+)
+
+ACCT_HEADER = (
+    "jobID,qtime,start,end,Resource_List.walltime,Resource_List.nodect,"
+    "Resource_List.ncpus,account,queue,jobname,user,group,exec_host,"
+    "jobevent,Exit_status"
+)
+
+
+def _eav_rows(spark, job, host, hours):
+    import datetime
+
+    rows = [
+        (
+            job,
+            host,
+            "cpuuser",
+            50.0 + h,
+            "CPU %",
+            datetime.datetime(2015, 3, 1, h, 0, 0),
+        )
+        for h in hours
+    ]
+    return spark.createDataFrame(rows, FRESCO_TS_SCHEMA)
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    ts_dir = tmp_path / "ts"
+    ts_dir.mkdir()
+    _eav_rows(spark, "JOB1", "h1", range(0, 6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(ts_dir))
+    acct = tmp_path / "2015-03.csv"
+    acct.write_text(
+        ACCT_HEADER + "\n"
+        "1.adm,03/01/2015 00:00:00,03/01/2015 00:00:00,03/01/2015 23:59:59,"
+        "10:00:00,1,8,acct,q,job,u,g,h1/0,E,0\n"
+    )
+    return str(ts_dir), str(acct)
+
+
+def test_stream_matches_batch(spark, staged, tmp_path):
+    ts_dir, acct = staged
+    jobs = read_accounting_csv(spark, acct)
+
+    q = start_set3_stream(
+        stream_eav_source(spark, ts_dir),
+        jobs,
+        out_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+    batch = process_month(spark.read.parquet(ts_dir), jobs)
+    assert streamed.count() == batch.count() == 6
+    s = {tuple(r) for r in streamed.drop("d").collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    # directory partitioning by day (S8 semantics under streaming)
+    assert glob.glob(str(tmp_path / "out" / "d=2015-03-01"))
+
+
+def test_stream_incremental_arrival(spark, staged, tmp_path):
+    """A second drain after a new file arrives appends only the new rows
+    (checkpoint bookkeeping replaces the reference's processed-set JSON +
+    ready signals)."""
+    ts_dir, acct = staged
+    jobs = read_accounting_csv(spark, acct)
+
+    def drain():
+        q = start_set3_stream(
+            stream_eav_source(spark, ts_dir),
+            jobs,
+            out_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 6
+
+    _eav_rows(spark, "JOB1", "h1", range(6, 9)).coalesce(1).write.mode(
+        "append"
+    ).parquet(ts_dir)
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 9
+    # no duplicates: each source row processed exactly once
+    assert out.select("time").distinct().count() == 9
+
+
+def test_windowed_event_rates(spark, staged, tmp_path):
+    ts_dir, _ = staged
+    agg = windowed_event_rates(
+        stream_eav_source(spark, ts_dir),
+        window_duration="2 hours",
+        watermark_delay="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from winagg order by window_start"
+    ).collect()
+    # 6 hourly rows in [00:00, 06:00) → 3 two-hour windows of 2 rows
+    assert len(rows) == 3
+    assert all(r["n"] == 2 and r["Event"] == "cpuuser" for r in rows)
+    assert rows[0]["avg_value"] == pytest.approx(50.5)

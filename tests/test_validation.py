@@ -1,0 +1,82 @@
+"""Validation utility tests (P7 sample, J4 semi-join, J5 interval
+violations, A6 observed drop metrics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.validation import (
+    drop_required_nulls_observed,
+    interval_violations,
+    sample_jobs,
+    ts_rows_for_jobs,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    d = datetime.datetime
+    ts = spark.createDataFrame(
+        [
+            ("JOB1", d(2015, 3, 1, 10)),
+            ("JOB1", d(2015, 3, 1, 11)),
+            ("JOB1", d(2015, 3, 1, 23)),  # outside
+            ("JOB2", d(2015, 3, 2, 5)),
+            ("JOB3", d(2015, 3, 3, 1)),  # no matching job
+        ],
+        "`Job Id` string, Timestamp timestamp",
+    )
+    jobs = spark.createDataFrame(
+        [
+            ("JOB1", d(2015, 3, 1, 9), d(2015, 3, 1, 12)),
+            ("JOB2", d(2015, 3, 2, 0), d(2015, 3, 2, 23)),
+        ],
+        "jobID string, start timestamp, end timestamp",
+    )
+    return ts, jobs
+
+
+def test_sample_jobs_seeded(spark, frames):
+    _, jobs = frames
+    a = {r["jobID"] for r in sample_jobs(jobs, fraction=0.5, seed=7).collect()}
+    b = {
+        r["jobID"]
+        for r in sample_jobs(
+            jobs.repartition(3), fraction=0.5, seed=7
+        ).collect()
+    }
+    assert a == b  # hash sample: stable across runs AND partitionings
+    c = {r["jobID"] for r in sample_jobs(jobs, fraction=1.0, seed=7).collect()}
+    assert c == {"JOB1", "JOB2"}  # fraction 1.0 keeps everything
+
+
+def test_semi_join_filter(spark, frames):
+    ts, jobs = frames
+    sampled = jobs.select("jobID").filter(F.col("jobID") == "JOB1")
+    out = ts_rows_for_jobs(ts, sampled)
+    assert out.count() == 3
+    assert out.columns == ts.columns  # semi-join adds no columns
+
+
+def test_interval_violations(spark, frames):
+    ts, jobs = frames
+    rows = {r["jobID"]: r for r in interval_violations(ts, jobs).collect()}
+    assert rows["JOB1"]["n_ts"] == 3
+    assert rows["JOB1"]["n_outside"] == 1
+    assert rows["JOB1"]["pct_outside"] == pytest.approx(33.3333)
+    assert rows["JOB2"]["n_outside"] == 0
+    assert "JOB3" not in rows  # inner join: unmatched ts rows don't count
+
+
+def test_observed_drop_metrics(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", None), ("d", 4)],
+        "k string, v int",
+    )
+    out, obs = drop_required_nulls_observed(df, ["k", "v"])
+    kept = out.collect()
+    assert {r["k"] for r in kept} == {"a", "d"}
+    assert obs.get == {"total": 4, "kept": 2}

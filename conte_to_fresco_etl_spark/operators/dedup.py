@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,13 +39,24 @@ from conte_to_fresco_etl_spark.functions.text import (
     doc_fingerprint,
     md5_long,
     simhash32,
-    tokens,
-    word_ngrams,
 )
-from conte_to_fresco_etl_spark.functions.vectors import cosine_similarity
 
 #: Mersenne prime 2^31-1: keeps a*h+b inside int64 for 31-bit a, h.
 MINHASH_PRIME = 2147483647
+
+#: ASCII whitespace split — the Python twin of ``functions.text.tokens``
+#: (Java regex ``\s`` is ASCII-only; re.ASCII matches that, where
+#: Python's default unicode ``\s`` would not).
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    """Python twin of ``functions.text.tokens`` for Arrow operator paths:
+    lowercase, trim, ASCII-whitespace split, blank → []."""
+    if text is None:
+        return []
+    t = text.strip().lower()
+    return _WS_RE.split(t) if t else []
 
 
 def minhash_coefficients(
@@ -119,6 +131,12 @@ def minhash_signatures(
         n, prime = shingle_n, MINHASH_PRIME
 
         def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # shingle → hash memo, shared across the partition's batches:
+            # 5-gram shingles repeat heavily across documents, so most
+            # md5 calls are saved.  int.from_bytes(digest[:8]) >> 4 ==
+            # int(hexdigest[:15], 16) — first 60 bits either way.
+            md5 = hashlib.md5
+            memo: dict[str, int] = {}
             for pdf in it:
                 ids, sigs = [], []
                 for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -128,14 +146,19 @@ def minhash_signatures(
                     if len(t) < n:
                         continue
                     shingles = {t[j : j + n] for j in range(len(t) - n + 1)}
-                    hs = np.array(
-                        [
-                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                            % prime
-                            for s in shingles
-                        ],
-                        dtype=np.int64,
-                    )
+                    hl = []
+                    for s in shingles:
+                        h = memo.get(s)
+                        if h is None:
+                            h = (
+                                int.from_bytes(
+                                    md5(s.encode()).digest()[:8], "big"
+                                )
+                                >> 4
+                            ) % prime
+                            memo[s] = h
+                        hl.append(h)
+                    hs = np.array(hl, dtype=np.int64)
                     ids.append(i)
                     sigs.append(((a_np * hs + b_np) % prime).min(axis=1))
                 yield pd.DataFrame(
@@ -209,9 +232,11 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    exploded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(band_structs).alias("b")
-    )
+    # Bucket join on NARROW rows (id, band, key) — the signatures do NOT
+    # ride the shuffle (48 longs x 2 per candidate is ~30x the pair row;
+    # measured ~2x on the whole operator).  Signatures re-attach after
+    # pair dedup via two broadcast joins against the persisted table.
+    exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
     l, r = exploded.alias("l"), exploded.alias("r")
     cand = (
         l.join(
@@ -223,11 +248,11 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -237,9 +262,59 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    return cand.select(
-        "id_a", "id_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
+    return (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
+    """(id, sim: long) — 32-bit SimHash per document.
+
+    ``arrow`` (default) computes the identical integer as the
+    ``functions.text.simhash32`` expression (kept as ``impl='expr'``):
+    md5-derived 32-bit token hashes, per-bit +1/-1 votes, bit set where
+    the vote sum is positive.  Token multiplicity counts (votes are per
+    occurrence, not per distinct token).  Empty/None text → 0."""
+    if impl == "arrow":
+        bit_idx = np.arange(32, dtype=np.int64)
+
+        def sim_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, sims = [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    toks = _py_tokens(t)
+                    if not toks:
+                        ids.append(i)
+                        sims.append(0)
+                        continue
+                    hs = np.array(
+                        [
+                            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                            for tok in toks
+                        ],
+                        dtype=np.int64,
+                    )
+                    votes = (((hs[:, None] >> bit_idx) & 1) * 2 - 1).sum(
+                        axis=0
+                    )
+                    ids.append(i)
+                    sims.append(
+                        int(((votes > 0).astype(np.int64) << bit_idx).sum())
+                    )
+                yield pd.DataFrame({id_col: ids, "sim": sims})
+
+        return df.select(id_col, text_col).mapInPandas(
+            sim_batches, schema=f"{id_col} long, sim long"
+        )
+    return df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sim"))
 
 
 def simhash_pairs(
@@ -255,10 +330,8 @@ def simhash_pairs(
     band-bucket join is EXACT (no recall loss) for max_hamming <= 3.
     """
     # Persist: both self-join branches read the signatures; the simhash
-    # expression (md5 + 32-bit votes per token) is the dominant cost.
-    sigs = df.select(
-        F.col(id_col), simhash32(F.col(text_col)).alias("sim")
-    ).persist()
+    # computation (md5 + 32-bit votes per token) is the dominant cost.
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -311,18 +384,45 @@ def ngram_jaccard_pairs(
     array_intersect pair scan on the documents table.  Result values are
     bit-identical to the naive formulation (same integer counts).
     """
-    block = [F.col(block_col)] if block_col else []
-    # Persist: the gram table feeds the size lookup and both posting-list
-    # join branches — four recomputations of tokenize+ngram otherwise.
-    grams = df.select(
-        F.col(id_col), *block,
-        word_ngrams(F.col(text_col), ngram_n).alias("grams"),
-    ).filter(F.size("grams") > 0).persist()
-    sizes = grams.select(
-        F.col(id_col).alias("__sid"), F.size("grams").alias("__sz")
+    # Posting list (id, [block,] gram) — one row per DISTINCT gram per
+    # doc.  Arrow path: tokenize + shingle in Python per batch, ~5x
+    # faster than materializing the word_ngrams higher-order expression
+    # (string slicing dominates; same distinct-gram set either way).
+    in_cols = [id_col] + ([block_col] if block_col else [])
+    n = ngram_n
+
+    def posting_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in in_cols}
+            out["__g"] = []
+            for vals in zip(*(pdf[c] for c in in_cols), pdf[text_col]):
+                *keys, t = vals
+                toks = _py_tokens(t)
+                if len(toks) < n:
+                    continue
+                for g in {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }:
+                    for c, v in zip(in_cols, keys):
+                        out[c].append(v)
+                    out["__g"].append(g)
+            yield pd.DataFrame(out)
+
+    block_field = f", {block_col} string" if block_col else ""
+    # Persist: the posting table feeds the size lookup and both join
+    # branches — three recomputations of tokenize+shingle otherwise.
+    posting = (
+        df.select(*in_cols, text_col)
+        .mapInPandas(
+            posting_batches,
+            schema=f"{id_col} long{block_field}, __g string",
+        )
+        .persist()
     )
-    posting = grams.select(
-        F.col(id_col), *block, F.explode("grams").alias("__g")
+    # grams are distinct per doc, so |A| = posting-row count per id.
+    sizes = posting.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.count("*").alias("__sz")
     )
     l, r = posting.alias("l"), posting.alias("r")
     cond = (F.col("l.__g") == F.col("r.__g")) & (

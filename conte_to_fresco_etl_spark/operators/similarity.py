@@ -17,16 +17,43 @@ driver and enter the plan as literals; ranking breaks ties by id.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from conte_to_fresco_etl_spark.functions.vectors import (
-    cosine_similarity,
-    dot,
-    l2_norm,
-    random_hyperplane_signs,
-)
+# functions.vectors keeps the pure-expression forms of these primitives
+# (dot, l2_norm, random_hyperplane_signs) for SQL-oracle parity and
+# plan-lineage reading; the operators below use their NumPy twins.
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collect (ids, float64 matrix, norms) for a broadcast side."""
+    rows = (
+        df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1))
+    )
+    norms = np.sqrt((mat * mat).sum(axis=1)) if rows else np.zeros(0)
+    return ids, mat, norms
+
+
+def _rounded_cosines(
+    v: np.ndarray, v_norms: np.ndarray, q_mat: np.ndarray, q_norms: np.ndarray
+) -> np.ndarray:
+    """(m, nq) cosine matrix, 0 where a norm is 0, rounded to 6."""
+    den = v_norms[:, None] * q_norms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(den != 0, (v @ q_mat.T) / den, 0.0)
+    return np.round(cos, 6)
 
 
 def brute_force_topk(
@@ -43,26 +70,47 @@ def brute_force_topk(
     6 decimals BEFORE ranking so ordering is reproducible across engines;
     ties break by neighbor id ascending.  Self-matches are excluded when
     query ids live in the same id space as the corpus.
+
+    Plan shape: the query set is collected and broadcast as a dense
+    float64 matrix; each Arrow batch of the corpus scores against it
+    with one BLAS matmul, then a single window ranks per query.  The
+    corpus never shuffles except for the final per-query rank (tiny:
+    k * |queries| candidates survive).  Premise: |queries| fits in
+    memory — the usual ANN serving shape.  Huge query sets: swap sides
+    or LSH-bucket (lsh_topk).
     """
     qid = query_id_col or id_col
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    den = F.col("__qn") * F.col("__cn")
-    cos = F.round(
-        F.coalesce(F.when(den != 0, dot("__qv", "__cv") / den), F.lit(0.0)), 6
-    )
+    q_ids, q_mat, q_norms = _collect_matrix(queries, qid, vec_col)
+    if q_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms = bc.value
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+            keep = c_ids[:, None] != b_qids[None, :]
+            ci, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "cosine": cos[ci, qi],
+                }
+            )
+
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            score_batches,
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -91,53 +139,66 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
-    Signature = ``n_planes`` sign bits; split into ``bands`` bands;
-    candidate = shares >= 1 band with the query.  Then exact cosine +
-    rank within candidates only.
+    Signature = ``n_planes`` sign bits (bit set where ``v·plane > 0``);
+    split into ``bands`` bands; candidate = shares >= 1 band with the
+    query.  Exact cosine + rank within candidates only.
+
+    Local plan: queries are collected/broadcast (ids, vectors, band
+    keys); each corpus Arrow batch computes its own sign signatures and
+    scores only band-matching (corpus row, query) pairs — recall is
+    decided by the SAME band pigeonhole a join-based formulation uses.
+    At 100 TB with a huge query set, trade the broadcast for the
+    equivalent banded self-join on (band, key): explode both sides into
+    ``bands`` rows and equi-join — same candidates, shuffle on small
+    integer bucket keys (the shape dedup.minhash_lsh_pairs keeps).
     """
-    planes = make_hyperplanes(dim, n_planes, seed)
+    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
+    shifts = np.arange(bands) * bits_per_band
 
-    def with_bands(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
-        sig = random_hyperplane_signs(F.col(vec_col), planes)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(sig, bits_per_band * i)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for i in range(bands)
-            ]
-        )
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.col(vec_col).alias(out_vec),
-            F.explode(band_structs).alias("b"),
-        )
+    def band_keys(mat: np.ndarray) -> np.ndarray:
+        """(n, bands) int band keys from sign signatures."""
+        bits = (mat @ planes_np.T) > 0  # strict >, matches the expr form
+        sigs = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        return (sigs[:, None] >> shifts[None, :]) & mask
 
-    c = with_bands(corpus, id_col, "neighbor_id", "__cv")
-    q = with_bands(queries, id_col, "query_id", "__qv")
-    cand = (
-        c.join(
-            F.broadcast(q),
-            (c["b.band"] == q["b.band"]) & (c["b.key"] == q["b.key"])
-            & (F.col("neighbor_id") != F.col("query_id")),
+    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-        .select("query_id", "neighbor_id", "__qv", "__cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, band_keys(q_mat))
     )
-    qn, cn = l2_norm("__qv"), l2_norm("__cv")
-    den = qn * cn
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.coalesce(F.when(den != 0, dot("__qv", "__cv") / den), F.lit(0.0)),
-            6,
-        ).alias("cosine"),
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms, b_qkeys = bc.value
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            c_keys = band_keys(v)  # (m, bands)
+            # candidate where ANY band key matches (pigeonhole)
+            cand = (c_keys[:, None, :] == b_qkeys[None, :, :]).any(axis=2)
+            cand &= c_ids[:, None] != b_qids[None, :]
+            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+            ci, qi = np.nonzero(cand)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "cosine": cos[ci, qi],
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            score_batches,
+            schema="query_id long, neighbor_id long, cosine double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -546,3 +546,86 @@ def q_jobid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/J2 id standardization (processor:496-507)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", std_job_id_extract(F.col("source")).alias("jid"))
+
+
+# ---------------------------------------------------------------------------
+# 6. Streaming-operator batch equivalents + validation probes
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q_windowed_rates",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate — the batch twin of
+    streaming.windowed_event_rates (same grouping; SUM in decimal instead
+    of AVG so the value hash is order-independent cross-engine).  Scale:
+    one shuffle on (window, event_type); map-side partial agg first."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec4("value")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@_q(
+    "q_interval_violations",
+    """
+    WITH jobs AS (
+      SELECT user_id,
+             MIN(ts) AS start_t,
+             MIN(ts) + INTERVAL 3 DAY AS end_t
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_ts,
+           SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
+                    THEN 1 ELSE 0 END) AS n_outside,
+           ROUND(SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+             AS pct_outside
+    FROM events e JOIN jobs j ON e.user_id = j.user_id
+    GROUP BY e.user_id
+    """,
+)
+def q_interval_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 validation probe (utils/analyze-timestamps.py:73-85) via
+    validation.interval_violations: % of rows outside each job's
+    interval.  Jobs fabricated as [first event, +3 days] per user."""
+    from conte_to_fresco_etl_spark.validation import interval_violations
+
+    ev = _events(spark, sf_dir)
+    jobs = ev.groupBy(F.col("user_id").alias("jobID")).agg(
+        F.min("ts").alias("start"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("end"),
+    )
+    out = interval_violations(
+        ev, jobs, ts_key="user_id", job_key="jobID", ts_col="ts"
+    )
+    return out.select(
+        F.col("jobID").alias("user_id"), "n_ts", "n_outside", "pct_outside"
+    )

@@ -4,3 +4,6 @@ from conte_to_fresco_etl_spark.streaming.pipeline import (  # noqa: F401
     start_set3_stream,
     windowed_event_rates,
 )
+from conte_to_fresco_etl_spark.streaming.stateful import (  # noqa: F401
+    sessionize,
+)

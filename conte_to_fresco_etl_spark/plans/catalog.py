@@ -629,3 +629,26 @@ def q_interval_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("jobID").alias("user_id"), "n_ts", "n_outside", "pct_outside"
     )
+
+
+@_q(
+    "q_distinct_counts",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS d_orderkey,
+           COUNT(DISTINCT l_partkey) AS d_partkey,
+           COUNT(DISTINCT l_returnflag) AS d_returnflag
+    FROM lineitem
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 cardinality probe, exact form for the cross-engine gate (the
+    scale path is validation.cardinality_report's HyperLogLog++
+    approx_count_distinct — one pass, no per-column shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_orderkey")).alias("d_orderkey"),
+        F.count_distinct(F.col("l_partkey")).alias("d_partkey"),
+        F.count_distinct(F.col("l_returnflag")).alias("d_returnflag"),
+    )

@@ -64,6 +64,19 @@ def read_accounting_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumnRenamed("timestamp", "Timestamp")
 
 
+def convert_csv_to_parquet(
+    spark: SparkSession, csv_path: str, parquet_path: str, schema=None
+) -> None:
+    """S4: CSV → parquet conversion (the reference shells out to polars,
+    utils/download_parquet_pcloud.py:20-46).  One declarative pass;
+    snappy comes from the session default."""
+    reader = spark.read.option("header", "true")
+    reader = reader.schema(schema) if schema else reader.option(
+        "inferSchema", "true"
+    )
+    reader.csv(csv_path).write.mode("overwrite").parquet(parquet_path)
+
+
 def read_fresco_ts(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """FRESCO EAV parquet scan.  Replaces the reference's hand-rolled
     row-group chunker (S3) and the manager's 1M-row file splitter (S10) —

@@ -103,6 +103,25 @@ def interval_violations(
     )
 
 
+def cardinality_report(
+    df: DataFrame, cols: list[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """A7: per-column cardinality probe (conte-etl-step-2-processor.py:
+    447-448 uses nunique() to pick dictionary encodings).  Uses
+    ``approx_count_distinct`` (HyperLogLog++) — one pass, no
+    per-column shuffle, the scale-correct answer where the reference's
+    exact nunique() needs the whole column in memory.  ``rsd`` is the
+    target relative standard deviation."""
+    cols = cols or df.columns
+    return df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.approx_count_distinct(f"`{c}`", rsd).alias(f"approx_{c}")
+            for c in cols
+        ],
+    )
+
+
 @dataclass
 class DropReport:
     total: int

@@ -80,3 +80,27 @@ def test_observed_drop_metrics(spark):
     kept = out.collect()
     assert {r["k"] for r in kept} == {"a", "d"}
     assert obs.get == {"total": 4, "kept": 2}
+
+
+def test_cardinality_report(spark, frames):
+    from conte_to_fresco_etl_spark.validation import cardinality_report
+
+    ts, _ = frames
+    row = cardinality_report(ts, ["Job Id"]).first()
+    assert row["n_rows"] == 5
+    # HLL++ at rsd=0.05 is exact at this cardinality
+    assert row["approx_Job Id"] == 3
+
+
+def test_convert_csv_to_parquet(spark, tmp_path):
+    from conte_to_fresco_etl_spark.sources.readers import (
+        convert_csv_to_parquet,
+    )
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    out = str(tmp_path / "out")
+    convert_csv_to_parquet(spark, str(src), out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"a", "b"}

@@ -35,6 +35,7 @@ HEADLINE = [
     "q_windowed_rates",
     "q_interval_violations",
     "q_minmax_summary",
+    "q_distinct_counts",
     "q_walltime_parse",
     "q_exitcode_case",
     "q_hostlist_parse",

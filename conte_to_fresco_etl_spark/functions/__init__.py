@@ -15,6 +15,7 @@ from conte_to_fresco_etl_spark.functions.job import (
     exitcode_case,
     host_list_array,
     host_list_string,
+    parse_acct_timestamp,
     std_job_id_extract,
     std_job_id_replace,
     walltime_seconds,
@@ -43,6 +44,7 @@ __all__ = [
     "std_job_id_replace",
     "std_job_id_extract",
     "walltime_seconds",
+    "parse_acct_timestamp",
     "host_list_array",
     "host_list_string",
     "exitcode_case",

@@ -1,0 +1,191 @@
+"""Property-based oracle tests for the scalar expression library.
+
+Hypothesis generates adversarial inputs; each batch is evaluated once
+through the Spark expressions and compared against an independent pure-
+Python reimplementation of the REFERENCE semantics (SURVEY §2.8), so the
+expressions are pinned to the documented behavior rather than to their
+own implementation.
+
+Spark-batch pattern: examples are generated up front (one DataFrame per
+test, not one Spark job per hypothesis example) — Spark's per-job
+latency makes classic per-example property testing impractical.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import clip, safe_div
+from conte_to_fresco_etl_spark.functions.job import (
+    exitcode_case,
+    host_list_string,
+    std_job_id_extract,
+    walltime_seconds,
+)
+
+# ---------------------------------------------------------------------------
+# pure-Python oracles (reference semantics)
+# ---------------------------------------------------------------------------
+
+
+def oracle_walltime(w: str | None) -> float | None:
+    """conte-etl-step-2-processor.py:224-276: numeric passthrough;
+    HH:MM:SS; MM:SS; else null; non-numeric components → null."""
+    if w is None:
+        return None
+    if re.fullmatch(r"\d+(\.\d+)?", w):
+        return float(w)
+    parts = w.split(":")
+
+    def num(x: str) -> float | None:
+        try:
+            return float(x)
+        except ValueError:
+            return None
+
+    if len(parts) == 3:
+        h, m, s = (num(p) for p in parts)
+        if None in (h, m, s):
+            return None
+        return h * 3600 + m * 60 + s
+    if len(parts) == 2:
+        m, s = (num(p) for p in parts)
+        if None in (m, s):
+            return None
+        return m * 60 + s
+    return None
+
+
+def oracle_exitcode(ev: str | None, status: str | None) -> str | None:
+    """conte-etl-step-2-processor.py:279-333."""
+    if ev == "E" and status == "0":
+        return "COMPLETED"
+    if ev == "E" and status is not None and status != "0":
+        return f"FAILED:{status}"
+    if ev == "A":
+        return "ABORTED"
+    if ev == "S":
+        return "STARTED"
+    if ev == "Q":
+        return "QUEUED"
+    return ":".join(x for x in (ev, status) if x is not None)
+
+
+def oracle_hostlist(exec_host: str | None) -> str | None:
+    """conte-etl-step-2-processor.py:566-616 (sorted-set variant)."""
+    if exec_host is None:
+        return None
+    hosts = sorted(set(re.findall(r"([^/+]+)/", exec_host)))
+    return "{" + ",".join(hosts) + "}"
+
+
+def oracle_jobid(v: str | None) -> str | None:
+    """conte-etl-step-2-processor.py:496-507: JOB + first digit run."""
+    if v is None:
+        return None
+    m = re.search(r"(\d+)", v)
+    return f"JOB{m.group(1)}" if m else v
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+_wt_part = st.one_of(
+    st.integers(0, 99).map(str),
+    st.just(""),
+    st.text(alphabet="0123456789abzZ .:-", min_size=0, max_size=4),
+)
+walltimes = st.one_of(
+    st.integers(0, 10**6).map(str),
+    st.floats(0, 1e5, allow_nan=False).map(lambda f: f"{f:.2f}"),
+    st.tuples(_wt_part, _wt_part).map(lambda t: ":".join(t)),
+    st.tuples(_wt_part, _wt_part, _wt_part).map(lambda t: ":".join(t)),
+    st.text(alphabet="0123456789:.xGARBAGE", max_size=12),
+)
+
+events = st.one_of(
+    st.sampled_from(["E", "A", "S", "Q", "D", "R", ""]),
+    st.text(alphabet="EASQXZ", max_size=2),
+)
+statuses = st.one_of(
+    st.none(),
+    st.just("0"),
+    st.integers(-127, 271).map(str),
+    st.text(alphabet="0123456789-x", max_size=4),
+)
+
+hostnames = st.text(
+    alphabet="abcz0189-", min_size=1, max_size=8
+).filter(lambda s: "/" not in s and "+" not in s)
+exec_hosts = st.lists(
+    st.tuples(hostnames, st.integers(0, 15)), min_size=1, max_size=5
+).map(lambda l: "+".join(f"{h}/{c}" for h, c in l))
+
+jobids = st.one_of(
+    st.integers(0, 10**7).map(lambda i: f"jobID{i}"),
+    st.integers(0, 10**7).map(lambda i: f"{i}.conte-adm"),
+    st.text(alphabet="jobJOBID0123456789.-adm", max_size=14),
+)
+
+
+# ---------------------------------------------------------------------------
+# batch evaluation helper
+# ---------------------------------------------------------------------------
+
+
+def _eval_batch(spark, values, expr_fn, n_cols=1):
+    rows = [(i, *(v if isinstance(v, tuple) else (v,))) for i, v in enumerate(values)]
+    schema = "i long, " + ", ".join(f"c{j} string" for j in range(n_cols))
+    df = spark.createDataFrame(rows, schema)
+    cols = [F.col(f"c{j}") for j in range(n_cols)]
+    out = df.select("i", expr_fn(*cols).alias("out")).collect()
+    return [r["out"] for r in sorted(out, key=lambda r: r["i"])]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(walltimes, min_size=1, max_size=60))
+def test_walltime_matches_reference(spark, batch):
+    got = _eval_batch(spark, batch, walltime_seconds)
+    want = [oracle_walltime(w) for w in batch]
+    assert got == want, list(zip(batch, got, want))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(events, statuses), min_size=1, max_size=60))
+def test_exitcode_matches_reference(spark, batch):
+    got = _eval_batch(spark, batch, exitcode_case, n_cols=2)
+    want = [oracle_exitcode(e, s) for e, s in batch]
+    assert got == want, list(zip(batch, got, want))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(exec_hosts, min_size=1, max_size=60))
+def test_hostlist_matches_reference(spark, batch):
+    got = _eval_batch(spark, batch, host_list_string)
+    want = [oracle_hostlist(h) for h in batch]
+    assert got == want, list(zip(batch, got, want))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(jobids, min_size=1, max_size=60))
+def test_jobid_matches_reference(spark, batch):
+    got = _eval_batch(spark, batch, std_job_id_extract)
+    want = [oracle_jobid(v) for v in batch]
+    assert got == want, list(zip(batch, got, want))
+
+
+def test_safe_div_and_clip_semantics(spark):
+    """F1: a/b with b=0 (or null result) → 0.0; F2: clamp >= 0."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 0.0), (-3.0, 1.0), (0.0, 0.0)], "a double, b double"
+    )
+    out = df.select(
+        safe_div(F.col("a"), F.col("b")).alias("d"),
+        clip(F.col("a"), lo=0.0).alias("c"),
+    ).collect()
+    assert [r["d"] for r in out] == [0.5, 0.0, -3.0, 0.0]
+    assert [r["c"] for r in out] == [1.0, 1.0, 0.0, 0.0]

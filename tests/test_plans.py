@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: the performance posture (broadcasts,
+pushdown, pruning, shuffle counts) asserted against the physical plans
+so an innocent refactor cannot silently regress it.
+
+Also covers the skew utilities (salted join correctness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from conte_to_fresco_etl_spark.operators.skew import (
+    explain_shuffle_count,
+    salted_join,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_conte_set3_broadcasts_jobs_side(spark, sf_dir, qs):
+    plan = _physical(qs["conte_set3"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # ts side must not shuffle
+
+
+def test_q3_pushes_filters_and_prunes_columns(spark, sf_dir, qs):
+    plan = _physical(qs["q3_top_orders"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    )
+    # column pruning: the lineitem scan must not read all 16 columns
+    scan = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert scan.count(":") <= 6
+
+
+def test_q1_partial_aggregate_before_shuffle(spark, sf_dir, qs):
+    plan = _physical(qs["q1_pricing_summary"](spark, sf_dir))
+    assert "partial" in plan.lower()  # map-side combine
+    assert explain_shuffle_count(qs["q1_pricing_summary"](spark, sf_dir)) == 1
+
+
+def test_window_rate_single_shuffle(spark, sf_dir, qs):
+    assert explain_shuffle_count(qs["q_window_rate"](spark, sf_dir)) == 1
+
+
+def test_pivot_scatter_map_only(spark, sf_dir, qs):
+    assert explain_shuffle_count(qs["q_pivot_scatter"](spark, sf_dir)) == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (90% of rows) + uniform tail
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "k long, name string"
+    )
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, on="k", salts=8).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, name string")
+    out = salted_join(left, right, on="k", salts=4, how="left").collect()
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k == {1: "x", 99: None}
+    assert len(out) == 2

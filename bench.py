@@ -48,6 +48,7 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_ann_topk",
     "q_lsh_ann_topk",
+    "q_ivf_ann_topk",
 ]
 
 

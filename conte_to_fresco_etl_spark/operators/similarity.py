@@ -126,6 +126,125 @@ def make_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a (sampled)
+    corpus, fitted driver-side on unit-normalized vectors.  Determinism:
+    seeded init, fixed iteration count.  At 100 TB fit on a ~1M-row
+    sample (centroid quality saturates quickly) — the corpus itself
+    never leaves the executors during *search*, only during this
+    one-time training read."""
+    df = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        df = df.sample(sample_fraction, seed=seed)
+    mat = np.array([r[1] for r in df.collect()], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
+    rng = np.random.default_rng(seed)
+    cents = unit[rng.choice(len(unit), size=min(n_centroids, len(unit)),
+                            replace=False)]
+    for _ in range(iters):
+        assign = (unit @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Each corpus vector belongs to its nearest centroid's list; a query
+    probes its ``n_probe`` nearest centroids and scores only vectors in
+    those lists.  Recall/cost dial: n_probe = n_centroids degrades to
+    exact brute force.
+
+    Local plan mirrors lsh_topk: queries broadcast with their probe
+    sets; each corpus Arrow batch assigns itself to centroids (one
+    matmul), masks to (corpus row in a probed list), scores, and a
+    window ranks.  At scale, materialize the corpus assignment once
+    (partitionBy centroid) so probes prune partitions instead of
+    re-assigning per scan."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def assign(mat: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        unit = np.divide(
+            mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] != 0
+        )
+        return (unit @ cents.T).argmax(axis=1)
+
+    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    q_unit = np.divide(
+        q_mat, q_norms[:, None], out=np.zeros_like(q_mat),
+        where=q_norms[:, None] != 0,
+    )
+    # (nq, n_probe) probed centroid ids per query
+    probes = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, probes)
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms, b_probes = bc.value
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            c_assign = assign(v, v_norms)  # (m,)
+            # candidate where the corpus row's list is probed by the query
+            cand = (c_assign[:, None, None] == b_probes[None, :, :]).any(
+                axis=2
+            )
+            cand &= c_ids[:, None] != b_qids[None, :]
+            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+            ci, qi = np.nonzero(cand)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "cosine": cos[ci, qi],
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(
+            score_batches,
+            schema="query_id long, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

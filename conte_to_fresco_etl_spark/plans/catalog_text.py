@@ -318,3 +318,21 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, dim=64,
         n_planes=16, bands=4, seed=42,
     )
+
+
+@_q("q_ivf_ann_topk")  # approximate — no SQL oracle; rows-only check
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF coarse quantizer (8 spherical
+    k-means centroids, 4 probed).  Declared without an oracle because it
+    is intentionally approximate; recall vs q_ann_topk is test-asserted,
+    and n_probe = n_centroids reproduces the exact result."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
+    )

@@ -1,4 +1,5 @@
 from conte_to_fresco_etl_spark.streaming.pipeline import (  # noqa: F401
+    stream_dedup,
     stream_eav_source,
     stream_set3,
     start_set3_stream,

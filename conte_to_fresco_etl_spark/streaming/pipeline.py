@@ -93,6 +93,25 @@ def start_set3_stream(
     return writer.start()
 
 
+def stream_dedup(
+    ts_stream: DataFrame,
+    keys: list[str] | None = None,
+    event_time_col: str = "Timestamp",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming duplicate suppression — the engine-native form of the
+    reference's dedup-on-append (S7, transform_conte_ts_data.py:1043).
+
+    ``dropDuplicatesWithinWatermark`` keys state to the dedup columns
+    and expires it once the watermark passes, so state stays bounded
+    where the reference re-read and rewrote whole monthly CSVs.  Default
+    keys: all columns (full-row dedup, matching drop_duplicates())."""
+    keys = keys or ts_stream.columns
+    return ts_stream.withWatermark(
+        event_time_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_rates(
     ts_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -118,3 +118,37 @@ def test_lsh_recall_against_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with a healthy probe count recovers most exact neighbors."""
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    assert cents.shape[1] == 64
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+    # full probe degrades to exact search
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=8).collect()
+    }
+    assert full == exact

@@ -138,3 +138,35 @@ def test_windowed_event_rates(spark, staged, tmp_path):
     assert len(rows) == 3
     assert all(r["n"] == 2 and r["Event"] == "cpuuser" for r in rows)
     assert rows[0]["avg_value"] == pytest.approx(50.5)
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Duplicate rows across micro-batches within the watermark are
+    suppressed (S7 dedup-on-append semantics, engine-native)."""
+    from conte_to_fresco_etl_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dsrc")
+    base = _eav_rows(spark, "JOB9", "h1", range(0, 4))
+    base.coalesce(1).write.mode("append").parquet(src)
+    # second file repeats two rows and adds one new
+    dup = _eav_rows(spark, "JOB9", "h1", [2, 3, 4])
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(FRESCO_TS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    assert len(rows) == 5  # hours 0..4 exactly once
+    assert len({r["Timestamp"] for r in rows}) == 5

@@ -49,6 +49,7 @@ HEADLINE = [
     "q_ann_topk",
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",
+    "q_media_decode",
 ]
 
 

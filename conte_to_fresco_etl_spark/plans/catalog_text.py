@@ -336,3 +336,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
     )
+
+
+@_q("q_media_decode")  # codec output is not SQL-expressible; rows-only
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a declared query: documents become binary
+    payloads (utf-8 bytes), decoded per Arrow batch with the
+    deterministic fake codec into per-item stats.  Exercises the
+    MEDIA-schema path (binary column + mapInPandas decode) end to end;
+    no SQL oracle because the codec (md5-seeded grid) has no SQL twin —
+    determinism is covered by tests/test_media.py."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        fake_codec,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return decode_stats(media, codec=fake_codec)

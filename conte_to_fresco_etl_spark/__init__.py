@@ -17,6 +17,15 @@ Design rules (SURVEY.md §7):
 """
 
 from conte_to_fresco_etl_spark.session import get_spark
+from conte_to_fresco_etl_spark.operators.join import process_month
+from conte_to_fresco_etl_spark.operators.transforms import transform_folder
+from conte_to_fresco_etl_spark.pipeline import run_step1, run_step2
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "process_month",
+    "transform_folder",
+    "run_step1",
+    "run_step2",
+]
 __version__ = "0.1.0"

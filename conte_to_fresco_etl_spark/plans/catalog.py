@@ -603,10 +603,11 @@ def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id,
            COUNT(*) AS n_ts,
-           SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
-                    THEN 1 ELSE 0 END) AS n_outside,
-           ROUND(SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
-                          THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+           CAST(SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
+           ROUND(CAST(SUM(CASE WHEN e.ts < j.start_t OR e.ts > j.end_t
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                 * 100.0 / COUNT(*), 4)
              AS pct_outside
     FROM events e JOIN jobs j ON e.user_id = j.user_id
     GROUP BY e.user_id

@@ -46,9 +46,11 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_ngram_jaccard",
     "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
     "q_ann_topk",
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",
+    "q_ivf_exhaustive",
     "q_media_decode",
 ]
 

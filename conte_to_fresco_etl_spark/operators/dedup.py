@@ -13,8 +13,11 @@ Five dedup families, each designed for 100 TB scale:
                        pigeonhole (exact for hamming <= 3: a pair within
                        distance 3 must agree on >= 1 of 4 bands).
   * n-gram Jaccard   — exact word-ngram Jaccard within blocking groups.
-  * embedding cosine — exact brute-force pair scan (baseline) — the
-                       LSH-bucketed scale path lives in similarity.py.
+  * embedding cosine — two forms: ``embedding_lsh_neardup_pairs`` (the
+                       scale default — banded sign-signature self-join,
+                       nothing collected to the driver) and
+                       ``embedding_neardup_pairs`` (exact brute force,
+                       the recall baseline it is validated against).
 
 All hashes derive from md5 (identical in Spark and ANSI SQL/DuckDB), so
 every operator has an exact cross-engine oracle.  Reference repo has no
@@ -467,9 +470,10 @@ def embedding_neardup_pairs(
     ``V @ Xᵀ`` matmul instead of per-pair interpreted array expressions
     (~40x measured).  Same premise as the reference's resident jobs table
     (conte-etl-step-2-processor.py:1695): the build side must fit in
-    executor memory.  Corpora beyond that: LSH-bucket first (see
-    similarity.lsh_topk) or block the build side and union the blocks —
-    all-pairs is O(n²) in any engine.
+    executor memory.  This is the VALIDATION BASELINE, not the scale
+    path — all-pairs is O(n²) and the collect is a driver bottleneck;
+    the gated default at scale is ``embedding_lsh_neardup_pairs``
+    (banded sign-signature self-join, fully distributed).
     """
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
@@ -507,4 +511,121 @@ def embedding_neardup_pairs(
 
     return vecs.mapInPandas(
         score_batches, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the scale
+    default (nothing is ever collected to the driver).
+
+    Signature = ``n_planes`` sign bits (bit i set where ``v·plane_i >
+    0``), split into ``bands`` bands; a pair is a candidate iff it
+    agrees on >= 1 band (the same pigeonhole as minhash_lsh_pairs).
+    Candidates then get the EXACT cosine, so precision is 1 — recall
+    alone is traded (test-measured vs embedding_neardup_pairs).
+
+    Plan shape (the 100 TB path):
+      sign signatures (map-side Arrow matmul, one long per vector) →
+      explode into ``bands`` narrow (id, band, key) rows →
+      self-equi-join on (band, key) → distinct pairs →
+      re-attach vectors by id join → exact cosine >= threshold.
+
+    The shuffle carries small integer bucket keys, never the vectors;
+    vectors re-attach by join on id (broadcast here; at 100 TB a
+    sort-merge join on the id-bucketed embeddings table).  Hyperplanes
+    are seeded driver-side constants shipped in the plan closure, so a
+    DuckDB oracle can mirror the exact candidate set from the same
+    literals (plans/catalog_text.py:q_embedding_neardup_lsh).
+    """
+    from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes
+
+    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(vec_col).isNotNull()
+    )
+
+    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(n_planes)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (v @ planes_np.T) > 0
+            sigs = (bits.astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    # One long per vector; cheap enough to recompute per branch, but the
+    # self-join reads it twice — persist, same rationale as minhash.
+    sigs = vecs.mapInPandas(
+        sig_batches, schema=f"{id_col} long, sig long"
+    ).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.b.band") == F.col("r.b.band"))
+            & (F.col("l.b.key") == F.col("r.b.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    pairs = cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+
+    # Arrow batch scoring: fused per-pair einsum over the joined arrays.
+    # The expression twin (functions.vectors.cosine_similarity, which the
+    # SQL oracle mirrors) is interpreted per element — measured ~20x
+    # slower at ~500k candidate pairs.  ROUND(6) keeps the two forms and
+    # the DuckDB oracle bit-identical.
+    def cos_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["__ea"]), dtype=np.float64)
+            b = np.array(list(pdf["__eb"]), dtype=np.float64)
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(np.where(den != 0, num / den, 0.0), 6)
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64),
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return pairs.mapInPandas(
+        cos_batches, schema="id_a long, id_b long, cosine double"
     )

@@ -56,6 +56,46 @@ def _rounded_cosines(
     return np.round(cos, 6)
 
 
+def _candidate_cosines(
+    cand: np.ndarray,
+    v: np.ndarray,
+    v_norms: np.ndarray,
+    q_mat: np.ndarray,
+    q_norms: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Score ONLY the True cells of the (m, nq) candidate mask: gather
+    the surviving (corpus row, query row) pairs and take per-pair dots
+    (one fused einsum), never the full m x nq matmul.  This is what
+    makes LSH/IVF actually cheaper than brute force — FLOPs scale with
+    the candidate count, not the cross product.  Returns (ci, qi,
+    rounded cosines) for the candidate pairs."""
+    ci, qi = np.nonzero(cand)
+    if ci.size == 0:
+        return ci, qi, np.zeros(0)
+    num = np.einsum("ij,ij->i", v[ci], q_mat[qi])
+    den = v_norms[ci] * q_norms[qi]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(den != 0, num / den, 0.0)
+    return ci, qi, np.round(cos, 6)
+
+
+def _local_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-partition pre-reduction: keep each query's LOCAL top-k under
+    the global total order (cosine desc, neighbor_id asc) before the
+    rank shuffle.  Every global winner is a local winner in its own
+    partition, so the final window sees <= k rows per (query,
+    partition) instead of every scored pair — the shuffle shrinks from
+    |candidates| to k * |queries| * |partitions| with zero recall loss."""
+    return (
+        pdf.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", sort=False)
+        .head(k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,12 +136,15 @@ def brute_force_topk(
             cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
             keep = c_ids[:, None] != b_qids[None, :]
             ci, qi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qi],
-                    "neighbor_id": c_ids[ci],
-                    "cosine": cos[ci, qi],
-                }
+            yield _local_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "cosine": cos[ci, qi],
+                    }
+                ),
+                k,
             )
 
     scored = (
@@ -132,18 +175,30 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
+    max_train_rows: int = 1_000_000,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: spherical k-means on a (sampled)
     corpus, fitted driver-side on unit-normalized vectors.  Determinism:
-    seeded init, fixed iteration count.  At 100 TB fit on a ~1M-row
-    sample (centroid quality saturates quickly) — the corpus itself
-    never leaves the executors during *search*, only during this
-    one-time training read."""
+    seeded init, fixed iteration count, hash-stable sampling (md5 of
+    the id — reproducible across runs and partitionings, unlike
+    ``df.sample``).
+
+    The training read is BUDGETED, never the full corpus: an optional
+    hash-stable ``sample_fraction`` plus a hard ``max_train_rows`` cap
+    (``limit`` stops the scan early).  Centroid quality saturates far
+    below 1M rows, so at 100 TB the driver still only ever pulls a
+    bounded sample — the corpus itself never leaves the executors
+    during *search*, only this capped training read."""
     df = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
     if sample_fraction < 1.0:
-        df = df.sample(sample_fraction, seed=seed)
+        bucket = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long") % 1_000_000
+        df = df.filter(bucket < int(sample_fraction * 1_000_000))
+    if max_train_rows is not None:
+        df = df.limit(max_train_rows)
     mat = np.array([r[1] for r in df.collect()], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     unit = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
@@ -207,26 +262,41 @@ def ivf_topk(
         (q_ids, q_mat, q_norms, probes)
     )
 
+    # n_probe >= n_centroids probes every list: the mask is all-True, so
+    # per-pair gathers only add overhead — one BLAS matmul is cheaper.
+    full_probe = n_probe >= len(cents)
+
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qids, b_qmat, b_qnorms, b_probes = bc.value
         for pdf in it:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             v_norms = np.sqrt((v * v).sum(axis=1))
-            c_assign = assign(v, v_norms)  # (m,)
-            # candidate where the corpus row's list is probed by the query
-            cand = (c_assign[:, None, None] == b_probes[None, :, :]).any(
-                axis=2
-            )
-            cand &= c_ids[:, None] != b_qids[None, :]
-            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
-            ci, qi = np.nonzero(cand)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qi],
-                    "neighbor_id": c_ids[ci],
-                    "cosine": cos[ci, qi],
-                }
+            if full_probe:
+                cand = c_ids[:, None] != b_qids[None, :]
+                cosm = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+                ci, qi = np.nonzero(cand)
+                cos = cosm[ci, qi]
+            else:
+                c_assign = assign(v, v_norms)  # (m,)
+                # candidate where the corpus row's list is probed
+                cand = (
+                    c_assign[:, None, None] == b_probes[None, :, :]
+                ).any(axis=2)
+                cand &= c_ids[:, None] != b_qids[None, :]
+                # distance math only on probed pairs — never the full matmul
+                ci, qi, cos = _candidate_cosines(
+                    cand, v, v_norms, b_qmat, b_qnorms
+                )
+            yield _local_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "cosine": cos,
+                    }
+                ),
+                k,
             )
 
     scored = (
@@ -301,14 +371,19 @@ def lsh_topk(
             # candidate where ANY band key matches (pigeonhole)
             cand = (c_keys[:, None, :] == b_qkeys[None, :, :]).any(axis=2)
             cand &= c_ids[:, None] != b_qids[None, :]
-            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
-            ci, qi = np.nonzero(cand)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qi],
-                    "neighbor_id": c_ids[ci],
-                    "cosine": cos[ci, qi],
-                }
+            # distance math only on colliding pairs — never the full matmul
+            ci, qi, cos = _candidate_cosines(
+                cand, v, v_norms, b_qmat, b_qnorms
+            )
+            yield _local_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "cosine": cos,
+                    }
+                ),
+                k,
             )
 
     scored = (

@@ -271,10 +271,68 @@ _NEARDUP_SQL = f"""
 
 @_q("q_embedding_neardup", _NEARDUP_SQL)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs >= 0.35 (brute-force baseline; the
-    LSH-bucketed scale path is q_lsh_ann)."""
+    """Exact cosine near-dup pairs >= 0.35 — the brute-force validation
+    baseline.  The scale default is q_embedding_neardup_lsh (fully
+    distributed, no driver collect)."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# Hyperplane literals shared by the Spark plan and the oracle: the SAME
+# seeded floats parameterize both engines, so the banded candidate set
+# is identical and the gate is exact (not a recall approximation).
+from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes  # noqa: E402
+
+_EMB_PLANES = make_hyperplanes(dim=64, n_planes=16, seed=42)
+_EMB_SIG_SQL = "\n           + ".join(
+    f"(CASE WHEN list_dot_product(e, ["
+    + ", ".join(repr(float(x)) for x in p)
+    + f"]) > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i, p in enumerate(_EMB_PLANES)
+)
+_EMB_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"SELECT vec_id, (sig >> {b * 4}) & 15 AS key, {b} AS band FROM s"
+    for b in range(4)
+)
+
+_NEARDUP_LSH_SQL = f"""
+    WITH {_VEC_CTE},
+    s AS (
+      SELECT vec_id, {_EMB_SIG_SQL} AS sig FROM n
+    ),
+    bands AS (
+      {_EMB_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.key = r.key
+                   AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                        ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                   END, 6) AS cosine
+      FROM cand JOIN n a ON cand.id_a = a.vec_id
+                JOIN n b ON cand.id_b = b.vec_id
+    ) WHERE cosine >= 0.35
+"""
+
+@_q("q_embedding_neardup_lsh", _NEARDUP_LSH_SQL)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs >= 0.35 via banded hyperplane LSH — the
+    scale-default path (no driver collect; narrow bucket-key shuffle).
+    The oracle mirrors the band join from the same plane literals, so
+    the candidate set — not just the scores — is gated exactly."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    return embedding_lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35, dim=64, n_planes=16, bands=4, seed=42,
     )
 
 
@@ -335,6 +393,29 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
+    )
+
+
+@_q("q_ivf_exhaustive", _ANN_SQL)
+def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe == n_centroids`` — every inverted list is
+    probed, which provably reproduces exact search, so the IVF machinery
+    (assignment, probe sets, candidate scoring, ranking) runs under the
+    SAME hard oracle as q_ann_topk.  The approximate-probe sibling
+    q_ivf_ann_topk stays rows-only; this entry is its hard gate."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

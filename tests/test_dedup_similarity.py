@@ -97,6 +97,38 @@ def test_embedding_neardup(vectors):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_lsh_neardup_subset_and_recall(spark, sf_dir):
+    """LSH pairs are a subset of brute-force pairs (precision 1: exact
+    cosine is applied to candidates) with recall bounded below; at a
+    near-dup threshold the band pigeonhole loses little."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    assert lsh <= exact                       # precision 1
+    assert len(lsh) / len(exact) >= 0.4       # recall floor at a weak 0.35
+    # at a genuinely near-dup threshold the pigeonhole loses little
+    exact_hi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.8).collect()
+    }
+    if exact_hi:
+        lsh_hi = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_lsh_neardup_pairs(emb, threshold=0.8).collect()
+        }
+        assert len(lsh_hi) / len(exact_hi) >= 0.9
+
+
 def test_brute_force_topk(vectors):
     out = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])

@@ -62,14 +62,24 @@ def fake_codec(payload: bytes, modality: str) -> np.ndarray:
 
 def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
     """Decode each payload and emit summary stats — the minimal
-    decode-then-reduce pattern (schema: id, modality, n_values, mean,
-    std).  One Arrow round-trip; payloads never leave the executor."""
+    decode-then-reduce pattern (schema: id, modality, n_bytes,
+    payload_md5, n_values, mean, std).  One Arrow round-trip; payloads
+    never leave the executor.
+
+    ``n_bytes`` and ``payload_md5`` are computed FROM THE PAYLOAD BYTES
+    inside the same Arrow batch as the decode: they pin, per row, that
+    the binary column crossing the Python boundary is byte-identical to
+    the source — the SQL-expressible half of the operator that the
+    DuckDB oracle gates exactly (plans/catalog_text.py:q_media_decode),
+    while the codec-dependent half (mean/std) stays Python-verified."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {
                 "media_id": [],
                 "modality": [],
+                "n_bytes": [],
+                "payload_md5": [],
                 "n_values": [],
                 "mean": [],
                 "std": [],
@@ -79,9 +89,12 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
             ):
                 if payload is None:
                     continue
-                arr = codec(bytes(payload), mod)
+                raw = bytes(payload)
+                arr = codec(raw, mod)
                 out["media_id"].append(mid)
                 out["modality"].append(mod)
+                out["n_bytes"].append(len(raw))
+                out["payload_md5"].append(hashlib.md5(raw).hexdigest())
                 out["n_values"].append(int(arr.size))
                 out["mean"].append(float(arr.mean()))
                 out["std"].append(float(arr.std()))
@@ -89,8 +102,8 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
 
     return df.select("media_id", "modality", "payload").mapInPandas(
         batches,
-        schema="media_id long, modality string, n_values long, "
-        "mean double, std double",
+        schema="media_id long, modality string, n_bytes long, "
+        "payload_md5 string, n_values long, mean double, std double",
     )
 
 

@@ -36,13 +36,16 @@ def media_df(spark):
 def test_decode_stats_deterministic(spark, media_df):
     out = decode_stats(media_df, codec=fake_codec)
     assert out.schema.simpleString() == (
-        "struct<media_id:bigint,modality:string,n_values:bigint,"
-        "mean:double,std:double>"
+        "struct<media_id:bigint,modality:string,n_bytes:bigint,"
+        "payload_md5:string,n_values:bigint,mean:double,std:double>"
     )
     rows = {r["media_id"]: r for r in out.collect()}
     assert set(rows) == {1, 2, 3, 4}  # null payload dropped
     assert rows[1]["n_values"] == 64  # 8x8 image grid
     assert rows[3]["n_values"] == 64  # audio sample vector
+    # payload fidelity across the Arrow boundary: length + content hash
+    assert rows[1]["n_bytes"] == len(b"img-payload-1")
+    assert rows[1]["payload_md5"] == hashlib.md5(b"img-payload-1").hexdigest()
     # exact reproducibility against a local decode of the same payload
     expected = float(fake_codec(b"img-payload-1", "image").mean())
     assert rows[1]["mean"] == pytest.approx(expected, abs=1e-12)

@@ -107,12 +107,16 @@ def exitcode_case(jobevent: Column | str, exit_status: Column | str) -> Column:
 
     ``E``/0 → COMPLETED; ``E``/nonzero → ``FAILED:<code>``; ``A`` →
     ABORTED; ``S`` → STARTED; ``Q`` → QUEUED; else ``<jobevent>:<status>``.
+
+    NULL Exit_status is coalesced to ``''`` first, matching the
+    reference's ``fillna('')`` (processor:283): ``('E', NULL)`` →
+    ``FAILED:`` and the fallback branch → ``<event>:``.
     """
-    ev, st = _col(jobevent), _col(exit_status)
+    ev = _col(jobevent)
+    st = F.coalesce(_col(exit_status), F.lit(""))
     return (
         F.when((ev == "E") & (st == "0"), F.lit("COMPLETED"))
-        .when((ev == "E") & st.isNotNull() & (st != "0"),
-              F.concat(F.lit("FAILED:"), st))
+        .when((ev == "E") & (st != "0"), F.concat(F.lit("FAILED:"), st))
         .when(ev == "A", F.lit("ABORTED"))
         .when(ev == "S", F.lit("STARTED"))
         .when(ev == "Q", F.lit("QUEUED"))

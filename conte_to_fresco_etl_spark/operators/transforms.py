@@ -102,10 +102,12 @@ def transform_mem(df: DataFrame) -> DataFrame:
     """Memory GB — emits TWO EAV rows per input row (transform:497-516):
 
       memused                  = clip(MemTotal,0) − clip(min(MemFree,MemTotal),0)
-      memused_minus_diskcache  = max(0, memused − FilePages)
+      memused_minus_diskcache  = max(0, memused − clip(FilePages,0))
 
     both / 1024^3, clamped ≥ 0.  Clip order matters (SURVEY §7.3): clip
-    the columns first (:451-453), then min (:457), subtract, clamp.
+    the columns first — INCLUDING FilePages (transform:451-453), so a
+    negative FilePages contributes 0, not a larger memused — then min
+    (:457), subtract, clamp.
     The two-event emit is a no-shuffle union of two projections (U1).
     """
     req = ["jobID", "node", "timestamp", "MemTotal", "MemFree", "FilePages"]
@@ -120,9 +122,8 @@ def transform_mem(df: DataFrame) -> DataFrame:
     )
     used = mem_total - mem_free
     used_gb = clip(used / gib, lo=0.0)
-    minus_cache_gb = clip(
-        clip(used - F.col("FilePages").cast("double"), lo=0.0) / gib, lo=0.0
-    )
+    file_pages = clip(F.col("FilePages").cast("double"), lo=0.0)
+    minus_cache_gb = clip(clip(used - file_pages, lo=0.0) / gib, lo=0.0)
     return _eav(p, "memused", "GB", used_gb).unionByName(
         _eav(p, "memused_minus_diskcache", "GB", minus_cache_gb)
     )
@@ -137,6 +138,13 @@ def transform_nfs(df: DataFrame) -> DataFrame:
     first row per group → 0 (lag is NULL); counter resets (negative Δ)
     clamp to 0.  The window shuffles the table once on (jobID, node) —
     at 100 TB this is THE shuffle of step 1; everything else is map-side.
+
+    Deviation (documented): this implements the reference's DOCUMENTED
+    formula.  The reference's code actually passes the byte DELTA as
+    ``calculate_rate``'s ``previous_value`` (transform:621-623), making
+    its computed rate (total − Δ)/Δt and its first row total/0.1 — an
+    argument-order bug we deliberately do not reproduce (same policy as
+    the host_list determinism note in functions/job.py).
     """
     req = ["jobID", "node", "timestamp", "read_bytes", "write_bytes"]
     p = _prep(df, req)

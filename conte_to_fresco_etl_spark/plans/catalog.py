@@ -474,31 +474,38 @@ def q_walltime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH synth AS (
       SELECT o_orderkey,
              CASE o_orderstatus WHEN 'F' THEN 'E' WHEN 'O' THEN 'S' ELSE 'Q' END AS ev,
-             CAST(o_orderkey % 3 AS VARCHAR) AS st
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 3 AS VARCHAR) END AS st
       FROM orders
+    ),
+    filled AS (
+      SELECT o_orderkey, ev, COALESCE(st, '') AS st FROM synth
     )
     SELECT o_orderkey,
            CASE
              WHEN ev = 'E' AND st = '0' THEN 'COMPLETED'
-             WHEN ev = 'E' AND st IS NOT NULL AND st <> '0'
-               THEN concat('FAILED:', st)
+             WHEN ev = 'E' AND st <> '0' THEN concat('FAILED:', st)
              WHEN ev = 'A' THEN 'ABORTED'
              WHEN ev = 'S' THEN 'STARTED'
              WHEN ev = 'Q' THEN 'QUEUED'
              ELSE concat_ws(':', ev, st)
            END AS exitcode
-    FROM synth
+    FROM filled
     """,
 )
 def q_exitcode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 exitcode CASE (processor:279-333) over synthesized PBS events."""
+    """F12 exitcode CASE (processor:279-333) over synthesized PBS events;
+    every-7th status is NULLed to pin the reference's fillna('')
+    semantics (('E', NULL) → 'FAILED:')."""
     o = _t(spark, sf_dir, "orders")
     ev = (
         F.when(F.col("o_orderstatus") == "F", F.lit("E"))
         .when(F.col("o_orderstatus") == "O", F.lit("S"))
         .otherwise(F.lit("Q"))
     )
-    st = (F.col("o_orderkey") % 3).cast("string")
+    st = F.when(
+        F.col("o_orderkey") % 7 != 0, (F.col("o_orderkey") % 3).cast("string")
+    )
     return o.select(
         "o_orderkey", exitcode_case(ev, st).alias("exitcode")
     )

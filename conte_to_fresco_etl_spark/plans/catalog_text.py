@@ -419,14 +419,27 @@ def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_media_decode")  # codec output is not SQL-expressible; rows-only
+_MEDIA_DECODE_SQL = """
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(64 AS BIGINT) AS n_values
+    FROM documents
+    WHERE text IS NOT NULL
+"""
+
+@_q("q_media_decode", _MEDIA_DECODE_SQL)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing as a declared query: documents become binary
     payloads (utf-8 bytes), decoded per Arrow batch with the
-    deterministic fake codec into per-item stats.  Exercises the
-    MEDIA-schema path (binary column + mapInPandas decode) end to end;
-    no SQL oracle because the codec (md5-seeded grid) has no SQL twin —
-    determinism is covered by tests/test_media.py."""
+    deterministic fake codec.  The gated columns are the SQL-expressible
+    half — per-row byte length and md5 of the payload (computed from the
+    bytes INSIDE the decode batch, so the oracle pins that the binary
+    column crossing the Arrow boundary is byte-identical to the source)
+    plus the decode output size (the fake codec's fixed 8x8 grid).  The
+    codec-dependent mean/std columns have no SQL twin and stay
+    Python-verified (tests/test_media.py asserts their determinism)."""
     from conte_to_fresco_etl_spark.operators.media import (
         decode_stats,
         fake_codec,
@@ -438,4 +451,6 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("modality"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return decode_stats(media, codec=fake_codec)
+    return decode_stats(media, codec=fake_codec).select(
+        "media_id", "modality", "n_bytes", "payload_md5", "n_values"
+    )

@@ -97,10 +97,12 @@ def test_host_list(spark):
     [
         ("E", "0", "COMPLETED"),
         ("E", "137", "FAILED:137"),
+        ("E", None, "FAILED:"),   # fillna('') parity (processor:283)
         ("A", None, "ABORTED"),
         ("S", "0", "STARTED"),
         ("Q", None, "QUEUED"),
         ("X", "9", "X:9"),
+        ("X", None, "X:"),        # fallback with filled '' keeps the colon
     ],
 )
 def test_exitcode(spark, ev, st, expected):

@@ -60,10 +60,13 @@ def oracle_walltime(w: str | None) -> float | None:
 
 
 def oracle_exitcode(ev: str | None, status: str | None) -> str | None:
-    """conte-etl-step-2-processor.py:279-333."""
+    """conte-etl-step-2-processor.py:279-333, including the fillna('')
+    pre-step (:283): NULL status behaves as '' — ('E', None) →
+    'FAILED:' and the fallback → '<event>:'."""
+    status = "" if status is None else status
     if ev == "E" and status == "0":
         return "COMPLETED"
-    if ev == "E" and status is not None and status != "0":
+    if ev == "E" and status != "0":
         return f"FAILED:{status}"
     if ev == "A":
         return "ABORTED"

@@ -81,9 +81,12 @@ def test_mem_two_events_and_clamps(spark):
         ("jobID2", "n1", TS, 4 * 2**30, 8 * 2**30, 1 * 2**30),
         # FilePages > used -> minus_diskcache clamps to 0
         ("jobID3", "n1", TS, 8 * 2**30, 6 * 2**30, 4 * 2**30),
+        # negative FilePages clips to 0 first (transform:451-453):
+        # minus_diskcache == memused, NOT memused + |FilePages|
+        ("jobID4", "n1", TS, 64 * 2**30, 32 * 2**30, -(4 * 2**30)),
     ]
     out = transform_mem(mk(spark, MEM_RAW_SCHEMA, rows)).collect()
-    assert len(out) == 6  # two EAV rows per input row
+    assert len(out) == 8  # two EAV rows per input row
     got = by_key(out)
     k1u = [k for k in got if k[0] == "JOB1" and k[2] == "memused"][0]
     k1m = [k for k in got if k[0] == "JOB1" and k[2] == "memused_minus_diskcache"][0]
@@ -93,6 +96,10 @@ def test_mem_two_events_and_clamps(spark):
     assert got[k2u]["Value"] == 0.0
     k3m = [k for k in got if k[0] == "JOB3" and k[2] == "memused_minus_diskcache"][0]
     assert got[k3m]["Value"] == 0.0
+    k4u = [k for k in got if k[0] == "JOB4" and k[2] == "memused"][0]
+    k4m = [k for k in got if k[0] == "JOB4" and k[2] == "memused_minus_diskcache"][0]
+    assert math.isclose(got[k4u]["Value"], 32.0)
+    assert math.isclose(got[k4m]["Value"], 32.0)  # clipped, not 36.0
 
 
 def test_nfs_lag_rate(spark):

@@ -25,10 +25,17 @@ from conte_to_fresco_etl_spark.schemas import ACCOUNTING_RAW_SCHEMA
 
 
 def read_raw_csv(spark: SparkSession, path: str, schema) -> DataFrame:
-    """S1: declared-schema CSV scan, ISO-8859-1, malformed rows dropped
-    (reference tries latin1 → ISO-8859-1 → utf-8(replace) and skips bad
-    lines, transform_conte_ts_data.py:62-122; one permissive pass covers
-    all three fallbacks under Spark)."""
+    """S1: declared-schema CSV scan, ISO-8859-1, malformed rows dropped.
+
+    Encoding decision (documented): the reference's fallback chain is
+    latin1 → ISO-8859-1 → utf-8(replace) with bad-line skip
+    (transform_conte_ts_data.py:62-122).  latin1 decodes EVERY byte
+    sequence, so attempt 1 never fails and the later entries are dead
+    code — the reference always reads latin1, mojibaking genuine UTF-8
+    multibyte input.  One ISO-8859-1 pass therefore reproduces the
+    reference bit-for-bit on all inputs (latin1 ≡ ISO-8859-1 for
+    decoding); pinned by
+    tests/test_e2e_pipeline.py:test_encoding_fallback_reproduces_reference_latin1."""
     return (
         spark.read.schema(schema)
         .option("header", "true")

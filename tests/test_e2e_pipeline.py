@@ -150,6 +150,56 @@ def test_e2e_pipeline(spark, fixture_dirs):
     assert glob.glob(f"{out_pq}/*.parquet")
 
 
+def test_encoding_fallback_reproduces_reference_latin1(spark, tmp_path):
+    """S1 encoding posture (transform_conte_ts_data.py:62-122): the
+    reference tries latin1 FIRST and latin1 decodes every byte sequence,
+    so in practice the reference ALWAYS reads latin1 — genuine UTF-8
+    multibyte input gets mojibaked ('café' → 'cafÃ©').  These bytes
+    decode differently under latin1 vs utf-8; the engine must reproduce
+    the reference's (latin1) reading for both kinds of file."""
+    import pandas as pd
+
+    utf8_name = "caf\u00e9".encode("utf-8")      # b'caf\xc3\xa9'
+    latin1_name = "caf\u00e9".encode("latin-1")  # b'caf\xe9'
+    p = tmp_path / "enc.csv"
+    p.write_bytes(
+        b"jobID,node,timestamp,rd_sectors,wr_sectors,rd_ticks,wr_ticks\n"
+        b"jobID1," + utf8_name + b",03/01/2015 10:00:00,1,1,1,1\n"
+        b"jobID2," + latin1_name + b",03/01/2015 10:00:00,1,1,1,1\n"
+    )
+    got = {
+        r["jobID"]: r["node"]
+        for r in read_raw_csv(spark, str(p), BLOCK_RAW_SCHEMA).collect()
+    }
+    # independent reference twin: pandas with the reference's chain
+    # (latin1 wins on attempt 1 for any input)
+    ref = pd.read_csv(p, encoding="latin1")
+    want = dict(zip(ref["jobID"], ref["node"]))
+    assert got == want
+    assert got["jobID1"] == utf8_name.decode("latin-1")   # 'cafÃ©' mojibake
+    assert got["jobID2"] == latin1_name.decode("latin-1")  # 'café' correct
+
+
+def test_set3_sink_roundtrip_nonlocal_scheme(spark, tmp_path):
+    """S6: the sinks/readers are scheme-agnostic Hadoop FS clients — a
+    `viewfs://` mount (a real non-file:// scheme resolved through
+    Hadoop's FileSystem layer, here mounted onto a local dir) must
+    round-trip write_set3_parquet → read_fresco_ts bit-exactly.  This is
+    the same resolution path an `s3a://` URI takes (scheme → FS impl →
+    committer); retry/atomicity posture is the committer's
+    (task-attempt commit + job commit), not hand-rolled."""
+    mnt = tmp_path / "mnt"
+    mnt.mkdir()
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.viewfs.mounttable.s6test.link./out", f"file://{mnt}")
+    df = spark.range(50).selectExpr("id", "cast(id * 2 as double) as v")
+    write_set3_parquet(df, "viewfs://s6test/out/set3")
+    assert glob.glob(f"{mnt}/set3/*.parquet")  # landed on the mount target
+    back = read_fresco_ts(spark, "viewfs://s6test/out/set3")
+    assert sorted(r["id"] for r in back.collect()) == list(range(50))
+    assert back.filter("v != id * 2").count() == 0
+
+
 def test_accounting_reader_binds_by_name(spark, fixture_dirs):
     """Column binding must be header-name-based (pandas semantics), not
     positional: the fixture's column order differs from

@@ -108,11 +108,13 @@ def exitcode_case(jobevent: Column | str, exit_status: Column | str) -> Column:
     ``E``/0 → COMPLETED; ``E``/nonzero → ``FAILED:<code>``; ``A`` →
     ABORTED; ``S`` → STARTED; ``Q`` → QUEUED; else ``<jobevent>:<status>``.
 
-    NULL Exit_status is coalesced to ``''`` first, matching the
-    reference's ``fillna('')`` (processor:283): ``('E', NULL)`` →
-    ``FAILED:`` and the fallback branch → ``<event>:``.
+    NULL inputs are coalesced to ``''`` first, matching the reference's
+    ``fillna('')`` on BOTH columns (processor:299-300): ``('E', NULL)``
+    → ``FAILED:``, and the fallback is always ``<event>:<status>`` with
+    the colon kept (``jobevent + ':' + exit_status``, :327-330), so
+    ``(NULL, NULL)`` → ``':'``.
     """
-    ev = _col(jobevent)
+    ev = F.coalesce(_col(jobevent), F.lit(""))
     st = F.coalesce(_col(exit_status), F.lit(""))
     return (
         F.when((ev == "E") & (st == "0"), F.lit("COMPLETED"))
@@ -120,5 +122,5 @@ def exitcode_case(jobevent: Column | str, exit_status: Column | str) -> Column:
         .when(ev == "A", F.lit("ABORTED"))
         .when(ev == "S", F.lit("STARTED"))
         .when(ev == "Q", F.lit("QUEUED"))
-        .otherwise(F.concat_ws(":", ev, st))
+        .otherwise(F.concat(ev, F.lit(":"), st))
     )

@@ -16,6 +16,16 @@ These shims speak the reference's on-disk protocols exactly:
   * ``ReadySignalShim`` — ``YYYY-MM.{ready,processing,complete,failed}``
     signal files (utils/ready_signal_creator.py:15-21 states, :85-248
     create, :250-276 precedence, :330-351 list-ready).
+  * ``write_empty_compat_parquet`` — the zero-row set3-schema parquet
+    the reference emits so parquet-expecting downstream workflows keep
+    resolving after the CSV outputs became primary
+    (conte-etl-step-2-processor.py:1798-1804).
+
+The reference's remaining failure artifact — backup-file-before-append
+(conte-etl-step-2-processor.py:156-221) — deliberately has NO analogue:
+its purpose was crash recovery for in-place CSV appends, which the
+task-commit + dynamic-partition-overwrite contract makes unreachable (a
+failed job leaves prior partition contents untouched).
 
 Driver-side file manipulation only — nothing here touches the plan or
 executors, so there is no scale impact; at 100 TB these remain O(1)
@@ -79,6 +89,18 @@ def write_set3_parquet_versioned(
     write_set3_parquet(df, out)
     vm.increment_version()
     return out
+
+
+def write_empty_compat_parquet(spark, path: str) -> None:
+    """Zero-row snappy parquet with the full set3 schema
+    (conte-etl-step-2-processor.py:1798-1804): satisfies downstream
+    consumers that existence-check or schema-read the legacy parquet
+    output even when the CSVs carry the data."""
+    from conte_to_fresco_etl_spark.schemas import SET3_SCHEMA
+
+    spark.createDataFrame([], SET3_SCHEMA).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(path)
 
 
 class JobStatus(Enum):

@@ -42,6 +42,19 @@ def test_versioned_sink_retains_prior_versions(spark, tmp_path):
     assert spark.read.parquet(d2).count() == 10
 
 
+def test_empty_compat_parquet_schema(spark, tmp_path):
+    from conte_to_fresco_etl_spark.schemas import SET3_SCHEMA
+    from conte_to_fresco_etl_spark.sources.compat import (
+        write_empty_compat_parquet,
+    )
+
+    out = str(tmp_path / "compat")
+    write_empty_compat_parquet(spark, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert back.schema == SET3_SCHEMA  # schema readable from zero rows
+
+
 def test_ready_signal_precedence_and_listing(tmp_path):
     shim = ReadySignalShim(str(tmp_path / "ready"))
     assert shim.check_status("2015", "3") == JobStatus.UNKNOWN

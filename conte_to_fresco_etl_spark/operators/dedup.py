@@ -43,6 +43,7 @@ from conte_to_fresco_etl_spark.functions.text import (
     md5_long,
     simhash32,
 )
+from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
 
 #: Mersenne prime 2^31-1: keeps a*h+b inside int64 for 31-bit a, h.
 MINHASH_PRIME = 2147483647
@@ -168,7 +169,7 @@ def minhash_signatures(
                     {id_col: ids, "sig": [s.tolist() for s in sigs]}
                 )
 
-        return df.select(id_col, text_col).mapInPandas(
+        return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
             sig_batches, schema=f"{id_col} long, sig array<long>"
         )
 
@@ -176,7 +177,7 @@ def minhash_signatures(
         char_shingles(F.col(text_col), shingle_n),
         lambda s: md5_long(s) % MINHASH_PRIME,
     )
-    out = df.select(F.col(id_col), base.alias("__base"))
+    out = ensure_min_parallelism(df).select(F.col(id_col), base.alias("__base"))
 
     # NB: PySpark derives lambda arity from the signature, so constants
     # must be bound via a closure factory, not default args.
@@ -314,10 +315,12 @@ def simhash_signatures(
                     )
                 yield pd.DataFrame({id_col: ids, "sim": sims})
 
-        return df.select(id_col, text_col).mapInPandas(
+        return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
             sim_batches, schema=f"{id_col} long, sim long"
         )
-    return df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sim"))
+    return ensure_min_parallelism(df).select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("sim")
+    )
 
 
 def simhash_pairs(
@@ -416,7 +419,7 @@ def ngram_jaccard_pairs(
     # Persist: the posting table feeds the size lookup and both join
     # branches — three recomputations of tokenize+shingle otherwise.
     posting = (
-        df.select(*in_cols, text_col)
+        ensure_min_parallelism(df.select(*in_cols, text_col))
         .mapInPandas(
             posting_batches,
             schema=f"{id_col} long{block_field}, __g string",
@@ -509,7 +512,7 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return vecs.mapInPandas(
+    return ensure_min_parallelism(vecs).mapInPandas(
         score_batches, schema="id_a long, id_b long, cosine double"
     )
 
@@ -569,7 +572,7 @@ def embedding_lsh_neardup_pairs(
 
     # One long per vector; cheap enough to recompute per branch, but the
     # self-join reads it twice — persist, same rationale as minhash.
-    sigs = vecs.mapInPandas(
+    sigs = ensure_min_parallelism(vecs).mapInPandas(
         sig_batches, schema=f"{id_col} long, sig long"
     ).persist()
     band_structs = F.array(

@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+
 Codec = Callable[[bytes, str], np.ndarray]
 
 #: Fixed output grid for decode/resize fakes (H, W).
@@ -100,7 +102,7 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
                 out["std"].append(float(arr.std()))
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "modality", "payload").mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
         batches,
         schema="media_id long, modality string, n_bytes long, "
         "payload_md5 string, n_values long, mean double, std double",
@@ -133,7 +135,7 @@ def extract_features(
                 vecs.append(vec.tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
-    return df.select("media_id", "modality", "payload").mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
         batches, schema="media_id long, embedding array<float>"
     )
 
@@ -168,7 +170,7 @@ def resize_images(
                 payloads.append(img[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return df.select("media_id", "modality", "payload").mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -209,7 +211,7 @@ def sample_frames(
                 }
             )
 
-    return df.select("media_id", "modality", "payload", "meta").mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload", "meta")).mapInPandas(
         batches,
         schema="media_id long, frame_index int, timestamp_ms long, "
         "payload binary",

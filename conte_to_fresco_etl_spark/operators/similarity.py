@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+
 # functions.vectors keeps the pure-expression forms of these primitives
 # (dot, l2_norm, random_hyperplane_signs) for SQL-oracle parity and
 # plan-lineage reading; the operators below use their NumPy twins.
@@ -148,8 +150,9 @@ def brute_force_topk(
             )
 
     scored = (
-        corpus.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
         .mapInPandas(
             score_batches,
             schema="query_id long, neighbor_id long, cosine double",
@@ -300,8 +303,9 @@ def ivf_topk(
             )
 
     scored = (
-        corpus.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
         .mapInPandas(
             score_batches,
             schema="query_id long, neighbor_id long, cosine double",
@@ -387,8 +391,9 @@ def lsh_topk(
             )
 
     scored = (
-        corpus.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
         .mapInPandas(
             score_batches,
             schema="query_id long, neighbor_id long, cosine double",

@@ -29,6 +29,11 @@ def profile_documents(
     """Per-document profile: counts, ratios, quality, language,
     fingerprints.  Ratios/scores rounded to 6 decimals for reproducible
     cross-engine comparison."""
+    from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+
+    # the simhash/lang-score expressions are compute-dense per row; a
+    # single-row-group scan must not serialize them onto one core
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),

@@ -54,6 +54,7 @@ HEADLINE = [
     "q_ivf_ann_topk",
     "q_ivf_exhaustive",
     "q_media_decode",
+    "q_corpus_curation",
 ]
 
 

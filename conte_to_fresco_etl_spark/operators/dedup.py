@@ -43,7 +43,10 @@ from conte_to_fresco_etl_spark.functions.text import (
     md5_long,
     simhash32,
 )
-from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+from conte_to_fresco_etl_spark.parallelism import (
+    DENSE_BYTES_PER_TASK,
+    ensure_min_parallelism,
+)
 
 #: Mersenne prime 2^31-1: keeps a*h+b inside int64 for 31-bit a, h.
 MINHASH_PRIME = 2147483647
@@ -55,11 +58,13 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _py_tokens(text: str | None) -> list[str]:
-    """Python twin of ``functions.text.tokens`` for Arrow operator paths:
-    lowercase, trim, ASCII-whitespace split, blank → []."""
+    """Python twin of ``functions.text.tokens`` for Arrow operator
+    paths — EXACT to the expression's edge semantics (trim removes
+    spaces only; Spark split keeps leading/trailing empty tokens from
+    non-space whitespace; see text_analysis._expr_tokens_twin)."""
     if text is None:
         return []
-    t = text.strip().lower()
+    t = text.lower().strip(" ")
     return _WS_RE.split(t) if t else []
 
 
@@ -169,7 +174,9 @@ def minhash_signatures(
                     {id_col: ids, "sig": [s.tolist() for s in sigs]}
                 )
 
-        return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
+        return ensure_min_parallelism(
+            df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        ).mapInPandas(
             sig_batches, schema=f"{id_col} long, sig array<long>"
         )
 
@@ -177,7 +184,9 @@ def minhash_signatures(
         char_shingles(F.col(text_col), shingle_n),
         lambda s: md5_long(s) % MINHASH_PRIME,
     )
-    out = ensure_min_parallelism(df).select(F.col(id_col), base.alias("__base"))
+    out = ensure_min_parallelism(df, DENSE_BYTES_PER_TASK).select(
+        F.col(id_col), base.alias("__base")
+    )
 
     # NB: PySpark derives lambda arity from the signature, so constants
     # must be bound via a closure factory, not default args.
@@ -315,10 +324,12 @@ def simhash_signatures(
                     )
                 yield pd.DataFrame({id_col: ids, "sim": sims})
 
-        return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
+        return ensure_min_parallelism(
+            df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        ).mapInPandas(
             sim_batches, schema=f"{id_col} long, sim long"
         )
-    return ensure_min_parallelism(df).select(
+    return ensure_min_parallelism(df, DENSE_BYTES_PER_TASK).select(
         F.col(id_col), simhash32(F.col(text_col)).alias("sim")
     )
 
@@ -419,7 +430,7 @@ def ngram_jaccard_pairs(
     # Persist: the posting table feeds the size lookup and both join
     # branches — three recomputations of tokenize+shingle otherwise.
     posting = (
-        ensure_min_parallelism(df.select(*in_cols, text_col))
+        ensure_min_parallelism(df.select(*in_cols, text_col), DENSE_BYTES_PER_TASK)
         .mapInPandas(
             posting_batches,
             schema=f"{id_col} long{block_field}, __g string",

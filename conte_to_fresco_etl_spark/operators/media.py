@@ -31,7 +31,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+from conte_to_fresco_etl_spark.parallelism import (
+    DENSE_BYTES_PER_TASK,
+    ensure_min_parallelism,
+)
 
 Codec = Callable[[bytes, str], np.ndarray]
 
@@ -102,7 +105,7 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
                 out["std"].append(float(arr.std()))
             yield pd.DataFrame(out)
 
-    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches,
         schema="media_id long, modality string, n_bytes long, "
         "payload_md5 string, n_values long, mean double, std double",
@@ -135,7 +138,7 @@ def extract_features(
                 vecs.append(vec.tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
-    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches, schema="media_id long, embedding array<float>"
     )
 
@@ -170,7 +173,7 @@ def resize_images(
                 payloads.append(img[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return ensure_min_parallelism(df.select("media_id", "modality", "payload")).mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches, schema="media_id long, payload binary"
     )
 
@@ -211,7 +214,7 @@ def sample_frames(
                 }
             )
 
-    return ensure_min_parallelism(df.select("media_id", "modality", "payload", "meta")).mapInPandas(
+    return ensure_min_parallelism(df.select("media_id", "modality", "payload", "meta"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches,
         schema="media_id long, frame_index int, timestamp_ms long, "
         "payload binary",

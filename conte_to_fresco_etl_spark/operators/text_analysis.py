@@ -1,17 +1,37 @@
 """Document profiling: language ID, quality scoring, token counting,
 fingerprinting — one map-side pass over a documents table.
 
-All columns are pure expressions from functions.text (no UDFs); at
-100 TB this runs as a single whole-stage-codegen projection over the
-parquet scan with full column pruning.
+Two implementations computing the SAME values (verified by the shared
+DuckDB oracle):
+
+  * ``arrow`` (default): one ``mapInPandas`` pass — md5/bit-votes as
+    NumPy integer math, ratios as raw float64 with the identical IEEE
+    expression order; ROUNDING STAYS JVM-SIDE (``F.round`` on the Arrow
+    output) so the half-up tie behavior is bit-identical to the
+    expression form on every input, including dyadic ratios like 1/128
+    where NumPy's half-even ``np.round`` would differ.
+  * ``expr``: pure expressions from functions.text — the form the SQL
+    oracle mirrors, and the zero-Python plan for clusters where a
+    whole-stage-codegen projection is preferred over Arrow workers.
+
+At 100 TB both are a single map-side pass over the parquet scan with
+full column pruning (no shuffle, no driver data).
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conte_to_fresco_etl_spark.functions.text import (
+    LANG_STOPWORDS,
+    EN_STOPWORDS,
     approx_bpe_count,
     doc_fingerprint,
     lang_id,
@@ -22,18 +42,130 @@ from conte_to_fresco_etl_spark.functions.text import (
     token_count,
 )
 
+#: ASCII \s, matching Java regex semantics in the expression twin.
+_WS_RUN = re.compile(r"\s+", re.ASCII)
+_NON_ALNUM = re.compile(r"[^a-zA-Z0-9\s]", re.ASCII)
+
+
+def _expr_tokens_twin(text: str) -> list[str]:
+    """EXACT Python twin of ``functions.text.tokens``: lower →
+    trim(spaces only, like F.trim) → split on ASCII ``\\s+`` with
+    Spark ``split``'s limit=-1 edge semantics — BOTH leading and
+    trailing empty tokens are kept when the trimmed string starts/ends
+    with non-space whitespace (unlike Java ``String.split``, which
+    drops trailing empties).  Python ``re.split`` matches exactly."""
+    t = text.lower().strip(" ")
+    if not t:
+        return []
+    return _WS_RUN.split(t)
+
 
 def profile_documents(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document profile: counts, ratios, quality, language,
     fingerprints.  Ratios/scores rounded to 6 decimals for reproducible
     cross-engine comparison."""
-    from conte_to_fresco_etl_spark.parallelism import ensure_min_parallelism
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
 
-    # the simhash/lang-score expressions are compute-dense per row; a
-    # single-row-group scan must not serialize them onto one core
-    df = ensure_min_parallelism(df)
+    # per-row work (md5 per token, 32-bit votes) is compute-dense; a
+    # single-row-group scan must not serialize it onto one core
+    df = ensure_min_parallelism(df, DENSE_BYTES_PER_TASK)
+
+    if impl == "arrow":
+        lang_codes = sorted(LANG_STOPWORDS)
+        lang_sets = {c: frozenset(LANG_STOPWORDS[c]) for c in lang_codes}
+        en_set = frozenset(EN_STOPWORDS)
+        bit_idx = np.arange(32, dtype=np.int64)
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            md5 = hashlib.md5
+            for pdf in it:
+                out: dict[str, list] = {
+                    k: []
+                    for k in (
+                        id_col, "n_chars", "n_tokens", "n_bpe_tokens",
+                        "praw", "sraw", "qraw", "lang_pred", "fingerprint",
+                        "simhash",
+                    )
+                }
+                for i, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        # documents contract: text is non-null; a null row
+                        # is dropped here (the expr twin would emit a
+                        # null-profile row — no such rows exist in any
+                        # gated input)
+                        continue
+                    toks = _expr_tokens_twin(text)
+                    nt = len(toks)
+                    nc = len(text)
+                    # ratios: same operand order as the expression twin
+                    praw = (
+                        0.0
+                        if nc == 0
+                        else float(nc - len(_NON_ALNUM.sub("", text))) / nc
+                    )
+                    sraw = (
+                        0.0
+                        if nt == 0
+                        else float(sum(t in en_set for t in toks)) / nt
+                    )
+                    qraw = (
+                        0.4 * min(1.0, float(nt) / 100.0)
+                        + 0.3 * (1.0 - praw)
+                        + 0.3 * min(1.0, 4.0 * sraw)
+                    )
+                    best, best_s = "und", 0
+                    for code in lang_codes:
+                        s_ = sum(t in lang_sets[code] for t in toks)
+                        if s_ > best_s:
+                            best, best_s = code, s_
+                    norm = _WS_RUN.sub(" ", text.lower().strip(" "))
+                    fp = int(md5(norm.encode()).hexdigest()[:15], 16)
+                    if toks:
+                        hs = np.array(
+                            [
+                                int(md5(t.encode()).hexdigest()[:8], 16)
+                                for t in toks
+                            ],
+                            dtype=np.int64,
+                        )
+                        votes = (
+                            ((hs[:, None] >> bit_idx) & 1) * 2 - 1
+                        ).sum(axis=0)
+                        sim = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+                    else:
+                        sim = 0
+                    for k, v in (
+                        (id_col, i), ("n_chars", nc), ("n_tokens", nt),
+                        ("n_bpe_tokens", -(-nc // 4)), ("praw", praw),
+                        ("sraw", sraw), ("qraw", qraw), ("lang_pred", best),
+                        ("fingerprint", fp), ("simhash", sim),
+                    ):
+                        out[k].append(v)
+                yield pd.DataFrame(out)
+
+        raw = df.select(id_col, text_col).mapInPandas(
+            batches,
+            schema=f"{id_col} long, n_chars long, n_tokens long, "
+            "n_bpe_tokens long, praw double, sraw double, qraw double, "
+            "lang_pred string, fingerprint long, simhash long",
+        )
+        # JVM-side rounding: identical HALF_UP ties to the expr twin
+        return raw.select(
+            F.col(id_col), "n_chars", "n_tokens", "n_bpe_tokens",
+            F.round("praw", 6).alias("punct_ratio"),
+            F.round("sraw", 6).alias("stopword_ratio"),
+            F.round("qraw", 6).alias("quality"),
+            "lang_pred", "fingerprint", "simhash",
+        )
+
     t = F.col(text_col)
     return df.select(
         F.col(id_col),

@@ -366,15 +366,57 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_lsh_ann_topk")  # approximate — no SQL oracle; rows-only check
+_LSH_ANN_SQL_TEMPLATE = """
+    WITH {vec_cte},
+    s AS (
+      SELECT vec_id, {sig_sql} AS sig FROM n
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    qb AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS neighbor_id, q.vec_id AS query_id
+      FROM bands c JOIN qb q ON c.band = q.band AND c.key = q.key
+                            AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                     END, 6) AS cosine
+        FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+                  JOIN n b ON cand.query_id = b.vec_id
+      )
+    ) WHERE rank <= 5
+"""
+
+# The approximation is DETERMINISTIC given the plane literals, so even
+# the approximate top-k admits an exact oracle: DuckDB rebuilds the same
+# band keys from the same seeded hyperplanes and must reproduce the
+# candidate sets, scores, and ranking bit-for-bit.
+_LSH_ANN_SQL = _LSH_ANN_SQL_TEMPLATE.format(
+    vec_cte=_VEC_CTE, sig_sql=_EMB_SIG_SQL, bands_sql=_EMB_BANDS_SQL
+)
+
+@_q("q_lsh_ann_topk", _LSH_ANN_SQL)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (16 planes, 4 bands).
-    Recall measured against q_ann_topk in tests; declared without an
-    oracle because it is intentionally approximate."""
+    """Approximate top-5 via random-hyperplane LSH (16 planes, 4 bands,
+    the same literals as q_embedding_neardup_lsh).  Approximate w.r.t.
+    exact search (recall tested vs q_ann_topk) but fully deterministic,
+    so the oracle gates the exact candidate generation + ranking."""
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(
+    out = lsh_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, dim=64,
         n_planes=16, bands=4, seed=42,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -453,4 +495,49 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return decode_stats(media, codec=fake_codec).select(
         "media_id", "modality", "n_bytes", "payload_md5", "n_values"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+    WITH prof AS ({_DOC_PROFILE_SQL}),
+    g AS (
+      SELECT {_SQL_FINGERPRINT} AS fingerprint,
+             COUNT(*) AS n_dups,
+             MIN(doc_id) AS representative
+      FROM documents GROUP BY 1
+    )
+    SELECT p.doc_id, p.lang_pred, p.quality, g.n_dups
+    FROM prof p JOIN g ON p.fingerprint = g.fingerprint
+    WHERE p.doc_id = g.representative AND p.quality >= 0.5
+"""
+
+@_q("q_corpus_curation", _CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation shape, composed from the
+    catalog's own operators and gated as one plan: profile → exact-dedup
+    (keep each fingerprint's representative) → quality filter.
+
+    Scale shape: profile is map-side; the dedup group-by is one shuffle
+    on the fingerprint; the re-join of profiles to group stats is a
+    broadcast (group table ≈ distinct fingerprints, far smaller than the
+    corpus).  This is the plan a real "clean the crawl" job runs —
+    declared so the composition, not just the parts, is oracle-checked."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = profile_documents(docs)
+    groups = exact_duplicate_groups(docs)
+    return (
+        prof.join(F.broadcast(groups), "fingerprint")
+        .filter(
+            (F.col("doc_id") == F.col("representative"))
+            & (F.col("quality") >= 0.5)
+        )
+        .select("doc_id", "lang_pred", "quality", "n_dups")
     )

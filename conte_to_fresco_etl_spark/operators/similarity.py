@@ -105,6 +105,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    pair_counter=None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
@@ -120,6 +121,13 @@ def brute_force_topk(
     k * |queries| candidates survive).  Premise: |queries| fits in
     memory — the usual ANN serving shape.  Huge query sets: swap sides
     or LSH-bucket (lsh_topk).
+
+    ``pair_counter``: optional SparkContext accumulator; when given,
+    each task adds the number of (corpus row, query) pairs it computed
+    a dot product for.  This is the apples-to-apples compute metric the
+    index variants are judged against — at small SF every variant's
+    wall time is session overhead, so the scored-pair count is the
+    signal that survives scale-up (FLOPs = pairs x dim).
     """
     qid = query_id_col or id_col
     q_ids, q_mat, q_norms = _collect_matrix(queries, qid, vec_col)
@@ -138,6 +146,9 @@ def brute_force_topk(
             cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
             keep = c_ids[:, None] != b_qids[None, :]
             ci, qi = np.nonzero(keep)
+            if pair_counter is not None:
+                # the matmul scored the full cross product
+                pair_counter.add(int(v.shape[0]) * int(b_qids.size))
             yield _local_topk(
                 pd.DataFrame(
                     {
@@ -228,6 +239,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_counter=None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -280,6 +292,8 @@ def ivf_topk(
                 cosm = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
                 ci, qi = np.nonzero(cand)
                 cos = cosm[ci, qi]
+                if pair_counter is not None:
+                    pair_counter.add(int(v.shape[0]) * int(b_qids.size))
             else:
                 c_assign = assign(v, v_norms)  # (m,)
                 # candidate where the corpus row's list is probed
@@ -291,6 +305,11 @@ def ivf_topk(
                 ci, qi, cos = _candidate_cosines(
                     cand, v, v_norms, b_qmat, b_qnorms
                 )
+                if pair_counter is not None:
+                    # + m x n_cents for the batch's own centroid assign
+                    pair_counter.add(
+                        int(ci.size) + int(v.shape[0]) * len(cents)
+                    )
             yield _local_topk(
                 pd.DataFrame(
                     {
@@ -329,6 +348,7 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    pair_counter=None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -379,6 +399,11 @@ def lsh_topk(
             ci, qi, cos = _candidate_cosines(
                 cand, v, v_norms, b_qmat, b_qnorms
             )
+            if pair_counter is not None:
+                # + m x n_planes sign projections for the batch's keys
+                pair_counter.add(
+                    int(ci.size) + int(v.shape[0]) * n_planes
+                )
             yield _local_topk(
                 pd.DataFrame(
                     {

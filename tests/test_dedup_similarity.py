@@ -184,3 +184,44 @@ def test_ivf_topk_recall(spark, sf_dir):
         for r in ivf_topk(emb, queries, cents, k=5, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_index_variants_reduce_scored_pairs(spark, sf_dir):
+    """The 100 TB claim, measured: LSH and IVF must spend >= 3x fewer
+    dot products than brute force on the same workload.  Wall time at
+    test SF is session overhead, so the gate is the scored-pair count
+    reported by the operators themselves (FLOPs = pairs x dim; the
+    index variants' counts INCLUDE their signature/assignment math)."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # full-corpus query set: the near-dup-at-scale shape where the
+    # index pays for itself (signature cost amortizes over queries)
+    queries = emb
+
+    brute_n = sc.accumulator(0)
+    brute_force_topk(emb, queries, k=5, pair_counter=brute_n).collect()
+
+    lsh_n = sc.accumulator(0)
+    lsh_topk(
+        emb, queries, k=5, dim=64, n_planes=16, bands=4, seed=42,
+        pair_counter=lsh_n,
+    ).collect()
+
+    ivf_n = sc.accumulator(0)
+    cents = train_ivf_centroids(emb, n_centroids=16, seed=42)
+    ivf_topk(
+        emb, queries, cents, k=5, n_probe=2, pair_counter=ivf_n,
+    ).collect()
+
+    assert brute_n.value > 0
+    assert lsh_n.value * 3 <= brute_n.value, (
+        f"LSH scored {lsh_n.value} pairs vs brute {brute_n.value}"
+    )
+    assert ivf_n.value * 3 <= brute_n.value, (
+        f"IVF scored {ivf_n.value} pairs vs brute {brute_n.value}"
+    )

@@ -117,3 +117,16 @@ def test_salted_left_join_keeps_unmatched(spark):
     by_k = {r["k"]: r["name"] for r in out}
     assert by_k == {1: "x", 99: None}
     assert len(out) == 2
+
+
+def test_corpus_curation_broadcasts_group_stats(spark, sf_dir, qs):
+    """The composed curation plan: profile stays map-side, the dedup
+    group table re-attaches via broadcast (it is ~|distinct
+    fingerprints|, far smaller than the corpus), and the only shuffles
+    are the fingerprint groupBy plus its exchange — never a
+    SortMergeJoin carrying the full profile."""
+    df = qs["q_corpus_curation"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert explain_shuffle_count(df) <= 2

@@ -55,6 +55,7 @@ HEADLINE = [
     "q_ivf_exhaustive",
     "q_media_decode",
     "q_corpus_curation",
+    "q_doc_components",
 ]
 
 

@@ -643,3 +643,120 @@ def embedding_lsh_neardup_pairs(
     return pairs.mapInPandas(
         cos_batches, schema="id_a long, id_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``; ``component`` is the
+    smallest node id reachable through the pair graph — the canonical
+    cluster label a dedup pipeline keeps as the representative.
+
+    Algorithm: iterative min-label propagation.  Every node starts
+    labeled with itself; each round takes the min of its own label and
+    its neighbors' labels; labels are monotonically non-increasing, so
+    the TOTAL label sum strictly decreases until the fixed point, which
+    makes convergence a single cheap aggregate per round (no join-based
+    change detection).  Rounds needed = graph diameter — for near-dup
+    graphs (band-collision cliques glued by shared docs) that is small
+    and independent of corpus size.
+
+    Scale posture: each round is one shuffle (groupBy dst) plus one
+    broadcast-eligible join back to the label table, whose size is
+    |nodes in pairs| — the duplicate subset, far smaller than the
+    corpus.  Each round's labels are ``localCheckpoint``ed: iterative
+    plans DOUBLE their logical lineage per round (labels appears twice
+    in the join), so without truncation a deep graph OOMs the driver on
+    plan strings alone long before data is a problem.  On a cluster
+    prefer ``df.checkpoint()`` with a reliable checkpoint dir (survives
+    executor loss); for very deep graphs swap the loop for alternating
+    large-star/small-star (O(log n) rounds) — same per-round plan shape.
+
+    Deterministic: min over ids, no randomness, no order dependence.
+    """
+    # Both edge directions in ONE pass over `pairs` (explode, not a
+    # union of two selects — a union would evaluate the upstream
+    # candidate-generation plan twice before the persist materializes).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("__nbr"))
+        )
+        # localCheckpoint truncates lineage — without it each round's
+        # plan embeds the previous round's TWICE and plan-size growth is
+        # exponential in the iteration count
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("__nbr"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:  # fixed point: labels can only decrease
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def neardup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster near-duplicate documents: MinHash-LSH candidate pairs →
+    connected components → (doc_id, component, n_members).  Keeping
+    ``doc_id == component`` afterwards is the standard "drop all but one
+    per cluster" dedup; emitting the full membership keeps the lineage
+    auditable (which docs were folded into which representative)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold, seed
+    )
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias(id_col),
+        "component",
+        F.count("*").over(w).alias("n_members"),
+    )

@@ -189,6 +189,45 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Iterative algorithms CAN have an exact oracle when they are
+# deterministic fixed points: DuckDB's recursive CTE computes the same
+# transitive closure the Spark label-propagation loop converges to.
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM comp
+"""
+
+@_q("q_doc_components", _COMPONENTS_SQL)
+def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components
+    (iterative min-label propagation) → cluster label + size per doc.
+    The step a real dedup pipeline runs after candidate generation —
+    transitively glues A~B, B~C into one cluster so "keep one per
+    cluster" is well-defined."""
+    from conte_to_fresco_etl_spark.operators.dedup import neardup_components
+
+    return neardup_components(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+    )
+
+
 _SIMHASH_PAIRS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

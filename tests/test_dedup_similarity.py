@@ -225,3 +225,48 @@ def test_index_variants_reduce_scored_pairs(spark, sf_dir):
     assert ivf_n.value * 3 <= brute_n.value, (
         f"IVF scored {ivf_n.value} pairs vs brute {brute_n.value}"
     )
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive glue: A~B, B~C, C~D collapse to min-id component; a
+    disjoint pair keeps its own label; labels are deterministic mins."""
+    from conte_to_fresco_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 11)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs ~diameter rounds — the convergence loop must
+    actually reach the fixed point, not stop early."""
+    from conte_to_fresco_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == 13
+
+
+def test_connected_components_empty(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_neardup_components_on_planted_dups(docs):
+    """0,1,5 are exact dups and 2 is a near dup of 0: minhash pairs link
+    them into one component labeled 0 with 4 members."""
+    from conte_to_fresco_etl_spark.operators.dedup import neardup_components
+
+    rows = {r["doc_id"]: r for r in neardup_components(docs).collect()}
+    assert rows.keys() == {0, 1, 2, 5}
+    for r in rows.values():
+        assert r["component"] == 0
+        assert r["n_members"] == 4

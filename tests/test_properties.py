@@ -194,3 +194,46 @@ def test_safe_div_and_clip_semantics(spark):
     ).collect()
     assert [r["d"] for r in out] == [0.5, 0.0, -3.0, 0.0]
     assert [r["c"] for r in out] == [1.0, 1.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# Arrow/expression twin equality for document profiling
+# ---------------------------------------------------------------------------
+
+# adversarial text: unicode, ASCII whitespace runs (incl. \x0b\x0c),
+# punctuation, digits — the surfaces where Java regex vs Python re or
+# NumPy vs JVM rounding could diverge
+_texts = st.one_of(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            st.sampled_from(list(" \t\n\r\x0b\x0c.!?,;:'\"0123456789")),
+        ),
+        max_size=80,
+    ),
+    # stopword-laden token streams with adversarial separators
+    st.lists(
+        st.sampled_from(
+            ["the", "and", "der", "und", "le", "la", "fox", "123", ".!?"]
+        ),
+        max_size=12,
+    ).map(lambda ws: "\t".join(ws)),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_profile_arrow_twin_matches_expr_twin(spark, batch):
+    """profile_documents(impl='arrow') must be VALUE-IDENTICAL to the
+    expression form (which the DuckDB oracle mirrors) on arbitrary
+    text — tokenizer edge semantics, ratio operand order, half-up
+    rounding, md5-derived fingerprint/simhash bits."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        profile_documents,
+    )
+
+    rows = [(i, t) for i, t in enumerate(batch)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, profile_documents(docs, impl="arrow").collect()))
+    e = sorted(map(tuple, profile_documents(docs, impl="expr").collect()))
+    assert a == e

@@ -56,6 +56,7 @@ HEADLINE = [
     "q_media_decode",
     "q_corpus_curation",
     "q_doc_components",
+    "q_quality_filters",
 ]
 
 

@@ -210,3 +210,107 @@ def simhash32(c: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / heuristic quality-filter signals (Gopher/C4-style)
+# ---------------------------------------------------------------------------
+
+def doc_lines(c: Column | str) -> Column:
+    """Non-empty trimmed lines of the document (split on ``\\n``)."""
+    parts = F.transform(F.split(_col(c), "\n"), F.trim)
+    return F.filter(parts, lambda l: F.length(l) > 0)
+
+
+def dup_line_fraction(c: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line: ``1 - distinct/total``.  High values flag boilerplate and
+    machine-generated repetition (Gopher repetition rule #1)."""
+    ls = doc_lines(c)
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(ls)).cast("double") / F.size(ls)
+    )
+
+
+def word_ngrams_all(c: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike ``word_ngrams``, which
+    dedupes for Jaccard) — repetition metrics need the duplicates."""
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def dup_ngram_fraction(c: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats: ``1 -
+    distinct/total`` (Gopher duplicate-n-gram rule)."""
+    gs = word_ngrams_all(c, n)
+    return F.when(F.size(gs) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(gs)).cast("double") / F.size(gs)
+    )
+
+
+def mean_word_length(c: Column | str) -> Column:
+    """Mean token length in characters; 0.0 for empty docs.  Outside
+    [3, 10] flags symbol soup or run-together text (Gopher)."""
+    toks = tokens(c)
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def symbol_word_ratio(c: Column | str) -> Column:
+    """(# of ``#`` + # of ``...`` occurrences) / token count — the
+    Gopher symbol-to-word rule (> 0.1 flags markup/ellipsis spam)."""
+    c = _col(c)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    nt = token_count(c)
+    return F.when(nt == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ell).cast("double") / nt
+    )
+
+
+def bullet_line_fraction(c: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (- * •)."""
+    ls = doc_lines(c)
+    bullets = F.filter(
+        ls,
+        lambda l: F.substring(l, 1, 1).isin("-", "*", "•"),
+    )
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        F.size(bullets).cast("double") / F.size(ls)
+    )
+
+
+def ellipsis_line_fraction(c: Column | str) -> Column:
+    """Fraction of lines ending in ``...`` (truncation spam)."""
+    ls = doc_lines(c)
+    ell = F.filter(ls, lambda l: l.endswith("..."))
+    return F.when(F.size(ls) == 0, F.lit(0.0)).otherwise(
+        F.size(ell).cast("double") / F.size(ls)
+    )
+
+
+def alpha_word_fraction(c: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter (Gopher:
+    >= 0.8 expected of natural language)."""
+    toks = tokens(c)
+    alpha = F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(alpha).cast("double") / F.size(toks)
+    )

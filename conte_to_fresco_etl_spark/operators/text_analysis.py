@@ -179,3 +179,66 @@ def profile_documents(
         doc_fingerprint(t).alias("fingerprint"),
         simhash32(t).alias("simhash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic corpus filters (Gopher/C4-style repetition + shape rules)
+# ---------------------------------------------------------------------------
+
+#: Filter thresholds (Gopher-inspired defaults).  Shared with the SQL
+#: oracle builder so both engines apply literally the same cut.
+FILTER_THRESHOLDS: dict[str, float] = {
+    "max_dup_line_fraction": 0.3,
+    "max_dup_2gram_fraction": 0.2,
+    "min_mean_word_length": 3.0,
+    "max_mean_word_length": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_fraction": 0.9,
+    "max_ellipsis_line_fraction": 0.3,
+    "min_alpha_word_fraction": 0.8,
+}
+
+
+def quality_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/shape metrics plus the keep/drop verdict
+    a Gopher-style curation pass would apply.
+
+    All metrics are pure JVM expressions (one map-side codegen
+    projection, full column pruning at 100 TB).  Ratios are rounded to
+    6 decimals BEFORE thresholding so the verdict is bit-identical
+    cross-engine."""
+    from conte_to_fresco_etl_spark.functions.text import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        dup_line_fraction,
+        dup_ngram_fraction,
+        ellipsis_line_fraction,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    t = F.col(text_col)
+    m = df.select(
+        F.col(id_col),
+        F.round(dup_line_fraction(t), 6).alias("dup_line_frac"),
+        F.round(dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio(t), 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_fraction(t), 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_fraction(t), 6).alias("ellipsis_line_frac"),
+        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
+    )
+    th = FILTER_THRESHOLDS
+    keep = (
+        (F.col("dup_line_frac") <= th["max_dup_line_fraction"])
+        & (F.col("dup_2gram_frac") <= th["max_dup_2gram_fraction"])
+        & (F.col("mean_word_len") >= th["min_mean_word_length"])
+        & (F.col("mean_word_len") <= th["max_mean_word_length"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_fraction"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_fraction"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_fraction"])
+    )
+    return m.withColumn("keep", keep)

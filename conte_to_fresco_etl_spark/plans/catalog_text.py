@@ -580,3 +580,81 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "quality", "n_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filters
+# ---------------------------------------------------------------------------
+
+from conte_to_fresco_etl_spark.operators.text_analysis import (  # noqa: E402
+    FILTER_THRESHOLDS as _TH,
+    quality_filters,
+)
+
+_QUALITY_FILTERS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> length(l) > 0) AS ls
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, toks, ls,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+         END AS g2
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+        ROUND(CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              END, 6) AS dup_line_frac,
+        ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+              END, 6) AS dup_2gram_frac,
+        ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, t -> length(t)))
+                        AS DOUBLE) / len(toks)
+              END, 6) AS mean_word_len,
+        ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3
+                   AS DOUBLE) / len(toks)
+              END, 6) AS symbol_word_ratio,
+        ROUND(CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ls,
+                   l -> list_contains(['-', '*', '•'], substr(l, 1, 1))))
+                   AS DOUBLE) / len(ls)
+              END, 6) AS bullet_line_frac,
+        ROUND(CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+                   AS DOUBLE) / len(ls)
+              END, 6) AS ellipsis_line_frac,
+        ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks,
+                   t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
+              END, 6) AS alpha_word_frac
+      FROM g
+    )
+    SELECT *,
+           (dup_line_frac <= {_TH["max_dup_line_fraction"]}
+            AND dup_2gram_frac <= {_TH["max_dup_2gram_fraction"]}
+            AND mean_word_len >= {_TH["min_mean_word_length"]}
+            AND mean_word_len <= {_TH["max_mean_word_length"]}
+            AND symbol_word_ratio <= {_TH["max_symbol_word_ratio"]}
+            AND bullet_line_frac <= {_TH["max_bullet_line_fraction"]}
+            AND ellipsis_line_frac <= {_TH["max_ellipsis_line_fraction"]}
+            AND alpha_word_frac >= {_TH["min_alpha_word_fraction"]}) AS keep
+    FROM m
+"""
+
+@_q("q_quality_filters", _QUALITY_FILTERS_SQL)
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape filters: duplicate-line and
+    duplicate-2-gram fractions, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, and the
+    composed keep/drop verdict.  One map-side codegen projection."""
+    return quality_filters(_t(spark, sf_dir, "documents"))

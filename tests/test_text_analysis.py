@@ -50,3 +50,35 @@ def test_tokens_twin_spark_split_semantics():
     assert _expr_tokens_twin("   ") == []
     assert _expr_tokens_twin("") == []
     assert _expr_tokens_twin(" A  B ") == ["a", "b"]
+
+
+def test_quality_filters_verdicts(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_filters,
+    )
+
+    rows = [
+        # clean natural text: keeps
+        (0, "the quick brown fox jumps over the lazy dog and the cat "
+            "sits on the warm mat near the door while birds sing"),
+        # heavy line repetition: dup_line_frac = 0.75 -> drop
+        (1, "same line here\nsame line here\nsame line here\nsame line here"),
+        # symbol soup: ### and ellipses -> drop
+        (2, "### ... ### ... the ### thing ..."),
+        # bullets only -> bullet_line_frac = 1.0 -> drop
+        (3, "- one\n- two\n- three\n- four"),
+        # numbers only: alpha_word_frac = 0 -> drop
+        (4, "123 456 789 101 112"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filters(docs).collect()}
+
+    assert out[0]["keep"] is True
+    assert out[1]["dup_line_frac"] == 0.75
+    assert out[1]["keep"] is False
+    assert out[2]["keep"] is False and out[2]["symbol_word_ratio"] > 0.1
+    assert out[3]["bullet_line_frac"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["alpha_word_frac"] == 0.0 and out[4]["keep"] is False
+    # empty doc: all ratios 0, fails the alpha/mean-word-length minimums
+    assert out[5]["keep"] is False

@@ -57,6 +57,7 @@ HEADLINE = [
     "q_corpus_curation",
     "q_doc_components",
     "q_quality_filters",
+    "q_winnow_fingerprints",
 ]
 
 

@@ -760,3 +760,104 @@ def neardup_components(
         "component",
         F.count("*").over(w).alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(id, fp) rows of winnowing fingerprints: hash every character
+    k-gram, slide a ``window`` over the hash sequence, keep each
+    window's minimum, dedupe.  The MOSS guarantee: any substring match
+    of length >= k + window - 1 between two documents shares at least
+    one fingerprint — so fingerprint overlap is a partial-copy detector
+    (where minhash estimates WHOLE-document similarity).
+
+    ``arrow`` computes the identical integers with NumPy sliding-window
+    mins (per-gram md5 memoized per partition); ``expr`` is the pure
+    higher-order-expression twin the SQL oracle mirrors.  Docs shorter
+    than ``k`` emit nothing; docs with fewer than ``window`` hashes
+    emit their single global minimum.
+
+    Scale: map-side only (no shuffle); downstream pair generation is
+    the same inverted-index posting join as ``ngram_jaccard_pairs`` —
+    FLOPs scale with Σ posting², never |corpus|².
+    """
+    if impl == "arrow":
+
+        def fp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            md5 = hashlib.md5
+            memo: dict[str, int] = {}
+            for pdf in it:
+                out_ids: list = []
+                out_fps: list = []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None:
+                        continue
+                    t = t.lower()
+                    if len(t) < k:
+                        continue
+                    hl = []
+                    for j in range(len(t) - k + 1):
+                        g = t[j : j + k]
+                        h = memo.get(g)
+                        if h is None:
+                            h = (
+                                int.from_bytes(
+                                    md5(g.encode()).digest()[:8], "big"
+                                )
+                                >> 4
+                            )
+                            memo[g] = h
+                        hl.append(h)
+                    hs = np.array(hl, dtype=np.int64)
+                    if hs.size < window:
+                        fps = hs.min(keepdims=True)
+                    else:
+                        fps = np.unique(
+                            np.lib.stride_tricks.sliding_window_view(
+                                hs, window
+                            ).min(axis=1)
+                        )
+                    out_ids.extend([i] * fps.size)
+                    out_fps.extend(fps.tolist())
+                yield pd.DataFrame({id_col: out_ids, "fp": out_fps})
+
+        return ensure_min_parallelism(
+            df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        ).mapInPandas(fp_batches, schema=f"{id_col} long, fp long")
+
+    c = F.lower(F.col(text_col))
+    hs = F.when(
+        F.length(c) < k, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
+            lambda i: md5_long(c.substr(i, F.lit(k))),
+        )
+    )
+    out = ensure_min_parallelism(df, DENSE_BYTES_PER_TASK).select(
+        F.col(id_col), hs.alias("__hs")
+    )
+    n = F.size(F.col("__hs"))
+    fp_arr = (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < window, F.array(F.array_min(F.col("__hs"))))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(window - 1)),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+                )
+            )
+        )
+    )
+    return out.select(F.col(id_col), F.explode(fp_arr).alias("fp"))

@@ -658,3 +658,47 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bullet/ellipsis line fractions, alphabetic-word fraction, and the
     composed keep/drop verdict.  One map-side codegen projection."""
     return quality_filters(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(generate_series(1, length(t) - 4),
+                                      i -> {_sql_md5_long("substr(t, i, 5)")})
+             END AS hs
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) < 4 THEN [list_min(hs)]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(hs) - 3),
+                         i -> list_min(hs[i:i+3])))
+             END AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM f
+"""
+
+@_q("q_winnow_fingerprints", _WINNOW_SQL)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints, k=5 window=4: every substring
+    match of length >= 8 between two docs shares a fingerprint —
+    partial-copy detection, complementing minhash's whole-doc
+    similarity."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, window=4
+    )

@@ -270,3 +270,39 @@ def test_neardup_components_on_planted_dups(docs):
     for r in rows.values():
         assert r["component"] == 0
         assert r["n_members"] == 4
+
+
+def test_winnowing_twins_match(spark, sf_dir):
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, winnowing_fingerprints(docs, impl="arrow").collect()))
+    e = sorted(map(tuple, winnowing_fingerprints(docs, impl="expr").collect()))
+    assert a == e and len(a) > 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """MOSS guarantee: a common substring of length >= k + window - 1
+    (= 8 here) must produce at least one shared fingerprint; disjoint
+    texts share none."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    common = "xqzjvwkp"  # 8 chars = k + window - 1
+    rows = [
+        (0, f"left padding {common} right padding"),
+        (1, f"totally other framing {common} and more words"),
+        (2, "no overlap with anything else at all here"),
+        (3, "tiny"),  # < k: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 8-char substring must collide"
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc

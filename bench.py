@@ -58,6 +58,8 @@ HEADLINE = [
     "q_doc_components",
     "q_quality_filters",
     "q_winnow_fingerprints",
+    "q_stratified_sample",
+    "q_top_tfidf_terms",
 ]
 
 

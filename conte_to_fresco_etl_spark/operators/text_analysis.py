@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conte_to_fresco_etl_spark.functions.text import (
@@ -242,3 +242,62 @@ def quality_filters(
         & (F.col("alpha_word_frac") >= th["min_alpha_word_fraction"])
     )
     return m.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus-wide statistic + per-doc ranking)
+# ---------------------------------------------------------------------------
+
+def top_tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF: ``(cnt/doc_len) *
+    ln(n_docs/df_count)``, rounded to 6 decimals before ranking; ties
+    break by term ascending.  Terms in fewer than ``min_df`` docs are
+    dropped (hapaxes carry no signal and dominate the vocabulary).
+
+    Plan shape: map-side tokenize+explode → groupBy(doc, term) with
+    map-side partial counts → window doc_len on the doc key → broadcast
+    join against the pruned document-frequency table → one rank window.
+    Corpus size enters as a literal (one count job at plan build).  At
+    web scale the post-prune vocabulary can outgrow a broadcast — swap
+    the DF join to a bucketed sort-merge on term; everything else holds.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n_docs = toks.count()
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    doc_w = Window.partitionBy(id_col)
+    tf = tf.withColumn("__doc_len", F.sum("__cnt").over(doc_w))
+    dfc = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    scored = tf.join(F.broadcast(dfc), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            (F.col("__cnt").cast("double") / F.col("__doc_len"))
+            * F.log(F.lit(float(n_docs)) / F.col("__df")),
+            6,
+        ).alias("tfidf"),
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -702,3 +702,90 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         _t(spark, sf_dir, "documents"), k=5, window=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling and TF-IDF
+# ---------------------------------------------------------------------------
+
+#: Per-language keep fractions for the sampling query: downsample the
+#: dominant language (the data-mixture rebalancing shape).
+_STRATA_FRACTIONS = {"en": 0.3}
+_STRATA_SEED = 42
+
+
+def _strata_cutoff_sql() -> str:
+    default = int(1.0 * 0xFFFFFFFF)
+    case = "CASE "
+    for stratum, frac in sorted(_STRATA_FRACTIONS.items()):
+        case += f"WHEN lang = '{stratum}' THEN {int(frac * 0xFFFFFFFF)} "
+    return case + f"ELSE {default} END"
+
+
+_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5('{_STRATA_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) < {_strata_cutoff_sql()}
+"""
+
+@_q("q_stratified_sample", _STRATIFIED_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable stratified sample: keep 30% of English docs, 100% of
+    everything else — deterministic mixture rebalancing whose membership
+    both engines derive from the same md5 cutoffs."""
+    from conte_to_fresco_etl_spark.validation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions=_STRATA_FRACTIONS,
+        key_col="doc_id",
+        seed=_STRATA_SEED,
+    ).select("doc_id", "lang")
+
+
+_TFIDF_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(toks) > 0),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM nonempty),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, term, cnt,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len
+      FROM tf
+    ),
+    dfc AS (
+      SELECT term, COUNT(*) AS df_count FROM tf GROUP BY 1
+      HAVING COUNT(*) >= 2
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM nonempty),
+    s AS (
+      SELECT d.doc_id, d.term,
+             ROUND((CAST(d.cnt AS DOUBLE) / d.doc_len)
+                   * ln(CAST(n.n_docs AS DOUBLE) / f.df_count), 6) AS tfidf
+      FROM dl d JOIN dfc f USING (term) CROSS JOIN nd n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+             AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= 5
+"""
+
+@_q("q_top_tfidf_terms", _TFIDF_SQL)
+def q_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (min document frequency 2) —
+    the corpus-statistic + per-doc-ranking composition: one (doc, term)
+    count shuffle, a doc-length window, a broadcast DF join, one rank
+    window."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        top_tfidf_terms,
+    )
+
+    return top_tfidf_terms(
+        _t(spark, sf_dir, "documents"), k=5, min_df=2
+    )

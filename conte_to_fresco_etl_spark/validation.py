@@ -159,3 +159,39 @@ def drop_required_nulls_observed(
         F.sum(keep.cast("long")).alias("kept"),
     )
     return observed.filter(keep), obs
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Hash-stable stratified sampling: per-stratum keep fractions (the
+    data-mixture rebalancing step — e.g. downsample the dominant
+    language).  Membership is a pure function of (seed, key): stable
+    across runs, partitionings, and cluster sizes, unlike
+    ``df.sampleBy``'s per-partition Bernoulli draw.
+
+    Cutoffs are precomputed INTEGER literals: ``int(frac * 0xFFFFFFFF)``
+    in Python — never ``CAST(frac * 2^32 AS BIGINT)`` in-engine, because
+    Spark truncates double→long while SQL engines round, which would
+    shift the boundary by one key in ~2^-32 of strata.  Map-side only:
+    the predicate pushes to the scan, no shuffle."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cutoff = F.lit(int(default_fraction * 0xFFFFFFFF))
+    for stratum, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 0xFFFFFFFF))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)

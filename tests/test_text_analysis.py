@@ -82,3 +82,48 @@ def test_quality_filters_verdicts(spark):
     assert out[4]["alpha_word_frac"] == 0.0 and out[4]["keep"] is False
     # empty doc: all ratios 0, fails the alpha/mean-word-length minimums
     assert out[5]["keep"] is False
+
+
+def test_stratified_sample_is_partition_invariant(spark, sf_dir):
+    """Membership must be a pure function of (seed, key) — identical
+    under different partitionings, and only the targeted stratum
+    shrinks."""
+    from conte_to_fresco_etl_spark.validation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(strata_col="lang", fractions={"en": 0.3}, key_col="doc_id")
+    a = {r["doc_id"] for r in stratified_sample(docs.repartition(1), **kw).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs.repartition(7), **kw).collect()}
+    assert a == b
+    n_en = docs.filter("lang = 'en'").count()
+    n_en_kept = stratified_sample(docs, **kw).filter("lang = 'en'").count()
+    assert 0 < n_en_kept < n_en          # en downsampled
+    n_other = docs.filter("lang <> 'en'").count()
+    n_other_kept = stratified_sample(docs, **kw).filter("lang <> 'en'").count()
+    assert n_other_kept == n_other        # others untouched
+
+
+def test_top_tfidf_terms_hand_check(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        top_tfidf_terms,
+    )
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple cherry cherry date"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+        for r in top_tfidf_terms(docs, k=5, min_df=2).collect()
+    }
+    # 'date' appears in 1 doc < min_df -> absent
+    assert (2, "date") not in out
+    ln15 = math.log(3.0 / 2.0)
+    assert out[(0, "apple")] == (round(2.0 / 3.0 * ln15, 6), 1)
+    assert out[(0, "banana")] == (round(1.0 / 3.0 * ln15, 6), 2)
+    # doc 2: cherry tf=2/4 beats apple tf=1/4 (same idf)
+    assert out[(2, "cherry")][1] == 1 and out[(2, "apple")][1] == 2

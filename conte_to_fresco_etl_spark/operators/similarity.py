@@ -183,6 +183,42 @@ def make_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cent",
+) -> np.ndarray:
+    """Deterministic IVF quantizer seeds: the ``n_centroids`` corpus
+    vectors ranked first by ``md5(salt:id)`` (id tie-break).  A
+    hash-ranked draw is a uniform sample that any engine can rebuild
+    from the table alone — which makes an *approximate* IVF probe
+    exactly oracle-checkable (the quantizer is a pure function of the
+    data, unlike k-means whose iterations only NumPy reproduces).
+
+    Plan shape: orderBy + limit compiles to TakeOrderedAndProject — a
+    distributed per-partition top-n with only ``n_centroids`` rows ever
+    reaching the driver, so the training read is O(n_centroids), not a
+    corpus collect.  Quality: hash-seeded centroids are k-means|| step
+    0; pass them to ``train_ivf_centroids`` when list balance matters
+    more than oracle exactness."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        1,
+        15,
+    )
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -253,26 +289,29 @@ def ivf_topk(
     matmul), masks to (corpus row in a probed list), scores, and a
     window ranks.  At scale, materialize the corpus assignment once
     (partitionBy centroid) so probes prune partitions instead of
-    re-assigning per scan."""
+    re-assigning per scan.
+
+    Determinism contract (what the SQL oracle reproduces): assignment
+    and probe order are by ROUND(cosine(v, centroid), 6) descending,
+    ties to the LOWER centroid index — argmax/stable-argsort on the
+    rounded matrix here, ``ROW_NUMBER() OVER (ORDER BY d DESC, c ASC)``
+    there."""
     cents = np.asarray(centroids, dtype=np.float64)
+    cent_norms = np.sqrt((cents * cents).sum(axis=1))
 
     def assign(mat: np.ndarray, norms: np.ndarray) -> np.ndarray:
-        unit = np.divide(
-            mat, norms[:, None], out=np.zeros_like(mat), where=norms[:, None] != 0
-        )
-        return (unit @ cents.T).argmax(axis=1)
+        # argmax returns the FIRST max: ties go to the lower centroid
+        return _rounded_cosines(mat, norms, cents, cent_norms).argmax(axis=1)
 
     q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
     if q_ids.size == 0:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    q_unit = np.divide(
-        q_mat, q_norms[:, None], out=np.zeros_like(q_mat),
-        where=q_norms[:, None] != 0,
-    )
-    # (nq, n_probe) probed centroid ids per query
-    probes = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]
+    # (nq, n_probe) probed centroid ids per query; stable sort so equal
+    # rounded scores keep ascending centroid order
+    q_d = _rounded_cosines(q_mat, q_norms, cents, cent_norms)
+    probes = np.argsort(-q_d, axis=1, kind="stable")[:, :n_probe]
     bc = corpus.sparkSession.sparkContext.broadcast(
         (q_ids, q_mat, q_norms, probes)
     )

@@ -459,21 +459,89 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_ivf_ann_topk")  # approximate — no SQL oracle; rows-only check
+# The IVF probe is approximate w.r.t. exact search but DETERMINISTIC
+# given the quantizer, and a hash-seeded quantizer is a pure function of
+# the table — so DuckDB can rebuild the same 8 centroids, the same
+# cell assignment, the same 4-probe sets, and must reproduce the
+# approximate result bit-for-bit.  Assignment/probe order: rounded
+# cosine desc, centroid index asc (the contract ivf_topk documents).
+_IVF_ANN_SQL = f"""
+    WITH {_VEC_CTE},
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS c
+      FROM (
+        SELECT *, substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15) AS h
+        FROM n ORDER BY h, vec_id LIMIT 8
+      )
+    ),
+    d AS (
+      SELECT n.vec_id, cents.c,
+             ROUND(CASE WHEN n.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(n.e, cents.ce)
+                             / (n.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM n CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                     END, 6) AS cosine
+        FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+                  JOIN n b ON cand.query_id = b.vec_id
+      )
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ivf_ann_topk", _IVF_ANN_SQL)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF coarse quantizer (8 spherical
-    k-means centroids, 4 probed).  Declared without an oracle because it
-    is intentionally approximate; recall vs q_ann_topk is test-asserted,
-    and n_probe = n_centroids reproduces the exact result."""
+    """Approximate top-5 via an IVF coarse quantizer: 8 hash-seeded
+    centroids (``seed_centroids`` — a pure function of the table, so
+    the oracle rebuilds the identical quantizer), 4 probed.  The
+    k-means-trained quantizer stays available for quality
+    (``train_ivf_centroids``, recall-tested in tests/test_similarity);
+    this catalog entry trades a step of quantizer quality for a HARD
+    gate on the whole approximate probe path — cells, probe sets,
+    candidate scoring, ranking."""
     from conte_to_fresco_etl_spark.operators.similarity import (
         ivf_topk,
-        train_ivf_centroids,
+        seed_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
-    return ivf_topk(
+    cents = seed_centroids(emb, n_centroids=8)
+    out = ivf_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

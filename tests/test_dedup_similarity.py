@@ -186,6 +186,36 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert full == exact
 
 
+def test_seed_centroids_deterministic_and_recall(spark, sf_dir):
+    """Hash-seeded centroids are partition-invariant (a pure function of
+    the table), and the 4-probe IVF they parameterize still recovers a
+    useful share of exact neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = seed_centroids(emb.repartition(1), n_centroids=8)
+    b = seed_centroids(emb.repartition(7), n_centroids=8)
+    assert a.shape == (8, 64) and np.array_equal(a, b)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, a, k=5, n_probe=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
 def test_index_variants_reduce_scored_pairs(spark, sf_dir):
     """The 100 TB claim, measured: LSH and IVF must spend >= 3x fewer
     dot products than brute force on the same workload.  Wall time at

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_stratified_sample",
     "q_top_tfidf_terms",
+    "q_pii_scrub",
 ]
 
 

@@ -1,0 +1,66 @@
+"""PII detection and redaction over a text column — the scrub step a
+training-data pipeline runs before anything leaves the raw zone.
+
+Pure whole-stage-codegen expressions (``regexp_count`` /
+``regexp_replace``): one map-side projection, no shuffle, no Python.
+Patterns are written to the common subset of Java regex (Spark) and RE2
+(DuckDB) — character classes, bounded repetition, ``\\b`` — both engines
+scan leftmost-first with greedy quantifiers, so counts and replacements
+agree exactly (the SQL oracle gates this).
+
+Redaction order is fixed (email → IPv4 → phone) and counts are taken on
+the ORIGINAL text, so the three detectors are independent of each other.
+
+At 100 TB: embarrassingly parallel; regex cost is linear in bytes
+scanned, and the projection prunes to (id, text) at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Detector patterns — shared verbatim with the DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
+def redact(text: Column) -> Column:
+    """Replace every email, then IPv4, then phone match with its
+    placeholder token.  Order matters only for nested shapes (digits
+    inside an already-redacted span); fixing it makes the output a pure
+    function of the input in both engines."""
+    out = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
+    out = F.regexp_replace(out, IPV4_RE, IPV4_TOKEN)
+    return F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII report + redacted text: match counts per
+    detector (counted on the original text), a ``has_pii`` verdict, and
+    the redacted body.  Keep the verdict column instead of filtering so
+    downstream policy (drop vs redact vs quarantine) stays a cheap
+    predicate."""
+    t = F.col(text_col)
+    n_emails = _count(t, EMAIL_RE)
+    n_ipv4 = _count(t, IPV4_RE)
+    n_phones = _count(t, PHONE_RE)
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+        redact(t).alias("redacted"),
+    )

@@ -857,3 +857,69 @@ def q_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tfidf_terms(
         _t(spark, sf_dir, "documents"), k=5, min_df=2
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+from conte_to_fresco_etl_spark.operators.pii import (  # noqa: E402
+    EMAIL_RE,
+    EMAIL_TOKEN,
+    IPV4_RE,
+    IPV4_TOKEN,
+    PHONE_RE,
+    PHONE_TOKEN,
+)
+
+# The synthetic corpus carries no PII, so the query INJECTS a
+# deterministic payload (email / IP / phone derived from doc_id) into
+# every 7th document in BOTH engines, then scrubs — the gate exercises
+# real matches, not just zero counts.
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com from 10.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-867-5309' "
+    "ELSE text END"
+)
+
+_PII_SQL = f"""
+    WITH d AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           (len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{IPV4_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))) > 0 AS has_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+               '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+             '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+    FROM d
+"""
+
+@_q("q_pii_scrub", _PII_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-doc match counts (email / IPv4 /
+    phone), a has_pii verdict, and the redacted body — one codegen
+    projection, patterns shared verbatim with the oracle."""
+    from conte_to_fresco_etl_spark.operators.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 call 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(injected)

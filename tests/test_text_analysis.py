@@ -127,3 +127,24 @@ def test_top_tfidf_terms_hand_check(spark):
     assert out[(0, "banana")] == (round(1.0 / 3.0 * ln15, 6), 2)
     # doc 2: cherry tf=2/4 beats apple tf=1/4 (same idf)
     assert out[(2, "cherry")][1] == 1 and out[(2, "apple")][1] == 2
+
+
+def test_pii_scrub_handwritten(spark):
+    from conte_to_fresco_etl_spark.operators.pii import pii_scrub
+
+    rows = [
+        (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (1, "server 192.168.001.1 and 10.0.0.255 rebooted"),
+        (2, "call 555-867-5309 or 555.123.4567"),
+        (3, "clean text, no identifiers here"),
+        (4, "mixed: a@b.io at 8.8.8.8 tel 123-456-7890"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["has_pii"] is True
+    assert "<EMAIL>" in out[0]["redacted"] and "jane" not in out[0]["redacted"]
+    assert out[1]["n_ipv4"] == 2 and "<IP>" in out[1]["redacted"]
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"].count("<PHONE>") == 2
+    assert out[3]["has_pii"] is False and out[3]["redacted"] == rows[3][1]
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (1, 1, 1)

@@ -61,6 +61,7 @@ HEADLINE = [
     "q_stratified_sample",
     "q_top_tfidf_terms",
     "q_pii_scrub",
+    "q_decontaminate",
 ]
 
 

@@ -380,6 +380,90 @@ def simhash_pairs(
     )
 
 
+def _gram_posting_batches(in_cols: list[str], text_col: str, n: int):
+    """Arrow batch fn emitting one (keys..., ``__g``) row per DISTINCT
+    word-``n``-gram per doc — the inverted-index posting builder shared
+    by ngram_jaccard_pairs and decontaminate."""
+
+    def posting_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in in_cols}
+            out["__g"] = []
+            for vals in zip(*(pdf[c] for c in in_cols), pdf[text_col]):
+                *keys, t = vals
+                toks = _py_tokens(t)
+                if len(toks) < n:
+                    continue
+                for g in {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }:
+                    for c, v in zip(in_cols, keys):
+                        out[c].append(v)
+                    out["__g"].append(g)
+            yield pd.DataFrame(out)
+
+    return posting_batches
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word-``ngram_n``-grams also appear in the evaluation set —
+    the overlap probe run before any eval-set score is trusted.
+
+    Returns (id, n_grams, n_contam, contaminated); documents shorter
+    than ``ngram_n`` tokens carry zero grams and are kept (trivially
+    clean), so the output covers every training row.
+
+    Plan shape (the 100 TB posture): the eval side is a benchmark
+    suite — orders of magnitude smaller than training data — so its
+    distinct grams BROADCAST; the training side is one map-side
+    explode, a broadcast-hash left join against the gram set, and a
+    single groupBy(id) that counts total and hit grams in the same
+    aggregation.  One shuffle total, keyed by doc id; nothing persists,
+    nothing collects.  If the eval side ever outgrows a broadcast,
+    hash-partition both posting lists on the gram and sort-merge —
+    the counts are unchanged."""
+    fn = _gram_posting_batches([id_col], text_col, ngram_n)
+    schema = f"{id_col} long, __g string"
+    train_g = ensure_min_parallelism(
+        train.select(id_col, text_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(fn, schema=schema)
+    eval_g = (
+        ensure_min_parallelism(
+            eval_df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        )
+        .mapInPandas(fn, schema=schema)
+        .select("__g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    counted = (
+        train_g.join(F.broadcast(eval_g), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_contam"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+        )
+        .withColumn("contaminated", F.col("n_contam") > 0)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -407,25 +491,7 @@ def ngram_jaccard_pairs(
     # (string slicing dominates; same distinct-gram set either way).
     in_cols = [id_col] + ([block_col] if block_col else [])
     n = ngram_n
-
-    def posting_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out: dict[str, list] = {c: [] for c in in_cols}
-            out["__g"] = []
-            for vals in zip(*(pdf[c] for c in in_cols), pdf[text_col]):
-                *keys, t = vals
-                toks = _py_tokens(t)
-                if len(toks) < n:
-                    continue
-                for g in {
-                    " ".join(toks[j : j + n])
-                    for j in range(len(toks) - n + 1)
-                }:
-                    for c, v in zip(in_cols, keys):
-                        out[c].append(v)
-                    out["__g"].append(g)
-            yield pd.DataFrame(out)
-
+    posting_batches = _gram_posting_batches(in_cols, text_col, n)
     block_field = f", {block_col} string" if block_col else ""
     # Persist: the posting table feeds the size lookup and both join
     # branches — three recomputations of tokenize+shingle otherwise.

@@ -923,3 +923,51 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return pii_scrub(injected)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Eval split: every 97th doc plays the benchmark set; train is the rest.
+_DECON_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+             END AS grams
+      FROM t
+    ),
+    eval_g AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM train),
+    hits AS (
+      SELECT tg.doc_id, COUNT(*) AS n_contam
+      FROM tg JOIN eval_g USING (gram) GROUP BY 1
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contam, 0) AS BIGINT) AS n_contam,
+           COALESCE(h.n_contam, 0) > 0 AS contaminated
+    FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+"""
+
+@_q("q_decontaminate", _DECON_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the eval split (doc_id % 97 = 0).  Broadcast eval-gram
+    semi-count; one shuffle on the training side."""
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        ngram_n=3,
+    )

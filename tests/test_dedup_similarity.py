@@ -336,3 +336,27 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[0] & by_doc[1], "shared 8-char substring must collide"
     assert not (by_doc[0] & by_doc[2])
     assert 3 not in by_doc
+
+
+def test_decontaminate_planted_overlap(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "tiny"),  # < 3 tokens: zero grams, trivially clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, ev).collect()}
+    assert len(out) == 3
+    # shares "the quick brown" and "quick brown fox"
+    assert out[1]["contaminated"] is True and out[1]["n_contam"] == 2
+    assert out[1]["n_grams"] == 7
+    assert out[2]["contaminated"] is False and out[2]["n_contam"] == 0
+    assert out[3] ["n_grams"] == 0 and out[3]["contaminated"] is False

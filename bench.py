@@ -62,6 +62,7 @@ HEADLINE = [
     "q_top_tfidf_terms",
     "q_pii_scrub",
     "q_decontaminate",
+    "q_source_cap",
 ]
 
 

@@ -971,3 +971,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 == 0),
         ngram_n=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source frequency cap
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP_SQL = """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                        doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+"""
+
+@_q("q_source_cap", _SOURCE_CAP_SQL)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition control: keep at most 15 docs per source, chosen by
+    hash order (a stable uniform sample of each source).  Runs the
+    verified-prefilter scale path — the rank window sees only the
+    sub-cutoff survivors, never whole groups."""
+    from conte_to_fresco_etl_spark.validation import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        key_col="doc_id",
+        cap=15,
+        prefilter_safety=4.0,
+    ).select("doc_id", "source", "rk")

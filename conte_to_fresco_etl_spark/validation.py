@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -195,3 +195,90 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(frac * 0xFFFFFFFF))
         ).otherwise(cutoff)
     return df.filter(bucket < cutoff)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    seed: int = 42,
+    prefilter_safety: float | None = None,
+) -> DataFrame:
+    """Deterministic per-group frequency cap (repetition control for
+    data mixtures — e.g. at most N documents per source/domain): keep
+    each group's first ``cap`` rows under the total order
+    (md5(seed:key), key).  Hash order makes the kept subset a uniform,
+    run- and partitioning-stable sample of the group, and a pure
+    function any engine can rebuild.
+
+    Adds ``rk`` (1-based rank within the group) to the output.
+
+    Scale path (``prefilter_safety``): a rank window partitioned by
+    group sorts ENTIRE groups — at 100 TB a dominant domain is one
+    giant window partition.  Because the sort key is a uniform hash,
+    rows ranked <= cap almost surely sit below ``safety * cap/total``
+    of the hash range, so: aggregate per-group totals (one small agg,
+    collected — group cardinality is dimension-sized), filter to the
+    per-group cutoff map-side, and rank only survivors.  The window
+    then sees O(safety * cap) rows per group instead of the group.
+    EXACTNESS IS VERIFIED, not assumed: any group whose survivor count
+    fell below min(cap, total) (probability ~exp(-cap(s-1)^2/2s)) is
+    re-ranked without the prefilter and unioned back, so the result is
+    identical to the plain path on every input."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+        1,
+        15,
+    )
+    base = df.withColumn("__h", h)
+    w = Window.partitionBy(group_col).orderBy("__h", key_col)
+
+    def ranked(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= cap)
+            .drop("__h")
+        )
+
+    if prefilter_safety is None:
+        return ranked(base)
+
+    # group totals are dimension-sized: collect, build literal cutoffs
+    totals = {
+        r[0]: r[1]
+        for r in base.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    full_range = 16**15  # __h is 15 lowercase hex chars
+    cutoffs = {
+        g: (
+            None
+            if n <= cap
+            else format(
+                min(full_range, int(full_range * prefilter_safety * cap / n)),
+                "015x",
+            )
+        )
+        for g, n in totals.items()
+    }
+    cutoff_col = F.lit("f" * 15)  # keep-everything default
+    for g, c in cutoffs.items():
+        if c is not None:
+            cutoff_col = F.when(F.col(group_col) == g, F.lit(c)).otherwise(
+                cutoff_col
+            )
+    pre = base.filter(F.col("__h") < cutoff_col)
+    survivors = {
+        r[0]: r[1]
+        for r in pre.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    bad = [
+        g
+        for g, n in totals.items()
+        if survivors.get(g, 0) < min(cap, n)
+    ]
+    if not bad:
+        return ranked(pre)
+    good_part = ranked(pre.filter(~F.col(group_col).isin(bad)))
+    bad_part = ranked(base.filter(F.col(group_col).isin(bad)))
+    return good_part.unionByName(bad_part)

@@ -104,3 +104,30 @@ def test_convert_csv_to_parquet(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert set(back.columns) == {"a", "b"}
+
+
+def test_cap_per_group_prefilter_matches_plain(spark, sf_dir):
+    """The verified-prefilter scale path returns EXACTLY the plain
+    window result, including when a tiny safety factor forces the
+    per-group fallback; groups smaller than the cap pass through."""
+    from conte_to_fresco_etl_spark.validation import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(group_col="source", key_col="doc_id", cap=15)
+    plain = {(r["doc_id"], r["rk"]) for r in cap_per_group(docs, **kw).collect()}
+    pre = {
+        (r["doc_id"], r["rk"])
+        for r in cap_per_group(docs, **kw, prefilter_safety=4.0).collect()
+    }
+    assert plain == pre
+    # safety < 1 starves most groups -> verification must fall back
+    starved = {
+        (r["doc_id"], r["rk"])
+        for r in cap_per_group(docs, **kw, prefilter_safety=0.2).collect()
+    }
+    assert plain == starved
+    # every source capped at 15; sources under the cap keep all rows
+    counts = (
+        cap_per_group(docs, **kw).groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= 15 for r in counts)

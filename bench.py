@@ -63,6 +63,7 @@ HEADLINE = [
     "q_pii_scrub",
     "q_decontaminate",
     "q_source_cap",
+    "q_unigram_nll",
 ]
 
 

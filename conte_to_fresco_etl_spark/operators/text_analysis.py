@@ -301,3 +301,70 @@ def top_tfidf_terms(
         scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram LM — the cheap stand-in for the perplexity filters
+    (CCNet-style) that real pipelines run with a KenLM model.  High
+    ``nll`` = tokens rare in the corpus = likely noise; low = boilerplate.
+
+    Returns (id, n_tokens, nll), nll rounded to 6.
+
+    Cross-engine exactness: a sum of doubles is order-dependent, so the
+    per-term contribution ``-ln(count/total)`` is rounded to 9 decimals
+    and cast to DECIMAL before the per-doc sum — decimal addition is
+    exact integer math, independent of aggregation order in any engine.
+
+    Plan shape: one (doc, term) count shuffle (persisted — it feeds the
+    vocabulary agg and the final join), a term-keyed vocabulary agg, a
+    broadcast vocab join, one final groupBy(doc).  The corpus total
+    enters as a literal (one scalar job).  At web scale swap the vocab
+    broadcast for a bucketed join on term; everything else holds.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    vocab = tf.groupBy("term").agg(F.sum("__cnt").alias("__vc"))
+    n_total = vocab.agg(F.sum("__vc")).collect()[0][0]
+    term_nll = vocab.select(
+        "term",
+        F.round(
+            -F.log(
+                F.col("__vc").cast("double") / F.lit(float(n_total))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__nlp"),
+    )
+    return (
+        tf.join(F.broadcast(term_nll), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("__cnt").cast("decimal(10,0)") * F.col("__nlp")
+                ).cast("double")
+                / F.sum("__cnt").cast("double"),
+                6,
+            ).alias("nll"),
+        )
+    )

@@ -1003,3 +1003,40 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap=15,
         prefilter_safety=4.0,
     ).select("doc_id", "source", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_NLL_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    ne AS (SELECT * FROM base WHERE len(toks) > 0),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM ne),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    vocab AS (SELECT term, SUM(cnt) AS vc FROM tf GROUP BY 1),
+    n AS (SELECT SUM(vc) AS n_total FROM vocab),
+    term_nll AS (
+      SELECT term,
+             CAST(ROUND(-ln(CAST(vc AS DOUBLE) / CAST(n_total AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS nlp
+      FROM vocab CROSS JOIN n
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(tf.cnt AS DECIMAL(10,0)) * v.nlp) AS DOUBLE)
+                 / CAST(SUM(tf.cnt) AS DOUBLE), 6) AS nll
+    FROM tf JOIN term_nll v USING (term)
+    GROUP BY tf.doc_id
+"""
+
+@_q("q_unigram_nll", _UNIGRAM_NLL_SQL)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative logprob per doc under the corpus unigram LM — the
+    perplexity-proxy quality signal.  Decimal-summed contributions make
+    the float aggregation order-independent, so the gate is exact."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents"))

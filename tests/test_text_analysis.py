@@ -148,3 +148,25 @@ def test_pii_scrub_handwritten(spark):
     assert out[2]["redacted"].count("<PHONE>") == 2
     assert out[3]["has_pii"] is False and out[3]["redacted"] == rows[3][1]
     assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (1, 1, 1)
+
+
+def test_unigram_nll_hand_check(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import unigram_nll
+
+    # corpus: 6 tokens total -> p(a)=3/6, p(b)=2/6, p(c)=1/6
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    assert 2 not in out  # empty doc: no tokens, no row
+    nlp = {t: round(-math.log(c / 6.0), 9) for t, c in
+           {"a": 3, "b": 2, "c": 1}.items()}
+    exp0 = round((2 * nlp["a"] + nlp["b"]) / 3, 6)
+    exp1 = round((nlp["a"] + nlp["b"] + nlp["c"]) / 3, 6)
+    assert out[0]["n_tokens"] == 3 and abs(out[0]["nll"] - exp0) < 1e-9
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["nll"] - exp1) < 1e-9
+    # rarer tokens -> higher nll
+    assert out[1]["nll"] > out[0]["nll"]

@@ -64,6 +64,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_source_cap",
     "q_unigram_nll",
+    "q_token_stats",
 ]
 
 

@@ -368,3 +368,51 @@ def unigram_nll(
             ).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-length distribution stats (data-mixture reporting)
+# ---------------------------------------------------------------------------
+
+def token_length_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group distribution of document token counts — the mixture
+    report (docs, tokens, min/mean/max, p50/p90/p99) that drives
+    sampling-weight decisions.
+
+    ``exact=True`` uses ``percentile`` (true linear-interpolated
+    quantiles — the oracle-checkable form).  Spark computes exact
+    percentiles by buffering each group's values (ObjectHashAggregate),
+    which is fine for dimension-sized groups like language but NOT for
+    a 100 TB ungrouped call — pass ``exact=False`` there to use
+    ``approx_percentile`` (t-digest, bounded memory, documented ±
+    accuracy=10000 rank error) with identical output shape.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    base = df.select(F.col(group_col), n.alias("__n"))
+    fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, 10000)
+    )
+    pct = [
+        F.round(fn(F.col("__n"), F.lit(p)).cast("double"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.min("__n").alias("min_tokens"),
+        F.round(
+            F.sum("__n").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_tokens"),
+        F.max("__n").alias("max_tokens"),
+        *pct,
+    )

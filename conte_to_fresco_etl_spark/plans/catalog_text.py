@@ -1040,3 +1040,35 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.text_analysis import unigram_nll
 
     return unigram_nll(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-length distribution stats
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = f"""
+    WITH t AS (
+      SELECT lang, CAST(len({_sql_tokens()}) AS BIGINT) AS n FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           MIN(n) AS min_tokens,
+           ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_tokens,
+           MAX(n) AS max_tokens,
+           ROUND(CAST(quantile_cont(n, 0.5) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(quantile_cont(n, 0.9) AS DOUBLE), 6) AS p90,
+           ROUND(CAST(quantile_cont(n, 0.99) AS DOUBLE), 6) AS p99
+    FROM t GROUP BY lang
+"""
+
+@_q("q_token_stats", _TOKEN_STATS_SQL)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (docs, tokens, min / mean /
+    max, exact interpolated p50/p90/p99) — the data-mixture report."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_length_stats,
+    )
+
+    return token_length_stats(_t(spark, sf_dir, "documents"))

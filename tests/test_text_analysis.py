@@ -170,3 +170,30 @@ def test_unigram_nll_hand_check(spark):
     assert out[1]["n_tokens"] == 3 and abs(out[1]["nll"] - exp1) < 1e-9
     # rarer tokens -> higher nll
     assert out[1]["nll"] > out[0]["nll"]
+
+
+def test_token_length_stats_hand_check(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_length_stats,
+    )
+
+    # token counts per doc: en -> [1, 2, 3, 4], de -> [5]
+    rows = [
+        (0, "a", "en"), (1, "a b", "en"), (2, "a b c", "en"),
+        (3, "a b c d", "en"), (4, "x y z w v", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in token_length_stats(docs).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_tokens"], en["min_tokens"], en["max_tokens"]) == (4, 10, 1, 4)
+    assert en["mean_tokens"] == 2.5
+    assert en["p50"] == 2.5            # interpolated between 2 and 3
+    assert en["p90"] == 3.7            # 1 + 0.9*3 = 3.7 position -> 3 + 0.7
+    assert out["de"]["p50"] == 5.0
+    # approx path: same shape, sane values on tiny input
+    approx = {
+        r["lang"]: r
+        for r in token_length_stats(docs, exact=False).collect()
+    }
+    assert set(approx["en"].asDict()) == set(en.asDict())
+    assert 1 <= approx["en"]["p50"] <= 4

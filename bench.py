@@ -65,6 +65,7 @@ HEADLINE = [
     "q_source_cap",
     "q_unigram_nll",
     "q_token_stats",
+    "q_pack_sequences",
 ]
 
 

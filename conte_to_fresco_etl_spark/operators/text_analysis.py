@@ -416,3 +416,65 @@ def token_length_stats(
         F.max("__n").alias("max_tokens"),
         *pct,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to hash shards
+    (``id % n_shards``), then within each shard — in id order — pack
+    docs into training sequences of at most ``budget`` tokens.  A doc
+    that would overflow the open sequence starts the next one; an
+    oversize doc (> budget tokens) gets a sequence to itself.  This is
+    the batch-assembly step before writing packed training shards.
+
+    Returns (id, shard, seq_id, n_tokens, tok_offset): seq_id numbers
+    sequences within the shard from 0, tok_offset is the doc's start
+    position inside its sequence.
+
+    Packing is inherently sequential IN A SHARD (each placement depends
+    on the running fill), so the shard is the parallel unit: one
+    shuffle keys docs by shard, and each shard packs independently in
+    one ``applyInPandas`` group — the standard layout at scale, where
+    ``n_shards`` is sized to executor memory and output-file count.
+    Determinism: shard hash + id order make the layout a pure function
+    of the table, partitioning-invariant.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > budget:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += t
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["tok_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(
+        pack,
+        schema=(
+            f"{id_col} long, shard long, n_tokens long, "
+            "seq_id long, tok_offset long"
+        ),
+    ).select(id_col, "shard", "seq_id", "n_tokens", "tok_offset")

@@ -1072,3 +1072,49 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_length_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+# Greedy packing is a deterministic left fold per shard, so the oracle
+# is a recursive CTE stepping through each shard's rows in id order.
+_PACK_SQL = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t
+    ),
+    rec AS (
+      SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS seq_id,
+             n AS bin_tokens
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT x.shard, x.rn, x.doc_id, x.n,
+             CASE WHEN p.bin_tokens + x.n <= 200 THEN p.seq_id
+                  ELSE p.seq_id + 1 END,
+             CASE WHEN p.bin_tokens + x.n <= 200 THEN p.bin_tokens + x.n
+                  ELSE x.n END
+      FROM rec p JOIN r x ON x.shard = p.shard AND x.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, seq_id, n AS n_tokens,
+           bin_tokens - n AS tok_offset
+    FROM rec
+"""
+
+@_q("q_pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 200-token sequences across 8 hash
+    shards — one shuffle, sequential only within a shard."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=200, n_shards=8
+    )

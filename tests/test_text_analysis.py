@@ -197,3 +197,37 @@ def test_token_length_stats_hand_check(spark):
     }
     assert set(approx["en"].asDict()) == set(en.asDict())
     assert 1 <= approx["en"]["p50"] <= 4
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    # one shard; token counts 3, 4, 5, 9, 2 with budget 8:
+    # [3, 4] (fill 7), [5], [9] (oversize, alone), [2]
+    rows = [
+        (0, "a b c"), (8, "a b c d"), (16, "a b c d e"),
+        (24, "a b c d e f g h i"), (32, "a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(docs, budget=8, n_shards=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["shard"] for r in out] == [0] * 5
+    assert [r["seq_id"] for r in out] == [0, 0, 1, 2, 3]
+    assert [r["tok_offset"] for r in out] == [0, 3, 0, 0, 0]
+
+    # invariants on real data: per-sequence fill <= budget unless the
+    # sequence is a single oversize doc; offsets are cumulative
+    docs2 = spark.createDataFrame(
+        [(i, "w " * (i % 13)) for i in range(100)], "doc_id long, text string"
+    )
+    packed = pack_sequences(docs2, budget=20, n_shards=4)
+    from pyspark.sql import functions as F
+    fills = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    bad = fills.filter((F.col("fill") > 20) & (F.col("n") > 1)).count()
+    assert bad == 0

@@ -771,8 +771,17 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    # Size the label table's partitioning to the node count, not the
+    # session shuffle default: the dup-node set is typically orders of
+    # magnitude smaller than the corpus, and every round materializes
+    # (localCheckpoint) + aggregates it — dozens of near-empty
+    # partitions per round is pure scheduler overhead at small scale,
+    # while the ratio keeps partitions bounded (~500k nodes each) when
+    # the graph is big.
+    n_nodes = labels.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(), n_nodes // 500_000 + 1))
+    labels = labels.coalesce(parts).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         nbr_min = (
@@ -791,6 +800,7 @@ def connected_components(
                     labels["label"], F.coalesce(F.col("__nbr"), labels["label"])
                 ).alias("label"),
             )
+            .coalesce(parts)
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]

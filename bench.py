@@ -66,6 +66,9 @@ HEADLINE = [
     "q_unigram_nll",
     "q_token_stats",
     "q_pack_sequences",
+    "q_knn_classify",
+    "q_top_bigrams",
+    "q_temperature_sample",
 ]
 
 

@@ -469,3 +469,49 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: label each query vector with
+    the most frequent label among its ``k`` exact-cosine nearest
+    labeled neighbors (ties: more votes wins, then the smaller label —
+    fully deterministic, so the whole classifier admits an exact SQL
+    oracle).
+
+    Returns (query_id, pred_label, n_votes).
+
+    Plan shape: the neighbor search is ``brute_force_topk`` (corpus
+    streams, queries broadcast); the surviving top-k table is tiny
+    (k x |queries|) and BROADCASTS back against the corpus's (id,
+    label) projection, so attaching labels costs no corpus shuffle;
+    one small groupBy + rank window finishes the vote."""
+    topk = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("__nl").asc()
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )

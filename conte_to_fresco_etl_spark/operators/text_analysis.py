@@ -478,3 +478,44 @@ def pack_sequences(
             "seq_id long, tok_offset long"
         ),
     ).select(id_col, "shard", "seq_id", "n_tokens", "tok_offset")
+
+
+# ---------------------------------------------------------------------------
+# Bigram merge statistics (BPE step-0)
+# ---------------------------------------------------------------------------
+
+def top_bigrams(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Top-``k`` adjacent token pairs by corpus occurrence count (ties:
+    bigram ascending) — the merge-candidate table a BPE trainer ranks
+    each round.  Returns (bigram, n, rank).
+
+    Plan shape: map-side bigram explode (guarded ``sequence`` — Spark's
+    ``sequence(1, 0)`` DESCENDS, so short docs must short-circuit to an
+    empty array), one partial-agg count shuffle, and a distributed
+    ``orderBy + limit`` top-k (TakeOrdered — only ``k`` rows reach the
+    driver-side stage); the rank window runs on those k rows only."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("bigram", F.col("n").cast("long").alias("n"), "rank")

@@ -1118,3 +1118,127 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         _t(spark, sf_dir, "documents"), budget=200, n_shards=8
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN classification over embeddings
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+    topk AS (
+      SELECT query_id, nlabel FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                            ELSE list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                       END, 6) DESC,
+                 c.vec_id ASC) AS rank
+        FROM c CROSS JOIN q
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, nlabel, COUNT(*) AS n_votes FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(nlabel AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, nlabel ASC) AS r
+      FROM votes
+    ) WHERE r = 1
+"""
+
+@_q("q_knn_classify", _KNN_SQL)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-NN majority-vote label prediction for the query subset
+    (vec_id % 50 = 0) against the labeled remainder — exact neighbor
+    search, deterministic vote, fully oracled."""
+    from conte_to_fresco_etl_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram merge statistics (BPE step-0)
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAMS_SQL = f"""
+    WITH t AS (
+      SELECT {_sql_tokens()} AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                    END) AS bigram
+      FROM t
+    ),
+    counts AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1)
+    SELECT bigram, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT)
+             AS rank
+    FROM counts
+    ORDER BY rank LIMIT 20
+"""
+
+@_q("q_top_bigrams", _TOP_BIGRAMS_SQL)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs by occurrence count — the merge-
+    candidate statistic of a BPE vocabulary-induction step (one round;
+    full BPE iterates this exact query against a re-tokenized corpus)."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import top_bigrams
+
+    return top_bigrams(_t(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5: keep fraction sqrt(n_min/n_g) — sqrt is IEEE-correctly
+# rounded in every engine, so the oracle recomputes bit-identical
+# cutoffs from the table alone (pow would not guarantee that).
+_TEMP_SAMPLE_SQL = """
+    WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    mn AS (SELECT MIN(n) AS n_min FROM g),
+    cut AS (
+      SELECT lang,
+             CAST(FLOOR(ROUND(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)),
+                              6) * 4294967295) AS BIGINT) AS cutoff
+      FROM g CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cut ON d.lang = cut.lang
+    WHERE CAST('0x' || substr(md5('7' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) < cutoff
+"""
+
+@_q("q_temperature_sample", _TEMP_SAMPLE_SQL)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture rebalancing over languages: group shares
+    flatten toward uniform; the smallest language keeps everything."""
+    from conte_to_fresco_etl_spark.validation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang",
+        key_col="doc_id",
+        alpha=0.5,
+        seed=7,
+    ).select("doc_id", "lang")

@@ -282,3 +282,48 @@ def cap_per_group(
     good_part = ranked(pre.filter(~F.col(group_col).isin(bad)))
     bad_part = ranked(base.filter(F.col(group_col).isin(bad)))
     return good_part.unionByName(bad_part)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: resample so group g's
+    share is proportional to ``n_g ** alpha`` (alpha < 1 flattens the
+    mixture toward uniform — the multilingual-sampling rule).  The
+    smallest group keeps everything; group g keeps the fraction
+    ``(n_min / n_g) ** (1 - alpha)``, membership decided by the same
+    hash-stable rule as ``stratified_sample``.
+
+    Cross-engine exactness: for the default ``alpha = 0.5`` the keep
+    fraction is ``sqrt(n_min / n_g)`` — sqrt is correctly rounded under
+    IEEE 754 in every engine, so an oracle recomputing the fractions
+    from the table gets bit-identical cutoffs.  Other alphas go through
+    ``pow``, which carries no such guarantee (fractions may differ in
+    the last ulp across libms); they are fine for production sampling
+    but not for an exact cross-engine gate.
+
+    The group-count aggregation collects one row per group (dimension-
+    sized); the sampling itself is a map-side predicate."""
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        fracs = {
+            g: round(math.sqrt(n_min / n), 6) for g, n in counts.items()
+        }
+    else:
+        fracs = {
+            g: round((n_min / n) ** (1.0 - alpha), 6)
+            for g, n in counts.items()
+        }
+    return stratified_sample(
+        df, strata_col=group_col, fractions=fracs, key_col=key_col, seed=seed
+    )

@@ -360,3 +360,23 @@ def test_decontaminate_planted_overlap(spark):
     assert out[1]["n_grams"] == 7
     assert out[2]["contaminated"] is False and out[2]["n_contam"] == 0
     assert out[3] ["n_grams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_knn_classify_planted_clusters(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import knn_classify
+
+    # two tight clusters on orthogonal axes, one query near each
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [1.0, 0.1], 7),
+            (4, [0.0, 1.0], 3), (5, [0.1, 0.9], 3), (6, [0.1, 1.0], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05], None), (200, [0.05, 0.95], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r["query_id"]: r for r in knn_classify(corpus, queries, k=3).collect()}
+    assert out[100]["pred_label"] == 7 and out[100]["n_votes"] == 3
+    assert out[200]["pred_label"] == 3 and out[200]["n_votes"] == 3

@@ -231,3 +231,18 @@ def test_pack_sequences_greedy_invariants(spark):
     )
     bad = fills.filter((F.col("fill") > 20) & (F.col("n") > 1)).count()
     assert bad == 0
+
+
+def test_top_bigrams_hand_check(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import top_bigrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = sorted(top_bigrams(docs, k=3).collect(), key=lambda r: r["rank"])
+    # "a b" occurs 3x (twice in doc0, once in doc1)
+    assert (out[0]["bigram"], out[0]["n"], out[0]["rank"]) == ("a b", 3, 1)
+    # ties at n=1 break alphabetically
+    assert out[1]["n"] == 1 and out[2]["n"] == 1
+    assert out[1]["bigram"] < out[2]["bigram"]

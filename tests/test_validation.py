@@ -131,3 +131,25 @@ def test_cap_per_group_prefilter_matches_plain(spark, sf_dir):
         cap_per_group(docs, **kw).groupBy("source").count().collect()
     )
     assert all(r["count"] <= 15 for r in counts)
+
+
+def test_temperature_sample_flattens_mixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.validation import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = temperature_sample(docs, group_col="lang", key_col="doc_id",
+                             alpha=0.5, seed=7)
+    after = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    n_min = min(before.values())
+    smallest = min(before, key=before.get)
+    biggest = max(before, key=before.get)
+    assert after[smallest] == before[smallest]      # smallest keeps all
+    # dominant group shrinks toward sqrt(n_min * n)
+    import math
+    expect = before[biggest] * math.sqrt(n_min / before[biggest])
+    assert abs(after[biggest] - expect) / expect < 0.25
+    # ratio between extremes flattens
+    assert after[biggest] / after[smallest] < before[biggest] / before[smallest]

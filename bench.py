@@ -70,6 +70,9 @@ HEADLINE = [
     "q_top_bigrams",
     "q_temperature_sample",
     "q_curation_v2",
+    "q_sessionize",
+    "q_value_histogram",
+    "q_label_centroids",
 ]
 
 

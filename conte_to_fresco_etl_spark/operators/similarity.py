@@ -515,3 +515,49 @@ def knn_classify(
             F.col("n_votes").cast("long").alias("n_votes"),
         )
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in long format: (label, dim, n_vecs,
+    mean_val) — the class-centroid statistic behind embedding-space
+    monitoring (cluster drift, label purity) and nearest-centroid
+    classification.
+
+    Long format on purpose: no array column in the result, so the gate
+    hashes scalars, and at 100 TB the aggregation is a single
+    (label, dim) shuffle of narrow rows with map-side partial sums —
+    never a width-64 array carried through a shuffle.
+
+    Exactness: per-value contributions are rounded to 9 decimals and
+    cast to DECIMAL before summing, making the mean independent of
+    aggregation order in any engine (same discipline as unigram_nll)."""
+    x = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+    )
+    return (
+        x.groupBy(label_col, "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.round(F.col("val").cast("double"), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("__s"),
+        )
+        .select(
+            F.col(label_col).cast("long").alias("label"),
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_vecs"), 6
+            ).alias("mean_val"),
+        )
+    )

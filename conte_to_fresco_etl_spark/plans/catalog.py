@@ -660,3 +660,65 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("l_partkey")).alias("d_partkey"),
         F.count_distinct(F.col("l_returnflag")).alias("d_returnflag"),
     )
+
+
+@_q(
+    "q_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM e
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min timeout), batch twin of the
+    streaming applyInPandasWithState sessionizer: two windows + one agg,
+    a single shuffle on the user key."""
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        sessionize_events,
+    )
+
+    return sessionize_events(_events(spark, sf_dir), gap_minutes=30)
+
+
+@_q(
+    "q_value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type — the profiling
+    aggregate behind distribution dashboards.  floor(v/width) binning is
+    engine-exact on doubles; one partial-agg shuffle."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

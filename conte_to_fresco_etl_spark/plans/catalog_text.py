@@ -1335,3 +1335,33 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", "shard", "seq_id", "n_tokens", "tok_offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids (embedding-space monitoring)
+# ---------------------------------------------------------------------------
+
+_LABEL_CENTROIDS_SQL = """
+    WITH x AS (
+      SELECT label, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS v
+      FROM embeddings, generate_series(1, 64) AS g(i)
+      WHERE embedding IS NOT NULL AND i <= len(embedding)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+    FROM x GROUP BY label, dim
+"""
+
+@_q("q_label_centroids", _LABEL_CENTROIDS_SQL)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long (label, dim) format — narrow-row
+    shuffle with decimal-exact order-independent sums."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))

@@ -60,3 +60,27 @@ def write_set3_parquet(df: DataFrame, path: str) -> None:
         .option("maxRecordsPerFile", 1_000_000)
         .parquet(path)
     )
+
+
+def write_packed_shards(
+    packed: DataFrame, docs: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Materialize a packing plan (``pack_sequences`` output) as
+    training shards: parquet partitioned by ``shard=``, rows ordered so
+    a shard file replays as (seq_id, tok_offset) — the layout a data
+    loader consumes sequentially.
+
+    ``docs`` re-attaches payload columns (text, source, ...) by id; the
+    join broadcasts the PLAN side when it is the smaller (the usual
+    case is the reverse at 100 TB — then Spark picks a shuffle join on
+    the id, which is the right plan because both sides are huge).
+    ``sortWithinPartitions`` orders rows inside each written file
+    without a global sort."""
+    out = packed.join(docs, id_col)
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard", "seq_id", "tok_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

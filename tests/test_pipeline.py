@@ -49,3 +49,34 @@ def test_pipeline_end_to_end(spark, tmp_path):
     results2 = run_step2(spark, ts_dir, acct_dir, out_pq, out_csv)
     assert results2[0].rows == 2
     assert spark.read.parquet(f"{out_pq}/ym=2015_03").count() == 2
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+    from conte_to_fresco_etl_spark.sources.sinks import write_packed_shards
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 11 + 1), f"src{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    packed = pack_sequences(docs, budget=16, n_shards=4)
+    path = str(tmp_path / "shards")
+    write_packed_shards(packed, docs, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert back.select("shard").distinct().count() == 4
+    # every multi-doc sequence respects the budget after the round-trip
+    fills = back.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    assert fills.filter((F.col("fill") > 16) & (F.col("n") > 1)).count() == 0
+    # shard dirs exist on disk
+    import os
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2", "shard=3"]

@@ -138,3 +138,38 @@ def test_transform_folder_union(spark):
     assert set(r["Event"] for r in out.collect()) == {
         "cpuuser", "memused", "memused_minus_diskcache",
     }
+
+
+def test_sessionize_events_gap_semantics(spark):
+    import datetime as dt
+
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        sessionize_events,
+    )
+
+    t0 = dt.datetime(2023, 5, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 20 (one session), 60 (new), 95 (new)
+        (1, ts(0), 1), (2, ts(10), 1), (3, ts(20), 1),
+        (4, ts(60), 1), (5, ts(95), 1),
+        # user 2: single event
+        (6, ts(5), 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize_events(ev, gap_minutes=30).collect()
+    }
+    assert len(out) == 4
+    assert out[(1, 0)]["n_events"] == 3
+    assert out[(1, 0)]["session_start"] == ts(0)
+    assert out[(1, 0)]["session_end"] == ts(20)
+    assert out[(1, 1)]["n_events"] == 1 and out[(1, 1)]["session_start"] == ts(60)
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 0)]["n_events"] == 1

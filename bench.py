@@ -28,6 +28,7 @@ HEADLINE = [
     "conte_set3",
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_local_volume",
     "q_interval_join",
     "q_window_rate",
     "q_pivot_scatter",

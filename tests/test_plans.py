@@ -130,3 +130,51 @@ def test_corpus_curation_broadcasts_group_stats(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert explain_shuffle_count(df) <= 2
+
+
+def test_q5_dimension_chain_broadcasts(spark, sf_dir, qs):
+    """Q5's customer/supplier/nation/region chain must broadcast; the
+    only shuffle join allowed is lineitem-orders on the order key."""
+    plan = _physical(qs["q5_local_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # region filter reaches the scan
+    assert "r_name" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir, qs):
+    """The eval-gram set (benchmark side) must broadcast — the training
+    posting list never shuffles on the gram."""
+    plan = _physical(qs["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir, qs):
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    assert explain_shuffle_count(qs["q_pii_scrub"](spark, sf_dir)) == 0
+
+
+def test_stratified_and_temperature_sample_are_map_only(spark, sf_dir, qs):
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    assert explain_shuffle_count(qs["q_stratified_sample"](spark, sf_dir)) == 0
+    # temperature sampling: the sampling predicate itself is map-side
+    # (the group-count agg runs once at plan build, driver-side literal)
+    assert explain_shuffle_count(qs["q_temperature_sample"](spark, sf_dir)) == 0
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir, qs):
+    """Both windows and the session aggregate must share ONE user-key
+    shuffle (the agg keys are a superset partition of the window key,
+    so no second exchange is required before it)."""
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    assert explain_shuffle_count(qs["q_sessionize"](spark, sf_dir)) <= 2

@@ -84,3 +84,30 @@ def write_packed_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted table: rows are hash-
+    partitioned into ``n_buckets`` files by ``bucket_col`` and sorted
+    within each.  Two tables bucketed the same way equi-join on the
+    bucket column with ZERO exchanges — the co-located join that turns
+    a recurring 100 TB join's shuffle into a one-time write cost
+    (Spark's answer to the reference's pre-partitioned monthly files).
+
+    Requires the session catalog (``saveAsTable``); pass ``path`` for
+    an external table location."""
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -255,3 +255,42 @@ def test_quality_arrow_twin_matches_expr_twin(spark, batch):
     a = sorted(map(tuple, quality_filters(docs, impl="arrow").collect()))
     e = sorted(map(tuple, quality_filters(docs, impl="expr").collect()))
     assert a == e
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    st.integers(min_value=4, max_value=25),
+)
+def test_pack_sequences_invariants(spark, token_counts, budget):
+    """Greedy packing invariants on arbitrary inputs: (1) every doc is
+    placed exactly once; (2) a multi-doc sequence never exceeds the
+    budget; (3) offsets are the running fill in id order; (4) sequence
+    ids are contiguous from 0 per shard."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    rows = [(i, "w " * n) for i, n in enumerate(token_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(docs, budget=budget, n_shards=3).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    assert len(out) == len(token_counts)          # every doc placed once
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        fill: dict = {}
+        last_seq = 0
+        for r in rs:                               # doc_id ascending
+            assert r["shard"] == r["doc_id"] % 3
+            assert r["seq_id"] >= last_seq          # never goes back
+            assert r["seq_id"] <= last_seq + 1      # contiguous
+            last_seq = r["seq_id"]
+            assert r["tok_offset"] == fill.get(r["seq_id"], 0)
+            fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + r["n_tokens"]
+        for seq, total in fill.items():
+            n_docs = sum(1 for r in rs if r["seq_id"] == seq)
+            assert total <= budget or n_docs == 1

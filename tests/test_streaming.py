@@ -170,3 +170,56 @@ def test_stream_dedup(spark, tmp_path):
     rows = spark.sql("select * from dedup_out").collect()
     assert len(rows) == 5  # hours 0..4 exactly once
     assert len({r["Timestamp"] for r in rows}) == 5
+
+
+def test_curation_projections_run_on_streams(spark, tmp_path):
+    """The map-side curation operators (PII scrub, quality filters) are
+    plain projections, so the SAME functions must run unchanged on a
+    streaming DataFrame and produce row-identical output to batch —
+    the operator library is engine-mode agnostic."""
+    from conte_to_fresco_etl_spark.operators.pii import pii_scrub
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_filters,
+    )
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (0, "mail me at a@b.io today please"),
+        (1, "clean text only\nclean text only\nsecond line"),
+        (2, "call 555-123-4567 or visit 10.0.0.1"),
+        (3, ""),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # quality_filters' Arrow path and pii_scrub both compose on streams
+    q = pii_scrub(quality_filters(stream, impl="expr")
+                  .join(stream, "doc_id")
+                  .select("doc_id", "text", "keep"))
+    (
+        q.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            quality_filters(batch_df, impl="expr")
+            .join(batch_df, "doc_id")
+            .select("doc_id", "text", "keep")
+        ).collect()
+    }
+    assert len(got) == 4
+    for k in want:
+        assert got[k] == want[k]

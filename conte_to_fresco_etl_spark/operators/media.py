@@ -2,17 +2,20 @@
 columns with typed metadata (MEDIA_SCHEMA).
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partitioning posture — while the codec layer
-is deliberately pluggable: the actual image/audio libraries are not
-available in this environment, so each operator takes a ``codec``
-callable and ships with
+``mapInPandas`` signatures, partitioning posture — and the codec layer is
+pluggable, shipping three implementations:
 
-  * a **deterministic fake** (default in tests): decodes a payload into
-    reproducible arrays from its bytes alone, so the distributed
-    plumbing has exact assertions, and
-  * a **strict stub** that raises ``NotImplementedError`` with the
-    library it expects (Pillow / soundfile / pyav), marking exactly
-    where a real deployment plugs in.
+  * ``numpy_codec`` — a REAL decoder for uncompressed formats with no
+    external library: binary PPM (``P6``, comments, 8/16-bit) images
+    and PCM16 WAV (RIFF chunk walk, multi-channel) audio, dispatched by
+    magic bytes and exact-value tested end-to-end through the
+    distributed operators;
+  * a **deterministic fake**: decodes any payload into reproducible
+    arrays from its bytes alone, for plumbing assertions independent of
+    format;
+  * a **strict stub** that raises ``NotImplementedError`` naming the
+    library a COMPRESSED format needs (Pillow / soundfile / pyav),
+    marking exactly where a production deployment plugs in.
 
 Scale posture: payloads stay opaque bytes end-to-end (no base64 blow-up,
 no driver collection); per-batch decode cost is bounded by
@@ -43,13 +46,90 @@ _FAKE_DIM = 8
 
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
-    """The production plug-point.  Raises until a real codec library is
-    wired in."""
+    """The production plug-point for COMPRESSED formats.  Uncompressed
+    PPM images and PCM WAV audio decode natively (``numpy_codec``);
+    anything else raises until a codec library is wired in."""
     raise NotImplementedError(
-        "media decode requires a codec library not present in this "
-        "environment (image: Pillow, audio: soundfile, video: pyav); "
+        "compressed media decode requires a codec library not present "
+        "in this environment (image: Pillow, audio: soundfile, video: "
+        "pyav); uncompressed PPM/WAV decode natively via numpy_codec — "
         "pass codec=... to the operator"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders for uncompressed formats (no external libraries)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (``P6``) image to an (h, w, 3) float32 array
+    of raw sample values (0..maxval).  Full format support: ``#``
+    comments anywhere in the header, any whitespace runs, 8- or 16-bit
+    samples (16-bit is big-endian per the spec)."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {toks[0]!r}")
+    w, h, maxval = (int(t) for t in toks[1:])
+    i += 1  # exactly one whitespace byte separates header from data
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = w * h * 3
+    data = np.frombuffer(payload, dtype=dtype, count=n, offset=i)
+    return data.reshape(h, w, 3).astype(np.float32)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Decode a PCM16 WAV to an (n_samples, n_channels) float32 array
+    in [-1, 1).  Walks the RIFF chunk list (so extra chunks like LIST
+    are skipped), requires format tag 1 (PCM) and 16-bit samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, channels, fmt_seen = 12, 1, False
+    samples: np.ndarray | None = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (tag={tag}, bits={bits})"
+                )
+            fmt_seen = True
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_seen or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return (
+        samples.reshape(-1, channels).astype(np.float32) / np.float32(32768.0)
+    )
+
+
+def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
+    """Real decode for uncompressed formats, dispatched by magic bytes:
+    ``P6`` → PPM image, ``RIFF..WAVE`` → PCM WAV.  Compressed payloads
+    fall through to ``strict_codec``'s plug-point error."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return strict_codec(payload, modality)
 
 
 def fake_codec(payload: bytes, modality: str) -> np.ndarray:

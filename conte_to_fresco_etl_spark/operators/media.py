@@ -175,7 +175,11 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
                 if payload is None:
                     continue
                 raw = bytes(payload)
-                arr = codec(raw, mod)
+                # float64 stats regardless of decode dtype: float32
+                # accumulation would quantize the mean per batch shape,
+                # while the float64 value is the one a SQL oracle can
+                # recompute exactly
+                arr = codec(raw, mod).astype(np.float64)
                 out["media_id"].append(mid)
                 out["modality"].append(mod)
                 out["n_bytes"].append(len(raw))

@@ -568,40 +568,77 @@ def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MEDIA_DECODE_SQL = """
-    SELECT doc_id AS media_id,
+# Each document becomes a REAL 2x2 binary PPM whose 12 pixel bytes are
+# the first 12 hex chars of md5(text) — a payload both engines construct
+# byte-identically, decoded by the real PPM parser (numpy_codec), with
+# EVERY output column including the decoded pixel statistics recomputed
+# by the oracle: mean is an exact double (integer sum / 12), std matches
+# under ROUND 6.
+_PPM_HEADER = "P6\n2 2\n255\n"
+
+_MEDIA_DECODE_SQL = f"""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             '{_PPM_HEADER}' || substr(md5(text), 1, 12) AS s,
+             substr(md5(text), 1, 12) AS px
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT media_id, s,
+             list_transform(generate_series(1, 12),
+                            i -> CAST(ascii(substr(px, i, 1)) AS DOUBLE))
+               AS vals
+      FROM d
+    )
+    SELECT media_id,
            'image' AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS payload_md5,
-           CAST(64 AS BIGINT) AS n_values
-    FROM documents
-    WHERE text IS NOT NULL
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           md5(s) AS payload_md5,
+           CAST(12 AS BIGINT) AS n_values,
+           ROUND(list_sum(vals) / 12.0, 6) AS mean,
+           ROUND(sqrt(list_sum(list_transform(vals,
+                        x -> (x - list_sum(vals) / 12.0)
+                             * (x - list_sum(vals) / 12.0))) / 12.0), 6)
+             AS std
+    FROM p
 """
 
 @_q("q_media_decode", _MEDIA_DECODE_SQL)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing as a declared query: documents become binary
-    payloads (utf-8 bytes), decoded per Arrow batch with the
-    deterministic fake codec.  The gated columns are the SQL-expressible
-    half — per-row byte length and md5 of the payload (computed from the
-    bytes INSIDE the decode batch, so the oracle pins that the binary
-    column crossing the Arrow boundary is byte-identical to the source)
-    plus the decode output size (the fake codec's fixed 8x8 grid).  The
-    codec-dependent mean/std columns have no SQL twin and stay
-    Python-verified (tests/test_media.py asserts their determinism)."""
+    """Multimodal decode as a declared query, REAL codec end-to-end:
+    each document is packed into a valid 2x2 binary PPM (pixel bytes =
+    md5-hex prefix, so both engines build the identical payload),
+    shipped across the Arrow boundary as a binary column, and decoded
+    by the dependency-free PPM parser.  The oracle recomputes every
+    output column — payload length and md5 (pins byte-identity of the
+    binary column), decoded value count, and the decoded pixel mean and
+    std (pins the decode itself): the full decode path is gated, not
+    just the plumbing."""
     from conte_to_fresco_etl_spark.operators.media import (
         decode_stats,
-        fake_codec,
+        numpy_codec,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
+    media = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.encode(
+            F.concat(
+                F.lit(_PPM_HEADER), F.substring(F.md5(F.col("text")), 1, 12)
+            ),
+            "utf-8",
+        ).alias("payload"),
     )
-    return decode_stats(media, codec=fake_codec).select(
-        "media_id", "modality", "n_bytes", "payload_md5", "n_values"
+    out = decode_stats(media, codec=numpy_codec)
+    return out.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "payload_md5",
+        "n_values",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
     )
 
 

@@ -47,7 +47,9 @@ def test_decode_stats_deterministic(spark, media_df):
     assert rows[1]["n_bytes"] == len(b"img-payload-1")
     assert rows[1]["payload_md5"] == hashlib.md5(b"img-payload-1").hexdigest()
     # exact reproducibility against a local decode of the same payload
-    expected = float(fake_codec(b"img-payload-1", "image").mean())
+    expected = float(
+        fake_codec(b"img-payload-1", "image").astype("float64").mean()
+    )
     assert rows[1]["mean"] == pytest.approx(expected, abs=1e-12)
 
 

@@ -447,12 +447,16 @@ def unigram_nll(
         .persist()
     )
     vocab = tf.groupBy("term").agg(F.sum("__cnt").alias("__vc"))
-    n_total = vocab.agg(F.sum("__vc")).collect()[0][0]
-    term_nll = vocab.select(
+    # corpus total as a 1-row broadcast cross join, NOT a collect: the
+    # scalar stays inside the plan, so nothing touches the driver and
+    # the persisted tf is read once per consuming branch only
+    n_total = vocab.agg(F.sum("__vc").alias("__n_total"))
+    term_nll = vocab.crossJoin(F.broadcast(n_total)).select(
         "term",
         F.round(
             -F.log(
-                F.col("__vc").cast("double") / F.lit(float(n_total))
+                F.col("__vc").cast("double")
+                / F.col("__n_total").cast("double")
             ),
             9,
         )

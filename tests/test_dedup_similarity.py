@@ -380,3 +380,31 @@ def test_knn_classify_planted_clusters(spark):
     out = {r["query_id"]: r for r in knn_classify(corpus, queries, k=3).collect()}
     assert out[100]["pred_label"] == 7 and out[100]["n_votes"] == 3
     assert out[200]["pred_label"] == 3 and out[200]["n_votes"] == 3
+
+
+def test_decontaminate_empty_eval_set(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "some words here now")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    out = decontaminate(train, ev).collect()
+    assert len(out) == 1
+    assert out[0]["contaminated"] is False and out[0]["n_contam"] == 0
+
+
+def test_knn_classify_k_exceeds_corpus(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import knn_classify
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.9, 0.1], 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.05], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = knn_classify(corpus, queries, k=50).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 5 and out[0]["n_votes"] == 2

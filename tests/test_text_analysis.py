@@ -246,3 +246,12 @@ def test_top_bigrams_hand_check(spark):
     # ties at n=1 break alphabetically
     assert out[1]["n"] == 1 and out[2]["n"] == 1
     assert out[1]["bigram"] < out[2]["bigram"]
+
+
+def test_pack_sequences_empty_input(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs, budget=10, n_shards=4).count() == 0

@@ -153,3 +153,26 @@ def test_temperature_sample_flattens_mixture(spark, sf_dir):
     assert abs(after[biggest] - expect) / expect < 0.25
     # ratio between extremes flattens
     assert after[biggest] / after[smallest] < before[biggest] / before[smallest]
+
+
+def test_sampling_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.validation import (
+        cap_per_group,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    # fraction 0 drops the stratum entirely; fraction 1 keeps all
+    out = stratified_sample(
+        docs, strata_col="lang", fractions={"en": 0.0}, key_col="doc_id"
+    )
+    assert out.filter(F.col("lang") == "en").count() == 0
+    assert out.filter(F.col("lang") == "de").count() == 20
+    # cap larger than every group is the identity (plus rk)
+    capped = cap_per_group(docs, group_col="lang", key_col="doc_id", cap=999)
+    assert capped.count() == 40

@@ -16,8 +16,35 @@ Semantic notes (SURVEY §4 "small expression library"):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Re-tag every TIMESTAMP_NTZ column as session-local TIMESTAMP (LTZ).
+
+    The same tz-naive parquet (``timestamp[us]``, isAdjustedToUTC=false)
+    arrives as TIMESTAMP_NTZ or TIMESTAMP depending on the reading
+    session's ``spark.sql.parquet.inferTimestampNTZ.enabled`` /
+    ``spark.sql.timestampType``  — configs the engine does not control
+    when handed a caller's SparkSession.  NTZ breaks instant arithmetic
+    (``CAST(ts AS DOUBLE)`` and ``unix_micros`` are LTZ-only), so the
+    engine canonicalizes at the source: under the UTC session timezone
+    (pinned here, matching session.py's contract) the NTZ→LTZ cast is a
+    pure re-tag — the naive wall-clock is interpreted as UTC, exactly
+    DuckDB's naive-timestamp semantics, and downstream epoch math is
+    identical across both load shapes.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    try:
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - read-only conf in exotic harnesses
+        pass
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp_ltz") for c in ntz}
+    )
 
 
 def _col(c: Column | str) -> Column:

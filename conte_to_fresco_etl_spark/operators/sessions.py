@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+
 
 def sessionize_events(
     events: DataFrame,
@@ -33,6 +35,7 @@ def sessionize_events(
     Determinism: the intra-user order ties break by event id, and the
     gap compares integer microseconds — no float time math."""
     gap_us = gap_minutes * 60 * 1_000_000
+    events = normalize_ntz(events)  # unix_micros below is LTZ-only
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from conte_to_fresco_etl_spark.functions.core import clip
+from conte_to_fresco_etl_spark.functions.core import clip, normalize_ntz
 from conte_to_fresco_etl_spark.functions.job import (
     exitcode_case,
     host_list_string,
@@ -52,7 +52,7 @@ from conte_to_fresco_etl_spark.functions.text import LANG_STOPWORDS, EN_STOPWORD
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

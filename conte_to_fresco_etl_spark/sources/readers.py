@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from conte_to_fresco_etl_spark.functions.core import normalize_ntz
 from conte_to_fresco_etl_spark.schemas import ACCOUNTING_RAW_SCHEMA
 
 
@@ -90,7 +91,7 @@ def read_fresco_ts(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     Spark splits parquet inputs by row group natively."""
     if isinstance(paths, str):
         paths = [paths]
-    return spark.read.parquet(*paths)
+    return normalize_ntz(spark.read.parquet(*paths))
 
 
 # ---------------------------------------------------------------------------

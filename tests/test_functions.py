@@ -192,3 +192,48 @@ def test_cosine_zero_norm(spark):
         [([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP_NTZ robustness (the driver's session reads tz-naive parquet as
+# NTZ; round-2 regression — CAST(ts AS DOUBLE)/unix_micros are LTZ-only)
+# ---------------------------------------------------------------------------
+
+def test_normalize_ntz_retags_as_utc_instants(spark, tmp_path):
+    from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ntz.parquet")
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ'2015-03-01 10:00:00' AS ts, 1 AS v"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = normalize_ntz(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    # under the pinned UTC session tz the naive wall-clock IS the UTC
+    # instant: epoch must equal the hand-computed UTC epoch
+    got = out.select(F.unix_micros("ts").alias("us")).first()["us"]
+    import calendar
+    assert got == calendar.timegm((2015, 3, 1, 10, 0, 0)) * 1_000_000
+    # LTZ frames pass through untouched (same plan object)
+    assert normalize_ntz(out) is out
+
+
+def test_sessionize_accepts_ntz_frames(spark, tmp_path):
+    from conte_to_fresco_etl_spark.operators.sessions import sessionize_events
+
+    path = str(tmp_path / "ev_ntz.parquet")
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, TIMESTAMP_NTZ'2015-03-01 10:00:00', 7L),
+          (2L, TIMESTAMP_NTZ'2015-03-01 10:10:00', 7L),
+          (3L, TIMESTAMP_NTZ'2015-03-01 11:30:00', 7L)
+          AS t(event_id, ts, user_id)
+        """
+    ).write.parquet(path)
+    ev = spark.read.parquet(path)
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    rows = sessionize_events(ev, gap_minutes=30).orderBy("session_id").collect()
+    assert [(r["session_id"], r["n_events"]) for r in rows] == [(0, 2), (1, 1)]

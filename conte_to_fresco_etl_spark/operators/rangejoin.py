@@ -1,0 +1,109 @@
+"""Large-large range joins via time binning.
+
+A pure range predicate (``|t_a - t_b| <= tol``, or point-in-interval
+with no selective equi key) gives Spark nothing to hash on: the built-in
+plan is BroadcastNestedLoopJoin — O(|A|·|B|) compares and a broadcast
+that dies when neither side is small.  Binning restores an equi key:
+quantize time into ``tol``-width bins, emit each probe row into its own
+bin and the preceding one, hash-join on the bin id, then apply the exact
+range predicate to the (locally small) candidate set.
+
+Why the pair count is safe: a pair (a, b) with ``0 <= t_b - t_a <= tol``
+has ``floor(t_b/tol) - floor(t_a/tol) ∈ {0, 1}``, so emitting the probe
+side into exactly ``{bin, bin-1}`` finds every qualifying pair exactly
+once (the two emitted bins differ, so no dedup pass is needed).
+Candidate pairs are bounded by sum over bins of n_a(bin)·2·n_b(bin) —
+data-density bound, not |A|·|B|.
+
+Scale posture: one shuffle per side on the bin id (plus the 2x fan-out
+of the probe side), AQE skew-split applies to hot bins (bursts), and the
+exact filter runs inside whole-stage codegen.  The same shape services
+point-in-interval joins by exploding each interval into its covered bins
+(``explode_interval_bins``) — interval length / tol bounds the fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+
+
+def time_proximity_pairs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_seconds: float = 1.0,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Self range join: every unordered pair of rows whose timestamps
+    lie within ``tolerance_seconds`` of each other, each pair exactly
+    once as (id_a, id_b) with the EARLIER row (ties: smaller id) as
+    ``id_a``.  Output adds ``dt_us`` — the non-negative microsecond gap.
+
+    ``carry`` columns are attached from both rows as ``{c}_a``/``{c}_b``.
+    """
+    tol_us = int(tolerance_seconds * 1_000_000)
+    carry = carry or []
+    base = normalize_ntz(df).select(
+        F.col(id_col).alias("__id"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        *[F.col(c) for c in carry],
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__us").alias("us_a"),
+        (F.col("__us") - (F.col("__us") % tol_us)).alias("__bin"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.col("__us") - (F.col("__us") % tol_us),
+                F.col("__us") - (F.col("__us") % tol_us) - tol_us,
+            )
+        ).alias("__bin"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    dt = F.col("us_b") - F.col("us_a")
+    pairs = (
+        a.join(b, "__bin")
+        .filter(
+            (dt >= 0)
+            & (dt <= tol_us)
+            & ((dt > 0) | (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            dt.cast("long").alias("dt_us"),
+            *[f"{c}_a" for c in carry],
+            *[f"{c}_b" for c in carry],
+        )
+    )
+    return pairs
+
+
+def explode_interval_bins(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_seconds: float,
+    bin_name: str = "__bin",
+) -> DataFrame:
+    """One row per (interval, covered bin): the build side of a
+    point-in-interval range join (join points on
+    ``floor(epoch_us(pt)/w)*w == __bin`` then filter the exact range).
+    Fan-out per interval is ceil(length/bin) + 1 — pick ``bin_seconds``
+    near the median interval length to keep it O(1)."""
+    w_us = int(bin_seconds * 1_000_000)
+    iv = normalize_ntz(intervals)
+    s = F.unix_micros(F.col(start_col))
+    e = F.unix_micros(F.col(end_col))
+    return iv.withColumn(
+        bin_name,
+        F.explode(F.sequence(s - (s % w_us), e - (e % w_us), F.lit(w_us))),
+    )

@@ -1,0 +1,56 @@
+"""Hypertable-style time-bucket rollups.
+
+Timescale/ClickHouse-family engines maintain multi-resolution continuous
+aggregates (hour → day → total) as materialized hypertable rollups.  On
+Spark the same product is ONE declarative pass: truncate the timestamp
+to each grain and aggregate with GROUPING SETS / ROLLUP — Catalyst
+expands the sets inside a single Expand + partial-aggregate plan, so the
+input is scanned once and the shuffle carries only (key, grain) partial
+states, not raw rows.  That is strictly better than the union-of-N-
+aggregations a naive port would write (N scans, N shuffles).
+
+At 100 TB: partial aggregation makes the map side reduce each input
+partition to |keys|·|grains| rows before any shuffle; the result is
+dimension-table sized.  Sums are decimal-exact (order-independent), so
+rollup rows hash-match a naive reaggregation exactly — the invariant a
+continuous-aggregate maintainer has to guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    sum_decimals: int = 4,
+) -> DataFrame:
+    """Hierarchical (key, day, hour) rollup: hour-level rows plus
+    day-level, key-level, and grand-total super-aggregate rows (nulls
+    mark the rolled-up levels, ANSI ROLLUP semantics) in one pass.
+
+    Columns: ``{key}, bucket_day, bucket_hour, n, sum_value`` — sums in
+    DECIMAL(18, sum_decimals) cast to double so every level is exactly
+    the sum of its children across engines and row orders.
+    """
+    src = normalize_ntz(df)
+    dec = F.col(value_col).cast(f"decimal(18,{sum_decimals})")
+    return (
+        src.select(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("bucket_day"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_hour"),
+            dec.alias("__v"),
+        )
+        .rollup(key_col, "bucket_day", "bucket_hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__v").cast("double").alias("sum_value"),
+        )
+    )

@@ -783,3 +783,129 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Time-series operators the reference family exposes natively and
+#    Spark lacks: as-of join, large-large range join, hypertable rollup.
+#    Each is a composition of built-in ops (union+window / bin-join /
+#    grouping sets) — no Python in any hot path.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+    WITH u AS (
+      SELECT user_id, ts, 1 AS is_left, event_id, value,
+             NULL AS r_tie, NULL AS r_event_id, NULL AS r_value,
+             NULL AS r_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0 AS is_left, NULL, NULL,
+             event_id, event_id, value, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, ts, is_left, event_id, value,
+             LAST_VALUE(r_ts IGNORE NULLS) OVER w AS asof_ts,
+             LAST_VALUE(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
+             LAST_VALUE(r_value IGNORE NULLS) OVER w AS asof_value,
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, is_left, r_tie NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           asof_ts, asof_event_id, asof_value,
+           CAST(date_diff('microsecond', asof_ts, ts) AS BIGINT)
+             AS asof_lag_us
+    FROM m WHERE is_left = 1
+"""
+
+@_q("q_asof_join", _ASOF_SQL)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest at-or-before purchase of
+    the same user (ties on ts broken by the highest purchase event_id —
+    the inclusive backward convention of DuckDB ASOF JOIN /
+    pandas merge_asof).  Plan: tag + union + ONE hash shuffle on
+    user_id + running last() — no pair blow-up at any |L|·|R|."""
+    from conte_to_fresco_etl_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_tie="event_id",
+        attach=["event_id", "value"],
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "asof_ts", "asof_event_id", "asof_value", "asof_lag_us",
+    )
+
+
+_RANGE_PAIRS_SQL = """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS dt_us,
+           a.user_id AS user_id_a, b.user_id AS user_id_b
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 SECOND
+     AND (a.ts < b.ts OR a.event_id < b.event_id)
+"""
+
+@_q("q_range_pairs", _RANGE_PAIRS_SQL)
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range self-join (events within 1s of each other), binned:
+    quantize to tolerance-width bins, probe side fans out into
+    {bin, bin-1}, hash-join on the bin id, exact predicate after.  The
+    built-in plan for this predicate is BroadcastNestedLoopJoin —
+    O(n^2) compares; binning bounds candidates by per-bin density and
+    shuffles hash-partitioned, so the join survives two large sides."""
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        time_proximity_pairs,
+    )
+
+    return time_proximity_pairs(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        id_col="event_id",
+        tolerance_seconds=1.0,
+        carry=["user_id"],
+    )
+
+
+_ROLLUP_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             date_trunc('hour', ts) AS bucket_hour,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_day, bucket_hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM b
+    GROUP BY ROLLUP (event_type, bucket_day, bucket_hour)
+"""
+
+@_q("q_time_rollup", _ROLLUP_SQL)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour, day, key, grand
+    total) in ONE pass via ROLLUP grouping sets: Catalyst's Expand +
+    partial aggregation scans the input once and shuffles only partial
+    states.  Decimal sums make every level exactly equal the sum of its
+    children — the continuous-aggregate invariant."""
+    from conte_to_fresco_etl_spark.operators.rollup import time_rollup
+
+    return time_rollup(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        key_col="event_type",
+        value_col="value",
+    )

@@ -1,0 +1,163 @@
+"""Unit tests: as-of join, binned range join, hypertable rollup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from conte_to_fresco_etl_spark.operators.asof import asof_join
+from conte_to_fresco_etl_spark.operators.rangejoin import (
+    explode_interval_bins,
+    time_proximity_pairs,
+)
+from conte_to_fresco_etl_spark.operators.rollup import time_rollup
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05"), 100.0),
+            (2, "A", _ts("2024-01-01 10:00:10"), 101.0),
+            (3, "B", _ts("2024-01-01 10:00:07"), 50.0),
+            (4, "A", _ts("2024-01-01 09:59:59"), 99.0),  # before any quote
+        ],
+        "trade_id long, sym string, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (10, "A", _ts("2024-01-01 10:00:00"), 99.5),
+            (11, "A", _ts("2024-01-01 10:00:05"), 100.5),  # tie w/ trade 1
+            (12, "A", _ts("2024-01-01 10:00:05"), 100.6),  # same ts, higher id
+            (13, "B", _ts("2024-01-01 10:00:01"), 49.5),
+        ],
+        "quote_id long, sym string, ts timestamp, bid double",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_inclusive_with_tie_break(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on="sym", ts_col="ts",
+        right_tie="quote_id", attach=["quote_id", "bid"],
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    # equal-ts quote matches (inclusive); highest quote_id wins the tie
+    assert rows[1]["asof_quote_id"] == 12 and rows[1]["asof_bid"] == 100.6
+    assert rows[1]["asof_lag_us"] == 0
+    # later trade still sees the latest quote at-or-before
+    assert rows[2]["asof_quote_id"] == 12
+    assert rows[2]["asof_lag_us"] == 5_000_000
+    # per-key isolation
+    assert rows[3]["asof_quote_id"] == 13
+    # trade before any quote: unmatched, nulls
+    assert rows[4]["asof_quote_id"] is None
+    assert rows[4]["asof_ts"] is None and rows[4]["asof_lag_us"] is None
+
+
+def test_asof_forward_direction(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on="sym", ts_col="ts",
+        right_tie="quote_id", attach=["quote_id"], direction="forward",
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    # trade 4 (09:59:59) now matches the next quote at 10:00:00
+    assert rows[4]["asof_quote_id"] == 10
+    assert rows[4]["asof_lag_us"] == 1_000_000
+    # trade 2 (10:00:10) has no quote at-or-after
+    assert rows[2]["asof_quote_id"] is None
+
+
+def test_asof_tolerance_nulls_distant_matches(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on="sym", ts_col="ts",
+        right_tie="quote_id", attach=["quote_id"],
+        tolerance_seconds=2.0,
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    assert rows[1]["asof_quote_id"] == 12      # lag 0 <= 2s
+    assert rows[2]["asof_quote_id"] is None    # lag 5s > 2s → nulled
+    assert rows[2]["asof_lag_us"] is None
+    assert len(rows) == 4                      # left rows never dropped
+
+
+def test_asof_single_shuffle_plan(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="sym", right_tie="quote_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_time_proximity_pairs_exact_and_once(spark):
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (1, base, "u"),
+        (2, base + dt.timedelta(microseconds=999_999), "u"),   # in tol of 1
+        (3, base + dt.timedelta(seconds=1), "v"),              # == tol of 1
+        (4, base + dt.timedelta(seconds=2, microseconds=1), "v"),  # out of 3's tol... in? dt=1.000001 > 1s
+        (5, base, "w"),                                        # exact tie with 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    out = time_proximity_pairs(df, tolerance_seconds=1.0, carry=["user_id"])
+    got = {(r["id_a"], r["id_b"]): r["dt_us"] for r in out.collect()}
+    assert got[(1, 2)] == 999_999
+    assert got[(1, 3)] == 1_000_000
+    assert got[(1, 5)] == 0 and (5, 1) not in got
+    assert got[(2, 3)] == 1
+    # 5 (t=0) is the earlier row of its pairs, so it leads them
+    assert got[(5, 2)] == 999_999
+    assert got[(5, 3)] == 1_000_000
+    # 4 is 1.000001s after 3 — strictly outside the inclusive tolerance
+    assert (3, 4) not in got
+    assert len(got) == 6
+
+
+def test_explode_interval_bins_covers_and_bounds(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:30"), _ts("2024-01-01 00:02:10"))],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    out = explode_interval_bins(iv, "s", "e", bin_seconds=60.0)
+    bins = sorted(r["__bin"] for r in out.collect())
+    # covers minutes 0, 1, 2 of the hour — exactly the bins a point
+    # inside [s, e] can fall into
+    start_min = dt.datetime(2024, 1, 1).timestamp()  # tz-naive == UTC in tests
+    assert len(bins) == 3
+    assert bins[1] - bins[0] == 60_000_000 and bins[2] - bins[1] == 60_000_000
+
+
+def test_time_rollup_levels_sum_exactly(spark):
+    rows = [
+        ("a", _ts("2024-01-01 10:15:00"), 1.5),
+        ("a", _ts("2024-01-01 10:45:00"), 2.25),
+        ("a", _ts("2024-01-01 11:05:00"), 4.0),
+        ("b", _ts("2024-01-02 00:00:00"), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_rollup(df).collect()
+    by_key = {
+        (r["event_type"], r["bucket_day"], r["bucket_hour"]): (r["n"], r["sum_value"])
+        for r in out
+    }
+    d1 = dt.datetime(2024, 1, 1)
+    # hour level
+    assert by_key[("a", d1, d1.replace(hour=10))] == (2, 3.75)
+    assert by_key[("a", d1, d1.replace(hour=11))] == (1, 4.0)
+    # day level = sum of its hours
+    assert by_key[("a", d1, None)] == (3, 7.75)
+    # key level and grand total
+    assert by_key[("a", None, None)] == (3, 7.75)
+    assert by_key[(None, None, None)] == (4, 15.75)
+    # 3 hour rows + 2 day rows + 2 key rows + 1 total
+    assert len(out) == 8

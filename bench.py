@@ -74,6 +74,11 @@ HEADLINE = [
     "q_sessionize",
     "q_value_histogram",
     "q_label_centroids",
+    "q_asof_join",
+    "q_range_pairs",
+    "q_time_rollup",
+    "q_dedup_canonical",
+    "q_shard_manifest",
 ]
 
 

@@ -937,3 +937,34 @@ def winnowing_fingerprints(
         )
     )
     return out.select(F.col(id_col), F.explode(fp_arr).alias("fp"))
+
+
+def canonical_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Keep-best dedup decision table: for every doc that belongs to a
+    near-dup cluster, (doc_id, component, quality, keep) where exactly
+    one doc per cluster — the highest ``quality_col``, ties to the
+    smallest id — carries ``keep = true``.  Docs in no cluster are
+    implicitly kept (absent here; an anti-join against this table's
+    ``keep = false`` rows IS the dedup filter, so the full corpus is
+    never reshuffled).
+
+    Scale: components are bounded by the dup subset; the quality join
+    attaches one small column by id; the keep choice is one window over
+    components — all orders of magnitude under corpus size.
+    """
+    comp = neardup_components(df, id_col, text_col, **minhash_kwargs)
+    q = df.select(F.col(id_col), F.col(quality_col))
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        comp.join(q, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "component", quality_col, "keep")
+    )

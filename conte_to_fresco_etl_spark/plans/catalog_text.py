@@ -1402,3 +1402,81 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection + deterministic shard manifest
+# ---------------------------------------------------------------------------
+
+_CANONICAL_SQL = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT c.doc_id, c.component, d.n_chars,
+           (ROW_NUMBER() OVER (PARTITION BY c.component
+                               ORDER BY d.n_chars DESC, c.doc_id ASC) = 1)
+             AS keep
+    FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
+@_q("q_dedup_canonical", _CANONICAL_SQL)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster dedup decision: near-dup components →
+    exactly one keeper (highest n_chars, ties to smallest id) per
+    cluster.  The anti-joinable (keep = false) set IS the dedup filter;
+    the corpus itself is never reshuffled."""
+    from conte_to_fresco_etl_spark.operators.dedup import canonical_docs
+
+    return canonical_docs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR)", 8)} % 16 AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+"""
+
+@_q("q_shard_manifest", _SHARD_MANIFEST_SQL)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export manifest: content-independent md5 sharding
+    (stable under re-runs and corpus growth, unlike round-robin or
+    monotonically_increasing_id) + per-shard size accounting.  One
+    map-side projection + one 16-group aggregate; the shard column is
+    also the partitionBy key a writer would use."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        md5_long(F.col("doc_id").cast("string"), hex_chars=8) % 16
+    ).alias("shard")
+    return (
+        docs.select(shard, "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

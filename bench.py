@@ -79,6 +79,8 @@ HEADLINE = [
     "q_time_rollup",
     "q_dedup_canonical",
     "q_shard_manifest",
+    "q_incremental_dedup",
+    "q_trailing_window",
 ]
 
 

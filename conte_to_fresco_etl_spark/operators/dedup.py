@@ -968,3 +968,83 @@ def canonical_docs(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(id_col, "component", quality_col, "keep")
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus near-dup probe: (new_id, existing_id, est_jaccard)
+    for every NEW document whose estimated Jaccard against some EXISTING
+    document clears ``threshold`` — the incremental form of
+    ``minhash_lsh_pairs`` a growing corpus runs per ingest batch.
+
+    Why it's the scale shape: the existing corpus contributes only its
+    (id, band, key) rows and signatures — in production those are
+    computed ONCE and stored (parquet bucketed by band key), so each
+    ingest hashes just the new batch and probes the band index; nothing
+    ever rescans or re-pairs the historical corpus against itself.
+    Candidates are band collisions between the two sides only —
+    new x new and old x old pairs are never generated.
+    """
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n, seed
+    ).persist()
+    sig_old = minhash_signatures(
+        existing_docs, id_col, text_col, num_hashes, shingle_n, seed
+    ).persist()
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bn = sig_new.select(
+        F.col(id_col).alias("new_id"), F.explode(band_structs).alias("b")
+    )
+    bo = sig_old.select(
+        F.col(id_col).alias("existing_id"), F.explode(band_structs).alias("b")
+    )
+    cand = (
+        bn.join(
+            bo,
+            (bn["b.band"] == bo["b.band"]) & (bn["b.key"] == bo["b.key"]),
+        )
+        .select("new_id", "existing_id")
+        .dropDuplicates(["new_id", "existing_id"])
+    )
+    sa = sig_new.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")
+    )
+    sb = sig_old.select(
+        F.col(id_col).alias("existing_id"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(F.broadcast(sa), "new_id")
+        .join(F.broadcast(sb), "existing_id")
+        .select("new_id", "existing_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -909,3 +909,39 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="event_type",
         value_col="value",
     )
+
+
+_TRAILING_SQL = """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+@_q("q_trailing_window", _TRAILING_SQL)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user aggregate via a RANGE window frame on
+    epoch microseconds — the rolling-metric shape (rate limiting,
+    trailing load) that tumbling buckets can't express.  One shuffle on
+    the user key; the range frame is a sliding pointer over the sorted
+    partition, not a self-join.  Decimal sums keep the frame total
+    exact under any evaluation order."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -1480,3 +1480,65 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+_MH_BANDS_TAGGED_SQL = "\n      UNION ALL\n".join(
+    f"SELECT doc_id, is_new, sig, {i} AS band, "
+    f"array_to_string(sig[{i * 4 + 1}:{i * 4 + 4}], ',') AS key FROM sigs"
+    for i in range(12)
+)
+
+_INCREMENTAL_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t, (doc_id >= 250) AS is_new
+      FROM documents WHERE length(text) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, is_new,
+             list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                          i -> substr(t, i, 5))) AS shingles
+      FROM docs
+    ),
+    hb AS (
+      SELECT doc_id, is_new,
+             list_transform(shingles, s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (
+      SELECT doc_id, is_new, [
+      {_MH_SIG_TERMS}] AS sig FROM hb
+    ),
+    bands AS (
+      {_MH_BANDS_TAGGED_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS existing_id,
+             n.sig AS sa, o.sig AS sb
+      FROM bands n
+      JOIN bands o ON n.band = o.band AND n.key = o.key
+                   AND n.is_new AND NOT o.is_new
+    )
+    SELECT new_id, existing_id, est_jaccard FROM (
+      SELECT new_id, existing_id,
+             CAST(len(list_filter(generate_series(1, 48), i -> sa[i] = sb[i])) AS DOUBLE) / 48.0
+               AS est_jaccard
+      FROM cand
+    ) WHERE est_jaccard >= 0.5
+"""
+
+@_q("q_incremental_dedup", _INCREMENTAL_SQL)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup against a standing corpus: docs with id >= 250
+    play the new batch, the rest the historical corpus.  Only the new
+    side is hashed per ingest in production (existing band keys +
+    signatures are precomputed and stored); candidates are cross-side
+    band collisions only — the historical corpus is never re-paired
+    against itself."""
+    from conte_to_fresco_etl_spark.operators.dedup import incremental_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_neardup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+    )

@@ -219,3 +219,48 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_emb")
+
+
+def test_range_pairs_hash_joins_on_bins(spark, sf_dir, qs):
+    """The binned range join must plan as an equi join on the bin id —
+    never the BroadcastNestedLoopJoin Spark picks for the raw range
+    predicate."""
+    plan = _physical(qs["q_range_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # tiny sf: AQE may demote to broadcast
+    )
+
+
+def test_time_rollup_one_pass_expand(spark, sf_dir, qs):
+    """ROLLUP must be ONE Expand + partial aggregation + one shuffle —
+    not a union of per-grain scans (the events scan appears once)."""
+    df = qs["q_time_rollup"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Expand") >= 1
+    assert "partial" in plan.lower()
+    assert plan.count("events.parquet") <= plan.count("Scan parquet") == 1
+    assert explain_shuffle_count(df) == 1
+
+
+def test_trailing_window_single_shuffle(spark, sf_dir, qs):
+    assert explain_shuffle_count(qs["q_trailing_window"](spark, sf_dir)) == 1
+
+
+def test_incremental_dedup_never_pairs_the_corpus_with_itself(spark):
+    """Cross-corpus band join: old x old collisions must not appear."""
+    from conte_to_fresco_etl_spark.operators.dedup import incremental_neardup
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    old = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"  # old dup pair
+    )
+    new = spark.createDataFrame(
+        [(10, text), (11, "totally different content with no overlap here")],
+        "doc_id long, text string",
+    )
+    got = incremental_neardup(new, old).collect()
+    pairs = {(r["new_id"], r["existing_id"]) for r in got}
+    # new dup collides with BOTH old copies; the old x old pair is absent
+    assert pairs == {(10, 1), (10, 2)}
+    assert all(r["est_jaccard"] == 1.0 for r in got)

@@ -105,7 +105,7 @@ def test_time_proximity_pairs_exact_and_once(spark):
         (1, base, "u"),
         (2, base + dt.timedelta(microseconds=999_999), "u"),   # in tol of 1
         (3, base + dt.timedelta(seconds=1), "v"),              # == tol of 1
-        (4, base + dt.timedelta(seconds=2, microseconds=1), "v"),  # out of 3's tol... in? dt=1.000001 > 1s
+        (4, base + dt.timedelta(seconds=2, microseconds=1), "v"),  # 1.000001s after 3
         (5, base, "w"),                                        # exact tie with 1
     ]
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
@@ -132,7 +132,6 @@ def test_explode_interval_bins_covers_and_bounds(spark):
     bins = sorted(r["__bin"] for r in out.collect())
     # covers minutes 0, 1, 2 of the hour — exactly the bins a point
     # inside [s, e] can fall into
-    start_min = dt.datetime(2024, 1, 1).timestamp()  # tz-naive == UTC in tests
     assert len(bins) == 3
     assert bins[1] - bins[0] == 60_000_000 and bins[2] - bins[1] == 60_000_000
 
@@ -161,3 +160,62 @@ def test_time_rollup_levels_sum_exactly(spark):
     assert by_key[(None, None, None)] == (4, 15.75)
     # 3 hour rows + 2 day rows + 2 key rows + 1 total
     assert len(out) == 8
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an independent reference implementation:
+    pandas.merge_asof (backward, inclusive) on randomized frames.  With
+    the right side pre-sorted by (ts, tie), merge_asof's last-wins tie
+    rule equals asof_join's highest-tie rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.integers(0, 5, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400, n_l), unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_r),
+            "k": rng.integers(0, 5, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400, n_r), unit="s"),
+            "px": rng.random(n_r).round(6),
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values(["ts", "rid"]).rename(columns={"rid": "asof_rid"}),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            ts_col="ts",
+            right_tie="rid",
+            attach=["rid", "px"],
+        )
+        .select("lid", "asof_rid")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected[["lid", "asof_rid"]]
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), exp.astype("float64")
+    )

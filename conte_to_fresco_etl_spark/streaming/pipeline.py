@@ -144,3 +144,50 @@ def windowed_event_rates(
             "max_value",
         )
     )
+
+
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — attribution shape:
+    every (click, purchase) pair of the same key where the purchase
+    lands in [click_ts, click_ts + within].
+
+    This is the streaming capability the reference's poll-loop
+    architecture cannot express at all: BOTH sides are unbounded, and
+    correctness needs buffering.  Spark's state store holds each side's
+    rows until the other side's watermark proves no more matches can
+    arrive; the time-range join condition is what lets the engine
+    compute that bound, so state is O(rows within the watermark
+    horizon), never unbounded.
+
+    Scale posture: one shuffle per side on the key; state cleanup is
+    driven by the watermark, so the join runs indefinitely at constant
+    memory per key-second of traffic.  ``how="leftOuter"`` emits
+    unconverted clicks (with null purchase columns) once their window
+    expires — the streaming form of the left-join conversion funnel.
+    """
+    c = clicks.withWatermark(ts_col, watermark_delay).alias("c")
+    p = purchases.withWatermark(ts_col, watermark_delay).alias("p")
+    cond = (
+        (F.col(f"c.{key}") == F.col(f"p.{key}"))
+        & (F.col(f"p.{ts_col}") >= F.col(f"c.{ts_col}"))
+        & (
+            F.col(f"p.{ts_col}")
+            <= F.col(f"c.{ts_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return c.join(p, cond, how).select(
+        F.col(f"c.{key}").alias(key),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+        F.col("c.click_id"),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+        F.col("p.purchase_id"),
+        F.col("p.amount"),
+    )

@@ -223,3 +223,54 @@ def test_curation_projections_run_on_streams(spark, tmp_path):
     assert len(got) == 4
     for k in want:
         assert got[k] == want[k]
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Both sides unbounded: purchases within 30min after a click of
+    the same user match; outside-window and cross-user purchases do
+    not.  Uses file sources + availableNow + a memory sink."""
+    import datetime
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        stream_stream_attribution_join,
+    )
+
+    t0 = datetime.datetime(2015, 3, 1, 12, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    spark.createDataFrame(
+        [(1, "u1", t0), (2, "u1", mins(60)), (3, "u2", t0)],
+        "click_id long, user_id string, ts timestamp",
+    ).coalesce(1).write.parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [
+            (10, "u1", mins(10), 5.0),    # matches click 1
+            (11, "u1", mins(65), 7.0),    # matches click 2 only
+            (12, "u2", mins(45), 9.0),    # > 30min after click 3: no match
+            (13, "u3", mins(5), 1.0),     # no click for u3
+        ],
+        "purchase_id long, user_id string, ts timestamp, amount double",
+    ).coalesce(1).write.parquet(str(purch_dir))
+
+    c_schema = "click_id long, user_id string, ts timestamp"
+    p_schema = "purchase_id long, user_id string, ts timestamp, amount double"
+    joined = stream_stream_attribution_join(
+        spark.readStream.schema(c_schema).parquet(str(clicks_dir)),
+        spark.readStream.schema(p_schema).parquet(str(purch_dir)),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == {(1, 10), (2, 11)}

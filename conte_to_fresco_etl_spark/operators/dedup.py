@@ -779,6 +779,8 @@ def connected_components(
     # partitions per round is pure scheduler overhead at small scale,
     # while the ratio keeps partitions bounded (~500k nodes each) when
     # the graph is big.
+    from pyspark.sql import Observation
+
     n_nodes = labels.count()
     parts = max(1, min(edges.rdd.getNumPartitions(), n_nodes // 500_000 + 1))
     labels = labels.coalesce(parts).localCheckpoint()
@@ -791,7 +793,10 @@ def connected_components(
         )
         # localCheckpoint truncates lineage — without it each round's
         # plan embeds the previous round's TWICE and plan-size growth is
-        # exponential in the iteration count
+        # exponential in the iteration count.  The convergence metric
+        # rides the SAME materialization job via observe() — one action
+        # per round, not a checkpoint plus a separate aggregate scan.
+        obs = Observation()
         labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -800,10 +805,11 @@ def connected_components(
                     labels["label"], F.coalesce(F.col("__nbr"), labels["label"])
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .coalesce(parts)
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:  # fixed point: labels can only decrease
             break
         prev_sum = new_sum

@@ -81,6 +81,8 @@ HEADLINE = [
     "q_shard_manifest",
     "q_incremental_dedup",
     "q_trailing_window",
+    "q_doc_chunks",
+    "q_kmeans_step",
 ]
 
 

@@ -561,3 +561,83 @@ def label_centroids(
             ).alias("mean_val"),
         )
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd iteration: assign every vector to its
+    nearest centroid (squared L2 against broadcast centroid literals,
+    first-minimum tie rule), then emit the UPDATED centroids in long
+    (cluster, dim) format — ``(cluster, dim, n_vecs, mean_val)``.
+
+    This is the full-corpus counterpart of ``train_ivf_centroids``'s
+    driver-side NumPy loop: there the sample fits one machine; here
+    each iteration is one map-side assignment projection plus one
+    narrow-row (cluster, dim) shuffle with partial sums — the shape an
+    actual 100 TB k-means must take.  Iterate by feeding the returned
+    means back in as the next ``centroids``.
+
+    Exactness: distances are built as the identical left-associated
+    double expression tree the SQL oracle generates (same literals,
+    same order), so assignments are bit-reproducible across engines;
+    per-dim contributions round to 9 decimals and sum as DECIMAL, so
+    means are aggregation-order independent (``label_centroids``
+    discipline).
+    """
+    k, dim = len(centroids), len(centroids[0])
+    x = [F.col(vec_col)[d].cast("double") for d in range(dim)]
+
+    def dist_sq(c):
+        terms = [
+            (x[d] - F.lit(float(c[d]))) * (x[d] - F.lit(float(c[d])))
+            for d in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    ds = F.array(*[dist_sq(centroids[j]) for j in range(k)])
+    assigned = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.array_position(ds, F.array_min(ds)).alias("__cl"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+    )
+    return (
+        assigned.groupBy("__cl", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.round(F.col("val").cast("double"), 9).cast("decimal(18,9)")
+            ).alias("__s"),
+        )
+        .select(
+            F.col("__cl").cast("long").alias("cluster"),
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("__s").cast("double") / F.col("n_vecs"), 6).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
+def deterministic_centroids(k: int = 8, dim: int = 64, seed: int = 7):
+    """Seed centroids as PURE LITERALS: k x dim uniform values in
+    [-1, 1] from a seeded PRNG — a function of (k, dim, seed) alone, so
+    any engine (or the SQL oracle) rebuilds the identical doubles.
+    Literal seeds make a k-means STEP exactly gateable; for quality
+    seeding on real data use ``seed_centroids`` (hash-ranked corpus
+    draw) or k-means|| and gate the step function instead."""
+    import random
+
+    rng = random.Random(seed)
+    return np.array(
+        [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(k)]
+    )

@@ -40,6 +40,7 @@ from conte_to_fresco_etl_spark.functions.text import (
     simhash32,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 #: ASCII \s, matching Java regex semantics in the expression twin.
@@ -633,3 +634,53 @@ def top_bigrams(
     return counts.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("bigram", F.col("n").cast("long").alias("n"), "rank")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking step a training/RAG pipeline runs before
+    embedding or packing: windows of ``max_tokens`` starting every
+    ``max_tokens - overlap`` tokens, last window clamped to the end.
+    Empty documents emit no chunks; every non-empty document emits at
+    least one.
+
+    Output: (id, chunk_id, chunk_text, chunk_n_tokens), chunk_id
+    0-based in document order.
+
+    Scale: map-side only — tokenize, compute the chunk count
+    arithmetically, explode a 0..n_chunks-1 sequence, slice.  Fan-out
+    per row is len/step, bounded by the document length that already
+    bounds the scan; no shuffle at any size.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(step)),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * step + 1, max_tokens
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("chunk_n_tokens"),
+        )
+    )

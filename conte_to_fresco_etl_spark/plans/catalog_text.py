@@ -1542,3 +1542,111 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 250),
         num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + distributed k-means step
+# ---------------------------------------------------------------------------
+
+_CHUNKS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    nn AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(1, CAST(ceil(CAST(n - 16 AS DOUBLE) / 48.0) AS BIGINT))
+               AS n_chunks
+      FROM nn
+    )
+    ,x AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS i
+      FROM c
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+           CAST(len(toks[i*48 + 1 : i*48 + 64]) AS BIGINT) AS chunk_n_tokens
+    FROM x
+"""
+
+@_q("q_doc_chunks", _CHUNKS_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, 16-token overlap):
+    map-side tokenize + arithmetic chunk count + explode + slice — the
+    pre-embedding/packing step of a training pipeline, zero shuffles."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+
+
+def _kmeans_sql(cents) -> str:
+    dim = len(cents[0])
+
+    def dist(c):
+        return " + ".join(
+            f"(CAST(embedding[{d+1}] AS DOUBLE) - ({float(c[d])!r}))"
+            f"*(CAST(embedding[{d+1}] AS DOUBLE) - ({float(c[d])!r}))"
+            for d in range(dim)
+        )
+
+    d_cols = ",\n             ".join(
+        f"({dist(c)}) AS d{j}" for j, c in enumerate(cents)
+    )
+    d_list = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding,
+             {d_cols}
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    a AS (
+      SELECT embedding,
+             list_position({d_list}, list_min({d_list})) AS cl
+      FROM d
+    ),
+    x AS (
+      SELECT cl, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS v
+      FROM a, generate_series(1, {dim}) AS g(i)
+      WHERE i <= len(embedding)
+    )
+    SELECT CAST(cl AS BIGINT) AS cluster,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_val
+    FROM x GROUP BY cl, dim
+"""
+
+
+def _kmeans_centroids():
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        deterministic_centroids,
+    )
+
+    return deterministic_centroids(k=8, dim=64, seed=7)
+
+
+_KMEANS_SQL = _kmeans_sql(_kmeans_centroids())
+
+@_q("q_kmeans_step", _KMEANS_SQL)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd iteration over the full corpus: map-side
+    nearest-centroid assignment against shared deterministic centroid
+    literals (both engines embed the SAME left-associated double
+    expression tree, so assignments are bit-reproducible), then a
+    narrow (cluster, dim) shuffle with decimal-exact partial sums for
+    the updated means.  The 100 TB k-means shape: per-iteration cost is
+    one scan + one narrow shuffle; iterate by feeding means back in."""
+    from conte_to_fresco_etl_spark.operators.similarity import kmeans_step
+
+    return kmeans_step(
+        _t(spark, sf_dir, "embeddings"), _kmeans_centroids()
+    )

@@ -111,3 +111,46 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition: str | None = None,
+    target_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite one partition directory (or an
+    unpartitioned dataset) so its row count divides into
+    ``target_records_per_file`` files instead of whatever micro-batch /
+    task fan-out produced.  Returns the number of files written.
+
+    The operational complement of the streaming sinks: availableNow
+    drains and per-task commits accumulate many small parquet files,
+    and at 100 TB the NameNode/listing cost and per-file open overhead
+    dominate reads long before data size does.  Compaction is a
+    read→coalesce→overwrite of ONE partition at a time — the blast
+    radius of a failure is that partition, and the write is atomic via
+    the same task-commit protocol as every other sink.
+    """
+    import math
+
+    target = f"{path.rstrip('/')}/{partition}" if partition else path
+    df = spark.read.parquet(target)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_records_per_file))
+    (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .parquet(target + "__compact_tmp")
+    )
+    # atomic-enough swap through the FS API (same pattern as the
+    # reference's temp-file + rename append, conte-etl-step-2-
+    # processor.py:113-221, but directory-level)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(target).getFileSystem(conf)
+    fs.delete(Path(target), True)
+    fs.rename(Path(target + "__compact_tmp"), Path(target))
+    return n_files

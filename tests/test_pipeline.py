@@ -8,6 +8,8 @@ import glob
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from conte_to_fresco_etl_spark.pipeline import run_step1, run_step2
 
 
@@ -80,3 +82,42 @@ def test_write_packed_shards_roundtrip(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("shard=")
     ) == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+
+def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
+    from conte_to_fresco_etl_spark.sources.sinks import compact_partition
+
+    out = str(tmp_path / "frag")
+    # fragment: 8 single-row files in one partition dir
+    spark.range(8).withColumn("d", F.lit("2015-03-01")).repartition(
+        8
+    ).write.partitionBy("d").parquet(out)
+    part = "d=2015-03-01"
+    import glob
+
+    before = glob.glob(f"{out}/{part}/*.parquet")
+    assert len(before) > 1  # fragmented (empty task partitions write none)
+    n_files = compact_partition(spark, out, part, target_records_per_file=100)
+    after = glob.glob(f"{out}/{part}/*.parquet")
+    assert n_files == 1 and len(after) == 1
+    assert sorted(
+        r["id"] for r in spark.read.parquet(f"{out}/{part}").collect()
+    ) == list(range(8))
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """Partition pruning: a filter on the partition column must reach
+    the scan as a PartitionFilter — the reader lists ONE directory, not
+    the dataset (the property that makes ym=/d= layouts work at 100 TB).
+    """
+    out = str(tmp_path / "parts")
+    df = spark.range(100).withColumn(
+        "ym", F.concat(F.lit("2015_0"), (F.col("id") % 3 + 1).cast("string"))
+    )
+    df.write.partitionBy("ym").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("ym") == "2015_02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ym" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert q.count() == 33

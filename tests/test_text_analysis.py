@@ -255,3 +255,59 @@ def test_pack_sequences_empty_input(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(docs, budget=10, n_shards=4).count() == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [
+            (1, ""),               # empty: no chunks
+            (2, "a b"),            # under overlap: one chunk
+            (3, toks(10)),         # == max: exactly one chunk
+            (4, toks(11)),         # max+1: two chunks, second overlaps
+            (5, toks(17)),         # 10 + step(7) => 2 chunks
+            (6, toks(18)),         # needs a third window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=3)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_n_tokens"]) for r in out.collect()
+    )
+    assert rows == [
+        (2, 0, 2),
+        (3, 0, 10),
+        (4, 0, 10), (4, 1, 4),     # second window starts at token 7
+        (5, 0, 10), (5, 1, 10),
+        (6, 0, 10), (6, 1, 10), (6, 2, 4),
+    ]
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    c4 = {r["chunk_id"]: r["chunk_text"].split() for r in out.filter(
+        "doc_id = 4").collect()}
+    assert c4[0][-3:] == c4[1][:3]
+
+
+def test_kmeans_step_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import kmeans_step
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(5.0, 0.1, (20, 4))
+    b = rng.normal(-5.0, 0.1, (30, 4))
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[4.0] * 4, [-4.0] * 4])
+    out = kmeans_step(df, cents).collect()
+    n_by_cluster = {r["cluster"]: r["n_vecs"] for r in out}
+    assert n_by_cluster == {1: 20, 2: 30}  # 1-based cluster ids
+    means = {
+        (r["cluster"], r["dim"]): r["mean_val"] for r in out
+    }
+    for d in range(1, 5):
+        assert abs(means[(1, d)] - 5.0) < 0.1
+        assert abs(means[(2, d)] - (-5.0)) < 0.1

@@ -568,6 +568,7 @@ def kmeans_step(
     centroids: "np.ndarray",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """One distributed Lloyd iteration: assign every vector to its
     nearest centroid (squared L2 against broadcast centroid literals,
@@ -581,34 +582,83 @@ def kmeans_step(
     actual 100 TB k-means must take.  Iterate by feeding the returned
     means back in as the next ``centroids``.
 
-    Exactness: distances are built as the identical left-associated
-    double expression tree the SQL oracle generates (same literals,
-    same order), so assignments are bit-reproducible across engines;
-    per-dim contributions round to 9 decimals and sum as DECIMAL, so
-    means are aggregation-order independent (``label_centroids``
-    discipline).
+    Exactness: both impls evaluate the IDENTICAL left-associated double
+    arithmetic the SQL oracle generates (same literals, same term
+    order; IEEE ops are correctly rounded, so identical order ⇒
+    identical bits), with the first-minimum tie rule — assignments are
+    bit-reproducible across engines.  Per-dim contributions round to 9
+    decimals and sum as DECIMAL, so means are aggregation-order
+    independent (``label_centroids`` discipline).
+
+    ``arrow`` (default) runs the k·dim fused multiply-adds as NumPy
+    row-vector ops with an explicit per-dim accumulation loop (which
+    preserves the left-assoc order pairwise ``np.sum`` would break) —
+    a k·dim-term column expression exceeds codegen limits and falls
+    back to interpreted evaluation (measured 8s → sub-second at sf0.1).
+    ``expr`` is the pure-expression twin the oracle mirrors.
     """
     k, dim = len(centroids), len(centroids[0])
-    x = [F.col(vec_col)[d].cast("double") for d in range(dim)]
+    if impl == "arrow":
+        c_np = np.asarray(centroids, dtype=np.float64)
 
-    def dist_sq(c):
-        terms = [
-            (x[d] - F.lit(float(c[d]))) * (x[d] - F.lit(float(c[d])))
-            for d in range(dim)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        def assign_batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in it:
+                vecs = pdf[vec_col].dropna()
+                if not len(vecs):
+                    yield pd.DataFrame(
+                        {"__cl": pd.array([], dtype="int64"),
+                         "pos": pd.array([], dtype="int32"),
+                         "val": pd.array([], dtype="float64")}
+                    )
+                    continue
+                x_np = np.array(vecs.tolist(), dtype=np.float64)
+                n = len(x_np)
+                dists = np.empty((k, n))
+                for j in range(k):
+                    acc = np.zeros(n)
+                    for d in range(dim):
+                        t = x_np[:, d] - c_np[j, d]
+                        acc = acc + t * t  # left-assoc, matches the SQL tree
+                    dists[j] = acc
+                cl = np.argmin(dists, axis=0) + 1  # first min, 1-based
+                yield pd.DataFrame(
+                    {
+                        "__cl": np.repeat(cl.astype(np.int64), dim),
+                        "pos": np.tile(
+                            np.arange(dim, dtype=np.int32), n
+                        ),
+                        "val": x_np.ravel(),
+                    }
+                )
 
-    ds = F.array(*[dist_sq(centroids[j]) for j in range(k)])
-    assigned = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.array_position(ds, F.array_min(ds)).alias("__cl"),
-            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        assigned = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(vec_col)
+            .mapInPandas(
+                assign_batches, schema="__cl long, pos int, val double"
+            )
         )
-    )
+    else:
+        x = [F.col(vec_col)[d].cast("double") for d in range(dim)]
+
+        def dist_sq(c):
+            terms = [
+                (x[d] - F.lit(float(c[d]))) * (x[d] - F.lit(float(c[d])))
+                for d in range(dim)
+            ]
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
+
+        ds = F.array(*[dist_sq(centroids[j]) for j in range(k)])
+        assigned = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.array_position(ds, F.array_min(ds)).alias("__cl"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+        )
     return (
         assigned.groupBy("__cl", "pos")
         .agg(

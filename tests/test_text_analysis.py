@@ -311,3 +311,21 @@ def test_kmeans_step_recovers_planted_clusters(spark):
     for d in range(1, 5):
         assert abs(means[(1, d)] - 5.0) < 0.1
         assert abs(means[(2, d)] - (-5.0)) < 0.1
+
+
+def test_kmeans_step_arrow_equals_expr(spark, sf_dir):
+    """The Arrow fast path and the expression twin must agree exactly
+    (same left-assoc arithmetic, same tie rule, same decimal means)."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        deterministic_centroids,
+        kmeans_step,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(k=8, dim=64, seed=7)
+    a = kmeans_step(emb, cents, impl="arrow").collect()
+    e = kmeans_step(emb, cents, impl="expr").collect()
+    key = lambda r: (r["cluster"], r["dim"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, e))

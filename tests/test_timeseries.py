@@ -219,3 +219,21 @@ def test_asof_matches_pandas_merge_asof(spark):
     pd.testing.assert_frame_equal(
         got.astype("float64"), exp.astype("float64")
     )
+
+
+def test_catalog_survives_ntz_typed_session(spark, sf_dir):
+    """Driver-session hardening (round-2 regression class): the driver
+    runs queries in ITS OWN session, where inferTimestampNTZ /
+    timestampType may make every timestamp arrive as TIMESTAMP_NTZ.
+    normalize_ntz at the load sites must keep every time-dependent
+    query planning cleanly under an NTZ-preferring session."""
+    import __spark_entry__ as entrymod
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    qs = entrymod.queries()
+    for name in [
+        "q3_top_orders", "q_window_rate", "q_sessionize", "q_asof_join",
+        "q_trailing_window", "q_time_rollup", "conte_set3",
+    ]:
+        assert qs[name](s2, sf_dir).count() >= 0, name

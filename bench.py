@@ -83,6 +83,7 @@ HEADLINE = [
     "q_trailing_window",
     "q_doc_chunks",
     "q_kmeans_step",
+    "q_above_mean",
 ]
 
 

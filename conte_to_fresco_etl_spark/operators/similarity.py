@@ -631,13 +631,15 @@ def kmeans_step(
                     }
                 )
 
-        assigned = (
-            corpus.filter(F.col(vec_col).isNotNull())
-            .select(vec_col)
-            .mapInPandas(
-                assign_batches, schema="__cl long, pos int, val double"
-            )
+        from conte_to_fresco_etl_spark.parallelism import (
+            DENSE_BYTES_PER_TASK,
+            ensure_min_parallelism,
         )
+
+        assigned = ensure_min_parallelism(
+            corpus.filter(F.col(vec_col).isNotNull()).select(vec_col),
+            DENSE_BYTES_PER_TASK,
+        ).mapInPandas(assign_batches, schema="__cl long, pos int, val double")
     else:
         x = [F.col(vec_col)[d].cast("double") for d in range(dim)]
 

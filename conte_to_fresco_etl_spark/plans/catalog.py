@@ -945,3 +945,35 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+_ABOVE_MEAN_SQL = """
+    WITH s AS (
+      SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+             COUNT(*) AS n
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders, s
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > tot
+"""
+
+@_q("q_above_mean", _ABOVE_MEAN_SQL)
+def q_above_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate subquery shape: keep orders priced above the
+    global mean.  The mean never materializes as a float — the
+    predicate is the cross-multiplied decimal form (price*n > total),
+    exact in any engine and any aggregation order.  Plan: one partial
+    agg to a 1-row stats side, broadcast cross join, map-side filter —
+    the scan streams once and nothing wide shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.sum(_dec2("o_totalprice")).alias("tot"), F.count("*").alias("n")
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(_dec2("o_totalprice") * F.col("n") > F.col("tot"))
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+    )

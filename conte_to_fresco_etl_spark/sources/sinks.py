@@ -154,3 +154,23 @@ def compact_partition(
     fs.delete(Path(target), True)
     fs.rename(Path(target + "__compact_tmp"), Path(target))
     return n_files
+
+
+def write_sorted_export(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int = 8
+) -> None:
+    """Globally ordered export: ``repartitionByRange`` samples split
+    points so file i's key range ends before file i+1's begins, and
+    ``sortWithinPartitions`` orders rows inside each file — together a
+    total order across the dataset WITHOUT a single-reducer global
+    sort.  Parquet min/max column stats then make any point or range
+    read prune whole files — the layout that turns a 100 TB time-keyed
+    archive into an indexed one.  (The reference approximates this with
+    filename-encoded month ranges; range partitioning generalizes it to
+    any key and any granularity.)"""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -121,3 +121,28 @@ def test_partitioned_read_prunes_partitions(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert q.count() == 33
+
+
+def test_write_sorted_export_disjoint_ordered_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from conte_to_fresco_etl_spark.sources.sinks import write_sorted_export
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(10_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 10_000).cast("long")
+    )
+    write_sorted_export(df, out, ["k"], n_files=4)
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.read_metadata(f)
+        col = md.schema.names.index("k")
+        mins = [md.row_group(i).column(col).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(col).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    # files hold disjoint, ordered key ranges -> min/max stats prune reads
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    assert spark.read.parquet(out).count() == 10_000

@@ -51,21 +51,19 @@ def time_proximity_pairs(
         F.unix_micros(F.col(ts_col)).alias("__us"),
         *[F.col(c) for c in carry],
     )
+    # floor-division binning (not %): correct alignment for negative
+    # (pre-1970) epochs too, where Java % follows the dividend's sign
+    bin_of = (F.floor(F.col("__us") / tol_us) * tol_us).cast("long")
     a = base.select(
         F.col("__id").alias("id_a"),
         F.col("__us").alias("us_a"),
-        (F.col("__us") - (F.col("__us") % tol_us)).alias("__bin"),
+        bin_of.alias("__bin"),
         *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = base.select(
         F.col("__id").alias("id_b"),
         F.col("__us").alias("us_b"),
-        F.explode(
-            F.array(
-                F.col("__us") - (F.col("__us") % tol_us),
-                F.col("__us") - (F.col("__us") % tol_us) - tol_us,
-            )
-        ).alias("__bin"),
+        F.explode(F.array(bin_of, bin_of - tol_us)).alias("__bin"),
         *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     dt = F.col("us_b") - F.col("us_a")
@@ -103,7 +101,8 @@ def explode_interval_bins(
     iv = normalize_ntz(intervals)
     s = F.unix_micros(F.col(start_col))
     e = F.unix_micros(F.col(end_col))
+    sb = (F.floor(s / w_us) * w_us).cast("long")
+    eb = (F.floor(e / w_us) * w_us).cast("long")
     return iv.withColumn(
-        bin_name,
-        F.explode(F.sequence(s - (s % w_us), e - (e % w_us), F.lit(w_us))),
+        bin_name, F.explode(F.sequence(sb, eb, F.lit(w_us)))
     )

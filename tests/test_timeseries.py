@@ -237,3 +237,39 @@ def test_catalog_survives_ntz_typed_session(spark, sf_dir):
         "q_trailing_window", "q_time_rollup", "conte_set3",
     ]:
         assert qs[name](s2, sf_dir).count() >= 0, name
+
+
+def test_time_proximity_pairs_pre_epoch_timestamps(spark):
+    """Floor-division binning must stay aligned for negative epochs
+    (Java % follows the dividend's sign and would shift pre-1970 bins).
+    """
+    base = _ts("1960-06-01 00:00:00")
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + dt.timedelta(microseconds=500_000)),
+            (3, base + dt.timedelta(seconds=5)),
+        ],
+        "event_id long, ts timestamp",
+    )
+    out = time_proximity_pairs(df, tolerance_seconds=1.0)
+    got = {(r["id_a"], r["id_b"]): r["dt_us"] for r in out.collect()}
+    assert got == {(1, 2): 500_000}
+
+
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "A", "X", _ts("2024-01-01 10:00:05"))],
+        "lid long, sym string, venue string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "A", "X", _ts("2024-01-01 10:00:00"), 1.0),
+            (11, "A", "Y", _ts("2024-01-01 10:00:04"), 2.0),  # wrong venue
+        ],
+        "rid long, sym string, venue string, ts timestamp, px double",
+    )
+    out = asof_join(
+        left, right, on=["sym", "venue"], right_tie="rid", attach=["rid", "px"]
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_rid"] == 10

@@ -191,3 +191,92 @@ def stream_stream_attribution_join(
         F.col("p.purchase_id"),
         F.col("p.amount"),
     )
+
+
+def start_continuous_rollup(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-aggregate maintainer: the streaming twin of
+    ``operators/rollup.py:time_rollup``.  A watermarked per-(key, hour)
+    aggregate runs in UPDATE mode (state evicted once the watermark
+    passes a window — bounded, unlike complete mode), and
+    ``foreachBatch`` merges each micro-batch's changed rows into the
+    parquet rollup: for every day partition the batch touches, keep the
+    existing rows whose (bucket_hour, key) is NOT superseded, union the
+    new values, and dynamically overwrite just those partitions.
+    Replaying a failed batch rewrites the same partitions to the same
+    contents — idempotent exactly-once at the output level, the
+    engine's standing sink contract.
+
+    Scale posture: state is bounded by the watermark; each micro-batch
+    reads+rewrites only the day partitions it touched, so maintenance
+    cost tracks arrival rate, not table size."""
+    agg = (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(ts_col, "1 hour").alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_hour"),
+            F.col(key_col),
+            "n",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.withColumn(
+            "d", F.date_format("bucket_hour", "yyyy-MM-dd")
+        ).persist()
+        days = [r["d"] for r in fresh.select("d").distinct().collect()]
+        if not days:
+            fresh.unpersist()
+            return
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = (
+                spark.read.parquet(out_path)
+                .withColumn("d", F.date_format("bucket_hour", "yyyy-MM-dd"))
+                .filter(F.col("d").isin(days))
+            )
+            keep = existing.join(
+                fresh.select("bucket_hour", key_col),
+                ["bucket_hour", key_col],
+                "left_anti",
+            )
+            merged = keep.unionByName(fresh)
+        except AnalysisException:  # first batch: no table to merge yet
+            merged = fresh
+        (
+            merged.repartition("d")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(out_path)
+        )
+        fresh.unpersist()
+
+    writer = (
+        agg.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

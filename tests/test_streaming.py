@@ -274,3 +274,64 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == {(1, 10), (2, 11)}
+
+
+def test_continuous_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The maintained rollup must converge to the batch aggregate over
+    the same data, and incremental arrival (second drain) must merge —
+    not duplicate or drop — previously maintained hours."""
+    import datetime
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        start_continuous_rollup,
+    )
+
+    src = tmp_path / "ev"
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ck")
+    t0 = datetime.datetime(2015, 3, 1, 10, 0, 0)
+
+    def drain():
+        q = start_continuous_rollup(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            ).parquet(str(src)),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, t0, "a", 1.5),
+            (2, t0 + datetime.timedelta(minutes=10), "a", 2.5),
+            (3, t0 + datetime.timedelta(hours=1), "b", 4.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got1 = {
+        (r["bucket_hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        (t0, "a"): (2, 4.0),
+        (t0 + datetime.timedelta(hours=1), "b"): (1, 4.0),
+    }
+
+    # second file: same hour as event 3 (merge) + a new day (new partition)
+    spark.createDataFrame(
+        [
+            (4, t0 + datetime.timedelta(hours=1, minutes=5), "b", 6.0),
+            (5, t0 + datetime.timedelta(days=1), "a", 9.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got2 = {
+        (r["bucket_hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        (t0, "a"): (2, 4.0),                                   # untouched hour kept
+        (t0 + datetime.timedelta(hours=1), "b"): (2, 10.0),    # merged update
+        (t0 + datetime.timedelta(days=1), "a"): (1, 9.0),      # new day
+    }

@@ -84,6 +84,8 @@ HEADLINE = [
     "q_doc_chunks",
     "q_kmeans_step",
     "q_above_mean",
+    "q_bigram_nll",
+    "q_skew_salted_join",
 ]
 
 

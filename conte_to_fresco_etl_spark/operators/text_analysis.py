@@ -684,3 +684,93 @@ def chunk_documents(
             F.size(chunk).cast("long").alias("chunk_n_tokens"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own add-α-smoothed bigram LM: ``-mean log (c(prev,w) + α) /
+    (c(prev·) + α·V)`` — the next step up from ``unigram_nll`` toward
+    the KenLM-style perplexity filters real pipelines run.  High nll =
+    improbable token transitions = likely noise/garble even when every
+    individual token is common.
+
+    Returns (id, n_bigrams, nll), nll rounded to 6; docs with < 2
+    tokens emit nothing.
+
+    Cross-engine exactness: the continuation denominator c(prev·) and
+    vocabulary size V derive from the bigram table itself (one source
+    of truth), each distinct bigram's contribution is rounded to 9
+    decimals and summed as DECIMAL — order-independent in any engine.
+
+    Plan shape: one (doc, bigram) count shuffle (persisted: feeds the
+    corpus aggregate and the final join), a bigram-keyed corpus agg, a
+    prefix agg derived FROM that agg (no second corpus pass), broadcast
+    joins of the two small sides, one final groupBy(doc).  At web scale
+    swap the broadcasts for bucketed joins on the bigram.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(1)),
+                    lambda i: F.concat(
+                        F.element_at("__toks", i),
+                        F.lit(" "),
+                        F.element_at("__toks", i + 1),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    bc = tf.groupBy("bigram").agg(F.sum("__cnt").alias("__bc"))
+    prev = F.split(F.col("bigram"), " ", 2).getItem(0)
+    pc = bc.groupBy(prev.alias("__prev")).agg(
+        F.sum("__bc").alias("__pc")
+    )
+    v = bc.select(
+        F.split(F.col("bigram"), " ", 2).getItem(1).alias("__cur")
+    ).agg(F.countDistinct("__cur").alias("__v"))
+    term = (
+        bc.join(F.broadcast(pc), prev == F.col("__prev"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.round(
+                -F.log(
+                    (F.col("__bc") + F.lit(alpha))
+                    / (F.col("__pc") + F.lit(alpha) * F.col("__v"))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("__nlp"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(term), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__cnt").cast("decimal(10,0)") * F.col("__nlp"))
+                .cast("double")
+                / F.sum("__cnt").cast("double"),
+                6,
+            ).alias("nll"),
+        )
+    )

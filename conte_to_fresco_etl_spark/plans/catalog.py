@@ -977,3 +977,36 @@ def q_above_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
         )
     )
+
+
+_SKEW_JOIN_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+@_q("q_skew_salted_join", _SKEW_JOIN_SQL)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-salting skew path under the hash gate: lineitem
+    joins orders through `salted_join` (each left row lands in one of 8
+    salt buckets, the right side replicates into all 8), so a hot order
+    key spreads over 8 tasks — yet the result is provably the plain
+    inner join, which is exactly what the oracle computes."""
+    from conte_to_fresco_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on="k", salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )

@@ -1650,3 +1650,58 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(
         _t(spark, sf_dir, "embeddings"), _kmeans_centroids()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM scoring (perplexity proxy, order-sensitive)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_NLL_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    ne AS (SELECT * FROM base WHERE len(toks) >= 2),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM ne
+    ),
+    tf AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    bc AS (SELECT bigram, SUM(cnt) AS bcn FROM tf GROUP BY 1),
+    pc AS (
+      SELECT split_part(bigram, ' ', 1) AS prev, SUM(bcn) AS pcn
+      FROM bc GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT
+               substr(bigram, strpos(bigram, ' ') + 1)) AS vn
+      FROM bc
+    ),
+    term AS (
+      SELECT bigram,
+             CAST(ROUND(-ln((CAST(bcn AS DOUBLE) + 0.5)
+                            / (CAST(pcn AS DOUBLE) + 0.5 * vn)), 9)
+                  AS DECIMAL(18,9)) AS nlp
+      FROM bc
+      JOIN pc ON split_part(bigram, ' ', 1) = prev
+      CROSS JOIN v
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(tf.cnt AS DECIMAL(10,0)) * t.nlp) AS DOUBLE)
+                 / CAST(SUM(tf.cnt) AS DOUBLE), 6) AS nll
+    FROM tf JOIN term t USING (bigram)
+    GROUP BY tf.doc_id
+"""
+
+@_q("q_bigram_nll", _BIGRAM_NLL_SQL)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative logprob per doc under the corpus's own add-0.5
+    bigram LM — catches improbable token TRANSITIONS (garble, shuffled
+    text) that unigram scoring cannot.  Denominators and vocabulary
+    derive from the bigram table itself; decimal-summed contributions
+    keep the gate exact."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import bigram_nll
+
+    return bigram_nll(_t(spark, sf_dir, "documents"), alpha=0.5)

@@ -86,6 +86,8 @@ HEADLINE = [
     "q_above_mean",
     "q_bigram_nll",
     "q_skew_salted_join",
+    "q_pivot_agg",
+    "q_dedup_apply",
 ]
 
 

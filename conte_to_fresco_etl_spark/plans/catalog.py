@@ -1010,3 +1010,46 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
+
+
+_PIVOT_AGG_SQL = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"  CAST(SUM(CASE WHEN event_type = '{e}' THEN"
+        f" CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_{e},\n"
+        f"  COUNT(CASE WHEN event_type = '{e}' THEN 1 END) AS n_{e}"
+        for e in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id"
+)
+
+@_q("q_pivot_agg", _PIVOT_AGG_SQL)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLLAPSING pivot (one row per user, one column pair per
+    event type) — the standard reshape R1 deliberately is not; both
+    live in the catalog so the row-count contract of each is explicit.
+    Values list pinned → Spark skips the distinct-scan planning pass
+    and the output schema is static.  One partial-agg shuffle on the
+    group key; the pivot itself is map-side conditional aggregation."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.sum(_dec4("value")).cast("double").alias("sum"),
+            F.count(F.when(F.col("event_type").isNotNull(), 1)).alias("n"),
+        )
+    )
+    # pivot names columns "<event>_sum"; align to the oracle's sum_<e>/n_<e>
+    renamed = out.select(
+        "user_id",
+        *[
+            c
+            for e in _EVENT_TYPES
+            for c in (
+                F.col(f"{e}_sum").alias(f"sum_{e}"),
+                F.col(f"{e}_n").alias(f"n_{e}"),
+            )
+        ],
+    )
+    return renamed

@@ -1705,3 +1705,30 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.text_analysis import bigram_nll
 
     return bigram_nll(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+_DEDUP_APPLY_SQL = f"""
+    WITH decision AS ({_CANONICAL_SQL})
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM decision c
+      WHERE c.doc_id = d.doc_id AND NOT c.keep
+    )
+"""
+
+@_q("q_dedup_apply", _DEDUP_APPLY_SQL)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup filter applied end-to-end: corpus LEFT-ANTI-joins the
+    canonical decision's drop set (keep = false), so only cluster
+    losers disappear and the corpus itself never reshuffles — the
+    claim `canonical_docs` makes, here proven under the hash gate."""
+    from conte_to_fresco_etl_spark.operators.dedup import canonical_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    drops = canonical_docs(
+        docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
+    ).filter(~F.col("keep")).select("doc_id")
+    return docs.join(
+        F.broadcast(drops), "doc_id", "left_anti"
+    ).select("doc_id", "source", "n_chars")

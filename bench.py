@@ -88,6 +88,7 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_pivot_agg",
     "q_dedup_apply",
+    "q_user_quartiles",
 ]
 
 

@@ -1053,3 +1053,27 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return renamed
+
+
+_QUARTILE_SQL = """
+    SELECT event_id, user_id,
+           CAST(NTILE(4) OVER (PARTITION BY user_id
+                               ORDER BY value, event_id) AS BIGINT)
+             AS quartile
+    FROM events
+"""
+
+@_q("q_user_quartiles", _QUARTILE_SQL)
+def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value quartile via NTILE — the bucketing shape behind
+    per-entity score normalization.  The window orders by (value,
+    event_id): a TOTAL order, so bucket boundaries are deterministic in
+    any engine (NTILE over a partial order is not).  One shuffle on the
+    user key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

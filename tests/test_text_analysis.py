@@ -329,3 +329,50 @@ def test_kmeans_step_arrow_equals_expr(spark, sf_dir):
     e = kmeans_step(emb, cents, impl="expr").collect()
     key = lambda r: (r["cluster"], r["dim"])
     assert sorted(map(tuple, a)) == sorted(map(tuple, e))
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Batch property test: for randomized (doc length, max_tokens,
+    overlap) combos, chunks cover every token exactly once after
+    removing each successor's `overlap`-token prefix, in order."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    rng = random.Random(11)
+    cases = []
+    doc_id = 0
+    for max_t, ov in [(10, 3), (8, 7), (5, 0), (64, 16)]:
+        for _ in range(6):
+            n = rng.randrange(0, 4 * max_t)
+            cases.append((doc_id, max_t, ov, n))
+            doc_id += 1
+    for max_t, ov in {(m, o) for (_, m, o, _) in cases}:
+        subset = [(d, n) for (d, m, o, n) in cases if (m, o) == (max_t, ov)]
+        df = spark.createDataFrame(
+            [(d, " ".join(f"w{d}_{i}" for i in range(n))) for d, n in subset],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, max_tokens=max_t, overlap=ov)
+        chunks = {}
+        for r in out.collect():
+            chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r[
+                "chunk_text"
+            ].split()
+        step = max_t - ov
+        for d, n in subset:
+            if n == 0:
+                assert d not in chunks
+                continue
+            got = chunks[d]
+            assert sorted(got) == list(range(len(got)))
+            rebuilt = list(got[0])
+            for i in range(1, len(got)):
+                # chunk i starts at token i*step: drop the overlapped prefix
+                rebuilt.extend(got[i][len(rebuilt) - i * step:])
+            assert rebuilt == [f"w{d}_{i}" for i in range(n)], (d, max_t, ov, n)
+            # every chunk except possibly the last is full-size
+            for i in range(len(got) - 1):
+                assert len(got[i]) == max_t

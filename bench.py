@@ -89,6 +89,7 @@ HEADLINE = [
     "q_pivot_agg",
     "q_dedup_apply",
     "q_user_quartiles",
+    "q_dq_report",
 ]
 
 

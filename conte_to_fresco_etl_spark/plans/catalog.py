@@ -1077,3 +1077,52 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+_DQ_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        AS null_orderkeys,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS dangling_lineitems,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                             GROUP BY 1 HAVING COUNT(*) > 1))
+        AS dup_orderkeys,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+        AS dangling_orders
+"""
+
+@_q("q_dq_report", _DQ_SQL)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality audit (dbt-test shape): null keys,
+    duplicate primary keys, and referential-integrity violations across
+    the star schema.  Each check is an aggregate or an anti join —
+    dims broadcast, the fact side streams once per check; at 100 TB
+    combine the fact-side checks into a single pass with conditional
+    aggregation if the multi-scan cost matters (parquet scans here are
+    cheap relative to the joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nulls = li.filter(F.col("l_orderkey").isNull()).agg(
+        F.count("*").alias("null_orderkeys")
+    )
+    dangling_li = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count("*").alias("dangling_lineitems"))
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count("*").alias("dup_orderkeys"))
+    )
+    dangling_o = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("dangling_orders"))
+    return (
+        nulls.crossJoin(dangling_li).crossJoin(dup).crossJoin(dangling_o)
+    )

@@ -335,3 +335,62 @@ def test_continuous_rollup_matches_batch_and_is_idempotent(spark, tmp_path):
         (t0 + datetime.timedelta(hours=1), "b"): (2, 10.0),    # merged update
         (t0 + datetime.timedelta(days=1), "a"): (1, 9.0),      # new day
     }
+
+
+def test_stream_stream_left_outer_emits_unconverted_clicks(spark, tmp_path):
+    """leftOuter: a click with no purchase in its window is emitted
+    with null purchase columns once the purchase-side watermark proves
+    no match can still arrive (requires a later batch to advance it)."""
+    import datetime
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        stream_stream_attribution_join,
+    )
+
+    t0 = datetime.datetime(2015, 3, 1, 12, 0, 0)
+    clicks_dir, purch_dir = tmp_path / "c", tmp_path / "p"
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    c_schema = "click_id long, user_id string, ts timestamp"
+    p_schema = "purchase_id long, user_id string, ts timestamp, amount double"
+
+    def drain():
+        joined = stream_stream_attribution_join(
+            spark.readStream.schema(c_schema).parquet(str(clicks_dir)),
+            spark.readStream.schema(p_schema).parquet(str(purch_dir)),
+            how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "u1", t0)], c_schema
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [(10, "u9", t0, 1.0)], p_schema
+    ).coalesce(1).write.mode("append").parquet(str(purch_dir))
+    drain()
+
+    # second batch far in the future advances both watermarks past
+    # click 1's join window -> its unmatched row can now be finalized
+    far = t0 + datetime.timedelta(hours=24)
+    spark.createDataFrame(
+        [(2, "u2", far)], c_schema
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [(11, "u2", far, 2.0)], p_schema
+    ).coalesce(1).write.mode("append").parquet(str(purch_dir))
+    drain()
+
+    rows = {
+        r["click_id"]: r["purchase_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get(2) == 11          # matched pair from batch 2
+    assert 1 in rows and rows[1] is None   # unconverted click finalized null

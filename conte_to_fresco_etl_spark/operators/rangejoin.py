@@ -106,3 +106,39 @@ def explode_interval_bins(
     return iv.withColumn(
         bin_name, F.explode(F.sequence(sb, eb, F.lit(w_us)))
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Large-large point-in-interval join: every (point, interval) pair
+    with ``start <= ts <= end``, via the binned equi key — the
+    composition of ``explode_interval_bins`` with a hash join and the
+    exact predicate.  Both sides shuffle hash-partitioned on the bin;
+    neither needs to broadcast (the broadcast interval join in
+    ``operators/join.py`` remains the right plan when the interval side
+    is dimension-sized).
+
+    A pair is produced exactly once: a point joins only the single bin
+    it falls in, and each interval emits each covered bin once.
+    """
+    if how != "inner":
+        raise ValueError("point_in_interval_join supports inner only")
+    w_us = int(bin_seconds * 1_000_000)
+    pts = normalize_ntz(points)
+    us = F.unix_micros(F.col(point_ts))
+    pts = pts.withColumn(
+        "__bin", (F.floor(us / w_us) * w_us).cast("long")
+    )
+    iv = explode_interval_bins(intervals, start_col, end_col, bin_seconds)
+    out = pts.join(iv, "__bin").filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+    return out.drop("__bin")

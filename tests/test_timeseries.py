@@ -273,3 +273,41 @@ def test_asof_composite_key(spark):
         left, right, on=["sym", "venue"], right_tie="rid", attach=["rid", "px"]
     ).collect()
     assert len(out) == 1 and out[0]["asof_rid"] == 10
+
+
+def test_point_in_interval_join_equals_nonequi_join(spark):
+    """The binned plan must produce exactly the rows of the plain
+    non-equi join — each matching pair once, across bin boundaries,
+    multi-bin intervals, and points outside every interval."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    rng = random.Random(5)
+    base = _ts("2024-01-01 00:00:00")
+    pts = [
+        (i, base + dt.timedelta(seconds=rng.uniform(0, 600)))
+        for i in range(200)
+    ]
+    ivs = []
+    for j in range(30):
+        s = rng.uniform(0, 550)
+        ivs.append(
+            (j, base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + rng.uniform(0, 120)))
+        )
+    p = spark.createDataFrame(pts, "pid long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "ivid long, s timestamp, e timestamp")
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in point_in_interval_join(p, iv, "ts", "s", "e", 60.0).collect()
+    )
+    want = sorted(
+        (r["pid"], r["ivid"])
+        for r in p.join(
+            iv, (p.ts >= iv.s) & (p.ts <= iv.e)
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -64,7 +64,11 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     left = normalize_ntz(left)
-    right = normalize_ntz(right)
+    # a null-ts right row would sort first (asc_nulls_first) and become
+    # the running match for every left row after it — exclude it; a
+    # null-ts LEFT row sorts first too, sees no right rows, and comes
+    # out unmatched, which is the right answer without special-casing
+    right = normalize_ntz(right).filter(F.col(ts_col).isNotNull())
     if attach is None:
         attach = [c for c in right.columns if c not in (*keys, ts_col)]
     payload_cols = [F.col(ts_col).alias("__rts")] + [

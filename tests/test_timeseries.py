@@ -311,3 +311,25 @@ def test_point_in_interval_join_equals_nonequi_join(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_asof_null_timestamps_are_inert(spark):
+    """A null-ts right row must never match anything; a null-ts left
+    row comes out unmatched."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:05")), (2, "A", None)],
+        "lid long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "A", None, 9.9), (11, "A", _ts("2024-01-01 10:00:00"), 1.0)],
+        "rid long, sym string, ts timestamp, px double",
+    )
+    rows = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, on="sym", right_tie="rid", attach=["rid", "px"]
+        ).collect()
+    }
+    assert rows[1]["asof_rid"] == 11 and rows[1]["asof_px"] == 1.0
+    assert rows[2]["asof_rid"] is None and rows[2]["asof_lag_us"] is None
+    assert len(rows) == 2

@@ -22,9 +22,11 @@ all attached columns come from the same right row even when nulls
 appear in individual right fields.
 
 Determinism: ties on (key, ts) between multiple right rows are broken
-by an explicit ``right_tie`` column (ascending; the LAST one wins —
-i.e. the highest tie value), and a right row at exactly the left row's
-timestamp is included for ``direction="backward"`` (the inclusive
+by the explicit ``right_tie`` column — backward picks the HIGHEST tie
+(the last row a (ts, tie)-sorted stream delivers, matching pandas
+``merge_asof``'s last-wins rule), forward the LOWEST (the first row
+at-or-after, again the sorted-stream order).  A right row at exactly
+the left row's timestamp is included in both directions (the inclusive
 convention DuckDB's ASOF JOIN and pandas ``merge_asof`` share).
 """
 
@@ -101,7 +103,10 @@ def asof_join(
         order = [F.col(ts_col).asc(), F.col("__is_left").asc(),
                  F.col("__tie").asc_nulls_last()]
     else:
-        order = [F.col(ts_col).desc(), F.col("__is_left").asc(),
+        # desc_nulls_first: a null-ts LEFT row must sort BEFORE every
+        # right row (as nulls-first does under asc for backward) so it
+        # comes out unmatched instead of adopting the running payload
+        order = [F.col(ts_col).desc_nulls_first(), F.col("__is_left").asc(),
                  F.col("__tie").desc_nulls_last()]
     w = (
         Window.partitionBy(*keys)

@@ -204,6 +204,43 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_structs(num_hashes: int, bands: int):
+    """Array of (band, key) structs over a ``sig`` column — the ONE
+    definition of the LSH band-key encoding (concat of the band's
+    signature slice); shared by the self-join and incremental forms so
+    the two can never silently disagree."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i * rows + j].cast("string")
+                        for j in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def _sig_agreement_est(num_hashes: int):
+    """Estimated Jaccard from two attached signatures ``sig_a``/``sig_b``:
+    fraction of agreeing components."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -225,7 +262,6 @@ def minhash_lsh_pairs(
     The join key is (band index, concatenated band slice), so only
     bucket collisions are compared — never the full cross product.
     """
-    rows = num_hashes // bands
     # Persist: the signature table feeds BOTH sides of the self-join and
     # the estimate; without it Spark recomputes the (expensive) signature
     # stage once per branch.  Tiny relative to input (k longs per doc) —
@@ -233,18 +269,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, seed
     ).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)],
-                ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
+    band_structs = _minhash_band_structs(num_hashes, bands)
     # Bucket join on NARROW rows (id, band, key) — the signatures do NOT
     # ride the shuffle (48 longs x 2 per candidate is ~30x the pair row;
     # measured ~2x on the whole operator).  Signatures re-attach after
@@ -266,15 +291,7 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    est = _sig_agreement_est(num_hashes)
     return (
         cand.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
@@ -1006,19 +1023,7 @@ def incremental_neardup(
     sig_old = minhash_signatures(
         existing_docs, id_col, text_col, num_hashes, shingle_n, seed
     ).persist()
-    rows = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[F.col("sig")[i * rows + j].cast("string") for j in range(rows)],
-                ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
+    band_structs = _minhash_band_structs(num_hashes, bands)
     bn = sig_new.select(
         F.col(id_col).alias("new_id"), F.explode(band_structs).alias("b")
     )
@@ -1039,18 +1044,16 @@ def incremental_neardup(
     sb = sig_old.select(
         F.col(id_col).alias("existing_id"), F.col("sig").alias("sig_b")
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    # broadcast ONLY the new-batch side (bounded by the ingest batch);
+    # the standing corpus's signatures are unbounded, so they attach via
+    # a plain key join that Spark shuffles (or, in production, a bucketed
+    # join against the stored signature table)
     return (
         cand.join(F.broadcast(sa), "new_id")
-        .join(F.broadcast(sb), "existing_id")
-        .select("new_id", "existing_id", est.alias("est_jaccard"))
+        .join(sb, "existing_id")
+        .select(
+            "new_id", "existing_id",
+            _sig_agreement_est(num_hashes).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )

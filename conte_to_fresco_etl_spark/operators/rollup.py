@@ -35,9 +35,13 @@ def time_rollup(
     day-level, key-level, and grand-total super-aggregate rows (nulls
     mark the rolled-up levels, ANSI ROLLUP semantics) in one pass.
 
-    Columns: ``{key}, bucket_day, bucket_hour, n, sum_value`` — sums in
-    DECIMAL(18, sum_decimals) cast to double so every level is exactly
-    the sum of its children across engines and row orders.
+    Columns: ``{key}, bucket_day, bucket_hour, grouping_id, n,
+    sum_value`` — sums in DECIMAL(18, sum_decimals) cast to double so
+    every level is exactly the sum of its children across engines and
+    row orders.  ``grouping_id`` (standard GROUPING_ID bit mask, first
+    column = MSB; 0 = leaf hour row, 7 = grand total) disambiguates a
+    super-aggregate NULL from a genuinely-NULL key or timestamp in the
+    data — without it the two collide and level sums stop reconciling.
     """
     src = normalize_ntz(df)
     dec = F.col(value_col).cast(f"decimal(18,{sum_decimals})")
@@ -50,7 +54,12 @@ def time_rollup(
         )
         .rollup(key_col, "bucket_day", "bucket_hour")
         .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
             F.count("*").alias("n"),
             F.sum("__v").cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col, "bucket_day", "bucket_hour", "grouping_id",
+            "n", "sum_value",
         )
     )

@@ -596,6 +596,10 @@ def kmeans_step(
     a k·dim-term column expression exceeds codegen limits and falls
     back to interpreted evaluation (measured 8s → sub-second at sf0.1).
     ``expr`` is the pure-expression twin the oracle mirrors.
+
+    Contract: vectors must have exactly ``dim`` components — null or
+    off-length vectors are filtered (both impls, mirrored by the oracle
+    WHERE), never crashed on or partially scored.
     """
     k, dim = len(centroids), len(centroids[0])
     if impl == "arrow":
@@ -637,7 +641,9 @@ def kmeans_step(
         )
 
         assigned = ensure_min_parallelism(
-            corpus.filter(F.col(vec_col).isNotNull()).select(vec_col),
+            corpus.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+            ).select(vec_col),
             DENSE_BYTES_PER_TASK,
         ).mapInPandas(assign_batches, schema="__cl long, pos int, val double")
     else:
@@ -655,7 +661,9 @@ def kmeans_step(
 
         ds = F.array(*[dist_sq(centroids[j]) for j in range(k)])
         assigned = (
-            corpus.filter(F.col(vec_col).isNotNull())
+            corpus.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+            )
             .select(
                 F.array_position(ds, F.array_min(ds)).alias("__cl"),
                 F.posexplode(F.col(vec_col)).alias("pos", "val"),

@@ -888,6 +888,8 @@ _ROLLUP_SQL = """
       FROM events
     )
     SELECT event_type, bucket_day, bucket_hour,
+           CAST(GROUPING(event_type, bucket_day, bucket_hour) AS BIGINT)
+             AS grouping_id,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM b
@@ -1040,7 +1042,10 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("event_type").isNotNull(), 1)).alias("n"),
         )
     )
-    # pivot names columns "<event>_sum"; align to the oracle's sum_<e>/n_<e>
+    # pivot names columns "<event>_sum"; align to the oracle's
+    # sum_<e>/n_<e>.  A user with NO rows in a bucket gets NULL from
+    # pivot but 0 from the oracle's COUNT(CASE ...) — coalesce the
+    # counts (sums stay NULL in both engines for an empty bucket).
     renamed = out.select(
         "user_id",
         *[
@@ -1048,7 +1053,7 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for e in _EVENT_TYPES
             for c in (
                 F.col(f"{e}_sum").alias(f"sum_{e}"),
-                F.col(f"{e}_n").alias(f"n_{e}"),
+                F.coalesce(F.col(f"{e}_n"), F.lit(0)).alias(f"n_{e}"),
             )
         ],
     )

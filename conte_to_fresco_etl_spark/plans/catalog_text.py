@@ -1604,7 +1604,8 @@ def _kmeans_sql(cents) -> str:
     WITH d AS (
       SELECT vec_id, embedding,
              {d_cols}
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
     ),
     a AS (
       SELECT embedding,

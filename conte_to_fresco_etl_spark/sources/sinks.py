@@ -134,7 +134,12 @@ def compact_partition(
     """
     import math
 
-    target = f"{path.rstrip('/')}/{partition}" if partition else path
+    # normalize BEFORE deriving the temp path: with a trailing slash,
+    # `path + "__compact_tmp"` would be a CHILD of the target and the
+    # delete-then-rename swap below would destroy both copies
+    base = path.rstrip("/")
+    target = f"{base}/{partition}" if partition else base
+    tmp = target + "__compact_tmp"
     df = spark.read.parquet(target)
     n = df.count()
     n_files = max(1, math.ceil(n / target_records_per_file))
@@ -142,17 +147,23 @@ def compact_partition(
         df.coalesce(n_files)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target_records_per_file)
-        .parquet(target + "__compact_tmp")
+        .parquet(tmp)
     )
     # atomic-enough swap through the FS API (same pattern as the
     # reference's temp-file + rename append, conte-etl-step-2-
-    # processor.py:113-221, but directory-level)
+    # processor.py:113-221, but directory-level).  Hadoop FS ops report
+    # many failures via a false RETURN, not an exception — check them:
+    # a silently failed rename after the delete would lose the target.
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(target).getFileSystem(conf)
-    fs.delete(Path(target), True)
-    fs.rename(Path(target + "__compact_tmp"), Path(target))
+    if not fs.delete(Path(target), True):
+        raise RuntimeError(f"compact_partition: delete failed: {target}")
+    if not fs.rename(Path(tmp), Path(target)):
+        raise RuntimeError(
+            f"compact_partition: rename failed; data is at {tmp}"
+        )
     return n_files
 
 

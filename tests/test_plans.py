@@ -264,3 +264,27 @@ def test_incremental_dedup_never_pairs_the_corpus_with_itself(spark):
     # new dup collides with BOTH old copies; the old x old pair is absent
     assert pairs == {(10, 1), (10, 2)}
     assert all(r["est_jaccard"] == 1.0 for r in got)
+
+
+def test_pivot_agg_empty_bucket_counts_zero(spark):
+    """Round-3 review regression: pivot yields NULL for an absent
+    (user, event) bucket while the oracle's COUNT(CASE) yields 0 — the
+    catalog query must coalesce counts (sums stay NULL in both)."""
+    import datetime as dt
+
+    from conte_to_fresco_etl_spark.plans.catalog import QUERIES
+
+    # user 7 has clicks only — every other n_<e> must be 0, not NULL
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "click", 2.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        row = QUERIES["q_pivot_agg"](spark, d).collect()[0]
+    assert row["n_click"] == 1 and row["sum_click"] == 2.0
+    assert row["n_error"] == 0 and row["sum_error"] is None
+    assert row["n_purchase"] == 0

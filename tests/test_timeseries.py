@@ -333,3 +333,22 @@ def test_asof_null_timestamps_are_inert(spark):
     assert rows[1]["asof_rid"] == 11 and rows[1]["asof_px"] == 1.0
     assert rows[2]["asof_rid"] is None and rows[2]["asof_lag_us"] is None
     assert len(rows) == 2
+
+
+def test_asof_forward_null_left_ts_unmatched(spark):
+    """Round-3 review regression: under desc ordering nulls sort LAST,
+    so a null-ts left row used to adopt the running payload in forward
+    mode; desc_nulls_first restores the unmatched contract."""
+    left = spark.createDataFrame(
+        [(1, "A", None)], "lid long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "A", _ts("2024-01-01 10:00:00"), 1.0)],
+        "rid long, sym string, ts timestamp, px double",
+    )
+    out = asof_join(
+        left, right, on="sym", right_tie="rid", attach=["rid"],
+        direction="forward",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_rid"] is None and out[0]["asof_ts"] is None

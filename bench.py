@@ -90,6 +90,8 @@ HEADLINE = [
     "q_dedup_apply",
     "q_user_quartiles",
     "q_dq_report",
+    "q_cube_daily",
+    "q_except_customers",
 ]
 
 

@@ -1131,3 +1131,63 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nulls.crossJoin(dangling_li).crossJoin(dup).crossJoin(dangling_o)
     )
+
+
+_CUBE_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_day,
+           CAST(GROUPING(event_type, bucket_day) AS BIGINT) AS grouping_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM b
+    GROUP BY CUBE (event_type, bucket_day)
+"""
+
+@_q("q_cube_daily", _CUBE_SQL)
+def q_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets — including
+    the per-day-across-types slice ROLLUP's hierarchy cannot produce —
+    in the same single Expand + partial-agg pass.  GROUPING_ID
+    disambiguates super-aggregate NULLs from data NULLs."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+            _dec4("value").alias("__v"),
+        )
+        .cube("event_type", "bucket_day")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count("*").alias("n"),
+            F.sum("__v").cast("double").alias("sum_value"),
+        )
+        .select("event_type", "bucket_day", "grouping_id", "n", "sum_value")
+    )
+
+
+_EXCEPT_SQL = """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+@_q("q_except_customers", _EXCEPT_SQL)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference with dedup) — customers who never placed
+    a >300k order, as the set operator rather than the anti-join
+    spelling (q_anti_join/q_semi_join use the same threshold); Catalyst
+    plans both as a left-anti join, which the gated pair makes
+    checkable."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(big).distinct()

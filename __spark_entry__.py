@@ -29,14 +29,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog.QUERIES["conte_set3"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks queries() in iteration order and may
+# stop after the first 50.  Registration order in plans/catalog*.py is
+# historical (stable queries first), so left alone it starves newly added or
+# recently modified queries of a hard CORRECTNESS row.  PRIORITY pins the
+# iteration order: queries that have never had a driver row (or changed since
+# their last green row) come first; long-stable green queries go to the tail
+# where a truncated window costs nothing.
+PRIORITY: list[str] = [
+    # never driver-checked in any round (VERDICT r3 #1)
+    "q_dedup_canonical",
+    "q_dedup_apply",
+    "q_incremental_dedup",
+    "q_kmeans_step",
+    "q_bigram_nll",
+    "q_doc_chunks",
+    "q_shard_manifest",
+    # changed in r3 after its r2 green row
+    "q_curation_v2",
+    # r2-green-only (no r3 row)
+    "q_decontaminate",
+    "q_source_cap",
+    "q_unigram_nll",
+    "q_token_stats",
+    "q_pack_sequences",
+    "q_knn_classify",
+    "q_top_bigrams",
+    "q_temperature_sample",
+    "q_label_centroids",
+    # new or modified in r4
+    "q_bpe_merges",
+    "q_ivf_trained_topk",
+    "q_distinct_counts",
+    "q_doc_components",
+    "q_media_decode",
+    "q_embedding_neardup",
+]
+
+
+def _prioritized(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in PRIORITY if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data operators: dedup, similarity, text analysis)."""
-    return dict(catalog.QUERIES)
+    return _prioritized(dict(catalog.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query.  Keys absent here
     (e.g. q_lsh_ann_topk) are intentionally approximate operators that
     get the driver's weaker rows-only check."""
-    return dict(catalog.ORACLES)
+    return _prioritized(dict(catalog.ORACLES))

@@ -44,10 +44,22 @@ def ensure_min_parallelism(
     partitions; pass through unchanged otherwise.  Semantics-neutral for
     every operator in this package (they are row-order independent)."""
     sc = df.sparkSession.sparkContext
+    # Size from the scan's input files (public API — df.inputFiles()),
+    # not queryExecution() stats (private _jdf access, breaks across
+    # Spark versions).  Non-local URIs we can't stat cheaply count as 0:
+    # conservative — the guard only ever fans OUT, never down-partitions.
     try:
-        est_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        import os
+        from urllib.parse import urlparse
+
+        est_bytes = 0
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme in ("", "file"):
+                try:
+                    est_bytes += os.path.getsize(parsed.path)
+                except OSError:
+                    pass
     except Exception:  # noqa: BLE001 — stats unavailable: be conservative
         est_bytes = 0
     want = max(1, min(sc.defaultParallelism, est_bytes // bytes_per_task))

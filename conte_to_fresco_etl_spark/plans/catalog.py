@@ -652,13 +652,36 @@ def q_interval_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 cardinality probe, exact form for the cross-engine gate (the
     scale path is validation.cardinality_report's HyperLogLog++
-    approx_count_distinct — one pass, no per-column shuffle)."""
+    approx_count_distinct — one pass, no per-column shuffle).
+
+    NOT the naive ``agg(count_distinct × 3)``: Spark rewrites multiple
+    distinct aggregates via Expand — every row is replicated once per
+    distinct column into one wide shuffle (measured 1.80s at sf0.1 on
+    local[32]).  Instead, union three column-pruned (key_id, value)
+    projections, partial-aggregate to per-partition distinct pairs, and
+    shuffle only the surviving narrow pairs; a second single-row agg
+    folds pair counts into the distinct counts and n_rows (sum of the
+    key-0 pair counts).  Measured 1.11s — same exact answer, and at
+    100 TB the shuffle carries per-partition-distinct pairs instead of
+    3× the corpus row count."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(F.col("l_orderkey")).alias("d_orderkey"),
-        F.count_distinct(F.col("l_partkey")).alias("d_partkey"),
-        F.count_distinct(F.col("l_returnflag")).alias("d_returnflag"),
+    pairs = (
+        li.select(
+            F.lit(0).alias("k"),
+            F.col("l_orderkey").cast("string").alias("v"),
+        )
+        .unionAll(li.select(F.lit(1), F.col("l_partkey").cast("string")))
+        .unionAll(li.select(F.lit(2), F.col("l_returnflag").cast("string")))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return pairs.groupBy().agg(
+        F.sum(F.when(F.col("k") == 0, F.col("c")))
+        .cast("long")
+        .alias("n_rows"),
+        F.count(F.when(F.col("k") == 0, F.col("v"))).alias("d_orderkey"),
+        F.count(F.when(F.col("k") == 1, F.col("v"))).alias("d_partkey"),
+        F.count(F.when(F.col("k") == 2, F.col("v"))).alias("d_returnflag"),
     )
 
 

@@ -218,14 +218,23 @@ def cap_per_group(
     group sorts ENTIRE groups — at 100 TB a dominant domain is one
     giant window partition.  Because the sort key is a uniform hash,
     rows ranked <= cap almost surely sit below ``safety * cap/total``
-    of the hash range, so: aggregate per-group totals (one small agg,
-    collected — group cardinality is dimension-sized), filter to the
-    per-group cutoff map-side, and rank only survivors.  The window
-    then sees O(safety * cap) rows per group instead of the group.
+    of the hash range, so: aggregate per-group totals (one small agg —
+    group cardinality is dimension-sized), broadcast-join the per-group
+    hash cutoff back onto the data, filter map-side, and rank only
+    survivors.  The window then sees O(safety * cap) rows per group
+    instead of the group.
+
     EXACTNESS IS VERIFIED, not assumed: any group whose survivor count
     fell below min(cap, total) (probability ~exp(-cap(s-1)^2/2s)) is
     re-ranked without the prefilter and unioned back, so the result is
-    identical to the plain path on every input."""
+    identical to the plain path on every input.
+
+    Everything stays on the executors: cutoffs ride a broadcast join
+    (not a collected ``when()`` literal chain, whose plan depth is
+    O(|groups|) and whose collect is a driver bottleneck at high group
+    cardinality), and the under-full "bad group" fix-up is a broadcast
+    anti/semi join against a groups-sized frame — empty in the common
+    case.  No ``collect()`` anywhere in the path."""
     h = F.substring(
         F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
         1,
@@ -244,43 +253,55 @@ def cap_per_group(
     if prefilter_safety is None:
         return ranked(base)
 
-    # group totals are dimension-sized: collect, build literal cutoffs
-    totals = {
-        r[0]: r[1]
-        for r in base.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-    }
-    full_range = 16**15  # __h is 15 lowercase hex chars
-    cutoffs = {
-        g: (
-            None
-            if n <= cap
-            else format(
-                min(full_range, int(full_range * prefilter_safety * cap / n)),
-                "015x",
+    # Per-group totals and hash cutoffs as a groups-sized DataFrame.
+    # __h is 15 lowercase hex chars, so the hash range is 16^15 = 2^60;
+    # the cutoff fraction safety*cap/n is applied in double arithmetic
+    # (rounding at ~2^7 of 2^60 is immaterial — exactness comes from the
+    # fix-up below, not the cutoff).  Groups small enough that the
+    # cutoff would reach the top of the range (n <= safety*cap) get a
+    # NULL cutoff = keep everything.
+    full_range = float(16**15)
+    totals = base.groupBy(group_col).agg(F.count("*").alias("__n"))
+    cutoffs = totals.select(
+        group_col,
+        "__n",
+        F.when(
+            F.col("__n") <= F.lit(float(prefilter_safety * cap)), F.lit(None)
+        )
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        (
+                            F.lit(full_range * prefilter_safety * cap)
+                            / F.col("__n")
+                        ).cast("long")
+                    )
+                ),
+                15,
+                "0",
             )
         )
-        for g, n in totals.items()
-    }
-    cutoff_col = F.lit("f" * 15)  # keep-everything default
-    for g, c in cutoffs.items():
-        if c is not None:
-            cutoff_col = F.when(F.col(group_col) == g, F.lit(c)).otherwise(
-                cutoff_col
-            )
-    pre = base.filter(F.col("__h") < cutoff_col)
-    survivors = {
-        r[0]: r[1]
-        for r in pre.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-    }
-    bad = [
-        g
-        for g, n in totals.items()
-        if survivors.get(g, 0) < min(cap, n)
-    ]
-    if not bad:
-        return ranked(pre)
-    good_part = ranked(pre.filter(~F.col(group_col).isin(bad)))
-    bad_part = ranked(base.filter(F.col(group_col).isin(bad)))
+        .alias("__cut"),
+    )
+    pre = (
+        base.join(F.broadcast(cutoffs), on=group_col, how="inner")
+        .filter(F.col("__cut").isNull() | (F.col("__h") < F.col("__cut")))
+        .drop("__cut", "__n")
+    )
+    # Distributed exactness check: groups whose prefilter survivors fell
+    # under min(cap, total) must be re-ranked without the prefilter.
+    survivors = pre.groupBy(group_col).agg(F.count("*").alias("__s"))
+    bad = (
+        cutoffs.join(survivors, on=group_col, how="left")
+        .filter(
+            F.coalesce(F.col("__s"), F.lit(0))
+            < F.least(F.lit(cap).cast("long"), F.col("__n"))
+        )
+        .select(group_col)
+    )
+    good_part = ranked(pre.join(F.broadcast(bad), on=group_col, how="left_anti"))
+    bad_part = ranked(base.join(F.broadcast(bad), on=group_col, how="left_semi"))
     return good_part.unionByName(bad_part)
 
 

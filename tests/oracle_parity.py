@@ -97,10 +97,10 @@ def main() -> int:
                       shuffle_partitions=8)
     con = duck_connection(sf_dir)
     qs = entrymod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in sorted(qs.items()):
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             ok, msg = compare(name, fn(spark, sf_dir), con)

@@ -54,6 +54,7 @@ HEADLINE = [
     "q_lsh_ann_topk",
     "q_ivf_ann_topk",
     "q_ivf_exhaustive",
+    "q_ivf_trained_topk",
     "q_media_decode",
     "q_corpus_curation",
     "q_doc_components",

@@ -993,6 +993,50 @@ def canonical_docs(
     )
 
 
+#: Session-scoped cache for the near-dup decision table, keyed by
+#: (applicationId, caller-chosen input key, params).  The decision table
+#: is the product every dedup consumer shares — components, canonical
+#: choice, and the apply filter all derive from it — and it is
+#: dup-subset-sized, so keeping it persisted for the session is cheap.
+_DECISION_CACHE: dict[tuple, DataFrame] = {}
+
+
+def neardup_decision(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    cache_key: tuple | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The shared near-dup decision table: ``canonical_docs`` output
+    (doc_id, component, quality, keep), computed ONCE per session and
+    persisted, so the downstream consumers — cluster membership
+    (``q_doc_components``), canonical selection (``q_dedup_canonical``),
+    and the applied filter (``q_dedup_apply``) — do not each re-run the
+    minhash + LSH + connected-components pipeline.
+
+    ``cache_key`` should include the session's applicationId and an
+    input identity (e.g. the corpus path) plus the parameter set; pass
+    None to bypass caching.  The cached frame is ``persist()``ed lazily:
+    the first consumer's action materializes it, later consumers reuse
+    the in-memory table.
+
+    Production convention at 100 TB: the same staging, durable — write
+    this table to parquet once per corpus snapshot and have every
+    consumer read it, rather than holding it in executor memory."""
+    if cache_key is not None:
+        hit = _DECISION_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    out = canonical_docs(
+        df, id_col, text_col, quality_col, **minhash_kwargs
+    ).persist()
+    if cache_key is not None:
+        _DECISION_CACHE[cache_key] = out
+    return out
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     existing_docs: DataFrame,

@@ -219,37 +219,21 @@ def seed_centroids(
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
+def spherical_kmeans_core(
+    ids: np.ndarray,
+    mat: np.ndarray,
     n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
-    max_train_rows: int = 1_000_000,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Coarse quantizer for IVF: spherical k-means on a (sampled)
-    corpus, fitted driver-side on unit-normalized vectors.  Determinism:
-    seeded init, fixed iteration count, hash-stable sampling (md5 of
-    the id — reproducible across runs and partitionings, unlike
-    ``df.sample``).
-
-    The training read is BUDGETED, never the full corpus: an optional
-    hash-stable ``sample_fraction`` plus a hard ``max_train_rows`` cap
-    (``limit`` stops the scan early).  Centroid quality saturates far
-    below 1M rows, so at 100 TB the driver still only ever pulls a
-    bounded sample — the corpus itself never leaves the executors
-    during *search*, only this capped training read."""
-    df = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    if sample_fraction < 1.0:
-        bucket = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long") % 1_000_000
-        df = df.filter(bucket < int(sample_fraction * 1_000_000))
-    if max_train_rows is not None:
-        df = df.limit(max_train_rows)
-    mat = np.array([r[1] for r in df.collect()], dtype=np.float64)
+    """The pure-NumPy spherical k-means ``train_ivf_centroids`` runs,
+    exposed separately so an oracle builder can retrain the IDENTICAL
+    quantizer from the same (id, vector) set without Spark: rows are
+    sorted by id first, making the float-op sequence — and therefore
+    the centroids, bit for bit — a pure function of the set, not of
+    scan or collect order."""
+    order = np.argsort(ids, kind="stable")
+    mat = np.asarray(mat, dtype=np.float64)[order]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     unit = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
     rng = np.random.default_rng(seed)
@@ -265,6 +249,45 @@ def train_ivf_centroids(
                 if n > 0:
                     cents[c] = m / n
     return cents
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    max_train_rows: int = 1_000_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means on a (sampled)
+    corpus, fitted driver-side on unit-normalized vectors.  Determinism:
+    seeded init, fixed iteration count, hash-stable sampling (md5 of
+    the id — reproducible across runs and partitionings, unlike
+    ``df.sample``), and an id-sorted training matrix
+    (``spherical_kmeans_core``) so the result does not depend on
+    collect order — any engine holding the same (id, vector) set
+    retrains the same centroids bit for bit.
+
+    The training read is BUDGETED, never the full corpus: an optional
+    hash-stable ``sample_fraction`` plus a hard ``max_train_rows`` cap
+    (``limit`` stops the scan early).  Centroid quality saturates far
+    below 1M rows, so at 100 TB the driver still only ever pulls a
+    bounded sample — the corpus itself never leaves the executors
+    during *search*, only this capped training read."""
+    df = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        bucket = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long") % 1_000_000
+        df = df.filter(bucket < int(sample_fraction * 1_000_000))
+    if max_train_rows is not None:
+        df = df.limit(max_train_rows)
+    rows = df.collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return spherical_kmeans_core(ids, mat, n_centroids, iters, seed)
 
 
 def ivf_topk(

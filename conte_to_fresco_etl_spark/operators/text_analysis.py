@@ -636,6 +636,97 @@ def top_bigrams(
     ).select("bigram", F.col("n").cast("long").alias("n"), "rank")
 
 
+def induce_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    joiner: str = "_",
+) -> DataFrame:
+    """Iterative BPE-style merge induction at the word-token level: the
+    loop ``top_bigrams`` is step 0 of.  Each round counts adjacent
+    token pairs across the corpus, takes the most frequent (ties:
+    bigram ascending), fuses every left-to-right non-overlapping
+    occurrence into a single ``pa<joiner>pb`` token, and re-counts on
+    the re-tokenized corpus — so round N's counts see round N-1's
+    merges, which a one-shot bigram table cannot.
+
+    Returns (merge_round, bigram, n): the ordered merge table a
+    tokenizer trainer ships.  Stops early if no pair remains.
+
+    Plan shape per round, driver loop like ``connected_components``:
+    one explode + count shuffle for the pair table, a distributed
+    ``orderBy + limit(1)`` (TakeOrdered — ONE row reaches the driver,
+    the round's merge decision, same bounded-scalar pattern as CC's
+    convergence check), then the merge applied as a JVM higher-order
+    ``aggregate`` fold over each token array — greedy left-to-right,
+    no Python in the loop.  Round state is ``localCheckpoint``ed: it
+    re-materializes the tokenized corpus, which both truncates the
+    per-round expression nesting and makes round N scan tokens, not
+    re-derive N-1 merges from raw text.  At 100 TB the same loop holds
+    with round state staged to parquet instead of executor blocks; the
+    classic trainer optimization (count once, incrementally patch pair
+    counts around each merge site) is a documented upgrade, not needed
+    for the merge-table sizes LMs use."""
+    spark = df.sparkSession
+    state = (
+        df.select(tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .localCheckpoint()
+    )
+    # sequence(1, size-1) DESCENDS when size-1 < 1 under Spark 4 — the
+    # size >= 2 filter above guards it.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(n_merges):
+        top = (
+            state.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0][0], top[0][1]
+        pa, pb = pair.split(" ", 1)
+        merges.append((rnd, pair, int(n)))
+        merged_tok = F.lit(pa + joiner + pb)
+        init = F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(s, t):
+            hit = s["prev"].isNotNull() & (s["prev"] == pa) & (t == pb)
+            acc = (
+                F.when(hit, F.concat(s["acc"], F.array(merged_tok)))
+                .when(
+                    s["prev"].isNotNull(), F.concat(s["acc"], F.array(s["prev"]))
+                )
+                .otherwise(s["acc"])
+            )
+            prev = F.when(hit, F.lit(None).cast("string")).otherwise(t)
+            return F.struct(acc.alias("acc"), prev.alias("prev"))
+
+        def finish(s):
+            return F.when(
+                s["prev"].isNotNull(), F.concat(s["acc"], F.array(s["prev"]))
+            ).otherwise(s["acc"])
+
+        state = state.select(
+            F.aggregate(F.col("toks"), init, step, finish).alias("toks")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="merge_round long, bigram string, n long"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

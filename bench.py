@@ -70,6 +70,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_knn_classify",
     "q_top_bigrams",
+    "q_bpe_merges",
     "q_temperature_sample",
     "q_curation_v2",
     "q_sessionize",

@@ -1731,6 +1731,98 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_bpe_merges(
+    texts: list, n_merges: int, joiner: str = "_"
+) -> list[tuple[int, str, int]]:
+    """Pure-Python twin of operators.text_analysis.induce_bpe_merges:
+    same tokenization (_py_tokens), same top-pair rule (count desc,
+    bigram asc), same greedy left-to-right fuse.  Drives the oracle."""
+    from collections import Counter
+
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+
+    corpora = [t for t in (_py_tokens(x) for x in texts) if len(t) >= 2]
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(n_merges):
+        counts: Counter = Counter()
+        for toks in corpora:
+            counts.update(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+        if not counts:
+            break
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pa, pb = pair.split(" ", 1)
+        merges.append((rnd, pair, n))
+        fused = pa + joiner + pb
+        nxt = []
+        for toks in corpora:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            if len(out) >= 2:
+                nxt.append(out)
+        corpora = nxt
+    return merges
+
+
+def _bpe_sql(n_merges: int = 6) -> str | None:
+    """Python-constant oracle for q_bpe_merges: run the pure-Python BPE
+    twin over the gate corpus at import time and emit the merge table
+    as VALUES literals (the _ivf_trained_sql pattern — the loop is a
+    pure function of the table, so literals derived from it ARE the
+    oracle).  None if the gate table is absent → rows-only check."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(path, columns=["text"]).to_pydict()["text"]
+        merges = _py_bpe_merges(texts, n_merges)
+    except Exception:  # noqa: BLE001 — unreadable gate table: weak check
+        return None
+    if not merges:
+        return None
+    values = ",\n        ".join(
+        "({}, '{}', {})".format(r, b.replace("'", "''"), n)
+        for r, b, n in merges
+    )
+    return f"""
+    SELECT CAST(merge_round AS BIGINT) AS merge_round, bigram,
+           CAST(n AS BIGINT) AS n
+    FROM (VALUES
+        {values}
+    ) AS t(merge_round, bigram, n)
+"""
+
+
+@_q("q_bpe_merges", _bpe_sql(6))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table induction closed-loop (the iterate-and-
+    re-tokenize loop q_top_bigrams is round 0 of): 6 rounds of
+    count-pairs → fuse-best → re-count over the documents corpus,
+    entirely JVM-side per round with one merge decision row reaching
+    the driver per round."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+
+    return induce_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=6
+    )
+
+
 def _kmeans_sql(cents) -> str:
     dim = len(cents[0])
 

@@ -376,3 +376,80 @@ def test_chunk_documents_reconstruction_property(spark):
             # every chunk except possibly the last is full-size
             for i in range(len(got) - 1):
                 assert len(got[i]) == max_t
+
+
+def test_induce_bpe_merges_fuses_and_iterates(spark):
+    """Round N's pair counts must reflect round N-1's fusions: after
+    'the cat' merges, 'a the_cat' exists as a pair and plain 'the'/'cat'
+    adjacency is gone — a one-shot bigram table cannot produce this."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+    from conte_to_fresco_etl_spark.plans.catalog_text import _py_bpe_merges
+
+    texts = [
+        "the cat sat on the cat mat",
+        "the cat is the cat",
+        "a a a the cat",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_round"], r["bigram"], r["n"])
+        for r in induce_bpe_merges(df, n_merges=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got[0] == (0, "the cat", 5)
+    # greedy left-to-right: 'a a a' fuses once, the leftover 'a' pairs
+    # with the previously-fused the_cat token in a LATER round
+    assert got[1] == (1, "a a", 2)
+    assert got[2][1] == "a the_cat"
+    # the Spark loop and the pure-Python oracle twin agree exactly
+    assert got == _py_bpe_merges(texts, 4)
+
+
+def test_induce_bpe_merges_exhausts_early(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, ""), (2, "solo")], "doc_id long, text string"
+    )
+    rows = induce_bpe_merges(df, n_merges=5).collect()
+    # only one pair exists; after it fuses the corpus has no doc with
+    # >= 2 tokens left, so the loop stops at 1 merge instead of 5
+    assert [(r["merge_round"], r["bigram"], r["n"]) for r in rows] == [
+        (0, "x y", 1)
+    ]
+
+
+def test_induce_bpe_regex_fuse_equals_python_fold(spark):
+    """The JVM regexp_replace fuse must equal the greedy left-to-right
+    Python fold on adversarial corpora: regex metacharacters in tokens,
+    overlapping repeats, and fuse chains across rounds."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+    from conte_to_fresco_etl_spark.plans.catalog_text import _py_bpe_merges
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "a.b", "x$1", "q(", "[z]", "a", "b", "c\\d", "*"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_round"], r["bigram"], r["n"])
+        for r in induce_bpe_merges(df, n_merges=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _py_bpe_merges(texts, 5)

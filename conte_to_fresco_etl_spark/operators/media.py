@@ -5,9 +5,10 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 ``mapInPandas`` signatures, partitioning posture — and the codec layer is
 pluggable, shipping three implementations:
 
-  * ``numpy_codec`` — a REAL decoder for uncompressed formats with no
-    external library: binary PPM (``P6``, comments, 8/16-bit) images
-    and PCM16 WAV (RIFF chunk walk, multi-channel) audio, dispatched by
+  * ``numpy_codec`` — a REAL decoder with no external library: binary
+    PPM (``P6``, comments, 8/16-bit) and PNG (stdlib zlib; all five
+    scanline filters, gray/RGB/palette/alpha, 8/16-bit) images and
+    PCM16 WAV (RIFF chunk walk, multi-channel) audio, dispatched by
     magic bytes and exact-value tested end-to-end through the
     distributed operators;
   * a **deterministic fake**: decodes any payload into reproducible
@@ -46,14 +47,16 @@ _FAKE_DIM = 8
 
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
-    """The production plug-point for COMPRESSED formats.  Uncompressed
-    PPM images and PCM WAV audio decode natively (``numpy_codec``);
-    anything else raises until a codec library is wired in."""
+    """The production plug-point for formats beyond the native codecs.
+    PPM and PNG images and PCM WAV audio decode natively
+    (``numpy_codec``); anything else raises until a codec library is
+    wired in."""
     raise NotImplementedError(
-        "compressed media decode requires a codec library not present "
-        "in this environment (image: Pillow, audio: soundfile, video: "
-        "pyav); uncompressed PPM/WAV decode natively via numpy_codec — "
-        "pass codec=... to the operator"
+        "media decode for this format requires a codec library not "
+        "present in this environment (image: Pillow for JPEG/WebP, "
+        "audio: soundfile for FLAC/OGG, video: pyav); PPM, PNG, and "
+        "PCM WAV decode natively via numpy_codec — pass codec=... to "
+        "the operator"
     )
 
 
@@ -90,6 +93,186 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3).astype(np.float32)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, channels) float32 array of raw sample
+    values — pure Python + stdlib ``zlib``, the same no-external-
+    dependency posture as the PPM parser.  Supports bit depth 8/16,
+    color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, ancillary
+    chunks skipped.  Adam7 interlace raises (nothing writes it by
+    default; the plug-point error names it).
+
+    Filter inversion: Sub is a per-byte-lane cumulative sum (vectorized
+    — mod-256 addition is associative, so cumsum %% 256 equals the
+    sequential recurrence), Up is one vector add against the prior row;
+    Average/Paeth carry a true per-byte recurrence and run as Python
+    loops over the row — correctness first, and scan cost at scale is
+    bounded by the Arrow batch size like every codec here."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    import struct
+    import zlib
+
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    try:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise ValueError(f"unknown PNG color type {ctype}") from None
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported bit depth {depth} for type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    bypp = channels * (depth // 8)
+    stride = w * bypp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).astype(np.int64)
+        pos += stride
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-lane mod-256 cumulative sum
+            cur = line.copy()
+            for lane in range(bypp):
+                cur[lane::bypp] = np.cumsum(line[lane::bypp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif f == 3:  # Average
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bypp] if x >= bypp else 0
+                cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bypp] if x >= bypp else 0
+                b = int(prior[x])
+                c = int(prior[x - bypp]) if x >= bypp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        prior = cur
+        recon[y] = cur.astype(np.uint8)
+    if depth == 16:
+        pairs = recon.reshape(h, w, channels, 2).astype(np.uint16)
+        vals = pairs[..., 0] * 256 + pairs[..., 1]  # big-endian samples
+    else:
+        vals = recon.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        vals = pal[vals[:, :, 0]]
+    return vals.astype(np.float32)
+
+
+def encode_png(
+    arr: np.ndarray, bit_depth: int = 8, filter_type: int = 0
+) -> bytes:
+    """Encode an (h, w) or (h, w, channels) uint array as a
+    spec-conformant PNG (stdlib ``zlib`` for compression + chunk CRCs)
+    — the re-encode half ``resize_images`` points at, and the fixture
+    generator the decoder tests round-trip through.  ``filter_type``
+    applies one forward filter to every scanline (0-4), which gives the
+    tests independent coverage of each inverse filter."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if bit_depth == 16:
+        samples = arr.astype(">u2").tobytes()
+    else:
+        samples = arr.astype(np.uint8).tobytes()
+    bypp = channels * (bit_depth // 8)
+    stride = w * bypp
+    rows = np.frombuffer(samples, dtype=np.uint8).reshape(h, stride)
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bypp, dtype=np.int64), cur[:-bypp]])
+            filt = (cur - left) & 0xFF
+        elif filter_type == 2:
+            filt = (cur - prior) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bypp, dtype=np.int64), cur[:-bypp]])
+            filt = (cur - ((left + prior) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(bypp, dtype=np.int64), cur[:-bypp]])
+            ul = np.concatenate([np.zeros(bypp, dtype=np.int64), prior[:-bypp]])
+            p = left + prior - ul
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - ul),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        out.append(filter_type)
+        out += filt.astype(np.uint8).tobytes()
+        prior = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(payload: bytes) -> np.ndarray:
     """Decode a PCM16 WAV to an (n_samples, n_channels) float32 array
     in [-1, 1).  Walks the RIFF chunk list (so extra chunks like LIST
@@ -122,11 +305,14 @@ def decode_wav(payload: bytes) -> np.ndarray:
 
 
 def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
-    """Real decode for uncompressed formats, dispatched by magic bytes:
-    ``P6`` → PPM image, ``RIFF..WAVE`` → PCM WAV.  Compressed payloads
-    fall through to ``strict_codec``'s plug-point error."""
+    """Real decode dispatched by magic bytes: ``P6`` → PPM image,
+    PNG signature → zlib-backed PNG decode, ``RIFF..WAVE`` → PCM WAV.
+    Other compressed payloads fall through to ``strict_codec``'s
+    plug-point error."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return strict_codec(payload, modality)

@@ -188,3 +188,140 @@ def test_numpy_codec_end_to_end_distributed(spark):
     # nearest-neighbor upscale keeps corner pixels
     assert grid.reshape(4, 4, 3)[0, 0].tolist() == [255.0, 0.0, 0.0]
     assert grid.reshape(4, 4, 3)[3, 3].tolist() == [9.0, 9.0, 9.0]
+
+
+def test_decode_png_roundtrip_all_filters():
+    """Every scanline filter must invert exactly: the same image encoded
+    under filters 0-4 decodes to identical pixels."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    decoded = [
+        decode_png(encode_png(img, filter_type=f)) for f in range(5)
+    ]
+    for d in decoded:
+        assert d.shape == (13, 7, 3)
+        assert np.array_equal(d, img.astype(np.float32))
+
+
+def test_decode_png_color_types_and_depth():
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    # gray, gray+alpha, RGB, RGBA at 8-bit
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(6, 5, channels), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=4))
+        assert out.shape == (6, 5, channels)
+        assert np.array_equal(out, img.astype(np.float32))
+    # 16-bit RGB: big-endian samples survive exactly
+    img16 = rng.integers(0, 65536, size=(4, 3, 3), dtype=np.uint16)
+    out16 = decode_png(encode_png(img16, bit_depth=16, filter_type=2))
+    assert np.array_equal(out16, img16.astype(np.float32))
+
+
+def test_decode_png_palette():
+    """Hand-built palette (color type 3) PNG expands through PLTE."""
+    import struct
+    import zlib
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    palette = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    scanlines = b"".join(b"\x00" + row.tobytes() for row in idx)
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.shape == (2, 3, 3)
+    assert out[0, 0].tolist() == [250.0, 0.0, 0.0]
+    assert out[1, 0].tolist() == [0.0, 0.0, 250.0]
+
+
+def test_decode_png_rejects_interlace_and_garbage():
+    import struct
+    import zlib
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 16)
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    interlaced = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(interlaced)
+
+
+def test_png_through_decode_stats_distributed(spark):
+    """A real (spec-conformant, zlib-compressed) PNG rides the binary
+    column through mapInPandas and decodes via numpy_codec's magic-byte
+    dispatch — the closed r3 'compressed codec' gap, end-to-end."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        encode_png,
+        extract_features,
+        numpy_codec,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    flat_png = encode_png(img, filter_type=1)
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(flat_png)), (2, "image", bytearray(ppm))],
+        "media_id long, modality string, payload binary",
+    )
+    stats = {
+        r["media_id"]: r for r in decode_stats(df, codec=numpy_codec).collect()
+    }
+    assert stats[1]["n_values"] == 9 * 9 * 3
+    assert abs(stats[1]["mean"] - img.astype(np.float64).mean()) < 1e-9
+    assert abs(stats[1]["std"] - img.astype(np.float64).std()) < 1e-9
+    assert stats[1]["n_bytes"] == len(flat_png)
+    assert stats[2]["n_values"] == 12
+    feats = {
+        r["media_id"]: r["embedding"]
+        for r in extract_features(df, codec=numpy_codec, dim=8).collect()
+    }
+    assert feats[1] == img.ravel()[:8].astype(np.float32).tolist()

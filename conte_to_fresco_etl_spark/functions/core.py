@@ -38,12 +38,25 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if not ntz:
         return df
-    try:
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # pragma: no cover - read-only conf in exotic harnesses
-        pass
+    # Session-INDEPENDENT retag (the earlier form set the caller's
+    # session timezone to UTC as a side effect, silently changing every
+    # other LTZ parse/render in a caller-owned session):
+    # ``CAST(ntz AS timestamp_ltz)`` interprets the wall-clock in the
+    # session zone S, so first shift the wall-clock from UTC to S
+    # (``convert_timezone``) — the composition yields the instant whose
+    # UTC wall-clock is the stored value, under ANY session timezone.
+    # Under a UTC session (session.py's own contract) the shift is the
+    # identity.  Caveat: for a non-UTC session zone WITH daylight-saving
+    # transitions, wall-clocks inside the repeated fall-back hour are
+    # ambiguous under the final cast; zones without DST are exact.
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     return df.withColumns(
-        {c: F.col(c).cast("timestamp_ltz") for c in ntz}
+        {
+            c: F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(c)).cast(
+                "timestamp_ltz"
+            )
+            for c in ntz
+        }
     )
 
 

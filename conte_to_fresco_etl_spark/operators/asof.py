@@ -100,7 +100,10 @@ def asof_join(
     # running `last` sees the right row (inclusive <=).  forward is the
     # mirror image: descending time, so "first right at-or-after".
     if direction == "backward":
-        order = [F.col(ts_col).asc(), F.col("__is_left").asc(),
+        # asc_nulls_first spelled explicitly (it IS Spark's asc default,
+        # but engines differ — DuckDB defaults NULLS LAST — and the
+        # null-ts-left-row-unmatched contract above depends on it)
+        order = [F.col(ts_col).asc_nulls_first(), F.col("__is_left").asc(),
                  F.col("__tie").asc_nulls_last()]
     else:
         # desc_nulls_first: a null-ts LEFT row must sort BEFORE every

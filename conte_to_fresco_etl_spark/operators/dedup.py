@@ -802,6 +802,7 @@ def connected_components(
     parts = max(1, min(edges.rdd.getNumPartitions(), n_nodes // 500_000 + 1))
     labels = labels.coalesce(parts).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -828,9 +829,24 @@ def connected_components(
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:  # fixed point: labels can only decrease
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # A label table that stopped before the fixed point silently
+        # mislabels components — and downstream that means a WRONG dedup
+        # decision (docs kept/dropped against the wrong cluster).  Fail
+        # loudly instead: rounds needed = graph diameter, so this only
+        # trips on chain-shaped graphs far deeper than near-dup
+        # band-collision cliques produce.
+        raise RuntimeError(
+            f"connected_components did not reach a fixed point within "
+            f"max_iters={max_iters} rounds: the pair graph's diameter "
+            f"exceeds the round budget. Raise max_iters, or for "
+            f"adversarially deep graphs switch to alternating "
+            f"large-star/small-star contraction (O(log n) rounds)."
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

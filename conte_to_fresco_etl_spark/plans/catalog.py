@@ -833,7 +833,7 @@ _ASOF_SQL = """
              LAST_VALUE(r_value IGNORE NULLS) OVER w AS asof_value,
       FROM u
       WINDOW w AS (PARTITION BY user_id
-                   ORDER BY ts, is_left, r_tie NULLS LAST
+                   ORDER BY ts NULLS FIRST, is_left, r_tie NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, user_id, ts, value,
@@ -1086,7 +1086,8 @@ def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUARTILE_SQL = """
     SELECT event_id, user_id,
            CAST(NTILE(4) OVER (PARTITION BY user_id
-                               ORDER BY value, event_id) AS BIGINT)
+                               ORDER BY value NULLS FIRST,
+                                        event_id NULLS FIRST) AS BIGINT)
              AS quartile
     FROM events
 """
@@ -1096,10 +1097,15 @@ def q_user_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value quartile via NTILE — the bucketing shape behind
     per-entity score normalization.  The window orders by (value,
     event_id): a TOTAL order, so bucket boundaries are deterministic in
-    any engine (NTILE over a partial order is not).  One shuffle on the
-    user key."""
+    any engine (NTILE over a partial order is not).  Null ordering is
+    pinned NULLS FIRST on BOTH sides — Spark's ASC default, but
+    DuckDB's default is NULLS LAST, so the gate would silently diverge
+    the day the generator grows a null value.  One shuffle on the user
+    key."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     return ev.select(
         "event_id",
         "user_id",

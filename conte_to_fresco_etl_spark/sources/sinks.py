@@ -149,20 +149,40 @@ def compact_partition(
         .option("maxRecordsPerFile", target_records_per_file)
         .parquet(tmp)
     )
-    # atomic-enough swap through the FS API (same pattern as the
-    # reference's temp-file + rename append, conte-etl-step-2-
-    # processor.py:113-221, but directory-level).  Hadoop FS ops report
-    # many failures via a false RETURN, not an exception — check them:
-    # a silently failed rename after the delete would lose the target.
+    # Swap through the FS API (same pattern as the reference's
+    # temp-file + rename append, conte-etl-step-2-processor.py:113-221,
+    # but directory-level), BACKUP-FIRST: rename target aside, rename
+    # tmp into place, then drop the backup.  Unlike delete-then-rename,
+    # no state in this sequence loses data — a death between the two
+    # renames leaves recovery as a single rename of the backup (or tmp),
+    # and a failed swap-in rolls the backup straight back.  Hadoop FS
+    # ops report many failures via a false RETURN, not an exception —
+    # check every one.
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(target).getFileSystem(conf)
-    if not fs.delete(Path(target), True):
-        raise RuntimeError(f"compact_partition: delete failed: {target}")
-    if not fs.rename(Path(tmp), Path(target)):
+    backup = target + "__compact_bak"
+    if fs.exists(Path(backup)) and not fs.delete(Path(backup), True):
         raise RuntimeError(
-            f"compact_partition: rename failed; data is at {tmp}"
+            f"compact_partition: stale backup could not be removed: {backup}"
+        )
+    if not fs.rename(Path(target), Path(backup)):
+        raise RuntimeError(
+            f"compact_partition: backup rename failed; target untouched, "
+            f"compacted data is at {tmp}"
+        )
+    if not fs.rename(Path(tmp), Path(target)):
+        restored = fs.rename(Path(backup), Path(target))
+        raise RuntimeError(
+            f"compact_partition: swap-in failed; original "
+            f"{'restored' if restored else f'still at {backup}'}, "
+            f"compacted data is at {tmp}"
+        )
+    if not fs.delete(Path(backup), True):
+        raise RuntimeError(
+            f"compact_partition: compaction succeeded but the backup "
+            f"could not be removed — target is healthy, clean up {backup}"
         )
     return n_files
 

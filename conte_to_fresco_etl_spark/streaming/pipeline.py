@@ -263,6 +263,17 @@ def start_continuous_rollup(
             merged = keep.unionByName(fresh)
         except AnalysisException:  # first batch: no table to merge yet
             merged = fresh
+        # Materialize BEFORE overwriting: `merged` lazily READS out_path
+        # while the write REPLACES the same day partitions — without
+        # this barrier a task retry mid-commit could re-read a partition
+        # the committer already swapped, losing non-superseded rows.
+        # localCheckpoint pins the merged rows in executor storage so
+        # the overwrite consumes a snapshot, not a live view of its own
+        # target.  (Exactly-once at the output level additionally
+        # assumes an atomic rename committer — the local/HDFS
+        # FileOutputCommitter contract; on direct-write object stores
+        # use a transactional table format instead.)
+        merged = merged.localCheckpoint()
         (
             merged.repartition("d")
             .write.mode("overwrite")

@@ -408,3 +408,25 @@ def test_knn_classify_k_exceeds_corpus(spark):
     out = knn_classify(corpus, queries, k=50).collect()
     assert len(out) == 1
     assert out[0]["pred_label"] == 5 and out[0]["n_votes"] == 2
+
+
+def test_connected_components_deep_path_converges_or_raises(spark):
+    """A 40-node path graph has diameter 39 > the default 30-round
+    budget: the loop must fail LOUDLY (silently truncated labels would
+    ship a wrong dedup decision), and with a budget past the diameter
+    it must converge to a single component labeled by the min node."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixed point"):
+        connected_components(pairs, max_iters=30)
+
+    labels = connected_components(pairs, max_iters=45).collect()
+    assert len(labels) == 40
+    assert {r["component"] for r in labels} == {0}

@@ -237,3 +237,34 @@ def test_sessionize_accepts_ntz_frames(spark, tmp_path):
     assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
     rows = sessionize_events(ev, gap_minutes=30).orderBy("session_id").collect()
     assert [(r["session_id"], r["n_events"]) for r in rows] == [(0, 2), (1, 1)]
+
+
+def test_normalize_ntz_is_session_independent(spark, tmp_path):
+    """Under a NON-UTC session timezone the retag must still yield the
+    naive-as-UTC instant, and must NOT mutate the caller's session
+    timezone (the r3 advisor finding: the old form set UTC globally as
+    a side effect).  Asia/Kolkata has no DST, so the retag is exact."""
+    from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+    import calendar
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ntz_tz.parquet")
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ'2015-03-01 10:00:00' AS ts, 1 AS v"
+    ).write.parquet(path)
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        df = spark.read.parquet(path)
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        got = (
+            normalize_ntz(df)
+            .select(F.unix_micros("ts").alias("us"))
+            .first()["us"]
+        )
+        assert got == calendar.timegm((2015, 3, 1, 10, 0, 0)) * 1_000_000
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+        ), "normalize_ntz mutated the caller's session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)

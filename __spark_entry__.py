@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     # new or modified in r4
     "q_bpe_merges",
     "q_ivf_trained_topk",
+    "q_doc_components_star",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_media_decode",
     "q_corpus_curation",
     "q_doc_components",
+    "q_doc_components_star",
     "q_quality_filters",
     "q_winnow_fingerprints",
     "q_stratified_sample",

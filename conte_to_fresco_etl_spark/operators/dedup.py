@@ -759,8 +759,9 @@ def connected_components(
     in the join), so without truncation a deep graph OOMs the driver on
     plan strings alone long before data is a problem.  On a cluster
     prefer ``df.checkpoint()`` with a reliable checkpoint dir (survives
-    executor loss); for very deep graphs swap the loop for alternating
-    large-star/small-star (O(log n) rounds) — same per-round plan shape.
+    executor loss); for very deep graphs use
+    ``connected_components_star`` (alternating large-star/small-star,
+    O(log n) rounds regardless of diameter) — same per-round plan shape.
 
     Deterministic: min over ids, no randomness, no order dependence.
     """
@@ -843,11 +844,123 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not reach a fixed point within "
             f"max_iters={max_iters} rounds: the pair graph's diameter "
-            f"exceeds the round budget. Raise max_iters, or for "
-            f"adversarially deep graphs switch to alternating "
-            f"large-star/small-star contraction (O(log n) rounds)."
+            f"exceeds the round budget. Raise max_iters, or for deep "
+            f"graphs use connected_components_star (O(log n) rounds "
+            f"regardless of diameter)."
         )
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the deep-graph path ``connected_components``'s failure
+    message points at.  Min-label propagation needs diameter rounds; a
+    100 TB web-graph-shaped pair set with million-node chains would
+    starve it.  Star contraction converges in O(log n) rounds
+    REGARDLESS of diameter:
+
+      * large-star: every node links its LARGER neighbors to the
+        smallest node in its neighborhood (self included) — long
+        chains fold toward local minima;
+      * small-star: every node links its smaller-or-equal neighbors
+        and itself to that minimum — stars flatten so the next
+        large-star sees them as one hop.
+
+    Each step is one groupBy-min shuffle + one broadcast-eligible join
+    — the same per-round plan shape as the propagation loop, just
+    fewer rounds.  Convergence = the edge multiset's signature (count,
+    endpoint sums, order-independent hash sum) stops changing; the
+    signature rides the same aggregate, so the check costs no extra
+    shuffle.  Deterministic: min over ids only.
+
+    Returns the same contract as ``connected_components``: one row per
+    node appearing in ``pairs``, labeled with its component's minimum
+    id."""
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionAll(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
+    # normalized undirected edges, self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # decimal sums: full-range xxhash64 values (and in principle
+        # large ids) overflow a LONG sum under ANSI mode
+        row = e.agg(
+            F.count("*"),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    prev_sig = signature(edges)
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric view: for each center u emit
+        # (bigger neighbor v, min(N(u) + {u}))
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mnn"))
+            .select("u", F.least(F.col("__mnn"), F.col("u")).alias("mn"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on large's (bigger -> smaller) edges: re-point each
+        # center's smaller neighbors (and itself) at the neighborhood min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = large.join(mins2, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionAll(mins2.select(F.col("u"), F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(small)
+        edges = small
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize within "
+            f"max_iters={max_iters} rounds (expected O(log n))."
+        )
+    labels = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("__root")),
+        "id",
+        "left",
+    ).select(
+        "id", F.coalesce(F.col("__root"), F.col("id")).alias("component")
+    )
+    nodes.unpersist()
+    return labels
 
 
 def neardup_components(

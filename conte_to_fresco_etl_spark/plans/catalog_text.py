@@ -252,6 +252,33 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_doc_components_star", _COMPONENTS_SQL)
+def q_doc_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering as q_doc_components, computed by
+    alternating large-star/small-star contraction instead of min-label
+    propagation — the O(log n)-round deep-graph path, gated against the
+    identical recursive-closure oracle so both algorithms are pinned to
+    the same fixed point on real candidate pairs."""
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+    )
+    comp = connected_components_star(pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
 _SIMHASH_PAIRS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

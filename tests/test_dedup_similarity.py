@@ -430,3 +430,65 @@ def test_connected_components_deep_path_converges_or_raises(spark):
     labels = connected_components(pairs, max_iters=45).collect()
     assert len(labels) == 40
     assert {r["component"] for r in labels} == {0}
+
+
+def test_star_contraction_deep_chain_logarithmic(spark):
+    """A 200-node path (diameter 199) must converge well inside 50
+    star rounds — the O(log n) contract propagation cannot meet — and
+    label every node with the chain's minimum."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    labels = connected_components_star(pairs).collect()
+    assert len(labels) == 200
+    assert {r["component"] for r in labels} == {0}
+
+
+def test_star_contraction_equals_propagation_random_graphs(spark):
+    """On random sparse graphs both algorithms must produce identical
+    (id, component) tables — star contraction is an optimization, not a
+    semantics change."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(40, 90))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        via_prop = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs, max_iters=60).collect()
+        }
+        via_star = {
+            (r["id"], r["component"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert via_star == via_prop, f"trial {trial} diverged"
+
+
+def test_star_contraction_handles_self_loops_and_dups(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {(5, 5), (1, 1), (2, 1), (7, 7), (9, 7)}

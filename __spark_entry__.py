@@ -61,6 +61,8 @@ PRIORITY: list[str] = [
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",
+    "q_value_percentiles",
+    "q_json_extract",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

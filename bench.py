@@ -76,6 +76,8 @@ HEADLINE = [
     "q_curation_v2",
     "q_sessionize",
     "q_value_histogram",
+    "q_value_percentiles",
+    "q_json_extract",
     "q_label_centroids",
     "q_asof_join",
     "q_range_pairs",

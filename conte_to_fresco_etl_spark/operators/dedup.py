@@ -911,6 +911,17 @@ def connected_components_star(
         return tuple(row)
 
     prev_sig = signature(edges)
+    # Size the per-round partitioning to the edge count, exactly as the
+    # propagation loop does for its label table: the dup-pair graph is
+    # orders of magnitude smaller than the corpus, and each round runs
+    # ~4 shuffles — at session defaults that is dozens of near-empty
+    # tasks per round of pure scheduler overhead (measured 6.3s -> 2.6s
+    # for the star-gated catalog query at sf0.1 on local[32]), while
+    # the ratio keeps partitions bounded when the graph is big.
+    parts = max(
+        1, min(edges.rdd.getNumPartitions(), int(prev_sig[0]) // 500_000 + 1)
+    )
+    edges = edges.coalesce(parts).localCheckpoint()
     converged = False
     for _ in range(max_iters):
         # large-star over the symmetric view: for each center u emit
@@ -923,12 +934,14 @@ def connected_components_star(
             .agg(F.min("v").alias("__mnn"))
             .select("u", F.least(F.col("__mnn"), F.col("u")).alias("mn"))
         )
+        # no distinct here: small-star's groupBy-min and final distinct
+        # absorb duplicate (v, mn) emissions, and skipping it saves one
+        # of the round's shuffles
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star on large's (bigger -> smaller) edges: re-point each
         # center's smaller neighbors (and itself) at the neighborhood min
@@ -939,6 +952,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .unionAll(mins2.select(F.col("u"), F.col("mn").alias("v")))
             .distinct()
+            .coalesce(parts)
             .localCheckpoint()
         )
         sig = signature(small)

@@ -748,6 +748,79 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_value_percentiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles — the numeric-profiling aggregate
+    behind outlier thresholds and quality-score cutoffs.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    linear-interpolation definition (rank = p·(n-1)), so ROUND(x, 6)
+    gates the computation exactly.
+
+    Scale note: exact percentile materializes each group's value
+    multiset; at 100 TB swap in ``approx_percentile`` (positional
+    error bound, mergeable partial sketches, one pass) — same call
+    shape, documented trade of exactness for a streaming-friendly
+    sketch."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ],
+    )
+
+
+@_q(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON string
+    column with a typed ``from_json`` schema and aggregate the
+    extracted field — the schema-on-read shape every event pipeline
+    needs for property bags.  ``from_json`` yields NULL for malformed
+    documents (count surfaced as n - n_k), so dirty rows degrade to
+    nulls instead of failing the scan; the parse is a map-side codegen
+    projection feeding one partial-agg shuffle."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(k).alias("n_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_q(
     "q5_local_volume",
     """
     SELECT n.n_name AS nation,

@@ -252,13 +252,21 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Session cache for star-contraction components (same staged-table
+#: convention as dedup.neardup_decision: the iterative product is
+#: computed once per session and every consumer reads the staging).
+_STAR_CACHE: dict[tuple, DataFrame] = {}
+
+
 @_q("q_doc_components_star", _COMPONENTS_SQL)
 def q_doc_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same near-dup clustering as q_doc_components, computed by
     alternating large-star/small-star contraction instead of min-label
     propagation — the O(log n)-round deep-graph path, gated against the
     identical recursive-closure oracle so both algorithms are pinned to
-    the same fixed point on real candidate pairs."""
+    the same fixed point on real candidate pairs.  Like the decision
+    family, the iterative product is staged once per session
+    (localCheckpoint-backed) rather than re-contracted per consumer."""
     from pyspark.sql import Window
 
     from conte_to_fresco_etl_spark.operators.dedup import (
@@ -266,11 +274,15 @@ def q_doc_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
-    )
-    comp = connected_components_star(pairs)
+    key = (spark.sparkContext.applicationId, sf_dir, "star.nh48.b12")
+    comp = _STAR_CACHE.get(key)
+    if comp is None:
+        pairs = minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"),
+            num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
+        )
+        comp = connected_components_star(pairs).localCheckpoint()
+        _STAR_CACHE[key] = comp
     w = Window.partitionBy("component")
     return comp.select(
         F.col("id").alias("doc_id"),

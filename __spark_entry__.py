@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "q_doc_components_star",
     "q_value_percentiles",
     "q_json_extract",
+    "q_media_features",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

@@ -56,6 +56,7 @@ HEADLINE = [
     "q_ivf_exhaustive",
     "q_ivf_trained_topk",
     "q_media_decode",
+    "q_media_features",
     "q_corpus_curation",
     "q_doc_components",
     "q_doc_components_star",

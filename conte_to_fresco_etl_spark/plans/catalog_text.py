@@ -829,6 +829,54 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_FEATURES_SQL = """
+    WITH h AS (
+      SELECT doc_id AS media_id, substr(md5(text), 1, 12) AS hx
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT media_id,
+           CAST(i - 1 AS BIGINT) AS dim_idx,
+           CASE WHEN i <= 12 THEN CAST(ascii(substr(hx, i, 1)) AS DOUBLE)
+                ELSE 0.0 END AS value
+    FROM h, generate_series(1, 16) AS g(i)
+"""
+
+@_q("q_media_features", _MEDIA_FEATURES_SQL)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-vector extraction gated end-to-end: the same
+    PPM payloads as q_media_decode flow through ``extract_features``
+    (real codec, Arrow batches, fixed-width ``array<float>`` output —
+    the embedding-column producer that feeds the similarity/dedup
+    operators), then the vector is exploded to (media_id, dim_idx,
+    value) so the gate hashes scalars.  Pixel samples are 8-bit ints:
+    float32 represents them exactly, so the double cast is lossless
+    and the oracle recomputes every element from the payload bytes."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        extract_features,
+        numpy_codec,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode(
+            F.concat(
+                F.lit(_PPM_HEADER), F.substring(F.md5(F.col("text")), 1, 12)
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = extract_features(media, codec=numpy_codec, dim=16)
+    return feats.select(
+        "media_id", F.posexplode("embedding").alias("dim_idx", "v")
+    ).select(
+        "media_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.col("v").cast("double").alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed curation pipeline
 # ---------------------------------------------------------------------------

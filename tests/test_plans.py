@@ -288,3 +288,44 @@ def test_pivot_agg_empty_bucket_counts_zero(spark):
     assert row["n_click"] == 1 and row["sum_click"] == 2.0
     assert row["n_error"] == 0 and row["sum_error"] is None
     assert row["n_purchase"] == 0
+
+
+def test_distinct_counts_avoids_expand(spark, sf_dir, qs):
+    """The multi-distinct aggregate must use the union-narrow form:
+    Spark's Expand-based rewrite replicates every row once per distinct
+    column through the shuffle."""
+    plan = _physical(qs["q_distinct_counts"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert "partial" in plan.lower()  # per-partition distinct pre-agg
+
+
+def test_json_extract_stays_jvm_side(spark, sf_dir, qs):
+    """from_json is a codegen projection: no Python workers, one
+    partial-agg shuffle."""
+    df = qs["q_json_extract"](spark, sf_dir)
+    plan = _physical(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain_shuffle_count(df) == 1
+
+
+def test_value_percentiles_single_shuffle(spark, sf_dir, qs):
+    assert explain_shuffle_count(qs["q_value_percentiles"](spark, sf_dir)) == 1
+
+
+def test_cap_per_group_prefilter_has_no_literal_case_chain(spark, sf_dir):
+    """The scale path's cutoffs must ride a broadcast join, not a
+    collected per-group CASE WHEN literal chain (plan depth O(|groups|)
+    and a driver collect per build)."""
+    from conte_to_fresco_etl_spark.validation import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_group(
+        docs, group_col="source", key_col="doc_id", cap=5,
+        prefilter_safety=2.0,
+    )
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan
+    # a literal chain would inline one quoted group name per branch in
+    # the filter condition; the broadcast form references the joined
+    # cutoff column instead
+    assert "CASE WHEN (source = " not in plan

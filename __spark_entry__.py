@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "q_value_percentiles",
     "q_json_extract",
     "q_media_features",
+    "q_bpe_apply",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

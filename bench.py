@@ -73,6 +73,7 @@ HEADLINE = [
     "q_knn_classify",
     "q_top_bigrams",
     "q_bpe_merges",
+    "q_bpe_apply",
     "q_temperature_sample",
     "q_curation_v2",
     "q_sessionize",

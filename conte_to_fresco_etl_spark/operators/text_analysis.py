@@ -732,6 +732,45 @@ def induce_bpe_merges(
     )
 
 
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Apply a trained merge table (ordered ``"pa pb"`` strings from
+    ``induce_bpe_merges``) to a corpus — the tokenizer-application half
+    of the BPE loop.  Each merge is the same greedy left-to-right fuse
+    the trainer used (join tokens → anchored regexp_replace → re-split),
+    composed in merge order into ONE map-side projection: n merges = n
+    nested string rewrites inside a single codegen stage, zero shuffles
+    at any corpus size.
+
+    Returns (id, n_tokens_before, n_tokens_after, tokens) where
+    ``tokens`` is the post-merge token array."""
+
+    def _quote(tok: str) -> str:
+        return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+    toks = tokens(F.col(text_col))
+    joined = F.array_join(toks, " ")
+    for pair in merges:
+        pa, pb = pair.split(" ", 1)
+        pat = "(?<=^|\\s)" + _quote(pa) + " " + _quote(pb) + "(?=\\s|$)"
+        rep = (pa + joiner + pb).replace("\\", "\\\\").replace("$", "\\$")
+        joined = F.regexp_replace(joined, pat, rep)
+    out_toks = F.when(
+        F.length(joined) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(joined, " "))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens_before"),
+        F.size(out_toks).cast("long").alias("n_tokens_after"),
+        out_toks.alias("tokens"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

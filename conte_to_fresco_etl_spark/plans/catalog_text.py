@@ -1910,6 +1910,111 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_apply_merges(toks: list, merges: list, joiner: str = "_") -> list:
+    """Pure-Python twin of operators.text_analysis.apply_bpe_merges'
+    per-merge greedy fold (Python re lacks variable-width lookbehind,
+    so the twin uses the fold the regex form was property-tested
+    against)."""
+    for pair in merges:
+        pa, pb = pair.split(" ", 1)
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+                out.append(pa + joiner + pb)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def _gate_bpe_merges(n_merges: int = 6) -> list | None:
+    """The merge table trained on the gate corpus (None if absent) —
+    the fixed tokenizer q_bpe_apply applies, mirroring production where
+    merges are trained once and applied to every corpus."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(path, columns=["text"]).to_pydict()["text"]
+        return [b for _, b, _ in _py_bpe_merges(texts, n_merges)]
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _bpe_apply_sql() -> str | None:
+    """Python-constant oracle for q_bpe_apply: run the merge table over
+    the gate corpus with the pure-Python twin and emit per-doc token
+    counts as VALUES literals."""
+    import os
+
+    merges = _gate_bpe_merges(6)
+    if merges is None:
+        return None
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    try:
+        import pyarrow.parquet as pq
+
+        from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+
+        cols = pq.read_table(
+            path, columns=["doc_id", "text"]
+        ).to_pydict()
+        rows = []
+        for did, text in zip(cols["doc_id"], cols["text"]):
+            if text is None:
+                continue
+            toks = _py_tokens(text)
+            merged = _py_apply_merges(list(toks), merges)
+            # mirror the expression's join/re-split round trip: a [] or
+            # [''] token list joins to '' which re-splits to []
+            after = 0 if merged in ([], [""]) else len(merged)
+            rows.append((did, len(toks), after))
+    except Exception:  # noqa: BLE001
+        return None
+    if not rows:
+        return None
+    values = ",\n        ".join(f"({d}, {b}, {a})" for d, b, a in rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens_before AS BIGINT) AS n_tokens_before,
+           CAST(n_tokens_after AS BIGINT) AS n_tokens_after
+    FROM (VALUES
+        {values}
+    ) AS t(doc_id, n_tokens_before, n_tokens_after)
+"""
+
+
+@_q("q_bpe_apply", _bpe_apply_sql())
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: the gate-trained 6-merge table applied to
+    the corpus via apply_bpe_merges — n nested anchored regex rewrites
+    composed into one map-side codegen projection, zero shuffles (the
+    production shape: train once, apply to 100 TB as a scan).  The
+    oracle recomputes per-doc token counts with the pure-Python fold
+    twin."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        apply_bpe_merges,
+    )
+
+    merges = _gate_bpe_merges(6) or []
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return apply_bpe_merges(docs, merges).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+
+
 def _kmeans_sql(cents) -> str:
     dim = len(cents[0])
 

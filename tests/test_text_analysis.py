@@ -453,3 +453,29 @@ def test_induce_bpe_regex_fuse_equals_python_fold(spark):
         .collect()
     ]
     assert got == _py_bpe_merges(texts, 5)
+
+
+def test_apply_bpe_merges_fuses_in_order_map_only(spark):
+    """Applying a trained merge table must fuse in merge order (later
+    merges see earlier merges' tokens) in a zero-shuffle projection."""
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        apply_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a the cat"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = apply_bpe_merges(df, ["the cat", "a the_cat"])
+    assert explain_shuffle_count(out) == 0
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["tokens"] == ["the_cat", "sat"]
+    assert (rows[1]["n_tokens_before"], rows[1]["n_tokens_after"]) == (3, 2)
+    # second merge consumes the FIRST merge's fused token
+    assert rows[2]["tokens"] == ["a_the_cat"]
+    assert (rows[2]["n_tokens_before"], rows[2]["n_tokens_after"]) == (3, 1)
+    assert rows[3]["tokens"] == []
+    assert (rows[3]["n_tokens_before"], rows[3]["n_tokens_after"]) == (0, 0)

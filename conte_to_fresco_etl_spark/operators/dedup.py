@@ -882,21 +882,19 @@ def connected_components_star(
     Returns the same contract as ``connected_components``: one row per
     node appearing in ``pairs``, labeled with its component's minimum
     id."""
-    nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionAll(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-        .persist()
-    )
-    # normalized undirected edges, self-loops dropped
+    # ONE materialization of the (possibly expensive) upstream pair
+    # plan; nodes (self-loop-only ids included) and the normalized
+    # undirected edge set both derive from it, so neither the node list
+    # nor the final label join ever re-executes candidate generation
+    base = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        F.least(F.col(id_a), F.col(id_b)).alias("v"),
+    ).localCheckpoint()
+    nodes = base.select(
+        F.explode(F.array("u", "v")).alias("id")
+    ).distinct()
     edges = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
-            F.least(F.col(id_a), F.col(id_b)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -966,15 +964,13 @@ def connected_components_star(
             f"connected_components_star did not stabilize within "
             f"max_iters={max_iters} rounds (expected O(log n))."
         )
-    labels = nodes.join(
+    return nodes.join(
         edges.select(F.col("u").alias("id"), F.col("v").alias("__root")),
         "id",
         "left",
     ).select(
         "id", F.coalesce(F.col("__root"), F.col("id")).alias("component")
     )
-    nodes.unpersist()
-    return labels
 
 
 def neardup_components(

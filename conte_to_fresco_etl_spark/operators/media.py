@@ -195,8 +195,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
+        if len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError(f"PLTE length {len(plte)} is not a multiple of 3")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        vals = pal[vals[:, :, 0]]
+        idx = vals[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"({len(pal)} PLTE entries)"
+            )
+        vals = pal[idx]
     return vals.astype(np.float32)
 
 

@@ -642,6 +642,26 @@ def top_bigrams(
     ).select("bigram", F.col("n").cast("long").alias("n"), "rank")
 
 
+def _java_quote(tok: str) -> str:
+    """Java ``Pattern.quote``: wrap in \\Q...\\E with embedded \\E split
+    out.  ONE definition — the trainer (induce_bpe_merges), the applier
+    (apply_bpe_merges), and their gates all depend on identical quoting."""
+    return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _fuse_pattern(pa: str, pb: str) -> str:
+    """Anchored pattern whose resume-after-match scan implements greedy
+    left-to-right non-overlapping pair fusion on a space-joined token
+    string (property-tested against the Python fold twin)."""
+    return "(?<=^|\\s)" + _java_quote(pa) + " " + _java_quote(pb) + "(?=\\s|$)"
+
+
+def _fuse_replacement(pa: str, pb: str, joiner: str) -> str:
+    """Replacement text for the fuse (escapes Java's replacement
+    metacharacters)."""
+    return (pa + joiner + pb).replace("\\", "\\\\").replace("$", "\\$")
+
+
 def induce_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -693,11 +713,6 @@ def induce_bpe_merges(
         F.slice("toks", 2, F.size("toks") - 1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-
-    def _quote(tok: str) -> str:
-        # Java Pattern.quote: \Q...\E with embedded \E split out
-        return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-
     merges: list[tuple[int, str, int]] = []
     for rnd in range(n_merges):
         top = (
@@ -713,12 +728,13 @@ def induce_bpe_merges(
         pair, n = top[0][0], top[0][1]
         pa, pb = pair.split(" ", 1)
         merges.append((rnd, pair, int(n)))
-        pat = "(?<=^|\\s)" + _quote(pa) + " " + _quote(pb) + "(?=\\s|$)"
-        rep = (
-            (pa + joiner + pb).replace("\\", "\\\\").replace("$", "\\$")
-        )
         fused = F.split(
-            F.regexp_replace(F.array_join("toks", " "), pat, rep), " "
+            F.regexp_replace(
+                F.array_join("toks", " "),
+                _fuse_pattern(pa, pb),
+                _fuse_replacement(pa, pb, joiner),
+            ),
+            " ",
         )
         # re-filter: a fuse can shrink a doc below 2 tokens, which the
         # pair builder (slice of size-1) must never see
@@ -750,16 +766,17 @@ def apply_bpe_merges(
     Returns (id, n_tokens_before, n_tokens_after, tokens) where
     ``tokens`` is the post-merge token array."""
 
-    def _quote(tok: str) -> str:
-        return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-
-    toks = tokens(F.col(text_col))
+    # NULL text must behave as an empty document (0 tokens), not leak
+    # size(NULL) = -1/NULL rows into downstream count aggregates
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     joined = F.array_join(toks, " ")
     for pair in merges:
         pa, pb = pair.split(" ", 1)
-        pat = "(?<=^|\\s)" + _quote(pa) + " " + _quote(pb) + "(?=\\s|$)"
-        rep = (pa + joiner + pb).replace("\\", "\\\\").replace("$", "\\$")
-        joined = F.regexp_replace(joined, pat, rep)
+        joined = F.regexp_replace(
+            joined, _fuse_pattern(pa, pb), _fuse_replacement(pa, pb, joiner)
+        )
     out_toks = F.when(
         F.length(joined) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(joined, " "))

@@ -46,18 +46,21 @@ def ensure_min_parallelism(
     sc = df.sparkSession.sparkContext
     # Size from the scan's input files (public API — df.inputFiles()),
     # not queryExecution() stats (private _jdf access, breaks across
-    # Spark versions).  Non-local URIs we can't stat cheaply count as 0:
-    # conservative — the guard only ever fans OUT, never down-partitions.
+    # Spark versions).  inputFiles() returns percent-encoded URIs, so
+    # unquote before stat'ing (a space in a path arrives as %20).
+    # Non-local URIs we can't stat cheaply count as 0: conservative —
+    # the guard only ever fans OUT, never down-partitions, and at
+    # remote-storage scale inputs arrive as many splits anyway.
     try:
         import os
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         est_bytes = 0
         for uri in df.inputFiles():
             parsed = urlparse(uri)
             if parsed.scheme in ("", "file"):
                 try:
-                    est_bytes += os.path.getsize(parsed.path)
+                    est_bytes += os.path.getsize(unquote(parsed.path))
                 except OSError:
                     pass
     except Exception:  # noqa: BLE001 — stats unavailable: be conservative

@@ -676,7 +676,9 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     return pairs.groupBy().agg(
-        F.sum(F.when(F.col("k") == 0, F.col("c")))
+        # coalesce: SUM over zero rows is NULL, but the COUNT(*) oracle
+        # (and the previous count(lit(1)) form) yields 0 on an empty table
+        F.coalesce(F.sum(F.when(F.col("k") == 0, F.col("c"))), F.lit(0))
         .cast("long")
         .alias("n_rows"),
         F.count(F.when(F.col("k") == 0, F.col("v"))).alias("d_orderkey"),

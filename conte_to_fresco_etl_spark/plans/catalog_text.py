@@ -9,6 +9,8 @@ same function.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1818,12 +1820,27 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_fuse(toks: list, pa: str, pb: str, joiner: str = "_") -> list:
+    """THE greedy left-to-right non-overlapping pair fuse — the single
+    Python twin of the operators' anchored-regexp fuse, shared by the
+    trainer and applier oracles so the contract cannot drift."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+            out.append(pa + joiner + pb)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
 def _py_bpe_merges(
     texts: list, n_merges: int, joiner: str = "_"
 ) -> list[tuple[int, str, int]]:
     """Pure-Python twin of operators.text_analysis.induce_bpe_merges:
     same tokenization (_py_tokens), same top-pair rule (count desc,
-    bigram asc), same greedy left-to-right fuse.  Drives the oracle."""
+    bigram asc), same greedy fuse (_py_fuse).  Drives the oracle."""
     from collections import Counter
 
     from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
@@ -1841,29 +1858,18 @@ def _py_bpe_merges(
         pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         pa, pb = pair.split(" ", 1)
         merges.append((rnd, pair, n))
-        fused = pa + joiner + pb
-        nxt = []
-        for toks in corpora:
-            out, i = [], 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
-                    out.append(fused)
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            if len(out) >= 2:
-                nxt.append(out)
-        corpora = nxt
+        corpora = [
+            out
+            for toks in corpora
+            if len(out := _py_fuse(toks, pa, pb, joiner)) >= 2
+        ]
     return merges
 
 
-def _bpe_sql(n_merges: int = 6) -> str | None:
-    """Python-constant oracle for q_bpe_merges: run the pure-Python BPE
-    twin over the gate corpus at import time and emit the merge table
-    as VALUES literals (the _ivf_trained_sql pattern — the loop is a
-    pure function of the table, so literals derived from it ARE the
-    oracle).  None if the gate table is absent → rows-only check."""
+@functools.lru_cache(maxsize=4)
+def _gate_docs() -> tuple | None:
+    """(doc_ids, texts) of the gate corpus, read ONCE per process (the
+    BPE oracle builders and q_bpe_apply all consume it)."""
     import os
 
     path = os.path.join(
@@ -1875,10 +1881,39 @@ def _bpe_sql(n_merges: int = 6) -> str | None:
     try:
         import pyarrow.parquet as pq
 
-        texts = pq.read_table(path, columns=["text"]).to_pydict()["text"]
-        merges = _py_bpe_merges(texts, n_merges)
-    except Exception:  # noqa: BLE001 — unreadable gate table: weak check
+        cols = pq.read_table(path, columns=["doc_id", "text"]).to_pydict()
+        return tuple(cols["doc_id"]), tuple(cols["text"])
+    except Exception:  # noqa: BLE001
         return None
+
+
+@functools.lru_cache(maxsize=4)
+def _gate_merge_table(n_merges: int = 6) -> tuple | None:
+    """The (round, bigram, count) table trained on the gate corpus,
+    trained ONCE per process (previously each oracle builder and every
+    q_bpe_apply call re-read the parquet and retrained identically)."""
+    docs = _gate_docs()
+    if docs is None:
+        return None
+    return tuple(_py_bpe_merges(list(docs[1]), n_merges))
+
+
+def _gate_bpe_merges(n_merges: int = 6) -> list | None:
+    """The fixed tokenizer q_bpe_apply applies — merges trained once on
+    the gate corpus, mirroring production's train-once/apply-anywhere."""
+    table = _gate_merge_table(n_merges)
+    if table is None:
+        return None
+    return [b for _, b, _ in table]
+
+
+def _bpe_sql(n_merges: int = 6) -> str | None:
+    """Python-constant oracle for q_bpe_merges: the process-cached
+    gate-corpus merge table as VALUES literals (the _ivf_trained_sql
+    pattern — the loop is a pure function of the table, so literals
+    derived from it ARE the oracle).  None if the gate table is absent
+    → rows-only check."""
+    merges = _gate_merge_table(n_merges)
     if not merges:
         return None
     values = ",\n        ".join(
@@ -1911,78 +1946,36 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _py_apply_merges(toks: list, merges: list, joiner: str = "_") -> list:
-    """Pure-Python twin of operators.text_analysis.apply_bpe_merges'
-    per-merge greedy fold (Python re lacks variable-width lookbehind,
-    so the twin uses the fold the regex form was property-tested
-    against)."""
+    """Pure-Python twin of operators.text_analysis.apply_bpe_merges:
+    the shared ``_py_fuse`` applied per merge in table order (Python re
+    lacks variable-width lookbehind, so the twin uses the fold the
+    regex form was property-tested against)."""
     for pair in merges:
         pa, pb = pair.split(" ", 1)
-        out, i = [], 0
-        while i < len(toks):
-            if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
-                out.append(pa + joiner + pb)
-                i += 2
-            else:
-                out.append(toks[i])
-                i += 1
-        toks = out
+        toks = _py_fuse(toks, pa, pb, joiner)
     return toks
 
 
-def _gate_bpe_merges(n_merges: int = 6) -> list | None:
-    """The merge table trained on the gate corpus (None if absent) —
-    the fixed tokenizer q_bpe_apply applies, mirroring production where
-    merges are trained once and applied to every corpus."""
-    import os
-
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
-        "documents.parquet",
-    )
-    if not os.path.exists(path):
-        return None
-    try:
-        import pyarrow.parquet as pq
-
-        texts = pq.read_table(path, columns=["text"]).to_pydict()["text"]
-        return [b for _, b, _ in _py_bpe_merges(texts, n_merges)]
-    except Exception:  # noqa: BLE001
-        return None
-
-
 def _bpe_apply_sql() -> str | None:
-    """Python-constant oracle for q_bpe_apply: run the merge table over
-    the gate corpus with the pure-Python twin and emit per-doc token
-    counts as VALUES literals."""
-    import os
-
+    """Python-constant oracle for q_bpe_apply: run the (process-cached)
+    merge table over the gate corpus with the pure-Python twin and emit
+    per-doc token counts as VALUES literals."""
     merges = _gate_bpe_merges(6)
-    if merges is None:
+    docs = _gate_docs()
+    if merges is None or docs is None:
         return None
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
-        "documents.parquet",
-    )
-    try:
-        import pyarrow.parquet as pq
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
 
-        from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
-
-        cols = pq.read_table(
-            path, columns=["doc_id", "text"]
-        ).to_pydict()
-        rows = []
-        for did, text in zip(cols["doc_id"], cols["text"]):
-            if text is None:
-                continue
-            toks = _py_tokens(text)
-            merged = _py_apply_merges(list(toks), merges)
-            # mirror the expression's join/re-split round trip: a [] or
-            # [''] token list joins to '' which re-splits to []
-            after = 0 if merged in ([], [""]) else len(merged)
-            rows.append((did, len(toks), after))
-    except Exception:  # noqa: BLE001
-        return None
+    rows = []
+    for did, text in zip(docs[0], docs[1]):
+        if text is None:
+            continue
+        toks = _py_tokens(text)
+        merged = _py_apply_merges(list(toks), merges)
+        # mirror the expression's join/re-split round trip: a [] or
+        # [''] token list joins to '' which re-splits to []
+        after = 0 if merged in ([], [""]) else len(merged)
+        rows.append((did, len(toks), after))
     if not rows:
         return None
     values = ",\n        ".join(f"({d}, {b}, {a})" for d, b, a in rows)

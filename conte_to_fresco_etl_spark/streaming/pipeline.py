@@ -267,21 +267,27 @@ def start_continuous_rollup(
         # while the write REPLACES the same day partitions — without
         # this barrier a task retry mid-commit could re-read a partition
         # the committer already swapped, losing non-superseded rows.
-        # localCheckpoint pins the merged rows in executor storage so
-        # the overwrite consumes a snapshot, not a live view of its own
-        # target.  (Exactly-once at the output level additionally
-        # assumes an atomic rename committer — the local/HDFS
-        # FileOutputCommitter contract; on direct-write object stores
-        # use a transactional table format instead.)
-        merged = merged.localCheckpoint()
-        (
-            merged.repartition("d")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d")
-            .parquet(out_path)
-        )
-        fresh.unpersist()
+        # persist + count pins the snapshot (MEMORY_AND_DISK — spilled,
+        # never evicted) and, unlike a per-batch localCheckpoint, is
+        # released DETERMINISTICALLY below instead of leaking one block
+        # set per micro-batch for the stream's lifetime.  (Exactly-once
+        # at the output level additionally assumes an atomic rename
+        # committer — the local/HDFS FileOutputCommitter contract; on
+        # direct-write object stores use a transactional table format
+        # instead.)
+        merged = merged.persist()
+        merged.count()
+        try:
+            (
+                merged.repartition("d")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("d")
+                .parquet(out_path)
+            )
+        finally:
+            merged.unpersist()
+            fresh.unpersist()
 
     writer = (
         agg.writeStream.foreachBatch(upsert)

@@ -325,3 +325,44 @@ def test_png_through_decode_stats_distributed(spark):
         for r in extract_features(df, codec=numpy_codec, dim=8).collect()
     }
     assert feats[1] == img.ravel()[:8].astype(np.float32).tolist()
+
+
+def test_decode_png_rejects_out_of_range_palette_index():
+    import struct
+    import zlib
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    # 2-entry palette, pixel index 5 -> ValueError, not a numpy IndexError
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(payload)
+    # PLTE not a multiple of 3
+    bad_plte = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([1, 2, 3, 4]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_png(bad_plte)

@@ -65,6 +65,7 @@ PRIORITY: list[str] = [
     "q_json_extract",
     "q_media_features",
     "q_bpe_apply",
+    "q_zorder_key",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

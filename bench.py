@@ -80,6 +80,7 @@ HEADLINE = [
     "q_value_histogram",
     "q_value_percentiles",
     "q_json_extract",
+    "q_zorder_key",
     "q_label_centroids",
     "q_asof_join",
     "q_range_pairs",

@@ -787,6 +787,37 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_BITS = 10
+_ZORDER_SQL_EXPR = " | ".join(
+    f"((user_id & {1 << i}) << {i}) | "
+    f"((CAST(FLOOR(value) AS BIGINT) & {1 << i}) << {i + 1})"
+    for i in range(_ZORDER_BITS)
+)
+
+@_q(
+    "q_zorder_key",
+    f"""
+    SELECT event_id, CAST({_ZORDER_SQL_EXPR} AS BIGINT) AS z
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave of (user_id, floor(value)) — the
+    multi-dimensional clustering key behind ``write_zordered_export``'s
+    file layout (2-D box queries prune files on either predicate via
+    parquet min/max stats).  Pure shift/mask/or expression, map-side,
+    identical bit arithmetic in both engines."""
+    from conte_to_fresco_etl_spark.sources.sinks import zorder_key
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.select(
+        "event_id",
+        zorder_key(
+            F.col("user_id"), F.floor("value"), bits=_ZORDER_BITS
+        ).alias("z"),
+    )
+
+
 @_q(
     "q_json_extract",
     """

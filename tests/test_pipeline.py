@@ -146,3 +146,69 @@ def test_write_sorted_export_disjoint_ordered_files(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from conte_to_fresco_etl_spark.sources.sinks import zorder_key
+
+    def py_z(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(i, (i * 7) % 33, (i * 13) % 21) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    import pyspark.sql.functions as F
+
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key(F.col("a"), F.col("b"), bits=8).alias("z")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == py_z(a, b, 8), (i, a, b)
+
+
+def test_write_zordered_export_disjoint_z_ranges(spark, tmp_path):
+    """Each output file must cover a disjoint z-range so parquet
+    min/max stats prune files for box predicates on either column."""
+    import pyarrow.parquet as pq
+
+    from conte_to_fresco_etl_spark.sources.sinks import (
+        write_zordered_export,
+        zorder_key,
+    )
+    import pyspark.sql.functions as F
+    import os
+
+    rows = [(i, i % 50, (i * 17) % 40) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = str(tmp_path / "zordered")
+    write_zordered_export(df, out, "a", "b", bits=8, n_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    # recompute z per file from the data and check disjoint ranges
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f)).to_pydict()
+        zs = [
+            int(
+                sum(
+                    (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+                    for i in range(8)
+                )
+            )
+            for a, b in zip(t["a"], t["b"])
+        ]
+        if zs:
+            ranges.append((min(zs), max(zs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping z ranges: ({lo1},{hi1}) ({lo2},{hi2})"

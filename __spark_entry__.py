@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "q_media_features",
     "q_bpe_apply",
     "q_zorder_key",
+    "q_editdist_pairs",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",

@@ -48,6 +48,7 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_simhash_pairs",
     "q_ngram_jaccard",
+    "q_editdist_pairs",
     "q_embedding_neardup",
     "q_embedding_neardup_lsh",
     "q_ann_topk",

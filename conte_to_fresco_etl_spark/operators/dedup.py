@@ -551,6 +551,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdist_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "title",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance similarity join: (id_a, id_b, dist) for every pair
+    of rows whose ``str_col`` values are within Levenshtein distance
+    ``max_dist`` — the fuzzy-key join (titles, names, URLs) that a
+    naive formulation makes a full cross product.
+
+    FastSS-style candidate generation: each string's key set is itself
+    plus every single-character deletion; two strings within distance 1
+    ALWAYS share a key (equal → identity key; substitution at i →
+    both delete position i; insertion → deleting the inserted char
+    yields the other string verbatim), so the equi-join on keys is a
+    complete candidate set and ``levenshtein`` verification never
+    misses a pair.  Cost: |s|+1 narrow (key, id, str) rows per input
+    row shuffled to key buckets — Σ bucket², never n² (the
+    inverted-index shape ``ngram_jaccard_pairs`` uses).  Strings ride
+    along because fuzzy keys are short by construction; for long
+    payloads attach by id after pair-dedup instead.
+
+    ``max_dist`` ≤ 1 only: k ≥ 2 needs C(|s|, k) deletion keys per row
+    (the documented FastSS trade) — raise the shingle-based operators
+    for longer-range fuzziness instead."""
+    if max_dist not in (0, 1):
+        raise ValueError(
+            "editdist_pairs supports max_dist 0 or 1; use the n-gram/"
+            "minhash operators for looser similarity"
+        )
+    s = F.col(str_col)
+    # identity key + every 1-deletion (deduped: repeated chars produce
+    # identical deletion strings).  sequence(1, 0) would DESCEND on an
+    # empty string — guard with when().
+    deletions = F.when(
+        F.length(s) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.length(s)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    keys = F.array_distinct(
+        F.concat(F.array(s), deletions if max_dist == 1 else F.array())
+    )
+    posting = df.select(
+        F.col(id_col), s.alias("__s"), F.explode(keys).alias("__k")
+    )
+    l, r = posting.alias("l"), posting.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__k") == F.col("r.__k"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__s").alias("__sa"),
+            F.col("r.__s").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("__sa", "__sb").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -293,6 +293,34 @@ def q_doc_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDITDIST_SQL = """
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, 24) AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id AND levenshtein(a.t, b.t) <= 1
+"""
+
+@_q("q_editdist_pairs", _EDITDIST_SQL)
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join on 24-char document prefixes
+    (fuzzy-title matching): FastSS deletion-neighborhood candidate
+    generation + exact levenshtein verification — Σ bucket² cost where
+    the oracle's formulation (and a naive Spark one) is the n² cross
+    join the operator exists to avoid."""
+    from conte_to_fresco_etl_spark.operators.dedup import editdist_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.substring("text", 1, 24).alias("prefix"))
+    )
+    return editdist_pairs(docs, id_col="doc_id", str_col="prefix")
+
+
 _SIMHASH_PAIRS_SQL = f"""
     WITH base AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

@@ -492,3 +492,56 @@ def test_star_contraction_handles_self_loops_and_dups(spark):
         for r in connected_components_star(pairs).collect()
     }
     assert got == {(5, 5), (1, 1), (2, 1), (7, 7), (9, 7)}
+
+
+def test_editdist_pairs_complete_vs_brute_force(spark):
+    """Deletion-neighborhood candidates must be COMPLETE for dist<=1:
+    randomized strings verified against a driver-side brute force
+    (equal, substitution, insertion/deletion, and empty-string cases
+    all reachable)."""
+    import itertools
+    import random
+
+    from conte_to_fresco_etl_spark.operators.dedup import editdist_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(23)
+    alphabet = "ab"
+    data = {
+        i: "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 5))
+        )
+        for i in range(80)
+    }
+    df = spark.createDataFrame(
+        list(data.items()), "doc_id long, title string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in editdist_pairs(df).collect()
+    )
+    exp = sorted(
+        (a, b, lev(data[a], data[b]))
+        for a, b in itertools.combinations(sorted(data), 2)
+        if lev(data[a], data[b]) <= 1
+    )
+    assert got == exp
+
+
+def test_editdist_pairs_rejects_large_k(spark):
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.dedup import editdist_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, title string")
+    with pytest.raises(ValueError, match="max_dist 0 or 1"):
+        editdist_pairs(df, max_dist=2)

@@ -481,6 +481,135 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    bits_per_gram: int = 12,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter prefilter — the form
+    that survives an eval suite too large to broadcast as strings.
+
+    Output is IDENTICAL to :func:`decontaminate` (same columns, same
+    values): the Bloom filter only *prefilters* training grams, and an
+    exact broadcast join against the real eval-gram set confirms every
+    survivor, so false positives cost time, never correctness.
+
+    Why this is the 100 TB shape: the exact path broadcasts every
+    distinct eval gram as a string (~30-100 B each); here the broadcast
+    payload is a bitmap at ``bits_per_gram`` bits (~1.5 B) per gram —
+    a 20-60x smaller broadcast — and the bitmap membership test runs
+    JVM-side (whole-stage codegen over shiftright/bitwise-AND), so the
+    overwhelmingly-clean training grams never reach the join at all.
+    The bitmap itself is built DISTRIBUTED: each eval gram's
+    ``num_hashes`` bit positions are grouped by 64-bit word index and
+    OR-combined map-side, so the driver only ever sees the m/64 set
+    words, not the grams.
+
+    Double hashing (Kirsch-Mitzenmacher): position_i = (h1 + i*h2) mod m
+    with h1/h2 = xxhash64 of the gram under two salts — build and probe
+    share the same Column expressions, so agreement is by construction.
+    """
+    fn = _gram_posting_batches([id_col], text_col, ngram_n)
+    schema = f"{id_col} long, __g string"
+    train_g = ensure_min_parallelism(
+        train.select(id_col, text_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(fn, schema=schema)
+    eval_g = (
+        ensure_min_parallelism(
+            eval_df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        )
+        .mapInPandas(fn, schema=schema)
+        .select("__g")
+        .distinct()
+    )
+    eval_g.persist()
+    try:
+        n_grams_eval = eval_g.count()
+        # Bitmap sized to the gram count, padded to whole 64-bit words.
+        n_words = max(1, -(-(max(1, n_grams_eval) * bits_per_gram) // 64))
+        m_bits = n_words * 64
+
+        def _positions(g: Column) -> Column:
+            # Reduce both hashes into [0, m) BEFORE combining: xxhash64
+            # spans the full long range, and ANSI mode makes a raw
+            # h1 + i*h2 an overflow error, not a wrap.
+            h1 = F.pmod(F.xxhash64(g), F.lit(m_bits))
+            h2 = F.pmod(F.xxhash64(g, F.lit("bloom-h2")), F.lit(m_bits))
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+            )
+
+        # Distributed build: explode positions, OR bits per word index.
+        words = (
+            eval_g.select(
+                F.explode(_positions(F.col("__g"))).alias("__pos")
+            )
+            .select(
+                (F.col("__pos") / 64).cast("int").alias("__w"),
+                (F.col("__pos") % 64).cast("int").alias("__bit"),
+            )
+            .select(
+                "__w",
+                F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__b"),
+            )
+            .groupBy("__w")
+            .agg(F.bit_or("__b").alias("__word"))
+            .collect()
+        )
+        bitmap = [0] * n_words
+        for r in words:
+            bitmap[r["__w"]] = r["__word"]
+        spark = train.sparkSession
+        bm_df = spark.createDataFrame(
+            [(bitmap,)], "__bm array<long>"
+        )
+
+        def _might_contain(g: Column) -> Column:
+            return F.forall(
+                _positions(g),
+                lambda p: F.getbit(
+                    F.element_at(F.col("__bm"), (p / 64).cast("int") + 1),
+                    (p % 64).cast("int"),
+                )
+                == 1,
+            )
+
+        totals = train_g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+        survivors = (
+            train_g.crossJoin(F.broadcast(bm_df))
+            .filter(_might_contain(F.col("__g")))
+            .drop("__bm")
+        )
+        hits = (
+            survivors.join(F.broadcast(eval_g), "__g")  # exact confirm
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contam"))
+        )
+        out = (
+            train.select(id_col)
+            .join(totals, id_col, "left")
+            .join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                F.coalesce("n_contam", F.lit(0)).cast("long").alias("n_contam"),
+            )
+            .withColumn("contaminated", F.col("n_contam") > 0)
+        )
+        # The cache only amortizes count() + the bitmap collect above;
+        # the lazy confirm join recomputes eval_g at evaluation time
+        # (map-only over the small eval side — cheaper than holding the
+        # cache for the caller's unknown lifetime).
+        return out
+    finally:
+        eval_g.unpersist(blocking=False)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

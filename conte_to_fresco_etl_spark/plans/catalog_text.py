@@ -1275,6 +1275,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_decontaminate_bloom", _DECON_SQL)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination — same split, same oracle, same
+    answer as q_decontaminate, but the eval side broadcasts as a bitmap
+    (~1.5 B/gram vs ~50 B/gram of strings) and training grams are
+    prefiltered JVM-side before the exact confirm join.  The form that
+    survives an eval suite too large to broadcast as a string set."""
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        ngram_n=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-source frequency cap
 # ---------------------------------------------------------------------------

@@ -362,6 +362,50 @@ def test_decontaminate_planted_overlap(spark):
     assert out[3] ["n_grams"] == 0 and out[3]["contaminated"] is False
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """The bloom path is a prefilter + exact confirm: its output must be
+    row-for-row identical to the exact broadcast-set path, including the
+    FP-prone regime (small bitmap → high collision rate)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "tiny"),
+            (4, "another clean document with its own distinct phrasing"),
+            (5, "we saw the quick brown fox yesterday at dusk"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    exact = sorted(decontaminate(train, ev).collect())
+    for bits in (2, 12):  # 2 bits/gram forces false positives
+        bloom = sorted(
+            decontaminate_bloom(train, ev, bits_per_gram=bits).collect()
+        )
+        assert bloom == exact, f"bits_per_gram={bits}"
+
+
+def test_decontaminate_bloom_empty_eval_set(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import decontaminate_bloom
+
+    train = spark.createDataFrame(
+        [(1, "some words here now")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([], "doc_id long, text string")
+    out = decontaminate_bloom(train, ev).collect()
+    assert len(out) == 1
+    assert out[0]["contaminated"] is False and out[0]["n_contam"] == 0
+    assert out[0]["n_grams"] == 2
+
+
 def test_knn_classify_planted_clusters(spark):
     from conte_to_fresco_etl_spark.operators.similarity import knn_classify
 

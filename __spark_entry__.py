@@ -59,6 +59,7 @@ PRIORITY: list[str] = [
     "q_label_centroids",
     # new or modified in r4
     "q_decontaminate_bloom",
+    "q_mixture_weights",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

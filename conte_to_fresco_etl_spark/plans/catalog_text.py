@@ -1563,6 +1563,38 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_MIXTURE_SQL = f"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_sql_tokens()})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           pow(CAST(n_tokens AS DOUBLE), 0.5)
+             / SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER () AS weight,
+           pow(CAST(n_tokens AS DOUBLE), 0.5)
+             / SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER ()
+             * 1000000.0 / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM t
+"""
+
+@_q("q_mixture_weights", _MIXTURE_SQL)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-planning table over sources: alpha-0.5 sampling weights
+    and implied epochs for a 1M-token budget.  One map-side-combined
+    aggregation to dimension-sized rows; the normalizer is a window
+    over that tiny aggregate."""
+    from conte_to_fresco_etl_spark.validation import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        alpha=0.5,
+        token_budget=1_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composed curation pipeline v2 (quality -> decontaminate -> cap -> pack)
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -347,4 +347,61 @@ def temperature_sample(
         }
     return stratified_sample(
         df, strata_col=group_col, fractions=fracs, key_col=key_col, seed=seed
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    weight_on: Column | str | None = None,
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Mixture-planning table: per group (source, language, domain...),
+    the alpha-scaled sampling weight and the epoch count implied by a
+    token budget — the planning artifact behind multi-corpus training
+    mixes (weight_g proportional to tokens_g ** alpha; alpha < 1
+    flattens toward uniform, alpha = 1 is natural frequency).
+
+    Output: (group, n_docs, n_tokens, weight, epochs) where
+    weight = tokens_g**alpha / sum(tokens**alpha) and
+    epochs = weight * token_budget / tokens_g — epochs > 1 flags groups
+    the budget would repeat (the memorization-risk signal).
+
+    ``weight_on`` is the per-row token-count expression (defaults to
+    whitespace token count of ``text``).
+
+    Scale shape: ONE map-side-combined groupBy to dimension-sized rows;
+    the normalizing sum runs over that tiny aggregate via an unpartitioned
+    window (dimension-sized by construction — same posture as
+    temperature_sample's group counts).  Nothing collects; the result
+    broadcasts into whatever sampler consumes it.
+
+    Cross-engine exactness: n_docs/n_tokens are exact integer sums; for
+    the gate's alpha = 0.5 the power is sqrt (correctly rounded under
+    IEEE 754), so weights agree with an oracle to float-sum noise.
+    """
+    from conte_to_fresco_etl_spark.functions.text import token_count
+
+    if weight_on is None:
+        tokens_expr = token_count("text")
+    elif isinstance(weight_on, str):
+        tokens_expr = F.col(weight_on)
+    else:
+        tokens_expr = weight_on
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_expr).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    return (
+        per_group.withColumn("__s", scaled)
+        .withColumn("weight", F.col("__s") / F.sum("__s").over(w))
+        .withColumn(
+            "epochs",
+            F.col("weight") * F.lit(float(token_budget))
+            / F.col("n_tokens").cast("double"),
+        )
+        .drop("__s")
     )

@@ -176,3 +176,38 @@ def test_sampling_edge_cases(spark):
     # cap larger than every group is the identity (plus rk)
     capped = cap_per_group(docs, group_col="lang", key_col="doc_id", cap=999)
     assert capped.count() == 40
+
+
+def test_mixture_weights_hand_computed(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.validation import mixture_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "web"),      # 4 tokens
+            (2, "a b c d e", "web"),    # 5 tokens -> web total 9
+            (3, "x y z w", "books"),    # 4 tokens -> books total 4
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, group_col="source", alpha=0.5, token_budget=100
+        ).collect()
+    }
+    s = math.sqrt(9.0) + math.sqrt(4.0)
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 9
+    assert out["books"]["n_docs"] == 1 and out["books"]["n_tokens"] == 4
+    assert abs(out["web"]["weight"] - 3.0 / s) < 1e-12
+    assert abs(out["books"]["weight"] - 2.0 / s) < 1e-12
+    # weights sum to 1; epochs = weight * budget / tokens
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+    assert abs(out["books"]["epochs"] - (2.0 / s) * 100 / 4.0) < 1e-12
+    # alpha=1 is natural frequency: weight proportional to tokens
+    nat = {
+        r["source"]: r["weight"]
+        for r in mixture_weights(docs, group_col="source", alpha=1.0).collect()
+    }
+    assert abs(nat["web"] - 9.0 / 13.0) < 1e-12

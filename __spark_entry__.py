@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     # new or modified in r4
     "q_decontaminate_bloom",
     "q_mixture_weights",
+    "q_boilerplate_frac",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

@@ -838,6 +838,143 @@ def chunk_documents(
     )
 
 
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    min_doc_count: int | None = None,
+    min_doc_frac: float = 0.04,
+) -> DataFrame:
+    """Corpus-boilerplate contamination per document: the fraction of a
+    doc's distinct word-``ngram_n``-grams that are *corpus-frequent*
+    (appear in ≥ ``min_doc_count`` docs, default ``min_doc_frac`` of the
+    corpus) — the signal behind C4/RefinedWeb-style boilerplate pruning,
+    where navigation chrome, cookie banners and license footers repeat
+    across a large share of pages.
+
+    Output: (id, n_grams, n_boiler, boiler_frac); docs shorter than
+    ``ngram_n`` tokens carry zero grams and a 0.0 fraction.
+
+    Scale shape: one posting explode (distinct grams per doc — Arrow
+    batch, shared with decontaminate), ONE shuffle on the gram to count
+    document frequency, then the frequent-gram set — tiny by
+    construction (only grams crossing the corpus-share cutoff survive)
+    — BROADCASTS back against the postings, and one groupBy(id) counts
+    total and boilerplate grams in a single aggregation.  The corpus
+    never reshuffles on anything wider than (id, gram)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        _gram_posting_batches,
+    )
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    fn = _gram_posting_batches([id_col], text_col, ngram_n)
+    schema = f"{id_col} long, __g string"
+    postings = ensure_min_parallelism(
+        df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(fn, schema=schema)
+    if min_doc_count is None:
+        # Scalar corpus size: a count job, same posture as
+        # temperature_sample's dimension-sized collect.
+        min_doc_count = max(2, int(df.count() * min_doc_frac))
+    frequent = (
+        postings.groupBy("__g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_doc_count)
+        .select("__g")
+        .withColumn("__boiler", F.lit(1))
+    )
+    counted = (
+        postings.join(F.broadcast(frequent), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__boiler").alias("n_boiler"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.col("n_boiler") / F.col("n_grams")
+            ),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines that repeat across ``min_docs`` or more documents —
+    the line-level boilerplate pass (cookie banners, nav menus,
+    signatures) run on crawl text before quality scoring.
+
+    A "line" is a maximal ``sep``-separated span, compared after
+    trimming; blank lines are never counted as boilerplate but survive
+    in place within kept text.  Output: (id, clean_text, n_lines,
+    n_removed), text rebuilt in original line order.
+
+    Scale shape: posexplode lines → ONE shuffle on the trimmed line to
+    count distinct docs → the boilerplate line set (frequent lines
+    only — small) BROADCASTS back → groupBy(id) re-assembles with
+    array_agg sorted by position.  The shuffle key is a single line of
+    text; documents never move whole."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+    boiler = (
+        lines.filter(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__t")
+        .withColumn("__b", F.lit(1))
+    )
+    marked = lines.join(F.broadcast(boiler), "__t", "left")
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("__b").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__b").isNull(),
+                                F.struct("__pos", "__line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
 def bigram_nll(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1563,6 +1563,54 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_BOILER_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+             END AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cut AS (
+      SELECT GREATEST(2, CAST(floor(COUNT(*) * 0.04) AS INT)) AS c
+      FROM documents
+    ),
+    freq AS (
+      SELECT gram FROM p GROUP BY gram
+      HAVING COUNT(*) >= (SELECT c FROM cut)
+    ),
+    cnt AS (
+      SELECT p.doc_id, COUNT(*) AS n_grams, COUNT(f.gram) AS n_boiler
+      FROM p LEFT JOIN freq f USING (gram) GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(n_boiler AS DOUBLE) / n_grams END AS boiler_frac
+    FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+"""
+
+@_q("q_boilerplate_frac", _BOILER_SQL)
+def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate contamination per doc: fraction of distinct
+    word-3-grams appearing in >= 4% of the corpus (C4/RefinedWeb-style
+    boilerplate signal).  One gram shuffle for document frequency; the
+    frequent-gram set broadcasts back."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        boilerplate_ngram_stats,
+    )
+
+    return boilerplate_ngram_stats(
+        _t(spark, sf_dir, "documents"), ngram_n=3, min_doc_frac=0.04
+    )
+
+
 _MIXTURE_SQL = f"""
     WITH t AS (
       SELECT source,

@@ -479,3 +479,76 @@ def test_apply_bpe_merges_fuses_in_order_map_only(spark):
     assert (rows[2]["n_tokens_before"], rows[2]["n_tokens_after"]) == (3, 1)
     assert rows[3]["tokens"] == []
     assert (rows[3]["n_tokens_before"], rows[3]["n_tokens_after"]) == (0, 0)
+
+
+def test_boilerplate_ngram_stats_planted(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        boilerplate_ngram_stats,
+    )
+
+    # "click here now" is planted in 3 of 4 docs -> boilerplate at
+    # min_doc_count=3; everything else is unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "click here now for unique alpha content"),
+            (2, "click here now beta words differ"),
+            (3, "gamma text click here now"),
+            (4, "entirely original delta document"),
+            (5, "xy"),  # < 3 tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(
+            docs, ngram_n=3, min_doc_count=3
+        ).collect()
+    }
+    assert len(out) == 5
+    for d in (1, 2, 3):
+        assert out[d]["n_boiler"] == 1, d
+    assert out[1]["n_grams"] == 5
+    assert abs(out[1]["boiler_frac"] - 0.2) < 1e-12
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["boiler_frac"] == 0.0
+
+
+def test_remove_boilerplate_lines(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"real content one\n{banner}\nmore real text"),
+            (2, f"{banner}\nsecond doc body"),
+            (3, f"third doc opening\n\n{banner}  "),  # trailing ws trims equal
+            (4, "clean document without chrome"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "real content one\nmore real text"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "second doc body"
+    # blank line survives (never boilerplate), banner removed
+    assert out[3]["clean_text"] == "third doc opening\n"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "clean document without chrome"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_boilerplate_lines_all_removed(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(4)], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, min_docs=2).collect()
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)

@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "q_decontaminate_bloom",
     "q_mixture_weights",
     "q_boilerplate_frac",
+    "q_pq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

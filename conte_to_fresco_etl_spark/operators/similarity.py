@@ -724,3 +724,188 @@ def deterministic_centroids(k: int = 8, dim: int = 64, seed: int = 7):
     return np.array(
         [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(k)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: the ``k_sub``
+    corpus vectors ranked first by ``md5(salt:id)`` (the
+    ``seed_centroids`` draw), each sliced into ``m_sub`` subvectors —
+    codebook[m][c] is the m-th slice of the c-th selected vector.
+    Returns (m_sub, k_sub, dim/m_sub) float64.
+
+    A hash-ranked draw keeps the quantizer a pure function of the
+    table, so the whole compressed-domain search is exactly
+    oracle-checkable; per-subspace Lloyd iterations (the production
+    refinement, same trade as ``train_ivf_centroids`` vs
+    ``seed_centroids``) would improve code quality at the cost of a
+    NumPy-only oracle.  Training reads ``k_sub`` rows via
+    TakeOrderedAndProject — never a corpus collect."""
+    seeds = seed_centroids(
+        corpus, n_centroids=k_sub, id_col=id_col, vec_col=vec_col, salt=salt
+    )
+    dim = seeds.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    # (k, M, sub) -> (M, k, sub)
+    return seeds.reshape(len(seeds), m_sub, sub).transpose(1, 0, 2).copy()
+
+
+def _pq_assign(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(B, D) float64 -> (B, M) int32 codes: per subspace, argmin of the
+    ROUNDED squared L2 distance to each codeword (round-to-6 before
+    argmin keeps the winner — and its lowest-index tie-break — stable
+    across engines whose float-op order differs)."""
+    m_sub, k_sub, sub = codebooks.shape
+    codes = np.empty((x.shape[0], m_sub), dtype=np.int32)
+    for m in range(m_sub):
+        xm = x[:, m * sub : (m + 1) * sub]
+        diff = xm[:, None, :] - codebooks[m][None, :, :]
+        d2 = np.round((diff * diff).sum(axis=2), 6)
+        codes[:, m] = d2.argmin(axis=1)  # first occurrence = lowest c
+    return codes
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to ``m_sub`` small codes (one byte each at
+    k_sub <= 256): the storage form PQ exists for — 64 float32 dims
+    (256 B) become 8 codes (8 B), a 32x shrink that lets a 100 TB
+    embedding corpus sit in executor memory as codes.  Map-side only
+    (Arrow batches, one vectorized distance per subspace); no shuffle.
+
+    Output: (id, codes array<int>)."""
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        for pdf in it:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if not len(pdf):
+                continue
+            codes = _pq_assign(v, cb)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return (
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
+        .mapInPandas(encode_batches, schema=f"{id_col} long, codes array<int>")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    pair_counter=None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: each query precomputes an (m_sub x k_sub) table of
+    subspace distances to every codeword, and a corpus vector's
+    approximate distance is the sum of M table lookups at its codes —
+    M adds per pair instead of a D-dim dot product (8 vs 64 FLOPs/pair
+    here; the gap widens with dim).
+
+    Returns (query_id, neighbor_id, approx_d2, rank) with rank <= k by
+    approximate squared L2 ascending, ties by neighbor id.  Distances
+    are rounded to 6 before and after the M-term sum so ranking is
+    reproducible across engines.
+
+    Plan shape: queries collect + broadcast (the serving shape, as
+    brute_force_topk); the corpus is encoded AND scored in ONE
+    map-side Arrow pass (codes never materialize unless you persist
+    ``pq_encode`` output yourself — the production pattern at 100 TB,
+    where encode runs once at ingest and search scans only the 32x
+    smaller code table); per-partition local top-k pre-reduction
+    shrinks the rank shuffle to k * |queries| * |partitions|."""
+    qid = query_id_col or id_col
+    q_ids, q_mat, _ = _collect_matrix(queries, qid, vec_col)
+    if q_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_d2 double, rank int"
+        )
+    m_sub, k_sub, sub = codebooks.shape
+    # (Q, M, K) rounded subspace distance tables
+    tables = np.empty((len(q_ids), m_sub, k_sub))
+    for m in range(m_sub):
+        qm = q_mat[:, m * sub : (m + 1) * sub]
+        diff = qm[:, None, :] - codebooks[m][None, :, :]
+        tables[:, m, :] = np.round((diff * diff).sum(axis=2), 6)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, tables, codebooks)
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_tables, cb = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = _pq_assign(v, cb)
+            # ADC: acc[q, b] = sum_m tables[q, m, codes[b, m]]
+            acc = np.zeros((b_qids.size, len(c_ids)))
+            for m in range(cb.shape[0]):
+                acc += b_tables[:, m, codes[:, m]]
+            acc = np.round(acc, 6)
+            if pair_counter is not None:
+                pair_counter.add(int(len(c_ids)) * int(b_qids.size))
+            qi, ci = np.nonzero(c_ids[None, :] != b_qids[:, None])
+            out = pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "approx_d2": acc[qi, ci],
+                }
+            )
+            # local pre-reduction under the global order (d2 asc, id asc)
+            yield (
+                out.sort_values(
+                    ["query_id", "approx_d2", "neighbor_id"],
+                    ascending=[True, True, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    scored = (
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
+        .mapInPandas(
+            score_batches,
+            schema="query_id long, neighbor_id long, approx_d2 double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

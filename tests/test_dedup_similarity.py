@@ -589,3 +589,82 @@ def test_editdist_pairs_rejects_large_k(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, title string")
     with pytest.raises(ValueError, match="max_dist 0 or 1"):
         editdist_pairs(df, max_dist=2)
+
+
+def test_pq_encode_exact_on_codewords(spark):
+    """Vectors that ARE codewords reconstruct exactly: ADC distance to a
+    query equals the true (rounded) squared L2, and self-codes are 0."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((6, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # k_sub = corpus size: every vector is a selected seed -> exact codes
+    cb = pq_codebooks(corpus, m_sub=2, k_sub=6)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(corpus, cb).collect()}
+    assert len(codes) == 6
+    assert all(0 <= c < 6 for cs in codes.values() for c in cs)
+    # distinct vectors must get distinct code tuples when all are seeds
+    assert len({tuple(c) for c in codes.values()}) == 6
+
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in mat[0] + 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_topk(corpus, queries, cb, k=6).collect()
+    got = {r["neighbor_id"]: r["approx_d2"] for r in out}
+    for i in range(6):
+        true_d2 = 0.0
+        q = mat[0] + 0.01
+        for m in range(2):
+            seg_q, seg_v = q[m * 4:(m + 1) * 4], mat[i][m * 4:(m + 1) * 4]
+            true_d2 += round(float(((seg_q - seg_v) ** 2).sum()), 6)
+        assert abs(got[i] - round(true_d2, 6)) < 1e-9, i
+    # nearest neighbor of mat[0]+eps is vector 0
+    assert min(out, key=lambda r: r["rank"])["neighbor_id"] == 0
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """On clustered data the compressed-domain top-1 should agree with
+    exact search for nearly all queries (PQ's standard recall check)."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 16)) * 4
+    rows = []
+    for i in range(80):
+        rows.append(
+            (i, [float(x) for x in centers[i % 5] + rng.standard_normal(16) * 0.05])
+        )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id % 16 = 0")
+    cb = pq_codebooks(corpus, m_sub=4, k_sub=16)
+    pq_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in pq_topk(corpus, queries, cb, k=1).collect()
+    }
+    # exact top-1 by cosine is in the same cluster; PQ top-1 must be too
+    # (cluster separation >> intra-cluster noise >> quantization error)
+    exact_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    same_cluster = sum(
+        1 for q in pq_top1 if pq_top1[q] % 5 == exact_top1[q] % 5
+    )
+    assert same_cluster >= len(pq_top1) - 1

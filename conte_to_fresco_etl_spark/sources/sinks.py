@@ -262,3 +262,28 @@ def write_sorted_export(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """JSON-Lines sink (one document object per line, snappy-free text
+    — the hand-off format for external training loaders and labeling
+    tools).  Uses dynamic partition overwrite when ``partition_col`` is
+    given, so re-runs replace exactly the partitions they produce —
+    the same idempotency contract as the parquet sinks."""
+    w = df.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(
+            partition_col
+        )
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """ORC sink with the same dynamic-partition-overwrite idempotency
+    contract as the parquet/jsonl sinks."""
+    w = df.write.mode("overwrite").option("compression", "snappy")
+    if partition_col is not None:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(
+            partition_col
+        )
+    w.orc(path)

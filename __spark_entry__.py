@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "q_mixture_weights",
     "q_boilerplate_frac",
     "q_pq_topk",
+    "q_repeated_spans",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

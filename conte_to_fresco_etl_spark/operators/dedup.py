@@ -1442,3 +1442,89 @@ def incremental_neardup(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-passage extraction: the maximal token spans whose
+    every ``k``-gram occurs >= ``min_count`` times across the corpus —
+    the substring-level dedup signal ("Deduplicating Training Data
+    Makes Language Models Better" runs this over a suffix array; the
+    distributed formulation is k-gram marking + gap-and-islands).
+    Memorization-prone boilerplate, licenses, and copied passages
+    surface here even when whole-document dedup misses them.
+
+    Output: (id, span_start, span_end, n_tokens, span_text) with
+    0-based inclusive token offsets, one row per maximal span.
+
+    Plan shape: one map-side gram explode (positions kept) -> ONE
+    shuffle on the gram to count occurrences -> repeated grams join
+    back (shuffle hash join: the repeated-gram set scales with the
+    duplication actually present, so it is NOT assumed
+    broadcast-small) -> covered token positions (bounded k-fold
+    expansion of *marked* starts only) -> gap-and-islands per doc
+    (window over in-doc positions) -> spans, text re-attached by one
+    id join.  Every shuffle key is a gram or an id; documents never
+    move whole until the final slice."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice("__toks", i, k), " "),
+            )
+        ).alias("__p", "__g"),
+    )
+    rep = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    marked = grams.join(rep, "__g").select(id_col, "__p")
+    covered = (
+        marked.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    spans = (
+        covered.withColumn(
+            "__island", F.col("__pos") - F.row_number().over(w)
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            F.max("__pos").alias("span_end"),
+            F.count("*").alias("n_tokens"),
+        )
+        .drop("__island")
+    )
+    return spans.join(base, id_col).select(
+        F.col(id_col),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                "__toks",
+                F.col("span_start") + 1,
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+            " ",
+        ).alias("span_text"),
+    )

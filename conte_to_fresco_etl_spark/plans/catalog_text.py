@@ -1668,6 +1668,61 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_REPEATED_SPANS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+    g0 AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS i
+      FROM f
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS p,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM g0
+    ),
+    rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    mark AS (SELECT doc_id, p FROM g JOIN rep USING (gram)),
+    cov0 AS (
+      SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos FROM mark
+    ),
+    cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM cov
+    ),
+    sp AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+             COUNT(*) AS n_tokens
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT sp.doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           array_to_string(t.toks[span_start + 1 : span_end + 1], ' ')
+             AS span_text
+    FROM sp JOIN t ON sp.doc_id = t.doc_id
+"""
+
+@_q("q_repeated_spans", _REPEATED_SPANS_SQL)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage extraction: maximal token spans whose
+    every word-8-gram repeats in the corpus — the substring-level dedup
+    signal whole-document dedup misses.  Gram-count shuffle +
+    gap-and-islands; the k-fold position expansion touches only marked
+    starts."""
+    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
 _BOILER_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

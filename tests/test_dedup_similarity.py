@@ -668,3 +668,50 @@ def test_pq_topk_recall_vs_brute_force(spark):
         1 for q in pq_top1 if pq_top1[q] % 5 == exact_top1[q] % 5
     )
     assert same_cluster >= len(pq_top1) - 1
+
+
+def test_repeated_spans_planted_passage(spark):
+    """A 10-token passage shared by two docs surfaces as one maximal
+    span in each; islands merge overlapping k-gram cover; unique text
+    yields nothing."""
+    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+
+    passage = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta eta theta {passage} iota kappa"),
+            (2, f"{passage} unrelated tail words follow here after this"),
+            (3, "totally different text with no repeats at all in it"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(docs, k=8, min_count=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    s1, s2 = by_doc[1][0], by_doc[2][0]
+    # doc 1: passage occupies tokens 8..17; doc 2: tokens 0..9
+    assert (s1["span_start"], s1["span_end"]) == (8, 17)
+    assert (s2["span_start"], s2["span_end"]) == (0, 9)
+    assert s1["span_text"] == passage and s2["span_text"] == passage
+    assert s1["n_tokens"] == 10
+
+
+def test_repeated_spans_within_doc_repeat(spark):
+    """min_count counts total occurrences, so a within-doc repetition
+    is marked even with no cross-doc partner."""
+    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+
+    chunk = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, f"{chunk} filler words between the copies {chunk}")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        repeated_spans(docs, k=8, min_count=2).collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert len(out) == 2
+    assert out[0]["span_text"] == chunk and out[1]["span_text"] == chunk

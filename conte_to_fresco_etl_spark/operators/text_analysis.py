@@ -1072,3 +1072,53 @@ def bigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the entropy-style quality
+    signal (RefinedWeb/Dolma family): machine-generated or highly
+    repetitive text compresses far below ~0.4, encrypted/binary junk
+    sits near 1.0, natural prose lands in between.  Used as a cheap
+    pre-filter before any model-based scoring.
+
+    Output: (id, n_bytes, n_compressed, ratio); empty/null text gets
+    ratio 1.0 (nothing to judge).
+
+    Scale: map-side only (Arrow batches; zlib releases the GIL so the
+    32 local cores actually parallelize); no shuffle.  Determinism
+    caveat: compressed SIZE is a pure function of (bytes, level) for a
+    given zlib build — stable within a deployment, not a cross-library
+    contract, so the gate oracle pins literals computed by the same
+    interpreter rather than re-deriving in SQL."""
+    import zlib
+
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    def ratio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nb, nc, rat = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level)) if raw else 0
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(comp)
+                rat.append(comp / len(raw) if raw else 1.0)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": rat}
+            )
+
+    return ensure_min_parallelism(
+        df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(
+        ratio_batches,
+        schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double",
+    )

@@ -1668,6 +1668,58 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _compression_sql() -> str | None:
+    """Oracle for the zlib compression-ratio signal: the compressed
+    size is a pure function of (bytes, level) only within one zlib
+    build, so no portable SQL re-derivation exists — instead the
+    builder computes every row with the SAME interpreter's zlib at
+    import (the literal-embedding convention of ``_ivf_trained_sql``)
+    and pins them as VALUES."""
+    import os
+    import zlib
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as papq
+
+        cols = papq.read_table(path, columns=["doc_id", "text"]).to_pydict()
+        rows = []
+        for i, t in zip(cols["doc_id"], cols["text"]):
+            raw = (t or "").encode("utf-8")
+            comp = len(zlib.compress(raw, 6)) if raw else 0
+            ratio = comp / len(raw) if raw else 1.0
+            rows.append(f"({i}, {len(raw)}, {comp}, {ratio!r})")
+    except Exception:  # noqa: BLE001 — unreadable gate table: weak check
+        return None
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_compressed AS BIGINT) AS n_compressed,
+           CAST(ratio AS DOUBLE) AS ratio
+    FROM (VALUES
+        {values}
+    ) AS t(doc_id, n_bytes, n_compressed, ratio)
+"""
+
+
+@_q("q_compression_ratio", _compression_sql())
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (repetitive /
+    machine-generated text compresses hard; junk doesn't).  Map-side
+    Arrow pass, no shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 _REPEATED_SPANS_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

@@ -552,3 +552,33 @@ def test_remove_boilerplate_lines_all_removed(spark):
     )
     out = remove_boilerplate_lines(docs, min_docs=2).collect()
     assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
+
+
+def test_compression_ratio_signal_orders_texts(spark):
+    import zlib
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    repetitive = "spam " * 200
+    prose = (
+        "the library loads each shard lazily and validates row counts "
+        "before handing batches to the trainer for gradient updates"
+    )
+    import random as _r
+    rng = _r.Random(5)
+    junk = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(600))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, junk), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["ratio"] < out[2]["ratio"] < out[3]["ratio"]
+    assert out[1]["ratio"] < 0.05          # pure repetition
+    assert out[3]["ratio"] > 0.8           # near-incompressible
+    assert out[4]["ratio"] == 1.0 and out[4]["n_bytes"] == 0
+    assert out[5]["ratio"] == 1.0
+    # exact size contract against the same zlib
+    raw = repetitive.encode()
+    assert out[1]["n_compressed"] == len(zlib.compress(raw, 6))

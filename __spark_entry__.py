@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "q_boilerplate_frac",
     "q_pq_topk",
     "q_repeated_spans",
+    "q_dup_token_frac",
     "q_compression_ratio",
     "q_bpe_merges",
     "q_ivf_trained_topk",

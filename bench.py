@@ -101,6 +101,14 @@ HEADLINE = [
     "q_dq_report",
     "q_cube_daily",
     "q_except_customers",
+    # round-4 additions
+    "q_decontaminate_bloom",
+    "q_mixture_weights",
+    "q_boilerplate_frac",
+    "q_pq_topk",
+    "q_repeated_spans",
+    "q_dup_token_frac",
+    "q_compression_ratio",
 ]
 
 

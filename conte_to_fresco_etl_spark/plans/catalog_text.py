@@ -1775,6 +1775,53 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_TOKEN_FRAC_SQL = f"""
+    WITH rs AS ({_REPEATED_SPANS_SQL}),
+    agg AS (
+      SELECT doc_id, SUM(n_tokens) AS dup_tokens FROM rs GROUP BY doc_id
+    ),
+    tc AS (SELECT doc_id, len({_sql_tokens()}) AS n_tokens FROM documents)
+    SELECT tc.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_tokens
+           END AS dup_token_frac
+    FROM tc LEFT JOIN agg USING (doc_id)
+"""
+
+@_q("q_dup_token_frac", _DUP_TOKEN_FRAC_SQL)
+def q_dup_token_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter signal consuming repeated_spans: fraction of each
+    document's tokens sitting inside corpus-repeated passages (the
+    per-doc cut threshold in substring-dedup pipelines).  Composition
+    is oracled end-to-end, not just the span extraction."""
+    from conte_to_fresco_etl_spark.functions.text import token_count
+    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = (
+        repeated_spans(docs, k=8, min_count=2)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("dup_tokens"))
+    )
+    return (
+        docs.select("doc_id", token_count("text").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("dup_token_frac"),
+        )
+    )
+
+
 _BOILER_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents

@@ -329,3 +329,54 @@ def test_cap_per_group_prefilter_has_no_literal_case_chain(spark, sf_dir):
     # the filter condition; the broadcast form references the joined
     # cutoff column instead
     assert "CASE WHEN (source = " not in plan
+
+
+def test_pq_topk_no_corpus_collect_and_prereduced(spark, sf_dir, qs):
+    """The PQ search plan must stream the corpus (ArrowEvalPython /
+    mapInPandas stage over the scan — no LocalRelation materializing
+    corpus rows) and keep the rank shuffle pre-reduced."""
+    plan = _physical(qs["q_pq_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    # the only window is the final per-query rank
+    assert plan.count("RunningWindowFunction") <= 1
+    scan_region = plan[plan.index("MapInPandas") :]
+    assert "Scan parquet" in scan_region  # corpus feeds the scorer directly
+
+
+def test_boilerplate_frac_broadcasts_frequent_grams(spark, sf_dir, qs):
+    """The frequent-gram set is tiny by construction and must broadcast
+    back; the corpus postings must not sort-merge on the gram."""
+    plan = _physical(qs["q_boilerplate_frac"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_weights_single_shuffle_to_dimension_rows(spark, sf_dir, qs):
+    """One aggregation shuffle to dimension-sized rows; the window
+    normalizer adds a single-partition exchange over those few rows
+    (bounded by group cardinality, not data size)."""
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    assert explain_shuffle_count(qs["q_mixture_weights"](spark, sf_dir)) <= 3
+
+
+def test_compression_ratio_map_only(spark, sf_dir, qs):
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    df = qs["q_compression_ratio"](spark, sf_dir)
+    assert explain_shuffle_count(df) <= 1  # ensure_min_parallelism repartition
+    assert "MapInPandas" in _physical(df)
+
+
+def test_decontaminate_bloom_probe_stays_jvm_side(spark, sf_dir, qs):
+    """The bitmap membership probe must be a JVM expression over the
+    broadcast 1-row bitmap (getbit/forall), NOT a Python UDF: no
+    BatchEvalPython may appear between the posting stage and the
+    confirm join."""
+    plan = _physical(qs["q_decontaminate_bloom"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "getbit" in plan or "bit_get" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

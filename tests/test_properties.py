@@ -294,3 +294,115 @@ def test_pack_sequences_invariants(spark, token_counts, budget):
         for seq, total in fill.items():
             n_docs = sum(1 for r in rs if r["seq_id"] == seq)
             assert total <= budget or n_docs == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=18,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repeated_spans_matches_python_oracle(spark, token_lists):
+    """repeated_spans on arbitrary tiny-vocab corpora (forcing heavy
+    k-gram collisions) must equal an independent pure-Python
+    reimplementation of the marking + gap-and-islands semantics, and
+    spans must be disjoint, in-bounds, and length-consistent."""
+    from collections import Counter
+
+    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+
+    k, min_count = 3, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"],
+         r["span_text"])
+        for r in repeated_spans(docs, k=k, min_count=min_count).collect()
+    }
+
+    # pure-Python oracle
+    counts: Counter = Counter()
+    grams_by_doc: dict[int, list[tuple[int, str]]] = {}
+    for i, toks in enumerate(token_lists):
+        gs = [
+            (p, " ".join(toks[p : p + k]))
+            for p in range(len(toks) - k + 1)
+        ]
+        grams_by_doc[i] = gs
+        counts.update(g for _, g in gs)
+    want = set()
+    for i, toks in enumerate(token_lists):
+        covered = sorted(
+            {
+                pos
+                for p, g in grams_by_doc[i]
+                if counts[g] >= min_count
+                for pos in range(p, p + k)
+            }
+        )
+        # islands of consecutive covered positions
+        start = None
+        prev = None
+        for pos in covered + [None]:
+            if start is None:
+                start = prev = pos
+                continue
+            if pos is not None and pos == prev + 1:
+                prev = pos
+                continue
+            want.add(
+                (i, start, prev, prev - start + 1,
+                 " ".join(toks[start : prev + 1]))
+            )
+            start = prev = pos
+    assert got == want
+    # structural invariants: disjoint, sorted, in-bounds
+    by_doc: dict[int, list] = {}
+    for d, s, e, n, _ in got:
+        assert 0 <= s <= e < len(token_lists[d]) and n == e - s + 1
+        by_doc.setdefault(d, []).append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 + 1 < s2  # disjoint AND non-adjacent (maximal)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_decontaminate_bloom_equals_exact_property(spark, token_lists, bits):
+    """For any corpus split and any bitmap density (including
+    FP-saturated 2-bit maps), the Bloom path's output is identical to
+    the exact path — the confirm join makes correctness independent of
+    the filter's false-positive rate."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.filter("doc_id % 2 = 0")
+    ev = docs.filter("doc_id % 2 = 1")
+    exact = sorted(map(tuple, decontaminate(train, ev, ngram_n=2).collect()))
+    bloom = sorted(
+        map(
+            tuple,
+            decontaminate_bloom(
+                train, ev, ngram_n=2, bits_per_gram=bits
+            ).collect(),
+        )
+    )
+    assert bloom == exact

@@ -297,3 +297,92 @@ def start_continuous_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    neardup_threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming training-corpus ingestion: the curation stack's
+    foreachBatch composition.  Each arriving micro-batch of documents is
+
+      1. exact-deduplicated WITHIN the batch (normalized fingerprint),
+      2. length-gated (``min_tokens`` — plug ``quality_filters`` here
+         for the full Gopher rule set; the hook is the same DataFrame
+         boundary),
+      3. near-dup-probed AGAINST THE STANDING CORPUS via
+         ``incremental_neardup`` — only the new batch is hashed; the
+         corpus contributes band keys (in production: its STORED
+         signature/band table, bucketed by band key),
+      4. appended to the corpus parquet.
+
+    Exactly-once: the checkpoint makes batch replay deterministic, and
+    a replayed batch finds its own docs already in the corpus — so the
+    FIRST guard is an id-level anti-join against the standing corpus
+    (replayed ids drop out before any probing), which makes replay
+    idempotent at the output level; only after that does the near-dup
+    probe decide survival for genuinely new ids.
+
+    Scale posture: per-batch cost tracks the BATCH (hash + probe +
+    append), never corpus size — the only corpus-sized read is the band
+    index probe, a bucketed join in production.  State lives in the
+    corpus table itself, not in stream state: nothing unbounded inside
+    the engine."""
+    from pyspark.errors import AnalysisException
+
+    from conte_to_fresco_etl_spark.functions.text import token_count
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        dedup_exact,
+        incremental_neardup,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = dedup_exact(batch_df, text_col=text_col).filter(
+            token_count(F.col(text_col)) >= min_tokens
+        )
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except AnalysisException:
+            corpus = None
+        if corpus is not None:
+            # replay guard: ids already ingested drop out first
+            fresh = fresh.join(
+                corpus.select(id_col).distinct(), id_col, "left_anti"
+            )
+            dup_ids = (
+                incremental_neardup(
+                    fresh,
+                    corpus,
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=neardup_threshold,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            fresh = fresh.join(dup_ids, id_col, "left_anti")
+        # Materialize the survivors BEFORE appending: `fresh` lazily
+        # reads corpus_path (the anti-join) while the write appends to
+        # it — same read-vs-write barrier as the rollup upsert.
+        fresh = fresh.persist()
+        fresh.count()
+        try:
+            fresh.write.mode("append").parquet(corpus_path)
+        finally:
+            fresh.unpersist(blocking=False)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "q_mixture_weights",
     "q_boilerplate_frac",
     "q_pq_topk",
+    "q_ivfpq_topk",
     "q_repeated_spans",
     "q_dup_token_frac",
     "q_compression_ratio",

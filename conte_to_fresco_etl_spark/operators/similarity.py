@@ -909,3 +909,121 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    pair_counter=None,
+) -> DataFrame:
+    """IVF + PQ composed search (the FAISS-IVFPQ shape): the coarse
+    quantizer prunes WHICH vectors are scored (only inverted lists the
+    query probes), product quantization compresses HOW each surviving
+    pair is scored (M table lookups instead of a D-dim dot).  The two
+    prunings multiply: candidates drop by ~n_probe/n_centroids and
+    per-pair FLOPs by D/M.
+
+    Assignment/probing use rounded cosine (ties to lowest centroid
+    index), scoring uses rounded ADC squared-L2 — each identical to the
+    standalone ``ivf_topk`` / ``pq_topk`` conventions, so the SQL
+    oracle composes the same two CTE families verbatim.
+
+    Returns (query_id, neighbor_id, approx_d2, rank), rank <= k.
+
+    Plan shape: queries/centroids/codebooks broadcast; the corpus is
+    assigned, encoded AND scored in ONE map-side Arrow pass;
+    per-partition local top-k pre-reduction bounds the rank shuffle.
+    At 100 TB, materialize assignment+codes once (partitioned by
+    centroid) so probes prune partitions — the ``ivf_topk`` note
+    composed with the stored-code table from ``pq_encode``."""
+    qid = query_id_col or id_col
+    q_ids, q_mat, q_norms = _collect_matrix(queries, qid, vec_col)
+    if q_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_d2 double, rank int"
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    # per-query probe sets: top-n_probe centroids by rounded cosine,
+    # ties broken toward the lower centroid index
+    qcos = _rounded_cosines(q_mat, q_norms, cents, c_norms)  # (nq, nc)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(cents.shape[0]), qcos.shape), -qcos),
+        axis=1,
+    )
+    probe_sets = order[:, : min(n_probe, cents.shape[0])]
+    m_sub, k_sub, sub = codebooks.shape
+    tables = np.empty((len(q_ids), m_sub, k_sub))
+    for m in range(m_sub):
+        qm = q_mat[:, m * sub : (m + 1) * sub]
+        diff = qm[:, None, :] - codebooks[m][None, :, :]
+        tables[:, m, :] = np.round((diff * diff).sum(axis=2), 6)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, tables, probe_sets, cents, c_norms, codebooks)
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_tables, b_probes, b_cents, b_cnorms, cb = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            ccos = _rounded_cosines(v, v_norms, b_cents, b_cnorms)
+            assign = ccos.argmax(axis=1)  # first max = lowest index
+            codes = _pq_assign(v, cb)
+            # candidate mask (nq, B): corpus row's list is probed
+            cand = (
+                assign[None, :, None] == b_probes[:, None, :]
+            ).any(axis=2) & (c_ids[None, :] != b_qids[:, None])
+            qi, ci = np.nonzero(cand)
+            if qi.size == 0:
+                continue
+            if pair_counter is not None:
+                # coarse assignment + table build are broadcast-side;
+                # per-pair cost is the M lookups on candidates only
+                pair_counter.add(int(qi.size))
+            # ADC on candidate pairs only: gather rows, sum M lookups
+            d2 = np.zeros(qi.size)
+            for m in range(cb.shape[0]):
+                d2 += b_tables[qi, m, codes[ci, m]]
+            out = pd.DataFrame(
+                {
+                    "query_id": b_qids[qi],
+                    "neighbor_id": c_ids[ci],
+                    "approx_d2": np.round(d2, 6),
+                }
+            )
+            yield (
+                out.sort_values(
+                    ["query_id", "approx_d2", "neighbor_id"],
+                    ascending=[True, True, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    scored = (
+        ensure_min_parallelism(
+            corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+        )
+        .mapInPandas(
+            score_batches,
+            schema="query_id long, neighbor_id long, approx_d2 double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

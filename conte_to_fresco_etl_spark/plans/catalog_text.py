@@ -867,6 +867,115 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_SQL = f"""
+    WITH {_VEC_CTE},
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS c
+      FROM (
+        SELECT *, substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15) AS h
+        FROM n ORDER BY h, vec_id LIMIT 8
+      )
+    ),
+    cd AS (
+      SELECT n.vec_id, cents.c,
+             ROUND(CASE WHEN n.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(n.e, cents.ce)
+                             / (n.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM n CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM cd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ),
+    cb0 AS (
+      SELECT e, CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
+               AS cidx
+      FROM (
+        SELECT *, substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS h
+        FROM n ORDER BY h, vec_id LIMIT 16
+      )
+    ),
+    cb AS (
+      SELECT u.m AS m, cidx AS c, e[u.m*8+1 : u.m*8+8] AS cw
+      FROM cb0, (SELECT unnest(generate_series(0, 7)) AS m) u
+    ),
+    pd AS (
+      SELECT n.vec_id, cb.m, cb.c,
+             ROUND(list_sum(list_transform(generate_series(1, 8),
+                   i -> (n.e[cb.m*8+i] - cb.cw[i])
+                        * (n.e[cb.m*8+i] - cb.cw[i]))), 6) AS d2
+      FROM n CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, c ASC) AS rn
+        FROM pd
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(SUM(dq.d2), 6) AS approx_d2
+      FROM cand
+      JOIN codes co ON co.vec_id = cand.neighbor_id
+      JOIN pd dq ON dq.vec_id = cand.query_id
+                AND dq.m = co.m AND dq.c = co.c
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT query_id, neighbor_id, approx_d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_d2 ASC, neighbor_id ASC) AS BIGINT)
+               AS rank
+      FROM adc
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ivfpq_topk", _IVFPQ_SQL)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed search (the FAISS-IVFPQ shape) under the hard
+    gate: the coarse quantizer prunes WHICH vectors are scored, PQ
+    compresses HOW each surviving pair is scored; the prunings
+    multiply.  The oracle is literal-free — both seeded quantizers are
+    re-derived inside SQL from the table alone."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        seed_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    cb = pq_codebooks(emb, m_sub=8, k_sub=16)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), cents, cb, k=5, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "approx_d2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @_q("q_ivf_exhaustive", _ANN_SQL)
 def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ``n_probe == n_centroids`` — every inverted list is

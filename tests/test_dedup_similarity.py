@@ -715,3 +715,36 @@ def test_repeated_spans_within_doc_repeat(spark):
     )
     assert len(out) == 2
     assert out[0]["span_text"] == chunk and out[1]["span_text"] == chunk
+
+
+def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
+    """The composed IVF+PQ search keeps useful recall vs exact search
+    while scoring strictly fewer pairs than full-scan PQ (the two
+    prunings must actually compose)."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = seed_centroids(emb, n_centroids=8)
+    cb = pq_codebooks(emb, m_sub=8, k_sub=16)
+
+    sc = spark.sparkContext
+    acc_full, acc_ivf = sc.accumulator(0), sc.accumulator(0)
+    full = pq_topk(emb, queries, cb, k=5, pair_counter=acc_full)
+    composed = ivfpq_topk(
+        emb, queries, cents, cb, k=5, n_probe=4, pair_counter=acc_ivf
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in composed.collect()}
+    full_top = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert acc_ivf.value < acc_full.value / 1.5  # probing prunes pairs
+    # recall is judged against FULL-SCAN PQ (same quantized metric), so
+    # the measurement isolates the probing loss; PQ-vs-exact-cosine
+    # quality on unclustered 64-dim vectors is covered by the planted-
+    # cluster test above, where structure exists for PQ to preserve.
+    recall = len(full_top & got) / len(full_top)
+    assert recall >= 0.4, recall

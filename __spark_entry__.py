@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "q_repeated_spans",
     "q_dup_token_frac",
     "q_compression_ratio",
+    "q_dataset_card",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

@@ -110,6 +110,7 @@ HEADLINE = [
     "q_repeated_spans",
     "q_dup_token_frac",
     "q_compression_ratio",
+    "q_dataset_card",
 ]
 
 

@@ -1979,6 +1979,96 @@ def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DATASET_CARD_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len({_sql_tokens()}) AS n_toks,
+             {_SQL_FINGERPRINT} AS fp
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base GROUP BY source
+    ),
+    lang_mix AS (
+      SELECT source,
+             ROUND(-SUM(p * ln(p)), 6) AS lang_entropy
+      FROM (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY source) AS p
+        FROM base GROUP BY source, lang
+      ) GROUP BY source
+    )
+    SELECT ps.source, n_docs, n_tokens, dup_docs, n_langs,
+           lang_entropy,
+           CAST(n_tokens AS DOUBLE)
+             / SUM(n_tokens) OVER () AS token_share
+    FROM per_source ps JOIN lang_mix USING (source)
+"""
+
+@_q("q_dataset_card", _DATASET_CARD_SQL)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc/token counts, exact-duplicate count
+    (docs minus distinct content fingerprints), language count and
+    entropy, corpus token share — the summary table a corpus release
+    ships.  Two aggregations to dimension-sized rows; window
+    normalizers run over those few rows only."""
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.functions.text import (
+        doc_fingerprint,
+        token_count,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").alias("n_toks"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        (F.count("*") - F.count_distinct("fp")).alias("dup_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    w_src = Window.partitionBy("source")
+    lang_mix = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__p", F.col("__n").cast("double") / F.sum("__n").over(w_src)
+        )
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(F.col("__p") * F.log("__p")), 6).alias(
+                "lang_entropy"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_source.join(lang_mix, "source")
+        .withColumn(
+            "token_share",
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w_all),
+        )
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.col("dup_docs").cast("long").alias("dup_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            "lang_entropy", "token_share",
+        )
+    )
+
+
 _MIXTURE_SQL = f"""
     WITH t AS (
       SELECT source,

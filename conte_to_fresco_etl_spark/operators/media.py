@@ -6,11 +6,12 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 pluggable, shipping three implementations:
 
   * ``numpy_codec`` — a REAL decoder with no external library: binary
-    PPM (``P6``, comments, 8/16-bit) and PNG (stdlib zlib; all five
-    scanline filters, gray/RGB/palette/alpha, 8/16-bit) images and
-    PCM16 WAV (RIFF chunk walk, multi-channel) audio, dispatched by
-    magic bytes and exact-value tested end-to-end through the
-    distributed operators;
+    PPM (``P6``, comments, 8/16-bit), PNG (stdlib zlib; all five
+    scanline filters, gray/RGB/palette/alpha, 8/16-bit), and GIF
+    (native LZW inflate, global/local color tables, interlacing)
+    images and PCM16 WAV (RIFF chunk walk, multi-channel) audio,
+    dispatched by magic bytes and exact-value tested end-to-end
+    through the distributed operators;
   * a **deterministic fake**: decodes any payload into reproducible
     arrays from its bytes alone, for plumbing assertions independent of
     format;
@@ -48,15 +49,15 @@ _FAKE_DIM = 8
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
     """The production plug-point for formats beyond the native codecs.
-    PPM and PNG images and PCM WAV audio decode natively
+    PPM, PNG, and GIF images and PCM WAV audio decode natively
     (``numpy_codec``); anything else raises until a codec library is
     wired in."""
     raise NotImplementedError(
         "media decode for this format requires a codec library not "
         "present in this environment (image: Pillow for JPEG/WebP, "
-        "audio: soundfile for FLAC/OGG, video: pyav); PPM, PNG, and "
-        "PCM WAV decode natively via numpy_codec — pass codec=... to "
-        "the operator"
+        "audio: soundfile for FLAC/OGG, video: pyav); PPM, PNG, GIF, "
+        "and PCM WAV decode natively via numpy_codec — pass codec=... "
+        "to the operator"
     )
 
 
@@ -281,6 +282,214 @@ def encode_png(
     )
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW decompression (LSB-first bit packing, dynamic
+    code width 3..12 bits, CLEAR/END control codes, KwKwK case)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + code_size > total_bits:
+            break  # truncated stream: return what decoded
+        code = 0
+        for i in range(code_size):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) float32
+    array of raw palette RGB values (0..255) — native LZW inflate, no
+    imaging library.  Handles global and local color tables, extension
+    blocks (skipped), and Adam-style 4-pass interlacing."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        i += n
+    while i < len(payload):
+        block = payload[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[i + 1 : i + 10]
+            )
+            i += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+                i += n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code_size = payload[i]
+            i += 1
+            lzw = bytearray()
+            while payload[i]:
+                size = payload[i]
+                lzw += payload[i + 1 : i + 1 + size]
+                i += 1 + size
+            i += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code_size, bytes(lzw), w * h),
+                dtype=np.uint8,
+            )
+            if idx.size != w * h:
+                raise ValueError("short GIF pixel data")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            palette = ct.reshape(-1, 3)
+            return palette[rows].astype(np.float32)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(
+    arr: np.ndarray, interlace: bool = False, use_clear_codes: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a spec-conformant GIF89a —
+    the fixture generator the decoder tests round-trip through.  The
+    LZW stream emits literal codes only, but tracks code-width growth
+    exactly as a compressing encoder would (``use_clear_codes=True``
+    resets the table before every pixel instead, pinning the decoder's
+    CLEAR handling; the default pins its width-growth path)."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    ct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        idx = idx[order]
+    pixels = idx.reshape(-1)
+
+    clear = 1 << bits
+    end = clear + 1
+    codes: list[int] = [clear]
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+    code_size = bits + 1
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    first = True  # the first code after a CLEAR adds no table entry
+    for p in pixels:
+        if use_clear_codes:
+            emit(int(p))
+            emit(clear)
+            continue
+        emit(int(p))
+        # mirror the decoder's table growth for literal-only streams
+        if first:
+            first = False
+            continue
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            code_size = bits + 1
+            next_code = end + 1
+            first = True
+    emit(end)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+
+    body = bytearray()
+    body += b"GIF89a"
+    body += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    body += ct.tobytes()
+    body += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    body.append(bits)
+    data = bytes(out_bits)
+    for off in range(0, len(data), 255):
+        chunk_ = data[off : off + 255]
+        body.append(len(chunk_))
+        body += chunk_
+    body += b"\x00\x3b"
+    return bytes(body)
+
+
 def decode_wav(payload: bytes) -> np.ndarray:
     """Decode a PCM16 WAV to an (n_samples, n_channels) float32 array
     in [-1, 1).  Walks the RIFF chunk list (so extra chunks like LIST
@@ -321,6 +530,8 @@ def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return strict_codec(payload, modality)

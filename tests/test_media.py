@@ -366,3 +366,131 @@ def test_decode_png_rejects_out_of_range_palette_index():
     )
     with pytest.raises(ValueError, match="PLTE length"):
         decode_png(bad_plte)
+
+
+def _real_lzw_gif(img):
+    """A genuinely COMPRESSING GIF LZW encoder (dictionary codes, not
+    the literal-only fixture encoder) so the decoder's dictionary and
+    KwKwK paths face a real stream."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    ct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    pixels = bytes(inverse.reshape(-1).astype(np.uint8))
+
+    clear, end = 1 << bits, (1 << bits) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, code_size = end + 1, bits + 1
+    out, acc, nacc = bytearray(), 0, 0
+
+    def emit(code, size):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, code_size)
+    run = b""
+    for b in pixels:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder's table runs ONE entry behind (its add for this
+        # code happens when it reads the NEXT one), so widen at 2^n+1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, code_size = end + 1, bits + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], code_size)
+    emit(end, code_size)
+    if nacc:
+        out.append(acc & 0xFF)
+
+    body = bytearray(b"GIF89a")
+    body += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    body += ct.tobytes()
+    body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    body.append(bits)
+    data = bytes(out)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        body.append(len(chunk))
+        body += chunk
+    body += b"\x00\x3b"
+    return bytes(body)
+
+
+def test_gif_roundtrip_fixture_encoder():
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, size=(9, 14))]
+    for kwargs in ({}, {"interlace": True}, {"use_clear_codes": True}):
+        out = decode_gif(encode_gif(img, **kwargs))
+        assert out.shape == (9, 14, 3)
+        assert np.array_equal(out.astype(np.uint8), img), kwargs
+
+
+def test_gif_decodes_real_lzw_compression():
+    """Pattern-heavy images produce dictionary hits and the aaaa...
+    KwKwK case; the decoder must reproduce pixels exactly."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import decode_gif
+
+    # solid runs (KwKwK) + repeated rows (dictionary reuse)
+    img = np.zeros((20, 30, 3), dtype=np.uint8)
+    img[::2] = [200, 10, 10]
+    img[5, 10:20] = [0, 255, 0]
+    out = decode_gif(_real_lzw_gif(img))
+    assert np.array_equal(out.astype(np.uint8), img)
+    # worst case for KwKwK: one color everywhere
+    solid = np.full((11, 13, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif(_real_lzw_gif(solid)).astype(np.uint8), solid
+    )
+
+
+def test_gif_dispatch_through_decode_stats(spark):
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        encode_gif,
+        numpy_codec,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    img = pal[np.eye(8, dtype=int)]
+    payload = encode_gif(img)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+    row = decode_stats(df, codec=numpy_codec).collect()[0]
+    assert row["n_values"] == 8 * 8 * 3
+    expect = img.astype(np.float64)
+    assert abs(row["mean"] - expect.mean()) < 1e-6

@@ -7,11 +7,12 @@ pluggable, shipping three implementations:
 
   * ``numpy_codec`` — a REAL decoder with no external library: binary
     PPM (``P6``, comments, 8/16-bit), PNG (stdlib zlib; all five
-    scanline filters, gray/RGB/palette/alpha, 8/16-bit), and GIF
-    (native LZW inflate, global/local color tables, interlacing)
-    images and PCM16 WAV (RIFF chunk walk, multi-channel) audio,
-    dispatched by magic bytes and exact-value tested end-to-end
-    through the distributed operators;
+    scanline filters, gray/RGB/palette/alpha, 8/16-bit), GIF (native
+    LZW inflate, global/local color tables, interlacing), and baseline
+    JPEG (canonical Huffman decode, dequantize + inverse DCT, chroma
+    upsampling, restart markers) images and PCM16 WAV (RIFF chunk
+    walk, multi-channel) audio, dispatched by magic bytes and tested
+    end-to-end through the distributed operators;
   * a **deterministic fake**: decodes any payload into reproducible
     arrays from its bytes alone, for plumbing assertions independent of
     format;
@@ -49,15 +50,15 @@ _FAKE_DIM = 8
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
     """The production plug-point for formats beyond the native codecs.
-    PPM, PNG, and GIF images and PCM WAV audio decode natively
-    (``numpy_codec``); anything else raises until a codec library is
-    wired in."""
+    PPM, PNG, GIF, and baseline JPEG images and PCM WAV audio decode
+    natively (``numpy_codec``); anything else raises until a codec
+    library is wired in."""
     raise NotImplementedError(
         "media decode for this format requires a codec library not "
-        "present in this environment (image: Pillow for JPEG/WebP, "
-        "audio: soundfile for FLAC/OGG, video: pyav); PPM, PNG, GIF, "
-        "and PCM WAV decode natively via numpy_codec — pass codec=... "
-        "to the operator"
+        "present in this environment (image: Pillow for WebP/progressive "
+        "JPEG, audio: soundfile for FLAC/OGG, video: pyav); PPM, PNG, "
+        "GIF, baseline JPEG, and PCM WAV decode natively via "
+        "numpy_codec — pass codec=... to the operator"
     )
 
 
@@ -532,6 +533,8 @@ def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return strict_codec(payload, modality)
@@ -708,3 +711,433 @@ def sample_frames(
         schema="media_id long, frame_index int, timestamp_ms long, "
         "payload binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT) — native Huffman + IDCT
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: index z -> (row, col); derived, not transcribed.
+_ZIGZAG = sorted(
+    ((i, j) for i in range(8) for j in range(8)),
+    key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+)
+_ZZ_ROWS = np.array([p[0] for p in _ZIGZAG])
+_ZZ_COLS = np.array([p[1] for p in _ZIGZAG])
+
+#: 1-D DCT-II basis: A[k, n] = c(k)/2 * cos((2n+1) k pi / 16);
+#: forward F = A f A^T, inverse f = A^T F A.
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if k == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are consumed by ``sync_restart``."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.i = start
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.i]
+        if b == 0xFF:
+            nxt = d[self.i + 1]
+            if nxt == 0x00:
+                self.i += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard padding bits and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.i] != 0xFF or d[self.i + 1] == 0x00:
+            self.i += 1
+        m = d[self.i + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected restart marker, got 0x{m:02x}")
+        self.i += 2
+
+
+class _MarkerHit(Exception):
+    """Raised by the bit reader when a non-stuffing marker interrupts
+    entropy-coded data (normally EOI at the end of the scan)."""
+
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential-DCT JPEG (SOF0, 8-bit, Huffman) to
+    an (h, w, channels) float32 array of 0..255 sample values — native
+    marker parse, canonical Huffman decode, dequantize + inverse DCT,
+    chroma upsampling by sample replication, JFIF YCbCr->RGB.
+    Grayscale (1 component) returns (h, w, 1); progressive JPEGs raise
+    (SOF2 is the documented next plug-point)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[i : i + 2])
+        seg = payload[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg, dtype=">u2", count=64, offset=j)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg, dtype=np.uint8, count=64, offset=j)
+                    j += 64
+                qt[tq] = vals.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = seg[j + 17 : j + 17 + n]
+                huff[(tc, th)] = _build_huffman(counts, symbols)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: sequential DCT
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) not supported by the native "
+                "codec — wire a codec library via the strict_codec "
+                "plug-point"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: scan header then entropy data
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tds >> 4, tds & 0x0F)
+            h, w, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            planes = {}
+            for cid, hs, vs, _tq in comps:
+                planes[cid] = np.zeros(
+                    (mcuy * vs * 8, mcux * hs * 8), dtype=np.float64
+                )
+            reader = _JpegBitReader(payload, i + seglen)
+            pred = {cid: 0 for cid, *_ in comps}
+            n_mcu = 0
+            done = False
+            for my in range(mcuy):
+                if done:
+                    break
+                for mx in range(mcux):
+                    if restart_interval and n_mcu and (
+                        n_mcu % restart_interval == 0
+                    ):
+                        reader.sync_restart()
+                        pred = {cid: 0 for cid, *_ in comps}
+                    try:
+                        for cid, hs, vs, tq in comps:
+                            dc_t = huff[(0, scan[cid][0])]
+                            ac_t = huff[(1, scan[cid][1])]
+                            q = qt[tq]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    zz = np.zeros(64, dtype=np.int64)
+                                    s = _huff_decode(reader, dc_t)
+                                    diff = (
+                                        _extend(reader.read(s), s) if s else 0
+                                    )
+                                    pred[cid] += diff
+                                    zz[0] = pred[cid]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _huff_decode(reader, ac_t)
+                                        r, sz = rs >> 4, rs & 0x0F
+                                        if sz == 0:
+                                            if r == 15:
+                                                k += 16
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        zz[k] = _extend(reader.read(sz), sz)
+                                        k += 1
+                                    blk = np.zeros((8, 8))
+                                    blk[_ZZ_ROWS, _ZZ_COLS] = zz * q
+                                    pix = _DCT_A.T @ blk @ _DCT_A + 128.0
+                                    y0 = (my * vs + by) * 8
+                                    x0 = (mx * hs + bx) * 8
+                                    planes[cid][
+                                        y0 : y0 + 8, x0 : x0 + 8
+                                    ] = pix
+                        n_mcu += 1
+                    except _MarkerHit:
+                        done = True
+                        break
+            out_planes = []
+            for cid, hs, vs, _tq in comps:
+                p = planes[cid]
+                p = np.repeat(
+                    np.repeat(p, hmax // hs, axis=0), vmax // vs, axis=1
+                ) if (hs != hmax or vs != vmax) else p
+                out_planes.append(p[:h, :w])
+            img = np.stack(out_planes, axis=-1)
+            if img.shape[-1] == 3:
+                y, cb, cr = img[..., 0], img[..., 1] - 128, img[..., 2] - 128
+                img = np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=-1,
+                )
+            return np.clip(img, 0, 255).astype(np.float32)
+        i += seglen
+    raise ValueError("JPEG contains no scan")
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8
+    array as a baseline JPEG — the fixture generator the decoder tests
+    round-trip through.  Fixed-length canonical Huffman tables (4-bit
+    DC / 9-bit AC codes, embedded via DHT like any table would be) keep
+    the encoder free of transcribed Annex K constants while remaining
+    fully spec-conformant; ``subsample`` emits 4:2:0 chroma."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    # quantization: flat-ish table scaled by quality (any table is
+    # valid — it is embedded in DQT)
+    scale = max(1.0, (100.0 - quality) / 2.0)
+    qtab = np.clip(np.round(np.full(64, 1.0) * scale), 1, 255).astype(
+        np.int64
+    )
+    qtab[0] = max(1, int(scale))
+
+    if nch == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        chans = [y, cb, cr]
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [
+            (1, 1), (1, 1), (1, 1)
+        ]
+    else:
+        chans = [arr[..., 0]]
+        sampling = [(1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    planes = []
+    for ch, (hs, vs) in zip(chans, sampling):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            pad = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
+            ch = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        ch = np.pad(
+            ch,
+            ((0, th - ch.shape[0]), (0, tw - ch.shape[1])),
+            mode="edge",
+        )
+        planes.append(ch)
+
+    # fixed-length canonical tables: DC symbols 0..11 at 4 bits; AC
+    # symbols 0..254 at 9 bits plus symbol 255 at 10 (a DHT count byte
+    # caps one length at 255 symbols) — canonical code for the length-10
+    # symbol is (255 << 1) = 510
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dc_syms = bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    ac_syms = bytes(range(256))
+    dc_len = 4
+    dc_code = {s: s for s in range(12)}
+    ac_code = {s: (s, 9) for s in range(255)}
+    ac_code[255] = (510, 10)
+
+    out = bytearray()
+    acc, nacc = 0, 0
+
+    def emit(code: int, n: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << n) | code
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    def magnitude(v: int) -> tuple[int, int]:
+        if v == 0:
+            return 0, 0
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        base = v if v > 0 else v + (1 << s) - 1
+        return s, base
+
+    pred = [0] * len(chans)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align with 1-padding, then RSTn (cycling 0-7)
+                if nacc:
+                    emit((1 << (8 - nacc)) - 1, 8 - nacc)
+                out += bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+                )
+                pred = [0] * len(chans)
+            n_mcu += 1
+            for ci, (ch, (hs, vs)) in enumerate(zip(planes, sampling)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = ch[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT_A @ blk @ _DCT_A.T
+                        zz = np.round(
+                            coef[_ZZ_ROWS, _ZZ_COLS] / qtab
+                        ).astype(np.int64)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, base = magnitude(diff)
+                        emit(dc_code[s], dc_len)
+                        if s:
+                            emit(base, s)
+                        run = 0
+                        last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if (
+                            zz[1:] != 0
+                        ).any() else 0
+                        for k in range(1, last_nz + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                emit(*ac_code[0xF0])
+                                run -= 16
+                            s, base = magnitude(v)
+                            emit(*ac_code[(run << 4) | s])
+                            emit(base, s)
+                            run = 0
+                        if last_nz < 63:
+                            emit(*ac_code[0x00])
+    if nacc:
+        emit((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, bytes([0]) + bytes(qtab.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(chans))
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    head += seg(0xC0, sof)
+    head += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
+    head += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+    if restart_interval:
+        head += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(chans)])
+    for ci in range(len(chans)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    head += seg(0xDA, sos)
+    return bytes(head) + bytes(out) + b"\xff\xd9"

@@ -494,3 +494,92 @@ def test_gif_dispatch_through_decode_stats(spark):
     assert row["n_values"] == 8 * 8 * 3
     expect = img.astype(np.float64)
     assert abs(row["mean"] - expect.mean()) < 1e-6
+
+
+def test_jpeg_roundtrip_quality_bounds():
+    """Baseline JPEG round trips: solid blocks are DC-only (tight
+    bound); smooth gradients stay within small per-pixel error at high
+    quality; grayscale, 4:2:0 subsampling, and non-multiple-of-8
+    dimensions all reconstruct."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    solid = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert out.shape == (16, 24, 3)
+    assert np.abs(out - solid).max() < 1.0
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [yy * 4 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], -1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert np.abs(out - grad).mean() < 1.0
+
+    g = (yy * 5 % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (32, 48, 1)
+    assert np.abs(out[..., 0] - g).mean() < 1.0
+
+    out = decode_jpeg(encode_jpeg(grad, quality=95, subsample=True))
+    assert out.shape == (32, 48, 3)
+    assert np.abs(out - grad).mean() < 3.0  # chroma halved
+
+    odd = grad[:29, :43]
+    out = decode_jpeg(encode_jpeg(odd, quality=95))
+    assert out.shape == (29, 43, 3)
+    assert np.abs(out - odd).mean() < 1.0
+
+
+def test_jpeg_restart_markers_and_sharp_content():
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    noisy = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(noisy, quality=95))
+    restarted = decode_jpeg(
+        encode_jpeg(noisy, quality=95, restart_interval=3)
+    )
+    # restart markers change framing, not content
+    assert np.array_equal(plain, restarted)
+    # high-frequency noise at q=95 still lands in the right ballpark
+    assert np.abs(plain - noisy).mean() < 20.0
+
+
+def test_jpeg_progressive_raises():
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import decode_jpeg
+
+    fake_sof2 = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01" + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(fake_sof2)
+
+
+def test_jpeg_dispatch_through_decode_stats(spark):
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        encode_jpeg,
+        numpy_codec,
+    )
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+    row = decode_stats(df, codec=numpy_codec).collect()[0]
+    assert row["n_values"] == 8 * 8 * 3
+    assert abs(row["mean"] - 128.0) < 1.0

@@ -67,6 +67,8 @@ PRIORITY: list[str] = [
     "q_dup_token_frac",
     "q_compression_ratio",
     "q_dataset_card",
+    "q_normalize_text",
+    "q_ivfpq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

@@ -111,6 +111,7 @@ HEADLINE = [
     "q_dup_token_frac",
     "q_compression_ratio",
     "q_dataset_card",
+    "q_normalize_text",
 ]
 
 

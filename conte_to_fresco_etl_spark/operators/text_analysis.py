@@ -1122,3 +1122,54 @@ def compression_ratio(
         ratio_batches,
         schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double",
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-text canonicalization: Unicode NFC normalization (composes
+    decomposed sequences so visually-identical strings hash equal —
+    the step BEFORE any fingerprint/minhash dedup on multilingual
+    crawl), then control characters (other than tab/newline) to
+    spaces, whitespace runs collapsed, ends trimmed.
+
+    Output: (id, norm_text, changed).  NFC is a Unicode-standard pure
+    function, so Python ``unicodedata`` and any conformant SQL engine
+    produce identical bytes — the oracle runs DuckDB's
+    ``nfc_normalize`` against this implementation.
+
+    Scale: map-side Arrow pass, no shuffle; the regex cleanup after
+    NFC is the same codegen-able shape as the PII scrubber."""
+    import unicodedata
+
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    def norm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, out, chg = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                n = unicodedata.normalize("NFC", t)
+                n = re.sub(r"[\x00-\x08\x0B-\x1F\x7F]", " ", n)
+                # explicit ASCII whitespace class: Python's unicode \s
+                # is wider than RE2's, and the oracle runs under RE2
+                n = re.sub(r"[ \t\n\f\r]+", " ", n).strip(" \t\n\f\r")
+                ids.append(i)
+                out.append(n)
+                chg.append(n != t)
+            yield pd.DataFrame(
+                {id_col: ids, "norm_text": out, "changed": chg}
+            )
+
+    return ensure_min_parallelism(
+        df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(
+        norm_batches,
+        schema=f"{id_col} long, norm_text string, changed boolean",
+    )

@@ -1979,6 +1979,53 @@ def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORMALIZE_SQL = r"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Cafe' || chr(769) || chr(9) || ' ' || chr(7) || text
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0B-\x1F\x7F]', ' ', 'g'),
+                '[ \t\n\f\r]+', ' ', 'g'),
+                ' ' || chr(9) || chr(10) || chr(12) || chr(13)) AS norm_text,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0B-\x1F\x7F]', ' ', 'g'),
+                '[ \t\n\f\r]+', ' ', 'g'),
+                ' ' || chr(9) || chr(10) || chr(12) || chr(13)) <> text
+             AS changed
+    FROM src
+"""
+
+@_q("q_normalize_text", _NORMALIZE_SQL)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization gated cross-engine: every third doc
+    gets a decomposed-accent + control-char prefix injected
+    identically in both engines, so NFC composition AND the cleanup
+    rules are exercised, not just passed through.  Python unicodedata
+    vs DuckDB nfc_normalize — both implement the same Unicode standard
+    pure function."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            # decomposed e + COMBINING ACUTE: NFC must actually compose
+            F.concat(F.lit("Cafe\u0301\t \x07"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(dirty)
+
+
 _DATASET_CARD_SQL = f"""
     WITH base AS (
       SELECT doc_id, source, lang,

@@ -582,3 +582,28 @@ def test_compression_ratio_signal_orders_texts(spark):
     # exact size contract against the same zlib
     raw = repetitive.encode()
     assert out[1]["n_compressed"] == len(zlib.compress(raw, 6))
+
+
+def test_normalize_text_nfc_and_cleanup(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café  du\tmonde"),          # NFC + run collapse
+            (2, "clean already"),
+            (3, "\x07bell\x00null\x1fus\x7fdel"),  # control chars
+            (4, "  padded  "),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert 5 not in out
+    assert out[1]["norm_text"] == "Café du monde"   # composed é
+    assert out[1]["changed"] is True
+    assert out[2]["norm_text"] == "clean already"
+    assert out[2]["changed"] is False
+    assert out[3]["norm_text"] == "bell null us del"
+    assert out[4]["norm_text"] == "padded" and out[4]["changed"] is True

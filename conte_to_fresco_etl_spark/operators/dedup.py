@@ -515,9 +515,16 @@ def decontaminate_bloom(
     """
     fn = _gram_posting_batches([id_col], text_col, ngram_n)
     schema = f"{id_col} long, __g string"
-    train_g = ensure_min_parallelism(
-        train.select(id_col, text_col), DENSE_BYTES_PER_TASK
-    ).mapInPandas(fn, schema=schema)
+    # persist: the posting build (the expensive Arrow pass over the
+    # TRAINING side) feeds two branches of one job — totals and the
+    # bloom-prefiltered hits; without the cache it runs twice.
+    train_g = (
+        ensure_min_parallelism(
+            train.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        )
+        .mapInPandas(fn, schema=schema)
+        .persist()
+    )
     eval_g = (
         ensure_min_parallelism(
             eval_df.select(id_col, text_col), DENSE_BYTES_PER_TASK

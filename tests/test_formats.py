@@ -78,3 +78,86 @@ def test_orc_roundtrip_schema_and_pushdown(spark, sf_dir, tmp_path):
         f.endswith(".orc") or "part-" in f for f in os.listdir(out)
         if not f.startswith("_")
     )
+
+
+def _warc_bytes():
+    """Two-record WARC: a response with an HTTP envelope and a request."""
+    body = b"<html>hello crawl</html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec1 = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:0001>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.com/a\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    req = b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n"
+    rec2 = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Record-ID: <urn:uuid:0002>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.com/a\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        + f"Content-Length: {len(req)}\r\n\r\n".encode()
+        + req
+        + b"\r\n\r\n"
+    )
+    return rec1 + rec2, body
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    import gzip
+
+    from conte_to_fresco_etl_spark.sources.warc import read_warc
+
+    raw, _ = _warc_bytes()
+    (tmp_path / "plain").mkdir()
+    (tmp_path / "plain" / "seg-00000.warc").write_bytes(raw)
+    # per-record gzip members (the Common-Crawl layout): compress each
+    # record separately and concatenate
+    half = raw.index(b"WARC/1.0", 1)
+    gz = gzip.compress(raw[:half]) + gzip.compress(raw[half:])
+    (tmp_path / "gz").mkdir()
+    (tmp_path / "gz" / "seg-00000.warc.gz").write_bytes(gz)
+
+    for sub in ("plain", "gz"):
+        rows = {
+            r["record_id"]: r
+            for r in read_warc(spark, str(tmp_path / sub)).collect()
+        }
+        assert set(rows) == {"<urn:uuid:0001>", "<urn:uuid:0002>"}, sub
+        resp = rows["<urn:uuid:0001>"]
+        assert resp["warc_type"] == "response"
+        assert resp["target_uri"] == "http://example.com/a"
+        assert bytes(resp["payload"]).startswith(b"HTTP/1.1 200")
+
+
+def test_warc_documents_strips_http_envelope(spark, tmp_path):
+    from conte_to_fresco_etl_spark.sources.warc import warc_documents
+
+    raw, body = _warc_bytes()
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "seg.warc").write_bytes(raw)
+    docs = warc_documents(spark, str(tmp_path / "w")).collect()
+    assert len(docs) == 1  # request record filtered out
+    assert docs[0]["status"] == 200
+    assert docs[0]["text"] == body.decode()
+    assert docs[0]["target_uri"] == "http://example.com/a"
+
+
+def test_warc_truncated_trailing_record_dropped(spark, tmp_path):
+    from conte_to_fresco_etl_spark.sources.warc import (
+        parse_warc_records,
+    )
+
+    raw, _ = _warc_bytes()
+    recs = list(parse_warc_records(raw[: len(raw) - 40]))
+    assert len(recs) == 1  # second record truncated -> dropped cleanly
+    assert recs[0]["headers"]["warc-type"] == "response"

@@ -1167,9 +1167,108 @@ def normalize_text(
                 {id_col: ids, "norm_text": out, "changed": chg}
             )
 
+    id_type = dict(df.dtypes)[id_col]
     return ensure_min_parallelism(
         df.select(id_col, text_col), DENSE_BYTES_PER_TASK
     ).mapInPandas(
         norm_batches,
-        schema=f"{id_col} long, norm_text string, changed boolean",
+        schema=f"{id_col} {id_type}, norm_text string, changed boolean",
+    )
+
+
+def _strip_html(html_text: str) -> tuple[str, str]:
+    """(title, visible text) from an HTML document — stdlib
+    ``html.parser``: script/style/template/noscript subtrees dropped,
+    entities decoded, block elements become newlines so downstream
+    line-level operators see document structure."""
+    from html.parser import HTMLParser
+
+    block = {
+        "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+        "h6", "table", "section", "article", "header", "footer",
+        "blockquote", "pre", "ul", "ol",
+    }
+    skip = {"script", "style", "template", "noscript"}
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.title: list[str] = []
+            self.depth = 0
+            self.in_title = False
+
+        def handle_starttag(self, tag, attrs):
+            if tag in skip:
+                self.depth += 1
+            elif tag == "title":
+                self.in_title = True
+            elif tag in block:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in skip and self.depth:
+                self.depth -= 1
+            elif tag == "title":
+                self.in_title = False
+            elif tag in block:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if self.depth:
+                return
+            if self.in_title:
+                self.title.append(data)
+            else:
+                self.parts.append(data)
+
+    p = _X()
+    p.feed(html_text)
+    p.close()
+    text = "".join(p.parts)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{2,}", "\n", text).strip("\n ")
+    return "".join(p.title).strip(), text
+
+
+def extract_html_text(
+    df: DataFrame,
+    id_col: str = "target_uri",
+    html_col: str = "text",
+) -> DataFrame:
+    """HTML → visible text, the step between a WARC scan and the
+    documents table: script/style subtrees dropped, entities decoded,
+    block boundaries kept as newlines (so ``remove_boilerplate_lines``
+    sees real lines), page title surfaced as its own column.
+
+    Output: (id, title, text, n_chars).  Map-side Arrow pass, no
+    shuffle; a full readability-style extraction (main-content
+    scoring) is the documented plug-point above this baseline."""
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                id_col: [], "title": [], "text": [], "n_chars": []
+            }
+            for i, htm in zip(pdf[id_col], pdf[html_col]):
+                if htm is None:
+                    continue
+                title, text = _strip_html(htm)
+                out[id_col].append(i)
+                out["title"].append(title)
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    return ensure_min_parallelism(
+        df.select(id_col, html_col), DENSE_BYTES_PER_TASK
+    ).mapInPandas(
+        batches,
+        schema=f"{id_col} {id_type}, title string, text string, n_chars long",
     )

@@ -607,3 +607,71 @@ def test_normalize_text_nfc_and_cleanup(spark):
     assert out[2]["changed"] is False
     assert out[3]["norm_text"] == "bell null us del"
     assert out[4]["norm_text"] == "padded" and out[4]["changed"] is True
+
+
+def test_extract_html_text(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        extract_html_text,
+    )
+
+    html = (
+        "<html><head><title>My Page</title>"
+        "<style>body { color: red; }</style>"
+        "<script>var tracking = 1;</script></head>"
+        "<body><h1>Header</h1><p>First &amp; second.</p>"
+        "<div>Item <b>bold</b> text</div>"
+        "<noscript>enable js</noscript></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, html), (2, "plain words no markup"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_html_text(
+            docs, id_col="doc_id", html_col="text"
+        ).collect()
+    }
+    assert 3 not in out
+    assert out[1]["title"] == "My Page"
+    assert out[1]["text"] == "Header\nFirst & second.\nItem bold text"
+    assert "tracking" not in out[1]["text"]
+    assert "color" not in out[1]["text"]
+    assert out[2]["text"] == "plain words no markup"
+
+
+def test_warc_to_corpus_composition(spark, tmp_path):
+    """The full crawl path: WARC scan -> HTTP strip -> HTML extract ->
+    unicode normalize — each stage's output feeds the next's contract."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        extract_html_text,
+        normalize_text,
+    )
+    from conte_to_fresco_etl_spark.sources.warc import warc_documents
+
+    body = (
+        b"<html><title>T</title><body><p>Hello&nbsp;&amp; "
+        b"welcome</p><script>x</script></body></html>"
+    )
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.com/x\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http + b"\r\n\r\n"
+    )
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "seg.warc").write_bytes(rec)
+    docs = warc_documents(spark, str(tmp_path / "w"))
+    extracted = extract_html_text(docs)
+    normed = normalize_text(
+        extracted, id_col="target_uri", text_col="text"
+    )
+    rows = normed.collect()
+    assert len(rows) == 1
+    assert rows[0]["target_uri"] == "http://example.com/x"
+    # &nbsp; is U+00A0 — NOT collapsible ASCII whitespace, kept verbatim
+    assert rows[0]["norm_text"] == "Hello\xa0& welcome"

@@ -68,6 +68,7 @@ PRIORITY: list[str] = [
     "q_compression_ratio",
     "q_dataset_card",
     "q_normalize_text",
+    "q_url_normalize",
     "q_ivfpq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",

@@ -112,6 +112,7 @@ HEADLINE = [
     "q_compression_ratio",
     "q_dataset_card",
     "q_normalize_text",
+    "q_url_normalize",
 ]
 
 

@@ -1979,6 +1979,110 @@ def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_SQL = r"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/'
+                           || CAST(doc_id AS VARCHAR)
+                           || '/?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
+                           || '#top'
+               WHEN 1 THEN 'http://' || source || '.example.com:80/p/'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'https://' || source || '.example.com/a//'
+               ELSE 'https://' || source || '.example.com/p?a=1&gclid=z&b=2'
+             END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest0
+      FROM src
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(rest0, '#.*$', ''),
+                   '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                 '[?&]$', ''),
+               '/+(\?|$)', '\1') AS rest
+      FROM parts
+    )
+    SELECT doc_id, url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                 ':[0-9]+$', ''),
+               '^www\.', ''),
+             '^$', '') AS host,
+           scheme || '://' || host || rest AS norm_url
+    FROM norm
+"""
+
+@_q("q_url_normalize", _URL_SQL)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization gated cross-engine: four families of messy
+    URL (uppercase scheme/host + default port + tracking param +
+    fragment; explicit :80; trailing slashes; mid-query tracking
+    param) are synthesized identically in both engines and pushed
+    through the codegen normalizer — the cheapest crawl-dedup tier."""
+    from conte_to_fresco_etl_spark.functions.url import (
+        url_host,
+        url_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/"), d, F.lit("/?utm_source=x&q="),
+                d, F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com:80/p/"), d,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/a//")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/p?a=1&gclid=z&b=2"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        url_host(url).alias("host"),
+        url_normalize(url).alias("norm_url"),
+    )
+
+
 _NORMALIZE_SQL = r"""
     WITH src AS (
       SELECT doc_id,

@@ -268,3 +268,36 @@ def test_normalize_ntz_is_session_independent(spark, tmp_path):
         ), "normalize_ntz mutated the caller's session timezone"
     finally:
         spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_url_host_and_normalize_cases(spark):
+    from conte_to_fresco_etl_spark.functions.url import (
+        url_host,
+        url_normalize,
+    )
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&q=1#f",
+         "example.com", "https://www.example.com/Path/Sub?q=1"),
+        (2, "http://example.com:80/", "example.com", "http://example.com"),
+        (3, "http://example.com:8080/x", "example.com",
+         "http://example.com:8080/x"),  # non-default port KEPT in norm
+        (4, "https://a.b.c/path//", "a.b.c", "https://a.b.c/path"),
+        (5, "https://site.org/p?a=1&gclid=zz&b=2", "site.org",
+         "https://site.org/p?a=1&b=2"),
+        (6, "not a url", None, "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _, _ in cases], "i long, url string"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            url_host("url").alias("h"),
+            url_normalize("url").alias("n"),
+        ).collect()
+    }
+    for i, _, h, n in cases:
+        assert got[i]["h"] == h, i
+        assert got[i]["n"] == n, i

@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "q_dataset_card",
     "q_normalize_text",
     "q_url_normalize",
+    "q_assign_splits",
     "q_ivfpq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",

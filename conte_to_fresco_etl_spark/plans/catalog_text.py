@@ -1979,6 +1979,41 @@ def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cumulative split cutoffs computed in PYTHON float arithmetic and
+#: embedded exactly (repr round-trips), so the oracle compares against
+#: bit-identical doubles — 0.9 + 0.05 is NOT 0.95 in IEEE 754.
+_SPLIT_CUTS = (repr(0.9), repr(0.9 + 0.05))
+
+_SPLITS_SQL = f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                       1, 15) AS BIGINT) AS DOUBLE)
+               / power(16.0, 15) AS bb
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bb < {_SPLIT_CUTS[0]} THEN 'train'
+                WHEN bb < {_SPLIT_CUTS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+@_q("q_assign_splits", _SPLITS_SQL)
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5): hash-bucket
+    each key against cumulative cutoffs — reproducible across engines,
+    partitionings, and corpus growth (adding docs never moves an
+    existing doc's split).  Map-side projection, no shuffle."""
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    return assign_splits(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        key_col="doc_id",
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
 _URL_SQL = r"""
     WITH src AS (
       SELECT doc_id,

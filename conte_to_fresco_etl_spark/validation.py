@@ -405,3 +405,45 @@ def mixture_weights(
         )
         .drop("__s")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a
+    split by the md5-hash of its key against cumulative weight cutoffs
+    — reproducible across runs, partitionings, and engines (the same
+    hash-stable rule as ``stratified_sample``), and stable under
+    corpus growth: adding documents never moves an existing document's
+    split, the property random shuffles lack and leakage audits need.
+
+    Map-side only: one projection, no shuffle, no state."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / float(16**15)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

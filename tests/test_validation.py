@@ -211,3 +211,34 @@ def test_mixture_weights_hand_computed(spark):
         for r in mixture_weights(docs, group_col="source", alpha=1.0).collect()
     }
     assert abs(nat["web"] - 9.0 / 13.0) < 1e-12
+
+
+def test_assign_splits_deterministic_and_proportional(spark):
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = assign_splits(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 1500 < counts["train"] < 1700
+    # partition-invariant: same assignment under any physical layout
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.repartition(13), weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    # growth-stable: restricting the corpus never moves a survivor
+    c = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.filter("doc_id < 500"),
+            weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in c.items())

@@ -1451,6 +1451,33 @@ def incremental_neardup(
     )
 
 
+#: session cache for staged repeated-spans tables (the neardup_decision
+#: convention: one pipeline run per (session, input, params), shared by
+#: every consumer).
+_SPANS_CACHE: dict = {}
+
+
+def repeated_spans_staged(
+    df: DataFrame, cache_key: tuple | None = None, **span_kwargs
+) -> DataFrame:
+    """``repeated_spans`` computed once per session and persisted, so
+    the span table (q_repeated_spans) and its consumers (the
+    duplicated-token-fraction filter signal) share one pipeline run —
+    the ``neardup_decision`` staging convention.  At 100 TB: write the
+    span table to parquet per corpus snapshot instead."""
+    if cache_key is not None:
+        hit = _SPANS_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    # localCheckpoint, not persist: the blocks live in the block
+    # manager (outside the CacheManager), so a catalog.clearCache()
+    # between consumers cannot force a recompute of the staged table.
+    out = repeated_spans(df, **span_kwargs).localCheckpoint(eager=False)
+    if cache_key is not None:
+        _SPANS_CACHE[cache_key] = out
+    return out
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

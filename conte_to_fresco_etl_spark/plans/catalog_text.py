@@ -1876,11 +1876,18 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     every word-8-gram repeats in the corpus — the substring-level dedup
     signal whole-document dedup misses.  Gram-count shuffle +
     gap-and-islands; the k-fold position expansion touches only marked
-    starts."""
-    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
+    starts.  Session-staged: shared with q_dup_token_frac."""
+    return _spans(spark, sf_dir)
 
-    return repeated_spans(
-        _t(spark, sf_dir, "documents"), k=8, min_count=2
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        repeated_spans_staged,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, 8, 2)
+    return repeated_spans_staged(
+        _t(spark, sf_dir, "documents"), cache_key=key, k=8, min_count=2
     )
 
 
@@ -1906,11 +1913,10 @@ def q_dup_token_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc cut threshold in substring-dedup pipelines).  Composition
     is oracled end-to-end, not just the span extraction."""
     from conte_to_fresco_etl_spark.functions.text import token_count
-    from conte_to_fresco_etl_spark.operators.dedup import repeated_spans
 
     docs = _t(spark, sf_dir, "documents")
     per_doc = (
-        repeated_spans(docs, k=8, min_count=2)
+        _spans(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.sum("n_tokens").alias("dup_tokens"))
     )

@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "q_normalize_text",
     "q_url_normalize",
     "q_assign_splits",
+    "q_semantic_dedup",
     "q_ivfpq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",

@@ -114,6 +114,7 @@ HEADLINE = [
     "q_normalize_text",
     "q_url_normalize",
     "q_assign_splits",
+    "q_semantic_dedup",
 ]
 
 

@@ -1027,3 +1027,88 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    cluster embeddings with a coarse quantizer, then WITHIN each
+    cluster drop any item that has a near-neighbor (rounded cosine >=
+    ``threshold``) with a smaller id — keeping one representative per
+    tight semantic neighborhood without ever comparing across
+    clusters.
+
+    Output: (id, cluster, keep).
+
+    Scale shape: assignment is one map-side Arrow pass against
+    broadcast centroids; the near-neighbor probe is a self-join keyed
+    on the CLUSTER (pairwise work is sum of cluster-size squared, the
+    quantity the clustering exists to bound — never corpus squared),
+    with the cosine evaluated JVM-side from the vector expression
+    library.  Skewed clusters are the failure mode: cap cluster size
+    upstream (more centroids) or salt the hot cluster."""
+    from conte_to_fresco_etl_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norms = np.sqrt((cents * cents).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((cents, c_norms))
+
+    def assign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_cents, b_cnorms = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cos = _rounded_cosines(v, v_norms, b_cents, b_cnorms)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": cos.argmax(axis=1).astype(np.int32),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    assigned = ensure_min_parallelism(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
+        assign_batches,
+        schema=f"{id_col} long, cluster int, {vec_col} {vec_type}",
+    )
+    assigned = assigned.persist()
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a.cluster") == F.col(f"b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("__drop").isNull().alias("keep"),
+        )
+    )

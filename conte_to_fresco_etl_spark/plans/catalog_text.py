@@ -976,6 +976,64 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_SQL = f"""
+    WITH {_VEC_CTE},
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS c
+      FROM (
+        SELECT *, substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15) AS h
+        FROM n ORDER BY h, vec_id LIMIT 8
+      )
+    ),
+    cd AS (
+      SELECT n.vec_id, cents.c,
+             ROUND(CASE WHEN n.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(n.e, cents.ce)
+                             / (n.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM n CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.c, n.e, n.nrm
+      FROM assign a JOIN n ON a.vec_id = n.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM av x JOIN av y ON x.c = y.c AND y.vec_id < x.vec_id
+      WHERE ROUND(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+                       ELSE list_dot_product(x.e, y.e) / (x.nrm * y.nrm)
+                  END, 6) >= 0.3
+    )
+    SELECT av.vec_id, CAST(av.c AS BIGINT) AS cluster,
+           d.vec_id IS NULL AS keep
+    FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+"""
+
+@_q("q_semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): coarse-cluster embeddings with the
+    hash-seeded quantizer, then drop items with a smaller-id near-
+    neighbor (cosine >= 0.3) INSIDE their cluster — pairwise work is
+    sum of cluster-size squared, never corpus squared."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        seed_centroids,
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
 @_q("q_ivf_exhaustive", _ANN_SQL)
 def q_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with ``n_probe == n_centroids`` — every inverted list is

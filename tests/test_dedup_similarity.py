@@ -748,3 +748,34 @@ def test_ivfpq_recall_and_candidate_reduction(spark, sf_dir):
     # cluster test above, where structure exists for PQ to preserve.
     recall = len(full_top & got) / len(full_top)
     assert recall >= 0.4, recall
+
+
+def test_semantic_dedup_planted_neighborhoods(spark):
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal clusters; within cluster 0, vectors 0/1/2 are a
+    # tight neighborhood and 3 is distinct; cluster 1 has one tight pair
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0, 0.0]),   # near 0 -> dropped
+        (2, [0.98, 0.1, 0.0, 0.0]),    # near 0/1 -> dropped
+        (3, [0.5, -0.86, 0.0, 0.0]),   # same cluster, not near
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.99, 0.1]),   # near 10 -> dropped
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(corpus, cents, threshold=0.9).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[2]["keep"] is False
+    assert out[3]["keep"] is True          # same cluster, below threshold
+    assert out[10]["keep"] is True and out[11]["keep"] is False
+    assert out[3]["cluster"] == out[0]["cluster"]
+    assert out[10]["cluster"] != out[0]["cluster"]

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "q_url_normalize",
     "q_assign_splits",
     "q_semantic_dedup",
+    "q_quality_classifier",
     "q_ivfpq_topk",
     "q_bpe_merges",
     "q_ivf_trained_topk",

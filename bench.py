@@ -115,6 +115,7 @@ HEADLINE = [
     "q_url_normalize",
     "q_assign_splits",
     "q_semantic_dedup",
+    "q_quality_classifier",
 ]
 
 

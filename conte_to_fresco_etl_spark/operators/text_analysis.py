@@ -1272,3 +1272,49 @@ def extract_html_text(
         batches,
         schema=f"{id_col} {id_type}, title string, text string, n_chars long",
     )
+
+
+#: Fixed logistic-scorer weights over the quality metrics — the shape a
+#: trained fastText/logistic quality model plugs into (coefficients
+#: become data, the plan is identical).  Hand-set to favor alphabetic
+#: prose and penalize repetition.
+CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "dup_line_frac": -4.0,
+    "dup_2gram_frac": -6.0,
+    "mean_word_len": 0.15,
+    "symbol_word_ratio": -2.0,
+    "bullet_line_frac": -1.5,
+    "ellipsis_line_frac": -1.5,
+    "alpha_word_frac": 3.0,
+}
+CLASSIFIER_BIAS: float = -1.0
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    bias: float = CLASSIFIER_BIAS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring: a logistic scorer over the Gopher
+    metric vector — ``score = sigmoid(bias + w . x)`` — with the
+    keep/drop verdict at ``threshold``.  This is the plan shape a
+    TRAINED quality classifier (fastText, logistic regression over the
+    same features) runs at 100 TB: coefficients broadcast as literals,
+    scoring is one map-side codegen projection over the already-
+    computed metric columns; swapping in learned weights changes data,
+    not the plan.
+
+    Output: (id, metrics..., score, keep); score rounded to 6 BEFORE
+    thresholding so the verdict is reproducible cross-engine."""
+    weights = weights or CLASSIFIER_WEIGHTS
+    m = quality_filters(df, id_col, text_col).drop("keep")
+    z = F.lit(float(bias))
+    for colname, w in sorted(weights.items()):
+        z = z + F.lit(float(w)) * F.col(colname)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return m.withColumn("score", score).withColumn(
+        "keep", F.col("score") >= threshold
+    )

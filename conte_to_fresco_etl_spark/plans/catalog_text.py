@@ -1293,6 +1293,42 @@ _QUALITY_FILTERS_SQL = f"""
     FROM m
 """
 
+def _classifier_sql() -> str:
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        CLASSIFIER_BIAS,
+        CLASSIFIER_WEIGHTS,
+    )
+
+    # identical term order AND association as the Spark expression:
+    # bias first, then weights in sorted-key order, left-associated.
+    z = repr(float(CLASSIFIER_BIAS))
+    for colname, w in sorted(CLASSIFIER_WEIGHTS.items()):
+        z = f"({z} + {repr(float(w))} * {colname})"
+    return f"""
+    WITH qf AS ({_QUALITY_FILTERS_SQL})
+    SELECT doc_id, dup_line_frac, dup_2gram_frac, mean_word_len,
+           symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+           alpha_word_frac,
+           ROUND(1.0 / (1.0 + exp(-{z})), 6) AS score,
+           ROUND(1.0 / (1.0 + exp(-{z})), 6) >= 0.5 AS keep
+    FROM qf
+"""
+
+
+@_q("q_quality_classifier", _classifier_sql())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: logistic scorer over the Gopher
+    metric vector — the exact plan shape a TRAINED quality classifier
+    runs (coefficients are data; swapping in learned weights changes
+    nothing structural).  One map-side projection over the metric
+    columns."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 @_q("q_quality_filters", _QUALITY_FILTERS_SQL)
 def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape filters: duplicate-line and

@@ -675,3 +675,31 @@ def test_warc_to_corpus_composition(spark, tmp_path):
     assert rows[0]["target_uri"] == "http://example.com/x"
     # &nbsp; is U+00A0 — NOT collapsible ASCII whitespace, kept verbatim
     assert rows[0]["norm_text"] == "Hello\xa0& welcome"
+
+
+def test_quality_classifier_orders_and_verdicts(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        CLASSIFIER_BIAS,
+        CLASSIFIER_WEIGHTS,
+        quality_classifier,
+    )
+
+    prose = (
+        "the quiet library held rows of well ordered books about "
+        "distributed systems and their careful failure modes"
+    )
+    junk = "### ### ### ### ### ### ### ### ### ### ### ###"
+    docs = spark.createDataFrame(
+        [(1, prose), (2, junk)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["keep"] is True and out[2]["keep"] is False
+    # score is the exact logistic of the metric vector
+    r = out[1]
+    z = CLASSIFIER_BIAS + sum(
+        w * r[c] for c, w in CLASSIFIER_WEIGHTS.items()
+    )
+    assert abs(r["score"] - round(1.0 / (1.0 + math.exp(-z)), 6)) < 1e-9

@@ -380,3 +380,33 @@ def test_decontaminate_bloom_probe_stays_jvm_side(spark, sf_dir, qs):
     assert "BatchEvalPython" not in plan
     assert "getbit" in plan or "bit_get" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_no_corpus_collect(spark, sf_dir, qs):
+    """Assignment streams (MapInPandas over the scan) and the
+    near-neighbor probe self-joins on the cluster key — no corpus rows
+    may materialize driver-side as a LocalRelation."""
+    plan = _physical(qs["q_semantic_dedup"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
+
+
+def test_quality_classifier_single_metric_pass(spark, sf_dir, qs):
+    """Scoring adds NO stage over quality_filters: same Arrow metric
+    pass, the logistic is a projection (no shuffle, no extra Python)."""
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    df = qs["q_quality_classifier"](spark, sf_dir)
+    assert explain_shuffle_count(df) <= 1  # ensure_min_parallelism only
+    plan = _physical(df)
+    assert plan.count("MapInPandas") == 1
+
+
+def test_assign_splits_map_only(spark, sf_dir, qs):
+    from conte_to_fresco_etl_spark.operators.skew import (
+        explain_shuffle_count,
+    )
+
+    assert explain_shuffle_count(qs["q_assign_splits"](spark, sf_dir)) == 0

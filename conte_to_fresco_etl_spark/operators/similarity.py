@@ -1046,16 +1046,15 @@ def semantic_dedup(
     Output: (id, cluster, keep).
 
     Scale shape: assignment is one map-side Arrow pass against
-    broadcast centroids; the near-neighbor probe is a self-join keyed
-    on the CLUSTER (pairwise work is sum of cluster-size squared, the
-    quantity the clustering exists to bound — never corpus squared),
-    with the cosine evaluated JVM-side from the vector expression
-    library.  Skewed clusters are the failure mode: cap cluster size
-    upstream (more centroids) or salt the hot cluster."""
-    from conte_to_fresco_etl_spark.functions.vectors import (
-        cosine_similarity,
-    )
-
+    broadcast centroids; the near-neighbor probe SHUFFLES ONCE on the
+    cluster key and scores each cluster's pairs as one vectorized
+    NumPy matmul inside ``applyInPandas`` (pairwise work is sum of
+    cluster-size squared, the quantity the clustering exists to bound
+    — never corpus squared; an expression-join formulation measured
+    ~25x slower: 3M candidate pairs x 64-dim interpreted array
+    lambdas).  Skewed clusters are the failure mode: one giant cluster
+    is one giant task — cap cluster size upstream (more centroids) or
+    salt the hot cluster."""
     cents = np.asarray(centroids, dtype=np.float64)
     c_norms = np.sqrt((cents * cents).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((cents, c_norms))
@@ -1083,32 +1082,22 @@ def semantic_dedup(
         assign_batches,
         schema=f"{id_col} long, cluster int, {vec_col} {vec_type}",
     )
-    assigned = assigned.persist()
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col(f"a.cluster") == F.col(f"b.cluster"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    def prune_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        v = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        cos = _rounded_cosines(v, norms, v, norms)
+        # drop i if any j with ids[j] < ids[i] and cos[i, j] >= t
+        smaller = ids[None, :] < ids[:, None]
+        keep = ~((cos >= threshold) & smaller).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+                "keep": keep,
+            }
         )
-        .filter(
-            F.round(
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-                6,
-            )
-            >= threshold
-        )
-        .select(F.col(f"a.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("__drop", F.lit(1))
-    )
-    return (
-        assigned.select(id_col, "cluster")
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            F.col("cluster").cast("long").alias("cluster"),
-            F.col("__drop").isNull().alias("keep"),
-        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune_cluster, schema=f"{id_col} long, cluster long, keep boolean"
     )

@@ -406,3 +406,54 @@ def test_decontaminate_bloom_equals_exact_property(spark, token_lists, bits):
         )
     )
     assert bloom == exact
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=64),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
+    """encode_gif/decode_gif are exact inverses for any size (including
+    1x1), palette cardinality, and interlace mode."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, size=(h, w))]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out.astype(np.uint8), img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_solid_roundtrip_property(h, w, r, g, b):
+    """Solid images are DC-only in every block: baseline JPEG must
+    reconstruct them within 1 level at q=95 for ANY size, including
+    non-multiple-of-8 and 1x1."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((h, w, 3), [r, g, b], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out - img).max() <= 1.0

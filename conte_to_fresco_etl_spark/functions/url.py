@@ -46,9 +46,15 @@ def url_normalize(c: Column | str) -> Column:
     ).otherwise(host)
     rest = F.regexp_replace(c, _SCHEME + "[^/?#]+", "")
     rest = F.regexp_replace(rest, "#.*$", "")            # fragment
-    rest = F.regexp_replace(                              # tracking params
-        rest, "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", ""
+    # tracking params: anchored to their SEPARATOR so 'xfbclid=..' or
+    # 'last_utm_x=..' never match mid-name; the separator is consumed
+    # with the param, and if the FIRST surviving param is left behind
+    # an '&', the fix-up below promotes it to '?' (lookbehind would be
+    # cleaner but RE2 — the oracle engine — has none)
+    rest = F.regexp_replace(
+        rest, "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", ""
     )
+    rest = F.regexp_replace(rest, "^([^?]*)&", "$1?")     # promote sep
     rest = F.regexp_replace(rest, "[?&]$", "")            # dangling sep
     rest = F.regexp_replace(rest, "/+(\\?|$)", "$1")      # trailing slash
     return F.when(

@@ -893,6 +893,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tds >> 4, tds & 0x0F)
+            if ns < len(frame[2]):
+                raise ValueError(
+                    "non-interleaved JPEG scans (ns < frame components) "
+                    "not supported by the native codec — wire a codec "
+                    "library via the strict_codec plug-point"
+                )
             h, w, comps = frame
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -957,8 +963,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             out_planes = []
             for cid, hs, vs, _tq in comps:
                 p = planes[cid]
+                # axis 0 is VERTICAL (rows -> v factors), axis 1 is
+                # HORIZONTAL (columns -> h factors)
                 p = np.repeat(
-                    np.repeat(p, hmax // hs, axis=0), vmax // vs, axis=1
+                    np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
                 ) if (hs != hmax or vs != vmax) else p
                 out_planes.append(p[:h, :w])
             img = np.stack(out_planes, axis=-1)
@@ -988,7 +996,8 @@ def encode_jpeg(
     round-trip through.  Fixed-length canonical Huffman tables (4-bit
     DC / 9-bit AC codes, embedded via DHT like any table would be) keep
     the encoder free of transcribed Annex K constants while remaining
-    fully spec-conformant; ``subsample`` emits 4:2:0 chroma."""
+    fully spec-conformant; ``subsample`` emits 4:2:0 chroma (``True``)
+    or asymmetric 4:2:2 (``'422'``)."""
     import struct
 
     arr = np.asarray(arr, dtype=np.float64)
@@ -1009,9 +1018,15 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
         chans = [y, cb, cr]
-        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [
-            (1, 1), (1, 1), (1, 1)
-        ]
+        # subsample: False -> 4:4:4, True/'420' -> 2x2 luma factors,
+        # '422' -> 2x1 (asymmetric — horizontal-only chroma halving)
+        if subsample == "422":
+            yfac = (2, 1)
+        elif subsample:
+            yfac = (2, 2)
+        else:
+            yfac = (1, 1)
+        sampling = [yfac, (1, 1), (1, 1)]
     else:
         chans = [arr[..., 0]]
         sampling = [(1, 1)]

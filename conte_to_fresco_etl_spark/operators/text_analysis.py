@@ -873,9 +873,16 @@ def boilerplate_ngram_stats(
 
     fn = _gram_posting_batches([id_col], text_col, ngram_n)
     schema = f"{id_col} long, __g string"
-    postings = ensure_min_parallelism(
-        df.select(id_col, text_col), DENSE_BYTES_PER_TASK
-    ).mapInPandas(fn, schema=schema)
+    # persist: the Arrow posting pass feeds both the doc-frequency
+    # aggregate and the counted join — without the cache it runs twice
+    # (the decontaminate_bloom two-branch shape).
+    postings = (
+        ensure_min_parallelism(
+            df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        )
+        .mapInPandas(fn, schema=schema)
+        .persist()
+    )
     if min_doc_count is None:
         # Scalar corpus size: a count job, same posture as
         # temperature_sample's dimension-sized collect.
@@ -1154,6 +1161,11 @@ def normalize_text(
             ids, out, chg = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
+                    # one row per input row, like compression_ratio:
+                    # NULL text normalizes to NULL, unchanged
+                    ids.append(i)
+                    out.append(None)
+                    chg.append(False)
                     continue
                 n = unicodedata.normalize("NFC", t)
                 n = re.sub(r"[\x00-\x08\x0B-\x1F\x7F]", " ", n)

@@ -2149,8 +2149,10 @@ _URL_SQL = r"""
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(rest0, '#.*$', ''),
-                   '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                   regexp_replace(
+                     regexp_replace(rest0, '#.*$', ''),
+                     '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+                   '^([^?]*)&', '\1?'),
                  '[?&]$', ''),
                '/+(\?|$)', '\1') AS rest
       FROM parts

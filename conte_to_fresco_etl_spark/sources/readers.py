@@ -154,9 +154,7 @@ def read_jsonl(
         from pyspark.sql.types import StringType, StructType
 
         if isinstance(schema, str):
-            from pyspark.sql.types import _parse_datatype_string
-
-            schema = _parse_datatype_string(schema)
+            schema = StructType.fromDDL(schema)
         # PERMISSIVE capture requires the corrupt column in the schema.
         if isinstance(schema, StructType) and corrupt_col not in schema.names:
             schema = schema.add(corrupt_col, StringType())

@@ -301,3 +301,28 @@ def test_url_host_and_normalize_cases(spark):
     for i, _, h, n in cases:
         assert got[i]["h"] == h, i
         assert got[i]["n"] == n, i
+
+
+def test_url_normalize_anchored_tracking_params(spark):
+    """Tracking-param removal must be separator-anchored: lookalike
+    names survive, and consecutive/leading tracking params are removed
+    with their separators repaired."""
+    from conte_to_fresco_etl_spark.functions.url import url_normalize
+
+    cases = [
+        (1, "https://a.com/p?xfbclid=1", "https://a.com/p?xfbclid=1"),
+        (2, "https://a.com/p?last_utm_source=x&q=1",
+         "https://a.com/p?last_utm_source=x&q=1"),
+        (3, "https://a.com/p?utm_a=1&utm_b=2&q=3", "https://a.com/p?q=3"),
+        (4, "https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+        (5, "https://a.com/p?a=1&fbclid=x&b=2", "https://a.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", url_normalize("url").alias("n")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, i

@@ -583,3 +583,46 @@ def test_jpeg_dispatch_through_decode_stats(spark):
     row = decode_stats(df, codec=numpy_codec).collect()[0]
     assert row["n_values"] == 8 * 8 * 3
     assert abs(row["mean"] - 128.0) < 1.0
+
+
+def test_jpeg_asymmetric_422_subsampling():
+    """4:2:2 (horizontal-only chroma halving) exercises the asymmetric
+    upsampling path: rows repeat by the VERTICAL factor, columns by the
+    HORIZONTAL one — a factor-axis swap breaks the plane shapes."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    grad = np.stack(
+        [yy * 5 % 256, xx * 4 % 256, (yy + xx) * 3 % 256], -1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95, subsample="422"))
+    assert out.shape == (24, 40, 3)
+    assert np.abs(out - grad).mean() < 3.0
+
+
+def test_jpeg_non_interleaved_scan_raises():
+    import struct
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import decode_jpeg
+
+    # minimal SOF0 3-component frame followed by a 1-component scan
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dqt = bytes([0]) + bytes([16] * 64)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(payload)

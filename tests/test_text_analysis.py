@@ -600,7 +600,7 @@ def test_normalize_text_nfc_and_cleanup(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
-    assert 5 not in out
+    assert out[5]["norm_text"] is None and out[5]["changed"] is False
     assert out[1]["norm_text"] == "Café du monde"   # composed é
     assert out[1]["changed"] is True
     assert out[2]["norm_text"] == "clean already"

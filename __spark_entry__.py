@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",
+    "q_soft_quality_sample",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",

@@ -116,6 +116,7 @@ HEADLINE = [
     "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",
+    "q_soft_quality_sample",
 ]
 
 

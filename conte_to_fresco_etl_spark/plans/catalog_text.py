@@ -1329,6 +1329,34 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def _soft_sample_sql() -> str:
+    return f"""
+    WITH qc AS ({_classifier_sql()})
+    SELECT doc_id, score FROM qc
+    WHERE CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) AS DOUBLE) / power(16.0, 15) < score
+"""
+
+
+@_q("q_soft_quality_sample", _soft_sample_sql())
+def q_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering end-to-end: classifier score becomes the
+    keep PROBABILITY via a hash-stable unit uniform — the smooth
+    quality-weighted sampling shape, composed and oracled through both
+    stages."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+    from conte_to_fresco_etl_spark.validation import (
+        score_proportional_sample,
+    )
+
+    scored = quality_classifier(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "score"
+    )
+    return score_proportional_sample(scored, "score", key_col="doc_id")
+
+
 @_q("q_quality_filters", _QUALITY_FILTERS_SQL)
 def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape filters: duplicate-line and

@@ -447,3 +447,34 @@ def assign_splits(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def score_proportional_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability equal to
+    its score (0..1) — the smooth alternative to a hard threshold
+    (low-quality docs survive occasionally, high-quality ones almost
+    always; the shape quality-weighted corpus sampling uses).  The
+    draw is the hash-stable unit uniform ``md5(seed:key) / 16^15``, so
+    membership is a pure function of (seed, key, score): reproducible
+    across runs, partitionings, and engines, and re-running over an
+    appended corpus never flips an existing row's fate unless its
+    score changed.
+
+    Map-side predicate, no shuffle."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double") / float(16**15)
+    return df.filter(u < F.col(score_col))

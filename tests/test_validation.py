@@ -242,3 +242,29 @@ def test_assign_splits_deterministic_and_proportional(spark):
         ).collect()
     }
     assert all(a[k] == v for k, v in c.items())
+
+
+def test_score_proportional_sample(spark):
+    from conte_to_fresco_etl_spark.validation import (
+        score_proportional_sample,
+    )
+
+    rows = (
+        [(i, 0.0) for i in range(0, 500)]
+        + [(i, 1.0) for i in range(500, 1000)]
+        + [(i, 0.5) for i in range(1000, 3000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = score_proportional_sample(df, "score").collect()
+    by_band = {0: 0, 1: 0, 2: 0}
+    for r in kept:
+        by_band[0 if r["doc_id"] < 500 else (1 if r["doc_id"] < 1000 else 2)] += 1
+    assert by_band[0] == 0          # score 0 never survives
+    assert by_band[1] == 500       # score 1 always survives
+    assert 850 < by_band[2] < 1150  # ~half of 2000
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]
+        for r in score_proportional_sample(df.repartition(7), "score").collect()
+    }
+    assert again == {r["doc_id"] for r in kept}

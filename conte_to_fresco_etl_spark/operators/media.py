@@ -97,64 +97,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG to an (h, w, channels) float32 array of raw sample
-    values — pure Python + stdlib ``zlib``, the same no-external-
-    dependency posture as the PPM parser.  Supports bit depth 8/16,
-    color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB),
-    4 (gray+alpha), 6 (RGBA), all five scanline filters, ancillary
-    chunks skipped.  Adam7 interlace raises (nothing writes it by
-    default; the plug-point error names it).
 
-    Filter inversion: Sub is a per-byte-lane cumulative sum (vectorized
-    — mod-256 addition is associative, so cumsum %% 256 equals the
-    sequential recurrence), Up is one vector add against the prior row;
-    Average/Paeth carry a true per-byte recurrence and run as Python
-    loops over the row — correctness first, and scan cost at scale is
-    bounded by the Arrow batch size like every codec here."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    import struct
-    import zlib
-
-    ihdr: bytes | None = None
-    plte: bytes | None = None
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(payload):
-        ln = int.from_bytes(payload[i : i + 4], "big")
-        typ = payload[i + 4 : i + 8]
-        body = payload[i + 8 : i + 8 + ln]
-        if typ == b"IHDR":
-            ihdr = body
-        elif typ == b"PLTE":
-            plte = body
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-        i += 12 + ln  # length + type + body + crc
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    w, h = struct.unpack(">II", ihdr[:8])
-    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if interlace:
-        raise ValueError("Adam7-interlaced PNG not supported")
-    try:
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    except KeyError:
-        raise ValueError(f"unknown PNG color type {ctype}") from None
-    if depth not in (8, 16) or (ctype == 3 and depth != 8):
-        raise ValueError(f"unsupported bit depth {depth} for type {ctype}")
-    raw = zlib.decompress(bytes(idat))
-    bypp = channels * (depth // 8)
-    stride = w * bypp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
+def _png_unfilter(
+    raw: bytes, pos: int, h: int, stride: int, bypp: int
+) -> tuple[np.ndarray, int]:
+    """Invert PNG scanline filters for one image (or one Adam7 pass):
+    ``h`` rows of ``1 + stride`` bytes starting at ``pos``.  Returns
+    (rows as (h, stride) uint8, position after the last row)."""
     recon = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         pos += 1
@@ -189,6 +146,81 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f}")
         prior = cur
         recon[y] = cur.astype(np.uint8)
+    return recon, pos
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, channels) float32 array of raw sample
+    values — pure Python + stdlib ``zlib``, the same no-external-
+    dependency posture as the PPM parser.  Supports bit depth 8/16,
+    color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, Adam7
+    interlace (per-pass unfilter + scatter), ancillary chunks skipped.
+
+    Filter inversion: Sub is a per-byte-lane cumulative sum (vectorized
+    — mod-256 addition is associative, so cumsum %% 256 equals the
+    sequential recurrence), Up is one vector add against the prior row;
+    Average/Paeth carry a true per-byte recurrence and run as Python
+    loops over the row — correctness first, and scan cost at scale is
+    bounded by the Arrow batch size like every codec here."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    import struct
+    import zlib
+
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    try:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise ValueError(f"unknown PNG color type {ctype}") from None
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"unsupported bit depth {depth} for type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    bypp = channels * (depth // 8)
+    stride = w * bypp
+    if interlace:
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            pr, pos = _png_unfilter(raw, pos, ph, pw * bypp, bypp)
+            # scatter pass pixels into the full-resolution grid
+            samples = pr.reshape(ph, pw, bypp)
+            rows = np.arange(y0, h, ys)[:ph]
+            cols = np.arange(x0, w, xs)[:pw]
+            full = recon.reshape(h, w, bypp)
+            full[np.ix_(rows, cols)] = samples
+        if pos != len(raw):
+            raise ValueError("IDAT length does not match Adam7 passes")
+    else:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        recon, _ = _png_unfilter(raw, 0, h, stride, bypp)
     if depth == 16:
         pairs = recon.reshape(h, w, channels, 2).astype(np.uint16)
         vals = pairs[..., 0] * 256 + pairs[..., 1]  # big-endian samples
@@ -210,32 +242,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     return vals.astype(np.float32)
 
 
-def encode_png(
-    arr: np.ndarray, bit_depth: int = 8, filter_type: int = 0
-) -> bytes:
-    """Encode an (h, w) or (h, w, channels) uint array as a
-    spec-conformant PNG (stdlib ``zlib`` for compression + chunk CRCs)
-    — the re-encode half ``resize_images`` points at, and the fixture
-    generator the decoder tests round-trip through.  ``filter_type``
-    applies one forward filter to every scanline (0-4), which gives the
-    tests independent coverage of each inverse filter."""
-    import struct
-    import zlib
-
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, channels = arr.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    if bit_depth == 16:
-        samples = arr.astype(">u2").tobytes()
-    else:
-        samples = arr.astype(np.uint8).tobytes()
-    bypp = channels * (bit_depth // 8)
-    stride = w * bypp
-    rows = np.frombuffer(samples, dtype=np.uint8).reshape(h, stride)
+def _png_filter_rows(
+    rows: np.ndarray, bypp: int, filter_type: int
+) -> bytearray:
+    """Apply one forward scanline filter to every row of one image (or
+    one Adam7 pass); returns the serialized ``1 + stride`` byte rows."""
     out = bytearray()
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
+    prior = np.zeros(rows.shape[1], dtype=np.int64)
+    for y in range(rows.shape[0]):
         cur = rows[y].astype(np.int64)
         if filter_type == 0:
             filt = cur
@@ -265,6 +279,48 @@ def encode_png(
         out.append(filter_type)
         out += filt.astype(np.uint8).tobytes()
         prior = cur
+    return out
+
+
+def encode_png(
+    arr: np.ndarray,
+    bit_depth: int = 8,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an (h, w) or (h, w, channels) uint array as a
+    spec-conformant PNG (stdlib ``zlib`` for compression + chunk CRCs)
+    — the re-encode half ``resize_images`` points at, and the fixture
+    generator the decoder tests round-trip through.  ``filter_type``
+    applies one forward filter to every scanline (0-4), which gives the
+    tests independent coverage of each inverse filter; ``interlace``
+    writes Adam7 (per-pass filtering)."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if bit_depth == 16:
+        samples = arr.astype(">u2").tobytes()
+    else:
+        samples = arr.astype(np.uint8).tobytes()
+    bypp = channels * (bit_depth // 8)
+    stride = w * bypp
+    rows = np.frombuffer(samples, dtype=np.uint8).reshape(h, stride)
+    if interlace:
+        grid = rows.reshape(h, w, bypp)
+        out = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            out += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), bypp, filter_type
+            )
+    else:
+        out = _png_filter_rows(rows, bypp, filter_type)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -274,7 +330,9 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -283,14 +283,23 @@ def test_decode_png_rejects_interlace_and_garbage():
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
+    # Adam7 is now SUPPORTED: a 1x1 interlaced gray image is pass 1
+    # alone (one filter byte + one sample) and must decode
     interlaced = (
         _PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(interlaced).tolist() == [[[7.0]]]
+    unknown_method = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="interlace"):
-        decode_png(interlaced)
+        decode_png(unknown_method)
 
 
 def test_png_through_decode_stats_distributed(spark):
@@ -626,3 +635,31 @@ def test_jpeg_non_interleaved_scan_raises():
     )
     with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(payload)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 round trips exactly for every filter, bit depth, channel
+    count, and edge sizes where several passes are empty."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (13, 7, 3, 8, 0), (16, 16, 3, 8, 2), (9, 11, 1, 8, 4),
+        (5, 3, 4, 8, 1), (8, 8, 3, 16, 0), (1, 1, 3, 8, 0),
+        (7, 2, 2, 8, 3), (2, 9, 3, 8, 4),
+    ]
+    for h, w, ch, depth, ft in cases:
+        hi = 65536 if depth == 16 else 256
+        img = rng.integers(0, hi, size=(h, w, ch)).astype(
+            np.uint16 if depth == 16 else np.uint8
+        )
+        out = decode_png(
+            encode_png(img, bit_depth=depth, filter_type=ft, interlace=True)
+        )
+        assert out.shape == (h, w, ch)
+        assert np.array_equal(out.astype(img.dtype), img), (h, w, ch, depth, ft)

@@ -457,3 +457,61 @@ def test_jpeg_solid_roundtrip_property(h, w, r, g, b):
     out = decode_jpeg(encode_jpeg(img, quality=95))
     assert out.shape == (h, w, 3)
     assert np.abs(out - img).max() <= 1.0
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~/?&=#%:",
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_URL_CHARS, min_size=1, max_size=24))
+def test_url_normalize_idempotent(spark, tails):
+    """Canonicalization must be a projection: applying it twice equals
+    applying it once, for arbitrary junk paths/queries/fragments —
+    otherwise URL-dedup results depend on how many cleaning passes a
+    pipeline happened to run."""
+    from conte_to_fresco_etl_spark.functions.url import url_normalize
+
+    rows = [
+        (i, f"https://Ex{i % 3}.COM:443/{t}") for i, t in enumerate(tails)
+    ] + [(len(tails), "no scheme at all")]
+    df = spark.createDataFrame(rows, "i long, url string")
+    once = df.select("i", url_normalize("url").alias("n"))
+    twice = once.select("i", url_normalize("n").alias("n"))
+    a = {r["i"]: r["n"] for r in once.collect()}
+    b = {r["i"]: r["n"] for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab \t\n\x07\x00éé",
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_normalize_text_idempotent(spark, texts):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = normalize_text(df)
+    twice = normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    a = {r["doc_id"]: r["norm_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert a == b
+    # and the second pass reports nothing changed
+    assert all(not r["changed"] for r in twice.collect())

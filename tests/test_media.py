@@ -663,3 +663,54 @@ def test_png_adam7_interlace_roundtrip():
         )
         assert out.shape == (h, w, ch)
         assert np.array_equal(out.astype(img.dtype), img), (h, w, ch, depth, ft)
+
+
+def test_audio_spectrogram_peak_bin(spark):
+    """A pure sine's spectral profile must peak at its frequency bin,
+    and the operator routes audio rows only, through the real WAV
+    codec."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        audio_spectrogram,
+        numpy_codec,
+    )
+
+    rate, n_fft = 8000, 256
+    t = np.arange(4096) / rate
+    freq = 1000.0  # -> bin 1000/8000*256 = 32
+    sine = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    wav = _wav_bytes(list(sine), channels=1, rate=rate)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav)),
+            (2, "image", bytearray(b"P6 1 1 255 xxx")),
+        ],
+        "media_id long, modality string, payload binary",
+    )
+    rows = audio_spectrogram(df, codec=numpy_codec, n_fft=n_fft).collect()
+    assert len(rows) == 1  # image row skipped
+    r = rows[0]
+    assert r["n_samples"] == 4096
+    assert r["n_frames"] == 1 + (4096 - 256) // 128
+    spec = np.array(r["spectrum"])
+    assert spec.size == n_fft // 2 + 1
+    assert int(spec.argmax()) == round(freq / rate * n_fft)
+    # spectral mass concentrates at the peak
+    assert spec.max() > 5 * np.median(spec)
+
+
+def test_audio_spectrogram_short_clip_padded(spark):
+    from conte_to_fresco_etl_spark.operators.media import (
+        audio_spectrogram,
+        numpy_codec,
+    )
+
+    wav = _wav_bytes([100, -100, 50], channels=1)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav))],
+        "media_id long, modality string, payload binary",
+    )
+    r = audio_spectrogram(df, codec=numpy_codec, n_fft=64, hop=32).collect()[0]
+    assert r["n_samples"] == 3 and r["n_frames"] == 1
+    assert len(r["spectrum"]) == 33

@@ -170,9 +170,13 @@ def minhash_signatures(
                     hs = np.array(hl, dtype=np.int64)
                     ids.append(i)
                     sigs.append(((a_np * hs + b_np) % prime).min(axis=1))
-                yield pd.DataFrame(
-                    {id_col: ids, "sig": [s.tolist() for s in sigs]}
-                )
+                # a batch where every doc was null/too-short would emit
+                # an empty frame, whose inferred float64 column Arrow
+                # cannot cast to array<long> — skip it
+                if ids:
+                    yield pd.DataFrame(
+                        {id_col: ids, "sig": [s.tolist() for s in sigs]}
+                    )
 
         return ensure_min_parallelism(
             df.select(id_col, text_col), DENSE_BYTES_PER_TASK

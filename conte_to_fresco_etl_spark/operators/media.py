@@ -686,7 +686,10 @@ def extract_features(
                 vec[: min(dim, flat.size)] = flat[:dim]
                 ids.append(mid)
                 vecs.append(vec.tolist())
-            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+            # skip all-null batches: Arrow cannot cast an empty frame's
+            # inferred float64 column to array<float>
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches, schema="media_id long, embedding array<float>"

@@ -779,3 +779,14 @@ def test_semantic_dedup_planted_neighborhoods(spark):
     assert out[10]["keep"] is True and out[11]["keep"] is False
     assert out[3]["cluster"] == out[0]["cluster"]
     assert out[10]["cluster"] != out[0]["cluster"]
+
+
+def test_minhash_signatures_all_short_batch(spark):
+    """A batch where every document is below the shingle length must
+    yield no rows — not crash on an empty Arrow list column."""
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    assert minhash_signatures(docs, shingle_n=5).collect() == []

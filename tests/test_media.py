@@ -714,3 +714,16 @@ def test_audio_spectrogram_short_clip_padded(spark):
     r = audio_spectrogram(df, codec=numpy_codec, n_fft=64, hop=32).collect()[0]
     assert r["n_samples"] == 3 and r["n_frames"] == 1
     assert len(r["spectrum"]) == 33
+
+
+def test_extract_features_all_null_batch(spark):
+    from conte_to_fresco_etl_spark.operators.media import (
+        extract_features,
+        fake_codec,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", None), (2, "image", None)],
+        "media_id long, modality string, payload binary",
+    )
+    assert extract_features(df, codec=fake_codec, dim=8).collect() == []

@@ -208,6 +208,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue
+            if pos + ph * (pw * bypp + 1) > len(raw):
+                # keep the module's corrupt-media ValueError contract
+                raise ValueError("IDAT truncated mid-Adam7-pass")
             pr, pos = _png_unfilter(raw, pos, ph, pw * bypp, bypp)
             # scatter pass pixels into the full-resolution grid
             samples = pr.reshape(ph, pw, bypp)

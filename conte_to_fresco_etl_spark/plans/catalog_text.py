@@ -1335,6 +1335,7 @@ def _soft_sample_sql() -> str:
     SELECT doc_id, score FROM qc
     WHERE CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
                1, 15) AS BIGINT) AS DOUBLE) / power(16.0, 15) < score
+       OR score >= 1.0
 """
 
 

@@ -477,4 +477,7 @@ def score_proportional_sample(
         16,
         10,
     ).cast("double") / float(16**15)
-    return df.filter(u < F.col(score_col))
+    # score >= 1.0 must ALWAYS survive: the top ~64 of 16^15 hash
+    # values round to exactly 1.0 in double precision, where u < score
+    # alone would drop a probability-1 row
+    return df.filter((u < F.col(score_col)) | (F.col(score_col) >= 1.0))

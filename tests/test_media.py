@@ -261,7 +261,7 @@ def test_decode_png_palette():
     assert out[1, 0].tolist() == [0.0, 0.0, 250.0]
 
 
-def test_decode_png_rejects_interlace_and_garbage():
+def test_decode_png_interlace_supported_and_garbage_rejected():
     import struct
     import zlib
 
@@ -727,3 +727,30 @@ def test_extract_features_all_null_batch(spark):
         "media_id long, modality string, payload binary",
     )
     assert extract_features(df, codec=fake_codec, dim=8).collect() == []
+
+
+def test_png_truncated_interlaced_idat_raises_valueerror():
+    import struct
+    import zlib
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    truncated = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07"))  # pass 1 only
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(truncated)

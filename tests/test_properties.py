@@ -515,3 +515,47 @@ def test_normalize_text_idempotent(spark, texts):
     assert a == b
     # and the second pass reports nothing changed
     assert all(not r["changed"] for r in twice.collect())
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.binary(min_size=0, max_size=200),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_warc_parse_roundtrip_property(records, gzip_members):
+    """parse_warc_records inverts a record writer for arbitrary binary
+    payloads (including payloads containing CRLF and fake 'WARC/1.0'
+    text), with and without per-record gzip members."""
+    import gzip as gz
+
+    from conte_to_fresco_etl_spark.sources.warc import (
+        _gunzip_members,
+        parse_warc_records,
+    )
+
+    raw_parts = []
+    for i, (rtype, payload) in enumerate(records):
+        head = (
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {rtype}\r\n".encode()
+            + f"WARC-Record-ID: <urn:uuid:{i}>\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        )
+        raw_parts.append(head + payload + b"\r\n\r\n")
+    raw = b"".join(raw_parts)
+    if gzip_members:
+        raw = b"".join(gz.compress(p) for p in raw_parts)
+        raw = _gunzip_members(raw)
+    got = list(parse_warc_records(raw))
+    assert len(got) == len(records)
+    for i, ((rtype, payload), rec) in enumerate(zip(records, got)):
+        assert rec["headers"]["warc-type"] == rtype
+        assert rec["headers"]["warc-record-id"] == f"<urn:uuid:{i}>"
+        assert rec["payload"] == payload

@@ -113,6 +113,7 @@ HEADLINE = [
     "q_dataset_card",
     "q_normalize_text",
     "q_url_normalize",
+    "q_url_dedup",
     "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",

@@ -2198,6 +2198,30 @@ _URL_SQL = r"""
     FROM norm
 """
 
+_URL_DEDUP_SQL = f"""
+    WITH u AS ({_URL_SQL})
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_url) AS BIGINT) AS n_dups
+    FROM u GROUP BY host
+"""
+
+@_q("q_url_dedup", _URL_DEDUP_SQL)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-dedup tier in action: per host, how many raw URLs
+    collapse under canonicalization — re-crawl duplicates caught
+    before any content ever hashes.  One shuffle on the host."""
+    base = q_url_normalize(spark, sf_dir)
+    return base.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("norm_url").alias("n_distinct"),
+        (F.count("*") - F.count_distinct("norm_url")).cast("long").alias(
+            "n_dups"
+        ),
+    )
+
+
 @_q("q_url_normalize", _URL_SQL)
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization gated cross-engine: four families of messy

@@ -46,17 +46,22 @@ def url_normalize(c: Column | str) -> Column:
     ).otherwise(host)
     rest = F.regexp_replace(c, _SCHEME + "[^/?#]+", "")
     rest = F.regexp_replace(rest, "#.*$", "")            # fragment
-    # tracking params: anchored to their SEPARATOR so 'xfbclid=..' or
-    # 'last_utm_x=..' never match mid-name; the separator is consumed
-    # with the param, and if the FIRST surviving param is left behind
-    # an '&', the fix-up below promotes it to '?' (lookbehind would be
-    # cleaner but RE2 — the oracle engine — has none)
-    rest = F.regexp_replace(
-        rest, "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", ""
+    # Split path/query STRUCTURALLY (textual separator surgery is not
+    # idempotent on junk paths containing '&'), clean each, rebuild.
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")             # trailing slash
+    query = F.regexp_extract(rest, "[?](.*)$", 1)
+    # pad with '&' so EVERY param is separator-prefixed, making one
+    # global pass complete even for consecutive tracking params; the
+    # anchor also keeps 'xfbclid=..'/'last_utm_x=..' from matching
+    # mid-name (RE2 — the oracle engine — has no lookbehind)
+    q = F.concat(F.lit("&"), query)
+    q = F.regexp_replace(q, "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    q = F.regexp_replace(q, "^&+", "")
+    q = F.regexp_replace(q, "&+$", "")
+    rest = F.when(q == "", path).otherwise(
+        F.concat(path, F.lit("?"), q)
     )
-    rest = F.regexp_replace(rest, "^([^?]*)&", "$1?")     # promote sep
-    rest = F.regexp_replace(rest, "[?&]$", "")            # dangling sep
-    rest = F.regexp_replace(rest, "/+(\\?|$)", "$1")      # trailing slash
     return F.when(
         scheme == "", c
     ).otherwise(F.concat(scheme, F.lit("://"), host, rest))

@@ -2168,6 +2168,23 @@ _URL_SQL = r"""
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') AS rest0
       FROM src
     ),
+    defrag AS (
+      SELECT doc_id, url, scheme, hostport,
+             regexp_replace(rest0, '#.*$', '') AS rest1
+      FROM parts
+    ),
+    pq AS (
+      SELECT doc_id, url, scheme, hostport,
+             regexp_replace(regexp_extract(rest1, '^([^?]*)', 1),
+                            '/+$', '') AS path,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace('&' || regexp_extract(rest1, '\?(.*)$', 1),
+                   '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+                 '^&+', ''),
+               '&+$', '') AS q
+      FROM defrag
+    ),
     norm AS (
       SELECT doc_id, url, scheme,
              CASE WHEN scheme = 'http'
@@ -2175,16 +2192,8 @@ _URL_SQL = r"""
                   WHEN scheme = 'https'
                     THEN regexp_replace(hostport, ':443$', '')
                   ELSE hostport END AS host,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(rest0, '#.*$', ''),
-                     '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
-                   '^([^?]*)&', '\1?'),
-                 '[?&]$', ''),
-               '/+(\?|$)', '\1') AS rest
-      FROM parts
+             CASE WHEN q = '' THEN path ELSE path || '?' || q END AS rest
+      FROM pq
     )
     SELECT doc_id, url,
            regexp_replace(

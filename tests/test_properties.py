@@ -466,7 +466,7 @@ _URL_CHARS = st.text(
 )
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(st.lists(_URL_CHARS, min_size=1, max_size=24))
 def test_url_normalize_idempotent(spark, tails):
     """Canonicalization must be a projection: applying it twice equals

@@ -1376,13 +1376,20 @@ def _unzigzag(u):
 _FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
-def encode_flac(samples, rate: int = 8000, block_size: int = 1024) -> bytes:
+def encode_flac(
+    samples,
+    rate: int = 8000,
+    block_size: int = 1024,
+    stereo: str = "independent",
+) -> bytes:
     """Encode 16-bit PCM ((n,) or (n, ch) int array) as a REAL subset
     FLAC stream — genuinely compressing (fixed predictors order 0-2
     chosen per subframe by residual magnitude, Rice-coded residuals;
     ~0.4x on tonal audio), spec-conformant within the subset it emits:
-    independent channels, 16-bit, explicit block sizes, single Rice
-    partition, CRC-8 frame headers and CRC-16 frames."""
+    16-bit, explicit block sizes, single Rice partition, CRC-8 frame
+    headers and CRC-16 frames.  ``stereo='mid-side'`` (2-channel only)
+    applies mid/side decorrelation — correlated channels compress
+    toward half the independent size."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -1402,17 +1409,38 @@ def encode_flac(samples, rate: int = 8000, block_size: int = 1024) -> bytes:
     body = bytes(si.buf) + b"\x00" * 16  # md5 zeros (unchecked)
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
+    decorr_codes = {
+        "left-side": 0b1000, "right-side": 0b1001, "mid-side": 0b1010
+    }
+    if stereo != "independent" and stereo not in decorr_codes:
+        raise ValueError(f"unknown stereo mode {stereo!r}")
+    if stereo in decorr_codes and ch != 2:
+        raise ValueError(f"{stereo} requires exactly 2 channels")
     frame_no = 0
     for start in range(0, n, block_size):
         blk = s[start : start + block_size]
         bs = blk.shape[0]
+        if stereo in decorr_codes:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo == "left-side":
+                enc_chans, widths = [left, side], [16, 17]
+            elif stereo == "right-side":
+                enc_chans, widths = [side, right], [17, 16]
+            else:
+                enc_chans, widths = [(left + right) >> 1, side], [16, 17]
+            ch_code = decorr_codes[stereo]
+        else:
+            enc_chans = [blk[:, c] for c in range(ch)]
+            widths = [16] * ch
+            ch_code = ch - 1
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)          # reserved
         hdr.write(0, 1)          # fixed blocksize stream
         hdr.write(0b0111, 4)     # blocksize: 16-bit value follows
         hdr.write(0b0000, 4)     # sample rate: from STREAMINFO
-        hdr.write(ch - 1, 4)     # independent channels
+        hdr.write(ch_code, 4)    # channel assignment
         hdr.write(0b100, 3)      # 16 bits per sample
         hdr.write(0, 1)          # reserved
         # UTF-8 coded frame number (subset: < 128)
@@ -1425,8 +1453,7 @@ def encode_flac(samples, rate: int = 8000, block_size: int = 1024) -> bytes:
         bw = _BitWriter()
         for b in hbytes:
             bw.write(b, 8)
-        for c in range(ch):
-            x = blk[:, c]
+        for c, x in enumerate(enc_chans):
             # pick fixed order 0-2 by residual magnitude
             best, best_res = 0, None
             best_cost = None
@@ -1444,9 +1471,11 @@ def encode_flac(samples, rate: int = 8000, block_size: int = 1024) -> bytes:
             bw.write(0, 1)
             bw.write(0b001000 | order, 6)
             bw.write(0, 1)
-            # warmup samples: 16-bit signed
+            # warmup samples: signed at the channel's bit width (the
+            # side channel carries one extra bit)
+            cb = widths[c]
             for w in x[:order]:
-                bw.write(int(w) & 0xFFFF, 16)
+                bw.write(int(w) & ((1 << cb) - 1), cb)
             # residual: rice method 0, partition order 0, one parameter
             bw.write(0, 2)   # rice method 0 (4-bit params)
             bw.write(0, 4)   # partition order 0
@@ -1522,9 +1551,13 @@ def decode_flac(payload: bytes) -> np.ndarray:
             raise ValueError(f"blocksize code {bs_code} not supported")
         if sr_code != 0:
             raise ValueError("inline sample-rate codes not supported")
-        if ch_code >= 8:
-            raise ValueError("stereo decorrelation not supported")
-        nch = ch_code + 1
+        if ch_code > 10:
+            raise ValueError(f"channel assignment {ch_code} not supported")
+        # 8 = left/side, 9 = right/side, 10 = mid/side: two channels,
+        # the SIDE channel carries one extra bit
+        decorr = ch_code >= 8
+        nch = 2 if decorr else ch_code + 1
+        side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code)
         if ss_code != 0b100:
             raise ValueError("only 16-bit frames supported")
         fr.align()
@@ -1535,6 +1568,7 @@ def decode_flac(payload: bytes) -> np.ndarray:
         fr.read(8)  # consume crc byte
         chans = []
         for c in range(nch):
+            cbits = 16 + (1 if decorr and c == side_idx else 0)
             if fr.read(1):
                 raise ValueError("bad subframe padding bit")
             stype = fr.read(6)
@@ -1543,7 +1577,7 @@ def decode_flac(payload: bytes) -> np.ndarray:
             if 0b001000 <= stype <= 0b001100:
                 order = stype & 0x07
                 warm = [
-                    _sign16(fr.read(16)) for _ in range(order)
+                    _signn(fr.read(cbits), cbits) for _ in range(order)
                 ]
                 if fr.read(2) != 0:
                     raise ValueError("rice2 not supported")
@@ -1571,10 +1605,25 @@ def decode_flac(payload: bytes) -> np.ndarray:
         ):
             raise ValueError("FLAC frame CRC mismatch")
         i += flen + 2
+        if decorr:
+            a, b = chans
+            if ch_code == 8:      # left/side: R = L - side
+                left, right = a, a - b
+            elif ch_code == 9:    # right/side: L = R + side
+                left, right = b + a, b
+            else:                 # mid/side
+                total_lr = (a << 1) | (b & 1)
+                left = (total_lr + b) >> 1
+                right = (total_lr - b) >> 1
+            chans = [left, right]
         outs.append(np.stack(chans, axis=1))
         got += bs
     all_ = np.concatenate(outs, axis=0)[:total]
     return (all_.astype(np.float32) / np.float32(32768.0))
+
+
+def _signn(v, bits):
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
 
 def _sign16(v):

@@ -817,3 +817,39 @@ def test_flac_through_spectrogram_distributed(spark):
     r = audio_spectrogram(df, codec=numpy_codec, n_fft=n_fft).collect()[0]
     spec = np.array(r["spectrum"])
     assert int(spec.argmax()) == round(freq / rate * n_fft)
+
+
+def test_flac_mid_side_stereo_roundtrip_and_gain():
+    """Mid/side decorrelation reconstructs exactly (including the
+    +/-32768 extremes whose side channel needs the 17th bit) and
+    shrinks the stream when channels are correlated."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_flac,
+        encode_flac,
+    )
+
+    t = np.arange(3000)
+    L = (2000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+    identical = np.stack([L, L], axis=1)
+    ind = encode_flac(identical, block_size=512)
+    ms = encode_flac(identical, block_size=512, stereo="mid-side")
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        out = decode_flac(
+            encode_flac(identical, block_size=512, stereo=mode)
+        )
+        assert np.array_equal(
+            out, identical.astype(np.float32) / np.float32(32768.0)
+        ), mode
+    assert len(ms) < 0.75 * len(ind)  # side channel ~free when L == R
+
+    edge = np.array(
+        [[-32768, 32767], [32767, -32768], [0, 0], [1, -1]] * 100,
+        dtype=np.int16,
+    )
+    for mode in ("left-side", "right-side", "mid-side"):
+        out = decode_flac(encode_flac(edge, block_size=128, stereo=mode))
+        assert np.array_equal(
+            out, edge.astype(np.float32) / np.float32(32768.0)
+        ), mode

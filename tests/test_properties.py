@@ -559,3 +559,38 @@ def test_warc_parse_roundtrip_property(records, gzip_members):
         assert rec["headers"]["warc-type"] == rtype
         assert rec["headers"]["warc-record-id"] == f"<urn:uuid:{i}>"
         assert rec["payload"] == payload
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from(["independent", "left-side", "right-side", "mid-side"]),
+    st.integers(min_value=0, max_value=8),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_flac_roundtrip_property(n, ch, stereo, lpc_order, seed):
+    """encode_flac/decode_flac are exact inverses for arbitrary int16
+    signals across lengths (incl. partial final blocks), channel
+    counts, stereo modes, and predictor configurations."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_flac,
+        encode_flac,
+    )
+
+    if stereo != "independent" and ch != 2:
+        stereo = "independent"
+    rng = np.random.default_rng(seed)
+    # mix of tonal and noisy content exercises both predictor paths
+    t = np.arange(n)
+    base = 5000 * np.sin(2 * np.pi * t / max(3, n // 7))
+    sig = (base[:, None] + rng.normal(0, 300, (n, ch))).clip(
+        -32768, 32767
+    ).astype(np.int16)
+    out = decode_flac(encode_flac(sig, block_size=512, stereo=stereo,
+                                  lpc_order=lpc_order))
+    want = sig.astype(np.float32) / np.float32(32768.0)
+    assert out.shape == (n, ch)
+    assert np.array_equal(out, want), (n, ch, stereo, lpc_order)

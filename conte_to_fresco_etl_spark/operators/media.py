@@ -1327,6 +1327,8 @@ class _BitReader:
         self.bit = pos * 8
 
     def read(self, bits):
+        if self.bit + bits > len(self.data) * 8:
+            raise ValueError("FLAC stream truncated mid-read")
         v = 0
         for _ in range(bits):
             byte = self.data[self.bit >> 3]
@@ -1393,6 +1395,11 @@ def encode_flac(
     headers and CRC-16 frames.  ``stereo='mid-side'`` (2-channel only)
     applies mid/side decorrelation — correlated channels compress
     toward half the independent size."""
+    if lpc_order and not 1 <= lpc_order <= 32:
+        raise ValueError("lpc_order must be 0 (disabled) or 1..32")
+    if not 2 <= lpc_precision <= 15:
+        raise ValueError("lpc_precision must be 2..15 (15 is the max "
+                         "encodable; 16 is the format's escape value)")
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -1446,9 +1453,10 @@ def encode_flac(
         hdr.write(ch_code, 4)    # channel assignment
         hdr.write(0b100, 3)      # 16 bits per sample
         hdr.write(0, 1)          # reserved
-        # UTF-8 coded frame number (subset: < 128)
-        assert frame_no < 128
-        hdr.write(frame_no, 8)
+        # UTF-8-coded frame number (full multi-byte form, so streams
+        # are no longer capped at 128 frames)
+        for b in _utf8_code(frame_no):
+            hdr.write(b, 8)
         hdr.write(bs - 1, 16)
         hdr.align()
         hbytes = bytes(hdr.buf)
@@ -1523,11 +1531,14 @@ def encode_flac(
 
 
 def decode_flac(payload: bytes) -> np.ndarray:
-    """Decode the subset-FLAC streams ``encode_flac`` produces (and any
-    conforming stream within that subset: CONSTANT/VERBATIM streams are
-    out of scope, stereo decorrelation and LPC raise the plug-point
-    ValueError) to (n_samples, n_channels) float32 in [-1, 1) — same
-    output contract as ``decode_wav``.  Both CRCs are VERIFIED."""
+    """Decode subset-FLAC streams — FIXED (order 0-4) and LPC
+    subframes, all three stereo decorrelation modes, multi-byte frame
+    numbers — to (n_samples, n_channels) float32 in [-1, 1), the same
+    output contract as ``decode_wav``.  Out of scope (raises the
+    corrupt/unsupported ValueError): CONSTANT/VERBATIM subframes,
+    Rice2 coding, multiple Rice partitions, non-16-bit depths.  Both
+    CRCs are VERIFIED; truncated payloads raise rather than returning
+    short output."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     i = 4
@@ -1565,9 +1576,7 @@ def decode_flac(payload: bytes) -> np.ndarray:
         ch_code = fr.read(4)
         ss_code = fr.read(3)
         fr.read(1)
-        fno = fr.read(8)
-        if fno >= 0x80:
-            raise ValueError("multi-byte frame numbers not supported")
+        _read_utf8_code(fr)  # frame number (value unused: single stream)
         if bs_code == 0b0110:
             bs = fr.read(8) + 1
         elif bs_code == 0b0111:
@@ -1673,6 +1682,12 @@ def decode_flac(payload: bytes) -> np.ndarray:
             chans = [left, right]
         outs.append(np.stack(chans, axis=1))
         got += bs
+    if got < total:
+        raise ValueError(
+            f"FLAC stream truncated: {got} of {total} samples decoded"
+        )
+    if not outs:
+        return np.zeros((0, ch), dtype=np.float32)
     all_ = np.concatenate(outs, axis=0)[:total]
     return (all_.astype(np.float32) / np.float32(32768.0))
 
@@ -1681,8 +1696,39 @@ def _signn(v, bits):
     return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
 
-def _sign16(v):
-    return v - 65536 if v >= 32768 else v
+def _utf8_code(v: int) -> bytes:
+    """FLAC's UTF-8-style integer coding (frame/sample numbers)."""
+    if v < 0x80:
+        return bytes([v])
+    nbytes = 2
+    while v >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    out = [0] * nbytes
+    for k in range(nbytes - 1, 0, -1):
+        out[k] = 0x80 | (v & 0x3F)
+        v >>= 6
+    out[0] = ((0xFF << (8 - nbytes)) & 0xFF) | v
+    return bytes(out)
+
+
+def _read_utf8_code(fr: "_BitReader") -> int:
+    b0 = fr.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("invalid UTF-8-coded number in FLAC header")
+    v = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        nxt = fr.read(8)
+        if nxt & 0xC0 != 0x80:
+            raise ValueError("invalid UTF-8 continuation in FLAC header")
+        v = (v << 6) | (nxt & 0x3F)
+    return v
 
 
 def _flac_lpc_coeffs(x: np.ndarray, order: int, precision: int):

@@ -880,3 +880,37 @@ def test_flac_lpc_beats_fixed_predictors():
             out[:, 0], multi.astype(np.float32) / np.float32(32768.0)
         )
     assert len(with_lpc) < 0.9 * len(fixed_only)
+
+
+def test_flac_long_stream_truncation_and_edges():
+    """Streams beyond 128 frames round-trip (multi-byte UTF-8 frame
+    numbers); truncated payloads raise the ValueError contract at any
+    cut point; zero-length input round-trips to an empty array; bad
+    LPC parameters are rejected at encode time."""
+    import numpy as np
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_flac,
+        encode_flac,
+    )
+
+    t = np.arange(200 * 64)  # 200 frames at block_size=64
+    sig = (900 * np.sin(2 * np.pi * t / 31)).astype(np.int16)
+    payload = encode_flac(sig, block_size=64)
+    out = decode_flac(payload)
+    assert np.array_equal(
+        out[:, 0], sig.astype(np.float32) / np.float32(32768.0)
+    )
+
+    for cut in (len(payload) - 3, len(payload) // 2, 60):
+        with pytest.raises(ValueError):
+            decode_flac(payload[:cut])
+
+    empty = decode_flac(encode_flac(np.zeros((0,), dtype=np.int16)))
+    assert empty.shape == (0, 1)
+
+    with pytest.raises(ValueError, match="lpc_order"):
+        encode_flac(sig[:100], lpc_order=33)
+    with pytest.raises(ValueError, match="lpc_precision"):
+        encode_flac(sig[:100], lpc_precision=16)

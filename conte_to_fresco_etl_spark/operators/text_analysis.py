@@ -339,11 +339,13 @@ def _quality_metrics_arrow(
                 )
             yield pd.DataFrame(out)
 
+    id_type = dict(df.dtypes)[id_col]
     raw = ensure_min_parallelism(
         df.select(id_col, text_col), DENSE_BYTES_PER_TASK
     ).mapInPandas(
         metric_batches,
-        schema=f"{id_col} long, " + ", ".join(f"{c} double" for c in cols),
+        schema=f"{id_col} {id_type}, "
+        + ", ".join(f"{c} double" for c in cols),
     )
     return raw.select(
         F.col(id_col), *[F.round(F.col(c), 6).alias(c) for c in cols]
@@ -1123,11 +1125,13 @@ def compression_ratio(
                 {id_col: ids, "n_bytes": nb, "n_compressed": nc, "ratio": rat}
             )
 
+    id_type = dict(df.dtypes)[id_col]
     return ensure_min_parallelism(
         df.select(id_col, text_col), DENSE_BYTES_PER_TASK
     ).mapInPandas(
         ratio_batches,
-        schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double",
+        schema=f"{id_col} {id_type}, n_bytes long, n_compressed long, "
+        "ratio double",
     )
 
 

@@ -161,3 +161,47 @@ def test_warc_truncated_trailing_record_dropped(spark, tmp_path):
     recs = list(parse_warc_records(raw[: len(raw) - 40]))
     assert len(recs) == 1  # second record truncated -> dropped cleanly
     assert recs[0]["headers"]["warc-type"] == "response"
+
+
+def test_readme_crawl_pipeline_end_to_end(spark, tmp_path):
+    """The README's crawl-to-corpus composition runs verbatim: WARC ->
+    HTML -> normalize -> exact dedup -> classifier -> soft sample ->
+    splits, with STRING document keys throughout."""
+    from conte_to_fresco_etl_spark.operators.dedup import dedup_exact
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        extract_html_text,
+        normalize_text,
+        quality_classifier,
+    )
+    from conte_to_fresco_etl_spark.sources.warc import warc_documents
+    from conte_to_fresco_etl_spark.validation import (
+        assign_splits,
+        score_proportional_sample,
+    )
+
+    body = (
+        b"<html><title>T</title><body><p>the archive holds many careful "
+        b"documents about reliable distributed processing</p></body></html>"
+    )
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.com/x\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http + b"\r\n\r\n"
+    )
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "seg.warc").write_bytes(rec)
+    docs = warc_documents(spark, str(tmp_path / "w"))
+    docs = extract_html_text(docs)
+    docs = normalize_text(docs, id_col="target_uri")
+    docs = docs.withColumnRenamed("norm_text", "text")
+    docs = dedup_exact(docs)
+    scored = quality_classifier(docs, id_col="target_uri")
+    kept = score_proportional_sample(scored, "score", "target_uri")
+    rows = assign_splits(kept, key_col="target_uri").collect()
+    assert len(rows) == 1
+    assert rows[0]["split"] in ("train", "val", "test")
+    assert rows[0]["score"] > 0.5  # clean prose scores as keepable

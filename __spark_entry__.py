@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from conte_to_fresco_etl_spark.plans import catalog  # noqa: E402
 from conte_to_fresco_etl_spark.plans import catalog_text  # noqa: E402,F401  (registers queries)
+from conte_to_fresco_etl_spark.plans import catalog_tpch  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -87,6 +88,28 @@ PRIORITY: list[str] = [
     "q_doc_components",
     "q_media_decode",
     "q_embedding_neardup",
+    # TPC-H-adapted decision-support suite (new in r4; shape-diverse
+    # queries lead so a truncated window still samples each join/subquery
+    # pattern — the rest rotate into later rounds' windows)
+    "q13_customer_distribution",
+    "q21_sole_returner",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
+    "q11_important_parts",
+    "q4_priority_exists",
+    "q16_supplier_variety",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q20_promotion_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q6_forecast_revenue",
 ]
 
 

@@ -118,6 +118,26 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_quality_classifier",
     "q_soft_quality_sample",
+    # TPC-H-adapted decision-support suite
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_sole_returner",
+    "q22_dormant_customers",
 ]
 
 

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from conte_to_fresco_etl_spark.plans import catalog  # noqa: E402
 from conte_to_fresco_etl_spark.plans import catalog_text  # noqa: E402,F401  (registers queries)
 from conte_to_fresco_etl_spark.plans import catalog_tpch  # noqa: E402,F401  (registers queries)
+from conte_to_fresco_etl_spark.plans import catalog_analytics  # noqa: E402,F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -88,10 +89,18 @@ PRIORITY: list[str] = [
     "q_doc_components",
     "q_media_decode",
     "q_embedding_neardup",
-    # TPC-H-adapted decision-support suite (new in r4; shape-diverse
-    # queries lead so a truncated window still samples each join/subquery
-    # pattern — the rest rotate into later rounds' windows)
+    # The driver's window may stop at 50 queries; the 46 entries above
+    # are must-re-gate (never checked or changed in r4).  The remaining
+    # slots sample one query from each NEW r4 family (time-series
+    # regularization, funnel analytics, retrieval, TPC-H shapes); the
+    # rest of each family rotates into later rounds' windows.
+    "q_gapfill",
+    "q_funnel",
+    "q_bm25_topk",
     "q13_customer_distribution",
+    # --- rotation tail (beyond a 50-query window this round) ---
+    "q_retention",
+    "q_event_gaps",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

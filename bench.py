@@ -118,6 +118,12 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_quality_classifier",
     "q_soft_quality_sample",
+    # event-analytics + retrieval family
+    "q_gapfill",
+    "q_event_gaps",
+    "q_funnel",
+    "q_retention",
+    "q_bm25_topk",
     # TPC-H-adapted decision-support suite
     "q2_min_cost_supplier",
     "q4_priority_exists",

@@ -1334,3 +1334,72 @@ def quality_classifier(
     return m.withColumn("score", score).withColumn(
         "keep", F.col("score") >= threshold
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag-of-terms query.
+
+    Uses the BM25+ style idf ``ln((N - df + 0.5) / (df + 0.5) + 1)``
+    (always positive, so stopword-heavy queries cannot produce negative
+    scores) with the standard tf saturation / length normalization.
+    Per-term contributions are ROUND(x, 6)-pinned then summed as
+    DECIMAL(18,6), so the document score is order-independent and
+    reproducible cross-engine; ranking breaks ties on the id.
+
+    Scale posture: the query-term filter hits the exploded token stream
+    BEFORE the (doc, term) shuffle, so only postings for query terms
+    shuffle — the classic inverted-index probe.  Document length and
+    the (N, avgdl) corpus stats are a second narrow aggregate; df and
+    stats broadcast back (|terms| rows and 1 row); the final rank is a
+    TakeOrdered(k).  Nothing corpus-sized crosses the driver.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    dl = toks.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__n_docs"),
+        F.sum("__dl").alias("__sum_dl"),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / (F.col("__sum_dl") / F.col("__n_docs"))
+    )
+    contrib = F.round(
+        idf * F.col("__tf") * F.lit(float(k1) + 1.0) / denom, 6
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .select(F.col(id_col), contrib.cast("decimal(18,6)").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

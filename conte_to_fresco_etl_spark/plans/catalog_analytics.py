@@ -1,0 +1,242 @@
+"""Event-analytics and retrieval queries: time-series regularization
+(gap fill / gap audit), product-analytics funnels and cohort retention,
+and BM25 keyword retrieval — the consumer-side workloads the produced
+event/document tables serve.
+
+Every oracle mirrors the Spark expression tree operation-for-operation
+(decimal-exact aggregates, ROUND(x, 6) pinning on every derived double
+BEFORE any ranking, deterministic tiebreaks on ids) per the catalog's
+cross-engine rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.plans.catalog import _events, _q, _t
+from conte_to_fresco_etl_spark.plans.catalog_text import _sql_tokens
+
+# ---------------------------------------------------------------------------
+# Time-spine gap fill (hourly LOCF regularization)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS value_observed
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket_hour) AS h0, MAX(bucket_hour) AS h1
+      FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_hour
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket_hour,
+           LAST_VALUE(h.value_observed IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           h.value_observed IS NOT NULL AS is_observed
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.bucket_hour = h.bucket_hour
+"""
+
+
+@_q("q_gapfill", _GAPFILL_SQL)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly LOCF regularization of 8 users' event series: generated
+    per-key spine (map-side sequence explode), decimal-exact hourly
+    means, one spine-observed join, one per-key LOCF window."""
+    from conte_to_fresco_etl_spark.operators.gapfill import fill_time_gaps
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 8)
+    return fill_time_gaps(ev, ts_col="ts", key_col="user_id", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Gap audit (consecutive-event silences over a threshold)
+# ---------------------------------------------------------------------------
+
+_GAPS_SQL = """
+    WITH lagged AS (
+      SELECT user_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+             ts AS gap_end
+      FROM events WHERE user_id < 32
+    )
+    SELECT user_id, gap_start, gap_end,
+           CAST(FLOOR((epoch_us(gap_end) - epoch_us(gap_start))
+                      / 1000000.0) AS BIGINT) AS gap_seconds
+    FROM lagged
+    WHERE gap_start IS NOT NULL
+      AND (epoch_us(gap_end) - epoch_us(gap_start)) / 1000000.0 > 43200.0
+"""
+
+
+@_q("q_event_gaps", _GAPS_SQL)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap audit: >12h silences per user — one per-key window sort, no
+    joins.  Tie-safe: equal timestamps yield the same (prev, cur)
+    multiset under any tie order, so the gate's sorted compare is
+    deterministic without a tiebreak column."""
+    from conte_to_fresco_etl_spark.operators.gapfill import detect_gaps
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 32)
+    return detect_gaps(
+        ev, ts_col="ts", key_col="user_id", min_gap_seconds=43200
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS conv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS conv
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.conv GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS conv
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.conv GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS step, 'view' AS step_name,
+             (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / (SELECT n_users FROM c WHERE step = 1), 6) AS conversion
+    FROM c
+"""
+
+
+@_q("q_funnel", _FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view→click→purchase: per-step MIN
+    aggregates joined on the user key with the after-previous-step
+    predicate inside the join; survivor tables shrink monotonically."""
+    from conte_to_fresco_etl_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        _events(spark, sf_dir), steps=["view", "click", "purchase"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (day grain, offsets 0..7)
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+    WITH days AS (
+      -- DuckDB's date_trunc('day') yields DATE; Spark's yields
+      -- TIMESTAMP — pin the TIMESTAMP shape on both sides
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS sz FROM first GROUP BY 1
+    ),
+    act AS (
+      SELECT f.cohort_day, date_diff('day', f.cohort_day, d.d) AS day_offset,
+             COUNT(*) AS n_active
+      FROM days d JOIN first f ON d.user_id = f.user_id
+      WHERE date_diff('day', f.cohort_day, d.d) BETWEEN 0 AND 7
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_day, CAST(a.day_offset AS BIGINT) AS day_offset,
+           a.n_active,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.sz, 6) AS retention
+    FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+"""
+
+
+@_q("q_retention", _RETENTION_SQL)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention, offsets 0..7: distinct-(user, day)
+    pass, per-user first-day aggregate, one co-partitioned join, one
+    bounded (cohort, offset) count; cohort sizes broadcast back."""
+    from conte_to_fresco_etl_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), max_offset=7)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "hash"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    ne AS (SELECT * FROM base WHERE len(toks) > 0),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ne),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM ne),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM t WHERE term IN ({", ".join("'" + w + "'" for w in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * tf.tf * {_BM25_K1 + 1.0!r}
+               / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                  + {_BM25_B!r} * d.dl / (s.sum_dl / s.n_docs))), 6)
+             AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN dfreq f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@_q("q_bm25_topk", _BM25_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term keyword query: inverted-index probe
+    (query-term filter BEFORE the posting shuffle), broadcast df/corpus
+    stats, ROUND-pinned decimal-summed contributions, TakeOrdered
+    ranking with doc_id tiebreak."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        query_terms=_BM25_TERMS,
+        k=10,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )

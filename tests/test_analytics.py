@@ -1,0 +1,190 @@
+"""Semantics and plan-shape tests for the event-analytics + retrieval
+family (gap fill / gap audit, funnel, retention, BM25)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from conte_to_fresco_etl_spark.operators.funnel import (
+    funnel_conversion,
+    retention_cohorts,
+)
+from conte_to_fresco_etl_spark.operators.gapfill import (
+    detect_gaps,
+    fill_time_gaps,
+)
+from conte_to_fresco_etl_spark.operators.text_analysis import bm25_topk
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_locf_and_spine(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0, 10), 10.0),
+            (1, _ts(0, 50), 20.0),  # same hour -> mean 15
+            (1, _ts(3, 0), 7.0),    # hours 1,2 are gaps
+            (2, _ts(5, 0), 1.0),    # single-point key: 1-row spine
+        ],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    out = {
+        (r["user_id"], r["bucket_hour"].hour): (
+            r["value_filled"],
+            r["is_observed"],
+        )
+        for r in fill_time_gaps(ev).collect()
+    }
+    assert out[(1, 0)] == (15.0, True)
+    assert out[(1, 1)] == (15.0, False)  # carried forward
+    assert out[(1, 2)] == (15.0, False)
+    assert out[(1, 3)] == (7.0, True)
+    assert out[(2, 5)] == (1.0, True)
+    assert len(out) == 5  # spine covers exactly [min, max] per key
+
+
+def test_gapfill_first_bucket_never_null(spark, sf_dir, qs):
+    nulls = (
+        qs["q_gapfill"](spark, sf_dir)
+        .filter(F.col("value_filled").isNull())
+        .count()
+    )
+    assert nulls == 0
+
+
+def test_detect_gaps_threshold_strict(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0)),
+            (1, _ts(1)),   # exactly 3600s -> NOT a gap (strict >)
+            (1, _ts(3)),   # 7200s -> gap
+        ],
+        "user_id INT, ts TIMESTAMP",
+    ).withColumn("value", F.lit(0.0))
+    rows = detect_gaps(ev, min_gap_seconds=3600).collect()
+    assert len(rows) == 1
+    assert rows[0]["gap_seconds"] == 7200
+    assert rows[0]["gap_start"] == _ts(1) and rows[0]["gap_end"] == _ts(3)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_enforces_step_order(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 converts fully in order
+            (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+            # u2 clicked BEFORE viewing -> stops at step 1
+            (2, "click", _ts(1)), (2, "view", _ts(2)),
+            # u3 same-timestamp click counts (>= semantics)
+            (3, "view", _ts(4)), (3, "click", _ts(4)),
+            # u4 never viewed -> not even step 1
+            (4, "purchase", _ts(1)),
+        ],
+        "user_id INT, event_type STRING, ts TIMESTAMP",
+    )
+    out = {
+        r["step_name"]: (r["n_users"], r["conversion"])
+        for r in funnel_conversion(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"] == (3, 1.0)
+    assert out["click"] == (2, round(2 / 3, 6))
+    assert out["purchase"] == (1, round(1 / 3, 6))
+
+
+def test_funnel_conversion_monotone_on_testdata(spark, sf_dir, qs):
+    rows = sorted(
+        qs["q_funnel"](spark, sf_dir).collect(), key=lambda r: r["step"]
+    )
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # survivors shrink monotonically
+    assert rows[0]["conversion"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# retention
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohort_semantics(spark):
+    d0, d1, d2 = (dt.datetime(2024, 1, i + 1, 12) for i in range(3))
+    ev = spark.createDataFrame(
+        [
+            (1, d0), (1, d2),          # cohort day0, back at offset 2
+            (2, d0), (2, d1), (2, d2), # cohort day0, offsets 0,1,2
+            (3, d1),                   # cohort day1, offset 0 only
+        ],
+        "user_id INT, ts TIMESTAMP",
+    ).withColumn("value", F.lit(0.0))
+    out = {
+        (r["cohort_day"].day, r["day_offset"]): (r["n_active"], r["retention"])
+        for r in retention_cohorts(ev, max_offset=7).collect()
+    }
+    assert out[(1, 0)] == (2, 1.0)
+    assert out[(1, 1)] == (1, 0.5)
+    assert out[(1, 2)] == (2, 1.0)
+    assert out[(2, 0)] == (1, 1.0)
+    assert (2, 1) not in out  # no activity -> no row (sparse form)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_prefers_term_rich_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark filler filler filler filler filler filler filler"),
+            (3, "filler filler"),
+            (4, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1          # highest tf, shortest doc
+    assert set(ids) == {1, 2}   # docs without the term never appear
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+
+
+def test_bm25_plan_is_distributed_topk(spark, sf_dir, qs):
+    df = qs["q_bm25_topk"](spark, sf_dir)
+    plan = _physical(df)
+    assert "TakeOrderedAndProject" in plan   # never a full sort
+    assert "CartesianProduct" not in plan
+    # the 1-row corpus stats and the |terms|-row df table broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_analytics_queries_have_oracles():
+    oracles = entrymod.oracle_sql()
+    for n in ("q_gapfill", "q_event_gaps", "q_funnel", "q_retention",
+              "q_bm25_topk"):
+        assert n in oracles

@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     # --- rotation tail (beyond a 50-query window this round) ---
     "q_retention",
     "q_event_gaps",
+    "q_scd2_intervals",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

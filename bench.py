@@ -124,6 +124,7 @@ HEADLINE = [
     "q_funnel",
     "q_retention",
     "q_bm25_topk",
+    "q_scd2_intervals",
     # TPC-H-adapted decision-support suite
     "q2_min_cost_supplier",
     "q4_priority_exists",

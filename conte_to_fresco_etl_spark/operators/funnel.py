@@ -81,9 +81,11 @@ def funnel_conversion(
             F.col("step").cast("long").alias("step"),
             "step_name",
             F.col("n").alias("n_users"),
-            F.round(F.col("n").cast("double") / F.col("__n1"), 6).alias(
-                "conversion"
-            ),
+            # try_divide: an empty first step (n1 = 0) yields NULL
+            # conversion, not an ANSI divide-by-zero error
+            F.round(
+                F.try_divide(F.col("n").cast("double"), F.col("__n1")), 6
+            ).alias("conversion"),
         )
     )
 

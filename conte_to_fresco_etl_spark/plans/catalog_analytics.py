@@ -183,6 +183,50 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 interval building (dimension versioning)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id < 64
+    ),
+    marked AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type,
+             (LAG(ts) OVER w IS NULL
+              OR event_type IS DISTINCT FROM LAG(event_type) OVER w)
+               AS opens
+      FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    points AS (
+      SELECT user_id, valid_from, event_id, event_type
+      FROM marked WHERE opens
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM points
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
+@_q("q_scd2_intervals", _SCD2_SQL)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: collapse each user's event-type
+    stream into half-open validity intervals.  Two window passes over
+    one key-partitioned sort (shared Exchange + Sort); output size =
+    number of state changes.  The as-of join (q_asof_join) is the
+    point-in-time probe of this table."""
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 64)
+    return scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword retrieval
 # ---------------------------------------------------------------------------
 

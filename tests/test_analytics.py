@@ -188,3 +188,82 @@ def test_analytics_queries_have_oracles():
     for n in ("q_gapfill", "q_event_gaps", "q_funnel", "q_retention",
               "q_bm25_topk"):
         assert n in oracles
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_runs_and_tiles(spark):
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a"),
+            (1, _ts(1), 2, "a"),   # same state -> extends interval
+            (1, _ts(2), 3, "b"),   # change
+            (1, _ts(3), 4, "b"),
+            (1, _ts(4), 5, "a"),   # back to a -> NEW interval (type 2)
+            (2, _ts(0), 6, None),  # NULL state opens an interval too
+            (2, _ts(1), 7, "x"),
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    rows = sorted(
+        scd2_intervals(ev).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [(r["event_type"], r["valid_from"].hour) for r in u1] == [
+        ("a", 0), ("b", 2), ("a", 4)
+    ]
+    # half-open tiling: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert u1[-1]["valid_to"] is None and u1[-1]["is_current"]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert [r["event_type"] for r in u2] == [None, "x"]
+
+
+def test_scd2_point_in_time_matches_last_event(spark, sf_dir, qs):
+    """The interval containing a probe instant must carry the state of
+    the last event at-or-before it — the as-of contract."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 16)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    probe = dt.datetime(2024, 1, 15)
+    expected = {
+        r["user_id"]: r["event_type"]
+        for r in ev.filter(F.col("ts") <= F.lit(probe))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+
+    got = {
+        r["user_id"]: r["event_type"]
+        for r in scd2_intervals(ev)
+        .filter(
+            (F.col("valid_from") <= F.lit(probe))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(probe)))
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_scd2_shares_one_sort_exchange(spark, sf_dir, qs):
+    plan = _physical(qs["q_scd2_intervals"](spark, sf_dir))
+    # both window passes key on user_id: one hash exchange only
+    assert plan.count("Exchange hashpartitioning") == 1

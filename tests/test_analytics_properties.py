@@ -1,0 +1,238 @@
+"""Property-based cross-validation of the event-analytics operators
+against independent pure-Python twins.
+
+Each hypothesis example drives a whole operator pipeline (not a scalar
+expression), so example counts are small — the point is adversarial
+SHAPES (ties, single-point keys, empty steps, repeated states), not
+volume.  Float comparisons allow 2e-6 (the half-up vs banker's rounding
+daylight at the ROUND(x, 6) pins); everything structural is exact.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.operators.funnel import funnel_conversion
+from conte_to_fresco_etl_spark.operators.gapfill import fill_time_gaps
+from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+from conte_to_fresco_etl_spark.operators.text_analysis import bm25_topk
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _close(a, b, tol=2e-6):
+    if a is None or b is None:
+        return a is None and b is None
+    return math.isclose(a, b, rel_tol=0, abs_tol=tol)
+
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+gap_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # key
+        st.integers(0, 40),                     # hour offset
+        st.integers(0, 59),                     # minute
+        st.integers(-40, 40).map(lambda q: q / 4.0),  # value, exact in binary
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(gap_events)
+def test_gapfill_matches_python_twin(spark, rows):
+    df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(hours=h, minutes=m), v) for k, h, m, v in rows],
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {
+        (r["user_id"], r["bucket_hour"]): (r["value_filled"], r["is_observed"])
+        for r in fill_time_gaps(df).collect()
+    }
+    # twin: hourly means, [min, max] spine, LOCF
+    buckets: dict[tuple[int, dt.datetime], list[float]] = defaultdict(list)
+    for k, h, m, v in rows:
+        buckets[(k, BASE + dt.timedelta(hours=h))].append(v)
+    want = {}
+    for k in {k for k, _ in buckets}:
+        hours = sorted(h for kk, h in buckets if kk == k)
+        lo, hi = hours[0], hours[-1]
+        last = None
+        h = lo
+        while h <= hi:
+            vs = buckets.get((k, h))
+            if vs is not None:
+                last = round(sum(vs) / len(vs), 6)  # exact: quarter values
+                want[(k, h)] = (last, True)
+            else:
+                want[(k, h)] = (last, False)
+            h += dt.timedelta(hours=1)
+    assert set(got) == set(want)
+    for key in want:
+        assert _close(got[key][0], want[key][0]), (key, got[key], want[key])
+        assert got[key][1] == want[key][1]
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),                       # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(0, 30),                      # ts offset (ties allowed)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(funnel_events)
+def test_funnel_matches_python_twin(spark, rows):
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, t, BASE + dt.timedelta(minutes=o)) for u, t, o in rows],
+        "user_id INT, event_type STRING, ts TIMESTAMP",
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_conversion(df, steps).collect()
+    }
+    # twin: per-user earliest step-k event at-or-after the step-(k-1) time
+    by_user = defaultdict(list)
+    for u, t, o in rows:
+        by_user[u].append((o, t))
+    want = {s: 0 for s in steps}
+    for u, evs in by_user.items():
+        conv = None
+        for s in steps:
+            cand = [
+                o for o, t in evs
+                if t == s and (conv is None or o >= conv)
+            ]
+            if s == steps[0]:
+                cand = [o for o, t in evs if t == s]
+            if not cand:
+                break
+            conv = min(cand)
+            want[s] += 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+scd_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # key
+        st.integers(0, 20),                # ts offset (ties allowed)
+        st.sampled_from(["a", "b", None]),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): event_id mirrors ts
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(scd_events)
+def test_scd2_matches_python_twin(spark, rows):
+    df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=o), o, s) for k, o, s in rows],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    got = sorted(
+        (r["user_id"], r["valid_from"], r["valid_to"], r["event_type"],
+         r["is_current"])
+        for r in scd2_intervals(df).collect()
+    )
+    want = []
+    by_key = defaultdict(list)
+    for k, o, s in rows:
+        by_key[k].append((o, s))
+    for k, evs in by_key.items():
+        evs.sort()
+        opens = []
+        prev = object()
+        for o, s in evs:
+            if s != prev:
+                opens.append((o, s))
+            prev = s
+        for i, (o, s) in enumerate(opens):
+            nxt = opens[i + 1][0] if i + 1 < len(opens) else None
+            want.append(
+                (
+                    k,
+                    BASE + dt.timedelta(minutes=o),
+                    BASE + dt.timedelta(minutes=nxt) if nxt is not None else None,
+                    s,
+                    nxt is None,
+                )
+            )
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["spark", "hash", "window", "x", "y", "z"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy)
+def test_bm25_matches_python_twin(spark, doc_tokens):
+    terms, k1, b = ["spark", "hash"], 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doc_tokens)],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(df, terms, k=len(doc_tokens) + 1, k1=k1, b=b).collect()
+    }
+    ne = [(i, toks) for i, toks in enumerate(doc_tokens) if toks]
+    n_docs = float(len(ne))
+    want = {}
+    if ne:
+        avgdl = sum(len(t) for _, t in ne) / n_docs
+        dfreq = {
+            w: float(sum(1 for _, t in ne if w in t)) for w in terms
+        }
+        for i, toks in ne:
+            score = 0.0
+            for w in terms:
+                tf = float(toks.count(w))
+                if tf == 0:
+                    continue
+                idf = math.log((n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+                score += round(
+                    idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1 - b + b * len(toks) / avgdl)),
+                    6,
+                )
+            if score:
+                want[i] = score
+    assert set(got) == set(want)
+    for i in want:
+        assert _close(got[i], want[i], tol=4e-6), (i, got[i], want[i])

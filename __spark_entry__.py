@@ -102,6 +102,8 @@ PRIORITY: list[str] = [
     "q_retention",
     "q_event_gaps",
     "q_scd2_intervals",
+    "q_event_transitions",
+    "q_pagerank",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

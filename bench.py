@@ -125,6 +125,8 @@ HEADLINE = [
     "q_retention",
     "q_bm25_topk",
     "q_scd2_intervals",
+    "q_event_transitions",
+    "q_pagerank",
     # TPC-H-adapted decision-support suite
     "q2_min_cost_supplier",
     "q4_priority_exists",

@@ -1,0 +1,180 @@
+"""Sequence and graph analytics over event streams.
+
+``event_transitions`` builds the first-order Markov transition table of
+an event stream (the edge list + weights of the behavior graph);
+``pagerank`` runs damped PageRank over any weighted edge list — the
+classic link-analysis signal a crawl pipeline computes over its URL
+graph, here exercised on the transition graph the events table induces.
+
+Scale posture:
+- Transitions: one per-key window sort (lag pairs) and one (src, dst)
+  count shuffle; the per-src normalization is a window over the COUNTED
+  table (|src|x|dst| rows — dimension-sized), not the raw stream.
+- PageRank: per iteration, ONE join of the rank vector with the edge
+  list on src and ONE groupBy dst — both shuffle on node keys, which is
+  how Pregel-style systems partition the same computation.  The rank
+  vector is |nodes| rows; at web scale both sides hash-partition on the
+  node id and AQE handles skewed hubs.  Iterations are driver-
+  coordinated like ``similarity.kmeans_step`` / ``dedup.connected_
+  components`` — rounds are fixed (a hyperparameter, not data-driven),
+  so plan depth is bounded without checkpointing.
+
+Cross-engine exactness: rank updates are pinned per iteration —
+contributions ROUND(x, 12) then summed as DECIMAL(28,12) (order-
+independent), the damped update ROUND(x, 12) again — so an unrolled SQL
+oracle reproduces every iterate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table: for every consecutive event
+    pair within a key (ordered by (ts, tiebreak)), count (src, dst) and
+    normalize per src.  Output: ``(src, dst, n_transitions, prob)``
+    with prob = ROUND(n / out_total(src), 6) — exact longs in, so the
+    double is reproducible."""
+    src = normalize_ntz(df)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = src.select(
+        F.lag(F.col(type_col)).over(w).alias("src"),
+        F.col(type_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count("*").alias("n_transitions")
+    )
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = "prob",
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Damped PageRank over a weighted edge list.
+
+    Unweighted form (``weight_col=None``) splits a node's mass evenly
+    across its out-edges; weighted form uses the given per-edge weight
+    (weights should sum to ~1 per src — e.g. ``event_transitions``
+    probabilities).  Dangling nodes (no out-edges) redistribute their
+    mass uniformly, so total rank is conserved up to the ROUND pins.
+
+    Output: ``(node, rank)`` with rank ROUND(x, 12)-pinned after every
+    iteration (see module docstring).  Everything stays in-plan: N and
+    the dangling mass are 1-row broadcast crossJoins, never collects.
+
+    ``broadcast_ranks=True`` ships the rank vector to the edge
+    partitions instead of shuffling edges onto it — the right plan when
+    |nodes| is dimension-sized (an event-type or per-host graph, as in
+    the gate): every iteration becomes one map-side join + one
+    AQE-coalesced aggregate.  Leave it False for web-scale graphs,
+    where the rank vector is as big as the corpus and must hash-
+    partition alongside the edges.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        (
+            F.col(weight_col).cast("double")
+            if weight_col
+            else F.lit(None).cast("double")
+        ).alias("__w"),
+    )
+    if weight_col is None:
+        outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+        e = e.join(outdeg, "__s").select(
+            "__s", "__d", (F.lit(1.0) / F.col("__deg")).alias("__w")
+        )
+    # The edge list is referenced once per iteration AND by the node /
+    # dangling derivations — the rank recurrence additionally fans out
+    # the plan ~2^iterations.  Persist the dimension-sized staging
+    # tables so every re-reference replays a cached edge table instead
+    # of re-deriving it from the raw stream (same session-staging
+    # convention as dedup.neardup_decision).
+    e = e.persist()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_total = nodes.agg(F.count("*").cast("double").alias("__n"))
+    ranks = nodes.join(F.broadcast(n_total)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
+    )
+    has_out = e.select(F.col("__s").alias("node")).distinct().persist()
+    maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
+    for _ in range(iterations):
+        contrib = (
+            e.join(maybe_bc(ranks), e["__s"] == ranks["node"])
+            .select(
+                F.col("__d").alias("node"),
+                F.round(F.col("rank") * F.col("__w"), 12)
+                .cast("decimal(28,12)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__in"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(28,12)")), F.lit(0)
+                )
+                .cast("double")
+                .alias("__dang")
+            )
+        )
+        ranks = (
+            nodes.join(maybe_bc(contrib), "node", "left")
+            .join(F.broadcast(n_total))
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dang") / F.col("__n")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        # The recurrence references ranks twice per level (contrib +
+        # dangling), fanning the lazy plan out 2^iterations — truncate
+        # per round like connected_components does (localCheckpoint
+        # here; durable checkpoint() on a cluster).  The rank vector is
+        # |nodes| rows, so the materialization is trivial.
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))

@@ -183,6 +183,134 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Markov transition table (sequence mining)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+    WITH ordered AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS n_transitions
+      FROM ordered WHERE src IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY src)
+                        AS DOUBLE), 6) AS prob
+    FROM edges
+"""
+
+
+@_q("q_event_transitions", _TRANSITIONS_SQL)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table of the event stream: one
+    per-key window sort for lag pairs, one (src, dst) count shuffle,
+    per-src normalization over the dimension-sized counted table."""
+    from conte_to_fresco_etl_spark.operators.graph import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the transition graph (link analysis)
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iterations: int = _PR_ITERS, damping: float = _PR_DAMP) -> str:
+    """Unrolled-iteration PageRank oracle: one CTE triple (contrib,
+    dangling, ranks) per iteration, every arithmetic step CAST to
+    DOUBLE explicitly (DuckDB would otherwise fold ``1.0 - 0.85`` in
+    DECIMAL — exactly 0.15 — where Spark's double fold yields
+    0.15000000000000002) and ROUND(x, 12)-pinned like the operator."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [
+        """
+    WITH ordered AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS n
+      FROM ordered WHERE src IS NOT NULL GROUP BY 1, 2
+    ),
+    wedges AS (
+      SELECT src, dst,
+             ROUND(CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS w
+      FROM edges
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, ROUND(%s / (SELECT n FROM nn), 12) AS rank FROM nodes
+    )"""
+        % one
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(ROUND(r.rank * e.w, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS cin
+      FROM wedges e JOIN r{k - 1} r ON e.src = r.node GROUP BY 1
+    ),
+    d{k} AS (
+      SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(28,12))), 0)
+                  AS DOUBLE) AS dang
+      FROM r{k - 1} r
+      WHERE r.node NOT IN (SELECT DISTINCT src FROM edges)
+    ),
+    r{k} AS (
+      SELECT n.node,
+             ROUND(({one} - {d}) / (SELECT n FROM nn)
+                   + {d} * (COALESCE(c.cin, CAST(0.0 AS DOUBLE))
+                            + (SELECT dang FROM d{k})
+                              / (SELECT n FROM nn)), 12) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+"""
+    )
+    return "".join(parts)
+
+
+@_q("q_pagerank", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 iterations) over the event-type transition
+    graph: per iteration one rank-edge join and one groupBy(dst), both
+    shuffling on node keys — the Pregel partitioning.  ROUND(x, 12)
+    pins after every iterate make the unrolled SQL oracle exact."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        event_transitions,
+        pagerank,
+    )
+
+    edges = event_transitions(_events(spark, sf_dir))
+    return pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP, weight_col="prob",
+        broadcast_ranks=True,  # |nodes| = |event types|: dimension-sized
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 interval building (dimension versioning)
 # ---------------------------------------------------------------------------
 

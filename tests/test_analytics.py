@@ -267,3 +267,72 @@ def test_scd2_shares_one_sort_exchange(spark, sf_dir, qs):
     plan = _physical(qs["q_scd2_intervals"](spark, sf_dir))
     # both window passes key on user_id: one hash exchange only
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# transitions + PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from conte_to_fresco_etl_spark.operators.graph import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a"), (1, _ts(1), 2, "b"), (1, _ts(2), 3, "a"),
+            (2, _ts(0), 4, "a"), (2, _ts(1), 5, "b"),
+            (3, _ts(0), 6, "c"),  # single event: no transition
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    out = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)       # a only ever goes to b
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out and len(out) == 2
+
+
+def test_pagerank_dangling_and_conservation(spark):
+    from conte_to_fresco_etl_spark.operators.graph import pagerank
+
+    # a -> b -> c, c dangles; unweighted
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src STRING, dst STRING"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=5, weight_col=None).collect()
+    }
+    assert set(ranks) == {"a", "b", "c"}
+    # total mass conserved up to the ROUND pins
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+    # the chain end accumulates the most rank
+    assert ranks["c"] > ranks["b"] > ranks["a"]
+
+
+def test_pagerank_hub_wins_star_graph(spark):
+    from conte_to_fresco_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(4)]
+        + [("hub", f"leaf{i}") for i in range(4)],
+        "src STRING, dst STRING",
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=4, weight_col=None).collect()
+    }
+    assert all(ranks["hub"] > ranks[f"leaf{i}"] for i in range(4))
+
+
+def test_pagerank_plan_stays_in_plan(spark, sf_dir, qs):
+    """No collects: N, dangling mass, and the iterates are all inside
+    one composed plan; ranks shuffle on node keys only."""
+    df = qs["q_pagerank"](spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 5  # five event types
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-5

@@ -236,3 +236,70 @@ def test_bm25_matches_python_twin(spark, doc_tokens):
     assert set(got) == set(want)
     for i in want:
         assert _close(got[i], want[i], tol=4e-6), (i, got[i], want[i])
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+def _pagerank_twin(pairs, iterations, damping):
+    """Pure-Python replica of operators/graph.py:pagerank with the same
+    ROUND pins: uniform out-edge weights, dangling redistribution."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    n = float(len(nodes))
+    out = defaultdict(list)
+    for s, d in pairs:
+        out[s].append(d)
+    ranks = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(iterations):
+        cin = defaultdict(Decimal)
+        for s, ds in out.items():
+            w = 1.0 / len(ds)
+            for d in ds:
+                cin[d] += Decimal(str(round(ranks[s] * w, 12)))
+        dang = float(
+            sum(
+                (Decimal(str(ranks[v])) for v in nodes if v not in out),
+                Decimal(0),
+            )
+        )
+        ranks = {
+            v: round(
+                (1.0 - damping) / n
+                + damping * (float(cin.get(v, Decimal(0))) + dang / n),
+                12,
+            )
+            for v in nodes
+        }
+    return {v: round(r, 6) for v, r in ranks.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_lists)
+def test_pagerank_matches_python_twin(spark, pairs):
+    from conte_to_fresco_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in pairs], "src STRING, dst STRING"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, weight_col=None).collect()
+    }
+    want = _pagerank_twin(
+        [(str(s), str(d)) for s, d in pairs], iterations=3, damping=0.85
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert _close(got[v], want[v], tol=2e-6), (v, got[v], want[v])

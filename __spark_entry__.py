@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "q_scd2_intervals",
     "q_event_transitions",
     "q_pagerank",
+    "q_top_sequences",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

@@ -127,6 +127,7 @@ HEADLINE = [
     "q_scd2_intervals",
     "q_event_transitions",
     "q_pagerank",
+    "q_top_sequences",
     # TPC-H-adapted decision-support suite
     "q2_min_cost_supplier",
     "q4_priority_exists",

@@ -32,11 +32,16 @@ def funnel_conversion(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    max_lag_seconds: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: a user converts through step k when
     their earliest step-k event is at-or-after their conversion time
     for step k-1 (the canonical first-touch funnel; ties at the same
-    timestamp count, matching the >= the oracle uses).
+    timestamp count, matching the >= the oracle uses).  With
+    ``max_lag_seconds`` the step must ALSO land within that window of
+    the previous conversion (the "click within 7 days of view" form) —
+    the window bound rides the same join condition, so the plan shape
+    is unchanged.
 
     Output: one row per step — ``(step, step_name, n_users,
     conversion)`` where conversion = ROUND(n_users / n_users(step 1),
@@ -58,10 +63,17 @@ def funnel_conversion(
     )
     counts = [conv.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), F.lit(steps[0]).alias("step_name"), "n")]
     for i, step in enumerate(steps[1:], start=2):
+        in_window = F.col("__ts") >= F.col("__conv")
+        if max_lag_seconds is not None:
+            in_window = in_window & (
+                F.col("__ts")
+                <= F.col("__conv")
+                + F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS")
+            )
         nxt = (
             src.filter(F.col("__t") == step)
             .join(conv, "__u")
-            .filter(F.col("__ts") >= F.col("__conv"))
+            .filter(in_window)
             .groupBy("__u")
             .agg(F.min("__ts").alias("__conv"))
         )

@@ -70,6 +70,57 @@ def event_transitions(
     )
 
 
+def top_event_sequences(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event sequences (consecutive
+    within a key).  Output: ``(seq, n_occurrences)``, ranked by
+    (count desc, seq) so the LIMIT is deterministic.
+
+    Scale posture: a LAG CHAIN over one key-partitioned sort — n-1 lag
+    columns over the same window spec share a single Exchange + Sort —
+    beats the rownum self-join spelling (n shuffles of the full stream)
+    and the collect_list spelling (whole-history rows).  The count is
+    one shuffle of (n-gram, 1) pairs with map-side partials; the rank
+    is a TakeOrdered(k)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    src = normalize_ntz(df)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    lags = [
+        F.lag(F.col(type_col), n - 1 - i).over(w).alias(f"__g{i}")
+        for i in range(n - 1)
+    ]
+    grams = src.select(*lags, F.col(type_col).alias(f"__g{n - 1}"))
+    # every position non-null: the oldest lag alone would not catch a
+    # NULL event type mid-sequence (concat_ws silently skips nulls)
+    present = F.lit(True)
+    for i in range(n):
+        present = present & F.col(f"__g{i}").isNotNull()
+    complete = grams.filter(present)
+    return (
+        complete.select(
+            F.concat_ws(sep, *[F.col(f"__g{i}") for i in range(n)]).alias(
+                "seq"
+            )
+        )
+        .groupBy("seq")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("seq").asc())
+        .limit(k)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

@@ -216,6 +216,43 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top-k frequent event sequences (trigrams)
+# ---------------------------------------------------------------------------
+
+_TOP_SEQ_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tri AS (
+      SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS seq
+      FROM o a
+      JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+    )
+    SELECT seq, COUNT(*) AS n_occurrences
+    FROM tri GROUP BY 1
+    ORDER BY n_occurrences DESC, seq LIMIT 20
+"""
+
+
+@_q("q_top_sequences", _TOP_SEQ_SQL)
+def q_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event trigrams: a lag chain over ONE key sort
+    (the oracle's rownum self-join spelling costs n shuffles of the
+    stream; the lag chain costs one), then a gram-count shuffle and a
+    TakeOrdered(20) with a seq tiebreak."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        top_event_sequences,
+    )
+
+    return top_event_sequences(_events(spark, sf_dir), n=3, k=20)
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the transition graph (link analysis)
 # ---------------------------------------------------------------------------
 

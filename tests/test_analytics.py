@@ -336,3 +336,47 @@ def test_pagerank_plan_stays_in_plan(spark, sf_dir, qs):
     rows = df.collect()
     assert len(rows) == 5  # five event types
     assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-5
+
+
+def test_windowed_funnel_bounds_step_lag(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "view", _ts(0)), (1, "click", _ts(0, 30)),   # within 1h
+            (2, "view", _ts(0)), (2, "click", _ts(2)),       # 2h late
+        ],
+        "user_id INT, event_type STRING, ts TIMESTAMP",
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_conversion(
+            ev, ["view", "click"], max_lag_seconds=3600
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
+def test_top_sequences_lag_chain(spark):
+    from conte_to_fresco_etl_spark.operators.graph import (
+        top_event_sequences,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a"), (1, _ts(1), 2, "b"), (1, _ts(2), 3, "c"),
+            (1, _ts(3), 4, "a"), (1, _ts(4), 5, "b"), (1, _ts(5), 6, "c"),
+            (2, _ts(0), 7, "a"), (2, _ts(1), 8, "b"),  # too short for n=3
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    rows = top_event_sequences(ev, n=3, k=5).collect()
+    out = {r["seq"]: r["n_occurrences"] for r in rows}
+    assert out == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+    # deterministic ranking: count desc, then seq asc
+    assert [r["seq"] for r in rows][0] == "a>b>c"
+
+
+def test_top_sequences_single_stream_shuffle(spark, sf_dir, qs):
+    plan = _physical(qs["q_top_sequences"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # one key sort for the lag chain + one gram-count exchange
+    assert plan.count("Exchange hashpartitioning") <= 2

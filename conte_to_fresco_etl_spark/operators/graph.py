@@ -228,4 +228,10 @@ def pagerank(
         # here; durable checkpoint() on a cluster).  The rank vector is
         # |nodes| rows, so the materialization is trivial.
         ranks = ranks.localCheckpoint(eager=True)
+    # ranks is materialized (eager checkpoints), so the per-call staging
+    # caches can be released now — unlike the deliberately session-lived
+    # dedup.neardup_decision table, these are scoped to this call
+    e.unpersist()
+    nodes.unpersist()
+    has_out.unpersist()
     return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))

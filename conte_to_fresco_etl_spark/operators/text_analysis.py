@@ -1356,28 +1356,34 @@ def bm25_topk(
 
     Scale posture: the query-term filter hits the exploded token stream
     BEFORE the (doc, term) shuffle, so only postings for query terms
-    shuffle — the classic inverted-index probe.  Document length and
-    the (N, avgdl) corpus stats are a second narrow aggregate; df and
-    stats broadcast back (|terms| rows and 1 row); the final rank is a
-    TakeOrdered(k).  Nothing corpus-sized crosses the driver.
+    shuffle — the classic inverted-index probe.  The document length
+    rides the posting rows through the explode (exploding an array
+    keeps sibling columns), so there is NO corpus-sized dl join; the
+    (N, avgdl) corpus stats are the only second tokenize pass (a 1-row
+    aggregate), and df broadcasts back (|terms| rows).  The final rank
+    is a TakeOrdered(k).  Nothing corpus-sized crosses the driver.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
     ).filter(F.size("__toks") > 0)
-    dl = toks.select(
-        F.col(id_col), F.size("__toks").cast("double").alias("__dl")
-    )
-    stats = dl.agg(
+    stats = toks.agg(
         F.count("*").cast("double").alias("__n_docs"),
-        F.sum("__dl").alias("__sum_dl"),
+        F.sum(F.size("__toks").cast("double")).alias("__sum_dl"),
     )
     tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "term")
-        .agg(F.count("*").cast("double").alias("__tf"))
+        .agg(
+            F.count("*").cast("double").alias("__tf"),
+            F.first("__dl").alias("__dl"),  # constant within the group
+        )
     )
     dfreq = tf.groupBy("term").agg(
         F.count("*").cast("double").alias("__df")
@@ -1395,7 +1401,6 @@ def bm25_topk(
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .join(F.broadcast(stats))
         .select(F.col(id_col), contrib.cast("decimal(18,6)").alias("__c"))
         .groupBy(id_col)

@@ -232,6 +232,12 @@ _TOP_SEQ_SQL = """
       FROM o a
       JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1
       JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+      -- match the operator: grams touching a NULL event type are
+      -- dropped (NULL stays in the rownum sequence — adjacency is
+      -- unchanged — but contributes to no gram)
+      WHERE a.event_type IS NOT NULL
+        AND b.event_type IS NOT NULL
+        AND c.event_type IS NOT NULL
     )
     SELECT seq, COUNT(*) AS n_occurrences
     FROM tri GROUP BY 1

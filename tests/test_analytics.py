@@ -371,6 +371,21 @@ def test_top_sequences_lag_chain(spark):
     rows = top_event_sequences(ev, n=3, k=5).collect()
     out = {r["seq"]: r["n_occurrences"] for r in rows}
     assert out == {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+
+    # a NULL event type keeps its place in the sequence (adjacency is
+    # unchanged) but contributes to no gram
+    ev_null = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "a"), (1, _ts(1), 2, None),
+            (1, _ts(2), 3, "b"), (1, _ts(3), 4, "c"), (1, _ts(4), 5, "d"),
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING",
+    )
+    out_null = {
+        r["seq"]: r["n_occurrences"]
+        for r in top_event_sequences(ev_null, n=3, k=5).collect()
+    }
+    assert out_null == {"b>c>d": 1}
     # deterministic ranking: count desc, then seq asc
     assert [r["seq"] for r in rows][0] == "a>b>c"
 

@@ -454,3 +454,74 @@ def test_corpus_ingest_filters_dedups_and_grows(spark, tmp_path):
     drain(str(tmp_path / "ck2"))
     rows = spark.read.parquet(corpus).collect()
     assert {r["doc_id"] for r in rows} == {1, 4, 6} and len(rows) == 3
+
+
+def test_scd2_maintainer_matches_batch_with_late_data(spark, tmp_path):
+    """The maintained SCD2 table must equal the batch operator over all
+    events seen so far — including a LATE event that splits a
+    previously collapsed run — and a second drain must rebuild only
+    affected buckets without duplicating others."""
+    import datetime
+
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        start_scd2_maintainer,
+    )
+
+    src = tmp_path / "ev"
+    log, table, ckpt = (
+        str(tmp_path / "log"), str(tmp_path / "scd2"), str(tmp_path / "ck")
+    )
+    t0 = datetime.datetime(2015, 3, 1, 10, 0, 0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def drain():
+        q = start_scd2_maintainer(
+            spark.readStream.schema(schema).parquet(str(src)),
+            log, table, ckpt,
+        )
+        q.awaitTermination(120)
+
+    def snapshot():
+        return sorted(
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in spark.read.parquet(table)
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "is_current")
+            .collect()
+        )
+
+    def batch_expected():
+        return sorted(
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in scd2_intervals(
+                spark.read.parquet(str(src)), key_col="user_id"
+            ).collect()
+        )
+
+    batch1 = [
+        (1, t0, 7, "a"),
+        (2, t0 + datetime.timedelta(hours=2), 7, "a"),  # same state: one run
+        (3, t0 + datetime.timedelta(hours=4), 7, "b"),
+        (4, t0, 8, "x"),
+    ]
+    spark.createDataFrame(batch1, schema.replace("event_id long, ts timestamp, user_id long,", "event_id long, ts timestamp, user_id long,")) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    assert snapshot() == batch_expected()
+
+    # LATE event inside user 7's collapsed [t0, t0+4h) "a" run with a
+    # DIFFERENT state: the run must split into a / c / a / b — only a
+    # full-history rebuild gets this right
+    batch2 = [(5, t0 + datetime.timedelta(hours=1), 7, "c")]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    drain()
+    got = snapshot()
+    assert got == batch_expected()
+    u7 = sorted((r for r in got if r[0] == 7), key=lambda r: r[2])
+    assert [r[1] for r in u7] == ["a", "c", "a", "b"]

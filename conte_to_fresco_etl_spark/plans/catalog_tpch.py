@@ -14,11 +14,17 @@ Every query follows the catalog's cross-engine exactness rules
 (decimal sums, ROUND(x,6) on derived floats, deterministic tiebreaks
 on every LIMIT) and carries an exact DuckDB oracle.
 
-Scale posture (the point of writing these on Spark): dimension sides
-broadcast, fact-fact joins shuffle on their keys once, correlated
-subqueries are rewritten as aggregate-then-join (never per-row), and
-EXISTS / NOT IN become semi/anti joins — the shapes Catalyst plans as
-Broadcast/SortMerge joins with pushed-down filters at 100 TB.
+Scale posture (the point of writing these on Spark): fact-fact joins
+shuffle on their keys once, correlated subqueries are rewritten as
+aggregate-then-join (never per-row), and EXISTS / NOT IN become
+semi/anti joins — the shapes Catalyst plans as Broadcast/SortMerge
+joins with pushed-down filters at 100 TB.  Broadcast policy: only
+CONSTANT-size sides carry an ``F.broadcast`` pin (nation/region — 25/5
+rows at every SF — and 1-row scalar aggregates); sides whose size
+scales with SF (customer / supplier / part subsets, filtered orders,
+HAVING-qualified aggregates) are left to the planner, which broadcasts
+them under the 64 MB threshold at gate scale and falls back to shuffle
+joins at 100 TB instead of OOMing on a forced hint.
 """
 
 from __future__ import annotations
@@ -68,7 +74,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     unit = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
             "l_suppkey",
@@ -80,11 +86,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("mn"))
     return (
         unit.join(
-            F.broadcast(mn.withColumnRenamed("l_partkey", "mk")),
+            mn.withColumnRenamed("l_partkey", "mk"),
             (F.col("l_partkey") == F.col("mk"))
             & (F.col("unit_price") == F.col("mn")),
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("l_partkey").alias("p_partkey"), "s_name", "unit_price")
     )
 
@@ -216,8 +222,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -284,10 +290,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("volume")
     zero = F.lit(0).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
@@ -347,8 +353,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _disc_price() - _dec2("p_retailprice") * _dec2("l_quantity")
     ).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -395,8 +401,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -444,7 +450,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     val = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec2("l_extendedprice")).alias("value_dec"))
@@ -574,7 +580,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -625,7 +631,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue_dec") == F.col("mx"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -661,8 +667,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -699,7 +705,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-part average over ALL lineitems of that part (restricting to
     # brand parts keeps values identical — the avg is per-part)
     li_brand = li.join(
-        F.broadcast(p3.select("p_partkey")),
+        p3.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -707,8 +713,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p3), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(avg), F.col("pk") == F.col("p_partkey"))
+        li.join(p3, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg, F.col("pk") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             (F.sum(_dec2("l_extendedprice")).cast("double") / F.lit(7.0))
@@ -752,8 +758,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty_dec") > F.lit(250).cast("decimal(18,2)"))
     )
     return (
-        o.join(F.broadcast(qual), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(qual, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -811,7 +817,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.sum(_disc_price()).cast("double").alias("revenue"),
@@ -856,13 +862,13 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_2", "NATION_3", "NATION_4")
     )
     qual = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dec2("l_quantity")).alias("qty"))
         .filter(F.col("qty") > F.lit(100).cast("decimal(18,2)"))
     )
     return (
-        s.join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(
             F.broadcast(n),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -920,7 +926,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(stats, F.col("ok") == F.col("l_orderkey"))
         .filter((F.col("nsupp") > 1) & (F.col("nretsupp") == 1))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -62,6 +62,10 @@ def fill_time_gaps(
                 F.sum("__v").cast("double") / F.count("*"), round_to
             ).alias("value_observed")
         )
+        # referenced twice below (spine bounds + the observed join) —
+        # persist the dimension-sized hourly table so the raw stream is
+        # scanned once, not once per reference
+        .persist()
     )
     spine = (
         hourly.groupBy(key_col)

@@ -186,8 +186,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -221,7 +221,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
     )
     return (
-        li.join(F.broadcast(orders), cond)
+        li.join(orders, cond)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
@@ -242,7 +242,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return cust.join(
-        F.broadcast(big), cust.c_custkey == big.o_custkey, "left_semi"
+        big, cust.c_custkey == big.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
 
 
@@ -259,7 +259,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return cust.join(
-        F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -891,9 +891,9 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]),
         )
         .join(
@@ -1252,7 +1252,7 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("null_orderkeys")
     )
     dangling_li = li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti"
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
     ).agg(F.count("*").alias("dangling_lineitems"))
     dup = (
         orders.groupBy("o_orderkey")
@@ -1261,7 +1261,7 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("dup_orderkeys"))
     )
     dangling_o = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
     ).agg(F.count("*").alias("dangling_orders"))
     return (
         nulls.crossJoin(dangling_li).crossJoin(dup).crossJoin(dangling_o)

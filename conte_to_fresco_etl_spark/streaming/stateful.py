@@ -135,3 +135,114 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("step", LongType()),
+        StructField("step_name", StringType()),
+        StructField("conv_ts", TimestampType()),
+    ]
+)
+
+#: state tuple: (completed_stage_count, conversion_ts_epoch_us)
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("conv_us", LongType()),
+    ]
+)
+
+
+def funnel_progress(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark_delay: str = "10 minutes",
+    max_lag_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/funnel.py:funnel_conversion``: per
+    user, emit a row the moment each funnel step is completed (append
+    mode), folding events through O(1) state — (completed stage count,
+    conversion timestamp) — instead of re-aggregating history.
+
+    Equivalence contract: for events arriving in event-time order
+    (enforced per micro-batch by an explicit sort; across batches by
+    the watermark dropping late data), the emitted conversion
+    timestamps equal the batch operator's per-step MIN-at-or-after
+    times — the in-order fold takes the FIRST qualifying event of each
+    step, which IS that minimum.  Ties at one timestamp are processed
+    in step order, preserving the batch >= semantics ("click at the
+    same instant as the view counts").
+
+    Scale posture: one shuffle on the user key; per-key state is two
+    scalars regardless of history length; with ``max_lag_seconds`` the
+    step must land within that window of the previous conversion
+    (funnels that never complete stop advancing — their state stays two
+    scalars, never a buffer).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_index = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    lag_us = None if max_lag_seconds is None else max_lag_seconds * _US
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        # within-batch event-time order; same-timestamp ties in step
+        # order so "view then click at the same instant" advances both
+        rows = rows.assign(
+            __ord=rows[type_col].map(step_index).fillna(n_steps)
+        ).sort_values([ts_col, "__ord"])
+        ts_us = rows[ts_col].astype("int64") // 1000  # ns -> us
+        types = rows[type_col]
+        if state.exists:
+            stage, conv_us = state.get
+        else:
+            stage, conv_us = 0, 0
+        out: list[tuple] = []
+        for t_us, tp in zip(ts_us, types):
+            if stage >= n_steps or tp != steps[stage]:
+                continue
+            t_us = int(t_us)
+            if stage > 0:
+                if t_us < conv_us:
+                    continue
+                if lag_us is not None and t_us - conv_us > lag_us:
+                    continue
+            stage, conv_us = stage + 1, t_us
+            out.append(
+                (
+                    key[0],
+                    stage,
+                    steps[stage - 1],
+                    pd.Timestamp(t_us, unit="us"),
+                )
+            )
+        state.update((int(stage), int(conv_us)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[c.name for c in FUNNEL_OUTPUT_SCHEMA]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

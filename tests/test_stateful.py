@@ -74,3 +74,71 @@ def test_sessionize(spark, tmp_path):
     b = rows[("B", D(2024, 1, 1, 10, 5))]
     assert b["n_events"] == 1
     assert b["sum_value"] == pytest.approx(7.0)
+
+
+def test_funnel_progress_stateful(spark, tmp_path):
+    """Streaming funnel advances across micro-batches with O(1) state
+    and matches the batch operator's first-qualifying semantics,
+    including a same-timestamp view+click tie and an out-of-order
+    step that must NOT count."""
+    from conte_to_fresco_etl_spark.streaming.stateful import funnel_progress
+
+    fschema = "user_id string, ts timestamp, event_type string"
+
+    def w(rows, path):
+        spark.createDataFrame(rows, fschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    src = str(tmp_path / "fsrc")
+    # batch 1: A views then clicks; B clicks BEFORE viewing (click must
+    # not count); C views and clicks at the SAME instant (both count)
+    w(
+        [
+            ("A", D(2024, 1, 1, 10, 0), "view"),
+            ("A", D(2024, 1, 1, 10, 5), "click"),
+            ("B", D(2024, 1, 1, 10, 0), "click"),
+            ("B", D(2024, 1, 1, 10, 1), "view"),
+            ("C", D(2024, 1, 1, 10, 0), "view"),
+            ("C", D(2024, 1, 1, 10, 0), "click"),
+        ],
+        src,
+    )
+    # batch 2: A purchases (state carried across batches); B clicks
+    # after its view (now counts)
+    w(
+        [
+            ("A", D(2024, 1, 1, 11, 0), "purchase"),
+            ("B", D(2024, 1, 1, 11, 0), "click"),
+        ],
+        src,
+    )
+
+    stream = (
+        spark.readStream.schema(fschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel_progress(stream, ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        (r["user_id"], r["step"]): (r["step_name"], r["conv_ts"])
+        for r in spark.sql("select * from funnel").collect()
+    }
+    assert rows[("A", 1)] == ("view", D(2024, 1, 1, 10, 0))
+    assert rows[("A", 2)] == ("click", D(2024, 1, 1, 10, 5))
+    assert rows[("A", 3)] == ("purchase", D(2024, 1, 1, 11, 0))
+    assert rows[("B", 1)] == ("view", D(2024, 1, 1, 10, 1))
+    assert rows[("B", 2)] == ("click", D(2024, 1, 1, 11, 0))  # batch-2 click
+    assert rows[("C", 1)] == ("view", D(2024, 1, 1, 10, 0))
+    assert rows[("C", 2)] == ("click", D(2024, 1, 1, 10, 0))  # same-ts tie
+    assert ("C", 3) not in rows and len(rows) == 7

@@ -212,3 +212,34 @@ def test_accounting_reader_binds_by_name(spark, fixture_dirs):
     assert first["start"] == "03/01/2015 09:55:00"
     # column absent from the file arrives as typed null, not misbound data
     assert first["Timestamp"] is None
+
+
+def test_cli_step1_step2_and_query(spark, fixture_dirs, tmp_path, capsys):
+    """The __main__ CLI drives the whole pipeline and the catalog with
+    the same results as the library calls (main() invoked in-process —
+    get_spark reuses the active test session)."""
+    from conte_to_fresco_etl_spark.__main__ import main
+
+    _tmp, raw, _acct = fixture_dirs
+    eav = str(tmp_path / "cli_eav")
+    assert main(["step1", "--raw-dir", str(raw), "--out", eav]) == 0
+    out = spark.read.parquet(eav)
+    assert out.count() > 0
+
+    assert main(["list"]) == 0
+    listed = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in listed
+
+    assert (
+        main(
+            [
+                "query", "q_minmax_summary",
+                "--sf-dir", "/root/testdata/sf0.001", "--limit", "5",
+            ]
+        )
+        == 0
+    )
+    shown = capsys.readouterr().out
+    assert "min_price" in shown or "l_returnflag" in shown or "+" in shown
+
+    assert main(["query", "no_such_query", "--sf-dir", "x"]) == 2

@@ -6,7 +6,8 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 All queries live in ``conte_to_fresco_etl_spark.plans.catalog`` /
-``catalog_text`` — this module is a thin adapter.
+``catalog_text`` / ``catalog_tpch`` / ``catalog_analytics`` — this
+module is a thin adapter.
 """
 
 from __future__ import annotations

@@ -24,131 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from conte_to_fresco_etl_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-HEADLINE = [
-    "conte_set3",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_volume",
-    "q_interval_join",
-    "q_window_rate",
-    "q_pivot_scatter",
-    "q_semi_join",
-    "q_anti_join",
-    "q_union_distinct",
-    "q_windowed_rates",
-    "q_interval_violations",
-    "q_minmax_summary",
-    "q_distinct_counts",
-    "q_walltime_parse",
-    "q_exitcode_case",
-    "q_hostlist_parse",
-    "q_jobid_normalize",
-    "q_doc_profile",
-    "q_dedup_exact",
-    "q_minhash_lsh",
-    "q_simhash_pairs",
-    "q_ngram_jaccard",
-    "q_editdist_pairs",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
-    "q_ann_topk",
-    "q_lsh_ann_topk",
-    "q_ivf_ann_topk",
-    "q_ivf_exhaustive",
-    "q_ivf_trained_topk",
-    "q_media_decode",
-    "q_media_features",
-    "q_corpus_curation",
-    "q_doc_components",
-    "q_doc_components_star",
-    "q_quality_filters",
-    "q_winnow_fingerprints",
-    "q_stratified_sample",
-    "q_top_tfidf_terms",
-    "q_pii_scrub",
-    "q_decontaminate",
-    "q_source_cap",
-    "q_unigram_nll",
-    "q_token_stats",
-    "q_pack_sequences",
-    "q_knn_classify",
-    "q_top_bigrams",
-    "q_bpe_merges",
-    "q_bpe_apply",
-    "q_temperature_sample",
-    "q_curation_v2",
-    "q_sessionize",
-    "q_value_histogram",
-    "q_value_percentiles",
-    "q_json_extract",
-    "q_zorder_key",
-    "q_label_centroids",
-    "q_asof_join",
-    "q_range_pairs",
-    "q_time_rollup",
-    "q_dedup_canonical",
-    "q_shard_manifest",
-    "q_incremental_dedup",
-    "q_trailing_window",
-    "q_doc_chunks",
-    "q_kmeans_step",
-    "q_above_mean",
-    "q_bigram_nll",
-    "q_skew_salted_join",
-    "q_pivot_agg",
-    "q_dedup_apply",
-    "q_user_quartiles",
-    "q_dq_report",
-    "q_cube_daily",
-    "q_except_customers",
-    # round-4 additions
-    "q_decontaminate_bloom",
-    "q_mixture_weights",
-    "q_boilerplate_frac",
-    "q_pq_topk",
-    "q_ivfpq_topk",
-    "q_repeated_spans",
-    "q_dup_token_frac",
-    "q_compression_ratio",
-    "q_dataset_card",
-    "q_normalize_text",
-    "q_url_normalize",
-    "q_url_dedup",
-    "q_assign_splits",
-    "q_semantic_dedup",
-    "q_quality_classifier",
-    "q_soft_quality_sample",
-    # event-analytics + retrieval family
-    "q_gapfill",
-    "q_event_gaps",
-    "q_funnel",
-    "q_retention",
-    "q_bm25_topk",
-    "q_scd2_intervals",
-    "q_event_transitions",
-    "q_pagerank",
-    "q_top_sequences",
-    # TPC-H-adapted decision-support suite
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_sole_returner",
-    "q22_dormant_customers",
-]
+#: Every declared query is benched.  Derived from the registry (sorted
+#: by name for a stable, priority-independent order) instead of a
+#: hand-maintained list — a new catalog query is benched the moment it
+#: is registered, no second list to update.  Session-staged families
+#: (dedup decision, star CC, BPE) still amortize correctly: whichever
+#: family member runs first pays the shared pipeline, as before.
+HEADLINE = sorted(entrymod.queries())
 
 
 def main() -> None:

@@ -61,7 +61,11 @@ def funnel_conversion(
         .groupBy("__u")
         .agg(F.min("__ts").alias("__conv"))
     )
-    counts = [conv.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), F.lit(steps[0]).alias("step_name"), "n")]
+    counts = [
+        conv.agg(F.count("*").alias("n")).select(
+            F.lit(1).alias("step"), F.lit(steps[0]).alias("step_name"), "n"
+        )
+    ]
     for i, step in enumerate(steps[1:], start=2):
         in_window = F.col("__ts") >= F.col("__conv")
         if max_lag_seconds is not None:

@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "q_event_transitions",
     "q_pagerank",
     "q_top_sequences",
+    "q_interval_overlap",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

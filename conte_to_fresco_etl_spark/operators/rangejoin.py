@@ -142,3 +142,51 @@ def point_in_interval_join(
         & (F.col(point_ts) <= F.col(end_col))
     )
     return out.drop("__bin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_seconds: float,
+) -> DataFrame:
+    """Large-large interval-overlap join: every (a, b) pair whose
+    closed intervals intersect (``a_start <= b_end AND b_start <=
+    a_end`` — the inclusive convention the point join uses), via the
+    same binned equi key.  The classic genomics / scheduling /
+    downtime-correlation join Spark has no operator for.
+
+    Emit-exactly-once without a distinct: overlapping intervals share
+    every bin from ``max(start bins)`` to ``min(end bins)``, so a pair
+    is kept only at ``__bin == greatest(a's start bin, b's start bin)``
+    — the FIRST co-occupied bin — instead of deduplicating the
+    candidate multiset with an extra shuffle.
+
+    Cost: sum of per-bin |a| x |b| products (pick ``bin_seconds`` near
+    the median interval length), one hash shuffle per side on the bin
+    key.  Column names must be disjoint across ``a`` and ``b``.
+    """
+    clash = set(a.columns) & set(b.columns)
+    if clash:
+        raise ValueError(f"a/b column names must be disjoint: {clash}")
+    w_us = int(bin_seconds * 1_000_000)
+    ea = explode_interval_bins(a, a_start, a_end, bin_seconds, "__bin")
+    eb = explode_interval_bins(b, b_start, b_end, bin_seconds, "__bin_b")
+    sa = (
+        F.floor(F.unix_micros(F.col(a_start)) / w_us) * w_us
+    ).cast("long")
+    sb = (
+        F.floor(F.unix_micros(F.col(b_start)) / w_us) * w_us
+    ).cast("long")
+    out = (
+        ea.join(eb, F.col("__bin") == F.col("__bin_b"))
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("__bin") == F.greatest(sa, sb))
+        )
+    )
+    return out.drop("__bin", "__bin_b")

@@ -398,6 +398,62 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap join (binned large-large range join)
+# ---------------------------------------------------------------------------
+
+# Intervals derive deterministically from events: [ts, ts + value
+# seconds], duration floored to whole microseconds in BOTH engines
+# (Spark casts double->long by truncation, DuckDB by rounding — FLOOR
+# first makes them agree).
+_OVERLAP_SQL = """
+    WITH a AS (
+      SELECT event_id AS a_id, ts AS a_start,
+             make_timestamp(epoch_us(ts)
+               + CAST(FLOOR(value * 1000000) AS BIGINT)) AS a_end
+      FROM events WHERE user_id < 6
+    ),
+    b AS (
+      SELECT event_id AS b_id, ts AS b_start,
+             make_timestamp(epoch_us(ts)
+               + CAST(FLOOR(value * 1000000) AS BIGINT)) AS b_end
+      FROM events WHERE user_id >= 6 AND user_id < 12
+    )
+    SELECT a_id, b_id, a_start, a_end, b_start, b_end
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+"""
+
+
+@_q("q_interval_overlap", _OVERLAP_SQL)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap join between two derived interval sets
+    (the oracle is the brute-force non-equi join; the plan is the
+    Σ per-bin product hash join with first-co-occupied-bin dedup —
+    never a cartesian)."""
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    end = F.timestamp_micros(
+        F.unix_micros(F.col("ts"))
+        + F.floor(F.col("value") * 1_000_000).cast("long")
+    )
+    a = ev.filter(F.col("user_id") < 6).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        end.alias("a_end"),
+    )
+    b = ev.filter((F.col("user_id") >= 6) & (F.col("user_id") < 12)).select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        end.alias("b_end"),
+    )
+    return interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bin_seconds=300
+    ).select("a_id", "b_id", "a_start", "a_end", "b_start", "b_end")
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword retrieval
 # ---------------------------------------------------------------------------
 

@@ -303,3 +303,87 @@ def test_pagerank_matches_python_twin(spark, pairs):
     assert set(got) == set(want)
     for v in want:
         assert _close(got[v], want[v], tol=2e-6), (v, got[v], want[v])
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_edges(spark):
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    def _ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    a = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(2)),    # long: spans many bins
+            (2, _ts(5), _ts(5, 30)),
+        ],
+        "a_id INT, a_start TIMESTAMP, a_end TIMESTAMP",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, _ts(1), _ts(1, 30)),  # inside a1
+            (11, _ts(2), _ts(3)),      # touches a1's end exactly (inclusive)
+            (12, _ts(4), _ts(4, 30)),  # overlaps nothing
+        ],
+        "b_id INT, b_start TIMESTAMP, b_end TIMESTAMP",
+    )
+    pairs = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", bin_seconds=600
+        ).collect()
+    )
+    # each pair exactly once despite multi-bin overlap; touching
+    # endpoints count (closed-interval convention)
+    assert pairs == [(1, 10), (1, 11)]
+
+
+interval_sets = st.lists(
+    st.tuples(st.integers(0, 600), st.integers(0, 400)),  # start, length (s)
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(interval_sets, interval_sets)
+def test_interval_overlap_matches_brute_force(spark, xs, ys):
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + l))
+            for i, (s, l) in enumerate(xs)
+        ]
+        or [(None, None, None)],
+        "a_id INT, a_start TIMESTAMP, a_end TIMESTAMP",
+    ).filter(F.col("a_id").isNotNull())
+    b = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + l))
+            for i, (s, l) in enumerate(ys)
+        ]
+        or [(None, None, None)],
+        "b_id INT, b_start TIMESTAMP, b_end TIMESTAMP",
+    ).filter(F.col("b_id").isNotNull())
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", bin_seconds=120
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(xs)
+        for j, (s2, l2) in enumerate(ys)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    )
+    assert got == want  # complete AND exactly-once

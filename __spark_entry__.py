@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "q_pagerank",
     "q_top_sequences",
     "q_interval_overlap",
+    "q_time_weighted",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

@@ -132,3 +132,58 @@ def detect_gaps(
             F.floor(gap_s).cast("long").alias("gap_seconds"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_col: str | None = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """LOCF (step-function) time-weighted average per key — the
+    hypertable ``time_weight('locf', ...)`` aggregate: each observation
+    holds its value until the next one, so the mean weights every value
+    by the microseconds it was in effect over [first event, last
+    event].
+
+    Output: ``(key, first_ts, last_ts, span_seconds, twa)``.  A key
+    with a single observation (zero span) yields NULL twa (try_divide).
+    Exactness: DECIMAL(18,4) values x exact long microsecond durations
+    summed in decimal — order-independent — then one double division,
+    ROUND(round_to)-pinned.  Ties on ts are ordered by the tiebreak so
+    the value that carries forward into the next span is deterministic
+    (tied rows themselves contribute zero-duration weight).
+
+    Scale posture: one per-key window (the same sort every windowed
+    operator pays) + one aggregate; no joins, no spine — this is the
+    integral of the step function gap-fill materializes, computed
+    without materializing it.
+    """
+    src = normalize_ntz(df)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    dur = (F.lead(us).over(w) - us).cast("decimal(20,0)")
+    weighted = src.select(
+        F.col(key_col),
+        F.col(ts_col),
+        (F.col(value_col).cast("decimal(18,4)") * dur).alias("__vw"),
+        dur.alias("__dur"),
+    )
+    return weighted.groupBy(key_col).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        (F.sum("__dur").cast("double") / F.lit(1_000_000.0)).alias(
+            "span_seconds"
+        ),
+        F.round(
+            F.try_divide(
+                F.sum("__vw").cast("double"), F.sum("__dur").cast("double")
+            ),
+            round_to,
+        ).alias("twa"),
+    )

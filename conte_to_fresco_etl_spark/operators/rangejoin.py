@@ -152,6 +152,7 @@ def interval_overlap_join(
     b_start: str,
     b_end: str,
     bin_seconds: float,
+    on: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Large-large interval-overlap join: every (a, b) pair whose
     closed intervals intersect (``a_start <= b_end AND b_start <=
@@ -167,7 +168,11 @@ def interval_overlap_join(
 
     Cost: sum of per-bin |a| x |b| products (pick ``bin_seconds`` near
     the median interval length), one hash shuffle per side on the bin
-    key.  Column names must be disjoint across ``a`` and ``b``.
+    key.  ``on`` adds equality key pairs ``[(a_col, b_col), ...]`` to
+    the join — the usual production shape (overlaps within a host /
+    user / chromosome), which co-partitions on (key, bin) and shrinks
+    each bin's product to the per-key slice.  Column names must be
+    disjoint across ``a`` and ``b``.
     """
     clash = set(a.columns) & set(b.columns)
     if clash:
@@ -181,8 +186,11 @@ def interval_overlap_join(
     sb = (
         F.floor(F.unix_micros(F.col(b_start)) / w_us) * w_us
     ).cast("long")
+    cond = F.col("__bin") == F.col("__bin_b")
+    for ka, kb in on or []:
+        cond = cond & (F.col(ka) == F.col(kb))
     out = (
-        ea.join(eb, F.col("__bin") == F.col("__bin_b"))
+        ea.join(eb, cond)
         .filter(
             (F.col(a_start) <= F.col(b_end))
             & (F.col(b_start) <= F.col(a_end))

@@ -398,6 +398,42 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-weighted average (hypertable time_weight('locf') aggregate)
+# ---------------------------------------------------------------------------
+
+_TWA_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CAST(LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  - epoch_us(ts) AS DECIMAL(20,0)) AS dur
+      FROM events
+    )
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(SUM(dur) AS DOUBLE) / 1000000.0 AS span_seconds,
+           CASE WHEN COALESCE(CAST(SUM(dur) AS DOUBLE), 0.0) = 0.0
+                THEN NULL
+                ELSE ROUND(
+                  CAST(SUM(CAST(value AS DECIMAL(18,4)) * dur) AS DOUBLE)
+                  / CAST(SUM(dur) AS DOUBLE), 6)
+           END AS twa
+    FROM o GROUP BY user_id
+"""
+
+
+@_q("q_time_weighted", _TWA_SQL)
+def q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LOCF time-weighted average of the value series: one
+    per-key window + one aggregate, decimal-exact value x duration
+    products — the integral gap-fill materializes, without the spine."""
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Interval-overlap join (binned large-large range join)
 # ---------------------------------------------------------------------------
 

@@ -395,3 +395,48 @@ def test_top_sequences_single_stream_shuffle(spark, sf_dir, qs):
     assert "TakeOrderedAndProject" in plan
     # one key sort for the lag chain + one gram-count exchange
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_time_weighted_avg_step_function(spark):
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        time_weighted_avg,
+    )
+
+    # value 10 holds for 1h, then 20 for 3h: twa = (10*1 + 20*3)/4 = 17.5
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, 10.0),
+            (1, _ts(1), 2, 20.0),
+            (1, _ts(4), 3, 99.0),   # last value carries no weight
+            (2, _ts(0), 4, 5.0),    # single observation: NULL twa
+        ],
+        "user_id INT, ts TIMESTAMP, event_id INT, value DOUBLE",
+    )
+    out = {r["user_id"]: r for r in time_weighted_avg(ev).collect()}
+    assert out[1]["twa"] == 17.5
+    assert out[1]["span_seconds"] == 4 * 3600.0
+    assert out[1]["first_ts"] == _ts(0) and out[1]["last_ts"] == _ts(4)
+    assert out[2]["twa"] is None
+
+
+def test_keyed_interval_overlap_join(spark):
+    from conte_to_fresco_etl_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "h1", _ts(0), _ts(1)), (2, "h2", _ts(0), _ts(1))],
+        "a_id INT, a_host STRING, a_start TIMESTAMP, a_end TIMESTAMP",
+    )
+    b = spark.createDataFrame(
+        [(10, "h1", _ts(0, 30), _ts(2))],
+        "b_id INT, b_host STRING, b_start TIMESTAMP, b_end TIMESTAMP",
+    )
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end",
+            bin_seconds=3600, on=[("a_host", "b_host")],
+        ).collect()
+    ]
+    assert pairs == [(1, 10)]  # h2's time-overlap is filtered by the key

@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     "q_top_sequences",
     "q_interval_overlap",
     "q_time_weighted",
+    "q_hopping_window",
     "q21_sole_returner",
     "q17_small_qty_revenue",
     "q22_dormant_customers",

@@ -398,6 +398,53 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hopping-window aggregate (sliding windows, batch form)
+# ---------------------------------------------------------------------------
+
+# 2-hour windows hopping every hour: every event lands in EXACTLY two
+# windows (the one starting at its truncated hour and the previous) —
+# the oracle materializes that membership with an unnest.
+_HOPPING_SQL = """
+    WITH x AS (
+      SELECT unnest([
+               CAST(date_trunc('hour', ts) AS TIMESTAMP),
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR
+             ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM x GROUP BY 1, 2
+"""
+
+
+@_q("q_hopping_window", _HOPPING_SQL)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate in batch: Spark's ``window()``
+    expression expands each row into its length/hop = 2 windows inside
+    one Expand + partial-aggregate plan — one scan, one shuffle of
+    (window, key) partials, the same operator Structured Streaming uses
+    under a watermark (streaming/pipeline.py:windowed_event_rates)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-weighted average (hypertable time_weight('locf') aggregate)
 # ---------------------------------------------------------------------------
 

@@ -440,3 +440,12 @@ def test_keyed_interval_overlap_join(spark):
         ).collect()
     ]
     assert pairs == [(1, 10)]  # h2's time-overlap is filtered by the key
+
+
+def test_hopping_window_expand_one_pass(spark, sf_dir, qs):
+    """The sliding-window aggregate must plan as ONE Expand (each row
+    fans to its length/hop windows) + partial aggregate — not a union
+    of shifted aggregations."""
+    plan = _physical(qs["q_hopping_window"](spark, sf_dir))
+    assert plan.count("Expand") == 1 or "expand" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -72,7 +72,6 @@ PRIORITY: list[str] = [
     "q_dataset_card",
     "q_normalize_text",
     "q_url_normalize",
-    "q_url_dedup",
     "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",
@@ -83,23 +82,33 @@ PRIORITY: list[str] = [
     "q_value_percentiles",
     "q_json_extract",
     "q_media_features",
-    "q_bpe_apply",
     "q_zorder_key",
     "q_editdist_pairs",
-    "q_distinct_counts",
-    "q_doc_components",
-    "q_media_decode",
-    "q_embedding_neardup",
+    # new in this round's second half
+    "q_session_window",
+    "q_mad_outliers",
+    "q_triangle_count",
+    "q_weighted_sample",
+    "q_k_anonymity",
+    "q_token_pmi",
     # The driver's window may stop at 50 queries; the 46 entries above
-    # are must-re-gate (never checked or changed in r4).  The remaining
-    # slots sample one query from each NEW r4 family (time-series
-    # regularization, funnel analytics, retrieval, TPC-H shapes); the
-    # rest of each family rotates into later rounds' windows.
+    # are must-gate (never checked, or changed since their last row).
+    # The remaining slots sample one query from each NEW r4 family
+    # (time-series regularization, funnel analytics, retrieval, TPC-H
+    # shapes); the rest of each family rotates into later windows.
     "q_gapfill",
     "q_funnel",
     "q_bm25_topk",
     "q13_customer_distribution",
     # --- rotation tail (beyond a 50-query window this round) ---
+    # r3-green queries whose r4 edits are pinned by local parity, and
+    # second family members (their siblings hold the window slot)
+    "q_bpe_apply",
+    "q_url_dedup",
+    "q_distinct_counts",
+    "q_doc_components",
+    "q_media_decode",
+    "q_embedding_neardup",
     "q_retention",
     "q_event_gaps",
     "q_scd2_intervals",

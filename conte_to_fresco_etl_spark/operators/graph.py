@@ -235,3 +235,117 @@ def pagerank(
     nodes.unpersist()
     has_out.unpersist()
     return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    key_col: str,
+    context_col,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence graph: two keys are connected when they
+    appear in at least ``min_shared`` distinct shared contexts (the
+    bipartite key-context projection — users sharing time buckets,
+    documents sharing shingles, pages sharing link targets).
+
+    Output: ``(a, b, n_shared)`` with ``a < b``, one row per edge.
+
+    Scale posture: the classic posting-list self-join — distinct
+    (key, context) pairs shuffle once on the CONTEXT, pairs are
+    generated per posting list (cost Σ |posting|², never |keys|²), and
+    hot contexts are the skew knob: cap or drop contexts whose posting
+    exceeds a bound (a stopword-context filter), exactly as the n-gram
+    Jaccard join does (dedup.ngram_jaccard_pairs)."""
+    ctx = context_col if not isinstance(context_col, str) else F.col(context_col)
+    posts = df.select(
+        F.col(key_col).alias("__k"), ctx.alias("__ctx")
+    ).distinct()
+    a = posts.select(F.col("__k").alias("a"), "__ctx")
+    b = posts.select(F.col("__k").alias("b"), "__ctx")
+    return (
+        a.join(b, "__ctx")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the local clustering signal (spam farms and bot rings show up as
+    abnormal triangle density).
+
+    Input edges may be in any orientation and carry duplicates; they
+    are canonicalized to ``a < b`` distinct pairs, self-loops dropped.
+    Output: ``(node, n_triangles)`` for every node in ≥1 triangle.
+
+    Scale posture — the degree-ordered (rank) orientation: each edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so
+    every triangle is generated EXACTLY once from its lowest-rank
+    vertex, and the wedge join fans out by min-degree: Σ out-deg² with
+    out-degrees bounded by √(2|E|), the Ligra/Cohen bound — a hub of
+    degree 10⁶ contributes wedges only through its (few) lower-degree
+    neighbors, never 10¹² pairs.  Three shuffles total: degree count,
+    wedge self-join on the pivot, and the closing edge semi-join."""
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    both = canon.select(F.col("u").alias("n")).unionByName(
+        canon.select(F.col("v").alias("n"))
+    )
+    deg = both.groupBy("n").agg(F.count("*").alias("deg"))
+    # orientation rank: (degree, node id) lexicographic, encoded so a
+    # single BIGINT comparison orders it (degree bounded by |E|)
+    rank = deg.select(
+        "n",
+        (F.col("deg") * F.lit(1 << 32) + F.col("n")).alias("rk"),
+    )
+    ra = rank.select(F.col("n").alias("u"), F.col("rk").alias("rk_u"))
+    rb = rank.select(F.col("n").alias("v"), F.col("rk").alias("rk_v"))
+    oriented = (
+        canon.join(ra, "u")
+        .join(rb, "v")
+        .select(
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("lo"),
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("hi"),
+            F.least("rk_u", "rk_v").alias("rk_lo"),
+            F.greatest("rk_u", "rk_v").alias("rk_hi"),
+        )
+    ).persist()
+    e1 = oriented.select(
+        F.col("lo").alias("pivot"),
+        F.col("hi").alias("x"),
+        F.col("rk_hi").alias("rk_x"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("pivot"),
+        F.col("hi").alias("y"),
+        F.col("rk_hi").alias("rk_y"),
+    )
+    wedges = e1.join(e2, "pivot").filter(F.col("rk_x") < F.col("rk_y"))
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi").select(
+        "pivot", "x", "y"
+    )
+    members = (
+        tris.select(F.col("pivot").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    out = members.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    oriented.unpersist(blocking=False)
+    return out

@@ -64,3 +64,41 @@ def pii_scrub(
         ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
         redact(t).alias("redacted"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity enforcement over a quasi-identifier tuple: every row
+    whose (quasi_cols) combination is shared by fewer than ``k`` rows
+    has those columns SUPPRESSED (nulled) — the release then guarantees
+    each quasi-identifier fingerprint maps to ≥ k individuals, the
+    standard re-identification floor for shared datasets.
+
+    Output: ``(id, *quasi_cols, group_n, suppressed)`` where the quasi
+    values are null on suppressed rows and ``group_n`` is the original
+    equivalence-class size.
+
+    Distributed shape: aggregate the class sizes (one shuffle of the
+    quasi tuple, map-side partials collapse it to |classes| rows), then
+    join the class table back.  The class table is usually dimension-
+    sized (that is the point of quasi-identifiers) so AQE broadcasts
+    the join; a full-sort window over the corpus — the oracle's
+    spelling — would shuffle every row's full width instead."""
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("group_n"))
+    joined = df.select(id_col, *quasi_cols).join(
+        sizes, quasi_cols, "left"
+    )
+    small = F.col("group_n") < k
+    return joined.select(
+        id_col,
+        *[
+            F.when(~small, F.col(c)).alias(c)
+            for c in quasi_cols
+        ],
+        "group_n",
+        small.alias("suppressed"),
+    )

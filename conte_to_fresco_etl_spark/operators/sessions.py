@@ -54,3 +54,40 @@ def sessionize_events(
             F.max(ts_col).alias("session_end"),
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` grouping
+    expression — the same operator Structured Streaming uses for
+    watermark-merged session state, here in batch.
+
+    Session membership matches :func:`sessionize_events` exactly — an
+    event landing EXACTLY ``gap`` after its predecessor is MERGED (the
+    boundary touch counts; the break is strictly ``>`` in both forms,
+    pinned by test_session_window_exact_gap_boundary).  The one output
+    difference: ``session_close`` is ``max(ts) + gap`` (the window
+    close), not the last event time.
+
+    At 100 TB: one shuffle on the user key; Spark merges overlapping
+    candidate windows per key inside the aggregate (no window-function
+    sort pass), and the same plan runs under a watermark in streaming.
+    """
+    events = normalize_ntz(events)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_close"),
+            "n_events",
+        )
+    )

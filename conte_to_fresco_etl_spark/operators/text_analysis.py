@@ -1408,3 +1408,67 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    min_df: int = 10,
+    min_pair: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by document-level pointwise mutual
+    information: for token types a, b the score is
+    ``ln(n_ab * N / (n_a * n_b))`` over DISTINCT-per-document
+    occurrences — the association signal phrase mining and
+    tokenizer-vocabulary curation read off a corpus.
+
+    Output: ``(t1, t2, n_pair, pmi)`` with t1 < t2, ranked by
+    (pmi desc, t1, t2); only terms in ≥ ``min_df`` docs and pairs in
+    ≥ ``min_pair`` docs participate (rare-pair PMI is noise and the
+    filters are the scale knobs).
+
+    Scale posture: the vocabulary prune happens BEFORE pair
+    generation — postings semi-join the (broadcast, |vocab|-row)
+    eligible-term table, so the per-document self-join costs
+    Σ |doc ∩ vocab|², not Σ |doc|².  Counts are exact longs; the PMI
+    double is the identical expression tree in both engines, ROUND(6)
+    pinned before ranking."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).distinct()
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("n_t"))
+    vocab = dfreq.filter(F.col("n_t") >= min_df)
+    posts = toks.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+    n_docs = df.select(F.col(id_col)).agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    a = posts.select("__doc", F.col("term").alias("t1"))
+    b = posts.select("__doc", F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, "__doc")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    na = vocab.select(F.col("term").alias("t1"), F.col("n_t").alias("n_a"))
+    nb = vocab.select(F.col("term").alias("t2"), F.col("n_t").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("__n")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(na), "t1")
+        .join(F.broadcast(nb), "t2")
+        .join(F.broadcast(n_docs))
+        .select("t1", "t2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )

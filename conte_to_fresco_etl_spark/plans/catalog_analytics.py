@@ -594,3 +594,145 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session-window aggregate
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_SQL = """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts)
+                  > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_close,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@_q("q_session_window", _SESSION_WINDOW_SQL)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window grouping (the streaming session
+    operator in batch): one shuffle on the user key, windows merged
+    inside the aggregate — no sort-window pass.  The oracle is the
+    islands spelling with the SAME closed boundary (an event exactly
+    gap after its predecessor MERGES — the strict-> break) and close =
+    last event + gap."""
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        session_window_agg,
+    )
+
+    return session_window_agg(_events(spark, sf_dir), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outliers (median/MAD rule)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.5
+_MAD_SIGMA = 1.4826
+
+_MAD_SQL = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+           CASE WHEN a.mad <> 0.0
+                THEN ROUND(d.absdev / ({_MAD_SIGMA!r} * a.mad), 6)
+           END AS robust_z
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE d.absdev > {_MAD_K * _MAD_SIGMA!r} * a.mad
+"""
+
+
+@_q("q_mad_outliers", _MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven metric screening: events whose value deviates from
+    the per-type MEDIAN by more than 3.5 scaled MADs.  Two aggregate
+    passes + broadcast stat joins — never a corpus-wide sort window;
+    exact percentile keeps the boundary engine-deterministic."""
+    from conte_to_fresco_etl_spark.operators.robust import mad_outliers
+
+    return mad_outliers(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        k=_MAD_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the user co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+    WITH posts AS (
+      SELECT DISTINCT user_id AS k, date_trunc('hour', ts) AS ctx
+      FROM events WHERE user_id < 40
+    ),
+    edges AS (
+      SELECT a.k AS u, b.k AS v
+      FROM posts a JOIN posts b ON a.ctx = b.ctx AND a.k < b.k
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10
+    ),
+    tris AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT x AS node FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM members GROUP BY node
+"""
+
+
+@_q("q_triangle_count", _TRIANGLE_SQL)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the hour-bucket user
+    co-occurrence graph (users sharing ≥10 active hours).  The edge
+    build is a posting-list self-join on the CONTEXT (Σ posting², never
+    |users|²); the count uses the degree-ordered orientation so each
+    triangle is enumerated once from its lowest-rank vertex and hub
+    wedge fan-out is bounded by √(2|E|) — the oracle is the naive
+    three-way self-join."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=10,
+    )
+    return triangle_count(edges, a_col="a", b_col="b")

@@ -3086,3 +3086,137 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(drops), "doc_id", "left_anti"
     ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(
+               ln(({_sql_md5_long("'42:' || CAST(doc_id AS VARCHAR)")}
+                   + 1.0) / {float(16**15 + 1)!r})
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0
+    )
+    SELECT doc_id, source, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+"""
+
+
+@_q("q_weighted_sample", _WSAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (Efraimidis–Spirakis A-ES, k=50,
+    weight = n_chars): hash-stable ln(u)/w keys ranked by
+    TakeOrdered(k) — map-side keys, k·|partitions| driver rows,
+    reproducible across engines and partitionings."""
+    from conte_to_fresco_etl_spark.validation import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(
+        docs, weight_col="n_chars", key_col="doc_id", k=50, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+    WITH q AS (
+      SELECT doc_id, lang, source,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket
+      FROM documents
+    ),
+    sizes AS (
+      SELECT lang, source, size_bucket, COUNT(*) AS group_n
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT q.doc_id,
+           CASE WHEN s.group_n >= 5 THEN q.lang END AS lang,
+           CASE WHEN s.group_n >= 5 THEN q.source END AS source,
+           CASE WHEN s.group_n >= 5 THEN q.size_bucket END AS size_bucket,
+           s.group_n,
+           s.group_n < 5 AS suppressed
+    FROM q JOIN sizes s USING (lang, source, size_bucket)
+"""
+
+
+@_q("q_k_anonymity", _KANON_SQL)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) over the (lang, source, size-bucket) quasi-
+    identifier: equivalence classes smaller than k get their quasi
+    columns suppressed.  Class-size aggregate + broadcast join back —
+    the class table is dimension-sized by construction; the oracle
+    spells the same thing with a join for parity."""
+    from conte_to_fresco_etl_spark.operators.pii import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("long").alias("size_bucket"),
+    )
+    return k_anonymity(
+        docs,
+        quasi_cols=["lang", "source", "size_bucket"],
+        id_col="doc_id",
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_DF = 25
+_PMI_MIN_PAIR = 10
+_PMI_K = 20
+
+_PMI_SQL = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, unnest({_sql_tokens()}) AS term
+      FROM documents
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS n_t FROM toks GROUP BY 1),
+    vocab AS (SELECT term, n_t FROM dfreq WHERE n_t >= {_PMI_MIN_DF}),
+    posts AS (
+      SELECT t.doc, t.term FROM toks t
+      WHERE t.term IN (SELECT term FROM vocab)
+    ),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n_pair
+      FROM posts a JOIN posts b ON a.doc = b.doc AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT p.t1, p.t2, p.n_pair,
+           ROUND(ln(CAST(p.n_pair AS DOUBLE) * n.n_docs
+                    / (CAST(va.n_t AS DOUBLE) * CAST(vb.n_t AS DOUBLE))),
+                 6) AS pmi
+    FROM pairs p
+    JOIN vocab va ON va.term = p.t1
+    JOIN vocab vb ON vb.term = p.t2
+    CROSS JOIN n
+    ORDER BY pmi DESC, t1, t2 LIMIT {_PMI_K}
+"""
+
+
+@_q("q_token_pmi", _PMI_SQL)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by document-level PMI: vocabulary pruned
+    (df ≥ 25) BEFORE the per-document pair self-join, so pair
+    generation costs Σ |doc ∩ vocab|²; exact long counts in, one
+    ROUND(6)-pinned log expression out, TakeOrdered ranking."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import token_pmi
+
+    return token_pmi(
+        _t(spark, sf_dir, "documents"),
+        min_df=_PMI_MIN_DF,
+        min_pair=_PMI_MIN_PAIR,
+        k=_PMI_K,
+    )

@@ -481,3 +481,49 @@ def score_proportional_sample(
     # values round to exactly 1.0 in double precision, where u < score
     # alone would drop a probability-1 row
     return df.filter((u < F.col(score_col)) | (F.col(score_col) >= 1.0))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    k: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws the hash-stable unit uniform ``u = (h + 1) /
+    (16^15 + 1)`` and gets the key ``ln(u) / w`` (the log form of
+    ``u^(1/w)``); the k LARGEST keys are the sample.  Inclusion
+    probability is proportional to weight in the without-replacement
+    sense, and the draw is a pure function of (seed, row key), so the
+    sample is reproducible across runs, partitionings, and engines —
+    the property distributed reservoir implementations lose when they
+    consume partition-order randomness.
+
+    Distributed shape: map-side key computation + TakeOrdered(k) — the
+    per-partition top-k pre-reduction means the driver sees only
+    k × n_partitions candidates, never the corpus.
+
+    Rows with non-positive weight are excluded (they have probability
+    zero; ln(u)/w would flip sign and dominate the ranking)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))
+    es_key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 12
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0.0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,209 @@
+"""Semantics tests for the round-4 additions: native session windows,
+median/MAD outliers, co-occurrence graphs + triangle counting,
+weighted reservoir sampling, k-anonymity, and PMI collocations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from conte_to_fresco_etl_spark.operators.graph import (
+    cooccurrence_edges,
+    triangle_count,
+)
+from conte_to_fresco_etl_spark.operators.pii import k_anonymity
+from conte_to_fresco_etl_spark.operators.robust import mad_outliers
+from conte_to_fresco_etl_spark.operators.sessions import (
+    session_window_agg,
+    sessionize_events,
+)
+from conte_to_fresco_etl_spark.operators.text_analysis import token_pmi
+from conte_to_fresco_etl_spark.validation import weighted_sample_topk
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+# ---------------------------------------------------------------------------
+# native session_window
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Spark's session_window MERGES an event landing exactly ``gap``
+    after its predecessor (boundary touch counts — the break is
+    strictly ``>``), agreeing with sessionize_events; one second past
+    the gap splits.  session_close = last event + gap."""
+    rows = [
+        (1, _ts(0, 0), 1),
+        (1, _ts(0, 30), 2),        # exactly 30 min later -> MERGED
+        (1, _ts(1, 0, 1), 3),      # 30 min 1 s later -> new session
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    native = session_window_agg(ev, gap_minutes=30).orderBy("session_start")
+    got = [(r["n_events"], r["session_start"], r["session_close"]) for r in native.collect()]
+    assert got == [
+        (2, _ts(0, 0), _ts(1, 0)),
+        (1, _ts(1, 0, 1), _ts(1, 30, 1)),
+    ]
+    legacy = sessionize_events(ev, gap_minutes=30)
+    assert legacy.count() == 2  # same membership under the `>` break
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_known_value(spark):
+    # group a: values 1..9 plus a wild 1000 -> med 5.5, mad ~2.5
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    out = mad_outliers(df, "event_type", "value", "event_id", k=3.5).collect()
+    assert [r["event_id"] for r in out] == [9]
+    r = out[0]
+    # med of 1..9,1000 = 5.5; absdev med: |v-5.5| = 4.5,3.5,...,994.5 -> mad 2.5
+    assert r["med"] == 5.5 and r["mad"] == 2.5
+    assert r["robust_z"] == round(994.5 / (1.4826 * 2.5), 6)
+
+
+def test_mad_outliers_zero_mad_degeneracy(spark):
+    """>50% constant group: MAD = 0 -> ANY deviation flags, score NULL."""
+    rows = [(i, "c", 5.0) for i in range(6)] + [(10, "c", 5.1)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    out = mad_outliers(df, "event_type", "value", "event_id", k=3.5).collect()
+    assert [(r["event_id"], r["robust_z"]) for r in out] == [(10, None)]
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence edges + triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_edges_threshold_and_distinct(spark):
+    rows = [
+        (1, "x"), (2, "x"),          # 1-2 share x
+        (1, "y"), (2, "y"),          # and y  -> n_shared 2
+        (1, "y"),                    # duplicate posting ignored
+        (2, "z"), (3, "z"),          # 2-3 share only z
+    ]
+    df = spark.createDataFrame(rows, "k int, ctx string")
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in cooccurrence_edges(df, "k", "ctx", min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4 has 4 triangles, every vertex in 3; a pendant edge adds none.
+    Edges arrive duplicated, reversed, and with a self-loop."""
+    e = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e += [(b, a) for (a, b) in e]      # reversed duplicates
+    e += [(2, 2), (3, 9)]              # self-loop + pendant
+    df = spark.createDataFrame(e, "a int, b int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_two_shared_edge_triangles(spark):
+    # triangles (0,1,2) and (1,2,3) share edge 1-2
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "a int, b int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _es_key(seed: int, key: int, w: float) -> float:
+    h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16)
+    u = (h + 1.0) / float(16**15 + 1)
+    return round(math.log(u) / w, 12)
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample_topk(df, "w", "doc_id", k=10, seed=42).collect()]
+    expect = sorted(rows, key=lambda r: (-_es_key(42, r[0], r[1]), r[0]))[:10]
+    assert got == [r[0] for r in expect]
+    # partitioning-independent
+    got8 = [r["doc_id"] for r in
+            weighted_sample_topk(df.repartition(8), "w", "doc_id", k=10, seed=42).collect()]
+    assert got8 == got
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id int, w double"
+    )
+    got = [r["doc_id"] for r in
+           weighted_sample_topk(df, "w", "doc_id", k=10).collect()]
+    assert got == [3]
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_suppresses_small_classes(spark):
+    rows = [(i, "en", "a") for i in range(5)] + [(99, "fr", "b")]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, source string")
+    out = {r["doc_id"]: r for r in
+           k_anonymity(df, ["lang", "source"], "doc_id", k=5).collect()}
+    assert out[0]["lang"] == "en" and not out[0]["suppressed"]
+    assert out[0]["group_n"] == 5
+    assert out[99]["lang"] is None and out[99]["source"] is None
+    assert out[99]["suppressed"] and out[99]["group_n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PMI
+# ---------------------------------------------------------------------------
+
+
+def test_token_pmi_python_twin(spark):
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha delta"),
+        (3, "beta gamma"),
+        (4, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = [
+        (r["t1"], r["t2"], r["n_pair"], r["pmi"])
+        for r in token_pmi(df, min_df=2, min_pair=2, k=10).collect()
+    ]
+    # python twin
+    toksets = {i: set(t.split()) for i, t in docs}
+    n = float(len(docs))
+    dfreq: dict[str, int] = {}
+    for ts in toksets.values():
+        for t in ts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vocab = {t for t, c in dfreq.items() if c >= 2}
+    pairs: dict[tuple, int] = {}
+    for ts in toksets.values():
+        el = sorted(t for t in ts if t in vocab)
+        for i in range(len(el)):
+            for j in range(i + 1, len(el)):
+                pairs[(el[i], el[j])] = pairs.get((el[i], el[j]), 0) + 1
+    expect = [
+        (a, b, c, round(math.log(c * n / (dfreq[a] * dfreq[b])), 6))
+        for (a, b), c in pairs.items()
+        if c >= 2
+    ]
+    expect.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == expect[:10]

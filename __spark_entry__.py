@@ -58,8 +58,6 @@ PRIORITY: list[str] = [
     "q_pack_sequences",
     "q_knn_classify",
     "q_top_bigrams",
-    "q_temperature_sample",
-    "q_label_centroids",
     # new or modified in r4
     "q_decontaminate_bloom",
     "q_mixture_weights",
@@ -91,6 +89,8 @@ PRIORITY: list[str] = [
     "q_weighted_sample",
     "q_k_anonymity",
     "q_token_pmi",
+    "q_token_entropy",
+    "q_psi_drift",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -101,8 +101,11 @@ PRIORITY: list[str] = [
     "q_bm25_topk",
     "q13_customer_distribution",
     # --- rotation tail (beyond a 50-query window this round) ---
-    # r3-green queries whose r4 edits are pinned by local parity, and
-    # second family members (their siblings hold the window slot)
+    # r2-green unmodified queries and r3-green queries whose r4 edits
+    # are pinned by local parity, plus second family members (their
+    # siblings hold the window slot) — all rotate into later windows
+    "q_temperature_sample",
+    "q_label_centroids",
     "q_bpe_apply",
     "q_url_dedup",
     "q_distinct_counts",

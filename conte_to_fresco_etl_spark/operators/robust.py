@@ -75,3 +75,67 @@ def mad_outliers(
         "mad",
         score.alias("robust_z"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    split_col,
+    bin_width: float = 25.0,
+) -> DataFrame:
+    """Population stability index between the two halves a boolean
+    ``split_col`` induces (False = reference, True = current) — the
+    standard drift score monitoring puts on every model input:
+    PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken.
+
+    Values are binned fixed-width (``floor(v / bin_width)``); the bin
+    UNIVERSE per key is every bin either half occupies, and both
+    halves are Laplace-smoothed over it (``p = (n+1) / (N+B)``) so
+    empty-on-one-side bins contribute finitely instead of ±inf.
+
+    Output: ``(key, n_ref, n_cur, n_bins, psi)``.
+
+    Determinism: (p-q)·ln(p/q) contributions are ROUND(12)-pinned and
+    summed as DECIMAL(28,12) — order-independent, engine-exact.
+
+    Scale posture: one (key, bin, half) count shuffle with map-side
+    partials collapses the corpus to |keys|·|bins|·2 rows; everything
+    after is dimension-sized.  No quantile pass — fixed-width bins are
+    the streaming-friendly choice (equi-depth bins need a per-key
+    quantile pass; ``q_value_percentiles`` shows that form)."""
+    binned = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(value_col) / F.lit(bin_width)).alias("bin"),
+        split_col.alias("cur"),
+    )
+    counts = binned.groupBy("key", "bin").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    # Spark resolves column names case-insensitively by default, so the
+    # per-key totals need names disjoint from the per-bin counts
+    stats = counts.groupBy("key").agg(
+        F.sum("n_ref").alias("tot_ref"),
+        F.sum("n_cur").alias("tot_cur"),
+        F.count("*").alias("n_bins"),
+    )
+    joined = counts.join(F.broadcast(stats), "key")
+    p = (F.col("n_ref") + F.lit(1)).cast("double") / (
+        F.col("tot_ref") + F.col("n_bins")
+    ).cast("double")
+    q = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.col("tot_cur") + F.col("n_bins")
+    ).cast("double")
+    contrib = F.round((q - p) * F.log(q / p), 12).cast("decimal(28,12)")
+    return (
+        joined.groupBy("key", "tot_ref", "tot_cur", "n_bins")
+        .agg(F.sum(contrib).cast("double").alias("psi"))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("tot_ref").alias("n_ref"),
+            F.col("tot_cur").alias("n_cur"),
+            "n_bins",
+            F.round("psi", 6).alias("psi"),
+        )
+    )

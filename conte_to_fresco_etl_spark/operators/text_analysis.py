@@ -1472,3 +1472,51 @@ def token_pmi(
         .orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
         .limit(k)
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical diversity: unigram Shannon entropy (nats),
+    type and token counts, and type-token ratio — the diversity screen
+    that catches template farms and model-generated spam (low entropy,
+    low TTR) before they enter a training mix.
+
+    Output: ``(group, n_tokens, n_types, ttr, entropy)``.
+
+    Determinism: entropy is ``-Σ p·ln(p)`` over doubles, which is
+    order-DEPENDENT if summed naively — contributions are ROUND(12)
+    pinned and summed as DECIMAL(28,12) (the pagerank discipline), so
+    the result is exact under any partitioning and engine.
+
+    Scale posture: one (group, term) count shuffle with map-side
+    partials, then a |vocab|-row second aggregate; group totals ride a
+    broadcast join.  Nothing corpus-sized moves twice."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("grp", "term").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("grp").agg(
+        F.sum("n").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("n_tokens").cast("double")
+    contrib = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        counts.join(F.broadcast(totals), "grp")
+        .groupBy("grp", "n_tokens", "n_types")
+        .agg((-F.sum(contrib).cast("double")).alias("entropy"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round("entropy", 6).alias("entropy"),
+        )
+    )

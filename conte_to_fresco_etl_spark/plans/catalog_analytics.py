@@ -736,3 +736,66 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=10,
     )
     return triangle_count(edges, a_col="a", b_col="b")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (population stability index)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+
+_PSI_SQL = f"""
+    WITH b AS (
+      SELECT event_type AS key,
+             CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+             ts >= TIMESTAMP '{_PSI_SPLIT}' AS cur
+      FROM events
+    ),
+    counts AS (
+      SELECT key, bin,
+             CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM b GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT key, CAST(SUM(n_ref) AS BIGINT) AS big_n_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS big_n_cur,
+             COUNT(*) AS n_bins
+      FROM counts GROUP BY 1
+    )
+    SELECT c.key AS event_type, s.big_n_ref AS n_ref,
+           s.big_n_cur AS n_cur, s.n_bins,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(c.n_cur + 1 AS DOUBLE)
+                / CAST(s.big_n_cur + s.n_bins AS DOUBLE)
+              - CAST(c.n_ref + 1 AS DOUBLE)
+                / CAST(s.big_n_ref + s.n_bins AS DOUBLE))
+             * ln((CAST(c.n_cur + 1 AS DOUBLE)
+                   / CAST(s.big_n_cur + s.n_bins AS DOUBLE))
+                  / (CAST(c.n_ref + 1 AS DOUBLE)
+                     / CAST(s.big_n_ref + s.n_bins AS DOUBLE))), 12)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+    FROM counts c JOIN stats s USING (key)
+    GROUP BY c.key, s.big_n_ref, s.big_n_cur, s.n_bins
+"""
+
+
+@_q("q_psi_drift", _PSI_SQL)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second half of the
+    month (fixed-width value bins, Laplace-smoothed over the occupied
+    bin universe): one (key, bin) count shuffle collapses the corpus,
+    contributions decimal-summed — the drift monitor every production
+    feature pipeline runs."""
+    from conte_to_fresco_etl_spark.operators.robust import psi_drift
+
+    ev = _events(spark, sf_dir)
+    return psi_drift(
+        ev,
+        key_col="event_type",
+        value_col="value",
+        split_col=F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"),
+        bin_width=25.0,
+    )

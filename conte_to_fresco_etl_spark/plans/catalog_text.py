@@ -3220,3 +3220,46 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pair=_PMI_MIN_PAIR,
         k=_PMI_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (unigram entropy / type-token ratio)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest({_sql_tokens()}) AS term
+      FROM documents
+    ),
+    counts AS (SELECT grp, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    totals AS (
+      SELECT grp, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types
+      FROM counts GROUP BY 1
+    )
+    SELECT c.grp AS source, t.n_tokens, t.n_types,
+           ROUND(CAST(t.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE),
+                 6) AS ttr,
+           ROUND(-CAST(SUM(CAST(ROUND(
+             (CAST(c.n AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+             * ln(CAST(c.n AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)), 12)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM counts c JOIN totals t USING (grp)
+    GROUP BY c.grp, t.n_tokens, t.n_types
+"""
+
+
+@_q("q_token_entropy", _ENTROPY_SQL)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy + type-token ratio — the
+    lexical-diversity screen for template farms and generated spam.
+    One (source, term) count shuffle; -Σ p·ln(p) contributions are
+    ROUND(12)-pinned and decimal-summed so the double is
+    order-independent and engine-exact."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    return token_entropy(
+        _t(spark, sf_dir, "documents"), group_col="source"
+    )

@@ -207,3 +207,71 @@ def test_token_pmi_python_twin(spark):
     ]
     expect.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == expect[:10]
+
+
+# ---------------------------------------------------------------------------
+# token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_python_twin(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    docs = [
+        (0, "a", "x x x y"),      # src a: p(x)=3/4, p(y)=1/4
+        (1, "b", "p q r s"),      # src b: uniform over 4
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    got = {r["source"]: r for r in token_entropy(df).collect()}
+
+    def h(ps):
+        from decimal import Decimal
+
+        return round(-float(sum(Decimal(str(round(p * math.log(p), 12)))
+                                for p in ps)), 6)
+
+    assert got["a"]["n_tokens"] == 4 and got["a"]["n_types"] == 2
+    assert got["a"]["ttr"] == 0.5
+    assert got["a"]["entropy"] == h([0.75, 0.25])
+    assert got["b"]["entropy"] == h([0.25] * 4)
+    assert got["b"]["ttr"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_identical_halves_zero(spark):
+    from conte_to_fresco_etl_spark.operators.robust import psi_drift
+
+    rows = [("t", float(v), c) for v in [10, 30, 60] for c in (False, True)]
+    df = spark.createDataFrame(rows, "k string, value double, cur boolean")
+    out = psi_drift(df, "k", "value", F.col("cur"), bin_width=25.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == 3 and r["n_cur"] == 3 and r["n_bins"] == 3
+    assert r["psi"] == 0.0  # identical distributions -> zero drift
+
+
+def test_psi_drift_detects_shift(spark):
+    from conte_to_fresco_etl_spark.operators.robust import psi_drift
+
+    # reference all in bin 0, current all in bin 3 -> large PSI
+    rows = [("t", 5.0, False)] * 50 + [("t", 90.0, True)] * 50
+    df = spark.createDataFrame(rows, "k string, value double, cur boolean")
+    r = psi_drift(df, "k", "value", F.col("cur"), bin_width=25.0).collect()[0]
+    assert r["n_bins"] == 2
+    # python twin with the same Laplace smoothing
+    p = [(50 + 1) / 52.0, (0 + 1) / 52.0]
+    q = [(0 + 1) / 52.0, (50 + 1) / 52.0]
+    from decimal import Decimal
+
+    expect = round(float(sum(
+        Decimal(str(round((qi - pi) * math.log(qi / pi), 12)))
+        for pi, qi in zip(p, q)
+    )), 6)
+    assert r["psi"] == expect
+    assert r["psi"] > 0.25  # "broken" on the standard scale

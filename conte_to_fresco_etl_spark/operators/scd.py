@@ -77,3 +77,27 @@ def scd2_intervals(
         F.col("valid_from"),
         F.lead(F.col("valid_from")).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Last-write-wins MERGE (SCD type 1): rows in ``updates`` replace
+    matching ``target`` rows by key; unmatched update rows insert;
+    untouched target rows survive — the batch-incremental load step
+    every warehouse dimension table runs, and the batch twin of the
+    streaming foreachBatch upsert (streaming/pipeline.py:upsert).
+
+    Relational spelling: target LEFT-ANTI updates ∪ updates — one
+    hash shuffle per side on the key (or zero for the anti side when
+    updates is dimension-sized and AQE broadcasts it).  On a real
+    warehouse this materializes via dynamic partition overwrite or a
+    transactional table format's MERGE INTO; the dataflow is the same.
+
+    Schemas must match; key collisions WITHIN updates are the caller's
+    contract to resolve first (aggregate or rank to one row per key),
+    as in SQL MERGE."""
+    survivors = target.join(updates, key_cols, "left_anti")
+    return survivors.unionByName(updates)

@@ -799,3 +799,97 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_col=F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"),
         bin_width=25.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-write-wins MERGE (SCD type 1 upsert)
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = f"""
+    WITH tgt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}' GROUP BY 1
+    ),
+    upd AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}' GROUP BY 1
+    )
+    SELECT t.user_id, t.n_events, t.sum_value FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = t.user_id)
+    UNION ALL
+    SELECT user_id, n_events, sum_value FROM upd
+"""
+
+
+@_q("q_merge_upsert", _MERGE_SQL)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE: the second half-month's per-user snapshot upserts
+    the first half's — matching keys replaced wholesale, unmatched
+    inserted, untouched rows surviving via LEFT-ANTI ∪ (the batch twin
+    of the streaming foreachBatch upsert)."""
+    from conte_to_fresco_etl_spark.operators.scd import merge_upsert
+
+    ev = _events(spark, sf_dir)
+    split = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    return merge_upsert(
+        snap(ev.filter(split)), snap(ev.filter(~split)), ["user_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic rank-function spread
+# ---------------------------------------------------------------------------
+
+_RANKS_SQL = """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM per_user
+    WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+"""
+
+
+@_q("q_rank_functions", _RANKS_SQL)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-rank family in one pass: dense_rank / percent_rank
+    / cume_dist per event type over per-user decimal-exact totals —
+    one aggregate shuffle + one window sort on the (already
+    dimension-sized) per-user table; ordering pinned by (total desc,
+    user_id) so every rank is engine-deterministic."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("total").desc(), F.col("user_id").asc())
+    )
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "total",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -480,3 +480,35 @@ def start_scd2_maintainer(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessions(
+    ts_stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming session windows — the SAME
+    ``session_window`` operator as the batch form
+    (operators/sessions.py:session_window_agg), so batch and stream
+    produce identical sessions on identical data (pinned by
+    test_streaming_sessions_match_batch).
+
+    State: one open window per (user, session); merged when a new event
+    lands within ``gap``; finalized and evictable once the watermark
+    passes ``session_close`` — bounded by active users, not history."""
+    return (
+        ts_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+            F.col(user_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_close"),
+            "n_events",
+        )
+    )

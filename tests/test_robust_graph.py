@@ -275,3 +275,68 @@ def test_psi_drift_detects_shift(spark):
     )), 6)
     assert r["psi"] == expect
     assert r["psi"] > 0.25  # "broken" on the standard scale
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows (batch/stream parity)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        streaming_sessions,
+    )
+
+    rows = [
+        (1, _ts(0, 0)), (1, _ts(0, 10)),          # session A (user 1)
+        (1, _ts(2, 0)),                           # session B (user 1)
+        (2, _ts(0, 5)), (2, _ts(0, 40)), (2, _ts(1, 5)),  # 35m break, 25m merge
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id int, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id int, ts timestamp").parquet(src)
+    q = (
+        streaming_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_close"], r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    batch = session_window_agg(
+        spark.read.parquet(src), gap_minutes=30
+    ).collect()
+    expect = {
+        (r["user_id"], r["session_start"], r["session_close"], r["n_events"])
+        for r in batch
+    }
+    assert got == expect
+    # user 2: 0:05 alone (35 min gap breaks), then 0:40+1:05 merge
+    assert (2, _ts(0, 5), _ts(0, 35), 1) in got
+    assert (2, _ts(0, 40), _ts(1, 35), 2) in got
+
+
+# ---------------------------------------------------------------------------
+# SCD-1 merge upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_replace_insert_survive(spark):
+    from conte_to_fresco_etl_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new"), (3, "insert")], "k int, v string"
+    )
+    got = {r["k"]: r["v"] for r in
+           merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "insert"}

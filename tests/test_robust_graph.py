@@ -340,3 +340,99 @@ def test_merge_upsert_replace_insert_survive(spark):
     got = {r["k"]: r["v"] for r in
            merge_upsert(target, updates, ["k"]).collect()}
     assert got == {1: "new", 2: "keep", 3: "insert"}
+
+
+# ---------------------------------------------------------------------------
+# property tests: randomized brute-force equivalence
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered enumeration == brute-force triple scan on random
+    multigraphs with loops and reversed duplicates."""
+    df = spark.createDataFrame(edges, "a int, b int") if edges else (
+        spark.createDataFrame([], "a int, b int")
+    )
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(df).collect()}
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes = sorted({n for e in adj for n in e})
+    expect: dict[int, int] = {}
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            for z in nodes[nodes.index(y) + 1:]:
+                if ((x, y) in adj and (x, z) in adj and (y, z) in adj):
+                    for n in (x, y, z):
+                        expect[n] = expect.get(n, 0) + 1
+    assert got == expect
+
+
+mad_groups = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.integers(-80, 80).map(lambda q: q / 4.0),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(mad_groups)
+def test_mad_outliers_matches_python_twin(spark, rows):
+    """Flag set == the Python median/MAD rule on arbitrary groups,
+    including all-constant (mad=0) and single-row groups."""
+    data = [(i, f"g{k}", v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id int, event_type string, value double"
+    )
+    got = {r["event_id"] for r in
+           mad_outliers(df, "event_type", "value", "event_id", k=3.5).collect()}
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+    expect = set()
+    groups: dict[str, list] = {}
+    for i, k, v in data:
+        groups.setdefault(k, []).append((i, v))
+    for k, members in groups.items():
+        med = median([v for _, v in members])
+        mad = median([abs(v - med) for _, v in members])
+        for i, v in members:
+            if abs(v - med) > 3.5 * 1.4826 * mad:
+                expect.add(i)
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 400), min_size=1, max_size=40),
+    st.integers(1, 8),
+)
+def test_weighted_sample_size_and_membership(spark, weights, k):
+    """|sample| == min(k, n); members are exactly the top-k by the
+    A-ES key — for ANY weight profile."""
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id int, w double")
+    got = [r["doc_id"] for r in
+           weighted_sample_topk(df, "w", "doc_id", k=k, seed=7).collect()]
+    assert len(got) == min(k, len(rows))
+    expect = sorted(rows, key=lambda r: (-_es_key(7, r[0], r[1]), r[0]))
+    assert got == [r[0] for r in expect[:k]]

@@ -54,8 +54,6 @@ PRIORITY: list[str] = [
     "q_decontaminate",
     "q_source_cap",
     "q_unigram_nll",
-    "q_token_stats",
-    "q_pack_sequences",
     # new or modified in r4
     "q_decontaminate_bloom",
     "q_mixture_weights",
@@ -91,6 +89,9 @@ PRIORITY: list[str] = [
     "q_psi_drift",
     "q_merge_upsert",
     "q_rank_functions",
+    "q_ewma",
+    "q_series_corr",
+    "q_chi_square",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -106,6 +107,8 @@ PRIORITY: list[str] = [
     # siblings hold the window slot) — all rotate into later windows
     "q_temperature_sample",
     "q_label_centroids",
+    "q_token_stats",
+    "q_pack_sequences",
     "q_knn_classify",
     "q_top_bigrams",
     "q_bpe_apply",

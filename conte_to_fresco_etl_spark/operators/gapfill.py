@@ -187,3 +187,52 @@ def time_weighted_avg(
             round_to,
         ).alias("twa"),
     )
+
+
+def ewma_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+    depth: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average — the classic
+    smoothed feature ML pipelines attach to every metric stream.  For
+    each row, EWMA over the last ``depth`` observations of its key:
+
+        ewma = Σ_j w_j·x_{t-j} / Σ_j w_j,   w_j = (1-α)^j
+
+    truncating at ``depth`` makes the recurrence a FIXED lag chain —
+    expressible as window expressions over ONE key-partitioned sort
+    (all ``depth`` lags share a single Exchange+Sort, the
+    top_event_sequences trick), fully whole-stage-codegen, instead of a
+    sequential per-key scan (the untruncated recurrence is inherently
+    order-serial; with (1-α)^8 ≈ 0.057 the truncation error is < 6%
+    of the oldest term's weight and the usual engineering trade).
+    Series shorter than ``depth`` renormalize over the PRESENT lags, so
+    early rows are unbiased rather than damped toward zero.
+
+    Determinism: weights are double constants; the numerator/denominator
+    are the identical left-associated addition chains in the SQL oracle,
+    and the quotient is ROUND(6)-pinned."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    num = None
+    den = None
+    for j in range(depth):
+        wj = float((1.0 - alpha) ** j)
+        lagv = F.lag(F.col(value_col), j).over(w) if j else F.col(value_col)
+        term = F.coalesce(lagv * F.lit(wj), F.lit(0.0))
+        wterm = F.when(lagv.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return df.select(
+        key_col,
+        ts_col,
+        id_col,
+        value_col,
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -18,7 +18,7 @@ medians when two scans are too dear.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -137,5 +137,127 @@ def psi_drift(
             F.col("tot_cur").alias("n_cur"),
             "n_bins",
             F.round("psi", 6).alias("psi"),
+        )
+    )
+
+
+def grouped_corr(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group Pearson correlation from DECIMAL-EXACT sufficient
+    statistics: n, Σx, Σy, Σxy, Σx², Σy² accumulate as decimals
+    (order-independent exact integers), then the textbook
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−(Σx)²) · (n·Σy²−(Σy)²))
+
+    evaluates ONCE per group in doubles — so the result is reproducible
+    under any partitioning and engine, unlike built-in ``corr()`` whose
+    streaming co-moment accumulation is merge-order-dependent.
+
+    Output: ``(key, n, r)`` with r ROUND(6)-pinned, NULL when either
+    variance is zero (constant series).
+
+    Scale posture: one partial-aggregated shuffle of 6 accumulators per
+    group — the corpus never moves twice.  Inputs are expected to carry
+    ≤ 2 fractional digits (metric readings); the decimal(18,4)/(38,8)
+    lattice is exact for them."""
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast(
+        "decimal(18,4)"
+    )
+    y = (y_col if not isinstance(y_col, str) else F.col(y_col)).cast(
+        "decimal(18,4)"
+    )
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,8)").alias("sx"),
+        F.sum(y).cast("decimal(38,8)").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    r = F.when(
+        (vx > 0.0) & (vy > 0.0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return agg.select(
+        F.col("key").alias(key_col), "n", r.alias("r")
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    — the association screen data-quality monitors run on label-vs-
+    source style pairs (a high statistic means the categories leak
+    into each other).
+
+    Output: ONE row ``(n, n_a, n_b, dof, chi2)`` where dof =
+    (n_a−1)(n_b−1) and chi2 = Σ_cells (o−e)²/e with e = row·col/N.
+
+    Determinism: o, row, col, N are exact longs; each cell's (o−e)²/e
+    is the identical double expression, ROUND(12)-pinned, decimal-
+    summed — order-independent.
+
+    Scale posture: one (a, b) count shuffle collapses the corpus to the
+    contingency table; marginals re-aggregate the |cells| rows (window
+    over the tiny counted table); the final sum is one scalar.  Only
+    OBSERVED cells carry (o−e)²/e directly; the absent-cell mass
+    Σ_absent e = N − Σ_observed e is added in closed form (for absent
+    cells (0−e)²/e = e), so sparse pairs need no dense cell explosion."""
+    a = a_col if not isinstance(a_col, str) else F.col(a_col)
+    b = b_col if not isinstance(b_col, str) else F.col(b_col)
+    cells = df.select(a.alias("a"), b.alias("b")).groupBy("a", "b").agg(
+        F.count("*").alias("o")
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_marg = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(wa).alias("row_tot"),
+        F.sum("o").over(wb).alias("col_tot"),
+        F.sum("o").over(wall).alias("grand"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    o = F.col("o").cast("double")
+    cell_term = F.round((o - e) * (o - e) / e, 12).cast("decimal(28,12)")
+    # expected mass sitting on absent cells, in closed form
+    e_term = F.round(e, 12).cast("decimal(28,12)")
+    return (
+        with_marg.agg(
+            F.max(F.col("grand")).alias("n"),
+            F.count_distinct("a").alias("n_a"),
+            F.count_distinct("b").alias("n_b"),
+            F.sum(cell_term).cast("double").alias("observed_part"),
+            F.sum(e_term).cast("double").alias("observed_e"),
+        )
+        .select(
+            "n",
+            "n_a",
+            "n_b",
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).alias("dof"),
+            F.round(
+                F.col("observed_part")
+                + (F.col("n").cast("double") - F.col("observed_e")),
+                6,
+            ).alias("chi2"),
         )
     )

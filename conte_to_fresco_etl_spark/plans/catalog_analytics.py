@@ -893,3 +893,150 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA features
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_DEPTH = 8
+
+
+def _ewma_sql() -> str:
+    num_terms, den_terms = [], []
+    for j in range(_EWMA_DEPTH):
+        wj = repr((1.0 - _EWMA_ALPHA) ** j)
+        lag = "value" if j == 0 else f"LAG(value, {j}) OVER w"
+        num_terms.append(f"COALESCE(({lag}) * {wj}, 0.0)")
+        den_terms.append(
+            f"CASE WHEN ({lag}) IS NOT NULL THEN {wj} ELSE 0.0 END"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        SELECT user_id, ts, event_id, value,
+               ROUND(({num}) / ({den}), 6) AS ewma
+        FROM events WHERE user_id < 16
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@_q("q_ewma", _ewma_sql())
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoothing (α=0.3, depth 8) per user series: all 8
+    lags share ONE key-partitioned sort; present-lag renormalization
+    keeps early rows unbiased.  The oracle is the identical lag chain."""
+    from conte_to_fresco_etl_spark.operators.gapfill import ewma_features
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 16)
+    return ewma_features(
+        ev, alpha=_EWMA_ALPHA, depth=_EWMA_DEPTH
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group Pearson correlation (diurnal value correlation)
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH agg AS (
+      SELECT event_type AS key, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sx,
+             CAST(SUM(CAST(hour(ts) AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sy,
+             SUM(CAST(CAST(value AS DECIMAL(18,4))
+                      * CAST(hour(ts) AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxy,
+             SUM(CAST(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxx,
+             SUM(CAST(CAST(hour(ts) AS DECIMAL(18,4))
+                      * CAST(hour(ts) AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS syy
+      FROM events GROUP BY 1
+    )
+    SELECT key AS event_type, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS r
+    FROM agg
+"""
+
+
+@_q("q_series_corr", _CORR_SQL)
+def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation between value and hour of day
+    (diurnal-pattern detection) from decimal-exact sufficient
+    statistics — one partial-aggregated shuffle, reproducible where
+    built-in corr()'s merge order is not."""
+    from conte_to_fresco_etl_spark.operators.robust import grouped_corr
+
+    ev = _events(spark, sf_dir)
+    return grouped_corr(
+        ev, key_col="event_type", x_col=F.col("value"), y_col=F.hour("ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (categorical association screen)
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+    WITH cells AS (
+      SELECT event_type AS a, user_id % 10 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS row_tot,
+             SUM(o) OVER (PARTITION BY b) AS col_tot,
+             SUM(o) OVER () AS grand
+      FROM cells
+    )
+    SELECT CAST(MAX(grand) AS BIGINT) AS n,
+           COUNT(DISTINCT a) AS n_a,
+           COUNT(DISTINCT b) AS n_b,
+           (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+           ROUND(
+             CAST(SUM(CAST(ROUND(
+               (CAST(o AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE))
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(grand AS DOUBLE)), 12) AS DECIMAL(28,12)))
+             AS DOUBLE)
+             + (CAST(MAX(grand) AS DOUBLE)
+                - CAST(SUM(CAST(ROUND(
+                    CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                    / CAST(grand AS DOUBLE), 12) AS DECIMAL(28,12)))
+                  AS DOUBLE)), 6) AS chi2
+    FROM marg
+"""
+
+
+@_q("q_chi_square", _CHI2_SQL)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × user-id bucket: one
+    contingency-count shuffle, marginals as windows over the tiny
+    counted table, absent-cell mass added in closed form — no dense
+    cell explosion."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        chi_square_independence,
+    )
+
+    ev = _events(spark, sf_dir)
+    return chi_square_independence(
+        ev, a_col=F.col("event_type"), b_col=F.col("user_id") % 10
+    )

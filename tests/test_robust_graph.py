@@ -436,3 +436,83 @@ def test_weighted_sample_size_and_membership(spark, weights, k):
     assert len(got) == min(k, len(rows))
     expect = sorted(rows, key=lambda r: (-_es_key(7, r[0], r[1]), r[0]))
     assert got == [r[0] for r in expect[:k]]
+
+
+# ---------------------------------------------------------------------------
+# EWMA / correlation / chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_truncated_chain_python_twin(spark):
+    from conte_to_fresco_etl_spark.operators.gapfill import ewma_features
+
+    vals = [10.0, 20.0, 40.0, 10.0, 30.0]
+    rows = [(1, _ts(0, 5 * i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    got = {r["event_id"]: r["ewma"]
+           for r in ewma_features(df, alpha=0.5, depth=3).collect()}
+    for t in range(len(vals)):
+        lags = [vals[t - j] for j in range(3) if t - j >= 0]
+        ws = [0.5 ** j for j in range(len(lags))]
+        expect = round(
+            sum(w * x for w, x in zip(ws, lags)) / sum(ws), 6
+        )
+        assert got[t] == expect, t
+
+
+def test_grouped_corr_known_series(spark):
+    from conte_to_fresco_etl_spark.operators.robust import grouped_corr
+
+    rows = (
+        [("pos", float(i), float(2 * i + 1)) for i in range(10)]
+        + [("neg", float(i), float(-3 * i)) for i in range(10)]
+        + [("flat", float(i), 7.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r["r"] for r in grouped_corr(df, "k", "x", "y").collect()}
+    assert got["pos"] == 1.0
+    assert got["neg"] == -1.0
+    assert got["flat"] is None  # zero variance -> undefined
+
+
+def test_chi_square_hand_built(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        chi_square_independence,
+    )
+
+    # 2x2 table: a1:(b1=30,b2=10), a2:(b1=10,b2=30) -> chi2 = 20·80·... 
+    rows = (
+        [("a1", "b1")] * 30 + [("a1", "b2")] * 10
+        + [("a2", "b1")] * 10 + [("a2", "b2")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_a"], r["n_b"], r["dof"]) == (80, 2, 2, 1)
+    # every e = 40*40/80 = 20; chi2 = 4 * (10^2/20) = 20
+    assert r["chi2"] == 20.0
+
+
+def test_chi_square_absent_cell_mass(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        chi_square_independence,
+    )
+
+    # a2 never co-occurs with b2: the (a2,b2) cell is ABSENT from the
+    # contingency counts and must still contribute its expected mass e
+    rows = [("a1", "b1")] * 5 + [("a1", "b2")] * 5 + [("a2", "b1")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    import math as m
+
+    o = {("a1", "b1"): 5, ("a1", "b2"): 5, ("a2", "b1"): 10,
+         ("a2", "b2"): 0}
+    row_t = {"a1": 10, "a2": 10}
+    col_t = {"b1": 15, "b2": 5}
+    expect = sum(
+        (o[(a, b)] - row_t[a] * col_t[b] / 20.0) ** 2
+        / (row_t[a] * col_t[b] / 20.0)
+        for a in row_t for b in col_t
+    )
+    assert m.isclose(r["chi2"], round(expect, 6), abs_tol=2e-6)

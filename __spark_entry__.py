@@ -50,8 +50,8 @@ PRIORITY: list[str] = [
     "q_shard_manifest",
     # changed in r3 after its r2 green row
     "q_curation_v2",
-    # r2-green-only (no r3 row)
-    "q_decontaminate",
+    # r2-green-only (no r3 row); q_source_cap also changed in r4
+    # (collect-free cap rewrite), so its slot is mandatory
     "q_source_cap",
     "q_unigram_nll",
     # new or modified in r4
@@ -92,6 +92,8 @@ PRIORITY: list[str] = [
     "q_ewma",
     "q_series_corr",
     "q_chi_square",
+    "q_snapshot_diff",
+    "q_range_frame",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -107,6 +109,7 @@ PRIORITY: list[str] = [
     # siblings hold the window slot) — all rotate into later windows
     "q_temperature_sample",
     "q_label_centroids",
+    "q_decontaminate",
     "q_token_stats",
     "q_pack_sequences",
     "q_knn_classify",

@@ -101,3 +101,50 @@ def merge_upsert(
     as in SQL MERGE."""
     survivors = target.join(updates, key_cols, "left_anti")
     return survivors.unionByName(updates)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by key and
+    content fingerprint and report ``added`` / ``removed`` /
+    ``changed`` rows (unchanged rows are omitted — at corpus scale the
+    diff is the small output, the point of publishing dataset deltas
+    instead of full re-releases).
+
+    Inputs carry ``(key_col, fingerprint_col)``; compute the
+    fingerprint upstream (e.g. ``md5(text)``) so this operator stays a
+    pure join.  Output: ``(key, status, old_fp, new_fp)``.
+
+    Scale posture: ONE full-outer hash join on the key — both sides
+    shuffle once; with bucketed snapshot tables even that exchange
+    drops away.  The fingerprint comparison is null-safe equality, so
+    a null fingerprint is a value, not a wildcard."""
+    # presence flags, NOT fingerprint nullity: a row may legitimately
+    # carry a null fingerprint and must not read as absent
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.col(fingerprint_col).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.col(fingerprint_col).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed")
+        )
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("key").alias(key_col), "status", "old_fp", "new_fp")
+    )

@@ -1040,3 +1040,94 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(
         ev, a_col=F.col("event_type"), b_col=F.col("user_id") % 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-version snapshot diff
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)
+               AS fp
+      FROM documents
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+           END AS status,
+           o.fp AS old_fp, n.fp AS new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+"""
+
+
+@_q("q_snapshot_diff", _DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff between a simulated v1 (docs with id % 3
+    ≠ 0, original text) and v2 (all docs, every 5th text rewritten):
+    one full-outer key join over md5 fingerprints, reporting
+    added/removed/changed only."""
+    from conte_to_fresco_etl_spark.operators.scd import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    new = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.upper("text")
+            ).otherwise(F.col("text"))
+        ).alias("fingerprint"),
+    )
+    return snapshot_diff(old, new, key_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame (trailing 1 hour by TIME, not row count)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WHERE user_id < 16
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("q_range_frame", _RANGE_FRAME_SQL)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed trailing window: each event's count/sum over the
+    preceding HOUR of its user's activity — a true time-based frame
+    (peers at equal timestamps aggregate together), not a row-count
+    frame.  Spark spells the interval as a rangeBetween on integer
+    microseconds; one key-partitioned sort serves both aggregates."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 16)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -516,3 +516,52 @@ def test_chi_square_absent_cell_mass(spark):
         for a in row_t for b in col_t
     )
     assert m.isclose(r["chi2"], round(expect, 6), abs_tol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from conte_to_fresco_etl_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "fa"), (2, "fb"), (3, "fc"), (5, None)],
+        "doc_id int, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [(2, "fb"), (3, "fc2"), (4, "fd"), (5, None)],
+        "doc_id int, fingerprint string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, "doc_id").collect()}
+    # 1 removed, 2 unchanged (omitted), 3 changed, 4 added,
+    # 5 null==null fingerprints -> unchanged (null-safe equality)
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_range_frame_uses_time_not_rows(spark):
+    """Three events at 0:00/0:30/2:00 — the 2:00 row's trailing-hour
+    frame holds only itself, though two rows precede it."""
+    from conte_to_fresco_etl_spark.plans.catalog_analytics import (  # noqa: F401
+        q_range_frame,
+    )
+    from pyspark.sql import Window
+
+    rows = [(1, 0, _ts(0, 0), 1.0), (1, 1, _ts(0, 30), 2.0),
+            (1, 2, _ts(2, 0), 4.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {r["event_id"]: (r["n"], r["s"]) for r in ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("value").over(w).alias("s"),
+    ).collect()}
+    assert got == {0: (1, 1.0), 1: (2, 3.0), 2: (1, 4.0)}

@@ -93,7 +93,6 @@ PRIORITY: list[str] = [
     "q_series_corr",
     "q_chi_square",
     "q_snapshot_diff",
-    "q_range_frame",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -102,6 +101,9 @@ PRIORITY: list[str] = [
     "q_gapfill",
     "q_funnel",
     "q_bm25_topk",
+    # RANGE frames share family evidence with r3-green
+    # q_trailing_window; rotate just past the boundary
+    "q_range_frame",
     "q13_customer_distribution",
     # --- rotation tail (beyond a 50-query window this round) ---
     # r2-green unmodified queries and r3-green queries whose r4 edits

@@ -53,12 +53,10 @@ PRIORITY: list[str] = [
     # r2-green-only (no r3 row); q_source_cap also changed in r4
     # (collect-free cap rewrite), so its slot is mandatory
     "q_source_cap",
-    "q_unigram_nll",
     # new or modified in r4
     "q_decontaminate_bloom",
     "q_mixture_weights",
     "q_boilerplate_frac",
-    "q_pq_topk",
     "q_ivfpq_topk",
     "q_repeated_spans",
     "q_dup_token_frac",
@@ -93,6 +91,8 @@ PRIORITY: list[str] = [
     "q_series_corr",
     "q_chi_square",
     "q_snapshot_diff",
+    "q_oov_rate",
+    "q_assoc_rules",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -112,6 +112,10 @@ PRIORITY: list[str] = [
     "q_temperature_sample",
     "q_label_centroids",
     "q_decontaminate",
+    "q_unigram_nll",
+    # q_ivfpq_topk re-derives BOTH quantizers in-oracle and holds the
+    # PQ-family slot; q_pq_topk rotates just past the boundary
+    "q_pq_topk",
     "q_token_stats",
     "q_pack_sequences",
     "q_knn_classify",

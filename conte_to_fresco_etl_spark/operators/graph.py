@@ -349,3 +349,81 @@ def triangle_count(
     out = members.groupBy("node").agg(F.count("*").alias("n_triangles"))
     oriented.unpersist(blocking=False)
     return out
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over baskets (market-basket mining,
+    the 1-antecedent slice of Apriori): for every DIRECTED item pair
+    a→b co-occurring in enough baskets, emit
+
+        support    = n_ab / N
+        confidence = n_ab / n_a
+        lift       = (n_ab · N) / (n_a · n_b)
+
+    Output: ``(antecedent, consequent, n_pair, support, confidence,
+    lift)``, all three ratios ROUND(6) from exact long counts.
+
+    Scale posture: distinct (basket, item) postings self-join on the
+    BASKET (Σ per-basket items², the n-gram-Jaccard shape); the
+    min_support prune applies to pair counts BEFORE the item-frequency
+    joins, and item frequencies broadcast back.  Deeper antecedents =
+    iterate this join against surviving itemsets (Apriori's candidate
+    generation), each round pruned by the same support floor."""
+    posts = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    # basket count stays IN-PLAN (1-row broadcast crossJoin, the
+    # q_above_mean discipline) — no eager driver count per call
+    nb = posts.agg(
+        F.count_distinct("__b").cast("double").alias("__n_baskets")
+    )
+    freq = posts.groupBy("__i").agg(F.count("*").alias("n_item"))
+    a = posts.select("__b", F.col("__i").alias("antecedent"))
+    b = posts.select("__b", F.col("__i").alias("consequent"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_pair"))
+        .join(F.broadcast(nb))
+        .filter(
+            F.col("n_pair").cast("double")
+            >= F.lit(float(min_support)) * F.col("__n_baskets")
+        )
+    )
+    fa = freq.select(
+        F.col("__i").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("__i").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    n = F.col("__n_baskets")
+    out = (
+        pairs.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / n, 6).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double") * n
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    if min_confidence > 0.0:
+        out = out.filter(F.col("confidence") >= min_confidence)
+    return out

@@ -1520,3 +1520,48 @@ def token_entropy(
             F.round("entropy", 6).alias("entropy"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "term",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table —
+    the coverage check run before committing to a tokenizer: a corpus
+    slice with high OOV under the candidate vocab will fragment into
+    byte-fallback pieces and blow up sequence lengths.
+
+    Output: ``(id, n_tokens, n_oov, oov_rate)`` for documents with ≥ 1
+    token; ``oov_rate`` ROUND(6).
+
+    Scale posture: the corpus explodes once to (doc, token) rows and
+    LEFT-ANTI-joins the vocabulary — vocabularies are ≤ a few hundred
+    thousand rows, so the anti join broadcasts and the whole check is
+    map-side after one explode; nothing re-shuffles on the doc until
+    the final (doc) count, which partial-aggregates."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    v = vocab.select(F.col(vocab_col).alias("__tok")).distinct()
+    oov = (
+        toks.join(F.broadcast(v), "__tok", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_oov"))
+    )
+    totals = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(oov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -1131,3 +1131,52 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket mining, pairwise slice)
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_SUPPORT = 0.05
+
+_ASSOC_SQL = f"""
+    WITH posts AS (
+      SELECT DISTINCT user_id AS b, event_type AS i FROM events
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM posts),
+    freq AS (SELECT i, COUNT(*) AS n_item FROM posts GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS antecedent, c.i AS consequent, COUNT(*) AS n_pair
+      FROM posts a JOIN posts c ON a.b = c.b AND a.i <> c.i
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_pair,
+           ROUND(CAST(p.n_pair AS DOUBLE) / nb.n, 6) AS support,
+           ROUND(CAST(p.n_pair AS DOUBLE) / CAST(fa.n_item AS DOUBLE), 6)
+             AS confidence,
+           ROUND(CAST(p.n_pair AS DOUBLE) * nb.n
+                 / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)),
+                 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.i = p.antecedent
+    JOIN freq fb ON fb.i = p.consequent
+    CROSS JOIN nb
+    WHERE CAST(p.n_pair AS DOUBLE) >= {_ASSOC_MIN_SUPPORT!r} * nb.n
+"""
+
+
+@_q("q_assoc_rules", _ASSOC_SQL)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets
+    (support / confidence / lift from exact counts): posting self-join
+    on the basket, support prune before the frequency joins, basket
+    count in-plan as a 1-row broadcast."""
+    from conte_to_fresco_etl_spark.operators.graph import association_rules
+
+    ev = _events(spark, sf_dir)
+    return association_rules(
+        ev,
+        basket_col="user_id",
+        item_col="event_type",
+        min_support=_ASSOC_MIN_SUPPORT,
+    )

@@ -3263,3 +3263,56 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(
         _t(spark, sf_dir, "documents"), group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (OOV rate)
+# ---------------------------------------------------------------------------
+
+_OOV_MIN_DF = 50
+
+_OOV_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    vocab AS (SELECT tok FROM dfreq WHERE df >= {_OOV_MIN_DF}),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    oov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+      FROM toks WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_tokens,
+           COALESCE(o.n_oov, 0) AS n_oov,
+           ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE), 6) AS oov_rate
+    FROM totals t LEFT JOIN oov o USING (doc_id)
+"""
+
+
+@_q("q_oov_rate", _OOV_SQL)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document OOV rate against the
+    corpus's own common-term vocabulary (df ≥ 50) — one explode, a
+    broadcast anti join, partial-aggregated doc counts."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        oov_rate,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _OOV_MIN_DF)
+        .select("term")
+    )
+    return oov_rate(docs, vocab)

@@ -565,3 +565,43 @@ def test_range_frame_uses_time_not_rows(spark):
         F.sum("value").over(w).alias("s"),
     ).collect()}
     assert got == {0: (1, 1.0), 1: (2, 3.0), 2: (1, 4.0)}
+
+
+# ---------------------------------------------------------------------------
+# OOV rate / association rules
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_counts_and_full_coverage(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "a b zz"), (1, "a a a"), (2, "qq ww")],
+        "doc_id int, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+           for r in oov_rate(docs, vocab).collect()}
+    assert got == {
+        0: (3, 1, round(1 / 3, 6)),
+        1: (3, 0, 0.0),     # fully covered -> left join backfills 0
+        2: (2, 2, 1.0),
+    }
+
+
+def test_association_rules_hand_built(spark):
+    from conte_to_fresco_etl_spark.operators.graph import association_rules
+
+    # baskets: u1{x,y}, u2{x,y}, u3{x,z}, u4{y}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"),
+            (3, "x"), (3, "z"), (4, "y"), (1, "x")]  # dup posting
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {(r["antecedent"], r["consequent"]):
+           (r["n_pair"], r["support"], r["confidence"], r["lift"])
+           for r in association_rules(df, "b", "i",
+                                      min_support=0.5).collect()}
+    # only x->y and y->x reach support 2/4
+    assert got == {
+        ("x", "y"): (2, 0.5, round(2 / 3, 6), round(2 * 4 / (3 * 3), 6)),
+        ("y", "x"): (2, 0.5, round(2 / 3, 6), round(2 * 4 / (3 * 3), 6)),
+    }

@@ -512,3 +512,56 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def start_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 25.0,
+    available_now: bool = True,
+):
+    """Streaming drift monitor: per micro-batch, score the batch's
+    value distribution against a frozen REFERENCE snapshot with the
+    same PSI the batch operator computes (operators/robust.py:
+    psi_drift — reused verbatim, so batch and stream scores agree by
+    construction) and append ``(batch_id, key, n_ref, n_cur, n_bins,
+    psi)`` rows to ``out_path`` — the alerting feed a feature-quality
+    dashboard tails.
+
+    The reference arrives as raw rows and is re-binned per batch —
+    trivially cheap at dimension scale; with a corpus-sized reference,
+    pre-aggregate it to (key, bin, n) once and adapt the union (the
+    operator only ever sees counts).  Append-only output + checkpoint
+    makes the monitor restart-safe; a replayed batch overwrites nothing
+    and re-emits the same deterministic scores."""
+    from conte_to_fresco_etl_spark.operators.robust import psi_drift
+
+    ref = reference.select(
+        F.col(key_col), F.col(value_col), F.lit(False).alias("__cur")
+    )
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.select(
+            F.col(key_col), F.col(value_col), F.lit(True).alias("__cur")
+        )
+        both = ref.unionByName(cur)
+        (
+            psi_drift(
+                both, key_col, value_col, F.col("__cur"), bin_width
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

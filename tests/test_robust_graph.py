@@ -605,3 +605,57 @@ def test_association_rules_hand_built(spark):
         ("x", "y"): (2, 0.5, round(2 / 3, 6), round(2 * 4 / (3 * 3), 6)),
         ("y", "x"): (2, 0.5, round(2 / 3, 6), round(2 * 4 / (3 * 3), 6)),
     }
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_drift_monitor_scores_batches(spark, tmp_path):
+    from conte_to_fresco_etl_spark.operators.robust import psi_drift
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        start_drift_monitor,
+    )
+
+    ref_rows = [("t", 5.0)] * 40 + [("t", 30.0)] * 40
+    reference = spark.createDataFrame(ref_rows, "event_type string, value double")
+
+    src = str(tmp_path / "incoming")
+    # batch 1: same shape as reference; batch 2: hard shift
+    spark.createDataFrame(
+        [("t", 5.0)] * 10 + [("t", 30.0)] * 10,
+        "event_type string, value double",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("t", 90.0)] * 20, "event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_drift_monitor(
+        stream,
+        reference,
+        out_path=str(tmp_path / "scores"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "scores")).collect()
+    assert len(got) == 2
+    by_psi = sorted(r["psi"] for r in got)
+    assert by_psi[0] < 0.1       # matching batch: stable
+    assert by_psi[1] > 0.25      # shifted batch: broken
+
+    # stream score == batch operator score on the same (ref, batch) pair
+    both = reference.withColumn("__cur", F.lit(False)).unionByName(
+        spark.createDataFrame(
+            [("t", 90.0)] * 20, "event_type string, value double"
+        ).withColumn("__cur", F.lit(True))
+    )
+    batch_psi = psi_drift(
+        both, "event_type", "value", F.col("__cur")
+    ).collect()[0]["psi"]
+    assert batch_psi == by_psi[1]

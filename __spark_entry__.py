@@ -61,8 +61,6 @@ PRIORITY: list[str] = [
     "q_repeated_spans",
     "q_dup_token_frac",
     "q_compression_ratio",
-    "q_dataset_card",
-    "q_normalize_text",
     "q_url_normalize",
     "q_assign_splits",
     "q_semantic_dedup",
@@ -93,6 +91,8 @@ PRIORITY: list[str] = [
     "q_snapshot_diff",
     "q_oov_rate",
     "q_assoc_rules",
+    "q_skew_report",
+    "q_seasonal_decompose",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -109,6 +109,11 @@ PRIORITY: list[str] = [
     # r2-green unmodified queries and r3-green queries whose r4 edits
     # are pinned by local parity, plus second family members (their
     # siblings hold the window slot) — all rotate into later windows
+    # q_dataset_card has family evidence via r3-green q_dq_report;
+    # q_normalize_text via its idempotence property tests + the
+    # still-windowed q_url_normalize — both rotate into r5
+    "q_dataset_card",
+    "q_normalize_text",
     "q_temperature_sample",
     "q_label_centroids",
     "q_decontaminate",

@@ -236,3 +236,54 @@ def ewma_features(
         value_col,
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Additive hour-of-day seasonal decomposition per key:
+
+        value = level + seasonal(hour) + residual
+
+    with ``level`` the key's overall mean and ``seasonal(hour)`` the
+    hour-of-day mean minus the level — the one-line seasonality model
+    behind diurnal anomaly baselines (compare residuals, not raw
+    values, against the MAD screen).
+
+    Output: per input row ``(key, id, ts, value, level, seasonal,
+    residual)``; components ROUND(6) from decimal-exact sums.
+
+    Scale posture: two dimension-sized aggregates (per key, per
+    key×24-hour cell) broadcast back onto the stream — the corpus
+    itself never shuffles."""
+    dec = F.sum(F.col(value_col).cast("decimal(18,4)")).cast(
+        "decimal(38,8)"
+    )
+    level = df.groupBy(key_col).agg(
+        (dec.cast("double") / F.count("*").cast("double")).alias("__level")
+    )
+    hourly = df.groupBy(
+        key_col, F.hour(ts_col).alias("__hr")
+    ).agg(
+        (dec.cast("double") / F.count("*").cast("double")).alias("__hmean")
+    )
+    out = (
+        df.withColumn("__hr", F.hour(ts_col))
+        .join(F.broadcast(level), key_col)
+        .join(F.broadcast(hourly), [key_col, "__hr"])
+    )
+    seasonal = F.col("__hmean") - F.col("__level")
+    residual = F.col(value_col) - F.col("__hmean")
+    return out.select(
+        key_col,
+        id_col,
+        ts_col,
+        value_col,
+        F.round("__level", 6).alias("level"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(residual, 6).alias("residual"),
+    )

@@ -261,3 +261,41 @@ def chi_square_independence(
             ).alias("chi2"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col,
+) -> DataFrame:
+    """Partitioning-skew diagnostics for a prospective shuffle/join key:
+    ONE row ``(n_rows, n_keys, max_n, p50_n, p99_n, skew_ratio)`` where
+    ``skew_ratio = max_n / (n_rows / n_keys)`` — the multiplier the
+    hottest key puts on a perfectly balanced partition.  This is the
+    measurement that DECIDES the mitigation: ratio ≈ 1 → plain hash
+    partitioning; 10-100 → AQE skew-split handles it; ≫ 100 → salt the
+    key (operators/skew.py) or isolate the hot keys.
+
+    One count shuffle collapses the corpus to |keys| rows; the exact
+    percentiles run over that counted table, not the corpus."""
+    k = key_col if not isinstance(key_col, str) else F.col(key_col)
+    counts = df.select(k.alias("__k")).groupBy("__k").agg(
+        F.count("*").alias("n")
+    )
+    return counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_n",
+        F.round("p50_n", 6).alias("p50_n"),
+        F.round("p99_n", 6).alias("p99_n"),
+        F.round(
+            F.col("max_n").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -1180,3 +1180,75 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         item_col="event_type",
         min_support=_ASSOC_MIN_SUPPORT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+_SKEW_REPORT_SQL = """
+    WITH counts AS (
+      SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           MAX(n) AS max_n,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50_n,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99_n,
+           ROUND(CAST(MAX(n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+                 6) AS skew_ratio
+    FROM counts
+"""
+
+
+@_q("q_skew_report", _SKEW_REPORT_SQL)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the user key — the measurement that picks
+    the mitigation (plain hash vs AQE skew-split vs salting): one count
+    shuffle to |keys| rows, exact percentiles over the counted table."""
+    from conte_to_fresco_etl_spark.operators.robust import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir), key_col="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal decomposition
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+    WITH level AS (
+      SELECT user_id,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lvl
+      FROM events WHERE user_id < 8 GROUP BY 1
+    ),
+    hourly AS (
+      SELECT user_id, hour(ts) AS hr,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hmean
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    )
+    SELECT e.user_id, e.event_id, e.ts, e.value,
+           ROUND(l.lvl, 6) AS level,
+           ROUND(h.hmean - l.lvl, 6) AS seasonal,
+           ROUND(e.value - h.hmean, 6) AS residual
+    FROM events e
+    JOIN level l ON e.user_id = l.user_id
+    JOIN hourly h ON e.user_id = h.user_id AND hour(e.ts) = h.hr
+    WHERE e.user_id < 8
+"""
+
+
+@_q("q_seasonal_decompose", _SEASONAL_SQL)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive hour-of-day decomposition (level + seasonal + residual)
+    for 8 users: two dimension-sized mean tables broadcast back onto
+    the stream — the diurnal baseline anomaly screens difference
+    against; the corpus itself never shuffles."""
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        seasonal_decompose,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 8)
+    return seasonal_decompose(ev)

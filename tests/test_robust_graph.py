@@ -659,3 +659,43 @@ def test_streaming_drift_monitor_scores_batches(spark, tmp_path):
         both, "event_type", "value", F.col("__cur")
     ).collect()[0]["psi"]
     assert batch_psi == by_psi[1]
+
+
+# ---------------------------------------------------------------------------
+# skew report / seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_report_hot_key(spark):
+    from conte_to_fresco_etl_spark.operators.robust import key_skew_report
+
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k int")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_n"]) == (100, 3, 90)
+    # balanced share = 100/3; the hot key is 2.7x that
+    assert r["skew_ratio"] == round(90 / (100 / 3), 6)
+    assert r["p50_n"] == 5.0
+
+
+def test_seasonal_decompose_reconstructs_value(spark):
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        seasonal_decompose,
+    )
+
+    # user 1: hour 0 mean 10, hour 1 mean 30 -> level 20
+    rows = [
+        (1, 0, _ts(0, 0), 8.0), (1, 1, _ts(0, 30), 12.0),
+        (1, 2, _ts(1, 0), 30.0), (1, 3, _ts(1, 30), 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r for r in seasonal_decompose(df).collect()}
+    assert got[0]["level"] == 20.0
+    assert got[0]["seasonal"] == -10.0 and got[2]["seasonal"] == 10.0
+    assert got[0]["residual"] == -2.0 and got[1]["residual"] == 2.0
+    assert got[2]["residual"] == 0.0
+    # components + level reconstruct the value exactly on round numbers
+    for r in got.values():
+        assert r["level"] + r["seasonal"] + r["residual"] == r["value"]

@@ -56,7 +56,6 @@ PRIORITY: list[str] = [
     # new or modified in r4
     "q_decontaminate_bloom",
     "q_mixture_weights",
-    "q_boilerplate_frac",
     "q_ivfpq_topk",
     "q_repeated_spans",
     "q_dup_token_frac",
@@ -65,7 +64,6 @@ PRIORITY: list[str] = [
     "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",
-    "q_soft_quality_sample",
     "q_bpe_merges",
     "q_ivf_trained_topk",
     "q_doc_components_star",
@@ -93,6 +91,8 @@ PRIORITY: list[str] = [
     "q_assoc_rules",
     "q_skew_report",
     "q_seasonal_decompose",
+    "q_topk_per_group",
+    "q_jaccard_prefix",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -114,6 +114,10 @@ PRIORITY: list[str] = [
     # still-windowed q_url_normalize — both rotate into r5
     "q_dataset_card",
     "q_normalize_text",
+    # boilerplate/soft-sample have windowed family siblings
+    # (q_repeated_spans, q_quality_classifier)
+    "q_boilerplate_frac",
+    "q_soft_quality_sample",
     "q_temperature_sample",
     "q_label_centroids",
     "q_decontaminate",

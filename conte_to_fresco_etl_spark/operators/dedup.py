@@ -1566,3 +1566,99 @@ def repeated_spans(
             " ",
         ).alias("span_text"),
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join with PPJoin-style prefix
+    filtering — the same answer as the naive all-posting join
+    (``q_ngram_jaccard``'s oracle shape), from a far smaller candidate
+    set.
+
+    The classic prefix-filter theorem: order every document's token
+    set by ONE global order and keep only its first
+    ``|d| − ⌈t·|d|⌉ + 1`` tokens; any pair with Jaccard ≥ t MUST share
+    a prefix token, so joining prefix postings loses nothing.  Ordering
+    by ascending global frequency puts the RAREST tokens in prefixes,
+    so posting lists in the candidate join are the corpus's smallest —
+    a frequent token's huge posting list never generates candidates
+    unless it sits in some document's prefix tail.
+
+    Verification is candidate-bounded: full postings are semi-joined
+    down to candidate ids BEFORE the intersection count, so the exact
+    pass costs Σ|candidate docs|, not Σ posting².
+
+    Output: ``(a, b, n_common, jaccard)`` with a < b, jaccard ≥ t,
+    ROUND(6) from exact longs."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).distinct()
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    rank = freq.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").asc(), F.col("tok").asc()))
+        .alias("rk"),
+    )
+    posting = (
+        toks.join(F.broadcast(rank), "tok")
+        .join(F.broadcast(sizes), "__id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.col("rk").asc())
+            ),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz").cast("double"))
+        + F.lit(1)
+    )
+    prefix = posting.filter(F.col("pos") <= prefix_len)
+    pa = prefix.select(F.col("__id").alias("a"), "tok")
+    pb = prefix.select(F.col("__id").alias("b"), "tok")
+    cands = (
+        pa.join(pb, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    ).persist()
+    # exact verify, candidate-bounded: prune postings to candidate ids
+    ta = toks.join(
+        F.broadcast(cands.select(F.col("a").alias("__id")).distinct()),
+        "__id",
+        "left_semi",
+    ).select(F.col("__id").alias("a"), "tok")
+    tb = toks.join(
+        F.broadcast(cands.select(F.col("b").alias("__id")).distinct()),
+        "__id",
+        "left_semi",
+    ).select(F.col("__id").alias("b"), "tok")
+    common = (
+        cands.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("__id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    out = (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .filter(jac >= F.lit(float(threshold)))
+        .select("a", "b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+    cands.unpersist(blocking=False)
+    return out

@@ -1252,3 +1252,48 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 8)
     return seasonal_decompose(ev)
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (row_number window prune)
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_SQL = """
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY total DESC, user_id) AS rn
+      FROM per_user
+    )
+    SELECT event_type, user_id, total, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@_q("q_topk_per_group", _TOPK_GROUP_SQL)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type: aggregate shuffle first (the corpus
+    collapses to |type × user| rows), THEN the rank window over the
+    small table — Spark additionally rewrites rn ≤ k into a per-
+    partition WindowGroupLimit pushdown, so even the sort sees at most
+    k rows per key per partition."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )

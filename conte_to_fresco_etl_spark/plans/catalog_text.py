@@ -3316,3 +3316,47 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     return oov_rate(docs, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_PREFIX_T = 0.6
+
+_PREFIX_JOIN_SQL = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, unnest({_sql_tokens()}) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY 1),
+    pairs AS (
+      SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+      FROM toks x JOIN toks y ON x.tok = y.tok AND x.id < y.id
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.a
+    JOIN sizes sb ON sb.id = p.b
+    WHERE CAST(p.n_common AS DOUBLE)
+          / CAST(sa.sz + sb.sz - p.n_common AS DOUBLE) >= {_PREFIX_T!r}
+"""
+
+
+@_q("q_jaccard_prefix", _PREFIX_JOIN_SQL)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard pairs (t ≥ 0.6) via PPJoin prefix
+    filtering: rare-token-first global order, |d|−⌈t|d|⌉+1 prefixes,
+    candidate-bounded verification — the SAME answer as the oracle's
+    all-posting join from a fraction of the candidates."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    return jaccard_prefix_join(
+        _t(spark, sf_dir, "documents"), threshold=_PREFIX_T
+    )

@@ -699,3 +699,42 @@ def test_seasonal_decompose_reconstructs_value(spark):
     # components + level reconstruct the value exactly on round numbers
     for r in got.values():
         assert r["level"] + r["seasonal"] + r["residual"] == r["value"]
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard join
+# ---------------------------------------------------------------------------
+
+doc_corpus = st.lists(
+    st.lists(
+        st.sampled_from("abcdefghij"), min_size=1, max_size=6
+    ).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(doc_corpus, st.sampled_from([0.5, 0.6, 0.8]))
+def test_jaccard_prefix_join_matches_bruteforce(spark, texts, t):
+    """Prefix filtering loses NOTHING: results equal the brute-force
+    all-pairs Jaccard at every threshold (the PPJoin completeness
+    theorem, exercised on random corpora with duplicate tokens)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+           for r in jaccard_prefix_join(df, threshold=t).collect()}
+    sets = {i: set(x.split()) for i, x in docs}
+    expect = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and inter / union >= t:
+                    expect[(i, j)] = (inter, round(inter / union, 6))
+    assert got == expect

@@ -410,3 +410,65 @@ def test_assign_splits_map_only(spark, sf_dir, qs):
     )
 
     assert explain_shuffle_count(qs["q_assign_splits"](spark, sf_dir)) == 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 second-half operators: plan posture
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_broadcasts_class_sizes(spark, sf_dir, qs):
+    """The equivalence-class table is dimension-sized; its join back
+    onto the ids must broadcast, never sort-merge."""
+    plan = _physical(qs["q_k_anonymity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_oov_rate_anti_join_broadcasts(spark, sf_dir, qs):
+    plan = _physical(qs["q_oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+
+
+def test_psi_drift_single_corpus_shuffle(spark, sf_dir, qs):
+    """The corpus collapses in ONE (key, bin) count shuffle; everything
+    downstream is dimension-sized (broadcast + tiny aggregates)."""
+    df = qs["q_psi_drift"](spark, sf_dir)
+    plan = _physical(df)
+    # the events scan feeds exactly one Exchange before the bin counts
+    first = plan.index("Scan parquet")
+    assert plan[:first].count("Exchange hashpartitioning") <= 2
+
+
+def test_token_entropy_single_corpus_shuffle(spark, sf_dir, qs):
+    plan = _physical(qs["q_token_entropy"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_decompose_corpus_never_shuffles(spark, sf_dir, qs):
+    """Both mean tables broadcast back onto the stream — the fact rows
+    themselves must not be hash-exchanged."""
+    plan = _physical(qs["q_seasonal_decompose"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_stat_tables(spark, sf_dir, qs):
+    plan = _physical(qs["q_mad_outliers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir, qs):
+    plan = _physical(qs["q_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir, qs):
+    """rn <= k must push into a WindowGroupLimit (Spark 3.5+/4.x) so
+    the sort sees at most k rows per key per partition."""
+    plan = _physical(qs["q_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan

@@ -58,10 +58,7 @@ PRIORITY: list[str] = [
     "q_mixture_weights",
     "q_ivfpq_topk",
     "q_repeated_spans",
-    "q_dup_token_frac",
-    "q_compression_ratio",
     "q_url_normalize",
-    "q_assign_splits",
     "q_semantic_dedup",
     "q_quality_classifier",
     "q_bpe_merges",
@@ -93,6 +90,9 @@ PRIORITY: list[str] = [
     "q_seasonal_decompose",
     "q_topk_per_group",
     "q_jaccard_prefix",
+    "q_benford",
+    "q_conversion_latency",
+    "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
     # are must-gate (never checked, or changed since their last row).
     # The remaining slots sample one query from each NEW r4 family
@@ -114,6 +114,12 @@ PRIORITY: list[str] = [
     # still-windowed q_url_normalize — both rotate into r5
     "q_dataset_card",
     "q_normalize_text",
+    # intra-doc repetition/quality + hash-split families keep windowed
+    # siblings (q_repeated_spans, q_quality_classifier, r3-green
+    # stratified_sample); these rotate into r5
+    "q_dup_token_frac",
+    "q_compression_ratio",
+    "q_assign_splits",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

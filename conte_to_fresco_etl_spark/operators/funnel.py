@@ -151,3 +151,52 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_type: str = "view",
+    to_type: str = "click",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from the
+    FIRST ``from_type`` event to the first ``to_type`` at-or-after it,
+    summarized as exact p50/p90/p99 — the time-to-convert metric that
+    turns a funnel count into an SLA.
+
+    Output: ONE row ``(n_converted, p50_s, p90_s, p99_s, max_s)``.
+    Latencies are exact integer microseconds divided once; percentiles
+    are the deterministic interpolating form.
+
+    Scale posture: two per-user MIN aggregates (the funnel_conversion
+    shape) and a |users|-row percentile pass — the stream shuffles
+    twice on the user key and never wider."""
+    first_from = (
+        df.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    joined = (
+        df.filter(F.col(type_col) == to_type)
+        .join(first_from, user_col)
+        .filter(F.col(ts_col) >= F.col("t0"))
+        .groupBy(user_col)
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("t1u"),
+            F.max(F.unix_micros(F.col("t0"))).alias("t0u"),  # constant per user
+        )
+    )
+    lat = joined.select(
+        ((F.col("t1u") - F.col("t0u")).cast("double") / F.lit(1e6)).alias(
+            "lat_s"
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(lat_s, 0.99)"), 6).alias("p99_s"),
+        F.round(F.max("lat_s"), 6).alias("max_s"),
+    )

@@ -287,3 +287,56 @@ def seasonal_decompose(
         F.round(seasonal, 6).alias("seasonal"),
         F.round(residual, 6).alias("residual"),
     )
+
+
+def lagged_cross_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    x_type: str = "view",
+    y_type: str = "purchase",
+    type_col: str = "event_type",
+    max_lag_hours: int = 2,
+) -> DataFrame:
+    """Lagged cross-correlation between two event types' hourly count
+    series: corr(x_t, y_{t+L}) for L = 0..max_lag — the lead/lag
+    discovery step behind "views predict purchases two hours later"
+    analyses.
+
+    Alignment is by TIMESTAMP (t+L joins on bucket + L hours), not by
+    row position, so missing hours drop pairs instead of silently
+    compressing time.  Correlations come from decimal-exact sufficient
+    statistics (see robust.grouped_corr); output ``(lag_hours, n, r)``.
+
+    Scale posture: the corpus collapses in ONE hourly count shuffle;
+    the lag joins and corr run over the |hours| table."""
+    from conte_to_fresco_etl_spark.operators.robust import grouped_corr
+
+    hourly = (
+        df.filter(F.col(type_col).isin([x_type, y_type]))
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(
+            F.sum(F.when(F.col(type_col) == x_type, 1).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col(type_col) == y_type, 1).otherwise(0))
+            .alias("y"),
+        )
+        .persist()
+    )
+    pairs = None
+    for lag in range(max_lag_hours + 1):
+        shifted = hourly.select(
+            (F.col("h") - F.expr(f"INTERVAL {lag} HOURS")).alias("h"),
+            F.col("y").alias("y_lead"),
+        )
+        p = (
+            hourly.join(shifted, "h")
+            .select(
+                F.lit(lag).alias("lag_hours"),
+                F.col("x"),
+                F.col("y_lead").alias("y"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    out = grouped_corr(pairs, key_col="lag_hours", x_col="x", y_col="y")
+    hourly.unpersist(blocking=False)
+    return out

@@ -299,3 +299,80 @@ def key_skew_report(
             6,
         ).alias("skew_ratio"),
     )
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9.
+BENFORD_P = [0.0] + [float(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+
+
+def benford_screen(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """First-digit (Benford's law) conformance screen per group — the
+    fabrication detector auditors run on naturally-spanning positive
+    quantities: hand-typed or synthesized numbers drift from the
+    log-uniform first-digit law.
+
+    Output per key: ``(key, n, chi2_stat, max_dev)`` where chi2_stat =
+    Σ_d (o_d − n·p_d)²/(n·p_d) over digits 1..9 and max_dev is the
+    largest |o_d/n − p_d| (the MAD-style effect size).  Zero-count
+    digits contribute their full expected mass (o=0 term), handled
+    densely — the digit domain is 9 cells, so no sparsity machinery.
+
+    Determinism: digit counts are exact longs; expected masses are the
+    identical double constants; per-digit terms ROUND(12), decimal-
+    summed; outputs ROUND(6).
+
+    Scale posture: one (key, digit) count shuffle collapses the corpus;
+    the 9-row-per-key digit table is then joined to a broadcast
+    literal table of Benford probabilities."""
+    # least/greatest clamp: log10 is specified exact at powers of 10 in
+    # both engines, but the clamp makes an off-by-one-ulp digit-0/10
+    # impossible on any platform (and the oracle clamps identically)
+    d = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.col(value_col).cast("double")
+                / F.pow(
+                    F.lit(10.0),
+                    F.floor(F.log10(F.col(value_col).cast("double"))),
+                )
+            ).cast("int"),
+        ),
+    )
+    digits = (
+        df.filter(F.col(value_col).cast("double") > 0.0)
+        .select(F.col(key_col).alias("key"), d.alias("digit"))
+        .groupBy("key", "digit")
+        .agg(F.count("*").alias("o"))
+    )
+    totals = digits.groupBy("key").agg(F.sum("o").alias("n"))
+    spark = df.sparkSession
+    bp = spark.createDataFrame(
+        [(dd, BENFORD_P[dd]) for dd in range(1, 10)], "digit int, p double"
+    )
+    # dense digit domain: every (key, digit in 1..9) cell exists
+    dense = totals.crossJoin(F.broadcast(bp))
+    cells = dense.join(digits, ["key", "digit"], "left").select(
+        "key",
+        "n",
+        "digit",
+        "p",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+    )
+    e = F.col("n").cast("double") * F.col("p")
+    o = F.col("o").cast("double")
+    chi_term = F.round((o - e) * (o - e) / e, 12).cast("decimal(28,12)")
+    dev = F.abs(o / F.col("n").cast("double") - F.col("p"))
+    return (
+        cells.groupBy("key", "n")
+        .agg(
+            F.round(F.sum(chi_term).cast("double"), 6).alias("chi2_stat"),
+            F.round(F.max(dev), 6).alias("max_dev"),
+        )
+        .select(F.col("key").alias(key_col), "n", "chi2_stat", "max_dev")
+    )

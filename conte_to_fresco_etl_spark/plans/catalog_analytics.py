@@ -1297,3 +1297,158 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+from conte_to_fresco_etl_spark.operators.robust import BENFORD_P  # noqa: E402
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {BENFORD_P[d]!r})" for d in range(1, 10)
+)
+
+_BENFORD_SQL = f"""
+    WITH digits AS (
+      SELECT event_type AS key,
+             LEAST(9, GREATEST(1, CAST(FLOOR(
+               CAST(value AS DOUBLE)
+               / pow(10.0, FLOOR(log10(CAST(value AS DOUBLE))))
+             ) AS INT))) AS digit,
+             COUNT(*) AS o
+      FROM events WHERE CAST(value AS DOUBLE) > 0.0
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT key, CAST(SUM(o) AS BIGINT) AS n FROM digits GROUP BY 1),
+    bp(digit, p) AS (VALUES {_BENFORD_VALUES}),
+    cells AS (
+      SELECT t.key, t.n, b.digit, b.p, COALESCE(d.o, 0) AS o
+      FROM totals t CROSS JOIN bp b
+      LEFT JOIN digits d ON d.key = t.key AND d.digit = b.digit
+    )
+    SELECT key AS event_type, n,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+             / (CAST(n AS DOUBLE) * p), 12) AS DECIMAL(28,12)))
+           AS DOUBLE), 6) AS chi2_stat,
+           ROUND(MAX(ABS(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) - p)), 6)
+             AS max_dev
+    FROM cells GROUP BY key, n
+"""
+
+
+@_q("q_benford", _BENFORD_SQL)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance per event type (fabrication
+    screen): one (key, digit) count shuffle, dense 9-cell digit domain
+    against broadcast expected masses, decimal-summed chi terms."""
+    from conte_to_fresco_etl_spark.operators.robust import benford_screen
+
+    return benford_screen(
+        _events(spark, sf_dir), key_col="event_type", value_col="value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency percentiles
+# ---------------------------------------------------------------------------
+
+_LATENCY_SQL = """
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts)) AS t1u, MAX(epoch_us(f.t0)) AS t0u
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'click' AND e.ts >= f.t0
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT CAST(t1u - t0u AS DOUBLE) / 1000000.0 AS lat_s FROM conv
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(lat_s, 0.99), 6) AS p99_s,
+           ROUND(MAX(lat_s), 6) AS max_s
+    FROM lat
+"""
+
+
+@_q("q_conversion_latency", _LATENCY_SQL)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert (first view → first subsequent click) exact
+    p50/p90/p99: two per-user MIN aggregates + a |users|-row percentile
+    pass — the funnel count turned into an SLA."""
+    from conte_to_fresco_etl_spark.operators.funnel import (
+        conversion_latency,
+    )
+
+    return conversion_latency(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between event-type series
+# ---------------------------------------------------------------------------
+
+_XCORR_SQL = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.lag_hours, a.x, b.y
+      FROM (VALUES (0), (1), (2)) AS l(lag_hours)
+      JOIN hourly a ON TRUE
+      JOIN hourly b
+        ON b.h = a.h + to_hours(CAST(l.lag_hours AS BIGINT))
+    ),
+    agg AS (
+      SELECT lag_hours, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS syy
+      FROM lagged GROUP BY 1
+    )
+    SELECT lag_hours, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS r
+    FROM agg
+"""
+
+
+@_q("q_cross_correlation", _XCORR_SQL)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation corr(views_t, purchases_{t+L}),
+    L = 0..2 hours: the corpus collapses in one hourly count shuffle;
+    timestamp-aligned lag joins and decimal-exact correlations run over
+    the |hours| table."""
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        lagged_cross_correlation,
+    )
+
+    return lagged_cross_correlation(_events(spark, sf_dir), max_lag_hours=2)

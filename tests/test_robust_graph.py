@@ -738,3 +738,75 @@ def test_jaccard_prefix_join_matches_bruteforce(spark, texts, t):
                 if union and inter / union >= t:
                     expect[(i, j)] = (inter, round(inter / union, 6))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Benford / latency / cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def test_benford_conforming_vs_uniform(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        BENFORD_P,
+        benford_screen,
+    )
+
+    # "conforming": counts proportional to Benford p (n=10000 scaled)
+    rows = []
+    for d in range(1, 10):
+        rows += [("good", float(d))] * round(BENFORD_P[d] * 1000)
+    # "fabricated": all first digits equal
+    rows += [("bad", 5.0)] * 1000
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {r["k"]: r for r in benford_screen(df, "k", "value").collect()}
+    assert got["good"]["chi2_stat"] < 2.0
+    assert got["bad"]["chi2_stat"] > 1000.0
+    assert got["bad"]["max_dev"] > 0.6
+
+
+def test_benford_digit_extraction_spans_magnitudes(spark):
+    from conte_to_fresco_etl_spark.operators.robust import benford_screen
+
+    # 0.02, 2.0, 200.0 all have first digit 2; 9999 -> 9
+    rows = [("k", v) for v in [0.02, 2.0, 200.0, 9999.0]]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = benford_screen(df, "k", "value").collect()[0]
+    assert r["n"] == 4
+    # digit-2 observed 3/4 vs expected ~0.176 -> max_dev ≈ 0.574
+    assert r["max_dev"] == round(abs(3 / 4 - 0.17609125905568124), 6)
+
+
+def test_conversion_latency_hand_built(spark):
+    from conte_to_fresco_etl_spark.operators.funnel import (
+        conversion_latency,
+    )
+
+    rows = [
+        (1, "view", _ts(0, 0)), (1, "click", _ts(0, 10)),   # 600 s
+        (2, "view", _ts(1, 0)), (2, "click", _ts(0, 30)),   # click BEFORE view: no conversion
+        (2, "click", _ts(1, 20)),                           # 1200 s
+        (3, "view", _ts(2, 0)),                             # never clicks
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    r = conversion_latency(df).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 900.0 and r["max_s"] == 1200.0
+
+
+def test_lagged_cross_correlation_shifted_series(spark):
+    from conte_to_fresco_etl_spark.operators.gapfill import (
+        lagged_cross_correlation,
+    )
+
+    # purchases = views shifted by exactly 1 hour -> r(1) == 1
+    rows = []
+    counts = [1, 5, 2, 8, 3, 9, 4, 7]
+    for h, c in enumerate(counts):
+        rows += [("view", _ts(h, 0, 1))] * c
+        if h + 1 < 24:
+            rows += [("purchase", _ts(h + 1, 0, 1))] * c
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["lag_hours"]: r["r"]
+           for r in lagged_cross_correlation(df, ts_col="ts").collect()}
+    assert got[1] == 1.0
+    assert got[0] is None or abs(got[0]) < 1.0  # not the aligned lag

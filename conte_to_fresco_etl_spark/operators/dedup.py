@@ -1573,6 +1573,7 @@ def jaccard_prefix_join(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_n: int = 3,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join with PPJoin-style prefix
     filtering — the same answer as the naive all-posting join
@@ -1593,13 +1594,47 @@ def jaccard_prefix_join(
     pass costs Σ|candidate docs|, not Σ posting².
 
     Output: ``(a, b, n_common, jaccard)`` with a < b, jaccard ≥ t,
-    ROUND(6) from exact longs."""
+    ROUND(6) from exact longs.
+
+    ``ngram_n`` sets the set element: word ``n``-gram shingles
+    (default 3) — on small-vocabulary corpora unigram SETS degenerate
+    (every document covers most of the vocabulary, so every pair is a
+    candidate and the filter filters nothing); shingles restore
+    distinctiveness, exactly why dedup pipelines shingle before any
+    set-similarity join.  ``ngram_n=1`` gives plain token sets."""
     from conte_to_fresco_etl_spark.functions.text import tokens
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(text_col)).alias("tok"),
-    ).distinct()
+    tok_arr = tokens(text_col)
+    if ngram_n > 1:
+        seq = F.sequence(F.lit(1), F.size(tok_arr) - F.lit(ngram_n - 1))
+        gram = F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tok_arr, i + F.lit(j)) for j in range(ngram_n)],
+            ),
+        )
+        # sequence(1, k) DESCENDS for k < 1 under ANSI — guard short docs
+        elems = F.when(
+            F.size(tok_arr) < ngram_n,
+            F.array().cast("array<string>"),
+        ).otherwise(gram)
+    else:
+        elems = tok_arr
+    # the exploded element table feeds frequency, sizes, prefixes AND
+    # both verify branches — persist or re-tokenize the corpus 5x
+    # tokenize+shingle is the CPU-heavy map: spread it before the
+    # explode (a single-file scan is otherwise ONE task doing all the
+    # string slicing — the ngram_jaccard lesson)
+    toks = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("__id"), text_col),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("__id", F.explode(elems).alias("tok"))
+        .distinct()
+        .persist()
+    )
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     rank = freq.select(
@@ -1624,11 +1659,34 @@ def jaccard_prefix_join(
         + F.lit(1)
     )
     prefix = posting.filter(F.col("pos") <= prefix_len)
-    pa = prefix.select(F.col("__id").alias("a"), "tok")
-    pb = prefix.select(F.col("__id").alias("b"), "tok")
+    pa = prefix.select(
+        F.col("__id").alias("a"),
+        "tok",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a_p"),
+    )
+    pb = prefix.select(
+        F.col("__id").alias("b"),
+        "tok",
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b_p"),
+    )
+    # PPJoin position filter: matching at prefix positions (pos_a,
+    # pos_b) bounds the total overlap by min(remaining suffix lengths)
+    # + 1; Jaccard ≥ t needs overlap ≥ t/(1+t)·(|a|+|b|) — prune pairs
+    # whose bound cannot reach it BEFORE the distinct shuffle
+    t_frac = float(threshold) / (1.0 + float(threshold))
+    ubound = (
+        F.least(
+            F.col("sz_a_p") - F.col("pos_a"), F.col("sz_b_p") - F.col("pos_b")
+        )
+        + F.lit(1)
+    ).cast("double")
+    need = F.lit(t_frac) * (F.col("sz_a_p") + F.col("sz_b_p")).cast("double")
     cands = (
         pa.join(pb, "tok")
         .filter(F.col("a") < F.col("b"))
+        .filter(ubound >= need)
         .select("a", "b")
         .distinct()
     ).persist()
@@ -1660,5 +1718,6 @@ def jaccard_prefix_join(
         .filter(jac >= F.lit(float(threshold)))
         .select("a", "b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
-    cands.unpersist(blocking=False)
+    # both caches stay session-lived (the ngram_jaccard convention):
+    # unpersisting here would evict BEFORE the lazy result ever runs
     return out

@@ -3325,10 +3325,18 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_T = 0.6
 
 _PREFIX_JOIN_SQL = f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id AS id, unnest({_sql_tokens()}) AS tok
-      FROM documents
+    WITH t AS (
+      SELECT doc_id AS id, {_sql_tokens()} AS toks FROM documents
     ),
+    g AS (
+      SELECT id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+             END AS grams
+      FROM t
+    ),
+    toks AS (SELECT DISTINCT id, unnest(grams) AS tok FROM g),
     sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY 1),
     pairs AS (
       SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
@@ -3349,10 +3357,12 @@ _PREFIX_JOIN_SQL = f"""
 
 @_q("q_jaccard_prefix", _PREFIX_JOIN_SQL)
 def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT token-set Jaccard pairs (t ≥ 0.6) via PPJoin prefix
-    filtering: rare-token-first global order, |d|−⌈t|d|⌉+1 prefixes,
+    """EXACT 3-gram-shingle Jaccard pairs (t ≥ 0.6) via PPJoin prefix
+    filtering: rare-shingle-first global order, |d|−⌈t|d|⌉+1 prefixes,
     candidate-bounded verification — the SAME answer as the oracle's
-    all-posting join from a fraction of the candidates."""
+    all-posting join from a fraction of the candidates.  Shingles (not
+    unigram tokens) keep sets distinctive on small-vocabulary corpora,
+    the precondition prefix filtering needs to prune anything."""
     from conte_to_fresco_etl_spark.operators.dedup import (
         jaccard_prefix_join,
     )

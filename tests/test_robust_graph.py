@@ -727,7 +727,7 @@ def test_jaccard_prefix_join_matches_bruteforce(spark, texts, t):
     docs = list(enumerate(texts))
     df = spark.createDataFrame(docs, "doc_id int, text string")
     got = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
-           for r in jaccard_prefix_join(df, threshold=t).collect()}
+           for r in jaccard_prefix_join(df, threshold=t, ngram_n=1).collect()}
     sets = {i: set(x.split()) for i, x in docs}
     expect = {}
     for i in sets:
@@ -810,3 +810,32 @@ def test_lagged_cross_correlation_shifted_series(spark):
            for r in lagged_cross_correlation(df, ts_col="ts").collect()}
     assert got[1] == 1.0
     assert got[0] is None or abs(got[0]) < 1.0  # not the aligned lag
+
+
+@settings(max_examples=6, deadline=None)
+@given(doc_corpus, st.sampled_from([0.4, 0.6]))
+def test_jaccard_prefix_join_shingled_matches_bruteforce(spark, texts, t):
+    """Shingled (n=3) form equals brute-force 3-gram-set Jaccard —
+    including docs shorter than the shingle width (empty sets, no
+    pairs)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+           for r in jaccard_prefix_join(df, threshold=t, ngram_n=3).collect()}
+    sets = {}
+    for i, x in docs:
+        ws = x.split()
+        sets[i] = {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+    expect = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if inter / union >= t:
+                    expect[(i, j)] = (inter, round(inter / union, 6))
+    assert got == expect

@@ -59,7 +59,6 @@ PRIORITY: list[str] = [
     "q_ivfpq_topk",
     "q_repeated_spans",
     "q_url_normalize",
-    "q_semantic_dedup",
     "q_quality_classifier",
     "q_bpe_merges",
     "q_ivf_trained_topk",
@@ -91,6 +90,7 @@ PRIORITY: list[str] = [
     "q_topk_per_group",
     "q_jaccard_prefix",
     "q_benford",
+    "q_trend_slope",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -120,6 +120,8 @@ PRIORITY: list[str] = [
     "q_dup_token_frac",
     "q_compression_ratio",
     "q_assign_splits",
+    # embedding-dedup family keeps r3-green q_embedding_neardup_lsh
+    "q_semantic_dedup",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

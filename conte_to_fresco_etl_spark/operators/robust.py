@@ -376,3 +376,51 @@ def benford_screen(
         )
         .select(F.col("key").alias(key_col), "n", "chi2_stat", "max_dev")
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group simple linear regression y = slope·x + intercept from
+    the same decimal-exact sufficient statistics as
+    :func:`grouped_corr` — the trend detector run per metric: a
+    significantly nonzero slope on (time, value) is the "this counter
+    is drifting" alert.
+
+    Output: ``(key, n, slope, intercept, r2)``, each ROUND(6); NULL
+    slope/intercept/r2 for constant-x groups, NULL r2 also for
+    constant-y (vy = 0).  One partial-aggregated shuffle."""
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast(
+        "decimal(18,4)"
+    )
+    y = (y_col if not isinstance(y_col, str) else F.col(y_col)).cast(
+        "decimal(18,4)"
+    )
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,8)").alias("sx"),
+        F.sum(y).cast("decimal(38,8)").alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    slope = cov / vx
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n",
+        F.when(vx > 0.0, F.round(slope, 6)).alias("slope"),
+        F.when(vx > 0.0, F.round(intercept, 6)).alias("intercept"),
+        F.when(
+            (vx > 0.0) & (vy > 0.0), F.round(cov * cov / (vx * vy), 6)
+        ).alias("r2"),
+    )

@@ -1452,3 +1452,85 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lagged_cross_correlation(_events(spark, sf_dir), max_lag_hours=2)
+
+
+# ---------------------------------------------------------------------------
+# Per-group trend regression
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+    WITH base AS (
+      SELECT event_type AS key,
+             CAST(FLOOR(epoch_us(ts) / 3600000000.0)
+                  - FLOOR(epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                          / 3600000000.0) AS DOUBLE) AS x,
+             value AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT key, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS syy
+      FROM base GROUP BY 1
+    )
+    SELECT key AS event_type, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS slope,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                THEN ROUND(
+                  (CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                THEN ROUND(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS r2
+    FROM agg
+"""
+
+
+@_q("q_trend_slope", _TREND_SQL)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type trend: regress value on hours-since-epoch-start —
+    the is-this-counter-drifting alert, decimal-exact sufficient
+    statistics, one shuffle."""
+    from conte_to_fresco_etl_spark.operators.robust import grouped_linreg
+
+    ev = _events(spark, sf_dir)
+    x = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0))
+        - F.floor(
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            / F.lit(3600000000.0)
+        )
+    ).cast("double")
+    return grouped_linreg(
+        ev, key_col="event_type", x_col=x, y_col=F.col("value")
+    )

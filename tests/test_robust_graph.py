@@ -839,3 +839,21 @@ def test_jaccard_prefix_join_shingled_matches_bruteforce(spark, texts, t):
                 if inter / union >= t:
                     expect[(i, j)] = (inter, round(inter / union, 6))
     assert got == expect
+
+
+def test_grouped_linreg_known_line(spark):
+    from conte_to_fresco_etl_spark.operators.robust import grouped_linreg
+
+    rows = (
+        [("line", float(i), float(3 * i + 7)) for i in range(10)]
+        + [("constx", 5.0, float(i)) for i in range(5)]
+        + [("consty", float(i), 4.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in grouped_linreg(df, "k", "x", "y").collect()}
+    assert got["line"]["slope"] == 3.0
+    assert got["line"]["intercept"] == 7.0
+    assert got["line"]["r2"] == 1.0
+    assert got["constx"]["slope"] is None       # vx = 0: undefined
+    assert got["consty"]["slope"] == 0.0        # flat line fits exactly
+    assert got["consty"]["r2"] is None          # vy = 0

@@ -55,14 +55,12 @@ PRIORITY: list[str] = [
     "q_source_cap",
     # new or modified in r4
     "q_decontaminate_bloom",
-    "q_mixture_weights",
     "q_ivfpq_topk",
     "q_repeated_spans",
     "q_url_normalize",
     "q_quality_classifier",
     "q_bpe_merges",
     "q_ivf_trained_topk",
-    "q_doc_components_star",
     "q_value_percentiles",
     "q_json_extract",
     "q_media_features",
@@ -91,6 +89,8 @@ PRIORITY: list[str] = [
     "q_jaccard_prefix",
     "q_benford",
     "q_trend_slope",
+    "q_winsorize",
+    "q_centroid_similarity",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -122,6 +122,10 @@ PRIORITY: list[str] = [
     "q_assign_splits",
     # embedding-dedup family keeps r3-green q_embedding_neardup_lsh
     "q_semantic_dedup",
+    # CC family keeps q_dedup_canonical/apply in-window; mixture
+    # weighting has r2-green evidence
+    "q_doc_components_star",
+    "q_mixture_weights",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

@@ -424,3 +424,46 @@ def grouped_linreg(
             (vx > 0.0) & (vy > 0.0), F.round(cov * cov / (vx * vy), 6)
         ).alias("r2"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the group's
+    [lower_q, upper_q] exact quantiles — the tail-taming transform
+    applied to metric features before anything mean-based sees them
+    (the robust alternative to dropping outliers: rank information
+    survives, leverage does not).
+
+    Output: the input rows plus ``(lo, hi, value_w, clipped)``, with
+    ``value_w`` ROUND(6) only when clamped (unclipped values pass
+    through bit-identical).
+
+    Scale posture: one exact-percentile aggregate to |keys| rows,
+    broadcast back; the corpus itself never shuffles."""
+    bounds = broadcast(
+        df.groupBy(key_col).agg(
+            F.expr(f"percentile({value_col}, {lower_q!r})").alias("lo"),
+            F.expr(f"percentile({value_col}, {upper_q!r})").alias("hi"),
+        )
+    )
+    joined = df.join(bounds, key_col)
+    clipped = (F.col(value_col) < F.col("lo")) | (
+        F.col(value_col) > F.col("hi")
+    )
+    value_w = F.when(
+        F.col(value_col) < F.col("lo"), F.round(F.col("lo"), 6)
+    ).when(
+        F.col(value_col) > F.col("hi"), F.round(F.col("hi"), 6)
+    ).otherwise(F.col(value_col))
+    return joined.select(
+        *df.columns,
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        value_w.alias("value_w"),
+        clipped.alias("clipped"),
+    )

@@ -1101,3 +1101,55 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         prune_cluster, schema=f"{id_col} long, cluster long, keep boolean"
     )
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    class-separability matrix embedding-space monitoring watches: two
+    labels whose centroids drift together are collapsing (label noise,
+    domain shift) long before a classifier notices.
+
+    Consumes :func:`label_centroids`' long (label, dim, mean_val)
+    table, so the corpus collapses ONCE; the pairwise pass is a
+    |labels|²·dims self-join of a dimension-sized table.  Cosine
+    contributions are ROUND(12)-pinned decimal sums over the ROUND(6)
+    centroid means — engine-exact.
+
+    Output: ``(label_a, label_b, cosine)``, a < b, ROUND(6)."""
+    cent = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    a = cent.select(
+        F.col(label_col).alias("label_a"),
+        F.col("dim"),
+        F.col("mean_val").alias("ma"),
+    )
+    b = cent.select(
+        F.col(label_col).alias("label_b"),
+        F.col("dim"),
+        F.col("mean_val").alias("mb"),
+    )
+    dot = F.round(F.col("ma") * F.col("mb"), 12).cast("decimal(28,12)")
+    na = F.round(F.col("ma") * F.col("ma"), 12).cast("decimal(28,12)")
+    nb = F.round(F.col("mb") * F.col("mb"), 12).cast("decimal(28,12)")
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(dot).cast("double").alias("__dot"),
+            F.sum(na).cast("double").alias("__na"),
+            F.sum(nb).cast("double").alias("__nb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("__dot")
+                / F.sqrt(F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -1534,3 +1534,36 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_linreg(
         ev, key_col="event_type", x_col=x, y_col=F.col("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS qlo,
+             quantile_cont(value, 0.99) AS qhi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(b.qlo, 6) AS lo,
+           ROUND(b.qhi, 6) AS hi,
+           CASE WHEN e.value < b.qlo THEN ROUND(b.qlo, 6)
+                WHEN e.value > b.qhi THEN ROUND(b.qhi, 6)
+                ELSE e.value END AS value_w,
+           e.value < b.qlo OR e.value > b.qhi AS clipped
+    FROM events e JOIN bounds b USING (event_type)
+"""
+
+
+@_q("q_winsorize", _WINSOR_SQL)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization to the exact [p01, p99] band: one
+    percentile aggregate broadcast back, corpus never shuffles —
+    unclipped values pass through bit-identical."""
+    from conte_to_fresco_etl_spark.operators.robust import winsorize
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return winsorize(ev, key_col="event_type", value_col="value")

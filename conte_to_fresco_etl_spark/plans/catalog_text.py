@@ -3370,3 +3370,39 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(
         _t(spark, sf_dir, "documents"), threshold=_PREFIX_T
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix
+# ---------------------------------------------------------------------------
+
+_CENTROID_SIM_SQL = f"""
+    WITH cent AS ({_LABEL_CENTROIDS_SQL}),
+    paired AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(ROUND(a.mean_val * b.mean_val, 12)
+                  AS DECIMAL(28,12)) AS dot_c,
+             CAST(ROUND(a.mean_val * a.mean_val, 12)
+                  AS DECIMAL(28,12)) AS na_c,
+             CAST(ROUND(b.mean_val * b.mean_val, 12)
+                  AS DECIMAL(28,12)) AS nb_c
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(CAST(SUM(dot_c) AS DOUBLE)
+                 / sqrt(CAST(SUM(na_c) AS DOUBLE)
+                        * CAST(SUM(nb_c) AS DOUBLE)), 6) AS cosine
+    FROM paired GROUP BY 1, 2
+"""
+
+
+@_q("q_centroid_similarity", _CENTROID_SIM_SQL)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability matrix: pairwise cosine between label
+    centroids, computed over the long centroid table (corpus collapses
+    once; the pairwise pass touches |labels|²·dims rows)."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(_t(spark, sf_dir, "embeddings"))

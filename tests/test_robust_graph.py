@@ -857,3 +857,37 @@ def test_grouped_linreg_known_line(spark):
     assert got["constx"]["slope"] is None       # vx = 0: undefined
     assert got["consty"]["slope"] == 0.0        # flat line fits exactly
     assert got["consty"]["r2"] is None          # vy = 0
+
+
+def test_winsorize_clamps_only_tails(spark):
+    from conte_to_fresco_etl_spark.operators.robust import winsorize
+
+    rows = [(i, "k", float(v)) for i, v in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "event_id int, k string, value double")
+    out = {r["event_id"]: r for r in
+           winsorize(df, "k", "value", 0.1, 0.9).collect()}
+    # p10 of 1..9,1000 = 1.9; p90 = 9·0.9+... quantile_cont: index 0.9*9=8.1 -> 9 + 0.1*(1000-9)=108.1
+    assert out[0]["clipped"] and out[0]["value_w"] == out[0]["lo"]
+    assert out[9]["clipped"] and out[9]["value_w"] == out[9]["hi"]
+    # middle values pass through bit-identical and unflagged
+    for i in range(1, 9):
+        assert not out[i]["clipped"] and out[i]["value_w"] == float(i + 1)
+
+
+def test_centroid_similarity_orthogonal_and_identical(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),   # label 0 -> e_x
+        (2, [0.0, 1.0], 1),                       # label 1 -> e_y
+        (3, [2.0, 0.0], 2),                       # label 2 -> 2·e_x
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    got = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in centroid_similarity(df).collect()}
+    assert got[(0, 1)] == 0.0   # orthogonal
+    assert got[(0, 2)] == 1.0   # parallel
+    assert got[(1, 2)] == 0.0

@@ -63,7 +63,6 @@ PRIORITY: list[str] = [
     "q_ivf_trained_topk",
     "q_value_percentiles",
     "q_json_extract",
-    "q_media_features",
     "q_zorder_key",
     "q_editdist_pairs",
     # new in this round's second half
@@ -91,6 +90,7 @@ PRIORITY: list[str] = [
     "q_trend_slope",
     "q_winsorize",
     "q_centroid_similarity",
+    "q_containment",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -126,6 +126,8 @@ PRIORITY: list[str] = [
     # weighting has r2-green evidence
     "q_doc_components_star",
     "q_mixture_weights",
+    # media family: r3-green q_media_decode + codec round-trip tests
+    "q_media_features",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

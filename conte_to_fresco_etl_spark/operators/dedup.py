@@ -1721,3 +1721,67 @@ def jaccard_prefix_join(
     # both caches stay session-lived (the ngram_jaccard convention):
     # unpersisting here would evict BEFORE the lazy result ever runs
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Directed containment C(a→b) = |A ∩ B| / |A| over shingle sets —
+    the QUOTATION detector Jaccard misses: a short document wholly
+    copied into a long one scores near-zero Jaccard (the union is
+    huge) but containment 1.0.  Corpus dedup runs BOTH: Jaccard for
+    near-twins, containment for subsumption.
+
+    Output: ``(a, b, n_common, containment)`` for ORDERED pairs a ≠ b
+    with C(a→b) ≥ threshold, ROUND(6) from exact longs.
+
+    Scale posture: the same inverted-index posting join as the Jaccard
+    family (Σ posting², never n²); smaller sets need MORE of their
+    shingles shared to pass, so the threshold prunes on ``n_common ≥
+    ⌈t·|A|⌉`` right at the pair count."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    tok_arr = tokens(text_col)
+    if ngram_n > 1:
+        seq = F.sequence(F.lit(1), F.size(tok_arr) - F.lit(ngram_n - 1))
+        gram = F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tok_arr, i + F.lit(j)) for j in range(ngram_n)],
+            ),
+        )
+        elems = F.when(
+            F.size(tok_arr) < ngram_n, F.array().cast("array<string>")
+        ).otherwise(gram)
+    else:
+        elems = tok_arr
+    posts = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("__id"), text_col),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("__id", F.explode(elems).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    sizes = posts.groupBy("__id").agg(F.count("*").alias("sz"))
+    pa = posts.select(F.col("__id").alias("a"), "tok")
+    pb = posts.select(F.col("__id").alias("b"), "tok")
+    common = (
+        pa.join(pb, "tok")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("__id").alias("a"), F.col("sz").alias("sz_a"))
+    cont = F.col("n_common").cast("double") / F.col("sz_a").cast("double")
+    return (
+        common.join(F.broadcast(sa), "a")
+        .filter(cont >= F.lit(float(threshold)))
+        .select("a", "b", "n_common", F.round(cont, 6).alias("containment"))
+    )

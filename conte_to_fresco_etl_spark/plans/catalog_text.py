@@ -3406,3 +3406,46 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Directed containment (quotation / subsumption detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_SQL = f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_sql_tokens()} AS toks FROM documents
+    ),
+    g AS (
+      SELECT id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+             END AS grams
+      FROM t
+    ),
+    posts AS (SELECT DISTINCT id, unnest(grams) AS tok FROM g),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM posts GROUP BY 1),
+    common AS (
+      SELECT x.id AS a, y.id AS b, COUNT(*) AS n_common
+      FROM posts x JOIN posts y ON x.tok = y.tok AND x.id <> y.id
+      GROUP BY 1, 2
+    )
+    SELECT c.a, c.b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
+             AS containment
+    FROM common c JOIN sizes s ON s.id = c.a
+    WHERE CAST(c.n_common AS DOUBLE) / CAST(s.sz AS DOUBLE) >= 0.8
+"""
+
+
+@_q("q_containment", _CONTAIN_SQL)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(a→b) ≥ 0.8 — the quotation/
+    subsumption detector Jaccard misses (a short doc copied into a
+    long one).  Inverted-index posting join, Σ posting², never n²."""
+    from conte_to_fresco_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )

@@ -891,3 +891,23 @@ def test_centroid_similarity_orthogonal_and_identical(spark):
     assert got[(0, 1)] == 0.0   # orthogonal
     assert got[(0, 2)] == 1.0   # parallel
     assert got[(1, 2)] == 0.0
+
+
+def test_containment_detects_quotation_jaccard_misses(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_prefix_join,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, short), (1, long_)], "doc_id int, text string"
+    )
+    cont = {(r["a"], r["b"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    # every shingle of the short doc appears in the long one
+    assert cont[(0, 1)] == 1.0
+    assert (1, 0) not in cont  # reverse direction far below threshold
+    # Jaccard at the same bar sees nothing
+    assert jaccard_prefix_join(df, threshold=0.8).count() == 0

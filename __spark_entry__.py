@@ -61,9 +61,7 @@ PRIORITY: list[str] = [
     "q_quality_classifier",
     "q_bpe_merges",
     "q_ivf_trained_topk",
-    "q_value_percentiles",
     "q_json_extract",
-    "q_zorder_key",
     "q_editdist_pairs",
     # new in this round's second half
     "q_session_window",
@@ -91,6 +89,8 @@ PRIORITY: list[str] = [
     "q_winsorize",
     "q_centroid_similarity",
     "q_containment",
+    "q_point_in_time",
+    "q_daily_growth",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -128,6 +128,10 @@ PRIORITY: list[str] = [
     "q_mixture_weights",
     # media family: r3-green q_media_decode + codec round-trip tests
     "q_media_features",
+    # exact-percentile family now has q_winsorize/q_mad_outliers in
+    # window; layout family pinned by bucketed-join + z-order tests
+    "q_value_percentiles",
+    "q_zorder_key",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

@@ -1567,3 +1567,113 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     return winsorize(ev, key_col="event_type", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2 probe) join
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id < 8
+    ),
+    marked AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type,
+             (LAG(ts) OVER w IS NULL
+              OR event_type IS DISTINCT FROM LAG(event_type) OVER w)
+               AS opens
+      FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, valid_from,
+             LEAD(valid_from) OVER w2 AS valid_to
+      FROM (SELECT user_id, valid_from, event_id, event_type
+            FROM marked WHERE opens)
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.state, d.valid_from
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE user_id < 8) f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@_q("q_point_in_time", _PIT_SQL)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse join: facts attach the dimension version valid AT
+    their timestamp — broadcast SCD2 dimension (output = #state
+    changes), equi user key + half-open range residual, every fact
+    matching exactly one version."""
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 8)
+    dim = scd2_intervals(ev).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.select("event_id", "user_id", "ts", "value")
+    cond = (
+        (facts["user_id"] == dim["d_user"])
+        & (facts["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]))
+    )
+    return facts.join(F.broadcast(dim), cond).select(
+        "event_id", "user_id", "ts", "value", "state", "valid_from"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day growth
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, total,
+           LAG(total) OVER w AS prev_total,
+           CASE WHEN LAG(total) OVER w IS NOT NULL
+                 AND LAG(total) OVER w <> 0.0
+                THEN ROUND((total - LAG(total) OVER w)
+                           / LAG(total) OVER w, 6)
+           END AS growth
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+@_q("q_daily_growth", _GROWTH_SQL)
+def q_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event type: decimal-exact daily sums,
+    one lag window over the dimension-sized daily table."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "d",
+        "total",
+        prev.alias("prev_total"),
+        F.when(
+            prev.isNotNull() & (prev != 0.0),
+            F.round((F.col("total") - prev) / prev, 6),
+        ).alias("growth"),
+    )

@@ -911,3 +911,20 @@ def test_containment_detects_quotation_jaccard_misses(spark):
     assert (1, 0) not in cont  # reverse direction far below threshold
     # Jaccard at the same bar sees nothing
     assert jaccard_prefix_join(df, threshold=0.8).count() == 0
+
+
+def test_point_in_time_join_every_fact_matches_once(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = qs["q_point_in_time"](spark, sf_dir)
+    n_facts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 8)
+        .count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_facts                      # exactly one version per fact
+    assert len({r["event_id"] for r in rows}) == n_facts  # no double-match
+    for r in rows:
+        assert r["valid_from"] <= r["ts"]            # version valid AT the fact

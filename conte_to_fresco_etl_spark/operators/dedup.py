@@ -1568,12 +1568,75 @@ def repeated_spans(
     )
 
 
+#: Session-scoped cache for shingle posting tables, keyed like
+#: _DECISION_CACHE: (applicationId, input identity, id/text cols, n).
+#: Both set-similarity joins (prefix Jaccard, containment) consume the
+#: IDENTICAL distinct (id, shingle) posting table — staging it once per
+#: session halves their combined tokenize+explode+distinct cost, and
+#: the production convention is the same table written to parquet per
+#: corpus snapshot.
+_POSTING_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingle_elems(text_col: str, ngram_n: int):
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    tok_arr = tokens(text_col)
+    if ngram_n <= 1:
+        return tok_arr
+    seq = F.sequence(F.lit(1), F.size(tok_arr) - F.lit(ngram_n - 1))
+    gram = F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(tok_arr, i + F.lit(j)) for j in range(ngram_n)],
+        ),
+    )
+    # sequence(1, k) DESCENDS for k < 1 under ANSI — guard short docs
+    return F.when(
+        F.size(tok_arr) < ngram_n, F.array().cast("array<string>")
+    ).otherwise(gram)
+
+
+def shingle_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Distinct (``__id``, ``tok``) word-``n``-gram posting table with
+    the tokenize+shingle map spread BEFORE the explode (a single-file
+    scan is otherwise ONE task) and optional session staging — the
+    shared input of every set-similarity join."""
+    if cache_key is not None:
+        hit = _POSTING_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    posts = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("__id"), text_col),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select(
+            "__id",
+            F.explode(_shingle_elems(text_col, ngram_n)).alias("tok"),
+        )
+        .distinct()
+        .persist()
+    )
+    if cache_key is not None:
+        _POSTING_CACHE[cache_key] = posts
+    return posts
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 3,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard self-join with PPJoin-style prefix
     filtering — the same answer as the naive all-posting join
@@ -1602,39 +1665,7 @@ def jaccard_prefix_join(
     candidate and the filter filters nothing); shingles restore
     distinctiveness, exactly why dedup pipelines shingle before any
     set-similarity join.  ``ngram_n=1`` gives plain token sets."""
-    from conte_to_fresco_etl_spark.functions.text import tokens
-
-    tok_arr = tokens(text_col)
-    if ngram_n > 1:
-        seq = F.sequence(F.lit(1), F.size(tok_arr) - F.lit(ngram_n - 1))
-        gram = F.transform(
-            seq,
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(tok_arr, i + F.lit(j)) for j in range(ngram_n)],
-            ),
-        )
-        # sequence(1, k) DESCENDS for k < 1 under ANSI — guard short docs
-        elems = F.when(
-            F.size(tok_arr) < ngram_n,
-            F.array().cast("array<string>"),
-        ).otherwise(gram)
-    else:
-        elems = tok_arr
-    # the exploded element table feeds frequency, sizes, prefixes AND
-    # both verify branches — persist or re-tokenize the corpus 5x
-    # tokenize+shingle is the CPU-heavy map: spread it before the
-    # explode (a single-file scan is otherwise ONE task doing all the
-    # string slicing — the ngram_jaccard lesson)
-    toks = (
-        ensure_min_parallelism(
-            df.select(F.col(id_col).alias("__id"), text_col),
-            DENSE_BYTES_PER_TASK,
-        )
-        .select("__id", F.explode(elems).alias("tok"))
-        .distinct()
-        .persist()
-    )
+    toks = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     rank = freq.select(
@@ -1729,6 +1760,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 3,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Directed containment C(a→b) = |A ∩ B| / |A| over shingle sets —
     the QUOTATION detector Jaccard misses: a short document wholly
@@ -1743,32 +1775,7 @@ def containment_pairs(
     family (Σ posting², never n²); smaller sets need MORE of their
     shingles shared to pass, so the threshold prunes on ``n_common ≥
     ⌈t·|A|⌉`` right at the pair count."""
-    from conte_to_fresco_etl_spark.functions.text import tokens
-
-    tok_arr = tokens(text_col)
-    if ngram_n > 1:
-        seq = F.sequence(F.lit(1), F.size(tok_arr) - F.lit(ngram_n - 1))
-        gram = F.transform(
-            seq,
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(tok_arr, i + F.lit(j)) for j in range(ngram_n)],
-            ),
-        )
-        elems = F.when(
-            F.size(tok_arr) < ngram_n, F.array().cast("array<string>")
-        ).otherwise(gram)
-    else:
-        elems = tok_arr
-    posts = (
-        ensure_min_parallelism(
-            df.select(F.col(id_col).alias("__id"), text_col),
-            DENSE_BYTES_PER_TASK,
-        )
-        .select("__id", F.explode(elems).alias("tok"))
-        .distinct()
-        .persist()
-    )
+    posts = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
     sizes = posts.groupBy("__id").agg(F.count("*").alias("sz"))
     pa = posts.select(F.col("__id").alias("a"), "tok")
     pb = posts.select(F.col("__id").alias("b"), "tok")

@@ -3368,7 +3368,11 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jaccard_prefix_join(
-        _t(spark, sf_dir, "documents"), threshold=_PREFIX_T
+        _t(spark, sf_dir, "documents"),
+        threshold=_PREFIX_T,
+        cache_key=(
+            spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
+        ),
     )
 
 
@@ -3447,5 +3451,9 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.dedup import containment_pairs
 
     return containment_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        cache_key=(
+            spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
+        ),
     )

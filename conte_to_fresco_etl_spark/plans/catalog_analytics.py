@@ -1677,3 +1677,40 @@ def q_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("total") - prev) / prev, 6),
         ).alias("growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct count (set aggregation over a time frame)
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_SQL = """
+    SELECT user_id, event_id, ts,
+           CAST(COUNT(DISTINCT event_type) OVER w AS INT) AS n_types_1h
+    FROM events
+    WHERE user_id < 16
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("q_rolling_distinct", _ROLLING_DISTINCT_SQL)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types seen in each event's trailing hour — the
+    behavioral-breadth feature.  Spark windows cannot COUNT(DISTINCT)
+    directly; ``size(collect_set())`` over the SAME microsecond RANGE
+    frame is the exact equivalent (the set dedups in-frame), which the
+    DuckDB COUNT(DISTINCT) OVER spelling gates."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 16)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_1h"),
+    )

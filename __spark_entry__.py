@@ -61,7 +61,6 @@ PRIORITY: list[str] = [
     "q_quality_classifier",
     "q_bpe_merges",
     "q_ivf_trained_topk",
-    "q_editdist_pairs",
     # new in this round's second half
     "q_session_window",
     "q_mad_outliers",
@@ -91,6 +90,7 @@ PRIORITY: list[str] = [
     "q_point_in_time",
     "q_daily_growth",
     "q_rolling_distinct",
+    "q_cumulative_reach",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -134,6 +134,8 @@ PRIORITY: list[str] = [
     "q_zorder_key",
     # from_json extraction pinned by tests/test_formats.py typed reads
     "q_json_extract",
+    # FastSS fuzzy join pinned by its randomized completeness test
+    "q_editdist_pairs",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

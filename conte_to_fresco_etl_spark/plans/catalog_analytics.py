@@ -1714,3 +1714,44 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative reach (distinct users ever seen, by day)
+# ---------------------------------------------------------------------------
+
+_REACH_SQL = """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('hour', ts)) AS d
+      FROM events GROUP BY 1
+    ),
+    new_users AS (
+      SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT d, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_reach
+    FROM new_users
+"""
+
+
+@_q("q_cumulative_reach", _REACH_SQL)
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users ever seen, by hour: the growth curve
+    — computed as first-appearance counts + a running sum over the
+    |buckets|-row table, NOT a per-bucket distinct-over-growing-window
+    (which would re-scan history per bucket)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("d")
+    )
+    new_users = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_users.select(
+        "d",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_reach"),
+    )

@@ -928,3 +928,43 @@ def test_point_in_time_join_every_fact_matches_once(spark, sf_dir):
     assert len({r["event_id"] for r in rows}) == n_facts  # no double-match
     for r in rows:
         assert r["valid_from"] <= r["ts"]            # version valid AT the fact
+
+
+def test_rolling_distinct_counts_types_in_time_frame(spark):
+    """collect_set over a microsecond RANGE frame == COUNT(DISTINCT)
+    by time: the 2:00 event's trailing hour excludes both earlier
+    events despite two preceding rows."""
+    from pyspark.sql import Window
+
+    rows = [(1, 0, _ts(0, 0), "a"), (1, 1, _ts(0, 30), "b"),
+            (1, 2, _ts(0, 45), "a"), (1, 3, _ts(2, 0), "c")]
+    ev = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, event_type string"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {r["event_id"]: r["n"] for r in ev.select(
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n"),
+    ).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_cumulative_reach_monotone_and_totals(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows = qs["q_cumulative_reach"](spark, sf_dir).orderBy("d").collect()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert rows[-1]["cumulative_reach"] == n_users   # everyone counted once
+    assert sum(r["n_new"] for r in rows) == n_users
+    seen = 0
+    for r in rows:
+        seen += r["n_new"]
+        assert r["cumulative_reach"] == seen          # running sum exact

@@ -60,9 +60,7 @@ PRIORITY: list[str] = [
     "q_url_normalize",
     "q_quality_classifier",
     "q_bpe_merges",
-    "q_ivf_trained_topk",
     # new in this round's second half
-    "q_session_window",
     "q_mad_outliers",
     "q_triangle_count",
     "q_weighted_sample",
@@ -91,6 +89,8 @@ PRIORITY: list[str] = [
     "q_daily_growth",
     "q_rolling_distinct",
     "q_cumulative_reach",
+    "q_lang_confusion",
+    "q_embedding_stats",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -136,6 +136,10 @@ PRIORITY: list[str] = [
     "q_json_extract",
     # FastSS fuzzy join pinned by its randomized completeness test
     "q_editdist_pairs",
+    # IVF family: q_ivfpq_topk windowed + r3-green q_ivf_ann/exhaustive;
+    # session family: r3-green q_sessionize + the boundary unit test
+    "q_ivf_trained_topk",
+    "q_session_window",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

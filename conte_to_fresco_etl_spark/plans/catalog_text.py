@@ -3457,3 +3457,111 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+_LANG_CONFUSION_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+         {_LANG_SCORES_SQL}
+      FROM base
+    ),
+    pred AS (
+      SELECT lang AS label, {_LANG_CASE_SQL} AS lang_pred FROM scored
+    ),
+    cells AS (
+      SELECT label, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT c.label, c.lang_pred, c.n,
+           ROUND(CAST(c.n AS DOUBLE)
+                 / CAST(SUM(c.n) OVER (PARTITION BY c.label) AS DOUBLE),
+                 6) AS recall_share
+    FROM cells c
+"""
+
+
+@_q("q_lang_confusion", _LANG_CONFUSION_SQL)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the stopword language-ID
+    prediction against the documents table's gold ``lang`` label, with
+    per-label recall shares.  One prediction map pass + one (label,
+    pred) count shuffle; the share window runs over the |labels|² cell
+    table."""
+    from conte_to_fresco_etl_spark.functions.text import lang_id
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("label"), lang_id("text").alias("lang_pred")
+    )
+    cells = pred.groupBy("label", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("label")
+    return cells.select(
+        "label",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("recall_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (embedding-space drift monitor)
+# ---------------------------------------------------------------------------
+
+_EMB_STATS_SQL = """
+    WITH x AS (
+      SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) AS g(i)
+      WHERE embedding IS NOT NULL AND i <= len(embedding)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_v,
+           ROUND(CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_sq
+    FROM x GROUP BY dim
+"""
+
+
+@_q("q_embedding_stats", _EMB_STATS_SQL)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (n/min/max/mean/mean-square)
+    — the drift monitor for an embedding column: a dimension whose
+    moments move means the upstream encoder changed.  One narrow
+    (dim, value) shuffle with decimal-pinned sums; at 100 TB this is
+    64 partial aggregates, never a vector-wide row."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    x = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("val").cast("double").alias("v"),
+    )
+    return x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_v"),
+        F.round(
+            F.sum(
+                F.round(F.col("v") * F.col("v"), 12).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_sq"),
+    )

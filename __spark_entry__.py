@@ -68,7 +68,6 @@ PRIORITY: list[str] = [
     "q_token_pmi",
     "q_token_entropy",
     "q_psi_drift",
-    "q_merge_upsert",
     "q_rank_functions",
     "q_ewma",
     "q_series_corr",
@@ -91,6 +90,7 @@ PRIORITY: list[str] = [
     "q_cumulative_reach",
     "q_lang_confusion",
     "q_embedding_stats",
+    "q_curation_v3",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -137,9 +137,11 @@ PRIORITY: list[str] = [
     # FastSS fuzzy join pinned by its randomized completeness test
     "q_editdist_pairs",
     # IVF family: q_ivfpq_topk windowed + r3-green q_ivf_ann/exhaustive;
-    # session family: r3-green q_sessionize + the boundary unit test
+    # session family: r3-green q_sessionize + the boundary unit test;
+    # merge upsert pinned by its replace/insert/survive unit test
     "q_ivf_trained_topk",
     "q_session_window",
+    "q_merge_upsert",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

@@ -3565,3 +3565,78 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation v3: this round's governance ops composed end-to-end
+# ---------------------------------------------------------------------------
+
+_CURATION_V3_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             {_SQL_FINGERPRINT} AS fingerprint
+      FROM documents
+    ),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+    ),
+    survivors AS (
+      SELECT f.doc_id, f.source, f.n_chars FROM fp f
+      WHERE f.doc_id IN (SELECT doc_id FROM reps)
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(
+               ln(({_sql_md5_long("'42:' || CAST(doc_id AS VARCHAR)")}
+                   + 1.0) / {float(16**15 + 1)!r})
+               / CAST(n_chars AS DOUBLE), 12) AS es_key
+      FROM survivors WHERE CAST(n_chars AS DOUBLE) > 0.0
+    ),
+    sampled AS (
+      SELECT doc_id, source, n_chars
+      FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+    ),
+    b AS (
+      SELECT doc_id, source, n_chars,
+             ({_sql_md5_long("'42:' || CAST(doc_id AS VARCHAR)")})
+               / {float(16**15)!r} AS bb
+      FROM sampled
+    )
+    SELECT doc_id, source, n_chars,
+           CASE WHEN bb < {_SPLIT_CUTS[0]} THEN 'train'
+                WHEN bb < {_SPLIT_CUTS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+
+@_q("q_curation_v3", _CURATION_V3_SQL)
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This round's governance ops composed end-to-end — exact dedup
+    (min-id representative per content fingerprint) → length-weighted
+    A-ES sample of 100 → hash-stable train/val/test assignment.  The
+    COMPOSITION is what the gate checks: each stage's row set feeds the
+    next exactly."""
+    from conte_to_fresco_etl_spark.functions.text import doc_fingerprint
+    from conte_to_fresco_etl_spark.validation import (
+        assign_splits,
+        weighted_sample_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    fp = docs.select(
+        "doc_id", "source", "n_chars",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    survivors = fp.join(
+        F.broadcast(reps.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "source", "n_chars")
+    sampled = weighted_sample_topk(
+        survivors, weight_col="n_chars", key_col="doc_id", k=100, seed=42
+    ).drop("es_key")
+    return assign_splits(sampled, key_col="doc_id").select(
+        "doc_id", "source", "n_chars", "split"
+    )

@@ -246,3 +246,94 @@ def funnel_progress(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+#: state tuple: (last_ts_epoch_us, current ewma)
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """EXACT (untruncated) per-key exponential smoothing as a custom
+    stateful streaming operator: one row out per event with
+
+        ewma_t = α·x_t + (1-α)·ewma_{t-1}    (ewma_0 = x_0)
+
+    The recurrence is inherently order-serial per key — the shape the
+    BATCH form truncates into a lag chain (gapfill.ewma_features);
+    streaming state makes the exact form natural: O(1) state per key
+    (last timestamp + current smoothed value), one shuffle on the key,
+    watermark-bounded state lifetime.
+
+    Within a micro-batch, rows process in event-time order; a row
+    older than the key's last seen timestamp is DROPPED (the watermark
+    already bounds how late it can be; smoothing an out-of-order value
+    would corrupt every subsequent estimate)."""
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_us = rows[ts_col].astype("int64") // 1000
+        vals = rows[value_col].astype("float64")
+        if state.exists:
+            last_us, ewma = state.get
+        else:
+            last_us, ewma = -1, None
+        out = []
+        for t_us, v in zip(ts_us, vals):
+            t_us = int(t_us)
+            if t_us <= last_us:
+                continue  # out-of-order beyond state: drop, see docstring
+            ewma = (
+                float(v)
+                if ewma is None
+                else alpha * float(v) + (1.0 - alpha) * ewma
+            )
+            last_us = t_us
+            out.append(
+                (key[0], pd.Timestamp(t_us, unit="us"), float(v), ewma)
+            )
+        state.update((last_us, ewma if ewma is not None else 0.0))
+        state.setTimeoutTimestamp(last_us // 1000 + 3_600_000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[c.name for c in EWMA_OUTPUT_SCHEMA]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

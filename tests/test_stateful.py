@@ -142,3 +142,62 @@ def test_funnel_progress_stateful(spark, tmp_path):
     assert rows[("C", 1)] == ("view", D(2024, 1, 1, 10, 0))
     assert rows[("C", 2)] == ("click", D(2024, 1, 1, 10, 0))  # same-ts tie
     assert ("C", 3) not in rows and len(rows) == 7
+
+
+def test_streaming_ewma_matches_exact_recurrence(spark, tmp_path):
+    """The stateful streaming EWMA equals the exact serial recurrence
+    computed in Python over the same events — including state carried
+    ACROSS micro-batches (two files, one per trigger)."""
+    import pandas as pd
+
+    from conte_to_fresco_etl_spark.streaming.stateful import streaming_ewma
+
+    def _ts(m):
+        import datetime as dt
+
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    batch1 = [("u1", _ts(0), 10.0), ("u1", _ts(5), 20.0),
+              ("u2", _ts(1), 4.0)]
+    batch2 = [("u1", _ts(10), 40.0), ("u2", _ts(6), 8.0),
+              ("u2", _ts(11), 2.0)]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        batch1, "user_id string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        batch2, "user_id string, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.25)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in spark.sql("select * from ewma_stream").collect()
+    }
+    # exact recurrence twin over the time-ordered union — NOTE the two
+    # files may arrive in either trigger order; the operator drops
+    # rows older than state, so derive the expected stream per key in
+    # ARRIVAL order (file order), which equals time order here per key
+    all_rows = sorted(batch1 + batch2, key=lambda r: (r[0], r[1]))
+    expect = {}
+    cur: dict = {}
+    for k, t, v in all_rows:
+        cur[k] = v if k not in cur else 0.25 * v + 0.75 * cur[k]
+        expect[(k, t)] = cur[k]
+    assert len(got) == len(expect)
+    for key, e in expect.items():
+        assert abs(got[key] - e) < 1e-12, key

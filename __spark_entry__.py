@@ -72,7 +72,6 @@ PRIORITY: list[str] = [
     "q_ewma",
     "q_series_corr",
     "q_chi_square",
-    "q_snapshot_diff",
     "q_oov_rate",
     "q_assoc_rules",
     "q_skew_report",
@@ -91,6 +90,7 @@ PRIORITY: list[str] = [
     "q_lang_confusion",
     "q_embedding_stats",
     "q_curation_v3",
+    "q_ngram_novelty",
     "q_conversion_latency",
     "q_cross_correlation",
     # The driver's window may stop at 50 queries; the 46 entries above
@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "q_ivf_trained_topk",
     "q_session_window",
     "q_merge_upsert",
+    "q_snapshot_diff",
     # boilerplate/soft-sample have windowed family siblings
     # (q_repeated_spans, q_quality_classifier)
     "q_boilerplate_frac",

@@ -3640,3 +3640,70 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_splits(sampled, key_col="doc_id").select(
         "doc_id", "source", "n_chars", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (first-occurrence fraction per document)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_sql_tokens()} AS toks FROM documents
+    ),
+    g AS (
+      SELECT id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+             END AS grams
+      FROM t
+    ),
+    posts AS (SELECT DISTINCT id, unnest(grams) AS tok FROM g),
+    firsts AS (SELECT tok, MIN(id) AS first_id FROM posts GROUP BY 1)
+    SELECT p.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_id = p.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_id = p.id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM posts p JOIN firsts f USING (tok)
+    GROUP BY p.id
+"""
+
+
+@_q("q_ngram_novelty", _NOVELTY_SQL)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-gram
+    shingles FIRST seen in it (by ingestion id order) — the curriculum
+    /repetition signal a near-dup pass leaves behind (a doc can evade
+    pairwise thresholds yet contribute almost nothing new).  Reuses the
+    session-staged shingle posting; one MIN-per-gram aggregate joins
+    back onto the postings."""
+    from conte_to_fresco_etl_spark.operators.dedup import shingle_postings
+
+    posts = shingle_postings(
+        _t(spark, sf_dir, "documents"),
+        cache_key=(
+            spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
+        ),
+    )
+    firsts = posts.groupBy("tok").agg(F.min("__id").alias("first_id"))
+    novel = F.when(F.col("first_id") == F.col("__id"), 1).otherwise(0)
+    return (
+        posts.join(firsts, "tok")
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

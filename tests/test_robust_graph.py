@@ -968,3 +968,65 @@ def test_cumulative_reach_monotone_and_totals(spark, sf_dir):
     for r in rows:
         seen += r["n_new"]
         assert r["cumulative_reach"] == seen          # running sum exact
+
+
+# ---------------------------------------------------------------------------
+# stream-static point-in-time enrichment
+# ---------------------------------------------------------------------------
+
+
+def test_stream_static_point_in_time_enrichment(spark, tmp_path):
+    """A fact STREAM joins the static SCD2 dimension on the same
+    half-open validity condition as the batch probe — every streamed
+    fact attaches exactly the version valid at its timestamp (the
+    streaming side of q_point_in_time)."""
+    from conte_to_fresco_etl_spark.operators.scd import scd2_intervals
+
+    hist = [
+        (1, _ts(0, 0), 100, "bronze"),
+        (1, _ts(1, 0), 101, "silver"),   # upgrade at 1:00
+        (1, _ts(3, 0), 102, "gold"),     # upgrade at 3:00
+    ]
+    dim = scd2_intervals(
+        spark.createDataFrame(
+            hist, "user_id int, ts timestamp, event_id int, event_type string"
+        )
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+
+    facts = [
+        (1, _ts(0, 30), 1.0),   # bronze
+        (1, _ts(1, 0), 2.0),    # exactly at upgrade -> silver (half-open)
+        (1, _ts(2, 59), 3.0),   # silver
+        (1, _ts(9, 0), 4.0),    # gold (open-ended current version)
+    ]
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        facts, "user_id int, ts timestamp, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id int, ts timestamp, value double"
+    ).parquet(src)
+
+    enriched = stream.join(
+        dim,
+        (stream["user_id"] == dim["d_user"])
+        & (stream["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (stream["ts"] < dim["valid_to"])),
+    ).select("user_id", "ts", "value", "state")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("pit_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["value"]: r["state"]
+           for r in spark.sql("select * from pit_stream").collect()}
+    assert got == {1.0: "bronze", 2.0: "silver", 3.0: "silver", 4.0: "gold"}

@@ -1030,3 +1030,35 @@ def test_stream_static_point_in_time_enrichment(spark, tmp_path):
     got = {r["value"]: r["state"]
            for r in spark.sql("select * from pit_stream").collect()}
     assert got == {1.0: "bronze", 2.0: "silver", 3.0: "silver", 4.0: "gold"}
+
+
+def test_ngram_novelty_credits_first_occurrence(spark):
+    """Shingle credit goes to the LOWEST doc id; an exact repeat scores
+    0 novelty and a fresh doc scores 1."""
+    from conte_to_fresco_etl_spark.operators.dedup import shingle_postings
+    from pyspark.sql import functions as F2
+
+    docs = [
+        (0, "a b c d e"),          # 3 shingles, all first -> 1.0
+        (1, "a b c d e"),          # exact repeat -> 0.0
+        (2, "x y z w"),            # fresh -> 1.0
+        (3, "a b c x y z"),        # 'a b c'+'x y z' seen; 'b c x','c x y' new
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    posts = shingle_postings(df)
+    firsts = posts.groupBy("tok").agg(F2.min("__id").alias("first_id"))
+    nov = (
+        posts.join(firsts, "tok")
+        .groupBy("__id")
+        .agg(
+            (
+                F2.sum(
+                    F2.when(F2.col("first_id") == F2.col("__id"), 1).otherwise(0)
+                ).cast("double")
+                / F2.count("*")
+            ).alias("novelty")
+        )
+    )
+    got = {r["__id"]: r["novelty"] for r in nov.collect()}
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 1.0
+    assert got[3] == 0.5  # 2 of 4 shingles first-seen here

@@ -40,7 +40,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # their last green row) come first; long-stable green queries go to the tail
 # where a truncated window costs nothing.
 PRIORITY: list[str] = [
-    # never driver-checked in any round (VERDICT r3 #1)
+    # --- round-5 window (the driver checks the first 50) ---
+    # Every query below EITHER was modified this round or has NEVER had
+    # a driver CORRECTNESS row in rounds 1-4 (the union of r1-r4 green
+    # rows covers the other 108 registered queries, zero reds).
+    #
+    # modified in r5: struct-rank orientation (ADVICE r4) and null-safe
+    # class join-back (ADVICE r4) — both green in r4, re-gated after
+    # the fix
+    "q_triangle_count",
+    "q_k_anonymity",
+    # never driver-checked, non-TPC-H (registered in r4 past the cap)
+    "q_range_frame",
+    "q_dataset_card",
+    "q_normalize_text",
+    "q_dup_token_frac",
+    "q_compression_ratio",
+    "q_assign_splits",
+    "q_semantic_dedup",
+    "q_doc_components_star",
+    "q_mixture_weights",
+    "q_media_features",
+    "q_value_percentiles",
+    "q_zorder_key",
+    "q_json_extract",
+    "q_editdist_pairs",
+    "q_ivf_trained_topk",
+    "q_session_window",
+    "q_merge_upsert",
+    "q_snapshot_diff",
+    "q_boilerplate_frac",
+    "q_soft_quality_sample",
+    "q_pq_topk",
+    "q_bpe_apply",
+    "q_url_dedup",
+    "q_retention",
+    "q_event_gaps",
+    "q_scd2_intervals",
+    "q_event_transitions",
+    "q_pagerank",
+    "q_top_sequences",
+    "q_interval_overlap",
+    "q_time_weighted",
+    "q_hopping_window",
+    # new in r5 (inserted here as they are added)
+    # TPC-H shapes never driver-checked; the 10 riskiest (correlated
+    # subqueries, multi-join profit/market-share, group-HAVING) take
+    # this round's remaining slots, the 9 simpler filter/agg shapes
+    # rotate into r6 (family evidence: q1/q3/q5 green since r2,
+    # tests/oracle_parity.py green locally for all 19)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "q22_dormant_customers",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_promotion_suppliers",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    # --- rotation tail (beyond the 50-query window this round) ---
+    # TPC-H remainder -> r6 window
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    # r4-green queries (stable, unmodified)
     "q_dedup_canonical",
     "q_dedup_apply",
     "q_incremental_dedup",
@@ -48,23 +118,16 @@ PRIORITY: list[str] = [
     "q_bigram_nll",
     "q_doc_chunks",
     "q_shard_manifest",
-    # changed in r3 after its r2 green row
     "q_curation_v2",
-    # r2-green-only (no r3 row); q_source_cap also changed in r4
-    # (collect-free cap rewrite), so its slot is mandatory
     "q_source_cap",
-    # new or modified in r4
     "q_decontaminate_bloom",
     "q_ivfpq_topk",
     "q_repeated_spans",
     "q_url_normalize",
     "q_quality_classifier",
     "q_bpe_merges",
-    # new in this round's second half
     "q_mad_outliers",
-    "q_triangle_count",
     "q_weighted_sample",
-    "q_k_anonymity",
     "q_token_pmi",
     "q_token_entropy",
     "q_psi_drift",
@@ -93,104 +156,22 @@ PRIORITY: list[str] = [
     "q_ngram_novelty",
     "q_conversion_latency",
     "q_cross_correlation",
-    # The driver's window may stop at 50 queries; the 46 entries above
-    # are must-gate (never checked, or changed since their last row).
-    # The remaining slots sample one query from each NEW r4 family
-    # (time-series regularization, funnel analytics, retrieval, TPC-H
-    # shapes); the rest of each family rotates into later windows.
     "q_gapfill",
     "q_funnel",
     "q_bm25_topk",
-    # RANGE frames share family evidence with r3-green
-    # q_trailing_window; rotate just past the boundary
-    "q_range_frame",
-    "q13_customer_distribution",
-    # --- rotation tail (beyond a 50-query window this round) ---
-    # r2-green unmodified queries and r3-green queries whose r4 edits
-    # are pinned by local parity, plus second family members (their
-    # siblings hold the window slot) — all rotate into later windows
-    # q_dataset_card has family evidence via r3-green q_dq_report;
-    # q_normalize_text via its idempotence property tests + the
-    # still-windowed q_url_normalize — both rotate into r5
-    "q_dataset_card",
-    "q_normalize_text",
-    # intra-doc repetition/quality + hash-split families keep windowed
-    # siblings (q_repeated_spans, q_quality_classifier, r3-green
-    # stratified_sample); these rotate into r5
-    "q_dup_token_frac",
-    "q_compression_ratio",
-    "q_assign_splits",
-    # embedding-dedup family keeps r3-green q_embedding_neardup_lsh
-    "q_semantic_dedup",
-    # CC family keeps q_dedup_canonical/apply in-window; mixture
-    # weighting has r2-green evidence
-    "q_doc_components_star",
-    "q_mixture_weights",
-    # media family: r3-green q_media_decode + codec round-trip tests
-    "q_media_features",
-    # exact-percentile family now has q_winsorize/q_mad_outliers in
-    # window; layout family pinned by bucketed-join + z-order tests
-    "q_value_percentiles",
-    "q_zorder_key",
-    # from_json extraction pinned by tests/test_formats.py typed reads
-    "q_json_extract",
-    # FastSS fuzzy join pinned by its randomized completeness test
-    "q_editdist_pairs",
-    # IVF family: q_ivfpq_topk windowed + r3-green q_ivf_ann/exhaustive;
-    # session family: r3-green q_sessionize + the boundary unit test;
-    # merge upsert pinned by its replace/insert/survive unit test
-    "q_ivf_trained_topk",
-    "q_session_window",
-    "q_merge_upsert",
-    "q_snapshot_diff",
-    # boilerplate/soft-sample have windowed family siblings
-    # (q_repeated_spans, q_quality_classifier)
-    "q_boilerplate_frac",
-    "q_soft_quality_sample",
+    # r2/r3-green queries (stable, unmodified)
     "q_temperature_sample",
     "q_label_centroids",
     "q_decontaminate",
     "q_unigram_nll",
-    # q_ivfpq_topk re-derives BOTH quantizers in-oracle and holds the
-    # PQ-family slot; q_pq_topk rotates just past the boundary
-    "q_pq_topk",
     "q_token_stats",
     "q_pack_sequences",
     "q_knn_classify",
     "q_top_bigrams",
-    "q_bpe_apply",
-    "q_url_dedup",
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",
     "q_embedding_neardup",
-    "q_retention",
-    "q_event_gaps",
-    "q_scd2_intervals",
-    "q_event_transitions",
-    "q_pagerank",
-    "q_top_sequences",
-    "q_interval_overlap",
-    "q_time_weighted",
-    "q_hopping_window",
-    "q21_sole_returner",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    "q11_important_parts",
-    "q4_priority_exists",
-    "q16_supplier_variety",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q20_promotion_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q7_volume_shipping",
-    "q19_disjunctive_revenue",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q6_forecast_revenue",
 ]
 
 

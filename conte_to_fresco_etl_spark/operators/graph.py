@@ -302,11 +302,13 @@ def triangle_count(
         canon.select(F.col("v").alias("n"))
     )
     deg = both.groupBy("n").agg(F.count("*").alias("deg"))
-    # orientation rank: (degree, node id) lexicographic, encoded so a
-    # single BIGINT comparison orders it (degree bounded by |E|)
+    # orientation rank: (degree, node id) lexicographic as a STRUCT —
+    # Spark orders structs field-by-field, so the comparison is total
+    # for any comparable node-id type (64-bit, negative, or string ids
+    # all work; a packed-BIGINT encoding would collide or overflow)
     rank = deg.select(
         "n",
-        (F.col("deg") * F.lit(1 << 32) + F.col("n")).alias("rk"),
+        F.struct(F.col("deg"), F.col("n")).alias("rk"),
     )
     ra = rank.select(F.col("n").alias("u"), F.col("rk").alias("rk_u"))
     rb = rank.select(F.col("n").alias("v"), F.col("rk").alias("rk_v"))

@@ -17,6 +17,8 @@ scanned, and the projection prunes to (id, text) at the parquet scan.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,8 +91,24 @@ def k_anonymity(
     the join; a full-sort window over the corpus — the oracle's
     spelling — would shuffle every row's full width instead."""
     sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("group_n"))
-    joined = df.select(id_col, *quasi_cols).join(
-        sizes, quasi_cols, "left"
+    # Join back with NULL-SAFE equality: groupBy puts NULL quasi values
+    # in their own class, but a plain equi-join would never match those
+    # rows back to their sizes row, returning group_n = NULL and a NULL
+    # suppressed verdict.  eqNullSafe keeps the class-size semantics
+    # identical to the groupBy's.
+    left = df.select(id_col, *quasi_cols).alias("l")
+    rt = sizes.alias("s")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"l.{c}").eqNullSafe(F.col(f"s.{c}"))
+            for c in quasi_cols
+        ],
+    )
+    joined = left.join(rt, cond, "left").select(
+        F.col(f"l.{id_col}").alias(id_col),
+        *[F.col(f"l.{c}").alias(c) for c in quasi_cols],
+        F.col("s.group_n").alias("group_n"),
     )
     small = F.col("group_n") < k
     return joined.select(

@@ -58,6 +58,29 @@ SESSION_STATE_SCHEMA = StructType(
 
 _US = 1_000_000
 
+#: CalendarInterval-style duration units accepted by withWatermark,
+#: in milliseconds — the subset that describes a fixed-length span.
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def _duration_ms(delay: str) -> int:
+    """Parse a ``withWatermark``-style delay ("10 minutes") to ms."""
+    parts = delay.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"unparseable duration: {delay!r}")
+    n, unit = parts
+    unit = unit.lower().rstrip("s")
+    if unit not in _UNIT_MS:
+        raise ValueError(f"unparseable duration unit: {delay!r}")
+    return int(n) * _UNIT_MS[unit]
+
 
 def sessionize(
     events: DataFrame,
@@ -169,14 +192,18 @@ def funnel_progress(
     mode), folding events through O(1) state — (completed stage count,
     conversion timestamp) — instead of re-aggregating history.
 
-    Equivalence contract: for events arriving in event-time order
-    (enforced per micro-batch by an explicit sort; across batches by
-    the watermark dropping late data), the emitted conversion
-    timestamps equal the batch operator's per-step MIN-at-or-after
-    times — the in-order fold takes the FIRST qualifying event of each
-    step, which IS that minimum.  Ties at one timestamp are processed
-    in step order, preserving the batch >= semantics ("click at the
-    same instant as the view counts").
+    Equivalence contract (bounded, not exact): within one micro-batch
+    events process in event-time order (explicit sort), so a funnel
+    completed inside a single batch emits the batch operator's per-step
+    MIN-at-or-after timestamps exactly.  ACROSS micro-batches the
+    watermark only drops events older than the watermark — it does not
+    re-order in-delay arrivals — so a qualifying step event that lands
+    one batch late (but within ``watermark_delay``) yields a LATER
+    conv_ts than the batch MIN, and append mode never revises the
+    emitted row.  Divergence is bounded by the watermark delay; callers
+    needing the exact batch answer should either buffer per-key until
+    the watermark passes before emitting, or re-run the batch operator
+    (operators/funnel.py) over the closed window.
 
     Scale posture: one shuffle on the user key; per-key state is two
     scalars regardless of history length; with ``max_lag_seconds`` the
@@ -273,9 +300,10 @@ def streaming_ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     watermark_delay: str = "10 minutes",
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
-    """EXACT (untruncated) per-key exponential smoothing as a custom
-    stateful streaming operator: one row out per event with
+    """Per-key exponential smoothing as a custom stateful streaming
+    operator: one row out per event with
 
         ewma_t = α·x_t + (1-α)·ewma_{t-1}    (ewma_0 = x_0)
 
@@ -283,12 +311,31 @@ def streaming_ewma(
     BATCH form truncates into a lag chain (gapfill.ewma_features);
     streaming state makes the exact form natural: O(1) state per key
     (last timestamp + current smoothed value), one shuffle on the key,
-    watermark-bounded state lifetime.
+    state lifetime bounded by ``state_timeout_ms``.
+
+    State eviction: a key idle (no events) past ``state_timeout_ms``
+    of event time has its state removed, and the smoothing RESTARTS
+    from the next value (ewma_0 = x).  The chain is therefore exact
+    only across gaps shorter than the timeout; pass ``None``-adjacent
+    large values if keys can go dormant and the chain must survive.
+    Default: 100× the watermark delay (never less than the watermark —
+    evicting earlier than the watermark would drop state that in-delay
+    events may still legitimately extend).
 
     Within a micro-batch, rows process in event-time order; a row
     older than the key's last seen timestamp is DROPPED (the watermark
     already bounds how late it can be; smoothing an out-of-order value
     would corrupt every subsequent estimate)."""
+    wm_ms = _duration_ms(watermark_delay)
+    timeout_ms = (
+        state_timeout_ms if state_timeout_ms is not None else 100 * wm_ms
+    )
+    if timeout_ms < wm_ms:
+        raise ValueError(
+            "state_timeout_ms must be >= the watermark delay: state "
+            "evicted before the watermark passes would silently reset "
+            "the chain for in-delay events"
+        )
 
     def fn(
         key: Any,
@@ -320,7 +367,7 @@ def streaming_ewma(
                 (key[0], pd.Timestamp(t_us, unit="us"), float(v), ewma)
             )
         state.update((last_us, ewma if ewma is not None else 0.0))
-        state.setTimeoutTimestamp(last_us // 1000 + 3_600_000)
+        state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=[c.name for c in EWMA_OUTPUT_SCHEMA]

@@ -110,6 +110,23 @@ def test_triangle_count_k4_plus_pendant(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
+def test_triangle_count_string_and_large_ids(spark):
+    """The orientation rank is a (degree, id) STRUCT comparison, so any
+    comparable id type works — string doc ids and >2^32 / negative
+    BIGINTs would collide or overflow under a packed-BIGINT rank."""
+    tri = [("doc_a", "doc_b"), ("doc_b", "doc_c"), ("doc_a", "doc_c"),
+           ("doc_c", "doc_d")]
+    df = spark.createDataFrame(tri, "a string, b string")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"doc_a": 1, "doc_b": 1, "doc_c": 1}
+
+    big = 1 << 40
+    tri2 = [(-big, 0), (0, big), (-big, big), (big, big + 7)]
+    df2 = spark.createDataFrame(tri2, "a long, b long")
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_count(df2).collect()}
+    assert got2 == {-big: 1, 0: 1, big: 1}
+
+
 def test_triangle_count_two_shared_edge_triangles(spark):
     # triangles (0,1,2) and (1,2,3) share edge 1-2
     df = spark.createDataFrame(
@@ -166,6 +183,20 @@ def test_k_anonymity_suppresses_small_classes(spark):
     assert out[0]["group_n"] == 5
     assert out[99]["lang"] is None and out[99]["source"] is None
     assert out[99]["suppressed"] and out[99]["group_n"] == 1
+
+
+def test_k_anonymity_null_quasi_values_join_back(spark):
+    """Rows with NULL quasi values form their own groupBy class; the
+    null-safe join-back must return their true class size, not
+    group_n = NULL / suppressed = NULL."""
+    rows = [(i, None, "a") for i in range(5)] + [(99, None, "b")]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, source string")
+    out = {r["doc_id"]: r for r in
+           k_anonymity(df, ["lang", "source"], "doc_id", k=5).collect()}
+    assert out[0]["group_n"] == 5 and out[0]["suppressed"] is False
+    assert out[0]["source"] == "a"
+    assert out[99]["group_n"] == 1 and out[99]["suppressed"] is True
+    assert out[99]["source"] is None
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,7 @@ PRIORITY: list[str] = [
     # the fix
     "q_triangle_count",
     "q_k_anonymity",
+    "q_jaccard_prefix",
     # never driver-checked, non-TPC-H (registered in r4 past the cap)
     "q_range_frame",
     "q_dataset_card",
@@ -84,6 +85,9 @@ PRIORITY: list[str] = [
     "q_time_weighted",
     "q_hopping_window",
     # new in r5 (inserted here as they are added)
+    "q_hll_rollup",
+    "q_dp_counts",
+    "q_lsh_calibration",
     # TPC-H shapes never driver-checked; the 10 riskiest (correlated
     # subqueries, multi-join profit/market-share, group-HAVING) take
     # this round's remaining slots, the 9 simpler filter/agg shapes
@@ -140,7 +144,6 @@ PRIORITY: list[str] = [
     "q_skew_report",
     "q_seasonal_decompose",
     "q_topk_per_group",
-    "q_jaccard_prefix",
     "q_benford",
     "q_trend_slope",
     "q_winsorize",

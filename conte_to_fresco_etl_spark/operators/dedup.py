@@ -1350,6 +1350,22 @@ def canonical_docs(
 #: is the product every dedup consumer shares — components, canonical
 #: choice, and the apply filter all derive from it — and it is
 #: dup-subset-sized, so keeping it persisted for the session is cheap.
+def _repersisted(df: DataFrame) -> DataFrame:
+    """Session-staged tables are handed out by identity from the
+    module caches; a ``spark.catalog.clearCache()`` in between (the
+    bench harness does this between runs) silently strips their
+    persistence marker, after which every consumer branch recomputes
+    the full staging pipeline.  Restore the marker on cache hit."""
+    try:
+        if df.storageLevel.useMemory is False and (
+            df.storageLevel.useDisk is False
+        ):
+            df.persist()
+    except Exception:  # pragma: no cover - storageLevel API drift
+        pass
+    return df
+
+
 _DECISION_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -1380,7 +1396,7 @@ def neardup_decision(
     if cache_key is not None:
         hit = _DECISION_CACHE.get(cache_key)
         if hit is not None:
-            return hit
+            return _repersisted(hit)
     out = canonical_docs(
         df, id_col, text_col, quality_col, **minhash_kwargs
     ).persist()
@@ -1617,7 +1633,7 @@ def shingle_postings(
     if cache_key is not None:
         hit = _POSTING_CACHE.get(cache_key)
         if hit is not None:
-            return hit
+            return _repersisted(hit)
     from conte_to_fresco_etl_spark.functions.text import tokens
 
     # text shingling is ~4x the per-byte CPU of the minhash path the
@@ -1679,19 +1695,22 @@ def jaccard_prefix_join(
     toks = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
     sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    rank = freq.select(
-        "tok",
-        F.row_number()
-        .over(Window.orderBy(F.col("tf").asc(), F.col("tok").asc()))
-        .alias("rk"),
-    )
+    # The global order only needs to be a CONSISTENT total order —
+    # (corpus frequency asc, token asc) is one already.  Materializing
+    # it as a dense row_number over an unpartitioned Window would drag
+    # the whole vocabulary through a single-task sort (the one
+    # non-scalable stage in an otherwise posting-bounded plan); sorting
+    # each document's tokens by the (tf, tok) tuple directly gives the
+    # identical prefix with only the per-document window.
     posting = (
-        toks.join(F.broadcast(rank), "tok")
+        toks.join(F.broadcast(freq), "tok")
         .join(F.broadcast(sizes), "__id")
         .withColumn(
             "pos",
             F.row_number().over(
-                Window.partitionBy("__id").orderBy(F.col("rk").asc())
+                Window.partitionBy("__id").orderBy(
+                    F.col("tf").asc(), F.col("tok").asc()
+                )
             ),
         )
     )
@@ -1811,4 +1830,47 @@ def containment_pairs(
         common.join(F.broadcast(sa), "a")
         .filter(cont >= F.lit(float(threshold)))
         .select("a", "b", "n_common", F.round(cont, 6).alias("containment"))
+    )
+
+
+def lsh_candidate_curve(
+    spark,
+    band_options: list[tuple[int, int]] = ((32, 4), (16, 8), (8, 16)),
+    s_steps: int = 19,
+) -> DataFrame:
+    """MinHash-LSH tuning table: for each candidate (bands b, rows r)
+    layout of a b·r-hash signature, the probability an (unseen) pair
+    with true Jaccard s becomes an LSH candidate —
+
+        P(candidate | s) = 1 − (1 − s^r)^b
+
+    — evaluated on an s grid, plus the layout's s-curve midpoint
+    ``s50 = (1/b)^(1/r)`` (where P crosses ~0.5).  Choosing (b, r) IS
+    the capacity-planning decision for a 100 TB dedup run: b trades
+    candidate-join volume (each band is one shuffle key per doc)
+    against recall at the target threshold, and this table is how the
+    trade is read before paying for the run.  Computed as a Spark plan
+    (grid explode × literal layout dim, one codegen projection) so the
+    same machinery audits itself.
+
+    Output: ``(bands, rows_per_band, s, p_candidate, s50)``.
+    """
+    layouts = spark.createDataFrame(
+        [(int(b), int(r)) for b, r in band_options],
+        "bands int, rows_per_band int",
+    )
+    grid = spark.range(1, s_steps + 1).select(
+        (F.col("id").cast("double") * F.lit(0.05)).alias("s")
+    )
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+    s = F.col("s")
+    return layouts.crossJoin(grid).select(
+        "bands",
+        "rows_per_band",
+        F.round(s, 6).alias("s"),
+        F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, r), b), 6
+        ).alias("p_candidate"),
+        F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias("s50"),
     )

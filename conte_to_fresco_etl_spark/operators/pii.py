@@ -120,3 +120,56 @@ def k_anonymity(
         "group_n",
         small.alias("suppressed"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private release of per-group counts: each
+    group's true count is perturbed with Laplace(1/ε) noise before
+    release (event-level DP: one event changes one count by 1, so
+    sensitivity is 1 and scale b = 1/ε).  Complements ``k_anonymity``
+    on the privacy surface — suppression guards quasi-identifiers,
+    noisy counts guard aggregate releases.
+
+    The noise draw is the repo's hash-stable uniform (``md5(seed:
+    group)`` → unit interval) pushed through the Laplace inverse CDF,
+    so the release is a pure function of (seed, ε, data): reproducible
+    across runs, partitionings, and engines — the property that makes
+    the release auditable (and the oracle able to reproduce it
+    bit-for-bit).  A production deployment would swap the seed per
+    release; re-releasing with fresh seeds spends additional budget
+    exactly as the ε-composition rule says.
+
+    Output: ``(group_col, noisy_n)`` — the true count never leaves.
+    One map-side partial count per group; no second shuffle.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(group_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    # (h + 0.5) / 16^15 lies strictly inside (0, 1): the inverse CDF
+    # below hits ln(0) at u ∈ {0, 1} exactly
+    u = (h + F.lit(0.5)) / F.lit(float(16**15))
+    b = 1.0 / float(epsilon)
+    noise = F.when(
+        u >= 0.5,
+        -F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5))) * F.lit(b),
+    ).otherwise(
+        F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)) * F.lit(b)
+    )
+    return df.groupBy(group_col).agg(
+        F.round(F.count("*").cast("double") + noise, 6).alias("noisy_n")
+    )

@@ -1755,3 +1755,101 @@ def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cumulative_reach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-mergeable distinct rollup (HLL), DP count release, LSH tuning
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_SQL = """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS bucket,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_fine,
+           COUNT(DISTINCT user_id) AS exact_ids,
+           TRUE AS merge_consistent,
+           TRUE AS est_within_tol
+    FROM events
+    GROUP BY 1
+"""
+
+
+@_q("q_hll_rollup", _HLL_ROLLUP_SQL)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches unioned to weekly distinct-user estimates,
+    gated on the two invariants that make sketch staging valid at
+    100 TB: union-of-fine == direct-coarse (register max-merge is
+    associative) and the estimate lands within tolerance of exact
+    (sparse-mode HLL is exact at these cardinalities, so the oracle
+    can pin TRUE; at billions of ids the same column reads the
+    documented ±1.6% rather than equality)."""
+    from conte_to_fresco_etl_spark.operators.rollup import distinct_rollup
+
+    return distinct_rollup(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        id_col="user_id",
+        fine="day",
+        coarse="week",
+        est_tolerance=0.05,
+    )
+
+
+_DP_EPS = 1.0
+
+_DP_COUNTS_SQL = f"""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             (CAST('0x' || substr(md5('dp:' || event_type), 1, 15)
+                   AS BIGINT) + 0.5) / {float(16**15)!r} AS u
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND(CAST(n AS DOUBLE)
+                 + (CASE WHEN u >= 0.5
+                         THEN -ln(1.0 - 2.0 * (u - 0.5)) * {1.0 / _DP_EPS!r}
+                         ELSE  ln(1.0 - 2.0 * (0.5 - u)) * {1.0 / _DP_EPS!r}
+                    END), 6) AS noisy_n
+    FROM g
+"""
+
+
+@_q("q_dp_counts", _DP_COUNTS_SQL)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private per-event-type count release via
+    hash-stable Laplace noise — reproducible across engines, so the
+    oracle re-derives the exact same release."""
+    from conte_to_fresco_etl_spark.operators.pii import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _events(spark, sf_dir), "event_type", epsilon=_DP_EPS, seed="dp"
+    )
+
+
+_LSH_CURVE_SQL = """
+    WITH layouts(bands, rows_per_band) AS (
+      VALUES (32, 4), (16, 8), (8, 16)
+    ),
+    grid AS (
+      SELECT CAST(i AS DOUBLE) * 0.05 AS s
+      FROM generate_series(1, 19) AS t(i)
+    )
+    SELECT l.bands, l.rows_per_band,
+           ROUND(g.s, 6) AS s,
+           ROUND(1.0 - POWER(1.0 - POWER(g.s, CAST(l.rows_per_band AS DOUBLE)),
+                             CAST(l.bands AS DOUBLE)), 6) AS p_candidate,
+           ROUND(POWER(1.0 / CAST(l.bands AS DOUBLE),
+                       1.0 / CAST(l.rows_per_band AS DOUBLE)), 6) AS s50
+    FROM layouts l CROSS JOIN grid g
+"""
+
+
+@_q("q_lsh_calibration", _LSH_CURVE_SQL)
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows) s-curve table behind every MinHash-LSH layout
+    choice in this repo: P(candidate | jaccard s) per layout plus the
+    s50 midpoint — read it to pick recall vs candidate-volume before a
+    corpus-scale run."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        lsh_candidate_curve,
+    )
+
+    return lsh_candidate_curve(spark)

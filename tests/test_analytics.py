@@ -449,3 +449,80 @@ def test_hopping_window_expand_one_pass(spark, sf_dir, qs):
     plan = _physical(qs["q_hopping_window"](spark, sf_dir))
     assert plan.count("Expand") == 1 or "expand" in plan.lower()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct rollup, DP counts, LSH calibration (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_rollup_merge_consistent_and_exact(spark):
+    from conte_to_fresco_etl_spark.operators.rollup import distinct_rollup
+
+    # two ISO weeks; user 1 spans both, user 2 repeats within one day
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5)),    # Mon wk1
+        (2, dt.datetime(2024, 1, 1, 6)),
+        (2, dt.datetime(2024, 1, 1, 7)),
+        (3, dt.datetime(2024, 1, 3, 5)),    # Wed wk1
+        (1, dt.datetime(2024, 1, 8, 5)),    # Mon wk2
+        (4, dt.datetime(2024, 1, 9, 5)),    # Tue wk2
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        r["bucket"].isoformat(): r
+        for r in distinct_rollup(df).collect()
+    }
+    assert set(got) == {"2024-01-01", "2024-01-08"}
+    wk1, wk2 = got["2024-01-01"], got["2024-01-08"]
+    assert wk1["n_fine"] == 2 and wk1["exact_ids"] == 3
+    assert wk2["n_fine"] == 2 and wk2["exact_ids"] == 2
+    for r in got.values():
+        assert r["merge_consistent"] is True
+        assert r["est_within_tol"] is True
+
+
+def test_dp_noisy_counts_matches_python_twin(spark):
+    import hashlib
+    import math
+
+    from conte_to_fresco_etl_spark.operators.pii import dp_noisy_counts
+
+    rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "g string")
+    got = {
+        r["g"]: r["noisy_n"]
+        for r in dp_noisy_counts(df, "g", epsilon=0.5, seed="s1").collect()
+    }
+
+    def twin(group, n, eps=0.5, seed="s1"):
+        h = int(hashlib.md5(f"{seed}:{group}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(16**15)
+        b = 1.0 / eps
+        if u >= 0.5:
+            noise = -math.log(1.0 - 2.0 * (u - 0.5)) * b
+        else:
+            noise = math.log(1.0 - 2.0 * (0.5 - u)) * b
+        return round(n + noise, 6)
+
+    for g, n in [("a", 10), ("b", 3), ("c", 7)]:
+        assert got[g] == pytest.approx(twin(g, n), abs=1e-9)
+        assert got[g] != float(n)  # noise actually applied
+
+
+def test_lsh_candidate_curve_known_points(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import lsh_candidate_curve
+
+    out = {
+        (r["bands"], r["rows_per_band"], r["s"]): r
+        for r in lsh_candidate_curve(spark).collect()
+    }
+    assert len(out) == 3 * 19
+    r = out[(32, 4, 0.5)]
+    assert r["p_candidate"] == pytest.approx(
+        round(1.0 - (1.0 - 0.5**4) ** 32, 6)
+    )
+    assert r["s50"] == pytest.approx(round((1 / 32) ** 0.25, 6))
+    # monotone in s for a fixed layout
+    ps = [out[(16, 8, round(0.05 * k, 6))]["p_candidate"] for k in range(1, 20)]
+    assert ps == sorted(ps)

@@ -88,6 +88,8 @@ PRIORITY: list[str] = [
     "q_hll_rollup",
     "q_dp_counts",
     "q_lsh_calibration",
+    # modified in r5 (lang_id argmax rewrite feeds its prediction col)
+    "q_lang_confusion",
     # TPC-H shapes never driver-checked; the 10 riskiest (correlated
     # subqueries, multi-join profit/market-share, group-HAVING) take
     # this round's remaining slots, the 9 simpler filter/agg shapes
@@ -153,7 +155,6 @@ PRIORITY: list[str] = [
     "q_daily_growth",
     "q_rolling_distinct",
     "q_cumulative_reach",
-    "q_lang_confusion",
     "q_embedding_stats",
     "q_curation_v3",
     "q_ngram_novelty",

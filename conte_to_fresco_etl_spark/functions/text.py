@@ -148,19 +148,34 @@ def lang_id(c: Column | str) -> Column:
     exact argmax.
     """
     toks = tokens(c)
-    scores = {}
-    for code, words in LANG_STOPWORDS.items():
-        sw_arr = F.array(*[F.lit(w) for w in words])
-        scores[code] = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
-    codes = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # fold left in sorted order; strict > keeps the earliest code on ties
-    for code in codes:
-        is_better = scores[code] > best_score
-        best = F.when(is_better, F.lit(code)).otherwise(best)
-        best_score = F.when(is_better, scores[code]).otherwise(best_score)
-    return best
+    return lang_id_from_tokens(toks)
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """``lang_id`` over an ALREADY-TOKENIZED array column.  Use this
+    form whenever the caller can materialize the token array in a prior
+    select: Catalyst's common-subexpression elimination does not cross
+    higher-order-function lambda boundaries, so the inlined form
+    re-runs the tokenizing regex once per language score — O(|langs|)
+    full-text regex passes that pre-tokenizing collapses to one."""
+    entries = []
+    # argmax via one array_max over (score, -index, code) structs:
+    # highest score wins; on ties the smallest index (earliest code in
+    # sorted order) wins because -index is compared next.  Each score
+    # expression appears exactly ONCE in the plan, where a when()-fold
+    # would duplicate it into every later branch.
+    for i, code in enumerate(sorted(LANG_STOPWORDS)):
+        sw_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        entries.append(
+            F.struct(
+                score.alias("s"),
+                F.lit(-i).alias("ni"),
+                F.lit(code).alias("code"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
 def doc_fingerprint(c: Column | str) -> Column:

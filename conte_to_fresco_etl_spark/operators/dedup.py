@@ -1693,43 +1693,55 @@ def jaccard_prefix_join(
     distinctiveness, exactly why dedup pipelines shingle before any
     set-similarity join.  ``ngram_n=1`` gives plain token sets."""
     toks = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
-    sizes = toks.groupBy("__id").agg(F.count("*").alias("sz"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     # The global order only needs to be a CONSISTENT total order —
     # (corpus frequency asc, token asc) is one already.  Materializing
     # it as a dense row_number over an unpartitioned Window would drag
     # the whole vocabulary through a single-task sort (the one
-    # non-scalable stage in an otherwise posting-bounded plan); sorting
-    # each document's tokens by the (tf, tok) tuple directly gives the
-    # identical prefix with only the per-document window.
-    posting = (
-        toks.join(F.broadcast(freq), "tok")
-        .join(F.broadcast(sizes), "__id")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.col("tf").asc(), F.col("tok").asc()
-                )
-            ),
+    # non-scalable stage in an otherwise posting-bounded plan).
+    # Instead each document's tokens are collected into ONE array
+    # sorted by that (tf, tok) tuple: prefixes are slices, sizes are
+    # array lengths, and the verification step intersects the arrays
+    # directly — one (tok) shuffle + one (__id) shuffle build the
+    # whole staging table, replacing the former freq/sizes broadcasts,
+    # per-doc window, and 4-join posting-based verification.
+    docs = (
+        toks.join(freq, "tok")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tf", "tok"))).alias(
+                "__arr"
+            )
         )
+        .select(
+            "__id",
+            F.transform("__arr", lambda s: s["tok"]).alias("set_toks"),
+            F.size("__arr").alias("sz"),
+        )
+        .persist()
     )
     prefix_len = (
         F.col("sz")
         - F.ceil(F.lit(float(threshold)) * F.col("sz").cast("double"))
         + F.lit(1)
+    ).cast("int")
+    prefix = docs.select(
+        "__id",
+        "sz",
+        F.posexplode(F.slice("set_toks", F.lit(1), prefix_len)).alias(
+            "pos0", "tok"
+        ),
     )
-    prefix = posting.filter(F.col("pos") <= prefix_len)
     pa = prefix.select(
         F.col("__id").alias("a"),
         "tok",
-        F.col("pos").alias("pos_a"),
+        (F.col("pos0") + F.lit(1)).alias("pos_a"),
         F.col("sz").alias("sz_a_p"),
     )
     pb = prefix.select(
         F.col("__id").alias("b"),
         "tok",
-        F.col("pos").alias("pos_b"),
+        (F.col("pos0") + F.lit(1)).alias("pos_b"),
         F.col("sz").alias("sz_b_p"),
     )
     # PPJoin position filter: matching at prefix positions (pos_a,
@@ -1759,37 +1771,37 @@ def jaccard_prefix_join(
         .filter(ubound >= need)
         .select("a", "b")
         .distinct()
-    ).persist()
-    # exact verify, candidate-bounded: prune postings to candidate ids
-    ta = toks.join(
-        F.broadcast(cands.select(F.col("a").alias("__id")).distinct()),
-        "__id",
-        "left_semi",
-    ).select(F.col("__id").alias("a"), "tok")
-    tb = toks.join(
-        F.broadcast(cands.select(F.col("b").alias("__id")).distinct()),
-        "__id",
-        "left_semi",
-    ).select(F.col("__id").alias("b"), "tok")
-    common = (
-        cands.join(ta, "a")
-        .join(tb, ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("__id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("__id").alias("b"), F.col("sz").alias("sz_b"))
+    # exact verify: fetch both documents' sorted token arrays and
+    # intersect them map-side — candidate-bounded (2 joins + a codegen
+    # projection), vs re-joining full postings per side.  The staged
+    # `docs` table is corpus-row-count sized: broadcast is right up to
+    # dimension-ish corpora; past broadcast size AQE plans these as
+    # shuffle joins on (a) / (b), still candidate-bounded.
+    da = docs.select(
+        F.col("__id").alias("a"),
+        F.col("set_toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    db = docs.select(
+        F.col("__id").alias("b"),
+        F.col("set_toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    n_common = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     ).cast("double")
     out = (
-        common.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        cands.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .withColumn("n_common", n_common)
         .filter(jac >= F.lit(float(threshold)))
         .select("a", "b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
-    # both caches stay session-lived (the ngram_jaccard convention):
-    # unpersisting here would evict BEFORE the lazy result ever runs
+    # the docs cache stays session-lived (the ngram_jaccard
+    # convention): unpersisting here would evict BEFORE the lazy
+    # result ever runs
     return out
 
 

@@ -3493,12 +3493,19 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label recall shares.  One prediction map pass + one (label,
     pred) count shuffle; the share window runs over the |labels|² cell
     table."""
-    from conte_to_fresco_etl_spark.functions.text import lang_id
+    from conte_to_fresco_etl_spark.functions.text import (
+        lang_id_from_tokens,
+        tokens,
+    )
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE in its own projection: the five stopword scores
+    # reference the array through HOF lambdas, which CSE cannot cross
     pred = docs.select(
-        F.col("lang").alias("label"), lang_id("text").alias("lang_pred")
+        F.col("lang").alias("label"), tokens("text").alias("__toks")
+    ).select(
+        "label", lang_id_from_tokens(F.col("__toks")).alias("lang_pred")
     )
     cells = pred.groupBy("label", "lang_pred").agg(F.count("*").alias("n"))
     w = Window.partitionBy("label")

@@ -88,6 +88,10 @@ PRIORITY: list[str] = [
     "q_hll_rollup",
     "q_dp_counts",
     "q_lsh_calibration",
+    "q_dsir_weights",
+    "q_embedding_outliers",
+    "q_hard_negatives",
+    "q_quality_propagation",
     # modified in r5 (lang_id argmax rewrite feeds its prediction col)
     "q_lang_confusion",
     # TPC-H shapes never driver-checked; the 10 riskiest (correlated

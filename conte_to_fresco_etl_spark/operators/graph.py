@@ -429,3 +429,72 @@ def association_rules(
     if min_confidence > 0.0:
         out = out.filter(F.col("confidence") >= min_confidence)
     return out
+
+
+def score_propagation(
+    scores: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One smoothing step of a per-node score over an undirected pair
+    graph:
+
+        smoothed_i = α·score_i + (1−α)·mean_{j ∈ N(i)} score_j
+
+    (isolated nodes keep their own score).  Over a near-duplicate
+    graph this propagates quality/spam evidence between documents that
+    share content — a labeled spam doc drags its near-copies down even
+    when their own heuristics look clean; iterate for multi-hop
+    diffusion (each step is this operator applied to its own output).
+
+    Returns (id, score, n_neighbors, smoothed), smoothed ROUND(6).
+
+    Scale posture: symmetrize the pair list (union, no shuffle), one
+    join to attach neighbor scores, one (node) aggregation; the node
+    table joins back against the dimension-sized neighbor summary.
+    Neighbor means sum as DECIMAL over ROUND(6) scores, so the result
+    is aggregation-order independent across engines."""
+    e = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    nb = (
+        e.join(
+            scores.select(
+                F.col(id_col).alias("dst"), F.col(score_col).alias("__q")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.round(
+                F.sum(F.col("__q").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__nb_mean"),
+        )
+    )
+    al = F.lit(float(alpha))
+    return scores.join(
+        nb, scores[id_col] == nb["src"], "left"
+    ).select(
+        F.col(id_col),
+        F.col(score_col),
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias(
+            "n_neighbors"
+        ),
+        F.round(
+            al * F.col(score_col)
+            + (F.lit(1.0) - al)
+            * F.coalesce(F.col("__nb_mean"), F.col(score_col)),
+            6,
+        ).alias("smoothed"),
+    )

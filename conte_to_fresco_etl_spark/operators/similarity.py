@@ -1153,3 +1153,149 @@ def centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def _expr_dot(a, b):
+    """Sequential left-fold dot product as a pure Column expression —
+    the same summation order DuckDB's list_dot_product uses, so both
+    engines produce identical doubles before the ROUND(6) pin."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_per_label: int = 5,
+) -> DataFrame:
+    """Per-label embedding outliers: squared L2 distance of every
+    vector to its OWN label's centroid, top-``k_per_label`` farthest
+    per label — the review queue for mislabeled / off-distribution
+    examples (the CLIP-filtering shape: points far from their class
+    centroid are the ones a human or a stricter model should re-check
+    before the pairs enter training).
+
+    Returns (label, vec_id, dist2, rk) with rk ≤ k_per_label, ranked
+    by (dist2 desc, vec_id asc) on ROUND(6) distances.
+
+    Scale posture: centroids via ``label_centroids`` (narrow
+    (label, dim) shuffle, dimension-table-sized result, broadcast back);
+    distances are one map-side join + decimal-summed per-vector
+    reduction; the rank window partitions by label and sees only
+    per-label rows.  Per-dim contributions ROUND(12)→DECIMAL so the
+    distance is aggregation-order independent across engines.
+    """
+    cent = label_centroids(emb, label_col, vec_col)
+    x = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .select(
+            id_col,
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    diff = F.col("val") - F.col("mean_val")
+    d2 = (
+        x.join(F.broadcast(cent.select("label", "dim", "mean_val")), ["label", "dim"])
+        .groupBy("label", id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(diff * diff, 12).cast("decimal(28,12)")
+                ).cast("double"),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col(id_col).asc()
+    )
+    return (
+        d2.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k_per_label)
+        .select("label", id_col, "dist2", "rk")
+    )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-cosine-similar vectors carrying a DIFFERENT
+    label — the near-miss negatives that actually move a contrastive
+    loss (random negatives are trivially separable).
+
+    ``query_pred`` is a boolean Column selecting the query rows from
+    ``emb`` itself (anchor set).
+
+    Returns (query_id, neighbor_id, neighbor_label, cosine, rank),
+    cosine ROUND(6) before ranking, ties by neighbor id.
+
+    Plan shape: the query side is a broadcast cross join (anchors are
+    batch-sized in contrastive training); the corpus streams through
+    one codegen projection computing the fold-ordered dot product, and
+    the rank shuffle carries only per-query candidates.  Unlike
+    ``brute_force_topk`` this is pure Column expression — no driver
+    collect, so the anchor set may itself be a DataFrame-defined
+    subset at any scale AQE can broadcast."""
+    base = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__e"
+            ),
+        )
+        .withColumn("__nrm", F.sqrt(_expr_dot(F.col("__e"), F.col("__e"))))
+    )
+    q = (
+        base.filter(query_pred)
+        .select(
+            F.col(id_col).alias("__qid"),
+            F.col(label_col).alias("__qlabel"),
+            F.col("__e").alias("__qe"),
+            F.col("__nrm").alias("__qnrm"),
+        )
+    )
+    cos = F.round(
+        F.when(F.col("__qnrm") * F.col("__nrm") == 0, F.lit(0.0)).otherwise(
+            _expr_dot(F.col("__e"), F.col("__qe"))
+            / (F.col("__qnrm") * F.col("__nrm"))
+        ),
+        6,
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from conte_to_fresco_etl_spark.functions.text import (
@@ -1563,5 +1563,102 @@ def oov_rate(
                 / F.col("n_tokens").cast("double"),
                 6,
             ).alias("oov_rate"),
+        )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    tokens are under a TARGET-domain unigram LM than under the source
+    (full-corpus) LM —
+
+        log w(x) = Σ_tokens  ln p_target(tok) − ln p_source(tok)
+
+    with add-1 smoothing over the shared vocabulary so target-unseen
+    tokens stay finite.  Sampling ∝ w(x) then tilts the corpus toward
+    the target domain; the log weight is returned unexponentiated
+    (ranking and Gumbel-style sampling both work in log space).
+
+    ``is_target`` is any boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``) — the in-corpus proxy corpus that
+    defines the target distribution.
+
+    Returns (id, n_tokens, log_weight), log_weight ROUND(6).
+
+    Cross-engine exactness: per-term ``ln pt − ln ps`` is rounded to 9
+    decimals and summed as DECIMAL weighted by integer term counts —
+    aggregation-order independent (the ``unigram_nll`` discipline).
+
+    Plan shape: one (doc, term) count shuffle staged once and read by
+    both the vocabulary agg and the final join; BOTH LMs come out of
+    the SAME vocabulary pass (a conditional sum per term), so the
+    second model is free; totals enter as a 1-row broadcast.  At web
+    scale swap the vocab broadcast join for a bucketed join on term.
+    """
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    toks = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(id_col), is_target.alias("__is_t"), F.col(text_col)
+            ),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select(
+            F.col(id_col), "__is_t", tokens(F.col(text_col)).alias("__toks")
+        )
+        .filter(F.size("__toks") > 0)
+    )
+    tf = (
+        toks.select(F.col(id_col), "__is_t", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "__is_t", "term")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    vocab = tf.groupBy("term").agg(
+        F.sum("__cnt").alias("__vc_s"),
+        F.sum(F.when(F.col("__is_t"), F.col("__cnt")).otherwise(0)).alias(
+            "__vc_t"
+        ),
+    )
+    totals = vocab.agg(
+        F.sum("__vc_s").alias("__n_s"),
+        F.sum("__vc_t").alias("__n_t"),
+        F.count("*").alias("__v"),
+    )
+    pt = (F.col("__vc_t").cast("double") + F.lit(1.0)) / (
+        F.col("__n_t").cast("double") + F.col("__v").cast("double")
+    )
+    ps = (F.col("__vc_s").cast("double") + F.lit(1.0)) / (
+        F.col("__n_s").cast("double") + F.col("__v").cast("double")
+    )
+    term_d = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(F.log(pt) - F.log(ps), 9)
+        .cast("decimal(18,9)")
+        .alias("__d"),
+    )
+    return (
+        tf.join(term_d, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("__cnt").cast("decimal(10,0)") * F.col("__d")
+                ).cast("double"),
+                6,
+            ).alias("log_weight"),
         )
     )

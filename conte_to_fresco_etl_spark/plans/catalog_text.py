@@ -3714,3 +3714,190 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: DSIR selection, embedding outliers, hard negatives, propagation
+# ---------------------------------------------------------------------------
+
+_DSIR_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_sql_tokens()} AS toks FROM documents
+    ),
+    ne AS (SELECT * FROM base WHERE len(toks) > 0),
+    t AS (SELECT doc_id, is_t, unnest(toks) AS term FROM ne),
+    tf AS (SELECT doc_id, is_t, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
+    vocab AS (
+      SELECT term, SUM(cnt) AS vc_s,
+             SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS vc_t
+      FROM tf GROUP BY 1
+    ),
+    tot AS (SELECT SUM(vc_s) AS n_s, SUM(vc_t) AS n_t, COUNT(*) AS v FROM vocab),
+    d AS (
+      SELECT term,
+             CAST(ROUND(
+               ln((CAST(vc_t AS DOUBLE) + 1.0)
+                  / (CAST(n_t AS DOUBLE) + CAST(v AS DOUBLE)))
+             - ln((CAST(vc_s AS DOUBLE) + 1.0)
+                  / (CAST(n_s AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+             AS DECIMAL(18,9)) AS dt
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(tf.cnt AS DECIMAL(10,0)) * d.dt) AS DOUBLE), 6)
+             AS log_weight
+    FROM tf JOIN d USING (term)
+    GROUP BY tf.doc_id
+"""
+
+
+@_q("q_dsir_weights", _DSIR_SQL)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights toward the English subcorpus: both
+    unigram LMs fall out of ONE vocabulary pass (conditional sums), so
+    targeted data selection costs the same as one perplexity scoring
+    run."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        dsir_logweights,
+    )
+
+    return dsir_logweights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+_EMB_OUTLIERS_SQL = f"""
+    WITH cent AS ({_LABEL_CENTROIDS_SQL}),
+    x AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 64) AS g(i)
+      WHERE embedding IS NOT NULL AND i <= len(embedding)
+    ),
+    d AS (
+      SELECT x.label, x.vec_id,
+             ROUND(CAST(SUM(CAST(ROUND((x.val - c.mean_val) * (x.val - c.mean_val), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS dist2
+      FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
+      GROUP BY 1, 2
+    )
+    SELECT label, vec_id, dist2, rk FROM (
+      SELECT label, vec_id, dist2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rk
+      FROM d
+    ) WHERE rk <= 5
+"""
+
+
+@_q("q_embedding_outliers", _EMB_OUTLIERS_SQL)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest-from-own-centroid vectors per label — the
+    mislabel/off-distribution review queue."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+_HARDNEG_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    q AS (SELECT * FROM n WHERE vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+      SELECT query_id, neighbor_id, neighbor_label, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               ROUND(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(c.e, q.e) / (q.nrm * c.nrm)
+                     END, 6) AS cosine
+        FROM n c, q
+        WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+      )
+    ) WHERE rank <= 5
+"""
+
+
+@_q("q_hard_negatives", _HARDNEG_SQL)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar DIFFERENT-label vectors per anchor
+    (vec_id % 100 = 0) — contrastive hard-negative mining, pure
+    Column-expression path (no driver collect)."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0, k=5
+    )
+
+
+_QPROP_SQL = f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    base AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+         END AS praw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> list_contains({_sql_list(EN_STOPWORDS)}, t))) AS DOUBLE) / len(toks)
+         END AS sraw
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - praw)
+                 + 0.3 * least(1.0, 4.0 * sraw), 6) AS quality
+      FROM m
+    ),
+    nb AS (
+      SELECT e.src AS doc_id, COUNT(*) AS n_neighbors,
+             ROUND(CAST(SUM(CAST(q2.quality AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS nb_mean
+      FROM e JOIN q q2 ON q2.doc_id = e.dst
+      GROUP BY 1
+    )
+    SELECT q.doc_id, q.quality,
+           CAST(COALESCE(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+           ROUND(0.5 * q.quality + 0.5 * COALESCE(nb.nb_mean, q.quality), 6)
+             AS smoothed
+    FROM q LEFT JOIN nb ON nb.doc_id = q.doc_id
+"""
+
+
+@_q("q_quality_propagation", _QPROP_SQL)
+def q_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One quality-smoothing step over the MinHash near-dup graph:
+    spam evidence flows between near-copies that individually pass the
+    heuristics.  Same pair derivation as q_minhash_lsh."""
+    from conte_to_fresco_etl_spark.functions.text import quality_score
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+    from conte_to_fresco_etl_spark.operators.graph import score_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
+    )
+    return score_propagation(scores, pairs)

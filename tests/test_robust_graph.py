@@ -1093,3 +1093,93 @@ def test_ngram_novelty_credits_first_occurrence(spark):
     got = {r["__id"]: r["novelty"] for r in nov.collect()}
     assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 1.0
     assert got[3] == 0.5  # 2 of 4 shingles first-seen here
+
+
+# ---------------------------------------------------------------------------
+# round 5: embedding outliers, hard negatives, score propagation, DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [1.0, 0.2], 7),
+        (2, [9.0, 9.0], 7),   # far from label-7 centroid
+        (3, [0.0, 1.0], 8),
+        (4, [0.0, 1.0], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_outliers(df, k_per_label=1).collect()
+    got = {r["label"]: r for r in out}
+    assert got[7]["vec_id"] == 2 and got[7]["rk"] == 1
+    # label 8 is two identical vectors: dist2 == 0 for both, tie -> id 3
+    assert got[8]["vec_id"] == 3 and got[8]["dist2"] == 0.0
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0], 1),          # anchor
+        (1, [0.99, 0.1], 1),         # same label: excluded even if closest
+        (2, [0.9, 0.3], 2),          # hard negative
+        (3, [0.0, 1.0], 2),          # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(df, F.col("vec_id") == 0, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["neighbor_label"] == 2 for r in out)
+    assert out[0]["cosine"] > out[1]["cosine"]
+
+
+def test_score_propagation_mixes_neighbor_mean(spark):
+    from conte_to_fresco_etl_spark.operators.graph import score_propagation
+
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, 0.5), (9, 0.25)],
+        "doc_id int, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a int, id_b int"
+    )
+    got = {r["doc_id"]: r for r in score_propagation(scores, pairs).collect()}
+    # node 1: own 1.0, neighbors mean (0.0 + 0.5)/2 = 0.25 -> 0.625
+    assert got[1]["smoothed"] == 0.625 and got[1]["n_neighbors"] == 2
+    # node 2: own 0.0, neighbor 1.0 -> 0.5
+    assert got[2]["smoothed"] == 0.5 and got[2]["n_neighbors"] == 1
+    # isolated node keeps its score
+    assert got[9]["smoothed"] == 0.25 and got[9]["n_neighbors"] == 0
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        dsir_logweights,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha alpha beta", "en"),    # target docs: alpha-heavy
+        (1, "alpha beta alpha", "en"),
+        (2, "gamma gamma delta", "fr"),   # source-only tokens
+        (3, "alpha alpha alpha", "fr"),   # target-like but not in target
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_logweights(df, F.col("lang") == "en").collect()
+    }
+    # target-like doc 3 outscores source-typical doc 2
+    assert got[3] > got[2]
+    assert got[0] > got[2]
+    assert all(r is not None for r in got.values()) and len(got) == 4

@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "q_hll_rollup",
     "q_dp_counts",
     "q_lsh_calibration",
+    "q_lsh_recall",
     "q_dsir_weights",
     "q_embedding_outliers",
     "q_hard_negatives",

@@ -1886,3 +1886,96 @@ def lsh_candidate_curve(
         ).alias("p_candidate"),
         F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias("s50"),
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Dedup-quality evaluation: recall and precision of the banded
+    MinHash-LSH pair detector against EXACT shingle-set Jaccard ground
+    truth, computed over the documents in ``df``.
+
+    This is the harness run before trusting an LSH layout on a real
+    corpus: pass a document SAMPLE (exact truth is all-pairs within the
+    sample — pair-sample evaluation, the standard protocol, since exact
+    truth over the full corpus is the very joint the LSH exists to
+    avoid) and read whether (bands, rows) hits the recall target that
+    ``lsh_candidate_curve`` predicted analytically.
+
+    Output — ONE row: ``(n_true, n_est, n_hit, recall, prec)``; rates
+    are NULL when their denominator is zero (tiny samples), ROUND(6)
+    otherwise.
+
+    Plan: exact truth broadcasts one side of the sample self-join and
+    intersects shingle arrays map-side; the LSH side is the production
+    ``minhash_lsh_pairs`` plan unchanged; three 1-row aggregates
+    cross-join into the report — nothing touches the driver.
+    """
+    t = float(threshold)
+    sets = (
+        df.filter(F.length(F.col(text_col)) >= shingle_n)
+        .select(
+            F.col(id_col).alias("__id"),
+            char_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    a = sets.select(
+        F.col("__id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sets.select(
+        F.col("__id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    nc = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", nc.alias("__nc"), "sz_a", "sz_b")
+        .filter(
+            F.col("__nc").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("__nc")).cast("double")
+            >= F.lit(t)
+        )
+        .select("id_a", "id_b")
+    )
+    est = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        seed=seed,
+    ).select("id_a", "id_b")
+    n_true = exact.agg(F.count("*").alias("n_true"))
+    n_est = est.agg(F.count("*").alias("n_est"))
+    n_hit = est.join(exact, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    rate = lambda num, den: F.when(  # noqa: E731 - tiny local binder
+        F.col(den) == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6)
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_est))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_est",
+            "n_hit",
+            rate("n_hit", "n_true").alias("recall"),
+            rate("n_hit", "n_est").alias("prec"),
+        )
+    )

@@ -3901,3 +3901,87 @@ def q_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
     )
     return score_propagation(scores, pairs)
+
+
+_RECALL_SAMPLE = 250
+
+_LSH_RECALL_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(text) >= 5 AND doc_id < {_RECALL_SAMPLE}
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                          i -> substr(t, i, 5))) AS shingles
+      FROM docs
+    ),
+    hb AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sigs AS (
+      SELECT doc_id, [
+      {_MH_SIG_TERMS}] AS sig FROM hb
+    ),
+    bands AS (
+      {_MH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sig AS sa, r.sig AS sb
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.key = r.key
+                   AND l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_filter(generate_series(1, 48), i -> sa[i] = sb[i])) AS DOUBLE) / 48.0
+                 AS est_jaccard
+        FROM cand
+      ) WHERE est_jaccard >= 0.5
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.shingles, b.shingles)) AS nc,
+             len(a.shingles) AS sa, len(b.shingles) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    exact AS (
+      SELECT id_a, id_b FROM p
+      WHERE CAST(nc AS DOUBLE) / CAST(sa + sb - nc AS DOUBLE) >= 0.5
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM exact) AS n_true,
+             (SELECT COUNT(*) FROM est) AS n_est,
+             (SELECT COUNT(*) FROM est e JOIN exact x
+                ON e.id_a = x.id_a AND e.id_b = x.id_b) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE ROUND(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN n_est = 0 THEN NULL
+                ELSE ROUND(CAST(n_hit AS DOUBLE) / CAST(n_est AS DOUBLE), 6)
+           END AS prec
+    FROM c
+"""
+
+
+@_q("q_lsh_recall", _LSH_RECALL_SQL)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the 12x4 MinHash-LSH layout against
+    exact shingle Jaccard on a 250-doc pair sample — the empirical
+    check on q_lsh_calibration's analytic s-curve."""
+    from conte_to_fresco_etl_spark.operators.dedup import lsh_recall_report
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_SAMPLE
+    )
+    return lsh_recall_report(
+        docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
+    )

@@ -1183,3 +1183,29 @@ def test_dsir_logweights_prefers_target_like_docs(spark):
     assert got[3] > got[2]
     assert got[0] > got[2]
     assert all(r is not None for r in got.values()) and len(got) == 4
+
+
+def test_lsh_recall_report_perfect_on_exact_duplicates(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import lsh_recall_report
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base),
+        (1, base),                      # exact duplicate of 0
+        (2, "completely different content about spark and parquet " * 4),
+        (3, "unrelated third text with its own words entirely " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_report(df).collect()[0]
+    # identical docs share identical signatures: always a candidate
+    assert r["n_true"] == 1 and r["n_hit"] == 1 and r["recall"] == 1.0
+    assert r["prec"] is not None and 0.0 < r["prec"] <= 1.0
+
+
+def test_lsh_recall_report_null_rates_on_empty_truth(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import lsh_recall_report
+
+    rows = [(0, "alpha beta gamma delta " * 3), (1, "zeta eta theta iota " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_report(df).collect()[0]
+    assert r["n_true"] == 0 and r["recall"] is None

@@ -89,16 +89,18 @@ PRIORITY: list[str] = [
     "q_dp_counts",
     "q_lsh_calibration",
     "q_lsh_recall",
+    "q_event_pattern",
     "q_dsir_weights",
     "q_embedding_outliers",
     "q_hard_negatives",
     "q_quality_propagation",
     # modified in r5 (lang_id argmax rewrite feeds its prediction col)
     "q_lang_confusion",
-    # TPC-H shapes never driver-checked; the 10 riskiest (correlated
+    # TPC-H shapes never driver-checked; the riskiest (correlated
     # subqueries, multi-join profit/market-share, group-HAVING) take
-    # this round's remaining slots, the 9 simpler filter/agg shapes
-    # rotate into r6 (family evidence: q1/q3/q5 green since r2,
+    # this round's remaining slots — with the r5 additions above, the
+    # window cut lands after q17, leaving 13 TPC-H shapes for the r6
+    # window (family evidence: q1/q3/q5 green since r2,
     # tests/oracle_parity.py green locally for all 19)
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -91,3 +91,92 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def session_pattern_match(
+    events: DataFrame,
+    pattern: str = "v[^p]*p",
+    symbols: dict[str, str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite complex-event-processing over sessions: map
+    each event type to a one-character symbol, fold every session's
+    events (ordered by (ts, id)) into a symbol string, and count the
+    non-overlapping regex ``pattern`` occurrences — e.g. the default
+    ``v[^p]*p`` counts view→…→purchase conversions that complete
+    without an intervening purchase.
+
+    This is the batch shape of what Flink CEP / SQL MATCH_RECOGNIZE
+    express: the session string is the event sequence, and the regex
+    engine IS the NFA those operators compile to.  Patterns over the
+    symbol alphabet (alternation, bounded gaps via ``[^x]{{0,n}}``,
+    anchors) all carry over.
+
+    Returns one row per session: ``(user, session_id, seq, n_matches)``.
+
+    Scale posture: the session assignment is the ``sessionize_events``
+    window pair (one shuffle on the user key); the fold is
+    ``array_sort(collect_list(struct))`` per session — bounded by
+    session length, never whole-history — and the regex runs once per
+    session string, map-side.  Determinism: intra-session order ties
+    break by event id, and the leftmost-non-overlapping count is
+    identical across Java regex and RE2 for patterns whose inner
+    classes exclude the terminator (the default's ``[^p]*`` cannot
+    cross a ``p``)."""
+    symbols = symbols or {
+        "click": "c",
+        "error": "e",
+        "purchase": "p",
+        "signup": "s",
+        "view": "v",
+    }
+    gap_us = gap_minutes * 60 * 1_000_000
+    events = normalize_ntz(events)
+    sym = None
+    for k in sorted(symbols):
+        cond = F.col(type_col) == k
+        sym = F.when(cond, symbols[k]) if sym is None else sym.when(
+            cond, symbols[k]
+        )
+    sym = sym.otherwise("x")
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    brk = F.when(us - F.lag(us).over(w) > gap_us, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        sym.alias("s"),
+                    )
+                )
+            ),
+            lambda st: st["s"],
+        ),
+        "",
+    )
+    return (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("__brk", brk)
+        .withColumn("session_id", F.sum("__brk").over(run).cast("long"))
+        .groupBy(user_col, "session_id")
+        .agg(seq.alias("seq"))
+        .select(
+            user_col,
+            "session_id",
+            "seq",
+            F.regexp_count("seq", F.lit(pattern)).cast("long").alias(
+                "n_matches"
+            ),
+        )
+    )

@@ -1853,3 +1853,50 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return lsh_candidate_curve(spark)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching over sessions (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+_EVENT_PATTERN_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  WHEN 'view' THEN 'v' ELSE 'x' END AS sym,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, sym,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, session_id,
+             string_agg(sym, '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_id, seq,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+             AS n_matches
+    FROM g
+"""
+
+
+@_q("q_event_pattern", _EVENT_PATTERN_SQL)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session view→…→purchase conversion counts via the regex-NFA
+    CEP operator: session symbol strings + leftmost non-overlapping
+    pattern count."""
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        session_pattern_match,
+    )
+
+    return session_pattern_match(_events(spark, sf_dir))

@@ -526,3 +526,33 @@ def test_lsh_candidate_curve_known_points(spark):
     # monotone in s for a fixed layout
     ps = [out[(16, 8, round(0.05 * k, 6))]["p_candidate"] for k in range(1, 20)]
     assert ps == sorted(ps)
+
+
+def test_session_pattern_match_counts_conversions(spark):
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        session_pattern_match,
+    )
+
+    rows = [
+        # session 0: view, click, purchase, view, purchase -> 2 matches
+        (1, _ts(0, 0), 1, "view"),
+        (1, _ts(0, 1), 2, "click"),
+        (1, _ts(0, 2), 3, "purchase"),
+        (1, _ts(0, 3), 4, "view"),
+        (1, _ts(0, 4), 5, "purchase"),
+        # >30 min gap -> session 1: view with no purchase -> 0 matches
+        (1, _ts(1, 0), 6, "view"),
+        # user 2, one session: purchase before any view -> 0 matches
+        (2, _ts(0, 0), 7, "purchase"),
+        (2, _ts(0, 1), 8, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_pattern_match(ev).collect()
+    }
+    assert got[(1, 0)]["seq"] == "vcpvp" and got[(1, 0)]["n_matches"] == 2
+    assert got[(1, 1)]["seq"] == "v" and got[(1, 1)]["n_matches"] == 0
+    assert got[(2, 0)]["seq"] == "pv" and got[(2, 0)]["n_matches"] == 0

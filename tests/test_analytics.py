@@ -556,3 +556,73 @@ def test_session_pattern_match_counts_conversions(spark):
     assert got[(1, 0)]["seq"] == "vcpvp" and got[(1, 0)]["n_matches"] == 2
     assert got[(1, 1)]["seq"] == "v" and got[(1, 1)]["n_matches"] == 0
     assert got[(2, 0)]["seq"] == "pv" and got[(2, 0)]["n_matches"] == 0
+
+
+def test_session_pattern_match_matches_python_twin(spark):
+    """Randomized-ish sequences: sessionize + fold + count in plain
+    Python, compare every session string and match count."""
+    import re as _re
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    sym = {"view": "v", "click": "c", "purchase": "p",
+           "signup": "s", "error": "e"}
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = dt.datetime(2024, 1, 1)
+        for i in range(40):
+            # deterministic pseudo-random: type and gap from (u, i)
+            ty = types[(u * 7 + i * 13) % 5]
+            gap_min = 61 if (u + i) % 11 == 0 else (u * 3 + i) % 9
+            t = t + dt.timedelta(minutes=gap_min)
+            rows.append((u, t, eid, ty))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    from conte_to_fresco_etl_spark.operators.sessions import (
+        session_pattern_match,
+    )
+
+    got = {
+        (r["user_id"], r["session_id"]): (r["seq"], r["n_matches"])
+        for r in session_pattern_match(ev).collect()
+    }
+
+    # twin
+    expect = {}
+    by_user: dict[int, list] = {}
+    for u, t, e, ty in rows:
+        by_user.setdefault(u, []).append((t, e, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        seqs: dict[int, str] = {}
+        for t, e, ty in evs:
+            if prev is not None and (t - prev).total_seconds() > 30 * 60:
+                sid += 1
+            seqs[sid] = seqs.get(sid, "") + sym[ty]
+            prev = t
+        for sid_, s in seqs.items():
+            expect[(u, sid_)] = (s, len(_re.findall(r"v[^p]*p", s)))
+    assert got == expect
+
+
+def test_dp_noisy_counts_epsilon_scaling(spark):
+    """Same seed => same uniform draw, so the deviation from the true
+    count scales exactly with 1/epsilon (Laplace b = 1/eps)."""
+    from conte_to_fresco_etl_spark.operators.pii import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 20, "g string")
+
+    def dev(eps):
+        out = {
+            r["g"]: r["noisy_n"]
+            for r in dp_noisy_counts(df, "g", epsilon=eps, seed="sc").collect()
+        }
+        return {"a": out["a"] - 10, "b": out["b"] - 20}
+
+    d1, d2 = dev(1.0), dev(2.0)
+    for g in ("a", "b"):
+        assert d1[g] != 0.0
+        assert d1[g] == pytest.approx(2.0 * d2[g], abs=1e-5)

@@ -96,12 +96,19 @@ PRIORITY: list[str] = [
     "q_quality_propagation",
     # modified in r5 (lang_id argmax rewrite feeds its prediction col)
     "q_lang_confusion",
-    # TPC-H shapes never driver-checked; the riskiest (correlated
-    # subqueries, multi-join profit/market-share, group-HAVING) take
-    # this round's remaining slots — with the r5 additions above, the
-    # window cut lands after q17, leaving 13 TPC-H shapes for the r6
-    # window (family evidence: q1/q3/q5 green since r2,
-    # tests/oracle_parity.py green locally for all 19)
+    # modified in r5 (empty-input guards added to their driver-side
+    # quantizer/sampling helpers — results at sf>0 provably unchanged,
+    # but the green rows predate the edit, so they re-gate)
+    "q_ivf_ann_topk",
+    "q_ivf_exhaustive",
+    "q_ivfpq_topk",
+    "q_temperature_sample",
+    # TPC-H shapes never driver-checked, ordered riskiest-first
+    # (correlated subqueries, multi-join profit/market-share,
+    # group-HAVING).  With the r5 additions and re-gates above, the
+    # window cut lands after q2_min_cost_supplier — the remaining 18
+    # TPC-H shapes rotate into the r6 window (family evidence: q1/q3/
+    # q5 green since r2, tests/oracle_parity.py green locally for all)
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -134,7 +141,6 @@ PRIORITY: list[str] = [
     "q_curation_v2",
     "q_source_cap",
     "q_decontaminate_bloom",
-    "q_ivfpq_topk",
     "q_repeated_spans",
     "q_url_normalize",
     "q_quality_classifier",
@@ -171,7 +177,6 @@ PRIORITY: list[str] = [
     "q_funnel",
     "q_bm25_topk",
     # r2/r3-green queries (stable, unmodified)
-    "q_temperature_sample",
     "q_label_centroids",
     "q_decontaminate",
     "q_unigram_nll",

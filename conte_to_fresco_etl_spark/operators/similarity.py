@@ -216,6 +216,9 @@ def seed_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not rows:
+        # keep 2-D shape: every consumer does axis-1 math on this
+        return np.zeros((0, 0), dtype=np.float64)
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 
@@ -285,6 +288,8 @@ def train_ivf_centroids(
     if max_train_rows is not None:
         df = df.limit(max_train_rows)
     rows = df.collect()
+    if not rows:
+        return np.zeros((0, 0), dtype=np.float64)
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return spherical_kmeans_core(ids, mat, n_centroids, iters, seed)
@@ -320,6 +325,10 @@ def ivf_topk(
     rounded matrix here, ``ROW_NUMBER() OVER (ORDER BY d DESC, c ASC)``
     there."""
     cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size == 0:  # empty corpus/quantizer: nothing can match
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     cent_norms = np.sqrt((cents * cents).sum(axis=1))
 
     def assign(mat: np.ndarray, norms: np.ndarray) -> np.ndarray:
@@ -754,6 +763,8 @@ def pq_codebooks(
     seeds = seed_centroids(
         corpus, n_centroids=k_sub, id_col=id_col, vec_col=vec_col, salt=salt
     )
+    if seeds.size == 0:  # empty corpus: no quantizer to train
+        return np.zeros((m_sub, 0, 0), dtype=np.float64)
     dim = seeds.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -845,7 +856,7 @@ def pq_topk(
     shrinks the rank shuffle to k * |queries| * |partitions|."""
     qid = query_id_col or id_col
     q_ids, q_mat, _ = _collect_matrix(queries, qid, vec_col)
-    if q_ids.size == 0:
+    if q_ids.size == 0 or codebooks.size == 0:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, approx_d2 double, rank int"
         )
@@ -945,11 +956,11 @@ def ivfpq_topk(
     composed with the stored-code table from ``pq_encode``."""
     qid = query_id_col or id_col
     q_ids, q_mat, q_norms = _collect_matrix(queries, qid, vec_col)
-    if q_ids.size == 0:
+    cents = np.asarray(centroids, dtype=np.float64)
+    if q_ids.size == 0 or cents.size == 0 or codebooks.size == 0:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, approx_d2 double, rank int"
         )
-    cents = np.asarray(centroids, dtype=np.float64)
     c_norms = np.sqrt((cents * cents).sum(axis=1))
     # per-query probe sets: top-n_probe centroids by rounded cosine,
     # ties broken toward the lower centroid index
@@ -1056,6 +1067,10 @@ def semantic_dedup(
     is one giant task — cap cluster size upstream (more centroids) or
     salt the hot cluster."""
     cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size == 0:  # empty corpus: no clusters, nothing to prune
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long, keep boolean"
+        )
     c_norms = np.sqrt((cents * cents).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((cents, c_norms))
 

@@ -335,6 +335,8 @@ def temperature_sample(
         r[0]: r[1]
         for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
     }
+    if not counts:  # empty input: nothing to rebalance
+        return df
     n_min = min(counts.values())
     if alpha == 0.5:
         fracs = {

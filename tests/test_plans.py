@@ -472,3 +472,40 @@ def test_topk_per_group_window_group_limit(spark, sf_dir, qs):
     the sort sees at most k rows per key per partition."""
     plan = _physical(qs["q_topk_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_catalog_queries_survive_empty_tables(spark, tmp_path):
+    """An empty month/partition is a normal production event: every
+    driver-side training collect (IVF/PQ quantizers, temperature
+    cutoffs) and sampling helper must degrade to an empty result, not
+    crash.  Runs the operators that collect driver-side state plus one
+    representative per family against zero-row copies of every table."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0) "
+            f"TO '{tmp_path}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    probe = [
+        # formerly crashed: driver-side empty collections
+        "q_ivf_ann_topk", "q_ivf_exhaustive", "q_ivf_trained_topk",
+        "q_ivfpq_topk", "q_pq_topk", "q_semantic_dedup",
+        "q_temperature_sample",
+        # one representative per major family
+        "q1_pricing_summary", "q_minhash_lsh", "q_doc_profile",
+        "q_hll_rollup", "q_event_pattern", "q_dsir_weights",
+        "q_hard_negatives", "q_quality_propagation", "q_lsh_recall",
+    ]
+    for name in probe:
+        out = qs[name](spark, str(tmp_path))
+        # full evaluation, not just count(): projections must execute
+        out.write.format("noop").mode("overwrite").save()

@@ -1919,6 +1919,11 @@ def lsh_recall_report(
     cross-join into the report — nothing touches the driver.
     """
     t = float(threshold)
+    # Materialize the shingle sets once (both the broadcast build and
+    # the streamed side read them), and fan the streamed side out: the
+    # sample usually arrives as ONE scan task (single row group), which
+    # would run the entire all-pairs intersect on one core.
+    spark = df.sparkSession
     sets = (
         df.filter(F.length(F.col(text_col)) >= shingle_n)
         .select(
@@ -1926,6 +1931,8 @@ def lsh_recall_report(
             char_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
     a = sets.select(
         F.col("__id").alias("id_a"),

@@ -46,6 +46,17 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster callers pass nothing and spark-submit supplies the master.
     """
+    # Python workers inherit PYTHONPATH from the environment at JVM
+    # launch, NOT the driver's sys.path — a consumer that imported this
+    # package via a sys.path tweak (or from another cwd) would get
+    # ModuleNotFoundError inside every mapInPandas/applyInPandas UDF.
+    # Pin the package root into PYTHONPATH before the session exists.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"

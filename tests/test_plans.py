@@ -509,3 +509,50 @@ def test_catalog_queries_survive_empty_tables(spark, tmp_path):
         out = qs[name](spark, str(tmp_path))
         # full evaluation, not just count(): projections must execute
         out.write.format("noop").mode("overwrite").save()
+
+
+#: Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+#: every entry is either a 1-row broadcast scalar (corpus total /
+#: threshold entering the plan without a collect) or a deliberately
+#: sample/literal-sized inequality join.  Anything NOT listed here that
+#: grows a BNLJ (or any query growing a CartesianProduct) is a plan
+#: regression: at corpus scale an accidental nested-loop join is the
+#: difference between minutes and weeks.
+BNLJ_ALLOWED = {
+    "q11_important_parts",      # scalar HAVING threshold (1-row broadcast)
+    "q22_dormant_customers",    # scalar avg balance (1-row broadcast)
+    "q_above_mean",             # scalar mean (1-row broadcast)
+    "q_assoc_rules",            # scalar basket count (1-row broadcast)
+    "q_benford",                # scalar row total (1-row broadcast)
+    "q_bigram_nll",             # corpus totals (1-row broadcast)
+    "q_bm25_topk",              # corpus doc count + avg len (1-row)
+    "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
+    "q_dq_report",              # corpus stat row (1-row broadcast)
+    "q_dsir_weights",           # vocab totals (1-row broadcast)
+    "q_funnel",                 # step-0 cohort size (1-row broadcast)
+    "q_hard_negatives",         # anchor-set broadcast (batch-sized)
+    "q_lsh_calibration",        # literal layout x grid (57 rows)
+    "q_lsh_recall",             # 250-doc pair-sample self-join
+    "q_token_pmi",              # pair total (1-row broadcast)
+    "q_unigram_nll",            # corpus total (1-row broadcast)
+}
+
+
+def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
+    """Every catalog query's physical plan: zero CartesianProduct
+    anywhere; BroadcastNestedLoopJoin only where a 1-row scalar or a
+    bounded sample/literal side makes it the right plan."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name in sorted(qs):
+        plan = (
+            qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allow-listed)"
+    assert not offenders, offenders

@@ -83,7 +83,6 @@ PRIORITY: list[str] = [
     "q_top_sequences",
     "q_interval_overlap",
     "q_time_weighted",
-    "q_hopping_window",
     # new in r5 (inserted here as they are added)
     "q_hll_rollup",
     "q_dp_counts",
@@ -94,6 +93,8 @@ PRIORITY: list[str] = [
     "q_embedding_outliers",
     "q_hard_negatives",
     "q_quality_propagation",
+    "q_classifier_metrics",
+    "q_group_reservoir",
     # modified in r5 (lang_id argmax rewrite feeds its prediction col)
     "q_lang_confusion",
     # modified in r5 (empty-input guards added to their driver-side
@@ -120,6 +121,10 @@ PRIORITY: list[str] = [
     "q11_important_parts",
     "q13_customer_distribution",
     # --- rotation tail (beyond the 50-query window this round) ---
+    # never-checked, rotated to r6 to make room for the r5 re-gates
+    # (family evidence: r3-green q_windowed_rates/q_time_rollup share
+    # the tumbling/overlapping-window machinery)
+    "q_hopping_window",
     # TPC-H remainder -> r6 window
     "q4_priority_exists",
     "q6_forecast_revenue",

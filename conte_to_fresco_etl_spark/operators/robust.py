@@ -467,3 +467,100 @@ def winsorize(
         value_w.alias("value_w"),
         clipped.alias("clipped"),
     )
+
+
+def classification_metrics(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Classifier evaluation summary from a (gold, predicted) label
+    table: accuracy, macro-averaged precision/recall/F1, and Cohen's
+    kappa — the scorecard kept next to every heuristic classifier in a
+    data pipeline (language ID, quality classifiers, topic routers) so
+    threshold changes are judged on numbers, not vibes.
+
+    Output — ONE row: ``(n, n_classes, accuracy, macro_precision,
+    macro_recall, macro_f1, kappa)``, all rates ROUND(6).
+
+    Conventions (mirrored exactly by the SQL oracle): the class
+    universe is the UNION of gold and predicted labels; a class with no
+    predictions contributes precision 0 (and analogously recall 0 with
+    no gold rows) — the standard macro-F1 penalty for never predicting
+    a class.  Kappa's observed/expected agreement terms are exact
+    integer ratios (Σ tp / n and Σ gold_c·pred_c / n²), so the only
+    float summations are the macro averages, which accumulate
+    ROUND(12) decimal terms — aggregation-order independent.
+
+    Scale posture: one (gold, pred) count shuffle collapses the corpus
+    to a |classes|² cell table; everything after runs on
+    dimension-sized rows with 1-row broadcast totals."""
+    cells = (
+        df.groupBy(
+            F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
+        ).agg(F.count("*").alias("n"))
+    ).persist()
+    classes = (
+        cells.select(F.col("g").alias("cls"))
+        .unionByName(cells.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    gold_tot = cells.groupBy("g").agg(F.sum("n").alias("gold_n"))
+    pred_tot = cells.groupBy("p").agg(F.sum("n").alias("pred_n"))
+    tp = cells.filter(F.col("g") == F.col("p")).select(
+        F.col("g").alias("cls"), F.col("n").alias("tp_n")
+    )
+    per_class = (
+        classes.join(
+            gold_tot.select(F.col("g").alias("cls"), "gold_n"), "cls", "left"
+        )
+        .join(
+            pred_tot.select(F.col("p").alias("cls"), "pred_n"), "cls", "left"
+        )
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("gold_n"), F.lit(0)).alias("gold_n"),
+            F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
+            F.coalesce(F.col("tp_n"), F.lit(0)).alias("tp_n"),
+        )
+    )
+    prec = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp_n").cast("double") / F.col("pred_n").cast("double")
+    )
+    rec = F.when(F.col("gold_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp_n").cast("double") / F.col("gold_n").cast("double")
+    )
+    f1 = F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    stats = per_class.agg(
+        F.count("*").alias("n_classes"),
+        F.sum("tp_n").alias("tp_total"),
+        F.sum("gold_n").alias("n_total"),
+        F.sum(F.col("gold_n") * F.col("pred_n")).alias("pe_num"),
+        F.sum(F.round(prec, 12).cast("decimal(18,12)")).alias("p_sum"),
+        F.sum(F.round(rec, 12).cast("decimal(18,12)")).alias("r_sum"),
+        F.sum(F.round(f1, 12).cast("decimal(18,12)")).alias("f_sum"),
+    )
+    nn = F.col("n_total").cast("double")
+    po = F.col("tp_total").cast("double") / nn
+    pe = F.col("pe_num").cast("double") / (nn * nn)
+    kd = F.lit(1.0) - pe
+    return stats.select(
+        F.col("n_total").cast("long").alias("n"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.round(po, 6).alias("accuracy"),
+        F.round(
+            F.col("p_sum").cast("double") / F.col("n_classes"), 6
+        ).alias("macro_precision"),
+        F.round(
+            F.col("r_sum").cast("double") / F.col("n_classes"), 6
+        ).alias("macro_recall"),
+        F.round(
+            F.col("f_sum").cast("double") / F.col("n_classes"), 6
+        ).alias("macro_f1"),
+        F.when(kd == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / kd, 6))
+        .alias("kappa"),
+    )

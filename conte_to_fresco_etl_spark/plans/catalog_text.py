@@ -3985,3 +3985,122 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_report(
         docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation metrics + uniform k-per-group reservoir
+# ---------------------------------------------------------------------------
+
+_CLS_METRICS_SQL = f"""
+    WITH base AS (
+      SELECT lang AS g, {_sql_tokens()} AS toks FROM documents
+    ),
+    m AS (
+      SELECT g, {_LANG_SCORES_SQL}
+      FROM base
+    ),
+    pred AS (SELECT g, {_LANG_CASE_SQL} AS p FROM m),
+    cells AS (SELECT g, p, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    classes AS (
+      SELECT g AS cls FROM cells UNION SELECT p AS cls FROM cells
+    ),
+    gold_tot AS (SELECT g AS cls, SUM(n) AS gold_n FROM cells GROUP BY 1),
+    pred_tot AS (SELECT p AS cls, SUM(n) AS pred_n FROM cells GROUP BY 1),
+    tp AS (SELECT g AS cls, n AS tp_n FROM cells WHERE g = p),
+    pc AS (
+      SELECT c.cls,
+             COALESCE(gold_n, 0) AS gold_n,
+             COALESCE(pred_n, 0) AS pred_n,
+             COALESCE(tp_n, 0) AS tp_n
+      FROM classes c
+      LEFT JOIN gold_tot USING (cls)
+      LEFT JOIN pred_tot USING (cls)
+      LEFT JOIN tp USING (cls)
+    ),
+    x AS (
+      SELECT *,
+        CASE WHEN pred_n = 0 THEN 0.0
+             ELSE CAST(tp_n AS DOUBLE) / CAST(pred_n AS DOUBLE) END AS prec,
+        CASE WHEN gold_n = 0 THEN 0.0
+             ELSE CAST(tp_n AS DOUBLE) / CAST(gold_n AS DOUBLE) END AS rec
+      FROM pc
+    ),
+    y AS (
+      SELECT *,
+        CASE WHEN prec + rec = 0 THEN 0.0
+             ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+      FROM x
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_classes, SUM(tp_n) AS tp_total,
+             SUM(gold_n) AS n_total, SUM(gold_n * pred_n) AS pe_num,
+             SUM(CAST(ROUND(prec, 12) AS DECIMAL(18,12))) AS p_sum,
+             SUM(CAST(ROUND(rec, 12) AS DECIMAL(18,12))) AS r_sum,
+             SUM(CAST(ROUND(f1, 12) AS DECIMAL(18,12))) AS f_sum
+      FROM y
+    )
+    SELECT CAST(n_total AS BIGINT) AS n,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           ROUND(CAST(tp_total AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS accuracy,
+           ROUND(CAST(p_sum AS DOUBLE) / n_classes, 6) AS macro_precision,
+           ROUND(CAST(r_sum AS DOUBLE) / n_classes, 6) AS macro_recall,
+           ROUND(CAST(f_sum AS DOUBLE) / n_classes, 6) AS macro_f1,
+           CASE WHEN 1.0 - CAST(pe_num AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) = 0
+                THEN NULL
+                ELSE ROUND(
+                  (CAST(tp_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   - CAST(pe_num AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+                  / (1.0 - CAST(pe_num AS DOUBLE)
+                           / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6)
+           END AS kappa
+    FROM s
+"""
+
+
+@_q("q_classifier_metrics", _CLS_METRICS_SQL)
+def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID scorecard against the gold lang label: accuracy,
+    macro precision/recall/F1 over the union class set, Cohen's kappa
+    — the numbers a pipeline watches when its heuristic classifiers
+    change."""
+    from conte_to_fresco_etl_spark.functions.text import (
+        lang_id_from_tokens,
+        tokens,
+    )
+    from conte_to_fresco_etl_spark.operators.robust import (
+        classification_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("g"), tokens("text").alias("__toks")
+    ).select("g", lang_id_from_tokens(F.col("__toks")).alias("p"))
+    return classification_metrics(pred, "g", "p")
+
+
+_GROUP_RESERVOIR_SQL = """
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) ASC,
+                        doc_id ASC) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+"""
+
+
+@_q("q_group_reservoir", _GROUP_RESERVOIR_SQL)
+def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 20-per-language sample via hash-rank — the
+    deterministic, partitioning-independent equivalent of a per-group
+    reservoir."""
+    from conte_to_fresco_etl_spark.validation import group_reservoir
+
+    return group_reservoir(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", k=20, seed=7
+    )

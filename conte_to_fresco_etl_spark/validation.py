@@ -529,3 +529,46 @@ def weighted_sample_topk(
         .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Uniform k-per-group sample — the deterministic equivalent of
+    running a size-k reservoir per group: rank rows inside each group
+    by the hash-stable draw ``md5(seed:key)`` and keep the first
+    ``k``.  Every subset of size k is equally likely (the hash order
+    is a uniform random permutation), but unlike a true reservoir the
+    result is independent of partitioning, scan order, and engine —
+    re-running over an appended corpus only swaps rows whose hash
+    outranks an incumbent, exactly a reservoir's behavior.
+
+    Output: ``(group, key, rk)`` with rk ≤ k.
+
+    Scale posture: one hash projection + one per-group rank window
+    (single shuffle on the group key); groups larger than memory are
+    fine — the window is a sort, not a buffer, and Spark's
+    WindowGroupLimit pushes the rk ≤ k cut below the sort."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(group_col, key_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

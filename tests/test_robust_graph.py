@@ -1209,3 +1209,74 @@ def test_lsh_recall_report_null_rates_on_empty_truth(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = lsh_recall_report(df).collect()[0]
     assert r["n_true"] == 0 and r["recall"] is None
+
+
+def test_classification_metrics_hand_computed(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        classification_metrics,
+    )
+
+    # gold: a,a,a,b,b,c ; pred: a,a,b,b,b,b
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "b"), ("c", "b")]
+    df = spark.createDataFrame(rows, "g string, p string")
+    r = classification_metrics(df, "g", "p").collect()[0]
+    assert r["n"] == 6 and r["n_classes"] == 3
+    # accuracy = 4/6
+    assert r["accuracy"] == round(4 / 6, 6)
+    # per-class: a: prec 2/2, rec 2/3; b: prec 2/4, rec 2/2; c: prec 0 (no
+    # preds... pred_n=0 -> 0), rec 0/1 = 0
+    mp = (1.0 + 0.5 + 0.0) / 3
+    mr = (2 / 3 + 1.0 + 0.0) / 3
+    f_a = 2 * 1.0 * (2 / 3) / (1.0 + 2 / 3)
+    f_b = 2 * 0.5 * 1.0 / 1.5
+    mf = (round(f_a, 12) + round(f_b, 12) + 0.0) / 3
+    assert r["macro_precision"] == round(mp, 6)
+    assert r["macro_recall"] == round(mr, 6)
+    assert abs(r["macro_f1"] - mf) < 1e-6
+    # kappa: po = 4/6, pe = (3*2 + 2*4 + 1*0)/36 = 14/36
+    po, pe = 4 / 6, 14 / 36
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_classification_metrics_degenerate_single_class(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        classification_metrics,
+    )
+
+    df = spark.createDataFrame([("a", "a")] * 5, "g string, p string")
+    r = classification_metrics(df, "g", "p").collect()[0]
+    # perfect single-class predictions: pe = 1 -> kappa undefined
+    assert r["accuracy"] == 1.0 and r["macro_f1"] == 1.0
+    assert r["kappa"] is None
+
+
+def test_group_reservoir_uniform_and_stable(spark):
+    from conte_to_fresco_etl_spark.validation import group_reservoir
+
+    rows = [(f"g{i % 3}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, k int")
+    out = group_reservoir(df, "grp", "k", k=10, seed=7)
+    got = {(r["grp"], r["k"]) for r in out.collect()}
+    assert len(got) == 30
+    # partitioning-independence
+    got8 = {
+        (r["grp"], r["k"])
+        for r in group_reservoir(
+            df.repartition(8), "grp", "k", k=10, seed=7
+        ).collect()
+    }
+    assert got8 == got
+    # python twin: per group, 10 smallest md5 hashes
+    import hashlib
+
+    def h(k):
+        return int(hashlib.md5(f"7:{k}".encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for g in ("g0", "g1", "g2"):
+        members = sorted(
+            (k for gg, k in rows if gg == g), key=lambda k: (h(k), k)
+        )[:10]
+        expect |= {(g, k) for k in members}
+    assert got == expect

@@ -121,9 +121,12 @@ PRIORITY: list[str] = [
     "q11_important_parts",
     "q13_customer_distribution",
     # --- rotation tail (beyond the 50-query window this round) ---
-    # never-checked, rotated to r6 to make room for the r5 re-gates
-    # (family evidence: r3-green q_windowed_rates/q_time_rollup share
-    # the tumbling/overlapping-window machinery)
+    # registered late in r5 (window already full of never-checked +
+    # re-gates) — FIRST in line for the r6 window, with q_hopping_window
+    # (rotated out for the r5 re-gates; family evidence: r3-green
+    # q_windowed_rates/q_time_rollup share the window machinery)
+    "q_cusum_drift",
+    "q_mannwhitney",
     "q_hopping_window",
     # TPC-H remainder -> r6 window
     "q4_priority_exists",

@@ -564,3 +564,162 @@ def classification_metrics(
         .otherwise(F.round((po - pe) / kd, 6))
         .alias("kappa"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Page's CUSUM drift detector over daily means, per key: the
+    sequential-change statistic that fires on a SUSTAINED small shift
+    long before a per-window test (PSI compares two fixed windows;
+    CUSUM accumulates evidence across every day since the last reset).
+
+    Uses the max-invariance form — with S_t the running sum of
+    centered daily means,
+
+        cusum_pos_t = S_t − min(S_1..S_t)
+        cusum_neg_t = max(S_1..S_t) − S_t
+
+    which equals the classic recursive max(0, prev + y_t) fold but is
+    expressible as two plain windows (cumulative sum + running
+    min/max) — order-serial recurrence, zero iteration, one shuffle on
+    the key.
+
+    Output per (key, day): ``(key, day, daily_mean, cusum_pos,
+    cusum_neg)``, ROUND(6).  Centered values and running sums
+    accumulate as DECIMAL over ROUND(6) terms — engine-exact.
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col(value_col).cast("double"), 9).cast(
+                        "decimal(18,9)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("daily_mean")
+        )
+    )
+    target = daily.groupBy("k").agg(
+        F.round(
+            F.sum(F.col("daily_mean").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("target")
+    )
+    y = daily.join(target, "k").select(
+        "k",
+        "day",
+        "daily_mean",
+        (
+            F.col("daily_mean").cast("decimal(18,6)")
+            - F.col("target").cast("decimal(18,6)")
+        ).alias("y"),
+    )
+    w = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = y.withColumn("s", F.sum("y").over(w))
+    return s.select(
+        F.col("k").alias(key_col),
+        F.col("day").cast("date").alias("day"),
+        "daily_mean",
+        F.round(
+            (F.col("s") - F.min("s").over(w)).cast("double"), 6
+        ).alias("cusum_pos"),
+        F.round(
+            (F.max("s").over(w) - F.col("s")).cast("double"), 6
+        ).alias("cusum_neg"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups' value
+    distributions — the nonparametric two-sample test a pipeline runs
+    when a source's metric distribution looks shifted but is nowhere
+    near normal (robust twin of the t-test, as MAD is to stddev).
+
+    Output — ONE row: ``(n_a, n_b, u_a, u_b, z)``: the U statistics
+    (with midranks for ties) and the tie-corrected normal
+    approximation z, ROUND(6).
+
+    Exactness: midranks are exact halves (RANK() + (tie_size−1)/2),
+    summed as DECIMAL(18,1); U and the variance derive from integer
+    counts, so z is one identical float expression in both engines.
+
+    Scale posture: one global sort for the rank window (the inherent
+    cost of ranking N values — Spark range-partitions the sort; the
+    unpartitioned RANK window is the textbook spelling kept here
+    because the two-group slice is filter-pruned first), tie sizes via
+    a value-partitioned count, then 1-row aggregates."""
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = two.select(
+        "g",
+        "v",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt).cast("double") - F.lit(1.0))
+            / F.lit(2.0)
+        ).alias("midrank"),
+        F.count("*").over(wt).alias("tie_n"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("g") == group_a,
+                F.col("midrank").cast("decimal(18,1)"),
+            ).otherwise(F.lit(0).cast("decimal(18,1)"))
+        ).alias("r_a"),
+        # Σ (t³ − t) over distinct tie groups: every member of a tie
+        # group carries tie_n, so sum (tie_n² − 1) per ROW == Σ (t³−t)
+        F.sum(
+            F.col("tie_n") * F.col("tie_n") - F.lit(1)
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("r_a").cast("double") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    u_b = na * nb - u_a
+    var = (
+        na * nb / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("tie_term").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(u_b, 6).alias("u_b"),
+        F.when(var == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+    )

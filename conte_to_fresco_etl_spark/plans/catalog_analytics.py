@@ -1900,3 +1900,118 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return session_pattern_match(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Sequential drift (CUSUM) + nonparametric two-sample test (Mann-Whitney)
+# (registered late in round 5 — first in line for the round-6 window)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 9)
+                                 AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS daily_mean
+      FROM events GROUP BY 1, 2
+    ),
+    target AS (
+      SELECT k,
+             ROUND(CAST(SUM(CAST(daily_mean AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS target
+      FROM daily GROUP BY 1
+    ),
+    y AS (
+      SELECT d.k, d.day, d.daily_mean,
+             CAST(d.daily_mean AS DECIMAL(18,6))
+               - CAST(t.target AS DECIMAL(18,6)) AS y
+      FROM daily d JOIN target t ON d.k = t.k
+    ),
+    s AS (
+      SELECT k, day, daily_mean,
+             SUM(y) OVER (PARTITION BY k ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM y
+    )
+    SELECT k AS event_type, CAST(day AS DATE) AS day, daily_mean,
+           ROUND(CAST(s - MIN(s) OVER (PARTITION BY k ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE), 6) AS cusum_pos,
+           ROUND(CAST(MAX(s) OVER (PARTITION BY k ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) - s
+                      AS DOUBLE), 6) AS cusum_neg
+    FROM s
+"""
+
+
+@_q("q_cusum_drift", _CUSUM_SQL)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over daily event-value means per type — sequential
+    evidence of sustained small shifts, via the windows-only
+    max-invariance form (no recurrence, one key shuffle)."""
+    from conte_to_fresco_etl_spark.operators.robust import cusum_drift
+
+    return cusum_drift(_events(spark, sf_dir))
+
+
+_MW_SQL = """
+    WITH two AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    r AS (
+      SELECT g, v,
+             CAST(RANK() OVER (ORDER BY v) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0) / 2.0
+               AS midrank,
+             COUNT(*) OVER (PARTITION BY v) AS tie_n
+      FROM two
+    ),
+    a AS (
+      SELECT SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN g = 'click' THEN CAST(midrank AS DECIMAL(18,1))
+                      ELSE CAST(0 AS DECIMAL(18,1)) END) AS r_a,
+             SUM(tie_n * tie_n - 1) AS tie_term
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      ROUND(CAST(r_a AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0, 6)
+        AS u_a,
+      ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            - (CAST(r_a AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0), 6)
+        AS u_b,
+      CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+                = 0
+           THEN NULL
+           ELSE ROUND(
+             (CAST(r_a AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                       - CAST(tie_term AS DOUBLE)
+                         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))),
+             6)
+      END AS z
+    FROM a
+"""
+
+
+@_q("q_mannwhitney", _MW_SQL)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between click and purchase value distributions —
+    tie-corrected midranks, decimal-summed rank totals, one identical
+    float tree for z in both engines."""
+    from conte_to_fresco_etl_spark.operators.robust import mannwhitney_u
+
+    return mannwhitney_u(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase"
+    )

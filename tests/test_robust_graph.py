@@ -1280,3 +1280,59 @@ def test_group_reservoir_uniform_and_stable(spark):
         )[:10]
         expect |= {(g, k) for k in members}
     assert got == expect
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    from conte_to_fresco_etl_spark.operators.robust import cusum_drift
+
+    # 6 days flat at 10, then 6 days shifted to 20: cusum_pos should
+    # climb monotonically through the second half
+    rows = []
+    for d in range(12):
+        val = 10.0 if d < 6 else 20.0
+        rows.append((dt.datetime(2024, 1, 1 + d, 12), "a", val))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = sorted(
+        cusum_drift(df).collect(), key=lambda r: r["day"]
+    )
+    # target = 15; y = -5 for days 1-6 so S runs -5..-30 and the
+    # running max stays at S_1 = -5: cusum_neg(day6) = -5 - (-30) = 25
+    assert out[5]["cusum_neg"] == 25.0 and out[5]["cusum_pos"] == 0.0
+    pos_tail = [r["cusum_pos"] for r in out[6:]]
+    assert pos_tail == sorted(pos_tail) and pos_tail[-1] == 30.0
+
+
+def test_mannwhitney_matches_scipy_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import mannwhitney_u
+
+    a = [1.0, 2.0, 3.0, 7.0, 8.0]
+    b = [4.0, 5.0, 6.0, 6.0, 9.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    # python twin with midranks
+    allv = sorted(a + b)
+    def midrank(x):
+        lo = sum(1 for y in allv if y < x)
+        eq = sum(1 for y in allv if y == x)
+        return lo + (eq + 1) / 2.0
+    r_a = sum(midrank(x) for x in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["u_a"] == u_a and r["u_b"] == len(a) * len(b) - u_a
+    n = len(allv)
+    tie = sum(t**3 - t for t in [2])  # one tie group of size 2 (6.0)
+    var = len(a) * len(b) / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - len(a) * len(b) / 2.0) / math.sqrt(var)
+    assert abs(r["z"] - round(z, 6)) < 1e-6
+
+
+def test_mannwhitney_all_tied_null_z(spark):
+    from conte_to_fresco_etl_spark.operators.robust import mannwhitney_u
+
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["z"] is None  # zero variance: every value identical

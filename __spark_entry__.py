@@ -127,6 +127,8 @@ PRIORITY: list[str] = [
     # q_windowed_rates/q_time_rollup share the window machinery)
     "q_cusum_drift",
     "q_mannwhitney",
+    "q_ks_test",
+    "q_mixture_diversity",
     "q_hopping_window",
     # TPC-H remainder -> r6 window
     "q4_priority_exists",

@@ -723,3 +723,78 @@ def mannwhitney_u(
         .otherwise(F.round(z, 6))
         .alias("z"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the maximum vertical
+    gap between the two groups' empirical CDFs — the distribution-
+    shape complement to ``mannwhitney_u`` (which only sees location:
+    a variance doubling with equal medians is invisible to U but not
+    to D).
+
+    Output — ONE row: ``(n_a, n_b, d_stat, at_value)``: the supremum
+    gap ROUND(6) and the (smallest) value where it is attained.
+
+    Exactness: ECDF steps are exact integer cumulative counts over the
+    per-distinct-value count table; the gap is one double division
+    tree per distinct value, ROUND(12)-pinned before the argmax so
+    both engines rank identically (ties to the smaller value).
+
+    Scale posture: one (value) count shuffle collapses the corpus to
+    |distinct values| rows; the cumulative windows and argmax run on
+    that collapsed table.  The unpartitioned value-ordered window is
+    inherent to a global ECDF — at corpus scale pre-bin values (the
+    ECDF of binned data bounds D within one bin mass)."""
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    gaps = (
+        per_v.select(
+            "v",
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "v",
+            "n_a",
+            "n_b",
+            F.round(
+                F.abs(
+                    F.col("cum_a").cast("double")
+                    / F.col("n_a").cast("double")
+                    - F.col("cum_b").cast("double")
+                    / F.col("n_b").cast("double")
+                ),
+                12,
+            ).alias("gap"),
+        )
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("gap"), 6).alias("d_stat"),
+            F.col("v").alias("at_value"),
+        )
+    )

@@ -2015,3 +2015,89 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(
         _events(spark, sf_dir), "event_type", "value", "click", "purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS test + corpus mixture-diversity scorecard
+# (registered late in round 5 — first in line for the round-6 window)
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+    WITH two AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v, SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM two GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM per_v),
+    gaps AS (
+      SELECT v, n_a, n_b,
+        ROUND(ABS(
+          CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(n_a AS DOUBLE)
+          - CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(n_b AS DOUBLE)), 12) AS gap
+      FROM per_v CROSS JOIN tot
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(gap, 6) AS d_stat, v AS at_value
+    FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
+"""
+
+
+@_q("q_ks_test", _KS_SQL)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between click and purchase
+    value distributions — shape-sensitive complement to q_mannwhitney;
+    ECDF gaps from exact integer cumulative counts, ROUND(12)-pinned
+    before the argmax."""
+    from conte_to_fresco_etl_spark.operators.robust import ks_test
+
+    return ks_test(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase"
+    )
+
+
+_MIX_DIVERSITY_SQL = """
+    WITH counts AS (
+      SELECT source AS g, COUNT(*) AS x FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT g, x, ROW_NUMBER() OVER (ORDER BY x ASC, g ASC) AS i,
+             COUNT(*) OVER () AS m
+      FROM counts
+    ),
+    stats AS (
+      SELECT SUM(x) AS n_rows, MAX(m) AS m,
+             SUM((2 * i - m - 1) * x) AS gini_num
+      FROM ranked
+    ),
+    ent AS (
+      SELECT SUM(CAST(ROUND(
+               -(CAST(x AS DOUBLE) / CAST(n_rows AS DOUBLE))
+               * ln(CAST(x AS DOUBLE) / CAST(n_rows AS DOUBLE)), 12)
+             AS DECIMAL(18,12))) AS h_sum
+      FROM ranked CROSS JOIN (SELECT SUM(x) AS n_rows FROM counts) t
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(m AS BIGINT) AS n_groups,
+           ROUND(CAST(gini_num AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS gini,
+           ROUND(CAST(h_sum AS DOUBLE), 6) AS entropy,
+           ROUND(exp(ROUND(CAST(h_sum AS DOUBLE), 6)), 6)
+             AS effective_groups
+    FROM stats CROSS JOIN ent
+"""
+
+
+@_q("q_mixture_diversity", _MIX_DIVERSITY_SQL)
+def q_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration over sources: Gini, Shannon entropy, and
+    the effective number of sources — the scorecard watched while
+    caps/temperature/mixture weights are tuned."""
+    from conte_to_fresco_etl_spark.validation import mixture_diversity
+
+    return mixture_diversity(_t(spark, sf_dir, "documents"), "source")

@@ -572,3 +572,76 @@ def group_reservoir(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def mixture_diversity(
+    df: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Corpus concentration scorecard over a mixture dimension (source,
+    domain, language): how dominated is the dataset by its largest
+    groups?  The single-row dashboard number watched while caps,
+    temperature sampling, and mixture weights are tuned.
+
+    Output — ONE row: ``(n_rows, n_groups, gini, entropy,
+    effective_groups)``:
+
+      * ``gini``      — concentration of rows over groups (0 = uniform,
+        →1 = one group holds everything), from the sorted-counts form
+        Σ (2i − m − 1)·x_i / (m·Σx) — exact integer arithmetic until
+        one final division.
+      * ``entropy``   — Shannon entropy of the group shares (nats),
+        ROUND(12)-pinned decimal-summed contributions.
+      * ``effective_groups`` — exp(entropy): the "effective number of
+        sources" (perplexity of the mixture), computed from the
+        ROUND(6) entropy so both engines exponentiate the same double.
+
+    Scale posture: one group-count shuffle collapses the corpus to
+    |groups| rows; the rank window and both aggregates run on that
+    dimension-sized table."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("g").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
+        "m", F.count("*").over(Window.partitionBy())
+    )
+    stats = ranked.agg(
+        F.sum("x").alias("n_rows"),
+        F.max("m").alias("m"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.col("m") - F.lit(1)) * F.col("x")
+        ).alias("gini_num"),
+    )
+    ent = (
+        ranked.crossJoin(F.broadcast(stats.select("n_rows")))
+        .select(
+            F.round(
+                -(
+                    F.col("x").cast("double")
+                    / F.col("n_rows").cast("double")
+                )
+                * F.log(
+                    F.col("x").cast("double")
+                    / F.col("n_rows").cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(18,12)")
+            .alias("h_term")
+        )
+        .agg(F.sum("h_term").alias("h_sum"))
+    )
+    out = stats.crossJoin(F.broadcast(ent))
+    entropy6 = F.round(F.col("h_sum").cast("double"), 6)
+    return out.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("m").cast("long").alias("n_groups"),
+        F.round(
+            F.col("gini_num").cast("double")
+            / (F.col("m").cast("double") * F.col("n_rows").cast("double")),
+            6,
+        ).alias("gini"),
+        entropy6.alias("entropy"),
+        F.round(F.exp(entropy6), 6).alias("effective_groups"),
+    )

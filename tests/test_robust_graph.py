@@ -1336,3 +1336,49 @@ def test_mannwhitney_all_tied_null_z(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
     assert r["z"] is None  # zero variance: every value identical
+
+
+def test_ks_test_detects_shape_difference(spark):
+    from conte_to_fresco_etl_spark.operators.robust import ks_test
+
+    # a: uniform 1..10 ; b: all mass at 5.5 -> D should be large
+    rows = [("a", float(i)) for i in range(1, 11)] + [("b", 5.5)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    # at v=5: F_a = 0.5, F_b = 0 -> gap 0.5 ; at 5.5: F_a=0.5, F_b=1 -> 0.5
+    # max gap 0.5, first attained at v=5.0
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["d_stat"] == 0.5 and r["at_value"] == 5.0
+
+
+def test_ks_test_identical_distributions_zero(spark):
+    from conte_to_fresco_etl_spark.operators.robust import ks_test
+
+    rows = [("a", float(i % 5)) for i in range(20)] + [
+        ("b", float(i % 5)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["d_stat"] == 0.0
+
+
+def test_mixture_diversity_uniform_vs_concentrated(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.validation import mixture_diversity
+
+    uniform = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], "source string"
+    )
+    r = mixture_diversity(uniform, "source").collect()[0]
+    assert r["n_groups"] == 4 and r["gini"] == 0.0
+    assert r["entropy"] == round(math.log(4), 6)
+    assert abs(r["effective_groups"] - 4.0) < 1e-4
+
+    skewed = spark.createDataFrame(
+        [("big",)] * 97 + [("tiny",)] * 3, "source string"
+    )
+    r2 = mixture_diversity(skewed, "source").collect()[0]
+    # sorted asc: tiny(3) i=1, big(97) i=2; gini = (1*(-1)*3 + 1*97)/(2*100)
+    assert r2["gini"] == round(((-1) * 3 + 1 * 97) / 200, 6)
+    assert r2["effective_groups"] < 1.3

@@ -531,8 +531,10 @@ BNLJ_ALLOWED = {
     "q_dsir_weights",           # vocab totals (1-row broadcast)
     "q_funnel",                 # step-0 cohort size (1-row broadcast)
     "q_hard_negatives",         # anchor-set broadcast (batch-sized)
+    "q_ks_test",                # group totals (1-row broadcast)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
+    "q_mixture_diversity",      # corpus total + entropy row (1-row each)
     "q_token_pmi",              # pair total (1-row broadcast)
     "q_unigram_nll",            # corpus total (1-row broadcast)
 }

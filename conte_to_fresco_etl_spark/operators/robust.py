@@ -578,15 +578,16 @@ def cusum_drift(
     CUSUM accumulates evidence across every day since the last reset).
 
     Uses the max-invariance form — with S_t the running sum of
-    centered daily means,
+    centered daily means and S_0 = 0,
 
-        cusum_pos_t = S_t − min(S_1..S_t)
-        cusum_neg_t = max(S_1..S_t) − S_t
+        cusum_pos_t = S_t − min(S_0..S_t)
+        cusum_neg_t = max(S_0..S_t) − S_t
 
-    which equals the classic recursive max(0, prev + y_t) fold but is
-    expressible as two plain windows (cumulative sum + running
-    min/max) — order-serial recurrence, zero iteration, one shuffle on
-    the key.
+    which equals the classic recursive ``C_t = max(0, C_{t-1} + y_t)``
+    fold exactly (the S_0 = 0 term is what makes day 1 read
+    ``max(0, y_1)``, not 0) but is expressible as two plain windows
+    (cumulative sum + running min/max clamped at zero) — order-serial
+    recurrence, zero iteration, one shuffle on the key.
 
     Output per (key, day): ``(key, day, daily_mean, cusum_pos,
     cusum_neg)``, ROUND(6).  Centered values and running sums
@@ -629,15 +630,22 @@ def cusum_drift(
         Window.unboundedPreceding, 0
     )
     s = y.withColumn("s", F.sum("y").over(w))
+    zero = F.lit(0).cast("decimal(18,6)")
     return s.select(
         F.col("k").alias(key_col),
         F.col("day").cast("date").alias("day"),
         "daily_mean",
         F.round(
-            (F.col("s") - F.min("s").over(w)).cast("double"), 6
+            (F.col("s") - F.least(zero, F.min("s").over(w))).cast(
+                "double"
+            ),
+            6,
         ).alias("cusum_pos"),
         F.round(
-            (F.max("s").over(w) - F.col("s")).cast("double"), 6
+            (F.greatest(zero, F.max("s").over(w)) - F.col("s")).cast(
+                "double"
+            ),
+            6,
         ).alias("cusum_neg"),
     )
 

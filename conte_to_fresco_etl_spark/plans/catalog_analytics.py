@@ -1934,11 +1934,13 @@ _CUSUM_SQL = """
       FROM y
     )
     SELECT k AS event_type, CAST(day AS DATE) AS day, daily_mean,
-           ROUND(CAST(s - MIN(s) OVER (PARTITION BY k ORDER BY day
-                                       ROWS UNBOUNDED PRECEDING)
+           ROUND(CAST(s - LEAST(CAST(0 AS DECIMAL(18,6)),
+                                MIN(s) OVER (PARTITION BY k ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING))
                       AS DOUBLE), 6) AS cusum_pos,
-           ROUND(CAST(MAX(s) OVER (PARTITION BY k ORDER BY day
-                                   ROWS UNBOUNDED PRECEDING) - s
+           ROUND(CAST(GREATEST(CAST(0 AS DECIMAL(18,6)),
+                               MAX(s) OVER (PARTITION BY k ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING)) - s
                       AS DOUBLE), 6) AS cusum_neg
     FROM s
 """

@@ -1295,9 +1295,10 @@ def test_cusum_drift_detects_level_shift(spark):
     out = sorted(
         cusum_drift(df).collect(), key=lambda r: r["day"]
     )
-    # target = 15; y = -5 for days 1-6 so S runs -5..-30 and the
-    # running max stays at S_1 = -5: cusum_neg(day6) = -5 - (-30) = 25
-    assert out[5]["cusum_neg"] == 25.0 and out[5]["cusum_pos"] == 0.0
+    # target = 15; y = -5 for days 1-6 so S runs -5..-30; with S_0 = 0
+    # in the running max, cusum_neg(day6) = max(0, -5..) - (-30) = 30
+    # == the recursive fold's C_6 = 6*5
+    assert out[5]["cusum_neg"] == 30.0 and out[5]["cusum_pos"] == 0.0
     pos_tail = [r["cusum_pos"] for r in out[6:]]
     assert pos_tail == sorted(pos_tail) and pos_tail[-1] == 30.0
 
@@ -1382,3 +1383,24 @@ def test_mixture_diversity_uniform_vs_concentrated(spark):
     # sorted asc: tiny(3) i=1, big(97) i=2; gini = (1*(-1)*3 + 1*97)/(2*100)
     assert r2["gini"] == round(((-1) * 3 + 1 * 97) / 200, 6)
     assert r2["effective_groups"] < 1.3
+
+
+def test_cusum_drift_equals_recursive_fold(spark):
+    """The windows form must equal the classic per-day recursion
+    C_t = max(0, C_{t-1} + y_t) for both sides."""
+    from conte_to_fresco_etl_spark.operators.robust import cusum_drift
+
+    vals = [12.0, 9.0, 15.0, 15.0, 21.0, 8.0, 30.0, 10.0]
+    rows = [
+        (dt.datetime(2024, 2, 1 + d, 8), "x", v) for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = sorted(cusum_drift(df).collect(), key=lambda r: r["day"])
+    target = round(sum(vals) / len(vals), 6)
+    cp = cn = 0.0
+    for r, v in zip(out, vals):
+        y = round(v, 6) - target
+        cp = max(0.0, cp + y)
+        cn = max(0.0, cn - y)
+        assert abs(r["cusum_pos"] - round(cp, 6)) < 1e-9, r
+        assert abs(r["cusum_neg"] - round(cn, 6)) < 1e-9, r

@@ -129,6 +129,8 @@ PRIORITY: list[str] = [
     "q_mannwhitney",
     "q_ks_test",
     "q_mixture_diversity",
+    "q_acf",
+    "q_heldout_nll",
     "q_hopping_window",
     # TPC-H remainder -> r6 window
     "q4_priority_exists",

@@ -340,3 +340,87 @@ def lagged_cross_correlation(
     out = grouped_corr(pairs, key_col="lag_hours", x_col="x", y_col="y")
     hourly.unpersist(blocking=False)
     return out
+
+
+def autocorrelation(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of an ordered series: for each
+    lag L ≤ ``max_lag``,
+
+        acf_L = Σ_t (x_t − μ)(x_{t−L} − μ)  /  Σ_t (x_t − μ)²
+
+    — the periodicity/persistence diagnostic read before choosing
+    seasonal windows or drift baselines (a strong acf_7 on daily data
+    says "weekly cycle: compare day-over-week, not day-over-day").
+
+    Returns ``(lag, n_pairs, acf)`` for lags 1..max_lag, acf ROUND(6).
+
+    Cross-engine exactness: μ is ROUND(6) from decimal-summed values;
+    every product is ROUND(12)→DECIMAL before its sum, numerator and
+    denominator alike — aggregation-order independent.
+
+    Plan shape: ONE ordered window produces all ``max_lag`` lag
+    columns (they share the single sort), an explode turns them into
+    (lag, pair) rows, and one small aggregate per lag finishes — the
+    series itself is usually an already-aggregated (bucket, value)
+    table, so the unpartitioned sort is over |buckets| rows, not the
+    corpus."""
+    x = F.col(value_col).cast("double")
+    stats = series.agg(
+        F.count("*").alias("__n"),
+        F.round(
+            F.sum(F.round(x, 9).cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("__mu"),
+    )
+    w = Window.orderBy(order_col)
+    lagged = series.select(
+        x.alias("__x"),
+        *[
+            F.lag(x, L).over(w).alias(f"__xl{L}")
+            for L in range(1, max_lag + 1)
+        ],
+    ).crossJoin(F.broadcast(stats))
+    d = F.col("__x") - F.col("__mu")
+    den = lagged.agg(
+        F.sum(F.round(d * d, 12).cast("decimal(28,12)")).alias("__den")
+    )
+    pairs = lagged.select(
+        "__mu",
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("lag"),
+                        F.col(f"__xl{L}").alias("__xl"),
+                    )
+                    for L in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__p"),
+    ).select(
+        "__mu", "__x", F.col("__p.lag").alias("lag"), F.col("__p.__xl").alias("__xl")
+    ).filter(F.col("__xl").isNotNull())
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.round(
+                (F.col("__x") - F.col("__mu"))
+                * (F.col("__xl") - F.col("__mu")),
+                12,
+            ).cast("decimal(28,12)")
+        ).alias("__num"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.col("__num").cast("double") / F.col("__den").cast("double"), 6
+        ).alias("acf"),
+    )

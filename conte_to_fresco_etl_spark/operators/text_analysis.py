@@ -1662,3 +1662,88 @@ def dsir_logweights(
             ).alias("log_weight"),
         )
     )
+
+
+def heldout_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_frac: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Held-out unigram LM scoring: fit the LM on a hash-stable TRAIN
+    split and score only the VAL split — the methodologically-correct
+    form of perplexity-based quality filtering (``unigram_nll`` scores
+    the corpus under its own LM, which systematically under-scores
+    duplicated text: a doc repeated 1000× drags its own tokens'
+    probabilities up.  A held-out model cannot be gamed by the scored
+    document's own mass).
+
+    Splits come from :func:`validation.assign_splits` (md5 of the id),
+    so membership is reproducible across engines and stable under
+    corpus growth.  Add-1 smoothing over the train vocabulary keeps
+    val-only (OOV) tokens finite — they score ln(1/(n_train+V)).
+
+    Returns (id, n_tokens, heldout_nll) for VAL documents only,
+    nll ROUND(6), per-term contributions ROUND(9)→DECIMAL summed
+    (aggregation-order independent).
+
+    Plan shape: one (doc, term) count shuffle (persisted — both the
+    train vocabulary agg and the val scoring read it), a broadcast
+    vocab join, 1-row broadcast totals, one final groupBy(doc)."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    sp = assign_splits(
+        df.select(F.col(id_col), F.col(text_col)),
+        key_col=id_col,
+        weights={"train": train_frac, "val": 1.0 - train_frac},
+        seed=seed,
+    )
+    toks = (
+        ensure_min_parallelism(sp, DENSE_BYTES_PER_TASK)
+        .select(
+            F.col(id_col), "split", tokens(F.col(text_col)).alias("__toks")
+        )
+        .filter(F.size("__toks") > 0)
+    )
+    tf = (
+        toks.select(F.col(id_col), "split", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "split", "term")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    vocab = (
+        tf.filter(F.col("split") == "train")
+        .groupBy("term")
+        .agg(F.sum("__cnt").alias("__vc"))
+    )
+    totals = vocab.agg(
+        F.sum("__vc").alias("__n_train"), F.count("*").alias("__v")
+    )
+    p = (F.coalesce(F.col("__vc"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("__n_train").cast("double") + F.col("__v").cast("double")
+    )
+    scored = (
+        tf.filter(F.col("split") == "val")
+        .join(vocab, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("__cnt"),
+            F.round(-F.log(p), 9).cast("decimal(18,9)").alias("__nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__cnt").cast("decimal(10,0)") * F.col("__nlp"))
+            .cast("double")
+            / F.sum("__cnt").cast("double"),
+            6,
+        ).alias("heldout_nll"),
+    )

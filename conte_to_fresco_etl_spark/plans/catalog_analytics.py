@@ -2103,3 +2103,78 @@ def q_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.validation import mixture_diversity
 
     return mixture_diversity(_t(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM scoring + autocorrelation diagnostics
+# (registered late in round 5 — first in line for the round-6 window)
+# ---------------------------------------------------------------------------
+
+_ACF_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9)
+                                 AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS mu
+      FROM daily
+    ),
+    lagged AS (
+      SELECT CAST(x AS DOUBLE) AS x,
+             LAG(CAST(x AS DOUBLE), 1) OVER (ORDER BY day) AS xl1,
+             LAG(CAST(x AS DOUBLE), 2) OVER (ORDER BY day) AS xl2,
+             LAG(CAST(x AS DOUBLE), 3) OVER (ORDER BY day) AS xl3,
+             LAG(CAST(x AS DOUBLE), 4) OVER (ORDER BY day) AS xl4,
+             LAG(CAST(x AS DOUBLE), 5) OVER (ORDER BY day) AS xl5,
+             LAG(CAST(x AS DOUBLE), 6) OVER (ORDER BY day) AS xl6,
+             LAG(CAST(x AS DOUBLE), 7) OVER (ORDER BY day) AS xl7,
+             mu
+      FROM daily CROSS JOIN stats
+    ),
+    den AS (
+      SELECT SUM(CAST(ROUND((x - mu) * (x - mu), 12) AS DECIMAL(28,12)))
+        AS den
+      FROM lagged
+    ),
+    pairs AS (
+      SELECT 1 AS lag, x, xl1 AS xl, mu FROM lagged WHERE xl1 IS NOT NULL
+      UNION ALL
+SELECT 2 AS lag, x, xl2 AS xl, mu FROM lagged WHERE xl2 IS NOT NULL
+      UNION ALL
+SELECT 3 AS lag, x, xl3 AS xl, mu FROM lagged WHERE xl3 IS NOT NULL
+      UNION ALL
+SELECT 4 AS lag, x, xl4 AS xl, mu FROM lagged WHERE xl4 IS NOT NULL
+      UNION ALL
+SELECT 5 AS lag, x, xl5 AS xl, mu FROM lagged WHERE xl5 IS NOT NULL
+      UNION ALL
+SELECT 6 AS lag, x, xl6 AS xl, mu FROM lagged WHERE xl6 IS NOT NULL
+      UNION ALL
+SELECT 7 AS lag, x, xl7 AS xl, mu FROM lagged WHERE xl7 IS NOT NULL
+    ),
+    num AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+             SUM(CAST(ROUND((x - mu) * (xl - mu), 12) AS DECIMAL(28,12)))
+               AS num
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+    FROM num CROSS JOIN den
+"""
+
+
+@_q("q_acf", _ACF_SQL)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-7) of the daily event-count series —
+    the periodicity diagnostic behind seasonal-window choices; one
+    ordered window yields all lags."""
+    from conte_to_fresco_etl_spark.operators.gapfill import autocorrelation
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    return autocorrelation(daily, "day", "x", max_lag=7)

@@ -4104,3 +4104,45 @@ def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_reservoir(
         _t(spark, sf_dir, "documents"), "lang", "doc_id", k=20, seed=7
     )
+
+
+_HELDOUT_NLL_SQL = f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) / 1152921504606846976.0 < 0.8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    base AS (SELECT doc_id, split, {_sql_tokens()} AS toks FROM sp),
+    ne AS (SELECT * FROM base WHERE len(toks) > 0),
+    t AS (SELECT doc_id, split, unnest(toks) AS term FROM ne),
+    tf AS (SELECT doc_id, split, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
+    vocab AS (
+      SELECT term, SUM(cnt) AS vc FROM tf WHERE split = 'train' GROUP BY 1
+    ),
+    tot AS (SELECT SUM(vc) AS n_train, COUNT(*) AS v FROM vocab),
+    scored AS (
+      SELECT tf.doc_id, tf.cnt,
+             CAST(ROUND(-ln((CAST(COALESCE(v2.vc, 0) AS DOUBLE) + 1.0)
+                            / (CAST(n_train AS DOUBLE) + CAST(v AS DOUBLE))), 9)
+                  AS DECIMAL(18,9)) AS nlp
+      FROM tf LEFT JOIN vocab v2 USING (term) CROSS JOIN tot
+      WHERE tf.split = 'val'
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * nlp) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS heldout_nll
+    FROM scored GROUP BY 1
+"""
+
+
+@_q("q_heldout_nll", _HELDOUT_NLL_SQL)
+def q_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores for the val split under a
+    TRAIN-split unigram LM — the un-gameable form of LM-based
+    filtering (a document's own duplicated mass cannot raise its
+    score)."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import heldout_nll
+
+    return heldout_nll(_t(spark, sf_dir, "documents"))

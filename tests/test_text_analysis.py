@@ -703,3 +703,47 @@ def test_quality_classifier_orders_and_verdicts(spark):
         w * r[c] for c, w in CLASSIFIER_WEIGHTS.items()
     )
     assert abs(r["score"] - round(1.0 / (1.0 + math.exp(-z)), 6)) < 1e-9
+
+
+def test_heldout_nll_not_gamed_by_duplication(spark):
+    """A val doc whose tokens are common in TRAIN scores lower than a
+    val doc of train-unseen tokens; and only val docs are emitted."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import heldout_nll
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    rows = [(i, "common words appear here " * 3) for i in range(40)]
+    rows += [(100, "common words appear here again"),
+             (101, "zyx wvu tsr qpo nml")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            df, key_col="doc_id", weights={"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    out = {r["doc_id"]: r["heldout_nll"] for r in heldout_nll(df).collect()}
+    assert set(out) == {d for d, s in splits.items() if s == "val"}
+    # if both probe docs landed in val, the train-like one scores lower
+    if 100 in out and 101 in out:
+        assert out[100] < out[101]
+    # OOV-only docs still score finite
+    assert all(v is not None and v > 0 for v in out.values())
+
+
+def test_autocorrelation_perfect_cycle(spark):
+    """A period-2 alternating series has acf(2k) near +1 and acf(2k+1)
+    near -1."""
+    import datetime as dt
+
+    from conte_to_fresco_etl_spark.operators.gapfill import autocorrelation
+
+    rows = [
+        (dt.datetime(2024, 3, 1 + i), 10.0 if i % 2 == 0 else 0.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "day timestamp, x double")
+    got = {r["lag"]: r for r in autocorrelation(df, "day", "x", 4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_pairs"] == 19 and got[4]["n_pairs"] == 16
+    assert got[2]["acf"] > 0.85 and got[4]["acf"] > 0.7
+    assert got[1]["acf"] < -0.85 and got[3]["acf"] < -0.8

@@ -131,6 +131,7 @@ PRIORITY: list[str] = [
     "q_mixture_diversity",
     "q_acf",
     "q_heldout_nll",
+    "q_split_leakage",
     "q_hopping_window",
     # TPC-H remainder -> r6 window
     "q4_priority_exists",

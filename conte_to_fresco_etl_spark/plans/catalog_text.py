@@ -4146,3 +4146,58 @@ def q_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.text_analysis import heldout_nll
 
     return heldout_nll(_t(spark, sf_dir, "documents"))
+
+
+_SPLIT_LEAKAGE_SQL = f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) / 1152921504606846976.0 < 0.8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT least(a.split, b.split) AS split_lo,
+           greatest(a.split, b.split) AS split_hi,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+"""
+
+
+@_q("q_split_leakage", _SPLIT_LEAKAGE_SQL)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: count near-duplicate pairs WITHIN and
+    ACROSS the hash-stable train/val splits.  Cross-split near-dups
+    are eval contamination — the val doc's twin was trained on, so
+    held-out metrics read too well; the standard remedy is assigning
+    splits by near-dup COMPONENT (q_dedup_canonical's table) instead
+    of by document.  Same pair derivation as q_minhash_lsh, same
+    split rule as q_heldout_nll: the audit composes the two gated
+    pipelines it checks."""
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42
+    )
+    sp = assign_splits(
+        docs.select("doc_id"),
+        key_col="doc_id",
+        weights={"train": 0.8, "val": 0.2},
+        seed=42,
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_lo"),
+            F.greatest("__sa", "__sb").alias("split_hi"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -39,19 +39,99 @@ def entry(spark: SparkSession) -> DataFrame:
 # iteration order: queries that have never had a driver row (or changed since
 # their last green row) come first; long-stable green queries go to the tail
 # where a truncated window costs nothing.
+# Queries modified (or newly registered) in round 6.  Every name here MUST
+# also sit inside PRIORITY[:50]; tests/test_plans.py::test_priority_window_accounting
+# enforces that mechanically (never-driver-checked ∪ REGATE_R6 ⊆ window).
+REGATE_R6: list[str] = [
+    "q_classifier_metrics",  # NULL-label filter (ADVICE r5)
+    "q_hll_rollup",          # merge_consistent tolerance (ADVICE r5)
+    "q_dp_counts",           # mechanism re-documented, seeded-noise math untouched
+    "q_unigram_nll",         # shared-postings staging perf fix
+    "q_ngram_novelty",       # shared-postings staging perf fix
+    "q_embedding_neardup",   # in-operator hard cap on the collected baseline side
+    "q_ivf_served_topk",     # NEW r6: ANN quantizer persistence (train→save→serve)
+    "q_scd2_replay",         # NEW r6: streaming SCD2 twin replayed via foreachBatch
+    "q_pivot_wide_stats",    # NEW r6
+    "q_sessionize_attrib",   # NEW r6
+    "q_robust_zscore",       # NEW r6
+    "q_tfidf_topk",          # NEW r6
+    "q_near_dup_clusters",   # NEW r6
+    "q_stopword_profile",    # NEW r6
+    "q_doc_minhash_sim",     # NEW r6
+    "q_percentile_bands",    # NEW r6
+    "q_histogram",           # NEW r6
+    "q_anomaly_mad_ts",      # NEW r6
+    "q_coverage_overlap",    # NEW r6
+    "q_length_survival",     # NEW r6
+    "q_rare_token_docs",     # NEW r6
+    "q_span_extract",        # NEW r6
+    "q_quantile_sketch",     # NEW r6
+]
+
 PRIORITY: list[str] = [
-    # --- round-5 window (the driver checks the first 50) ---
-    # Every query below EITHER was modified this round or has NEVER had
-    # a driver CORRECTNESS row in rounds 1-4 (the union of r1-r4 green
-    # rows covers the other 108 registered queries, zero reds).
-    #
-    # modified in r5: struct-rank orientation (ADVICE r4) and null-safe
-    # class join-back (ADVICE r4) — both green in r4, re-gated after
-    # the fix
+    # --- round-6 window (the driver checks the first 50) ---
+    # Slots 1-27: the 27 queries that have NEVER had a driver
+    # CORRECTNESS row (union of r1-r5 green rows = 150/177 registered,
+    # zero reds ever).  The 8 late-r5 analytics first, then the 19
+    # TPC-H shapes riskiest-first.  Nothing registered in r6 may be
+    # placed ahead of these — the window self-audit test enforces it.
+    "q_cusum_drift",
+    "q_mannwhitney",
+    "q_ks_test",
+    "q_mixture_diversity",
+    "q_acf",
+    "q_heldout_nll",
+    "q_split_leakage",
+    "q_hopping_window",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "q22_dormant_customers",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q20_promotion_suppliers",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    # Slots 28-50: round-6 re-gates and new registrations (REGATE_R6).
+    "q_classifier_metrics",
+    "q_hll_rollup",
+    "q_dp_counts",
+    "q_unigram_nll",
+    "q_ngram_novelty",
+    "q_embedding_neardup",
+    "q_ivf_served_topk",
+    "q_scd2_replay",
+    "q_pivot_wide_stats",
+    "q_sessionize_attrib",
+    "q_robust_zscore",
+    "q_tfidf_topk",
+    "q_near_dup_clusters",
+    "q_stopword_profile",
+    "q_doc_minhash_sim",
+    "q_percentile_bands",
+    "q_histogram",
+    "q_anomaly_mad_ts",
+    "q_coverage_overlap",
+    "q_length_survival",
+    "q_rare_token_docs",
+    "q_span_extract",
+    "q_quantile_sketch",
+    # --- rotation tail (stable driver-green queries; a truncated
+    # window costs nothing here) ---
+    # r5-green queries
     "q_triangle_count",
     "q_k_anonymity",
     "q_jaccard_prefix",
-    # never driver-checked, non-TPC-H (registered in r4 past the cap)
     "q_range_frame",
     "q_dataset_card",
     "q_normalize_text",
@@ -83,9 +163,6 @@ PRIORITY: list[str] = [
     "q_top_sequences",
     "q_interval_overlap",
     "q_time_weighted",
-    # new in r5 (inserted here as they are added)
-    "q_hll_rollup",
-    "q_dp_counts",
     "q_lsh_calibration",
     "q_lsh_recall",
     "q_event_pattern",
@@ -93,56 +170,12 @@ PRIORITY: list[str] = [
     "q_embedding_outliers",
     "q_hard_negatives",
     "q_quality_propagation",
-    "q_classifier_metrics",
     "q_group_reservoir",
-    # modified in r5 (lang_id argmax rewrite feeds its prediction col)
     "q_lang_confusion",
-    # modified in r5 (empty-input guards added to their driver-side
-    # quantizer/sampling helpers — results at sf>0 provably unchanged,
-    # but the green rows predate the edit, so they re-gate)
     "q_ivf_ann_topk",
     "q_ivf_exhaustive",
     "q_ivfpq_topk",
     "q_temperature_sample",
-    # TPC-H shapes never driver-checked, ordered riskiest-first
-    # (correlated subqueries, multi-join profit/market-share,
-    # group-HAVING).  With the r5 additions and re-gates above, the
-    # window cut lands after q2_min_cost_supplier — the remaining 18
-    # TPC-H shapes rotate into the r6 window (family evidence: q1/q3/
-    # q5 green since r2, tests/oracle_parity.py green locally for all)
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q21_sole_returner",
-    "q22_dormant_customers",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q20_promotion_suppliers",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    # --- rotation tail (beyond the 50-query window this round) ---
-    # registered late in r5 (window already full of never-checked +
-    # re-gates) — FIRST in line for the r6 window, with q_hopping_window
-    # (rotated out for the r5 re-gates; family evidence: r3-green
-    # q_windowed_rates/q_time_rollup share the window machinery)
-    "q_cusum_drift",
-    "q_mannwhitney",
-    "q_ks_test",
-    "q_mixture_diversity",
-    "q_acf",
-    "q_heldout_nll",
-    "q_split_leakage",
-    "q_hopping_window",
-    # TPC-H remainder -> r6 window
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
     # r4-green queries (stable, unmodified)
     "q_dedup_canonical",
     "q_dedup_apply",
@@ -200,7 +233,52 @@ PRIORITY: list[str] = [
     "q_distinct_counts",
     "q_doc_components",
     "q_media_decode",
-    "q_embedding_neardup",
+    # r1-r3-green queries (stable since the first rounds; listed so the
+    # window self-audit can prove PRIORITY covers the whole registry)
+    "conte_set3",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_volume",
+    "q_above_mean",
+    "q_ann_topk",
+    "q_anti_join",
+    "q_asof_join",
+    "q_corpus_curation",
+    "q_cube_daily",
+    "q_dedup_exact",
+    "q_doc_profile",
+    "q_dq_report",
+    "q_embedding_neardup_lsh",
+    "q_except_customers",
+    "q_exitcode_case",
+    "q_hostlist_parse",
+    "q_interval_join",
+    "q_interval_violations",
+    "q_jobid_normalize",
+    "q_lsh_ann_topk",
+    "q_minhash_lsh",
+    "q_minmax_summary",
+    "q_ngram_jaccard",
+    "q_pii_scrub",
+    "q_pivot_agg",
+    "q_pivot_scatter",
+    "q_quality_filters",
+    "q_range_pairs",
+    "q_semi_join",
+    "q_sessionize",
+    "q_simhash_pairs",
+    "q_skew_salted_join",
+    "q_stratified_sample",
+    "q_time_rollup",
+    "q_top_tfidf_terms",
+    "q_trailing_window",
+    "q_union_distinct",
+    "q_user_quartiles",
+    "q_value_histogram",
+    "q_walltime_parse",
+    "q_window_rate",
+    "q_windowed_rates",
+    "q_winnow_fingerprints",
 ]
 
 

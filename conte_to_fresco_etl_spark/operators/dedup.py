@@ -769,6 +769,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_build_rows: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force cosine near-dup pairs (the correctness
     baseline): ``cosine(a, b) = dot/(|a|*|b|)`` rounded to 6 decimals,
@@ -784,11 +785,27 @@ def embedding_neardup_pairs(
     path — all-pairs is O(n²) and the collect is a driver bottleneck;
     the gated default at scale is ``embedding_lsh_neardup_pairs``
     (banded sign-signature self-join, fully distributed).
+
+    The driver-side collect is HARD-CAPPED at ``max_build_rows``: the
+    collect itself is bounded by a ``limit(cap+1)`` so an oversized
+    corpus can never reach the driver, and exceeding the cap raises
+    (loudly, naming the LSH sibling) rather than silently scoring an
+    incomplete build side — a truncated baseline would report bogus
+    recall for the very operator it exists to validate.
     """
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
     )
-    build = vecs.collect()
+    build = vecs.limit(max_build_rows + 1).collect()
+    if len(build) > max_build_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the all-pairs VALIDATION "
+            f"baseline and collects the corpus to the driver; input "
+            f"exceeds max_build_rows={max_build_rows}. Use "
+            f"embedding_lsh_neardup_pairs (distributed banded LSH) for "
+            f"corpus-scale near-dup, or raise max_build_rows explicitly "
+            f"for a larger validation sample."
+        )
     if not build:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"

@@ -128,24 +128,28 @@ def dp_noisy_counts(
     epsilon: float = 1.0,
     seed: str = "dp",
 ) -> DataFrame:
-    """ε-differentially-private release of per-group counts: each
-    group's true count is perturbed with Laplace(1/ε) noise before
-    release (event-level DP: one event changes one count by 1, so
-    sensitivity is 1 and scale b = 1/ε).  Complements ``k_anonymity``
-    on the privacy surface — suppression guards quasi-identifiers,
-    noisy counts guard aggregate releases.
+    """Laplace-perturbed per-group count release — the MECHANISM of an
+    ε-differentially-private count query (sensitivity 1, scale b = 1/ε
+    noise), implemented with a SEEDED, deterministic noise draw.
 
-    The noise draw is the repo's hash-stable uniform (``md5(seed:
-    group)`` → unit interval) pushed through the Laplace inverse CDF,
-    so the release is a pure function of (seed, ε, data): reproducible
-    across runs, partitionings, and engines — the property that makes
-    the release auditable (and the oracle able to reproduce it
-    bit-for-bit).  A production deployment would swap the seed per
-    release; re-releasing with fresh seeds spends additional budget
-    exactly as the ε-composition rule says.
+    **This is NOT a DP guarantee as shipped.**  The noise is a pure
+    function of ``(seed, group key)`` via the repo's hash-stable
+    uniform (``md5(seed:group)`` → unit interval → Laplace inverse
+    CDF); anyone who knows the seed recomputes the noise and recovers
+    the exact counts.  Reproducibility and differential privacy are
+    mutually exclusive properties of the SAME release: this function
+    keeps the reproducible form so the mechanism's plumbing (noise
+    scale, inverse-CDF transform, one-shuffle plan shape) is testable
+    bit-for-bit against the DuckDB oracle.  A production DP deployment
+    MUST pass a secret, single-use, cryptographically random ``seed``
+    that is never persisted alongside the release — and each
+    re-release with a fresh seed spends additional budget exactly as
+    the ε-composition rule says.  With a committed/public seed (as in
+    the gated catalog query), read the output as a deterministic
+    perturbation for pipeline testing, not a privacy release.
 
-    Output: ``(group_col, noisy_n)`` — the true count never leaves.
-    One map-side partial count per group; no second shuffle.
+    Output: ``(group_col, noisy_n)`` — the true count never leaves the
+    plan.  One map-side partial count per group; no second shuffle.
     """
     h = F.conv(
         F.substring(

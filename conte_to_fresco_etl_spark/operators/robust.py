@@ -483,11 +483,15 @@ def classification_metrics(
     Output — ONE row: ``(n, n_classes, accuracy, macro_precision,
     macro_recall, macro_f1, kappa)``, all rates ROUND(6).
 
-    Conventions (mirrored exactly by the SQL oracle): the class
-    universe is the UNION of gold and predicted labels; a class with no
-    predictions contributes precision 0 (and analogously recall 0 with
-    no gold rows) — the standard macro-F1 penalty for never predicting
-    a class.  Kappa's observed/expected agreement terms are exact
+    Conventions (mirrored exactly by the SQL oracle): rows where EITHER
+    label is NULL are excluded up front — an unlabeled/abstained row is
+    not a class, and keeping NULL in the class universe while plain
+    equi-joins drop it from every total silently undercounted ``n`` and
+    skewed the kappa denominators (ADVICE r5).  The class universe is
+    the UNION of gold and predicted labels over the surviving rows; a
+    class with no predictions contributes precision 0 (and analogously
+    recall 0 with no gold rows) — the standard macro-F1 penalty for
+    never predicting a class.  Kappa's observed/expected agreement terms are exact
     integer ratios (Σ tp / n and Σ gold_c·pred_c / n²), so the only
     float summations are the macro averages, which accumulate
     ROUND(12) decimal terms — aggregation-order independent.
@@ -496,9 +500,11 @@ def classification_metrics(
     to a |classes|² cell table; everything after runs on
     dimension-sized rows with 1-row broadcast totals."""
     cells = (
-        df.groupBy(
-            F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
-        ).agg(F.count("*").alias("n"))
+        df.filter(
+            F.col(gold_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .groupBy(F.col(gold_col).alias("g"), F.col(pred_col).alias("p"))
+        .agg(F.count("*").alias("n"))
     ).persist()
     classes = (
         cells.select(F.col("g").alias("cls"))
@@ -666,15 +672,21 @@ def mannwhitney_u(
     (with midranks for ties) and the tie-corrected normal
     approximation z, ROUND(6).
 
-    Exactness: midranks are exact halves (RANK() + (tie_size−1)/2),
-    summed as DECIMAL(18,1); U and the variance derive from integer
-    counts, so z is one identical float expression in both engines.
+    Exactness: the corpus first collapses to the per-distinct-value
+    count table ``(v, ca, cb)``; midranks derive from cumulative tie
+    counts as exact halves (``cum_before + (tie_n+1)/2``), carried
+    doubled as the INTEGER ``2·cum_before + tie_n + 1`` so the rank-sum
+    is one exact bigint sum halved once in double.  U and the variance
+    derive from integer counts, so z is one identical float expression
+    in both engines.
 
-    Scale posture: one global sort for the rank window (the inherent
-    cost of ranking N values — Spark range-partitions the sort; the
-    unpartitioned RANK window is the textbook spelling kept here
-    because the two-group slice is filter-pruned first), tie sizes via
-    a value-partitioned count, then 1-row aggregates."""
+    Scale posture: one (value) count shuffle collapses the corpus to
+    |distinct values| rows; the single unpartitioned cumulative window
+    runs on that collapsed table (same discipline as ``ks_test`` —
+    never rank raw rows under a global window, which WindowExec would
+    execute as ONE task holding the whole slice).  Empty-group and
+    nn≤1 inputs short-circuit z to an explicit NULL instead of
+    NaN-poisoning the ordering."""
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -682,52 +694,57 @@ def mannwhitney_u(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
     )
-    wr = Window.orderBy("v")
-    wt = Window.partitionBy("v")
-    ranked = two.select(
-        "g",
-        "v",
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tie_n = F.col("ca") + F.col("cb")
+    ranked = per_v.select(
+        "ca",
+        "cb",
+        tie_n.alias("tie_n"),
+        # midrank of every row tied at v is cum_before + (tie_n+1)/2;
+        # doubled it is the exact integer 2·cum_before + tie_n + 1
         (
-            F.rank().over(wr).cast("double")
-            + (F.count("*").over(wt).cast("double") - F.lit(1.0))
-            / F.lit(2.0)
-        ).alias("midrank"),
-        F.count("*").over(wt).alias("tie_n"),
+            F.lit(2) * (F.sum(tie_n).over(w) - tie_n) + tie_n + F.lit(1)
+        ).alias("midrank_x2"),
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("n_b"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        # Σ_{rows in group a} midrank, carried doubled as a bigint
+        F.sum(F.col("ca") * F.col("midrank_x2")).alias("r_a2"),
+        # Σ (t³ − t) over distinct tie groups
         F.sum(
-            F.when(
-                F.col("g") == group_a,
-                F.col("midrank").cast("decimal(18,1)"),
-            ).otherwise(F.lit(0).cast("decimal(18,1)"))
-        ).alias("r_a"),
-        # Σ (t³ − t) over distinct tie groups: every member of a tie
-        # group carries tie_n, so sum (tie_n² − 1) per ROW == Σ (t³−t)
-        F.sum(
-            F.col("tie_n") * F.col("tie_n") - F.lit(1)
+            F.col("tie_n") * F.col("tie_n") * F.col("tie_n")
+            - F.col("tie_n")
         ).alias("tie_term"),
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     nn = na + nb
-    u_a = F.col("r_a").cast("double") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    r_a = F.col("r_a2").cast("double") / F.lit(2.0)
+    u_a = r_a - na * (na + F.lit(1.0)) / F.lit(2.0)
     u_b = na * nb - u_a
     var = (
         na * nb / F.lit(12.0)
         * (
             (nn + F.lit(1.0))
-            - F.col("tie_term").cast("double") / (nn * (nn - F.lit(1.0)))
+            - F.col("tie_term").cast("double")
+            / (nn * (nn - F.lit(1.0)))
         )
     )
     z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    degenerate = (
+        (F.col("n_a") == 0) | (F.col("n_b") == 0) | (nn <= F.lit(1.0))
+    )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.round(u_a, 6).alias("u_a"),
         F.round(u_b, 6).alias("u_b"),
-        F.when(var == 0, F.lit(None).cast("double"))
+        F.when(degenerate | (var == 0), F.lit(None).cast("double"))
         .otherwise(F.round(z, 6))
         .alias("z"),
     )
@@ -758,7 +775,9 @@ def ks_test(
     |distinct values| rows; the cumulative windows and argmax run on
     that collapsed table.  The unpartitioned value-ordered window is
     inherent to a global ECDF — at corpus scale pre-bin values (the
-    ECDF of binned data bounds D within one bin mass)."""
+    ECDF of binned data bounds D within one bin mass).  A one-group
+    input (n_a or n_b = 0) returns an explicit all-NULL d_stat row
+    rather than NaN/NULL-ordering noise."""
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -785,24 +804,36 @@ def ks_test(
             "v",
             "n_a",
             "n_b",
+            # try_divide: a one-group input (n_a or n_b = 0) must not
+            # NaN/Inf-poison the argmax ordering — the gap goes NULL
+            # here and the final select makes the degradation explicit
             F.round(
                 F.abs(
-                    F.col("cum_a").cast("double")
-                    / F.col("n_a").cast("double")
-                    - F.col("cum_b").cast("double")
-                    / F.col("n_b").cast("double")
+                    F.try_divide(
+                        F.col("cum_a").cast("double"),
+                        F.col("n_a").cast("double"),
+                    )
+                    - F.try_divide(
+                        F.col("cum_b").cast("double"),
+                        F.col("n_b").cast("double"),
+                    )
                 ),
                 12,
             ).alias("gap"),
         )
     )
+    degenerate = (F.col("n_a") == 0) | (F.col("n_b") == 0)
     return (
         gaps.orderBy(F.col("gap").desc(), F.col("v").asc())
         .limit(1)
         .select(
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.round(F.col("gap"), 6).alias("d_stat"),
-            F.col("v").alias("at_value"),
+            F.when(degenerate, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("gap"), 6))
+            .alias("d_stat"),
+            F.when(degenerate, F.lit(None).cast("double"))
+            .otherwise(F.col("v"))
+            .alias("at_value"),
         )
     )

@@ -1814,9 +1814,12 @@ _DP_COUNTS_SQL = f"""
 
 @_q("q_dp_counts", _DP_COUNTS_SQL)
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=1 differentially-private per-event-type count release via
-    hash-stable Laplace noise — reproducible across engines, so the
-    oracle re-derives the exact same release."""
+    """ε=1 Laplace count-perturbation MECHANISM per event type with a
+    committed seed — deliberately reproducible so the oracle re-derives
+    the identical release bit-for-bit.  A committed seed means this is
+    a mechanism test, NOT a privacy guarantee: see the
+    ``dp_noisy_counts`` docstring for the secret-seed requirement of an
+    actual DP release."""
     from conte_to_fresco_etl_spark.operators.pii import dp_noisy_counts
 
     return dp_noisy_counts(
@@ -1961,39 +1964,43 @@ _MW_SQL = """
       SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
       WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
+    per_v AS (
+      SELECT v, SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM two GROUP BY 1
+    ),
     r AS (
-      SELECT g, v,
-             CAST(RANK() OVER (ORDER BY v) AS DOUBLE)
-               + (CAST(COUNT(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0) / 2.0
-               AS midrank,
-             COUNT(*) OVER (PARTITION BY v) AS tie_n
-      FROM two
+      SELECT ca, cb, ca + cb AS tie_n,
+             2 * (SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - (ca + cb)) + (ca + cb) + 1 AS midrank_x2
+      FROM per_v
     ),
     a AS (
-      SELECT SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n_a,
-             SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n_b,
-             SUM(CASE WHEN g = 'click' THEN CAST(midrank AS DECIMAL(18,1))
-                      ELSE CAST(0 AS DECIMAL(18,1)) END) AS r_a,
-             SUM(tie_n * tie_n - 1) AS tie_term
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * midrank_x2) AS BIGINT) AS r_a2,
+             CAST(SUM(tie_n * tie_n * tie_n - tie_n) AS BIGINT) AS tie_term
       FROM r
     )
-    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-      ROUND(CAST(r_a AS DOUBLE)
+    SELECT n_a, n_b,
+      ROUND(CAST(r_a2 AS DOUBLE) / 2.0
             - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0, 6)
         AS u_a,
       ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-            - (CAST(r_a AS DOUBLE)
+            - (CAST(r_a2 AS DOUBLE) / 2.0
                - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0), 6)
         AS u_b,
-      CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
-                * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
-                   - CAST(tie_term AS DOUBLE)
-                     / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
-                = 0
+      CASE WHEN n_a = 0 OR n_b = 0
+                OR CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) <= 1.0
+                OR CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                      - CAST(tie_term AS DOUBLE)
+                        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+                   = 0
            THEN NULL
            ELSE ROUND(
-             (CAST(r_a AS DOUBLE)
+             (CAST(r_a2 AS DOUBLE) / 2.0
               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
              / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
@@ -2039,13 +2046,16 @@ _KS_SQL = """
       SELECT v, n_a, n_b,
         ROUND(ABS(
           CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-            / CAST(n_a AS DOUBLE)
+            / NULLIF(CAST(n_a AS DOUBLE), 0.0)
           - CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-            / CAST(n_b AS DOUBLE)), 12) AS gap
+            / NULLIF(CAST(n_b AS DOUBLE), 0.0)), 12) AS gap
       FROM per_v CROSS JOIN tot
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(gap, 6) AS d_stat, v AS at_value
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE ROUND(gap, 6) END AS d_stat,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE v END AS at_value
     FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
 """
 

@@ -4000,7 +4000,8 @@ _CLS_METRICS_SQL = f"""
       FROM base
     ),
     pred AS (SELECT g, {_LANG_CASE_SQL} AS p FROM m),
-    cells AS (SELECT g, p, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    cells AS (SELECT g, p, COUNT(*) AS n FROM pred
+              WHERE g IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
     classes AS (
       SELECT g AS cls FROM cells UNION SELECT p AS cls FROM cells
     ),

@@ -97,6 +97,19 @@ def test_embedding_neardup(vectors):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_neardup_build_cap_raises(vectors):
+    """The all-pairs baseline hard-caps its driver collect: an input
+    larger than max_build_rows raises (naming the LSH sibling) instead
+    of collecting the corpus or silently truncating the build side."""
+    with pytest.raises(ValueError, match="embedding_lsh_neardup_pairs"):
+        embedding_neardup_pairs(vectors, threshold=0.9, max_build_rows=3)
+    # at exactly the cap it still runs
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(
+                 vectors, threshold=0.9, max_build_rows=5).collect()}
+    assert pairs == {(0, 1)}
+
+
 def test_embedding_lsh_neardup_subset_and_recall(spark, sf_dir):
     """LSH pairs are a subset of brute-force pairs (precision 1: exact
     cosine is applied to candidates) with recall bounded below; at a

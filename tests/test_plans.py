@@ -542,6 +542,97 @@ BNLJ_ALLOWED = {
 }
 
 
+def _unpartitioned_window_offenses(plan: str) -> list[str]:
+    """Return the Window nodes in a physical plan string that (a) have an
+    EMPTY partition spec and (b) do NOT sit above a collapsing operator
+    (aggregate / limit / WindowGroupLimit) in their subtree.  Such a node
+    is WindowExec's worst case: the ENTIRE input moves to one task (Spark
+    itself warns 'No Partition Defined for Window operation').  Windowing
+    a table already collapsed to dimension size is fine; windowing raw
+    rows globally is the q_mannwhitney-class scale-killer this guard
+    exists to catch at commit time."""
+    lines = plan.split("\n")
+
+    def _depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    offenses = []
+    for i, ln in enumerate(lines):
+        body = ln.lstrip(" :+-")
+        if not body.startswith("Window "):
+            continue
+        if "windowspecdefinition(" not in ln:
+            continue
+        first_arg = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        partitioned = (
+            " ASC" not in first_arg
+            and " DESC" not in first_arg
+            and not first_arg.startswith("specifiedwindowframe")
+        )
+        if partitioned:
+            continue
+        d = _depth(ln)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        collapsed = any(
+            ("Aggregate(" in s) or ("WindowGroupLimit" in s) or ("Limit" in s)
+            for s in subtree
+        )
+        if not collapsed:
+            offenses.append(body.split("windowspecdefinition")[0].strip())
+    return offenses
+
+
+def test_unpartitioned_window_guard_catches_regression(spark):
+    """The guard itself must fire on the q_mannwhitney-class shape it was
+    written for: a global rank window over raw (non-collapsed) rows."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    bad = df.select("id", F.rank().over(Window.orderBy("v")).alias("r"))
+    plan = _physical(bad)
+    assert _unpartitioned_window_offenses(plan), plan
+    # and must NOT fire once the same window runs over a collapsed table
+    good = (
+        df.groupBy("v")
+        .count()
+        .select("v", F.rank().over(Window.orderBy("v")).alias("r"))
+    )
+    assert not _unpartitioned_window_offenses(_physical(good))
+
+
+#: Queries whose plans legitimately carry an unpartitioned Window over a
+#: non-aggregated subtree: each is a dimension-sized or deliberately
+#: bounded input, stated here so growth is a conscious decision.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {}
+
+
+def test_no_unpartitioned_window_over_raw_rows(spark):
+    """Every catalog query: any Window with an empty partition spec must
+    sit above a collapsing operator (aggregate/limit), else WindowExec
+    serializes the whole input through one task — minutes vs weeks at
+    corpus scale.  (This guard would have caught q_mannwhitney's r5
+    unpartitioned raw-row rank window at commit time.)"""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name in sorted(qs):
+        plan = (
+            qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        hits = _unpartitioned_window_offenses(plan)
+        if hits and name not in GLOBAL_WINDOW_ALLOWED:
+            offenders[name] = hits[0][:120]
+    assert not offenders, offenders
+
+
 def test_priority_window_accounting():
     """The driver's correctness gate checks only the first 50 registered
     queries in ``queries()`` iteration order.  Rounds 4 and 5 both lost

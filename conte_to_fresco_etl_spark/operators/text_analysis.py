@@ -432,11 +432,16 @@ def unigram_nll(
     and cast to DECIMAL before the per-doc sum — decimal addition is
     exact integer math, independent of aggregation order in any engine.
 
-    Plan shape: one (doc, term) count shuffle (persisted — it feeds the
-    vocabulary agg and the final join), a term-keyed vocabulary agg, a
-    broadcast vocab join, one final groupBy(doc).  The corpus total
-    enters as a literal (one scalar job).  At web scale swap the vocab
-    broadcast for a bucketed join on term; everything else holds.
+    Plan shape: one (doc, term) count shuffle feeding both the
+    vocabulary agg and the final join via ReusedExchange — Catalyst
+    dedupes the identical shuffle subplan, so tf materializes once
+    WITHOUT a persist (an explicit persist() here measured ~0.8s of
+    pure cache-write overhead on top of the reused exchange at sf0.1:
+    the cache only re-buys what exchange reuse already provides), a
+    term-keyed vocabulary agg, a broadcast vocab join, one final
+    groupBy(doc).  The corpus total enters as a 1-row broadcast.  At
+    web scale swap the vocab broadcast for a bucketed join on term;
+    everything else holds.
     """
     from conte_to_fresco_etl_spark.functions.text import tokens
     from conte_to_fresco_etl_spark.parallelism import (
@@ -453,7 +458,6 @@ def unigram_nll(
         toks.select(F.col(id_col), F.explode("__toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("__cnt"))
-        .persist()
     )
     vocab = tf.groupBy("term").agg(F.sum("__cnt").alias("__vc"))
     # corpus total as a 1-row broadcast cross join, NOT a collect: the

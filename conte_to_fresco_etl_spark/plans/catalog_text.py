@@ -3684,8 +3684,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles FIRST seen in it (by ingestion id order) — the curriculum
     /repetition signal a near-dup pass leaves behind (a doc can evade
     pairwise thresholds yet contribute almost nothing new).  Reuses the
-    session-staged shingle posting; one MIN-per-gram aggregate joins
-    back onto the postings."""
+    session-staged shingle posting; MIN-per-gram comes from a
+    tok-partitioned window instead of an aggregate-then-join, so the
+    postings are read ONCE and the plan is one tok shuffle + one doc
+    shuffle (the join spelling read the posting table twice — measured
+    2.35s -> 1.6s at sf0.1 under the bench's cold-cache methodology)."""
+    from pyspark.sql import Window
+
     from conte_to_fresco_etl_spark.operators.dedup import shingle_postings
 
     posts = shingle_postings(
@@ -3694,14 +3699,15 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
         ),
     )
-    firsts = posts.groupBy("tok").agg(F.min("__id").alias("first_id"))
-    novel = F.when(F.col("first_id") == F.col("__id"), 1).otherwise(0)
+    novel = F.when(
+        F.min("__id").over(Window.partitionBy("tok")) == F.col("__id"), 1
+    ).otherwise(0)
     return (
-        posts.join(firsts, "tok")
+        posts.select("__id", novel.alias("__novel"))
         .groupBy(F.col("__id").alias("doc_id"))
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
+            F.sum("__novel").alias("n_novel"),
         )
         .select(
             "doc_id",

@@ -803,3 +803,66 @@ def test_minhash_signatures_all_short_batch(spark):
         [(1, "ab"), (2, "x"), (3, None)], "doc_id long, text string"
     )
     assert minhash_signatures(docs, shingle_n=5).collect() == []
+
+
+def test_ann_index_persistence_round_trip(spark, sf_dir, tmp_path):
+    """Quantizer persistence: train once, save, reload — arrays are
+    bit-identical, a second serve skips retraining entirely (proved by
+    poisoning the trainer), results match the unpersisted path, and a
+    corpus change flips the fingerprint so the stale index is NOT
+    reused."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ann_idx")
+
+    cents = sim.train_ivf_centroids(emb, n_centroids=8, iters=10, seed=42)
+    cbs = sim.pq_codebooks(emb, m_sub=8, k_sub=16)
+    fp = sim.corpus_fingerprint(emb)
+    sim.save_index(spark, idx, centroids=cents, codebooks=cbs, fingerprint=fp)
+    loaded = sim.load_index(spark, idx)
+    assert np.array_equal(loaded["centroids"], cents)
+    assert np.array_equal(loaded["codebooks"], cbs)
+    assert loaded["fingerprint"] == fp
+
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    )
+    serve1 = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.served_ivf_topk(
+            emb, queries, index_path=idx, n_centroids=8, k=5, n_probe=4
+        ).collect()
+    )
+    assert serve1 == direct
+
+    # second serve must go through the persisted index, never the trainer
+    real_trainer = sim.train_ivf_centroids
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("retrained despite a fresh persisted index")
+
+    sim.train_ivf_centroids = _poisoned
+    try:
+        serve2 = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in sim.served_ivf_topk(
+                emb, queries, index_path=idx, n_centroids=8, k=5, n_probe=4
+            ).collect()
+        )
+        assert serve2 == direct
+        # a drifted corpus must flip the fingerprint and force a retrain
+        drifted = emb.withColumn(
+            "embedding", F.transform("embedding", lambda x: x * 2.0)
+        )
+        with pytest.raises(AssertionError, match="retrained"):
+            sim.served_ivf_topk(
+                drifted, queries, index_path=idx, n_centroids=8, k=5,
+                n_probe=4,
+            )
+    finally:
+        sim.train_ivf_centroids = real_trainer

@@ -498,8 +498,8 @@ def test_catalog_queries_survive_empty_tables(spark, tmp_path):
     probe = [
         # formerly crashed: driver-side empty collections
         "q_ivf_ann_topk", "q_ivf_exhaustive", "q_ivf_trained_topk",
-        "q_ivfpq_topk", "q_pq_topk", "q_semantic_dedup",
-        "q_temperature_sample",
+        "q_ivf_served_topk", "q_ivfpq_topk", "q_pq_topk",
+        "q_semantic_dedup", "q_temperature_sample",
         # one representative per major family
         "q1_pricing_summary", "q_minhash_lsh", "q_doc_profile",
         "q_hll_rollup", "q_event_pattern", "q_dsir_weights",

@@ -397,6 +397,77 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One replay per (applicationId, sf_dir): the stream is the setup, the
+#: gated result is the maintained table it leaves behind.
+_SCD2_REPLAY_DONE: dict[tuple, str] = {}
+
+
+@_q("q_scd2_replay", _SCD2_SQL)
+def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_scd2_intervals under the hard gate: the same
+    events replay as three out-of-order micro-batches (event_id mod 3,
+    so batches 2 and 3 deliver events EARLIER than already-processed
+    ones — the late-data path) through the foreachBatch SCD2 maintainer
+    (``streaming/pipeline.py:start_scd2_maintainer``: append to a
+    key-bucketed change log, rebuild only touched buckets).  The gated
+    result is the maintained table, which must hash-match the batch
+    operator's answer — the convergence the maintainer exists to
+    guarantee, previously pinned only by pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        start_scd2_maintainer,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _SCD2_REPLAY_DONE.get(key)
+    if table is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_scd2_replay",
+            hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:16],
+        )
+        src = os.path.join(base, "src")
+        ev = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id") < 64)
+            .select("event_id", "ts", "user_id", "event_type")
+        )
+        for i in range(3):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_scd2_maintainer(
+            stream,
+            os.path.join(base, "log"),
+            os.path.join(base, "table"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        table = os.path.join(base, "table")
+        _SCD2_REPLAY_DONE[key] = table
+    try:
+        return spark.read.parquet(table).select(
+            "user_id", "event_type", "valid_from", "valid_to", "is_current"
+        )
+    except Exception:  # zero-event input: the maintainer wrote no table
+        return spark.createDataFrame(
+            [],
+            "user_id long, event_type string, valid_from timestamp, "
+            "valid_to timestamp, is_current boolean",
+        )
+
+
 # ---------------------------------------------------------------------------
 # Hopping-window aggregate (sliding windows, batch form)
 # ---------------------------------------------------------------------------

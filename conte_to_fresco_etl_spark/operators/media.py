@@ -51,14 +51,14 @@ _FAKE_DIM = 8
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
     """The production plug-point for formats beyond the native codecs.
-    PPM, PNG, GIF, and baseline JPEG images plus PCM WAV and subset
-    FLAC audio decode natively (``numpy_codec``); anything else raises
-    until a codec library is wired in."""
+    PPM, PNG, GIF, and JPEG (baseline AND progressive) images plus PCM
+    WAV and subset FLAC audio decode natively (``numpy_codec``);
+    anything else raises until a codec library is wired in."""
     raise NotImplementedError(
         "media decode for this format requires a codec library not "
-        "present in this environment (image: Pillow for WebP/progressive "
-        "JPEG, audio: soundfile for OGG/full FLAC, video: pyav); PPM, "
-        "PNG, GIF, baseline JPEG, PCM WAV, and fixed-predictor FLAC "
+        "present in this environment (image: Pillow for WebP, audio: "
+        "soundfile for OGG/full FLAC, video: pyav); PPM, PNG, GIF, "
+        "baseline+progressive JPEG, PCM WAV, and fixed-predictor FLAC "
         "decode natively via numpy_codec — pass codec=... to the operator"
     )
 
@@ -887,13 +887,242 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _jpeg_comp_block_dims(frame, cid: int) -> tuple[int, int]:
+    """(block_rows, block_cols) of one component's NON-interleaved grid:
+    ceil(component sample dims / 8), where the component dims scale the
+    frame by its sampling factors (T.81 A.1.1)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    hs, vs = next((c[1], c[2]) for c in comps if c[0] == cid)
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _jpeg_progressive_scan(
+    payload: bytes,
+    start: int,
+    frame,
+    coef: dict[int, np.ndarray],
+    huff: dict,
+    scan: dict,
+    scan_comps: list[int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the accumulated
+    coefficient arrays (T.81 Annex G): DC first/refinement scans
+    (interleaved MCU order or single-component), AC first scans with
+    EOB-run coding, and AC refinement scans via the G.1.2.3
+    correction-bit walk.  Returns the payload offset of the next
+    marker."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    reader = _JpegBitReader(payload, start)
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(zz, k: int) -> None:
+        if zz[k] != 0 and reader.read(1) and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    try:
+        if ss == 0:  # DC scan (interleaved across scan components)
+            pred = {cid: 0 for cid in scan_comps}
+            # MCU geometry: interleaved uses the frame MCU grid; a
+            # single-component DC scan walks that component's own grid
+            if len(scan_comps) == len(comps) and len(comps) > 1:
+                units = [
+                    ("mcu", None, mcuy, mcux)
+                ]
+            else:
+                units = [
+                    ("blk", cid, *_jpeg_comp_block_dims(frame, cid))
+                    for cid in scan_comps
+                ]
+            for kind, only_cid, uy, ux in units:
+                n_unit = 0
+                for my in range(uy):
+                    for mx in range(ux):
+                        if restart_interval and n_unit and (
+                            n_unit % restart_interval == 0
+                        ):
+                            reader.sync_restart()
+                            pred = {cid: 0 for cid in scan_comps}
+                        n_unit += 1
+                        if kind == "mcu":
+                            members = [
+                                (cid, by_id[cid][1], by_id[cid][2])
+                                for cid in scan_comps
+                            ]
+                        else:
+                            members = [(only_cid, 1, 1)]
+                        for cid, hs, vs in members:
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    if kind == "mcu":
+                                        r0 = my * vs + by
+                                        c0 = mx * hs + bx
+                                    else:
+                                        r0, c0 = my, mx
+                                    zz = coef[cid][r0, c0]
+                                    if ah == 0:
+                                        s = _huff_decode(
+                                            reader, huff[(0, scan[cid][0])]
+                                        )
+                                        diff = (
+                                            _extend(reader.read(s), s)
+                                            if s
+                                            else 0
+                                        )
+                                        pred[cid] += diff
+                                        zz[0] = pred[cid] << al
+                                    else:
+                                        if reader.read(1):
+                                            zz[0] = int(zz[0]) | p1
+        else:  # AC scan: always one component (T.81 G.1.1.1.1)
+            if len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be 1-component")
+            cid = scan_comps[0]
+            ac_t = huff[(1, scan[cid][1])]
+            bh, bw = _jpeg_comp_block_dims(frame, cid)
+            eobrun = 0
+            n_blk = 0
+            for r0 in range(bh):
+                for c0 in range(bw):
+                    if restart_interval and n_blk and (
+                        n_blk % restart_interval == 0
+                    ):
+                        reader.sync_restart()
+                        eobrun = 0
+                    n_blk += 1
+                    zz = coef[cid][r0, c0]
+                    if ah == 0:  # first scan for this band
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s:
+                                k += r
+                                zz[k] = _extend(reader.read(s), s) << al
+                                k += 1
+                            else:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.read(r)
+                                    break
+                                k += 16  # ZRL
+                    else:  # refinement (G.1.2.3 correction-bit walk)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _huff_decode(reader, ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                val = 0
+                                if s:
+                                    # magnitude at this precision is 1
+                                    val = (
+                                        p1 if reader.read(1) else m1
+                                    )
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read(r)
+                                    break
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        refine_nonzero(zz, k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                refine_nonzero(zz, k)
+                                k += 1
+                            eobrun -= 1
+    except _MarkerHit:
+        pass  # truncated/ended scan: keep what accumulated
+    # advance to the next marker after the entropy-coded data
+    i = reader.i
+    while i + 1 < len(payload) and (
+        payload[i] != 0xFF
+        or payload[i + 1] == 0x00
+        or 0xD0 <= payload[i + 1] <= 0xD7
+    ):
+        i += 1
+    return i
+
+
+def _jpeg_reconstruct(
+    frame, coef: dict[int, np.ndarray], qt: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequantize + inverse-DCT the accumulated progressive coefficient
+    grids and assemble the image (vectorized over all blocks), sharing
+    the baseline path's upsample-by-replication and JFIF YCbCr->RGB
+    tail."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for cid, hs, vs, tq in comps:
+        zz = coef[cid] * qt[tq][None, None, :]  # (by, bx, 64)
+        blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
+        # pix = A.T @ blk @ A per block
+        pix = (
+            np.einsum("ij,yxjk,kl->yxil", _DCT_A.T, blocks, _DCT_A)
+            + 128.0
+        )
+        by, bx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out_planes.append(plane[:h, :w])
+    img = np.stack(out_planes, axis=-1)
+    if img.shape[-1] == 3:
+        y, cb, cr = img[..., 0], img[..., 1] - 128, img[..., 2] - 128
+        img = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a BASELINE sequential-DCT JPEG (SOF0, 8-bit, Huffman) to
-    an (h, w, channels) float32 array of 0..255 sample values — native
-    marker parse, canonical Huffman decode, dequantize + inverse DCT,
-    chroma upsampling by sample replication, JFIF YCbCr->RGB.
-    Grayscale (1 component) returns (h, w, 1); progressive JPEGs raise
-    (SOF2 is the documented next plug-point)."""
+    """Decode a BASELINE (SOF0/1) or PROGRESSIVE (SOF2) 8-bit Huffman
+    JPEG to an (h, w, channels) float32 array of 0..255 sample values —
+    native marker parse, canonical Huffman decode, dequantize + inverse
+    DCT, chroma upsampling by sample replication, JFIF YCbCr->RGB.
+    Grayscale (1 component) returns (h, w, 1).
+
+    Progressive streams accumulate quantized coefficients across scans
+    per ITU T.81 Annex G: spectral-selection DC/AC first scans (with
+    EOB-run coding) and successive-approximation refinement scans (DC
+    bit append; the AC correction-bit walk of G.1.2.3), then one
+    dequantize+IDCT reconstruction at EOI.  Baseline scans keep the
+    original single-pass path."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -901,7 +1130,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
     restart_interval = 0
+    n_scans = 0
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -935,7 +1167,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[j + 17 : j + 17 + n]
                 huff[(tc, th)] = _build_huffman(counts, symbols)
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: sequential DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -944,12 +1176,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) not supported by the native "
-                "codec — wire a codec library via the strict_codec "
-                "plug-point"
-            )
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for cid, hs, vs, _tq in comps:
+                    coef[cid] = np.zeros(
+                        (mcuy * vs, mcux * hs, 64), dtype=np.int64
+                    )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan header then entropy data
@@ -957,14 +1193,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tds >> 4, tds & 0x0F)
+                scan_comps.append(cs)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                i = _jpeg_progressive_scan(
+                    payload, i + seglen, frame, coef, huff, scan,
+                    scan_comps, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval,
+                )
+                n_scans += 1
+                continue
             if ns < len(frame[2]):
                 raise ValueError(
                     "non-interleaved JPEG scans (ns < frame components) "
-                    "not supported by the native codec — wire a codec "
-                    "library via the strict_codec plug-point"
+                    "not supported in a sequential frame by the native "
+                    "codec — wire a codec library via the strict_codec "
+                    "plug-point"
                 )
             h, w, comps = frame
             hmax = max(c[1] for c in comps)
@@ -1049,6 +1298,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             return np.clip(img, 0, 255).astype(np.float32)
         i += seglen
+    if progressive and frame is not None and n_scans:
+        return _jpeg_reconstruct(frame, coef, qt)
     raise ValueError("JPEG contains no scan")
 
 
@@ -1223,6 +1474,295 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     head += seg(0xDA, sos)
     return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    band_split: int = 32,
+) -> bytes:
+    """Encode an RGB/grayscale uint8 array as a PROGRESSIVE JPEG (SOF2)
+    — the round-trip fixture generator for the progressive decoder.
+    The scan script exercises every Annex-G decoder path: an
+    interleaved DC first scan at Al=1, a DC refinement bit scan, two
+    spectral AC bands per component first-coded at Al=1 (EOB-run
+    coded), and a full-band AC refinement scan to Al=0 (correction-bit
+    walk with buffered bits, ZRL folding, and EOB-run accumulation —
+    the jcphuff G.1.2.3 emission discipline, re-derived from T.81).
+
+    Same fixed-length canonical Huffman tables and flat quality-scaled
+    quantization as ``encode_jpeg`` (tables travel in DQT/DHT, so any
+    choice is conformant)."""
+    import struct
+
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    scale = max(1.0, (100.0 - quality) / 2.0)
+    qtab = np.clip(np.round(np.full(64, 1.0) * scale), 1, 255).astype(
+        np.int64
+    )
+    qtab[0] = max(1, int(scale))
+
+    if nch == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        chans = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+        sampling = [(2, 2) if subsample else (1, 1), (1, 1), (1, 1)]
+    else:
+        chans = [arr[..., 0]]
+        sampling = [(1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # full padded-grid quantized coefficients per component: (by, bx, 64)
+    all_zz = []
+    for ch, (hs, vs) in zip(chans, sampling):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            pad = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
+            ch = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        ch = np.pad(
+            ch, ((0, th - ch.shape[0]), (0, tw - ch.shape[1])), mode="edge"
+        )
+        by, bx = th // 8, tw // 8
+        blocks = ch.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ij,yxjk,kl->yxil", _DCT_A, blocks, _DCT_A.T)
+        zz = np.round(coefs[:, :, _ZZ_ROWS, _ZZ_COLS] / qtab).astype(
+            np.int64
+        )
+        all_zz.append(zz)
+
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dc_syms = bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    ac_syms = bytes(range(256))
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {s: (s, 9) for s in range(255)}
+    ac_code[255] = (510, 10)
+
+    def magnitude(v: int) -> tuple[int, int]:
+        if v == 0:
+            return 0, 0
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        base = v if v > 0 else v + (1 << s) - 1
+        return s, base
+
+    def comp_block_dims(ci: int) -> tuple[int, int]:
+        hs, vs = sampling[ci]
+        return -(-(-(-h * vs // vmax)) // 8), -(-(-(-w * hs // hmax)) // 8)
+
+    scans: list[bytes] = []
+
+    class _Emitter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.nacc = 0
+
+        def bits(self, code: int, n: int) -> None:
+            if n == 0:
+                return
+            self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+            self.nacc += n
+            while self.nacc >= 8:
+                self.nacc -= 8
+                byte = (self.acc >> self.nacc) & 0xFF
+                self.out.append(byte)
+                if byte == 0xFF:
+                    self.out.append(0x00)
+
+        def finish(self) -> bytes:
+            if self.nacc:
+                self.bits((1 << (8 - self.nacc)) - 1, 8 - self.nacc)
+            return bytes(self.out)
+
+    def sos_header(comp_ids, ss, se, ah, al_) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # DC table 0 / AC table 0 for every component
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body
+
+    al = 1  # successive-approximation split: first scans at Al=1
+
+    # --- scan 1: interleaved DC first (Ss=0, Se=0, Ah=0, Al=1) ---
+    em = _Emitter()
+    pred = [0] * len(chans)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(sampling):
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        dc = int(all_zz[ci][my * vs + byy, mx * hs + bxx, 0])
+                        v = dc >> al  # DC point transform: arithmetic shift
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, base = magnitude(diff)
+                        em.bits(*dc_code[s])
+                        if s:
+                            em.bits(base, s)
+    scans.append(
+        sos_header(list(range(len(chans))), 0, 0, 0, al) + em.finish()
+    )
+
+    # --- scan 2: DC refinement (Ah=1, Al=0): one raw bit per block ---
+    em = _Emitter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(sampling):
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        dc = int(all_zz[ci][my * vs + byy, mx * hs + bxx, 0])
+                        em.bits(dc & 1, 1)
+    scans.append(
+        sos_header(list(range(len(chans))), 0, 0, 1, 0) + em.finish()
+    )
+
+    # --- per component: AC first scans at Al=1 over two spectral bands
+    def ac_first_scan(ci: int, ss: int, se: int) -> bytes:
+        em = _Emitter()
+        bh, bw = comp_block_dims(ci)
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            nbits = eobrun.bit_length() - 1
+            em.bits(*ac_code[nbits << 4])
+            if nbits:
+                em.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+        for r0 in range(bh):
+            for c0 in range(bw):
+                zz = all_zz[ci][r0, c0]
+                run = 0
+                coded_any = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    v = v >> al if v >= 0 else -((-v) >> al)
+                    if v == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        em.bits(*ac_code[0xF0])
+                        run -= 16
+                    s, base = magnitude(v)
+                    em.bits(*ac_code[(run << 4) | s])
+                    em.bits(base, s)
+                    run = 0
+                    coded_any = True
+                if run > 0 or not coded_any:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return sos_header([ci], ss, se, 0, al) + em.finish()
+
+    for ci in range(len(chans)):
+        scans.append(ac_first_scan(ci, 1, band_split - 1))
+        scans.append(ac_first_scan(ci, band_split, 63))
+
+    # --- per component: AC refinement Ah=1 -> Al=0 over the full band
+    def ac_refine_scan(ci: int, ss: int, se: int) -> bytes:
+        em = _Emitter()
+        bh, bw = comp_block_dims(ci)
+        eobrun = 0
+        pending: list[int] = []  # correction bits owed after next symbol
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                em.bits(*ac_code[nbits << 4])
+                if nbits:
+                    em.bits(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for bit in pending:
+                em.bits(bit, 1)
+            pending = []
+
+        for r0 in range(bh):
+            for c0 in range(bw):
+                zz = all_zz[ci][r0, c0]
+                # magnitude at the target precision (Al = 0); > 1 means
+                # the coefficient was nonzero in an earlier scan and
+                # only owes a correction bit, == 1 means newly nonzero
+                absval = [abs(int(zz[k])) for k in range(64)]
+                eob_idx = ss - 1  # last newly-nonzero position
+                for k in range(ss, se + 1):
+                    if absval[k] == 1:
+                        eob_idx = k
+                run = 0
+                block_bits: list[int] = []
+                for k in range(ss, se + 1):
+                    a = absval[k]
+                    if a == 0:
+                        run += 1
+                        continue
+                    # Pending ZRLs flush BEFORE buffering/coding any
+                    # nonzero — but only while a newly-nonzero coef
+                    # remains ahead (k <= eob_idx); trailing zero runs
+                    # fold into the EOB run instead.  This keeps every
+                    # buffered correction bit inside the walk of the
+                    # symbol it is flushed behind (the G.1.2.3
+                    # synchronization invariant).
+                    while run > 15 and k <= eob_idx:
+                        flush_eob()
+                        em.bits(*ac_code[0xF0])
+                        run -= 16
+                        for bit in block_bits:
+                            em.bits(bit, 1)
+                        block_bits = []
+                    if a > 1:  # history-nonzero: correction bit only
+                        block_bits.append(a & 1)
+                        continue
+                    # newly-nonzero (magnitude exactly 1 at Al=0)
+                    flush_eob()
+                    em.bits(*ac_code[(run << 4) | 1])
+                    em.bits(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in block_bits:
+                        em.bits(bit, 1)
+                    block_bits = []
+                    run = 0
+                if run > 0 or block_bits:
+                    eobrun += 1
+                    pending.extend(block_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return sos_header([ci], ss, se, 1, 0) + em.finish()
+
+    for ci in range(len(chans)):
+        scans.append(ac_refine_scan(ci, 1, 63))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, bytes([0]) + bytes(qtab.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(chans))
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    head += seg(0xC2, sof)
+    head += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
+    head += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+    return bytes(head) + b"".join(scans) + b"\xff\xd9"
 
 
 def audio_spectrogram(

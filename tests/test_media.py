@@ -564,13 +564,107 @@ def test_jpeg_restart_markers_and_sharp_content():
     assert np.abs(plain - noisy).mean() < 20.0
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """The progressive decoder reconstructs the IDENTICAL image as the
+    baseline path for the same source array and quantizer: both recover
+    the same quantized coefficients, so the IDCT outputs are bit-equal.
+    Covers 4:4:4 color, 4:2:0 subsampling (non-interleaved AC scans
+    over different per-component block grids), grayscale, and
+    non-multiple-of-8 dimensions across spectral band splits."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((24, 31, 3), False),
+        ((16, 16, 3), True),
+        ((19, 23), False),
+    ]
+    for shape, sub in cases:
+        arr = (
+            rng.integers(0, 256, size=shape).astype(np.float64) * 0.3
+            + 128 * 0.7
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, quality=95, subsample=sub))
+        prog_bytes = encode_jpeg_progressive(arr, quality=95, subsample=sub)
+        assert b"\xff\xc2" in prog_bytes  # SOF2 frame
+        prog = decode_jpeg(prog_bytes)
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (shape, sub)
+
+
+def test_jpeg_progressive_adversarial_coefficient_patterns():
+    """Patterns that force every Annex-G entropy path: all-zero AC
+    (pure EOB runs across blocks), per-block impulses (ZRL bursts),
+    dense noise at low quality (many refinement correction bits
+    interleaved with zero runs), checkerboard (max high-frequency), and
+    a gradient — each across three spectral band splits, all bit-exact
+    against the baseline decode."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    impulse = np.zeros((64, 64), np.uint8)
+    impulse[::8, ::8] = 255
+    checker = ((np.indices((40, 40)).sum(axis=0) % 2) * 255).astype(np.uint8)
+    grad = np.linspace(0, 255, 72 * 80).reshape(72, 80).astype(np.uint8)
+    cases = [
+        (np.full((64, 64, 3), 200, np.uint8), 90, False),
+        (impulse, 90, False),
+        (rng.integers(0, 256, (48, 56, 3)).astype(np.uint8), 50, True),
+        (checker, 75, False),
+        (grad, 95, False),
+    ]
+    for arr, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(arr, quality=q, subsample=sub))
+        for bs in (6, 32, 63):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    arr, quality=q, subsample=sub, band_split=bs
+                )
+            )
+            assert np.array_equal(prog, base), (q, sub, bs)
+
+
+def test_jpeg_progressive_dispatch_through_decode_stats(spark):
+    """A progressive payload flows through the Spark-side decode-stats
+    operator exactly like a baseline one (same FFD8 magic dispatch)."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        encode_jpeg_progressive,
+        numpy_codec,
+    )
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = encode_jpeg_progressive(img, quality=95)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+    row = decode_stats(df, codec=numpy_codec).collect()[0]
+    assert row["n_values"] == 8 * 8 * 3
+    assert abs(row["mean"] - 128.0) < 1.0
+
+
+def test_jpeg_scanless_still_raises():
     import pytest
 
     from conte_to_fresco_etl_spark.operators.media import decode_jpeg
 
     fake_sof2 = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01" + b"\x01\x11\x00"
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="no scan"):
         decode_jpeg(fake_sof2)
 
 

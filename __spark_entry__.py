@@ -51,15 +51,15 @@ REGATE_R6: list[str] = [
     "q_embedding_neardup",   # in-operator hard cap on the collected baseline side
     "q_ivf_served_topk",     # NEW r6: ANN quantizer persistence (train→save→serve)
     "q_scd2_replay",         # NEW r6: streaming SCD2 twin replayed via foreachBatch
-    "q_pivot_wide_stats",    # NEW r6
+    "q_grouping_sets",       # NEW r6
     "q_sessionize_attrib",   # NEW r6
-    "q_robust_zscore",       # NEW r6
-    "q_tfidf_topk",          # NEW r6
+    "q_gini_concentration",  # NEW r6
+    "q_keyword_extract",     # NEW r6
     "q_near_dup_clusters",   # NEW r6
     "q_stopword_profile",    # NEW r6
     "q_doc_minhash_sim",     # NEW r6
     "q_percentile_bands",    # NEW r6
-    "q_histogram",           # NEW r6
+    "q_audience_overlap",    # NEW r6
     "q_anomaly_mad_ts",      # NEW r6
     "q_coverage_overlap",    # NEW r6
     "q_length_survival",     # NEW r6
@@ -111,15 +111,15 @@ PRIORITY: list[str] = [
     "q_embedding_neardup",
     "q_ivf_served_topk",
     "q_scd2_replay",
-    "q_pivot_wide_stats",
+    "q_grouping_sets",
     "q_sessionize_attrib",
-    "q_robust_zscore",
-    "q_tfidf_topk",
+    "q_gini_concentration",
+    "q_keyword_extract",
     "q_near_dup_clusters",
     "q_stopword_profile",
     "q_doc_minhash_sim",
     "q_percentile_bands",
-    "q_histogram",
+    "q_audience_overlap",
     "q_anomaly_mad_ts",
     "q_coverage_overlap",
     "q_length_survival",
@@ -216,7 +216,6 @@ PRIORITY: list[str] = [
     "q_cumulative_reach",
     "q_embedding_stats",
     "q_curation_v3",
-    "q_ngram_novelty",
     "q_conversion_latency",
     "q_cross_correlation",
     "q_gapfill",
@@ -225,7 +224,6 @@ PRIORITY: list[str] = [
     # r2/r3-green queries (stable, unmodified)
     "q_label_centroids",
     "q_decontaminate",
-    "q_unigram_nll",
     "q_token_stats",
     "q_pack_sequences",
     "q_knn_classify",

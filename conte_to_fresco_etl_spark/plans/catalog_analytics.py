@@ -2259,3 +2259,457 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("x"))
     )
     return autocorrelation(daily, "day", "x", max_lag=7)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: grouping sets, session attribution, series anomalies,
+# concentration, sketch-gated quantiles
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT source, lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT)
+             AS grouping_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+
+
+@_q("q_grouping_sets", _GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (source, lang): the leaf plus both
+    one-dimension marginals plus the grand total in ONE pass — Catalyst
+    expands the sets inside a single Expand + partial aggregate, so the
+    corpus is scanned once and the shuffle carries only (set, key)
+    partial states (the same plan shape as the rollup/cube siblings,
+    but with a hand-picked lattice — the form report builders actually
+    ask for).  grouping(source)*2 + grouping(lang) spells the bit mask
+    explicitly so both engines agree without relying on grouping_id
+    column order."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            (
+                F.grouping("source") * F.lit(2) + F.grouping("lang")
+            ).cast("long").alias("grouping_id"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("sum_chars"),
+        )
+        .select("source", "lang", "grouping_id", "n_docs", "sum_chars")
+    )
+
+
+_SESSION_ATTRIB_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ),
+    attributed AS (
+      SELECT *,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id, sess_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS first_touch
+      FROM sess
+    )
+    SELECT first_touch,
+           CAST(COUNT(DISTINCT user_id || ':' || sess_id) AS BIGINT)
+             AS n_sessions,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE), 6) AS revenue
+    FROM attributed
+    GROUP BY 1
+"""
+
+
+@_q("q_sessionize_attrib", _SESSION_ATTRIB_SQL)
+def q_sessionize_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: sessions form by 30-minute inactivity
+    islands per user (lag + cumulative-sum windows over ONE user-keyed
+    sort), each session is attributed to its first event type, and
+    purchases/revenue aggregate per attribution source.  All windows
+    are user-partitioned — nothing global — and the final aggregate is
+    attribution-source-sized."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess_id"),
+    )
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    attributed = sess.select(
+        "user_id", "sess_id", "event_type", "value",
+        F.first("event_type").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_touch"),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return attributed.groupBy("first_touch").agg(
+        F.countDistinct(
+            F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                     F.col("sess_id").cast("string"))
+        ).alias("n_sessions"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+        F.round(
+            F.sum(
+                F.when(is_purchase, F.col("value").cast("decimal(18,4)"))
+                .otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+    )
+
+
+_ANOMALY_MAD_TS_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             quantile_cont(CAST(n AS DOUBLE), 0.5) AS med_n
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n,
+             ABS(CAST(d.n AS DOUBLE) - m.med_n) AS adev, m.med_n
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_n
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           CASE WHEN m2.mad_n = 0 THEN NULL
+                ELSE ROUND(0.6745 * (CAST(d.n AS DOUBLE) - d.med_n)
+                           / m2.mad_n, 6) END AS robust_z,
+           CASE WHEN m2.mad_n = 0 THEN NULL
+                ELSE ABS(0.6745 * (CAST(d.n AS DOUBLE) - d.med_n)
+                         / m2.mad_n) > 3.5 END AS is_anomaly
+    FROM dev d JOIN mad m2 USING (event_type)
+"""
+
+
+@_q("q_anomaly_mad_ts", _ANOMALY_MAD_TS_SQL)
+def q_anomaly_mad_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES anomaly screening: the corpus collapses to the
+    (type, day) COUNT table first, then median/MAD of each type's daily
+    series (exact percentiles over the dimension-sized table) flag days
+    whose modified z-score exceeds 3.5 — ingestion-volume monitoring,
+    one level above q_mad_outliers' row-value screening.  Two
+    dimension-sized aggregates broadcast back onto the daily table;
+    MAD=0 series short-circuit to NULL rather than dividing by zero."""
+    from pyspark.sql.functions import broadcast
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("n").cast("double"), 0.5).alias("med_n")
+    )
+    dev = daily.join(broadcast(med), "event_type").select(
+        "event_type", "day", "n", "med_n",
+        F.abs(F.col("n").cast("double") - F.col("med_n")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_n")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("n").cast("double") - F.col("med_n"))
+        / F.col("mad_n")
+    )
+    return dev.join(broadcast(mad), "event_type").select(
+        "event_type", "day", F.col("n").cast("long").alias("n"),
+        F.when(F.col("mad_n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("mad_n") == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > 3.5).alias("is_anomaly"),
+    )
+
+
+_GINI_SQL = """
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i
+      FROM per_user
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS total,
+             CAST(SUM(i * x) AS BIGINT) AS weighted
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           total AS n_events,
+           ROUND(2.0 * CAST(weighted AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM s
+"""
+
+
+@_q("q_gini_concentration", _GINI_SQL)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration (Gini coefficient) of per-user event volume per
+    type — the inequality measure behind 'do 1% of users generate 90%
+    of traffic', i.e. the skew a capacity planner keys partitioning
+    decisions on.  The corpus collapses to the (type, user) count table
+    first; the rank window is type-PARTITIONED over that collapsed
+    table and the Gini closed form needs only (n, Σx, Σ i·x) — exact
+    integer sums, one float expression at the end."""
+    from pyspark.sql import Window
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("weighted"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("total").cast("long").alias("n_events"),
+        F.round(
+            F.lit(2.0) * F.col("weighted").cast("double")
+            / (n * F.col("total").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+_QUANTILE_SKETCH_SQL = """
+    SELECT event_type,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+           TRUE AS sketch_within_tol
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@_q("q_quantile_sketch", _QUANTILE_SKETCH_SQL)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles GATED against exact: per event type, the
+    exact p50/p95/p99 (the oracle-checkable output) alongside a pinned
+    invariant that Spark's approx_percentile sketch (the 100 TB path —
+    mergeable, bounded-memory, one pass) lands within 5% relative of
+    each exact value.  At corpus scale the exact percentile's full-sort
+    path is replaced BY the sketch; this query is the calibration that
+    justifies the swap, and the gate fails loudly if sketch accuracy
+    regresses."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile(v, 0.5).alias("e50"),
+        F.percentile(v, 0.95).alias("e95"),
+        F.percentile(v, 0.99).alias("e99"),
+        F.expr(
+            "approx_percentile(cast(value as double), "
+            "array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx"),
+    )
+    def close(exact, approx):
+        return (
+            F.abs(approx - exact)
+            <= F.lit(0.05) * F.greatest(F.abs(exact), F.lit(1.0))
+        )
+    return agg.select(
+        "event_type",
+        F.round(F.col("e50"), 6).alias("p50"),
+        F.round(F.col("e95"), 6).alias("p95"),
+        F.round(F.col("e99"), 6).alias("p99"),
+        (
+            close(F.col("e50"), F.col("approx")[0])
+            & close(F.col("e95"), F.col("approx")[1])
+            & close(F.col("e99"), F.col("approx")[2])
+        ).alias("sketch_within_tol"),
+    )
+
+
+_PERCENTILE_BANDS_SQL = """
+    WITH cuts AS (
+      SELECT event_type,
+             ROUND(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q1,
+             ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS q2,
+             ROUND(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q3
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(CASE WHEN CAST(e.value AS DOUBLE) <= c.q1 THEN 1
+                     WHEN CAST(e.value AS DOUBLE) <= c.q2 THEN 2
+                     WHEN CAST(e.value AS DOUBLE) <= c.q3 THEN 3
+                     ELSE 4 END AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(CAST(e.value AS DOUBLE)), 6) AS band_min,
+           ROUND(MAX(CAST(e.value AS DOUBLE)), 6) AS band_max
+    FROM events e JOIN cuts c USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@_q("q_percentile_bands", _PERCENTILE_BANDS_SQL)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartile bands) per event type: exact
+    quartile cutpoints broadcast back onto the rows classify each value
+    into its band, then band-level counts and extrema — the
+    optimizer-statistics shape (equal-mass bins) that a fixed-width
+    histogram (q_value_histogram) cannot give on skewed values.  Two
+    passes: one dimension-sized percentile aggregate, one broadcast
+    join + band aggregate; cutpoints ROUND(6)-pinned before comparison
+    so both engines band identically."""
+    from pyspark.sql.functions import broadcast
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile(v, 0.25), 6).alias("q1"),
+        F.round(F.percentile(v, 0.5), 6).alias("q2"),
+        F.round(F.percentile(v, 0.75), 6).alias("q3"),
+    )
+    band = (
+        F.when(v <= F.col("q1"), 1)
+        .when(v <= F.col("q2"), 2)
+        .when(v <= F.col("q3"), 3)
+        .otherwise(4)
+    ).cast("long")
+    return (
+        ev.join(broadcast(cuts), "event_type")
+        .groupBy("event_type", band.alias("band"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min(v), 6).alias("band_min"),
+            F.round(F.max(v), 6).alias("band_max"),
+        )
+    )
+
+
+_AUDIENCE_OVERLAP_SQL = """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1)
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n_users AS BIGINT) AS users_a,
+           CAST(sb.n_users AS BIGINT) AS users_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n_users + sb.n_users - p.n_both AS BIGINT) AS n_either,
+           ROUND(CAST(p.n_both AS DOUBLE)
+                 / CAST(sa.n_users + sb.n_users - p.n_both AS DOUBLE), 6)
+             AS overlap_jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.type_a = sa.event_type
+    JOIN sizes sb ON p.type_b = sb.event_type
+"""
+
+
+@_q("q_audience_overlap", _AUDIENCE_OVERLAP_SQL)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection matrix: for every pair of event types, how
+    many users do both / either and their Jaccard overlap — the
+    bitmap-index AND/OR query behind audience targeting.  The corpus
+    collapses to the distinct (user, type) table first; the pair join
+    is USER-keyed, so each user contributes at most |types|² pairs
+    (bounded by 25 here) — never a corpus self-join — and the result is
+    type-pair-sized."""
+    from pyspark.sql.functions import broadcast
+
+    ut = _events(spark, sf_dir).select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_users").alias("users_a"),
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_users").alias("users_b"),
+    )
+    either = F.col("users_a") + F.col("users_b") - F.col("n_both")
+    return (
+        pairs.join(broadcast(sa), "type_a")
+        .join(broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            either.cast("long").alias("n_either"),
+            F.round(
+                F.col("n_both").cast("double") / either.cast("double"), 6
+            ).alias("overlap_jaccard"),
+        )
+    )

@@ -4247,3 +4247,549 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: source-level text profile, vocab overlap, survival curve,
+# rare-token docs, positional span extraction
+# ---------------------------------------------------------------------------
+
+_STOPWORD_PROFILE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+    ),
+    t AS (
+      SELECT doc_id, source, unnest(toks) AS term FROM base
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS type_token_ratio,
+           ROUND(CAST(SUM(CASE WHEN list_contains(
+                     {_sql_list(EN_STOPWORDS)}, term) THEN cnt
+                     ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS stopword_ratio
+    FROM tf GROUP BY 1
+"""
+
+
+@_q("q_stopword_profile", _STOPWORD_PROFILE_SQL)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level text profile: token volume, vocabulary size,
+    type-token ratio, and stopword mass per source — the mixture-level
+    roll-up of q_doc_profile's per-document signals (a source whose TTR
+    collapses is template spam; one whose stopword mass vanishes is
+    symbol soup).  One (source, term) count shuffle collapses the
+    corpus; everything after is source-sized."""
+    from conte_to_fresco_etl_spark.functions.text import (
+        EN_STOPWORDS,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return tf.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(
+            F.count("*").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.sum(
+                F.when(F.array_contains(sw, F.col("term")), F.col("cnt"))
+                .otherwise(0)
+            ).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+_COVERAGE_OVERLAP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7')
+    ),
+    v AS (
+      SELECT DISTINCT source, unnest(toks) AS term FROM base
+    ),
+    sizes AS (SELECT source, COUNT(*) AS vsize FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(sa.vsize AS BIGINT) AS vocab_a,
+           CAST(sb.vsize AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(sa.vsize + sb.vsize - i.n_common AS DOUBLE), 6)
+             AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
+@_q("q_coverage_overlap", _COVERAGE_OVERLAP_SQL)
+def q_coverage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap between sources (Jaccard of distinct
+    term sets over a bounded 8-source panel): the mixture-design signal
+    for 'does adding source B buy new coverage or re-buy source A'.
+    Plan: one distinct (source, term) table; the self-join is
+    TERM-keyed, so a term present in k panel sources contributes k²
+    pairs — bounded by 64 per term, never corpus² — and the result is
+    pair-count-sized (≤ 28 rows)."""
+    from pyspark.sql.functions import broadcast
+
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    panel = [f"src{i}" for i in range(8)]
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin(panel))
+    v = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").alias("vsize"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("vsize").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("vsize").alias("vocab_b")
+    )
+    return (
+        inter.join(broadcast(sa), "src_a")
+        .join(broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+_LENGTH_SURVIVAL_SQL = """
+    WITH t(threshold) AS (
+      VALUES (100), (200), (400), (800), (1600), (3200)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_total,
+             SUM(CAST(n_chars AS DECIMAL(18,0))) AS chars_total
+      FROM documents
+    )
+    SELECT CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           ROUND(CAST(SUM(CASE WHEN d.n_chars >= t.threshold THEN 1
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(MAX(tot.n_total) AS DOUBLE), 6) AS doc_frac,
+           ROUND(CAST(SUM(CAST(LEAST(d.n_chars, t.threshold)
+                               AS DECIMAL(18,0))) AS DOUBLE)
+                 / CAST(MAX(tot.chars_total) AS DOUBLE), 6)
+             AS chars_retained_frac
+    FROM documents d CROSS JOIN t CROSS JOIN tot
+    GROUP BY 1
+"""
+
+
+@_q("q_length_survival", _LENGTH_SURVIVAL_SQL)
+def q_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length survival curve: for each truncation threshold,
+    how many documents survive a min-length filter and what fraction of
+    total characters a max-length TRUNCATION at that point retains —
+    the two numbers that price any context-length budget.  ONE pass:
+    all thresholds evaluate as conditional aggregates in a single
+    map-side combine (no docs-x-thresholds blow-up), then the 1-row
+    result unpivots to threshold rows."""
+    thresholds = [100, 200, 400, 800, 1600, 3200]
+    docs = _t(spark, sf_dir, "documents")
+    aggs = []
+    for t in thresholds:
+        aggs.append(
+            F.sum(F.when(F.col("n_chars") >= t, 1).otherwise(0)).alias(
+                f"surv_{t}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.least(F.col("n_chars"), F.lit(t)).cast("decimal(18,0)")
+            ).alias(f"kept_{t}")
+        )
+    row = docs.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("chars_total"),
+        *aggs,
+    )
+    stack_expr = ", ".join(
+        f"{t}L, surv_{t}, kept_{t}" for t in thresholds
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(thresholds)}, {stack_expr}) "
+            "as (threshold, n_surviving, chars_kept)"
+        ),
+        "n_total",
+        "chars_total",
+    ).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_surviving").cast("long").alias("n_surviving"),
+        F.round(
+            F.col("n_surviving").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("doc_frac"),
+        F.round(
+            F.col("chars_kept").cast("double")
+            / F.col("chars_total").cast("double"),
+            6,
+        ).alias("chars_retained_frac"),
+    )
+
+
+_RARE_TOKEN_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    posts AS (
+      SELECT DISTINCT doc_id, unnest(toks) AS term FROM base
+    ),
+    vocab AS (
+      SELECT term, COUNT(*) AS df FROM posts GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_terms,
+             SUM(CASE WHEN v.df <= 2 THEN 1 ELSE 0 END) AS n_rare
+      FROM posts p JOIN vocab v USING (term)
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           ROUND(CAST(n_rare AS DOUBLE) / CAST(n_terms AS DOUBLE), 6)
+             AS rare_frac
+    FROM per_doc
+    ORDER BY rare_frac DESC, doc_id ASC LIMIT 50
+"""
+
+
+@_q("q_rare_token_docs", _RARE_TOKEN_SQL)
+def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dominated by near-hapax vocabulary (document frequency
+    <= 2): high rare-term mass flags OCR garbage, codes/IDs, or
+    genuinely novel content — either way the docs a curation pass
+    reviews first.  One distinct (doc, term) posting shuffle, a
+    term-keyed document-frequency aggregate joined back on term, a
+    doc-sized aggregate, TakeOrdered top-50 (rounded fraction, ties to
+    the lower doc id)."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    posts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    vocab = posts.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = (
+        posts.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_rare").cast("long").alias("n_rare"),
+            F.round(
+                F.col("n_rare").cast("double")
+                / F.col("n_terms").cast("double"),
+                6,
+            ).alias("rare_frac"),
+        )
+        .orderBy(F.col("rare_frac").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+_SPAN_EXTRACT_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT b.doc_id, CAST(u.i AS BIGINT) AS i
+      FROM base b, UNNEST(generate_series(1, len(b.toks))) AS u(i)
+      WHERE b.toks[u.i] = 'table'
+    ),
+    gaps AS (
+      SELECT doc_id, i,
+             i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS gap
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(i) AS BIGINT) AS first_pos,
+           CAST(MAX(i) AS BIGINT) AS last_pos,
+           CAST(MIN(gap) AS BIGINT) AS min_gap
+    FROM gaps GROUP BY 1
+"""
+
+
+@_q("q_span_extract", _SPAN_EXTRACT_SQL)
+def q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional posting extraction for one query term ('table'):
+    per document, hit count, first/last token positions (1-based), and
+    the minimum gap between consecutive hits — the burstiness signal
+    (min_gap 1 = stuttered repetition; proximity search and phrase
+    mining build on exactly these positional postings).  posexplode
+    keeps positions map-side; the only shuffles are the doc-keyed
+    window + aggregate."""
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("p", "t")
+        )
+        .filter(F.col("t") == "table")
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("i"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    gaps = pos.select(
+        "doc_id", "i", (F.col("i") - F.lag("i").over(w)).alias("gap")
+    )
+    return gaps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("i").cast("long").alias("first_pos"),
+        F.max("i").cast("long").alias("last_pos"),
+        F.min("gap").cast("long").alias("min_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: near-dup cluster histogram, minhash estimator audit, RAKE
+# keyword extraction
+# ---------------------------------------------------------------------------
+
+_NEARDUP_CLUSTERS_SQL = f"""
+    SELECT CAST(n_members AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_COMPONENTS_SQL})
+    GROUP BY 1
+"""
+
+
+@_q("q_near_dup_clusters", _NEARDUP_CLUSTERS_SQL)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-SIZE distribution of the near-dup graph: how many
+    components of each size exist and how many documents they hold —
+    the one-page summary that tells a curation owner whether dedup is
+    removing twins (size 2) or collapsing template farms (size 50),
+    and the sanity check against a bad threshold gluing the corpus
+    into one giant component.  Derives from the session-staged decision
+    table: one component-keyed count, then a size-keyed count of the
+    component table — both dimension-sized."""
+    comp_sizes = (
+        _decision(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return comp_sizes.groupBy("cluster_size").agg(
+        F.countDistinct("component").alias("n_clusters"),
+        (F.countDistinct("component") * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+_MINHASH_ERR_SQL = f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    docs2 AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 5
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(t) - 4),
+                                          i -> substr(t, i, 5))) AS shingles
+      FROM docs2
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(p.est_jaccard, 6) AS est_jaccard,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))
+                        AS DOUBLE), 6) AS exact_jaccard,
+           ROUND(ROUND(p.est_jaccard, 6)
+                 - ROUND(CAST(len(list_intersect(a.shingles, b.shingles))
+                              AS DOUBLE)
+                         / CAST(len(a.shingles) + len(b.shingles)
+                                - len(list_intersect(a.shingles, b.shingles))
+                                AS DOUBLE), 6), 6) AS err
+    FROM pairs p
+    JOIN sh2 a ON p.id_a = a.doc_id
+    JOIN sh2 b ON p.id_b = b.doc_id
+"""
+
+
+@_q("q_doc_minhash_sim", _MINHASH_ERR_SQL)
+def q_doc_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator AUDIT: for every gated LSH candidate pair, the
+    signature-estimated Jaccard next to the EXACT shingle-set Jaccard
+    and their signed error — the calibration table that justifies (or
+    indicts) the 48-hash budget, complementing q_lsh_recall's
+    found/missed view with how far the estimates themselves drift.
+    Exact sets only materialize for CANDIDATE pairs (pair-keyed joins
+    onto the shingle arrays), never all pairs."""
+    from conte_to_fresco_etl_spark.functions.text import char_shingles
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, **_DEDUP_PARAMS)
+    sets = docs.filter(F.length(F.col("text")) >= 5).select(
+        "doc_id", char_shingles("text", 5).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    exact = F.round(inter.cast("double") / union.cast("double"), 6)
+    est = F.round(F.col("est_jaccard"), 6)
+    return (
+        pairs.join(sets.alias("a"), pairs["id_a"] == F.col("a.doc_id"))
+        .join(sets.alias("b"), pairs["id_b"] == F.col("b.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(est - exact, 6).alias("err"),
+        )
+    )
+
+
+_KEYWORD_EXTRACT_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT b.doc_id, CAST(u.i AS BIGINT) AS i, b.toks[u.i] AS term,
+             CASE WHEN list_contains({_sql_list(EN_STOPWORDS)}, b.toks[u.i])
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM base b, UNNEST(generate_series(1, len(b.toks))) AS u(i)
+    ),
+    phr AS (
+      SELECT doc_id, i, term, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM pos
+    ),
+    words AS (
+      SELECT doc_id, phrase_id, term,
+             COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+      FROM phr WHERE is_stop = 0
+    ),
+    stats AS (
+      SELECT term, COUNT(*) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS degree
+      FROM words GROUP BY 1
+    )
+    SELECT term, CAST(freq AS BIGINT) AS freq, degree,
+           ROUND(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 6) AS score
+    FROM stats
+    ORDER BY score DESC, term ASC LIMIT 20
+"""
+
+
+@_q("q_keyword_extract", _KEYWORD_EXTRACT_SQL)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction: tokens segment into maximal
+    non-stopword phrase runs (a per-document cumulative-sum window over
+    stopword flags — stopwords are the delimiters), each word scores
+    degree/frequency where degree sums the lengths of the phrases it
+    appears in (words living in longer content runs beat words standing
+    alone), corpus top-20.  All windows are document-partitioned; the
+    vocabulary aggregate is the only corpus shuffle."""
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.functions.text import (
+        EN_STOPWORDS,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "term")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).alias("i"),
+        "term",
+        F.when(F.array_contains(sw, F.col("term")), 1).otherwise(0).alias(
+            "is_stop"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    phr = pos.select(
+        "doc_id", "i", "term", "is_stop",
+        F.sum("is_stop").over(w).alias("phrase_id"),
+    )
+    wp = Window.partitionBy("doc_id", "phrase_id")
+    words = phr.filter(F.col("is_stop") == 0).select(
+        "term", F.count("*").over(wp).alias("phrase_len")
+    )
+    stats = words.groupBy("term").agg(
+        F.count("*").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    return (
+        stats.select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            "degree",
+            F.round(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(20)
+    )

@@ -68,6 +68,15 @@ REGATE_R6: list[str] = [
     "q_quantile_sketch",     # NEW r6
 ]
 
+# Queries registered AFTER this round's 50-slot window filled (the r5
+# pattern: late additions wait one round).  The window self-audit test
+# requires these to sit IMMEDIATELY after the window — first in line
+# for next round's rotation — and they are locally parity-verified in
+# the meantime (tests/oracle_parity.py).
+DEFER_NEXT_ROUND: list[str] = [
+    "q_rollup_replay",   # streaming continuous-rollup convergence gate
+]
+
 PRIORITY: list[str] = [
     # --- round-6 window (the driver checks the first 50) ---
     # Slots 1-27: the 27 queries that have NEVER had a driver
@@ -126,6 +135,9 @@ PRIORITY: list[str] = [
     "q_rare_token_docs",
     "q_span_extract",
     "q_quantile_sketch",
+    # --- registered after the window filled (DEFER_NEXT_ROUND):
+    # immediately after the cut, first into the r7 window ---
+    "q_rollup_replay",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

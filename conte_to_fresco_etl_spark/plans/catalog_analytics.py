@@ -468,6 +468,95 @@ def q_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+_ROLLUP_REPLAY_SQL = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+#: One replay per (applicationId, sf_dir) — same convention as
+#: _SCD2_REPLAY_DONE.
+_ROLLUP_REPLAY_DONE: dict[tuple, str] = {}
+
+
+@_q("q_rollup_replay", _ROLLUP_REPLAY_SQL)
+def q_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the hourly continuous aggregate under the hard
+    gate: the events table replays as three CHRONOLOGICAL micro-batches
+    (exact percentile cutpoints on ts — chronological order keeps every
+    event inside the 2-hour watermark, so nothing is dropped and
+    straddling hour windows update across batches) through the
+    watermarked update-mode rollup + foreachBatch partition merge
+    (``streaming/pipeline.py:start_continuous_rollup``).  The gated
+    result is the maintained parquet rollup, which must hash-match the
+    plain batch GROUP BY — the convergence contract, previously pinned
+    only by pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        start_continuous_rollup,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    table = _ROLLUP_REPLAY_DONE.get(key)
+    if table is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_rollup_replay",
+            hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:16],
+        )
+        src = os.path.join(base, "src")
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        cut_row = ev.agg(
+            F.percentile(F.unix_timestamp("ts"), 1.0 / 3.0).alias("c1"),
+            F.percentile(F.unix_timestamp("ts"), 2.0 / 3.0).alias("c2"),
+        ).collect()
+        c1, c2 = cut_row[0]["c1"], cut_row[0]["c2"]
+        if c1 is not None:
+            uts = F.unix_timestamp("ts")
+            batches = [
+                ev.filter(uts <= c1),
+                ev.filter((uts > c1) & (uts <= c2)),
+                ev.filter(uts > c2),
+            ]
+        else:  # zero-event input: one empty batch carries the schema
+            batches = [ev]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, "
+                "value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_continuous_rollup(
+            stream,
+            os.path.join(base, "table"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        table = os.path.join(base, "table")
+        _ROLLUP_REPLAY_DONE[key] = table
+    try:
+        return spark.read.parquet(table).select(
+            "bucket_hour", "event_type", "n", "sum_value"
+        )
+    except Exception:  # zero-event input: the maintainer wrote no table
+        return spark.createDataFrame(
+            [],
+            "bucket_hour timestamp, event_type string, n long, "
+            "sum_value double",
+        )
+
+
 # ---------------------------------------------------------------------------
 # Hopping-window aggregate (sliding windows, batch form)
 # ---------------------------------------------------------------------------

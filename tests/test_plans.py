@@ -665,12 +665,20 @@ def test_priority_window_accounting():
 
     never_checked = set(registered) - green
     regated = {n for n in entrymod.REGATE_R6 if n in registered}
-    must_gate = never_checked | regated
+    deferred = [n for n in entrymod.DEFER_NEXT_ROUND if n in registered]
+    must_gate = (never_checked - set(deferred)) | regated
     outside = sorted(must_gate - window)
     assert not outside, (
         f"{len(outside)} must-gate queries fall OUTSIDE the 50-query driver "
         f"window and will get no CORRECTNESS row this round: {outside}. "
         f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R6 first)."
+    )
+    # Deferred late registrations must sit IMMEDIATELY after the window
+    # (head of next round's rotation) — r5's late queries sat mid-tail
+    # and needed hand-counting; this pins them mechanically.
+    assert registered[50 : 50 + len(deferred)] == deferred, (
+        f"DEFER_NEXT_ROUND must occupy registered positions 50..: "
+        f"{registered[50:50 + len(deferred)]} != {deferred}"
     )
     # The PRIORITY head must also cover every registered query (a name
     # missing from PRIORITY lands in the un-ordered tail and could leap

@@ -10,10 +10,12 @@ pluggable, shipping three implementations:
     scanline filters, gray/RGB/palette/alpha, 8/16-bit), GIF (native
     LZW inflate, global/local color tables, interlacing), and baseline
     JPEG (canonical Huffman decode, dequantize + inverse DCT, chroma
-    upsampling, restart markers) images, PCM16 WAV (RIFF chunk
-    walk, multi-channel) and subset FLAC (fixed predictors, Rice
-    residuals, CRC-verified frames) audio, dispatched by magic bytes
-    and tested end-to-end through the distributed operators;
+    upsampling, restart markers) and lossless WebP (VP8L: prefix codes,
+    LZ77, color cache, all four transforms — ``media_webp.py``) images,
+    PCM16 WAV (RIFF chunk walk, multi-channel) and subset FLAC (fixed
+    predictors, Rice residuals, CRC-verified frames) audio, dispatched
+    by magic bytes and tested end-to-end through the distributed
+    operators;
   * a **deterministic fake**: decodes any payload into reproducible
     arrays from its bytes alone, for plumbing assertions independent of
     format;
@@ -51,15 +53,17 @@ _FAKE_DIM = 8
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
     """The production plug-point for formats beyond the native codecs.
-    PPM, PNG, GIF, and JPEG (baseline AND progressive) images plus PCM
-    WAV and subset FLAC audio decode natively (``numpy_codec``);
-    anything else raises until a codec library is wired in."""
+    PPM, PNG, GIF, JPEG (baseline AND progressive), and lossless WebP
+    (VP8L) images plus PCM WAV and subset FLAC audio decode natively
+    (``numpy_codec``); anything else raises until a codec library is
+    wired in."""
     raise NotImplementedError(
         "media decode for this format requires a codec library not "
-        "present in this environment (image: Pillow for WebP, audio: "
-        "soundfile for OGG/full FLAC, video: pyav); PPM, PNG, GIF, "
-        "baseline+progressive JPEG, PCM WAV, and fixed-predictor FLAC "
-        "decode natively via numpy_codec — pass codec=... to the operator"
+        "present in this environment (image: Pillow for lossy-VP8 WebP, "
+        "audio: soundfile for OGG/full FLAC, video: pyav); PPM, PNG, "
+        "GIF, baseline+progressive JPEG, lossless WebP, PCM WAV, and "
+        "fixed-predictor FLAC decode natively via numpy_codec — pass "
+        "codec=... to the operator"
     )
 
 
@@ -601,6 +605,12 @@ def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
         return decode_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from conte_to_fresco_etl_spark.operators.media_webp import (
+            decode_webp,
+        )
+
+        return decode_webp(payload)
     return strict_codec(payload, modality)
 
 

@@ -74,7 +74,13 @@ REGATE_R6: list[str] = [
 # for next round's rotation — and they are locally parity-verified in
 # the meantime (tests/oracle_parity.py).
 DEFER_NEXT_ROUND: list[str] = [
-    "q_rollup_replay",   # streaming continuous-rollup convergence gate
+    "q_rollup_replay",       # streaming continuous-rollup convergence gate
+    "q_welch_ttest",         # NEW late-r6: parametric two-sample test
+    "q_bootstrap_ci",        # NEW late-r6: Poisson bootstrap CI
+    "q_rank_trend",          # NEW late-r6: period-over-period rank delta
+    "q_count_min",           # NEW late-r6: CMS heavy-hitter audit
+    "q_perplexity_buckets",  # NEW late-r6: CCNet head/middle/tail
+    "q_rank_normalize",      # NEW late-r6: within-source rank normalize
 ]
 
 PRIORITY: list[str] = [
@@ -138,6 +144,12 @@ PRIORITY: list[str] = [
     # --- registered after the window filled (DEFER_NEXT_ROUND):
     # immediately after the cut, first into the r7 window ---
     "q_rollup_replay",
+    "q_welch_ttest",
+    "q_bootstrap_ci",
+    "q_rank_trend",
+    "q_count_min",
+    "q_perplexity_buckets",
+    "q_rank_normalize",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -837,3 +837,184 @@ def ks_test(
             .alias("at_value"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups' means — the
+    parametric sibling of ``mannwhitney_u`` for the near-normal metrics
+    (latencies, revenue per event) where the mean IS the question.
+
+    Output — ONE row: ``(n_a, n_b, mean_a, mean_b, t_stat, df)`` with
+    the Welch-Satterthwaite degrees of freedom, ROUND(6).
+
+    Exactness: the only data-dependent aggregates are n, Σv, and Σv²
+    per group; Σv is summed as DECIMAL(18,4) and Σv² as
+    ROUND(v², 12) → DECIMAL(38,12) (decimal addition is exact integer
+    math, order-independent), so every downstream float derives from
+    identical operands via identical expression trees in any engine.
+
+    Scale posture: one map-side-combinable aggregation pass collapses
+    the corpus to TWO rows; everything after is driver-free scalar
+    algebra inside the plan.  Degenerate inputs (either n < 2, or both
+    sample variances zero) short-circuit t/df to explicit NULLs."""
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    per_g = two.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).alias("s1"),
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)")
+        ).alias("s2"),
+    )
+    wide = per_g.agg(
+        F.sum(F.when(F.col("g") == group_a, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("g") == group_a, F.col("s1"))).alias("s1_a"),
+        F.sum(F.when(F.col("g") == group_a, F.col("s2"))).alias("s2_a"),
+        F.sum(F.when(F.col("g") == group_b, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("g") == group_b, F.col("s1"))).alias("s1_b"),
+        F.sum(F.when(F.col("g") == group_b, F.col("s2"))).alias("s2_b"),
+    )
+    na = F.coalesce(F.col("n_a"), F.lit(0)).cast("double")
+    nb = F.coalesce(F.col("n_b"), F.lit(0)).cast("double")
+    ma = F.col("s1_a").cast("double") / na
+    mb = F.col("s1_b").cast("double") / nb
+    va = (F.col("s2_a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("s2_b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2_a = va / na
+    se2_b = vb / nb
+    t = (ma - mb) / F.sqrt(se2_a + se2_b)
+    dfw = (
+        (se2_a + se2_b) * (se2_a + se2_b)
+        / (
+            se2_a * se2_a / (na - F.lit(1.0))
+            + se2_b * se2_b / (nb - F.lit(1.0))
+        )
+    )
+    degenerate = (na < F.lit(2.0)) | (nb < F.lit(2.0))
+    zero_var = (va + vb) == F.lit(0.0)
+    return wide.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.when(na > 0, F.round(ma, 6)).alias("mean_a"),
+        F.when(nb > 0, F.round(mb, 6)).alias("mean_b"),
+        F.when(degenerate | zero_var, F.lit(None).cast("double"))
+        .otherwise(F.round(t, 6))
+        .alias("t_stat"),
+        F.when(degenerate | zero_var, F.lit(None).cast("double"))
+        .otherwise(F.round(dfw, 6))
+        .alias("df"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^{-1}·Σ 1/k!): a
+#: uniform u maps to the replicate weight w = #{thresholds below u}.
+_POISSON_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 48,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> DataFrame:
+    """Per-key bootstrap confidence interval for the mean via the
+    POISSON bootstrap — the distributed form: instead of resampling n
+    rows with replacement (a global operation), every row draws an
+    independent Poisson(1) replicate weight, which converges to the
+    multinomial bootstrap and needs only map-side math.  This is the
+    bootstrap you can actually run at 100 TB.
+
+    Output per key: ``(key, n, mean, ci_lo, ci_hi, n_replicates)`` —
+    the percentile interval of the replicate means, ROUND(6).
+
+    Exactness: weights come from hash-stable md5 uniforms
+    (``md5(seed:b:id)`` → first 15 hex chars / 16^15) through a
+    literal-threshold inverse-CDF ladder; replicate sums are
+    DECIMAL(18,4)·w (exact), replicate means identical doubles in any
+    engine, and the interval is the exact ``percentile`` both engines
+    interpolate identically.
+
+    Scale posture: the ×B explode is map-side (no shuffle until the
+    (key, replicate) partial-aggregated groupBy, B·|keys| rows out);
+    the quantile runs on the B-row-per-key replicate table.  B is a
+    constant, so cost is B linear passes fused into one job."""
+    b_col = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col("b"), F.col("__id")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    w = sum(
+        (F.when(u >= F.lit(p), 1).otherwise(0) for p in _POISSON_CDF),
+        F.lit(0),
+    )
+    weighted = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+        F.col(id_col).cast("string").alias("__id"),
+        b_col,
+    ).select("key", "b", "v", w.alias("w"))
+    reps = weighted.groupBy("key", "b").agg(
+        F.sum(F.col("v") * F.col("w")).alias("sw"),
+        F.sum("w").alias("nw"),
+    )
+    rep_means = reps.select(
+        "key",
+        F.try_divide(
+            F.col("sw").cast("double"), F.col("nw").cast("double")
+        ).alias("m"),
+    )
+    ci = rep_means.groupBy("key").agg(
+        F.round(F.percentile(F.col("m"), alpha / 2.0), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("m"), 1.0 - alpha / 2.0), 6).alias(
+            "ci_hi"
+        ),
+        F.count("*").alias("n_replicates"),
+    )
+    base = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean"),
+    )
+    return base.join(broadcast(ci), "key").select(
+        "key", "n", "mean", "ci_lo", "ci_hi", "n_replicates"
+    )

@@ -139,3 +139,101 @@ def distinct_rollup(
             <= tol * F.col("exact_ids").cast("double")
         ).alias("est_within_tol"),
     )
+
+
+def count_min_topk(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch audit: estimate the frequencies of the exact
+    top-``k`` items from a ``depth × width`` CMS and report them next
+    to the truth — the calibration table a pipeline builds before
+    trusting the sketch as its streaming heavy-hitter monitor (the CMS,
+    like the HLL in ``distinct_rollup``, is the MERGEABLE form: counter
+    matrices from any partitioning/time-slicing add cell-wise, so a
+    100 TB corpus sketches map-side into depth·width integers).
+
+    Output per top-k item: ``(item, exact_n, cms_n, overestimate)``,
+    ranked (exact_n DESC, item) for determinism.  CMS guarantees
+    ``cms_n >= exact_n``; the overestimate column is the observed
+    collision bias at this (depth, width).
+
+    Exactness: row hashes are md5-stable (``md5(seed:i:item)`` first
+    15 hex chars mod width — engine-portable, no xxhash in the oracle
+    engine); the sketch build is one explode(depth) + groupBy over
+    (row, bucket) — map-side combinable, 2·depth·width cells of state.
+    The probe joins the k candidate items to their depth cells and
+    takes MIN — a broadcast-sized join, never a second corpus pass."""
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    exact = items.groupBy("item").agg(F.count("*").alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), F.asc("item")).limit(k)
+
+    def bucket(i, item_expr):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(seed), F.lit(i), item_expr)
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+
+    cells = (
+        items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"),
+                            bucket(i, F.col("item")).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.row_i", "c.bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    probes = topk.select(
+        "item",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("item")).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            cells,
+            (F.col("p.row_i") == F.col("row_i"))
+            & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("item", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.select(
+        "item",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+    ).orderBy(F.desc("exact_n"), F.asc("item"))

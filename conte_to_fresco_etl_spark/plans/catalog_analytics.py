@@ -2802,3 +2802,218 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (parametric two-sample mean comparison)
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = """
+    WITH two AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+      FROM two GROUP BY 1
+    ),
+    wide AS (
+      SELECT SUM(CASE WHEN g = 'click' THEN n END) AS n_a,
+             SUM(CASE WHEN g = 'click' THEN s1 END) AS s1_a,
+             SUM(CASE WHEN g = 'click' THEN s2 END) AS s2_a,
+             SUM(CASE WHEN g = 'view' THEN n END) AS n_b,
+             SUM(CASE WHEN g = 'view' THEN s1 END) AS s1_b,
+             SUM(CASE WHEN g = 'view' THEN s2 END) AS s2_b
+      FROM per_g
+    ),
+    d AS (
+      SELECT CAST(COALESCE(n_a, 0) AS DOUBLE) AS na,
+             CAST(COALESCE(n_b, 0) AS DOUBLE) AS nb,
+             CAST(s1_a AS DOUBLE) AS s1a, CAST(s2_a AS DOUBLE) AS s2a,
+             CAST(s1_b AS DOUBLE) AS s1b, CAST(s2_b AS DOUBLE) AS s2b
+      FROM wide
+    ),
+    m AS (
+      SELECT na, nb, s1a / na AS ma, s1b / nb AS mb,
+             (s2a - na * (s1a / na) * (s1a / na)) / (na - 1.0e0) AS va,
+             (s2b - nb * (s1b / nb) * (s1b / nb)) / (nb - 1.0e0) AS vb
+      FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 THEN ROUND(ma, 6) END AS mean_a,
+           CASE WHEN nb > 0 THEN ROUND(mb, 6) END AS mean_b,
+           CASE WHEN na < 2.0e0 OR nb < 2.0e0 OR va + vb = 0.0e0 THEN NULL
+                ELSE ROUND((ma - mb) / sqrt(va / na + vb / nb), 6)
+           END AS t_stat,
+           CASE WHEN na < 2.0e0 OR nb < 2.0e0 OR va + vb = 0.0e0 THEN NULL
+                ELSE ROUND(
+                  (va / na + vb / nb) * (va / na + vb / nb)
+                  / ((va / na) * (va / na) / (na - 1.0e0)
+                     + (vb / nb) * (vb / nb) / (nb - 1.0e0)), 6)
+           END AS df
+    FROM m
+"""
+
+
+@_q("q_welch_ttest", _WELCH_SQL)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between 'click' and 'view'
+    event values — the parametric sibling of the gated Mann-Whitney /
+    KS tests.  One map-side-combinable aggregation pass collapses the
+    corpus to two (n, Σv, Σv²) rows (decimal-exact sums); t and the
+    Welch-Satterthwaite df are identical float expression trees in
+    both engines, ROUND(6)."""
+    from conte_to_fresco_etl_spark.operators.robust import welch_ttest
+
+    return welch_ttest(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+def _bootstrap_sql() -> str:
+    from conte_to_fresco_etl_spark.operators.robust import _POISSON_CDF
+
+    w_sql = " + ".join(
+        f"(CASE WHEN u >= CAST('{p!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+        for p in _POISSON_CDF
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(0, 47)) AS b),
+    hashed AS (
+      SELECT e.event_type AS key, r.b,
+             CAST(e.value AS DECIMAL(18,4)) AS v,
+             CAST('0x' || substr(md5('boot:' || r.b || ':'
+                  || CAST(e.event_id AS VARCHAR)), 1, 15) AS BIGINT)
+               / CAST(1152921504606846976 AS DOUBLE) AS u
+      FROM events e CROSS JOIN reps r
+    ),
+    weighted AS (SELECT key, b, v, {w_sql} AS w FROM hashed),
+    rep_stats AS (
+      SELECT key, b, SUM(v * w) AS sw, SUM(w) AS nw
+      FROM weighted GROUP BY 1, 2
+    ),
+    rep_means AS (
+      SELECT key, CASE WHEN nw = 0 THEN NULL
+                       ELSE CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+                  END AS m
+      FROM rep_stats
+    ),
+    ci AS (
+      SELECT key, ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+             ROUND(quantile_cont(m, 0.975), 6) AS ci_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_replicates
+      FROM rep_means GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean
+      FROM events GROUP BY 1
+    )
+    SELECT base.key, base.n, base.mean, ci.ci_lo, ci.ci_hi,
+           ci.n_replicates
+    FROM base JOIN ci USING (key)
+    """
+
+
+@_q("q_bootstrap_ci", _bootstrap_sql())
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for each event type's mean value via the
+    POISSON bootstrap — every row draws a hash-stable Poisson(1)
+    weight per replicate, so resampling is map-side math with no
+    global state: the only bootstrap that works at 100 TB.  The ×48
+    explode partial-aggregates to (key, replicate) before any shuffle;
+    the interval is the exact percentile of 48 identical-in-any-engine
+    replicate means."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        _events(spark, sf_dir), "event_type", "value", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period rank trend (volume leaderboard movement)
+# ---------------------------------------------------------------------------
+
+_RANK_TREND_SQL = """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1 FROM events
+    ),
+    per AS (
+      SELECT event_type, epoch_us(ts) * 2 < e0 + e1 AS first_half
+      FROM events CROSS JOIN b
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_second
+      FROM per GROUP BY 1
+    )
+    SELECT event_type, n_first, n_second,
+           CAST(RANK() OVER (ORDER BY n_first DESC, event_type)
+                AS BIGINT) AS rank_first,
+           CAST(RANK() OVER (ORDER BY n_second DESC, event_type)
+                AS BIGINT) AS rank_second,
+           CAST(RANK() OVER (ORDER BY n_first DESC, event_type)
+                - RANK() OVER (ORDER BY n_second DESC, event_type)
+                AS BIGINT) AS rank_delta
+    FROM agg
+"""
+
+
+@_q("q_rank_trend", _RANK_TREND_SQL)
+def q_rank_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: event types ranked by volume in the first
+    vs second half of the corpus window (midpoint in exact integer
+    microseconds — no float time math), with the rank delta as the
+    trending signal.  The global rank windows run on the
+    |event_types|-row collapsed aggregate, never on raw events."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    ev = _events(spark, sf_dir).select("ts", "event_type")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("e0"),
+        F.max(F.unix_micros("ts")).alias("e1"),
+    )
+    agg = (
+        ev.crossJoin(broadcast(bounds))
+        .select(
+            "event_type",
+            (F.unix_micros("ts") * 2 < F.col("e0") + F.col("e1")).alias(
+                "first_half"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("first_half"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    w1 = Window.orderBy(F.desc("n_first"), F.asc("event_type"))
+    w2 = Window.orderBy(F.desc("n_second"), F.asc("event_type"))
+    r1 = F.rank().over(w1).cast("long")
+    r2 = F.rank().over(w2).cast("long")
+    return agg.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        r1.alias("rank_first"),
+        r2.alias("rank_second"),
+        (r1 - r2).alias("rank_delta"),
+    )

@@ -4793,3 +4793,166 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per source)
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_SQL = f"""
+    WITH unll AS ({_UNIGRAM_NLL_SQL}),
+    scored AS (
+      SELECT u.doc_id, u.nll, d.source
+      FROM unll u JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+      SELECT source,
+             quantile_cont(nll, CAST('0.3333333333333333' AS DOUBLE)) AS c1,
+             quantile_cont(nll, CAST('0.6666666666666666' AS DOUBLE)) AS c2
+      FROM scored GROUP BY 1
+    )
+    SELECT s.source,
+           CASE WHEN s.nll <= c.c1 THEN 'head'
+                WHEN s.nll <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(s.nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_nll
+    FROM scored s JOIN cuts c USING (source)
+    GROUP BY 1, 2
+"""
+
+
+@_q("q_perplexity_buckets", _PPL_BUCKETS_SQL)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per-source tertile
+    cutpoints of the per-doc unigram-LM NLL, every doc assigned to its
+    bucket, per (source, bucket) counts + mean NLL.  The standard way a
+    pipeline turns a perplexity signal into a sampling policy (keep
+    head, downsample tail) without a global sort.
+
+    Scale: the NLL table is the gated ``unigram_nll`` pipeline; the
+    cutpoint table is |sources|×2 exact percentiles broadcast back —
+    at 100 TB swap ``percentile`` for ``approx_percentile`` (the
+    calibration for that swap is ``q_quantile_sketch``)."""
+    from pyspark.sql.functions import broadcast
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_nll(docs).join(docs.select("doc_id", "source"), "doc_id")
+    cuts = scored.groupBy("source").agg(
+        F.percentile("nll", F.lit(0.3333333333333333)).alias("c1"),
+        F.percentile("nll", F.lit(0.6666666666666666)).alias("c2"),
+    )
+    bucketed = scored.join(broadcast(cuts), "source").select(
+        "source",
+        "nll",
+        F.when(F.col("nll") <= F.col("c1"), "head")
+        .when(F.col("nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-source rank normalization (cross-source comparable scores)
+# ---------------------------------------------------------------------------
+
+_RANK_NORMALIZE_SQL = """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY n_chars), 6) AS pct_rank,
+           CAST(LEAST(FLOOR(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY n_chars) * 10) + 1, 10)
+             AS BIGINT) AS decile
+    FROM documents
+"""
+
+
+@_q("q_rank_normalize", _RANK_NORMALIZE_SQL)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile rank-normalization: each doc's quality proxy (length)
+    mapped to its within-source percentile rank + decile band, making
+    scores comparable ACROSS sources whose raw distributions differ —
+    the preprocessing step before any cross-source threshold or mixture
+    policy.  All windows are source-partitioned (scale-safe); ties get
+    identical percent_rank in any engine, so the gate is exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars")
+    pr = F.percent_rank().over(w)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(pr, 6).alias("pct_rank"),
+        F.least(F.floor(pr * 10) + 1, F.lit(10))
+        .cast("long")
+        .alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter audit
+# ---------------------------------------------------------------------------
+
+def _cms_bucket_sql(i: str, item: str, width: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms:' || {i} || ':' || {item}), 1, 15) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+_COUNT_MIN_SQL = f"""
+    WITH toks AS (
+      SELECT unnest({_sql_tokens()}) AS item FROM documents
+    ),
+    exact AS (SELECT item, COUNT(*) AS exact_n FROM toks GROUP BY 1),
+    topk AS (SELECT * FROM exact ORDER BY exact_n DESC, item LIMIT 20),
+    rows_i AS (SELECT unnest(generate_series(0, 3)) AS i),
+    cells AS (
+      SELECT i AS row_i, {_cms_bucket_sql('i', 'item', 512)} AS bucket,
+             COUNT(*) AS cell_n
+      FROM toks CROSS JOIN rows_i
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.item, t.exact_n, MIN(c.cell_n) AS cms_n
+      FROM topk t
+      CROSS JOIN rows_i
+      JOIN cells c ON c.row_i = i
+                  AND c.bucket = {_cms_bucket_sql('i', 't.item', 512)}
+      GROUP BY 1, 2
+    )
+    SELECT item, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(cms_n - exact_n AS BIGINT) AS overestimate
+    FROM est
+"""
+
+
+@_q("q_count_min", _COUNT_MIN_SQL)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter audit over the token stream: the
+    exact top-20 terms next to their 4×512 CMS estimates and observed
+    collision bias.  The CMS is the mergeable streaming counter a
+    100 TB pipeline keeps instead of an exact vocabulary — this query
+    is its calibration gate (CMS never underestimates; the pinned
+    ``overestimate`` column is the bias at this geometry on this
+    corpus)."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.operators.rollup import count_min_topk
+
+    items = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    )
+    return count_min_topk(items, "item", k=20, depth=4, width=512)

@@ -539,6 +539,8 @@ BNLJ_ALLOWED = {
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)
     "q_token_pmi",              # pair total (1-row broadcast)
     "q_unigram_nll",            # corpus total (1-row broadcast)
+    "q_perplexity_buckets",     # inherits unigram_nll corpus total (1-row)
+    "q_rank_trend",             # corpus time bounds (1-row broadcast)
 }
 
 

@@ -1404,3 +1404,93 @@ def test_cusum_drift_equals_recursive_fold(spark):
         cn = max(0.0, cn - y)
         assert abs(r["cusum_pos"] - round(cp, 6)) < 1e-9, r
         assert abs(r["cusum_neg"] - round(cn, 6)) < 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test / Poisson bootstrap / Count-Min sketch (round-6 additions)
+# ---------------------------------------------------------------------------
+
+def test_welch_ttest_matches_hand_computation(spark):
+    from conte_to_fresco_etl_spark.operators.robust import welch_ttest
+
+    a = [4.0, 5.0, 6.0, 7.0, 8.0]
+    b = [1.0, 2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se2a, se2b = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(se2a + se2b)
+    dfw = (se2a + se2b) ** 2 / (
+        se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1)
+    )
+    assert out["n_a"] == 5 and out["n_b"] == 4
+    assert out["mean_a"] == round(ma, 6)
+    assert out["mean_b"] == round(mb, 6)
+    assert abs(out["t_stat"] - t) < 1e-6
+    assert abs(out["df"] - dfw) < 1e-6
+
+
+def test_welch_ttest_degenerate_inputs(spark):
+    from conte_to_fresco_etl_spark.operators.robust import welch_ttest
+
+    # group b has one row -> t/df NULL, means still reported
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    out = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert out["t_stat"] is None and out["df"] is None
+    assert out["mean_b"] == 5.0
+    # zero variance in both groups -> NULL, no division crash
+    df2 = spark.createDataFrame(
+        [("a", 3.0)] * 4 + [("b", 3.0)] * 4, "g string, v double"
+    )
+    out2 = welch_ttest(df2, "g", "v", "a", "b").collect()[0]
+    assert out2["t_stat"] is None
+    # empty group -> NULL stats, zero count
+    out3 = welch_ttest(df2, "g", "v", "a", "zzz").collect()[0]
+    assert out3["n_b"] == 0 and out3["t_stat"] is None
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, "k", float(10 + (i * 37) % 20)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, key string, v double")
+    out1 = poisson_bootstrap_ci(df, "key", "v", "id").collect()[0]
+    out2 = poisson_bootstrap_ci(df, "key", "v", "id").collect()[0]
+    assert out1 == out2  # hash-seeded: bit-identical across runs
+    assert out1["n"] == 400 and out1["n_replicates"] == 48
+    # the interval brackets the sample mean and is reasonably tight
+    assert out1["ci_lo"] <= out1["mean"] <= out1["ci_hi"]
+    spread = out1["ci_hi"] - out1["ci_lo"]
+    assert 0 < spread < 3.0  # sd~5.8/sqrt(400) -> ~1.1 expected width
+    # a different seed moves the replicate draws
+    out3 = poisson_bootstrap_ci(df, "key", "v", "id", seed="other").collect()[
+        0
+    ]
+    assert (out3["ci_lo"], out3["ci_hi"]) != (out1["ci_lo"], out1["ci_hi"])
+
+
+def test_count_min_never_underestimates_and_orders(spark):
+    from conte_to_fresco_etl_spark.operators.rollup import count_min_topk
+
+    rows = [(f"tok{i % 37}",) for i in range(3000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "item string")
+    out = count_min_topk(df, "item", k=10, depth=4, width=64).collect()
+    assert len(out) == 10
+    exacts = [r["exact_n"] for r in out]
+    assert exacts == sorted(exacts, reverse=True)
+    for r in out:
+        assert r["cms_n"] >= r["exact_n"]  # CMS one-sided error
+        assert r["overestimate"] == r["cms_n"] - r["exact_n"]
+    # wider sketch -> no more error than the narrow one on every item
+    wide = {
+        r["item"]: r["overestimate"]
+        for r in count_min_topk(df, "item", k=10, depth=4, width=4096).collect()
+    }
+    assert all(v == 0 for v in wide.values())  # 38 items, 4096 buckets

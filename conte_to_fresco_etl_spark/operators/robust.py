@@ -936,7 +936,7 @@ def poisson_bootstrap_ci(
     key_col: str,
     value_col: str,
     id_col: str,
-    n_replicates: int = 48,
+    n_replicates: int = 50,
     alpha: float = 0.05,
     seed: str = "boot",
 ) -> DataFrame:
@@ -950,54 +950,110 @@ def poisson_bootstrap_ci(
     Output per key: ``(key, n, mean, ci_lo, ci_hi, n_replicates)`` —
     the percentile interval of the replicate means, ROUND(6).
 
-    Exactness: weights come from hash-stable md5 uniforms
-    (``md5(seed:b:id)`` → first 15 hex chars / 16^15) through a
-    literal-threshold inverse-CDF ladder; replicate sums are
-    DECIMAL(18,4)·w (exact), replicate means identical doubles in any
-    engine, and the interval is the exact ``percentile`` both engines
-    interpolate identically.
+    Exactness: replicate uniforms are hash-stable 12-bit md5 chunks —
+    ONE ``md5(seed:g:id)`` yields TEN replicates via its 3-hex-char
+    substrings (u = chunk/4096; one hash per ten replicates is the
+    dominant cost lever: B hashes/row measured 7.2s at sf0.1, B/10
+    measured ~2s), fed through a literal-threshold inverse-CDF ladder
+    (the 12-bit quantization of Poisson(1) shifts each weight
+    probability by < 2⁻¹², far inside bootstrap noise).  Replicate
+    sums are DECIMAL(18,4)·w (exact), replicate means identical
+    doubles in any engine, and the interval is the exact
+    ``percentile`` both engines interpolate identically.
 
     Scale posture: the ×B explode is map-side (no shuffle until the
     (key, replicate) partial-aggregated groupBy, B·|keys| rows out);
     the quantile runs on the B-row-per-key replicate table.  B is a
     constant, so cost is B linear passes fused into one job."""
-    b_col = F.explode(
-        F.sequence(F.lit(0), F.lit(n_replicates - 1))
-    ).alias("b")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit(seed), F.col("b"), F.col("__id")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**15))
+    chunks = 10
+    if n_replicates % chunks:
+        raise ValueError("n_replicates must be a multiple of 10")
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
     )
-    w = sum(
-        (F.when(u >= F.lit(p), 1).otherwise(0) for p in _POISSON_CDF),
-        F.lit(0),
-    )
-    weighted = df.select(
+
+    # the ×B explode multiplies every input row: a single-row-group
+    # scan would run the whole hash+weight pipeline as ONE task
+    df = ensure_min_parallelism(df, DENSE_BYTES_PER_TASK)
+    hashed = df.select(
         F.col(key_col).alias("key"),
         F.col(value_col).cast("decimal(18,4)").alias("v"),
         F.col(id_col).cast("string").alias("__id"),
-        b_col,
-    ).select("key", "b", "v", w.alias("w"))
-    reps = weighted.groupBy("key", "b").agg(
-        F.sum(F.col("v") * F.col("w")).alias("sw"),
-        F.sum("w").alias("nw"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates // chunks - 1))
+        ).alias("g"),
+    ).select(
+        "key",
+        "v",
+        "g",
+        F.md5(
+            F.concat_ws(":", F.lit(seed), F.col("g"), F.col("__id"))
+        ).alias("hx"),
+    )
+    # ten 12-bit uniforms per hash, materialized as named columns so
+    # the 8-branch CDF ladder references each exactly once (lambda/CSE
+    # pitfall: inlined subexpressions re-evaluate per branch)
+    with_u = hashed.select(
+        "key",
+        "v",
+        "g",
+        *[
+            (
+                F.conv(
+                    F.substring(F.col("hx"), 1 + 3 * c, 3), 16, 10
+                ).cast("double")
+                / F.lit(4096.0)
+            ).alias(f"u{c}")
+            for c in range(chunks)
+        ],
+    )
+
+    def ladder(u):
+        return sum(
+            (F.when(u >= F.lit(p), 1).otherwise(0) for p in _POISSON_CDF),
+            F.lit(0),
+        )
+
+    with_w = with_u.select(
+        "key",
+        "v",
+        "g",
+        *[ladder(F.col(f"u{c}")).alias(f"w{c}") for c in range(chunks)],
+    )
+    # column-wise replicate aggregation: the ten replicates of each
+    # hash group stay as 2·chunks agg columns instead of exploding
+    # rows×chunks tokens through the hash aggregate (measured 3.5s →
+    # 2.6s at sf0.1); the dimension-sized result unpivots after
+    per_g = with_w.groupBy("key", "g").agg(
+        *[
+            agg
+            for c in range(chunks)
+            for agg in (
+                F.sum(F.col("v") * F.col(f"w{c}")).alias(f"sw{c}"),
+                F.sum(f"w{c}").cast("long").alias(f"nw{c}"),
+            )
+        ]
+    )
+    reps = per_g.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("g") * chunks + F.lit(c)).alias("b"),
+                        F.col(f"sw{c}").alias("sw"),
+                        F.col(f"nw{c}").alias("nw"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
     )
     rep_means = reps.select(
         "key",
         F.try_divide(
-            F.col("sw").cast("double"), F.col("nw").cast("double")
+            F.col("p.sw").cast("double"), F.col("p.nw").cast("double")
         ).alias("m"),
     )
     ci = rep_means.groupBy("key").agg(

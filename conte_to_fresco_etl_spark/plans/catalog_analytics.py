@@ -2884,16 +2884,22 @@ def _bootstrap_sql() -> str:
         for p in _POISSON_CDF
     )
     return f"""
-    WITH reps AS (SELECT unnest(generate_series(0, 47)) AS b),
+    WITH grp AS (SELECT unnest(generate_series(0, 4)) AS g),
+    chunk AS (SELECT unnest(generate_series(0, 9)) AS c),
     hashed AS (
-      SELECT e.event_type AS key, r.b,
+      SELECT e.event_type AS key, g.g,
              CAST(e.value AS DECIMAL(18,4)) AS v,
-             CAST('0x' || substr(md5('boot:' || r.b || ':'
-                  || CAST(e.event_id AS VARCHAR)), 1, 15) AS BIGINT)
-               / CAST(1152921504606846976 AS DOUBLE) AS u
-      FROM events e CROSS JOIN reps r
+             md5('boot:' || g.g || ':'
+                 || CAST(e.event_id AS VARCHAR)) AS hx
+      FROM events e CROSS JOIN grp g
     ),
-    weighted AS (SELECT key, b, v, {w_sql} AS w FROM hashed),
+    un AS (
+      SELECT key, v, g * 10 + c AS b,
+             CAST('0x' || substr(hx, 1 + 3 * c, 3) AS BIGINT)
+               / CAST(4096 AS DOUBLE) AS u
+      FROM hashed CROSS JOIN chunk
+    ),
+    weighted AS (SELECT key, b, v, {w_sql} AS w FROM un),
     rep_stats AS (
       SELECT key, b, SUM(v * w) AS sw, SUM(w) AS nw
       FROM weighted GROUP BY 1, 2

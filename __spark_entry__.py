@@ -81,6 +81,8 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_count_min",           # NEW late-r6: CMS heavy-hitter audit
     "q_perplexity_buckets",  # NEW late-r6: CCNet head/middle/tail
     "q_rank_normalize",      # NEW late-r6: within-source rank normalize
+    "q_snm_pairs",           # NEW late-r6: sorted-neighborhood blocking
+    "q_changepoint",         # NEW late-r6: binary-segmentation split
 ]
 
 PRIORITY: list[str] = [
@@ -150,6 +152,8 @@ PRIORITY: list[str] = [
     "q_count_min",
     "q_perplexity_buckets",
     "q_rank_normalize",
+    "q_snm_pairs",
+    "q_changepoint",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

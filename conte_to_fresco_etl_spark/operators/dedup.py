@@ -2003,3 +2003,70 @@ def lsh_recall_report(
             rate("n_hit", "n_est").alias("prec"),
         )
     )
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 20,
+    block_len: int = 2,
+    window: int = 3,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) candidate pairs — the classic
+    record-linkage blocking strategy, complementary to LSH banding:
+    records sort by a normalized key and each record pairs with its
+    ``window-1`` successors.  SNM catches near-dups whose PREFIXES
+    agree (title-keyed crawl dups, templated records) with a candidate
+    count bounded by n·(window−1) — no banding false-positive tuning.
+
+    Output: ``(id_a, id_b, jaccard)`` — each candidate pair with its
+    exact character-shingle Jaccard (sets materialize only for
+    candidates, the ``q_doc_minhash_sim`` discipline).
+
+    Scale posture: the sort windows are PARTITIONED by the key's
+    ``block_len``-char prefix (bounded blocks — never one global sort
+    task); pairs at block boundaries are the documented SNM blind spot
+    (multi-pass with rotated keys is the standard remedy).  Lead
+    windows + two id-keyed joins; no self-join of the corpus."""
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, key_len).alias("k"),
+    ).withColumn("blk", F.substring(F.col("k"), 1, block_len))
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    pairs = keyed.select(
+        "id",
+        *[
+            F.lead("id", o).over(w).alias(f"n{o}")
+            for o in range(1, window)
+        ],
+    )
+    cand = None
+    for o in range(1, window):
+        p = pairs.select(
+            F.col("id").alias("id_a"), F.col(f"n{o}").alias("id_b")
+        ).filter(F.col("id_b").isNotNull())
+        cand = p if cand is None else cand.unionAll(p)
+    from conte_to_fresco_etl_spark.functions.text import char_shingles
+
+    sets = df.filter(F.length(F.col(text_col)) >= shingle_n).select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(text_col, shingle_n).alias("sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        cand.join(sets.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+        .join(sets.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter.cast("double") / union.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -1074,3 +1074,64 @@ def poisson_bootstrap_ci(
     return base.join(broadcast(ci), "key").select(
         "key", "n", "mean", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+def changepoint_binary_seg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-changepoint estimate on the daily total series (one step
+    of binary segmentation): the split day maximizing the standardized
+    mean gap ``|mean_left − mean_right| · sqrt(i·(n−i)/n)`` — the
+    LOCATION complement to ``cusum_drift``'s drift ALARM (CUSUM says
+    "something moved"; this says "it moved HERE"; full binary
+    segmentation recurses on the halves).
+
+    Output — ONE row: ``(n_days, split_day, mean_left, mean_right,
+    score)``, ROUND(6), ties broken to the earliest day.
+
+    Exactness: daily sums and their running prefix are DECIMAL (exact,
+    order-independent); every mean/score is one identical float tree;
+    the argmax orders by (rounded score, day).
+
+    Scale posture: the corpus collapses to the daily table FIRST (one
+    map-combinable aggregation); the cumulative and total windows run
+    on that dimension-sized series, and the corpus total enters as an
+    unbounded window over the same collapsed table — no raw-row global
+    window, no driver collect, no 1-row broadcast join."""
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("s")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.sum("s").over(w_cum).alias("c"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("s").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    i_d = F.col("i").cast("double")
+    n_d = F.col("n").cast("double")
+    ml = F.col("c").cast("double") / i_d
+    mr = (F.col("tot") - F.col("c")).cast("double") / (
+        F.col("n") - F.col("i")
+    ).cast("double")
+    score = F.abs(ml - mr) * F.sqrt(i_d * (n_d - i_d) / n_d)
+    return (
+        cum.filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.round(ml, 6).alias("mean_left"),
+            F.round(mr, 6).alias("mean_right"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("split_day"))
+        .limit(1)
+    )

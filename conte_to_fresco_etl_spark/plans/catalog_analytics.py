@@ -3023,3 +3023,53 @@ def q_rank_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.alias("rank_second"),
         (r1 - r2).alias("rank_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint location (one step of binary segmentation)
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS s
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, s,
+             SUM(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(s) OVER () AS tot,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    cand AS (
+      SELECT day, CAST(n AS BIGINT) AS n_days,
+             CAST(c AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+             CAST(tot - c AS DOUBLE) / CAST(n - i AS DOUBLE) AS mr,
+             abs(CAST(c AS DOUBLE) / CAST(i AS DOUBLE)
+                 - CAST(tot - c AS DOUBLE) / CAST(n - i AS DOUBLE))
+               * sqrt(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE)
+                      - CAST(i AS DOUBLE)) / CAST(n AS DOUBLE)) AS score
+      FROM cum WHERE i < n
+    )
+    SELECT n_days, day AS split_day,
+           ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+           ROUND(score, 6) AS score
+    FROM cand ORDER BY ROUND(score, 6) DESC, day LIMIT 1
+"""
+
+
+@_q("q_changepoint", _CHANGEPOINT_SQL)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint LOCATION on the daily value series (one binary-
+    segmentation step): the split day maximizing the standardized mean
+    gap — where CUSUM's alarm actually happened.  Corpus collapses to
+    the daily table first; every window runs on that dimension-sized
+    series."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        changepoint_binary_seg,
+    )
+
+    return changepoint_binary_seg(_events(spark, sf_dir), "ts", "value")

@@ -4956,3 +4956,56 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("item")
     )
     return count_min_topk(items, "item", k=20, depth=4, width=512)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-Neighborhood Method candidate pairs (record-linkage blocking)
+# ---------------------------------------------------------------------------
+
+_SNM_SQL = """
+    WITH keyed AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                    1, 20) AS k
+      FROM documents
+    ),
+    blk AS (SELECT id, k, substr(k, 1, 2) AS blk FROM keyed),
+    leads AS (
+      SELECT id,
+             LEAD(id, 1) OVER (PARTITION BY blk ORDER BY k, id) AS n1,
+             LEAD(id, 2) OVER (PARTITION BY blk ORDER BY k, id) AS n2
+      FROM blk
+    ),
+    cand AS (
+      SELECT id AS id_a, n1 AS id_b FROM leads WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT id AS id_a, n2 AS id_b FROM leads WHERE n2 IS NOT NULL
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, length(lower(text)) - 4),
+               i -> substr(lower(text), i, 5))) AS sh
+      FROM documents WHERE length(text) >= 5
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                 6) AS jaccard
+    FROM cand c
+    JOIN sets a ON c.id_a = a.doc_id
+    JOIN sets b ON c.id_b = b.doc_id
+"""
+
+
+@_q("q_snm_pairs", _SNM_SQL)
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup blocking: normalized-prefix sort keys,
+    block-partitioned lead windows pairing each doc with its 2
+    successors, exact shingle Jaccard on the bounded candidate set —
+    the record-linkage complement to LSH banding (prefix-agreeing dups
+    with n·(w−1) candidates, no banding calibration)."""
+    from conte_to_fresco_etl_spark.operators.dedup import snm_candidate_pairs
+
+    return snm_candidate_pairs(_t(spark, sf_dir, "documents"))

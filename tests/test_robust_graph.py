@@ -1494,3 +1494,47 @@ def test_count_min_never_underestimates_and_orders(spark):
         for r in count_min_topk(df, "item", k=10, depth=4, width=4096).collect()
     }
     assert all(v == 0 for v in wide.values())  # 38 items, 4096 buckets
+
+
+def test_changepoint_finds_level_shift(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        changepoint_binary_seg,
+    )
+
+    # 10 days at ~10, then 10 days at ~50: split must land on day 10
+    rows = []
+    for d in range(20):
+        level = 10.0 if d < 10 else 50.0
+        for k in range(5):
+            rows.append((dt.datetime(2024, 3, 1 + d, 6 + k), level + k))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = changepoint_binary_seg(df, "ts", "value").collect()[0]
+    assert out["n_days"] == 20
+    assert out["split_day"] == dt.date(2024, 3, 10)
+    assert out["mean_left"] == 60.0  # 5 rows/day * (10..14 avg 12) = 60
+    assert out["mean_right"] == 260.0
+    assert out["score"] > 0
+
+
+def test_snm_pairs_blocking_and_jaccard(spark):
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        snm_candidate_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (3, "alpha beta gamma delta different"),  # near dup, same prefix
+        (4, "zzz totally unrelated content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in snm_candidate_pairs(df, window=3).collect()
+    }
+    # docs 1-3 share a block and sort adjacently; 4 is alone in its block
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert any(p in out for p in [(1, 3), (2, 3)])
+    assert all(4 not in p for p in out)
+    for j in out.values():
+        assert 0.0 <= j <= 1.0

@@ -1538,3 +1538,100 @@ def test_snm_pairs_blocking_and_jaccard(spark):
     assert all(4 not in p for p in out)
     for j in out.values():
         assert 0.0 <= j <= 1.0
+
+
+value_lists = st.lists(
+    st.floats(0.0, 1000.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+)
+
+
+def _q4(v: float) -> float:
+    """Quantize like Spark's cast(v AS DECIMAL(18,4)): HALF_UP."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(value_lists, value_lists)
+def test_welch_ttest_antisymmetric_and_bruteforce(spark, xs, ys):
+    """Swapping the groups negates t, preserves df; both match the
+    textbook formulas on random inputs (including tied/constant
+    lists, where the operator must return NULL instead of NaN)."""
+    from conte_to_fresco_etl_spark.operators.robust import welch_ttest
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ab = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    ba = welch_ttest(df, "g", "v", "b", "a").collect()[0]
+    assert ab["n_a"] == ba["n_b"] and ab["mean_a"] == ba["mean_b"]
+    if ab["t_stat"] is None:
+        assert ba["t_stat"] is None
+        return
+    assert abs(ab["t_stat"] + ba["t_stat"]) < 2e-6
+    assert abs(ab["df"] - ba["df"]) < 2e-6
+    # brute force (on the decimal-quantized values the operator sums;
+    # Spark's decimal cast rounds HALF_UP, not banker's)
+    qx = [_q4(v) for v in xs]
+    qy = [_q4(v) for v in ys]
+    ma, mb = sum(qx) / len(qx), sum(qy) / len(qy)
+    va = sum((round(v * v, 12) for v in qx)) / 1 - len(qx) * ma * ma
+    va /= len(qx) - 1
+    vb = (sum(round(v * v, 12) for v in qy) - len(qy) * mb * mb) / (
+        len(qy) - 1
+    )
+    t = (ma - mb) / math.sqrt(va / len(qx) + vb / len(qy))
+    assert abs(ab["t_stat"] - t) < 1e-4
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=60),
+       st.integers(1, 8))
+def test_count_min_dominates_exact_on_random_streams(spark, items, width_pow):
+    from conte_to_fresco_etl_spark.operators.rollup import count_min_topk
+
+    df = spark.createDataFrame(
+        [(f"t{v}",) for v in items], "item string"
+    )
+    out = count_min_topk(df, "item", k=5, depth=3, width=2**width_pow)
+    from collections import Counter
+
+    truth = Counter(f"t{v}" for v in items)
+    for r in out.collect():
+        assert r["exact_n"] == truth[r["item"]]
+        assert r["cms_n"] >= r["exact_n"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.floats(1.0, 100.0, allow_nan=False, width=16),
+                min_size=4, max_size=25))
+def test_changepoint_split_matches_bruteforce(spark, vals):
+    """Argmax split == O(n²) brute force on random daily series."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        changepoint_binary_seg,
+    )
+
+    rows = [
+        (dt.datetime(2024, 5, 1) + dt.timedelta(days=d, hours=3), float(v))
+        for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = changepoint_binary_seg(df, "ts", "value").collect()[0]
+    q = [_q4(v) for v in vals]
+    n = len(q)
+    best = None
+    for i in range(1, n):
+        ml, mr = sum(q[:i]) / i, sum(q[i:]) / (n - i)
+        score = round(abs(ml - mr) * math.sqrt(i * (n - i) / n), 6)
+        day = dt.date(2024, 5, 1) + dt.timedelta(days=i - 1)
+        if best is None or (score, -i) > (best[0], -best[1]):
+            best = (score, i, day)
+    assert out["n_days"] == n
+    assert out["split_day"] == best[2]
+    assert abs(out["score"] - best[0]) < 1e-6

@@ -83,6 +83,8 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_rank_normalize",      # NEW late-r6: within-source rank normalize
     "q_snm_pairs",           # NEW late-r6: sorted-neighborhood blocking
     "q_changepoint",         # NEW late-r6: binary-segmentation split
+    "q_sessionize_replay",   # NEW late-r6: stateful sessionizer gate
+    "q_l_diversity",         # NEW late-r6: l-diversity privacy audit
 ]
 
 PRIORITY: list[str] = [
@@ -154,6 +156,8 @@ PRIORITY: list[str] = [
     "q_rank_normalize",
     "q_snm_pairs",
     "q_changepoint",
+    "q_sessionize_replay",
+    "q_l_diversity",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

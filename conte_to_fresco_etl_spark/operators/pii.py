@@ -177,3 +177,44 @@ def dp_noisy_counts(
     return df.groupBy(group_col).agg(
         F.round(F.count("*").cast("double") + noise, 6).alias("noisy_n")
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a class
+    of ≥ k rows still leaks the sensitive attribute when all its rows
+    SHARE one sensitive value (the homogeneity attack).  Each quasi-
+    identifier equivalence class must see ≥ ``l`` distinct sensitive
+    values.
+
+    Output per class: ``(*quasi_cols, group_n, n_sensitive, top_frac,
+    meets_l)`` — class size, distinct sensitive values, the largest
+    single value's share (ROUND 6; the recursive-diversity signal),
+    and the ≥ l verdict.  NULL sensitive values form their own class,
+    matching the groupBy semantics of ``k_anonymity``.
+
+    Distributed shape: ONE shuffle of (quasi, sensitive) counts
+    (map-side partials), then a dimension-sized regroup on the quasi
+    tuple — the corpus never moves twice."""
+    counts = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count("*").alias("__n"))
+    per = counts.groupBy(*quasi_cols).agg(
+        F.sum("__n").cast("long").alias("group_n"),
+        F.count("*").alias("n_sensitive"),
+        F.max("__n").alias("__top"),
+    )
+    return per.select(
+        *quasi_cols,
+        "group_n",
+        "n_sensitive",
+        F.round(
+            F.col("__top").cast("double") / F.col("group_n").cast("double"),
+            6,
+        ).alias("top_frac"),
+        (F.col("n_sensitive") >= F.lit(l)).alias("meets_l"),
+    )

@@ -3073,3 +3073,130 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return changepoint_binary_seg(_events(spark, sf_dir), "ts", "value")
+
+
+#: One replay per (applicationId, sf_dir) — same convention as the
+#: SCD2 / rollup replays.
+_SESSIONIZE_REPLAY_DONE: dict[tuple, str] = {}
+
+_SESSIONIZE_REPLAY_SQL = """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS uid, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts)
+                  > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 64
+    ),
+    s AS (
+      SELECT uid, ts,
+             SUM(brk) OVER (PARTITION BY uid ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT uid AS user_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM s GROUP BY uid, sid
+"""
+
+
+@_q("q_sessionize_replay", _SESSIONIZE_REPLAY_SQL)
+def q_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the gap sessionizer under the hard gate: the
+    events of users < 64 replay as three CHRONOLOGICAL micro-batches
+    (global ts-percentile cuts keep every user's stream ordered across
+    batches) through the custom stateful operator
+    (``streaming/stateful.py:sessionize``,
+    ``applyInPandasWithState`` + event-time timeout), followed by two
+    far-future sentinel batches that push the watermark past every
+    open session so state times out and flushes.  The emitted closed
+    sessions must hash-match the batch islands oracle — the
+    convergence contract of the custom state machine, previously
+    pinned only by pytest.  ``sum_value`` is emitted but not gated
+    (an order-dependent float sum has no engine-portable oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conte_to_fresco_etl_spark.streaming.stateful import sessionize
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out_dir = _SESSIONIZE_REPLAY_DONE.get(key)
+    if out_dir is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_sessionize_replay",
+            hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:16],
+        )
+        src = os.path.join(base, "src")
+        ev = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id") < 64)
+            .select(
+                F.col("user_id").cast("string").alias("user_id"),
+                "ts",
+                "value",
+            )
+        )
+        cut_row = ev.agg(
+            F.percentile(F.unix_timestamp("ts"), 1.0 / 3.0).alias("c1"),
+            F.percentile(F.unix_timestamp("ts"), 2.0 / 3.0).alias("c2"),
+            F.max("ts").alias("tmax"),
+        ).collect()
+        c1, c2, tmax = (
+            cut_row[0]["c1"],
+            cut_row[0]["c2"],
+            cut_row[0]["tmax"],
+        )
+        if c1 is not None:
+            uts = F.unix_timestamp("ts")
+            batches = [
+                ev.filter(uts <= c1),
+                ev.filter((uts > c1) & (uts <= c2)),
+                ev.filter(uts > c2),
+            ]
+        else:  # zero-event input: one empty batch carries the schema
+            batches = [ev]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+        # two sentinel batches: each advances the watermark far enough
+        # that the NEXT trigger times out every session opened before
+        # it (watermark delay 10 min << the 3 h sentinel stride)
+        import datetime as _dt
+
+        t0 = tmax or _dt.datetime(2024, 1, 1)
+        for k in (1, 2):
+            spark.createDataFrame(
+                [("-1", t0 + _dt.timedelta(hours=3 * k), 0.0)],
+                "user_id string, ts timestamp, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(base, "sessions"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out_dir = os.path.join(base, "sessions")
+        _SESSIONIZE_REPLAY_DONE[key] = out_dir
+    try:
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("user_id") != "-1")
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+    except Exception:  # zero-event input: nothing was emitted
+        return spark.createDataFrame(
+            [],
+            "user_id string, session_start timestamp, "
+            "session_end timestamp, n_events long",
+        )

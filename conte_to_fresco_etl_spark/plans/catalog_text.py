@@ -5009,3 +5009,45 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.dedup import snm_candidate_pairs
 
     return snm_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (homogeneity-attack screen on the k-anonymity classes)
+# ---------------------------------------------------------------------------
+
+_LDIV_SQL = """
+    WITH q AS (
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, size_bucket, lang, COUNT(*) AS n
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT source, size_bucket,
+           CAST(SUM(n) AS BIGINT) AS group_n,
+           CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+           ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+             AS top_frac,
+           COUNT(*) >= 3 AS meets_l
+    FROM counts GROUP BY 1, 2
+"""
+
+
+@_q("q_l_diversity", _LDIV_SQL)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity (l=3) over the (source, size-bucket) classes with
+    lang as the sensitive attribute — the homogeneity-attack audit
+    k-anonymity alone misses.  One (quasi, sensitive) count shuffle,
+    then a dimension-sized regroup."""
+    from conte_to_fresco_etl_spark.operators.pii import l_diversity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100.0))
+        .cast("long")
+        .alias("size_bucket"),
+    )
+    return l_diversity(docs, ["source", "size_bucket"], "lang", l=3)

@@ -1635,3 +1635,20 @@ def test_changepoint_split_matches_bruteforce(spark, vals):
     assert out["n_days"] == n
     assert out["split_day"] == best[2]
     assert abs(out["score"] - best[0]) < 1e-6
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from conte_to_fresco_etl_spark.operators.pii import l_diversity
+
+    rows = (
+        [("c1", "x") for _ in range(6)]                 # homogeneous
+        + [("c2", s) for s in ["a", "b", "c", "a"]]     # diverse
+        + [("c3", None), ("c3", None), ("c3", "a")]     # NULL is a value
+    )
+    df = spark.createDataFrame(rows, "cls string, sv string")
+    out = {r["cls"]: r for r in l_diversity(df, ["cls"], "sv", l=3).collect()}
+    assert out["c1"]["group_n"] == 6 and out["c1"]["n_sensitive"] == 1
+    assert not out["c1"]["meets_l"] and out["c1"]["top_frac"] == 1.0
+    assert out["c2"]["n_sensitive"] == 3 and out["c2"]["meets_l"]
+    assert out["c2"]["top_frac"] == 0.5
+    assert out["c3"]["n_sensitive"] == 2 and not out["c3"]["meets_l"]

@@ -497,39 +497,49 @@ def classification_metrics(
     ROUND(12) decimal terms — aggregation-order independent.
 
     Scale posture: one (gold, pred) count shuffle collapses the corpus
-    to a |classes|² cell table; everything after runs on
-    dimension-sized rows with 1-row broadcast totals."""
+    to a |classes|² cell table; each cell then scatters its count onto
+    its gold class and its predicted class (an explode, not four
+    joins — the union class set falls out of the same aggregation),
+    so the whole scorecard is ONE linear pipeline: scan → cell agg →
+    scatter → class agg → 1-row final agg.  No persist, no join of
+    the tiny tables, a single job (the previous 5-subplan join form
+    measured ~2s of pure job/persist overhead at sf0.1)."""
+    # NULL-label rows are excluded AFTER the cell aggregation: the
+    # predicate is over the same label values either way, but a
+    # pre-agg filter on a projected classifier column gets the
+    # classifier expression inlined TWICE per row by CollapseProject
+    # (once in the filter, once in the agg key); post-agg it runs on
+    # |classes|² rows
     cells = (
-        df.filter(
-            F.col(gold_col).isNotNull() & F.col(pred_col).isNotNull()
-        )
-        .groupBy(F.col(gold_col).alias("g"), F.col(pred_col).alias("p"))
+        df.groupBy(F.col(gold_col).alias("g"), F.col(pred_col).alias("p"))
         .agg(F.count("*").alias("n"))
-    ).persist()
-    classes = (
-        cells.select(F.col("g").alias("cls"))
-        .unionByName(cells.select(F.col("p").alias("cls")))
-        .distinct()
+        .filter(F.col("g").isNotNull() & F.col("p").isNotNull())
     )
-    gold_tot = cells.groupBy("g").agg(F.sum("n").alias("gold_n"))
-    pred_tot = cells.groupBy("p").agg(F.sum("n").alias("pred_n"))
-    tp = cells.filter(F.col("g") == F.col("p")).select(
-        F.col("g").alias("cls"), F.col("n").alias("tp_n")
-    )
-    per_class = (
-        classes.join(
-            gold_tot.select(F.col("g").alias("cls"), "gold_n"), "cls", "left"
-        )
-        .join(
-            pred_tot.select(F.col("p").alias("cls"), "pred_n"), "cls", "left"
-        )
-        .join(tp, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce(F.col("gold_n"), F.lit(0)).alias("gold_n"),
-            F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
-            F.coalesce(F.col("tp_n"), F.lit(0)).alias("tp_n"),
-        )
+    zero = F.lit(0).cast("long")
+    scattered = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("g").alias("cls"),
+                    F.col("n").alias("gold_n"),
+                    zero.alias("pred_n"),
+                    F.when(F.col("g") == F.col("p"), F.col("n"))
+                    .otherwise(zero)
+                    .alias("tp_n"),
+                ),
+                F.struct(
+                    F.col("p").alias("cls"),
+                    zero.alias("gold_n"),
+                    F.col("n").alias("pred_n"),
+                    zero.alias("tp_n"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    per_class = scattered.groupBy("cls").agg(
+        F.sum("gold_n").alias("gold_n"),
+        F.sum("pred_n").alias("pred_n"),
+        F.sum("tp_n").alias("tp_n"),
     )
     prec = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
         F.col("tp_n").cast("double") / F.col("pred_n").cast("double")

@@ -85,6 +85,9 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_changepoint",         # NEW late-r6: binary-segmentation split
     "q_sessionize_replay",   # NEW late-r6: stateful sessionizer gate
     "q_l_diversity",         # NEW late-r6: l-diversity privacy audit
+    "q_calibration",         # NEW late-r6: classifier reliability bins
+    "q_cuped",               # NEW late-r6: CUPED variance reduction
+    "q_srm",                 # NEW late-r6: sample-ratio mismatch
 ]
 
 PRIORITY: list[str] = [
@@ -158,6 +161,9 @@ PRIORITY: list[str] = [
     "q_changepoint",
     "q_sessionize_replay",
     "q_l_diversity",
+    "q_calibration",
+    "q_cuped",
+    "q_srm",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -1145,3 +1145,144 @@ def changepoint_binary_seg(
         .orderBy(F.desc("score"), F.asc("split_day"))
         .limit(1)
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier: scores bucket
+    into ``n_bins`` equal-width confidence bins; each bin reports its
+    mean predicted probability next to the observed positive rate and
+    their gap — the per-bin decomposition of Expected Calibration
+    Error (ECE = Σ gap·n/N), the standard audit before a classifier's
+    scores are used as sampling weights (``q_soft_quality_sample``
+    trusts the score AS a probability; this table says whether it is
+    one).
+
+    Output per non-empty bin: ``(bin, n, mean_score, positive_rate,
+    gap)``, ROUND(6).  Exactness: scores are pre-rounded(6) doubles,
+    summed as DECIMAL(18,6); the positive rate is an integer ratio;
+    the gap subtracts the two raw expressions in one tree.
+
+    Scale posture: one map-side-combinable aggregation to ``n_bins``
+    rows."""
+    lbl = F.col(label_col).cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col(score_col).alias("s"),
+        lbl.alias("y"),
+    )
+    conf = F.sum(F.col("s").cast("decimal(18,6)")).cast(
+        "double"
+    ) / F.count("*")
+    acc = F.sum("y").cast("double") / F.count("*")
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(conf, 6).alias("mean_score"),
+        F.round(acc, 6).alias("positive_rate"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUPED variance reduction audit: using each key's FIRST-half
+    mean as the pre-experiment covariate x and its second-half mean as
+    the metric y, estimate θ = cov(x,y)/var(x) and report how much
+    variance the adjusted metric ``y − θ·(x − x̄)`` removes — the
+    standard pre-experiment-data trick that shrinks A/B test
+    confidence intervals without touching the treatment effect.
+
+    Output — ONE row: ``(n_keys, theta, var_y, var_adj,
+    reduction_pct)``, ROUND(6); θ/variances NULL when var(x) is zero.
+
+    Exactness: per-key means are DECIMAL-sum ratios (identical
+    doubles); the cross-moments round(·,12)→DECIMAL(38,12) before
+    summing, so every downstream float derives from exact operands.
+    Var(y_adj) uses the identity var(y) − cov²/var(x) — no second
+    pass.
+
+    Scale posture: one conditional aggregation per key (map-side
+    combinable), then one 5-accumulator collapse of the key table —
+    the corpus moves once, the key table once."""
+    bounds_us = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("e0"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("e1"),
+    )
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+    )
+    per_key = (
+        ev.crossJoin(broadcast(bounds_us))
+        .select(
+            "key",
+            (F.col("us") * 2 < F.col("e0") + F.col("e1")).alias("fh"),
+            "v",
+        )
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("fh"), F.col("v"))).alias("sx"),
+            F.sum(F.when(F.col("fh"), 1).otherwise(0)).alias("nx"),
+            F.sum(F.when(~F.col("fh"), F.col("v"))).alias("sy"),
+            F.sum(F.when(~F.col("fh"), 1).otherwise(0)).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+    )
+    x = F.col("sx").cast("double") / F.col("nx").cast("double")
+    y = F.col("sy").cast("double") / F.col("ny").cast("double")
+    moments = per_key.select(
+        F.round(x, 12).cast("decimal(38,12)").alias("xd"),
+        F.round(y, 12).cast("decimal(38,12)").alias("yd"),
+        F.round(x * y, 12).cast("decimal(38,12)").alias("xy"),
+        F.round(x * x, 12).cast("decimal(38,12)").alias("xx"),
+        F.round(y * y, 12).cast("decimal(38,12)").alias("yy"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    var_y = vy / (n * n)
+    var_adj = (vy - cov * cov / vx) / (n * n)
+    degenerate = (vx <= F.lit(0.0)) | (F.col("n") < 2)
+    return moments.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(cov / vx, 6))
+        .alias("theta"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(var_y, 6))
+        .alias("var_y"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(var_adj, 6))
+        .alias("var_adj"),
+        F.when(
+            degenerate | (vy <= F.lit(0.0)), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(100.0) * (F.lit(1.0) - var_adj / var_y), 6
+            )
+        )
+        .alias("reduction_pct"),
+    )

@@ -3200,3 +3200,183 @@ def q_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id string, session_start timestamp, "
             "session_end timestamp, n_events long",
         )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduction audit
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1 FROM events
+    ),
+    per_key AS (
+      SELECT user_id AS key,
+             SUM(CASE WHEN epoch_us(ts) * 2 < e0 + e1
+                      THEN CAST(value AS DECIMAL(18,4)) END) AS sx,
+             SUM(CASE WHEN epoch_us(ts) * 2 < e0 + e1 THEN 1 ELSE 0 END)
+               AS nx,
+             SUM(CASE WHEN epoch_us(ts) * 2 >= e0 + e1
+                      THEN CAST(value AS DECIMAL(18,4)) END) AS sy,
+             SUM(CASE WHEN epoch_us(ts) * 2 >= e0 + e1 THEN 1 ELSE 0 END)
+               AS ny
+      FROM events CROSS JOIN b
+      GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(ROUND(CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS xd,
+             CAST(ROUND(CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE), 12)
+                  AS DECIMAL(38,12)) AS yd,
+             CAST(ROUND((CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)), 12)
+                  AS DECIMAL(38,12)) AS xy,
+             CAST(ROUND((CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)), 12)
+                  AS DECIMAL(38,12)) AS xx,
+             CAST(ROUND((CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)), 12)
+                  AS DECIMAL(38,12)) AS yy
+      FROM per_key WHERE nx > 0 AND ny > 0
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(xd) AS sx, SUM(yd) AS sy,
+             SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+      FROM xy
+    ),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n_keys, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM m
+    ),
+    v AS (
+      SELECT n_keys, nd,
+             nd * sxyd - sxd * syd AS cov,
+             nd * sxxd - sxd * sxd AS vx,
+             nd * syyd - syd * syd AS vy
+      FROM d
+    )
+    SELECT n_keys,
+           CASE WHEN vx <= 0.0e0 OR n_keys < 2 THEN NULL
+                ELSE ROUND(cov / vx, 6) END AS theta,
+           CASE WHEN n_keys < 2 THEN NULL
+                ELSE ROUND(vy / (nd * nd), 6) END AS var_y,
+           CASE WHEN vx <= 0.0e0 OR n_keys < 2 THEN NULL
+                ELSE ROUND((vy - cov * cov / vx) / (nd * nd), 6)
+           END AS var_adj,
+           CASE WHEN vx <= 0.0e0 OR n_keys < 2 OR vy <= 0.0e0 THEN NULL
+                ELSE ROUND(100.0e0 * (1.0e0
+                     - ((vy - cov * cov / vx) / (nd * nd))
+                       / (vy / (nd * nd))), 6)
+           END AS reduction_pct
+    FROM v
+"""
+
+
+@_q("q_cuped", _CUPED_SQL)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction audit over users: first-half mean value
+    as the pre-period covariate, second-half mean as the metric;
+    reports θ and the variance the adjusted metric removes.  One
+    conditional aggregation per user, then a 5-accumulator collapse of
+    the user table."""
+    from conte_to_fresco_etl_spark.operators.robust import cuped_adjustment
+
+    return cuped_adjustment(_events(spark, sf_dir), "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+_SRM_SQL = """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             CAST('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM arms
+    ),
+    s AS (
+      SELECT n_a, n_b,
+             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0e0 AS e
+      FROM c
+    )
+    SELECT n_a, n_b,
+           CASE WHEN e = 0.0e0 THEN NULL
+                ELSE ROUND((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+                     + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 6)
+           END AS chi2,
+           CASE WHEN e = 0.0e0 THEN NULL
+                ELSE (CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+                     + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e
+                     > 3.841458820694124e0
+           END AS srm_flag
+    FROM s
+"""
+
+
+@_q("q_srm", _SRM_SQL)
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users hash into two arms
+    (md5-stable 50/50 assignment); the goodness-of-fit chi-square
+    against the expected equal split flags broken randomization — the
+    first sanity check before any A/B readout (including the Welch /
+    Mann-Whitney tests in this catalog).  One distinct-user collapse,
+    then scalar algebra."""
+    from pyspark.sql.functions import broadcast  # noqa: F401
+
+    ev = _events(spark, sf_dir)
+    arms = ev.select(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("srm"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("arm"),
+        "user_id",
+    ).distinct()
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    e = (F.col("n_a").cast("double") + F.col("n_b").cast("double")) / F.lit(
+        2.0
+    )
+    da = F.col("n_a").cast("double") - e
+    db = F.col("n_b").cast("double") - e
+    chi2 = da * da / e + db * db / e
+    return c.select(
+        "n_a",
+        "n_b",
+        F.when(e == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(F.round(chi2, 6))
+        .alias("chi2"),
+        F.when(e == F.lit(0.0), F.lit(None).cast("boolean"))
+        .otherwise(chi2 > F.lit(3.841458820694124))
+        .alias("srm_flag"),
+    )

@@ -5051,3 +5051,53 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_bucket"),
     )
     return l_diversity(docs, ["source", "size_bucket"], "lang", l=3)
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability bins against the hard filter rules)
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_SQL = f"""
+    WITH qc AS ({_classifier_sql()}),
+    qf AS ({_QUALITY_FILTERS_SQL}),
+    j AS (
+      SELECT qc.doc_id, qc.score,
+             CASE WHEN qf.keep THEN 1 ELSE 0 END AS y
+      FROM qc JOIN qf USING (doc_id)
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             score, y
+      FROM j
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS positive_rate,
+           ROUND(ABS(CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                 - CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)), 6) AS gap
+    FROM b GROUP BY 1
+"""
+
+
+@_q("q_calibration", _CALIBRATION_SQL)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the logistic quality scorer against the
+    HARD Gopher rule verdict: per confidence bin, mean predicted
+    probability vs observed keep rate and their gap (the per-bin ECE
+    decomposition) — the audit that must pass before
+    ``q_soft_quality_sample`` treats the score as a probability."""
+    from conte_to_fresco_etl_spark.operators.robust import calibration_bins
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_classifier,
+        quality_filters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select("doc_id", "score")
+    hard = quality_filters(docs).select("doc_id", "keep")
+    return calibration_bins(
+        scored.join(hard, "doc_id"), "score", "keep"
+    )

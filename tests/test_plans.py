@@ -541,6 +541,7 @@ BNLJ_ALLOWED = {
     "q_unigram_nll",            # corpus total (1-row broadcast)
     "q_perplexity_buckets",     # inherits unigram_nll corpus total (1-row)
     "q_rank_trend",             # corpus time bounds (1-row broadcast)
+    "q_cuped",                  # corpus time bounds (1-row broadcast)
 }
 
 

@@ -1652,3 +1652,56 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert out["c2"]["n_sensitive"] == 3 and out["c2"]["meets_l"]
     assert out["c2"]["top_frac"] == 0.5
     assert out["c3"]["n_sensitive"] == 2 and not out["c3"]["meets_l"]
+
+
+def test_calibration_bins_perfect_and_miscalibrated(spark):
+    from conte_to_fresco_etl_spark.operators.robust import calibration_bins
+
+    # perfectly calibrated: score 0.25 bin has 25% positives, etc.
+    rows = []
+    for score, pos_frac in [(0.25, 0.25), (0.75, 0.75)]:
+        for i in range(100):
+            rows.append((score, i < pos_frac * 100))
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y").collect()}
+    assert set(out) == {2, 7}
+    for b in out.values():
+        assert b["n"] == 100 and b["gap"] == 0.0
+        assert b["mean_score"] == b["positive_rate"]
+    # overconfident scorer: score 0.9 but only 30% positive -> gap 0.6
+    rows2 = [(0.9, i < 30) for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "score double, y boolean")
+    (r2,) = calibration_bins(df2, "score", "y").collect()
+    assert r2["bin"] == 9 and r2["gap"] == 0.6
+    # score exactly 1.0 clamps into the top bin
+    df3 = spark.createDataFrame([(1.0, True)], "score double, y boolean")
+    assert calibration_bins(df3, "score", "y").collect()[0]["bin"] == 9
+
+
+def test_cuped_removes_variance_from_correlated_covariate(spark):
+    from conte_to_fresco_etl_spark.operators.robust import cuped_adjustment
+
+    # per user: first-half level u, second-half level u + noise ->
+    # x and y strongly correlated -> large variance reduction
+    rows = []
+    for u in range(40):
+        base = float(10 + u)
+        for k in range(3):
+            rows.append((u, dt.datetime(2024, 1, 1 + k, 8), base))
+            rows.append(
+                (u, dt.datetime(2024, 2, 1 + k, 8), base + (u % 3) * 0.5)
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = cuped_adjustment(df, "user_id", "ts", "value").collect()[0]
+    assert out["n_keys"] == 40
+    assert out["theta"] is not None and out["theta"] > 0.9
+    assert out["var_adj"] < out["var_y"]
+    assert out["reduction_pct"] > 90.0
+    # constant covariate -> var(x)=0 -> NULL theta, no crash
+    const = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 8), 5.0) for u in range(10)]
+        + [(u, dt.datetime(2024, 2, 1, 8), float(u)) for u in range(10)],
+        "user_id long, ts timestamp, value double",
+    )
+    out2 = cuped_adjustment(const, "user_id", "ts", "value").collect()[0]
+    assert out2["theta"] is None and out2["var_adj"] is None

@@ -88,6 +88,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_calibration",         # NEW late-r6: classifier reliability bins
     "q_cuped",               # NEW late-r6: CUPED variance reduction
     "q_srm",                 # NEW late-r6: sample-ratio mismatch
+    "q_semantic_decontaminate",  # NEW late-r6: embedding decontamination
 ]
 
 PRIORITY: list[str] = [
@@ -164,6 +165,7 @@ PRIORITY: list[str] = [
     "q_calibration",
     "q_cuped",
     "q_srm",
+    "q_semantic_decontaminate",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -1477,3 +1477,77 @@ def served_ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    max_benchmark: int = 200_000,
+) -> DataFrame:
+    """Embedding-space decontamination: for every corpus vector, its
+    best cosine match in the BENCHMARK set and the ≥ threshold verdict
+    — the semantic complement to the n-gram ``decontaminate`` /
+    ``decontaminate_bloom`` pair (paraphrased eval items share no
+    n-grams but land next to the benchmark in embedding space).
+
+    Output per corpus vector: ``(vec_id, best_match_id, best_cosine,
+    contaminated)``.  Cosines round(6) BEFORE the argmax; ties break
+    to the lowest benchmark id; zero-norm vectors score 0.
+
+    Scale posture: the benchmark is the SMALL side by construction
+    (eval suites are thousands of items) — it broadcasts as a dense
+    float64 matrix (budgeted driver read, hard-capped at
+    ``max_benchmark`` with a loud error) while the corpus streams
+    through one BLAS matmul per Arrow batch.  No shuffle at all: the
+    verdict is map-side, the usual decontamination shape at 100 TB."""
+    capped = benchmark.select(id_col, vec_col).limit(max_benchmark + 1)
+    b_ids, b_mat, b_norms = _collect_matrix(capped, id_col, vec_col)
+    if b_ids.size > max_benchmark:
+        raise ValueError(
+            f"benchmark side exceeds max_benchmark={max_benchmark}; "
+            "LSH-bucket the corpus against it instead "
+            "(lsh_topk / embedding_neardup_lsh)"
+        )
+    if b_ids.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "vec_id long, best_match_id long, best_cosine double, "
+            "contaminated boolean",
+        )
+    order = np.argsort(b_ids)  # id-ascending: argmax ties -> lowest id
+    b_ids, b_mat, b_norms = b_ids[order], b_mat[order], b_norms[order]
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (b_ids, b_mat, b_norms)
+    )
+    thr = float(threshold)
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cos = _rounded_cosines(v, v_norms, mat_b, norms_b)
+            best_idx = cos.argmax(axis=1)  # first max -> lowest id
+            best = cos[np.arange(len(cos)), best_idx]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "best_match_id": ids_b[best_idx],
+                    "best_cosine": best,
+                    "contaminated": best >= thr,
+                }
+            )
+
+    return ensure_min_parallelism(
+        corpus.select(id_col, vec_col)
+    ).mapInPandas(
+        score_batches,
+        "vec_id long, best_match_id long, best_cosine double, "
+        "contaminated boolean",
+    )

@@ -5101,3 +5101,49 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         scored.join(hard, "doc_id"), "score", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space benchmark overlap)
+# ---------------------------------------------------------------------------
+
+_SEM_DECON_SQL = f"""
+    WITH {_VEC_CTE},
+    bench AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+    corp AS (SELECT * FROM n WHERE vec_id % 25 <> 0),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS bid,
+             ROUND(CASE WHEN c.nrm * b.nrm = 0 THEN 0.0
+                        ELSE list_dot_product(c.e, b.e) / (c.nrm * b.nrm)
+                   END, 6) AS cos
+      FROM corp c CROSS JOIN bench b
+    ),
+    best AS (
+      SELECT vec_id, bid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bid ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bid AS best_match_id, cos AS best_cosine,
+           cos >= 0.5 AS contaminated
+    FROM best WHERE rn = 1
+"""
+
+
+@_q("q_semantic_decontaminate", _SEM_DECON_SQL)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every corpus vector scored
+    against the held-out 'benchmark' slice (vec_id % 25 = 0), best
+    match + ≥0.5 verdict — catches the paraphrased eval leakage the
+    n-gram decontaminate pair cannot see.  Benchmark broadcasts as a
+    dense matrix, corpus streams through one matmul per Arrow batch —
+    zero shuffles."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) != 0),
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0),
+    )

@@ -89,6 +89,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_cuped",               # NEW late-r6: CUPED variance reduction
     "q_srm",                 # NEW late-r6: sample-ratio mismatch
     "q_semantic_decontaminate",  # NEW late-r6: embedding decontamination
+    "q_permutation_test",    # NEW late-r6: randomization test
 ]
 
 PRIORITY: list[str] = [
@@ -166,6 +167,7 @@ PRIORITY: list[str] = [
     "q_cuped",
     "q_srm",
     "q_semantic_decontaminate",
+    "q_permutation_test",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -1286,3 +1286,160 @@ def cuped_adjustment(
         )
         .alias("reduction_pct"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    id_col: str,
+    n_perms: int = 50,
+    seed: str = "perm",
+) -> DataFrame:
+    """Monte-Carlo randomization test for the difference of means —
+    the assumption-free member of the testing family (Welch assumes
+    near-normality, Mann-Whitney tests stochastic dominance; this
+    tests the sharp null 'labels don't matter' directly).  Each
+    replicate relabels every row independently with P(a) = n_a/n
+    (Bernoulli relabeling — the distributed-friendly form; an
+    exact count-preserving permutation would need a global shuffle
+    per replicate) and recomputes the mean difference; the p-value is
+    the add-one-smoothed fraction of replicates at least as extreme
+    as the observed difference.
+
+    Output — ONE row: ``(n_a, n_b, obs_diff, p_value, n_perms)``,
+    ROUND(6).
+
+    Exactness: relabeling uniforms are the chunked md5 form (one hash
+    per ten replicates, 12-bit substrings — the ``poisson_bootstrap_ci``
+    machinery); all sums are DECIMAL(18,4); every replicate difference
+    is the identical float tree in any engine, so the extremeness
+    comparison is deterministic.
+
+    Scale posture: the ×B relabeling is map-side with per-hash-group
+    columnar partial sums (2·chunks agg columns, no rows×B explode
+    before aggregation); group totals enter as a 1-row broadcast."""
+    chunks = 10
+    if n_perms % chunks:
+        raise ValueError("n_perms must be a multiple of 10")
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == group_a).alias("is_a"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+        F.col(id_col).cast("string").alias("__id"),
+    )
+    totals = two.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("s_a"),
+        F.sum("v").alias("s_tot"),
+    )
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    hashed = (
+        ensure_min_parallelism(two, DENSE_BYTES_PER_TASK)
+        .select(
+            "v",
+            "__id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_perms // chunks - 1))
+            ).alias("g"),
+        )
+        .select(
+            "v",
+            "g",
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col("g"), F.col("__id"))
+            ).alias("hx"),
+        )
+    )
+    with_u = hashed.select(
+        "v",
+        "g",
+        *[
+            (
+                F.conv(
+                    F.substring(F.col("hx"), 1 + 3 * c, 3), 16, 10
+                ).cast("double")
+                / F.lit(4096.0)
+            ).alias(f"u{c}")
+            for c in range(chunks)
+        ],
+    ).crossJoin(broadcast(totals.select("n_a", "n_b")))
+    frac_a = F.col("n_a").cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    per_g = with_u.groupBy("g").agg(
+        *[
+            agg
+            for c in range(chunks)
+            for agg in (
+                F.sum(
+                    F.when(F.col(f"u{c}") < frac_a, F.col("v"))
+                ).alias(f"sa{c}"),
+                F.sum(
+                    F.when(F.col(f"u{c}") < frac_a, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"na{c}"),
+            )
+        ]
+    )
+    reps = per_g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"sa{c}").alias("sa"),
+                        F.col(f"na{c}").alias("na"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p")
+    ).crossJoin(broadcast(totals))
+    n_tot = F.col("n_a") + F.col("n_b")
+    perm_diff = F.try_divide(
+        F.col("p.sa").cast("double"), F.col("p.na").cast("double")
+    ) - F.try_divide(
+        (F.col("s_tot") - F.col("p.sa")).cast("double"),
+        (n_tot - F.col("p.na")).cast("double"),
+    )
+    obs = F.col("s_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - (F.col("s_tot") - F.col("s_a")).cast("double") / F.col(
+        "n_b"
+    ).cast("double")
+    scored = reps.select(
+        F.when(F.abs(perm_diff) >= F.abs(obs), 1)
+        .otherwise(0)
+        .alias("extreme"),
+        F.col("n_a"),
+        F.col("n_b"),
+        obs.alias("obs"),
+    )
+    return scored.groupBy("n_a", "n_b", "obs").agg(
+        F.round(
+            (F.sum("extreme") + F.lit(1)).cast("double")
+            / (F.count("*") + F.lit(1)).cast("double"),
+            6,
+        ).alias("p_value"),
+        F.count("*").cast("long").alias("n_perms"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("obs"), 6).alias("obs_diff"),
+        "p_value",
+        "n_perms",
+    )

@@ -3380,3 +3380,89 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(chi2 > F.lit(3.841458820694124))
         .alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo permutation (randomization) test
+# ---------------------------------------------------------------------------
+
+_PERM_SQL = """
+    WITH two AS (
+      SELECT event_type = 'click' AS is_a,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             CAST(event_id AS VARCHAR) AS id
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN is_a THEN v END) AS s_a,
+             SUM(v) AS s_tot
+      FROM two
+    ),
+    grp AS (SELECT unnest(generate_series(0, 4)) AS g),
+    chunk AS (SELECT unnest(generate_series(0, 9)) AS c),
+    hashed AS (
+      SELECT t.v, g.g, md5('perm:' || g.g || ':' || t.id) AS hx
+      FROM two t CROSS JOIN grp g
+    ),
+    un AS (
+      SELECT v, g * 10 + c AS b,
+             CAST('0x' || substr(hx, 1 + 3 * c, 3) AS BIGINT)
+               / CAST(4096 AS DOUBLE) AS u
+      FROM hashed CROSS JOIN chunk
+    ),
+    asg AS (
+      SELECT b,
+             SUM(CASE WHEN u < CAST(n_a AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE)
+                      THEN v END) AS sa,
+             CAST(SUM(CASE WHEN u < CAST(n_a AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS na
+      FROM un CROSS JOIN tot
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT t.n_a, t.n_b,
+             CAST(t.s_a AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+               - CAST(t.s_tot - t.s_a AS DOUBLE)
+                 / CAST(t.n_b AS DOUBLE) AS obs,
+             CASE WHEN a.na = 0 OR a.na = t.n_a + t.n_b THEN NULL
+                  ELSE CAST(a.sa AS DOUBLE) / CAST(a.na AS DOUBLE)
+                       - CAST(t.s_tot - a.sa AS DOUBLE)
+                         / CAST(t.n_a + t.n_b - a.na AS DOUBLE)
+             END AS pd
+      FROM asg a CROSS JOIN tot t
+    ),
+    e AS (
+      SELECT n_a, n_b, obs,
+             CASE WHEN ABS(pd) >= ABS(obs) THEN 1 ELSE 0 END AS extreme
+      FROM r
+    )
+    SELECT n_a, n_b, ROUND(obs, 6) AS obs_diff,
+           ROUND((CAST(SUM(extreme) AS BIGINT) + 1)
+                 / (CAST(COUNT(*) AS DOUBLE) + 1), 6) AS p_value,
+           CAST(COUNT(*) AS BIGINT) AS n_perms
+    FROM e GROUP BY 1, 2, 3
+"""
+
+
+@_q("q_permutation_test", _PERM_SQL)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test on the 'click' vs 'view' mean
+    difference (50 Bernoulli relabelings from chunked md5 uniforms) —
+    the assumption-free member of the testing family next to Welch
+    and Mann-Whitney.  Map-side relabeling with columnar partial
+    sums; totals enter as 1-row broadcasts."""
+    from conte_to_fresco_etl_spark.operators.robust import permutation_test
+
+    return permutation_test(
+        _events(spark, sf_dir),
+        "event_type",
+        "value",
+        "click",
+        "view",
+        "event_id",
+    )

@@ -542,6 +542,7 @@ BNLJ_ALLOWED = {
     "q_perplexity_buckets",     # inherits unigram_nll corpus total (1-row)
     "q_rank_trend",             # corpus time bounds (1-row broadcast)
     "q_cuped",                  # corpus time bounds (1-row broadcast)
+    "q_permutation_test",       # group totals (1-row broadcast)
 }
 
 

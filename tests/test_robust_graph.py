@@ -1705,3 +1705,25 @@ def test_cuped_removes_variance_from_correlated_covariate(spark):
     )
     out2 = cuped_adjustment(const, "user_id", "ts", "value").collect()[0]
     assert out2["theta"] is None and out2["var_adj"] is None
+
+
+def test_permutation_test_separates_shifted_from_identical(spark):
+    from conte_to_fresco_etl_spark.operators.robust import permutation_test
+
+    # clearly shifted groups -> small p; same distribution -> large p
+    rows = [(i, "a", 10.0 + (i % 5)) for i in range(100)] + [
+        (1000 + i, "b", 30.0 + (i % 5)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = permutation_test(df, "g", "v", "a", "b", "id").collect()[0]
+    assert out["n_a"] == 100 and out["n_b"] == 100
+    assert out["obs_diff"] == -20.0
+    assert out["p_value"] <= 2.0 / 51.0  # no replicate as extreme
+    assert out["n_perms"] == 50
+    same = [(i, "a" if i % 2 else "b", float(10 + i % 7)) for i in range(200)]
+    df2 = spark.createDataFrame(same, "id long, g string, v double")
+    out2 = permutation_test(df2, "g", "v", "a", "b", "id").collect()[0]
+    assert out2["p_value"] > 0.2
+    # deterministic across runs
+    out3 = permutation_test(df2, "g", "v", "a", "b", "id").collect()[0]
+    assert out2 == out3

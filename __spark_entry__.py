@@ -90,6 +90,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_srm",                 # NEW late-r6: sample-ratio mismatch
     "q_semantic_decontaminate",  # NEW late-r6: embedding decontamination
     "q_permutation_test",    # NEW late-r6: randomization test
+    "q_image_neardup",       # NEW late-r6: aHash image near-dup via real codec
 ]
 
 PRIORITY: list[str] = [
@@ -168,6 +169,7 @@ PRIORITY: list[str] = [
     "q_srm",
     "q_semantic_decontaminate",
     "q_permutation_test",
+    "q_image_neardup",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -39,6 +39,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from conte_to_fresco_etl_spark.parallelism import (
     DENSE_BYTES_PER_TASK,
@@ -709,6 +710,116 @@ def extract_features(
 
     return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches, schema="media_id long, embedding array<float>"
+    )
+
+
+def ahash_signatures(
+    df: DataFrame, codec: Codec = strict_codec, bits: int = 32
+) -> DataFrame:
+    """(media_id, ahash: long) — perceptual average-hash per image.
+
+    Decode → integer grayscale (``(r + 2g + b) >> 2`` for RGB, the raw
+    value for single-channel) → one bit per pixel, set where the pixel
+    is strictly brighter than the image mean (compared in integer space
+    as ``bits * gray[p] > sum(gray)``, so no float threshold ambiguity).
+    The first ``bits`` pixels in row-major order contribute; canonical
+    aHash resizes to 8x8 first (compose with ``resize_images``), but the
+    hash itself is resolution-agnostic.  Images with fewer than ``bits``
+    pixels are skipped (a partial hash would alias against full ones).
+
+    Decoding and hashing happen inside one Arrow batch per partition —
+    payloads never leave the executor, and the output is a narrow
+    (id, long) table sized for a self-join."""
+    if bits < 1 or bits > 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if payload is None or mod != "image":
+                    continue
+                arr = codec(bytes(payload), mod)
+                if arr.ndim == 3 and arr.shape[2] == 3:
+                    px = arr.astype(np.int64)
+                    gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) >> 2
+                else:
+                    gray = arr.astype(np.int64)
+                flat = gray.ravel()[:bits]
+                if flat.size < bits:
+                    continue
+                bitvec = (bits * flat > flat.sum()).astype(np.int64)
+                ids.append(mid)
+                hashes.append(int((bitvec * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return ensure_min_parallelism(
+        df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK
+    ).mapInPandas(batches, schema="media_id long, ahash long")
+
+
+def ahash_neardup_pairs(
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a, id_b, hamming) with aHash
+    Hamming distance <= ``max_hamming`` — the multimodal twin of
+    ``dedup.simhash_pairs``.
+
+    Candidates via ``n_bands`` equal bit-band pigeonhole on the hash:
+    for ``max_hamming < n_bands`` a qualifying pair MUST agree exactly
+    on at least one band, so the band-bucket self-join is exact (no
+    recall loss) — never an all-pairs comparison.  At 100 TB the join
+    shuffles only (band, key)-bucketed narrow rows; the images
+    themselves were reduced to 64-bit signatures map-side."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must divide into {n_bands} bands")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    # Persist: both self-join branches read the signatures; decode +
+    # hash is the dominant cost.
+    sigs = ahash_signatures(df, codec=codec, bits=bits).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("ahash"), band_bits * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col("media_id"), F.col("ahash"), F.explode(band_structs).alias("b")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    ham = F.bit_count(F.col("l.ahash").bitwiseXOR(F.col("r.ahash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.b.band") == F.col("r.b.band"))
+            & (F.col("l.b.key") == F.col("r.b.key"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

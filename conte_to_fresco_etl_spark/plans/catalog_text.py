@@ -5147,3 +5147,94 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) != 0),
         emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (multimodal dedup through the real codec)
+# ---------------------------------------------------------------------------
+
+#: 8x4 RGB binary PPM, pixel bytes = ASCII hex chars (values 48..57 /
+#: 97..102), so the payload is valid UTF-8 AND both engines can derive
+#: the exact pixel bytes from md5 alone.  Pixels of docs sharing
+#: (source, lang) come from the same md5 chain; the red byte of pixels
+#: 0..2 is perturbed per-doc — same-group images differ in <= 3 gray
+#: values, so they land within aHash Hamming <= 3 of each other while
+#: cross-group hashes are independent 32-bit draws.
+_IMG_PPM_HEADER = "P6\n8 4\n255\n"
+
+_IMAGE_NEARDUP_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             md5(source || ':' || lang || ':0') ||
+             md5(source || ':' || lang || ':1') ||
+             md5(source || ':' || lang || ':2') AS bh,
+             md5('img:' || CAST(doc_id AS VARCHAR)) AS dh
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31), p ->
+               (ascii(CASE WHEN p <= 2 THEN substr(dh, p + 1, 1)
+                           ELSE substr(bh, 3 * p + 1, 1) END)
+                + 2 * ascii(substr(bh, 3 * p + 2, 1))
+                + ascii(substr(bh, 3 * p + 3, 1))) // 4) AS gs
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 31), p ->
+               CASE WHEN 32 * gs[p + 1] > list_sum(gs)
+                    THEN CAST(1 AS BIGINT) << p
+                    ELSE CAST(0 AS BIGINT) END)) AS ahash
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@_q("q_image_neardup", _IMAGE_NEARDUP_SQL)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: aHash over REAL decoded images.  Each doc is
+    packed into a valid 8x4 binary PPM whose pixel bytes are md5-derived
+    ASCII hex chars (same-template docs share a base image, three red
+    bytes perturbed per doc), shipped as a binary column, decoded by the
+    native PPM codec, average-hashed, and paired via the exact 4x8-bit
+    band pigeonhole join (``media.ahash_neardup_pairs``) — the image
+    twin of SimHash text dedup.  The oracle recomputes pixels, hash and
+    pairs from the md5 chain alone, so the full decode->hash->join path
+    is value-gated.  At 100 TB: decode+hash are map-side, the join
+    shuffles only (band, key, hash) rows."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        ahash_neardup_pairs,
+        numpy_codec,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gk = F.concat(F.col("source"), F.lit(":"), F.col("lang"))
+    bh = F.concat(
+        F.md5(F.concat(gk, F.lit(":0"))),
+        F.md5(F.concat(gk, F.lit(":1"))),
+        F.md5(F.concat(gk, F.lit(":2"))),
+    )
+    dh = F.md5(F.concat(F.lit("img:"), F.col("doc_id").cast("string")))
+    mixed = F.concat(
+        dh.substr(1, 1),
+        bh.substr(2, 2),
+        dh.substr(2, 1),
+        bh.substr(5, 2),
+        dh.substr(3, 1),
+        bh.substr(8, 89),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.concat(F.lit(_IMG_PPM_HEADER), mixed), "utf-8").alias(
+            "payload"
+        ),
+    )
+    return ahash_neardup_pairs(
+        media, codec=numpy_codec, bits=32, max_hamming=3, n_bands=4
+    )

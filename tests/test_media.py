@@ -1008,3 +1008,89 @@ def test_flac_long_stream_truncation_and_edges():
         encode_flac(sig[:100], lpc_order=33)
     with pytest.raises(ValueError, match="lpc_precision"):
         encode_flac(sig[:100], lpc_precision=16)
+
+
+# ---------------------------------------------------------------------------
+# aHash image near-dup
+# ---------------------------------------------------------------------------
+
+def _ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def _ref_ahash(pixels: np.ndarray, bits: int = 32) -> int:
+    px = pixels.astype(np.int64)
+    gray = ((px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) >> 2).ravel()[:bits]
+    s = int(gray.sum())
+    return sum(1 << p for p in range(bits) if bits * int(gray[p]) > s)
+
+
+def test_ahash_signature_matches_reference(spark):
+    from conte_to_fresco_etl_spark.operators.media import (
+        ahash_signatures,
+        numpy_codec,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (4, 8, 3)) for i in range(3)}
+    rows = [(i, "image", _ppm(a), (None, 8, 4, None, None)) for i, a in imgs.items()]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in ahash_signatures(df, codec=numpy_codec).collect()
+    }
+    assert got == {i: _ref_ahash(a) for i, a in imgs.items()}
+
+
+def test_ahash_neardup_twins_found_cross_pairs_not(spark):
+    """A perturbed twin (3 gray deltas) pairs with its base at small
+    Hamming; independent random images do not, and the banded join's
+    pair set equals the brute-force Hamming<=3 set (pigeonhole exact)."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        ahash_neardup_pairs,
+        ahash_signatures,
+        numpy_codec,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (4, 8, 3))
+    twin = base.copy()
+    twin[0, :3, 0] = (twin[0, :3, 0] + 96) % 256  # 3 red bytes shifted
+    others = [rng.integers(0, 256, (4, 8, 3)) for _ in range(6)]
+    imgs = [base, twin, *others]
+    rows = [
+        (i, "image", _ppm(a), (None, 8, 4, None, None))
+        for i, a in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(df, codec=numpy_codec).collect()
+    }
+    sigs = {
+        r["media_id"]: r["ahash"]
+        for r in ahash_signatures(df, codec=numpy_codec).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    assert (0, 1) in pairs  # the twin pair survives
+
+
+def test_ahash_guards():
+    from conte_to_fresco_etl_spark.operators.media import (
+        ahash_neardup_pairs,
+        ahash_signatures,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        ahash_signatures(None, bits=64)  # 64 needs the sign bit
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ahash_neardup_pairs(None, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="bands"):
+        ahash_neardup_pairs(None, bits=30, n_bands=4)

@@ -91,6 +91,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_semantic_decontaminate",  # NEW late-r6: embedding decontamination
     "q_permutation_test",    # NEW late-r6: randomization test
     "q_image_neardup",       # NEW late-r6: aHash image near-dup via real codec
+    "q_fk_orphans",          # NEW late-r6: referential-integrity audit
 ]
 
 PRIORITY: list[str] = [
@@ -170,6 +171,7 @@ PRIORITY: list[str] = [
     "q_semantic_decontaminate",
     "q_permutation_test",
     "q_image_neardup",
+    "q_fk_orphans",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

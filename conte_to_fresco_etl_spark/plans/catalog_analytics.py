@@ -3466,3 +3466,87 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view",
         "event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity (FK orphan) audit
+# ---------------------------------------------------------------------------
+
+#: (label, child table, fk column, parent table, pk column) — every FK
+#: edge in the testdata star schema plus the training-data coverage
+#: edges (documents<->embeddings, events->customer).
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id",
+     "customer", "c_custkey"),
+    ("documents.doc_id->embeddings.vec_id", "documents", "doc_id",
+     "embeddings", "vec_id"),
+    ("embeddings.vec_id->documents.doc_id", "embeddings", "vec_id",
+     "documents", "doc_id"),
+]
+
+
+def _fk_edge_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS edge,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_fk_keys,
+           CAST(COALESCE(SUM(CASE WHEN absent THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN absent THEN c ELSE 0 END), 0)
+                AS BIGINT) AS n_orphan_rows,
+           ROUND(COALESCE(
+             CAST(COALESCE(SUM(CASE WHEN absent THEN c ELSE 0 END), 0)
+                  AS DOUBLE)
+             / NULLIF(CAST(COALESCE(SUM(c), 0) AS DOUBLE), 0.0), 0.0), 6)
+             AS orphan_rate
+    FROM (
+      SELECT ck.k, ck.c, pk.k IS NULL AS absent
+      FROM (SELECT {fk} AS k, COUNT(*) AS c FROM {child}
+            WHERE {fk} IS NOT NULL GROUP BY 1) ck
+      LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) pk
+        ON ck.k = pk.k
+    )
+    """
+
+
+_FK_ORPHANS_SQL = "\nUNION ALL\n".join(
+    _fk_edge_sql(*edge) for edge in _FK_EDGES
+)
+
+
+@_q("q_fk_orphans", _FK_ORPHANS_SQL)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge in the schema —
+    fact->dimension, snowflake hops, and the training-data coverage
+    edges (does every document have an embedding and vice versa) —
+    per-edge row counts, distinct-key counts, orphan keys/rows and
+    orphan rate.  Each child collapses to its distinct-key count table
+    BEFORE touching the parent (``validation.referential_audit``), so
+    the 100 TB join input is |keys|, not |rows|."""
+    from conte_to_fresco_etl_spark.validation import referential_audit
+
+    tables = {name: _t(spark, sf_dir, name)
+              for name in {"region", "nation", "customer", "supplier",
+                           "part", "orders", "lineitem", "documents",
+                           "embeddings"}}
+    tables["events"] = _events(spark, sf_dir)
+    return referential_audit(
+        [
+            (label, tables[child], fk, tables[parent], pk)
+            for label, child, fk, parent, pk in _FK_EDGES
+        ]
+    )

@@ -645,3 +645,65 @@ def mixture_diversity(
         entropy6.alias("entropy"),
         F.round(F.exp(entropy6), 6).alias("effective_groups"),
     )
+
+
+def referential_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge —
+    ``(edge, n_rows, n_fk_keys, n_orphan_keys, n_orphan_rows,
+    orphan_rate)`` — the dataset-wide FK health table a pipeline checks
+    before joining fact to dimension (an orphan rate that jumps after an
+    ingest is the classic silent-partial-load signal).
+
+    ``edges`` is ``[(label, child_df, fk_col, parent_df, pk_col), ...]``.
+
+    Scale shape: each child collapses to its DISTINCT fk-key counts
+    FIRST (one key-partitioned aggregation over the narrow fk column),
+    and only that key table left-joins the parent's key set — at 100 TB
+    the join input is |distinct keys|, not |child rows|, and the final
+    union is edge-count rows.  NULL fks are excluded (SQL FK semantics:
+    NULL never violates)."""
+    outs = []
+    for label, child, fk_col, parent, pk_col in edges:
+        keys = (
+            child.select(F.col(fk_col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+        parent_keys = parent.select(F.col(pk_col).alias("k")).distinct()
+        orphans = keys.join(parent_keys, "k", "left_anti")
+        stats = keys.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count("*").alias("n_fk_keys"),
+        )
+        ostats = orphans.agg(
+            F.count("*").alias("n_orphan_keys"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+        )
+        outs.append(
+            stats.crossJoin(ostats).select(
+                F.lit(label).alias("edge"),
+                "n_rows",
+                "n_fk_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+                F.round(
+                    F.coalesce(
+                        F.try_divide(
+                            F.col("n_orphan_rows").cast("double"),
+                            F.col("n_rows").cast("double"),
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionAll(df)
+    return result

@@ -543,6 +543,7 @@ BNLJ_ALLOWED = {
     "q_rank_trend",             # corpus time bounds (1-row broadcast)
     "q_cuped",                  # corpus time bounds (1-row broadcast)
     "q_permutation_test",       # group totals (1-row broadcast)
+    "q_fk_orphans",             # per-edge 1-row stat x 1-row orphan stat
 }
 
 

@@ -268,3 +268,31 @@ def test_score_proportional_sample(spark):
         for r in score_proportional_sample(df.repartition(7), "score").collect()
     }
     assert again == {r["doc_id"] for r in kept}
+
+
+def test_referential_audit_orphans_nulls_and_empty(spark):
+    """Orphan keys/rows counted; NULL fks never violate; an empty child
+    yields a zero row instead of failing."""
+    from conte_to_fresco_etl_spark.validation import referential_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    empty = child.filter("fk > 1000")
+    out = {
+        r["edge"]: r
+        for r in referential_audit(
+            [
+                ("c->p", child, "fk", parent, "pk"),
+                ("empty->p", empty, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    r = out["c->p"]
+    assert (r["n_rows"], r["n_fk_keys"]) == (6, 3)  # NULL excluded
+    assert (r["n_orphan_keys"], r["n_orphan_rows"]) == (1, 3)  # key 99
+    assert r["orphan_rate"] == 0.5
+    e = out["empty->p"]
+    assert (e["n_rows"], e["n_fk_keys"], e["n_orphan_rows"]) == (0, 0, 0)
+    assert e["orphan_rate"] == 0.0

@@ -92,6 +92,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_permutation_test",    # NEW late-r6: randomization test
     "q_image_neardup",       # NEW late-r6: aHash image near-dup via real codec
     "q_fk_orphans",          # NEW late-r6: referential-integrity audit
+    "q_record_linkage",      # NEW late-r6: Fellegi-Sunter ER scoring
 ]
 
 PRIORITY: list[str] = [
@@ -172,6 +173,7 @@ PRIORITY: list[str] = [
     "q_permutation_test",
     "q_image_neardup",
     "q_fk_orphans",
+    "q_record_linkage",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

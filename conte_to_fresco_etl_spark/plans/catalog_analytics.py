@@ -3550,3 +3550,108 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for label, child, fk, parent, pk in _FK_EDGES
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage (probabilistic entity resolution)
+# ---------------------------------------------------------------------------
+
+#: (name, DuckDB value expr over customer, m prior).  The Spark side
+#: builds the identical expression tree in q_record_linkage.
+_FS_FIELDS = [
+    ("seg", "c_mktsegment", 0.9),
+    ("bal", "floor(CAST(c_acctbal AS DOUBLE) / 1000.0)", 0.85),
+    ("d1", "substr(c_name, length(c_name), 1)", 0.95),
+    ("d2", "substr(c_name, length(c_name) - 1, 1)", 0.7),
+]
+
+_FS_TOP_K = 200
+
+
+def _fs_u_cte(name: str) -> str:
+    return f"""
+    u_{name} AS (
+      SELECT LEAST(GREATEST(
+               CAST(SUM(c * c) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)),
+               1e-9), CAST(1.0 AS DOUBLE) - 1e-9) AS u
+      FROM (SELECT COUNT(*) AS c FROM n GROUP BY f_{name})
+    )"""
+
+
+def _fs_contrib_sql(name: str, m: float) -> str:
+    # Exact double literals via repr: DuckDB folds plain decimal
+    # arithmetic exactly (1.0 - 0.9 = 0.1) where Spark/Python fold in
+    # binary double (0.09999999999999998) — string-CAST pins both
+    # engines to the Python-computed double.
+    agree = f"a.f_{name} IS NOT DISTINCT FROM b.f_{name}"
+    w_a = (f"ROUND(log2(CAST('{m!r}' AS DOUBLE) / u_{name}.u), 12)")
+    w_d = (
+        f"ROUND(log2(CAST('{1.0 - m!r}' AS DOUBLE) "
+        f"/ (CAST(1.0 AS DOUBLE) - u_{name}.u)), 12)"
+    )
+    return (
+        f"CAST(CASE WHEN {agree} THEN {w_a} ELSE {w_d} END "
+        f"AS DECIMAL(28,12))"
+    )
+
+
+_FS_SQL = f"""
+    WITH n AS (
+      SELECT c_custkey AS id, c_nationkey AS blk,
+             {', '.join(f'{expr} AS f_{name}' for name, expr, _ in _FS_FIELDS)}
+      FROM customer
+    ),
+    {','.join(_fs_u_cte(name) for name, _, _ in _FS_FIELDS)}
+    SELECT a.id AS id_a, b.id AS id_b,
+           {', '.join(f'a.f_{name} IS NOT DISTINCT FROM b.f_{name} AS agree_{name}' for name, _, _ in _FS_FIELDS)},
+           ROUND(CAST({' + '.join(_fs_contrib_sql(name, m) for name, _, m in _FS_FIELDS)} AS DOUBLE), 6) AS score
+    FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+    {' '.join(f'CROSS JOIN u_{name}' for name, _, _ in _FS_FIELDS)}
+    ORDER BY score DESC, id_a, id_b
+    LIMIT {_FS_TOP_K}
+"""
+
+
+@_q("q_record_linkage", _FS_SQL)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer pairs: per-field agreement (segment, balance band, phone
+    prefix, address initial) weighted by log2(m/u) with u estimated
+    from the data (sum(freq^2)/n^2) and m as documented priors; top-200
+    candidate matches by score.  The scoring layer of entity resolution
+    on top of this engine's blocking operators (SNM, LSH, exact keys).
+    u-estimates enter the block-keyed pair join as 1-row broadcasts;
+    weights sum in DECIMAL for order-independence."""
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        FieldComparison,
+        fellegi_sunter_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment"),
+        F.col("c_acctbal"),
+        F.col("c_name"),
+    )
+    name_len = F.length(F.col("c_name"))
+    fields = [
+        FieldComparison("seg", F.col("c_mktsegment"), 0.9),
+        FieldComparison(
+            "bal",
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)),
+            0.85,
+        ),
+        FieldComparison(
+            "d1", F.col("c_name").substr(name_len, F.lit(1)), 0.95
+        ),
+        FieldComparison(
+            "d2",
+            F.col("c_name").substr(name_len - F.lit(1), F.lit(1)),
+            0.7,
+        ),
+    ]
+    return fellegi_sunter_pairs(
+        cust, "id", ["blk"], fields, top_k=_FS_TOP_K
+    )

@@ -544,6 +544,7 @@ BNLJ_ALLOWED = {
     "q_cuped",                  # corpus time bounds (1-row broadcast)
     "q_permutation_test",       # group totals (1-row broadcast)
     "q_fk_orphans",             # per-edge 1-row stat x 1-row orphan stat
+    "q_record_linkage",         # per-field u-estimate (1-row broadcast)
 }
 
 

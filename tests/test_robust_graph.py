@@ -1727,3 +1727,85 @@ def test_permutation_test_separates_shifted_from_identical(spark):
     # deterministic across runs
     out3 = permutation_test(df2, "g", "v", "a", "b", "id").collect()[0]
     assert out2 == out3
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage
+# ---------------------------------------------------------------------------
+
+def test_fellegi_sunter_score_matches_hand_computation(spark):
+    """Weights = log2(m/u) / log2((1-m)/(1-u)) with u = sum(freq^2)/n^2
+    from the data; NULL fields agree null-safely; the duplicate pair
+    outscores the rest and the score equals the Python recomputation."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        FieldComparison,
+        fellegi_sunter_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (id, block, city, band) — 1/2 same entity, 3 a near miss,
+        # 4 has NULL city (pairs with nobody on city except NULL)
+        (1, 0, "springfield", 5),
+        (2, 0, "springfield", 5),
+        (3, 0, "springfield", 7),
+        (4, 0, None, 5),
+        (5, 1, "shelbyville", 5),
+    ]
+    df = spark.createDataFrame(rows, "id int, blk int, city string, band int")
+    fields = [
+        FieldComparison("city", F.col("city"), 0.9),
+        FieldComparison("band", F.col("band"), 0.8),
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter_pairs(df, "id", ["blk"], fields).collect()
+    }
+    # block 0 -> C(4,2)=6 pairs, block 1 -> none
+    assert len(out) == 6
+
+    def u_of(vals):
+        from collections import Counter
+
+        n = len(vals)
+        s = sum(c * c for c in Counter(vals).values())
+        return min(max(s / (n * n), 1e-9), 1.0 - 1e-9)
+
+    u_city = u_of([r[2] for r in rows])
+    u_band = u_of([r[3] for r in rows])
+
+    def w(m, u, agree):
+        x = m / u if agree else (1.0 - m) / (1.0 - u)
+        return round(math.log2(x), 12)
+
+    exp_12 = round(w(0.9, u_city, True) + w(0.8, u_band, True), 6)
+    assert out[(1, 2)]["score"] == exp_12
+    assert out[(1, 2)]["agree_city"] and out[(1, 2)]["agree_band"]
+    # near miss: band differs
+    assert out[(1, 3)]["score"] == round(
+        w(0.9, u_city, True) + w(0.8, u_band, False), 6
+    )
+    # NULL city disagrees with a present city, null-safely
+    assert not out[(1, 4)]["agree_city"]
+    assert out[(1, 2)]["score"] == max(r["score"] for r in out.values())
+
+
+def test_fellegi_sunter_constant_field_clamped(spark):
+    """A constant field (u -> 1) must not produce infinite weights:
+    the clamp keeps both logs finite."""
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        FieldComparison,
+        fellegi_sunter_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, "x"), (3, 0, "x")], "id int, blk int, v string"
+    )
+    out = fellegi_sunter_pairs(
+        df, "id", ["blk"], [FieldComparison("v", F.col("v"), 0.9)]
+    ).collect()
+    assert len(out) == 3
+    assert all(abs(r["score"]) < 1e3 and r["score"] is not None for r in out)

@@ -93,6 +93,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_image_neardup",       # NEW late-r6: aHash image near-dup via real codec
     "q_fk_orphans",          # NEW late-r6: referential-integrity audit
     "q_record_linkage",      # NEW late-r6: Fellegi-Sunter ER scoring
+    "q_t_closeness",         # NEW late-r6: t-closeness privacy audit
 ]
 
 PRIORITY: list[str] = [
@@ -174,6 +175,7 @@ PRIORITY: list[str] = [
     "q_image_neardup",
     "q_fk_orphans",
     "q_record_linkage",
+    "q_t_closeness",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Detector patterns — shared verbatim with the DuckDB oracle.
@@ -217,4 +217,87 @@ def l_diversity(
             6,
         ).alias("top_frac"),
         (F.col("n_sensitive") >= F.lit(l)).alias("meets_l"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_max: float = 0.3,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute: per
+    quasi-identifier class, the Earth Mover's Distance between the
+    class's sensitive-value distribution and the global one —
+    ``t = sum_i |CumP_class(i) - CumP_global(i)| / (k - 1)`` over the
+    ``k`` distinct ordered values — plus the ``t <= t_max`` verdict.
+    Completes the k-anonymity / l-diversity / t-closeness trio: a class
+    can be k-anonymous and l-diverse yet still leak (its distribution
+    skewed far from the population's); this catches that.
+
+    Exactness: the EMD numerator is computed in INTEGER cross-product
+    space — ``sum |cum_class * N - cum_global * n_class|`` — with one
+    final double division by ``n_class * N * (k-1)``, so the value is
+    bit-exact and order-independent (no float cumsum drift).
+
+    Scale shape: everything after the first aggregation is
+    dimension-sized — (class x value) cells, a value-domain spine
+    broadcast onto classes, and class-partitioned cumulative windows.
+    The raw table is touched exactly once."""
+    cell = df.groupBy(
+        *[F.col(c) for c in quasi_cols],
+        F.col(sensitive_col).alias("__v"),
+    ).agg(F.count("*").alias("cnt"))
+    glob = cell.groupBy("__v").agg(F.sum("cnt").alias("gcnt"))
+    groups = cell.groupBy(*quasi_cols).agg(F.sum("cnt").alias("n_class"))
+    totals = glob.agg(
+        F.sum("gcnt").alias("n_total"), F.count("*").alias("k_values")
+    )
+    # Ordered-domain spine per class: every class must account for every
+    # sensitive value (a missing cell is probability 0, not "skip") —
+    # broadcast the value dimension onto the class dimension.
+    spine = groups.crossJoin(F.broadcast(glob))
+    filled = spine.join(cell, [*quasi_cols, "__v"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = filled.select(
+        *quasi_cols,
+        "n_class",
+        F.sum("cnt").over(w).alias("cum_class"),
+        F.sum("gcnt").over(w).alias("cum_global"),
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy(*quasi_cols, "n_class", "n_total", "k_values")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_class") * F.col("n_total")
+                    - F.col("cum_global") * F.col("n_class")
+                )
+            ).alias("emd_int")
+        )
+    )
+    t = F.round(
+        F.coalesce(
+            F.try_divide(
+                F.col("emd_int").cast("double"),
+                F.col("n_class").cast("double")
+                * F.col("n_total").cast("double")
+                * (F.col("k_values").cast("double") - F.lit(1.0)),
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return agg.select(
+        *quasi_cols,
+        F.col("n_class").cast("long").alias("n_class"),
+        t.alias("t_dist"),
+        (t <= F.lit(t_max)).alias("within_t"),
     )

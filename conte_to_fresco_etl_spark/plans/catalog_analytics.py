@@ -3655,3 +3655,81 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fellegi_sunter_pairs(
         cust, "id", ["blk"], fields, top_k=_FS_TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness privacy audit (completes k-anonymity / l-diversity trio)
+# ---------------------------------------------------------------------------
+
+_T_CLOSENESS_SQL = """
+    WITH c AS (
+      SELECT c_nationkey AS g1, c_mktsegment AS g2,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS v
+      FROM customer
+    ),
+    cell AS (
+      SELECT g1, g2, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2, 3
+    ),
+    gdist AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY 1),
+    grp AS (
+      SELECT g1, g2, CAST(SUM(cnt) AS BIGINT) AS n_class
+      FROM cell GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k_values
+      FROM gdist
+    ),
+    spine AS (SELECT g1, g2, n_class, v, gcnt FROM grp CROSS JOIN gdist),
+    filled AS (
+      SELECT s.g1, s.g2, s.n_class, s.v, s.gcnt,
+             COALESCE(cell.cnt, 0) AS cnt
+      FROM spine s
+      LEFT JOIN cell ON s.g1 = cell.g1 AND s.g2 = cell.g2 AND s.v = cell.v
+    ),
+    cum AS (
+      SELECT g1, g2, n_class,
+             SUM(cnt) OVER (PARTITION BY g1, g2 ORDER BY v) AS cum_class,
+             SUM(gcnt) OVER (PARTITION BY g1, g2 ORDER BY v) AS cum_global
+      FROM filled
+    ),
+    agg AS (
+      SELECT g1, g2, n_class, n_total, k_values,
+             SUM(ABS(cum_class * n_total - cum_global * n_class)) AS emd_int
+      FROM cum CROSS JOIN tot GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_nationkey, c_mktsegment, n_class, t_dist,
+           t_dist <= 0.3 AS within_t
+    FROM (
+      SELECT g1 AS c_nationkey, g2 AS c_mktsegment, n_class,
+             ROUND(COALESCE(
+               CAST(emd_int AS DOUBLE)
+               / NULLIF(CAST(n_class AS DOUBLE) * CAST(n_total AS DOUBLE)
+                        * (CAST(k_values AS DOUBLE) - 1.0), 0.0), 0.0), 6)
+               AS t_dist
+      FROM agg
+    )
+"""
+
+
+@_q("q_t_closeness", _T_CLOSENESS_SQL)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over (nation, segment) classes with the
+    account-balance band (ordered, ~11 values) as the sensitive
+    attribute: per-class EMD to the global distribution via exact
+    integer cross-product arithmetic, one final double division —
+    completing the k-anonymity / l-diversity / t-closeness privacy
+    trio.  Everything past the first aggregation is dimension-sized."""
+    from conte_to_fresco_etl_spark.operators.pii import t_closeness
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t_max=0.3
+    )

@@ -1809,3 +1809,38 @@ def test_fellegi_sunter_constant_field_clamped(spark):
     ).collect()
     assert len(out) == 3
     assert all(abs(r["score"]) < 1e3 and r["score"] is not None for r in out)
+
+
+def test_t_closeness_hand_computed_emd(spark):
+    """Two-value domain: class A is all 0s, class B is all 1s, global is
+    50/50 — both classes sit at EMD 0.5 from the population; a balanced
+    class sits at 0.  k=2 so the (k-1) normalizer is 1."""
+    from conte_to_fresco_etl_spark.operators.pii import t_closeness
+
+    rows = (
+        [("A", 0)] * 4 + [("B", 1)] * 4 + [("C", 0)] * 2 + [("C", 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = {
+        r["grp"]: r for r in t_closeness(df, ["grp"], "v", t_max=0.3).collect()
+    }
+    # global: 6 zeros / 6 ones.  Class A: cum diffs at v=0: |1-0.5|=0.5,
+    # at v=1: 0 -> t = 0.5.
+    assert out["A"]["t_dist"] == 0.5 and not out["A"]["within_t"]
+    assert out["B"]["t_dist"] == 0.5 and not out["B"]["within_t"]
+    assert out["C"]["t_dist"] == 0.0 and out["C"]["within_t"]
+    assert out["A"]["n_class"] == 4 and out["C"]["n_class"] == 4
+
+
+def test_t_closeness_single_value_domain_defined(spark):
+    """k=1 (every row shares one sensitive value): the (k-1) divisor is
+    zero — the audit must return t=0 (distributions identical), not
+    crash or NULL."""
+    from conte_to_fresco_etl_spark.operators.pii import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 7), ("A", 7), ("B", 7)], "grp string, v int"
+    )
+    out = t_closeness(df, ["grp"], "v").collect()
+    assert {r["t_dist"] for r in out} == {0.0}
+    assert all(r["within_t"] for r in out)

@@ -94,6 +94,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_fk_orphans",          # NEW late-r6: referential-integrity audit
     "q_record_linkage",      # NEW late-r6: Fellegi-Sunter ER scoring
     "q_t_closeness",         # NEW late-r6: t-closeness privacy audit
+    "q_kn_bigram_nll",       # NEW late-r6: Kneser-Ney bigram perplexity
 ]
 
 PRIORITY: list[str] = [
@@ -176,6 +177,7 @@ PRIORITY: list[str] = [
     "q_fk_orphans",
     "q_record_linkage",
     "q_t_closeness",
+    "q_kn_bigram_nll",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

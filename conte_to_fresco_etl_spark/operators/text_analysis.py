@@ -1751,3 +1751,108 @@ def heldout_nll(
             6,
         ).alias("heldout_nll"),
     )
+
+
+def kneser_ney_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    Kneser-Ney bigram LM trained on the corpus itself — the smoothing
+    family KenLM-style quality filters actually use, next to the add-α
+    baseline in ``bigram_nll``:
+
+        P(w|prev) = (c(prev,w) - D) / c(prev·)
+                    + D · N1+(prev·)/c(prev·) · N1+(·w)/T
+
+    with D the absolute discount, N1+(prev·) the distinct-continuation
+    count of ``prev``, N1+(·w) the distinct-history (continuation)
+    count of ``w``, and T the total number of distinct bigram types.
+    KN's insight: back off to how many CONTEXTS a word appears in, not
+    how often — "Francisco" is frequent but predictable only after
+    "San", and its continuation probability is correspondingly tiny.
+    Scoring the training corpus means every scored bigram has
+    c(prev,w) >= 1 > D, so the discounted term is always positive (the
+    unseen-bigram branch never arises and is omitted).
+
+    Returns (id, n_bigrams, nll) — nll rounded to 6; docs with < 2
+    tokens emit nothing.  Contributions round to 9 decimals and sum in
+    DECIMAL (order-independent, cross-engine exact).
+
+    Plan shape — identical skeleton to ``bigram_nll``: one
+    (doc, bigram) count shuffle (persisted), a bigram-keyed corpus agg,
+    then EVERY KN statistic (c(prev·), N1+(prev·), N1+(·w), T) derives
+    from that one agg — no second corpus pass — and joins back
+    broadcast.  At web scale swap broadcasts for bucketed joins."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    toks = tokens(F.col(text_col))
+    base = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col), F.col(text_col)), DENSE_BYTES_PER_TASK
+        )
+        .select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice("__toks", 1, F.size("__toks") - 1),
+                    F.slice("__toks", 2, F.size("__toks") - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("bigram"),
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("__cnt"))
+        .persist()
+    )
+    bc = tf.groupBy("bigram").agg(F.sum("__cnt").alias("__bc"))
+    prev = F.split(F.col("bigram"), " ", 2).getItem(0)
+    cur = F.split(F.col("bigram"), " ", 2).getItem(1)
+    pc = bc.groupBy(prev.alias("__prev")).agg(
+        F.sum("__bc").alias("__pc"), F.count("*").alias("__n1f")
+    )
+    cw = bc.groupBy(cur.alias("__cur")).agg(F.count("*").alias("__n1b"))
+    t_types = bc.agg(F.count("*").alias("__t"))
+    d = F.lit(discount)
+    bc_d = F.col("__bc").cast("double")
+    pc_d = F.col("__pc").cast("double")
+    n1f_d = F.col("__n1f").cast("double")
+    n1b_d = F.col("__n1b").cast("double")
+    t_d = F.col("__t").cast("double")
+    p = (bc_d - d) / pc_d + (d * n1f_d / pc_d) * (n1b_d / t_d)
+    term = (
+        bc.join(F.broadcast(pc), prev == F.col("__prev"))
+        .join(F.broadcast(cw), cur == F.col("__cur"))
+        .crossJoin(F.broadcast(t_types))
+        .select(
+            "bigram",
+            F.round(-F.log(p), 9).cast("decimal(18,9)").alias("__nlp"),
+        )
+    )
+    return (
+        tf.join(term, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum(
+                        F.col("__cnt").cast("decimal(10,0)")
+                        * F.col("__nlp")
+                    ).cast("double")
+                )
+                / F.sum("__cnt").cast("double"),
+                6,
+            ).alias("nll"),
+        )
+    )

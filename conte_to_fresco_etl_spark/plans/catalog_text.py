@@ -5238,3 +5238,65 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_neardup_pairs(
         media, codec=numpy_codec, bits=32, max_hamming=3, n_bands=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram perplexity scoring
+# ---------------------------------------------------------------------------
+
+_KN_BIGRAM_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    ne AS (SELECT * FROM base WHERE len(toks) >= 2),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM ne
+    ),
+    tf AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    bc AS (SELECT bigram, SUM(cnt) AS bcn FROM tf GROUP BY 1),
+    pc AS (
+      SELECT split_part(bigram, ' ', 1) AS prev, SUM(bcn) AS pcn,
+             COUNT(*) AS n1f
+      FROM bc GROUP BY 1
+    ),
+    cw AS (
+      SELECT split_part(bigram, ' ', 2) AS cur, COUNT(*) AS n1b
+      FROM bc GROUP BY 1
+    ),
+    tt AS (SELECT COUNT(*) AS tn FROM bc),
+    term AS (
+      SELECT bigram,
+             CAST(ROUND(-ln(
+               (CAST(bcn AS DOUBLE) - 0.75) / CAST(pcn AS DOUBLE)
+               + (0.75 * CAST(n1f AS DOUBLE) / CAST(pcn AS DOUBLE))
+                 * (CAST(n1b AS DOUBLE) / CAST(tn AS DOUBLE))), 9)
+                  AS DECIMAL(18,9)) AS nlp
+      FROM bc
+      JOIN pc ON split_part(bigram, ' ', 1) = prev
+      JOIN cw ON split_part(bigram, ' ', 2) = cur
+      CROSS JOIN tt
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(tf.cnt AS DECIMAL(10,0)) * t.nlp) AS DOUBLE)
+                 / CAST(SUM(tf.cnt) AS DOUBLE), 6) AS nll
+    FROM tf JOIN term t USING (bigram)
+    GROUP BY tf.doc_id
+"""
+
+
+@_q("q_kn_bigram_nll", _KN_BIGRAM_SQL)
+def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under an interpolated Kneser-Ney bigram LM —
+    the smoothing family production quality filters use (continuation
+    counts, not raw frequency, drive the backoff).  All KN statistics
+    derive from one bigram-count aggregation; contributions
+    decimal-sum."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        kneser_ney_nll,
+    )
+
+    return kneser_ney_nll(_t(spark, sf_dir, "documents"), discount=0.75)

@@ -747,3 +747,68 @@ def test_autocorrelation_perfect_cycle(spark):
     assert got[1]["n_pairs"] == 19 and got[4]["n_pairs"] == 16
     assert got[2]["acf"] > 0.85 and got[4]["acf"] > 0.7
     assert got[1]["acf"] < -0.85 and got[3]["acf"] < -0.8
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram NLL
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_matches_pure_python_reference(spark):
+    """Exact agreement with an independent Python KN implementation on a
+    corpus engineered so raw frequency and continuation counts diverge
+    ('francisco' is frequent but follows only 'san')."""
+    import math
+
+    import pytest
+    from collections import Counter, defaultdict
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        kneser_ney_nll,
+    )
+
+    docs = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "san diego san jose san francisco"),
+        (3, "new york new jersey new york"),
+        (4, "one"),  # single token: emits nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kneser_ney_nll(df).collect()}
+    assert 4 not in out
+
+    D = 0.75
+    big = defaultdict(Counter)
+    per_doc = {}
+    for did, text in docs:
+        ts = text.split()
+        per_doc[did] = list(zip(ts, ts[1:]))
+        for p, w in per_doc[did]:
+            big[p][w] += 1
+    n1b = Counter()
+    for p in big:
+        for w in big[p]:
+            n1b[w] += 1
+    T = sum(len(c) for c in big.values())
+
+    def p_kn(p, w):
+        cp = sum(big[p].values())
+        return (big[p][w] - D) / cp + (D * len(big[p]) / cp) * (n1b[w] / T)
+
+    for did, pairs in per_doc.items():
+        if len(pairs) == 0:
+            continue
+        contribs = Counter(pairs)
+        s = sum(
+            c * round(-math.log(p_kn(p, w)), 9)
+            for (p, w), c in contribs.items()
+        )
+        assert out[did]["n_bigrams"] == len(pairs)
+        assert out[did]["nll"] == pytest.approx(
+            round(s / len(pairs), 6), abs=2e-6
+        )
+    # KN sanity: within-corpus probabilities over seen continuations of a
+    # history must sum to < 1 (mass reserved for backoff to unseen words)
+    for p in big:
+        cp = sum(big[p].values())
+        mass = sum(p_kn(p, w) for w in big[p])
+        assert mass < 1.0 + 1e-9

@@ -95,6 +95,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_record_linkage",      # NEW late-r6: Fellegi-Sunter ER scoring
     "q_t_closeness",         # NEW late-r6: t-closeness privacy audit
     "q_kn_bigram_nll",       # NEW late-r6: Kneser-Ney bigram perplexity
+    "q_cosine_sim_join",     # NEW late-r6: TF-IDF cosine similarity join
 ]
 
 PRIORITY: list[str] = [
@@ -178,6 +179,7 @@ PRIORITY: list[str] = [
     "q_record_linkage",
     "q_t_closeness",
     "q_kn_bigram_nll",
+    "q_cosine_sim_join",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

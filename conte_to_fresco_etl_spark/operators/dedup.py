@@ -2070,3 +2070,83 @@ def snm_candidate_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    df_frac_cap: float = 0.10,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Weighted (idf-weighted set) cosine similarity join: all document
+    pairs with ``cos >= threshold`` under binary-TF TF-IDF over word
+    ``n``-gram shingles — the WEIGHTED sibling of the Jaccard/PPJoin
+    family (rare shared shingles count for more than common ones).
+
+    Sparse matrix product via the inverted index: the per-pair dot
+    product is one posting self-join on the term, grouped by the pair —
+    never an all-pairs comparison.  Any pair sharing zero terms has
+    cosine 0 < threshold, so the posting join is lossless for every
+    positive threshold.  Terms present in more than ``df_frac_cap`` of
+    documents are dropped from the VOCABULARY (weights and norms both) —
+    deterministic feature selection that bounds the join's Sigma df^2
+    fan-out; at 100 TB this cap is what keeps the term shuffle free of
+    stop-shingle skew.
+
+    Cross-engine exactness: per-term contribution is ROUND(ln(N/df)^2, 9)
+    summed as DECIMAL (order-independent) for both norms and dots;
+    cosine is one double division rounded to 6 before the threshold
+    compare and ordering.
+
+    Returns (id_a, id_b, cosine), id_a < id_b."""
+    posts = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
+    nd = posts.agg(F.countDistinct("__id").alias("__n"))
+    dfreq = posts.groupBy("tok").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        F.col("__n").cast("double") / F.col("__df").cast("double")
+    )
+    wterm = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("__df")
+            <= F.floor(F.lit(df_frac_cap) * F.col("__n")).cast("long")
+        )
+        .select(
+            "tok",
+            F.round(idf * idf, 9).cast("decimal(18,9)").alias("__w2"),
+        )
+    )
+    wp = posts.join(wterm, "tok").persist()
+    norms = wp.groupBy("__id").agg(
+        F.sqrt(F.sum("__w2").cast("double")).alias("__norm")
+    )
+    l, r = wp.alias("l"), wp.alias("r")
+    dots = (
+        l.join(
+            r,
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.sum("l.__w2").cast("double").alias("__dot"))
+    )
+    na = norms.select(
+        F.col("__id").alias("id_a"), F.col("__norm").alias("__na")
+    )
+    nb = norms.select(
+        F.col("__id").alias("id_b"), F.col("__norm").alias("__nb")
+    )
+    cos = F.round(
+        F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

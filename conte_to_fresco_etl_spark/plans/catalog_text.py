@@ -5300,3 +5300,69 @@ def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kneser_ney_nll(_t(spark, sf_dir, "documents"), discount=0.75)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine similarity join (weighted sibling of the Jaccard family)
+# ---------------------------------------------------------------------------
+
+_COSINE_SIM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    p AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')) END) AS tok
+      FROM t
+    ),
+    nd AS (SELECT COUNT(DISTINCT id) AS n FROM p),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY 1),
+    w AS (
+      SELECT tok,
+             CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS w2
+      FROM dfq CROSS JOIN nd
+      WHERE df <= CAST(floor(CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE))
+                       AS BIGINT)
+    ),
+    wp AS (SELECT p.id, p.tok, w.w2 FROM p JOIN w USING (tok)),
+    norms AS (
+      SELECT id, sqrt(CAST(SUM(w2) AS DOUBLE)) AS nrm FROM wp GROUP BY 1
+    ),
+    dots AS (
+      SELECT l.id AS id_a, r.id AS id_b, CAST(SUM(l.w2) AS DOUBLE) AS dot
+      FROM wp l JOIN wp r ON l.tok = r.tok AND l.id < r.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT d.id_a, d.id_b, ROUND(d.dot / (a.nrm * b.nrm), 6) AS cosine
+      FROM dots d
+      JOIN norms a ON d.id_a = a.id
+      JOIN norms b ON d.id_b = b.id
+    ) WHERE cosine >= 0.5
+"""
+
+
+@_q("q_cosine_sim_join", _COSINE_SIM_SQL)
+def q_cosine_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted similarity join: idf-weighted set cosine >= 0.5 over
+    3-gram shingles via the inverted-index sparse dot product (posting
+    self-join grouped by pair — lossless for any positive threshold,
+    never all-pairs).  Vocabulary df-capped at 10% of docs, which both
+    bounds the Sigma df^2 fan-out and drops stop-shingles.  Shares the
+    session-staged posting table with the Jaccard/PPJoin/containment
+    family."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        cache_key=(
+            spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
+        ),
+    )

@@ -866,3 +866,61 @@ def test_ann_index_persistence_round_trip(spark, sf_dir, tmp_path):
             )
     finally:
         sim.train_ivf_centroids = real_trainer
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine similarity join
+# ---------------------------------------------------------------------------
+
+def test_tfidf_cosine_matches_numpy_reference(spark):
+    """The posting-join cosine equals a dense numpy TF-IDF cosine on the
+    same capped vocabulary; twins score high, disjoint docs never pair."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-twin
+        (3, "one two three four five six seven eight"),
+        (4, "alpha beta gamma nine ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.01, df_frac_cap=0.6)
+        .collect()
+    }
+
+    def shingles(text):
+        ts = text.split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    n = len(sets)
+    dfreq = Counter(tok for s in sets.values() for tok in s)
+    cap = math.floor(0.6 * n)
+    vocab = sorted(t for t, d in dfreq.items() if d <= cap)
+    w2 = {
+        t: round(math.log(n / dfreq[t]) ** 2, 9) for t in vocab
+    }
+    exp = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = (sets[a] & sets[b]) & set(vocab)
+            if not shared:
+                continue
+            dot = float(sum(w2[t] for t in shared))
+            na = math.sqrt(float(sum(w2[t] for t in sets[a] if t in w2)))
+            nb = math.sqrt(float(sum(w2[t] for t in sets[b] if t in w2)))
+            c = round(dot / (na * nb), 6)
+            if c >= 0.01:
+                exp[(a, b)] = c
+    assert out == exp
+    assert (1, 2) in out  # the near-twin pair
+    assert (1, 3) not in out  # disjoint docs share no posting
+    assert out[(1, 2)] > out.get((1, 4), 0.0)

@@ -96,6 +96,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_t_closeness",         # NEW late-r6: t-closeness privacy audit
     "q_kn_bigram_nll",       # NEW late-r6: Kneser-Ney bigram perplexity
     "q_cosine_sim_join",     # NEW late-r6: TF-IDF cosine similarity join
+    "q_label_propagation",   # NEW late-r6: LPA communities on near-dup graph
 ]
 
 PRIORITY: list[str] = [
@@ -180,6 +181,7 @@ PRIORITY: list[str] = [
     "q_t_closeness",
     "q_kn_bigram_nll",
     "q_cosine_sim_join",
+    "q_label_propagation",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -498,3 +498,58 @@ def score_propagation(
             6,
         ).alias("smoothed"),
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected pair graph: every node starts as its own label; each
+    round every node adopts the MOST FREQUENT label among its neighbors
+    (ties broken toward the smallest label — fully deterministic, no
+    random visit order).  Unlike connected components (which merges
+    everything reachable), LPA respects community structure: a thin
+    bridge between two dense near-dup clusters does not glue them.
+
+    Returns (node, label) after ``rounds`` synchronous rounds.
+
+    Scale shape: per round, one edge->label join and one
+    (node, label) count aggregation, then a node-partitioned top-1
+    window over the collapsed count table — all label-/node-keyed
+    shuffles, nothing quadratic.  The plan is localCheckpointed each
+    round: the recurrence references the previous iterate once per
+    direction, and an unbroken lineage would fan out 2^rounds."""
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+        .distinct()
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("nlab").asc()
+    )
+    for _ in range(rounds):
+        cnt = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nlab")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), "nlab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlab").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

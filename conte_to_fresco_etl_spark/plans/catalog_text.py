@@ -5366,3 +5366,52 @@ def q_cosine_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.applicationId, sf_dir, "doc_id", "text", 3,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUND_SQL = """
+    c{r} AS (
+      SELECT e.a AS node, l.label AS nlab, COUNT(*) AS c
+      FROM e JOIN l{p} l ON e.b = l.node GROUP BY 1, 2
+    ),
+    l{r} AS (
+      SELECT node, nlab AS label FROM (
+        SELECT node, nlab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, nlab ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+
+_LPA_SQL = f"""
+    WITH pairs AS ({_MINHASH_SQL}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    {','.join(_LPA_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3))}
+    SELECT node, label FROM l3
+"""
+
+
+@_q("q_label_propagation", _LPA_SQL)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the gated near-dup graph: 3 synchronous
+    label-propagation rounds, most-frequent-neighbor label with
+    smallest-label tiebreak (fully deterministic).  The
+    community-respecting alternative to connected components — a thin
+    bridge between dense clusters does not merge them.  Per round: one
+    edge join + one collapsed (node,label) count + a node-partitioned
+    top-1 window; localCheckpoint breaks the iterate's lineage."""
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+    from conte_to_fresco_etl_spark.operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
+    )
+    return label_propagation(pairs, rounds=3)

@@ -1844,3 +1844,25 @@ def test_t_closeness_single_value_domain_defined(spark):
     out = t_closeness(df, ["grp"], "v").collect()
     assert {r["t_dist"] for r in out} == {0.0}
     assert all(r["within_t"] for r in out)
+
+
+def test_label_propagation_respects_communities(spark):
+    """Two dense triangles joined by one bridge edge: connected
+    components would merge them; LPA keeps two communities, each
+    labeled by its smallest member."""
+    from conte_to_fresco_etl_spark.operators.graph import label_propagation
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),      # triangle A
+        (4, 5), (5, 6), (4, 6),      # triangle B
+        (3, 4),                       # bridge
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # triangle A converges to its min label 1; triangle B converges to
+    # 3 (the min-label tiebreak pulls the bridge node's label across,
+    # hand-traced over the 3 synchronous rounds) — but the two
+    # communities stay DISTINCT, which is the property components lack
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 3

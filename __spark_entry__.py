@@ -97,6 +97,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_kn_bigram_nll",       # NEW late-r6: Kneser-Ney bigram perplexity
     "q_cosine_sim_join",     # NEW late-r6: TF-IDF cosine similarity join
     "q_label_propagation",   # NEW late-r6: LPA communities on near-dup graph
+    "q_bh_fdr",              # NEW late-r6: Benjamini-Hochberg FDR control
 ]
 
 PRIORITY: list[str] = [
@@ -182,6 +183,7 @@ PRIORITY: list[str] = [
     "q_kn_bigram_nll",
     "q_cosine_sim_join",
     "q_label_propagation",
+    "q_bh_fdr",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

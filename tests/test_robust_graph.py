@@ -1866,3 +1866,33 @@ def test_label_propagation_respects_communities(spark):
     # communities stay DISTINCT, which is the property components lack
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == out[5] == out[6] == 3
+
+
+def test_bh_fdr_matches_statsmodels_convention(spark):
+    """BH step-up on a known p-value ladder: adjusted values equal the
+    hand-computed min_{j>=i}(p_j * m / j) with the cap at 1, and the
+    discovery set is exactly the classic step-up rejection set."""
+    from conte_to_fresco_etl_spark.operators.robust import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212,
+          0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341, 0.384, 0.569,
+          0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "h int, p double"
+    )
+    out = {r["h"]: r for r in bh_fdr(df, "p", ["h"], q=0.05).collect()}
+    m = len(ps)
+    raws = [round(p * m / (i + 1), 12) for i, p in enumerate(ps)]
+    adj, run = [], 1.0
+    for r in reversed(raws):
+        run = min(run, r)
+        adj.append(run)
+    adj = [round(min(a, 1.0), 6) for a in reversed(adj)]
+    for i in range(m):
+        assert out[i]["p_adjusted"] == adj[i]
+        assert out[i]["rank"] == i + 1
+    # step-up at q=.05: only p=0.001 survives (adj p2 = 0.008*25/2 = 0.1)
+    assert {h for h, r in out.items() if r["discovery"]} == {0}
+    # monotone non-decreasing in rank
+    seq = [out[i]["p_adjusted"] for i in range(m)]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))

@@ -98,6 +98,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_cosine_sim_join",     # NEW late-r6: TF-IDF cosine similarity join
     "q_label_propagation",   # NEW late-r6: LPA communities on near-dup graph
     "q_bh_fdr",              # NEW late-r6: Benjamini-Hochberg FDR control
+    "q_tokenizer_fertility", # NEW late-r6: per-lang BPE fertility audit
 ]
 
 PRIORITY: list[str] = [
@@ -184,6 +185,7 @@ PRIORITY: list[str] = [
     "q_cosine_sim_join",
     "q_label_propagation",
     "q_bh_fdr",
+    "q_tokenizer_fertility",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -5415,3 +5415,109 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
     )
     return label_propagation(pairs, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit (composes the gated BPE tokenizer)
+# ---------------------------------------------------------------------------
+
+def _tokenizer_fertility_sql() -> str | None:
+    """Oracle: aggregate the pure-Python BPE twin's per-doc counts by
+    language, joined back to documents for char volume."""
+    merges = _gate_bpe_merges(6)
+    docs = _gate_docs()
+    if merges is None or docs is None:
+        return None
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+
+    rows = []
+    for did, text in zip(docs[0], docs[1]):
+        if text is None:
+            continue
+        toks = _py_tokens(text)
+        merged = _py_apply_merges(list(toks), merges)
+        after = 0 if merged in ([], [""]) else len(merged)
+        rows.append((did, len(toks), after))
+    if not rows:
+        return None
+    values = ",\n        ".join(f"({d}, {b}, {a})" for d, b, a in rows)
+    return f"""
+    WITH per AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_before AS BIGINT) AS n_before,
+             CAST(n_after AS BIGINT) AS n_after
+      FROM (VALUES
+        {values}
+      ) AS t(doc_id, n_before, n_after)
+    ),
+    d AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS nc
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(n_before) AS BIGINT) AS n_words,
+           CAST(SUM(n_after) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(CAST(SUM(nc) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n_after) AS DOUBLE), 0.0), 0.0), 6)
+             AS chars_per_token,
+           ROUND(COALESCE(CAST(SUM(n_after) AS DOUBLE)
+                 / NULLIF(CAST(SUM(n_before) AS DOUBLE), 0.0), 0.0), 6)
+             AS fertility
+    FROM d JOIN per USING (doc_id)
+    GROUP BY lang
+"""
+
+
+@_q("q_tokenizer_fertility", _tokenizer_fertility_sql())
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: chars/token and
+    tokens/word under the gate-trained BPE merge table — the
+    cross-lingual cost report (a language with high fertility pays more
+    sequence length per word) every multilingual-tokenizer decision
+    reads.  Composes the trained tokenizer as a map-side projection with
+    one language-keyed aggregation; integer sums, two final guarded
+    divisions."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        apply_bpe_merges,
+    )
+
+    merges = _gate_bpe_merges(6) or []
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = apply_bpe_merges(docs, merges).select(
+        "doc_id", "n_tokens_before", "n_tokens_after"
+    )
+    base = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("nc")
+    )
+    return (
+        base.join(per, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("n_tokens_before").cast("long").alias("n_words"),
+            F.sum("n_tokens_after").cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.sum("nc").cast("double"),
+                        F.sum("n_tokens_after").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.sum("n_tokens_after").cast("double"),
+                        F.sum("n_tokens_before").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("fertility"),
+        )
+    )

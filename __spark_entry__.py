@@ -99,6 +99,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_label_propagation",   # NEW late-r6: LPA communities on near-dup graph
     "q_bh_fdr",              # NEW late-r6: Benjamini-Hochberg FDR control
     "q_tokenizer_fertility", # NEW late-r6: per-lang BPE fertility audit
+    "q_audio_neardup",       # NEW late-r6: audio energy-hash near-dup
 ]
 
 PRIORITY: list[str] = [
@@ -186,6 +187,7 @@ PRIORITY: list[str] = [
     "q_label_propagation",
     "q_bh_fdr",
     "q_tokenizer_fertility",
+    "q_audio_neardup",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -761,23 +761,23 @@ def ahash_signatures(
     ).mapInPandas(batches, schema="media_id long, ahash long")
 
 
-def ahash_neardup_pairs(
-    df: DataFrame,
-    codec: Codec = strict_codec,
-    bits: int = 32,
+def hamming_band_pairs(
+    sigs: DataFrame,
+    bits: int,
     max_hamming: int = 3,
     n_bands: int = 4,
+    sig_col: str = "sig",
+    id_col: str = "media_id",
 ) -> DataFrame:
-    """Image near-duplicate pairs (id_a, id_b, hamming) with aHash
-    Hamming distance <= ``max_hamming`` — the multimodal twin of
-    ``dedup.simhash_pairs``.
-
-    Candidates via ``n_bands`` equal bit-band pigeonhole on the hash:
+    """All (id_a, id_b, hamming) pairs with signature Hamming distance
+    <= ``max_hamming`` via the ``n_bands`` equal bit-band pigeonhole:
     for ``max_hamming < n_bands`` a qualifying pair MUST agree exactly
     on at least one band, so the band-bucket self-join is exact (no
     recall loss) — never an all-pairs comparison.  At 100 TB the join
-    shuffles only (band, key)-bucketed narrow rows; the images
-    themselves were reduced to 64-bit signatures map-side."""
+    shuffles only (band, key)-bucketed narrow rows; the media payloads
+    were reduced to <= 64-bit signatures map-side.  Shared by the image
+    aHash and audio energy-hash pairers (and structurally identical to
+    ``dedup.simhash_pairs``)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole exactness needs max_hamming < n_bands "
@@ -789,12 +789,12 @@ def ahash_neardup_pairs(
     mask = (1 << band_bits) - 1
     # Persist: both self-join branches read the signatures; decode +
     # hash is the dominant cost.
-    sigs = ahash_signatures(df, codec=codec, bits=bits).persist()
+    sigs = sigs.persist()
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(F.col("ahash"), band_bits * i)
+                F.shiftright(F.col(sig_col), band_bits * i)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
@@ -802,24 +802,106 @@ def ahash_neardup_pairs(
         ]
     )
     exploded = sigs.select(
-        F.col("media_id"), F.col("ahash"), F.explode(band_structs).alias("b")
+        F.col(id_col), F.col(sig_col), F.explode(band_structs).alias("b")
     )
     l, r = exploded.alias("l"), exploded.alias("r")
-    ham = F.bit_count(F.col("l.ahash").bitwiseXOR(F.col("r.ahash")))
+    ham = F.bit_count(
+        F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
+    )
     return (
         l.join(
             r,
             (F.col("l.b.band") == F.col("r.b.band"))
             & (F.col("l.b.key") == F.col("r.b.key"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
-            F.col("l.media_id").alias("id_a"),
-            F.col("r.media_id").alias("id_b"),
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ahash_neardup_pairs(
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a, id_b, hamming) with aHash
+    Hamming distance <= ``max_hamming`` — the multimodal twin of
+    ``dedup.simhash_pairs``.  Decode + hash map-side
+    (``ahash_signatures``), then the exact band-pigeonhole join."""
+    return hamming_band_pairs(
+        ahash_signatures(df, codec=codec, bits=bits),
+        bits=bits,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        sig_col="ahash",
+    )
+
+
+def audio_energy_signatures(
+    df: DataFrame, codec: Codec = strict_codec, n_windows: int = 32
+) -> DataFrame:
+    """(media_id, ehash: long) — energy-hash fingerprint per audio clip:
+    decode PCM samples, recover exact integers (the codec normalizes by
+    the power-of-two 32768, so the round-trip is lossless), split into
+    ``n_windows`` equal windows, sum |sample| per window, one bit per
+    window set where the window's energy is strictly above the clip
+    mean (integer compare ``n_windows * e_w > sum(e)``) — the audio
+    analogue of the image aHash, robust to small per-sample edits.
+    Clips whose sample count does not fill the window grid are skipped
+    (a partial fingerprint would alias against full ones)."""
+    if n_windows < 1 or n_windows > 63:
+        raise ValueError(f"n_windows must be in [1, 63], got {n_windows}")
+    weights = (1 << np.arange(n_windows, dtype=np.int64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if payload is None or mod != "audio":
+                    continue
+                arr = codec(bytes(payload), mod)
+                ints = np.rint(
+                    arr.astype(np.float64).ravel() * 32768.0
+                ).astype(np.int64)
+                if ints.size == 0 or ints.size % n_windows != 0:
+                    continue
+                e = np.abs(ints).reshape(n_windows, -1).sum(axis=1)
+                bitvec = (n_windows * e > e.sum()).astype(np.int64)
+                ids.append(mid)
+                hashes.append(int((bitvec * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "ehash": hashes})
+
+    return ensure_min_parallelism(
+        df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK
+    ).mapInPandas(batches, schema="media_id long, ehash long")
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    n_windows: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Audio near-duplicate pairs (id_a, id_b, hamming) by energy-hash
+    Hamming distance — same exact band-pigeonhole join as the image
+    pairer, fed by the WAV/FLAC decode path."""
+    return hamming_band_pairs(
+        audio_energy_signatures(df, codec=codec, n_windows=n_windows),
+        bits=n_windows,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        sig_col="ehash",
     )
 
 

@@ -5521,3 +5521,108 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-hash near-dup (multimodal dedup through the real WAV codec)
+# ---------------------------------------------------------------------------
+
+def _wav_header_hex() -> str:
+    """44-byte canonical RIFF/WAVE header for mono PCM16, 64 samples at
+    8 kHz — the binary prefix of every synthesized clip (Spark builds
+    payloads with unhex; the oracle derives samples from the hex chain
+    and never touches the binary)."""
+    import struct
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 128) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 128)
+    )
+    return hdr.hex()
+
+
+_WAV_HDR_HEX = _wav_header_hex()
+
+_AUDIO_NEARDUP_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             {' || '.join(f"md5(source || ':' || lang || ':a{i}')" for i in range(8))} AS bh,
+             md5('aud:' || CAST(doc_id AS VARCHAR)) AS dh
+      FROM documents
+    ),
+    mx AS (
+      SELECT doc_id,
+             substr(dh, 1, 2) || substr(bh, 3, 2) || substr(dh, 3, 2)
+             || substr(bh, 7, 2) || substr(dh, 5, 2) || substr(bh, 11, 246)
+               AS m
+      FROM d
+    ),
+    sg AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(0, 63), i ->
+                 CAST('0x' || substr(m, 4 * i + 1, 2) AS BIGINT)
+                 + 256 * CAST('0x' || substr(m, 4 * i + 3, 2) AS BIGINT)),
+               u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ss
+      FROM mx
+    ),
+    e AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31), w ->
+               abs(ss[2 * w + 1]) + abs(ss[2 * w + 2])) AS es
+      FROM sg
+    ),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 31), w ->
+               CASE WHEN 32 * es[w + 1] > list_sum(es)
+                    THEN CAST(1 AS BIGINT) << w
+                    ELSE CAST(0 AS BIGINT) END)) AS ehash
+      FROM e
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+"""
+
+
+@_q("q_audio_neardup", _AUDIO_NEARDUP_SQL)
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup, audio edition: each doc becomes a VALID mono
+    PCM16 WAV (binary header via unhex + md5-derived sample bytes;
+    same-template docs share a base clip, three low bytes perturbed per
+    doc), decoded by the native RIFF/WAV codec, energy-hash
+    fingerprinted (32 window-energy bits vs the clip mean), and paired
+    via the exact band-pigeonhole join — the audio twin of
+    ``q_image_neardup``.  The oracle recomputes samples, energies, hash
+    and pairs from the md5 chain alone, value-gating the full
+    decode->fingerprint->join path."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        audio_neardup_pairs,
+        numpy_codec,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gk = F.concat(F.col("source"), F.lit(":"), F.col("lang"))
+    bh = F.concat(
+        *[F.md5(F.concat(gk, F.lit(f":a{i}"))) for i in range(8)]
+    )
+    dh = F.md5(F.concat(F.lit("aud:"), F.col("doc_id").cast("string")))
+    mixed = F.concat(
+        dh.substr(1, 2),
+        bh.substr(3, 2),
+        dh.substr(3, 2),
+        bh.substr(7, 2),
+        dh.substr(5, 2),
+        bh.substr(11, 246),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(F.concat(F.lit(_WAV_HDR_HEX), mixed)).alias("payload"),
+    )
+    return audio_neardup_pairs(
+        media, codec=numpy_codec, n_windows=32, max_hamming=3, n_bands=4
+    )

@@ -1094,3 +1094,66 @@ def test_ahash_guards():
         ahash_neardup_pairs(None, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="bands"):
         ahash_neardup_pairs(None, bits=30, n_bands=4)
+
+
+def test_audio_energy_signature_matches_reference(spark):
+    """Energy-hash over a real WAV round-trip equals the integer
+    reference; a 3-low-byte perturbed twin pairs with its base."""
+    import struct
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        audio_energy_signatures,
+        audio_neardup_pairs,
+        numpy_codec,
+    )
+
+    def wav(samples):
+        body = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+
+    def ref_hash(samples, n_windows=32):
+        e = [
+            sum(abs(s) for s in samples[i::1][: len(samples) // n_windows])
+            for i in range(0, len(samples), len(samples) // n_windows)
+        ]
+        tot = sum(e)
+        return sum(
+            1 << w for w in range(n_windows) if n_windows * e[w] > tot
+        )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-32768, 32768, 64).tolist()
+    twin = list(base)
+    for i in range(3):  # change the low byte of samples 0..2
+        twin[i] = (twin[i] & ~0xFF) | ((twin[i] + 77) & 0xFF)
+    other = rng.integers(-32768, 32768, 64).tolist()
+    rows = [
+        (1, "audio", wav(base), (None, None, None, 64, 8000)),
+        (2, "audio", wav(twin), (None, None, None, 64, 8000)),
+        (3, "audio", wav(other), (None, None, None, 64, 8000)),
+        (4, "audio", wav(base[:62]), (None, None, None, 62, 8000)),  # skip
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = {
+        r["media_id"]: r["ehash"]
+        for r in audio_energy_signatures(df, codec=numpy_codec).collect()
+    }
+    assert 4 not in sigs  # 62 samples don't fill the 32-window grid
+    for mid, samples in [(1, base), (2, twin), (3, other)]:
+        assert sigs[mid] == ref_hash(samples)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_neardup_pairs(df, codec=numpy_codec).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    assert (1, 2) in pairs

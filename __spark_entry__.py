@@ -100,6 +100,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_bh_fdr",              # NEW late-r6: Benjamini-Hochberg FDR control
     "q_tokenizer_fertility", # NEW late-r6: per-lang BPE fertility audit
     "q_audio_neardup",       # NEW late-r6: audio energy-hash near-dup
+    "q_compaction_plan",     # NEW late-r6: small-file compaction planner
 ]
 
 PRIORITY: list[str] = [
@@ -188,6 +189,7 @@ PRIORITY: list[str] = [
     "q_bh_fdr",
     "q_tokenizer_fertility",
     "q_audio_neardup",
+    "q_compaction_plan",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

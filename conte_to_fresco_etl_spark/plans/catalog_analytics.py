@@ -3885,3 +3885,45 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_adjusted",
         "discovery",
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (lakehouse OPTIMIZE planning)
+# ---------------------------------------------------------------------------
+
+_COMPACTION_SQL = """
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    b AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor((cum - n_chars) / 20000) AS BIGINT) AS bin
+      FROM f
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_size,
+           MIN(doc_id) AS first_key,
+           MAX(doc_id) AS last_key,
+           CAST(SUM(n_chars) AS BIGINT) < 10000 AS undersized
+    FROM b GROUP BY 1, 2
+"""
+
+
+@_q("q_compaction_plan", _COMPACTION_SQL)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over the per-source document 'file' manifest:
+    greedy sequential bins closing at 20k chars, per-bin file counts /
+    sizes / key ranges and an undersized-tail flag — the maintenance
+    query a 100 TB table's OPTIMIZE cycle starts from.  One
+    partition-keyed cumulative window over the manifest plus one
+    (partition, bin) aggregate; file contents are never read."""
+    from conte_to_fresco_etl_spark.validation import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return compaction_plan(docs, "source", "n_chars", "doc_id", 20000)

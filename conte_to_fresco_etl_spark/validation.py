@@ -707,3 +707,50 @@ def referential_audit(
     for df in outs[1:]:
         result = result.unionAll(df)
     return result
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    size_col: str,
+    order_col: str,
+    target: int,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE planning step): within
+    each partition, files are walked in ``order_col`` order and greedily
+    coalesced into sequential bins that close once the running size
+    crosses ``target`` — ``bin = floor(bytes_before_this_file /
+    target)``, the deterministic one-pass equivalent of first-fit on a
+    sorted list.  Emits one row per planned output file: ``(partition,
+    bin, n_files, total_size, first/last order key, undersized)`` with
+    ``undersized`` marking tail bins below ``target/2`` (candidates to
+    merge into a neighbor partition's plan or leave for the next cycle).
+
+    Scale shape: one partition-keyed cumulative-sum window over the FILE
+    manifest (manifest-sized, not data-sized — this never reads the
+    files), then a (partition, bin) aggregation."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.select(
+        F.col(part_col),
+        F.col(order_col),
+        F.col(size_col),
+        F.floor(
+            (F.sum(size_col).over(w) - F.col(size_col))
+            / F.lit(target).cast("long")
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy(part_col, "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum(size_col).cast("long").alias("total_size"),
+        F.min(order_col).alias("first_key"),
+        F.max(order_col).alias("last_key"),
+        (F.sum(size_col).cast("long") < F.lit(target // 2)).alias(
+            "undersized"
+        ),
+    )

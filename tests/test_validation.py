@@ -296,3 +296,30 @@ def test_referential_audit_orphans_nulls_and_empty(spark):
     e = out["empty->p"]
     assert (e["n_rows"], e["n_fk_keys"], e["n_orphan_rows"]) == (0, 0, 0)
     assert e["orphan_rate"] == 0.0
+
+
+def test_compaction_plan_greedy_bins(spark):
+    """Bins close once the running size crosses the target; a straddling
+    file stays in the bin it started in; undersized tails flagged."""
+    from conte_to_fresco_etl_spark.validation import compaction_plan
+
+    files = [
+        ("p", 1, 60), ("p", 2, 50),   # bin 0: cum_before 0, 60
+        ("p", 3, 70),                 # cum_before 110 -> bin 1
+        ("p", 4, 10),                 # cum_before 180 -> bin 1
+        ("p", 5, 30),                 # cum_before 190 -> bin 1
+        ("p", 6, 5),                  # cum_before 220 -> bin 2 (tail)
+        ("q", 7, 300),                # bin 0 alone (oversized file)
+    ]
+    df = spark.createDataFrame(files, "part string, k int, sz int")
+    out = {
+        (r["part"], r["bin"]): r
+        for r in compaction_plan(df, "part", "sz", "k", 100).collect()
+    }
+    assert out[("p", 0)]["n_files"] == 2
+    assert out[("p", 0)]["total_size"] == 110
+    assert (out[("p", 1)]["n_files"], out[("p", 1)]["total_size"]) == (3, 110)
+    assert out[("p", 2)]["total_size"] == 5 and out[("p", 2)]["undersized"]
+    assert not out[("p", 0)]["undersized"]
+    assert out[("q", 0)]["n_files"] == 1  # single oversized file, own bin
+    assert (out[("p", 1)]["first_key"], out[("p", 1)]["last_key"]) == (3, 5)

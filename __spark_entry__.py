@@ -101,6 +101,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_tokenizer_fertility", # NEW late-r6: per-lang BPE fertility audit
     "q_audio_neardup",       # NEW late-r6: audio energy-hash near-dup
     "q_compaction_plan",     # NEW late-r6: small-file compaction planner
+    "q_token_label_mi",      # NEW late-r6: token-label mutual information
 ]
 
 PRIORITY: list[str] = [
@@ -190,6 +191,7 @@ PRIORITY: list[str] = [
     "q_tokenizer_fertility",
     "q_audio_neardup",
     "q_compaction_plan",
+    "q_token_label_mi",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

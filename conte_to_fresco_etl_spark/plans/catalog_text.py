@@ -5626,3 +5626,124 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_neardup_pairs(
         media, codec=numpy_codec, n_windows=32, max_hamming=3, n_bands=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-label mutual information (feature selection for quality filtering)
+# ---------------------------------------------------------------------------
+
+def _mi_cell_sql(cnt: str, rt: str, ct: str) -> str:
+    return (
+        f"CAST(CASE WHEN {cnt} > 0 THEN "
+        f"ROUND((CAST({cnt} AS DOUBLE) / CAST(n AS DOUBLE)) * "
+        f"ln((CAST({cnt} AS DOUBLE) * CAST(n AS DOUBLE)) "
+        f"/ (CAST({rt} AS DOUBLE) * CAST({ct} AS DOUBLE))), 12) "
+        f"ELSE 0 END AS DECIMAL(18,12))"
+    )
+
+
+_TOKEN_MI_SQL = f"""
+    WITH qf AS ({_QUALITY_FILTERS_SQL}),
+    lab AS (
+      SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS y FROM qf
+    ),
+    p AS (
+      SELECT DISTINCT d.doc_id, t.tok
+      FROM documents d, UNNEST({_sql_tokens('d.text')}) AS t(tok)
+    ),
+    nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM lab
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY 1),
+    top AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok ASC LIMIT 32),
+    tp AS (
+      SELECT p.tok, CAST(COUNT(*) AS BIGINT) AS n_with,
+             CAST(SUM(l.y) AS BIGINT) AS n_with_keep
+      FROM p JOIN lab l USING (doc_id) JOIN top USING (tok)
+      GROUP BY 1
+    )
+    SELECT tok, n_with, n_with_keep,
+           ROUND(CAST(
+             {_mi_cell_sql('n_with_keep', 'n_with', 'n_pos')}
+             + {_mi_cell_sql('n_with - n_with_keep', 'n_with', 'n - n_pos')}
+             + {_mi_cell_sql('n_pos - n_with_keep', 'n - n_with', 'n_pos')}
+             + {_mi_cell_sql('n - n_with - (n_pos - n_with_keep)',
+                             'n - n_with', 'n - n_pos')}
+           AS DOUBLE), 6) AS mi
+    FROM tp CROSS JOIN nd
+"""
+
+
+@_q("q_token_label_mi", _TOKEN_MI_SQL)
+def q_token_label_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature selection for the quality classifier: mutual information
+    between each of the 32 most frequent tokens' document presence and
+    the hard Gopher keep/drop verdict — the screening statistic that
+    ranks which lexical features actually carry label signal (PMI's
+    label-supervised sibling).  All four contingency cells derive from
+    one (doc, token) posting pass + the 1-row label total; per-cell
+    contributions round to 12 decimals and sum in DECIMAL."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_filters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = quality_filters(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("y")
+    )
+    p = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    nd = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    dfq = p.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    top = dfq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(32)
+    tp = (
+        p.join(F.broadcast(top.select("tok")), "tok")
+        .join(lab, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("n_with"),
+            F.sum("y").cast("long").alias("n_with_keep"),
+        )
+    )
+
+    def cell(cnt, rt, ct):
+        n_d = F.col("n").cast("double")
+        return (
+            F.when(
+                cnt > 0,
+                F.round(
+                    (cnt.cast("double") / n_d)
+                    * F.log(
+                        (cnt.cast("double") * n_d)
+                        / (rt.cast("double") * ct.cast("double"))
+                    ),
+                    12,
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("decimal(18,12)")
+        )
+
+    nw = F.col("n_with")
+    nwk = F.col("n_with_keep")
+    n = F.col("n")
+    npos = F.col("n_pos")
+    mi = F.round(
+        (
+            cell(nwk, nw, npos)
+            + cell(nw - nwk, nw, n - npos)
+            + cell(npos - nwk, n - nw, npos)
+            + cell(n - nw - (npos - nwk), n - nw, n - npos)
+        ).cast("double"),
+        6,
+    )
+    return tp.crossJoin(F.broadcast(nd)).select(
+        "tok", "n_with", "n_with_keep", mi.alias("mi")
+    )

@@ -528,6 +528,7 @@ BNLJ_ALLOWED = {
     "q_kn_bigram_nll",          # bigram-type total (1-row broadcast)
     "q_cosine_sim_join",        # corpus doc-count (1-row broadcast)
     "q_bh_fdr",                 # corpus moments + m (1-row broadcasts)
+    "q_token_label_mi",         # label totals (1-row broadcast)
     "q_bm25_topk",              # corpus doc count + avg len (1-row)
     "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
     "q_dq_report",              # corpus stat row (1-row broadcast)

@@ -761,6 +761,18 @@ def ahash_signatures(
     ).mapInPandas(batches, schema="media_id long, ahash long")
 
 
+def _validate_band_params(bits: int, max_hamming: int, n_bands: int) -> None:
+    """Pigeonhole-exactness preconditions for the band self-join;
+    callable before any signature computation touches the input."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must divide into {n_bands} bands")
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     bits: int,
@@ -778,13 +790,7 @@ def hamming_band_pairs(
     were reduced to <= 64-bit signatures map-side.  Shared by the image
     aHash and audio energy-hash pairers (and structurally identical to
     ``dedup.simhash_pairs``)."""
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"pigeonhole exactness needs max_hamming < n_bands "
-            f"(got {max_hamming} >= {n_bands})"
-        )
-    if bits % n_bands != 0:
-        raise ValueError(f"bits ({bits}) must divide into {n_bands} bands")
+    _validate_band_params(bits, max_hamming, n_bands)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     # Persist: both self-join branches read the signatures; decode +
@@ -836,6 +842,7 @@ def ahash_neardup_pairs(
     Hamming distance <= ``max_hamming`` — the multimodal twin of
     ``dedup.simhash_pairs``.  Decode + hash map-side
     (``ahash_signatures``), then the exact band-pigeonhole join."""
+    _validate_band_params(bits, max_hamming, n_bands)
     return hamming_band_pairs(
         ahash_signatures(df, codec=codec, bits=bits),
         bits=bits,
@@ -896,6 +903,7 @@ def audio_neardup_pairs(
     """Audio near-duplicate pairs (id_a, id_b, hamming) by energy-hash
     Hamming distance — same exact band-pigeonhole join as the image
     pairer, fed by the WAV/FLAC decode path."""
+    _validate_band_params(n_windows, max_hamming, n_bands)
     return hamming_band_pairs(
         audio_energy_signatures(df, codec=codec, n_windows=n_windows),
         bits=n_windows,

@@ -102,6 +102,8 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_audio_neardup",       # NEW late-r6: audio energy-hash near-dup
     "q_compaction_plan",     # NEW late-r6: small-file compaction planner
     "q_token_label_mi",      # NEW late-r6: token-label mutual information
+    "q_mann_kendall",        # NEW late-r6: Mann-Kendall + Theil-Sen trend
+    "q_roc_auc",             # NEW late-r6: rank-based ROC AUC per slice
 ]
 
 PRIORITY: list[str] = [
@@ -192,6 +194,8 @@ PRIORITY: list[str] = [
     "q_audio_neardup",
     "q_compaction_plan",
     "q_token_label_mi",
+    "q_mann_kendall",
+    "q_roc_auc",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

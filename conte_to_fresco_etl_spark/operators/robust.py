@@ -1492,3 +1492,175 @@ def bh_fdr(
     ).withColumn(
         "discovery", F.col("p_adjusted") <= F.lit(float(q))
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per group — the
+    nonparametric "is this metric drifting" monitor a pipeline runs on
+    per-bucket (daily) series where a least-squares slope would be
+    wrecked by one outlier day (robust twin of ``grouped_linreg``, as
+    ``mad_outliers`` is to z-scores).
+
+    Input: one row per (group, bucket) — an already-collapsed series
+    (compose with a bucketing aggregate).  ``bucket_col`` must be
+    castable to a number (day index, epoch day).
+
+    Output per group: ``(group, n_buckets, s_stat, var_s, z,
+    sen_slope)`` — the Kendall S statistic, its tie-corrected variance,
+    the continuity-corrected normal z (NULL when var = 0 or n < 2),
+    and the Theil-Sen median of pairwise slopes (deterministic median:
+    mean of the two middle slopes under a (slope, i, j) total order).
+
+    Scale posture: the pairwise self-join runs on the COLLAPSED series
+    (n buckets → n(n-1)/2 pairs per group, e.g. 30 days → 435 rows),
+    never on raw events; the rank window for the median is partitioned
+    by group over those dimension-sized pair sets.  Tie variance
+    derives from per-distinct-value counts, a second dimension-sized
+    aggregate."""
+    ser = df.select(
+        F.col(group_col).alias("g"),
+        F.col(bucket_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.col("a.t").alias("ti"),
+        F.col("b.t").alias("tj"),
+        F.signum(F.col("b.v") - F.col("a.v")).alias("sgn"),
+        F.round(
+            (F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t")),
+            6,
+        ).alias("slope"),
+    )
+    w_rank = Window.partitionBy("g").orderBy("slope", "ti", "tj")
+    ranked = pairs.select(
+        "g", "sgn", "slope", F.row_number().over(w_rank).alias("rk")
+    )
+    # median = mean of the two middle slopes (ranks floor((m+1)/2) and
+    # floor((m+2)/2), identical when m is odd): join the pair count
+    # back and filter the middle ranks
+    counts = pairs.groupBy("g").agg(F.count("*").alias("m"))
+    mid = (
+        ranked.join(broadcast(counts), "g")
+        .filter(
+            (F.col("rk") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rk") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("g")
+        .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
+    )
+    stats = pairs.groupBy("g").agg(F.sum("sgn").cast("long").alias("s_stat"))
+    n_b = ser.groupBy("g").agg(F.count("*").alias("n_buckets"))
+    ties = (
+        ser.groupBy("g", "v")
+        .agg(F.count("*").alias("tn"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("tn") * (F.col("tn") - 1) * (2 * F.col("tn") + 5)
+            ).alias("tie_term")
+        )
+    )
+    joined = (
+        n_b.join(stats, "g", "left")
+        .join(ties, "g", "left")
+        .join(mid, "g", "left")
+    )
+    n = F.col("n_buckets").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0)).cast("double")
+    ) / F.lit(18.0)
+    s = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+    z = F.when(s > 0, (s - 1) / F.sqrt(var_s)).when(
+        s < 0, (s + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("g").alias(group_col),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.when(
+            (F.col("n_buckets") < 2) | (var_s <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.col("sen_slope"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label, computed
+    exactly from midranks (the Mann-Whitney identity
+    ``AUC = U_pos / (n_pos · n_neg)``) — the evaluation a quality-
+    classifier pipeline runs to rank features/model versions, sibling
+    of ``calibration_bins`` (which audits probabilities; AUC audits
+    ordering).
+
+    Output per group: ``(group, n_pos, n_neg, auc)`` with ties handled
+    by midranks; AUC is NULL when either class is empty.
+
+    Scale posture: the corpus collapses to the per-(group, distinct
+    score) count table first; the cumulative midrank window is
+    partitioned by group over that collapsed table (|distinct scores|
+    rows), exactly the ``mannwhitney_u`` discipline — never a rank
+    window over raw rows."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(label_col).cast("int").alias("y"),
+        F.col(score_col).cast("double").alias("s"),
+    ).filter(F.col("y").isNotNull() & F.col("s").isNotNull())
+    per_s = base.groupBy("g", "s").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("cn"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tie_n = F.col("cp") + F.col("cn")
+    ranked = per_s.select(
+        "g",
+        "cp",
+        "cn",
+        (
+            F.lit(2) * (F.sum(tie_n).over(w) - tie_n) + tie_n + F.lit(1)
+        ).alias("midrank_x2"),
+    )
+    agg = ranked.groupBy("g").agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(F.col("cp") * F.col("midrank_x2")).alias("r_pos2"),
+    )
+    np_, nn_ = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    u_pos = (
+        F.col("r_pos2").cast("double") / F.lit(2.0)
+        - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(u_pos / (np_ * nn_), 6))
+        .alias("auc"),
+    )

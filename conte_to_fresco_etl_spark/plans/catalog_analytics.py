@@ -3927,3 +3927,170 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_chars"
     )
     return compaction_plan(docs, "source", "n_chars", "doc_id", 20000)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope per event type
+# ---------------------------------------------------------------------------
+
+_MANN_KENDALL_SQL = """
+    WITH ser AS (
+      SELECT event_type AS g,
+             CAST(dd AS DOUBLE) AS t,
+             CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+               value AS v
+        FROM events WHERE value IS NOT NULL
+      ) GROUP BY 1, dd
+    ),
+    pairs AS (
+      SELECT a.g AS g, a.t AS ti, b.t AS tj,
+             CAST(SIGN(b.v - a.v) AS DOUBLE) AS sgn,
+             ROUND((b.v - a.v) / (b.t - a.t), 6) AS slope
+      FROM ser a JOIN ser b ON a.g = b.g AND a.t < b.t
+    ),
+    ranked AS (
+      SELECT g, slope,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope, ti, tj)
+               AS rk
+      FROM pairs
+    ),
+    cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM pairs GROUP BY 1),
+    mid AS (
+      SELECT r.g AS g, ROUND(AVG(slope), 6) AS sen_slope
+      FROM ranked r JOIN cnt c ON r.g = c.g
+      WHERE rk = floor((m + 1) / 2) OR rk = floor((m + 2) / 2)
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT g, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY 1
+    ),
+    n_b AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM ser GROUP BY 1
+    ),
+    ties AS (
+      SELECT g, CAST(SUM(tn * (tn - 1) * (2 * tn + 5)) AS BIGINT)
+               AS tie_term
+      FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS tn
+            FROM ser GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    joined AS (
+      SELECT n_b.g AS g, n_buckets,
+             COALESCE(s_stat, 0) AS s_stat,
+             COALESCE(CAST(tie_term AS DOUBLE), 0.0e0) AS tie_d,
+             sen_slope,
+             CAST(n_buckets AS DOUBLE) AS n_d
+      FROM n_b
+      LEFT JOIN stats ON n_b.g = stats.g
+      LEFT JOIN ties ON n_b.g = ties.g
+      LEFT JOIN mid ON n_b.g = mid.g
+    )
+    SELECT g AS event_type,
+           n_buckets,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           ROUND(var_s, 6) AS var_s,
+           CASE WHEN n_buckets < 2 OR var_s <= 0.0e0 THEN NULL
+                ELSE ROUND(CASE
+                  WHEN s_d > 0.0e0 THEN (s_d - 1.0e0) / sqrt(var_s)
+                  WHEN s_d < 0.0e0 THEN (s_d + 1.0e0) / sqrt(var_s)
+                  ELSE 0.0e0 END, 6)
+           END AS z,
+           sen_slope
+    FROM (
+      SELECT g, n_buckets, s_stat, sen_slope,
+             CAST(s_stat AS DOUBLE) AS s_d,
+             (n_d * (n_d - 1.0e0) * (2.0e0 * n_d + 5.0e0) - tie_d)
+               / 18.0e0 AS var_s
+      FROM joined
+    )
+"""
+
+
+@_q("q_mann_kendall", _MANN_KENDALL_SQL)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's daily volume-weighted value drifting?
+    Mann-Kendall S / tie-corrected variance / continuity-corrected z
+    plus the Theil-Sen median slope per event type — the robust trend
+    monitor (one outlier day cannot wreck the slope, unlike least
+    squares in ``q_trend_slope``).  The corpus collapses to the
+    5x30 (event_type, day) decimal-exact series FIRST; the pairwise
+    self-join and median-rank window run on those ~435 pairs per
+    group, never on raw events."""
+    from conte_to_fresco_etl_spark.operators.robust import mann_kendall_trend
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+            "day_idx"
+        ),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("daily_value")
+    )
+    return mann_kendall_trend(daily, "event_type", "day_idx", "daily_value")
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC per source (rank-based, midrank ties)
+# ---------------------------------------------------------------------------
+
+_ROC_AUC_SQL = """
+    WITH base AS (
+      SELECT source AS g, CAST(lang = 'en' AS INT) AS y,
+             CAST(n_chars AS DOUBLE) AS s
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    per_s AS (
+      SELECT g, s,
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      FROM base GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT g, cp, cn,
+             2 * (SUM(cp + cn) OVER (PARTITION BY g ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING)
+                  - (cp + cn)) + (cp + cn) + 1 AS midrank_x2
+      FROM per_s
+    ),
+    agg AS (
+      SELECT g, CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(cn) AS BIGINT) AS n_neg,
+             CAST(SUM(cp * midrank_x2) AS BIGINT) AS r_pos2
+      FROM ranked GROUP BY 1
+    )
+    SELECT g AS source, n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE ROUND((CAST(r_pos2 AS DOUBLE) / 2.0e0
+                            - CAST(n_pos AS DOUBLE)
+                              * (CAST(n_pos AS DOUBLE) + 1.0e0) / 2.0e0)
+                           / (CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)), 6)
+           END AS auc
+    FROM agg
+"""
+
+
+@_q("q_roc_auc", _ROC_AUC_SQL)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of document length as an is-English score:
+    the exact rank-based AUC via the Mann-Whitney identity
+    ``AUC = U_pos / (n_pos * n_neg)`` with midrank tie handling — the
+    ordering-quality evaluation a quality-classifier pipeline runs per
+    slice (``q_calibration`` audits the probabilities; this audits the
+    ranking).  The corpus collapses to per-(source, distinct score)
+    class counts FIRST; the cumulative midrank window is partitioned
+    by source over that collapsed table, never over raw rows."""
+    from conte_to_fresco_etl_spark.operators.robust import roc_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        F.col("n_chars").cast("double").alias("len_score"),
+    )
+    return roc_auc(docs, "source", "is_en", "len_score")

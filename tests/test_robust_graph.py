@@ -1558,6 +1558,17 @@ def _q4(v: float) -> float:
     )
 
 
+def _r6(v: float) -> float:
+    """Round like Spark's F.round(v, 6): HALF_UP, not banker's."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 @settings(max_examples=6, deadline=None)
 @given(value_lists, value_lists)
 def test_welch_ttest_antisymmetric_and_bruteforce(spark, xs, ys):
@@ -1896,3 +1907,79 @@ def test_bh_fdr_matches_statsmodels_convention(spark):
     # monotone non-decreasing in rank
     seq = [out[i]["p_adjusted"] for i in range(m)]
     assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.floats(0.0, 50.0, allow_nan=False, width=16),
+                min_size=1, max_size=20))
+def test_mann_kendall_matches_bruteforce(spark, vals):
+    """S, tie-corrected variance, continuity-corrected z, and the
+    deterministic Theil-Sen median all match an O(n²) brute force on
+    random series (including constant series, where z must be NULL)."""
+    from conte_to_fresco_etl_spark.operators.robust import mann_kendall_trend
+
+    rows = [("g", float(d), float(v)) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = mann_kendall_trend(df, "g", "t", "v").collect()[0]
+
+    n = len(vals)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = vals[j] - vals[i]
+            s += (d > 0) - (d < 0)
+            slopes.append((_r6(d / (j - i)), float(i), float(j)))
+    from collections import Counter
+
+    ties = Counter(vals)
+    tie_term = sum(tn * (tn - 1) * (2 * tn + 5) for tn in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+
+    assert out["n_buckets"] == n
+    assert out["s_stat"] == s
+    assert abs(out["var_s"] - _r6(var_s)) < 1e-9
+    if n < 2 or var_s <= 0:
+        assert out["z"] is None
+    else:
+        z = (
+            (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+        )
+        assert abs(out["z"] - _r6(z)) < 1e-9
+    if not slopes:
+        assert out["sen_slope"] is None
+    else:
+        ordered = sorted(slopes)
+        m = len(ordered)
+        lo = ordered[(m + 1) // 2 - 1][0]
+        hi = ordered[(m + 2) // 2 - 1][0]
+        assert abs(out["sen_slope"] - _r6((lo + hi) / 2.0)) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 8)),
+                min_size=1, max_size=40))
+def test_roc_auc_matches_pairwise_count(spark, pts):
+    """Midrank AUC == the pairwise definition
+    (#(pos>neg) + 0.5·ties) / (n_pos·n_neg) on random tied data, and
+    NULL when either class is empty."""
+    from conte_to_fresco_etl_spark.operators.robust import roc_auc
+
+    rows = [("g", int(y), float(s)) for y, s in pts]
+    df = spark.createDataFrame(rows, "g string, y int, s double")
+    out = roc_auc(df, "g", "y", "s").collect()[0]
+
+    pos = [s for y, s in pts if y == 1]
+    neg = [s for y, s in pts if y == 0]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert out["auc"] is None
+        return
+    wins = sum(
+        1.0 if p > q_ else (0.5 if p == q_ else 0.0)
+        for p in pos
+        for q_ in neg
+    )
+    assert abs(out["auc"] - _r6(wins / (len(pos) * len(neg)))) < 1e-9

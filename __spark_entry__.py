@@ -104,6 +104,9 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_token_label_mi",      # NEW late-r6: token-label mutual information
     "q_mann_kendall",        # NEW late-r6: Mann-Kendall + Theil-Sen trend
     "q_roc_auc",             # NEW late-r6: rank-based ROC AUC per slice
+    "q_kmv_overlap",         # NEW late-r6: KMV sketch pairwise overlap
+    "q_vocab_growth",        # NEW late-r6: Heaps-law saturation audit
+    "q_rrf_fusion",          # NEW late-r6: reciprocal-rank fusion
 ]
 
 PRIORITY: list[str] = [
@@ -196,6 +199,9 @@ PRIORITY: list[str] = [
     "q_token_label_mi",
     "q_mann_kendall",
     "q_roc_auc",
+    "q_kmv_overlap",
+    "q_vocab_growth",
+    "q_rrf_fusion",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

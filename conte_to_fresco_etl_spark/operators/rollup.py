@@ -237,3 +237,148 @@ def count_min_topk(
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
     ).orderBy(F.desc("exact_n"), F.asc("item"))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_n: int = 5,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups via K-Minimum-Values
+    sketches — the theta-sketch product (Druid/DataSketches family):
+    per-group distinct-shingle cardinality, union cardinality for every
+    group pair from the merged sketch, and the inclusion-exclusion
+    intersection + Jaccard estimates.  The set-intersection question
+    HLL cannot answer (HLL unions only; ``distinct_rollup`` covers
+    that axis) — this is how "how much does source A's content overlap
+    source B's" is asked at 100 TB without a distinct-join.
+
+    Hashing is the portable ``md5(seed:shingle)`` 60-bit uniform, so
+    the sketch — and therefore every estimate — is a pure deterministic
+    function of the corpus: exactly reproducible across runs, engines,
+    and partitionings (the property the DuckDB oracle gates).  KMV
+    estimator: ``(k-1) / u_(k)`` with ``u_(k)`` the k-th smallest
+    unit-uniform; exact count when a group holds fewer than k values.
+
+    Scale posture: one distinct-(group, hash) aggregation over the
+    shingle explode, then the per-group k-min is a ``row_number <= k``
+    that Spark executes as WindowGroupLimit (map-side partial top-k —
+    each task forwards at most k rows per group, the shuffle never
+    carries the full distinct set).  Everything downstream operates on
+    |groups| x k sketch rows: the pair generation, union re-sketch,
+    and estimates are dimension-sized.  Sketches are mergeable by
+    construction — a monthly sketch table unions into quarters without
+    touching raw data.
+
+    Output per unordered pair (a < b): ``(source_a, source_b, est_a,
+    est_b, est_union, est_intersection, jaccard_est)``, all ROUND(6).
+    """
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    two60 = float(1 << 60)
+    kd = F.lit(float(k - 1))
+
+    c = F.lower(F.col(text_col))
+    shingles = F.when(
+        F.length(c) < shingle_n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(shingle_n - 1)),
+                lambda i: c.substr(i, F.lit(shingle_n)),
+            )
+        )
+    )
+    hs = (
+        ensure_min_parallelism(
+            df.select(F.col(group_col).alias("g"), F.col(text_col)),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("g", F.explode(shingles).alias("s"))
+        .select(
+            "g",
+            md5_long(F.concat(F.lit(f"{seed}:"), F.col("s"))).alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("g").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    est = sk.groupBy("g").agg(
+        F.count("*").alias("n"), F.max("h").alias("mx")
+    ).select(
+        "g",
+        F.round(
+            F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                kd / (F.col("mx").cast("double") / F.lit(two60))
+            ),
+            6,
+        ).alias("d"),
+    )
+    pairs = (
+        est.alias("a")
+        .join(est.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.col("a.d").alias("da"),
+            F.col("b.d").alias("db"),
+        )
+    )
+    pu = (
+        pairs.select("ga", "gb")
+        .join(sk.withColumnRenamed("g", "ga"), "ga")
+        .select("ga", "gb", "h")
+        .unionByName(
+            pairs.select("ga", "gb")
+            .join(sk.withColumnRenamed("g", "gb"), "gb")
+            .select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    uest = (
+        pu.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("nu"), F.max("h").alias("mxu"))
+        .select(
+            "ga",
+            "gb",
+            F.round(
+                F.when(F.col("nu") < k, F.col("nu").cast("double")).otherwise(
+                    kd / (F.col("mxu").cast("double") / F.lit(two60))
+                ),
+                6,
+            ).alias("du"),
+        )
+    )
+    inter = F.round(
+        F.greatest(F.lit(0.0), F.col("da") + F.col("db") - F.col("du")), 6
+    )
+    return (
+        pairs.join(uest, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.col("da").alias("est_a"),
+            F.col("db").alias("est_b"),
+            F.col("du").alias("est_union"),
+            inter.alias("est_intersection"),
+            F.round(F.try_divide(inter, F.col("du")), 6).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -1856,3 +1856,159 @@ def kneser_ney_nll(
             ).alias("nll"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 25,
+) -> DataFrame:
+    """Heaps-law vocabulary growth audit: cumulative distinct-vocabulary
+    size V(n) against cumulative token count N(n) over the id-ordered
+    corpus, plus the fitted Heaps exponent beta and coefficient K from
+    the log-log least squares V ~ K * N^beta.  The curve a corpus
+    curator reads to answer "is new data still adding new language, or
+    are we re-crawling the same text?" — a flattening curve (beta well
+    below the ~0.4-0.6 natural-text band) is the macro signal of
+    saturation/duplication, complementing the per-document dedup
+    operators.
+
+    Each token's first appearance is ``min(doc_id)`` — ONE aggregation
+    over the (doc, distinct token) explode, map-side combinable.  The
+    corpus then collapses to ``ceil(n_docs / bucket_size)`` bucket
+    rows; the cumulative windows and the regression run on that
+    dimension-sized table (the global-window child is an aggregate, so
+    nothing raw crosses a single task).  Regression moments are
+    ROUND(12)/DECIMAL-summed — order-independent, hash-stable.
+
+    Output per bucket: ``(bucket, docs_cum, tokens_cum, vocab_cum,
+    heaps_beta, heaps_k)`` — beta/k are corpus-level constants repeated
+    per row (1-row broadcast), ROUND(6)."""
+    toks = df.select(
+        F.col(id_col).alias("i"), tokens(F.col(text_col)).alias("tk")
+    )
+    first = (
+        toks.select("i", F.explode(F.array_distinct("tk")).alias("t"))
+        .groupBy("t")
+        .agg(F.min("i").alias("first_doc"))
+    )
+    new_v = first.groupBy(
+        F.floor(F.col("first_doc") / bucket_size).alias("bucket")
+    ).agg(F.count("*").alias("new_vocab"))
+    per_b = toks.groupBy(
+        F.floor(F.col("i") / bucket_size).alias("bucket")
+    ).agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("tk")).alias("toks"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_b.join(new_v, "bucket", "left")
+        .select(
+            "bucket",
+            "docs",
+            "toks",
+            F.coalesce("new_vocab", F.lit(0)).alias("nv"),
+        )
+        .select(
+            "bucket",
+            F.sum("docs").over(w).cast("long").alias("docs_cum"),
+            F.sum("toks").over(w).cast("long").alias("tokens_cum"),
+            F.sum("nv").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+    pts = cum.filter(
+        (F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    ).select(
+        F.log(F.col("tokens_cum").cast("double")).alias("x"),
+        F.log(F.col("vocab_cum").cast("double")).alias("y"),
+    )
+
+    def _dsum(c, alias):
+        return F.sum(F.round(c, 12).cast("decimal(38,12)")).alias(alias)
+
+    mom = pts.agg(
+        F.count("*").cast("double").alias("np"),
+        _dsum(F.col("x"), "sx"),
+        _dsum(F.col("y"), "sy"),
+        _dsum(F.col("x") * F.col("y"), "sxy"),
+        _dsum(F.col("x") * F.col("x"), "sxx"),
+    ).select(
+        "np",
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+    )
+    beta = F.try_divide(
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    return cum.crossJoin(F.broadcast(mom)).select(
+        "bucket",
+        "docs_cum",
+        "tokens_cum",
+        "vocab_cum",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("np")), 6
+        ).alias("heaps_k"),
+    )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_cols: list[str],
+    k0: int = 60,
+    topk: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple per-group rankings:
+    ``rrf = sum_i 1 / (k0 + rank_i)`` with each ranking's rank from
+    (score DESC, id ASC) — the standard score-free way to merge
+    heterogeneous retrieval signals (BM25, embedding cosine, freshness)
+    whose raw scores are not comparable; k0=60 per the original RRF
+    convention.  Completes the retrieval family: ``bm25_topk`` and
+    ``tfidf_cosine_pairs`` produce single-signal rankings, this merges
+    them.
+
+    Scale posture: every window — the per-signal ranks and the final
+    top-k cut — is PARTITIONED by group, and the ``row_number <= topk``
+    filter executes as WindowGroupLimit (map-side partial top-k).  The
+    fused score is a fixed-arity expression over the rank columns, not
+    an aggregation: map-side, deterministic, ROUND(6)-pinned.
+
+    Output: ``(group, id, rank_1..rank_N, rrf_score)`` — the top
+    ``topk`` rows per group by (rrf_score DESC, id ASC)."""
+    out = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("i"), *score_cols
+    )
+    rank_cols = []
+    for n, sc in enumerate(score_cols, start=1):
+        wn = Window.partitionBy("g").orderBy(
+            F.col(sc).desc(), F.col("i").asc()
+        )
+        out = out.withColumn(f"rank_{n}", F.row_number().over(wn))
+        rank_cols.append(f"rank_{n}")
+    fused = None
+    for rc in rank_cols:
+        term = F.lit(1.0) / (F.lit(float(k0)) + F.col(rc).cast("double"))
+        fused = term if fused is None else fused + term
+    out = out.withColumn("rrf_score", F.round(fused, 6))
+    wt = Window.partitionBy("g").orderBy(
+        F.col("rrf_score").desc(), F.col("i").asc()
+    )
+    return (
+        out.withColumn("__top", F.row_number().over(wt))
+        .filter(F.col("__top") <= topk)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(id_col),
+            *[F.col(rc).cast("long").alias(rc) for rc in rank_cols],
+            "rrf_score",
+        )
+    )

@@ -4094,3 +4094,254 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("len_score"),
     )
     return roc_auc(docs, "source", "is_en", "len_score")
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch pairwise overlap (theta-sketch-style set intersection)
+# ---------------------------------------------------------------------------
+
+_KMV_OVERLAP_SQL = """
+    WITH docs AS (SELECT source AS g, lower(text) AS t FROM documents),
+    el AS (
+      SELECT DISTINCT g,
+             CAST('0x' || substr(md5('kmv:' || s), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT g, unnest(list_distinct(list_transform(
+                 generate_series(1, length(t) - 4), i -> substr(t, i, 5))))
+               AS s
+        FROM docs WHERE length(t) >= 5
+      )
+    ),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM el
+      ) WHERE rn <= 64
+    ),
+    est AS (
+      SELECT g, ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE 63.0e0 / (CAST(mx AS DOUBLE)
+                                     / 1152921504606846976.0e0)
+                      END, 6) AS d
+      FROM (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM sk GROUP BY 1)
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb, a.d AS da, b.d AS db
+      FROM est a JOIN est b ON a.g < b.g
+    ),
+    pu AS (
+      SELECT DISTINCT ga, gb, h FROM (
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+      )
+    ),
+    uest AS (
+      SELECT ga, gb, ROUND(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                      ELSE 63.0e0 / (CAST(mxu AS DOUBLE)
+                                     / 1152921504606846976.0e0)
+                      END, 6) AS du
+      FROM (
+        SELECT ga, gb, COUNT(*) AS nu, MAX(h) AS mxu FROM (
+          SELECT ga, gb, h,
+                 ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+          FROM pu
+        ) WHERE rn <= 64 GROUP BY 1, 2
+      )
+    )
+    SELECT ga AS source_a, gb AS source_b, da AS est_a, db AS est_b,
+           du AS est_union,
+           ROUND(GREATEST(0.0e0, da + db - du), 6) AS est_intersection,
+           ROUND(CASE WHEN du <> 0.0e0
+                      THEN ROUND(GREATEST(0.0e0, da + db - du), 6) / du
+                 END, 6) AS jaccard_est
+    FROM pairs JOIN uest USING (ga, gb)
+"""
+
+
+@_q("q_kmv_overlap", _KMV_OVERLAP_SQL)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between all 20 sources from k=64 KMV
+    sketches over 5-char shingles: per-source distinct estimates,
+    union estimates from the merged sketch, inclusion-exclusion
+    intersection, Jaccard — the theta-sketch set-intersection product
+    HLL cannot provide.  The k-min cut runs as WindowGroupLimit
+    (map-side partial top-k; the shuffle never carries a full distinct
+    set); everything after is |sources| x 64 rows."""
+    from conte_to_fresco_etl_spark.operators.rollup import kmv_overlap
+
+    return kmv_overlap(
+        _t(spark, sf_dir, "documents"),
+        group_col="source",
+        text_col="text",
+        k=64,
+        shingle_n=5,
+        seed="kmv",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (corpus saturation audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_GROWTH_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS i, {tokens} AS tk FROM documents
+    ),
+    first_occ AS (
+      SELECT t, MIN(i) AS first_doc FROM (
+        SELECT i, unnest(list_distinct(tk)) AS t FROM toks
+      ) GROUP BY 1
+    ),
+    new_v AS (
+      SELECT CAST(floor(first_doc / 25) AS BIGINT) AS bucket,
+             COUNT(*) AS nv
+      FROM first_occ GROUP BY 1
+    ),
+    per_b AS (
+      SELECT CAST(floor(i / 25) AS BIGINT) AS bucket, COUNT(*) AS docs,
+             SUM(len(tk)) AS toks
+      FROM toks GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(docs) OVER w AS BIGINT) AS docs_cum,
+             CAST(SUM(toks) OVER w AS BIGINT) AS tokens_cum,
+             CAST(SUM(COALESCE(nv, 0)) OVER w AS BIGINT) AS vocab_cum
+      FROM per_b LEFT JOIN new_v USING (bucket)
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    pts AS (
+      SELECT ln(CAST(tokens_cum AS DOUBLE)) AS x,
+             ln(CAST(vocab_cum AS DOUBLE)) AS y
+      FROM cum WHERE tokens_cum > 0 AND vocab_cum > 0
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+             CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxx
+      FROM pts
+    ),
+    sel AS (
+      SELECT bucket, docs_cum, tokens_cum, vocab_cum, np, sx, sy,
+             CASE WHEN np * sxx - sx * sx = 0.0e0 THEN NULL
+                  ELSE (np * sxy - sx * sy) / (np * sxx - sx * sx)
+             END AS beta_raw
+      FROM cum CROSS JOIN mom
+    )
+    SELECT bucket, docs_cum, tokens_cum, vocab_cum,
+           ROUND(beta_raw, 6) AS heaps_beta,
+           ROUND(exp((sy - beta_raw * sx) / np), 6) AS heaps_k
+    FROM sel
+"""
+
+
+@_q("q_vocab_growth", _VOCAB_GROWTH_SQL.format(tokens=_sql_tokens()))
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law corpus saturation audit: cumulative vocabulary V(n) vs
+    cumulative tokens N(n) over 25-doc buckets plus the fitted log-log
+    exponent beta and coefficient K — flattening growth (low beta) is
+    the macro duplication/saturation signal.  One (token, min doc)
+    aggregation over the distinct-token explode; cumulative windows and
+    the ROUND(12)/decimal-summed regression run on the bucket table."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import vocab_growth
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        bucket_size=25,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval signals
+# ---------------------------------------------------------------------------
+
+_RRF_FUSION_SQL = """
+    WITH toks AS (
+      SELECT source, doc_id, {tokens} AS tk,
+             CAST(n_chars AS DOUBLE) AS s1
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, doc_id, s1,
+             CASE WHEN len(tk) = 0 THEN 0.0e0
+                  ELSE ROUND(CAST(len(list_distinct(tk)) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE), 6) END AS s2
+      FROM toks
+    ),
+    rk AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY s1 DESC, doc_id ASC) AS rank_1,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY s2 DESC, doc_id ASC) AS rank_2
+      FROM sc
+    ),
+    f AS (
+      SELECT source, doc_id, rank_1, rank_2,
+             ROUND(1.0e0 / (60.0e0 + CAST(rank_1 AS DOUBLE))
+                   + 1.0e0 / (60.0e0 + CAST(rank_2 AS DOUBLE)), 6)
+               AS rrf_score
+      FROM rk
+    )
+    SELECT source, doc_id, CAST(rank_1 AS BIGINT) AS rank_1,
+           CAST(rank_2 AS BIGINT) AS rank_2, rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY rrf_score DESC, doc_id ASC)
+               AS tp
+      FROM f
+    ) WHERE tp <= 5
+"""
+
+
+@_q("q_rrf_fusion", _RRF_FUSION_SQL.format(tokens=_sql_tokens()))
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per source by reciprocal-rank fusion of two
+    incomparable signals — raw length (n_chars) and lexical uniqueness
+    (distinct/total token ratio): ``1/(60+r1) + 1/(60+r2)`` with
+    deterministic (score DESC, doc_id) ranks.  The score-free merge
+    step a retrieval stack puts above BM25 + embedding rankers; every
+    window is source-partitioned and the top-k cuts execute as
+    WindowGroupLimit."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_score"),
+        F.col("text").alias("text"),
+    )
+    from conte_to_fresco_etl_spark.functions.text import tokens as _tokens
+
+    tk = _tokens(F.col("text"))
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "len_score",
+        F.when(F.size(tk) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.size(F.array_distinct(tk)).cast("double")
+                / F.size(tk).cast("double"),
+                6,
+            )
+        )
+        .alias("uniq_score"),
+    )
+    return rrf_fuse(
+        scored,
+        group_col="source",
+        id_col="doc_id",
+        score_cols=["len_score", "uniq_score"],
+        k0=60,
+        topk=5,
+    )

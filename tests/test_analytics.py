@@ -626,3 +626,105 @@ def test_dp_noisy_counts_epsilon_scaling(spark):
     for g in ("a", "b"):
         assert d1[g] != 0.0
         assert d1[g] == pytest.approx(2.0 * d2[g], abs=1e-5)
+
+
+def test_kmv_overlap_exact_regime_identical_and_disjoint(spark):
+    """Below k distinct values KMV is exact: identical groups estimate
+    Jaccard 1.0 with intersection == union; disjoint groups estimate
+    intersection 0; a half-overlapping pair lands exactly on the true
+    counts (all three pairs in the exact n<k regime)."""
+    from conte_to_fresco_etl_spark.operators.rollup import kmv_overlap
+
+    text_x = "abcdefghij"        # 6 distinct 5-shingles
+    text_y = "0123456789"        # 6 distinct, disjoint from x
+    rows = [
+        ("ga", text_x),
+        ("gb", text_x),          # identical to ga
+        ("gc", text_y),          # disjoint from ga/gb
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_overlap(df, "source", "text", k=64).collect()
+    }
+    ab = out[("ga", "gb")]
+    assert ab["est_a"] == ab["est_b"] == 6.0
+    assert ab["est_union"] == 6.0
+    assert ab["est_intersection"] == 6.0
+    assert ab["jaccard_est"] == 1.0
+    ac = out[("ga", "gc")]
+    assert ac["est_union"] == 12.0
+    assert ac["est_intersection"] == 0.0
+    assert ac["jaccard_est"] == 0.0
+
+
+def test_kmv_overlap_sketch_regime_estimates_within_rse(spark):
+    """Above k distinct values the (k-1)/u_(k) estimator applies: on a
+    ~600-distinct-shingle group with k=64 the estimate must land within
+    4 standard errors (4/sqrt(k-2) ~ 50%) of truth — loose enough to be
+    deterministic-proof, tight enough to catch a wrong estimator."""
+    from conte_to_fresco_etl_spark.operators.rollup import kmv_overlap
+
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    big = "".join(rng.choice(alpha) for _ in range(600))
+    df = spark.createDataFrame(
+        [("gx", big), ("gy", big)], "source string, text string"
+    )
+    exact = len({big[i : i + 5] for i in range(len(big) - 4)})
+    assert exact > 64
+    r = kmv_overlap(df, "source", "text", k=64).collect()[0]
+    rse4 = 4.0 / (62.0 ** 0.5)
+    assert abs(r["est_a"] - exact) / exact < rse4
+    assert r["jaccard_est"] == 1.0  # identical sketches merge to themselves
+
+
+def test_vocab_growth_hand_computed(spark):
+    """Two buckets with a known growth curve: cumulative counts are
+    exact; beta/K match the closed-form two-point log-log fit."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import vocab_growth
+
+    rows = [
+        (0, "a b c d"),        # bucket 0: vocab {a,b,c,d}
+        (1, "a b a b"),
+        (2, "e f g h i j"),    # bucket 1: adds {e,f,g,h,i,j}
+        (3, "a e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in vocab_growth(df, bucket_size=2).collect()}
+    assert out[0]["tokens_cum"] == 8 and out[0]["vocab_cum"] == 4
+    assert out[1]["tokens_cum"] == 16 and out[1]["vocab_cum"] == 10
+    x1, y1 = math.log(8.0), math.log(4.0)
+    x2, y2 = math.log(16.0), math.log(10.0)
+    beta = (y2 - y1) / (x2 - x1)
+    k = math.exp(((y1 + y2) - beta * (x1 + x2)) / 2.0)
+    assert out[0]["heaps_beta"] == pytest.approx(beta, abs=2e-6)
+    assert out[0]["heaps_k"] == pytest.approx(k, abs=2e-6)
+
+
+def test_rrf_fuse_hand_computed_and_topk(spark):
+    """Fused score equals 1/(60+r1)+1/(60+r2) on hand-built rankings;
+    ties break by id; only topk rows survive per group."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import rrf_fuse
+
+    rows = [
+        ("g", 1, 10.0, 1.0),   # r1=1, r2=3
+        ("g", 2, 5.0, 2.0),    # r1=2, r2=2
+        ("g", 3, 1.0, 3.0),    # r1=3, r2=1
+        ("g", 4, 1.0, 0.5),    # r1=4 (tie on score -> id), r2=4
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, s1 double, s2 double")
+    out = rrf_fuse(df, "g", "i", ["s1", "s2"], k0=60, topk=3).collect()
+    assert len(out) == 3  # topk cut
+    by_id = {r["i"]: r for r in out}
+    assert by_id[1]["rank_1"] == 1 and by_id[1]["rank_2"] == 3
+    assert by_id[3]["rank_1"] == 3 and by_id[3]["rank_2"] == 1
+    exp = round(1.0 / 61 + 1.0 / 63, 6)
+    assert by_id[1]["rrf_score"] == pytest.approx(exp, abs=1e-9)
+    assert by_id[3]["rrf_score"] == pytest.approx(exp, abs=1e-9)
+    # symmetric fused scores tie -> lower id first; 4 is cut
+    assert 4 not in by_id

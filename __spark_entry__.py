@@ -107,6 +107,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_kmv_overlap",         # NEW late-r6: KMV sketch pairwise overlap
     "q_vocab_growth",        # NEW late-r6: Heaps-law saturation audit
     "q_rrf_fusion",          # NEW late-r6: reciprocal-rank fusion
+    "q_jaro_linkage",        # NEW late-r6: Jaro-Winkler fuzzy linkage
 ]
 
 PRIORITY: list[str] = [
@@ -202,6 +203,7 @@ PRIORITY: list[str] = [
     "q_kmv_overlap",
     "q_vocab_growth",
     "q_rrf_fusion",
+    "q_jaro_linkage",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

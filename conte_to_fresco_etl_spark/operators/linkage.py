@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,3 +121,109 @@ def fellegi_sunter_pairs(
             F.col("score").desc(), F.col("id_a"), F.col("id_b")
         ).limit(top_k)
     return out
+
+
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    prefix_scale: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Textbook Jaro-Winkler similarity (matching window
+    ``max(|a|,|b|)//2 - 1``, half-mismatch transpositions, prefix boost
+    up to 4 chars applied only above the 0.7 Jaro threshold) — the
+    same convention DuckDB's ``jaro_winkler_similarity`` implements,
+    which is exactly what makes the catalog gate an INDEPENDENT oracle
+    rather than a mirror: two separately-written implementations must
+    agree to 6 decimals on every blocked pair."""
+    la, lb = len(s1), len(s2)
+    if la == 0 or lb == 0:
+        return 0.0  # two empties are 0.0 (DuckDB convention), not 1.0
+    if s1 == s2:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    matched1 = [False] * la
+    matched2 = [False] * lb
+    m = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        for j in range(lo, hi):
+            if not matched2[j] and s2[j] == c:
+                matched1[i] = True
+                matched2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if matched1[i]:
+            while not matched2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    # transposition count floors the half (DuckDB/C++ convention;
+    # the float-half variant diverges on odd mismatch counts)
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro > boost_threshold:
+        p = 0
+        for a, b in zip(s1, s2):
+            if a != b or p == 4:
+                break
+            p += 1
+        jaro += p * prefix_scale * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise Jaro-Winkler scoring — the fuzzy-string field
+    comparator record linkage runs where exact/equality agreement
+    (``fellegi_sunter_pairs``) is too brittle and token sets
+    (``tfidf_cosine_pairs``) too coarse: typo'd names, transposed
+    words, shared prefixes.
+
+    Scale posture: candidate pairs come from an EQUI-self-join on the
+    blocking key (never all-pairs — Σ block² bounds the join, the
+    SNM/LSH discipline); the JW kernel is a per-pair string scan with
+    no DataFrame-expression form, so it runs as an Arrow-batched
+    pandas UDF map-side over the joined pairs — no extra shuffle, and
+    the Python cost is proportional to SURVIVING candidates, not the
+    corpus.  The threshold filters on the ROUND(6) score so membership
+    is engine-stable.
+
+    Output: ``(*block_cols, key_a, key_b, jw)`` with ``key_a <
+    key_b`` inside each block."""
+    @F.pandas_udf("double")
+    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(sa, sb)],
+            dtype="float64",
+        )
+
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("k"),
+        F.col(text_col).alias("s"),
+    ).filter(F.col("k").isNotNull() & F.col("s").isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    pairs = a.join(b, cond + [F.col("a.k") < F.col("b.k")]).select(
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        F.round(_jw(F.col("a.s"), F.col("b.s")), 6).alias("jw"),
+    )
+    return pairs.filter(F.col("jw") >= F.lit(float(threshold)))

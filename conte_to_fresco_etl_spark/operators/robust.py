@@ -1545,12 +1545,18 @@ def mann_kendall_trend(
     ranked = pairs.select(
         "g", "sgn", "slope", F.row_number().over(w_rank).alias("rk")
     )
+    # ONE pass over pairs yields both the S statistic and the pair
+    # count m the median ranks need (fused so the pair join isn't
+    # recomputed per statistic)
+    pstats = pairs.groupBy("g").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count("*").alias("m"),
+    )
     # median = mean of the two middle slopes (ranks floor((m+1)/2) and
     # floor((m+2)/2), identical when m is odd): join the pair count
     # back and filter the middle ranks
-    counts = pairs.groupBy("g").agg(F.count("*").alias("m"))
     mid = (
-        ranked.join(broadcast(counts), "g")
+        ranked.join(broadcast(pstats.select("g", "m")), "g")
         .filter(
             (F.col("rk") == F.floor((F.col("m") + 1) / 2))
             | (F.col("rk") == F.floor((F.col("m") + 2) / 2))
@@ -1558,21 +1564,21 @@ def mann_kendall_trend(
         .groupBy("g")
         .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
     )
-    stats = pairs.groupBy("g").agg(F.sum("sgn").cast("long").alias("s_stat"))
-    n_b = ser.groupBy("g").agg(F.count("*").alias("n_buckets"))
-    ties = (
+    # one pass over the collapsed series yields bucket count AND tie
+    # variance (n_buckets = sum of per-value counts)
+    nb_ties = (
         ser.groupBy("g", "v")
         .agg(F.count("*").alias("tn"))
         .groupBy("g")
         .agg(
+            F.sum("tn").alias("n_buckets"),
             F.sum(
                 F.col("tn") * (F.col("tn") - 1) * (2 * F.col("tn") + 5)
-            ).alias("tie_term")
+            ).alias("tie_term"),
         )
     )
     joined = (
-        n_b.join(stats, "g", "left")
-        .join(ties, "g", "left")
+        nb_ties.join(pstats.select("g", "s_stat"), "g", "left")
         .join(mid, "g", "left")
     )
     n = F.col("n_buckets").cast("double")

@@ -4345,3 +4345,44 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=60,
         topk=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler fuzzy-string linkage over blocked part names
+# ---------------------------------------------------------------------------
+
+_JARO_LINKAGE_SQL = """
+    WITH p AS (
+      SELECT p_brand, p_size, p_partkey AS k, p_name AS s
+      FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+    )
+    SELECT a.p_brand, a.p_size, a.k AS key_a, b2.k AS key_b,
+           ROUND(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
+    FROM p a JOIN p b2
+      ON a.p_brand = b2.p_brand AND a.p_size = b2.p_size AND a.k < b2.k
+    WHERE ROUND(jaro_winkler_similarity(a.s, b2.s), 6)
+          >= CAST('0.5' AS DOUBLE)
+"""
+
+
+@_q("q_jaro_linkage", _JARO_LINKAGE_SQL)
+def q_jaro_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-name linkage candidates: Jaro-Winkler >= 0.5 between part
+    names inside (brand, size) blocks — the string-field comparator
+    that slots into Fellegi-Sunter where equality agreement is too
+    brittle.  The oracle is DuckDB's OWN jaro_winkler_similarity — an
+    independently-written implementation, not a mirror — so the gate
+    pins the textbook semantics (floor-halved transpositions, 0.7
+    boost threshold, 4-char prefix cap) to 6 decimals on every blocked
+    pair.  Candidate generation is the blocked equi-self-join
+    (sum-of-block-squared bound, never all-pairs); the JW kernel runs
+    as an Arrow-batched pandas UDF map-side over surviving pairs."""
+    from conte_to_fresco_etl_spark.operators.linkage import jaro_winkler_pairs
+
+    return jaro_winkler_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=["p_brand", "p_size"],
+        threshold=0.5,
+    )

@@ -1983,3 +1983,46 @@ def test_roc_auc_matches_pairwise_count(spark, pts):
         for q_ in neg
     )
     assert abs(out["auc"] - _r6(wins / (len(pos) * len(neg)))) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.text(alphabet="abcde -", min_size=0, max_size=14),
+    st.text(alphabet="abcde -", min_size=0, max_size=14),
+)
+def test_jaro_winkler_matches_duckdb_builtin(s1, s2):
+    """The Python JW kernel agrees with DuckDB's independently-written
+    jaro_winkler_similarity to 6 decimals on arbitrary strings — the
+    property that makes q_jaro_linkage's oracle a true cross-check."""
+    import duckdb
+
+    from conte_to_fresco_etl_spark.operators.linkage import jaro_winkler
+
+    d = duckdb.execute(
+        "select jaro_winkler_similarity(?, ?)", [s1, s2]
+    ).fetchone()[0]
+    assert round(jaro_winkler(s1, s2), 6) == round(d, 6)
+
+
+def test_jaro_winkler_pairs_blocking_and_threshold(spark):
+    """Pairs only form inside blocks; scores match known JW values;
+    the threshold filters on the rounded score."""
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        jaro_winkler,
+        jaro_winkler_pairs,
+    )
+
+    rows = [
+        ("b1", 1, "martha"),
+        ("b1", 2, "marhta"),
+        ("b1", 3, "zzzzzz"),
+        ("b2", 4, "martha"),   # other block: never pairs with 1/2
+    ]
+    df = spark.createDataFrame(rows, "blk string, k long, s string")
+    out = jaro_winkler_pairs(
+        df, id_col="k", text_col="s", block_cols=["blk"], threshold=0.9
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key_a"], r["key_b"]) == (1, 2)
+    assert r["jw"] == round(jaro_winkler("martha", "marhta"), 6) == 0.961111

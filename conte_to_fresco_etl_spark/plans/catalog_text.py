@@ -4678,14 +4678,25 @@ def q_doc_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     indicts) the 48-hash budget, complementing q_lsh_recall's
     found/missed view with how far the estimates themselves drift.
     Exact sets only materialize for CANDIDATE pairs (pair-keyed joins
-    onto the shingle arrays), never all pairs."""
+    onto the shingle arrays), never all pairs: the tiny pair table is
+    persisted, its id set broadcast-semi-joins the corpus FIRST, and
+    only the surviving docs are shingled (the full-corpus shingle
+    build was ~2x this query's cost; the inner join already restricts
+    the output to candidates, so the prune is a pure plan change)."""
     from conte_to_fresco_etl_spark.functions.text import char_shingles
     from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, **_DEDUP_PARAMS)
-    sets = docs.filter(F.length(F.col("text")) >= 5).select(
-        "doc_id", char_shingles("text", 5).alias("sh")
+    pairs = minhash_lsh_pairs(docs, **_DEDUP_PARAMS).persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        docs.join(F.broadcast(cand_ids), "doc_id")
+        .filter(F.length(F.col("text")) >= 5)
+        .select("doc_id", char_shingles("text", 5).alias("sh"))
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter

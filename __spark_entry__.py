@@ -108,6 +108,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_vocab_growth",        # NEW late-r6: Heaps-law saturation audit
     "q_rrf_fusion",          # NEW late-r6: reciprocal-rank fusion
     "q_jaro_linkage",        # NEW late-r6: Jaro-Winkler fuzzy linkage
+    "q_pca_power",           # NEW late-r6: PCA top component (power iter)
 ]
 
 PRIORITY: list[str] = [
@@ -204,6 +205,7 @@ PRIORITY: list[str] = [
     "q_vocab_growth",
     "q_rrf_fusion",
     "q_jaro_linkage",
+    "q_pca_power",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -17,7 +17,10 @@ driver and enter the plan as literals; ranking breaks ties by id.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
+from decimal import Decimal as _Decimal
 
 import numpy as np
 import pandas as pd
@@ -1550,4 +1553,211 @@ def semantic_decontaminate(
         score_batches,
         "vec_id long, best_match_id long, best_cosine double, "
         "contaminated boolean",
+    )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 12,
+) -> DataFrame:
+    """(i, j, cv) — the d x d sample covariance matrix of a vector
+    column, as a long-format dimension-sized table (1-based indices).
+
+    Plan shape (the 100 TB path): one (dim, value) explode for the
+    means (64-row aggregate), then a MAP-SIDE double explode of the
+    centered vectors into (i, j, ci*cj) contributions feeding a
+    partially-aggregated groupBy(i, j) — the only shuffle carries
+    ~d^2 rows per map partition, never the corpus.  Every float step
+    is ROUND(x, 12)-pinned with decimal sums so the unrolled SQL
+    oracle (``_pca_sql``) is exact.
+    """
+    emb = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__e")
+    )
+    emb = ensure_min_parallelism(emb, 64 * 1024).persist()
+    x = emb.select(F.posexplode("__e").alias("p", "xv")).select(
+        (F.col("p") + 1).alias("dim"), F.col("xv").cast("double").alias("v")
+    )
+    n1 = emb.agg(F.count("*").cast("double").alias("__n"))
+    mu = (
+        x.groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("__s")
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "dim",
+            F.round(F.col("__s") / F.col("__n"), round_digits).alias("mu"),
+        )
+    )
+    # 1-row array of the d means, dim-ascending — broadcast onto the
+    # corpus so centering is a pure map-side lambda.
+    mu_row = mu.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mu"))),
+            lambda s: s["mu"],
+        ).alias("__mu")
+    )
+    cen = emb.crossJoin(F.broadcast(mu_row)).select(
+        F.transform(
+            "__e",
+            lambda v, i: F.round(
+                v.cast("double") - F.element_at("__mu", i + 1),
+                round_digits,
+            ),
+        ).alias("__c")
+    )
+    # Symmetry halving: emit only the upper triangle j >= i (slice from
+    # the i-th element onward), mirror the off-diagonal entries after
+    # the aggregate — the decimal sum for (i, j) IS the (j, i) value,
+    # so the mirror is exact and the contribution volume halves.
+    e1 = cen.select("__c", F.posexplode("__c").alias("i0", "ci"))
+    e2 = e1.select(
+        "i0",
+        "ci",
+        F.posexplode(
+            F.slice(F.col("__c"), F.col("i0") + 1, F.size("__c"))
+        ).alias("joff", "cj"),
+    )
+    upper = (
+        e2.groupBy(
+            (F.col("i0") + 1).cast("int").alias("i"),
+            (F.col("i0") + 1 + F.col("joff")).cast("int").alias("j"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("ci") * F.col("cj"), round_digits).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("__s")
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("__s") / (F.col("__n") - F.lit(1.0)), round_digits
+            ).alias("cv"),
+        )
+    )
+    # Session-lived persist (the dedup staging convention): the union
+    # references ``upper`` twice — without it the corpus-sized
+    # aggregate runs once per branch (measured ~1.4s extra at sf0.1).
+    upper = upper.persist()
+    mirror = upper.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cv"
+    )
+    return upper.unionByName(mirror)
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 8,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Top principal component of a vector column by power iteration
+    over the long-format covariance matrix — the embedding-space
+    decomposition step a curation pipeline runs before whitening,
+    drift attribution, or SemDeDup-style clustering (which direction
+    carries the corpus's variance, and how much of it).
+
+    Output: one row per dimension —
+    ``(dim, loading, eigval, var_share)`` where ``loading`` is the
+    unit eigenvector component, ``eigval`` the converged Rayleigh
+    estimate (the L2 norm of the last un-normalized iterate) and
+    ``var_share = eigval / trace(C)``.
+
+    Scale posture: the covariance build is the only corpus pass (see
+    :func:`covariance_matrix`).  The eigen-iterate itself runs on the
+    DRIVER over the collected d^2-row matrix — the matrix is 4096
+    numbers at d=64 no matter how big the corpus is, which is exactly
+    how Spark MLlib's RowMatrix PCA works (distributed Gramian,
+    driver-side eigensolve); keeping it in-plan cost ~0.4s of pure
+    scheduler overhead per round.  Driver arithmetic is engine-exact:
+    products/divisions are IEEE doubles in both, every ROUND(x, 12)
+    pin is reproduced with ``Decimal(repr(x)).quantize(HALF_UP)``
+    (== Spark/DuckDB HALF_UP rounding of the shortest-repr double),
+    and sums run over exact Decimals (== the DECIMAL(28,12) sums in
+    the unrolled DuckDB oracle).  The FINAL round plus the output
+    projection stay in the returned plan, so the emitted values are
+    engine-computed.
+    """
+    # One partition: the matrix is d^2 rows; the final-round aggregate
+    # reads it whole, and 64 near-empty cache partitions cost more
+    # scheduler overhead than the data.
+    cov = (
+        covariance_matrix(df, vec_col, round_digits)
+        .repartition(1)
+        .persist()
+    )
+    q12 = _Decimal(1).scaleb(-round_digits)
+
+    def _r12(x: float) -> _Decimal:
+        return _Decimal(repr(x)).quantize(q12, rounding=_ROUND_HALF_UP)
+
+    v0 = float(_r12(1.0 / math.sqrt(float(dim))))
+    cmat = {(r["i"], r["j"]): r["cv"] for r in cov.collect()}
+    v_lits = [v0] * dim
+    for _ in range(iterations - 1):
+        u = [
+            float(
+                sum(
+                    (
+                        _r12(cmat[(i, j)] * v_lits[j - 1])
+                        for j in range(1, dim + 1)
+                        if (i, j) in cmat
+                    ),
+                    _Decimal(0),
+                )
+            )
+            for i in range(1, dim + 1)
+        ]
+        nm = math.sqrt(
+            float(sum((_r12(x * x) for x in u), _Decimal(0)))
+        )
+        v_lits = [float(_r12(x / nm)) for x in u]
+
+    v_arr = F.array(*[F.lit(x) for x in v_lits])
+    u_fin = cov.groupBy(F.col("i").alias("dim")).agg(
+        F.sum(
+            F.round(
+                F.col("cv") * F.element_at(v_arr, F.col("j")),
+                round_digits,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("u")
+    )
+    norm_row = u_fin.agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("u") * F.col("u"), round_digits).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+        ).alias("__nm")
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round(F.col("cv"), round_digits).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("__tr")
+    )
+    return (
+        u_fin.crossJoin(F.broadcast(norm_row))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                F.round(F.col("u") / F.col("__nm"), round_digits), 6
+            ).alias("loading"),
+            F.round(F.col("__nm"), 6).alias("eigval"),
+            F.round(F.col("__nm") / F.col("__tr"), 6).alias("var_share"),
+        )
     )

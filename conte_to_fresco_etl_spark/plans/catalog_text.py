@@ -5758,3 +5758,117 @@ def q_token_label_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.crossJoin(F.broadcast(nd)).select(
         "tok", "n_with", "n_with_keep", mi.alias("mi")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component over the embedding table (power iteration)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+
+def _pca_sql(dim: int = _PCA_DIM, iterations: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration PCA oracle: the q_pagerank discipline
+    (one CTE pair per iteration, ROUND(x, 12) after every float step,
+    decimal sums everywhere an order-dependent float SUM would drift).
+    ``v0`` is the same repr-round-tripped literal the operator seeds
+    with.  Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    recurrence whose iterate references the covariance CTE each round
+    re-evaluates the corpus self-join 2^iterations times (measured:
+    minutes vs 0.2s at sf0.01)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v0 = float(
+        Decimal(repr(1.0 / math.sqrt(float(dim)))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+    )
+    parts = [
+        f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id AS rid, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, {dim}) AS g(i)
+      WHERE embedding IS NOT NULL AND i <= len(embedding)
+    ),
+    nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    mu AS MATERIALIZED (
+      SELECT dim,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   / (SELECT n FROM nn), 12) AS mu
+      FROM x GROUP BY dim
+    ),
+    c AS MATERIALIZED (
+      SELECT x.rid, x.dim, ROUND(x.v - mu.mu, 12) AS c
+      FROM x JOIN mu USING (dim)
+    ),
+    cov AS MATERIALIZED (
+      SELECT a.dim AS i, b.dim AS j,
+             ROUND(CAST(SUM(CAST(ROUND(a.c * b.c, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE)
+                   / ((SELECT n FROM nn) - CAST(1.0 AS DOUBLE)), 12) AS cv
+      FROM c a JOIN c b ON a.rid = b.rid GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+      SELECT i AS j, CAST({v0!r} AS DOUBLE) AS vj
+      FROM generate_series(1, {dim}) AS g(i)
+    )"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    u{k} AS MATERIALIZED (
+      SELECT cov.i AS dim,
+             CAST(SUM(CAST(ROUND(cov.cv * v.vj, 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS u
+      FROM cov JOIN v{k - 1} v ON cov.j = v.j GROUP BY 1
+    ),
+    nrm{k} AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(28,12)))
+                       AS DOUBLE)) AS nm
+      FROM u{k}
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT dim AS j, ROUND(u / (SELECT nm FROM nrm{k}), 12) AS vj
+      FROM u{k}
+    )"""
+        )
+    parts.append(
+        f""",
+    tr AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(ROUND(cv, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        AS t
+      FROM cov WHERE i = j
+    )
+    SELECT CAST(j AS INT) AS dim, ROUND(vj, 6) AS loading,
+           ROUND((SELECT nm FROM nrm{iterations}), 6) AS eigval,
+           ROUND((SELECT nm FROM nrm{iterations}) / (SELECT t FROM tr), 6)
+             AS var_share
+    FROM v{iterations}
+"""
+    )
+    return "".join(parts)
+
+
+@_q("q_pca_power", _pca_sql())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration: the variance-carrying direction plus its eigenvalue and
+    variance share — the decomposition step before whitening, encoder
+    drift attribution, or SemDeDup-style clustering.  One corpus pass
+    builds the d^2-row covariance table map-side (the only shuffle is
+    d^2 rows per partition); the 8 iterate rounds are broadcast joins
+    of that dimension-sized table, localCheckpointed so the recurrence
+    cannot fan the plan (q_pagerank discipline)."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(
+        emb, "embedding", dim=_PCA_DIM, iterations=_PCA_ITERS
+    )

@@ -924,3 +924,37 @@ def test_tfidf_cosine_matches_numpy_reference(spark):
     assert (1, 2) in out  # the near-twin pair
     assert (1, 3) not in out  # disjoint docs share no posting
     assert out[(1, 2)] > out.get((1, 4), 0.0)
+
+
+def test_pca_top_component_recovers_planted_direction(spark):
+    """Vectors = t * w + small orthogonal noise: the dominant variance
+    direction is w, so the power iterate must align with it (|cos| > 0.99),
+    the eigenvalue must approximate the planted variance, and the loading
+    vector must be unit-norm."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    w = np.zeros(d)
+    w[2], w[5] = 0.8, 0.6  # unit planted direction
+    t = rng.normal(0.0, 2.0, size=200)  # dominant variance ~4 along w
+    noise = rng.normal(0.0, 0.05, size=(200, d))
+    mat = t[:, None] * w[None, :] + noise
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = pca_top_component(df, "embedding", dim=d, iterations=10)
+    got = {r["dim"]: r for r in out.collect()}
+    assert len(got) == d
+    v = np.array([got[i + 1]["loading"] for i in range(d)])
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+    assert abs(float(v @ w)) > 0.99
+    eig = got[1]["eigval"]
+    emp = float(((mat - mat.mean(axis=0)) @ w).var(ddof=1))
+    assert abs(eig - emp) / emp < 0.05
+    share = got[1]["var_share"]
+    assert 0.9 < share <= 1.0  # noise dims carry ~tiny variance

@@ -552,6 +552,7 @@ BNLJ_ALLOWED = {
     "q_fk_orphans",             # per-edge 1-row stat x 1-row orphan stat
     "q_record_linkage",         # per-field u-estimate (1-row broadcast)
     "q_t_closeness",            # value-domain spine + 1-row totals
+    "q_pca_power",              # n / mean-vector / norm / trace (1-row each)
 }
 
 

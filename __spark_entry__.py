@@ -109,6 +109,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_rrf_fusion",          # NEW late-r6: reciprocal-rank fusion
     "q_jaro_linkage",        # NEW late-r6: Jaro-Winkler fuzzy linkage
     "q_pca_power",           # NEW late-r6: PCA top component (power iter)
+    "q_random_projection",   # NEW late-r6: JL Rademacher projection
 ]
 
 PRIORITY: list[str] = [
@@ -206,6 +207,7 @@ PRIORITY: list[str] = [
     "q_rrf_fusion",
     "q_jaro_linkage",
     "q_pca_power",
+    "q_random_projection",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

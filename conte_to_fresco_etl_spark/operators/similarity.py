@@ -1761,3 +1761,93 @@ def pca_top_component(
             F.round(F.col("__nm") / F.col("__tr"), 6).alias("var_share"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map ``in_dim``-d vectors
+    to ``out_dim``-d with a seeded Rademacher (+1/-1) matrix, scaled by
+    1/sqrt(out_dim) — the cheap distance-preserving reducer that fronts
+    ANN indexing or clustering when the raw embedding width is the cost
+    driver.
+
+    Output: long format ``(id, k, y)`` (k 1-based), ROUND(y, 6).
+
+    Determinism/scale: the sign matrix is a pure function of
+    ``(seed, k, j)`` (md5 parity — any worker or engine regenerates
+    it), entering the plan as a broadcast (k, j, s) table: the
+    projection is one codegen'd broadcast join + a partially
+    aggregated groupBy(id, k) whose per-term ROUND(s*x, 12) decimal
+    sum is order-independent, so the shuffle carries only
+    ``out_dim`` rows per vector and the DuckDB oracle is exact.
+    (A literal 1024-term expression chain was tried first: Spark
+    drops whole-stage codegen above the expression-count limit and
+    interprets it — measured ~6x slower than this join.)  Rows whose
+    vector is NULL or shorter than ``in_dim`` are dropped."""
+    signs = rademacher_signs(seed, out_dim, in_dim)
+    scale = math.sqrt(float(out_dim))
+    spark = df.sparkSession
+    sgn = spark.createDataFrame(
+        [
+            (k, j, float(signs[k - 1][j - 1]))
+            for k in range(1, out_dim + 1)
+            for j in range(1, in_dim + 1)
+        ],
+        "k int, j int, s double",
+    )
+    vecs = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= in_dim)
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("__e"))
+    x = ensure_min_parallelism(vecs, 64 * 1024).select(
+        "id", F.posexplode("__e").alias("j0", "xv")
+    ).select("id", (F.col("j0") + 1).alias("j"), F.col("xv").cast("double").alias("xv"))
+    return (
+        x.join(F.broadcast(sgn), "j")
+        .groupBy("id", "k")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("s") * F.col("xv"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.lit(scale),
+                6,
+            ).alias("y")
+        )
+        .select("id", F.col("k").cast("int").alias("k"), "y")
+    )
+
+
+def rademacher_signs(
+    seed: str, out_dim: int, in_dim: int
+) -> list[list[int]]:
+    """out_dim x in_dim +1/-1 matrix from md5 parity of
+    ``'{seed}:{k}:{j}'`` — regenerable by any engine (DuckDB twin:
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) % 2``)."""
+    import hashlib
+
+    return [
+        [
+            (
+                1
+                if int(
+                    hashlib.md5(
+                        f"{seed}:{k}:{j}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % 2
+                == 0
+                else -1
+            )
+            for j in range(1, in_dim + 1)
+        ]
+        for k in range(1, out_dim + 1)
+    ]

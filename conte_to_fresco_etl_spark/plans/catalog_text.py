@@ -5872,3 +5872,64 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(
         emb, "embedding", dim=_PCA_DIM, iterations=_PCA_ITERS
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection of the embedding table
+# ---------------------------------------------------------------------------
+
+_RP_IN, _RP_OUT, _RP_SEED = 64, 16, "rp"
+
+
+def _random_projection_sql(
+    in_dim: int = _RP_IN, out_dim: int = _RP_OUT, seed: str = _RP_SEED
+) -> str:
+    """Oracle twin of :func:`operators.similarity.random_projection`:
+    the same md5-parity Rademacher literals as a (k, j, s) VALUES
+    table, the same ROUND(s*x, 12) decimal-summed join-aggregate."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        rademacher_signs,
+    )
+
+    signs = rademacher_signs(seed, out_dim, in_dim)
+    scale = repr(math.sqrt(float(out_dim)))
+    vals = ", ".join(
+        f"({k}, {j}, CAST({float(signs[k - 1][j - 1])!r} AS DOUBLE))"
+        for k in range(1, out_dim + 1)
+        for j in range(1, in_dim + 1)
+    )
+    return f"""
+    WITH x AS (
+      SELECT vec_id AS id, i AS j, CAST(embedding[i] AS DOUBLE) AS xv
+      FROM embeddings, generate_series(1, {in_dim}) AS g(i)
+      WHERE embedding IS NOT NULL AND len(embedding) >= {in_dim}
+    ),
+    sgn (k, j, s) AS (VALUES {vals})
+    SELECT x.id, CAST(sgn.k AS INT) AS k,
+           ROUND(CAST(SUM(CAST(ROUND(sgn.s * x.xv, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) / CAST({scale} AS DOUBLE), 6) AS y
+    FROM x JOIN sgn ON x.j = sgn.j
+    GROUP BY 1, 2
+"""
+
+
+@_q("q_random_projection", _random_projection_sql())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Rademacher random projection 64-d -> 16-d over the
+    embedding corpus (Johnson-Lindenstrauss): the shuffle-free width
+    reducer that fronts ANN indexing when embedding width is the cost
+    driver.  Map-side only — the sign matrix is a (seed, k, j) pure
+    function entered as literals, so any engine or executor
+    regenerates it and no state ships with the plan."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"),
+        in_dim=_RP_IN,
+        out_dim=_RP_OUT,
+        seed=_RP_SEED,
+    )

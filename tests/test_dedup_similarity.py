@@ -958,3 +958,39 @@ def test_pca_top_component_recovers_planted_direction(spark):
     assert abs(eig - emp) / emp < 0.05
     share = got[1]["var_share"]
     assert 0.9 < share <= 1.0  # noise dims carry ~tiny variance
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on seeded Rademacher signs: pairwise squared
+    distances in the projected space approximate the originals (within
+    loose distortion for d_out=32), and the operator output is exactly
+    the literal sign-matrix product."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        rademacher_signs,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d_in, d_out = 40, 64, 32
+    mat = rng.normal(size=(n, d_in))
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection(df, in_dim=d_in, out_dim=d_out, seed="t")
+    got = out.collect()
+    assert len(got) == n * d_out
+    proj = np.zeros((n, d_out))
+    for r in got:
+        proj[r["id"], r["k"] - 1] = r["y"]
+    s = np.array(rademacher_signs("t", d_out, d_in), dtype=np.float64)
+    # float32 ingestion: compare against the float32-rounded matrix
+    expected = (mat.astype(np.float32).astype(np.float64) @ s.T) / np.sqrt(
+        d_out
+    )
+    assert np.abs(proj - expected).max() < 1e-5
+    # distance preservation (loose JL bound for this d_out)
+    a, b = mat.astype(np.float32).astype(np.float64)[:2]
+    orig = float(((a - b) ** 2).sum())
+    red = float(((proj[0] - proj[1]) ** 2).sum())
+    assert 0.4 * orig < red < 1.6 * orig

@@ -110,6 +110,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_jaro_linkage",        # NEW late-r6: Jaro-Winkler fuzzy linkage
     "q_pca_power",           # NEW late-r6: PCA top component (power iter)
     "q_random_projection",   # NEW late-r6: JL Rademacher projection
+    "q_kcore",               # NEW late-r6: k-core peel on co-occurrence graph
 ]
 
 PRIORITY: list[str] = [
@@ -208,6 +209,7 @@ PRIORITY: list[str] = [
     "q_jaro_linkage",
     "q_pca_power",
     "q_random_projection",
+    "q_kcore",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -553,3 +553,74 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 16,
+    broadcast_alive: bool = False,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    of degree < ``k`` (and their edges) until the graph is stable — the
+    maximal subgraph where every node keeps >= k neighbors.  The dense
+    cores of a near-dup or co-occurrence graph are template farms and
+    bot rings; the peeled periphery is incidental overlap.
+
+    Output: one row per node of the INPUT graph —
+    ``(node, core_deg, in_core)`` where ``core_deg`` is the node's
+    degree inside the surviving subgraph (0 when peeled out).
+
+    Scale posture: each round is one degree aggregate plus two
+    semi-joins keyed on the node id (the Pregel partitioning), with
+    the shrinking edge set localCheckpointed per round (the recurrence
+    references it three times — the q_pagerank fan-out discipline).
+    Peeling converges in <= max(coreness) rounds; the loop early-stops
+    on a stable edge count (one scalar per round, the convergence
+    probe every iterative operator here uses).  ``max_rounds`` bounds
+    the unrolled SQL oracle; peeling is monotone, so once stable every
+    further round is a no-op and any oracle unrolled to >= the
+    convergence depth matches exactly.
+
+    ``broadcast_alive=True`` ships the surviving-node set to the edge
+    partitions instead of shuffling edges onto it (pagerank's
+    ``broadcast_ranks`` knob): the right plan when |nodes| is
+    dimension-sized; leave False for web-scale graphs where the alive
+    set must hash-partition alongside the edges.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+        )
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    cur = sym.localCheckpoint()
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("__d"))
+        alive = deg.filter(F.col("__d") >= k).select("src")
+        alive_dst = alive.select(F.col("src").alias("dst"))
+        if broadcast_alive:
+            alive, alive_dst = F.broadcast(alive), F.broadcast(alive_dst)
+        cur = (
+            cur.join(alive, "src")
+            .join(alive_dst, "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_now = cur.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    core_deg = cur.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )
+    return nodes.join(core_deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("core_deg"), F.lit(0)).alias("core_deg"),
+        (F.coalesce(F.col("core_deg"), F.lit(0)) >= k).alias("in_core"),
+    )

@@ -4386,3 +4386,89 @@ def q_jaro_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["p_brand", "p_size"],
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the user co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 16
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peel oracle (one alive/edges CTE pair per round, all
+    MATERIALIZED — DuckDB inlines plain CTEs and a 16-deep recurrence
+    re-evaluates the co-occurrence self-join exponentially).  Peeling
+    is monotone: once stable, further rounds are no-ops, so any unroll
+    depth >= the true convergence depth is exact (the operator
+    early-stops on a stable edge count for the same reason)."""
+    parts = [
+        """
+    WITH posts AS MATERIALIZED (
+      SELECT DISTINCT user_id AS kk, date_trunc('hour', ts) AS ctx
+      FROM events WHERE user_id < 40
+    ),
+    eu AS MATERIALIZED (
+      SELECT a.kk AS u, b.kk AS v
+      FROM posts a JOIN posts b ON a.ctx = b.ctx AND a.kk < b.kk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM eu
+      UNION ALL
+      SELECT v, u FROM eu
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{r} AS MATERIALIZED (
+      SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT t.src, t.dst
+      FROM e{r - 1} t
+      JOIN a{r} x ON t.src = x.src
+      JOIN a{r} y ON t.dst = y.src
+    )"""
+        )
+    parts.append(
+        f""",
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    cd AS (
+      SELECT src AS node, COUNT(*) AS core_deg FROM e{rounds} GROUP BY 1
+    )
+    SELECT n.node, CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg,
+           COALESCE(cd.core_deg, 0) >= {k} AS in_core
+    FROM nodes n LEFT JOIN cd USING (node)
+"""
+    )
+    return "".join(parts)
+
+
+@_q("q_kcore", _kcore_sql())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the hour-bucket user co-occurrence graph: iteratively
+    peel nodes with < 2 surviving neighbors until stable.  The dense
+    core of a co-occurrence (or near-dup) graph is the template-farm /
+    bot-ring signal that per-edge thresholds miss; the periphery is
+    incidental overlap.  Each peel round is one degree aggregate plus
+    two node-keyed semi-joins over the shrinking edge set."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=10,
+    )
+    return kcore(
+        edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS,
+        broadcast_alive=True,  # |nodes| <= 40: dimension-sized
+    )

@@ -2026,3 +2026,22 @@ def test_jaro_winkler_pairs_blocking_and_threshold(spark):
     r = out[0]
     assert (r["key_a"], r["key_b"]) == (1, 2)
     assert r["jw"] == round(jaro_winkler("martha", "marhta"), 6) == 0.961111
+
+
+def test_kcore_cascading_peel(spark):
+    """4-clique {1,2,3,4} with a pendant path 4-5-6: at k=2 the path
+    peels in CASCADE (6 first, then 5), which a single-pass degree
+    filter would miss; the clique survives with in-core degree 3."""
+    from conte_to_fresco_etl_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "a long, b long",
+    )
+    got = {r["node"]: r for r in kcore(edges, k=2).collect()}
+    assert len(got) == 6
+    for n in (1, 2, 3):
+        assert got[n]["in_core"] and got[n]["core_deg"] == 3
+    assert got[4]["in_core"] and got[4]["core_deg"] == 3  # pendant edge gone
+    for n in (5, 6):
+        assert not got[n]["in_core"] and got[n]["core_deg"] == 0

@@ -111,6 +111,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_pca_power",           # NEW late-r6: PCA top component (power iter)
     "q_random_projection",   # NEW late-r6: JL Rademacher projection
     "q_kcore",               # NEW late-r6: k-core peel on co-occurrence graph
+    "q_holt_forecast",       # NEW late-r6: Holt level+trend forecast
 ]
 
 PRIORITY: list[str] = [
@@ -210,6 +211,7 @@ PRIORITY: list[str] = [
     "q_pca_power",
     "q_random_projection",
     "q_kcore",
+    "q_holt_forecast",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

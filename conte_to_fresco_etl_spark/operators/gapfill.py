@@ -424,3 +424,104 @@ def autocorrelation(
             F.col("__num").cast("double") / F.col("__den").cast("double"), 6
         ).alias("acf"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the daily
+    count series of each key, with an ``horizon``-step linear forecast
+    — the capacity-planning projection a pipeline owner runs on ingest
+    volume ("where is this source's daily count heading").
+
+    Output: ``(key, h, forecast)`` for h = 1..horizon, plus the fitted
+    ``level`` and ``trend`` (per-key constants repeated on each row so
+    the table is self-describing).  Keys with fewer than 2 observed
+    days are dropped (Holt needs two points to seed the trend).
+
+    Plan shape: one (key, day) count shuffle, one per-key collect_list
+    (bounded: a day-granularity series is at most a few thousand
+    elements per key — it collapses the corpus BEFORE any sequential
+    work), then the recurrence folds per row via ``F.aggregate`` in
+    array order.  The sequential dependency is inherent to exponential
+    smoothing; at 100 TB the bounded-series fold per key is exactly
+    how a distributed engine should run it (never a global window).
+    Every recurrence step is ROUND(x, 12)-pinned; alpha/beta and their
+    complements enter BOTH engines as repr'd literals (a ``1 - 0.3``
+    folds to 0.7 exactly in DuckDB's decimal arithmetic but to a
+    different double in Spark).
+    """
+    a, b = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("__day"),
+        )
+        .groupBy("key", "__day")
+        .agg(F.count("*").cast("double").alias("__y"))
+    )
+    series = (
+        daily.groupBy("key")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__day", "__y"))),
+                lambda s: s["__y"],
+            ).alias("__ys")
+        )
+        .filter(F.size("__ys") >= 2)
+    )
+
+    def _step(acc, x):
+        new_l = F.round(
+            F.lit(a) * x + F.lit(one_a) * (acc["l"] + acc["b"]), 12
+        )
+        return F.struct(
+            new_l.alias("l"),
+            F.round(
+                F.lit(b) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"],
+                12,
+            ).alias("b"),
+        )
+
+    fitted = series.select(
+        "key",
+        F.aggregate(
+            F.slice(F.col("__ys"), 2, F.size("__ys") - 1),
+            F.struct(
+                F.element_at("__ys", 1).alias("l"),
+                (F.element_at("__ys", 2) - F.element_at("__ys", 1)).alias(
+                    "b"
+                ),
+            ),
+            _step,
+        ).alias("__fit"),
+    ).select(
+        "key",
+        F.col("__fit.l").alias("level"),
+        F.col("__fit.b").alias("trend"),
+    )
+    return fitted.select(
+        "key",
+        "level",
+        "trend",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(int(horizon))),
+                lambda h: F.round(
+                    F.col("level") + h.cast("double") * F.col("trend"), 6
+                ),
+            )
+        ).alias("h0", "forecast"),
+    ).select(
+        "key",
+        (F.col("h0") + 1).cast("int").alias("h"),
+        "forecast",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )

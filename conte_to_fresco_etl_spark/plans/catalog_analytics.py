@@ -4472,3 +4472,80 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS,
         broadcast_alive=True,  # |nodes| <= 40: dimension-sized
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential-smoothing forecast of daily event volume
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.5, 0.3, 7
+
+
+def _holt_sql(
+    alpha: float = _HOLT_ALPHA, beta: float = _HOLT_BETA, h: int = _HOLT_H
+) -> str:
+    """Recursive-CTE oracle for the Holt recurrence: one row per
+    (key, t) walks the ROW_NUMBER-indexed daily series, each step
+    ROUND(x, 12)-pinned exactly like the operator's fold.  alpha/beta
+    and their complements are repr'd double literals in both engines
+    (DuckDB folds ``1 - 0.3`` in DECIMAL to exactly 0.7; Spark's
+    double fold differs — precomputing in Python pins both)."""
+    a, b = repr(float(alpha)), repr(float(beta))
+    oa, ob = repr(1.0 - float(alpha)), repr(1.0 - float(beta))
+    a, oa = f"CAST({a} AS DOUBLE)", f"CAST({oa} AS DOUBLE)"
+    b, ob = f"CAST({b} AS DOUBLE)", f"CAST({ob} AS DOUBLE)"
+    new_l = f"ROUND({a} * i.y + {oa} * (r.l + r.b), 12)"
+    return f"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT event_type AS key, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS MATERIALIZED (
+      SELECT key, ROW_NUMBER() OVER (PARTITION BY key ORDER BY day) AS t,
+             y
+      FROM d
+    ),
+    nn AS MATERIALIZED (
+      SELECT key, MAX(t) AS n FROM idx GROUP BY 1 HAVING MAX(t) >= 2
+    ),
+    rec(key, t, l, b) AS (
+      SELECT i1.key, CAST(1 AS BIGINT), i1.y, i2.y - i1.y
+      FROM idx i1
+      JOIN idx i2 ON i1.key = i2.key AND i1.t = 1 AND i2.t = 2
+      JOIN nn ON nn.key = i1.key
+      UNION ALL
+      SELECT r.key, r.t + 1,
+             {new_l},
+             ROUND({b} * ({new_l} - r.l) + {ob} * r.b, 12)
+      FROM rec r JOIN idx i ON i.key = r.key AND i.t = r.t + 1
+    ),
+    fitted AS (
+      SELECT r.key, r.l, r.b FROM rec r JOIN nn ON nn.key = r.key
+      WHERE r.t = nn.n
+    )
+    SELECT key, CAST(g.h AS INT) AS h,
+           ROUND(l + CAST(g.h AS DOUBLE) * b, 6) AS forecast,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+    FROM fitted, generate_series(1, {h}) AS g(h)
+"""
+
+
+@_q("q_holt_forecast", _holt_sql())
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of each event type's daily volume
+    with a 7-day linear forecast — the capacity-planning projection
+    for ingest volume.  One (key, day) count shuffle collapses the
+    corpus, then the inherently sequential recurrence folds over the
+    bounded per-key day series via F.aggregate (array order, never a
+    global window); the forecast explode is map-side."""
+    from conte_to_fresco_etl_spark.operators.gapfill import holt_forecast
+
+    return holt_forecast(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        alpha=_HOLT_ALPHA,
+        beta=_HOLT_BETA,
+        horizon=_HOLT_H,
+    )

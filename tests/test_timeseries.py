@@ -352,3 +352,36 @@ def test_asof_forward_null_left_ts_unmatched(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["asof_rid"] is None and out[0]["asof_ts"] is None
+
+
+def test_holt_forecast_matches_reference_recurrence(spark):
+    """Fold semantics pinned against a plain-Python Holt recurrence on
+    a two-key daily series (one linear ramp — forecast must continue
+    the ramp — and one too-short key that must be dropped)."""
+    import datetime as dt
+
+    from conte_to_fresco_etl_spark.operators.gapfill import holt_forecast
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    counts = [10, 12, 14, 16, 18, 20]  # perfect ramp +2/day
+    for d, n in enumerate(counts):
+        for i in range(n):
+            rows.append(("ramp", base + dt.timedelta(days=d, minutes=i)))
+    rows.append(("short", base))  # single day -> dropped
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = holt_forecast(df, key_col="k", ts_col="ts", horizon=3).collect()
+    got = {(r["key"], r["h"]): r for r in out}
+    assert {k for k, _ in got} == {"ramp"}
+
+    a, b_, oa, ob = 0.5, 0.3, 0.5, 0.7
+    l, b = float(counts[0]), float(counts[1] - counts[0])
+    for y in counts[1:]:
+        nl = round(a * y + oa * (l + b), 12)
+        b = round(b_ * (nl - l) + ob * b, 12)
+        l = nl
+    for h in (1, 2, 3):
+        assert abs(got[("ramp", h)]["forecast"] - round(l + h * b, 6)) < 1e-9
+    # a perfect ramp: trend converges to +2/day, forecast keeps climbing
+    assert abs(got[("ramp", 1)]["trend"] - 2.0) < 0.2
+    assert got[("ramp", 3)]["forecast"] > got[("ramp", 1)]["forecast"]

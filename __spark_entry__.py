@@ -112,6 +112,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_random_projection",   # NEW late-r6: JL Rademacher projection
     "q_kcore",               # NEW late-r6: k-core peel on co-occurrence graph
     "q_holt_forecast",       # NEW late-r6: Holt level+trend forecast
+    "q_survival_km",         # NEW late-r6: Kaplan-Meier right-censored survival
 ]
 
 PRIORITY: list[str] = [
@@ -212,6 +213,7 @@ PRIORITY: list[str] = [
     "q_random_projection",
     "q_kcore",
     "q_holt_forecast",
+    "q_survival_km",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -1670,3 +1670,103 @@ def roc_auc(
         .otherwise(F.round(u_pos / (np_ * nn_), 6))
         .alias("auc"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate with right
+    censoring — the time-to-event summary a retention/reliability
+    pipeline runs when not every subject has failed yet: subjects
+    still alive at their last observation contribute risk exposure
+    without biasing the failure rate downward the way a naive
+    "fraction failed by t" does.
+
+    Input: one row per subject with an integer ``duration_col`` and a
+    boolean ``event_col`` (TRUE = the event was observed at that
+    duration, FALSE = right-censored there).  NULL duration/flag rows
+    are excluded up front.
+
+    Output per distinct duration: ``(duration, n_risk, n_events,
+    n_censored, survival, std_err)`` — survival is
+    ``Π_{t_i ≤ t} (1 − d_i / n_i)`` ROUND(6), std_err the Greenwood
+    variance estimate ``S(t)·sqrt(Σ d/(n(n−d)))`` ROUND(6); both pin
+    to exactly 0 once ``d_i = n_i`` (everyone at risk fails) instead
+    of routing ln(0) through the engine (Spark log(0) is NULL, DuckDB
+    -inf — the explicit flag keeps the two engines identical).
+
+    Scale posture: the subject table collapses to the per-distinct-
+    duration (d, c) count table FIRST (one partial-aggregated
+    shuffle); every window — reverse-cumulative at-risk counts,
+    forward-cumulative log-survival and Greenwood sums — runs over
+    that collapsed |distinct durations|-row table, the
+    ``mannwhitney_u``/``ks_test`` discipline.  The product itself is
+    exp(Σ ln(1 − d/n)): a sum, so it parallelizes and never
+    underflows the way a literal running product would (plain ln, not
+    log1p — the oracle's LN must walk the identical fp path)."""
+    subj = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").alias("obs"),
+    ).filter(F.col("t").isNotNull() & F.col("obs").isNotNull())
+    per_t = subj.groupBy("t").agg(
+        F.sum(F.when(F.col("obs"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("obs"), 0).otherwise(1)).alias("c"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_rev).alias("n_risk"),
+    )
+    d_ = F.col("d").cast("double")
+    n_ = F.col("n_risk").cast("double")
+    stepped = at_risk.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        # log-survival term and Greenwood term, both 0 for censor-only
+        # rows (d = 0) and deliberately 0 (not -inf/NaN) where d = n —
+        # the dead flag below overrides those rows to exact 0 anyway
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(F.lit(1.0) - d_ / n_),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("log_term"),
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            d_ / (n_ * (n_ - d_)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gw_term"),
+        F.when(F.col("d") >= F.col("n_risk"), 1)
+        .otherwise(0)
+        .alias("dead"),
+    )
+    cum = stepped.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.sum("log_term").over(w_cum).alias("log_s"),
+        F.sum("gw_term").over(w_cum).alias("gw"),
+        F.max("dead").over(w_cum).alias("extinct"),
+    )
+    surv = F.exp(F.col("log_s"))
+    return cum.select(
+        F.col("t").cast("long").alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(surv, 6))
+        .alias("survival"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(surv * F.sqrt(F.col("gw")), 6))
+        .alias("std_err"),
+    )

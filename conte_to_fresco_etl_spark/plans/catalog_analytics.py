@@ -4549,3 +4549,95 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta=_HOLT_BETA,
         horizon=_HOLT_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time to first error, right-censored)
+# ---------------------------------------------------------------------------
+
+_SURVIVAL_KM_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0,
+             MAX(epoch_us(ts)) AS t1,
+             MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+      FROM events GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST(FLOOR((COALESCE(te, t1) - t0) / 3600000000.0) AS BIGINT)
+               AS t,
+             (te IS NOT NULL) AS obs
+      FROM per_user
+    ),
+    per_t AS (
+      SELECT t,
+             SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM per_t
+    ),
+    stepped AS (
+      SELECT t, n_risk, d, c,
+             CASE WHEN d > 0 AND d < n_risk
+                  THEN LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END AS log_term,
+             CASE WHEN d > 0 AND d < n_risk
+                  THEN CAST(d AS DOUBLE)
+                       / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE))
+                  ELSE 0.0 END AS gw_term,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM risk
+    ),
+    cum AS (
+      SELECT t, n_risk, d, c,
+             SUM(log_term) OVER w AS log_s,
+             SUM(gw_term) OVER w AS gw,
+             MAX(dead) OVER w AS extinct
+      FROM stepped
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(t AS BIGINT) AS duration,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE ROUND(EXP(log_s), 6) END AS survival,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE ROUND(EXP(log_s) * SQRT(gw), 6) END AS std_err
+    FROM cum
+"""
+
+
+@_q("q_survival_km", _SURVIVAL_KM_SQL)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-error curve over the event stream:
+    each user's duration runs from their first event to their first
+    'error' (observed) or to their last event (right-censored), in
+    whole hours.  One groupBy(user) collapses the stream to subjects;
+    :func:`kaplan_meier` then collapses subjects to the per-distinct-
+    duration table before any window touches data — survival and
+    Greenwood SE are ordered-window sums over that dimension-sized
+    table, identical fp walk to the oracle's."""
+    from conte_to_fresco_etl_spark.operators.robust import kaplan_meier
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    subj = per_user.select(
+        F.floor(
+            (F.coalesce(F.col("te"), F.col("t1")) - F.col("t0"))
+            / F.lit(3600000000.0)
+        ).alias("duration_h"),
+        F.col("te").isNotNull().alias("observed"),
+    )
+    return kaplan_meier(subj, "duration_h", "observed")

@@ -2045,3 +2045,42 @@ def test_kcore_cascading_peel(spark):
     assert got[4]["in_core"] and got[4]["core_deg"] == 3  # pendant edge gone
     for n in (5, 6):
         assert not got[n]["in_core"] and got[n]["core_deg"] == 0
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """The classic small-sample KM check: durations with interleaved
+    censoring, hand-computed product-limit values."""
+    from conte_to_fresco_etl_spark.operators.robust import kaplan_meier
+
+    # (duration, observed): events at 1, 3, 5; censored at 2, 4.
+    rows = [(1, True), (2, False), (3, True), (4, False), (5, True)]
+    df = spark.createDataFrame(rows, "t INT, obs BOOLEAN")
+    out = {r["duration"]: r for r in kaplan_meier(df, "t", "obs").collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # n_risk: reverse cumulative subject counts
+    assert [out[t]["n_risk"] for t in [1, 2, 3, 4, 5]] == [5, 4, 3, 2, 1]
+    # S(1) = 4/5; censor at 2 leaves S unchanged; S(3) = 4/5 * 2/3;
+    # S(5): the last subject fails with d = n -> exact 0.
+    assert out[1]["survival"] == round(4 / 5, 6)
+    assert out[2]["survival"] == round(4 / 5, 6)
+    assert out[3]["survival"] == round(4 / 5 * 2 / 3, 6)
+    assert out[4]["survival"] == round(4 / 5 * 2 / 3, 6)
+    assert out[5]["survival"] == 0.0
+    assert out[5]["std_err"] == 0.0
+    # Greenwood at t=3: S * sqrt(1/(5*4) + 1/(3*2))
+    import math
+
+    exp_se = (4 / 5 * 2 / 3) * math.sqrt(1 / 20 + 1 / 6)
+    assert abs(out[3]["std_err"] - exp_se) < 1e-6
+
+
+def test_kaplan_meier_all_censored_is_flat_one(spark):
+    from conte_to_fresco_etl_spark.operators.robust import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(3, False), (7, False), (7, False)], "t INT, obs BOOLEAN"
+    )
+    out = kaplan_meier(df, "t", "obs").collect()
+    assert all(r["survival"] == 1.0 for r in out)
+    assert all(r["n_events"] == 0 for r in out)
+    assert sum(r["n_censored"] for r in out) == 3

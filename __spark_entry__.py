@@ -113,6 +113,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_kcore",               # NEW late-r6: k-core peel on co-occurrence graph
     "q_holt_forecast",       # NEW late-r6: Holt level+trend forecast
     "q_survival_km",         # NEW late-r6: Kaplan-Meier right-censored survival
+    "q_zipf_slope",          # NEW late-r6: per-language Zipf-law frequency fit
 ]
 
 PRIORITY: list[str] = [
@@ -214,6 +215,7 @@ PRIORITY: list[str] = [
     "q_kcore",
     "q_holt_forecast",
     "q_survival_km",
+    "q_zipf_slope",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

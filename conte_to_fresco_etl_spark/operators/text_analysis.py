@@ -2012,3 +2012,80 @@ def rrf_fuse(
             "rrf_score",
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Per-group Zipf-law fit: regress ln(term frequency) on ln(rank)
+    over each group's ``top_n`` most frequent tokens — the language-
+    health diagnostic that complements :func:`vocab_growth` (Heaps
+    audits vocabulary GROWTH; Zipf audits the frequency SHAPE).
+    Natural text sits near slope −1; machine-generated or boilerplate-
+    heavy slices flatten (slope → 0) or steepen sharply, so a per-
+    source/per-language slope table flags corpus slices worth a manual
+    look before they enter a training mix.
+
+    Output per group: ``(group, n_terms, zipf_slope, zipf_intercept,
+    r2)`` — slope/intercept/r2 ROUND(6), NULL for degenerate groups
+    (fewer than 2 distinct terms).  Ranks tiebreak by token asc so
+    both engines rank identically.
+
+    Scale posture: the corpus collapses to the per-(group, token)
+    count table in ONE map-side-combinable shuffle; the rank window is
+    partitioned by group over that collapsed vocabulary table and
+    prunable to top_n via WindowGroupLimit; the regression moments are
+    ROUND(12)/DECIMAL-summed per group (order-independent), so the
+    final fit is a |groups|-row aggregation."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    cnts = toks.groupBy("g", "t").agg(F.count("*").alias("cnt"))
+    wr = Window.partitionBy("g").orderBy(
+        F.col("cnt").desc(), F.col("t").asc()
+    )
+    pts = (
+        cnts.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= top_n)
+        .select(
+            "g",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+
+    def _dsum(c, alias):
+        return F.sum(F.round(c, 12).cast("decimal(38,12)")).alias(alias)
+
+    mom = pts.groupBy("g").agg(
+        F.count("*").cast("double").alias("np"),
+        _dsum(F.col("x"), "sx"),
+        _dsum(F.col("y"), "sy"),
+        _dsum(F.col("x") * F.col("y"), "sxy"),
+        _dsum(F.col("x") * F.col("x"), "sxx"),
+        _dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    np_ = F.col("np")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = np_ * sxx - sx * sx
+    vy = np_ * syy - sy * sy
+    cov = np_ * sxy - sx * sy
+    slope = cov / vx
+    return mom.select(
+        F.col("g").alias(group_col),
+        F.col("np").cast("long").alias("n_terms"),
+        F.when(vx > 0.0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(vx > 0.0, F.round((sy - slope * sx) / np_, 6)).alias(
+            "zipf_intercept"
+        ),
+        F.when((vx > 0.0) & (vy > 0.0), F.round(cov * cov / (vx * vy), 6))
+        .alias("r2"),
+    )

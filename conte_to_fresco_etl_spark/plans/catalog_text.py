@@ -5933,3 +5933,73 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dim=_RP_OUT,
         seed=_RP_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope per language
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+    WITH toks AS (
+      SELECT lang AS g, unnest({tokens}) AS t FROM documents
+    ),
+    cnts AS (
+      SELECT g, t, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT g, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM (
+        SELECT g, t, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY g ORDER BY cnt DESC, t ASC
+               ) AS r
+        FROM cnts
+      ) WHERE r <= 200
+    ),
+    mom AS (
+      SELECT g, CAST(COUNT(*) AS DOUBLE) AS np,
+             CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT g AS lang,
+           CAST(np AS BIGINT) AS n_terms,
+           CASE WHEN np * sxx - sx * sx > 0.0e0
+                THEN ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN np * sxx - sx * sx > 0.0e0
+                THEN ROUND((sy - ((np * sxy - sx * sy)
+                                  / (np * sxx - sx * sx)) * sx) / np, 6)
+           END AS zipf_intercept,
+           CASE WHEN np * sxx - sx * sx > 0.0e0
+                 AND np * syy - sy * sy > 0.0e0
+                THEN ROUND((np * sxy - sx * sy) * (np * sxy - sx * sy)
+                           / ((np * sxx - sx * sx)
+                              * (np * syy - sy * sy)), 6)
+           END AS r2
+    FROM mom
+"""
+
+
+@_q("q_zipf_slope", _ZIPF_SQL.format(tokens=_sql_tokens()))
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope over each language's 200 most frequent
+    tokens: one (lang, token) count shuffle collapses the corpus to
+    vocabulary size, a WindowGroupLimit-prunable per-lang rank window
+    takes the head, and the log-log fit is decimal-summed per lang."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang",
+        text_col="text",
+        top_n=200,
+    )

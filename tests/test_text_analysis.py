@@ -812,3 +812,25 @@ def test_kneser_ney_matches_pure_python_reference(spark):
         cp = sum(big[p].values())
         mass = sum(p_kn(p, w) for w in big[p])
         assert mass < 1.0 + 1e-9
+
+
+def test_zipf_fit_exact_power_law_and_degenerate_group(spark):
+    """Frequencies 12/r for ranks 1..4 lie exactly on ln y = ln 12 - ln r,
+    so the fitted slope is -1 with r2 = 1; a one-token group is NULL."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import zipf_fit
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame(
+        [("en", text), ("xx", "solo solo solo")], "lang STRING, text STRING"
+    )
+    out = {r["lang"]: r for r in zipf_fit(df, "lang", "text", 200).collect()}
+    en = out["en"]
+    assert en["n_terms"] == 4
+    assert abs(en["zipf_slope"] - (-1.0)) < 1e-6
+    assert abs(en["zipf_intercept"] - math.log(12.0)) < 1e-6
+    assert abs(en["r2"] - 1.0) < 1e-6
+    xx = out["xx"]
+    assert xx["n_terms"] == 1
+    assert xx["zipf_slope"] is None and xx["r2"] is None

@@ -114,6 +114,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_holt_forecast",       # NEW late-r6: Holt level+trend forecast
     "q_survival_km",         # NEW late-r6: Kaplan-Meier right-censored survival
     "q_zipf_slope",          # NEW late-r6: per-language Zipf-law frequency fit
+    "q_burstiness",          # NEW late-r6: token dispersion vs Poisson baseline
 ]
 
 PRIORITY: list[str] = [
@@ -216,6 +217,7 @@ PRIORITY: list[str] = [
     "q_holt_forecast",
     "q_survival_km",
     "q_zipf_slope",
+    "q_burstiness",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

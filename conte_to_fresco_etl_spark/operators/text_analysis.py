@@ -2089,3 +2089,63 @@ def zipf_fit(
         F.when((vx > 0.0) & (vy > 0.0), F.round(cov * cov / (vx * vy), 6))
         .alias("r2"),
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-token burstiness profile over the corpus's ``top_n`` most
+    frequent tokens: content words are BURSTY (they recur within the
+    few documents they appear in) while function words spread evenly,
+    so the deviation of each token's per-document count distribution
+    from the Poisson baseline separates topical vocabulary from glue —
+    the signal keyword extraction, stopword induction, and TF
+    saturation (BM25 k1) tuning all consume.
+
+    Output per token: ``(token, cf, df, mean_in_doc, vmr, df_ratio)``
+    — ``cf``/``df`` corpus/document frequency, ``mean_in_doc`` =
+    cf/df, ``vmr`` the index of dispersion of per-document counts
+    including zero-count documents (Poisson ⇒ 1, bursty ≫ 1), and
+    ``df_ratio`` = observed df over the Poisson expectation
+    N·(1−exp(−cf/N)) (bursty ⇒ < 1: occurrences concentrate in fewer
+    documents than independence predicts).  ROUND(6) doubles; top_n
+    selected by (cf desc, token asc).
+
+    Scale posture: one (doc, token) count shuffle, one (token) rollup
+    of exact integer moments (cf, df, Σc²) — map-side combinable —
+    then a TakeOrdered top_n against the vocabulary-sized table with
+    the 1-row corpus count crossed in by broadcast.  No window over
+    raw rows anywhere."""
+    toks = df.select(
+        F.col(id_col).alias("i"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    per_dt = toks.groupBy("i", "t").agg(F.count("*").alias("c"))
+    per_t = per_dt.groupBy("t").agg(
+        F.sum("c").alias("cf"),
+        F.count("*").alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    tot = df.agg(F.count("*").alias("n_docs"))
+    top = (
+        per_t.join(F.broadcast(tot))
+        .orderBy(F.col("cf").desc(), F.col("t").asc())
+        .limit(top_n)
+    )
+    n_ = F.col("n_docs").cast("double")
+    cf_ = F.col("cf").cast("double")
+    df_ = F.col("df").cast("double")
+    mean = cf_ / n_
+    var = F.col("s2").cast("double") / n_ - mean * mean
+    poisson_df = n_ * (F.lit(1.0) - F.exp(-mean))
+    return top.select(
+        F.col("t").alias("token"),
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(cf_ / df_, 6).alias("mean_in_doc"),
+        F.round(var / mean, 6).alias("vmr"),
+        F.round(df_ / poisson_df, 6).alias("df_ratio"),
+    )

@@ -6003,3 +6003,60 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         top_n=200,
     )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness vs the Poisson baseline
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS i, unnest({tokens}) AS t FROM documents
+    ),
+    per_dt AS (
+      SELECT i, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    per_t AS (
+      SELECT t, SUM(c) AS cf, COUNT(*) AS df, SUM(c * c) AS s2
+      FROM per_dt GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    top AS (
+      SELECT t, cf, df, s2, n_docs
+      FROM per_t CROSS JOIN tot
+      ORDER BY cf DESC, t ASC LIMIT 100
+    )
+    SELECT t AS token,
+           CAST(cf AS BIGINT) AS cf,
+           CAST(df AS BIGINT) AS df,
+           ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+             AS mean_in_doc,
+           ROUND((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  - (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                 / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+             AS vmr,
+           ROUND(CAST(df AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE)
+                    * (1.0 - EXP(-(CAST(cf AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE))))), 6)
+             AS df_ratio
+    FROM top
+"""
+
+
+@_q("q_burstiness", _BURSTINESS_SQL.format(tokens=_sql_tokens()))
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile of the corpus's 100 most frequent tokens:
+    exact integer moments off two map-side-combinable count shuffles,
+    1-row corpus total broadcast, TakeOrdered head."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_burstiness,
+    )
+
+    return token_burstiness(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        top_n=100,
+    )

@@ -530,6 +530,7 @@ BNLJ_ALLOWED = {
     "q_bh_fdr",                 # corpus moments + m (1-row broadcasts)
     "q_token_label_mi",         # label totals (1-row broadcast)
     "q_bm25_topk",              # corpus doc count + avg len (1-row)
+    "q_burstiness",             # corpus doc count (1-row broadcast)
     "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
     "q_dq_report",              # corpus stat row (1-row broadcast)
     "q_dsir_weights",           # vocab totals (1-row broadcast)

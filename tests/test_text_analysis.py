@@ -834,3 +834,37 @@ def test_zipf_fit_exact_power_law_and_degenerate_group(spark):
     xx = out["xx"]
     assert xx["n_terms"] == 1
     assert xx["zipf_slope"] is None and xx["r2"] is None
+
+
+def test_token_burstiness_bursty_vs_uniform(spark):
+    """'glue' appears once in every doc (vmr = 0, df_ratio > 1 region);
+    'topic' concentrates 4 occurrences in one of four docs (bursty:
+    vmr > 1, df_ratio < 1)."""
+    import math
+
+    docs = [
+        (0, "glue topic topic topic topic"),
+        (1, "glue x"),
+        (2, "glue y"),
+        (3, "glue z"),
+    ]
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        token_burstiness,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    out = {
+        r["token"]: r for r in token_burstiness(df, top_n=10).collect()
+    }
+    g, t = out["glue"], out["topic"]
+    assert (g["cf"], g["df"]) == (4, 4)
+    assert (t["cf"], t["df"]) == (4, 1)
+    assert g["mean_in_doc"] == 1.0 and t["mean_in_doc"] == 4.0
+    # glue: every doc count is exactly 1 -> variance 0
+    assert g["vmr"] == 0.0
+    # topic: counts (4,0,0,0), mean 1, var = 16/4 - 1 = 3
+    assert abs(t["vmr"] - 3.0) < 1e-6
+    poisson_df = 4 * (1 - math.exp(-1.0))
+    assert abs(g["df_ratio"] - 4 / poisson_df) < 1e-6
+    assert abs(t["df_ratio"] - 1 / poisson_df) < 1e-6
+    assert g["df_ratio"] > 1.0 > t["df_ratio"]

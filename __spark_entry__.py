@@ -115,6 +115,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_survival_km",         # NEW late-r6: Kaplan-Meier right-censored survival
     "q_zipf_slope",          # NEW late-r6: per-language Zipf-law frequency fit
     "q_burstiness",          # NEW late-r6: token dispersion vs Poisson baseline
+    "q_isotonic_calibration",  # NEW late-r6: monotone PAVA fit via minimax lattice
 ]
 
 PRIORITY: list[str] = [
@@ -218,6 +219,7 @@ PRIORITY: list[str] = [
     "q_survival_km",
     "q_zipf_slope",
     "q_burstiness",
+    "q_isotonic_calibration",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

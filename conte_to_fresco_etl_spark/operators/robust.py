@@ -1770,3 +1770,92 @@ def kaplan_meier(
         .otherwise(F.round(surv * F.sqrt(F.col("gw")), 6))
         .alias("std_err"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic calibration map for a probabilistic classifier: the
+    monotone step function fitted to per-bin positive rates — what a
+    pipeline applies when :func:`calibration_bins` shows systematic
+    mis-calibration but re-training is off the table.  Where Platt
+    scaling assumes a sigmoid shape, isotonic regression assumes only
+    monotonicity ("a higher score never means a lower true-positive
+    probability"), which is exactly the contract downstream soft
+    samplers rely on.
+
+    The fit is the weighted isotonic regression over score-bin
+    positive rates, computed through the minimax identity
+    ``iso(i) = max_{j ≤ i} min_{k ≥ i} rate(j..k)`` (the closed form
+    of pool-adjacent-violators) rather than the sequential PAVA sweep:
+    every term is a range aggregate, so the whole fit stays inside the
+    engine as joins + windows over the BIN table — nothing iterates,
+    nothing collects.
+
+    Output per non-empty bin: ``(bin, n, pos, raw_rate, iso_rate)``,
+    rates ROUND(6); ``iso_rate`` is non-decreasing in ``bin`` by
+    construction.
+
+    Scale posture: the corpus collapses to ≤ ``n_bins`` rows in ONE
+    map-side-combinable aggregation; the O(n_bins²) range table and
+    its min/max windows are dimension-sized (n_bins = 20 → 210 rows).
+    Range rates are exact integer ratios ROUND(12)-pinned before the
+    min/max lattice so both engines walk identical doubles."""
+    lbl = F.col(label_col).cast("int")
+    binned = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        lbl.alias("y"),
+    ).filter(F.col("y").isNotNull())
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    jb = bins.select(F.col("bin").alias("jb"))
+    kb = bins.select(F.col("bin").alias("kb"))
+    mid = bins.select(
+        F.col("bin").alias("mb"),
+        F.col("n").alias("mn"),
+        F.col("pos").alias("mpos"),
+    )
+    ranges = (
+        jb.join(broadcast(kb), F.col("jb") <= F.col("kb"))
+        .join(
+            broadcast(mid),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            F.round(
+                F.sum("mpos").cast("double") / F.sum("mn").cast("double"),
+                12,
+            ).alias("rate")
+        )
+    )
+    w_rev = (
+        Window.partitionBy("jb")
+        .orderBy(F.col("kb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = ranges.select(
+        "jb", "kb", F.min("rate").over(w_rev).alias("mrate")
+    )
+    fit = m.groupBy(F.col("kb").alias("bin")).agg(
+        F.max("mrate").alias("iso")
+    )
+    return (
+        bins.join(fit, "bin")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )

@@ -6060,3 +6060,80 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         top_n=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration map (PAVA via the minimax identity)
+# ---------------------------------------------------------------------------
+
+_ISOTONIC_SQL = f"""
+    WITH qc AS ({{classifier}}),
+    qf AS ({{filters}}),
+    j AS (
+      SELECT qc.doc_id, qc.score,
+             CASE WHEN qf.keep THEN 1 ELSE 0 END AS y
+      FROM qc JOIN qf USING (doc_id)
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 20) AS BIGINT), 19) AS bin, y
+      FROM j
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM b GROUP BY 1
+    ),
+    ranges AS (
+      SELECT jb.bin AS jb, kb.bin AS kb,
+             ROUND(CAST(SUM(m.pos) AS DOUBLE)
+                   / CAST(SUM(m.n) AS DOUBLE), 12) AS rate
+      FROM bins jb
+      JOIN bins kb ON jb.bin <= kb.bin
+      JOIN bins m ON m.bin BETWEEN jb.bin AND kb.bin
+      GROUP BY 1, 2
+    ),
+    mins AS (
+      SELECT jb, kb,
+             MIN(rate) OVER (
+               PARTITION BY jb ORDER BY kb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS mrate
+      FROM ranges
+    ),
+    fit AS (
+      SELECT kb AS bin, MAX(mrate) AS iso FROM mins GROUP BY 1
+    )
+    SELECT CAST(bins.bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos,
+           ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           ROUND(iso, 6) AS iso_rate
+    FROM bins JOIN fit USING (bin)
+"""
+
+
+@_q(
+    "q_isotonic_calibration",
+    _ISOTONIC_SQL.format(
+        classifier=_classifier_sql(), filters=_QUALITY_FILTERS_SQL
+    ),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map of the logistic quality scorer against
+    the hard Gopher rule verdict: the corpus collapses to 20 score
+    bins in one shuffle, then the PAVA fit runs as the minimax lattice
+    over the dimension-sized range table (broadcast non-equi joins on
+    ≤20-row sides, per-j min windows, per-bin max) — the fitted
+    ``iso_rate`` is the monotone repair of ``q_calibration``'s gaps."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        isotonic_calibration,
+    )
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        quality_classifier,
+        quality_filters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select("doc_id", "score")
+    hard = quality_filters(docs).select("doc_id", "keep")
+    return isotonic_calibration(
+        scored.join(hard, "doc_id"), "score", "keep", n_bins=20
+    )

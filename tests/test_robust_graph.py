@@ -2084,3 +2084,47 @@ def test_kaplan_meier_all_censored_is_flat_one(spark):
     assert all(r["survival"] == 1.0 for r in out)
     assert all(r["n_events"] == 0 for r in out)
     assert sum(r["n_censored"] for r in out) == 3
+
+
+def test_isotonic_calibration_pools_adjacent_violators(spark):
+    """Bin rates (1, 0, 1) with equal weight pool to (0.5, 0.5, 1) —
+    the textbook PAVA merge — and the output is non-decreasing."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        isotonic_calibration,
+    )
+
+    # n_bins=4 on scores {0.05, 0.3, 0.55}: bins 0, 1, 2 with one
+    # positive, one negative, one positive respectively (two rows each)
+    rows = [
+        (0.05, 1), (0.06, 1),
+        (0.30, 0), (0.31, 0),
+        (0.55, 1), (0.56, 1),
+    ]
+    df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "score", "y", n_bins=4).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["raw_rate"] == 1.0
+    assert out[1]["raw_rate"] == 0.0
+    assert out[2]["raw_rate"] == 1.0
+    assert out[0]["iso_rate"] == 0.5
+    assert out[1]["iso_rate"] == 0.5
+    assert out[2]["iso_rate"] == 1.0
+
+
+def test_isotonic_calibration_monotone_input_unchanged(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        isotonic_calibration,
+    )
+
+    rows = [(0.1, 0), (0.1, 0), (0.5, 0), (0.5, 1), (0.9, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "score", "y", n_bins=2).collect()
+    }
+    # already monotone: iso == raw everywhere
+    for r in out.values():
+        assert r["iso_rate"] == r["raw_rate"]

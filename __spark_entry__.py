@@ -116,6 +116,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_zipf_slope",          # NEW late-r6: per-language Zipf-law frequency fit
     "q_burstiness",          # NEW late-r6: token dispersion vs Poisson baseline
     "q_isotonic_calibration",  # NEW late-r6: monotone PAVA fit via minimax lattice
+    "q_ips_offpolicy",       # NEW late-r6: IPS/SNIPS off-policy value + ESS
 ]
 
 PRIORITY: list[str] = [
@@ -220,6 +221,7 @@ PRIORITY: list[str] = [
     "q_zipf_slope",
     "q_burstiness",
     "q_isotonic_calibration",
+    "q_ips_offpolicy",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

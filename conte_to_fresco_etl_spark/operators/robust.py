@@ -1859,3 +1859,78 @@ def isotonic_calibration(
             F.round(F.col("iso"), 6).alias("iso_rate"),
         )
     )
+
+
+def ips_offpolicy(
+    df: DataFrame,
+    slice_col: str,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Off-policy evaluation of a UNIFORM target policy from logged
+    bandit data via inverse propensity scoring — the estimate an
+    experimentation/RLHF pipeline runs before shipping a new routing
+    policy: "what reward would uniform exploration have earned, given
+    only logs collected under the production policy?".  The logging
+    propensity is estimated empirically per (slice, action) — the
+    standard plug-in when the logger's true probabilities were not
+    recorded.
+
+    Output per slice: ``(slice, n, ips_value, snips_value, ess)`` —
+    the unnormalized IPS mean Σ(w·r)/n, the self-normalized SNIPS
+    Σ(w·r)/Σw (lower variance, slight bias), and the effective sample
+    size (Σw)²/Σw² that says how many logged rows actually back the
+    estimate (ESS ≪ n ⇒ the logger rarely took the actions uniform
+    would).  Weights are w = (1/K)/p̂(a|slice) with K the number of
+    distinct actions observed corpus-wide.  ROUND(6) outputs.
+
+    Scale posture: propensities are ONE (slice, action) count shuffle
+    joined back by broadcast (dimension-sized); K enters as a 1-row
+    broadcast; the per-row weight/reward products are ROUND(12)-pinned
+    and DECIMAL-summed so the per-slice reduce is order-independent —
+    one partial-aggregated shuffle over the log, nothing global."""
+    base = df.select(
+        F.col(slice_col).alias("sl"),
+        F.col(action_col).alias("a"),
+        F.col(reward_col).cast("double").alias("r"),
+    ).filter(F.col("a").isNotNull() & F.col("r").isNotNull())
+    prop = base.groupBy("sl", "a").agg(F.count("*").alias("c_sa"))
+    sl_tot = prop.groupBy("sl").agg(F.sum("c_sa").alias("c_s"))
+    k_tot = prop.select("a").distinct().agg(
+        F.count("*").cast("double").alias("k")
+    )
+    # w = (1/K) / (c_sa / c_s): exact integer ratio under one division
+    weighted = (
+        base.join(broadcast(prop), ["sl", "a"])
+        .join(broadcast(sl_tot), "sl")
+        .join(broadcast(k_tot))
+        .select(
+            "sl",
+            "r",
+            (
+                F.col("c_s").cast("double")
+                / (F.col("k") * F.col("c_sa").cast("double"))
+            ).alias("w"),
+        )
+    )
+
+    def _dsum(c, alias):
+        return F.sum(F.round(c, 12).cast("decimal(38,12)")).alias(alias)
+
+    agg = weighted.groupBy("sl").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("w"), "sw"),
+        _dsum(F.col("w") * F.col("r"), "swr"),
+        _dsum(F.col("w") * F.col("w"), "sw2"),
+    )
+    n_ = F.col("n").cast("double")
+    sw = F.col("sw").cast("double")
+    swr = F.col("swr").cast("double")
+    sw2 = F.col("sw2").cast("double")
+    return agg.select(
+        F.col("sl").alias(slice_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(swr / n_, 6).alias("ips_value"),
+        F.round(F.try_divide(swr, sw), 6).alias("snips_value"),
+        F.round(F.try_divide(sw * sw, sw2), 6).alias("ess"),
+    )

@@ -4641,3 +4641,68 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("te").isNotNull().alias("observed"),
     )
     return kaplan_meier(subj, "duration_h", "observed")
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation (IPS / SNIPS / ESS) of a uniform target policy
+# ---------------------------------------------------------------------------
+
+_IPS_SQL = """
+    WITH base AS (
+      SELECT user_id % 4 AS sl, event_type AS a, CAST(value AS DOUBLE) AS r
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    prop AS (SELECT sl, a, COUNT(*) AS c_sa FROM base GROUP BY 1, 2),
+    sl_tot AS (SELECT sl, SUM(c_sa) AS c_s FROM prop GROUP BY 1),
+    k_tot AS (
+      SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS k FROM prop
+    ),
+    weighted AS (
+      SELECT b.sl, b.r,
+             CAST(t.c_s AS DOUBLE) / (k.k * CAST(p.c_sa AS DOUBLE)) AS w
+      FROM base b
+      JOIN prop p USING (sl, a)
+      JOIN sl_tot t USING (sl)
+      CROSS JOIN k_tot k
+    ),
+    agg AS (
+      SELECT sl, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sw,
+             CAST(SUM(CAST(ROUND(w * r, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS swr,
+             CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sw2
+      FROM weighted GROUP BY 1
+    )
+    SELECT CAST(sl AS BIGINT) AS user_cohort,
+           CAST(n AS BIGINT) AS n,
+           ROUND(swr / CAST(n AS DOUBLE), 6) AS ips_value,
+           ROUND(swr / sw, 6) AS snips_value,
+           ROUND(sw * sw / sw2, 6) AS ess
+    FROM agg
+"""
+
+
+@_q("q_ips_offpolicy", _IPS_SQL)
+def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS/SNIPS value of a uniform event-routing policy per user
+    cohort (user_id % 4), propensities estimated from the logged
+    (cohort, event_type) frequencies: one count shuffle for
+    propensities, dimension-sized broadcasts back, one decimal-summed
+    reduce over the log."""
+    from conte_to_fresco_etl_spark.operators.robust import ips_offpolicy
+
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(4)).alias("user_cohort"),
+            "event_type",
+            "value",
+        )
+    )
+    return ips_offpolicy(
+        ev, slice_col="user_cohort", action_col="event_type",
+        reward_col="value",
+    )

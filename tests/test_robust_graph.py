@@ -2128,3 +2128,38 @@ def test_isotonic_calibration_monotone_input_unchanged(spark):
     # already monotone: iso == raw everywhere
     for r in out.values():
         assert r["iso_rate"] == r["raw_rate"]
+
+
+def test_ips_offpolicy_hand_computed(spark):
+    """Two actions logged 3:1 in one slice; uniform target (K=2).
+    Weights: w(a)= (1/2)/(3/4) = 2/3, w(b) = (1/2)/(1/4) = 2."""
+    from conte_to_fresco_etl_spark.operators.robust import ips_offpolicy
+
+    rows = [
+        ("s", "a", 1.0), ("s", "a", 1.0), ("s", "a", 1.0),
+        ("s", "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "sl STRING, act STRING, r DOUBLE")
+    out = ips_offpolicy(df, "sl", "act", "r").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 4
+    # IPS = (3*(2/3)*1 + 2*5)/4 = 12/4 = 3; Σw = 3*(2/3)+2 = 4 → SNIPS 3
+    assert abs(r["ips_value"] - 3.0) < 1e-6
+    assert abs(r["snips_value"] - 3.0) < 1e-6
+    # ESS = (Σw)²/Σw² = 16 / (3*(4/9) + 4) = 16/(16/3) = 3
+    assert abs(r["ess"] - 3.0) < 1e-6
+
+
+def test_ips_offpolicy_uniform_logger_is_identity(spark):
+    """When the logger already plays uniform, every w = 1: IPS = SNIPS
+    = plain mean, ESS = n."""
+    from conte_to_fresco_etl_spark.operators.robust import ips_offpolicy
+
+    rows = [("s", "a", 2.0), ("s", "b", 4.0), ("s", "a", 2.0),
+            ("s", "b", 4.0)]
+    df = spark.createDataFrame(rows, "sl STRING, act STRING, r DOUBLE")
+    r = ips_offpolicy(df, "sl", "act", "r").collect()[0]
+    assert abs(r["ips_value"] - 3.0) < 1e-6
+    assert abs(r["snips_value"] - 3.0) < 1e-6
+    assert abs(r["ess"] - 4.0) < 1e-6

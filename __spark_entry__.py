@@ -117,6 +117,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_burstiness",          # NEW late-r6: token dispersion vs Poisson baseline
     "q_isotonic_calibration",  # NEW late-r6: monotone PAVA fit via minimax lattice
     "q_ips_offpolicy",       # NEW late-r6: IPS/SNIPS off-policy value + ESS
+    "q_conformal_interval",  # NEW late-r6: split-conformal ±band + coverage
 ]
 
 PRIORITY: list[str] = [
@@ -222,6 +223,7 @@ PRIORITY: list[str] = [
     "q_burstiness",
     "q_isotonic_calibration",
     "q_ips_offpolicy",
+    "q_conformal_interval",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

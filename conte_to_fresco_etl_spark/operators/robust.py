@@ -1934,3 +1934,90 @@ def ips_offpolicy(
         F.round(F.try_divide(swr, sw), 6).alias("snips_value"),
         F.round(F.try_divide(sw * sw, sw2), 6).alias("ess"),
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    group_col: str,
+    pred_col: str,
+    value_col: str,
+    split_col: str = "split",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction intervals: from a calibration split's
+    absolute residuals, the per-group quantile that guarantees
+    ≥ (1−α) marginal coverage for ANY point predictor (no distribution
+    or model assumptions — the finite-sample ceil((n+1)(1−α))-th order
+    statistic is the whole method), validated on a held-out test
+    split.  The uncertainty-quantification companion to
+    :func:`calibration_bins`/:func:`isotonic_calibration`: those audit
+    and repair probabilities; this wraps a regression score with an
+    honest ± band before a pipeline acts on it.
+
+    Input: rows carrying a prediction, the true value, and a
+    ``split_col`` with 'cal' and 'test' values (other splits ignored).
+    Output per group: ``(group, n_cal, n_test, q_alpha, coverage)`` —
+    ``q_alpha`` the conformal half-width, ``coverage`` the observed
+    test fraction with |value−pred| ≤ q_alpha (expected ≳ 1−α); both
+    NULL when the calibration split is too small (k > n_cal).
+
+    Residuals are ROUND(6)-pinned so both engines select the identical
+    order statistic.
+
+    Scale posture: the calibration split collapses to the per-(group,
+    distinct residual) count table before the cumulative window (the
+    ks_test discipline); group totals and the selected quantiles join
+    back by broadcast (dimension-sized); the test pass is one
+    map-side-combinable aggregation."""
+    res = df.select(
+        F.col(group_col).alias("g"),
+        F.col(split_col).alias("sp"),
+        F.round(
+            F.abs(
+                F.col(value_col).cast("double")
+                - F.col(pred_col).cast("double")
+            ),
+            6,
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    cal = res.filter(F.col("sp") == "cal")
+    per_r = cal.groupBy("g", "r").agg(F.count("*").alias("c"))
+    tot = per_r.groupBy("g").agg(F.sum("c").alias("n_cal"))
+    k = F.ceil(
+        (F.col("n_cal") + F.lit(1)).cast("double") * F.lit(1.0 - alpha)
+    ).cast("long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_r.select("g", "r", F.sum("c").over(w).alias("cum"))
+    q = (
+        cum.join(broadcast(tot.select("g", "n_cal", k.alias("k"))), "g")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("g", "n_cal")
+        .agg(F.min("r").alias("q_alpha"))
+    )
+    test = res.filter(F.col("sp") == "test")
+    cover = (
+        test.join(broadcast(q), "g")
+        .groupBy("g", "n_cal", "q_alpha")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_alpha"), 1).otherwise(0)
+            ).alias("n_in"),
+        )
+    )
+    return tot.join(cover.drop("n_cal"), "g", "left").select(
+        F.col("g").alias(group_col),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.coalesce(F.col("n_test"), F.lit(0)).cast("long").alias("n_test"),
+        F.col("q_alpha"),
+        F.round(
+            F.try_divide(
+                F.col("n_in").cast("double"), F.col("n_test").cast("double")
+            ),
+            6,
+        ).alias("coverage"),
+    )

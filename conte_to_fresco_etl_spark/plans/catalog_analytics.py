@@ -4706,3 +4706,119 @@ def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, slice_col="user_cohort", action_col="event_type",
         reward_col="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+#: cumulative split cutoffs in PYTHON float arithmetic, embedded exactly
+#: (repr round-trips) — same discipline as catalog_text._SPLIT_CUTS.
+_CONF_CUTS = (repr(0.5), repr(0.5 + 0.25))
+
+_CONFORMAL_SQL = f"""
+    WITH sp AS (
+      SELECT event_type, value,
+             EXTRACT(hour FROM ts) AS hod,
+             CASE WHEN bb < {_CONF_CUTS[0]} THEN 'train'
+                  WHEN bb < {_CONF_CUTS[1]} THEN 'cal'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(CAST('0x' || substr(
+                      md5('42:' || CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS DOUBLE) / power(16.0, 15) AS bb
+        FROM events
+      )
+    ),
+    model AS (
+      SELECT event_type, hod,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS pred
+      FROM sp WHERE split = 'train' GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT s.event_type AS g, s.split AS spl,
+             ROUND(ABS(CAST(s.value AS DOUBLE) - m.pred), 6) AS r
+      FROM sp s JOIN model m USING (event_type, hod)
+      WHERE s.split IN ('cal', 'test')
+    ),
+    per_r AS (
+      SELECT g, r, COUNT(*) AS c FROM res WHERE spl = 'cal' GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, SUM(c) AS n_cal FROM per_r GROUP BY 1),
+    cum AS (
+      SELECT g, r,
+             SUM(c) OVER (PARTITION BY g ORDER BY r
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM per_r
+    ),
+    q AS (
+      SELECT c.g, t.n_cal, MIN(c.r) AS q_alpha
+      FROM cum c JOIN tot t USING (g)
+      WHERE c.cumc >= CAST(CEIL(CAST(t.n_cal + 1 AS DOUBLE) * 0.9)
+                           AS BIGINT)
+      GROUP BY 1, 2
+    ),
+    cover AS (
+      SELECT res.g, q.q_alpha, COUNT(*) AS n_test,
+             SUM(CASE WHEN res.r <= q.q_alpha THEN 1 ELSE 0 END) AS n_in
+      FROM res JOIN q USING (g) WHERE res.spl = 'test'
+      GROUP BY 1, 2
+    )
+    SELECT t.g AS event_type,
+           CAST(t.n_cal AS BIGINT) AS n_cal,
+           CAST(COALESCE(c.n_test, 0) AS BIGINT) AS n_test,
+           c.q_alpha,
+           ROUND(CAST(c.n_in AS DOUBLE) / CAST(c.n_test AS DOUBLE), 6)
+             AS coverage
+    FROM tot t LEFT JOIN cover c ON t.g = c.g
+"""
+
+
+@_q("q_conformal_interval", _CONFORMAL_SQL)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal ±band per event type around the (type,
+    hour-of-day) train-split mean predictor: hash-stable 50/25/25
+    train/cal/test splits, 120-row model broadcast back, calibration
+    residuals collapsed to the per-distinct-value count table before
+    the order-statistic window, held-out coverage ≳ 90% by
+    construction."""
+    from pyspark.sql.functions import broadcast
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        conformal_intervals,
+    )
+    from conte_to_fresco_etl_spark.validation import assign_splits
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value", F.hour("ts").alias("hod")
+    )
+    sp = assign_splits(
+        ev,
+        key_col="event_id",
+        weights={"train": 0.5, "cal": 0.25, "test": 0.25},
+    )
+    model = (
+        sp.filter(F.col("split") == "train")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pred")
+        )
+    )
+    joined = sp.filter(F.col("split").isin("cal", "test")).join(
+        broadcast(model), ["event_type", "hod"]
+    )
+    return conformal_intervals(
+        joined,
+        group_col="event_type",
+        pred_col="pred",
+        value_col="value",
+        split_col="split",
+        alpha=0.1,
+    )

@@ -2163,3 +2163,43 @@ def test_ips_offpolicy_uniform_logger_is_identity(spark):
     assert abs(r["ips_value"] - 3.0) < 1e-6
     assert abs(r["snips_value"] - 3.0) < 1e-6
     assert abs(r["ess"] - 4.0) < 1e-6
+
+
+def test_conformal_intervals_order_statistic_and_coverage(spark):
+    """10 calibration residuals 1..10, alpha=0.1: k = ceil(11*0.9) = 10
+    -> q = 10th smallest = 10; alpha=0.5: k = ceil(11*0.5) = 6 -> q=6.
+    Coverage counts test residuals <= q."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        conformal_intervals,
+    )
+
+    rows = [("g", "cal", 0.0, float(i)) for i in range(1, 11)]
+    rows += [("g", "test", 0.0, 4.0), ("g", "test", 0.0, 7.0),
+             ("g", "test", 0.0, 20.0)]
+    df = spark.createDataFrame(
+        rows, "g STRING, split STRING, pred DOUBLE, value DOUBLE"
+    )
+    r10 = conformal_intervals(df, "g", "pred", "value", alpha=0.1).collect()[0]
+    assert r10["n_cal"] == 10 and r10["n_test"] == 3
+    assert r10["q_alpha"] == 10.0
+    assert abs(r10["coverage"] - 2 / 3) < 1e-6
+    r50 = conformal_intervals(df, "g", "pred", "value", alpha=0.5).collect()[0]
+    assert r50["q_alpha"] == 6.0
+    assert abs(r50["coverage"] - 1 / 3) < 1e-6
+
+
+def test_conformal_intervals_small_cal_split_is_null(spark):
+    """k = ceil((n+1)(1-alpha)) > n_cal -> no achievable quantile:
+    explicit NULLs, not a silent wrong band."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        conformal_intervals,
+    )
+
+    rows = [("g", "cal", 0.0, 1.0), ("g", "cal", 0.0, 2.0),
+            ("g", "test", 0.0, 1.5)]
+    df = spark.createDataFrame(
+        rows, "g STRING, split STRING, pred DOUBLE, value DOUBLE"
+    )
+    r = conformal_intervals(df, "g", "pred", "value", alpha=0.1).collect()[0]
+    assert r["n_cal"] == 2
+    assert r["q_alpha"] is None and r["coverage"] is None

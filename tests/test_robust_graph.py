@@ -2203,3 +2203,38 @@ def test_conformal_intervals_small_cal_split_is_null(spark):
     r = conformal_intervals(df, "g", "pred", "value", alpha=0.1).collect()[0]
     assert r["n_cal"] == 2
     assert r["q_alpha"] is None and r["coverage"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.booleans()),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kaplan_meier_matches_bruteforce(spark, subjects):
+    """KM against a direct O(n²) product-limit computation over random
+    censored samples, including tie pileups and extinction."""
+    from conte_to_fresco_etl_spark.operators.robust import kaplan_meier
+
+    df = spark.createDataFrame(subjects, "t INT, obs BOOLEAN")
+    got = {r["duration"]: r for r in kaplan_meier(df, "t", "obs").collect()}
+
+    times = sorted({t for t, _ in subjects})
+    assert sorted(got) == times
+    s = 1.0
+    extinct = False
+    for t in times:
+        d = sum(1 for tt, oo in subjects if tt == t and oo)
+        c = sum(1 for tt, oo in subjects if tt == t and not oo)
+        n_risk = sum(1 for tt, _ in subjects if tt >= t)
+        r = got[t]
+        assert (r["n_events"], r["n_censored"], r["n_risk"]) == (d, c, n_risk)
+        if d >= n_risk:
+            extinct = True
+        if not extinct:
+            s *= 1.0 - d / n_risk
+            assert abs(r["survival"] - s) < 1e-5
+        else:
+            assert r["survival"] == 0.0

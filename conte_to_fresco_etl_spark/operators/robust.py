@@ -864,10 +864,16 @@ def welch_ttest(
     the Welch-Satterthwaite degrees of freedom, ROUND(6).
 
     Exactness: the only data-dependent aggregates are n, Σv, and Σv²
-    per group; Σv is summed as DECIMAL(18,4) and Σv² as
-    ROUND(v², 12) → DECIMAL(38,12) (decimal addition is exact integer
-    math, order-independent), so every downstream float derives from
-    identical operands via identical expression trees in any engine.
+    per group, BOTH moments over the same DECIMAL(18,4)-quantized
+    values (Σv directly, Σv² as the exact decimal square — decimal
+    addition/multiplication is exact integer math, order-independent),
+    so every downstream float derives from identical operands via
+    identical expression trees in any engine.  Quantizing only the
+    first moment while summing raw v² (the original form) makes the
+    two moments describe *different* samples — hypothesis testing
+    caught a 1%-level t drift on sub-quantum values, and adversarial
+    inputs near the quantum could even drive the mixed-moment variance
+    negative.
 
     Scale posture: one map-side-combinable aggregation pass collapses
     the corpus to TWO rows; everything after is driver-free scalar
@@ -880,12 +886,11 @@ def welch_ttest(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
     )
+    vq = F.col("v").cast("decimal(18,4)")
     per_g = two.groupBy("g").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("v").cast("decimal(18,4)")).alias("s1"),
-        F.sum(
-            F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)")
-        ).alias("s2"),
+        F.sum(vq).alias("s1"),
+        F.sum((vq * vq).cast("decimal(38,8)")).alias("s2"),
     )
     wide = per_g.agg(
         F.sum(F.when(F.col("g") == group_a, F.col("n"))).alias("n_a"),

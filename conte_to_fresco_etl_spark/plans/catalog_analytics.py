@@ -2816,7 +2816,8 @@ _WELCH_SQL = """
     per_g AS (
       SELECT g, COUNT(*) AS n,
              SUM(CAST(v AS DECIMAL(18,4))) AS s1,
-             SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
       FROM two GROUP BY 1
     ),
     wide AS (
@@ -3747,7 +3748,8 @@ _BH_FDR_SQL = """
     cell AS (
       SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST(v AS DECIMAL(18,4))) AS s1,
-             SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
       FROM v GROUP BY 1, 2
     ),
     tot AS (
@@ -3818,7 +3820,10 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("v").cast("decimal(18,4)")).alias("s1"),
         F.sum(
-            F.round(F.col("v") * F.col("v"), 12).cast("decimal(38,12)")
+            (
+                F.col("v").cast("decimal(18,4)")
+                * F.col("v").cast("decimal(18,4)")
+            ).cast("decimal(38,8)")
         ).alias("s2"),
     )
     tot = cell.agg(

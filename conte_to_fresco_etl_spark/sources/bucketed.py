@@ -1,0 +1,53 @@
+"""Bucketed-table storage: the shuffle-free co-located join path.
+
+SCALE.md's dedup/similarity/join postures repeatedly defer to "a
+bucketed sort-merge join in production" — this module is that path
+made concrete instead of prose.  ``write_bucketed`` persists a
+DataFrame hash-bucketed (and optionally sorted) by the join/agg key
+via ``bucketBy``/``saveAsTable``; any later equi-join or groupBy on
+that key consumes the stored ``hashpartitioning`` directly, so the
+plan contains NO Exchange on the bucketed side — at 100 TB that is
+the difference between re-shuffling the fact table on every run and
+shuffling it exactly once at ingest.
+
+Works against the session's catalog (in-memory catalog + local
+warehouse dir in tests; Hive/Glue metastore on a cluster — the API is
+identical).  ``tests/test_bucketed.py`` pins the contract with plan
+assertions: bucketed-bucketed equi-join and bucketed groupBy both run
+exchange-free and match the plain-shuffle results row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a parquet table hash-bucketed by ``key``.
+
+    ``n_buckets`` fixes the layout's parallelism: pick it once per
+    dataset so every co-bucketed table agrees (Spark only removes the
+    exchange when BOTH sides share the bucket spec).  ``sort=True``
+    additionally sorts within buckets, which upgrades the join to a
+    sort-free SortMergeJoin (the stored order satisfies the join's
+    sort requirement on 3.4+ when bucket counts match).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a saved (bucketed) table back through the catalog — the
+    bucket spec only survives a catalog read; ``spark.read.parquet``
+    on the files would silently drop it and re-shuffle downstream."""
+    return spark.table(table)

@@ -118,6 +118,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_isotonic_calibration",  # NEW late-r6: monotone PAVA fit via minimax lattice
     "q_ips_offpolicy",       # NEW late-r6: IPS/SNIPS off-policy value + ESS
     "q_conformal_interval",  # NEW late-r6: split-conformal ±band + coverage
+    "q_unigram_tokenizer",   # NEW late-r6: SentencePiece-style unigram LM
 ]
 
 PRIORITY: list[str] = [
@@ -224,6 +225,7 @@ PRIORITY: list[str] = [
     "q_isotonic_calibration",
     "q_ips_offpolicy",
     "q_conformal_interval",
+    "q_unigram_tokenizer",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -2149,3 +2149,180 @@ def token_burstiness(
         F.round(var / mean, 6).alias("vmr"),
         F.round(df_ / poisson_df, 6).alias("df_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, hard-EM) — the second of
+# the two real-world subword tokenizers next to induce_bpe_merges.
+# The per-word routines below are PURE functions shared verbatim by
+# the distributed operator's Arrow batches AND the oracle's Python
+# twin (plans/catalog_text._unigram_sql), so the two cannot drift.
+# ---------------------------------------------------------------------------
+
+_UNI_FLOOR = -1e9  # logprob floor for zero-count pieces kept in vocab
+
+
+def _uni_substrings(word: str, max_len: int):
+    """All substrings of length 1..max_len with multiplicity
+    (overlapping occurrences each count)."""
+    n = len(word)
+    for i in range(n):
+        for k in range(1, min(max_len, n - i) + 1):
+            yield word[i : i + k]
+
+
+def _uni_logprobs(counts: dict) -> dict:
+    """log(c/total) per piece; zero-count pieces stay in the vocab at
+    the hard floor (they remain *matchable* so coverage never breaks,
+    but any segmentation using them loses every comparison)."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: (math.log(c / total) if c > 0 else _UNI_FLOOR)
+        for p, c in counts.items()
+    }
+
+
+def _uni_viterbi_pieces(word: str, logp: dict, max_len: int):
+    """Best segmentation of ``word`` under the unigram model.
+    Deterministic tie-break: scanning split points j ascending with a
+    strict ``>`` keeps the SMALLEST j (= the longest final piece) on
+    exact float ties."""
+    n = len(word)
+    neg = float("-inf")
+    dp = [0.0] + [neg] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best, bj = neg, -1
+        for j in range(max(0, i - max_len), i):
+            if dp[j] == neg:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            cand = dp[j] + lp
+            if cand > best:
+                best, bj = cand, j
+        dp[i], back[i] = best, bj
+    if dp[n] == neg:
+        return None
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def unigram_lm_tokenizer(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_multi: int = 40,
+    em_rounds: int = 3,
+    top_out: int = 30,
+) -> DataFrame:
+    """Unigram-LM subword tokenizer induction (SentencePiece's model,
+    hard-EM variant): seed a candidate vocabulary from weighted
+    substring counts, then alternate Viterbi segmentation of every
+    distinct word against re-estimated piece probabilities.  Where BPE
+    greedily COMPOSES pieces bottom-up, the unigram model PRUNES a
+    rich candidate set top-down by usage under the best segmentation —
+    the two tokenizers real pipelines choose between, now both
+    inducible over the same corpus.
+
+    Output: the final round's piece table, top ``top_out`` by usage —
+    ``(rank, piece, cnt, prob)`` with prob = cnt/Σcnt ROUND(6), rank
+    tiebreak (cnt desc, piece asc); zero-usage pieces are pruned.
+
+    Scale posture: the corpus is scanned ONCE (the word histogram —
+    one map-side-combinable shuffle); everything after runs on the
+    DISTINCT-WORD table (vocabulary-sized, the working set
+    SentencePiece itself holds in RAM).  Seeding and each EM round are
+    Arrow-batched map passes over that table emitting per-batch
+    partial (piece, count) rows — integer-exact, order-independent —
+    reduced by one piece-keyed shuffle; the ≤ |vocab|-row model
+    collects to the driver between rounds to rebuild the broadcast
+    logprob map (the BPE/k-means per-round-decision precedent).  The
+    FINAL round's aggregation is the returned plan, so emitted values
+    are engine-computed; the 1-row usage total joins by broadcast."""
+    from collections import Counter
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    words = words.persist()
+
+    def _piece_counts_df(counts_fn):
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ctr = Counter()
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    counts_fn(ctr, str(w), int(c))
+                if ctr:
+                    keys = list(ctr)
+                    yield pd.DataFrame(
+                        {"p": keys, "pc": [ctr[k] for k in keys]}
+                    )
+
+        return (
+            words.mapInPandas(batches, "p string, pc long")
+            .groupBy("p")
+            .agg(F.sum("pc").alias("pc"))
+        )
+
+    def _seed(ctr, w, c):
+        for s in _uni_substrings(w, max_piece_len):
+            ctr[s] += c
+
+    sub = _piece_counts_df(_seed).persist()
+    chars = sub.filter(F.length("p") == 1)
+    multi = (
+        sub.filter(F.length("p") > 1)
+        .orderBy(F.col("pc").desc(), F.col("p").asc())
+        .limit(seed_multi)
+    )
+    vocab_counts = {
+        r["p"]: int(r["pc"]) for r in chars.unionAll(multi).collect()
+    }
+    sub.unpersist()
+
+    def _em_round_df(logp):
+        def _count(ctr, w, c):
+            pieces = _uni_viterbi_pieces(w, logp, max_piece_len)
+            if pieces is None:
+                return
+            for p in pieces:
+                ctr[p] += c
+
+        return _piece_counts_df(_count)
+
+    for _ in range(em_rounds - 1):
+        logp = _uni_logprobs(vocab_counts)
+        new = {p: 0 for p in vocab_counts}
+        for r in _em_round_df(logp).collect():
+            new[r["p"]] = int(r["pc"])
+        vocab_counts = new
+
+    final = _em_round_df(_uni_logprobs(vocab_counts))
+    tot = final.agg(F.sum("pc").cast("double").alias("tot"))
+    w_rank = Window.orderBy(F.col("pc").desc(), F.col("p").asc())
+    return (
+        final.join(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_out)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("p").alias("piece"),
+            F.col("pc").cast("long").alias("cnt"),
+            F.round(F.col("pc").cast("double") / F.col("tot"), 6).alias(
+                "prob"
+            ),
+        )
+    )

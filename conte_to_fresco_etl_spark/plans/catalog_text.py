@@ -6137,3 +6137,122 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(
         scored.join(hard, "doc_id"), "score", "keep", n_bins=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer induction (SentencePiece-style, hard-EM)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=2)
+def _gate_unigram_table(
+    max_len: int = 4,
+    seed_multi: int = 40,
+    rounds: int = 3,
+    top_out: int = 30,
+) -> tuple | None:
+    """Pure-Python twin of operators.text_analysis.unigram_lm_tokenizer
+    on the gate corpus: the per-word routines (_uni_substrings /
+    _uni_logprobs / _uni_viterbi_pieces) are IMPORTED from the operator
+    module, so twin and distributed path share one implementation; the
+    aggregation here is plain Counters over the same integer counts the
+    piece-keyed shuffle sums, and the logprob model is rebuilt from the
+    identical integer dict each round — floats agree bit-for-bit."""
+    docs = _gate_docs()
+    if docs is None:
+        return None
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _uni_logprobs,
+        _uni_substrings,
+        _uni_viterbi_pieces,
+    )
+
+    wc: Counter = Counter()
+    for t in docs[1]:
+        for w in _py_tokens(t):
+            if w:
+                wc[w] += 1
+    sub: Counter = Counter()
+    for w, c in wc.items():
+        for s in _uni_substrings(w, max_len):
+            sub[s] += c
+    vocab = {s: c for s, c in sub.items() if len(s) == 1}
+    for s, c in sorted(
+        ((s, c) for s, c in sub.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_multi]:
+        vocab[s] = c
+    for _ in range(rounds):
+        logp = _uni_logprobs(vocab)
+        new = {p: 0 for p in vocab}
+        for w, c in wc.items():
+            pieces = _uni_viterbi_pieces(w, logp, max_len)
+            if pieces is None:
+                continue
+            for p in pieces:
+                new[p] += c
+        vocab = new
+    total = sum(vocab.values())
+    ranked = sorted(
+        ((p, c) for p, c in vocab.items() if c > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:top_out]
+    q6 = Decimal("1e-6")
+    return tuple(
+        (
+            rank + 1,
+            p,
+            c,
+            float(
+                Decimal(repr(c / total)).quantize(q6, rounding=ROUND_HALF_UP)
+            ),
+        )
+        for rank, (p, c) in enumerate(ranked)
+    )
+
+
+def _unigram_sql() -> str | None:
+    """Python-constant oracle for q_unigram_tokenizer (the _bpe_sql
+    pattern: the trained table is a pure function of the gate corpus,
+    so twin-derived literals ARE the oracle; gate-SF-scoped)."""
+    table = _gate_unigram_table()
+    if not table:
+        return None
+    values = ",\n        ".join(
+        "({}, '{}', {}, {})".format(r, p.replace("'", "''"), c, pr)
+        for r, p, c, pr in table
+    )
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, piece,
+           CAST(cnt AS BIGINT) AS cnt, CAST(prob AS DOUBLE) AS prob
+    FROM (VALUES
+        {values}
+    ) AS t(rank, piece, cnt, prob)
+"""
+
+
+@_q("q_unigram_tokenizer", _unigram_sql())
+def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer induction over the
+    corpus: one corpus scan builds the word histogram; seeding and
+    three hard-EM Viterbi rounds run as Arrow-batched map passes over
+    the vocabulary-sized distinct-word table with integer-exact
+    piece-keyed reduces; the final round's piece table is the returned
+    plan.  Completes the tokenizer family next to BPE
+    (q_bpe_merges/q_bpe_apply)."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        unigram_lm_tokenizer,
+    )
+
+    return unigram_lm_tokenizer(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        max_piece_len=4,
+        seed_multi=40,
+        em_rounds=3,
+        top_out=30,
+    )

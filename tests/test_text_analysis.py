@@ -868,3 +868,88 @@ def test_token_burstiness_bursty_vs_uniform(spark):
     assert abs(g["df_ratio"] - 4 / poisson_df) < 1e-6
     assert abs(t["df_ratio"] - 1 / poisson_df) < 1e-6
     assert g["df_ratio"] > 1.0 > t["df_ratio"]
+
+
+def test_uni_viterbi_prefers_likely_pieces_and_is_deterministic():
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _uni_viterbi_pieces,
+    )
+
+    logp = {
+        "a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.5),
+        "ba": math.log(0.1),
+    }
+    # "abab": ab+ab (2 pieces, high prob) beats a+ba+b and a+b+a+b
+    assert _uni_viterbi_pieces("abab", logp, 4) == ["ab", "ab"]
+    # unreachable word (char not in vocab) -> None, not a crash
+    assert _uni_viterbi_pieces("xy", logp, 4) is None
+    # exact tie ("a"+"b" vs "ab" when p(ab) = p(a)p(b)): smallest split
+    # point wins = the longest final piece = ["ab"]
+    tie = {"a": math.log(0.5), "b": math.log(0.5), "ab": math.log(0.25)}
+    if math.log(0.25) == math.log(0.5) + math.log(0.5):
+        assert _uni_viterbi_pieces("ab", tie, 4) == ["ab"]
+
+
+def test_unigram_lm_tokenizer_matches_python_twin(spark):
+    """The distributed trainer and a straight-Python replay of the same
+    shared helpers produce the identical final table on a small corpus
+    with repeated subwords."""
+    from collections import Counter
+
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _uni_logprobs,
+        _uni_substrings,
+        _uni_viterbi_pieces,
+        unigram_lm_tokenizer,
+    )
+
+    texts = [
+        "banana bandana banana",
+        "an ana banana nab",
+        "banana bandana an",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        (r["rank"], r["piece"], r["cnt"])
+        for r in unigram_lm_tokenizer(
+            df, em_rounds=2, seed_multi=10, top_out=15
+        ).collect()
+    ]
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in _py_tokens(t):
+            if w:
+                wc[w] += 1
+    sub: Counter = Counter()
+    for w, c in wc.items():
+        for s in _uni_substrings(w, 4):
+            sub[s] += c
+    vocab = {s: c for s, c in sub.items() if len(s) == 1}
+    for s, c in sorted(
+        ((s, c) for s, c in sub.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]:
+        vocab[s] = c
+    for _ in range(2):
+        logp = _uni_logprobs(vocab)
+        new = {p: 0 for p in vocab}
+        for w, c in wc.items():
+            for p in _uni_viterbi_pieces(w, logp, 4) or []:
+                new[p] += c
+        vocab = new
+    want = [
+        (i + 1, p, c)
+        for i, (p, c) in enumerate(
+            sorted(
+                ((p, c) for p, c in vocab.items() if c > 0),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:15]
+        )
+    ]
+    assert got == want
+    # the corpus's dominant subword survives as a multi-char piece
+    assert any(len(p) > 1 for _, p, _ in got[:5])

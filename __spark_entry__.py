@@ -119,6 +119,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_ips_offpolicy",       # NEW late-r6: IPS/SNIPS off-policy value + ESS
     "q_conformal_interval",  # NEW late-r6: split-conformal ±band + coverage
     "q_unigram_tokenizer",   # NEW late-r6: SentencePiece-style unigram LM
+    "q_unigram_apply",       # NEW late-r6: gate-trained unigram apply/fertility
 ]
 
 PRIORITY: list[str] = [
@@ -226,6 +227,7 @@ PRIORITY: list[str] = [
     "q_ips_offpolicy",
     "q_conformal_interval",
     "q_unigram_tokenizer",
+    "q_unigram_apply",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

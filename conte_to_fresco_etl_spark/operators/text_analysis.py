@@ -2326,3 +2326,58 @@ def unigram_lm_tokenizer(
             ),
         )
     )
+
+
+def apply_unigram_tokenizer(
+    df: DataFrame,
+    logp: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Apply a TRAINED unigram-LM tokenizer (the logprob map
+    :func:`unigram_lm_tokenizer` induces) to every document — the
+    train-once / apply-anywhere split production tokenizers run: the
+    model is a small constant broadcast into the map pass, so applying
+    it to 100 TB is a zero-shuffle Arrow projection, exactly like
+    ``apply_bpe_merges``.
+
+    Output per document: ``(id, n_words, n_pieces, fertility)`` with
+    fertility = pieces/words ROUND(6) (NULL for wordless docs).  A
+    word the vocabulary cannot segment (a character outside the model)
+    counts as ONE UNK piece — SentencePiece's fallback, made explicit
+    and deterministic."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+
+        for pdf in it:
+            ids, nw, npc = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in _py_tokens(t) if w]
+                pieces = 0
+                for w in words:
+                    seg = _uni_viterbi_pieces(w, logp, max_piece_len)
+                    pieces += len(seg) if seg is not None else 1
+                ids.append(i)
+                nw.append(len(words))
+                npc.append(pieces)
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "n_words": nw, "n_pieces": npc}
+                )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        batches, "id long, n_words long, n_pieces long"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.try_divide(
+                F.col("n_pieces").cast("double"),
+                F.col("n_words").cast("double"),
+            ),
+            6,
+        ).alias("fertility"),
+    )

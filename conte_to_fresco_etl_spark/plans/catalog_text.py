@@ -6256,3 +6256,86 @@ def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_rounds=3,
         top_out=30,
     )
+
+
+def _gate_unigram_logp() -> dict | None:
+    """Final logprob map of the gate-trained unigram model (the model
+    q_unigram_apply broadcasts — train once on the gate corpus, apply
+    anywhere, the q_bpe_apply precedent)."""
+    table = _gate_unigram_table(top_out=10**9)
+    if not table:
+        return None
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _uni_logprobs,
+    )
+
+    return _uni_logprobs({p: c for _, p, c, _ in table})
+
+
+def _unigram_apply_sql() -> str | None:
+    """Python-constant oracle for q_unigram_apply: replay the gate
+    model over the gate corpus with the SAME shared per-word routines
+    and emit per-doc counts as VALUES."""
+    logp = _gate_unigram_logp()
+    docs = _gate_docs()
+    if logp is None or docs is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _uni_viterbi_pieces,
+    )
+
+    q6 = Decimal("1e-6")
+    rows = []
+    for did, text in zip(docs[0], docs[1]):
+        words = [w for w in _py_tokens(text) if w]
+        pieces = 0
+        for w in words:
+            seg = _uni_viterbi_pieces(w, logp, 4)
+            pieces += len(seg) if seg is not None else 1
+        if words:
+            f = float(
+                Decimal(repr(pieces / len(words))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+            )
+            fert = repr(f)
+        else:
+            fert = "NULL"
+        rows.append((did, len(words), pieces, fert))
+    values = ",\n        ".join(
+        f"({d}, {w}, {p}, {f})" for d, w, p, f in rows
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(fertility AS DOUBLE) AS fertility
+    FROM (VALUES
+        {values}
+    ) AS t(doc_id, n_words, n_pieces, fertility)
+"""
+
+
+@_q("q_unigram_apply", _unigram_apply_sql())
+def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document application of the gate-trained unigram-LM
+    tokenizer: the constant logprob map broadcasts into one Arrow map
+    pass (zero shuffles — the apply side of train-once/apply-anywhere,
+    q_bpe_apply's sibling), emitting word/piece counts and fertility."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        apply_unigram_tokenizer,
+    )
+
+    logp = _gate_unigram_logp()
+    if logp is None:
+        raise RuntimeError("gate corpus unavailable for unigram model")
+    return apply_unigram_tokenizer(
+        _t(spark, sf_dir, "documents"),
+        logp,
+        id_col="doc_id",
+        text_col="text",
+        max_piece_len=4,
+    )

@@ -953,3 +953,31 @@ def test_unigram_lm_tokenizer_matches_python_twin(spark):
     assert got == want
     # the corpus's dominant subword survives as a multi-char piece
     assert any(len(p) > 1 for _, p, _ in got[:5])
+
+
+def test_apply_unigram_tokenizer_counts_and_unk_fallback(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        apply_unigram_tokenizer,
+    )
+
+    logp = {
+        "a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.6),
+    }
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "xyz"), (3, "   ")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in apply_unigram_tokenizer(df, logp).collect()
+    }
+    # "abab" -> ab+ab (2), "ab" -> ab (1): 2 words, 3 pieces
+    assert (out[1]["n_words"], out[1]["n_pieces"]) == (2, 3)
+    assert abs(out[1]["fertility"] - 1.5) < 1e-9
+    # unsegmentable word -> one UNK piece
+    assert (out[2]["n_words"], out[2]["n_pieces"]) == (1, 1)
+    # wordless doc -> 0/0 with NULL fertility
+    assert (out[3]["n_words"], out[3]["n_pieces"]) == (0, 0)
+    assert out[3]["fertility"] is None

@@ -528,6 +528,10 @@ def label_propagation(
             pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
         )
         .distinct()
+        # referenced once per round: without this the symmetrize +
+        # distinct shuffle (and whatever produced `pairs`) re-executes
+        # in every round's job
+        .localCheckpoint(eager=False)
     )
     labels = e.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

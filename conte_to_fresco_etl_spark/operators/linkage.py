@@ -79,7 +79,25 @@ def fellegi_sunter_pairs(
     SNM or LSH blocking when no natural bounded key exists) — the
     self-join shuffles block-partitioned slices, never the cross
     product of the table."""
-    u_frames = [_u_probability(df, f) for f in fields]
+    # One 1-row weight frame for ALL fields: each field's u-aggregate
+    # 1-row frame crosses into a single row carrying the PRE-COMPUTED
+    # agree/disagree weights, so the pair stream is crossed ONCE and
+    # the per-pair work is a CASE + decimal add (the original form ran
+    # four sequential 1-row BNLJ passes over the pair stream and
+    # re-evaluated log2 per pair: measured 13.5s -> see bench).
+    weights = None
+    for f in fields:
+        uf = _u_probability(df, f)
+        u = F.col(f"u_{f.name}")
+        uf = uf.select(
+            F.round(F.log2(F.lit(f.m) / u), 12)
+            .cast("decimal(28,12)")
+            .alias(f"wa_{f.name}"),
+            F.round(F.log2(F.lit(1.0 - f.m) / (F.lit(1.0) - u)), 12)
+            .cast("decimal(28,12)")
+            .alias(f"wd_{f.name}"),
+        )
+        weights = uf if weights is None else weights.crossJoin(uf)
     cols = [F.col(id_col), *[F.col(c) for c in block_cols]]
     cols += [f.expr.alias(f"f_{f.name}") for f in fields]
     narrow = df.select(*cols)
@@ -87,26 +105,18 @@ def fellegi_sunter_pairs(
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs = a.join(b, cond)
-    for uf in u_frames:
-        pairs = pairs.crossJoin(F.broadcast(uf))
+    pairs = a.join(b, cond).crossJoin(F.broadcast(weights))
 
     agree_cols = {
         f.name: F.col(f"a.f_{f.name}").eqNullSafe(F.col(f"b.f_{f.name}"))
         for f in fields
     }
-    contribs = []
-    for f in fields:
-        u = F.col(f"u_{f.name}")
-        w_agree = F.round(F.log2(F.lit(f.m) / u), 12)
-        w_disagree = F.round(
-            F.log2(F.lit(1.0 - f.m) / (F.lit(1.0) - u)), 12
+    contribs = [
+        F.when(agree_cols[f.name], F.col(f"wa_{f.name}")).otherwise(
+            F.col(f"wd_{f.name}")
         )
-        contribs.append(
-            F.when(agree_cols[f.name], w_agree)
-            .otherwise(w_disagree)
-            .cast("decimal(28,12)")
-        )
+        for f in fields
+    ]
     score_dec = contribs[0]
     for c in contribs[1:]:
         score_dec = score_dec + c

@@ -120,6 +120,8 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_conformal_interval",  # NEW late-r6: split-conformal ±band + coverage
     "q_unigram_tokenizer",   # NEW late-r6: SentencePiece-style unigram LM
     "q_unigram_apply",       # NEW late-r6: gate-trained unigram apply/fertility
+    "q_feature_hashing",     # NEW late-r6: signed hashing-trick projection
+    "q_randomized_response",  # NEW late-r6: Warner local-DP prevalence
 ]
 
 PRIORITY: list[str] = [
@@ -228,6 +230,8 @@ PRIORITY: list[str] = [
     "q_conformal_interval",
     "q_unigram_tokenizer",
     "q_unigram_apply",
+    "q_feature_hashing",
+    "q_randomized_response",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -301,3 +301,65 @@ def t_closeness(
         t.alias("t_dist"),
         (t <= F.lit(t_max)).alias("within_t"),
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    id_col: str,
+    p_true: float = 0.75,
+    seed: str = "rr",
+) -> DataFrame:
+    """Warner randomized response — the LOCAL-DP member of this privacy
+    shelf (dp_noisy_counts is central DP: a trusted curator adds noise
+    AFTER aggregation; here each ROW lies with probability 1−p before
+    anything aggregates, so the collector never holds a true value).
+    Each row reports its binary flag truthfully with probability
+    ``p_true``, flipped otherwise; the release is the per-group
+    debiased prevalence π̂ = (observed − (1−p)) / (2p − 1), unbiased
+    because E[observed] = p·π + (1−p)(1−π).
+
+    Output per group: ``(group, n, reported_rate, estimated_rate,
+    true_rate)`` — ``true_rate`` is emitted ONLY as the test-scale
+    audit column (a real release never computes it); estimates may
+    legitimately fall outside [0,1] at small n (the unbiased
+    estimator's documented behavior — clamping would bias it).
+    ROUND(6) doubles.
+
+    **Same caveat as dp_noisy_counts:** the flip draw here is the
+    hash-stable uniform ``md5(seed:id)`` so the mechanism is testable
+    bit-for-bit cross-engine; a production local-DP deployment draws
+    the flip on-device from a cryptographic RNG and never persists it.
+
+    Scale posture: the flip is a map-side predicate; ONE
+    map-side-combinable group aggregation; scalar algebra after."""
+    u = (
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                )
+            ).substr(1, 15),
+            16,
+            10,
+        ).cast("double")
+        / float(16**15)
+    )
+    truth = F.col(flag_col).cast("boolean")
+    reported = F.when(u < F.lit(float(p_true)), truth).otherwise(~truth)
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum(reported.cast("int")).alias("rep"),
+        F.sum(truth.cast("int")).alias("tru"),
+    )
+    n_ = F.col("n").cast("double")
+    obs = F.col("rep").cast("double") / n_
+    est = (obs - F.lit(1.0 - p_true)) / F.lit(2.0 * p_true - 1.0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 6).alias("reported_rate"),
+        F.round(est, 6).alias("estimated_rate"),
+        F.round(F.col("tru").cast("double") / n_, 6).alias("true_rate"),
+    )

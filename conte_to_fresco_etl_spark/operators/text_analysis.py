@@ -2381,3 +2381,60 @@ def apply_unigram_tokenizer(
             6,
         ).alias("fertility"),
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    seed: str = "fh",
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick"): project each
+    document's token counts into a fixed ``n_buckets``-dimensional
+    vector without ever materializing a vocabulary — the
+    dimensionality reducer that feeds linear classifiers/regressors
+    when even the hashed-vocabulary table of ``token_label_mi`` is too
+    wide to manage.  The sign hash makes collisions cancel in
+    expectation (Weinberger et al.'s unbiased variant), which is the
+    difference between a usable hashed feature and a biased one.
+
+    Output (long format, zero coordinates dropped): ``(id, k, x)``
+    with k ∈ [0, n_buckets) and x = Σ_token sign(token) over tokens
+    hashing to bucket k — integer-exact, so the oracle mirrors it
+    digit for digit.
+
+    Scale posture: tokenize → md5 bucket/sign → partial-aggregated
+    groupBy(id, k): everything is JVM expressions (zero Python), one
+    map-side-combinable shuffle carrying ≤ n_buckets rows per doc —
+    the same posture as :func:`random_projection` but with no model
+    to broadcast at all (the projection IS the hash)."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).filter(F.length("t") > 0)
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit(f"{seed}b:"), F.col("t"))),
+        F.lit(n_buckets),
+    )
+    sign = (
+        F.pmod(
+            md5_long(F.concat(F.lit(f"{seed}s:"), F.col("t"))),
+            F.lit(2),
+        )
+        * 2
+        - 1
+    )
+    return (
+        tok.select("id", bucket.alias("k"), sign.alias("s"))
+        .groupBy("id", "k")
+        .agg(F.sum("s").alias("x"))
+        .filter(F.col("x") != 0)
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.col("k").cast("long").alias("k"),
+            F.col("x").cast("long").alias("x"),
+        )
+    )

@@ -4827,3 +4827,62 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_col="split",
         alpha=0.1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response (local-DP prevalence estimate)
+# ---------------------------------------------------------------------------
+
+_RR_SQL = """
+    WITH base AS (
+      SELECT source AS g, doc_id,
+             (lang = 'en') AS truth,
+             CAST(CAST('0x' || substr(
+                    md5('rr:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / power(16.0, 15) AS u
+      FROM documents
+    ),
+    rep AS (
+      SELECT g, truth,
+             CASE WHEN u < CAST(0.75 AS DOUBLE) THEN truth
+                  ELSE NOT truth END AS reported
+      FROM base
+    ),
+    agg AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS rep,
+             SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS tru
+      FROM rep GROUP BY 1
+    )
+    SELECT g AS source,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(rep AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS reported_rate,
+           ROUND((CAST(rep AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(0.25 AS DOUBLE)) / CAST(0.5 AS DOUBLE), 6)
+             AS estimated_rate,
+           ROUND(CAST(tru AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS true_rate
+    FROM agg
+"""
+
+
+@_q("q_randomized_response", _RR_SQL)
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP prevalence of English documents per source via Warner
+    randomized response (p = 0.75): hash-stable per-row flips, one
+    map-combinable group aggregation, debiased estimate next to the
+    test-scale truth column."""
+    from conte_to_fresco_etl_spark.operators.pii import randomized_response
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("lang") == "en").alias("is_en")
+    )
+    return randomized_response(
+        docs,
+        group_col="source",
+        flag_col="is_en",
+        id_col="doc_id",
+        p_true=0.75,
+        seed="rr",
+    )

@@ -6339,3 +6339,47 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         max_piece_len=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+_FEATURE_HASH_SQL = """
+    WITH tok AS (
+      SELECT doc_id AS id, t
+      FROM (SELECT doc_id, unnest({tokens}) AS t FROM documents)
+      WHERE length(t) > 0
+    ),
+    hashed AS (
+      SELECT id,
+             CAST('0x' || substr(md5('fhb:' || t), 1, 15) AS BIGINT)
+               % 16 AS k,
+             (CAST('0x' || substr(md5('fhs:' || t), 1, 15) AS BIGINT)
+               % 2) * 2 - 1 AS s
+      FROM tok
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(k AS BIGINT) AS k,
+           CAST(SUM(s) AS BIGINT) AS x
+    FROM hashed GROUP BY 1, 2
+    HAVING SUM(s) <> 0
+"""
+
+
+@_q("q_feature_hashing", _FEATURE_HASH_SQL.format(tokens=_sql_tokens()))
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket signed feature hashing of every document's tokens:
+    pure JVM md5 expressions (no vocabulary, no model, no Python) and
+    ONE map-side-combinable (doc, bucket) shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        feature_hashing,
+    )
+
+    return feature_hashing(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=16,
+        seed="fh",
+    )

@@ -2238,3 +2238,32 @@ def test_kaplan_meier_matches_bruteforce(spark, subjects):
             assert abs(r["survival"] - s) < 1e-5
         else:
             assert r["survival"] == 0.0
+
+
+def test_randomized_response_debiasing_identity(spark):
+    """With p=1 (never lie) the estimate equals the truth exactly; at
+    p=0.75 the debias formula inverts the observed rate exactly for
+    whatever flips the seeded hash produced."""
+    from conte_to_fresco_etl_spark.operators.pii import randomized_response
+
+    rows = [("s", i, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, flag BOOLEAN")
+    exact = randomized_response(
+        df, "g", "flag", "id", p_true=1.0, seed="t"
+    ).collect()[0]
+    assert exact["reported_rate"] == exact["true_rate"]
+    assert exact["estimated_rate"] == exact["true_rate"]
+
+    noisy = randomized_response(
+        df, "g", "flag", "id", p_true=0.75, seed="t"
+    ).collect()[0]
+    # debias identity: est = (obs - 0.25) / 0.5, on the rounded values
+    assert (
+        abs(noisy["estimated_rate"]
+            - (noisy["reported_rate"] - 0.25) / 0.5) < 5e-6
+    )
+    # determinism: same seed, same release
+    again = randomized_response(
+        df, "g", "flag", "id", p_true=0.75, seed="t"
+    ).collect()[0]
+    assert again["reported_rate"] == noisy["reported_rate"]

@@ -981,3 +981,31 @@ def test_apply_unigram_tokenizer_counts_and_unk_fallback(spark):
     # wordless doc -> 0/0 with NULL fertility
     assert (out[3]["n_words"], out[3]["n_pieces"]) == (0, 0)
     assert out[3]["fertility"] is None
+
+
+def test_feature_hashing_integer_exact_and_sign_cancellation(spark):
+    from collections import Counter
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        feature_hashing,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "red red blue"), (2, "red"), (3, "")],
+        "doc_id INT, text STRING",
+    )
+    rows = feature_hashing(df, n_buckets=4).collect()
+    by_doc = Counter()
+    for r in rows:
+        assert 0 <= r["k"] < 4 and r["x"] != 0
+        by_doc[r["doc_id"]] += abs(r["x"])
+    # doc 1 has 3 token occurrences; if red/blue collide WITH opposite
+    # signs in one bucket they cancel, so |x| sums to 3 or 1; doc 2 has 1
+    assert by_doc[1] in (1, 3)
+    assert by_doc[2] == 1
+    assert 3 not in by_doc  # empty text -> no rows
+    # same token always lands in the same (bucket, sign): doc 2's single
+    # 'red' bucket must appear within doc 1's buckets with 2x the value
+    d2 = [(r["k"], r["x"]) for r in rows if r["doc_id"] == 2][0]
+    d1 = {r["k"]: r["x"] for r in rows if r["doc_id"] == 1}
+    assert d2[0] in d1

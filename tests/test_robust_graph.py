@@ -2267,3 +2267,54 @@ def test_randomized_response_debiasing_identity(spark):
         df, "g", "flag", "id", p_true=0.75, seed="t"
     ).collect()[0]
     assert again["reported_rate"] == noisy["reported_rate"]
+
+
+def _pava_fitted(bins):
+    """Sequential weighted pool-adjacent-violators over [(n, pos)] in
+    bin order — the textbook algorithm the minimax identity must equal."""
+    blocks = []
+    for n, pos in bins:
+        blocks.append([n, pos, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    fitted = []
+    for w, s, k in blocks:
+        fitted.extend([s / w] * k)
+    return fitted
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 6)).map(
+            lambda t: (t[0], min(t[0], t[1]))
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_isotonic_matches_sequential_pava(spark, bins):
+    """The minimax-lattice isotonic fit equals the sequential PAVA
+    sweep on random weighted bin tables."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        isotonic_calibration,
+    )
+
+    rows = []
+    for i, (n, pos) in enumerate(bins):
+        for j in range(n):
+            rows.append((i / 8.0 + 0.01, 1 if j < pos else 0))
+    df = spark.createDataFrame(rows, "score DOUBLE, y INT")
+    got = {
+        r["bin"]: r["iso_rate"]
+        for r in isotonic_calibration(df, "score", "y", n_bins=8).collect()
+    }
+    want = _pava_fitted(bins)
+    assert sorted(got) == list(range(len(bins)))
+    for i, w in enumerate(want):
+        assert abs(got[i] - round(w, 6)) <= 1e-6

@@ -122,6 +122,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_unigram_apply",       # NEW late-r6: gate-trained unigram apply/fertility
     "q_feature_hashing",     # NEW late-r6: signed hashing-trick projection
     "q_randomized_response",  # NEW late-r6: Warner local-DP prevalence
+    "q_modularity",          # NEW late-r6: Newman modularity of LPA communities
 ]
 
 PRIORITY: list[str] = [
@@ -232,6 +233,7 @@ PRIORITY: list[str] = [
     "q_unigram_apply",
     "q_feature_hashing",
     "q_randomized_response",
+    "q_modularity",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

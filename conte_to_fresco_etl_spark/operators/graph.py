@@ -628,3 +628,86 @@ def kcore(
         F.coalesce(F.col("core_deg"), F.lit(0)).alias("core_deg"),
         (F.coalesce(F.col("core_deg"), F.lit(0)) >= k).alias("in_core"),
     )
+
+
+def modularity(
+    pairs: DataFrame,
+    labels: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected pair
+    graph — the objective that says whether :func:`label_propagation`'s
+    communities are real structure or noise: Q = Σ_c (e_c/m −
+    (d_c/2m)²) compares each community's internal edge mass against
+    the random-graph expectation for its degree mass.  Q near 0 ⇒ the
+    "communities" are no better than chance; the judge a pipeline
+    applies before acting on any clustering.
+
+    Input: unique undirected pairs (a < b) and a (node, label) table.
+    Output per community: ``(label, n_nodes, internal_edges,
+    degree_sum, contribution)`` with contribution ROUND(6); the
+    partition's Q is the sum of the contribution column.
+
+    Scale posture: degrees come from one symmetrized count; labels
+    attach to pair endpoints via two node-keyed joins (broadcast when
+    the label table is dimension-sized, sort-merge otherwise);
+    everything collapses to |communities| rows before the scalar
+    algebra; m enters as the annotated 1-row broadcast."""
+    la = labels.select(
+        F.col(node_col).alias("na"), F.col(label_col).alias("la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("nb"), F.col(label_col).alias("lb")
+    )
+    p = (
+        pairs.select(F.col(a_col).alias("pa"), F.col(b_col).alias("pb"))
+        .join(la, F.col("pa") == F.col("na"))
+        .join(lb, F.col("pb") == F.col("nb"))
+    )
+    internal = (
+        p.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    sym = pairs.select(F.col(a_col).alias("n")).unionAll(
+        pairs.select(F.col(b_col).alias("n"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("d"))
+    d_c = (
+        deg.join(
+            labels.select(
+                F.col(node_col).alias("n"), F.col(label_col).alias("lbl")
+            ),
+            "n",
+        )
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("d_c"))
+    )
+    m_tot = pairs.agg(F.count("*").cast("double").alias("m"))
+    joined = (
+        d_c.join(internal, "lbl", "left")
+        .join(F.broadcast(m_tot))
+        .select(
+            "lbl",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+            "d_c",
+            "m",
+        )
+    )
+    ec = F.col("e_c").cast("double")
+    dc = F.col("d_c").cast("double")
+    m_ = F.col("m")
+    return joined.select(
+        F.col("lbl").alias(label_col),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("e_c").cast("long").alias("internal_edges"),
+        F.col("d_c").cast("long").alias("degree_sum"),
+        F.round(
+            ec / m_ - (dc / (F.lit(2.0) * m_)) * (dc / (F.lit(2.0) * m_)),
+            6,
+        ).alias("contribution"),
+    )

@@ -6383,3 +6383,69 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
         seed="fh",
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+_MODULARITY_SQL = f"""
+    WITH pairs AS ({{minhash}}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    {','.join(_LPA_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3))},
+    labels AS (SELECT node, label FROM l3),
+    internal AS (
+      SELECT la.label AS lbl, COUNT(*) AS e_c
+      FROM pairs p
+      JOIN labels la ON p.id_a = la.node
+      JOIN labels lb ON p.id_b = lb.node
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT id_a AS n FROM pairs
+        UNION ALL SELECT id_b AS n FROM pairs
+      ) GROUP BY 1
+    ),
+    d_c AS (
+      SELECT la.label AS lbl, COUNT(*) AS n_nodes, SUM(deg.d) AS d_c
+      FROM deg JOIN labels la ON deg.n = la.node
+      GROUP BY 1
+    ),
+    m_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pairs)
+    SELECT d_c.lbl AS label,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(e_c, 0) AS BIGINT) AS internal_edges,
+           CAST(d_c AS BIGINT) AS degree_sum,
+           ROUND(CAST(COALESCE(e_c, 0) AS DOUBLE) / m
+                 - (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * m))
+                   * (CAST(d_c AS DOUBLE) / (CAST(2.0 AS DOUBLE) * m)), 6)
+             AS contribution
+    FROM d_c LEFT JOIN internal USING (lbl) CROSS JOIN m_tot
+""".format(minhash=_MINHASH_SQL)
+
+
+@_q("q_modularity", _MODULARITY_SQL)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the gated near-dup
+    graph: per-community internal-edge mass vs the degree-mass
+    expectation, all collapsed to |communities| rows before the scalar
+    algebra (m is the annotated 1-row broadcast) — the quality gate
+    that says whether q_label_propagation's communities beat chance."""
+    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
+    from conte_to_fresco_etl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
+    )
+    labels = label_propagation(pairs, rounds=3)
+    return modularity(pairs, labels)

@@ -534,6 +534,7 @@ BNLJ_ALLOWED = {
     "q_isotonic_calibration",   # <=20-row bin-range lattice (non-equi broadcast)
     "q_ips_offpolicy",          # distinct-action count K (1-row broadcast)
     "q_unigram_tokenizer",      # usage total (1-row broadcast)
+    "q_modularity",             # edge total m (1-row broadcast)
     "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
     "q_dq_report",              # corpus stat row (1-row broadcast)
     "q_dsir_weights",           # vocab totals (1-row broadcast)

@@ -2318,3 +2318,32 @@ def test_isotonic_matches_sequential_pava(spark, bins):
     assert sorted(got) == list(range(len(bins)))
     for i, w in enumerate(want):
         assert abs(got[i] - round(w, 6)) <= 1e-6
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: m = 7, each community has e_c = 3 and d_c = 7, so each
+    contributes 3/7 - (7/14)^2 = 3/7 - 1/4; Q ~ 0.357 (strong)."""
+    from conte_to_fresco_etl_spark.operators.graph import modularity
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    p = spark.createDataFrame(pairs, "id_a INT, id_b INT")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node INT, label INT",
+    )
+    out = {r["label"]: r for r in modularity(p, labels).collect()}
+    for lbl in (1, 4):
+        r = out[lbl]
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert abs(r["contribution"] - (3 / 7 - 0.25)) < 1e-6
+    q = sum(r["contribution"] for r in out.values())
+    # the one-community partition scores 0 by construction: e=m, d=2m
+    one = spark.createDataFrame(
+        [(n, 9) for n in range(1, 7)], "node INT, label INT"
+    )
+    r1 = modularity(p, one).collect()[0]
+    assert r1["contribution"] == 0.0
+    assert q > r1["contribution"]

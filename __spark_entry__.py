@@ -123,6 +123,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_feature_hashing",     # NEW late-r6: signed hashing-trick projection
     "q_randomized_response",  # NEW late-r6: Warner local-DP prevalence
     "q_modularity",          # NEW late-r6: Newman modularity of LPA communities
+    "q_priority_sample",     # NEW late-r6: DLT priority sample + HT estimator
 ]
 
 PRIORITY: list[str] = [
@@ -234,6 +235,7 @@ PRIORITY: list[str] = [
     "q_feature_hashing",
     "q_randomized_response",
     "q_modularity",
+    "q_priority_sample",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

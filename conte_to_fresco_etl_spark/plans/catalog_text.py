@@ -6449,3 +6449,51 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(pairs, rounds=3)
     return modularity(pairs, labels)
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (PPSWOR with unbiased subset-sum estimation)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_SAMPLE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id AS key, CAST(n_chars AS DOUBLE) AS w,
+             ROUND(CAST(n_chars AS DOUBLE)
+                   / ((CAST(CAST('0x' || substr(
+                          md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS DOUBLE) + 1.0)
+                      / {float(16**15 + 1)!r}), 12) AS priority
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, key ASC) AS rn
+      FROM h
+    ),
+    tau AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM h) >= 65
+                  THEN (SELECT priority FROM ranked WHERE rn = 65)
+                  ELSE 0.0 END AS tau
+    )
+    SELECT key AS doc_id, w, priority,
+           ROUND(GREATEST(w, tau), 6) AS est_w
+    FROM ranked CROSS JOIN tau
+    WHERE rn <= 64
+"""
+
+
+@_q("q_priority_sample", _PRIORITY_SAMPLE_SQL)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-row priority sample of documents weighted by n_chars, with
+    the Horvitz-Thompson est_w = max(w, τ) column that makes ANY
+    subset-sum over the sample an unbiased estimate of the same
+    subset's full-corpus total — map-side priorities, TakeOrdered
+    head, τ derived in-plan as a 1-row broadcast."""
+    from conte_to_fresco_etl_spark.validation import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        key_col="doc_id",
+        k=64,
+        seed=42,
+    )

@@ -754,3 +754,73 @@ def compaction_plan(
             "undersized"
         ),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): the weighted sample
+    that supports UNBIASED subset-sum estimation — what
+    ``weighted_sample_topk`` (A-ES) cannot give you.  Each row draws
+    the hash-stable unit uniform u and the priority ``w / u``; the k
+    highest-priority rows are the sample, and with τ = the (k+1)-th
+    priority, ``est_w = max(w, τ)`` satisfies E[Σ_{sample∩S} est_w] =
+    Σ_S w for EVERY subset S — so downstream aggregations over any
+    slice of the sample estimate the full-corpus slice totals with no
+    reweighting logic of their own.
+
+    Output: the k sampled rows as ``(key, w, priority, est_w)`` with
+    priority ROUND(12)-pinned (rank determinism) and est_w ROUND(6).
+    When the population has ≤ k rows, τ = 0 and est_w = w exactly (the
+    sample IS the population).  Non-positive weights are excluded.
+
+    Distributed shape: map-side priority + TakeOrdered(k+1) — the
+    per-partition top-(k+1) pre-reduction means the driver-side limit
+    sees k+1 candidates per partition, never the corpus; τ derives
+    from the (k+1)-row head IN-PLAN (1-row broadcast)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))
+    pri = F.round(F.col(weight_col).cast("double") / u, 12)
+    head = (
+        df.filter(F.col(weight_col).cast("double") > 0.0)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(weight_col).cast("double").alias("w"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("key").asc())
+        .limit(k + 1)
+    )
+    head = head.localCheckpoint(eager=False)
+    tau = head.agg(
+        F.when(F.count("*") == k + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    return (
+        head.orderBy(F.col("priority").desc(), F.col("key").asc())
+        .limit(k)
+        .join(F.broadcast(tau))
+        .select(
+            F.col("key").alias(key_col),
+            "w",
+            "priority",
+            F.round(F.greatest(F.col("w"), F.col("tau")), 6).alias(
+                "est_w"
+            ),
+        )
+    )

@@ -323,3 +323,41 @@ def test_compaction_plan_greedy_bins(spark):
     assert not out[("p", 0)]["undersized"]
     assert out[("q", 0)]["n_files"] == 1  # single oversized file, own bin
     assert (out[("p", 1)]["first_key"], out[("p", 1)]["last_key"]) == (3, 5)
+
+
+def test_priority_sample_small_population_is_exact(spark):
+    """Population <= k: tau = 0, every row sampled, est_w = w — the
+    estimator degrades to the exact total."""
+    from conte_to_fresco_etl_spark.validation import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 6)], "doc_id INT, w DOUBLE"
+    )
+    out = priority_sample(df, "w", "doc_id", k=8).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["est_w"] == r["w"]
+
+
+def test_priority_sample_subset_sum_unbiased_over_seeds(spark):
+    """Average the HT subset-sum estimate over many seeds: it must
+    approach the true subset total (the DLT guarantee), while any
+    single sample's plain (unweighted) subset sum generally does not."""
+    from conte_to_fresco_etl_spark.validation import priority_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id INT, w DOUBLE")
+    subset = {i for i in range(60) if i % 3 == 0}
+    true_total = sum(w for i, w in rows if i in subset)
+    ests = []
+    for seed in range(12):
+        sample = priority_sample(df, "w", "doc_id", k=12, seed=seed).collect()
+        ests.append(
+            sum(r["est_w"] for r in sample if r["doc_id"] in subset)
+        )
+    avg = sum(ests) / len(ests)
+    assert abs(avg - true_total) / true_total < 0.35
+    # determinism: same seed twice -> identical sample
+    s0 = priority_sample(df, "w", "doc_id", k=12, seed=3).collect()
+    s1 = priority_sample(df, "w", "doc_id", k=12, seed=3).collect()
+    assert sorted(map(tuple, s0)) == sorted(map(tuple, s1))

@@ -124,6 +124,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_randomized_response",  # NEW late-r6: Warner local-DP prevalence
     "q_modularity",          # NEW late-r6: Newman modularity of LPA communities
     "q_priority_sample",     # NEW late-r6: DLT priority sample + HT estimator
+    "q_eb_shrinkage",        # NEW late-r6: empirical-Bayes rate shrinkage
 ]
 
 PRIORITY: list[str] = [
@@ -236,6 +237,7 @@ PRIORITY: list[str] = [
     "q_randomized_response",
     "q_modularity",
     "q_priority_sample",
+    "q_eb_shrinkage",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -2026,3 +2026,75 @@ def conformal_intervals(
             6,
         ).alias("coverage"),
     )
+
+
+def eb_shrinkage(
+    df: DataFrame,
+    key_col: str,
+    success_col,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key success
+    rates: fit a Beta(α, β) prior to the observed per-key rates by
+    method of moments, then report each key's posterior-mean rate
+    ``(k + α) / (n + α + β)`` — the standard fix for the
+    small-sample-leaderboard problem (a 1/1 key must not outrank a
+    950/1000 key).
+
+    Output per key: ``(key, n, k, raw_rate, shrunk_rate, alpha,
+    beta)`` — α/β are corpus constants repeated per row (1-row
+    broadcast) so the table is self-describing; ROUND(6) doubles.
+    Degenerate priors (zero variance across keys, or moments outside
+    the beta-feasible region ⇒ method-of-moments concentration ≤ 0)
+    fall back to shrunk = raw with NULL α/β — explicit, never a
+    negative pseudo-count.
+
+    Scale posture: one map-side-combinable (key) aggregation collapses
+    the corpus; the prior moments are ROUND(12)/DECIMAL sums over the
+    per-key rate table (order-independent); the final projection joins
+    the 1-row prior by broadcast."""
+    succ = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n"), F.sum(succ).alias("k")
+    )
+    rate = F.round(
+        F.col("k").cast("double") / F.col("n").cast("double"), 12
+    )
+
+    def _dsum(c, alias):
+        return F.sum(F.round(c, 12).cast("decimal(38,12)")).alias(alias)
+
+    mom = per_key.select(rate.alias("r")).agg(
+        F.count("*").cast("double").alias("nk"),
+        _dsum(F.col("r"), "sr"),
+        _dsum(F.col("r") * F.col("r"), "sr2"),
+    )
+    nk = F.col("nk")
+    m = F.col("sr").cast("double") / nk
+    v = F.col("sr2").cast("double") / nk - m * m
+    common = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        F.when((v > 0.0) & (common > 0.0), F.round(m * common, 12)).alias(
+            "alpha"
+        ),
+        F.when(
+            (v > 0.0) & (common > 0.0),
+            F.round((F.lit(1.0) - m) * common, 12),
+        ).alias("beta"),
+    )
+    k_ = F.col("k").cast("double")
+    n_ = F.col("n").cast("double")
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        (k_ + F.col("alpha")) / (n_ + F.col("alpha") + F.col("beta")),
+    ).otherwise(k_ / n_)
+    return per_key.join(F.broadcast(prior)).select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(k_ / n_, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(F.col("alpha"), 6).alias("alpha"),
+        F.round(F.col("beta"), 6).alias("beta"),
+    )

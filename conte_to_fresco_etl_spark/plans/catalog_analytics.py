@@ -4886,3 +4886,68 @@ def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_true=0.75,
         seed="rr",
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial rate shrinkage
+# ---------------------------------------------------------------------------
+
+_EB_SQL = """
+    WITH per_key AS (
+      SELECT user_id AS key, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1
+    ),
+    rates AS (
+      SELECT ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 12) AS r
+      FROM per_key
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nk,
+             CAST(SUM(CAST(ROUND(r, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sr,
+             CAST(SUM(CAST(ROUND(r * r, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sr2
+      FROM rates
+    ),
+    prior AS (
+      SELECT CASE WHEN v > 0.0e0 AND m * (1.0e0 - m) / v - 1.0e0 > 0.0e0
+                  THEN ROUND(m * (m * (1.0e0 - m) / v - 1.0e0), 12)
+             END AS alpha,
+             CASE WHEN v > 0.0e0 AND m * (1.0e0 - m) / v - 1.0e0 > 0.0e0
+                  THEN ROUND((1.0e0 - m)
+                             * (m * (1.0e0 - m) / v - 1.0e0), 12)
+             END AS beta
+      FROM (
+        SELECT sr / nk AS m, sr2 / nk - (sr / nk) * (sr / nk) AS v
+        FROM mom
+      )
+    )
+    SELECT CAST(key AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           ROUND(CASE WHEN alpha IS NOT NULL
+                      THEN (CAST(k AS DOUBLE) + alpha)
+                           / (CAST(n AS DOUBLE) + alpha + beta)
+                      ELSE CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+             AS shrunk_rate,
+           ROUND(alpha, 6) AS alpha,
+           ROUND(beta, 6) AS beta
+    FROM per_key CROSS JOIN prior
+"""
+
+
+@_q("q_eb_shrinkage", _EB_SQL)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user click-rate leaderboard with empirical-Bayes
+    beta-binomial shrinkage: one (user) collapse, ROUND(12)/decimal
+    prior moments, 1-row prior broadcast back — small-n users pull
+    toward the corpus rate instead of topping the board at 1/1."""
+    from conte_to_fresco_etl_spark.operators.robust import eb_shrinkage
+
+    ev = _events(spark, sf_dir)
+    return eb_shrinkage(
+        ev, key_col="user_id",
+        success_col=(F.col("event_type") == "click"),
+    )

@@ -2347,3 +2347,38 @@ def test_modularity_two_triangles_with_bridge(spark):
     r1 = modularity(p, one).collect()[0]
     assert r1["contribution"] == 0.0
     assert q > r1["contribution"]
+
+
+def test_eb_shrinkage_pulls_small_samples_toward_prior(spark):
+    """A 1/1 key must not outrank a 95/100 key after shrinkage, order
+    between them must flip, and shrunk rates stay between the raw rate
+    and the corpus mean."""
+    from conte_to_fresco_etl_spark.operators.robust import eb_shrinkage
+
+    rows = []
+    # 20 keys with 50 trials each at ~30% success (stable prior mass)
+    for key in range(20):
+        for t in range(50):
+            rows.append((key, 1 if (t * 7 + key) % 10 < 3 else 0))
+    rows += [(100, 1)]                      # 1/1 wonder
+    rows += [(101, 1)] * 95 + [(101, 0)] * 5  # 95/100 veteran
+    df = spark.createDataFrame(rows, "k INT, s INT")
+    out = {r["k"]: r for r in eb_shrinkage(df, "k", "s").collect()}
+    assert out[100]["raw_rate"] == 1.0 > out[101]["raw_rate"]
+    assert out[100]["shrunk_rate"] < out[101]["shrunk_rate"]
+    assert out[100]["alpha"] is not None and out[100]["beta"] is not None
+    # shrinkage moves toward the prior mean, never past the raw rate
+    prior_mean = out[100]["alpha"] / (out[100]["alpha"] + out[100]["beta"])
+    assert prior_mean <= out[100]["shrunk_rate"] <= out[100]["raw_rate"]
+
+
+def test_eb_shrinkage_degenerate_prior_falls_back_to_raw(spark):
+    """All keys share one exact rate -> zero variance -> NULL prior,
+    shrunk = raw."""
+    from conte_to_fresco_etl_spark.operators.robust import eb_shrinkage
+
+    rows = [(k, s) for k in range(5) for s in (1, 0)]
+    df = spark.createDataFrame(rows, "k INT, s INT")
+    for r in eb_shrinkage(df, "k", "s").collect():
+        assert r["alpha"] is None and r["beta"] is None
+        assert r["shrunk_rate"] == r["raw_rate"] == 0.5

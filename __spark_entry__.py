@@ -125,6 +125,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_modularity",          # NEW late-r6: Newman modularity of LPA communities
     "q_priority_sample",     # NEW late-r6: DLT priority sample + HT estimator
     "q_eb_shrinkage",        # NEW late-r6: empirical-Bayes rate shrinkage
+    "q_markov_absorption",   # NEW late-r6: absorbing-chain conversion prob
 ]
 
 PRIORITY: list[str] = [
@@ -238,6 +239,7 @@ PRIORITY: list[str] = [
     "q_modularity",
     "q_priority_sample",
     "q_eb_shrinkage",
+    "q_markov_absorption",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

@@ -4951,3 +4951,68 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id",
         success_col=(F.col("event_type") == "click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-Markov-chain conversion probability
+# ---------------------------------------------------------------------------
+
+_MARKOV_ROUND_SQL = """
+    v{r} AS (
+      SELECT st.state,
+             CASE WHEN st.state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                  WHEN st.state = 'error' THEN CAST(0.0 AS DOUBLE)
+                  ELSE COALESCE((
+                    SELECT ROUND(CAST(SUM(CAST(ROUND(t.p * v.pw, 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 12)
+                    FROM t JOIN v{p} v ON t.d = v.state
+                    WHERE t.s = st.state), CAST(0.0 AS DOUBLE))
+             END AS pw
+      FROM states st
+    )"""
+
+
+def _markov_sql(rounds: int = 12) -> str:
+    body = ",".join(
+        _MARKOV_ROUND_SQL.format(r=r, p=r - 1) for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH trans AS ({_TRANSITIONS_SQL}),
+    t AS (
+      SELECT src AS s, dst AS d, CAST(prob AS DOUBLE) AS p
+      FROM trans WHERE src NOT IN ('purchase', 'error')
+    ),
+    states AS (
+      SELECT DISTINCT state FROM (
+        SELECT s AS state FROM t UNION ALL SELECT d AS state FROM t
+      )
+    ),
+    v0 AS (
+      SELECT state,
+             CASE WHEN state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                  WHEN state = 'error' THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS pw
+      FROM states
+    ),
+    {body}
+    SELECT state, ROUND(pw, 6) AS p_win FROM v{rounds}
+"""
+
+
+@_q("q_markov_absorption", _markov_sql(12))
+def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability each event-type state converts (reaches 'purchase')
+    before erroring, within 12 steps of the observed first-order
+    transition chain: 12 fixed-point rounds over the collapsed
+    |states|²-row transition table (tiny joins + per-src decimal sums,
+    lazy checkpoints), the raw stream touched only by the transition
+    build — the absorbing-chain primitive behind Markov attribution."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        event_transitions,
+        markov_absorption,
+    )
+
+    trans = event_transitions(_events(spark, sf_dir))
+    return markov_absorption(
+        trans, win_state="purchase", lose_state="error", iterations=12
+    )

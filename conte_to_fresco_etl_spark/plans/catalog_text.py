@@ -5410,6 +5410,30 @@ _LPA_SQL = f"""
 """
 
 
+#: session-staged LPA labels — q_label_propagation and q_modularity
+#: both consume them; the _STAR_CACHE convention (first caller pays).
+_LPA_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    labels = _LPA_CACHE.get(key)
+    if labels is None:
+        from conte_to_fresco_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from conte_to_fresco_etl_spark.operators.graph import (
+            label_propagation,
+        )
+
+        pairs = minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
+        )
+        labels = label_propagation(pairs, rounds=3).localCheckpoint()
+        _LPA_CACHE[key] = labels
+    return labels
+
+
 @_q("q_label_propagation", _LPA_SQL)
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the gated near-dup graph: 3 synchronous
@@ -5418,14 +5442,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community-respecting alternative to connected components — a thin
     bridge between dense clusters does not merge them.  Per round: one
     edge join + one collapsed (node,label) count + a node-partitioned
-    top-1 window; localCheckpoint breaks the iterate's lineage."""
-    from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
-    from conte_to_fresco_etl_spark.operators.graph import label_propagation
-
-    pairs = minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
-    )
-    return label_propagation(pairs, rounds=3)
+    top-1 window; localCheckpoint breaks the iterate's lineage.  The
+    label table is session-staged (q_modularity shares it)."""
+    return _lpa_labels(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -6437,18 +6456,15 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: per-community internal-edge mass vs the degree-mass
     expectation, all collapsed to |communities| rows before the scalar
     algebra (m is the annotated 1-row broadcast) — the quality gate
-    that says whether q_label_propagation's communities beat chance."""
+    that says whether q_label_propagation's communities beat chance.
+    Consumes the session-staged LPA label table."""
     from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
-    from conte_to_fresco_etl_spark.operators.graph import (
-        label_propagation,
-        modularity,
-    )
+    from conte_to_fresco_etl_spark.operators.graph import modularity
 
     pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
     )
-    labels = label_propagation(pairs, rounds=3)
-    return modularity(pairs, labels)
+    return modularity(pairs, _lpa_labels(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -2382,3 +2382,39 @@ def test_eb_shrinkage_degenerate_prior_falls_back_to_raw(spark):
     for r in eb_shrinkage(df, "k", "s").collect():
         assert r["alpha"] is None and r["beta"] is None
         assert r["shrunk_rate"] == r["raw_rate"] == 0.5
+
+
+def test_markov_absorption_hand_chain(spark):
+    """Chain a -> b (0.5) / a -> lose (0.5); b -> win (0.8) / b -> lose
+    (0.2): p_win(b) = 0.8, p_win(a) = 0.5 * 0.8 = 0.4; win/lose pinned
+    to 1/0."""
+    from conte_to_fresco_etl_spark.operators.graph import markov_absorption
+
+    rows = [
+        ("a", "b", 0.5), ("a", "lose", 0.5),
+        ("b", "win", 0.8), ("b", "lose", 0.2),
+    ]
+    t = spark.createDataFrame(rows, "src STRING, dst STRING, prob DOUBLE")
+    out = {
+        r["state"]: r["p_win"]
+        for r in markov_absorption(t, "win", "lose", iterations=6).collect()
+    }
+    assert out["win"] == 1.0 and out["lose"] == 0.0
+    assert abs(out["b"] - 0.8) < 1e-9
+    assert abs(out["a"] - 0.4) < 1e-9
+
+
+def test_markov_absorption_cycle_converges(spark):
+    """A self-loop (a -> a 0.5, a -> win 0.5) needs the geometric sum:
+    after K rounds p_win(a) = 1 - 0.5^K -> close to 1."""
+    from conte_to_fresco_etl_spark.operators.graph import markov_absorption
+
+    rows = [("a", "a", 0.5), ("a", "win", 0.5)]
+    t = spark.createDataFrame(rows, "src STRING, dst STRING, prob DOUBLE")
+    out = {
+        r["state"]: r["p_win"]
+        for r in markov_absorption(
+            t, "win", "lose", iterations=12
+        ).collect()
+    }
+    assert abs(out["a"] - (1.0 - 0.5**12)) < 1e-6

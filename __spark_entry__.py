@@ -126,6 +126,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_priority_sample",     # NEW late-r6: DLT priority sample + HT estimator
     "q_eb_shrinkage",        # NEW late-r6: empirical-Bayes rate shrinkage
     "q_markov_absorption",   # NEW late-r6: absorbing-chain conversion prob
+    "q_negative_samples",    # NEW late-r6: word2vec noise-dist negatives
 ]
 
 PRIORITY: list[str] = [
@@ -240,6 +241,7 @@ PRIORITY: list[str] = [
     "q_priority_sample",
     "q_eb_shrinkage",
     "q_markov_absorption",
+    "q_negative_samples",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r5-green queries

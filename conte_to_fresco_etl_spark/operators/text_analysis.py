@@ -2438,3 +2438,97 @@ def feature_hashing(
             F.col("x").cast("long").alias("x"),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    seed: str = "ns",
+) -> DataFrame:
+    """Skip-gram-style negative sampling: draw ``k`` noise tokens per
+    document from the word2vec noise distribution P(t) ∝ count(t)^0.75
+    — the contrastive-negative generator an embedding-training pipeline
+    pairs with its positive co-occurrences.  Draws are hash-stable
+    (md5 of (seed, doc, slot)), so the sample is a pure function of
+    the corpus + seed: reproducible across runs, partitionings, and
+    engines.
+
+    Cross-engine exactness: c^0.75 is computed as sqrt(sqrt(c·c·c)) —
+    sqrt is IEEE-754 correctly rounded in EVERY engine where pow/exp
+    are only faithfully rounded, so the noise weights (and therefore
+    every interval boundary) are bit-identical; weights ROUND(9) →
+    DECIMAL-cumsum over the token-ordered vocabulary.
+
+    Output: ``(id, slot, neg_token, in_doc)`` — ``in_doc`` flags draws
+    that collide with the document's own vocabulary (a trainer drops
+    or re-draws those; flagging keeps the operator deterministic).
+
+    Scale posture: the corpus collapses to the vocabulary count table
+    in ONE shuffle; the cumulative-interval table is vocabulary-sized
+    (global window over the collapsed aggregate) and broadcasts into
+    the per-(doc, slot) interval probe — at web scale, bin the unit
+    interval and equi-join on the bin id instead of broadcasting the
+    full vocabulary.  The in-doc flag is one (doc, token) semi-probe
+    against the tokenize pass already paid."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).filter(F.length("t") > 0)
+    cd = F.col("c").cast("double")
+    w = F.sqrt(F.sqrt(cd * cd * cd))
+    counts = tok.groupBy("t").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wd = F.round(w, 9).cast("decimal(28,9)")
+    cum = counts.select(
+        "t",
+        F.sum(wd).over(wv).alias("hi_d"),
+        wd.alias("wd"),
+    ).select(
+        "t",
+        F.col("hi_d").cast("double").alias("hi"),
+        (F.col("hi_d") - F.col("wd")).cast("double").alias("lo"),
+    )
+    tot = cum.agg(F.max("hi").alias("tot"))
+    slots = df.select(F.col(id_col).alias("id")).select(
+        "id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")
+    )
+    u = (
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col("id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ).substr(1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    probes = slots.join(F.broadcast(tot)).select(
+        "id", "slot", (u * F.col("tot")).alias("ut")
+    )
+    drawn = probes.join(
+        F.broadcast(cum),
+        (F.col("ut") >= F.col("lo")) & (F.col("ut") < F.col("hi")),
+    )
+    doc_vocab = tok.distinct().select(
+        F.col("id").alias("vid"), F.col("t").alias("vt")
+    )
+    return (
+        drawn.join(
+            doc_vocab,
+            (F.col("id") == F.col("vid")) & (F.col("t") == F.col("vt")),
+            "left",
+        )
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.col("slot").cast("long").alias("slot"),
+            F.col("t").alias("neg_token"),
+            F.col("vid").isNotNull().alias("in_doc"),
+        )
+    )

@@ -6513,3 +6513,78 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=64,
         seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram negative sampling from the unigram^0.75 noise distribution
+# ---------------------------------------------------------------------------
+
+_NEG_SAMPLE_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id AS id, t
+      FROM (SELECT doc_id, unnest({{tokens}}) AS t FROM documents)
+      WHERE length(t) > 0
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+    cum AS (
+      SELECT t,
+             CAST(SUM(CAST(ROUND(sqrt(sqrt(CAST(c AS DOUBLE)
+                                          * CAST(c AS DOUBLE)
+                                          * CAST(c AS DOUBLE))), 9)
+                           AS DECIMAL(28,9)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) AS hi,
+             SUM(CAST(ROUND(sqrt(sqrt(CAST(c AS DOUBLE)
+                                      * CAST(c AS DOUBLE)
+                                      * CAST(c AS DOUBLE))), 9)
+                      AS DECIMAL(28,9)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                  - CAST(ROUND(sqrt(sqrt(CAST(c AS DOUBLE)
+                                        * CAST(c AS DOUBLE)
+                                        * CAST(c AS DOUBLE))), 9)
+                         AS DECIMAL(28,9)) AS lo_d
+      FROM counts
+    ),
+    tot AS (SELECT MAX(hi) AS tot FROM cum),
+    probes AS (
+      SELECT d.doc_id AS id, s.slot,
+             (CAST(CAST('0x' || substr(
+                    md5('ns:' || CAST(d.doc_id AS VARCHAR) || ':'
+                        || CAST(s.slot AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS DOUBLE) / power(16.0, 15))
+               * (SELECT tot FROM tot) AS ut
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS slot) s
+    ),
+    drawn AS (
+      SELECT p.id, p.slot, c.t
+      FROM probes p JOIN cum c
+        ON p.ut >= CAST(c.lo_d AS DOUBLE) AND p.ut < c.hi
+    )
+    SELECT CAST(d.id AS BIGINT) AS doc_id,
+           CAST(d.slot AS BIGINT) AS slot,
+           d.t AS neg_token,
+           EXISTS (SELECT 1 FROM tok
+                   WHERE tok.id = d.id AND tok.t = d.t) AS in_doc
+    FROM drawn d
+"""
+
+
+@_q("q_negative_samples", _NEG_SAMPLE_SQL.format(tokens=_sql_tokens()))
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 hash-stable word2vec noise draws per document (P ∝ c^0.75 as
+    the IEEE-exact sqrt(sqrt(c³))): one vocabulary collapse, the
+    cumulative-interval table broadcast into the per-(doc, slot)
+    probe, one semi-probe for the in-doc collision flag."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        negative_samples,
+    )
+
+    return negative_samples(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=5,
+        seed="ns",
+    )

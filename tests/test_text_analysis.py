@@ -1009,3 +1009,27 @@ def test_feature_hashing_integer_exact_and_sign_cancellation(spark):
     d2 = [(r["k"], r["x"]) for r in rows if r["doc_id"] == 2][0]
     d1 = {r["k"]: r["x"] for r in rows if r["doc_id"] == 1}
     assert d2[0] in d1
+
+
+def test_negative_samples_distribution_and_flags(spark):
+    from collections import Counter
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        negative_samples,
+    )
+
+    # 'common' dominates the noise distribution; 'rare' almost never
+    docs = [(0, "common " * 200 + "rare")] + [
+        (i, "common common common") for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    out = negative_samples(df, k=4, seed="t").collect()
+    # every (doc, slot) yields exactly one draw
+    assert len(out) == 30 * 4
+    cnt = Counter(r["neg_token"] for r in out)
+    assert cnt["common"] > cnt.get("rare", 0)
+    # doc 0 contains both tokens -> its draws are all in_doc
+    assert all(r["in_doc"] for r in out if r["doc_id"] == 0)
+    # determinism
+    again = negative_samples(df, k=4, seed="t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

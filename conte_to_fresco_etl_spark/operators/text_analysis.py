@@ -2467,11 +2467,18 @@ def negative_samples(
 
     Scale posture: the corpus collapses to the vocabulary count table
     in ONE shuffle; the cumulative-interval table is vocabulary-sized
-    (global window over the collapsed aggregate) and broadcasts into
-    the per-(doc, slot) interval probe — at web scale, bin the unit
-    interval and equi-join on the bin id instead of broadcasting the
-    full vocabulary.  The in-doc flag is one (doc, token) semi-probe
-    against the tokenize pass already paid."""
+    (global window over the collapsed aggregate).  The draw probe is a
+    BINNED EQUI-JOIN, not a broadcast range join: the [0, tot) mass
+    axis is cut into |V| fixed-width bins, each interval explodes to
+    the bins it covers (Σ coverage ≈ 2·|V| rows — each interval covers
+    ≥1 bin and the B bin boundaries add ≤B splits), and probes join on
+    the bin id then range-filter within the handful of rows per bin.
+    bin(x) = least(floor(x/tot·|V|), |V|−1) is the IDENTICAL monotone
+    double expression on both sides, so lo ≤ ut < hi guarantees
+    bin(lo) ≤ bin(ut) ≤ bin(hi) — no draw can miss its interval.  At
+    web scale both join sides shuffle on the bin id; nothing
+    vocabulary-sized broadcasts.  The in-doc flag is one (doc, token)
+    semi-probe against the tokenize pass already paid."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
@@ -2490,7 +2497,18 @@ def negative_samples(
         F.col("hi_d").cast("double").alias("hi"),
         (F.col("hi_d") - F.col("wd")).cast("double").alias("lo"),
     )
-    tot = cum.agg(F.max("hi").alias("tot"))
+    stats = cum.agg(F.max("hi").alias("tot"), F.count("*").alias("nv"))
+    _bin = lambda x: F.least(  # noqa: E731 — shared by BOTH join sides
+        F.floor(x / F.col("tot") * F.col("nv")), F.col("nv") - F.lit(1)
+    )
+    binned = cum.join(F.broadcast(stats)).select(
+        "t",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(_bin(F.col("lo")), _bin(F.col("hi")))
+        ).alias("bin"),
+    )
     slots = df.select(F.col(id_col).alias("id")).select(
         "id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")
     )
@@ -2509,12 +2527,13 @@ def negative_samples(
         ).cast("double")
         / F.lit(float(16**15))
     )
-    probes = slots.join(F.broadcast(tot)).select(
-        "id", "slot", (u * F.col("tot")).alias("ut")
+    probes = (
+        slots.join(F.broadcast(stats))
+        .select("id", "slot", (u * F.col("tot")).alias("ut"), "tot", "nv")
+        .select("id", "slot", "ut", _bin(F.col("ut")).alias("bin"))
     )
-    drawn = probes.join(
-        F.broadcast(cum),
-        (F.col("ut") >= F.col("lo")) & (F.col("ut") < F.col("hi")),
+    drawn = probes.join(binned, "bin").filter(
+        (F.col("ut") >= F.col("lo")) & (F.col("ut") < F.col("hi"))
     )
     doc_vocab = tok.distinct().select(
         F.col("id").alias("vid"), F.col("t").alias("vt")

@@ -6575,8 +6575,9 @@ _NEG_SAMPLE_SQL = f"""
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 hash-stable word2vec noise draws per document (P ∝ c^0.75 as
     the IEEE-exact sqrt(sqrt(c³))): one vocabulary collapse, the
-    cumulative-interval table broadcast into the per-(doc, slot)
-    probe, one semi-probe for the in-doc collision flag."""
+    cumulative-interval table binned onto a |V|-bin mass axis and
+    EQUI-joined to the per-(doc, slot) probes (no vocabulary-sized
+    broadcast), one semi-probe for the in-doc collision flag."""
     from conte_to_fresco_etl_spark.operators.text_analysis import (
         negative_samples,
     )

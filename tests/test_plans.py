@@ -537,7 +537,9 @@ BNLJ_ALLOWED = {
     "q_modularity",             # edge total m (1-row broadcast)
     "q_priority_sample",        # tau threshold (1-row broadcast)
     "q_eb_shrinkage",           # beta prior alpha/beta (1-row broadcast)
-    "q_negative_samples",       # vocab interval table + 1-row total (broadcast)
+    "q_negative_samples",       # corpus total + vocab size (1-row broadcast);
+                                # the draw probe itself is a binned EQUI-join
+                                # since r7 — the vocab table never BNLJ-probes
     "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
     "q_dq_report",              # corpus stat row (1-row broadcast)
     "q_dsir_weights",           # vocab totals (1-row broadcast)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,23 +62,67 @@ def _u_probability(df: DataFrame, field: FieldComparison) -> DataFrame:
     )
 
 
+def snm_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int = 3,
+    part_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs ``(id_a, id_b)`` over an
+    arbitrary sort-key expression: records sort by ``key`` and each
+    pairs with its ``window-1`` successors — the classic SNM blocking
+    generator, exposed here so the linkage SCORERS (Fellegi-Sunter,
+    Jaro-Winkler) can consume a candidate stream whose size is
+    n·(window−1), LINEAR in the corpus, instead of a fixed-cardinality
+    equality block whose Σ block² pair count grows quadratically.
+
+    Scale posture: the sort is PARTITIONED by the key's ``part_len``-
+    char prefix (never one global sort task); pairs straddling a
+    partition boundary are the documented SNM blind spot (multi-pass
+    with rotated keys is the standard remedy).  Output ids are
+    least/greatest-normalized; no pair appears twice because the
+    (key, id) order is total."""
+    keyed = df.select(F.col(id_col).alias("id"), key.alias("k")).withColumn(
+        "pblk", F.substring(F.col("k"), 1, part_len)
+    )
+    w = Window.partitionBy("pblk").orderBy("k", "id")
+    led = keyed.select(
+        "id",
+        *[F.lead("id", o).over(w).alias(f"n{o}") for o in range(1, window)],
+    )
+    cand = None
+    for o in range(1, window):
+        p = led.select(
+            F.least(F.col("id"), F.col(f"n{o}")).alias("id_a"),
+            F.greatest(F.col("id"), F.col(f"n{o}")).alias("id_b"),
+        ).filter(F.col(f"n{o}").isNotNull())
+        cand = p if cand is None else cand.unionAll(p)
+    return cand
+
+
 def fellegi_sunter_pairs(
     df: DataFrame,
     id_col: str,
     block_cols: list[str],
     fields: list[FieldComparison],
     top_k: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Score all within-block record pairs: (id_a, id_b,
     agree_<field>..., score) with score = sum of per-field FS weights,
     optionally keeping only the ``top_k`` highest-scoring pairs
     (rounded-score desc, then ids — deterministic).
 
-    Blocks join on ``block_cols`` equality with ``id_a < id_b``; at
-    100 TB the block key must bound the largest block (compose with
-    SNM or LSH blocking when no natural bounded key exists) — the
-    self-join shuffles block-partitioned slices, never the cross
-    product of the table."""
+    Candidate generation: pass ``candidates`` — an (id_a, id_b) frame
+    from ``snm_window_pairs`` / LSH banding — and the pair stream is
+    two id-keyed equi-joins against the narrow field projection,
+    bounded by the candidate count (linear for SNM).  Without
+    ``candidates``, blocks join on ``block_cols`` equality with
+    ``id_a < id_b``; at 100 TB that key must bound the largest block
+    (compose with SNM or LSH blocking when no natural bounded key
+    exists) — the self-join shuffles block-partitioned slices, never
+    the cross product of the table."""
     # One 1-row weight frame for ALL fields: each field's u-aggregate
     # 1-row frame crosses into a single row carrying the PRE-COMPUTED
     # agree/disagree weights, so the pair stream is crossed ONCE and
@@ -102,10 +146,17 @@ def fellegi_sunter_pairs(
     cols += [f.expr.alias(f"f_{f.name}") for f in fields]
     narrow = df.select(*cols)
     a, b = narrow.alias("a"), narrow.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs = a.join(b, cond).crossJoin(F.broadcast(weights))
+    if candidates is not None:
+        pairs = (
+            candidates.join(a, F.col("id_a") == F.col(f"a.{id_col}"))
+            .join(b, F.col("id_b") == F.col(f"b.{id_col}"))
+            .crossJoin(F.broadcast(weights))
+        )
+    else:
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        pairs = a.join(b, cond).crossJoin(F.broadcast(weights))
 
     agree_cols = {
         f.name: F.col(f"a.f_{f.name}").eqNullSafe(F.col(f"b.f_{f.name}"))
@@ -196,8 +247,9 @@ def jaro_winkler_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_cols: list[str],
+    block_cols: list[str] | None = None,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked pairwise Jaro-Winkler scoring — the fuzzy-string field
     comparator record linkage runs where exact/equality agreement
@@ -205,17 +257,21 @@ def jaro_winkler_pairs(
     (``tfidf_cosine_pairs``) too coarse: typo'd names, transposed
     words, shared prefixes.
 
-    Scale posture: candidate pairs come from an EQUI-self-join on the
-    blocking key (never all-pairs — Σ block² bounds the join, the
-    SNM/LSH discipline); the JW kernel is a per-pair string scan with
-    no DataFrame-expression form, so it runs as an Arrow-batched
-    pandas UDF map-side over the joined pairs — no extra shuffle, and
-    the Python cost is proportional to SURVIVING candidates, not the
-    corpus.  The threshold filters on the ROUND(6) score so membership
-    is engine-stable.
+    Scale posture: candidate pairs come either from ``candidates``
+    (an (id_a, id_b) frame, e.g. ``snm_window_pairs`` — n·(w−1)
+    candidates, LINEAR in the corpus, and the natural pairing for a
+    prefix-boosted metric: prefix-sorted neighbors) or from an
+    EQUI-self-join on ``block_cols`` (where a natural key bounds the
+    largest block — Σ block² bounds the join); the JW kernel is a
+    per-pair string scan with no DataFrame-expression form, so it
+    runs as an Arrow-batched pandas UDF map-side over the joined
+    pairs — no extra shuffle, and the Python cost is proportional to
+    SURVIVING candidates, not the corpus.  The threshold filters on
+    the ROUND(6) score so membership is engine-stable.
 
     Output: ``(*block_cols, key_a, key_b, jw)`` with ``key_a <
-    key_b`` inside each block."""
+    key_b`` inside each block; the candidates path emits
+    ``(key_a, key_b, jw)``."""
     @F.pandas_udf("double")
     def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
         return pd.Series(
@@ -223,17 +279,29 @@ def jaro_winkler_pairs(
             dtype="float64",
         )
 
+    block_cols = block_cols or []
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("k"),
         F.col(text_col).alias("s"),
     ).filter(F.col("k").isNotNull() & F.col("s").isNotNull())
     a, b = base.alias("a"), base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    pairs = a.join(b, cond + [F.col("a.k") < F.col("b.k")]).select(
-        *[F.col(f"a.{c}").alias(c) for c in block_cols],
-        F.col("a.k").alias("key_a"),
-        F.col("b.k").alias("key_b"),
-        F.round(_jw(F.col("a.s"), F.col("b.s")), 6).alias("jw"),
-    )
+    if candidates is not None:
+        pairs = (
+            candidates.join(a, F.col("id_a") == F.col("a.k"))
+            .join(b, F.col("id_b") == F.col("b.k"))
+            .select(
+                F.col("a.k").alias("key_a"),
+                F.col("b.k").alias("key_b"),
+                F.round(_jw(F.col("a.s"), F.col("b.s")), 6).alias("jw"),
+            )
+        )
+    else:
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+        pairs = a.join(b, cond + [F.col("a.k") < F.col("b.k")]).select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.round(_jw(F.col("a.s"), F.col("b.s")), 6).alias("jw"),
+        )
     return pairs.filter(F.col("jw") >= F.lit(float(threshold)))

@@ -3597,17 +3597,46 @@ def _fs_contrib_sql(name: str, m: float) -> str:
     )
 
 
+#: SNM candidate generation shared by the FS gate: records sort by
+#: reverse(c_name) — the textbook ROTATED-KEY SNM pass (the forward
+#: key's constant "Customer#" prefix would collapse the sort into one
+#: partition) — inside 2-char prefix partitions (the 100 trailing-digit
+#: pairs) and pair with their window-1 successors: n·(window−1)
+#: candidates, LINEAR in the corpus (the r6-gated nation block grew
+#: Σ block² quadratically).
+_FS_SNM_WINDOW = 4
+
+_FS_SNM_CAND = f"""
+    led AS (
+      SELECT id,
+             {', '.join(
+                 f"lead(id, {o}) OVER (PARTITION BY substr(k, 1, 2) "
+                 f"ORDER BY k, id) AS n{o}"
+                 for o in range(1, _FS_SNM_WINDOW))}
+      FROM n
+    ),
+    cand AS (
+      {' UNION ALL '.join(
+          f"SELECT LEAST(id, n{o}) AS id_a, GREATEST(id, n{o}) AS id_b "
+          f"FROM led WHERE n{o} IS NOT NULL"
+          for o in range(1, _FS_SNM_WINDOW))}
+    )"""
+
 _FS_SQL = f"""
     WITH n AS (
-      SELECT c_custkey AS id, c_nationkey AS blk,
+      SELECT c_custkey AS id, reverse(c_name) AS k,
              {', '.join(f'{expr} AS f_{name}' for name, expr, _ in _FS_FIELDS)}
       FROM customer
+      WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
     ),
-    {','.join(_fs_u_cte(name) for name, _, _ in _FS_FIELDS)}
+    {','.join(_fs_u_cte(name) for name, _, _ in _FS_FIELDS)},
+    {_FS_SNM_CAND}
     SELECT a.id AS id_a, b.id AS id_b,
            {', '.join(f'a.f_{name} IS NOT DISTINCT FROM b.f_{name} AS agree_{name}' for name, _, _ in _FS_FIELDS)},
            ROUND(CAST({' + '.join(_fs_contrib_sql(name, m) for name, _, m in _FS_FIELDS)} AS DOUBLE), 6) AS score
-    FROM n a JOIN n b ON a.blk = b.blk AND a.id < b.id
+    FROM cand c
+    JOIN n a ON c.id_a = a.id
+    JOIN n b ON c.id_b = b.id
     {' '.join(f'CROSS JOIN u_{name}' for name, _, _ in _FS_FIELDS)}
     ORDER BY score DESC, id_a, id_b
     LIMIT {_FS_TOP_K}
@@ -3616,25 +3645,36 @@ _FS_SQL = f"""
 
 @_q("q_record_linkage", _FS_SQL)
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage over nation-blocked
-    customer pairs: per-field agreement (segment, balance band, phone
-    prefix, address initial) weighted by log2(m/u) with u estimated
-    from the data (sum(freq^2)/n^2) and m as documented priors; top-200
-    candidate matches by score.  The scoring layer of entity resolution
-    on top of this engine's blocking operators (SNM, LSH, exact keys).
-    u-estimates enter the block-keyed pair join as 1-row broadcasts;
-    weights sum in DECIMAL for order-independence."""
+    """Fellegi-Sunter probabilistic record linkage over SNM-blocked
+    customer pairs: sorted-neighborhood candidates (reversed-name
+    rotated-key sort, each record vs its 3 successors — n·(w−1) pairs,
+    linear in the corpus; the fixed-cardinality nation block this
+    replaces grew Σ block² quadratically at 100×), scored by
+    per-field agreement (segment,
+    balance band, name suffix digits) weighted by log2(m/u) with u
+    estimated from the data (sum(freq^2)/n^2) and m as documented
+    priors; top-200 candidate matches by score.  The scoring layer of
+    entity resolution composed with this engine's SNM blocking
+    generator, exactly as linkage.py prescribes.  u-estimates enter
+    the candidate-keyed pair joins as 1-row broadcasts; weights sum in
+    DECIMAL for order-independence."""
     from conte_to_fresco_etl_spark.operators.linkage import (
         FieldComparison,
         fellegi_sunter_pairs,
+        snm_window_pairs,
     )
 
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        F.col("c_nationkey").alias("blk"),
-        F.col("c_mktsegment"),
-        F.col("c_acctbal"),
-        F.col("c_name"),
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_custkey").isNotNull() & F.col("c_name").isNotNull()
+        )
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment"),
+            F.col("c_acctbal"),
+            F.col("c_name"),
+        )
     )
     name_len = F.length(F.col("c_name"))
     fields = [
@@ -3653,8 +3693,15 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.7,
         ),
     ]
+    cand = snm_window_pairs(
+        cust,
+        "id",
+        F.reverse(F.col("c_name")),
+        window=_FS_SNM_WINDOW,
+        part_len=2,
+    )
     return fellegi_sunter_pairs(
-        cust, "id", ["blk"], fields, top_k=_FS_TOP_K
+        cust, "id", [], fields, top_k=_FS_TOP_K, candidates=cand
     )
 
 
@@ -4356,15 +4403,32 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaro-Winkler fuzzy-string linkage over blocked part names
 # ---------------------------------------------------------------------------
 
-_JARO_LINKAGE_SQL = """
+_JARO_SNM_WINDOW = 4
+
+_JARO_LINKAGE_SQL = f"""
     WITH p AS (
-      SELECT p_brand, p_size, p_partkey AS k, p_name AS s
+      SELECT p_partkey AS id, p_name AS s
       FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+    ),
+    led AS (
+      SELECT id,
+             {', '.join(
+                 f"lead(id, {o}) OVER (PARTITION BY substr(s, 1, 4) "
+                 f"ORDER BY s, id) AS n{o}"
+                 for o in range(1, _JARO_SNM_WINDOW))}
+      FROM p
+    ),
+    cand AS (
+      {' UNION ALL '.join(
+          f"SELECT LEAST(id, n{o}) AS id_a, GREATEST(id, n{o}) AS id_b "
+          f"FROM led WHERE n{o} IS NOT NULL"
+          for o in range(1, _JARO_SNM_WINDOW))}
     )
-    SELECT a.p_brand, a.p_size, a.k AS key_a, b2.k AS key_b,
+    SELECT c.id_a AS key_a, c.id_b AS key_b,
            ROUND(jaro_winkler_similarity(a.s, b2.s), 6) AS jw
-    FROM p a JOIN p b2
-      ON a.p_brand = b2.p_brand AND a.p_size = b2.p_size AND a.k < b2.k
+    FROM cand c
+    JOIN p a ON c.id_a = a.id
+    JOIN p b2 ON c.id_b = b2.id
     WHERE ROUND(jaro_winkler_similarity(a.s, b2.s), 6)
           >= CAST('0.5' AS DOUBLE)
 """
@@ -4373,23 +4437,39 @@ _JARO_LINKAGE_SQL = """
 @_q("q_jaro_linkage", _JARO_LINKAGE_SQL)
 def q_jaro_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-name linkage candidates: Jaro-Winkler >= 0.5 between part
-    names inside (brand, size) blocks — the string-field comparator
-    that slots into Fellegi-Sunter where equality agreement is too
-    brittle.  The oracle is DuckDB's OWN jaro_winkler_similarity — an
+    names and their sorted-neighborhood successors (name-sorted SNM,
+    each record vs its 3 successors — n·(w−1) candidates, linear in
+    the corpus; the (brand, size) equality block this replaces grew
+    Σ block² quadratically at 100×).  Prefix-sorted neighbors are also
+    the semantically right candidates for a prefix-BOOSTED metric —
+    Winkler's boost rewards exactly the shared prefixes the sort
+    clusters.  The oracle is DuckDB's OWN jaro_winkler_similarity — an
     independently-written implementation, not a mirror — so the gate
     pins the textbook semantics (floor-halved transpositions, 0.7
-    boost threshold, 4-char prefix cap) to 6 decimals on every blocked
-    pair.  Candidate generation is the blocked equi-self-join
-    (sum-of-block-squared bound, never all-pairs); the JW kernel runs
-    as an Arrow-batched pandas UDF map-side over surviving pairs."""
-    from conte_to_fresco_etl_spark.operators.linkage import jaro_winkler_pairs
+    boost threshold, 4-char prefix cap) to 6 decimals on every
+    candidate pair.  The JW kernel runs as an Arrow-batched pandas UDF
+    map-side over the candidate joins."""
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        jaro_winkler_pairs,
+        snm_window_pairs,
+    )
 
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey").isNotNull() & F.col("p_name").isNotNull()
+    )
+    cand = snm_window_pairs(
+        part,
+        "p_partkey",
+        F.col("p_name"),
+        window=_JARO_SNM_WINDOW,
+        part_len=4,
+    )
     return jaro_winkler_pairs(
-        _t(spark, sf_dir, "part"),
+        part,
         id_col="p_partkey",
         text_col="p_name",
-        block_cols=["p_brand", "p_size"],
         threshold=0.5,
+        candidates=cand,
     )
 
 

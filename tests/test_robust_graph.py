@@ -2028,6 +2028,63 @@ def test_jaro_winkler_pairs_blocking_and_threshold(spark):
     assert r["jw"] == round(jaro_winkler("martha", "marhta"), 6) == 0.961111
 
 
+def test_snm_window_pairs_linear_and_normalized(spark):
+    """SNM candidates: exactly n·(w−1) minus (w−1)·(w)/2 per-partition
+    tail losses, ids least/greatest-normalized, no duplicate pairs,
+    and neighbors follow the SORT-KEY order, not the id order."""
+    from conte_to_fresco_etl_spark.operators.linkage import snm_window_pairs
+
+    # sort key deliberately anti-correlated with id; two prefix
+    # partitions ("a…" and "b…") so boundary behavior is exercised.
+    rows = [
+        (1, "a9"), (2, "a7"), (3, "a5"), (4, "a3"), (5, "a1"),
+        (6, "b2"), (7, "b4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = snm_window_pairs(
+        df, "id", F.col("k"), window=3, part_len=1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # partition a sorted by k: ids 5,4,3,2,1 -> lead1 {45,34,23,12},
+    # lead2 {35,24,13}; partition b: 6,7 -> lead1 {67}. All normalized.
+    assert pairs == {
+        (4, 5), (3, 4), (2, 3), (1, 2), (3, 5), (2, 4), (1, 3), (6, 7),
+    }
+    assert len(out) == len(pairs)  # no duplicate candidates
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_fellegi_sunter_candidates_path_matches_block_path(spark):
+    """Scoring externally-supplied candidates must produce the same
+    scores as the equality-block path restricted to those pairs."""
+    from conte_to_fresco_etl_spark.operators.linkage import (
+        FieldComparison,
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        (1, "x", "u"), (2, "x", "u"), (3, "x", "v"), (4, "y", "u"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, f string")
+    fields = [FieldComparison("f", F.col("f"), 0.9)]
+    blocked = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in fellegi_sunter_pairs(df, "id", ["blk"], fields).collect()
+    }
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    scored = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in fellegi_sunter_pairs(
+            df, "id", [], fields, candidates=cand
+        ).collect()
+    }
+    assert set(scored) == {(1, 2), (1, 3)}
+    assert scored[(1, 2)] == blocked[(1, 2)]
+    assert scored[(1, 3)] == blocked[(1, 3)]
+
+
 def test_kcore_cascading_peel(spark):
     """4-clique {1,2,3,4} with a pendant path 4-5-6: at k=2 the path
     peels in CASCADE (6 first, then 5), which a single-pass degree

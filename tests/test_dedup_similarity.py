@@ -868,6 +868,76 @@ def test_ann_index_persistence_round_trip(spark, sf_dir, tmp_path):
         sim.train_ivf_centroids = real_trainer
 
 
+def test_ann_single_vector_mutation_forces_retrain(spark, sf_dir, tmp_path):
+    """Index staleness, minimal-change edition: mutating ONE component
+    of ONE corpus vector must flip the fingerprint and retrain — the
+    inverse of the serve-twice guarantee.  The fingerprint is a
+    per-row hash sum, so any single-row drift changes it; a coarser
+    fingerprint (count, norms, means) could silently serve stale
+    centroids.  After the forced retrain, the served results must
+    equal ivf_topk over centroids freshly trained on the MUTATED
+    corpus — staleness detection has to produce the right answer, not
+    just detect."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ann_idx_mut")
+
+    # cold start trains and persists for the pristine corpus
+    sim.served_ivf_topk(
+        emb, queries, index_path=idx, n_centroids=8, k=5, n_probe=4
+    ).collect()
+    fp0 = sim.load_index(spark, idx)["fingerprint"]
+
+    # one vector, one component, +1.0 — the smallest corpus drift
+    mutated = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 7,
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(1.0)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    assert sim.corpus_fingerprint(mutated) != fp0
+
+    calls = {"n": 0}
+    real_trainer = sim.train_ivf_centroids
+
+    def _counting(*a, **kw):
+        calls["n"] += 1
+        return real_trainer(*a, **kw)
+
+    sim.train_ivf_centroids = _counting
+    try:
+        served = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in sim.served_ivf_topk(
+                mutated, queries, index_path=idx, n_centroids=8, k=5,
+                n_probe=4,
+            ).collect()
+        )
+    finally:
+        sim.train_ivf_centroids = real_trainer
+    assert calls["n"] == 1, "stale index served despite a mutated corpus"
+    # the persisted state now belongs to the mutated corpus…
+    assert sim.load_index(spark, idx)["fingerprint"] == \
+        sim.corpus_fingerprint(mutated)
+    # …and the answer equals fresh training on the mutated corpus
+    fresh = sim.train_ivf_centroids(
+        mutated, n_centroids=8, iters=10, seed=42
+    )
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk(
+            mutated, queries, fresh, k=5, n_probe=4
+        ).collect()
+    )
+    assert served == direct
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF cosine similarity join
 # ---------------------------------------------------------------------------

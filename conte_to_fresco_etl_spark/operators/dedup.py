@@ -2080,6 +2080,8 @@ def tfidf_cosine_pairs(
     ngram_n: int = 3,
     df_frac_cap: float = 0.10,
     cache_key: tuple | None = None,
+    bucket_table: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Weighted (idf-weighted set) cosine similarity join: all document
     pairs with ``cos >= threshold`` under binary-TF TF-IDF over word
@@ -2101,6 +2103,15 @@ def tfidf_cosine_pairs(
     cosine is one double division rounded to 6 before the threshold
     compare and ordering.
 
+    ``bucket_table``: when set, the weighted posting table materializes
+    ONCE as a catalog table hash-bucketed + sorted by ``tok``
+    (``sources/bucketed.py``) and the posting self-join — the heaviest
+    shuffle in the plan, carrying Σ df² pair inputs — consumes the
+    stored hashpartitioning on BOTH sides: no Exchange, no per-run
+    re-shuffle of the inverted index.  At 100 TB this is the "shuffle
+    the index exactly once at ingest" path; the default (None) keeps
+    the session-cached in-memory posting frame.
+
     Returns (id_a, id_b, cosine), id_a < id_b."""
     posts = shingle_postings(df, id_col, text_col, ngram_n, cache_key)
     nd = posts.agg(F.countDistinct("__id").alias("__n"))
@@ -2119,11 +2130,25 @@ def tfidf_cosine_pairs(
             F.round(idf * idf, 9).cast("decimal(18,9)").alias("__w2"),
         )
     )
-    wp = posts.join(wterm, "tok").persist()
+    wp = posts.join(wterm, "tok")
+    if bucket_table is not None:
+        from conte_to_fresco_etl_spark.sources.bucketed import (
+            read_table,
+            write_bucketed,
+        )
+
+        write_bucketed(wp, bucket_table, "tok", n_buckets=n_buckets)
+        wp = read_table(df.sparkSession, bucket_table)
+        # merge hint: at test scale the posting table is
+        # broadcast-small, which would swap in a BroadcastExchange and
+        # mask the bucket layout; at 100 TB SMJ is the plan anyway.
+        l, r = wp.alias("l").hint("merge"), wp.alias("r").hint("merge")
+    else:
+        wp = wp.persist()
+        l, r = wp.alias("l"), wp.alias("r")
     norms = wp.groupBy("__id").agg(
         F.sqrt(F.sum("__w2").cast("double")).alias("__norm")
     )
-    l, r = wp.alias("l"), wp.alias("r")
     dots = (
         l.join(
             r,

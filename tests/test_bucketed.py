@@ -8,6 +8,8 @@ conf ever silently re-introduces the shuffle, these tests fail.
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 
 from conte_to_fresco_etl_spark.sources.bucketed import (
@@ -62,6 +64,52 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     agg = read_table(spark, ev_t).groupBy("user_id").count()
     plan = _plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_cosine_posting_self_join_consumes_bucket_layout(
+    spark, sf_dir, monkeypatch
+):
+    """The gated q_cosine_sim_join routed through bucketed storage
+    (SPARK_GRAFT_BUCKETED=1): the posting self-join — the heaviest
+    shuffle in the plan, carrying Σ df² pair inputs — becomes a
+    SortMergeJoin reading two `Bucketed: true` scans with NO Exchange
+    anywhere beneath it, and the results equal the default in-memory
+    path row-for-row."""
+    from conte_to_fresco_etl_spark.plans import catalog
+    from conte_to_fresco_etl_spark.plans import catalog_text  # noqa: F401
+
+    q = catalog.QUERIES["q_cosine_sim_join"]
+    # a stale location from a previous session's in-memory catalog
+    # blocks saveAsTable even in overwrite mode — clear both layers
+    spark.sql("DROP TABLE IF EXISTS cosine_postings_bkt")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    shutil.rmtree(f"{wh}/cosine_postings_bkt", ignore_errors=True)
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETED", raising=False)
+    default = sorted(map(tuple, q(spark, sf_dir).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    try:
+        bucketed = q(spark, sf_dir)
+        plan = _plan(bucketed)
+        lines = plan.splitlines()
+        smj = [
+            i for i, ln in enumerate(lines)
+            if "SortMergeJoin" in ln and "tok" in ln
+        ]
+        assert smj, plan
+        scans = [
+            i for i, ln in enumerate(lines)
+            if "Bucketed: true" in ln and i > smj[0]
+        ]
+        assert len(scans) == 2, plan
+        # the self-join subtree (SMJ line through its second bucketed
+        # scan) must contain no Exchange of any kind: the stored
+        # layout IS the partitioning
+        subtree = "\n".join(lines[smj[0]: scans[1] + 1])
+        assert "Exchange" not in subtree, subtree
+        assert sorted(map(tuple, bucketed.collect())) == default
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cosine_postings_bkt")
 
 
 def test_unbucketed_join_does_shuffle(spark, sf_dir):

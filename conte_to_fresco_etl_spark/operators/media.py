@@ -10,8 +10,10 @@ pluggable, shipping three implementations:
     scanline filters, gray/RGB/palette/alpha, 8/16-bit), GIF (native
     LZW inflate, global/local color tables, interlacing), and baseline
     JPEG (canonical Huffman decode, dequantize + inverse DCT, chroma
-    upsampling, restart markers) and lossless WebP (VP8L: prefix codes,
-    LZ77, color cache, all four transforms — ``media_webp.py``) images,
+    upsampling, restart markers) and WebP — lossless VP8L (prefix
+    codes, LZ77, color cache, all four transforms — ``media_webp.py``)
+    plus lossy VP8 key frames (boolean coder, intra prediction, token
+    trees, exact 4x4 IDCT/IWHT — ``media_vp8.py``) — images,
     PCM16 WAV (RIFF chunk walk, multi-channel) and subset FLAC (fixed
     predictors, Rice residuals, CRC-verified frames) audio, dispatched
     by magic bytes and tested end-to-end through the distributed
@@ -54,17 +56,18 @@ _FAKE_DIM = 8
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
     """The production plug-point for formats beyond the native codecs.
-    PPM, PNG, GIF, JPEG (baseline AND progressive), and lossless WebP
-    (VP8L) images plus PCM WAV and subset FLAC audio decode natively
+    PPM, PNG, GIF, JPEG (baseline AND progressive), and WebP (lossless
+    VP8L fully; lossy VP8 key frames with the ``media_vp8.py`` table
+    caveat) images plus PCM WAV and subset FLAC audio decode natively
     (``numpy_codec``); anything else raises until a codec library is
     wired in."""
     raise NotImplementedError(
         "media decode for this format requires a codec library not "
-        "present in this environment (image: Pillow for lossy-VP8 WebP, "
-        "audio: soundfile for OGG/full FLAC, video: pyav); PPM, PNG, "
-        "GIF, baseline+progressive JPEG, lossless WebP, PCM WAV, and "
-        "fixed-predictor FLAC decode natively via numpy_codec — pass "
-        "codec=... to the operator"
+        "present in this environment (audio: soundfile for OGG/full "
+        "FLAC, video: pyav); PPM, PNG, GIF, baseline+progressive JPEG, "
+        "WebP (VP8L + key-frame VP8), PCM WAV, and fixed-predictor "
+        "FLAC decode natively via numpy_codec — pass codec=... to the "
+        "operator"
     )
 
 

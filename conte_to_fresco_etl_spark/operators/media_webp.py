@@ -496,10 +496,11 @@ def decode_webp(payload: bytes) -> np.ndarray:
             vp8l = body
             break
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) decode requires a codec library "
-                "(Pillow); lossless VP8L decodes natively"
+            from conte_to_fresco_etl_spark.operators.media_vp8 import (
+                decode_vp8,
             )
+
+            return decode_vp8(body)
         i += 8 + size + (size & 1)
     if vp8l is None:
         raise ValueError("WebP container has no VP8L chunk")

@@ -1157,3 +1157,174 @@ def test_audio_energy_signature_matches_reference(spark):
     }
     assert pairs == brute
     assert (1, 2) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Lossy WebP: VP8 key frames (media_vp8.py)
+# ---------------------------------------------------------------------------
+
+def test_vp8_bool_coder_round_trip():
+    """The RFC 6386 boolean arithmetic coder: 5000 bools at random
+    probabilities plus literals/signed values round-trip exactly
+    (carry propagation included)."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        BoolDecoder,
+        BoolEncoder,
+    )
+
+    rng = random.Random(7)
+    bits = [(rng.randrange(1, 255), rng.randrange(2)) for _ in range(5000)]
+    be = BoolEncoder()
+    for p, b in bits:
+        be.write_bool(p, b)
+    be.write_literal(12345, 14)
+    be.write_signed(-9, 4)
+    bd = BoolDecoder(be.finish())
+    assert all(bd.read_bool(p) == b for p, b in bits)
+    assert bd.read_literal(14) == 12345
+    assert bd.read_signed(4) == -9
+
+
+def test_vp8_transforms_exact_and_paired():
+    """The spec inverse transforms are exact integer; the encoder's
+    forward transforms invert through them within +-1 (both pairs
+    carry a >>3/>>4 rounding step, the same tolerance the reference
+    encoder accepts — the codec's bit-exactness comes from the
+    decoder-in-the-loop reconstruction, not from lossless
+    transforms)."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        fdct4x4,
+        fwht4x4,
+        idct4x4,
+        iwht4x4,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        blk = rng.integers(-255, 256, (4, 4))
+        rec = idct4x4(fdct4x4(blk))
+        assert np.abs(rec - blk).max() <= 1
+        dcs = [int(x) for x in rng.integers(-2048, 2048, 16)]
+        got = iwht4x4(fwht4x4(dcs))
+        assert max(abs(a - b) for a, b in zip(got, dcs)) <= 1
+    # a lone DC of 8 must reconstruct to the flat +1 block (the exact
+    # (dc + 4) >> 3 rounding path)
+    assert (idct4x4([8] + [0] * 15) == 1).all()
+
+
+def test_vp8_round_trip_bit_exact_and_bounded():
+    """decode_vp8_planes(encode_vp8(img)) equals the encoder's own
+    decoder-in-the-loop reconstruction BIT-EXACTLY (solid, gradient,
+    noise; fine and coarse quantizers; odd dimensions), and the RGB
+    round trip stays within lossy-codec error bounds mirroring the
+    JPEG test's conventions."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        decode_vp8,
+        decode_vp8_planes,
+        encode_vp8,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [yy * 4 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], -1
+    ).astype(np.uint8)
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    solid = np.full((16, 16, 3), [120, 60, 200], dtype=np.uint8)
+
+    for img, qi in [
+        (solid, 4), (grad, 4), (grad, 40), (noise, 4), (noise, 60),
+        (grad[:29, :43], 4),
+    ]:
+        recon = {}
+        data = encode_vp8(img, qi=qi, recon_out=recon)
+        planes, w, h = decode_vp8_planes(data)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        for k in ("y", "u", "v"):
+            assert np.array_equal(planes[k], recon[k]), (k, qi)
+
+    # quality bounds (4:2:0 chroma: gradient bound mirrors JPEG's)
+    out = decode_vp8(encode_vp8(solid, qi=4))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out - solid).max() < 1.5
+    out = decode_vp8(encode_vp8(grad, qi=4))
+    assert np.abs(out - grad).mean() < 3.0
+    odd = grad[:29, :43]
+    out = decode_vp8(encode_vp8(odd, qi=4))
+    assert out.shape == (29, 43, 3)
+    assert np.abs(out - odd).mean() < 3.0
+    # coarser quantizer must cost quality monotonically on luma
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    fine = decode_vp8(encode_vp8(noise, qi=4))
+    coarse = decode_vp8(encode_vp8(noise, qi=60))
+    e_fine = np.abs(luma(fine) - luma(noise.astype(float))).mean()
+    e_coarse = np.abs(luma(coarse) - luma(noise.astype(float))).mean()
+    assert e_fine < 3.0 < e_coarse
+
+
+def test_vp8_b_pred_modes_shape_and_range():
+    """All ten 4x4 B_PRED sub-mode predictors stay in [0, 255] and
+    honor the spec edge fills (127 above / 129 left) at the frame
+    corner."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        B_DC,
+        B_HU,
+        predict_b,
+    )
+
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 256, (16, 16)).astype(np.int64)
+    for mode in range(B_DC, B_HU + 1):
+        for (r, c) in [(0, 0), (0, 4), (4, 0), (8, 8), (12, 12)]:
+            p = predict_b(plane, r, c, mode)
+            assert p.shape == (4, 4)
+            assert p.min() >= 0 and p.max() <= 255
+    # corner DC: (4*127 above + 4*129 left + 4) >> 3 = 128
+    corner = predict_b(np.zeros((8, 8), dtype=np.int64), 0, 0, B_DC)
+    assert (corner == 128).all()
+
+
+def test_vp8_webp_container_and_decode_stats_dispatch(spark):
+    """encode_webp_lossy wraps a VP8 key frame in RIFF; decode_webp
+    dispatches the `VP8 ` chunk to the native decoder (the former
+    plug-point), and the payload flows through the distributed
+    decode_stats operator."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        numpy_codec,
+    )
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        decode_vp8,
+        encode_webp_lossy,
+    )
+    from conte_to_fresco_etl_spark.operators.media_webp import decode_webp
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [yy * 4 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], -1
+    ).astype(np.uint8)
+    payload = encode_webp_lossy(grad, qi=8)
+    via_container = decode_webp(payload)
+    assert via_container.shape == (32, 48, 3)
+    assert np.abs(via_container - grad).mean() < 3.0
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, payload binary",
+    )
+    row = decode_stats(df, codec=numpy_codec).collect()[0]
+    assert row["n_values"] == 32 * 48 * 3
+    expect = decode_vp8(payload[20:]).astype(np.float64)
+    assert abs(row["mean"] - expect.mean()) < 1e-6

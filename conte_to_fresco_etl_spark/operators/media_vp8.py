@@ -714,6 +714,208 @@ def reconstruct_mb(
 
 
 # ---------------------------------------------------------------------------
+# Loop filter (RFC 6386 section 15) — a post-pass over the
+# reconstructed planes: for key frames every intra prediction reads
+# pre-filter pixels, so encoder and decoder apply the identical filter
+# to their finished planes and stay bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _lf_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
+    """(interior_limit, mbedge_limit, subblock_edge_limit,
+    hev_threshold) for a key frame at the given filter level."""
+    il = level
+    if sharpness:
+        il >>= 2 if sharpness > 4 else 1
+        il = min(il, 9 - sharpness)
+    il = max(il, 1)
+    mbe = (level + 2) * 2 + il
+    sbe = level * 2 + il
+    hev = 2 if level >= 40 else (1 if level >= 15 else 0)
+    return il, mbe, sbe, hev
+
+
+def _s(x):  # unsigned pixel -> signed (-128..127) domain
+    return x.astype(np.int64) - 128
+
+
+def _clamp128(x):
+    return np.clip(x, -128, 127)
+
+
+def _common_adjust(p1, p0, q0, q1, use_outer):
+    """RFC 6386 common adjustment in the signed domain: returns
+    (dp0, dq0, F) — deltas to ADD to p0/q0 plus the filter value F
+    the callers derive outer-tap adjustments from."""
+    a = _clamp128(np.where(use_outer, _clamp128(p1 - q1), 0) + 3 * (q0 - p0))
+    f1 = _clamp128(a + 4) >> 3
+    f2 = _clamp128(a + 3) >> 3
+    return f2, -f1, f1
+
+
+def _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, il, edge_limit):
+    return (
+        (np.abs(p3 - p2) <= il)
+        & (np.abs(p2 - p1) <= il)
+        & (np.abs(p1 - p0) <= il)
+        & (np.abs(q1 - q0) <= il)
+        & (np.abs(q2 - q1) <= il)
+        & (np.abs(q3 - q2) <= il)
+        & (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit)
+    )
+
+
+def _hev_mask(p1, p0, q0, q1, thresh):
+    return (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+
+
+def _filter_segments(px: np.ndarray, mb_edge: bool, il, el, hev_t):
+    """Filter one edge: ``px`` is (n, 8) = [p3 p2 p1 p0 q0 q1 q2 q3]
+    per independent segment, unsigned.  Returns the filtered (n, 8)."""
+    s = _s(px)
+    p3, p2, p1, p0, q0, q1, q2, q3 = (s[:, i] for i in range(8))
+    mask = _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, il, el)
+    hev = _hev_mask(p1, p0, q0, q1, hev_t)
+    out = s.copy()
+    if mb_edge:
+        # hev segments: common adjustment with outer taps
+        dp0, dq0, _ = _common_adjust(p1, p0, q0, q1, True)
+        sel = mask & hev
+        out[:, 3] = np.where(sel, _clamp128(p0 + dp0), out[:, 3])
+        out[:, 4] = np.where(sel, _clamp128(q0 + dq0), out[:, 4])
+        # non-hev segments: the 27/18/9 wide taps
+        w = _clamp128(_clamp128(p1 - q1) + 3 * (q0 - p0))
+        sel = mask & ~hev
+        a = _clamp128((27 * w + 63) >> 7)
+        out[:, 3] = np.where(sel, _clamp128(p0 + a), out[:, 3])
+        out[:, 4] = np.where(sel, _clamp128(q0 - a), out[:, 4])
+        a = _clamp128((18 * w + 63) >> 7)
+        out[:, 2] = np.where(sel, _clamp128(p1 + a), out[:, 2])
+        out[:, 5] = np.where(sel, _clamp128(q1 - a), out[:, 5])
+        a = _clamp128((9 * w + 63) >> 7)
+        out[:, 1] = np.where(sel, _clamp128(p2 + a), out[:, 1])
+        out[:, 6] = np.where(sel, _clamp128(q2 - a), out[:, 6])
+    else:
+        dp0, dq0, f1 = _common_adjust(p1, p0, q0, q1, hev)
+        out[:, 3] = np.where(mask, _clamp128(p0 + dp0), out[:, 3])
+        out[:, 4] = np.where(mask, _clamp128(q0 + dq0), out[:, 4])
+        a = (f1 + 1) >> 1
+        sel = mask & ~hev
+        out[:, 2] = np.where(sel, _clamp128(p1 + a), out[:, 2])
+        out[:, 5] = np.where(sel, _clamp128(q1 - a), out[:, 5])
+    return np.clip(out + 128, 0, 255)
+
+
+def _filter_v_edge(plane, r0, c, n, mb_edge, lim):
+    """Vertical edge at column ``c`` (pixels c-4..c+3), rows r0..r0+n."""
+    px = plane[r0: r0 + n, c - 4: c + 4]
+    plane[r0: r0 + n, c - 4: c + 4] = _filter_segments(px, mb_edge, *lim)
+
+
+def _filter_h_edge(plane, r, c0, n, mb_edge, lim):
+    """Horizontal edge at row ``r`` (pixels r-4..r+3), cols c0..c0+n."""
+    px = plane[r - 4: r + 4, c0: c0 + n].T
+    plane[r - 4: r + 4, c0: c0 + n] = _filter_segments(
+        px, mb_edge, *lim
+    ).T
+
+
+def loop_filter_frame_simple(
+    planes: dict,
+    mb_rows: int,
+    mb_cols: int,
+    level: int,
+    sharpness: int,
+    interior: list[list[bool]],
+) -> None:
+    """The SIMPLE loop filter (RFC 6386 section 15.1): luma only, the
+    short |p0-q0|/|p1-q1| mask plus the common adjustment with outer
+    taps — no hev logic, no wide taps."""
+    if level == 0:
+        return
+    il, mbe, sbe, _ = _lf_limits(level, sharpness)
+    s = _s  # signed domain
+
+    def simple_edge(px: np.ndarray, edge_limit: int) -> np.ndarray:
+        sx = s(px)
+        p1, p0, q0, q1 = (sx[:, i] for i in range(4))
+        mask = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit
+        dp0, dq0, _ = _common_adjust(p1, p0, q0, q1, True)
+        out = sx.copy()
+        out[:, 1] = np.where(mask, _clamp128(p0 + dp0), out[:, 1])
+        out[:, 2] = np.where(mask, _clamp128(q0 + dq0), out[:, 2])
+        return np.clip(out + 128, 0, 255)
+
+    y = planes["y"]
+    for mb_r in range(mb_rows):
+        for mb_c in range(mb_cols):
+            ry, cy = mb_r * 16, mb_c * 16
+            if mb_c > 0:
+                y[ry: ry + 16, cy - 2: cy + 2] = simple_edge(
+                    y[ry: ry + 16, cy - 2: cy + 2], mbe
+                )
+            if interior[mb_r][mb_c]:
+                for dx in (4, 8, 12):
+                    c = cy + dx
+                    y[ry: ry + 16, c - 2: c + 2] = simple_edge(
+                        y[ry: ry + 16, c - 2: c + 2], sbe
+                    )
+            if mb_r > 0:
+                y[ry - 2: ry + 2, cy: cy + 16] = simple_edge(
+                    y[ry - 2: ry + 2, cy: cy + 16].T, mbe
+                ).T
+            if interior[mb_r][mb_c]:
+                for dy in (4, 8, 12):
+                    r = ry + dy
+                    y[r - 2: r + 2, cy: cy + 16] = simple_edge(
+                        y[r - 2: r + 2, cy: cy + 16].T, sbe
+                    ).T
+
+
+def loop_filter_frame(
+    planes: dict,
+    mb_rows: int,
+    mb_cols: int,
+    level: int,
+    sharpness: int,
+    interior: list[list[bool]],
+) -> None:
+    """Apply the NORMAL loop filter in place, macroblock raster order,
+    per RFC 6386 section 15.3: left/top macroblock edges always filter;
+    the interior 4x4 edges filter only when ``interior[r][c]`` (the MB
+    had nonzero coefficients or was B_PRED-coded)."""
+    if level == 0:
+        return
+    il, mbe, sbe, hev_t = _lf_limits(level, sharpness)
+    mlim = (il, mbe, hev_t)
+    slim = (il, sbe, hev_t)
+    y, u, v = planes["y"], planes["u"], planes["v"]
+    for mb_r in range(mb_rows):
+        for mb_c in range(mb_cols):
+            ry, cy = mb_r * 16, mb_c * 16
+            rc, cc = mb_r * 8, mb_c * 8
+            inner = interior[mb_r][mb_c]
+            if mb_c > 0:
+                _filter_v_edge(y, ry, cy, 16, True, mlim)
+                _filter_v_edge(u, rc, cc, 8, True, mlim)
+                _filter_v_edge(v, rc, cc, 8, True, mlim)
+            if inner:
+                for dx in (4, 8, 12):
+                    _filter_v_edge(y, ry, cy + dx, 16, False, slim)
+                _filter_v_edge(u, rc, cc + 4, 8, False, slim)
+                _filter_v_edge(v, rc, cc + 4, 8, False, slim)
+            if mb_r > 0:
+                _filter_h_edge(y, ry, cy, 16, True, mlim)
+                _filter_h_edge(u, rc, cc, 8, True, mlim)
+                _filter_h_edge(v, rc, cc, 8, True, mlim)
+            if inner:
+                for dy in (4, 8, 12):
+                    _filter_h_edge(y, ry + dy, cy, 16, False, slim)
+                _filter_h_edge(u, rc + 4, cc, 8, False, slim)
+                _filter_h_edge(v, rc + 4, cc, 8, False, slim)
+
+
+# ---------------------------------------------------------------------------
 # Token coding (RFC 6386 section 13)
 # ---------------------------------------------------------------------------
 
@@ -848,7 +1050,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
         raise NotImplementedError("VP8 segmentation not supported")
     filter_type = bd.read_bool(128)
     filter_level = bd.read_literal(6)
-    bd.read_literal(3)  # sharpness
+    sharpness = bd.read_literal(3)
     if bd.read_bool(128):  # loop filter deltas
         raise NotImplementedError("VP8 loop-filter deltas not supported")
     n_parts = 1 << bd.read_literal(2)
@@ -890,11 +1092,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
         "v": np.zeros(mb_cols * 2, dtype=np.int8),
         "y2": np.zeros(mb_cols, dtype=np.int8),
     }
-    if filter_type == 0 and filter_level > 0:
-        # the normal loop filter is not implemented; the encoder
-        # fixture always writes level 0 (honest raise, not silent
-        # mis-reconstruction)
-        raise NotImplementedError("VP8 normal loop filter not supported")
+    interior = [[False] * mb_cols for _ in range(mb_rows)]
 
     for mb_r in range(mb_rows):
         left = {
@@ -921,6 +1119,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                 "u": [[0] * 16 for _ in range(4)],
                 "v": [[0] * 16 for _ in range(4)],
             }
+            mb_nz = 0
             if skip:
                 left["y"][:] = 0
                 left["u"][:] = 0
@@ -938,6 +1137,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                     qcoef["y2"] = co
                     left["y2"][0] = nz
                     above["y2"][mb_c] = nz
+                    mb_nz |= nz
                 ytype = 0 if has_y2 else 3
                 first = 1 if has_y2 else 0
                 for b in range(16):
@@ -949,6 +1149,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                     qcoef["y"][b] = co
                     left["y"][br] = nz
                     above["y"][mb_c * 4 + bc] = nz
+                    mb_nz |= nz
                 for key in ("u", "v"):
                     for b in range(4):
                         br, bc = b // 2, b % 2
@@ -959,11 +1160,18 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                         qcoef[key][b] = co
                         left[key][br] = nz
                         above[key][mb_c * 2 + bc] = nz
+                        mb_nz |= nz
+            interior[mb_r][mb_c] = bool(mb_nz) or ymode == B_PRED
 
             reconstruct_mb(
                 planes, mb_r, mb_c, ymode, uvmode, bmodes, qcoef, dqf
             )
 
+    if filter_level > 0:
+        lf = loop_filter_frame if filter_type == 0 else (
+            loop_filter_frame_simple
+        )
+        lf(planes, mb_rows, mb_cols, filter_level, sharpness, interior)
     return planes, w, h
 
 
@@ -991,7 +1199,7 @@ def decode_vp8(payload: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # Frame encode (fixture: key frame, intra 16x16 + chroma whole-block
-# modes chosen by SAD, one token partition, loop filter level 0)
+# modes chosen by SAD, one token partition, optional loop filter)
 # ---------------------------------------------------------------------------
 
 
@@ -1005,7 +1213,12 @@ def _quant_block(coeffs: list[int], dc_q: int, ac_q: int) -> list[int]:
 
 
 def encode_vp8(
-    img: np.ndarray, qi: int = 12, recon_out: dict | None = None
+    img: np.ndarray,
+    qi: int = 12,
+    recon_out: dict | None = None,
+    filter_level: int = 0,
+    sharpness: int = 0,
+    filter_type: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a VP8 key frame.  Whole-
     block intra modes (DC/V/H/TM for luma 16x16 and chroma 8x8) are
@@ -1014,7 +1227,10 @@ def encode_vp8(
     prediction context and output are bit-identical to decode_vp8's.
     ``qi`` is the frame quantizer index (0 = finest).  ``recon_out``,
     when given, receives the encoder's own y/u/v reconstruction — the
-    round-trip tests pin ``decode_vp8_planes`` against it EXACTLY."""
+    round-trip tests pin ``decode_vp8_planes`` against it EXACTLY.
+    ``filter_level``/``sharpness``/``filter_type`` drive the in-loop
+    deblocking post-pass (0 = normal filter, 1 = simple), applied to
+    the reconstruction identically on both sides."""
     arr = np.asarray(img)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_vp8 expects (h, w, 3) RGB")
@@ -1064,9 +1280,9 @@ def encode_vp8(
     mbe.write_bool(128, 0)  # color space
     mbe.write_bool(128, 0)  # clamping
     mbe.write_bool(128, 0)  # segmentation disabled
-    mbe.write_bool(128, 0)  # filter type: normal (level 0 below)
-    mbe.write_literal(0, 6)  # loop filter level 0
-    mbe.write_literal(0, 3)  # sharpness
+    mbe.write_bool(128, 1 if filter_type else 0)
+    mbe.write_literal(filter_level, 6)
+    mbe.write_literal(sharpness, 3)
     mbe.write_bool(128, 0)  # no loop-filter deltas
     mbe.write_literal(0, 2)  # one token partition
     mbe.write_literal(qi, 7)
@@ -1089,6 +1305,7 @@ def encode_vp8(
         "v": np.zeros(mb_cols * 2, dtype=np.int8),
         "y2": np.zeros(mb_cols, dtype=np.int8),
     }
+    interior = [[False] * mb_cols for _ in range(mb_rows)]
     for mb_r in range(mb_rows):
         left = {
             "y": np.zeros(4, dtype=np.int8),
@@ -1155,6 +1372,7 @@ def encode_vp8(
                     for bcf in uvcoef[key]
                 )
             )
+            interior[mb_r][mb_c] = not skip  # ymode is never B_PRED
             mbe.write_bool(prob_skip_false, 1 if skip else 0)
             mbe.write_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
             mbe.write_tree(UV_MODE_TREE, KF_UV_PROBS, uvmode)
@@ -1204,6 +1422,14 @@ def encode_vp8(
                 dqf,
             )
 
+    if filter_level > 0:
+        # post-pass on the finished reconstruction: key-frame intra
+        # prediction above never sees filtered pixels, matching the
+        # decoder's ordering exactly
+        lf = loop_filter_frame if filter_type == 0 else (
+            loop_filter_frame_simple
+        )
+        lf(planes, mb_rows, mb_cols, filter_level, sharpness, interior)
     if recon_out is not None:
         recon_out.update(planes)
     part1 = mbe.finish()

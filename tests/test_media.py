@@ -1328,3 +1328,43 @@ def test_vp8_webp_container_and_decode_stats_dispatch(spark):
     assert row["n_values"] == 32 * 48 * 3
     expect = decode_vp8(payload[20:]).astype(np.float64)
     assert abs(row["mean"] - expect.mean()) < 1e-6
+
+
+def test_vp8_loop_filter_bit_exact_and_effective():
+    """The in-loop deblocking post-pass (normal filter with and
+    without hev thresholds, simple filter, nonzero sharpness): the
+    decoder's filtered planes equal the encoder's decoder-in-the-loop
+    reconstruction bit-for-bit, and each filter configuration actually
+    changes pixels relative to the unfiltered reconstruction."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        decode_vp8_planes,
+        encode_vp8,
+    )
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [yy * 4 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], -1
+    ).astype(np.uint8)
+
+    cases = [
+        (noise, dict(qi=40, filter_level=20)),            # normal
+        (grad, dict(qi=60, filter_level=63, sharpness=3)),  # sharpness
+        (noise, dict(qi=40, filter_level=25, filter_type=1)),  # simple
+        (noise, dict(qi=60, filter_level=45)),            # hev >= 40
+    ]
+    for img, kw in cases:
+        recon = {}
+        data = encode_vp8(img, recon_out=recon, **kw)
+        planes, _, _ = decode_vp8_planes(data)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(planes[k], recon[k]), (k, kw)
+        unfiltered = {}
+        encode_vp8(img, qi=kw["qi"], recon_out=unfiltered)
+        assert any(
+            not np.array_equal(unfiltered[k], recon[k])
+            for k in ("y", "u", "v")
+        ), kw

@@ -698,7 +698,15 @@ def reconstruct_mb(
             ]
             _add_clamp(y, br, bc, pred, idct4x4(co))
 
-    for plane, key in ((u, "u"), (v, "v")):
+    _reconstruct_chroma(planes, mb_r, mb_c, uvmode, qcoef, dqf)
+
+
+def _reconstruct_chroma(
+    planes: dict, mb_r: int, mb_c: int, uvmode: int, qcoef: dict, dqf: dict
+) -> None:
+    rc, cc = mb_r * 8, mb_c * 8
+    uvdc, uvac = dqf["uv"]
+    for plane, key in ((planes["u"], "u"), (planes["v"], "v")):
         pred = predict_block(plane, rc, cc, 8, uvmode)
         recon = np.zeros((8, 8), dtype=np.int64)
         for b in range(4):
@@ -1219,6 +1227,7 @@ def encode_vp8(
     filter_level: int = 0,
     sharpness: int = 0,
     filter_type: int = 0,
+    b_pred: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a VP8 key frame.  Whole-
     block intra modes (DC/V/H/TM for luma 16x16 and chroma 8x8) are
@@ -1230,7 +1239,12 @@ def encode_vp8(
     round-trip tests pin ``decode_vp8_planes`` against it EXACTLY.
     ``filter_level``/``sharpness``/``filter_type`` drive the in-loop
     deblocking post-pass (0 = normal filter, 1 = simple), applied to
-    the reconstruction identically on both sides."""
+    the reconstruction identically on both sides.  ``b_pred=True``
+    codes every macroblock as B_PRED, choosing each 4x4 sub-mode by
+    SAD over all ten predictors — the fixture that round-trip-pins the
+    decoder's sub-mode paths through the real bitstream (blocks
+    reconstruct IN ORDER because later sub-blocks predict from earlier
+    reconstructed ones; no Y2 block exists in this mode)."""
     arr = np.asarray(img)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_vp8 expects (h, w, 3) RGB")
@@ -1330,21 +1344,57 @@ def encode_vp8(
                     )
                 return min(scores, key=lambda m: (scores[m], m))
 
-            ymode = best(planes["y"], ry, cy, 16, ysb)
             uvmode = best(planes["u"], rc, cc, 8, usb)
-
-            ypred = predict_block(planes["y"], ry, cy, 16, ymode)
-            ycoef, dcs = [], []
-            for bi in range(16):
-                br, bc = (bi // 4) * 4, (bi % 4) * 4
-                res = ysb[br: br + 4, bc: bc + 4] - ypred[
-                    br: br + 4, bc: bc + 4
-                ]
-                co = fdct4x4(res)
-                dcs.append(co[0])
-                co[0] = 0
-                ycoef.append(_quant_block(co, dqf["y1"][0], dqf["y1"][1]))
-            y2 = _quant_block(fwht4x4(dcs), dqf["y2"][0], dqf["y2"][1])
+            bmodes = None
+            if b_pred:
+                # 4x4 sub-blocks predict from RECONSTRUCTED neighbors,
+                # so choose/quantize/reconstruct strictly in block order
+                ymode = B_PRED
+                y2 = None
+                ycoef, bmodes = [], []
+                y1dc, y1ac = dqf["y1"]
+                for bi in range(16):
+                    br = ry + (bi // 4) * 4
+                    bc = cy + (bi % 4) * 4
+                    src4 = ysrc[br: br + 4, bc: bc + 4]
+                    scores = {
+                        m: int(
+                            np.abs(
+                                predict_b(planes["y"], br, bc, m) - src4
+                            ).sum()
+                        )
+                        for m in range(10)
+                    }
+                    m = min(scores, key=lambda k: (scores[k], k))
+                    bmodes.append(m)
+                    pred = predict_b(planes["y"], br, bc, m)
+                    q = _quant_block(
+                        fdct4x4(src4 - pred), y1dc, y1ac
+                    )
+                    ycoef.append(q)
+                    deq = [
+                        q[i] * (y1dc if i == 0 else y1ac)
+                        for i in range(16)
+                    ]
+                    _add_clamp(planes["y"], br, bc, pred, idct4x4(deq))
+            else:
+                ymode = best(planes["y"], ry, cy, 16, ysb)
+                ypred = predict_block(planes["y"], ry, cy, 16, ymode)
+                ycoef, dcs = [], []
+                for bi in range(16):
+                    br, bc = (bi // 4) * 4, (bi % 4) * 4
+                    res = ysb[br: br + 4, bc: bc + 4] - ypred[
+                        br: br + 4, bc: bc + 4
+                    ]
+                    co = fdct4x4(res)
+                    dcs.append(co[0])
+                    co[0] = 0
+                    ycoef.append(
+                        _quant_block(co, dqf["y1"][0], dqf["y1"][1])
+                    )
+                y2 = _quant_block(
+                    fwht4x4(dcs), dqf["y2"][0], dqf["y2"][1]
+                )
 
             uvcoef = {"u": [], "v": []}
             for key, plane, src in (
@@ -1363,8 +1413,9 @@ def encode_vp8(
                         )
                     )
 
+            has_y2 = ymode != B_PRED
             skip = (
-                all(c == 0 for c in y2)
+                (not has_y2 or all(c == 0 for c in y2))
                 and all(all(c == 0 for c in bcf) for bcf in ycoef)
                 and all(
                     all(c == 0 for c in bcf)
@@ -1372,9 +1423,12 @@ def encode_vp8(
                     for bcf in uvcoef[key]
                 )
             )
-            interior[mb_r][mb_c] = not skip  # ymode is never B_PRED
+            interior[mb_r][mb_c] = (not skip) or ymode == B_PRED
             mbe.write_bool(prob_skip_false, 1 if skip else 0)
             mbe.write_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            if ymode == B_PRED:
+                for m in bmodes:
+                    mbe.write_tree(BMODE_TREE, FIXTURE_BMODE_PROBS, m)
             mbe.write_tree(UV_MODE_TREE, KF_UV_PROBS, uvmode)
 
             if skip:
@@ -1384,19 +1438,25 @@ def encode_vp8(
                 above["y"][mb_c * 4: mb_c * 4 + 4] = 0
                 above["u"][mb_c * 2: mb_c * 2 + 2] = 0
                 above["v"][mb_c * 2: mb_c * 2 + 2] = 0
-                left["y2"][0] = 0
-                above["y2"][mb_c] = 0
+                if has_y2:
+                    left["y2"][0] = 0
+                    above["y2"][mb_c] = 0
             else:
-                ctx = int(left["y2"][0]) + int(above["y2"][mb_c])
-                nz = encode_coeffs(tbe, y2, 1, 0, ctx, probs)
-                left["y2"][0] = nz
-                above["y2"][mb_c] = nz
+                if has_y2:
+                    ctx = int(left["y2"][0]) + int(above["y2"][mb_c])
+                    nz = encode_coeffs(tbe, y2, 1, 0, ctx, probs)
+                    left["y2"][0] = nz
+                    above["y2"][mb_c] = nz
+                ytype = 0 if has_y2 else 3
+                first = 1 if has_y2 else 0
                 for bi in range(16):
                     br, bc = bi // 4, bi % 4
                     ctx = int(left["y"][br]) + int(
                         above["y"][mb_c * 4 + bc]
                     )
-                    nz = encode_coeffs(tbe, ycoef[bi], 0, 1, ctx, probs)
+                    nz = encode_coeffs(
+                        tbe, ycoef[bi], ytype, first, ctx, probs
+                    )
                     left["y"][br] = nz
                     above["y"][mb_c * 4 + bc] = nz
                 for key in ("u", "v"):
@@ -1411,16 +1471,32 @@ def encode_vp8(
                         left[key][br] = nz
                         above[key][mb_c * 2 + bc] = nz
 
-            reconstruct_mb(
-                planes,
-                mb_r,
-                mb_c,
-                ymode,
-                uvmode,
-                None,
-                {"y2": y2, "y": ycoef, "u": uvcoef["u"], "v": uvcoef["v"]},
-                dqf,
-            )
+            if ymode == B_PRED:
+                # luma already reconstructed in block order above
+                _reconstruct_chroma(
+                    planes,
+                    mb_r,
+                    mb_c,
+                    uvmode,
+                    {"u": uvcoef["u"], "v": uvcoef["v"]},
+                    dqf,
+                )
+            else:
+                reconstruct_mb(
+                    planes,
+                    mb_r,
+                    mb_c,
+                    ymode,
+                    uvmode,
+                    None,
+                    {
+                        "y2": y2,
+                        "y": ycoef,
+                        "u": uvcoef["u"],
+                        "v": uvcoef["v"],
+                    },
+                    dqf,
+                )
 
     if filter_level > 0:
         # post-pass on the finished reconstruction: key-frame intra

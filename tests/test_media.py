@@ -1368,3 +1368,56 @@ def test_vp8_loop_filter_bit_exact_and_effective():
             not np.array_equal(unfiltered[k], recon[k])
             for k in ("y", "u", "v")
         ), kw
+
+
+def test_vp8_b_pred_round_trip_covers_all_sub_modes():
+    """b_pred=True codes every macroblock as B_PRED with per-4x4
+    sub-modes chosen by SAD: round trips stay bit-exact (including
+    under the loop filter), and across the three fixture images the
+    DECODER exercises all ten sub-mode predictors through the real
+    bitstream — not just unit-shape checks."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators import media_vp8 as M
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [yy * 4 % 256, xx * 3 % 256, (yy + xx) * 2 % 256], -1
+    ).astype(np.uint8)
+    diag = np.zeros((32, 32, 3), dtype=np.uint8)
+    for i in range(32):
+        diag[i, :, 0] = (np.arange(32) * 8 + i * 3) % 256
+        diag[i, :, 1] = (i * 8) % 256
+        diag[i, :, 2] = ((np.arange(32) - i) * 5) % 256
+
+    cases = [
+        (grad, dict(qi=8, b_pred=True)),
+        (noise, dict(qi=30, b_pred=True)),
+        (diag, dict(qi=8, b_pred=True, filter_level=12)),
+        (noise, dict(qi=20, b_pred=True)),
+    ]
+    datas = []
+    for img, kw in cases:
+        recon = {}
+        data = M.encode_vp8(img, recon_out=recon, **kw)
+        planes, _, _ = M.decode_vp8_planes(data)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(planes[k], recon[k]), (k, kw)
+        datas.append(data)
+
+    used = set()
+    orig = M.predict_b
+
+    def spy(plane, r, c, mode):
+        used.add(mode)
+        return orig(plane, r, c, mode)
+
+    M.predict_b = spy
+    try:
+        for d in datas:
+            M.decode_vp8_planes(d)
+    finally:
+        M.predict_b = orig
+    assert used == set(range(10)), sorted(used)

@@ -61,6 +61,8 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_eb_shrinkage",        # late-r6 spill: empirical-Bayes rate shrinkage
     "q_markov_absorption",   # late-r6 spill: absorbing-chain conversion prob
     "q_negative_samples",    # late-r6 spill: word2vec negatives (r7: BNLJ → binned equi-join)
+    "q_margin_mining",       # NEW r7: ratio-margin candidate-pair mining
+    "q_msprt",               # NEW r7: always-valid sequential A/B inference
 ]
 
 PRIORITY: list[str] = [
@@ -125,6 +127,8 @@ PRIORITY: list[str] = [
     "q_eb_shrinkage",
     "q_markov_absorption",
     "q_negative_samples",
+    "q_margin_mining",
+    "q_msprt",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r6-green queries (CORRECTNESS_r06.json, 50/50)

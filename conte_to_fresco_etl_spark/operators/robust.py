@@ -2098,3 +2098,118 @@ def eb_shrinkage(
         F.round(F.col("alpha"), 6).alias("alpha"),
         F.round(F.col("beta"), 6).alias("beta"),
     )
+
+
+def msprt(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    ts_col: str,
+    variant_a,
+    variant_b,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) — the
+    always-valid inference experimentation platforms run instead of a
+    fixed-horizon t-test, so the experimenter may peek at every day
+    without inflating false positives (Johari et al., "Always Valid
+    Inference", public literature).  The daily mean difference
+    d_t = mean_A(day) - mean_B(day) is modeled N(theta, sigma^2) with a
+    N(0, tau2) mixture prior on theta; after n days with running sum
+    S_n the mixture likelihood ratio is
+
+        log Lambda_n = 0.5 * ln(sigma^2 / (sigma^2 + n*tau2))
+                     + tau2 * S_n^2 / (2 * sigma^2 * (sigma^2 + n*tau2))
+
+    and H0 rejects at level alpha once Lambda ever exceeds 1/alpha
+    (the running-max decision is monotone: once rejected, always
+    rejected).  Output per day: (day, n_days, cum_diff, log_lambda,
+    reject_h0).
+
+    Scale posture: the raw stream collapses to (variant, day) decimal
+    sums in ONE map-combinable aggregation; sigma^2 is estimated from
+    the days-sized difference series (quantize-then-square on the SAME
+    ROUND(6) value — the Welch/BH discipline) and enters as a 1-row
+    broadcast; the cumulative window runs over the collapsed daily
+    table only.  Cross-engine exactness: values quantize to
+    DECIMAL(18,4) before any sum, daily diffs to DECIMAL(18,6) before
+    the second moment and the cumulative sum, and log_lambda is one
+    shared double expression tree, ROUND(6)."""
+    vq = F.col(value_col).cast("decimal(18,4)")
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.filter(
+            F.col(variant_col).isin([variant_a, variant_b])
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(day.alias("day"))
+        .agg(
+            F.sum(F.when(F.col(variant_col) == variant_a, vq)).alias("sa"),
+            F.count(
+                F.when(F.col(variant_col) == variant_a, F.lit(1))
+            ).alias("na"),
+            F.sum(F.when(F.col(variant_col) == variant_b, vq)).alias("sb"),
+            F.count(
+                F.when(F.col(variant_col) == variant_b, F.lit(1))
+            ).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "day",
+            F.round(
+                F.col("sa").cast("double") / F.col("na").cast("double")
+                - F.col("sb").cast("double") / F.col("nb").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dq"),
+        )
+    )
+    stats = daily.agg(
+        F.count("*").alias("nn"),
+        F.sum("dq").cast("double").alias("s1"),
+        F.sum(
+            (F.col("dq") * F.col("dq")).cast("decimal(38,12)")
+        ).cast("double").alias("s2"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("dq").over(w).cast("double").alias("sn"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("n"),
+    )
+    nn = F.col("nn").cast("double")
+    var = (F.col("s2") - nn * (F.col("s1") / nn) * (F.col("s1") / nn)) / (
+        nn - F.lit(1.0)
+    )
+    joined = cum.join(broadcast(stats.select(var.alias("var2"), "nn")))
+    t2 = F.lit(float(tau2))
+    nd = F.col("n").cast("double")
+    denom = F.col("var2") + nd * t2
+    log_lambda = (
+        F.lit(0.5) * F.log(F.col("var2") / denom)
+        + t2 * F.col("sn") * F.col("sn")
+        / (F.lit(2.0) * F.col("var2") * denom)
+    )
+    import math
+
+    crit = F.lit(float(math.log(1.0 / alpha)))
+    ll = F.when(
+        (F.col("nn") >= 2) & (F.col("var2") > 0),
+        F.round(log_lambda, 6),
+    )
+    out = joined.select(
+        "day",
+        F.col("n").alias("n_days"),
+        F.round(F.col("sn"), 6).alias("cum_diff"),
+        ll.alias("log_lambda"),
+    )
+    wmax = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "day",
+        "n_days",
+        "cum_diff",
+        "log_lambda",
+        (F.max("log_lambda").over(wmax) >= crit).alias("reject_h0"),
+    )

@@ -1851,3 +1851,146 @@ def rademacher_signs(
         ]
         for k in range(1, out_dim + 1)
     ]
+
+
+def margin_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based candidate-pair mining — the ratio-margin criterion
+    bitext/contrastive-pair miners use (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining", public literature): a candidate neighbor y
+    for query x scores
+
+        margin(x, y) = cos(x, y) / ((fwd_k(x) + bwd_k(y)) / 2)
+
+    where fwd_k(x) is the mean cosine of x's k nearest corpus rows and
+    bwd_k(y) the mean cosine of y's k nearest queries.  Dividing by the
+    local similarity scale suppresses hubness: a raw-cosine top-1 that
+    is barely above x's OTHER neighbors is rejected, while a moderate
+    cosine that towers over both sides' neighborhoods is kept.  Output:
+    ``(query_id, neighbor_id, cosine, margin)`` — the top-margin
+    candidate per query with ``margin >= threshold`` (margin rounded to
+    6 before ranking/threshold; ties break by neighbor id).
+
+    Plan shape: ONE corpus scan (queries broadcast, the serving shape):
+    each Arrow batch scores against the query matrix and emits BOTH the
+    per-query forward candidates (locally top-k pre-reduced, the
+    brute_force_topk discipline) and each corpus row's exact backward
+    top-k statistics (the full query matrix is present per batch, so
+    bwd is exact map-side — no second shuffle).  Cross-engine exactness:
+    rounded cosines become integer micro-units (x1e6), neighborhood
+    sums are integer, and the margin is a single double division of two
+    int64 expressions — no float accumulation anywhere."""
+    qid_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    if qid_ids.size == 0:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine double, margin double",
+        )
+    bc = spark.sparkContext.broadcast((qid_ids, q_mat, q_norms))
+    kk = int(k)
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms = bc.value
+        nq = b_qids.size
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if c_ids.size == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cos = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+            cosm = np.rint(cos * 1e6).astype(np.int64)
+            keep = c_ids[:, None] != b_qids[None, :]
+            # backward stats: per corpus row, exact top-min(k, nq)
+            # over the (complete) query set
+            bkeep = np.where(keep, cosm, np.iinfo(np.int64).min)
+            take = min(kk, nq)
+            top = np.sort(bkeep, axis=1)[:, -take:]
+            valid = top > np.iinfo(np.int64).min
+            bs = np.where(valid, top, 0).sum(axis=1)
+            bcnt = valid.sum(axis=1)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(c_ids.size, -1, dtype=np.int64),
+                        "neighbor_id": c_ids,
+                        "cosine": np.zeros(c_ids.size),
+                        "bs": bs,
+                        "bc": bcnt.astype(np.int64),
+                    }
+                )
+            ]
+            ci, qi = np.nonzero(keep)
+            cand = _local_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "cosine": cos[ci, qi],
+                    }
+                ),
+                kk,
+            )
+            cand["bs"] = np.int64(0)
+            cand["bc"] = np.int64(0)
+            frames.append(cand)
+            yield pd.concat(frames, ignore_index=True)
+
+    out = ensure_min_parallelism(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
+        score_batches,
+        schema=(
+            "query_id long, neighbor_id long, cosine double, "
+            "bs long, bc long"
+        ),
+    )
+    bwd = out.filter(F.col("query_id") == -1).select(
+        "neighbor_id", "bs", "bc"
+    )
+    cand = out.filter(F.col("query_id") != -1).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.round(F.col("cosine") * 1e6, 0).cast("long").alias("cosm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    fwd = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= kk
+    )
+    fstat = fwd.groupBy("query_id").agg(
+        F.sum("cosm").alias("fs"), F.count("*").alias("fc")
+    )
+    denom = F.col("fs") * F.col("bc") + F.col("bs") * F.col("fc")
+    margin = F.round(
+        (F.lit(2) * F.col("cosm") * F.col("fc") * F.col("bc"))
+        .cast("double")
+        / denom.cast("double"),
+        6,
+    )
+    scored = (
+        fwd.join(fstat, "query_id")
+        .join(bwd, "neighbor_id")
+        .filter(denom > 0)
+        .select("query_id", "neighbor_id", "cosine", margin.alias("margin"))
+    )
+    mw = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("mr", F.row_number().over(mw))
+        .filter(
+            (F.col("mr") == 1)
+            & (F.col("margin") >= F.lit(float(threshold)))
+        )
+        .select("query_id", "neighbor_id", "cosine", "margin")
+    )

@@ -5096,3 +5096,100 @@ def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_absorption(
         trans, win_state="purchase", lose_state="error", iterations=12
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture SPRT (always-valid sequential A/B inference)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 1.0
+_MSPRT_ALPHA = 0.05
+_MSPRT_CRIT = 2.995732273553991  # ln(1/alpha), alpha = 0.05
+
+_MSPRT_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(value AS DECIMAL(18,4)) END) AS sa,
+             COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS na,
+             SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(value AS DECIMAL(18,4)) END) AS sb,
+             COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS nb
+      FROM events
+      WHERE value IS NOT NULL AND event_type = 'click'
+      GROUP BY 1
+    ),
+    dd AS (
+      SELECT day,
+             CAST(ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS dq
+      FROM daily WHERE na > 0 AND nb > 0
+    ),
+    stats AS (
+      SELECT COUNT(*) AS nn, CAST(SUM(dq) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(dq * dq AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM dd
+    ),
+    cum AS (
+      SELECT day,
+             CAST(SUM(dq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS sn,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS n
+      FROM dd
+    ),
+    j AS (
+      SELECT c.*,
+             (s.s2 - CAST(s.nn AS DOUBLE)
+                     * (s.s1 / CAST(s.nn AS DOUBLE))
+                     * (s.s1 / CAST(s.nn AS DOUBLE)))
+             / (CAST(s.nn AS DOUBLE) - 1.0e0) AS var2,
+             s.nn
+      FROM cum c CROSS JOIN stats s
+    ),
+    ll AS (
+      SELECT day, n AS n_days, ROUND(sn, 6) AS cum_diff,
+             CASE WHEN nn >= 2 AND var2 > 0.0e0 THEN ROUND(
+               0.5e0 * ln(var2 / (var2
+                                  + CAST(n AS DOUBLE)
+                                    * CAST('{_MSPRT_TAU2!r}' AS DOUBLE)))
+               + CAST('{_MSPRT_TAU2!r}' AS DOUBLE) * sn * sn
+                 / (2.0e0 * var2
+                    * (var2 + CAST(n AS DOUBLE)
+                              * CAST('{_MSPRT_TAU2!r}' AS DOUBLE))), 6)
+             END AS log_lambda
+      FROM j
+    )
+    SELECT day, n_days, cum_diff, log_lambda,
+           MAX(log_lambda) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+             >= CAST('{_MSPRT_CRIT!r}' AS DOUBLE) AS reject_h0
+    FROM ll
+"""
+
+
+@_q("q_msprt", _MSPRT_SQL)
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B inference (mSPRT) on the daily mean
+    click-value difference between the user-parity variants: the
+    mixture likelihood ratio per day plus the monotone running
+    reject-at-5% decision — the peeking-safe complement to the gated
+    fixed-horizon Welch/bootstrap/permutation tests.  One map-side
+    aggregation collapses the stream to (variant, day) decimal sums;
+    sigma^2 comes from the days-sized diff series (quantize-then-square
+    on the SAME ROUND(6) value) as a 1-row broadcast; every window
+    runs over the collapsed daily table."""
+    from conte_to_fresco_etl_spark.operators.robust import msprt
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    return msprt(
+        ev.withColumn("variant", F.col("user_id") % 2),
+        "variant",
+        "value",
+        "ts",
+        0,
+        1,
+        tau2=_MSPRT_TAU2,
+        alpha=_MSPRT_ALPHA,
+    )

@@ -6600,3 +6600,89 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         seed="ns",
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based candidate-pair mining (ratio margin over embeddings)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4
+_MARGIN_THRESHOLD = 1.45
+
+_MARGIN_SQL = f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    c AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                        ELSE list_dot_product(q.e, c.e) / (q.nrm * c.nrm)
+                   END, 6) AS cosine
+      FROM c, q
+    ),
+    micro AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROUND(cosine * 1000000, 0) AS BIGINT) AS cosm
+      FROM pairs
+    ),
+    fwd AS (
+      SELECT query_id, neighbor_id, cosine, cosm,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC)
+               AS rn
+      FROM micro
+    ),
+    fstat AS (
+      SELECT query_id, SUM(cosm) AS fs, COUNT(*) AS fc
+      FROM fwd WHERE rn <= {_MARGIN_K} GROUP BY 1
+    ),
+    bwd AS (
+      SELECT neighbor_id, SUM(cosm) AS bs, COUNT(*) AS bc FROM (
+        SELECT neighbor_id, cosm,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                  ORDER BY cosine DESC, query_id ASC)
+                 AS rn
+        FROM micro
+      ) WHERE rn <= {_MARGIN_K} GROUP BY 1
+    ),
+    scored AS (
+      SELECT f.query_id, f.neighbor_id, f.cosine,
+             ROUND(CAST(2 * f.cosm * fstat.fc * bwd.bc AS DOUBLE)
+                   / CAST(fstat.fs * bwd.bc + bwd.bs * fstat.fc
+                          AS DOUBLE), 6) AS margin
+      FROM fwd f
+      JOIN fstat USING (query_id)
+      JOIN bwd USING (neighbor_id)
+      WHERE f.rn <= {_MARGIN_K}
+        AND fstat.fs * bwd.bc + bwd.bs * fstat.fc > 0
+    )
+    SELECT query_id, neighbor_id, cosine, margin FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY margin DESC, neighbor_id ASC)
+               AS mr
+      FROM scored
+    ) WHERE mr = 1 AND margin >= CAST('{_MARGIN_THRESHOLD!r}' AS DOUBLE)
+"""
+
+
+@_q("q_margin_mining", _MARGIN_SQL)
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin candidate-pair mining over the embedding table
+    (queries = vec_id %% 50 = 0, the serving shape): each query's
+    top-margin neighbor where margin = cos / (mean of both sides'
+    top-4 neighborhoods / 2) >= 1.45 — the hubness-suppressing
+    criterion contrastive/bitext miners use instead of raw cosine.
+    One corpus scan emits forward candidates (local-top-k pre-reduced)
+    and exact map-side backward stats; all neighborhood sums are
+    integer micro-cosines so the margin is one double division —
+    cross-engine exact."""
+    from conte_to_fresco_etl_spark.operators.similarity import margin_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_mining(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=_MARGIN_K,
+        threshold=_MARGIN_THRESHOLD,
+    )

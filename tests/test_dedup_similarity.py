@@ -1064,3 +1064,63 @@ def test_random_projection_preserves_distances(spark):
     orig = float(((a - b) ** 2).sum())
     red = float(((proj[0] - proj[1]) ** 2).sum())
     assert 0.4 * orig < red < 1.6 * orig
+
+
+def test_margin_mining_hand_computed_and_hubness(spark):
+    """The ratio margin matches a hand computation on a tiny geometry,
+    and it demotes a hub: a corpus vector moderately close to EVERY
+    query loses to a vector that is distinctively close to one query,
+    even when the hub's raw cosine is higher."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import margin_mining
+
+    # queries along axes; hub at the diagonal (cos ~0.707 to both
+    # queries), specialist near axis 0 (cos ~0.995 to q0, ~0.1 to q1)
+    q = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    c = [
+        (10, [1.0, 0.1]),            # specialist for q0
+        (11, [1.0, 1.0]),            # hub
+        (12, [0.3, 1.0]),            # specialist-ish for q1
+    ]
+    qdf = spark.createDataFrame(q, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(c, "vec_id long, embedding array<double>")
+    got = {
+        r["query_id"]: r
+        for r in margin_mining(cdf, qdf, k=2, threshold=0.0).collect()
+    }
+    # hand computation in the operator's own integer-micro units
+    def cos6(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    cosm = {
+        (qi, ci): int(round(cos6(qv, cv) * 1e6))
+        for qi, qv in q
+        for ci, cv in c
+    }
+    # forward top-2 sums per query, backward top-2 sums per corpus row
+    fs = {
+        qi: sum(sorted((cosm[(qi, ci)] for ci, _ in c), reverse=True)[:2])
+        for qi, _ in q
+    }
+    bs = {
+        ci: sum(sorted((cosm[(qi, ci)] for qi, _ in q), reverse=True)[:2])
+        for ci, _ in c
+    }
+    def margin(qi, ci):
+        return round(2 * cosm[(qi, ci)] * 2 * 2 / (fs[qi] * 2 + bs[ci] * 2), 6)
+
+    for qi, _ in q:
+        best = max(
+            ((margin(qi, ci), -ci) for ci, _ in c),
+        )
+        assert got[qi]["neighbor_id"] == -best[1]
+        assert got[qi]["margin"] == best[0]
+    # hubness: q0's raw-cosine order prefers the specialist anyway here,
+    # but for q1 the hub (cos .707) loses to vec 12 (cos .958) AND the
+    # hub's margin against q1 is below the specialist's
+    assert got[1]["neighbor_id"] == 12
+    assert margin(1, 11) < margin(1, 12)

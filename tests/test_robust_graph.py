@@ -2475,3 +2475,60 @@ def test_markov_absorption_cycle_converges(spark):
         ).collect()
     }
     assert abs(out["a"] - (1.0 - 0.5**12)) < 1e-6
+
+
+def test_msprt_hand_computed_and_monotone_reject(spark):
+    """mSPRT on a planted series: log-lambda matches the closed form
+    computed by hand, a strong persistent effect eventually rejects,
+    and the reject decision is MONOTONE (once true, stays true) even
+    when later days pull the running sum back toward zero."""
+    import math
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import msprt
+
+    # variant A constant +delta above variant B for 8 days, then two
+    # days of reversal that shrink the cumulative sum
+    diffs = [2.0, 2.0, 2.0, 2.0, 2.1, 1.9, 2.0, 2.0, -2.0, -2.0]
+    rows = []
+    for i, d in enumerate(diffs):
+        ts = f"2024-03-{i + 1:02d} 12:00:00"
+        rows.append((ts, 0, 10.0 + d))
+        rows.append((ts, 1, 10.0))
+    df = spark.createDataFrame(
+        rows, "ts string, variant int, value double"
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "variant", "value"
+    )
+    tau2 = 1.0
+    out = {
+        r["n_days"]: r
+        for r in msprt(df, "variant", "value", "ts", 0, 1, tau2=tau2)
+        .collect()
+    }
+    assert len(out) == 10
+
+    # hand computation from the same quantized daily diffs
+    dq = [round(d, 6) for d in diffs]
+    n = len(dq)
+    m = sum(dq) / n
+    var2 = (sum(x * x for x in dq) - n * m * m) / (n - 1)
+    sn = 0.0
+    expect_reject = False
+    for t, d in enumerate(dq, start=1):
+        sn += d
+        ll = 0.5 * math.log(var2 / (var2 + t * tau2)) + (
+            tau2 * sn * sn / (2 * var2 * (var2 + t * tau2))
+        )
+        assert out[t]["log_lambda"] == pytest.approx(
+            round(ll, 6), abs=2e-6
+        ), t
+        if round(ll, 6) >= math.log(20.0):
+            expect_reject = True
+        assert bool(out[t]["reject_h0"]) is expect_reject, t
+    # the planted effect did reject, and the reversal days did not
+    # un-reject (always-valid decisions are one-way doors)
+    assert expect_reject
+    assert out[10]["cum_diff"] < out[8]["cum_diff"]
+    assert out[10]["reject_h0"]

@@ -1062,8 +1062,6 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     if bd.read_bool(128):  # loop filter deltas
         raise NotImplementedError("VP8 loop-filter deltas not supported")
     n_parts = 1 << bd.read_literal(2)
-    if n_parts != 1:
-        raise NotImplementedError("multi-partition VP8 not supported")
     qi = bd.read_literal(7)
     deltas = []
     for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac
@@ -1092,7 +1090,19 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
         "u": np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64),
         "v": np.zeros((mb_rows * 8, mb_cols * 8), dtype=np.int64),
     }
-    td = BoolDecoder(payload[10 + part1_size:])
+    # token partitions: rows decode from partition (mb_row % n_parts) —
+    # VP8's row-parallel decode hook.  N-1 three-byte sizes precede the
+    # partition bytes; the last partition runs to end of payload.
+    rest = payload[10 + part1_size:]
+    tds = []
+    off = 3 * (n_parts - 1)
+    for p in range(n_parts):
+        if p < n_parts - 1:
+            sz = rest[3 * p] | rest[3 * p + 1] << 8 | rest[3 * p + 2] << 16
+        else:
+            sz = len(rest) - off
+        tds.append(BoolDecoder(rest[off: off + sz]))
+        off += sz
 
     above = {
         "y": np.zeros(mb_cols * 4, dtype=np.int8),
@@ -1103,6 +1113,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     interior = [[False] * mb_cols for _ in range(mb_rows)]
 
     for mb_r in range(mb_rows):
+        td = tds[mb_r % n_parts]
         left = {
             "y": np.zeros(4, dtype=np.int8),
             "u": np.zeros(2, dtype=np.int8),
@@ -1228,6 +1239,7 @@ def encode_vp8(
     sharpness: int = 0,
     filter_type: int = 0,
     b_pred: bool = False,
+    n_partitions: int = 1,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a VP8 key frame.  Whole-
     block intra modes (DC/V/H/TM for luma 16x16 and chroma 8x8) are
@@ -1244,7 +1256,13 @@ def encode_vp8(
     SAD over all ten predictors — the fixture that round-trip-pins the
     decoder's sub-mode paths through the real bitstream (blocks
     reconstruct IN ORDER because later sub-blocks predict from earlier
-    reconstructed ones; no Y2 block exists in this mode)."""
+    reconstructed ones; no Y2 block exists in this mode).
+    ``n_partitions`` (1/2/4/8) splits the token stream across VP8's
+    row-parallel decode partitions: row r's tokens land in partition
+    r %% n — entropy CONTEXTS stay spatial (shared across partitions),
+    only the bool streams split."""
+    if n_partitions not in (1, 2, 4, 8):
+        raise ValueError("n_partitions must be 1, 2, 4 or 8")
     arr = np.asarray(img)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("encode_vp8 expects (h, w, 3) RGB")
@@ -1287,9 +1305,9 @@ def encode_vp8(
     probs = FIXTURE_COEF_PROBS
     prob_skip_false = 128
 
-    # modes partition (header bool stream) and token partition
+    # modes partition (header bool stream) and token partition(s)
     mbe = BoolEncoder()
-    tbe = BoolEncoder()
+    tbes = [BoolEncoder() for _ in range(n_partitions)]
 
     mbe.write_bool(128, 0)  # color space
     mbe.write_bool(128, 0)  # clamping
@@ -1298,7 +1316,7 @@ def encode_vp8(
     mbe.write_literal(filter_level, 6)
     mbe.write_literal(sharpness, 3)
     mbe.write_bool(128, 0)  # no loop-filter deltas
-    mbe.write_literal(0, 2)  # one token partition
+    mbe.write_literal(n_partitions.bit_length() - 1, 2)
     mbe.write_literal(qi, 7)
     for _ in range(5):
         mbe.write_bool(128, 0)  # no quantizer deltas
@@ -1327,6 +1345,7 @@ def encode_vp8(
             "v": np.zeros(2, dtype=np.int8),
             "y2": np.zeros(1, dtype=np.int8),
         }
+        tbe = tbes[mb_r % n_partitions]
         for mb_c in range(mb_cols):
             ry, cy = mb_r * 16, mb_c * 16
             rc, cc = mb_r * 8, mb_c * 8
@@ -1509,7 +1528,12 @@ def encode_vp8(
     if recon_out is not None:
         recon_out.update(planes)
     part1 = mbe.finish()
-    part2 = tbe.finish()
+    parts = [t.finish() for t in tbes]
+    sizes = b"".join(
+        bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF])
+        for p in parts[:-1]
+    )
+    part2 = sizes + b"".join(parts)
     tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, version 0, key
     header = bytes(
         [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]

@@ -1421,3 +1421,35 @@ def test_vp8_b_pred_round_trip_covers_all_sub_modes():
     finally:
         M.predict_b = orig
     assert used == set(range(10)), sorted(used)
+
+
+def test_vp8_multi_partition_token_streams():
+    """VP8's row-parallel decode hook: tokens split across 1/2/4/8
+    partitions (row r -> partition r % n).  Every count round-trips
+    bit-exactly AND reconstructs identically to the single-partition
+    stream — partitioning reroutes bool streams, never values (entropy
+    contexts stay spatial)."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        decode_vp8_planes,
+        encode_vp8,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)
+    base = None
+    for nparts in (1, 2, 4, 8):
+        recon = {}
+        data = encode_vp8(img, qi=30, recon_out=recon, n_partitions=nparts)
+        planes, _, _ = decode_vp8_planes(data)
+        for k in ("y", "u", "v"):
+            assert np.array_equal(planes[k], recon[k]), (k, nparts)
+        if base is None:
+            base = recon
+        for k in ("y", "u", "v"):
+            assert np.array_equal(base[k], recon[k]), (k, nparts)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_partitions"):
+        encode_vp8(img, n_partitions=3)

@@ -1124,3 +1124,90 @@ def test_margin_mining_hand_computed_and_hubness(spark):
     # hub's margin against q1 is below the specialist's
     assert got[1]["neighbor_id"] == 12
     assert margin(1, 11) < margin(1, 12)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vec3 = st.lists(
+    st.integers(-8, 8).map(float), min_size=3, max_size=3
+).filter(lambda v: any(x != 0 for x in v))
+_margin_inputs = st.tuples(
+    st.lists(_vec3, min_size=2, max_size=3),   # queries
+    st.lists(_vec3, min_size=3, max_size=7),   # corpus
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_margin_inputs)
+def test_margin_mining_matches_numpy_twin(spark, inputs):
+    """margin_mining == a numpy twin that mirrors the integer
+    micro-cosine pipeline (round-6 cosines, top-k by (cos desc, id
+    asc), integer neighborhood sums, one double division) on random
+    small geometries."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import margin_mining
+
+    qs, cs = inputs
+    k = 2
+    qdf = spark.createDataFrame(
+        list(enumerate(qs)), "vec_id long, embedding array<double>"
+    )
+    cdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(cs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"], r["margin"])
+        for r in margin_mining(cdf, qdf, k=k, threshold=-1e9).collect()
+    }
+
+    def cosm(a, b):
+        a, b = np.array(a), np.array(b)
+        den = np.linalg.norm(a) * np.linalg.norm(b)
+        c = float(a @ b / den) if den else 0.0
+        return int(round(round(c, 6) * 1e6))
+
+    M = {
+        (qi, 100 + ci): cosm(qv, cv)
+        for qi, qv in enumerate(qs)
+        for ci, cv in enumerate(cs)
+    }
+    def topk_sum(items):  # items: [(cos_micro, id)] -> sum of top-k
+        return sum(
+            c for c, _ in sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+        )
+
+    fs = {
+        qi: topk_sum([(M[(qi, 100 + ci)], 100 + ci) for ci in range(len(cs))])
+        for qi in range(len(qs))
+    }
+    fc = {qi: min(k, len(cs)) for qi in fs}
+    bs = {
+        100 + ci: topk_sum([(M[(qi, 100 + ci)], qi) for qi in range(len(qs))])
+        for ci in range(len(cs))
+    }
+    bc = {ci: min(k, len(qs)) for ci in bs}
+    expect = {}
+    for qi in range(len(qs)):
+        # candidates = qi's forward top-k; best margin, id tie-break
+        cand = sorted(
+            ((M[(qi, 100 + ci)], 100 + ci) for ci in range(len(cs))),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        best = None
+        for cm, nid in cand:
+            den = fs[qi] * bc[nid] + bs[nid] * fc[qi]
+            if den <= 0:
+                continue
+            margin = round(2 * cm * fc[qi] * bc[nid] / den, 6)
+            key = (-margin, nid)
+            if best is None or key < best[0]:
+                best = (key, nid, cm / 1e6, margin)
+        if best is not None:
+            expect[qi] = (best[1], round(best[2], 6), best[3])
+    assert set(got) == set(expect)
+    for qi, (nid, cos, margin) in expect.items():
+        assert got[qi][0] == nid, qi
+        assert got[qi][2] == margin, qi
+        assert abs(got[qi][1] - cos) < 1e-9, qi

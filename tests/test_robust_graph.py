@@ -2532,3 +2532,60 @@ def test_msprt_hand_computed_and_monotone_reject(spark):
     assert expect_reject
     assert out[10]["cum_diff"] < out[8]["cum_diff"]
     assert out[10]["reject_h0"]
+
+
+msprt_series = st.lists(
+    st.tuples(
+        st.integers(-60, 60).map(lambda q: q / 4.0),   # variant-A values
+        st.integers(-60, 60).map(lambda q: q / 4.0),   # variant-B values
+        st.integers(1, 3),                             # A obs per day
+        st.integers(1, 3),                             # B obs per day
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(msprt_series)
+def test_msprt_matches_python_twin(spark, series):
+    """The distributed mSPRT equals a pure-Python twin computed from
+    the same quantization discipline (values DECIMAL(18,4), daily
+    diffs ROUND(6), quantize-then-square variance) on random
+    multi-observation days."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import msprt
+
+    rows, diffs = [], []
+    for i, (va, vb, na, nb) in enumerate(series):
+        ts = f"2024-05-{i + 1:02d} 01:00:00"
+        for j in range(na):
+            rows.append((ts, 0, va + j))      # distinct values, exact sums
+        for j in range(nb):
+            rows.append((ts, 1, vb + j))
+        ma = sum(va + j for j in range(na)) / na
+        mb = sum(vb + j for j in range(nb)) / nb
+        diffs.append(round(ma - mb, 6))
+    df = spark.createDataFrame(
+        rows, "ts string, variant int, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "variant", "value")
+    got = {
+        r["n_days"]: r
+        for r in msprt(df, "variant", "value", "ts", 0, 1, tau2=1.0)
+        .collect()
+    }
+    n = len(diffs)
+    m = sum(diffs) / n
+    var2 = (sum(d * d for d in diffs) - n * m * m) / (n - 1)
+    sn = 0.0
+    for t, d in enumerate(diffs, start=1):
+        sn += d
+        assert got[t]["cum_diff"] == round(sn, 6)
+        if var2 > 0:
+            ll = 0.5 * math.log(var2 / (var2 + t)) + sn * sn / (
+                2 * var2 * (var2 + t)
+            )
+            assert abs(got[t]["log_lambda"] - round(ll, 6)) <= 2e-6, t
+        else:
+            assert got[t]["log_lambda"] is None

@@ -2053,9 +2053,22 @@ def snm_candidate_pairs(
         cand = p if cand is None else cand.unionAll(p)
     from conte_to_fresco_etl_spark.functions.text import char_shingles
 
-    sets = df.filter(F.length(F.col(text_col)) >= shingle_n).select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(text_col, shingle_n).alias("sh"),
+    # the shingle projection is the CPU-dense phase: spread it across
+    # tasks before computing (a single-row-group scan is one task), and
+    # localCheckpoint so the a/b sides of the scoring join don't each
+    # recompute the shingling (measured 9.0s -> 2.6s at sf0.1)
+    sets = (
+        ensure_min_parallelism(
+            df.filter(F.length(F.col(text_col)) >= shingle_n).select(
+                F.col(id_col).alias("doc_id"), F.col(text_col)
+            ),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select(
+            "doc_id",
+            char_shingles(text_col, shingle_n).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter

@@ -179,7 +179,9 @@ def test_container_vp8x_walk_and_errors():
     )
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFF\x00\x00\x00\x00WAVE")
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
+    # a lossy `VP8 ` chunk now dispatches to the native key-frame
+    # decoder (media_vp8.py); an EMPTY frame body is a truncation error
+    with pytest.raises(ValueError, match="truncated VP8 frame"):
         decode_webp(
             b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 "
             + struct.pack("<I", 0)

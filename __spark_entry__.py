@@ -63,6 +63,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_negative_samples",    # late-r6 spill: word2vec negatives (r7: BNLJ → binned equi-join)
     "q_margin_mining",       # NEW r7: ratio-margin candidate-pair mining
     "q_msprt",               # NEW r7: always-valid sequential A/B inference
+    "q_logreg_train",        # NEW r7: GD logistic-regression training
 ]
 
 PRIORITY: list[str] = [
@@ -129,6 +130,7 @@ PRIORITY: list[str] = [
     "q_negative_samples",
     "q_margin_mining",
     "q_msprt",
+    "q_logreg_train",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here) ---
     # r6-green queries (CORRECTNESS_r06.json, 50/50)

@@ -2213,3 +2213,129 @@ def msprt(
         "log_lambda",
         (F.max("log_lambda").over(wmax) >= crit).alias("reject_h0"),
     )
+
+
+def logistic_regression_gd(
+    df: DataFrame,
+    features: dict,
+    label,
+    lr: float = 0.5,
+    steps: int = 3,
+    standardize: bool = True,
+) -> DataFrame:
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the "training as aggregation" primitive (each GD step is
+    ONE map-combinable pass emitting d+1 gradient sums), sibling to the
+    kmeans step / PCA power iteration / BPE merge loop: the per-step
+    driver collect is DIMENSION-sized (d+2 numbers), never data.
+
+    ``features``: {name: Column} of real-valued feature expressions
+    (rounded to 6 decimals before use); ``label``: boolean/0-1 Column.
+    ``standardize`` (default) z-scores each feature first — one extra
+    decimal-exact pass (quantize-then-square for the second moment) —
+    the textbook conditioning without which raw-scale features stall
+    full-batch GD.  Weights start at zero (step 1 is then exactly
+    p = 0.5 everywhere — no float divergence at the first step) and
+    update as w -= lr * mean((p - y) * x).
+
+    Cross-engine exactness (the oracle unrolls the same steps in SQL):
+    per-row gradient and loss contributions are ROUND(9) and summed in
+    DECIMAL (order-independent); weight updates are the identical
+    double expression both sides; the accuracy predicate compares the
+    LOGIT sign (z >= 0 <=> p >= 0.5 exactly) so no sigmoid evaluation
+    sits on a decision boundary.
+
+    Output: one (term, value) row per weight ('intercept', feature
+    names) plus 'log_loss' and 'accuracy' — weights ROUND(6), metrics
+    from one final in-plan aggregation."""
+    import math
+
+    names = list(features)
+    feats = df.select(
+        F.when(label.cast("boolean"), 1).otherwise(0).alias("__y"),
+        *[
+            F.round(expr.cast("double"), 6).alias(n)
+            for n, expr in features.items()
+        ],
+    )
+    if standardize:
+        d6 = "decimal(18,6)"
+        srow = feats.agg(
+            F.count("*").alias("__n"),
+            *[F.sum(F.col(n).cast(d6)).alias(f"s_{n}") for n in names],
+            *[
+                F.sum(
+                    (F.col(n).cast(d6) * F.col(n).cast(d6)).cast(
+                        "decimal(38,12)"
+                    )
+                ).alias(f"q_{n}")
+                for n in names
+            ],
+        ).collect()[0]
+        cnt = float(srow["__n"])
+        cols = [F.col("__y")]
+        for n in names:
+            mu = float(srow[f"s_{n}"]) / cnt
+            var = (float(srow[f"q_{n}"]) - cnt * mu * mu) / cnt
+            sd = max(math.sqrt(max(var, 0.0)), 1e-9)
+            cols.append(
+                F.round((F.col(n) - F.lit(mu)) / F.lit(sd), 6).alias(n)
+            )
+        feats = feats.select(*cols)
+    feats = feats.localCheckpoint(eager=False)
+
+    w = {n: 0.0 for n in names}
+    b = 0.0
+
+    def logit():
+        z = F.lit(b)
+        for n in names:
+            z = z + F.lit(w[n]) * F.col(n)
+        return z
+
+    dec = "decimal(28,9)"
+    for _ in range(int(steps)):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit()))
+        resid = p - F.col("__y").cast("double")
+        row = feats.agg(
+            F.count("*").alias("__n"),
+            F.sum(F.round(resid, 9).cast(dec)).alias("__gb"),
+            *[
+                F.sum(F.round(resid * F.col(n), 9).cast(dec)).alias(n)
+                for n in names
+            ],
+        ).collect()[0]
+        n_rows = float(row["__n"])
+        b = b - lr * (float(row["__gb"]) / n_rows)
+        for n in names:
+            w[n] = w[n] - lr * (float(row[n]) / n_rows)
+
+    z = logit()
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    yd = F.col("__y").cast("double")
+    ll_row = F.round(
+        -(yd * F.log(p) + (F.lit(1.0) - yd) * F.log(F.lit(1.0) - p)), 9
+    ).cast(dec)
+    correct = (z >= 0) == (F.col("__y") == 1)
+    metrics = feats.agg(
+        F.round(
+            F.sum(ll_row).cast("double") / F.count("*").cast("double"), 6
+        ).alias("log_loss"),
+        F.round(
+            F.sum(F.when(correct, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [("intercept", round(b, 6))]
+        + [(n, round(w[n], 6)) for n in names],
+        "term string, value double",
+    )
+    return weights.unionAll(
+        metrics.selectExpr(
+            "stack(2, 'log_loss', log_loss, 'accuracy', accuracy) "
+            "AS (term, value)"
+        )
+    )

@@ -5193,3 +5193,164 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau2=_MSPRT_TAU2,
         alpha=_MSPRT_ALPHA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression training by full-batch gradient descent
+# ---------------------------------------------------------------------------
+
+_LOGREG_STEPS = 6
+_LOGREG_LR = 1.0
+
+
+def _logreg_sql(steps: int = _LOGREG_STEPS, lr: float = _LOGREG_LR) -> str:
+    """Unrolled GD oracle: one gradient-aggregation CTE + one
+    weight-update CTE per step, every per-row contribution ROUND(9) +
+    DECIMAL-summed, weight updates the identical double expression the
+    Spark driver loop computes.  Accuracy compares the logit SIGN
+    (z >= 0 <=> p >= 0.5 exactly) so no sigmoid sits on a decision
+    boundary."""
+    names = ["x1", "x2", "x3"]
+    nj = range(1, len(names) + 1)
+    parts = ["""
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             ROUND(ln(CAST(n_chars AS DOUBLE) + 1.0e0), 6) AS x1,
+             ROUND((CAST(length(text) AS DOUBLE)
+                    - CAST(length(replace(text, ' ', '')) AS DOUBLE))
+                   / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS x2,
+             ROUND(CAST(length(regexp_replace(lower(text),
+                                              '[^aeiou]', '', 'g'))
+                        AS DOUBLE)
+                   / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS x3
+      FROM documents
+    ),
+    st1 AS (
+      SELECT COUNT(*) AS n,
+             {sums}
+      FROM f
+    ),
+    st2 AS (
+      SELECT n,
+             {mus},
+             {qs}
+      FROM st1
+    ),
+    st3 AS (
+      SELECT {stds}
+      FROM st2
+    ),
+    fs AS (
+      SELECT f.y,
+             {zs}
+      FROM f CROSS JOIN st3 st
+    ),
+    s0 AS (SELECT CAST(0 AS DOUBLE) AS b,
+                  CAST(0 AS DOUBLE) AS w1,
+                  CAST(0 AS DOUBLE) AS w2,
+                  CAST(0 AS DOUBLE) AS w3)""".format(
+        sums=", ".join(
+            f"SUM(CAST(x{j} AS DECIMAL(18,6))) AS s{j}_, "
+            f"SUM(CAST(CAST(x{j} AS DECIMAL(18,6))"
+            f" * CAST(x{j} AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS q{j}_"
+            for j in nj),
+        mus=", ".join(
+            f"CAST(s{j}_ AS DOUBLE) / CAST(n AS DOUBLE) AS mu{j}"
+            for j in nj),
+        qs=", ".join(f"CAST(q{j}_ AS DOUBLE) AS q{j}" for j in nj),
+        stds=", ".join(
+            f"mu{j}, GREATEST(sqrt(GREATEST((q{j} - CAST(n AS DOUBLE)"
+            f" * mu{j} * mu{j}) / CAST(n AS DOUBLE), 0.0e0)),"
+            f" CAST('1e-09' AS DOUBLE)) AS sd{j}"
+            for j in nj),
+        zs=", ".join(
+            f"ROUND((f.x{j} - st.mu{j}) / st.sd{j}, 6) AS x{j}"
+            for j in nj),
+    )]
+    z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3)"
+    p = f"(1.0e0 / (1.0e0 + exp(-{z})))"
+    gsum = (
+        "CAST(SUM(CAST(ROUND({expr}, 9) AS DECIMAL(28,9))) AS DOUBLE)"
+    )
+    for k in range(1, steps + 1):
+        grads = ", ".join(
+            gsum.format(expr=f"({p} - CAST(f.y AS DOUBLE)) * f.x{j}")
+            + f" AS g{j}"
+            for j in range(1, len(names) + 1)
+        )
+        parts.append(f""",
+    g{k} AS (
+      SELECT COUNT(*) AS n,
+             {gsum.format(expr=f"{p} - CAST(f.y AS DOUBLE)")} AS gb,
+             {grads}
+      FROM fs f CROSS JOIN s{k - 1} s
+    ),
+    s{k} AS (
+      SELECT s.b - CAST('{lr!r}' AS DOUBLE)
+                   * (g.gb / CAST(g.n AS DOUBLE)) AS b,
+             {', '.join(
+                 f"s.w{j} - CAST('{lr!r}' AS DOUBLE)"
+                 f" * (g.g{j} / CAST(g.n AS DOUBLE)) AS w{j}"
+                 for j in range(1, len(names) + 1))}
+      FROM g{k} g CROSS JOIN s{k - 1} s
+    )""")
+    ll = (
+        f"-(CAST(f.y AS DOUBLE) * ln({p})"
+        f" + (1.0e0 - CAST(f.y AS DOUBLE)) * ln(1.0e0 - {p}))"
+    )
+    parts.append(f""",
+    m AS (
+      SELECT ROUND({gsum.format(expr=ll)}
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS log_loss,
+             ROUND(CAST(SUM(CASE WHEN ({z} >= 0.0e0) = (f.y = 1)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+      FROM fs f CROSS JOIN s{steps} s
+    )
+    SELECT 'intercept' AS term, ROUND(b, 6) AS value FROM s{steps}
+    UNION ALL SELECT 'x1', ROUND(w1, 6) FROM s{steps}
+    UNION ALL SELECT 'x2', ROUND(w2, 6) FROM s{steps}
+    UNION ALL SELECT 'x3', ROUND(w3, 6) FROM s{steps}
+    UNION ALL SELECT 'log_loss', log_loss FROM m
+    UNION ALL SELECT 'accuracy', accuracy FROM m""")
+    return "".join(parts)
+
+
+@_q("q_logreg_train", _logreg_sql())
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING: 6 full-batch GD steps
+    (z-scored features, lr = 1.0) fitting P(n_chars >= 300) from
+    length/whitespace/vowel-density document features — a learnable
+    label on this corpus (the synthetic langs share one vocabulary, so
+    x1 carries real signal while x2/x3 are nuisance dimensions the fit
+    must keep near zero), plus the trained model's log-loss and
+    accuracy.  "Training as aggregation": each step is one
+    map-combinable gradient pass; the driver sees d+2 numbers per
+    step, the kmeans/PCA/BPE discipline.  The oracle unrolls the same
+    standardization + steps in SQL, so the full optimization
+    trajectory — not just the final fit — is gated."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        logistic_regression_gd,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gt = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    feats = {
+        "x1": F.log(F.col("n_chars").cast("double") + F.lit(1.0)),
+        "x2": (
+            F.length("text").cast("double")
+            - F.expr("length(replace(text, ' ', ''))").cast("double")
+        )
+        / gt,
+        "x3": F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")
+        ).cast("double")
+        / gt,
+    }
+    return logistic_regression_gd(
+        docs,
+        feats,
+        F.col("n_chars") >= 300,
+        lr=_LOGREG_LR,
+        steps=_LOGREG_STEPS,
+    )

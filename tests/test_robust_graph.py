@@ -2589,3 +2589,74 @@ def test_msprt_matches_python_twin(spark, series):
             assert abs(got[t]["log_lambda"] - round(ll, 6)) <= 2e-6, t
         else:
             assert got[t]["log_lambda"] is None
+
+
+def test_logreg_gd_matches_python_twin_and_learns(spark):
+    """The distributed GD trajectory equals a pure-Python twin (same
+    z-scoring, ROUND(9) gradient quantization, identical update
+    expression) on a fixed dataset, and a separable problem is
+    actually learned: high accuracy, dominant true feature, nuisance
+    weight near zero."""
+    import math
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        logistic_regression_gd,
+    )
+
+    # y = 1 iff x1 > 0; x2 is pure noise (deterministic pseudo-noise)
+    data = [
+        (i, (i % 7) - 3.0, ((i * 37) % 11) / 11.0 - 0.5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "i long, x1 double, x2 double")
+    out = {
+        r["term"]: r["value"]
+        for r in logistic_regression_gd(
+            df,
+            {"x1": F.col("x1"), "x2": F.col("x2")},
+            F.col("x1") > 0,
+            lr=1.0,
+            steps=6,
+        ).collect()
+    }
+
+    # pure twin with the operator's quantization discipline
+    rows = [
+        (1 if x1 > 0 else 0, round(x1, 6), round(x2, 6))
+        for _, x1, x2 in data
+    ]
+    n = float(len(rows))
+    feats = []
+    for j in (1, 2):
+        s1 = sum(r[j] for r in rows)       # exact: values are 6-dec
+        s2 = sum(r[j] * r[j] for r in rows)
+        mu = s1 / n
+        var = (s2 - n * mu * mu) / n
+        sd = max(math.sqrt(max(var, 0.0)), 1e-9)
+        feats.append([(r[j] - mu) / sd for r in rows])
+    xs = [
+        (y, round(f1, 6), round(f2, 6))
+        for (y, _, _), f1, f2 in zip(rows, feats[0], feats[1])
+    ]
+    b, w1, w2 = 0.0, 0.0, 0.0
+    for _ in range(6):
+        gb = g1 = g2 = 0.0
+        for y, f1, f2 in xs:
+            p = 1.0 / (1.0 + math.exp(-(b + w1 * f1 + w2 * f2)))
+            r_ = p - y
+            gb += round(r_, 9)
+            g1 += round(r_ * f1, 9)
+            g2 += round(r_ * f2, 9)
+        b -= 1.0 * (gb / n)
+        w1 -= 1.0 * (g1 / n)
+        w2 -= 1.0 * (g2 / n)
+    assert out["intercept"] == pytest.approx(round(b, 6), abs=2e-6)
+    assert out["x1"] == pytest.approx(round(w1, 6), abs=2e-6)
+    assert out["x2"] == pytest.approx(round(w2, 6), abs=2e-6)
+    # it learned: separable by x1, nuisance x2 stays small
+    assert out["accuracy"] >= 0.95
+    assert out["x1"] > 1.0
+    assert abs(out["x2"]) < 0.3
+    assert out["log_loss"] < 0.45

@@ -39,40 +39,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # iteration order: queries that have never had a driver row (or changed since
 # their last green row) come first; long-stable green queries go to the tail
 # where a truncated window costs nothing.
-# Queries modified (or newly registered) in round 7.  Every name here MUST
+# Queries modified (or newly registered) in round 8.  Every name here MUST
 # also sit inside PRIORITY[:50]; tests/test_plans.py::test_priority_window_accounting
-# enforces that mechanically (never-driver-checked ∪ REGATE_R7 ⊆ window).
-# q_record_linkage / q_jaro_linkage are re-keyed this round (corpus-scaling
-# block keys, VERDICT r6 "What's wrong #2") but are never-driver-checked, so
-# the never-checked clause already pins them inside the window.
-# q_negative_samples is rebuilt as a binned equi-join (VERDICT r6 #1) but
-# spills to r8 with the other two deferred entries — never-checked + deferred
-# is exempt, and its driver row lands next round.
-REGATE_R7: list[str] = []
+# enforces that mechanically (never-driver-checked ∪ REGATE_R8 ⊆ window).
+REGATE_R8: list[str] = [
+    "q_negative_samples",   # r8: vocab cumsum rebuilt as distributed prefix-sum
+    "q_record_linkage",     # r8: SNM candidates now passes=2 (rotated keys)
+    "q9_product_profit",    # r8: optional bucketed-layout join path (flag-gated)
+    "q_msprt",              # r8: running (past-only) variance replay semantics
+    "q_media_decode",       # r8: decode_stats gains OGG/Opus container dispatch
+]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
 # pattern: late additions wait one round).  The window self-audit test
 # requires these to sit IMMEDIATELY after the window — first in line
 # for next round's rotation — and they are locally parity-verified in
-# the meantime (tests/oracle_parity.py).  The first three are the r6
-# backlog spill (53 deferred > 50 slots); new r7 registrations queue
-# behind them.
-DEFER_NEXT_ROUND: list[str] = [
-    "q_eb_shrinkage",        # late-r6 spill: empirical-Bayes rate shrinkage
-    "q_markov_absorption",   # late-r6 spill: absorbing-chain conversion prob
-    "q_negative_samples",    # late-r6 spill: word2vec negatives (r7: BNLJ → binned equi-join)
-    "q_margin_mining",       # NEW r7: ratio-margin candidate-pair mining
-    "q_msprt",               # NEW r7: always-valid sequential A/B inference
-    "q_logreg_train",        # NEW r7: GD logistic-regression training
-]
+# the meantime (tests/oracle_parity.py).  Empty in r8: the backlog fit
+# the window with slots to spare, and new r8 registrations were placed
+# directly inside the window (REGATE_R8).
+DEFER_NEXT_ROUND: list[str] = []
 
 PRIORITY: list[str] = [
-    # --- round-7 window (the driver checks the first 50) ---
-    # Exactly the first 50 of round 6's DEFER_NEXT_ROUND backlog, in
-    # their registration order: 53 late-r6 queries were parity-verified
-    # locally but never driver-checked; 50 fit, the last 3 spill to r8
-    # (DEFER_NEXT_ROUND above).  Nothing new registered in r7 may be
-    # placed ahead of these — the window self-audit test enforces it.
+    # --- round-8 window (the driver checks the first 50) ---
+    # Head: the 6 queries deferred from rounds 6-7 (the last of the
+    # late-r6 backlog + the three r7 registrations) — with these green
+    # the union of driver rows covers the full 250-query registry.
+    "q_eb_shrinkage",
+    "q_markov_absorption",
+    "q_negative_samples",
+    "q_margin_mining",
+    "q_msprt",
+    "q_logreg_train",
+    # REGATE_R8 entries not already above (queries whose plan changed
+    # this round) and new r8 registrations come next (names appended
+    # here as they are registered; the window self-audit enforces the
+    # invariant either way).
+    "q_record_linkage",
+    "q9_product_profit",
+    "q_media_decode",
+    # --- rotation tail (stable driver-green queries; a truncated
+    # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",
     "q_welch_ttest",
     "q_bootstrap_ci",
@@ -91,7 +97,6 @@ PRIORITY: list[str] = [
     "q_permutation_test",
     "q_image_neardup",
     "q_fk_orphans",
-    "q_record_linkage",
     "q_t_closeness",
     "q_kn_bigram_nll",
     "q_cosine_sim_join",
@@ -123,16 +128,6 @@ PRIORITY: list[str] = [
     "q_randomized_response",
     "q_modularity",
     "q_priority_sample",
-    # --- registered after the window filled (DEFER_NEXT_ROUND):
-    # immediately after the cut, first into the r8 window ---
-    "q_eb_shrinkage",
-    "q_markov_absorption",
-    "q_negative_samples",
-    "q_margin_mining",
-    "q_msprt",
-    "q_logreg_train",
-    # --- rotation tail (stable driver-green queries; a truncated
-    # window costs nothing here) ---
     # r6-green queries (CORRECTNESS_r06.json, 50/50)
     "q_cusum_drift",
     "q_mannwhitney",
@@ -144,7 +139,6 @@ PRIORITY: list[str] = [
     "q_hopping_window",
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_profit",
     "q21_sole_returner",
     "q22_dormant_customers",
     "q17_small_qty_revenue",
@@ -286,7 +280,6 @@ PRIORITY: list[str] = [
     "q_top_bigrams",
     "q_distinct_counts",
     "q_doc_components",
-    "q_media_decode",
     # r1-r3-green queries (stable since the first rounds; listed so the
     # window self-audit can prove PRIORITY covers the whole registry)
     "conte_set3",

@@ -2145,13 +2145,21 @@ def tfidf_cosine_pairs(
     )
     wp = posts.join(wterm, "tok")
     if bucket_table is not None:
+        import re
+
         from conte_to_fresco_etl_spark.sources.bucketed import (
             read_table,
             write_bucketed,
         )
 
-        write_bucketed(wp, bucket_table, "tok", n_buckets=n_buckets)
-        wp = read_table(df.sparkSession, bucket_table)
+        # suffix the caller's name with the session's applicationId:
+        # building this query eagerly materializes a catalog table, and
+        # two concurrent sessions sharing a warehouse dir must never
+        # race on one fixed location (ADVICE r7)
+        app = df.sparkSession.sparkContext.applicationId
+        tbl = f"{bucket_table}_{re.sub(r'[^0-9A-Za-z]', '_', app)}"
+        write_bucketed(wp, tbl, "tok", n_buckets=n_buckets)
+        wp = read_table(df.sparkSession, tbl)
         # merge hint: at test scale the posting table is
         # broadcast-small, which would swap in a BroadcastExchange and
         # mask the bucket layout; at 100 TB SMJ is the plan anyway.

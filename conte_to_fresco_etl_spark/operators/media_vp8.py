@@ -1050,6 +1050,11 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     (wcode,) = struct.unpack("<H", payload[6:8])
     (hcode,) = struct.unpack("<H", payload[8:10])
     w, h = wcode & 0x3FFF, hcode & 0x3FFF
+    if 10 + part1_size > len(payload):
+        # a corrupt/oversized header size would silently shorten the
+        # slice and the bool decoder would feed implicit zero bits —
+        # garbage planes instead of an error on a bad crawl file
+        raise ValueError("truncated VP8 frame")
     bd = BoolDecoder(payload[10: 10 + part1_size])
 
     bd.read_bool(128)  # color space
@@ -1096,11 +1101,18 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     rest = payload[10 + part1_size:]
     tds = []
     off = 3 * (n_parts - 1)
+    if off > len(rest):
+        raise ValueError("truncated VP8 frame")
     for p in range(n_parts):
         if p < n_parts - 1:
             sz = rest[3 * p] | rest[3 * p + 1] << 8 | rest[3 * p + 2] << 16
         else:
             sz = len(rest) - off
+        # bitstream-supplied sizes are untrusted: an oversized value
+        # (or a size table bigger than the payload, sz < 0 above)
+        # must fail loudly, never decode from a short slice
+        if sz < 0 or off + sz > len(rest):
+            raise ValueError("truncated VP8 frame")
         tds.append(BoolDecoder(rest[off: off + sz]))
         off += sz
 

@@ -2127,12 +2127,18 @@ def msprt(
     rejected).  Output per day: (day, n_days, cum_diff, log_lambda,
     reject_h0).
 
+    sigma^2 at day n is the RUNNING sample variance of the first n
+    daily diffs — each replayed decision conditions only on data seen
+    so far, exactly what a live always-valid deployment would have
+    done (an earlier draft estimated sigma^2 from the full series,
+    which leaks post-decision days into the replay; ADVICE r7).  Days
+    1..(n<2 or zero running variance) emit NULL log_lambda.
+
     Scale posture: the raw stream collapses to (variant, day) decimal
-    sums in ONE map-combinable aggregation; sigma^2 is estimated from
-    the days-sized difference series (quantize-then-square on the SAME
-    ROUND(6) value — the Welch/BH discipline) and enters as a 1-row
-    broadcast; the cumulative window runs over the collapsed daily
-    table only.  Cross-engine exactness: values quantize to
+    sums in ONE map-combinable aggregation; both running moments
+    (quantize-then-square on the SAME ROUND(6) value — the Welch/BH
+    discipline) come from cumulative windows over the collapsed
+    days-sized table only.  Cross-engine exactness: values quantize to
     DECIMAL(18,4) before any sum, daily diffs to DECIMAL(18,6) before
     the second moment and the cumulative sum, and log_lambda is one
     shared double expression tree, ROUND(6)."""
@@ -2166,24 +2172,26 @@ def msprt(
             .alias("dq"),
         )
     )
-    stats = daily.agg(
-        F.count("*").alias("nn"),
-        F.sum("dq").cast("double").alias("s1"),
-        F.sum(
-            (F.col("dq") * F.col("dq")).cast("decimal(38,12)")
-        ).cast("double").alias("s2"),
-    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
         F.sum("dq").over(w).cast("double").alias("sn"),
+        F.sum(
+            (F.col("dq") * F.col("dq")).cast("decimal(38,12)")
+        ).over(w).cast("double").alias("s2"),
         F.row_number().over(Window.orderBy("day")).cast("long").alias("n"),
     )
-    nn = F.col("nn").cast("double")
-    var = (F.col("s2") - nn * (F.col("s1") / nn) * (F.col("s1") / nn)) / (
-        nn - F.lit(1.0)
+    nd = F.col("n").cast("double")
+    joined = cum.select(
+        "day",
+        "n",
+        "sn",
+        F.when(
+            F.col("n") >= 2,
+            (F.col("s2") - nd * (F.col("sn") / nd) * (F.col("sn") / nd))
+            / (nd - F.lit(1.0)),
+        ).alias("var2"),
     )
-    joined = cum.join(broadcast(stats.select(var.alias("var2"), "nn")))
     t2 = F.lit(float(tau2))
     nd = F.col("n").cast("double")
     denom = F.col("var2") + nd * t2
@@ -2196,7 +2204,7 @@ def msprt(
 
     crit = F.lit(float(math.log(1.0 / alpha)))
     ll = F.when(
-        (F.col("nn") >= 2) & (F.col("var2") > 0),
+        (F.col("n") >= 2) & (F.col("var2") > 0),
         F.round(log_lambda, 6),
     )
     out = joined.select(
@@ -2273,6 +2281,8 @@ def logistic_regression_gd(
             ],
         ).collect()[0]
         cnt = float(srow["__n"])
+        if cnt == 0:
+            raise ValueError("empty training input")
         cols = [F.col("__y")]
         for n in names:
             mu = float(srow[f"s_{n}"]) / cnt
@@ -2306,6 +2316,8 @@ def logistic_regression_gd(
             ],
         ).collect()[0]
         n_rows = float(row["__n"])
+        if n_rows == 0:
+            raise ValueError("empty training input")
         b = b - lr * (float(row["__gb"]) / n_rows)
         for n in names:
             w[n] = w[n] - lr * (float(row[n]) / n_rows)

@@ -1916,6 +1916,9 @@ def margin_mining(
             valid = top > np.iinfo(np.int64).min
             bs = np.where(valid, top, 0).sum(axis=1)
             bcnt = valid.sum(axis=1)
+            # the backward-stat rows ride the same stream as the
+            # forward candidates; an explicit marker column (not an id
+            # sentinel) routes them so NO query id value is reserved
             frames = [
                 pd.DataFrame(
                     {
@@ -1924,6 +1927,7 @@ def margin_mining(
                         "cosine": np.zeros(c_ids.size),
                         "bs": bs,
                         "bc": bcnt.astype(np.int64),
+                        "is_bwd": np.ones(c_ids.size, dtype=bool),
                     }
                 )
             ]
@@ -1940,6 +1944,7 @@ def margin_mining(
             )
             cand["bs"] = np.int64(0)
             cand["bc"] = np.int64(0)
+            cand["is_bwd"] = False
             frames.append(cand)
             yield pd.concat(frames, ignore_index=True)
 
@@ -1949,13 +1954,13 @@ def margin_mining(
         score_batches,
         schema=(
             "query_id long, neighbor_id long, cosine double, "
-            "bs long, bc long"
+            "bs long, bc long, is_bwd boolean"
         ),
     )
-    bwd = out.filter(F.col("query_id") == -1).select(
+    bwd = out.filter(F.col("is_bwd")).select(
         "neighbor_id", "bs", "bc"
     )
-    cand = out.filter(F.col("query_id") != -1).select(
+    cand = out.filter(~F.col("is_bwd")).select(
         "query_id",
         "neighbor_id",
         "cosine",

@@ -5126,31 +5126,30 @@ _MSPRT_SQL = f"""
                   AS DECIMAL(18,6)) AS dq
       FROM daily WHERE na > 0 AND nb > 0
     ),
-    stats AS (
-      SELECT COUNT(*) AS nn, CAST(SUM(dq) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(dq * dq AS DECIMAL(38,12))) AS DOUBLE) AS s2
-      FROM dd
-    ),
     cum AS (
       SELECT day,
              CAST(SUM(dq) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
                                 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS sn,
+             CAST(SUM(CAST(dq * dq AS DECIMAL(38,12)))
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS DOUBLE) AS s2,
              CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS n
       FROM dd
     ),
     j AS (
-      SELECT c.*,
-             (s.s2 - CAST(s.nn AS DOUBLE)
-                     * (s.s1 / CAST(s.nn AS DOUBLE))
-                     * (s.s1 / CAST(s.nn AS DOUBLE)))
-             / (CAST(s.nn AS DOUBLE) - 1.0e0) AS var2,
-             s.nn
-      FROM cum c CROSS JOIN stats s
+      SELECT day, n, sn,
+             CASE WHEN n >= 2 THEN
+               (s2 - CAST(n AS DOUBLE)
+                     * (sn / CAST(n AS DOUBLE))
+                     * (sn / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0e0)
+             END AS var2
+      FROM cum
     ),
     ll AS (
       SELECT day, n AS n_days, ROUND(sn, 6) AS cum_diff,
-             CASE WHEN nn >= 2 AND var2 > 0.0e0 THEN ROUND(
+             CASE WHEN n >= 2 AND var2 > 0.0e0 THEN ROUND(
                0.5e0 * ln(var2 / (var2
                                   + CAST(n AS DOUBLE)
                                     * CAST('{_MSPRT_TAU2!r}' AS DOUBLE)))
@@ -5177,9 +5176,11 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject-at-5% decision — the peeking-safe complement to the gated
     fixed-horizon Welch/bootstrap/permutation tests.  One map-side
     aggregation collapses the stream to (variant, day) decimal sums;
-    sigma^2 comes from the days-sized diff series (quantize-then-square
-    on the SAME ROUND(6) value) as a 1-row broadcast; every window
-    runs over the collapsed daily table."""
+    sigma^2 at day n is the RUNNING variance of the first n diffs
+    (quantize-then-square on the SAME ROUND(6) value) so each replayed
+    decision conditions only on data seen so far — strict
+    always-validity (r8; ADVICE r7); every window runs over the
+    collapsed daily table."""
     from conte_to_fresco_etl_spark.operators.robust import msprt
 
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")

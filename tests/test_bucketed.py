@@ -79,11 +79,18 @@ def test_cosine_posting_self_join_consumes_bucket_layout(
     from conte_to_fresco_etl_spark.plans import catalog_text  # noqa: F401
 
     q = catalog.QUERIES["q_cosine_sim_join"]
+    # the operator suffixes the table with the applicationId (so
+    # concurrent sessions sharing a warehouse never race on one
+    # location); compute the same derived name for cleanup
+    import re
+
+    app = spark.sparkContext.applicationId
+    tbl = f"cosine_postings_bkt_{re.sub(r'[^0-9A-Za-z]', '_', app)}"
     # a stale location from a previous session's in-memory catalog
     # blocks saveAsTable even in overwrite mode — clear both layers
-    spark.sql("DROP TABLE IF EXISTS cosine_postings_bkt")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
-    shutil.rmtree(f"{wh}/cosine_postings_bkt", ignore_errors=True)
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     monkeypatch.delenv("SPARK_GRAFT_BUCKETED", raising=False)
     default = sorted(map(tuple, q(spark, sf_dir).collect()))
 
@@ -109,7 +116,7 @@ def test_cosine_posting_self_join_consumes_bucket_layout(
         assert "Exchange" not in subtree, subtree
         assert sorted(map(tuple, bucketed.collect())) == default
     finally:
-        spark.sql("DROP TABLE IF EXISTS cosine_postings_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_unbucketed_join_does_shuffle(spark, sf_dir):

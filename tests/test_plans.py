@@ -553,7 +553,6 @@ BNLJ_ALLOWED = {
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)
-    "q_msprt",                  # diff-series variance (1-row broadcast)
     "q_token_pmi",              # pair total (1-row broadcast)
     "q_unigram_nll",            # corpus total (1-row broadcast)
     "q_perplexity_buckets",     # inherits unigram_nll corpus total (1-row)

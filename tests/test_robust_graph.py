@@ -2509,23 +2509,33 @@ def test_msprt_hand_computed_and_monotone_reject(spark):
     }
     assert len(out) == 10
 
-    # hand computation from the same quantized daily diffs
+    # hand computation from the same quantized daily diffs — sigma^2
+    # at day t is the RUNNING variance of the first t diffs (each
+    # replayed decision sees only past data)
     dq = [round(d, 6) for d in diffs]
-    n = len(dq)
-    m = sum(dq) / n
-    var2 = (sum(x * x for x in dq) - n * m * m) / (n - 1)
     sn = 0.0
     expect_reject = False
     for t, d in enumerate(dq, start=1):
         sn += d
-        ll = 0.5 * math.log(var2 / (var2 + t * tau2)) + (
-            tau2 * sn * sn / (2 * var2 * (var2 + t * tau2))
-        )
-        assert out[t]["log_lambda"] == pytest.approx(
-            round(ll, 6), abs=2e-6
-        ), t
-        if round(ll, 6) >= math.log(20.0):
-            expect_reject = True
+        head = dq[:t]
+        if t >= 2:
+            m = sum(head) / t
+            var2 = (sum(x * x for x in head) - t * m * m) / (t - 1)
+        else:
+            var2 = 0.0
+        if t >= 2 and var2 > 0:
+            ll = 0.5 * math.log(var2 / (var2 + t * tau2)) + (
+                tau2 * sn * sn / (2 * var2 * (var2 + t * tau2))
+            )
+            assert out[t]["log_lambda"] == pytest.approx(
+                round(ll, 6), abs=2e-6
+            ), t
+            if round(ll, 6) >= math.log(20.0):
+                expect_reject = True
+        else:
+            # t=1 and the constant-diff prefix (zero running variance)
+            # emit no likelihood ratio
+            assert out[t]["log_lambda"] is None, t
         assert bool(out[t]["reject_h0"]) is expect_reject, t
     # the planted effect did reject, and the reversal days did not
     # un-reject (always-valid decisions are one-way doors)
@@ -2575,14 +2585,17 @@ def test_msprt_matches_python_twin(spark, series):
         for r in msprt(df, "variant", "value", "ts", 0, 1, tau2=1.0)
         .collect()
     }
-    n = len(diffs)
-    m = sum(diffs) / n
-    var2 = (sum(d * d for d in diffs) - n * m * m) / (n - 1)
     sn = 0.0
     for t, d in enumerate(diffs, start=1):
         sn += d
         assert got[t]["cum_diff"] == round(sn, 6)
-        if var2 > 0:
+        head = diffs[:t]
+        if t >= 2:
+            m = sum(head) / t
+            var2 = (sum(x * x for x in head) - t * m * m) / (t - 1)
+        else:
+            var2 = 0.0
+        if t >= 2 and var2 > 0:
             ll = 0.5 * math.log(var2 / (var2 + t)) + sn * sn / (
                 2 * var2 * (var2 + t)
             )

@@ -48,6 +48,9 @@ REGATE_R8: list[str] = [
     "q9_product_profit",    # r8: optional bucketed-layout join path (flag-gated)
     "q_msprt",              # r8: running (past-only) variance replay semantics
     "q_media_decode",       # r8: decode_stats gains OGG/Opus container dispatch
+    "q_mannwhitney",        # r8: midrank cumsum → distributed prefix-sum
+    "q_ks_test",            # r8: ECDF cumsums → distributed prefix-sum
+    "q_unigram_tokenizer",  # r8: rank window now over top-k, not full vocab
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -77,6 +80,9 @@ PRIORITY: list[str] = [
     "q_record_linkage",
     "q9_product_profit",
     "q_media_decode",
+    "q_mannwhitney",
+    "q_ks_test",
+    "q_unigram_tokenizer",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",
@@ -122,7 +128,6 @@ PRIORITY: list[str] = [
     "q_isotonic_calibration",
     "q_ips_offpolicy",
     "q_conformal_interval",
-    "q_unigram_tokenizer",
     "q_unigram_apply",
     "q_feature_hashing",
     "q_randomized_response",
@@ -130,8 +135,6 @@ PRIORITY: list[str] = [
     "q_priority_sample",
     # r6-green queries (CORRECTNESS_r06.json, 50/50)
     "q_cusum_drift",
-    "q_mannwhitney",
-    "q_ks_test",
     "q_mixture_diversity",
     "q_acf",
     "q_heldout_nll",

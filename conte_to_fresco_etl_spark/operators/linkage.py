@@ -68,6 +68,7 @@ def snm_window_pairs(
     key: Column,
     window: int = 3,
     part_len: int = 2,
+    passes: int = 1,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs ``(id_a, id_b)`` over an
     arbitrary sort-key expression: records sort by ``key`` and each
@@ -79,26 +80,55 @@ def snm_window_pairs(
 
     Scale posture: the sort is PARTITIONED by the key's ``part_len``-
     char prefix (never one global sort task); pairs straddling a
-    partition boundary are the documented SNM blind spot (multi-pass
-    with rotated keys is the standard remedy).  Output ids are
-    least/greatest-normalized; no pair appears twice because the
-    (key, id) order is total."""
-    keyed = df.select(F.col(id_col).alias("id"), key.alias("k")).withColumn(
-        "pblk", F.substring(F.col("k"), 1, part_len)
-    )
-    w = Window.partitionBy("pblk").orderBy("k", "id")
-    led = keyed.select(
-        "id",
-        *[F.lead("id", o).over(w).alias(f"n{o}") for o in range(1, window)],
-    )
-    cand = None
-    for o in range(1, window):
-        p = led.select(
-            F.least(F.col("id"), F.col(f"n{o}")).alias("id_a"),
-            F.greatest(F.col("id"), F.col(f"n{o}")).alias("id_b"),
-        ).filter(F.col(f"n{o}").isNotNull())
-        cand = p if cand is None else cand.unionAll(p)
-    return cand
+    partition boundary are the classic SNM blind spot, remedied the
+    standard way by ``passes > 1``: pass p re-sorts under the key
+    ROTATED left by ``floor(len·p/passes)`` characters (a pair split
+    by one pass's prefix boundary shares a prefix under a rotation
+    that starts inside their common substring), and the union of all
+    passes' candidates is deduplicated.  Candidate volume is
+    ``passes · n·(window−1)`` — still linear.  Output ids are
+    least/greatest-normalized; within one pass no pair appears twice
+    because the (key, id) order is total, and across passes the
+    ``distinct`` removes re-discoveries."""
+
+    def one_pass(k_expr: Column) -> DataFrame:
+        keyed = df.select(
+            F.col(id_col).alias("id"), k_expr.alias("k")
+        ).withColumn("pblk", F.substring(F.col("k"), 1, part_len))
+        w = Window.partitionBy("pblk").orderBy("k", "id")
+        led = keyed.select(
+            "id",
+            *[
+                F.lead("id", o).over(w).alias(f"n{o}")
+                for o in range(1, window)
+            ],
+        )
+        cand = None
+        for o in range(1, window):
+            p = led.select(
+                F.least(F.col("id"), F.col(f"n{o}")).alias("id_a"),
+                F.greatest(F.col("id"), F.col(f"n{o}")).alias("id_b"),
+            ).filter(F.col(f"n{o}").isNotNull())
+            cand = p if cand is None else cand.unionAll(p)
+        return cand
+
+    out = None
+    for p in range(int(passes)):
+        if p == 0:
+            kp = key
+        else:
+            # rotate left by floor(len·p/passes): both engines divide
+            # in double and floor, so the oracle mirrors this exactly
+            off = F.floor(
+                F.length(key) * F.lit(p) / F.lit(int(passes))
+            ).cast("int")
+            kp = F.concat(
+                key.substr(off + F.lit(1), F.length(key)),
+                key.substr(F.lit(1), off),
+            )
+        c = one_pass(kp)
+        out = c if out is None else out.unionAll(c)
+    return out if int(passes) == 1 else out.distinct()
 
 
 def fellegi_sunter_pairs(

@@ -691,12 +691,13 @@ def mannwhitney_u(
     in both engines.
 
     Scale posture: one (value) count shuffle collapses the corpus to
-    |distinct values| rows; the single unpartitioned cumulative window
-    runs on that collapsed table (same discipline as ``ks_test`` —
-    never rank raw rows under a global window, which WindowExec would
-    execute as ONE task holding the whole slice).  Empty-group and
-    nn≤1 inputs short-circuit z to an explicit NULL instead of
-    NaN-poisoning the ordering."""
+    |distinct values| rows — but a CONTINUOUS metric leaves that table
+    data-sized, so the cumulative tie counts come from the distributed
+    two-pass prefix sum (``parallelism.prefix_sums``: range-partition
+    on v, per-partition cumsum, broadcast triangular offsets), never a
+    single-task global window (same discipline as ``ks_test``; r8).
+    Empty-group and nn≤1 inputs short-circuit z to an explicit NULL
+    instead of NaN-poisoning the ordering."""
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -708,16 +709,21 @@ def mannwhitney_u(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tie_n = F.col("ca") + F.col("cb")
-    ranked = per_v.select(
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    tied = per_v.select(
+        "v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("tie_n")
+    )
+    ranked = prefix_sums(tied, "v", ["tie_n"]).select(
         "ca",
         "cb",
-        tie_n.alias("tie_n"),
+        "tie_n",
         # midrank of every row tied at v is cum_before + (tie_n+1)/2;
         # doubled it is the exact integer 2·cum_before + tie_n + 1
         (
-            F.lit(2) * (F.sum(tie_n).over(w) - tie_n) + tie_n + F.lit(1)
+            F.lit(2) * (F.col("cum_tie_n") - F.col("tie_n"))
+            + F.col("tie_n")
+            + F.lit(1)
         ).alias("midrank_x2"),
     )
     agg = ranked.agg(
@@ -782,12 +788,12 @@ def ks_test(
     both engines rank identically (ties to the smaller value).
 
     Scale posture: one (value) count shuffle collapses the corpus to
-    |distinct values| rows; the cumulative windows and argmax run on
-    that collapsed table.  The unpartitioned value-ordered window is
-    inherent to a global ECDF — at corpus scale pre-bin values (the
-    ECDF of binned data bounds D within one bin mass).  A one-group
-    input (n_a or n_b = 0) returns an explicit all-NULL d_stat row
-    rather than NaN/NULL-ordering noise."""
+    |distinct values| rows — data-sized for a continuous metric, so
+    the ECDF's cumulative counts come from the distributed two-pass
+    prefix sum (``parallelism.prefix_sums``), never a single-task
+    global window (r8); the argmax runs map-combinable over the same
+    table.  A one-group input (n_a or n_b = 0) returns an explicit
+    all-NULL d_stat row rather than NaN/NULL-ordering noise."""
     two = df.filter(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -799,15 +805,17 @@ def ks_test(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
     tot = per_v.agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
     gaps = (
-        per_v.select(
+        prefix_sums(per_v, "v", ["ca", "cb"])
+        .select(
             "v",
-            F.sum("ca").over(w).alias("cum_a"),
-            F.sum("cb").over(w).alias("cum_b"),
+            F.col("cum_ca").alias("cum_a"),
+            F.col("cum_cb").alias("cum_b"),
         )
         .crossJoin(broadcast(tot))
         .select(

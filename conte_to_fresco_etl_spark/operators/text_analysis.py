@@ -2312,11 +2312,16 @@ def unigram_lm_tokenizer(
 
     final = _em_round_df(_uni_logprobs(vocab_counts))
     tot = final.agg(F.sum("pc").cast("double").alias("tot"))
+    # top-k first (distributed TakeOrdered), THEN the rank window over
+    # only top_out rows — a global row_number over the full piece
+    # table would sort the whole vocabulary in one task
+    top = final.orderBy(F.col("pc").desc(), F.col("p").asc()).limit(
+        top_out
+    )
     w_rank = Window.orderBy(F.col("pc").desc(), F.col("p").asc())
     return (
-        final.join(F.broadcast(tot))
+        top.join(F.broadcast(tot))
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= top_out)
         .select(
             F.col("rank").cast("long").alias("rank"),
             F.col("p").alias("piece"),
@@ -2467,7 +2472,15 @@ def negative_samples(
 
     Scale posture: the corpus collapses to the vocabulary count table
     in ONE shuffle; the cumulative-interval table is vocabulary-sized
-    (global window over the collapsed aggregate).  The draw probe is a
+    and builds by a DISTRIBUTED two-pass prefix sum — range-partition
+    the vocabulary on the token, per-partition decimal running sums,
+    then add each partition's broadcast running offset (the offsets
+    table is |partitions| rows) — so no single task ever sorts or
+    scans the whole vocabulary (the r7 draft's empty-partition
+    ``Window.orderBy`` did exactly that; a 10⁷–10⁸-token web
+    vocabulary would straggle on it).  Decimal addition is exact, so
+    any contiguous split in token order yields bit-identical interval
+    boundaries.  The draw probe is a
     BINNED EQUI-JOIN, not a broadcast range join: the [0, tot) mass
     axis is cut into |V| fixed-width bins, each interval explodes to
     the bins it covers (Σ coverage ≈ 2·|V| rows — each interval covers
@@ -2486,16 +2499,19 @@ def negative_samples(
     cd = F.col("c").cast("double")
     w = F.sqrt(F.sqrt(cd * cd * cd))
     counts = tok.groupBy("t").agg(F.count("*").alias("c"))
-    wv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     wd = F.round(w, 9).cast("decimal(28,9)")
-    cum = counts.select(
-        "t",
-        F.sum(wd).over(wv).alias("hi_d"),
-        wd.alias("wd"),
+    # distributed prefix sum (parallelism.prefix_sums): range-partition
+    # by token, per-partition decimal cumsums, broadcast triangular
+    # offsets — exact decimal arithmetic makes the result independent
+    # of where the sampled range boundaries fall
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    cum = prefix_sums(
+        counts.select("t", wd.alias("wd")), "t", ["wd"]
     ).select(
         "t",
-        F.col("hi_d").cast("double").alias("hi"),
-        (F.col("hi_d") - F.col("wd")).cast("double").alias("lo"),
+        F.col("cum_wd").cast("double").alias("hi"),
+        (F.col("cum_wd") - F.col("wd")).cast("double").alias("lo"),
     )
     stats = cum.agg(F.max("hi").alias("tot"), F.count("*").alias("nv"))
     _bin = lambda x: F.least(  # noqa: E731 — shared by BOTH join sides

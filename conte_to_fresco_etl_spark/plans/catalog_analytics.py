@@ -3603,23 +3603,43 @@ def _fs_contrib_sql(name: str, m: float) -> str:
 #: partition) — inside 2-char prefix partitions (the 100 trailing-digit
 #: pairs) and pair with their window-1 successors: n·(window−1)
 #: candidates, LINEAR in the corpus (the r6-gated nation block grew
-#: Σ block² quadratically).
+#: Σ block² quadratically).  TWO passes (r8): pass 2 re-sorts under
+#: the key rotated left by floor(len/2) — the operator's
+#: partition-boundary blind-spot remedy — and the union deduplicates;
+#: this SQL mirrors linkage.snm_window_pairs(passes=2) exactly.
 _FS_SNM_WINDOW = 4
 
-_FS_SNM_CAND = f"""
-    led AS (
+
+def _fs_snm_led(src: str, tag: str) -> str:
+    return f"""
+    led{tag} AS (
       SELECT id,
              {', '.join(
                  f"lead(id, {o}) OVER (PARTITION BY substr(k, 1, 2) "
                  f"ORDER BY k, id) AS n{o}"
                  for o in range(1, _FS_SNM_WINDOW))}
+      FROM {src}
+    )"""
+
+
+_FS_SNM_CAND = f"""
+    n_rot AS (
+      SELECT id,
+             substr(k, CAST(floor(length(k) * 1 / 2) AS INT) + 1)
+               || substr(k, 1, CAST(floor(length(k) * 1 / 2) AS INT))
+               AS k
       FROM n
     ),
+    {_fs_snm_led('n', '')},
+    {_fs_snm_led('n_rot', 'r')},
     cand AS (
-      {' UNION ALL '.join(
-          f"SELECT LEAST(id, n{o}) AS id_a, GREATEST(id, n{o}) AS id_b "
-          f"FROM led WHERE n{o} IS NOT NULL"
-          for o in range(1, _FS_SNM_WINDOW))}
+      SELECT DISTINCT id_a, id_b FROM (
+        {' UNION ALL '.join(
+            f"SELECT LEAST(id, n{o}) AS id_a, GREATEST(id, n{o}) AS id_b "
+            f"FROM led{tag} WHERE n{o} IS NOT NULL"
+            for tag in ('', 'r')
+            for o in range(1, _FS_SNM_WINDOW))}
+      )
     )"""
 
 _FS_SQL = f"""
@@ -3646,9 +3666,11 @@ _FS_SQL = f"""
 @_q("q_record_linkage", _FS_SQL)
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage over SNM-blocked
-    customer pairs: sorted-neighborhood candidates (reversed-name
-    rotated-key sort, each record vs its 3 successors — n·(w−1) pairs,
-    linear in the corpus; the fixed-cardinality nation block this
+    customer pairs: TWO-pass sorted-neighborhood candidates
+    (reversed-name sort + its half-rotation, each record vs its 3
+    successors per pass, union-deduped — 2·n·(w−1) pairs, linear in
+    the corpus, and pass 2 recovers pairs straddling pass 1's prefix
+    partition boundaries; the fixed-cardinality nation block this
     replaces grew Σ block² quadratically at 100×), scored by
     per-field agreement (segment,
     balance band, name suffix digits) weighted by log2(m/u) with u
@@ -3699,6 +3721,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("c_name")),
         window=_FS_SNM_WINDOW,
         part_len=2,
+        passes=2,
     )
     return fellegi_sunter_pairs(
         cust, "id", [], fields, top_k=_FS_TOP_K, candidates=cand

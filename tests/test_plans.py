@@ -537,9 +537,11 @@ BNLJ_ALLOWED = {
     "q_modularity",             # edge total m (1-row broadcast)
     "q_priority_sample",        # tau threshold (1-row broadcast)
     "q_eb_shrinkage",           # beta prior alpha/beta (1-row broadcast)
-    "q_negative_samples",       # corpus total + vocab size (1-row broadcast);
-                                # the draw probe itself is a binned EQUI-join
-                                # since r7 — the vocab table never BNLJ-probes
+    "q_negative_samples",       # corpus total + vocab size (1-row broadcast)
+                                # + the |shuffle partitions|-row prefix-sum
+                                # offsets triangular join (r8); the draw probe
+                                # itself is a binned EQUI-join since r7 — the
+                                # vocab table never BNLJ-probes
     "q_decontaminate_bloom",    # aggregated bloom filter (1-row)
     "q_dq_report",              # corpus stat row (1-row broadcast)
     "q_dsir_weights",           # vocab totals (1-row broadcast)
@@ -549,7 +551,11 @@ BNLJ_ALLOWED = {
     "q_vocab_growth",           # regression moments (1-row broadcast)
     "q_acf",                    # series mean + denominator (1-row each)
     "q_heldout_nll",            # train-LM totals (1-row broadcast)
-    "q_ks_test",                # group totals (1-row broadcast)
+    "q_ks_test",                # group totals (1-row broadcast) + the
+                                # |shuffle partitions|-row prefix-sum
+                                # offsets triangular join (r8)
+    "q_mannwhitney",            # prefix-sum offsets triangular join (r8,
+                                # |shuffle partitions| rows)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

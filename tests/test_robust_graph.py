@@ -2054,6 +2054,42 @@ def test_snm_window_pairs_linear_and_normalized(spark):
     assert all(r["id_a"] < r["id_b"] for r in out)
 
 
+def test_snm_multipass_recovers_boundary_pair(spark):
+    """The SNM partition-boundary blind spot and its standard remedy:
+    two records adjacent in sort order but split by the prefix
+    partition ("abQQ" | "acQQ" with part_len=2) produce NO candidate
+    in a single pass; ``passes=2`` re-sorts under the half-rotated key
+    ("QQab" | "QQac" — same "QQ" prefix, adjacent) and recovers the
+    pair, while never dropping anything pass 1 found."""
+    from conte_to_fresco_etl_spark.operators.linkage import snm_window_pairs
+
+    rows = [
+        (1, "abQQ"),
+        (2, "acQQ"),
+        # filler sharing pass-1 prefixes so the blind-spot rows are
+        # not alone for trivial reasons
+        (3, "abAA"),
+        (4, "acZZ"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in snm_window_pairs(
+            df, "id", F.col("k"), window=2, part_len=2
+        ).collect()
+    }
+    # pass 1 sorts {3,1} under "ab" and {2,4} under "ac": the true
+    # neighbors 1-2 straddle the boundary and are MISSED
+    assert single == {(1, 3), (2, 4)}
+    multi_rows = snm_window_pairs(
+        df, "id", F.col("k"), window=2, part_len=2, passes=2
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert (1, 2) in multi          # boundary pair recovered
+    assert single <= multi          # pass 1 candidates all kept
+    assert len(multi_rows) == len(multi)  # union-dedup: no dup pairs
+
+
 def test_fellegi_sunter_candidates_path_matches_block_path(spark):
     """Scoring externally-supplied candidates must produce the same
     scores as the equality-block path restricted to those pairs."""

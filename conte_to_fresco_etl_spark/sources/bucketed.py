@@ -51,3 +51,33 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     bucket spec only survives a catalog read; ``spark.read.parquet``
     on the files would silently drop it and re-shuffle downstream."""
     return spark.table(table)
+
+
+def ensure_bucketed(
+    df: DataFrame,
+    base: str,
+    key: str | list[str],
+    n_buckets: int = 8,
+    token: str = "",
+) -> DataFrame:
+    """Write-once-per-session bucketed staging: derive a table name
+    unique to (``base``, ``token``, this session's applicationId),
+    write ``df`` bucketed by ``key`` only if the table is absent, and
+    read it back through the catalog.
+
+    The applicationId suffix means concurrent sessions sharing a
+    warehouse dir never race on one location (the tfidf bucket-table
+    discipline); ``token`` distinguishes different inputs under one
+    base name (callers pass a hash of the source path).  At 100 TB
+    this is the "shuffle the fact table exactly once at ingest" path:
+    the write pays the key shuffle once and every downstream join or
+    aggregation on ``key`` consumes the stored layout exchange-free."""
+    import re
+
+    spark = df.sparkSession
+    app = re.sub(r"[^0-9A-Za-z]", "_", spark.sparkContext.applicationId)
+    tok = re.sub(r"[^0-9A-Za-z]", "_", token)
+    tbl = f"{base}_{tok}_{app}" if tok else f"{base}_{app}"
+    if not spark.catalog.tableExists(tbl):
+        write_bucketed(df, tbl, key, n_buckets=n_buckets)
+    return read_table(spark, tbl)

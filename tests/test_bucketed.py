@@ -131,3 +131,57 @@ def test_unbucketed_join_does_shuffle(spark, sf_dir):
         "event_type"
     ).agg(F.count("*").alias("n"))
     assert "Exchange" in _plan(joined)
+
+
+def test_q9_fact_fact_join_consumes_bucket_layout(
+    spark, sf_dir, monkeypatch
+):
+    """The gated q9_product_profit routed through bucketed storage
+    (SPARK_GRAFT_BUCKETED=1): lineitem and orders — the only join
+    whose two inputs both scale with the corpus — become a
+    SortMergeJoin reading two `Bucketed: true` scans with NO Exchange
+    in the join subtree (the broadcast dimension joins preserve the
+    streamed side's distribution), and the results equal the default
+    plain-scan path row-for-row."""
+    import hashlib
+    import re
+
+    from conte_to_fresco_etl_spark.plans import catalog
+    from conte_to_fresco_etl_spark.plans import catalog_tpch  # noqa: F401
+
+    q = catalog.QUERIES["q9_product_profit"]
+    app = re.sub(r"[^0-9A-Za-z]", "_", spark.sparkContext.applicationId)
+    tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tables = [f"q9_lineitem_bkt_{tok}_{app}", f"q9_orders_bkt_{tok}_{app}"]
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETED", raising=False)
+    default = sorted(map(tuple, q(spark, sf_dir).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    try:
+        bucketed = q(spark, sf_dir)
+        plan = _plan(bucketed)
+        lines = plan.splitlines()
+        smj = [
+            i for i, ln in enumerate(lines)
+            if "SortMergeJoin" in ln and "orderkey" in ln
+        ]
+        assert smj, plan
+        scans = [
+            i for i, ln in enumerate(lines)
+            if "Bucketed: true" in ln and i > smj[0]
+        ]
+        assert len(scans) == 2, plan
+        # no SHUFFLE exchange in the join subtree (the stored layout
+        # IS the partitioning); the dimension BroadcastExchanges are
+        # intentional and preserve the streamed side's distribution
+        subtree = "\n".join(lines[smj[0]: scans[-1] + 1])
+        for shuffle in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange SinglePartition",
+        ):
+            assert shuffle not in subtree, subtree
+        assert sorted(map(tuple, bucketed.collect())) == default
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1453,3 +1453,89 @@ def test_vp8_multi_partition_token_streams():
 
     with pytest.raises(ValueError, match="n_partitions"):
         encode_vp8(img, n_partitions=3)
+
+
+def test_vp8_rfc_default_probability_tables():
+    """The three RFC 6386 default probability tables (transcribed r8,
+    replacing the r7 fixtures): structural invariants plus well-known
+    anchor rows, so any transcription slip fails loudly rather than
+    desynchronizing a third-party stream.
+
+    Anchors are the spec's famous first rows: kf_bmode_prob[0][0] =
+    {231,120,48,89,115,113,120,152,112} and default_coef_probs type 0
+    band 1 ctx 0 = {253,136,254,255,228,219,...} (band 0 of type 0 is
+    all-128 filler — coefficient 0 of a Y-after-Y2 block is carried in
+    the Y2 block)."""
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        COEF_PROBS,
+        COEF_UPDATE_PROBS,
+        IMPLIED_BMODE,
+        KF_BMODE_PROBS,
+        B_DC, B_HE, B_TM, B_VE,
+        DC_PRED, H_PRED, TM_PRED, V_PRED,
+    )
+
+    # shapes
+    assert len(COEF_PROBS) == 4 and len(COEF_UPDATE_PROBS) == 4
+    for tab in (COEF_PROBS, COEF_UPDATE_PROBS):
+        for t in tab:
+            assert len(t) == 8
+            for band in t:
+                assert len(band) == 3
+                for row in band:
+                    assert len(row) == 11
+                    # probabilities are never 0 (p/256 with p>=1)
+                    assert all(1 <= v <= 255 for v in row)
+    assert len(KF_BMODE_PROBS) == 10
+    for a in KF_BMODE_PROBS:
+        assert len(a) == 10
+        for row in a:
+            assert len(row) == 9
+            assert all(1 <= v <= 255 for v in row)
+
+    # anchor rows (RFC 6386 reference-code constants)
+    assert KF_BMODE_PROBS[0][0] == [231, 120, 48, 89, 115, 113, 120, 152, 112]
+    assert KF_BMODE_PROBS[0][1] == [152, 179, 64, 126, 170, 118, 46, 70, 95]
+    assert COEF_PROBS[0][0][0] == [128] * 11
+    assert COEF_PROBS[0][1][0] == [
+        253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128
+    ]
+    # update probs skew hard toward "no update" (values near 255)
+    flat_upd = [
+        v for t in COEF_UPDATE_PROBS for b in t for c in b for v in c
+    ]
+    assert min(flat_upd) >= 176
+    assert flat_upd.count(255) > 800
+
+    # the non-B_PRED context mapping follows the spec's mode algebra
+    assert IMPLIED_BMODE == {
+        DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM
+    }
+
+
+def test_vp8_bmode_context_actually_used():
+    """Contextual kf_bmode_prob coding is live, not decorative: the
+    encoder and decoder agree on a B_PRED frame (bit-exact planes),
+    and the bitstream DIFFERS from one coded with a context-free
+    table choice — i.e. the [above][left] indexing really steers the
+    arithmetic coder."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators import media_vp8 as m
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.float32)
+    payload = m.encode_vp8(img, qi=40, b_pred=True)
+    planes, w, h = m.decode_vp8_planes(payload)
+    assert (w, h) == (24, 24)
+
+    # re-encode with a patched constant table: stream must differ
+    flat = [m.KF_BMODE_PROBS[0][0]] * 10
+    patched = [list(flat) for _ in range(10)]
+    orig = m.KF_BMODE_PROBS
+    try:
+        m.KF_BMODE_PROBS = patched
+        payload2 = m.encode_vp8(img, qi=40, b_pred=True)
+    finally:
+        m.KF_BMODE_PROBS = orig
+    assert payload != payload2

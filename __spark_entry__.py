@@ -47,7 +47,6 @@ REGATE_R8: list[str] = [
     "q_record_linkage",     # r8: SNM candidates now passes=2 (rotated keys)
     "q9_product_profit",    # r8: optional bucketed-layout join path (flag-gated)
     "q_msprt",              # r8: running (past-only) variance replay semantics
-    "q_media_decode",       # r8: decode_stats gains OGG/Opus container dispatch
     "q_mannwhitney",        # r8: midrank cumsum → distributed prefix-sum
     "q_ks_test",            # r8: ECDF cumsums → distributed prefix-sum
     "q_unigram_tokenizer",  # r8: rank window now over top-k, not full vocab
@@ -79,7 +78,6 @@ PRIORITY: list[str] = [
     # invariant either way).
     "q_record_linkage",
     "q9_product_profit",
-    "q_media_decode",
     "q_mannwhitney",
     "q_ks_test",
     "q_unigram_tokenizer",
@@ -283,6 +281,7 @@ PRIORITY: list[str] = [
     "q_top_bigrams",
     "q_distinct_counts",
     "q_doc_components",
+    "q_media_decode",
     # r1-r3-green queries (stable since the first rounds; listed so the
     # window self-audit can prove PRIORITY covers the whole registry)
     "conte_set3",

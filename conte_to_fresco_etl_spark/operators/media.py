@@ -615,6 +615,24 @@ def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
         )
 
         return decode_webp(payload)
+    if payload[:4] == b"OggS":
+        # the CONTAINER parses natively (pages, CRC, packet
+        # reassembly, codec ident headers — media_ogg.py); the DSP
+        # decode of the compressed audio inside is the remaining
+        # plug-point, and the raise names exactly what was found
+        from conte_to_fresco_etl_spark.operators.media_ogg import (
+            ogg_stream_info,
+        )
+
+        info = ogg_stream_info(payload)
+        raise NotImplementedError(
+            f"OGG container parsed (codec={info['codec']}, "
+            f"channels={info['channels']}, "
+            f"sample_rate={info['sample_rate']}, "
+            f"pages={info['n_pages']}, packets={info['n_packets']}): "
+            f"{info['codec']} DSP decode requires a codec library not "
+            "present in this environment"
+        )
     return strict_codec(payload, modality)
 
 
@@ -679,6 +697,86 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
         batches,
         schema="media_id long, modality string, n_bytes long, "
         "payload_md5 string, n_values long, mean double, std double",
+    )
+
+
+#: magic-byte → format label for container triage (no decode).
+_MAGIC_FORMATS = (
+    (lambda p: p[:2] == b"P6", "ppm"),
+    (lambda p: p[:8] == _PNG_SIG, "png"),
+    (lambda p: p[:6] in (b"GIF87a", b"GIF89a"), "gif"),
+    (lambda p: p[:2] == b"\xff\xd8", "jpeg"),
+    (lambda p: p[:4] == b"fLaC", "flac"),
+    (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", "wav"),
+    (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WEBP", "webp"),
+    (lambda p: p[:4] == b"OggS", "ogg"),
+)
+
+
+def container_stats(df: DataFrame) -> DataFrame:
+    """Container-level triage WITHOUT decoding — the pass a crawl
+    pipeline runs over billions of payloads before deciding what to
+    decode: magic-byte format label, and for OGG streams the full
+    native container walk (pages, CRC verify, packet reassembly,
+    Opus/Vorbis ident headers — ``media_ogg.py``).  Corrupt containers
+    come back with format "corrupt-<fmt>" instead of poisoning the
+    batch.
+
+    Output: (media_id, format, codec, channels, sample_rate, n_pages,
+    n_packets, last_granule); the audio columns are NULL for image
+    formats.  Same scale posture as decode_stats: payloads never leave
+    the executor, one Arrow round trip, batch-local work only."""
+    from conte_to_fresco_etl_spark.operators.media_ogg import (
+        ogg_stream_info,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "format": [], "codec": [],
+                "channels": [], "sample_rate": [], "n_pages": [],
+                "n_packets": [], "last_granule": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                fmt = "unknown"
+                for sniff, label in _MAGIC_FORMATS:
+                    if sniff(raw):
+                        fmt = label
+                        break
+                row = {
+                    "codec": None, "channels": None,
+                    "sample_rate": None, "n_pages": None,
+                    "n_packets": None, "last_granule": None,
+                }
+                if fmt == "ogg":
+                    try:
+                        info = ogg_stream_info(raw)
+                        row = {
+                            "codec": info["codec"],
+                            "channels": info["channels"],
+                            "sample_rate": info["sample_rate"],
+                            "n_pages": info["n_pages"],
+                            "n_packets": info["n_packets"],
+                            "last_granule": info["last_granule"],
+                        }
+                    except ValueError:
+                        fmt = "corrupt-ogg"
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return ensure_min_parallelism(
+        df.select("media_id", "payload"), DENSE_BYTES_PER_TASK
+    ).mapInPandas(
+        batches,
+        schema="media_id long, format string, codec string, "
+        "channels long, sample_rate long, n_pages long, "
+        "n_packets long, last_granule long",
     )
 
 

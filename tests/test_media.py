@@ -1539,3 +1539,113 @@ def test_vp8_bmode_context_actually_used():
     finally:
         m.KF_BMODE_PROBS = orig
     assert payload != payload2
+
+
+def _ogg_opus_fixture() -> bytes:
+    """A spec-valid 3-page OGG-Opus stream: OpusHead page (BOS),
+    OpusTags page, and an audio page whose SECOND packet is continued
+    onto a fourth page (exercises cross-page reassembly and the
+    255-lacing rule)."""
+    from conte_to_fresco_etl_spark.operators.media_ogg import (
+        build_ogg_page,
+    )
+
+    import struct
+
+    head = (
+        b"OpusHead" + bytes([1, 2])          # version 1, 2 channels
+        + struct.pack("<H", 312)              # pre-skip
+        + struct.pack("<I", 48000)            # input sample rate
+        + struct.pack("<h", 0) + bytes([0])   # gain, mapping family
+    )
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    pkt1 = bytes(range(256)) * 2              # 512 bytes: lacing 255,255,2
+    pkt2 = b"\xaa" * 300                      # continued across pages
+    p0 = build_ogg_page(7, 0, 0, [head], header_type=0x02)      # BOS
+    p1 = build_ogg_page(7, 1, 0, [tags])
+    p2 = build_ogg_page(
+        7, 2, 960, [pkt1[:255], pkt1[255:510], pkt1[510:], pkt2[:255]]
+    )
+    # continuation page: first segment continues pkt2 (flag 0x01); EOS
+    p3 = build_ogg_page(7, 3, 1920, [pkt2[255:]], header_type=0x05)
+    return p0 + p1 + p2 + p3
+
+
+def test_ogg_container_walk_and_stream_info():
+    """RFC 3533 walk: pages parse with CRC verified, packets
+    reassemble across lacing boundaries AND page continuations, and
+    the OpusHead ident header yields the stream description."""
+    from conte_to_fresco_etl_spark.operators.media_ogg import (
+        ogg_stream_info,
+        parse_ogg,
+    )
+
+    stream = _ogg_opus_fixture()
+    parsed = parse_ogg(stream)
+    assert len(parsed["pages"]) == 4
+    assert [p["seq"] for p in parsed["pages"]] == [0, 1, 2, 3]
+    assert len(parsed["packets"]) == 4          # head, tags, audio x2
+    assert parsed["packets"][2] == bytes(range(256)) * 2
+    assert parsed["packets"][3] == b"\xaa" * 300
+    assert parsed["last_granule"] == 1920
+
+    info = ogg_stream_info(stream)
+    assert info["codec"] == "opus"
+    assert info["channels"] == 2
+    assert info["sample_rate"] == 48000
+    assert info["pre_skip"] == 312
+    assert info["n_pages"] == 4 and info["n_packets"] == 4
+
+
+def test_ogg_rejects_corruption():
+    """Bitstream-supplied structure is untrusted: a flipped body byte
+    fails the page CRC, a truncated tail fails loudly, and garbage is
+    not an OGG stream — never silent misparse (the VP8 bounds-check
+    discipline)."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media_ogg import parse_ogg
+
+    stream = _ogg_opus_fixture()
+    flipped = bytearray(stream)
+    flipped[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(flipped))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ogg(stream[:-5])
+    with pytest.raises(ValueError, match="OggS"):
+        parse_ogg(b"not an ogg stream at all")
+    # CRC check can be waived explicitly (diagnostics on damaged files)
+    assert parse_ogg(bytes(flipped), verify_crc=False)["pages"]
+
+
+def test_ogg_numpy_codec_dispatch_and_container_stats(spark):
+    """numpy_codec recognizes OggS and raises the honest plug-point
+    error NAMING the identified codec; container_stats triages a
+    mixed-format payload column distributed (ogg fields populated,
+    image rows labeled with NULL audio fields, corrupt ogg flagged)."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        container_stats,
+        numpy_codec,
+    )
+
+    stream = _ogg_opus_fixture()
+    with pytest.raises(NotImplementedError, match="codec=opus"):
+        numpy_codec(stream, "audio")
+
+    ppm = b"P6\n2 2\n255\n" + bytes(12)
+    corrupt = bytearray(stream)
+    corrupt[-1] ^= 0xFF
+    rows = [
+        (1, stream),
+        (2, ppm),
+        (3, bytes(corrupt)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in container_stats(df).collect()}
+    assert got[1]["format"] == "ogg" and got[1]["codec"] == "opus"
+    assert got[1]["sample_rate"] == 48000 and got[1]["n_packets"] == 4
+    assert got[2]["format"] == "ppm" and got[2]["codec"] is None
+    assert got[3]["format"] == "corrupt-ogg"

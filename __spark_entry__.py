@@ -50,6 +50,12 @@ REGATE_R8: list[str] = [
     "q_mannwhitney",        # r8: midrank cumsum → distributed prefix-sum
     "q_ks_test",            # r8: ECDF cumsums → distributed prefix-sum
     "q_unigram_tokenizer",  # r8: rank window now over top-k, not full vocab
+    # NEW r8 registrations (agreement/reliability family)
+    "q_cohens_kappa",
+    "q_fleiss_kappa",
+    "q_mcnemar",
+    "q_cochran_q",
+    "q_cronbach_alpha",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -81,6 +87,11 @@ PRIORITY: list[str] = [
     "q_mannwhitney",
     "q_ks_test",
     "q_unigram_tokenizer",
+    "q_cohens_kappa",
+    "q_fleiss_kappa",
+    "q_mcnemar",
+    "q_cochran_q",
+    "q_cronbach_alpha",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

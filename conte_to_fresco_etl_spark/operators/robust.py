@@ -2359,3 +2359,303 @@ def logistic_regression_gd(
             "AS (term, value)"
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (raters, annotation pipelines, a model vs a
+    gold set): kappa = (p_o - p_e) / (1 - p_e) with p_o the observed
+    agreement rate and p_e the agreement expected from the raters'
+    marginal distributions.  Output — ONE row: ``(n, po, pe, kappa)``
+    (ROUND 6; kappa NULL when p_e = 1, i.e. both raters constant).
+
+    Scale posture: the corpus collapses to the |A|x|B| contingency
+    table in ONE map-combinable shuffle; marginals and the expected
+    agreement derive from that table (a category-keyed equi-join of
+    the two marginal vectors), and the closing algebra crosses two
+    1-row aggregates.  Exactness: every input to the kappa expression
+    is an INTEGER count, so both engines evaluate one identical
+    double tree."""
+    cells = (
+        df.select(rater_a.alias("ra"), rater_b.alias("rb"))
+        .filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .groupBy("ra", "rb")
+        .agg(F.count("*").alias("cnt"))
+    )
+    obs = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt"))).alias(
+            "agree"
+        ),
+    )
+    rows = cells.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
+    colsums = cells.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    pe_num = (
+        rows.join(colsums, rows["ra"] == colsums["rb"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("pe_num"))
+    )
+    nd = F.col("n").cast("double")
+    po = F.coalesce(F.col("agree"), F.lit(0)).cast("double") / nd
+    pe = F.col("pe_num").cast("double") / (nd * nd)
+    return obs.crossJoin(broadcast(pe_num)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, category_col: str
+) -> DataFrame:
+    """Fleiss' kappa (the unequal-raters generalization): agreement
+    among MANY raters assigning categories to items, from a
+    long-format ``(item, category)`` frame with one row per rating.
+    Per item i with n_i >= 2 ratings and n_ik of category k:
+    P_i = (sum_k n_ik^2 - n_i) / (n_i (n_i - 1)); the observed
+    agreement is mean(P_i), the expected agreement sum_k p_k^2 with
+    p_k the pooled category share.  Output — ONE row:
+    ``(n_items, n_ratings, p_bar, p_e, kappa)`` (ROUND 6; kappa NULL
+    when p_e = 1).
+
+    Scale posture: one (item, category) count shuffle; per-item P_i
+    collapses to |items| rows then one mean; category shares collapse
+    to |categories| rows; the closing algebra crosses 1-row
+    aggregates.  Exactness: P_i is ROUND(9) then DECIMAL-summed
+    (order-independent); p_k^2 squares the SAME ROUND(9) share it
+    sums (the Welch/BH quantization discipline)."""
+    cells = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(category_col).alias("cat"),
+        )
+        .filter(F.col("item").isNotNull() & F.col("cat").isNotNull())
+        .groupBy("item", "cat")
+        .agg(F.count("*").alias("nik"))
+    )
+    per_item = cells.groupBy("item").agg(
+        F.sum("nik").alias("ni"),
+        F.sum(F.col("nik") * F.col("nik")).alias("sq"),
+    ).filter(F.col("ni") >= 2)
+    nid = F.col("ni").cast("double")
+    p_i = (F.col("sq").cast("double") - nid) / (nid * (nid - F.lit(1.0)))
+    obs = per_item.agg(
+        F.count("*").alias("n_items"),
+        F.sum("ni").alias("n_ratings"),
+        F.sum(F.round(p_i, 9).cast("decimal(28,9)")).alias("p_sum"),
+    )
+    tot = cells.agg(F.sum("nik").alias("tot_rat"))
+    shares = cells.groupBy("cat").agg(F.sum("nik").alias("nk"))
+    share = F.round(
+        F.col("nk").cast("double") / F.col("tot_rat").cast("double"), 9
+    )
+    pe_row = (
+        shares.crossJoin(broadcast(tot))
+        .agg(
+            F.sum(
+                (share * share).cast("decimal(28,18)")
+            ).alias("pe_sum")
+        )
+    )
+    p_bar = F.col("p_sum").cast("double") / F.col("n_items").cast("double")
+    p_e = F.col("pe_sum").cast("double")
+    return obs.crossJoin(broadcast(pe_row)).select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(
+            F.try_divide(p_bar - p_e, F.lit(1.0) - p_e), 6
+        ).alias("kappa"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, subject_col: str, cond_a: Column, cond_b: Column
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes — did condition A's
+    positive rate differ from condition B's ON THE SAME SUBJECTS
+    (before/after a launch, two annotation prompts on one corpus)?
+    Per subject the outcomes are a = max(cond_a), b = max(cond_b);
+    only the DISCORDANT counts matter: n10 (a only) vs n01 (b only),
+    chi2 = (|n10 - n01| - 1)^2 / (n10 + n01) with continuity
+    correction, NULL when no subject is discordant.  Output — ONE
+    row: ``(n_subjects, n01, n10, chi2)``.
+
+    Scale posture: ONE subject-keyed map-combinable aggregation
+    collapses the stream to per-subject outcome bits, ONE more to the
+    2x2 table — no windows, no joins, no broadcast."""
+    per = (
+        df.groupBy(F.col(subject_col).alias("subj"))
+        .agg(
+            F.max(cond_a.cast("int")).alias("a"),
+            F.max(cond_b.cast("int")).alias("b"),
+        )
+    )
+    agg = per.agg(
+        F.count("*").alias("n_subjects"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)
+        ).alias("n01"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n10"),
+    )
+    d = (F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    chi2 = (F.abs(d) - F.lit(1.0)) * (F.abs(d) - F.lit(1.0)) / tot
+    return agg.select(
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.when(tot > 0, F.round(chi2, 6)).alias("chi2"),
+    )
+
+
+def cochran_q(
+    df: DataFrame, subject_col: str, treatment_col: str, k: int
+) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar: do k
+    related binary treatments (k prompt variants, k filter stages)
+    have equal positive rates across subjects?  Input: one row per
+    POSITIVE (subject, treatment) observation (duplicates collapse);
+    a missing pair is a 0.  With L_i the per-subject positive count
+    and G_j the per-treatment total,
+
+        Q = (k-1) * (k * sum G_j^2 - (sum G_j)^2)
+            / (k * sum L_i - sum L_i^2)
+
+    which is chi-square with k-1 df under H0.  Subjects positive on
+    all k or none contribute 0 to the denominator automatically.
+    Output — ONE row: ``(n_subjects, k, q_stat)`` (NULL when the
+    denominator is 0, i.e. no subject discriminates).
+
+    Scale posture: two map-combinable collapses (per-subject,
+    per-treatment) of the deduplicated pair stream, then 1-row
+    algebra over integer sums — identical double tree both engines."""
+    pairs = (
+        df.select(
+            F.col(subject_col).alias("subj"),
+            F.col(treatment_col).alias("trt"),
+        )
+        .filter(F.col("subj").isNotNull() & F.col("trt").isNotNull())
+        .distinct()
+    )
+    li = pairs.groupBy("subj").agg(F.count("*").alias("l"))
+    subj_agg = li.agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("l").alias("sum_l"),
+        F.sum(F.col("l") * F.col("l")).alias("sum_l2"),
+    )
+    gj = pairs.groupBy("trt").agg(F.count("*").alias("g"))
+    trt_agg = gj.agg(
+        F.sum("g").alias("sum_g"),
+        F.sum(F.col("g") * F.col("g")).alias("sum_g2"),
+    )
+    kd = F.lit(float(k))
+    num = (kd - F.lit(1.0)) * (
+        kd * F.col("sum_g2").cast("double")
+        - F.col("sum_g").cast("double") * F.col("sum_g").cast("double")
+    )
+    den = kd * F.col("sum_l").cast("double") - F.col("sum_l2").cast(
+        "double"
+    )
+    return subj_agg.crossJoin(broadcast(trt_agg)).select(
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.when(den > 0, F.round(num / den, 6)).alias("q_stat"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame, subject_col: str, item_col: str, value: Column
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    k-item scale (k quality sub-scores, k rubric dimensions) from a
+    long-format ``(subject, item, value)`` frame (a missing pair
+    scores 0):
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    with POPULATION variances over all n subjects.  Output — ONE row:
+    ``(n_subjects, k, item_var_sum, total_var, alpha)`` (ROUND 6;
+    NULL when var(total) = 0 or k < 2).
+
+    Scale posture: one (subject, item) collapse; per-item moments and
+    per-subject totals are two further map-combinable aggregations
+    (absent pairs enter as zeros ARITHMETICALLY — the moments divide
+    by the global n, never materializing the dense design); closing
+    algebra crosses 1-row aggregates.  Exactness: values quantize to
+    DECIMAL(18,6) before every sum; second moments square the SAME
+    quantized value."""
+    vq = F.round(value, 6).cast("decimal(18,6)")
+    cell = (
+        df.select(
+            F.col(subject_col).alias("subj"),
+            F.col(item_col).alias("item"),
+            vq.alias("v"),
+        )
+        .filter(F.col("subj").isNotNull() & F.col("item").isNotNull())
+        .groupBy("subj", "item")
+        .agg(F.sum("v").alias("v"))
+    )
+    n_row = cell.agg(
+        F.countDistinct("subj").alias("n"),
+        F.countDistinct("item").alias("k"),
+    )
+    per_item = cell.groupBy("item").agg(
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias(
+            "s2"
+        ),
+    )
+    per_subj = cell.groupBy("subj").agg(F.sum("v").alias("t"))
+    subj_m = per_subj.agg(
+        F.sum("t").alias("t1"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,12)")).alias(
+            "t2"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    item_var = (
+        F.col("s2").cast("double") / nd
+        - (F.col("s1").cast("double") / nd)
+        * (F.col("s1").cast("double") / nd)
+    )
+    items_v = per_item.crossJoin(broadcast(n_row)).agg(
+        F.sum(F.round(item_var, 9).cast("decimal(28,9)")).alias(
+            "item_var_sum"
+        ),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    n2d = F.col("n2").cast("double")
+    total_var = (
+        F.col("t2").cast("double") / n2d
+        - (F.col("t1").cast("double") / n2d)
+        * (F.col("t1").cast("double") / n2d)
+    )
+    tv_row = subj_m.crossJoin(
+        broadcast(n_row.select(F.col("n").alias("n2")))
+    ).select(F.round(total_var, 9).alias("tv"))
+    kd = F.col("k").cast("double")
+    ivs = F.col("item_var_sum").cast("double")
+    alpha = (
+        kd
+        / (kd - F.lit(1.0))
+        * (F.lit(1.0) - ivs / F.col("tv"))
+    )
+    return (
+        items_v.crossJoin(broadcast(tv_row))
+        .select(
+            F.col("n").cast("long").alias("n_subjects"),
+            F.col("k").cast("long").alias("k"),
+            F.round(ivs, 6).alias("item_var_sum"),
+            F.round(F.col("tv"), 6).alias("total_var"),
+            F.when(
+                (F.col("k") >= 2) & (F.col("tv") > 0), F.round(alpha, 6)
+            ).alias("alpha"),
+        )
+    )

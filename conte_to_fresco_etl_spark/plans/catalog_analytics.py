@@ -5378,3 +5378,291 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=_LOGREG_LR,
         steps=_LOGREG_STEPS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement / reliability family (r8): Cohen's kappa,
+# Fleiss' kappa, McNemar, Cochran's Q, Cronbach's alpha — the
+# annotation-quality statistics a labeling pipeline runs before
+# trusting its raters (or its model-as-judge).
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+    WITH r AS (
+      SELECT LEAST(GREATEST(CAST(floor(value / 125.0) AS BIGINT), 0), 3)
+               AS ra,
+             CAST('0x' || substr(md5(props), 1, 15) AS BIGINT) % 4 AS rb
+      FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    ),
+    cells AS (SELECT ra, rb, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+    obs AS (
+      SELECT SUM(cnt) AS n,
+             SUM(CASE WHEN ra = rb THEN cnt END) AS agree
+      FROM cells
+    ),
+    rows_ AS (SELECT ra, SUM(cnt) AS row_n FROM cells GROUP BY 1),
+    cols_ AS (SELECT rb, SUM(cnt) AS col_n FROM cells GROUP BY 1),
+    pe AS (
+      SELECT SUM(row_n * col_n) AS pe_num
+      FROM rows_ JOIN cols_ ON ra = rb
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(COALESCE(agree, 0) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST(pe_num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           ROUND(
+             (CAST(COALESCE(agree, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(pe_num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / NULLIF(1.0e0 - CAST(pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0e0),
+             6) AS kappa
+    FROM obs CROSS JOIN pe
+"""
+
+
+@_q("q_cohens_kappa", _KAPPA_SQL)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic event labelings (a
+    value-band rater vs an md5-derived props rater): the contingency
+    table collapses in one shuffle, marginals equi-join on the
+    category, and the closing algebra crosses 1-row aggregates —
+    every kappa input an integer count."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.operators.robust import cohens_kappa
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("props").isNotNull()
+    )
+    ra = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(125.0)), F.lit(0)),
+        F.lit(3),
+    ).cast("long")
+    rb = md5_long(F.col("props")) % 4
+    return cohens_kappa(ev, ra, rb)
+
+
+_FLEISS_SQL = """
+    WITH ratings AS (
+      SELECT d.doc_id AS item,
+             CAST('0x' || substr(
+               md5('fl:' || CAST(r.r AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4
+               AS cat
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS r) r
+      WHERE d.doc_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT item, cat, COUNT(*) AS nik FROM ratings GROUP BY 1, 2
+    ),
+    per_item AS (
+      SELECT item, SUM(nik) AS ni, SUM(nik * nik) AS sq
+      FROM cells GROUP BY 1 HAVING SUM(nik) >= 2
+    ),
+    obs AS (
+      SELECT COUNT(*) AS n_items, SUM(ni) AS n_ratings,
+             SUM(CAST(ROUND(
+               (CAST(sq AS DOUBLE) - CAST(ni AS DOUBLE))
+               / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0e0)),
+               9) AS DECIMAL(28,9))) AS p_sum
+      FROM per_item
+    ),
+    tot AS (SELECT SUM(nik) AS tot_rat FROM cells),
+    pe AS (
+      SELECT SUM(CAST(
+               ROUND(CAST(nk AS DOUBLE) / CAST(tot_rat AS DOUBLE), 9)
+               * ROUND(CAST(nk AS DOUBLE) / CAST(tot_rat AS DOUBLE), 9)
+               AS DECIMAL(28,18))) AS pe_sum
+      FROM (SELECT cat, SUM(nik) AS nk FROM cells GROUP BY 1)
+           CROSS JOIN tot
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_ratings AS BIGINT) AS n_ratings,
+           ROUND(CAST(p_sum AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+             AS p_bar,
+           ROUND(CAST(pe_sum AS DOUBLE), 6) AS p_e,
+           ROUND(
+             (CAST(p_sum AS DOUBLE) / CAST(n_items AS DOUBLE)
+              - CAST(pe_sum AS DOUBLE))
+             / NULLIF(1.0e0 - CAST(pe_sum AS DOUBLE), 0.0e0), 6)
+             AS kappa
+    FROM obs CROSS JOIN pe
+"""
+
+
+@_q("q_fleiss_kappa", _FLEISS_SQL)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic md5 raters assigning
+    each document one of four categories: the (item, category) count
+    table collapses in one shuffle; per-item agreement is ROUND(9)
+    decimal-summed; pooled category shares square the same quantized
+    value they sum."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.operators.robust import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ratings = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("r")
+    ).select(
+        "doc_id",
+        (
+            md5_long(
+                F.concat(
+                    F.lit("fl:"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % 4
+        ).alias("cat"),
+    )
+    return fleiss_kappa(ratings, "doc_id", "cat")
+
+
+_MCNEMAR_SQL = """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_subjects,
+             SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10
+      FROM per
+    )
+    SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+           CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10,
+           CASE WHEN n01 + n10 > 0 THEN ROUND(
+             (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0e0)
+             * (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0e0)
+             / CAST(n10 + n01 AS DOUBLE), 6)
+           END AS chi2
+    FROM agg
+"""
+
+
+@_q("q_mcnemar", _MCNEMAR_SQL)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: per user, ever-clicked vs
+    ever-purchased; only the discordant counts enter the
+    continuity-corrected chi-square.  Two map-combinable aggregations,
+    no joins, no windows."""
+    from conte_to_fresco_etl_spark.operators.robust import mcnemar_test
+
+    return mcnemar_test(
+        _events(spark, sf_dir),
+        "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+_COCHRAN_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS subj, event_type AS trt
+      FROM events WHERE value >= 100.0 AND user_id IS NOT NULL
+    ),
+    li AS (SELECT subj, COUNT(*) AS l FROM pairs GROUP BY 1),
+    sa AS (
+      SELECT COUNT(*) AS n_subjects, SUM(l) AS sum_l,
+             SUM(l * l) AS sum_l2
+      FROM li
+    ),
+    gj AS (SELECT trt, COUNT(*) AS g FROM pairs GROUP BY 1),
+    ta AS (SELECT SUM(g) AS sum_g, SUM(g * g) AS sum_g2 FROM gj)
+    SELECT CAST(n_subjects AS BIGINT) AS n_subjects,
+           CAST(5 AS BIGINT) AS k,
+           CASE WHEN 5.0e0 * CAST(sum_l AS DOUBLE)
+                     - CAST(sum_l2 AS DOUBLE) > 0 THEN ROUND(
+             (5.0e0 - 1.0e0)
+             * (5.0e0 * CAST(sum_g2 AS DOUBLE)
+                - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE))
+             / (5.0e0 * CAST(sum_l AS DOUBLE) - CAST(sum_l2 AS DOUBLE)),
+             6)
+           END AS q_stat
+    FROM sa CROSS JOIN ta
+"""
+
+
+@_q("q_cochran_q", _COCHRAN_SQL)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the five event types: a user is "positive"
+    on a type when any such event reached value >= 100; all-positive
+    and all-negative users drop out of the denominator by algebra,
+    never by a filter."""
+    from conte_to_fresco_etl_spark.operators.robust import cochran_q
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("value") >= 100.0) & F.col("user_id").isNotNull()
+    )
+    return cochran_q(ev, "user_id", "event_type", k=5)
+
+
+_CRONBACH_SQL = """
+    WITH cell AS (
+      SELECT user_id AS subj, event_type AS item,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS v
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    nrow AS (
+      SELECT COUNT(DISTINCT subj) AS n, COUNT(DISTINCT item) AS k
+      FROM cell
+    ),
+    per_item AS (
+      SELECT item, SUM(v) AS s1,
+             SUM(CAST(v * v AS DECIMAL(38,12))) AS s2
+      FROM cell GROUP BY 1
+    ),
+    items_v AS (
+      SELECT SUM(CAST(ROUND(
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+               AS DECIMAL(28,9))) AS item_var_sum,
+             MAX(n) AS n, MAX(k) AS k
+      FROM per_item CROSS JOIN nrow
+    ),
+    tv AS (
+      SELECT ROUND(
+               CAST(t2 AS DOUBLE) / n2
+               - (CAST(t1 AS DOUBLE) / n2)
+                 * (CAST(t1 AS DOUBLE) / n2), 9) AS tv
+      FROM (SELECT SUM(t) AS t1,
+                   SUM(CAST(t * t AS DECIMAL(38,12))) AS t2
+            FROM (SELECT subj, SUM(v) AS t FROM cell GROUP BY 1))
+           CROSS JOIN (SELECT CAST(n AS DOUBLE) AS n2 FROM nrow)
+    )
+    SELECT CAST(n AS BIGINT) AS n_subjects, CAST(k AS BIGINT) AS k,
+           ROUND(CAST(item_var_sum AS DOUBLE), 6) AS item_var_sum,
+           ROUND(tv, 6) AS total_var,
+           CASE WHEN k >= 2 AND tv > 0 THEN ROUND(
+             CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0)
+             * (1.0e0 - CAST(item_var_sum AS DOUBLE) / tv), 6)
+           END AS alpha
+    FROM items_v CROSS JOIN tv
+"""
+
+
+@_q("q_cronbach_alpha", _CRONBACH_SQL)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating the five event types as a 5-item
+    scale scored by each user's total quantized value: per-item and
+    per-subject population moments from the (user, type) cell table,
+    absent cells entering as zeros arithmetically (never a dense
+    pivot)."""
+    from conte_to_fresco_etl_spark.operators.robust import cronbach_alpha
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return cronbach_alpha(ev, "user_id", "event_type", F.col("value"))

@@ -556,6 +556,10 @@ BNLJ_ALLOWED = {
                                 # offsets triangular join (r8)
     "q_mannwhitney",            # prefix-sum offsets triangular join (r8,
                                 # |shuffle partitions| rows)
+    "q_cohens_kappa",           # obs x pe 1-row cross (r8)
+    "q_fleiss_kappa",           # tot / obs / pe 1-row crosses (r8)
+    "q_cochran_q",              # subject x treatment 1-row cross (r8)
+    "q_cronbach_alpha",         # n-row / moments 1-row crosses (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

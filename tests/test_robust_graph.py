@@ -2709,3 +2709,125 @@ def test_logreg_gd_matches_python_twin_and_learns(spark):
     assert out["x1"] > 1.0
     assert abs(out["x2"]) < 0.3
     assert out["log_loss"] < 0.45
+
+
+def test_cohens_kappa_textbook(spark):
+    """Classic 2x2: 20+15 agreements, 5+10 disagreements out of 50:
+    po=0.7, pe=0.5, kappa=0.4."""
+    from conte_to_fresco_etl_spark.operators.robust import cohens_kappa
+
+    rows = (
+        [("x", "x")] * 20 + [("y", "y")] * 15
+        + [("x", "y")] * 5 + [("y", "x")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+
+
+def test_cohens_kappa_constant_raters_null(spark):
+    """Both raters constant => pe = 1: kappa must be NULL, not a
+    division crash."""
+    from conte_to_fresco_etl_spark.operators.robust import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Two items, two raters each: unanimous item (P=1) + split item
+    (P=0) with pooled shares 3/4, 1/4: p_bar=0.5, pe=0.625,
+    kappa=-1/3."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import fleiss_kappa
+
+    rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_ratings"]) == (2, 4)
+    assert r["p_bar"] == 0.5 and r["p_e"] == 0.625
+    assert r["kappa"] == pytest.approx(round(-1 / 3, 6), abs=1e-9)
+
+
+def test_mcnemar_hand_computed_and_degenerate(spark):
+    """Discordant counts 6 vs 2: chi2 = (|6-2|-1)^2/8 = 1.125; a
+    fully-concordant input yields NULL chi2."""
+    from conte_to_fresco_etl_spark.operators.robust import mcnemar_test
+
+    rows = []
+    sid = 0
+    for a, b, n in [(1, 1, 4), (0, 0, 3), (1, 0, 6), (0, 1, 2)]:
+        for _ in range(n):
+            rows.append((sid, bool(a), bool(b)))
+            sid += 1
+    df = spark.createDataFrame(rows, "s long, ca boolean, cb boolean")
+    r = mcnemar_test(df, "s", F.col("ca"), F.col("cb")).collect()[0]
+    assert (r["n_subjects"], r["n01"], r["n10"]) == (15, 2, 6)
+    assert r["chi2"] == 1.125
+
+    conc = spark.createDataFrame(
+        [(1, True, True), (2, False, False)],
+        "s long, ca boolean, cb boolean",
+    )
+    assert (
+        mcnemar_test(conc, "s", F.col("ca"), F.col("cb"))
+        .collect()[0]["chi2"]
+        is None
+    )
+
+
+def test_cochran_q_matches_formula_twin(spark):
+    """Cochran's Q on a small positives table equals the formula
+    computed directly in Python (and subjects positive on all or no
+    treatments cancel in the denominator)."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import cochran_q
+
+    k = 3
+    positives = {
+        1: ["t1", "t2", "t3"],   # all-positive: denominator-neutral
+        2: ["t1"],
+        3: ["t1", "t2"],
+        4: ["t2"],
+        5: ["t1"],
+    }
+    rows = [(s, t) for s, ts in positives.items() for t in ts]
+    df = spark.createDataFrame(rows, "s long, t string")
+    r = cochran_q(df, "s", "t", k=k).collect()[0]
+    g = {"t1": 4, "t2": 3, "t3": 1}
+    ls = [len(v) for v in positives.values()]
+    num = (k - 1) * (k * sum(x * x for x in g.values()) - sum(g.values()) ** 2)
+    den = k * sum(ls) - sum(x * x for x in ls)
+    assert r["n_subjects"] == 5 and r["k"] == 3
+    assert r["q_stat"] == pytest.approx(round(num / den, 6), abs=1e-9)
+
+
+def test_cronbach_alpha_matches_numpy_twin(spark):
+    """alpha on a dense 4-subject x 3-item design equals the numpy
+    population-variance formula; a missing cell scores 0 exactly as
+    the dense matrix would."""
+    import numpy as np
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import cronbach_alpha
+
+    mat = np.array(
+        [[3.0, 4.0, 2.0], [5.0, 6.0, 5.0], [1.0, 2.0, 0.0], [4.0, 4.0, 4.0]]
+    )
+    rows = [
+        (s, f"i{i}", float(mat[s, i]))
+        for s in range(4)
+        for i in range(3)
+        if not (s == 2 and i == 2)  # the 0.0 cell stays ABSENT
+    ]
+    df = spark.createDataFrame(rows, "s long, item string, v double")
+    r = cronbach_alpha(df, "s", "item", F.col("v")).collect()[0]
+    k = 3
+    item_vars = mat.var(axis=0)          # population (ddof=0)
+    total_var = mat.sum(axis=1).var()
+    alpha = k / (k - 1) * (1 - item_vars.sum() / total_var)
+    assert (r["n_subjects"], r["k"]) == (4, 3)
+    assert r["alpha"] == pytest.approx(round(alpha, 6), abs=2e-6)

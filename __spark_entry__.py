@@ -56,6 +56,12 @@ REGATE_R8: list[str] = [
     "q_mcnemar",
     "q_cochran_q",
     "q_cronbach_alpha",
+    # NEW r8 registrations (correlation / robust-trend family)
+    "q_spearman_rho",
+    "q_kendall_tau",
+    "q_partial_corr",
+    "q_theil_sen",
+    "q_grubbs",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -92,6 +98,11 @@ PRIORITY: list[str] = [
     "q_mcnemar",
     "q_cochran_q",
     "q_cronbach_alpha",
+    "q_spearman_rho",
+    "q_kendall_tau",
+    "q_partial_corr",
+    "q_theil_sen",
+    "q_grubbs",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

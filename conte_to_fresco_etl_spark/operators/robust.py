@@ -2659,3 +2659,371 @@ def cronbach_alpha(
             ).alias("alpha"),
         )
     )
+
+
+def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Spearman rank correlation with exact midranks for ties — the
+    monotone-association complement to Pearson (robust to any
+    monotone transform of either metric).  Output — ONE row:
+    ``(n, rho)`` (ROUND 6; NULL when either variable is constant).
+
+    Midranks come from per-distinct-value cumulative counts carried
+    DOUBLED as integers (``2·cum_before + tie_n + 1`` — the
+    mannwhitney_u discipline), and Pearson is invariant under the
+    affine doubling, so rho is computed directly on integer doubled
+    midranks: every moment is an exact DECIMAL(38,0) integer sum and
+    rho is one double tree.
+
+    Scale posture: one (x, y) cell collapse; each axis's midranks
+    come from the DISTRIBUTED prefix sum over its marginal table
+    (``parallelism.prefix_sums`` — a continuous metric leaves those
+    tables data-sized); two equi-joins re-attach ranks to cells."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    cells = (
+        df.select(x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def midranks(axis: str) -> DataFrame:
+        marg = cells.groupBy(axis).agg(F.sum("c").alias("tn"))
+        return prefix_sums(marg, axis, ["tn"]).select(
+            axis,
+            (
+                F.lit(2) * (F.col("cum_tn") - F.col("tn"))
+                + F.col("tn")
+                + F.lit(1)
+            ).alias(f"m_{axis}"),
+        )
+
+    d0 = "decimal(38,0)"
+    joined = cells.join(midranks("x"), "x").join(midranks("y"), "y")
+    mx, my, c = F.col("m_x"), F.col("m_y"), F.col("c")
+    agg = joined.agg(
+        F.sum("c").alias("n"),
+        F.sum((c * mx).cast(d0)).alias("sx"),
+        F.sum((c * my).cast(d0)).alias("sy"),
+        F.sum((c * mx * mx).cast(d0)).alias("sxx"),
+        F.sum((c * my * my).cast(d0)).alias("syy"),
+        F.sum((c * mx * my).cast(d0)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), 6),
+        ).alias("rho"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Kendall's tau-b (tie-corrected) over BOUNDED-domain variables:
+    concordant/discordant pair counting on the |X|x|Y| contingency
+    table, never on raw rows — pass bucketed/categorical expressions
+    (the operator is exact for them; a continuous metric should be
+    binned first, which is also what bounds the cell self-join).
+    Output — ONE row: ``(n, concordant, discordant, tau_b)``
+    (ROUND 6; NULL when either variable is constant).
+
+    Scale posture: one (x, y) cell collapse, then a strictly-upper
+    cell self-join over the |cells|² grid (dimension-sized by the
+    bounded-domain contract, same class as the isotonic lattice) and
+    integer marginal tie terms; tau_b is one double tree over exact
+    DECIMAL integer sums."""
+    cells = (
+        df.select(x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    d0 = "decimal(38,0)"
+    pair = a.join(
+        broadcast(b),
+        (F.col("xa") < F.col("xb")) & (F.col("ya") != F.col("yb")),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb")
+            ).cast(d0)
+        ).alias("cc"),
+        F.sum(
+            F.when(
+                F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb")
+            ).cast(d0)
+        ).alias("dd"),
+    )
+    tot = cells.agg(F.sum("c").alias("n"))
+    # tie terms as Σt² and Σt integer sums; the always-even t(t-1)
+    # halves once in double at the end (exact far beyond any bounded
+    # domain this operator's contract admits)
+    tx = cells.groupBy("x").agg(F.sum("c").alias("t")).agg(
+        F.sum((F.col("t") * F.col("t")).cast(d0)).alias("tx2"),
+        F.sum(F.col("t").cast(d0)).alias("tx1"),
+    )
+    ty = cells.groupBy("y").agg(F.sum("c").alias("t")).agg(
+        F.sum((F.col("t") * F.col("t")).cast(d0)).alias("ty2"),
+        F.sum(F.col("t").cast(d0)).alias("ty1"),
+    )
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    cc = F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+    dd = F.coalesce(F.col("dd"), F.lit(0)).cast("double")
+    n1 = (
+        F.col("tx2").cast("double") - F.col("tx1").cast("double")
+    ) / F.lit(2.0)
+    n2 = (
+        F.col("ty2").cast("double") - F.col("ty1").cast("double")
+    ) / F.lit(2.0)
+    den = (n0 - n1) * (n0 - n2)
+    return (
+        tot.crossJoin(broadcast(pair))
+        .crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            cc.cast("long").alias("concordant"),
+            dd.cast("long").alias("discordant"),
+            F.when(den > 0, F.round((cc - dd) / F.sqrt(den), 6)).alias(
+                "tau_b"
+            ),
+        )
+    )
+
+
+def partial_correlation(
+    df: DataFrame, x: Column, y: Column, z: Column
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the association of x
+    and y with the confounder z regressed out of both:
+
+        r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+
+    Output — ONE row: ``(n, r_xy, r_xz, r_yz, partial_r)`` (each
+    ROUND 6; partial_r NULL when either conditioning correlation is
+    degenerate, |r| = 1, or any variable is constant).
+
+    Scale posture: ONE map-combinable aggregation computes all nine
+    moments; every input quantizes to DECIMAL(18,6) and every
+    square/cross-product squares the SAME quantized value (the
+    Welch/BH discipline), so each pairwise r is one identical double
+    tree in both engines."""
+    xq = F.round(x, 6).cast("decimal(18,6)")
+    yq = F.round(y, 6).cast("decimal(18,6)")
+    zq = F.round(z, 6).cast("decimal(18,6)")
+    d12 = "decimal(38,12)"
+    rows = df.select(
+        xq.alias("xq"), yq.alias("yq"), zq.alias("zq")
+    ).filter(
+        F.col("xq").isNotNull()
+        & F.col("yq").isNotNull()
+        & F.col("zq").isNotNull()
+    )
+    agg = rows.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum("zq").alias("sz"),
+        F.sum((F.col("xq") * F.col("xq")).cast(d12)).alias("sxx"),
+        F.sum((F.col("yq") * F.col("yq")).cast(d12)).alias("syy"),
+        F.sum((F.col("zq") * F.col("zq")).cast(d12)).alias("szz"),
+        F.sum((F.col("xq") * F.col("yq")).cast(d12)).alias("sxy"),
+        F.sum((F.col("xq") * F.col("zq")).cast(d12)).alias("sxz"),
+        F.sum((F.col("yq") * F.col("zq")).cast(d12)).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        va = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        vb = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb))
+
+    r_xy = corr("sxy", "sx", "sy", "sxx", "syy")
+    r_xz = corr("sxz", "sx", "sz", "sxx", "szz")
+    r_yz = corr("syz", "sy", "sz", "syy", "szz")
+    den = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    partial = F.when(den > 0, (r_xy - r_xz * r_yz) / F.sqrt(den))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r_xy, 6).alias("r_xy"),
+        F.round(r_xz, 6).alias("r_xz"),
+        F.round(r_yz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("partial_r"),
+    )
+
+
+def theil_sen(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily mean series (up to ~29% outlier days cannot move it —
+    the robust sibling of q_trend_slope's least squares), plus the
+    median-residual intercept.  Output — ONE row:
+    ``(n_days, n_pairs, slope, intercept)`` (ROUND 6; NULL slope
+    below two days).
+
+    Scale posture: the raw stream collapses to the daily mean table
+    in ONE map-combinable shuffle; pairwise slopes live on the
+    |days|² strictly-upper self-join (dimension-sized), and each
+    median is an exact order statistic — lower+upper middle averaged
+    — selected by row_number over the collapsed pair/residual tables.
+    Exactness: daily means ROUND(6), slopes/residuals ROUND(9) before
+    ranking, rank ties broken by the pair's day keys."""
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .select(
+            F.datediff(F.col("day").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+            "v",
+        )
+    ).localCheckpoint(eager=False)
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("d").alias("db"), F.col("v").alias("vb"))
+    slopes = a.join(broadcast(b), F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        F.round(
+            (F.col("vb") - F.col("va"))
+            / (F.col("db") - F.col("da")).cast("double"),
+            9,
+        ).alias("slope"),
+    )
+
+    def median_of(frame: DataFrame, col: str, order_keys) -> DataFrame:
+        w = Window.orderBy(F.col(col).asc(), *order_keys)
+        ranked = frame.withColumn("rn", F.row_number().over(w))
+        cnt = frame.agg(F.count("*").alias("m"))
+        lo = (F.col("m") + 1) / 2
+        return (
+            ranked.crossJoin(broadcast(cnt))
+            .filter(
+                (F.col("rn") == F.floor(lo))
+                | (F.col("rn") == F.ceil(lo))
+            )
+            .agg(F.avg(col).alias(f"med_{col}"), F.max("m").alias("m"))
+        )
+
+    med_slope = median_of(
+        slopes, "slope", [F.col("da").asc(), F.col("db").asc()]
+    )
+    resid = daily.crossJoin(broadcast(med_slope)).select(
+        "d",
+        F.round(
+            F.col("v") - F.col("med_slope") * F.col("d").cast("double"), 9
+        ).alias("r"),
+    )
+    med_int = median_of(resid, "r", [F.col("d").asc()])
+    nd_row = daily.agg(F.count("*").alias("n_days"))
+    return (
+        nd_row.crossJoin(broadcast(med_slope))
+        .crossJoin(broadcast(med_int.select(F.col("med_r"))))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("m").cast("long").alias("n_pairs"),
+            F.when(
+                F.col("n_days") >= 2, F.round(F.col("med_slope"), 6)
+            ).alias("slope"),
+            F.when(F.col("n_days") >= 2, F.round(F.col("med_r"), 6)).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+def grubbs_statistic(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Grubbs' outlier statistic on the daily mean series:
+    G = max_t |x_t - mean| / sd (sample sd, ddof=1) with the day
+    attaining it — the single-most-suspicious-day screen run before
+    trusting a metric rollup.  Output — ONE row:
+    ``(n_days, g_stat, at_day, side)`` with side 'high'/'low' (NULL
+    G below three days or zero variance).
+
+    Scale posture: one daily collapse; moments via
+    quantize-then-square decimal sums (1-row broadcast); the argmax
+    is a TakeOrdered(1) over the days table with deviations ROUND(9)
+    and ties to the earlier day."""
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias(
+            "s2"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    joined = daily.crossJoin(
+        broadcast(
+            stats.select(
+                "n", mean.alias("mu"), F.sqrt(var).alias("sd")
+            )
+        )
+    ).select(
+        "day",
+        "n",
+        "sd",
+        F.round(
+            F.abs(F.col("v").cast("double") - F.col("mu")), 9
+        ).alias("dev"),
+        (F.col("v").cast("double") >= F.col("mu")).alias("hi"),
+    )
+    top = joined.orderBy(F.col("dev").desc(), F.col("day").asc()).limit(1)
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (F.col("n") >= 3) & (F.col("sd") > 0),
+            F.round(F.col("dev") / F.col("sd"), 6),
+        ).alias("g_stat"),
+        F.col("day").alias("at_day"),
+        F.when(F.col("hi"), F.lit("high")).otherwise(F.lit("low")).alias(
+            "side"
+        ),
+    )

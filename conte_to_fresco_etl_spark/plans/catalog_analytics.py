@@ -5666,3 +5666,334 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & F.col("user_id").isNotNull()
     )
     return cronbach_alpha(ev, "user_id", "event_type", F.col("value"))
+
+
+# ---------------------------------------------------------------------------
+# Correlation / robust-trend family (r8): Spearman, Kendall tau-b,
+# partial correlation, Theil-Sen, Grubbs.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+    WITH r AS (
+      SELECT value AS x, CAST(extract(hour FROM ts) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (SELECT x, y, COUNT(*) AS c FROM r GROUP BY 1, 2),
+    mx AS (
+      SELECT x, 2 * (SUM(tn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) - tn) + tn + 1 AS m_x
+      FROM (SELECT x, SUM(c) AS tn FROM cells GROUP BY 1)
+    ),
+    my AS (
+      SELECT y, 2 * (SUM(tn) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) - tn) + tn + 1 AS m_y
+      FROM (SELECT y, SUM(c) AS tn FROM cells GROUP BY 1)
+    ),
+    j AS (
+      SELECT c, m_x, m_y FROM cells
+      JOIN mx USING (x) JOIN my USING (y)
+    ),
+    agg AS (
+      SELECT SUM(c) AS n,
+             SUM(CAST(c * m_x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(c * m_y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(c * m_x * m_x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(c * m_y * m_y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(c * m_x * m_y AS DECIMAL(38,0))) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS rho
+    FROM agg
+"""
+
+
+@_q("q_spearman_rho", _SPEARMAN_SQL)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day:
+    exact tie midranks from per-distinct-value cumulative counts —
+    Spark computes them with the DISTRIBUTED prefix sum
+    (parallelism.prefix_sums; a continuous value column makes the
+    marginal table data-sized), integer doubled-midrank moments in
+    DECIMAL(38,0), rho as one double tree."""
+    from conte_to_fresco_etl_spark.operators.robust import spearman_rho
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    return spearman_rho(
+        ev, F.col("value"), F.hour("ts").cast("long")
+    )
+
+
+_KENDALL_SQL = """
+    WITH r AS (
+      SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+               AS x,
+             CAST(extract(hour FROM ts) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (SELECT x, y, COUNT(*) AS c FROM r GROUP BY 1, 2),
+    pair AS (
+      SELECT SUM(CASE WHEN a.y < b.y
+                      THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS cc,
+             SUM(CASE WHEN a.y > b.y
+                      THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS dd
+      FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y
+    ),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    tx AS (
+      SELECT SUM(CAST(t * t AS DECIMAL(38,0))) AS tx2,
+             SUM(CAST(t AS DECIMAL(38,0))) AS tx1
+      FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY 1)
+    ),
+    ty AS (
+      SELECT SUM(CAST(t * t AS DECIMAL(38,0))) AS ty2,
+             SUM(CAST(t AS DECIMAL(38,0))) AS ty1
+      FROM (SELECT y, SUM(c) AS t FROM cells GROUP BY 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COALESCE(cc, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(dd, 0) AS BIGINT) AS discordant,
+           CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+                      / 2.0e0
+                      - (CAST(tx2 AS DOUBLE) - CAST(tx1 AS DOUBLE))
+                        / 2.0e0)
+                     * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+                        / 2.0e0
+                        - (CAST(ty2 AS DOUBLE) - CAST(ty1 AS DOUBLE))
+                          / 2.0e0) > 0
+           THEN ROUND(
+             (CAST(COALESCE(cc, 0) AS DOUBLE)
+              - CAST(COALESCE(dd, 0) AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+                     / 2.0e0
+                     - (CAST(tx2 AS DOUBLE) - CAST(tx1 AS DOUBLE))
+                       / 2.0e0)
+                    * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)
+                       / 2.0e0
+                       - (CAST(ty2 AS DOUBLE) - CAST(ty1 AS DOUBLE))
+                         / 2.0e0)), 6)
+           END AS tau_b
+    FROM tot CROSS JOIN pair CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@_q("q_kendall_tau", _KENDALL_SQL)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the value decile band and hour-of-day —
+    BOUNDED domains by construction (10x24 cells), so the
+    concordant/discordant count is a dimension-sized strictly-upper
+    cell self-join, never a raw-pair enumeration."""
+    from conte_to_fresco_etl_spark.operators.robust import kendall_tau_b
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)),
+        F.lit(9),
+    ).cast("long")
+    return kendall_tau_b(ev, x, F.hour("ts").cast("long"))
+
+
+_PARTIAL_CORR_SQL = """
+    WITH r AS (
+      SELECT CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS xq,
+             CAST(ROUND(CAST(extract(hour FROM ts) AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS yq,
+             CAST(ROUND(CAST(user_id % 24 AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS zq
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(xq) AS sx, SUM(yq) AS sy, SUM(zq) AS sz,
+             SUM(CAST(xq * xq AS DECIMAL(38,12))) AS sxx,
+             SUM(CAST(yq * yq AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(zq * zq AS DECIMAL(38,12))) AS szz,
+             SUM(CAST(xq * yq AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(xq * zq AS DECIMAL(38,12))) AS sxz,
+             SUM(CAST(yq * zq AS DECIMAL(38,12))) AS syz
+      FROM r
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS r_xy,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_xz,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_yz
+      FROM agg
+    )
+    SELECT n, ROUND(r_xy, 6) AS r_xy, ROUND(r_xz, 6) AS r_xz,
+           ROUND(r_yz, 6) AS r_yz,
+           CASE WHEN (1.0e0 - r_xz * r_xz) * (1.0e0 - r_yz * r_yz) > 0
+           THEN ROUND((r_xy - r_xz * r_yz)
+                      / sqrt((1.0e0 - r_xz * r_xz)
+                             * (1.0e0 - r_yz * r_yz)), 6)
+           END AS partial_r
+    FROM c
+"""
+
+
+@_q("q_partial_corr", _PARTIAL_CORR_SQL)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of event value and hour-of-day controlling
+    for the user's 24-bucket id band: all nine moments from ONE
+    map-combinable decimal aggregation, the three pairwise r's and
+    the partial r as one shared double tree."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        partial_correlation,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    return partial_correlation(
+        ev,
+        F.col("value"),
+        F.hour("ts").cast("double"),
+        (F.col("user_id") % 24).cast("double"),
+    )
+
+
+_THEIL_SEN_SQL = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'click'
+      GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.d AS da, b.d AS db,
+             ROUND((b.v - a.v) / CAST(b.d - a.d AS DOUBLE), 9) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ms AS (
+      SELECT AVG(slope) AS med_slope, MAX(m) AS m
+      FROM (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope ASC, da ASC, db ASC)
+                 AS rn,
+               COUNT(*) OVER () AS m
+        FROM slopes
+      )
+      WHERE rn = CAST(floor((m + 1) / 2.0e0) AS BIGINT)
+         OR rn = CAST(ceil((m + 1) / 2.0e0) AS BIGINT)
+    ),
+    resid AS (
+      SELECT d, ROUND(v - med_slope * CAST(d AS DOUBLE), 9) AS r
+      FROM daily CROSS JOIN ms
+    ),
+    mi AS (
+      SELECT AVG(r) AS med_r
+      FROM (
+        SELECT r,
+               ROW_NUMBER() OVER (ORDER BY r ASC, d ASC) AS rn,
+               COUNT(*) OVER () AS m
+        FROM resid
+      )
+      WHERE rn = CAST(floor((m + 1) / 2.0e0) AS BIGINT)
+         OR rn = CAST(ceil((m + 1) / 2.0e0) AS BIGINT)
+    )
+    SELECT CAST(nd AS BIGINT) AS n_days, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN nd >= 2 THEN ROUND(med_slope, 6) END AS slope,
+           CASE WHEN nd >= 2 THEN ROUND(med_r, 6) END AS intercept
+    FROM (SELECT COUNT(*) AS nd FROM daily)
+    CROSS JOIN ms CROSS JOIN mi
+"""
+
+
+@_q("q_theil_sen", _THEIL_SEN_SQL)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily mean click value: median
+    pairwise slope + median-residual intercept, exact order
+    statistics over the |days|²-sized pair table (dimension-sized by
+    the daily collapse)."""
+    from conte_to_fresco_etl_spark.operators.robust import theil_sen
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    return theil_sen(ev, "ts", "value")
+
+
+_GRUBBS_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                             AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(v) AS s1,
+             SUM(CAST(v * v AS DECIMAL(38,12))) AS s2
+      FROM daily
+    ),
+    j AS (
+      SELECT day, n,
+             sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(n AS DOUBLE)
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0e0)) AS sd,
+             ROUND(abs(CAST(v AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+               AS dev,
+             CAST(v AS DOUBLE)
+               >= CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS hi
+      FROM daily CROSS JOIN stats
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 3 AND sd > 0 THEN ROUND(dev / sd, 6) END
+             AS g_stat,
+           day AS at_day,
+           CASE WHEN hi THEN 'high' ELSE 'low' END AS side
+    FROM j ORDER BY dev DESC, day ASC LIMIT 1
+"""
+
+
+@_q("q_grubbs", _GRUBBS_SQL)
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' most-suspicious-day screen on the daily mean value
+    series: quantize-then-square moments as a 1-row broadcast, the
+    argmax a TakeOrdered(1) with ROUND(9) deviations and ties to the
+    earlier day."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        grubbs_statistic,
+    )
+
+    return grubbs_statistic(_events(spark, sf_dir), "ts", "value")

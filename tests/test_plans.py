@@ -560,6 +560,12 @@ BNLJ_ALLOWED = {
     "q_fleiss_kappa",           # tot / obs / pe 1-row crosses (r8)
     "q_cochran_q",              # subject x treatment 1-row cross (r8)
     "q_cronbach_alpha",         # n-row / moments 1-row crosses (r8)
+    "q_spearman_rho",           # prefix-sum offsets triangular joins (r8)
+    "q_kendall_tau",            # bounded 10x24 cell self-join + 1-row
+                                # tie-term crosses (r8)
+    "q_theil_sen",              # |days|^2 slope self-join + 1-row median
+                                # crosses (r8)
+    "q_grubbs",                 # daily moments (1-row broadcast, r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

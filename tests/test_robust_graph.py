@@ -2831,3 +2831,158 @@ def test_cronbach_alpha_matches_numpy_twin(spark):
     alpha = k / (k - 1) * (1 - item_vars.sum() / total_var)
     assert (r["n_subjects"], r["k"]) == (4, 3)
     assert r["alpha"] == pytest.approx(round(alpha, 6), abs=2e-6)
+
+
+def test_spearman_rho_matches_pandas_midranks(spark):
+    """rho with ties equals Pearson over pandas' average-method ranks
+    (the exact midrank definition); a constant axis yields NULL."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import spearman_rho
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ys = [3.0, 1.0, 4.0, 4.0, 2.0, 7.0, 7.0, 9.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = spearman_rho(df, F.col("x"), F.col("y")).collect()[0]
+    rx = pd.Series(xs).rank(method="average")
+    ry = pd.Series(ys).rank(method="average")
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert r["n"] == 8
+    assert r["rho"] == pytest.approx(round(expect, 6), abs=2e-6)
+
+    const = spark.createDataFrame(
+        [(1.0, float(v)) for v in ys], "x double, y double"
+    )
+    assert (
+        spearman_rho(const, F.col("x"), F.col("y")).collect()[0]["rho"]
+        is None
+    )
+
+
+def test_kendall_tau_b_matches_bruteforce_twin(spark):
+    """tau-b on a tied dataset equals the O(n^2) raw-pair definition
+    computed directly in Python."""
+    import itertools
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import kendall_tau_b
+
+    xs = [0, 0, 1, 1, 1, 2, 2, 3, 3, 0]
+    ys = [1, 2, 1, 3, 3, 2, 4, 4, 1, 1]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    r = kendall_tau_b(df, F.col("x"), F.col("y")).collect()[0]
+    c = d = 0
+    n = len(xs)
+    for i, j in itertools.combinations(range(n), 2):
+        s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+        c += s > 0
+        d += s < 0
+    n0 = n * (n - 1) / 2
+    tx = sum(
+        t * (t - 1) / 2
+        for t in [xs.count(v) for v in set(xs)]
+    )
+    ty = sum(
+        t * (t - 1) / 2
+        for t in [ys.count(v) for v in set(ys)]
+    )
+    expect = (c - d) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert (r["concordant"], r["discordant"]) == (c, d)
+    assert r["tau_b"] == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+def test_partial_correlation_matches_numpy_twin(spark):
+    """r_xy.z equals the numpy recipe (pairwise Pearson then the
+    first-order formula), and regressing out a shared driver kills a
+    spurious correlation: x and y both driven by z correlate raw but
+    NOT partially."""
+    import numpy as np
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        partial_correlation,
+    )
+
+    rng = np.random.default_rng(42)
+    z = rng.normal(0, 1, 200)
+    x = 2 * z + rng.normal(0, 0.3, 200)
+    y = -3 * z + rng.normal(0, 0.3, 200)
+    xq = np.round(x, 6); yq = np.round(y, 6); zq = np.round(z, 6)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(cc)) for a, b, cc in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    r = partial_correlation(
+        df, F.col("x"), F.col("y"), F.col("z")
+    ).collect()[0]
+    r_xy = np.corrcoef(xq, yq)[0, 1]
+    r_xz = np.corrcoef(xq, zq)[0, 1]
+    r_yz = np.corrcoef(yq, zq)[0, 1]
+    expect = (r_xy - r_xz * r_yz) / (
+        (1 - r_xz**2) * (1 - r_yz**2)
+    ) ** 0.5
+    assert r["partial_r"] == pytest.approx(round(expect, 6), abs=5e-6)
+    assert abs(r["r_xy"]) > 0.9          # spurious raw correlation
+    assert abs(r["partial_r"]) < 0.2     # gone once z is controlled
+
+
+def test_theil_sen_matches_python_twin_and_resists_outlier(spark):
+    """slope/intercept equal the all-pairs-median twin, and one wild
+    outlier day barely moves the Theil-Sen slope while it would wreck
+    least squares."""
+    import statistics
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import theil_sen
+
+    days = list(range(10))
+    vals = [10.0 + 2.0 * d for d in days]
+    vals[7] = 500.0  # outlier day
+    rows = []
+    for d, v in zip(days, vals):
+        rows.append((f"2024-06-{d + 1:02d} 10:00:00", v))
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    out = theil_sen(df, "ts", "value").collect()[0]
+    # consecutive calendar days: epoch-day deltas equal index deltas
+    slopes = sorted(
+        round((vals[j] - vals[i]) / (days[j] - days[i]), 9)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    )
+    med = statistics.median(slopes)
+    assert out["n_days"] == 10 and out["n_pairs"] == 45
+    assert out["slope"] == pytest.approx(round(med, 6), abs=2e-6)
+    assert abs(out["slope"] - 2.0) < 0.5  # robust to the outlier
+
+
+def test_grubbs_flags_the_planted_day(spark):
+    """The planted wild day is the argmax with side 'high', and the
+    statistic matches the hand formula."""
+    import statistics
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        grubbs_statistic,
+    )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 50.0, 10.2, 9.8]
+    rows = [
+        (f"2024-07-{i + 1:02d} 01:00:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = grubbs_statistic(df, "ts", "value").collect()[0]
+    mu = sum(vals) / len(vals)
+    sd = statistics.stdev(vals)
+    g = round(abs(50.0 - mu), 9) / sd
+    assert str(r["at_day"]).startswith("2024-07-05")
+    assert r["side"] == "high"
+    assert r["g_stat"] == pytest.approx(round(g, 6), abs=2e-6)

@@ -62,6 +62,11 @@ REGATE_R8: list[str] = [
     "q_partial_corr",
     "q_theil_sen",
     "q_grubbs",
+    # NEW r8 registrations (calibration / targeting / causal family)
+    "q_brier_decomp",
+    "q_lift_curves",
+    "q_covariate_balance",
+    "q_propensity_strata",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -103,6 +108,10 @@ PRIORITY: list[str] = [
     "q_partial_corr",
     "q_theil_sen",
     "q_grubbs",
+    "q_brier_decomp",
+    "q_lift_curves",
+    "q_covariate_balance",
+    "q_propensity_strata",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

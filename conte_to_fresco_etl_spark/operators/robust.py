@@ -3027,3 +3027,267 @@ def grubbs_statistic(
             "side"
         ),
     )
+
+
+def brier_decomposition(
+    df: DataFrame, prob: Column, outcome: Column, n_bins: int = 10
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (how far
+    the forecast bands sit from their realized rates), resolution
+    (how much the bands separate the base rate), uncertainty (the
+    base rate's own variance):
+
+        brier = reliability - resolution + uncertainty
+
+    the standard diagnostic for a quality/propensity scorer beyond
+    one aggregate number.  Output — ONE row: ``(n, brier,
+    reliability, resolution, uncertainty)`` (each ROUND 6).
+
+    Scale posture: ONE row-level decimal aggregation (the exact
+    Brier sum, quantize-then-square) plus ONE n_bins-sized band
+    collapse; the closing algebra crosses the 1-row base rate.
+    Exactness: probabilities ROUND(6)/DECIMAL; every squared term
+    squares a ROUND(9) value before its decimal sum."""
+    pq = F.round(prob, 6).cast("decimal(18,6)")
+    y = F.when(outcome.cast("boolean"), 1).otherwise(0)
+    rows = df.select(pq.alias("p"), y.alias("y")).filter(
+        F.col("p").isNotNull()
+    )
+    band = F.least(
+        F.floor(F.col("p").cast("double") * n_bins).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    d12 = "decimal(38,12)"
+    per_row = rows.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("ny"),
+        F.sum(
+            (
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+            ).cast(d12)
+        ).alias("sq_err"),
+    )
+    bands = rows.groupBy(band.alias("band")).agg(
+        F.count("*").alias("nk"),
+        F.sum("y").alias("yk"),
+        F.sum("p").alias("pk"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("ny").cast("double") / nd
+    nkd = F.col("nk").cast("double")
+    pbar_k = F.col("pk").cast("double") / nkd
+    ybar_k = F.col("yk").cast("double") / nkd
+    rel_term = F.round(pbar_k - ybar_k, 9)
+    res_term = F.round(ybar_k - F.col("ybar"), 9)
+    comps = bands.crossJoin(
+        broadcast(per_row.select("n", "ny", "sq_err", ybar.alias("ybar")))
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("ny").alias("ny"),
+        F.max("sq_err").alias("sq_err"),
+        F.max("ybar").alias("ybar"),
+        F.sum((nkd * rel_term * rel_term).cast(d12)).alias("rel"),
+        F.sum((nkd * res_term * res_term).cast(d12)).alias("res"),
+    )
+    nd2 = F.col("n").cast("double")
+    return comps.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sq_err").cast("double") / nd2, 6).alias("brier"),
+        F.round(F.col("rel").cast("double") / nd2, 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res").cast("double") / nd2, 6).alias(
+            "resolution"
+        ),
+        F.round(
+            F.col("ybar") * (F.lit(1.0) - F.col("ybar")), 6
+        ).alias("uncertainty"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame, score: Column, label: Column, n_bins: int = 10
+) -> DataFrame:
+    """Cumulative gains / lift by score band — "take the top X% by
+    model score, what fraction of the positives did you capture?" —
+    the targeting diagnostic behind every quality-threshold choice.
+    Scores bin into ``n_bins`` fixed [0,1) bands (map-side; never a
+    global sort); output one row per NON-EMPTY band, descending:
+    ``(band, n, pos, cum_frac_pop, cum_frac_pos, lift)`` (ROUND 6;
+    lift NULL for an all-negative corpus).
+
+    Scale posture: ONE band collapse, cumulative sums over the
+    <= n_bins-row aggregate, totals as a 1-row broadcast."""
+    sq = F.round(score, 6).cast("decimal(18,6)")
+    y = F.when(label.cast("boolean"), 1).otherwise(0)
+    band = F.least(
+        F.floor(sq.cast("double") * n_bins).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    bands = (
+        df.select(band.alias("band"), y.alias("y"))
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    tot = bands.agg(
+        F.sum("n").alias("tot_n"), F.sum("pos").alias("tot_pos")
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bands.select(
+        "band",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    frac_pop = F.col("cn").cast("double") / F.col("tot_n").cast("double")
+    frac_pos = F.try_divide(
+        F.col("cp").cast("double"), F.col("tot_pos").cast("double")
+    )
+    return (
+        cum.crossJoin(broadcast(tot))
+        .select(
+            "band",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(frac_pop, 6).alias("cum_frac_pop"),
+            F.round(frac_pos, 6).alias("cum_frac_pos"),
+            F.round(F.try_divide(frac_pos, frac_pop), 6).alias("lift"),
+        )
+        .orderBy(F.col("band").desc())
+    )
+
+
+def covariate_balance(
+    df: DataFrame, treat: Column, covariates: dict
+) -> DataFrame:
+    """Standardized mean differences across treatment arms for k
+    covariates — the |SMD| < 0.1 balance check run before trusting
+    any observational comparison:
+
+        smd = (mean_t - mean_c) / sqrt((var_t + var_c) / 2)
+
+    (population variances).  Output — one row per covariate, ordered
+    by name: ``(covariate, n_t, n_c, mean_t, mean_c, smd)`` (ROUND 6;
+    smd NULL when both variances are 0).
+
+    Scale posture: the covariates unpivot map-side into a long
+    (covariate, arm, value) stream and ONE map-combinable aggregation
+    per covariate computes both arms' quantized moments — k·|arms|
+    output cells, no joins, no windows."""
+    t = treat.cast("boolean")
+    long_rows = None
+    for name, expr in covariates.items():
+        vq = F.round(expr, 6).cast("decimal(18,6)")
+        part = df.select(
+            F.lit(name).alias("cov"), t.alias("t"), vq.alias("v")
+        ).filter(F.col("v").isNotNull() & F.col("t").isNotNull())
+        long_rows = part if long_rows is None else long_rows.unionAll(part)
+    d12 = "decimal(38,12)"
+    agg = long_rows.groupBy("cov").agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("t"), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("t"), F.col("v"))).alias("st"),
+        F.sum(F.when(~F.col("t"), F.col("v"))).alias("sc"),
+        F.sum(
+            F.when(F.col("t"), (F.col("v") * F.col("v")).cast(d12))
+        ).alias("qt"),
+        F.sum(
+            F.when(~F.col("t"), (F.col("v") * F.col("v")).cast(d12))
+        ).alias("qc"),
+    )
+    ntd, ncd = F.col("nt").cast("double"), F.col("nc").cast("double")
+    mt = F.col("st").cast("double") / ntd
+    mc = F.col("sc").cast("double") / ncd
+    vt = F.col("qt").cast("double") / ntd - mt * mt
+    vc = F.col("qc").cast("double") / ncd - mc * mc
+    pooled = (vt + vc) / F.lit(2.0)
+    return agg.select(
+        F.col("cov").alias("covariate"),
+        F.col("nt").cast("long").alias("n_t"),
+        F.col("nc").cast("long").alias("n_c"),
+        F.round(mt, 6).alias("mean_t"),
+        F.round(mc, 6).alias("mean_c"),
+        F.when(pooled > 0, F.round((mt - mc) / F.sqrt(pooled), 6)).alias(
+            "smd"
+        ),
+    ).orderBy("covariate")
+
+
+def stratified_ate(
+    df: DataFrame, treat: Column, outcome: Column, stratum: Column
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate — the
+    post-stratification / propensity-strata estimator: per stratum
+    the arm-mean difference, pooled by stratum share:
+
+        ATE = sum_s (n_s / N) * (mean_t(s) - mean_c(s))
+
+    over strata where BOTH arms appear.  Output — one row per such
+    stratum ordered by key, plus the pooled row with
+    ``stratum = -1``: ``(stratum, n, n_t, n_c, mean_t, mean_c,
+    diff)`` (ROUND 6).
+
+    Scale posture: ONE (stratum) map-combinable moment collapse; the
+    pooled row aggregates the |strata|-sized table with the 1-row
+    qualifying-N broadcast."""
+    t = treat.cast("boolean")
+    vq = F.round(outcome, 6).cast("decimal(18,6)")
+    per = (
+        df.select(
+            stratum.cast("long").alias("s"), t.alias("t"), vq.alias("v")
+        )
+        .filter(
+            F.col("s").isNotNull()
+            & F.col("t").isNotNull()
+            & F.col("v").isNotNull()
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(~F.col("t"), 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("t"), F.col("v"))).alias("st"),
+            F.sum(F.when(~F.col("t"), F.col("v"))).alias("sc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    mt = F.col("st").cast("double") / F.col("nt").cast("double")
+    mc = F.col("sc").cast("double") / F.col("nc").cast("double")
+    strata = per.select(
+        F.col("s").alias("stratum"),
+        (F.col("nt") + F.col("nc")).cast("long").alias("n"),
+        F.col("nt").cast("long").alias("n_t"),
+        F.col("nc").cast("long").alias("n_c"),
+        F.round(mt, 6).alias("mean_t"),
+        F.round(mc, 6).alias("mean_c"),
+        F.round(mt - mc, 6).alias("diff"),
+    ).localCheckpoint(eager=False)
+    tot = strata.agg(F.sum("n").alias("tot_n"))
+    pooled = (
+        strata.crossJoin(broadcast(tot))
+        .agg(
+            F.max("tot_n").alias("n"),
+            F.sum("n_t").alias("n_t"),
+            F.sum("n_c").alias("n_c"),
+            F.sum(
+                (
+                    F.col("n").cast("double")
+                    / F.col("tot_n").cast("double")
+                    * F.round(F.col("diff"), 9)
+                ).cast("decimal(38,12)")
+            ).alias("wdiff"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("stratum"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_t").cast("long").alias("n_t"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.lit(None).cast("double").alias("mean_t"),
+            F.lit(None).cast("double").alias("mean_c"),
+            F.round(F.col("wdiff").cast("double"), 6).alias("diff"),
+        )
+    )
+    return strata.unionAll(pooled).orderBy("stratum")

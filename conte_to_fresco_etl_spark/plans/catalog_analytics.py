@@ -5997,3 +5997,280 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return grubbs_statistic(_events(spark, sf_dir), "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Calibration / targeting / causal-adjustment family (r8).
+# ---------------------------------------------------------------------------
+
+_BRIER_SQL = """
+    WITH r AS (
+      SELECT CAST(ROUND(CAST(CAST('0x' || substr(md5(text), 1, 15)
+                                   AS BIGINT) % 1000000 AS DOUBLE)
+                        / 1000000.0e0, 6) AS DECIMAL(18,6)) AS p,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per_row AS (
+      SELECT COUNT(*) AS n, SUM(y) AS ny,
+             SUM(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS sq_err
+      FROM r
+    ),
+    bands AS (
+      SELECT LEAST(CAST(floor(CAST(p AS DOUBLE) * 10) AS BIGINT), 9)
+               AS band,
+             COUNT(*) AS nk, SUM(y) AS yk, SUM(p) AS pk
+      FROM r GROUP BY 1
+    ),
+    comps AS (
+      SELECT MAX(n) AS n, MAX(sq_err) AS sq_err,
+             MAX(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS ybar,
+             SUM(CAST(CAST(nk AS DOUBLE)
+                      * ROUND(CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+                              - CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE),
+                              9)
+                      * ROUND(CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)
+                              - CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE),
+                              9) AS DECIMAL(38,12))) AS rel,
+             SUM(CAST(CAST(nk AS DOUBLE)
+                      * ROUND(CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)
+                              - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE),
+                              9)
+                      * ROUND(CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE)
+                              - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE),
+                              9) AS DECIMAL(38,12))) AS res
+      FROM bands CROSS JOIN per_row
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(sq_err AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS brier,
+           ROUND(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS reliability,
+           ROUND(CAST(res AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS resolution,
+           ROUND(ybar * (1.0e0 - ybar), 6) AS uncertainty
+    FROM comps
+"""
+
+
+@_q("q_brier_decomp", _BRIER_SQL)
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for an md5-derived
+    document scorer against the long-document outcome: exact decimal
+    Brier sum + 10-band reliability/resolution, base rate as the
+    1-row broadcast."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.operators.robust import (
+        brier_decomposition,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    prob = (md5_long(F.col("text")) % 1000000).cast("double") / F.lit(
+        1000000.0
+    )
+    return brier_decomposition(
+        docs, prob, F.col("n_chars") >= 300, n_bins=10
+    )
+
+
+_LIFT_SQL = """
+    WITH r AS (
+      SELECT LEAST(CAST(floor(CAST(CAST(ROUND(
+               CAST(LEAST(n_chars, 1000) AS DOUBLE) / 1000.0e0, 6)
+               AS DECIMAL(18,6)) AS DOUBLE) * 10) AS BIGINT), 9)
+               AS band,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    bands AS (
+      SELECT band, COUNT(*) AS n, SUM(y) AS pos FROM r GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tot_n, SUM(pos) AS tot_pos FROM bands),
+    cum AS (
+      SELECT band, n, pos,
+             SUM(n) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cn,
+             SUM(pos) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cp
+      FROM bands
+    )
+    SELECT band, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           ROUND(CAST(cn AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+             AS cum_frac_pop,
+           ROUND(CAST(cp AS DOUBLE) / NULLIF(CAST(tot_pos AS DOUBLE),
+                                             0.0e0), 6)
+             AS cum_frac_pos,
+           ROUND((CAST(cp AS DOUBLE) / NULLIF(CAST(tot_pos AS DOUBLE),
+                                              0.0e0))
+                 / (CAST(cn AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+             AS lift
+    FROM cum CROSS JOIN tot
+    ORDER BY band DESC
+"""
+
+
+@_q("q_lift_curves", _LIFT_SQL)
+def q_lift_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift of the length-based document scorer
+    against the English label, by fixed score band (map-side binning,
+    never a global sort; the cumulative window runs over <= 10
+    aggregate rows)."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        cumulative_gains,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    score = (
+        F.least(F.col("n_chars"), F.lit(1000)).cast("double")
+        / F.lit(1000.0)
+    )
+    return cumulative_gains(docs, score, F.col("lang") == "en", n_bins=10)
+
+
+_COV_BALANCE_SQL = """
+    WITH lr AS (
+      SELECT 'hour' AS cov, user_id % 2 = 0 AS t,
+             CAST(ROUND(CAST(extract(hour FROM ts) AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS v
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      UNION ALL
+      SELECT 'props_len', user_id % 2 = 0,
+             CAST(ROUND(CAST(length(props) AS DOUBLE), 6)
+                  AS DECIMAL(18,6))
+      FROM events WHERE props IS NOT NULL AND user_id IS NOT NULL
+      UNION ALL
+      SELECT 'value', user_id % 2 = 0,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6))
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    agg AS (
+      SELECT cov,
+             SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN t THEN v END) AS st,
+             SUM(CASE WHEN NOT t THEN v END) AS sc,
+             SUM(CASE WHEN t THEN CAST(v * v AS DECIMAL(38,12)) END)
+               AS qt,
+             SUM(CASE WHEN NOT t THEN CAST(v * v AS DECIMAL(38,12)) END)
+               AS qc
+      FROM lr GROUP BY 1
+    )
+    SELECT cov AS covariate,
+           CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+           ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_t,
+           ROUND(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_c,
+           CASE WHEN (CAST(qt AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                      + CAST(qc AS DOUBLE) / CAST(nc AS DOUBLE)
+                      - (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                        * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))
+                     / 2.0e0 > 0
+           THEN ROUND(
+             (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+              - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+             / sqrt((CAST(qt AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                     + CAST(qc AS DOUBLE) / CAST(nc AS DOUBLE)
+                     - (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                       * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))
+                    / 2.0e0), 6)
+           END AS smd
+    FROM agg ORDER BY covariate
+"""
+
+
+@_q("q_covariate_balance", _COV_BALANCE_SQL)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean differences of three event covariates across
+    the user-parity arms — the balance check behind every
+    observational comparison; one map-side unpivot + one aggregation,
+    no joins or windows."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        covariate_balance,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return covariate_balance(
+        ev,
+        F.col("user_id") % 2 == 0,
+        {
+            "hour": F.hour("ts").cast("double"),
+            "props_len": F.length("props").cast("double"),
+            "value": F.col("value"),
+        },
+    )
+
+
+_PROP_STRATA_SQL = """
+    WITH per AS (
+      SELECT CAST(floor(CAST(user_id AS DOUBLE) / 2.0e0) AS BIGINT) % 5
+               AS s,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END)
+               AS st,
+             SUM(CASE WHEN user_id % 2 <> 0
+                      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END)
+               AS sc
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1 HAVING SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                          > 0
+                   AND SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+                          > 0
+    ),
+    strata AS (
+      SELECT s AS stratum, CAST(nt + nc AS BIGINT) AS n,
+             CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+             ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+               AS mean_t,
+             ROUND(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+               AS mean_c,
+             ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+               AS diff
+      FROM per
+    ),
+    tot AS (SELECT SUM(n) AS tot_n FROM strata),
+    pooled AS (
+      SELECT CAST(-1 AS BIGINT) AS stratum,
+             CAST(MAX(tot_n) AS BIGINT) AS n,
+             CAST(SUM(n_t) AS BIGINT) AS n_t,
+             CAST(SUM(n_c) AS BIGINT) AS n_c,
+             CAST(NULL AS DOUBLE) AS mean_t,
+             CAST(NULL AS DOUBLE) AS mean_c,
+             ROUND(CAST(SUM(CAST(CAST(n AS DOUBLE)
+                                 / CAST(tot_n AS DOUBLE)
+                                 * ROUND(diff, 9)
+                                 AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS diff
+      FROM strata CROSS JOIN tot
+    )
+    SELECT * FROM strata
+    UNION ALL SELECT * FROM pooled
+    ORDER BY stratum
+"""
+
+
+@_q("q_propensity_strata", _PROP_STRATA_SQL)
+def q_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment-effect estimate: per-stratum arm
+    diffs over the five user-id strata (both-arms-present only) and
+    the stratum-share-weighted pooled ATE as the stratum = -1 row."""
+    from conte_to_fresco_etl_spark.operators.robust import stratified_ate
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return stratified_ate(
+        ev,
+        F.col("user_id") % 2 == 0,
+        F.col("value"),
+        F.floor(F.col("user_id").cast("double") / F.lit(2.0)) % 5,
+    )

@@ -2986,3 +2986,123 @@ def test_grubbs_flags_the_planted_day(spark):
     assert str(r["at_day"]).startswith("2024-07-05")
     assert r["side"] == "high"
     assert r["g_stat"] == pytest.approx(round(g, 6), abs=2e-6)
+
+
+def test_brier_decomposition_identity_and_twin(spark):
+    """brier ≈ reliability - resolution + uncertainty (the Murphy
+    identity holds up to within-band variance quantization — exact
+    when forecasts are band-constant, as here), and each component
+    matches a numpy twin."""
+    import numpy as np
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        brier_decomposition,
+    )
+
+    rng = np.random.default_rng(3)
+    # band-constant forecasts => the identity is EXACT
+    p = rng.choice([0.05, 0.25, 0.45, 0.85], size=300)
+    y = (rng.random(300) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), bool(b)) for a, b in zip(p, y)],
+        "p double, y boolean",
+    )
+    r = brier_decomposition(df, F.col("p"), F.col("y"), n_bins=10)
+    row = r.collect()[0]
+    brier = np.mean((p - y) ** 2)
+    ybar = y.mean()
+    rel = res = 0.0
+    for band in np.unique(np.minimum((p * 10).astype(int), 9)):
+        m = np.minimum((p * 10).astype(int), 9) == band
+        rel += m.sum() * round(p[m].mean() - y[m].mean(), 9) ** 2
+        res += m.sum() * round(y[m].mean() - ybar, 9) ** 2
+    assert row["brier"] == pytest.approx(round(brier, 6), abs=2e-6)
+    assert row["reliability"] == pytest.approx(
+        round(rel / 300, 6), abs=2e-6
+    )
+    assert row["resolution"] == pytest.approx(
+        round(res / 300, 6), abs=2e-6
+    )
+    assert row["uncertainty"] == pytest.approx(
+        round(ybar * (1 - ybar), 6), abs=2e-6
+    )
+    assert row["brier"] == pytest.approx(
+        row["reliability"] - row["resolution"] + row["uncertainty"],
+        abs=5e-6,
+    )
+
+
+def test_cumulative_gains_perfect_ranker(spark):
+    """A score that perfectly separates the classes captures 100% of
+    positives in the top band: lift there = 1/frac_pop, and the final
+    row is (1.0, 1.0, 1.0)."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        cumulative_gains,
+    )
+
+    rows = [(0.95, True)] * 10 + [(0.05, False)] * 90
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = cumulative_gains(df, F.col("s"), F.col("y"), n_bins=10)
+    got = {r["band"]: r for r in out.collect()}
+    assert got[9]["cum_frac_pos"] == 1.0
+    assert got[9]["cum_frac_pop"] == 0.1
+    assert got[9]["lift"] == 10.0
+    assert got[0]["cum_frac_pop"] == 1.0 and got[0]["lift"] == 1.0
+
+
+def test_covariate_balance_detects_planted_imbalance(spark):
+    """A covariate shifted by +1 sd in the treatment arm reports
+    |smd| ≈ 1; a balanced covariate reports |smd| ≈ 0."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        covariate_balance,
+    )
+
+    rng = np.random.default_rng(11)
+    t = np.arange(400) % 2 == 0
+    bal = rng.normal(5, 1, 400)
+    imb = rng.normal(0, 1, 400) + t * 1.0
+    df = spark.createDataFrame(
+        [
+            (bool(a), float(b), float(c))
+            for a, b, c in zip(t, bal, imb)
+        ],
+        "t boolean, bal double, imb double",
+    )
+    out = {
+        r["covariate"]: r
+        for r in covariate_balance(
+            df, F.col("t"), {"bal": F.col("bal"), "imb": F.col("imb")}
+        ).collect()
+    }
+    assert abs(out["bal"]["smd"]) < 0.25
+    assert 0.7 < out["imb"]["smd"] < 1.3
+    assert out["bal"]["n_t"] == 200 and out["bal"]["n_c"] == 200
+
+
+def test_stratified_ate_recovers_constant_effect(spark):
+    """With a constant +2 treatment effect and stratum-varying
+    baselines, every stratum diff and the pooled ATE equal 2; strata
+    missing an arm are excluded."""
+    from conte_to_fresco_etl_spark.operators.robust import stratified_ate
+
+    rows = []
+    for s in range(3):
+        base = 10.0 * s
+        for i in range(10):
+            rows.append((s, True, base + 2.0))
+            rows.append((s, False, base))
+    rows.append((9, True, 99.0))  # one-arm stratum: must drop
+    df = spark.createDataFrame(rows, "s long, t boolean, v double")
+    out = {
+        r["stratum"]: r
+        for r in stratified_ate(
+            df, F.col("t"), F.col("v"), F.col("s")
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, -1}
+    for s in (0, 1, 2):
+        assert out[s]["diff"] == 2.0
+    assert out[-1]["diff"] == 2.0 and out[-1]["n"] == 60

@@ -67,6 +67,11 @@ REGATE_R8: list[str] = [
     "q_lift_curves",
     "q_covariate_balance",
     "q_propensity_strata",
+    # NEW r8 registrations (text-analysis additions)
+    "q_tstat_features",
+    "q_doc_simpson",
+    "q_mattr",
+    "q_cond_entropy",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -112,6 +117,10 @@ PRIORITY: list[str] = [
     "q_lift_curves",
     "q_covariate_balance",
     "q_propensity_strata",
+    "q_tstat_features",
+    "q_doc_simpson",
+    "q_mattr",
+    "q_cond_entropy",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

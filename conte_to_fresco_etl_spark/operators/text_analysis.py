@@ -2567,3 +2567,262 @@ def negative_samples(
             F.col("vid").isNotNull().alias("in_doc"),
         )
     )
+
+
+def tstat_token_features(
+    df: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Discriminative-token feature selection: per-token Welch t
+    statistic of the term-frequency difference between two document
+    classes, top-``top_k`` by |t| — the classic first pass of a
+    quality/domain classifier (which tokens SEPARATE the classes,
+    with variance taken seriously, unlike a raw log-odds list).
+
+    Per class c with n_c docs, a token's tf moments count ABSENT
+    documents as tf = 0 arithmetically (sums over present docs,
+    divisors the full class size — the cronbach/covariate-balance
+    discipline; the dense doc x token design never materializes).
+    Output: ``(token, t_stat, mean_pos, mean_neg)`` (ROUND 6), |t|
+    desc, token asc tiebreak.
+
+    Scale posture: one (doc, token) tf shuffle, one token-keyed
+    moment collapse with the 1-row class-size broadcast, TakeOrdered
+    top-k.  Exactness: integer tf sums; t is one double tree; ranking
+    compares the ROUND(6)-pinned |t| both engines."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            label.cast("boolean").alias("y"),
+            F.col(text_col).alias("__text"),
+        ).filter(F.col("__text").isNotNull() & F.col("y").isNotNull()),
+        DENSE_BYTES_PER_TASK,
+    )
+    sizes = base.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n0"),
+    )
+    tf = (
+        base.select(
+            "id", "y", F.explode(tokens(F.col("__text"))).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("id", "y", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    mom = tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("y"), F.col("tf"))).alias("s1"),
+        F.sum(
+            F.when(F.col("y"), F.col("tf") * F.col("tf"))
+        ).alias("q1"),
+        F.sum(F.when(~F.col("y"), F.col("tf"))).alias("s0"),
+        F.sum(
+            F.when(~F.col("y"), F.col("tf") * F.col("tf"))
+        ).alias("q0"),
+    )
+    j = mom.crossJoin(F.broadcast(sizes))
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double")
+    q1 = F.coalesce(F.col("q1"), F.lit(0)).cast("double")
+    s0 = F.coalesce(F.col("s0"), F.lit(0)).cast("double")
+    q0 = F.coalesce(F.col("q0"), F.lit(0)).cast("double")
+    m1, m0 = s1 / n1d, s0 / n0d
+    v1 = (q1 - n1d * m1 * m1) / (n1d - F.lit(1.0))
+    v0 = (q0 - n0d * m0 * m0) / (n0d - F.lit(1.0))
+    se2 = v1 / n1d + v0 / n0d
+    t = F.when(se2 > 0, F.round((m1 - m0) / F.sqrt(se2), 6))
+    return (
+        j.select(
+            F.col("tok").alias("token"),
+            t.alias("t_stat"),
+            F.round(m1, 6).alias("mean_pos"),
+            F.round(m0, 6).alias("mean_neg"),
+        )
+        .filter(F.col("t_stat").isNotNull())
+        .orderBy(F.abs(F.col("t_stat")).desc(), F.col("token").asc())
+        .limit(int(top_k))
+    )
+
+
+def doc_simpson(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Simpson concentration over tokens —
+    λ = Σ c_i(c_i − 1) / (N(N−1)), the probability two tokens drawn
+    without replacement coincide: 0 = all-distinct, 1 = one token
+    repeated (boilerplate/spam); the diversity-index complement to
+    ``q_token_entropy``'s Shannon view.  Docs with N < 2 emit
+    nothing.  Output: ``(doc_id, n_tokens, simpson)`` (ROUND 6).
+
+    Scale posture: one (doc, token) count shuffle + one per-doc
+    integer collapse — λ is a ratio of exact integers."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    tok = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("id", F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    per = (
+        tok.groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    return per.select(
+        F.col("id").cast("long").alias(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("coll").cast("double") / (nd * (nd - F.lit(1.0))), 6
+        ).alias("simpson"),
+    )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, fixed non-overlapping
+    windows): mean over a document's COMPLETE ``window``-token chunks
+    of (distinct tokens / window) — the length-robust lexical
+    diversity measure (raw TTR shrinks with length, so it cannot
+    compare a tweet to a book; per-chunk TTR can).  Docs without one
+    complete chunk emit nothing.  Output: ``(doc_id, n_windows,
+    mattr)`` (ROUND 6).
+
+    Scale posture: positions come from one map-side posexplode; one
+    (doc, chunk, token) distinct + (doc, chunk) count + per-doc mean
+    — all map-combinable collapses keyed by the doc."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    w = int(window)
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        DENSE_BYTES_PER_TASK,
+    ).select("id", tokens(F.col(text_col)).alias("toks"))
+    pos = (
+        base.filter(F.size("toks") >= w)
+        .select(
+            "id",
+            F.size("toks").alias("len"),
+            F.posexplode("toks").alias("pos", "tok"),
+        )
+        .filter(F.col("pos") < F.floor(F.col("len") / w) * w)
+        .select(
+            "id", (F.col("pos") / w).cast("long").alias("chunk"), "tok"
+        )
+    )
+    per_chunk = (
+        pos.distinct()
+        .groupBy("id", "chunk")
+        .agg(F.count("*").alias("types"))
+    )
+    ttr = F.round(F.col("types").cast("double") / F.lit(float(w)), 9)
+    return (
+        per_chunk.groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(ttr.cast("decimal(28,9)")).alias("ttr_sum"),
+        )
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.round(
+                F.col("ttr_sum").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("mattr"),
+        )
+    )
+
+
+def conditional_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram conditional entropy H(next | prev) =
+    H(prev, next) − H(prev) in nats — the entropy-rate estimate that
+    separates repetitive/templated corpora (low: the next token is
+    predictable) from diverse prose at equal unigram entropy; the
+    joint/marginal companion to ``q_token_entropy`` and the model-free
+    counterpart of the bigram-LM NLL.  Output — ONE row:
+    ``(n_bigrams, h_joint, h_prev, h_cond)`` (ROUND 6).
+
+    Scale posture: one corpus bigram-count shuffle; the prev marginal
+    derives FROM the bigram table (no second corpus pass); each
+    distinct type's −p·ln p term is ROUND(12) then DECIMAL-summed
+    with the 1-row total broadcast."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    toks = tokens(F.col(text_col))
+    base = (
+        ensure_min_parallelism(
+            df.select(F.col(text_col)), DENSE_BYTES_PER_TASK
+        )
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    bc = pairs.groupBy("a", "b").agg(F.count("*").alias("c"))
+    bc = bc.localCheckpoint(eager=False)
+    tot = bc.agg(F.sum("c").alias("n"))
+    d12 = "decimal(38,12)"
+
+    def entropy(counts: DataFrame) -> Column:
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        return F.sum(
+            F.round(-p * F.log(p), 12).cast(d12)
+        )
+
+    hj = (
+        bc.crossJoin(F.broadcast(tot))
+        .agg(entropy(bc).alias("hj"), F.max("n").alias("n"))
+    )
+    prev = bc.groupBy("a").agg(F.sum("c").alias("c"))
+    hp = prev.crossJoin(F.broadcast(tot)).agg(entropy(prev).alias("hp"))
+    return hj.crossJoin(F.broadcast(hp)).select(
+        F.col("n").cast("long").alias("n_bigrams"),
+        F.round(F.col("hj").cast("double"), 6).alias("h_joint"),
+        F.round(F.col("hp").cast("double"), 6).alias("h_prev"),
+        F.round(
+            F.col("hj").cast("double") - F.col("hp").cast("double"), 6
+        ).alias("h_cond"),
+    )

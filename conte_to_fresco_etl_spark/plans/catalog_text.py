@@ -6686,3 +6686,197 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MARGIN_K,
         threshold=_MARGIN_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis additions (r8): discriminative tokens, Simpson
+# diversity, MATTR, bigram conditional entropy.
+# ---------------------------------------------------------------------------
+
+_TSTAT_SQL = f"""
+    WITH d AS (
+      SELECT doc_id AS id, lang = 'en' AS y, text
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    sizes AS (
+      SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n0
+      FROM d
+    ),
+    tf AS (
+      SELECT id, y, tok, COUNT(*) AS tf
+      FROM (SELECT id, y, unnest({_sql_tokens('text')}) AS tok FROM d)
+      WHERE length(tok) > 0 GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT tok,
+             SUM(CASE WHEN y THEN tf END) AS s1,
+             SUM(CASE WHEN y THEN tf * tf END) AS q1,
+             SUM(CASE WHEN NOT y THEN tf END) AS s0,
+             SUM(CASE WHEN NOT y THEN tf * tf END) AS q0
+      FROM tf GROUP BY 1
+    ),
+    j AS (
+      SELECT tok,
+             CAST(COALESCE(s1, 0) AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(COALESCE(s0, 0) AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             (CAST(COALESCE(q1, 0) AS DOUBLE)
+              - CAST(n1 AS DOUBLE)
+                * (CAST(COALESCE(s1, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))
+                * (CAST(COALESCE(s1, 0) AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             / (CAST(n1 AS DOUBLE) - 1.0e0) / CAST(n1 AS DOUBLE)
+             + (CAST(COALESCE(q0, 0) AS DOUBLE)
+                - CAST(n0 AS DOUBLE)
+                  * (CAST(COALESCE(s0, 0) AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  * (CAST(COALESCE(s0, 0) AS DOUBLE) / CAST(n0 AS DOUBLE)))
+               / (CAST(n0 AS DOUBLE) - 1.0e0) / CAST(n0 AS DOUBLE)
+               AS se2
+      FROM mom CROSS JOIN sizes
+    )
+    SELECT tok AS token,
+           ROUND((m1 - m0) / sqrt(se2), 6) AS t_stat,
+           ROUND(m1, 6) AS mean_pos,
+           ROUND(m0, 6) AS mean_neg
+    FROM j WHERE se2 > 0
+    ORDER BY abs(ROUND((m1 - m0) / sqrt(se2), 6)) DESC, token ASC
+    LIMIT 30
+"""
+
+
+@_q("q_tstat_features", _TSTAT_SQL)
+def q_tstat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens separating English from non-English documents by
+    Welch t on term frequencies — absent documents enter the moments
+    as zeros arithmetically; one tf shuffle + one token collapse +
+    TakeOrdered."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        tstat_token_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return tstat_token_features(
+        docs, F.col("lang") == "en", top_k=30
+    )
+
+
+_DOC_SIMPSON_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id AS id, tok
+      FROM (SELECT doc_id, unnest({_sql_tokens('text')}) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+    ),
+    per AS (
+      SELECT id, SUM(c) AS n, SUM(c * (c - 1)) AS coll
+      FROM (SELECT id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      GROUP BY 1 HAVING SUM(c) >= 2
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CAST(coll AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)), 6)
+             AS simpson
+    FROM per
+"""
+
+
+@_q("q_doc_simpson", _DOC_SIMPSON_SQL)
+def q_doc_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson token concentration — the
+    draw-two-tokens collision probability, integer-exact from one
+    (doc, token) count shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        doc_simpson,
+    )
+
+    return doc_simpson(_t(spark, sf_dir, "documents"))
+
+
+_MATTR_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 20
+    ),
+    sel AS (
+      SELECT doc_id,
+             CAST(floor((i - 1) / 20.0e0) AS BIGINT) AS chunk,
+             toks[i] AS tok
+      FROM (SELECT doc_id, toks, n,
+                   unnest(generate_series(1, n)) AS i
+            FROM big)
+      WHERE i - 1 < CAST(floor(n / 20.0e0) AS BIGINT) * 20
+    ),
+    pc AS (
+      SELECT doc_id, chunk, COUNT(DISTINCT tok) AS types
+      FROM sel GROUP BY 1, 2
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(types AS DOUBLE) / 20.0e0, 9)
+                               AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mattr
+    FROM pc GROUP BY 1
+"""
+
+
+@_q("q_mattr", _MATTR_SQL)
+def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio over complete 20-token
+    windows: the length-robust lexical diversity measure; map-side
+    positions, doc-keyed collapses only."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import mattr
+
+    return mattr(_t(spark, sf_dir, "documents"), window=20)
+
+
+_COND_ENTROPY_SQL = f"""
+    WITH ne AS (
+      SELECT toks FROM (
+        SELECT {_sql_tokens('text')} AS toks FROM documents
+      ) WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM ne)
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    tot AS (SELECT SUM(c) AS n FROM bc),
+    hj AS (
+      SELECT SUM(CAST(ROUND(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS hj,
+             MAX(n) AS n
+      FROM bc CROSS JOIN tot
+    ),
+    hp AS (
+      SELECT SUM(CAST(ROUND(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS hp
+      FROM (SELECT a, SUM(c) AS c FROM bc GROUP BY 1) CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_bigrams,
+           ROUND(CAST(hj AS DOUBLE), 6) AS h_joint,
+           ROUND(CAST(hp AS DOUBLE), 6) AS h_prev,
+           ROUND(CAST(hj AS DOUBLE) - CAST(hp AS DOUBLE), 6) AS h_cond
+    FROM hj CROSS JOIN hp
+"""
+
+
+@_q("q_cond_entropy", _COND_ENTROPY_SQL)
+def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(next | prev) =
+    H(prev, next) − H(prev): one bigram-count shuffle, the prev
+    marginal derived from the bigram table, ROUND(12) decimal entropy
+    terms."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        conditional_entropy,
+    )
+
+    return conditional_entropy(_t(spark, sf_dir, "documents"))

@@ -569,6 +569,8 @@ BNLJ_ALLOWED = {
     "q_brier_decomp",           # base-rate 1-row cross (r8)
     "q_lift_curves",            # band totals 1-row cross (r8)
     "q_propensity_strata",      # stratum-total 1-row cross (r8)
+    "q_tstat_features",         # class-size 1-row broadcast (r8)
+    "q_cond_entropy",           # bigram-total 1-row crosses (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

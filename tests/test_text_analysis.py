@@ -1033,3 +1033,92 @@ def test_negative_samples_distribution_and_flags(spark):
     # determinism
     again = negative_samples(df, k=4, seed="t").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_tstat_features_separating_token_tops(spark):
+    """A token present only in the positive class with consistent tf
+    ranks first; a uniformly-distributed token yields |t| near 0 (or
+    drops when variance is 0)."""
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        tstat_token_features,
+    )
+
+    rows = []
+    for i in range(20):
+        pos = i < 10
+        # "signal" appears 2-3x in positives only; "noise" everywhere
+        sig = ("signal " * (2 + i % 2)) if pos else ""
+        rows.append((i, pos, sig + "noise filler " + ("pad " * (i % 3))))
+    df = spark.createDataFrame(rows, "doc_id long, y boolean, text string")
+    out = tstat_token_features(
+        df, F.col("y"), top_k=5
+    ).collect()
+    assert out[0]["token"] == "signal"
+    assert out[0]["mean_neg"] == 0.0 and out[0]["t_stat"] > 3
+
+
+def test_doc_simpson_extremes(spark):
+    """All-identical tokens => simpson 1.0; all-distinct => 0.0;
+    single-token docs emit nothing."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        doc_simpson,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "w x y z"),
+            (3, "solo"),
+            (4, "a a b b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simpson"] for r in doc_simpson(df).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0
+    assert 3 not in got
+    # 2+2 duplicates of 4 tokens: 2*2*1/(4*3) = 4/12
+    assert got[4] == round(4 / 12, 6)
+
+
+def test_mattr_windows_and_incomplete_tail(spark):
+    """Two complete 20-token windows (10 distinct each => TTR 0.5) and
+    a discarded 5-token tail: mattr = 0.5 over n_windows = 2; a
+    19-token doc emits nothing."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import mattr
+
+    w1 = " ".join(f"a{i % 10}" for i in range(20))
+    w2 = " ".join(f"b{i % 10}" for i in range(20))
+    tail = "t1 t2 t3 t4 t5"
+    df = spark.createDataFrame(
+        [(1, f"{w1} {w2} {tail}"), (2, " ".join("x" for _ in range(19)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in mattr(df, window=20).collect()}
+    assert got[1]["n_windows"] == 2 and got[1]["mattr"] == 0.5
+    assert 2 not in got
+
+
+def test_conditional_entropy_deterministic_vs_uniform(spark):
+    """A deterministic cycle (every prev fixes its next) has
+    h_cond = 0; i.i.d.-like alternation raises it; h_joint >= h_prev
+    always."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        conditional_entropy,
+    )
+
+    cyc = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c")], "doc_id long, text string"
+    )
+    r = conditional_entropy(cyc).collect()[0]
+    assert r["h_cond"] == pytest.approx(0.0, abs=1e-6)
+
+    mixed = spark.createDataFrame(
+        [(1, "a a a b b a b a a b b b a b")], "doc_id long, text string"
+    )
+    m = conditional_entropy(mixed).collect()[0]
+    assert m["h_cond"] > 0.4
+    assert m["h_joint"] >= m["h_prev"]

@@ -72,6 +72,10 @@ REGATE_R8: list[str] = [
     "q_doc_simpson",
     "q_mattr",
     "q_cond_entropy",
+    # NEW r8 registrations (reliability / skyline)
+    "q_icc",
+    "q_friedman",
+    "q_pareto_front",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -121,6 +125,9 @@ PRIORITY: list[str] = [
     "q_doc_simpson",
     "q_mattr",
     "q_cond_entropy",
+    "q_icc",
+    "q_friedman",
+    "q_pareto_front",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

@@ -3291,3 +3291,141 @@ def stratified_ate(
         )
     )
     return strata.unionAll(pooled).orderBy("stratum")
+
+
+def icc_oneway(df: DataFrame, group_col: str, value: Column) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) — how
+    much of a metric's variance is BETWEEN groups (users, sessions,
+    annotators) rather than within: the clustering diagnostic that
+    says whether per-row observations are exchangeable or the group
+    is the real sampling unit (and thus how badly naive standard
+    errors undercount).  Unbalanced-design Searle form with
+    k0 = (N - Σn_i²/N) / (m - 1).  Output — ONE row: ``(m_groups, n,
+    msb, msw, k0, icc)`` (ROUND 6; NULL icc on degenerate designs).
+
+    Scale posture: ONE group-keyed moment collapse (quantize v to
+    DECIMAL(18,6), square the same quantized value), then a
+    |groups|-sized aggregate with ROUND(9) decimal sums — nothing
+    data-sized past the first shuffle."""
+    vq = F.round(value, 6).cast("decimal(18,6)")
+    per = (
+        df.select(F.col(group_col).alias("g"), vq.alias("v"))
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("ni"),
+            F.sum("v").alias("si"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias(
+                "qi"
+            ),
+        )
+    )
+    nid = F.col("ni").cast("double")
+    grp_term = F.round(
+        F.col("si").cast("double")
+        * F.col("si").cast("double")
+        / nid,
+        9,
+    )
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("ni") * F.col("ni")).alias("n2"),
+        F.sum(grp_term.cast("decimal(28,9)")).alias("gterm"),
+    )
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    ssb = F.col("gterm").cast("double") - F.col("s").cast(
+        "double"
+    ) * F.col("s").cast("double") / nd
+    ssw = F.col("q").cast("double") - F.col("gterm").cast("double")
+    msb = ssb / (md - F.lit(1.0))
+    msw = ssw / (nd - md)
+    k0 = (nd - F.col("n2").cast("double") / nd) / (md - F.lit(1.0))
+    den = msb + (k0 - F.lit(1.0)) * msw
+    ok = (F.col("m") >= 2) & (F.col("n") > F.col("m"))
+    return agg.select(
+        F.col("m").cast("long").alias("m_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(msb, 6)).alias("msb"),
+        F.when(ok, F.round(msw, 6)).alias("msw"),
+        F.when(ok, F.round(k0, 6)).alias("k0"),
+        F.when(ok & (den > 0), F.round((msb - msw) / den, 6)).alias(
+            "icc"
+        ),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    value: Column,
+    k: int,
+) -> DataFrame:
+    """Friedman rank test across k related treatments — the
+    nonparametric repeated-measures ANOVA (k prompt variants scored
+    per document, k pipeline stages timed per job): within each
+    COMPLETE subject (all k treatments present) the treatments rank
+    1..k, and
+
+        chi2 = 12 / (n k (k+1)) * sum_j R_j^2  -  3 n (k+1)
+
+    Output — ONE row: ``(n_subjects, k, chi2)`` (ROUND 6; NULL when
+    no subject is complete).  Per-subject cell values are the
+    quantized means; rank ties break deterministically on the
+    treatment key (measure-zero for continuous metrics, and the same
+    total order in both engines).
+
+    Scale posture: one (subject, treatment) cell collapse, ranks from
+    a SUBJECT-partitioned k-row window (millions of tiny partitions —
+    the safe window shape), one treatment-keyed rank-sum collapse,
+    1-row closing algebra."""
+    vq = F.round(value, 6).cast("decimal(18,6)")
+    cell = (
+        df.select(
+            F.col(subject_col).alias("subj"),
+            F.col(treatment_col).alias("trt"),
+            vq.alias("v"),
+        )
+        .filter(
+            F.col("subj").isNotNull()
+            & F.col("trt").isNotNull()
+            & F.col("v").isNotNull()
+        )
+        .groupBy("subj", "trt")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("v")
+        )
+    )
+    nper = cell.groupBy("subj").agg(F.count("*").alias("kk"))
+    complete = cell.join(
+        nper.filter(F.col("kk") == int(k)).select("subj"), "subj"
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("v").asc(), F.col("trt").asc()
+    )
+    ranked = complete.withColumn("r", F.row_number().over(w))
+    rsums = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count("*").alias("n")
+    )
+    agg = rsums.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("rj") * F.col("rj")).alias("r2"),
+    )
+    ndd = F.col("n").cast("double")
+    kd = F.lit(float(k))
+    chi2 = (
+        F.lit(12.0) / (ndd * kd * (kd + F.lit(1.0)))
+        * F.col("r2").cast("double")
+        - F.lit(3.0) * ndd * (kd + F.lit(1.0))
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_subjects"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.when(F.col("n") >= 1, F.round(chi2, 6)).alias("chi2"),
+    )

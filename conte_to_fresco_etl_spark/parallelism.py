@@ -149,3 +149,64 @@ def prefix_sums(
             for c in sum_cols
         ],
     )
+
+
+def prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_max",
+    descending: bool = False,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Distributed running maximum over a global order — the MAX
+    sibling of :func:`prefix_sums` (max is associative and
+    commutative, so the identical two-pass shape applies: per-range
+    cummax in parallel, each partition offset by the max of all
+    earlier partitions via the tiny triangular join).
+
+    ``descending`` orders the scan from the top; ``exclusive`` emits
+    the max of STRICTLY earlier rows (NULL for the first row) — the
+    shape a skyline/Pareto scan needs.  ``order_col`` must be unique
+    per row (callers scan tables already grouped by the order key)."""
+    from pyspark.sql import Window, functions as F
+
+    cols = df.columns
+    parts = df.repartitionByRange(
+        F.col(order_col).desc() if descending else F.col(order_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    order = F.col(order_col).desc() if descending else F.col(order_col)
+    frame = (-1 if exclusive else 0)
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, frame)
+    )
+    local = parts.select(
+        *cols,
+        "__pid",
+        F.max(value_col).over(wloc).alias("__loc"),
+    ).localCheckpoint(eager=False)
+    # inclusive per-partition totals feed the offsets regardless of
+    # the exclusive flag (earlier PARTITIONS are wholly earlier rows)
+    ptot = local.groupBy("__pid").agg(
+        F.max(value_col).alias("__pt")
+    )
+    earlier = ptot.select(
+        F.col("__pid").alias("__bpid"), F.col("__pt").alias("__bt")
+    )
+    offsets = (
+        ptot.join(
+            F.broadcast(earlier), F.col("__bpid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.max("__bt").alias("__off"))
+    )
+    merged = F.when(
+        F.col("__off").isNull(), F.col("__loc")
+    ).when(F.col("__loc").isNull(), F.col("__off")).otherwise(
+        F.greatest(F.col("__loc"), F.col("__off"))
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *cols, merged.alias(out_col)
+    )

@@ -6274,3 +6274,162 @@ def q_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         F.floor(F.col("user_id").cast("double") / F.lit(2.0)) % 5,
     )
+
+
+_ICC_SQL = """
+    WITH per AS (
+      SELECT user_id AS g, COUNT(*) AS ni,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS si,
+             SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                      * CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS qi
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS m, SUM(ni) AS n, SUM(si) AS s, SUM(qi) AS q,
+             SUM(ni * ni) AS n2,
+             SUM(CAST(ROUND(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                            / CAST(ni AS DOUBLE), 9)
+                      AS DECIMAL(28,9))) AS gterm
+      FROM per
+    ),
+    c AS (
+      SELECT m, n,
+             (CAST(gterm AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(m AS DOUBLE) - 1.0e0) AS msb,
+             (CAST(q AS DOUBLE) - CAST(gterm AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(m AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE)
+              - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(m AS DOUBLE) - 1.0e0) AS k0
+      FROM agg
+    )
+    SELECT CAST(m AS BIGINT) AS m_groups, CAST(n AS BIGINT) AS n,
+           CASE WHEN m >= 2 AND n > m THEN ROUND(msb, 6) END AS msb,
+           CASE WHEN m >= 2 AND n > m THEN ROUND(msw, 6) END AS msw,
+           CASE WHEN m >= 2 AND n > m THEN ROUND(k0, 6) END AS k0,
+           CASE WHEN m >= 2 AND n > m
+                 AND msb + (k0 - 1.0e0) * msw > 0
+           THEN ROUND((msb - msw) / (msb + (k0 - 1.0e0) * msw), 6)
+           END AS icc
+    FROM c
+"""
+
+
+@_q("q_icc", _ICC_SQL)
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way intraclass correlation of event values within users —
+    are rows exchangeable, or is the user the real sampling unit?
+    One group-keyed moment collapse + a |groups|-sized ROUND(9)
+    decimal aggregate."""
+    from conte_to_fresco_etl_spark.operators.robust import icc_oneway
+
+    return icc_oneway(_events(spark, sf_dir), "user_id", F.col("value"))
+
+
+_FRIEDMAN_SQL = """
+    WITH cell AS (
+      SELECT user_id AS subj, event_type AS trt,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*), 6) AS v
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT c.* FROM cell c
+      JOIN (SELECT subj FROM cell GROUP BY 1 HAVING COUNT(*) = 5) f
+        USING (subj)
+    ),
+    ranked AS (
+      SELECT trt,
+             ROW_NUMBER() OVER (PARTITION BY subj
+                                ORDER BY v ASC, trt ASC) AS r
+      FROM complete
+    ),
+    rsums AS (
+      SELECT trt, SUM(r) AS rj, COUNT(*) AS n FROM ranked GROUP BY 1
+    ),
+    agg AS (SELECT MAX(n) AS n, SUM(rj * rj) AS r2 FROM rsums)
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_subjects,
+           CAST(5 AS BIGINT) AS k,
+           CASE WHEN n >= 1 THEN ROUND(
+             12.0e0 / (CAST(n AS DOUBLE) * 5.0e0 * 6.0e0)
+             * CAST(r2 AS DOUBLE)
+             - 3.0e0 * CAST(n AS DOUBLE) * 6.0e0, 6)
+           END AS chi2
+    FROM agg
+"""
+
+
+@_q("q_friedman", _FRIEDMAN_SQL)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of the five event types' mean values across
+    complete users: subject-partitioned 5-row rank windows (millions
+    of tiny partitions — the safe window shape), one rank-sum
+    collapse, 1-row algebra."""
+    from conte_to_fresco_etl_spark.operators.robust import friedman_test
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    return friedman_test(ev, "user_id", "event_type", F.col("value"), k=5)
+
+
+_PARETO_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, COUNT(DISTINCT tok) AS n_types
+      FROM (SELECT doc_id, unnest({{tokens}}) AS tok FROM documents)
+      WHERE length(tok) > 0 GROUP BY 1
+    ),
+    pts AS (
+      SELECT d.doc_id, d.n_chars, t.n_types
+      FROM documents d JOIN toks t USING (doc_id)
+      WHERE d.n_chars IS NOT NULL
+    )
+    SELECT p.doc_id, p.n_chars, p.n_types
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.n_chars >= p.n_chars AND q.n_types >= p.n_types
+        AND (q.n_chars > p.n_chars OR q.n_types > p.n_types)
+    )
+"""
+
+
+@_q(
+    "q_pareto_front",
+    _PARETO_SQL.replace(
+        "{tokens}",
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END",
+    ),
+)
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents maximizing (length, lexical richness)
+    jointly — the skyline selection when no single quality score
+    exists.  Spark side: per-distinct-x best y + the DISTRIBUTED
+    exclusive prefix-max over x descending (parallelism.prefix_max) +
+    one join back; the oracle states the NOT EXISTS dominance
+    definition directly."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.validation import pareto_front
+
+    docs = _t(spark, sf_dir, "documents")
+    types = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_types"))
+    )
+    pts = docs.select("doc_id", "n_chars").filter(
+        F.col("n_chars").isNotNull()
+    ).join(types, "doc_id")
+    return pareto_front(
+        pts, F.col("n_chars"), F.col("n_types")
+    ).select("doc_id", "n_chars", "n_types")

@@ -824,3 +824,41 @@ def priority_sample(
             ),
         )
     )
+
+
+def pareto_front(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Pareto-optimal rows maximizing two objectives — the skyline
+    selection a curation pipeline runs when no single score exists
+    ("longest AND lexically richest", "highest quality AND freshest"):
+    a row survives iff NO other row is >= on both objectives and
+    strictly better on one.  Duplicate (x, y) optima all survive
+    (neither strictly dominates).  Output: the input columns plus
+    ``__x``/``__y`` dropped — callers keep their own objective
+    columns.
+
+    Scale posture: collapse to the per-distinct-x best y (ONE
+    map-combinable shuffle), then a DISTRIBUTED exclusive prefix-max
+    scanning x descending (``parallelism.prefix_max`` — the skyline's
+    "best y among strictly larger x", never a single-task global
+    sort), and one equi-join back: a row survives iff its y equals
+    its x-group's best AND beats every larger-x best.  All
+    comparisons on the caller's raw objective values."""
+    rows = df.withColumn("__x", x).withColumn("__y", y).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    best = rows.groupBy("__x").agg(F.max("__y").alias("__my"))
+    from conte_to_fresco_etl_spark.parallelism import prefix_max
+
+    scan = prefix_max(
+        best, "__x", "__my", out_col="__m", descending=True,
+        exclusive=True,
+    )
+    front_x = scan.filter(
+        F.col("__m").isNull() | (F.col("__my") > F.col("__m"))
+    ).select("__x", "__my")
+    out_cols = [c for c in df.columns]
+    return (
+        rows.join(front_x, "__x")
+        .filter(F.col("__y") == F.col("__my"))
+        .select(*out_cols)
+    )

@@ -571,6 +571,7 @@ BNLJ_ALLOWED = {
     "q_propensity_strata",      # stratum-total 1-row cross (r8)
     "q_tstat_features",         # class-size 1-row broadcast (r8)
     "q_cond_entropy",           # bigram-total 1-row crosses (r8)
+    "q_pareto_front",           # prefix-max offsets triangular join (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

@@ -3106,3 +3106,75 @@ def test_stratified_ate_recovers_constant_effect(spark):
     for s in (0, 1, 2):
         assert out[s]["diff"] == 2.0
     assert out[-1]["diff"] == 2.0 and out[-1]["n"] == 60
+
+
+def test_icc_high_vs_zero_clustering(spark):
+    """Groups with far-apart means and tiny within-noise give
+    icc ≈ 1; a design where group means coincide gives icc ≈ 0 (the
+    estimator can dip slightly negative by construction)."""
+    from conte_to_fresco_etl_spark.operators.robust import icc_oneway
+
+    tight = [
+        (g, 100.0 * g + d)
+        for g in range(5)
+        for d in (-0.1, 0.0, 0.1, 0.05)
+    ]
+    df = spark.createDataFrame(tight, "g long, v double")
+    r = icc_oneway(df, "g", F.col("v")).collect()[0]
+    assert r["m_groups"] == 5 and r["n"] == 20
+    assert r["icc"] > 0.99
+
+    flat = [(g, d) for g in range(5) for d in (1.0, 2.0, 3.0, 4.0)]
+    df2 = spark.createDataFrame(flat, "g long, v double")
+    r2 = icc_oneway(df2, "g", F.col("v")).collect()[0]
+    assert r2["icc"] < 0.05
+
+
+def test_friedman_matches_formula_and_detects_effect(spark):
+    """A treatment consistently ranked last across every subject
+    drives chi2 to the hand formula's value; incomplete subjects are
+    excluded from n."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import friedman_test
+
+    rows = []
+    for s in range(8):
+        rows.append((s, "a", 1.0 + s))   # always lowest -> rank 1
+        rows.append((s, "b", 5.0 + s))
+        rows.append((s, "c", 9.0 + s))   # always highest -> rank 3
+    rows.append((99, "a", 1.0))          # incomplete subject
+    df = spark.createDataFrame(rows, "s long, t string, v double")
+    r = friedman_test(df, "s", "t", F.col("v"), k=3).collect()[0]
+    n, k = 8, 3
+    r2 = (n * 1) ** 2 + (n * 2) ** 2 + (n * 3) ** 2
+    chi2 = 12 / (n * k * (k + 1)) * r2 - 3 * n * (k + 1)
+    assert r["n_subjects"] == 8
+    assert r["chi2"] == pytest.approx(round(chi2, 6), abs=1e-9)
+
+
+def test_pareto_front_matches_bruteforce(spark):
+    """The distributed skyline equals the O(n²) dominance definition,
+    keeps duplicate optima, and drops same-x dominated rows."""
+    from conte_to_fresco_etl_spark.validation import pareto_front
+
+    pts = [
+        (1, 10, 1), (2, 8, 5), (3, 8, 3), (4, 5, 5), (5, 2, 9),
+        (6, 10, 1), (7, 1, 1), (8, 2, 9), (9, 6, 5),
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(
+        r["id"]
+        for r in pareto_front(df, F.col("x"), F.col("y")).collect()
+    )
+    expect = sorted(
+        i
+        for (i, x, y) in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for (_, qx, qy) in pts
+        )
+    )
+    assert got == expect
+    assert 1 in got and 6 in got     # duplicate optima both kept
+    assert 3 not in got              # same-x, lower y: dominated

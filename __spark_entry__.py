@@ -76,6 +76,11 @@ REGATE_R8: list[str] = [
     "q_icc",
     "q_friedman",
     "q_pareto_front",
+    # NEW r8 registrations (nonparametric / drift family)
+    "q_mood_median",
+    "q_runs_test",
+    "q_hodges_lehmann",
+    "q_js_sources",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -128,6 +133,10 @@ PRIORITY: list[str] = [
     "q_icc",
     "q_friedman",
     "q_pareto_front",
+    "q_mood_median",
+    "q_runs_test",
+    "q_hodges_lehmann",
+    "q_js_sources",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

@@ -2907,7 +2907,14 @@ def theil_sen(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
             .alias("d"),
             "v",
         )
-    ).localCheckpoint(eager=False)
+        # persist, not localCheckpoint: the checkpoint scan would hide
+        # the daily AGGREGATE from downstream plans, tripping the
+        # raw-row global-window guard on the (days-sized) medians —
+        # persist keeps the collapsed lineage visible AND shares the
+        # materialization across the self-join sides (session-lived,
+        # the ngram_jaccard convention)
+        .persist()
+    )
     a = daily.select(F.col("d").alias("da"), F.col("v").alias("va"))
     b = daily.select(F.col("d").alias("db"), F.col("v").alias("vb"))
     slopes = a.join(broadcast(b), F.col("da") < F.col("db")).select(
@@ -3428,4 +3435,232 @@ def friedman_test(
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_subjects"),
         F.lit(int(k)).cast("long").alias("k"),
         F.when(F.col("n") >= 1, F.round(chi2, 6)).alias("chi2"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame, group_col: str, value: Column
+) -> DataFrame:
+    """Mood's median test — do k groups share a common median?  The
+    coarsest, most outlier-proof k-sample location test: split every
+    observation at the POOLED median and chi-square the k x 2
+    above/not-above table.  Output — ONE row: ``(n, k_groups,
+    median, chi2)`` (ROUND 6; NULL chi2 when a group or side is
+    empty-expected).
+
+    The pooled median (lower median: smallest v with cumulative count
+    >= ceil(N/2)) comes from per-distinct-value cumulative counts via
+    the DISTRIBUTED prefix sum — exact for any tie structure, no
+    global sort task.  Scale posture: one (group, value) collapse
+    feeds both the value marginal and the per-group split counts; the
+    chi-square is |groups|-sized algebra."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    rows = df.select(
+        F.col(group_col).alias("g"), value.alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    gv = rows.groupBy("g", "v").agg(F.count("*").alias("c"))
+    gv = gv.localCheckpoint(eager=False)
+    marg = gv.groupBy("v").agg(F.sum("c").alias("tn"))
+    cum = prefix_sums(marg, "v", ["tn"])
+    tot = marg.agg(F.sum("tn").alias("n"))
+    med = (
+        cum.crossJoin(broadcast(tot))
+        .filter(
+            F.col("cum_tn")
+            >= F.ceil(F.col("n").cast("double") / F.lit(2.0))
+        )
+        .agg(F.min("v").alias("median"))
+    )
+    split = (
+        gv.crossJoin(broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("median"), F.col("c")).otherwise(
+                    0
+                )
+            ).alias("above"),
+            F.sum("c").alias("ng"),
+            F.max("median").alias("median"),
+        )
+    )
+    totals = split.agg(
+        F.sum("above").alias("ta"),
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k"),
+        F.max("median").alias("median"),
+    )
+    j = split.crossJoin(broadcast(totals.select("ta", "n")))
+    ngd = F.col("ng").cast("double")
+    ea = ngd * F.col("ta").cast("double") / F.col("n").cast("double")
+    eb = ngd * (
+        F.col("n").cast("double") - F.col("ta").cast("double")
+    ) / F.col("n").cast("double")
+    oa = F.col("above").cast("double")
+    ob = ngd - oa
+    term = F.when(
+        (ea > 0) & (eb > 0),
+        F.round(
+            (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb, 9
+        ),
+    )
+    chi = j.agg(
+        F.sum(term.cast("decimal(28,9)")).alias("chi_sum"),
+        F.sum(F.when(term.isNull(), 1).otherwise(0)).alias("bad"),
+    )
+    return (
+        totals.crossJoin(broadcast(chi))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_groups"),
+            F.col("median").cast("double").alias("median"),
+            F.when(
+                F.col("bad") == 0,
+                F.round(F.col("chi_sum").cast("double"), 6),
+            ).alias("chi2"),
+        )
+    )
+
+
+def runs_test(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily mean
+    series around its median: too FEW runs = trending/clustered, too
+    MANY = oscillating; the model-free sanity check behind "is this
+    metric drifting or just noisy".  Days equal to the median drop
+    (the standard convention).  Output — ONE row: ``(n_days, n_pos,
+    n_neg, runs, z)`` (ROUND 6; NULL z when either side is empty or
+    the variance degenerates).
+
+    Scale posture: one daily collapse; the median is an exact order
+    statistic over the days-sized table; signs and the run count come
+    from one lag window over that collapsed table."""
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .persist()  # keeps the daily aggregate visible (see theil_sen)
+    )
+    cnt = daily.agg(F.count("*").alias("nd"))
+    w = Window.orderBy("v", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .crossJoin(broadcast(cnt))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("nd").cast("double") / F.lit(2.0))
+        )
+        .select(F.col("v").alias("median"))
+    )
+    signs = (
+        daily.crossJoin(broadcast(med))
+        .filter(F.col("v") != F.col("median"))
+        .select("day", (F.col("v") > F.col("median")).alias("s"))
+    )
+    lw = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(lw).isNull()
+            | (F.lag("s").over(lw) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).agg(
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("s"), 1).otherwise(0)).alias("n2"),
+        F.sum("brk").alias("runs"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1d + n2d
+    mu = F.lit(2.0) * n1d * n2d / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return runs.crossJoin(broadcast(cnt)).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        F.col("runs").cast("long").alias("runs"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+            F.round((F.col("runs").cast("double") - mu) / F.sqrt(var), 6),
+        ).alias("z"),
+    )
+
+
+def hodges_lehmann(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of the daily mean series: the
+    median of all Walsh averages (v_i + v_j)/2, i <= j — the location
+    estimator paired with the signed-rank test family (up to ~29%
+    wild days cannot move it, yet it is far more efficient than the
+    plain median under clean data).  Output — ONE row: ``(n_days,
+    n_pairs, hl)`` (ROUND 6).
+
+    Scale posture: one daily collapse, Walsh averages on the
+    |days|(|days|+1)/2 self-join (dimension-sized), the median an
+    exact lower+upper-middle order statistic (theil_sen discipline,
+    ROUND(9) ties broken by day keys)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .select(
+            F.datediff(F.col("day").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+            "v",
+        )
+        # persist, not localCheckpoint: the checkpoint scan would hide
+        # the daily AGGREGATE from downstream plans, tripping the
+        # raw-row global-window guard on the (days-sized) medians —
+        # persist keeps the collapsed lineage visible AND shares the
+        # materialization across the self-join sides (session-lived,
+        # the ngram_jaccard convention)
+        .persist()
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("d").alias("db"), F.col("v").alias("vb"))
+    walsh = a.join(broadcast(b), F.col("da") <= F.col("db")).select(
+        "da",
+        "db",
+        F.round((F.col("va") + F.col("vb")) / F.lit(2.0), 9).alias("w"),
+    )
+    rw = Window.orderBy(
+        F.col("w").asc(), F.col("da").asc(), F.col("db").asc()
+    )
+    ranked = walsh.withColumn("rn", F.row_number().over(rw))
+    cnt = walsh.agg(F.count("*").alias("m"))
+    lo = (F.col("m") + 1) / 2
+    med = (
+        ranked.crossJoin(broadcast(cnt))
+        .filter(
+            (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.ceil(lo))
+        )
+        .agg(F.avg("w").alias("hl"), F.max("m").alias("m"))
+    )
+    nd_row = daily.agg(F.count("*").alias("n_days"))
+    return nd_row.crossJoin(broadcast(med)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.round(F.col("hl"), 6).alias("hl"),
     )

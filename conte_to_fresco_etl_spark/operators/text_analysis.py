@@ -2826,3 +2826,74 @@ def conditional_entropy(
             F.col("hj").cast("double") - F.col("hp").cast("double"), 6
         ).alias("h_cond"),
     )
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    from the corpus distribution — the bounded, symmetric domain-drift
+    measure mixture tuning runs per source (0 = indistinguishable,
+    ln 2 = disjoint vocabularies; DSIR's importance weights are its
+    pointwise cousin).  Output: ``(group, n_tokens, js)`` per group
+    (ROUND 6, nats).
+
+    The corpus-side KL term over tokens ABSENT from the group
+    collapses in closed form — for those tokens m = q/2, so their
+    contribution is ln(2) * (1 - Σ_{t in group} q_t) — which keeps
+    the whole computation on the (group, token) table: NO dense
+    group x vocabulary expansion, one token-keyed join of the corpus
+    marginal back to the group cells.
+
+    Scale posture: one (group, token) count shuffle; the corpus
+    marginal derives FROM it; per-group terms are ROUND(12) decimal
+    sums with 1-row totals broadcast."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    tok = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(group_col).alias("grp"), F.col(text_col)
+            ).filter(F.col("grp").isNotNull()),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("grp", F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    cells = tok.groupBy("grp", "tok").agg(F.count("*").alias("cs"))
+    cells = cells.localCheckpoint(eager=False)
+    corpus = cells.groupBy("tok").agg(F.sum("cs").alias("cq"))
+    tot_q = corpus.agg(F.sum("cq").alias("nq"))
+    tot_s = cells.groupBy("grp").agg(F.sum("cs").alias("ns"))
+    j = (
+        cells.join(corpus, "tok")
+        .join(F.broadcast(tot_s), "grp")
+        .crossJoin(F.broadcast(tot_q))
+    )
+    p = F.col("cs").cast("double") / F.col("ns").cast("double")
+    q = F.col("cq").cast("double") / F.col("nq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    d12 = "decimal(38,12)"
+    per = j.groupBy("grp").agg(
+        F.max("ns").alias("n_tokens"),
+        F.sum(F.round(p * F.log(p / m), 12).cast(d12)).alias("klp"),
+        F.sum(F.round(q * F.log(q / m), 12).cast(d12)).alias("klq_in"),
+        F.sum(F.round(q, 12).cast(d12)).alias("q_cov"),
+    )
+    js = F.lit(0.5) * F.col("klp").cast("double") + F.lit(0.5) * (
+        F.col("klq_in").cast("double")
+        + F.log(F.lit(2.0))
+        * (F.lit(1.0) - F.col("q_cov").cast("double"))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(js, 6).alias("js"),
+    )

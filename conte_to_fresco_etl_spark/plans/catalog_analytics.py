@@ -6433,3 +6433,198 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_front(
         pts, F.col("n_chars"), F.col("n_types")
     ).select("doc_id", "n_chars", "n_types")
+
+
+_MOOD_SQL = """
+    WITH r AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    gv AS (SELECT g, v, COUNT(*) AS c FROM r GROUP BY 1, 2),
+    marg AS (SELECT v, SUM(c) AS tn FROM gv GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(tn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cum_tn
+      FROM marg
+    ),
+    tot AS (SELECT SUM(tn) AS n FROM marg),
+    med AS (
+      SELECT MIN(v) AS median FROM cum CROSS JOIN tot
+      WHERE cum_tn >= ceil(CAST(n AS DOUBLE) / 2.0e0)
+    ),
+    split AS (
+      SELECT g,
+             SUM(CASE WHEN v > median THEN c ELSE 0 END) AS above,
+             SUM(c) AS ng, MAX(median) AS median
+      FROM gv CROSS JOIN med GROUP BY 1
+    ),
+    totals AS (
+      SELECT SUM(above) AS ta, SUM(ng) AS n, COUNT(*) AS k,
+             MAX(median) AS median
+      FROM split
+    ),
+    chi AS (
+      SELECT SUM(CAST(CASE WHEN
+               CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE)
+                 / CAST(n AS DOUBLE) > 0
+               AND CAST(ng AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE))
+                   / CAST(n AS DOUBLE) > 0
+             THEN ROUND(
+               (CAST(above AS DOUBLE)
+                - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(above AS DOUBLE)
+                  - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               + (CAST(ng AS DOUBLE) - CAST(above AS DOUBLE)
+                  - CAST(ng AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE))
+                    / CAST(n AS DOUBLE))
+                 * (CAST(ng AS DOUBLE) - CAST(above AS DOUBLE)
+                    - CAST(ng AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                 / (CAST(ng AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 9)
+             END AS DECIMAL(28,9))) AS chi_sum,
+             SUM(CASE WHEN CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE)
+                           / CAST(n AS DOUBLE) > 0
+                       AND CAST(ng AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE))
+                           / CAST(n AS DOUBLE) > 0
+                 THEN 0 ELSE 1 END) AS bad
+      FROM split CROSS JOIN (SELECT ta, n FROM totals)
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CAST(median AS DOUBLE) AS median,
+           CASE WHEN bad = 0
+           THEN ROUND(CAST(chi_sum AS DOUBLE), 6) END AS chi2
+    FROM totals CROSS JOIN chi
+"""
+
+
+@_q("q_mood_median", _MOOD_SQL)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five event types: the pooled
+    median from distributed per-distinct-value cumulative counts
+    (parallelism.prefix_sums), then a k x 2 chi-square of
+    above/not-above splits."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        mood_median_test,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
+    return mood_median_test(ev, "event_type", F.col("value"))
+
+
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cnt AS (SELECT COUNT(*) AS nd FROM daily),
+    med AS (
+      SELECT v AS median FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, day) AS rn FROM daily
+      ) CROSS JOIN cnt
+      WHERE rn = ceil(CAST(nd AS DOUBLE) / 2.0e0)
+    ),
+    signs AS (
+      SELECT day, v > median AS s FROM daily CROSS JOIN med
+      WHERE v <> median
+    ),
+    runs AS (
+      SELECT SUM(CASE WHEN s THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+               AS runs
+      FROM (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signs)
+    )
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+           CAST(runs AS BIGINT) AS runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND
+                2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                * (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0))
+                > 0
+           THEN ROUND(
+             (CAST(runs AS DOUBLE)
+              - (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0e0))
+             / sqrt(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                          - 1.0e0))), 6)
+           END AS z
+    FROM runs CROSS JOIN cnt
+"""
+
+
+@_q("q_runs_test", _RUNS_SQL)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily mean value series around
+    its median — trending vs oscillating vs random, from one daily
+    collapse, an exact order-statistic median, and one lag window
+    over the collapsed table."""
+    from conte_to_fresco_etl_spark.operators.robust import runs_test
+
+    return runs_test(_events(spark, sf_dir), "ts", "value")
+
+
+_HL_SQL = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    walsh AS (
+      SELECT a.d AS da, b.d AS db,
+             ROUND((a.v + b.v) / 2.0e0, 9) AS w
+      FROM daily a JOIN daily b ON a.d <= b.d
+    ),
+    med AS (
+      SELECT AVG(w) AS hl, MAX(m) AS m
+      FROM (
+        SELECT w,
+               ROW_NUMBER() OVER (ORDER BY w ASC, da ASC, db ASC) AS rn,
+               COUNT(*) OVER () AS m
+        FROM walsh
+      )
+      WHERE rn = CAST(floor((m + 1) / 2.0e0) AS BIGINT)
+         OR rn = CAST(ceil((m + 1) / 2.0e0) AS BIGINT)
+    )
+    SELECT CAST(nd AS BIGINT) AS n_days, CAST(m AS BIGINT) AS n_pairs,
+           ROUND(hl, 6) AS hl
+    FROM (SELECT COUNT(*) AS nd FROM daily) CROSS JOIN med
+"""
+
+
+@_q("q_hodges_lehmann", _HL_SQL)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of the daily mean purchase value:
+    the median Walsh average over the dimension-sized day-pair
+    self-join, exact lower+upper-middle order statistic."""
+    from conte_to_fresco_etl_spark.operators.robust import hodges_lehmann
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return hodges_lehmann(ev, "ts", "value")

@@ -6880,3 +6880,54 @@ def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return conditional_entropy(_t(spark, sf_dir, "documents"))
+
+
+_JS_SQL = f"""
+    WITH tok AS (
+      SELECT grp, tok FROM (
+        SELECT source AS grp, unnest({_sql_tokens('text')}) AS tok
+        FROM documents WHERE source IS NOT NULL
+      ) WHERE length(tok) > 0
+    ),
+    cells AS (SELECT grp, tok, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(cs) AS cq FROM cells GROUP BY 1),
+    tq AS (SELECT SUM(cq) AS nq FROM corpus),
+    ts_ AS (SELECT grp, SUM(cs) AS ns FROM cells GROUP BY 1),
+    j AS (
+      SELECT c.grp, ns,
+             CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+             CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE) AS q
+      FROM cells c JOIN corpus USING (tok) JOIN ts_ USING (grp)
+      CROSS JOIN tq
+    ),
+    per AS (
+      SELECT grp, MAX(ns) AS n_tokens,
+             SUM(CAST(ROUND(p * ln(p / ((p + q) / 2.0e0)), 12)
+                      AS DECIMAL(38,12))) AS klp,
+             SUM(CAST(ROUND(q * ln(q / ((p + q) / 2.0e0)), 12)
+                      AS DECIMAL(38,12))) AS klq_in,
+             SUM(CAST(ROUND(q, 12) AS DECIMAL(38,12))) AS q_cov
+      FROM j GROUP BY 1
+    )
+    SELECT grp AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(0.5e0 * CAST(klp AS DOUBLE)
+                 + 0.5e0 * (CAST(klq_in AS DOUBLE)
+                            + ln(2.0e0)
+                              * (1.0e0 - CAST(q_cov AS DOUBLE))), 6)
+             AS js
+    FROM per
+"""
+
+
+@_q("q_js_sources", _JS_SQL)
+def q_js_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution from the corpus — per-source domain drift for
+    mixture tuning; the corpus-side KL over tokens the source lacks
+    collapses to ln(2)·(1 − coverage), so nothing dense ever
+    materializes."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        js_divergence_by_group,
+    )
+
+    return js_divergence_by_group(_t(spark, sf_dir, "documents"))

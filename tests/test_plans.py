@@ -572,6 +572,12 @@ BNLJ_ALLOWED = {
     "q_tstat_features",         # class-size 1-row broadcast (r8)
     "q_cond_entropy",           # bigram-total 1-row crosses (r8)
     "q_pareto_front",           # prefix-max offsets triangular join (r8)
+    "q_mood_median",            # prefix-sum offsets + median/total 1-row
+                                # crosses (r8)
+    "q_runs_test",              # days-sized median/count 1-row crosses (r8)
+    "q_hodges_lehmann",         # |days|^2 Walsh self-join + 1-row median
+                                # crosses (r8)
+    "q_js_sources",             # corpus-total 1-row cross (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

@@ -3178,3 +3178,108 @@ def test_pareto_front_matches_bruteforce(spark):
     assert got == expect
     assert 1 in got and 6 in got     # duplicate optima both kept
     assert 3 not in got              # same-x, lower y: dominated
+
+
+def test_mood_median_detects_shift(spark):
+    """Two groups straddling the pooled median drive a large chi2;
+    identically-distributed groups give chi2 near 0; median is the
+    exact lower order statistic."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        mood_median_test,
+    )
+
+    rows = [("lo", float(v)) for v in range(10)] + [
+        ("hi", float(v + 10)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "g", F.col("v")).collect()[0]
+    assert r["n"] == 20 and r["k_groups"] == 2
+    assert r["median"] == 9.0  # lower median of 0..19
+    assert r["chi2"] > 10
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(10)],
+        "g string, v double",
+    )
+    assert mood_median_test(same, "g", F.col("v")).collect()[0][
+        "chi2"
+    ] < 0.5
+
+
+def test_runs_test_extremes(spark):
+    """A perfectly alternating series maximizes runs (z > 0); a
+    two-block trend minimizes them (z < 0); counts and the run total
+    are exact."""
+    from conte_to_fresco_etl_spark.operators.robust import runs_test
+
+    def series(vals):
+        rows = [
+            (f"2024-01-{i + 1:02d} 01:00:00", float(v))
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "ts string, value double"
+        ).select(F.to_timestamp("ts").alias("ts"), "value")
+
+    import math
+
+    import pytest
+
+    def twin(vals):
+        n = len(vals)
+        med = sorted(vals)[math.ceil(n / 2) - 1]
+        s = [v > med for v in vals if v != med]
+        runs = 1 + sum(a != b for a, b in zip(s, s[1:]))
+        n1, n2 = sum(s), len(s) - sum(s)
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (
+            2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        return n1, n2, runs, round((runs - mu) / var**0.5, 6)
+
+    # alternating around the median (distinct values, one drops)
+    alt_vals = [i * 0.1 if i % 2 == 0 else 100.0 + i for i in range(16)]
+    alt = runs_test(series(alt_vals), "ts", "value").collect()[0]
+    n1, n2, runs, z = twin(alt_vals)
+    assert (alt["n_pos"], alt["n_neg"], alt["runs"]) == (n1, n2, runs)
+    assert alt["z"] == pytest.approx(z, abs=2e-6)
+    assert alt["z"] > 2.5  # oscillation: far more runs than chance
+
+    # two-block trend: minimal runs
+    blk_vals = [float(i) for i in range(8)] + [
+        100.0 + i for i in range(8)
+    ]
+    blocks = runs_test(series(blk_vals), "ts", "value").collect()[0]
+    n1, n2, runs, z = twin(blk_vals)
+    assert blocks["runs"] == runs == 2
+    assert blocks["z"] == pytest.approx(z, abs=2e-6)
+    assert blocks["z"] < -3
+
+
+def test_hodges_lehmann_matches_python_twin(spark):
+    """HL equals the median of all Walsh averages computed in Python,
+    and one wild day moves it far less than the mean."""
+    import statistics
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import hodges_lehmann
+
+    vals = [10.0, 11.0, 9.5, 10.2, 300.0, 10.8, 9.9]
+    rows = [
+        (f"2024-02-{i + 1:02d} 01:00:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = hodges_lehmann(df, "ts", "value").collect()[0]
+    walsh = sorted(
+        round((vals[i] + vals[j]) / 2, 9)
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    expect = statistics.median(walsh)
+    assert r["n_pairs"] == len(walsh)
+    assert r["hl"] == pytest.approx(round(expect, 6), abs=2e-6)
+    assert abs(r["hl"] - 10.5) < 2  # robust to the 300 outlier

@@ -1122,3 +1122,39 @@ def test_conditional_entropy_deterministic_vs_uniform(spark):
     m = conditional_entropy(mixed).collect()[0]
     assert m["h_cond"] > 0.4
     assert m["h_joint"] >= m["h_prev"]
+
+
+def test_js_divergence_bounds_and_disjoint(spark):
+    """JS of a group identical to the corpus is 0; with two disjoint-
+    vocabulary groups of equal mass each sits strictly between 0 and
+    ln 2, approaching ln 2 as overlap vanishes."""
+    import math
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        js_divergence_by_group,
+    )
+
+    one = spark.createDataFrame(
+        [(1, "g", "a b c a b c")], "doc_id long, source string, text string"
+    )
+    r = js_divergence_by_group(one).collect()[0]
+    assert r["js"] == pytest.approx(0.0, abs=1e-9)
+
+    two = spark.createDataFrame(
+        [
+            (1, "s1", " ".join(["apple"] * 50)),
+            (2, "s2", " ".join(["zebra"] * 50)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r["js"] for r in js_divergence_by_group(two).collect()}
+    # each group vs the 50/50 corpus: P = {t: 1}, Q = {t: .5, other: .5}
+    # => JS = 0.5*(ln(4/3) + 0.5*ln(2/3) + 0.5*ln 2) ~ 0.2158
+    expect = 0.5 * (
+        math.log(4 / 3) + 0.5 * math.log(2 / 3) + 0.5 * math.log(2)
+    )
+    for v in got.values():
+        assert v == pytest.approx(round(expect, 6), abs=2e-6)
+        assert 0 < v < math.log(2)

@@ -81,6 +81,10 @@ REGATE_R8: list[str] = [
     "q_runs_test",
     "q_hodges_lehmann",
     "q_js_sources",
+    # NEW r8 registrations (changepoint / ranking-metric family)
+    "q_pettitt",
+    "q_ndcg",
+    "q_info_gain",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -137,6 +141,9 @@ PRIORITY: list[str] = [
     "q_runs_test",
     "q_hodges_lehmann",
     "q_js_sources",
+    "q_pettitt",
+    "q_ndcg",
+    "q_info_gain",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

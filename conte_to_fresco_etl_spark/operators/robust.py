@@ -3664,3 +3664,139 @@ def hodges_lehmann(
         F.col("m").cast("long").alias("n_pairs"),
         F.round(F.col("hl"), 6).alias("hl"),
     )
+
+
+def pettitt_test(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Pettitt changepoint test — the rank-based (distribution-free)
+    single-changepoint locator: U_t sums the Mann-Whitney sign
+    comparisons of days 1..t against days t+1..n, K = max_t |U_t|
+    marks the most likely break, with the standard approximation
+    p ≈ 2·exp(−6K²/(n³+n²)).  The nonparametric complement to the
+    gated CUSUM/changepoint detectors (level shifts in heavy-tailed
+    metrics where mean-based statistics wash out).  Output — ONE row:
+    ``(n_days, k_stat, at_day, p_value)`` (NULL below three days).
+
+    Exactness: with midranks carried DOUBLED as integers (the
+    mannwhitney discipline), U_t = cumsum(midrank_x2) − t(n+1) is an
+    exact integer for any tie structure.  Scale posture: one daily
+    collapse; midranks from the DISTRIBUTED prefix sum over the
+    distinct-value marginal; one cumulative window + argmax over the
+    days-sized table."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .persist()
+    )
+    marg = daily.groupBy("v").agg(F.count("*").alias("tn"))
+    ranks = prefix_sums(marg, "v", ["tn"]).select(
+        "v",
+        (
+            F.lit(2) * (F.col("cum_tn") - F.col("tn"))
+            + F.col("tn")
+            + F.lit(1)
+        ).alias("m2"),
+    )
+    cnt = daily.agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        daily.join(ranks, "v")
+        .crossJoin(broadcast(cnt))
+        .select(
+            "day",
+            "n",
+            (
+                F.sum("m2").over(w)
+                - F.row_number().over(Window.orderBy("day"))
+                * (F.col("n") + 1)
+            ).alias("ut"),
+            F.row_number().over(Window.orderBy("day")).alias("t"),
+        )
+        .filter(F.col("t") < F.col("n"))
+    )
+    top = u.orderBy(
+        F.abs(F.col("ut")).desc(), F.col("day").asc()
+    ).limit(1)
+    nd = F.col("n").cast("double")
+    k = F.abs(F.col("ut")).cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * k * k / (nd * nd * nd + nd * nd)
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(F.col("n") >= 3, F.abs(F.col("ut")).cast("long")).alias(
+            "k_stat"
+        ),
+        F.col("day").alias("at_day"),
+        F.when(F.col("n") >= 3, F.round(F.least(p, F.lit(1.0)), 6)).alias(
+            "p_value"
+        ),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame, id_col: str, score: Column, gain: Column, k: int = 20
+) -> DataFrame:
+    """nDCG@k of a scorer against graded relevance — the ranking-
+    quality metric for "does the model score ORDER the items like the
+    labels grade them", complementing the binary ROC/lift views.
+    DCG = Σ gain_i / log2(i+1) over the score-ranked top k; the
+    ideal DCG ranks by the gains themselves.  Output — ONE row:
+    ``(k, dcg, idcg, ndcg)`` (ROUND 6; ndcg NULL when every gain in
+    the ideal top-k is zero).
+
+    Scale posture: both rankings are TakeOrdered(k) (per-partition
+    pre-reduction, never a full sort); positions come from k-row
+    windows above the limits; ties break on the id in BOTH rankings
+    so the two engines pick identical sets.  Per-position terms are
+    ROUND(9) decimal sums."""
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.round(score, 6).alias("s"),
+        gain.cast("double").alias("g"),
+    ).filter(
+        F.col("id").isNotNull()
+        & F.col("s").isNotNull()
+        & F.col("g").isNotNull()
+    )
+
+    def dcg_of(frame: DataFrame, order) -> DataFrame:
+        top = frame.orderBy(*order).limit(int(k))
+        wpos = Window.orderBy(*order)
+        pos = top.withColumn("pos", F.row_number().over(wpos))
+        term = F.round(
+            F.col("g")
+            / (F.log(F.lit(2.0) + (F.col("pos") - 1).cast("double"))
+               / F.log(F.lit(2.0))),
+            9,
+        )
+        return pos.agg(
+            F.sum(term.cast("decimal(28,9)")).alias("dcg_sum")
+        )
+
+    dcg = dcg_of(rows, [F.col("s").desc(), F.col("id").asc()])
+    idcg = dcg_of(rows, [F.col("g").desc(), F.col("id").asc()])
+    return (
+        dcg.crossJoin(broadcast(idcg.select(F.col("dcg_sum").alias("i_sum"))))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.round(F.col("dcg_sum").cast("double"), 6).alias("dcg"),
+            F.round(F.col("i_sum").cast("double"), 6).alias("idcg"),
+            F.when(
+                F.col("i_sum").cast("double") > 0,
+                F.round(
+                    F.col("dcg_sum").cast("double")
+                    / F.col("i_sum").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+        )
+    )

@@ -2897,3 +2897,96 @@ def js_divergence_by_group(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(js, 6).alias("js"),
     )
+
+
+def info_gain_features(
+    df: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Information-gain feature ranking: for each token, the mutual
+    information between its PRESENCE in a document and the document's
+    binary class — the categorical sibling of the Welch-t tf ranking
+    (decision-stump feature selection: how much does knowing "doc
+    contains t" reduce label entropy?).
+
+    IG(t) = H(Y) − [ n_p/N · H(Y | present) + n_a/N · H(Y | absent) ]
+
+    with the absent-side counts derived by complement from the class
+    totals (the dense doc x token design never materializes).
+    Output: ``(token, present_docs, ig)`` (ROUND 6), ig desc, token
+    asc tiebreak, top ``top_k``.
+
+    Scale posture: one (doc, token) DISTINCT presence shuffle, one
+    token-keyed count collapse with the 1-row class-size broadcast,
+    TakeOrdered top-k; entropy terms are ROUND(12) expressions of
+    integer counts."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            label.cast("boolean").alias("y"),
+            F.col(text_col).alias("__text"),
+        ).filter(F.col("__text").isNotNull() & F.col("y").isNotNull()),
+        DENSE_BYTES_PER_TASK,
+    )
+    sizes = base.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n0"),
+    )
+    pres = (
+        base.select(
+            "id", "y", F.explode(tokens(F.col("__text"))).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("b"),
+        )
+    )
+    j = pres.crossJoin(F.broadcast(sizes))
+
+    def h2(c1, c0):
+        tot = (c1 + c0).cast("double")
+        p1 = c1.cast("double") / tot
+        p0 = c0.cast("double") / tot
+        t1 = F.when(c1 > 0, -p1 * F.log(p1)).otherwise(F.lit(0.0))
+        t0 = F.when(c0 > 0, -p0 * F.log(p0)).otherwise(F.lit(0.0))
+        return F.when(tot > 0, t1 + t0).otherwise(F.lit(0.0))
+
+    n1, n0 = F.col("n1"), F.col("n0")
+    a, b = F.col("a"), F.col("b")
+    nn = (n1 + n0).cast("double")
+    hy = h2(n1, n0)
+    np_, na_ = (a + b).cast("double"), nn - (a + b).cast("double")
+    ig = F.round(
+        hy
+        - (
+            np_ / nn * h2(a, b)
+            + na_ / nn * h2(n1 - a, n0 - b)
+        ),
+        12,
+    )
+    return (
+        j.select(
+            F.col("tok").alias("token"),
+            (a + b).cast("long").alias("present_docs"),
+            F.round(ig, 6).alias("ig"),
+            ig.alias("__ig12"),
+        )
+        # rank on the ROUND(12) value (the oracle's order), not the
+        # display-rounded 6dp — a 6dp collision at the k-boundary
+        # would otherwise let the engines pick different sets
+        .orderBy(F.col("__ig12").desc(), F.col("token").asc())
+        .limit(int(top_k))
+        .select("token", "present_docs", "ig")
+    )

@@ -6628,3 +6628,112 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     return hodges_lehmann(ev, "ts", "value")
+
+
+_PETTITT_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    marg AS (SELECT v, COUNT(*) AS tn FROM daily GROUP BY 1),
+    ranks AS (
+      SELECT v, 2 * (SUM(tn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) - tn) + tn + 1 AS m2
+      FROM marg
+    ),
+    cnt AS (SELECT COUNT(*) AS n FROM daily),
+    u AS (
+      SELECT day, n,
+             SUM(m2) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+               - ROW_NUMBER() OVER (ORDER BY day) * (n + 1) AS ut,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily JOIN ranks USING (v) CROSS JOIN cnt
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 3 THEN CAST(abs(ut) AS BIGINT) END AS k_stat,
+           day AS at_day,
+           CASE WHEN n >= 3 THEN ROUND(LEAST(
+             2.0e0 * exp(-6.0e0 * CAST(abs(ut) AS DOUBLE)
+                         * CAST(abs(ut) AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE)
+                            + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+             1.0e0), 6) END AS p_value
+    FROM u WHERE t < n
+    ORDER BY abs(ut) DESC, day ASC LIMIT 1
+"""
+
+
+@_q("q_pettitt", _PETTITT_SQL)
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint on the daily mean value series:
+    integer doubled-midrank cumulative statistic (midranks from the
+    distributed prefix sum), argmax day, standard p approximation."""
+    from conte_to_fresco_etl_spark.operators.robust import pettitt_test
+
+    return pettitt_test(_events(spark, sf_dir), "ts", "value")
+
+
+_NDCG_SQL = """
+    WITH r AS (
+      SELECT doc_id AS id,
+             ROUND(CAST(CAST('0x' || substr(md5(text), 1, 15)
+                             AS BIGINT) % 1000000 AS DOUBLE)
+                   / 1000000.0e0, 6) AS s,
+             CAST(LEAST(CAST(floor(n_chars / 200.0e0) AS BIGINT), 4)
+                  AS DOUBLE) AS g
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND n_chars IS NOT NULL
+    ),
+    dcg AS (
+      SELECT SUM(CAST(ROUND(g / (ln(2.0e0 + CAST(pos - 1 AS DOUBLE))
+                                 / ln(2.0e0)), 9)
+                      AS DECIMAL(28,9))) AS dcg_sum
+      FROM (
+        SELECT g, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS pos
+        FROM r ORDER BY s DESC, id ASC LIMIT 20
+      )
+    ),
+    idcg AS (
+      SELECT SUM(CAST(ROUND(g / (ln(2.0e0 + CAST(pos - 1 AS DOUBLE))
+                                 / ln(2.0e0)), 9)
+                      AS DECIMAL(28,9))) AS i_sum
+      FROM (
+        SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, id ASC) AS pos
+        FROM r ORDER BY g DESC, id ASC LIMIT 20
+      )
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           ROUND(CAST(dcg_sum AS DOUBLE), 6) AS dcg,
+           ROUND(CAST(i_sum AS DOUBLE), 6) AS idcg,
+           CASE WHEN CAST(i_sum AS DOUBLE) > 0
+           THEN ROUND(CAST(dcg_sum AS DOUBLE)
+                      / CAST(i_sum AS DOUBLE), 6) END AS ndcg
+    FROM dcg CROSS JOIN idcg
+"""
+
+
+@_q("q_ndcg", _NDCG_SQL)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 of the md5-derived document scorer against graded
+    length relevance: two TakeOrdered(20) rankings with id tiebreaks,
+    ROUND(9) decimal position terms."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.operators.robust import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    score = (md5_long(F.col("text")) % 1000000).cast("double") / F.lit(
+        1000000.0
+    )
+    gain = F.least(
+        F.floor(F.col("n_chars") / F.lit(200.0)), F.lit(4)
+    ).cast("double")
+    return ndcg_at_k(docs, "doc_id", score, gain, k=20)

@@ -6931,3 +6931,87 @@ def q_js_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return js_divergence_by_group(_t(spark, sf_dir, "documents"))
+
+
+_INFO_GAIN_SQL = f"""
+    WITH d AS (
+      SELECT doc_id AS id, lang = 'en' AS y, text
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    sizes AS (
+      SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n0
+      FROM d
+    ),
+    pres AS (
+      SELECT tok,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS b
+      FROM (
+        SELECT DISTINCT id, y, tok
+        FROM (SELECT id, y, unnest({_sql_tokens('text')}) AS tok FROM d)
+        WHERE length(tok) > 0
+      ) GROUP BY 1
+    ),
+    j AS (
+      SELECT tok, a + b AS present_docs,
+             (CASE WHEN n1 > 0 THEN
+                -(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                 * ln(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+              ELSE 0.0e0 END
+              + CASE WHEN n0 > 0 THEN
+                  -(CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                   * ln(CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                ELSE 0.0e0 END)
+             - (CAST(a + b AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)
+                * (CASE WHEN a > 0 THEN
+                     -(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                      * ln(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                   ELSE 0.0e0 END
+                   + CASE WHEN b > 0 THEN
+                       -(CAST(b AS DOUBLE) / CAST(a + b AS DOUBLE))
+                        * ln(CAST(b AS DOUBLE) / CAST(a + b AS DOUBLE))
+                     ELSE 0.0e0 END)
+                + (CAST(n1 + n0 AS DOUBLE) - CAST(a + b AS DOUBLE))
+                  / CAST(n1 + n0 AS DOUBLE)
+                  * (CASE WHEN n1 - a > 0 THEN
+                       -(CAST(n1 - a AS DOUBLE)
+                         / (CAST(n1 + n0 AS DOUBLE)
+                            - CAST(a + b AS DOUBLE)))
+                        * ln(CAST(n1 - a AS DOUBLE)
+                             / (CAST(n1 + n0 AS DOUBLE)
+                                - CAST(a + b AS DOUBLE)))
+                     ELSE 0.0e0 END
+                     + CASE WHEN n0 - b > 0 THEN
+                         -(CAST(n0 - b AS DOUBLE)
+                           / (CAST(n1 + n0 AS DOUBLE)
+                              - CAST(a + b AS DOUBLE)))
+                          * ln(CAST(n0 - b AS DOUBLE)
+                               / (CAST(n1 + n0 AS DOUBLE)
+                                  - CAST(a + b AS DOUBLE)))
+                       ELSE 0.0e0 END))
+               AS ig_raw
+      FROM pres CROSS JOIN sizes
+    )
+    SELECT tok AS token, CAST(present_docs AS BIGINT) AS present_docs,
+           ROUND(ROUND(ig_raw, 12), 6) AS ig
+    FROM j
+    ORDER BY ROUND(ig_raw, 12) DESC, token ASC
+    LIMIT 30
+"""
+
+
+@_q("q_info_gain", _INFO_GAIN_SQL)
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens by information gain of presence against the
+    English label — the categorical decision-stump sibling of
+    q_tstat_features; absent-side counts by complement, one DISTINCT
+    presence shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        info_gain_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return info_gain_features(docs, F.col("lang") == "en", top_k=30)

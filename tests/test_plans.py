@@ -578,6 +578,9 @@ BNLJ_ALLOWED = {
     "q_hodges_lehmann",         # |days|^2 Walsh self-join + 1-row median
                                 # crosses (r8)
     "q_js_sources",             # corpus-total 1-row cross (r8)
+    "q_pettitt",                # prefix-sum offsets + n 1-row cross (r8)
+    "q_ndcg",                   # dcg x idcg 1-row cross (r8)
+    "q_info_gain",              # class-size 1-row broadcast (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

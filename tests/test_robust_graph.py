@@ -3283,3 +3283,64 @@ def test_hodges_lehmann_matches_python_twin(spark):
     assert r["n_pairs"] == len(walsh)
     assert r["hl"] == pytest.approx(round(expect, 6), abs=2e-6)
     assert abs(r["hl"] - 10.5) < 2  # robust to the 300 outlier
+
+
+def test_pettitt_locates_planted_break(spark):
+    """A clean level shift at day 8 of 16 is located exactly; the
+    statistic matches the O(n²) sign-comparison definition and the
+    p-value its closed form."""
+    import math
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.robust import pettitt_test
+
+    vals = [10.0 + i * 0.01 for i in range(8)] + [
+        20.0 + i * 0.01 for i in range(8)
+    ]
+    rows = [
+        (f"2024-03-{i + 1:02d} 01:00:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = pettitt_test(df, "ts", "value").collect()[0]
+    n = len(vals)
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    k_best, t_best = -1, None
+    for t in range(1, n):
+        u = sum(
+            sgn(vals[i] - vals[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > k_best:
+            k_best, t_best = abs(u), t
+    assert r["k_stat"] == k_best
+    assert str(r["at_day"]).startswith(f"2024-03-{t_best:02d}")
+    p = min(2 * math.exp(-6 * k_best**2 / (n**3 + n**2)), 1.0)
+    assert r["p_value"] == pytest.approx(round(p, 6), abs=1e-9)
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    """A scorer identical to the gains gives ndcg = 1; a perfectly
+    inverted scorer scores strictly less; all-zero gains give NULL."""
+    from conte_to_fresco_etl_spark.operators.robust import ndcg_at_k
+
+    rows = [(i, float(i), float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s double, g double")
+    perfect = ndcg_at_k(
+        df, "id", F.col("g"), F.col("g"), k=10
+    ).collect()[0]
+    assert perfect["ndcg"] == 1.0
+    inverted = ndcg_at_k(
+        df, "id", -F.col("g"), F.col("g"), k=10
+    ).collect()[0]
+    assert inverted["ndcg"] is not None and inverted["ndcg"] < 0.6
+    zeros = ndcg_at_k(
+        df, "id", F.col("s"), F.lit(0.0), k=10
+    ).collect()[0]
+    assert zeros["ndcg"] is None

@@ -1158,3 +1158,32 @@ def test_js_divergence_bounds_and_disjoint(spark):
     for v in got.values():
         assert v == pytest.approx(round(expect, 6), abs=2e-6)
         assert 0 < v < math.log(2)
+
+
+def test_info_gain_prefers_class_pure_token(spark):
+    """A token appearing in every positive and no negative carries
+    maximal IG (= H(Y)); a token in every document carries zero."""
+    import math
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        info_gain_features,
+    )
+
+    rows = [
+        (i, i < 6, ("pure " if i < 6 else "") + "common filler")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y boolean, text string")
+    out = {r["token"]: r for r in
+           info_gain_features(df, F.col("y"), top_k=10).collect()}
+    assert out["pure"]["present_docs"] == 6
+    assert out["pure"]["ig"] == pytest.approx(
+        round(math.log(2), 6), abs=2e-6
+    )
+    assert out["common"]["ig"] == 0.0
+    top = info_gain_features(df, F.col("y"), top_k=1).collect()
+    assert top[0]["token"] == "pure"

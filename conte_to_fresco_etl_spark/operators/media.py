@@ -615,6 +615,20 @@ def numpy_codec(payload: bytes, modality: str) -> np.ndarray:
         )
 
         return decode_webp(payload)
+    if payload[4:8] == b"ftyp":
+        # ISO BMFF container: parse natively (media_mp4.py), raise the
+        # plug-point error naming what the walk found
+        from conte_to_fresco_etl_spark.operators.media_mp4 import (
+            mp4_stream_info,
+        )
+
+        info = mp4_stream_info(payload)
+        raise NotImplementedError(
+            f"MP4 container parsed (brand={info['brand']}, "
+            f"codec={info['codec']}, tracks={info['n_tracks']}, "
+            f"duration_s={info['duration_s']}): codec decode requires "
+            "a library not present in this environment"
+        )
     if payload[:4] == b"OggS":
         # the CONTAINER parses natively (pages, CRC, packet
         # reassembly, codec ident headers — media_ogg.py); the DSP
@@ -710,6 +724,7 @@ _MAGIC_FORMATS = (
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", "wav"),
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WEBP", "webp"),
     (lambda p: p[:4] == b"OggS", "ogg"),
+    (lambda p: p[4:8] == b"ftyp", "mp4"),
 )
 
 
@@ -724,8 +739,10 @@ def container_stats(df: DataFrame) -> DataFrame:
 
     Output: (media_id, format, codec, channels, sample_rate, n_pages,
     n_packets, last_granule); the audio columns are NULL for image
-    formats.  Same scale posture as decode_stats: payloads never leave
-    the executor, one Arrow round trip, batch-local work only."""
+    formats.  MP4 rows (media_mp4.py walk) reuse the container-count
+    columns: n_pages = track count, n_packets = sample-entry count.
+    Same scale posture as decode_stats: payloads never leave the
+    executor, one Arrow round trip, batch-local work only."""
     from conte_to_fresco_etl_spark.operators.media_ogg import (
         ogg_stream_info,
     )
@@ -764,6 +781,23 @@ def container_stats(df: DataFrame) -> DataFrame:
                         }
                     except ValueError:
                         fmt = "corrupt-ogg"
+                elif fmt == "mp4":
+                    from conte_to_fresco_etl_spark.operators.media_mp4 import (  # noqa: E501
+                        mp4_stream_info,
+                    )
+
+                    try:
+                        info = mp4_stream_info(raw)
+                        row = {
+                            "codec": info["codec"],
+                            "channels": info["channels"],
+                            "sample_rate": info["sample_rate"],
+                            "n_pages": info["n_tracks"],
+                            "n_packets": len(info["codecs"]),
+                            "last_granule": None,
+                        }
+                    except ValueError:
+                        fmt = "corrupt-mp4"
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 for k, v in row.items():

@@ -1649,3 +1649,114 @@ def test_ogg_numpy_codec_dispatch_and_container_stats(spark):
     assert got[1]["sample_rate"] == 48000 and got[1]["n_packets"] == 4
     assert got[2]["format"] == "ppm" and got[2]["codec"] is None
     assert got[3]["format"] == "corrupt-ogg"
+
+
+def _mp4_fixture() -> bytes:
+    """A spec-valid minimal MP4: ftyp(isom) + moov(mvhd v0 @600 scale
+    1200 units = 2 s, video trak with hdlr 'vide' + stsd avc1, audio
+    trak with hdlr 'soun' + stsd mp4a stereo 48 kHz)."""
+    import struct
+
+    from conte_to_fresco_etl_spark.operators.media_mp4 import build_box
+
+    ftyp = build_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomavc1")
+    mvhd = build_box(
+        b"mvhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # ctime/mtime
+        + struct.pack(">I", 600)      # timescale
+        + struct.pack(">I", 1200)     # duration => 2.0 s
+        + bytes(80),
+    )
+    avc1 = struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsd_v = build_box(
+        b"stsd", bytes(4) + struct.pack(">I", 1) + avc1
+    )
+    hdlr_v = build_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    trak_v = build_box(
+        b"trak",
+        build_box(
+            b"mdia", hdlr_v + build_box(b"minf", build_box(b"stbl", stsd_v))
+        ),
+    )
+    mp4a = (
+        struct.pack(">I", 36) + b"mp4a" + bytes(6)
+        + struct.pack(">H", 1)        # data ref index
+        + bytes(8)
+        + struct.pack(">H", 2)        # channels
+        + struct.pack(">H", 16)       # bits
+        + bytes(4)
+        + struct.pack(">I", 48000 << 16)
+    )
+    stsd_a = build_box(
+        b"stsd", bytes(4) + struct.pack(">I", 1) + mp4a
+    )
+    hdlr_a = build_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_a = build_box(
+        b"trak",
+        build_box(
+            b"mdia", hdlr_a + build_box(b"minf", build_box(b"stbl", stsd_a))
+        ),
+    )
+    moov = build_box(b"moov", mvhd + trak_v + trak_a)
+    return ftyp + moov
+
+
+def test_mp4_container_walk_and_stream_info():
+    """ISO BMFF walk: brand, mvhd duration, track count, per-track
+    codec fourccs (video first), and mp4a channels/sample rate."""
+    from conte_to_fresco_etl_spark.operators.media_mp4 import (
+        mp4_stream_info,
+    )
+
+    info = mp4_stream_info(_mp4_fixture())
+    assert info["brand"] == "isom"
+    assert info["duration_s"] == 2.0
+    assert info["n_tracks"] == 2
+    assert info["codecs"] == ["avc1", "mp4a"]
+    assert info["codec"] == "avc1"
+    assert info["channels"] == 2 and info["sample_rate"] == 48000
+
+
+def test_mp4_rejects_corruption():
+    """Truncated headers and boxes overrunning their parent fail
+    loudly; garbage is not an MP4."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media_mp4 import (
+        mp4_stream_info,
+        walk_boxes,
+    )
+
+    stream = _mp4_fixture()
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_stream_info(b"garbage bytes not a container")
+    with pytest.raises(ValueError, match="truncated|overrun"):
+        list(walk_boxes(stream[:-6]))
+    # a box claiming to be larger than its parent
+    bad = bytearray(stream)
+    bad[0:4] = (len(stream) + 100).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="overrun"):
+        list(walk_boxes(bytes(bad)))
+
+
+def test_mp4_numpy_codec_dispatch_and_container_stats(spark):
+    """numpy_codec recognizes ftyp and raises naming the codec found;
+    container_stats triages an MP4 payload distributed."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.media import (
+        container_stats,
+        numpy_codec,
+    )
+
+    stream = _mp4_fixture()
+    with pytest.raises(NotImplementedError, match="codec=avc1"):
+        numpy_codec(stream, "video")
+    df = spark.createDataFrame(
+        [(1, stream)], "media_id long, payload binary"
+    )
+    r = container_stats(df).collect()[0]
+    assert r["format"] == "mp4" and r["codec"] == "avc1"
+    assert r["n_pages"] == 2 and r["n_packets"] == 2
+    assert r["channels"] == 2 and r["sample_rate"] == 48000

@@ -633,7 +633,12 @@ def _unpartitioned_window_offenses(plan: str) -> list[str]:
                 break
             subtree.append(nxt)
         collapsed = any(
-            ("Aggregate(" in s) or ("WindowGroupLimit" in s) or ("Limit" in s)
+            ("Aggregate(" in s) or ("WindowGroupLimit" in s)
+            or ("Limit" in s)
+            # TakeOrderedAndProject bounds its output to `limit` rows —
+            # the distributed top-k IS a collapsing operator (q_ndcg's
+            # k-row position windows sit above it)
+            or ("TakeOrderedAndProject" in s)
             for s in subtree
         )
         if not collapsed:

@@ -1865,3 +1865,79 @@ def test_webp_vp8x_container_with_third_party_vp8():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     img = decode_webp(payload)
     assert img.shape == (16, 16, 3)
+
+
+def test_vp8_libwebp_encoder_interop_matrix():
+    """Round-trip through the SYSTEM libwebp ENCODER (when loadable):
+    multi-macroblock frames at several sizes (including non-aligned)
+    and qualities — segmentation enabled by the real encoder, per-MB
+    segment quantizers/filter levels, normal loop filter — must decode
+    bit-identically to libwebp's own reference decoder on all three
+    planes.  This is the widest third-party interop net we can cast
+    without network access."""
+    import ctypes
+    import struct
+
+    import numpy as np
+    import pytest
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("system libwebp not loadable")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    from conte_to_fresco_etl_spark.operators.media_vp8 import (
+        decode_vp8_planes,
+    )
+
+    for (H, W, seed) in ((48, 64, 7), (33, 49, 11)):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = np.zeros((H, W, 3), np.uint8)
+        base[..., 0] = (xx * 3 + yy * 2) % 256
+        base[..., 1] = (xx * 5) % 256
+        base[..., 2] = (yy * 4) % 256
+        base = (
+            base.astype(int) + rng.integers(0, 12, base.shape)
+        ).clip(0, 255).astype(np.uint8)
+        for q in (20.0, 80.0):
+            out = ctypes.c_void_p()
+            n = lib.WebPEncodeRGB(
+                base.tobytes(), W, H, W * 3, q, ctypes.byref(out)
+            )
+            assert n > 0
+            payload = ctypes.string_at(out.value, n)
+            i = 12
+            vp8 = None
+            while i < len(payload) - 8:
+                tag = payload[i:i + 4]
+                (sz,) = struct.unpack("<I", payload[i + 4:i + 8])
+                if tag == b"VP8 ":
+                    vp8 = payload[i + 8:i + 8 + sz]
+                i += 8 + sz + (sz & 1)
+            planes, w, h = decode_vp8_planes(vp8)
+            assert (w, h) == (W, H)
+            cw = ctypes.c_int()
+            chh = ctypes.c_int()
+            u = ctypes.POINTER(ctypes.c_uint8)()
+            v = ctypes.POINTER(ctypes.c_uint8)()
+            stride = ctypes.c_int()
+            uvs = ctypes.c_int()
+            yptr = lib.WebPDecodeYUV(
+                payload, len(payload), ctypes.byref(cw),
+                ctypes.byref(chh), ctypes.byref(u), ctypes.byref(v),
+                ctypes.byref(stride), ctypes.byref(uvs),
+            )
+            ly = np.ctypeslib.as_array(yptr, shape=(H, stride.value))[:, :W]
+            cw2, ch2 = (W + 1) // 2, (H + 1) // 2
+            lu = np.ctypeslib.as_array(u, shape=(ch2, uvs.value))[:, :cw2]
+            lv = np.ctypeslib.as_array(v, shape=(ch2, uvs.value))[:, :cw2]
+            assert np.array_equal(planes["y"][:H, :W], ly), (W, H, q)
+            assert np.array_equal(planes["u"][:ch2, :cw2], lu), (W, H, q)
+            assert np.array_equal(planes["v"][:ch2, :cw2], lv), (W, H, q)

@@ -765,3 +765,79 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allow-listed)"
     assert not offenders, offenders
+
+
+def test_prefix_sums_matches_global_window(spark):
+    """parallelism.prefix_sums == the single-task global cumulative
+    window, bit-for-bit, for integer and decimal columns with
+    adversarial key distributions (duplicount ties live in the sum
+    columns, never the order key)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    rng = random.Random(42)
+    rows = [
+        (k, rng.randint(-50, 50), round(rng.uniform(0, 9), 4))
+        for k in rng.sample(range(100000), 500)
+    ]
+    df = spark.createDataFrame(rows, "k long, a long, b double").select(
+        "k", "a", F.col("b").cast("decimal(18,4)").alias("b")
+    )
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in prefix_sums(df.repartition(13), "k", ["a", "b"]).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_prefix_max_matches_global_window_incl_exclusive(spark):
+    """prefix_max == the global running max in both directions, and
+    the exclusive scan yields NULL for the first row and the strict
+    predecessor max elsewhere."""
+    import random
+
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.parallelism import prefix_max
+
+    rng = random.Random(7)
+    rows = [(k, rng.randint(-1000, 1000)) for k in rng.sample(range(50000), 400)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for desc in (False, True):
+        order = F.col("k").desc() if desc else F.col("k").asc()
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        wx = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        expect = {
+            r["k"]: (r["m"], r["mx"])
+            for r in df.select(
+                "k",
+                F.max("v").over(w).alias("m"),
+                F.max("v").over(wx).alias("mx"),
+            ).collect()
+        }
+        inc = {
+            r["k"]: r["cum_max"]
+            for r in prefix_max(
+                df.repartition(9), "k", "v", descending=desc
+            ).collect()
+        }
+        exc = {
+            r["k"]: r["cum_max"]
+            for r in prefix_max(
+                df.repartition(9), "k", "v", descending=desc, exclusive=True
+            ).collect()
+        }
+        assert inc == {k: m for k, (m, _) in expect.items()}
+        assert exc == {k: mx for k, (_, mx) in expect.items()}

@@ -85,6 +85,10 @@ REGATE_R8: list[str] = [
     "q_pettitt",
     "q_ndcg",
     "q_info_gain",
+    # NEW r8 registrations (link prediction / lead-lag / LLM masking)
+    "q_adamic_adar",
+    "q_granger",
+    "q_span_corruption",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -144,6 +148,9 @@ PRIORITY: list[str] = [
     "q_pettitt",
     "q_ndcg",
     "q_info_gain",
+    "q_adamic_adar",
+    "q_granger",
+    "q_span_corruption",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

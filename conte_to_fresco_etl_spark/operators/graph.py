@@ -789,3 +789,57 @@ def markov_absorption(
             .localCheckpoint(eager=False)
         )
     return v.select("state", F.round(F.col("pw"), 6).alias("p_win"))
+
+
+def adamic_adar(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over an undirected edge
+    list: for each non-adjacent-or-adjacent pair with at least one
+    common neighbor, AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) — the
+    classic "which links are missing" ranking (rare shared neighbors
+    count more than hubs), the graph sibling of the idf-weighted
+    cosine join.  Output: ``(a, b, n_common, aa_score)`` with a < b,
+    ROUND(6), one row per pair sharing ≥ 1 neighbor.
+
+    Scale posture: symmetrize once, one degree collapse, then the
+    wedge enumeration is a neighbor-keyed posting self-join (cost
+    Σ deg² over the COLLAPSED graph, never |nodes|²) — hub degree is
+    the skew knob, same as every posting join in this package.
+    Exactness: each wedge contributes ROUND(1/ln(deg), 9) summed as
+    DECIMAL; common neighbors have deg ≥ 2, so ln > 0."""
+    und = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionAll(
+        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("deg"))
+    adj = und.join(deg, "v").select(
+        "u",
+        "v",
+        # a degree-1 node can never be a COMMON neighbor, but its adj
+        # row still evaluates the expression — guard ln(1) = 0 (ANSI
+        # division) with an explicit branch; the NULL never survives
+        # the wedge join
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.lit(1.0) / F.log(F.col("deg").cast("double")), 9
+            ),
+        ).alias("w"),
+    )
+    l = adj.select(
+        F.col("u").alias("a"), F.col("v").alias("z"), F.col("w")
+    )
+    r = adj.select(F.col("u").alias("b"), F.col("v").alias("z"))
+    return (
+        l.join(r, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("aa_score"),
+        )
+    )

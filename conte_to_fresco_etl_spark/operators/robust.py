@@ -3800,3 +3800,98 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def granger_lag1(
+    df: DataFrame,
+    ts_col: str,
+    y_value: Column,
+    x_value: Column,
+) -> DataFrame:
+    """Lag-1 Granger causality between two daily series: does
+    yesterday's x improve today's y prediction beyond yesterday's y?
+    Compares the restricted OLS y_t ~ y_{t-1} against the unrestricted
+    y_t ~ y_{t-1} + x_{t-1} via the F statistic
+    ((RSS_r - RSS_u) / 1) / (RSS_u / (n - 3)) — the standard lead-lag
+    screen before trusting a metric as a leading indicator.  Output —
+    ONE row: ``(n, rss_r, rss_u, f_stat)`` (ROUND 6; NULL on
+    degenerate designs: n < 4, constant regressors, or singular
+    normal equations).
+
+    Scale posture: the raw stream collapses to the (day, ȳ, x̄) table
+    in ONE map-combinable aggregation; lags come from one window over
+    the collapsed days; both regressions are closed forms over nine
+    ROUND(9)/decimal moment sums — no iteration, nothing data-sized
+    past the first shuffle."""
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(y_value, 4).cast("decimal(18,4)")
+                ).cast("double")
+                / F.count(y_value).cast("double"),
+                6,
+            ).alias("y"),
+            F.round(
+                F.sum(
+                    F.round(x_value, 4).cast("decimal(18,4)")
+                ).cast("double")
+                / F.count(x_value).cast("double"),
+                6,
+            ).alias("x"),
+        )
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+        .persist()  # the lag window must see the aggregate (guard)
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(w).alias("z1"),
+        F.lag("x").over(w).alias("z2"),
+    ).filter(F.col("z1").isNotNull() & F.col("z2").isNotNull())
+    d12 = "decimal(38,12)"
+
+    def q(c):
+        return F.round(c, 9).cast("decimal(28,9)")
+
+    mom = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum(q(F.col("yt"))).alias("sy"),
+        F.sum(q(F.col("z1"))).alias("s1"),
+        F.sum(q(F.col("z2"))).alias("s2"),
+        F.sum((F.col("yt") * F.col("yt")).cast(d12)).alias("syy"),
+        F.sum((F.col("z1") * F.col("z1")).cast(d12)).alias("s11"),
+        F.sum((F.col("z2") * F.col("z2")).cast(d12)).alias("s22"),
+        F.sum((F.col("z1") * F.col("yt")).cast(d12)).alias("s1y"),
+        F.sum((F.col("z2") * F.col("yt")).cast(d12)).alias("s2y"),
+        F.sum((F.col("z1") * F.col("z2")).cast(d12)).alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+
+    def c(name):
+        return F.col(name).cast("double")
+
+    # centered second moments
+    c11 = c("s11") - c("s1") * c("s1") / nd
+    c22 = c("s22") - c("s2") * c("s2") / nd
+    c12 = c("s12") - c("s1") * c("s2") / nd
+    c1y = c("s1y") - c("s1") * c("sy") / nd
+    c2y = c("s2y") - c("s2") * c("sy") / nd
+    cyy = c("syy") - c("sy") * c("sy") / nd
+    rss_r = F.when(c11 > 0, cyy - c1y * c1y / c11)
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    rss_u = F.when(det > 0, cyy - b1 * c1y - b2 * c2y)
+    f_stat = F.when(
+        (F.col("n") >= 4) & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (nd - F.lit(3.0))),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rss_r, 6).alias("rss_r"),
+        F.round(rss_u, 6).alias("rss_u"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )

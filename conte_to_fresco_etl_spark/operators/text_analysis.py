@@ -2990,3 +2990,111 @@ def info_gain_features(
         .limit(int(top_k))
         .select("token", "present_docs", "ig")
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_frac: float = 0.15,
+    mean_span: int = 3,
+    seed: str = "sc",
+) -> DataFrame:
+    """T5-style span-corruption masking plan: deterministically choose
+    masked token spans per document (hash-stable, like every sampler
+    here: a pure function of corpus + seed, reproducible across runs,
+    partitionings, and engines) — the preprocessing step that turns a
+    corpus into seq2seq denoising examples.  Position i starts a span
+    with probability ``mask_frac / mean_span``; span length is
+    1 + hash % (2·mean_span − 1) (mean = mean_span); overlapping
+    spans merge.  Output per non-empty doc: ``(doc_id, n_tokens,
+    n_masked, n_spans, frac_masked)`` with n_spans the count of
+    MAXIMAL masked runs after merging and frac_masked ROUND(6).
+
+    Scale posture: positions explode map-side (no token strings
+    carried), starts explode to their covered positions (Σ ≈
+    mask_frac·n rows), one distinct + per-doc run count via a
+    doc-partitioned lag window — everything keyed by the doc."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long, tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    thresh = int(round(mask_frac / mean_span * 1000000))
+    span_mod = 2 * int(mean_span) - 1
+    base = (
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("id", F.size(tokens(F.col(text_col))).alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    pos = base.select(
+        "id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+    )
+    h = md5_long(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    hl = md5_long(
+        F.concat(
+            F.lit(f"{seed}L:"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    starts = pos.filter(h % 1000000 < thresh).select(
+        "id",
+        "n",
+        "i",
+        (F.lit(1) + hl % span_mod).alias("len"),
+    )
+    covered = starts.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.col("i"),
+                F.least(F.col("i") + F.col("len") - 1, F.col("n") - 1),
+            )
+        ).alias("p"),
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("p")
+    runs = covered.select(
+        "id",
+        F.when(
+            F.lag("p").over(w).isNull()
+            | (F.lag("p").over(w) < F.col("p") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).groupBy("id").agg(
+        F.count("*").alias("n_masked"), F.sum("brk").alias("n_spans")
+    )
+    return (
+        base.join(runs, "id", "left")
+        .select(
+            F.col("id").cast("long").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_masked"), F.lit(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.round(
+                F.coalesce(F.col("n_masked"), F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("frac_masked"),
+        )
+    )

@@ -6737,3 +6737,143 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / F.lit(200.0)), F.lit(4)
     ).cast("double")
     return ndcg_at_k(docs, "doc_id", score, gain, k=20)
+
+
+_ADAMIC_ADAR_SQL = """
+    WITH posts AS (
+      SELECT DISTINCT user_id AS k, date_trunc('hour', ts) AS ctx
+      FROM events WHERE user_id < 40
+    ),
+    edges AS (
+      SELECT a.k AS a, b.k AS b
+      FROM posts a JOIN posts b ON a.ctx = b.ctx AND a.k < b.k
+      GROUP BY 1, 2 HAVING COUNT(*) >= 8
+    ),
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY 1),
+    adj AS (
+      SELECT u, und.v,
+             CASE WHEN deg >= 2
+             THEN ROUND(1.0e0 / ln(CAST(deg AS DOUBLE)), 9) END AS w
+      FROM und JOIN deg ON und.v = deg.v
+    )
+    SELECT l.u AS a, r.u AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(CAST(l.w AS DECIMAL(28,9))) AS DOUBLE), 6)
+             AS aa_score
+    FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+    GROUP BY 1, 2
+"""
+
+
+@_q("q_adamic_adar", _ADAMIC_ADAR_SQL)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the hour-bucket user
+    co-occurrence graph (≥8 shared active hours): wedge enumeration
+    as a neighbor-keyed posting self-join, rare shared neighbors
+    up-weighted by 1/ln(deg)."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        adamic_adar,
+        cooccurrence_edges,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=8,
+    )
+    return adamic_adar(edges)
+
+
+_GRANGER_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                          THEN CAST(ROUND(value, 4) AS DECIMAL(18,4))
+                          END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'click'
+                           THEN value END), 6) AS y,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                          THEN CAST(ROUND(value, 4) AS DECIMAL(18,4))
+                          END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'view'
+                           THEN value END), 6) AS x
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT yt, z1, z2 FROM (
+        SELECT y AS yt,
+               LAG(y) OVER (ORDER BY day) AS z1,
+               LAG(x) OVER (ORDER BY day) AS z2
+        FROM daily WHERE y IS NOT NULL AND x IS NOT NULL
+      ) WHERE z1 IS NOT NULL AND z2 IS NOT NULL
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(yt, 9) AS DECIMAL(28,9))) AS sy,
+             SUM(CAST(ROUND(z1, 9) AS DECIMAL(28,9))) AS s1,
+             SUM(CAST(ROUND(z2, 9) AS DECIMAL(28,9))) AS s2,
+             SUM(CAST(yt * yt AS DECIMAL(38,12))) AS syy,
+             SUM(CAST(z1 * z1 AS DECIMAL(38,12))) AS s11,
+             SUM(CAST(z2 * z2 AS DECIMAL(38,12))) AS s22,
+             SUM(CAST(z1 * yt AS DECIMAL(38,12))) AS s1y,
+             SUM(CAST(z2 * yt AS DECIMAL(38,12))) AS s2y,
+             SUM(CAST(z1 * z2 AS DECIMAL(38,12))) AS s12
+      FROM lagged
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+             CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+               * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+             CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+             CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+             CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+      FROM mom
+    ),
+    r AS (
+      SELECT n,
+             CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END AS rss_r,
+             CASE WHEN c11 * c22 - c12 * c12 > 0 THEN
+               cyy - ((c1y * c22 - c2y * c12)
+                      / (c11 * c22 - c12 * c12)) * c1y
+                   - ((c2y * c11 - c1y * c12)
+                      / (c11 * c22 - c12 * c12)) * c2y
+             END AS rss_u
+      FROM c
+    )
+    SELECT n, ROUND(rss_r, 6) AS rss_r, ROUND(rss_u, 6) AS rss_u,
+           CASE WHEN n >= 4 AND rss_u > 0 THEN
+             ROUND((rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE)
+                                               - 3.0e0)), 6)
+           END AS f_stat
+    FROM r
+"""
+
+
+@_q("q_granger", _GRANGER_SQL)
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger screen: does yesterday's mean view value improve
+    today's mean click value prediction beyond yesterday's click
+    value?  Closed-form two-regressor OLS over nine decimal moment
+    sums of the collapsed daily table."""
+    from conte_to_fresco_etl_spark.operators.robust import granger_lag1
+
+    ev = _events(spark, sf_dir)
+    return granger_lag1(
+        ev,
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")),
+        F.when(F.col("event_type") == "view", F.col("value")),
+    )

@@ -7015,3 +7015,61 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isNotNull()
     )
     return info_gain_features(docs, F.col("lang") == "en", top_k=30)
+
+
+_SPAN_CORRUPTION_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS id, len({_sql_tokens('text')}) AS n
+      FROM documents
+    ),
+    ne AS (SELECT id, n FROM base WHERE n >= 1),
+    pos AS (
+      SELECT id, n, unnest(generate_series(0, n - 1)) AS i FROM ne
+    ),
+    starts AS (
+      SELECT id, n, i,
+             1 + {_sql_md5_long(
+                 "'scL:' || CAST(id AS VARCHAR) || ':' "
+                 "|| CAST(i AS VARCHAR)")} % 5 AS len
+      FROM pos
+      WHERE {_sql_md5_long(
+                "'sc:' || CAST(id AS VARCHAR) || ':' "
+                "|| CAST(i AS VARCHAR)")} % 1000000 < 50000
+    ),
+    covered AS (
+      SELECT DISTINCT id, p FROM (
+        SELECT id, unnest(generate_series(i, LEAST(i + len - 1, n - 1)))
+                 AS p
+        FROM starts
+      )
+    ),
+    runs AS (
+      SELECT id, COUNT(*) AS n_masked,
+             SUM(CASE WHEN prev IS NULL OR prev < p - 1
+                 THEN 1 ELSE 0 END) AS n_spans
+      FROM (SELECT id, p,
+                   LAG(p) OVER (PARTITION BY id ORDER BY p) AS prev
+            FROM covered)
+      GROUP BY 1
+    )
+    SELECT CAST(ne.id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           ROUND(CAST(COALESCE(n_masked, 0) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS frac_masked
+    FROM ne LEFT JOIN runs ON ne.id = runs.id
+"""
+
+
+@_q("q_span_corruption", _SPAN_CORRUPTION_SQL)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan per document: hash-stable
+    span starts and lengths (15% target mask rate, mean span 3),
+    overlap-merged; positions explode map-side and everything stays
+    keyed by the doc."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        span_corruption_plan,
+    )
+
+    return span_corruption_plan(_t(spark, sf_dir, "documents"))

@@ -3344,3 +3344,82 @@ def test_ndcg_perfect_and_inverted(spark):
         df, "id", F.col("s"), F.lit(0.0), k=10
     ).collect()[0]
     assert zeros["ndcg"] is None
+
+
+def test_adamic_adar_hand_computed(spark):
+    """AA on a hand graph: common neighbor z with degree d contributes
+    1/ln(d); hub-mediated pairs score below rare-neighbor pairs."""
+    import math
+
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators.graph import adamic_adar
+
+    # star hub h connects 1..4; plus a private bridge z between 1 and 2
+    edges = [(h := 99, i) for i in (1, 2, 3, 4)] + [(50, 1), (50, 2)]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r for r in adamic_adar(df).collect()}
+    deg_h, deg_z = 4, 2
+    # pair (1,2): common neighbors hub (deg 4) AND bridge (deg 2)
+    expect12 = round(1 / math.log(deg_h), 9) + round(
+        1 / math.log(deg_z), 9
+    )
+    assert out[(1, 2)]["n_common"] == 2
+    assert out[(1, 2)]["aa_score"] == pytest.approx(
+        round(expect12, 6), abs=1e-9
+    )
+    # pair (3,4): hub only — scores strictly lower
+    assert out[(3, 4)]["n_common"] == 1
+    assert out[(3, 4)]["aa_score"] < out[(1, 2)]["aa_score"]
+
+
+def test_granger_detects_planted_lead(spark):
+    """x leads y by one day (y_t = x_{t-1} + noise): the unrestricted
+    model crushes RSS and F is large; with x as pure noise, F stays
+    small."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import granger_lag1
+
+    rng = np.random.default_rng(5)
+    n = 30
+    x = rng.normal(50, 10, n)
+    y = np.empty(n)
+    y[0] = 50
+    y[1:] = x[:-1] + rng.normal(0, 0.5, n - 1)
+    rows = []
+    for d in range(n):
+        ts = f"2024-01-{d + 1:02d} 10:00:00"
+        rows.append((ts, "click", float(y[d])))
+        rows.append((ts, "view", float(x[d])))
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    r = granger_lag1(
+        df,
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")),
+        F.when(F.col("event_type") == "view", F.col("value")),
+    ).collect()[0]
+    assert r["n"] == n - 1
+    assert r["rss_u"] < r["rss_r"] * 0.1
+    assert r["f_stat"] > 50
+
+    noise = rng.normal(0, 1, n)
+    rows2 = []
+    for d in range(n):
+        ts = f"2024-01-{d + 1:02d} 10:00:00"
+        rows2.append((ts, "click", float(y[d])))
+        rows2.append((ts, "view", float(noise[d])))
+    df2 = spark.createDataFrame(
+        rows2, "ts string, event_type string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    r2 = granger_lag1(
+        df2,
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")),
+        F.when(F.col("event_type") == "view", F.col("value")),
+    ).collect()[0]
+    assert r2["f_stat"] < 10

@@ -1187,3 +1187,37 @@ def test_info_gain_prefers_class_pure_token(spark):
     assert out["common"]["ig"] == 0.0
     top = info_gain_features(df, F.col("y"), top_k=1).collect()
     assert top[0]["token"] == "pure"
+
+
+def test_span_corruption_deterministic_and_merged(spark):
+    """The masking plan is a pure function of (corpus, seed): two runs
+    agree; the realized mask fraction over a large doc sits near the
+    15% target; n_spans counts MAXIMAL merged runs (never exceeds
+    n_masked); token-free docs emit nothing."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        span_corruption_plan,
+    )
+
+    big = " ".join(f"tok{i}" for i in range(4000))
+    df = spark.createDataFrame(
+        [(1, big), (2, "a b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r for r in span_corruption_plan(df).collect()}
+    b = {r["doc_id"]: r for r in span_corruption_plan(df).collect()}
+    assert {k: tuple(v) for k, v in a.items()} == {
+        k: tuple(v) for k, v in b.items()
+    }
+    assert 3 not in a                       # no tokens, no row
+    assert a[1]["n_tokens"] == 4000
+    assert 0.10 < a[1]["frac_masked"] < 0.20   # near the 15% target
+    assert 0 < a[1]["n_spans"] <= a[1]["n_masked"]
+    # mean realized span length near mean_span=3 (merging inflates it
+    # slightly)
+    assert 2.0 < a[1]["n_masked"] / a[1]["n_spans"] < 5.0
+    # a reseeded plan differs
+    c = {
+        r["doc_id"]: r
+        for r in span_corruption_plan(df, seed="other").collect()
+    }
+    assert c[1]["n_masked"] != a[1]["n_masked"]

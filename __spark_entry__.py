@@ -89,6 +89,10 @@ REGATE_R8: list[str] = [
     "q_adamic_adar",
     "q_granger",
     "q_span_corruption",
+    # NEW r8 registrations (association / ordinal agreement / keyness)
+    "q_cramers_v",
+    "q_weighted_kappa",
+    "q_log_odds",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -151,6 +155,9 @@ PRIORITY: list[str] = [
     "q_adamic_adar",
     "q_granger",
     "q_span_corruption",
+    "q_cramers_v",
+    "q_weighted_kappa",
+    "q_log_odds",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r7-green first. ---
     "q_rollup_replay",

@@ -3895,3 +3895,123 @@ def granger_lag1(
         F.round(rss_u, 6).alias("rss_u"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+def cramers_v(df: DataFrame, a: Column, b: Column) -> DataFrame:
+    """Cramér's V — the [0, 1] strength-of-association for two
+    categorical variables (the effect size the chi-square test
+    itself refuses to be): V = sqrt(chi2 / (n * (min(r,c) - 1))).
+    Output — ONE row: ``(n, r, c, chi2, v)`` (ROUND 6; NULL when
+    either variable is constant).
+
+    The chi-square runs over the FULL r x c grid (zero cells
+    contribute their expectation): the grid is the cross join of the
+    two DIMENSION-sized marginal tables left-joined to the observed
+    cells — never a row-level operation.  Exactness: expectations are
+    double trees over integer counts; per-cell terms ROUND(9) then
+    DECIMAL-summed."""
+    cells = (
+        df.select(a.alias("ra"), b.alias("rb"))
+        .filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .groupBy("ra", "rb")
+        .agg(F.count("*").alias("cnt"))
+    ).localCheckpoint(eager=False)
+    rows = cells.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
+    colsums = cells.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    tot = cells.agg(F.sum("cnt").alias("n"))
+    grid = (
+        rows.crossJoin(colsums)
+        .join(cells, ["ra", "rb"], "left")
+        .crossJoin(broadcast(tot))
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+    term = F.round((o - e) * (o - e) / e, 9)
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("ra").alias("r"),
+        F.countDistinct("rb").alias("c"),
+        F.sum(term.cast("decimal(28,9)")).alias("chi2_sum"),
+    )
+    nd = F.col("n").cast("double")
+    kmin = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    chi2 = F.col("chi2_sum").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(kmin > 0, F.round(F.sqrt(chi2 / (nd * kmin)), 6)).alias(
+            "v"
+        ),
+    )
+
+
+def weighted_kappa(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Quadratically-weighted Cohen's kappa for ORDINAL integer
+    ratings — near-misses between adjacent grades cost (i-j)² instead
+    of the full disagreement plain kappa charges (the standard
+    agreement metric for graded quality labels):
+
+        wk = 1 - Σ w_ij O_ij / Σ w_ij E_ij,  w_ij = (i - j)²
+
+    Output — ONE row: ``(n, wkappa)`` (ROUND 6; NULL when the
+    expected disagreement is 0 — both raters constant).
+
+    Scale posture: the cohens_kappa shape — one contingency collapse,
+    the weighted sums over the full dimension-sized grid (cross join
+    of the two marginal vectors, zero cells contributing only to E),
+    1-row closing algebra on integer counts."""
+    cells = (
+        df.select(
+            rater_a.cast("long").alias("ra"),
+            rater_b.cast("long").alias("rb"),
+        )
+        .filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .groupBy("ra", "rb")
+        .agg(F.count("*").alias("cnt"))
+    ).localCheckpoint(eager=False)
+    rows = cells.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
+    colsums = cells.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    tot = cells.agg(F.sum("cnt").alias("n"))
+    grid = (
+        rows.crossJoin(colsums)
+        .join(cells, ["ra", "rb"], "left")
+        .crossJoin(broadcast(tot))
+    )
+    wd = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    o_num = F.sum(
+        (wd * F.coalesce(F.col("cnt"), F.lit(0))).cast("decimal(38,0)")
+    )
+    e_num = F.sum(
+        F.round(
+            wd.cast("double")
+            * F.col("row_n").cast("double")
+            * F.col("col_n").cast("double")
+            / F.col("n").cast("double"),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        o_num.alias("wo"),
+        e_num.alias("we"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("we").cast("double") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("wo").cast("double")
+                / F.col("we").cast("double"),
+                6,
+            ),
+        ).alias("wkappa"),
+    )

@@ -3098,3 +3098,79 @@ def span_corruption_plan(
             ).alias("frac_masked"),
         )
     )
+
+
+def log_odds_tokens(
+    df: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_strength: float = 100.0,
+    top_k: int = 30,
+) -> DataFrame:
+    """Monroe-Colaresi-Quinn "fightin' words" token comparison: the
+    z-scored log-odds-ratio of each token between two corpora with an
+    informative Dirichlet prior drawn from the POOLED counts — the
+    standard "which words distinguish these corpora" ranking (raw
+    log-odds overweights rare tokens; the prior and the variance term
+    fix exactly that).  With class token counts y1_t / y0_t, totals
+    n1 / n0, pooled share p_t and prior a_t = prior_strength * p_t:
+
+        delta_t = ln((y1+a)/(n1+a0-y1-a)) - ln((y0+a)/(n0+a0-y0-a))
+        z_t = delta_t / sqrt(1/(y1+a) + 1/(y0+a))
+
+    Output: ``(token, z_score, delta)`` (ROUND 6), top ``top_k`` by
+    |z| (z ROUND(9) for the ranking; token asc tiebreak).
+
+    Scale posture: ONE (class, token) count shuffle; pooled shares
+    derive FROM it; totals are a 1-row broadcast; the ranking is a
+    TakeOrdered."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(
+            label.cast("boolean").alias("y"),
+            F.col(text_col).alias("__text"),
+        ).filter(F.col("__text").isNotNull() & F.col("y").isNotNull()),
+        DENSE_BYTES_PER_TASK,
+    )
+    counts = (
+        base.select("y", F.explode(tokens(F.col("__text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("y1"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("y0"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("y1").alias("n1"), F.sum("y0").alias("n0")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    a0 = F.lit(float(prior_strength))
+    pool = (F.col("y1") + F.col("y0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+    at = a0 * pool
+    y1d, y0d = F.col("y1").cast("double"), F.col("y0").cast("double")
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    delta = F.log((y1d + at) / (n1d + a0 - y1d - at)) - F.log(
+        (y0d + at) / (n0d + a0 - y0d - at)
+    )
+    var = F.lit(1.0) / (y1d + at) + F.lit(1.0) / (y0d + at)
+    z = F.round(delta / F.sqrt(var), 9)
+    return (
+        j.select(
+            F.col("tok").alias("token"),
+            F.round(z, 6).alias("z_score"),
+            F.round(delta, 6).alias("delta"),
+            z.alias("__z9"),
+        )
+        .orderBy(F.abs(F.col("__z9")).desc(), F.col("token").asc())
+        .limit(int(top_k))
+        .select("token", "z_score", "delta")
+    )

@@ -6877,3 +6877,125 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", F.col("value")),
         F.when(F.col("event_type") == "view", F.col("value")),
     )
+
+
+_CRAMERS_SQL = """
+    WITH r AS (
+      SELECT LEAST(GREATEST(CAST(floor(value / 125.0) AS BIGINT), 0), 3)
+               AS ra,
+             event_type AS rb
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (SELECT ra, rb, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+    rows_ AS (SELECT ra, SUM(cnt) AS row_n FROM cells GROUP BY 1),
+    cols_ AS (SELECT rb, SUM(cnt) AS col_n FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM cells),
+    grid AS (
+      SELECT rows_.ra, cols_.rb, row_n, col_n, cnt, n
+      FROM rows_ CROSS JOIN cols_
+      LEFT JOIN cells ON cells.ra = rows_.ra AND cells.rb = cols_.rb
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT MAX(n) AS n, COUNT(DISTINCT ra) AS r,
+             COUNT(DISTINCT rb) AS c,
+             SUM(CAST(ROUND(
+               (CAST(COALESCE(cnt, 0) AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(COALESCE(cnt, 0) AS DOUBLE)
+                  - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)))
+               AS chi2_sum
+      FROM grid
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+           CAST(c AS BIGINT) AS c,
+           ROUND(CAST(chi2_sum AS DOUBLE), 6) AS chi2,
+           CASE WHEN LEAST(r, c) > 1 THEN ROUND(sqrt(
+             CAST(chi2_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * (CAST(LEAST(r, c) AS DOUBLE) - 1.0e0))), 6)
+           END AS v
+    FROM agg
+"""
+
+
+@_q("q_cramers_v", _CRAMERS_SQL)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between the value quartile band and the event type:
+    chi-square over the FULL dimension-sized grid (zero cells
+    contribute their expectation), effect size in [0, 1]."""
+    from conte_to_fresco_etl_spark.operators.robust import cramers_v
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ra = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(125.0)), F.lit(0)),
+        F.lit(3),
+    ).cast("long")
+    return cramers_v(ev, ra, F.col("event_type"))
+
+
+_WKAPPA_SQL = """
+    WITH r AS (
+      SELECT LEAST(GREATEST(CAST(floor(value / 125.0) AS BIGINT), 0), 3)
+               AS ra,
+             LEAST(GREATEST(CAST(floor(
+               (value + CAST(CAST('0x' || substr(md5(props), 1, 15)
+                                  AS BIGINT) % 50 AS DOUBLE) - 25.0e0)
+               / 125.0) AS BIGINT), 0), 3) AS rb
+      FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    ),
+    cells AS (SELECT ra, rb, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+    rows_ AS (SELECT ra, SUM(cnt) AS row_n FROM cells GROUP BY 1),
+    cols_ AS (SELECT rb, SUM(cnt) AS col_n FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM cells),
+    grid AS (
+      SELECT rows_.ra, cols_.rb, row_n, col_n, cnt, n
+      FROM rows_ CROSS JOIN cols_
+      LEFT JOIN cells ON cells.ra = rows_.ra AND cells.rb = cols_.rb
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT MAX(n) AS n,
+             SUM(CAST((ra - rb) * (ra - rb)
+                      * COALESCE(cnt, 0) AS DECIMAL(38,0))) AS wo,
+             SUM(CAST(ROUND(
+               CAST((ra - rb) * (ra - rb) AS DOUBLE)
+               * CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9))) AS we
+      FROM grid
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(we AS DOUBLE) > 0 THEN ROUND(
+             1.0e0 - CAST(wo AS DOUBLE) / CAST(we AS DOUBLE), 6)
+           END AS wkappa
+    FROM agg
+"""
+
+
+@_q("q_weighted_kappa", _WKAPPA_SQL)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratically-weighted kappa between the value quartile band
+    and a hash-jittered second grading of the same value — correlated
+    ordinal raters, near-misses charged (i-j)²."""
+    from conte_to_fresco_etl_spark.functions.text import md5_long
+    from conte_to_fresco_etl_spark.operators.robust import weighted_kappa
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("props").isNotNull()
+    )
+
+    def band(x):
+        return F.least(
+            F.greatest(F.floor(x / F.lit(125.0)), F.lit(0)), F.lit(3)
+        ).cast("long")
+
+    jitter = (md5_long(F.col("props")) % 50).cast("double") - F.lit(25.0)
+    return weighted_kappa(
+        ev, band(F.col("value")), band(F.col("value") + jitter)
+    )

@@ -7073,3 +7073,59 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return span_corruption_plan(_t(spark, sf_dir, "documents"))
+
+
+_LOG_ODDS_SQL = f"""
+    WITH d AS (
+      SELECT lang = 'en' AS y, text
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS y1,
+             SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS y0
+      FROM (SELECT y, unnest({_sql_tokens('text')}) AS tok FROM d)
+      WHERE length(tok) > 0 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(y1) AS n1, SUM(y0) AS n0 FROM counts),
+    j AS (
+      SELECT tok,
+             CAST(y1 AS DOUBLE) AS y1d, CAST(y0 AS DOUBLE) AS y0d,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n0 AS DOUBLE) AS n0d,
+             100.0e0 * (CAST(y1 + y0 AS DOUBLE)
+                        / CAST(n1 + n0 AS DOUBLE)) AS at
+      FROM counts CROSS JOIN tot
+    ),
+    z AS (
+      SELECT tok,
+             ln((y1d + at) / (n1d + 100.0e0 - y1d - at))
+             - ln((y0d + at) / (n0d + 100.0e0 - y0d - at)) AS delta,
+             ROUND((ln((y1d + at) / (n1d + 100.0e0 - y1d - at))
+                    - ln((y0d + at) / (n0d + 100.0e0 - y0d - at)))
+                   / sqrt(1.0e0 / (y1d + at) + 1.0e0 / (y0d + at)), 9)
+               AS z9
+      FROM j
+    )
+    SELECT tok AS token, ROUND(z9, 6) AS z_score,
+           ROUND(delta, 6) AS delta
+    FROM z
+    ORDER BY abs(z9) DESC, token ASC
+    LIMIT 30
+"""
+
+
+@_q("q_log_odds", _LOG_ODDS_SQL)
+def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe "fightin' words": top-30 tokens by z-scored Dirichlet-
+    prior log-odds between English and non-English documents — the
+    corpus-comparison ranking that neither overweights rare tokens
+    (the prior) nor hubs (the variance term); one token-class count
+    shuffle + a 1-row totals broadcast."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        log_odds_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    return log_odds_tokens(docs, F.col("lang") == "en", top_k=30)

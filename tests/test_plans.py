@@ -581,6 +581,9 @@ BNLJ_ALLOWED = {
     "q_pettitt",                # prefix-sum offsets + n 1-row cross (r8)
     "q_ndcg",                   # dcg x idcg 1-row cross (r8)
     "q_info_gain",              # class-size 1-row broadcast (r8)
+    "q_cramers_v",              # marginal-grid total 1-row cross (r8)
+    "q_weighted_kappa",         # marginal-grid total 1-row cross (r8)
+    "q_log_odds",               # corpus totals 1-row broadcast (r8)
     "q_lsh_calibration",        # literal layout x grid (57 rows)
     "q_lsh_recall",             # 250-doc pair-sample self-join
     "q_mixture_diversity",      # corpus total + entropy row (1-row each)

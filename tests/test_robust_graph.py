@@ -3423,3 +3423,44 @@ def test_granger_detects_planted_lead(spark):
         F.when(F.col("event_type") == "view", F.col("value")),
     ).collect()[0]
     assert r2["f_stat"] < 10
+
+
+def test_cramers_v_extremes(spark):
+    """Perfectly-dependent variables give V = 1; independent ones give
+    V near 0; the full-grid chi-square counts zero cells' expectation."""
+    from conte_to_fresco_etl_spark.operators.robust import cramers_v
+
+    dep = spark.createDataFrame(
+        [(i % 3, f"c{i % 3}") for i in range(90)], "a long, b string"
+    )
+    r = cramers_v(dep, F.col("a"), F.col("b")).collect()[0]
+    assert (r["r"], r["c"]) == (3, 3)
+    assert r["v"] == 1.0
+    ind = spark.createDataFrame(
+        [(i % 3, f"c{(i // 3) % 3}") for i in range(90)],
+        "a long, b string",
+    )
+    r2 = cramers_v(ind, F.col("a"), F.col("b")).collect()[0]
+    assert r2["v"] < 0.05 and r2["chi2"] < 1e-6
+
+
+def test_weighted_kappa_orders_near_misses(spark):
+    """Identical raters: wk = 1; off-by-one raters beat off-by-three
+    raters (quadratic weights), and both beat independent ones."""
+    from conte_to_fresco_etl_spark.operators.robust import weighted_kappa
+
+    base = [i % 4 for i in range(200)]
+
+    def wk(shift_fn):
+        df = spark.createDataFrame(
+            [(v, shift_fn(i, v)) for i, v in enumerate(base)],
+            "a long, b long",
+        )
+        return weighted_kappa(df, F.col("a"), F.col("b")).collect()[0][
+            "wkappa"
+        ]
+
+    assert wk(lambda i, v: v) == 1.0
+    near = wk(lambda i, v: min(v + (i % 2), 3))
+    far = wk(lambda i, v: 3 - v)
+    assert near > far

@@ -1221,3 +1221,30 @@ def test_span_corruption_deterministic_and_merged(spark):
         for r in span_corruption_plan(df, seed="other").collect()
     }
     assert c[1]["n_masked"] != a[1]["n_masked"]
+
+
+def test_log_odds_directions_and_prior_shrinkage(spark):
+    """A class-exclusive frequent token gets a large |z| with the
+    right sign; a one-occurrence exclusive token is SHRUNK by the
+    Dirichlet prior below the frequent one (the raw log-odds failure
+    mode this estimator exists to fix)."""
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        log_odds_tokens,
+    )
+
+    rows = []
+    for i in range(40):
+        pos = i < 20
+        text = "shared filler " + ("posword " * 5 if pos else "negword " * 5)
+        if i == 0:
+            text += " hapax"
+        rows.append((i, pos, text))
+    df = spark.createDataFrame(rows, "doc_id long, y boolean, text string")
+    out = {r["token"]: r for r in
+           log_odds_tokens(df, F.col("y"), top_k=10).collect()}
+    assert out["posword"]["z_score"] > 3
+    assert out["negword"]["z_score"] < -3
+    if "hapax" in out:
+        assert abs(out["hapax"]["z_score"]) < abs(out["posword"]["z_score"])

@@ -39,60 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # iteration order: queries that have never had a driver row (or changed since
 # their last green row) come first; long-stable green queries go to the tail
 # where a truncated window costs nothing.
-# Queries modified (or newly registered) in round 8.  Every name here MUST
+# Queries modified (or newly registered) in round 9.  Every name here MUST
 # also sit inside PRIORITY[:50]; tests/test_plans.py::test_priority_window_accounting
-# enforces that mechanically (never-driver-checked ∪ REGATE_R8 ⊆ window).
-REGATE_R8: list[str] = [
-    "q_negative_samples",   # r8: vocab cumsum rebuilt as distributed prefix-sum
-    "q_record_linkage",     # r8: SNM candidates now passes=2 (rotated keys)
-    "q9_product_profit",    # r8: optional bucketed-layout join path (flag-gated)
-    "q_msprt",              # r8: running (past-only) variance replay semantics
-    "q_mannwhitney",        # r8: midrank cumsum → distributed prefix-sum
-    "q_ks_test",            # r8: ECDF cumsums → distributed prefix-sum
-    "q_unigram_tokenizer",  # r8: rank window now over top-k, not full vocab
-    # NEW r8 registrations (agreement/reliability family)
-    "q_cohens_kappa",
-    "q_fleiss_kappa",
-    "q_mcnemar",
-    "q_cochran_q",
-    "q_cronbach_alpha",
-    # NEW r8 registrations (correlation / robust-trend family)
-    "q_spearman_rho",
-    "q_kendall_tau",
-    "q_partial_corr",
+# enforces that mechanically (never-driver-checked ∪ REGATE_R9 ⊆ window).
+REGATE_R9: list[str] = [
+    # medians re-keyed onto parallelism.exact_median / kth_element
+    # (prefix-sum rank-interval selection — no global sort task)
     "q_theil_sen",
-    "q_grubbs",
-    # NEW r8 registrations (calibration / targeting / causal family)
-    "q_brier_decomp",
-    "q_lift_curves",
-    "q_covariate_balance",
-    "q_propensity_strata",
-    # NEW r8 registrations (text-analysis additions)
-    "q_tstat_features",
-    "q_doc_simpson",
-    "q_mattr",
-    "q_cond_entropy",
-    # NEW r8 registrations (reliability / skyline)
-    "q_icc",
-    "q_friedman",
-    "q_pareto_front",
-    # NEW r8 registrations (nonparametric / drift family)
-    "q_mood_median",
-    "q_runs_test",
     "q_hodges_lehmann",
-    "q_js_sources",
-    # NEW r8 registrations (changepoint / ranking-metric family)
+    "q_runs_test",
+    # cumulative scans re-keyed onto parallelism.prefix_sums (the
+    # tightened window guard no longer credits a collapse below a join)
     "q_pettitt",
-    "q_ndcg",
-    "q_info_gain",
-    # NEW r8 registrations (link prediction / lead-lag / LLM masking)
-    "q_adamic_adar",
-    "q_granger",
-    "q_span_corruption",
-    # NEW r8 registrations (association / ordinal agreement / keyness)
-    "q_cramers_v",
-    "q_weighted_kappa",
-    "q_log_odds",
+    "q_vocab_growth",
+    # token_share window moved onto the per-source aggregate (pre-join)
+    "q_dataset_card",
+    # covariance cache persist -> localCheckpoint (flat cached plan so
+    # the scalar-cross BNLJs are structurally provable)
+    "q_pca_power",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -105,20 +69,25 @@ REGATE_R8: list[str] = [
 DEFER_NEXT_ROUND: list[str] = []
 
 PRIORITY: list[str] = [
-    # --- round-8 window (the driver checks the first 50) ---
-    # Head: the 6 queries deferred from rounds 6-7 (the last of the
-    # late-r6 backlog + the three r7 registrations) — with these green
-    # the union of driver rows covers the full 250-query registry.
+    # --- round-9 window (the driver checks the first 50) ---
+    # Head: REGATE_R9 (plans changed this round); new r9 registrations
+    # are appended here as they land.  The window self-audit test
+    # enforces the invariant mechanically.
+    "q_theil_sen",
+    "q_hodges_lehmann",
+    "q_runs_test",
+    "q_pettitt",
+    "q_vocab_growth",
+    "q_dataset_card",
+    "q_pca_power",
+    # --- rotation tail (stable driver-green queries; a truncated
+    # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",
     "q_markov_absorption",
     "q_negative_samples",
     "q_margin_mining",
     "q_msprt",
     "q_logreg_train",
-    # REGATE_R8 entries not already above (queries whose plan changed
-    # this round) and new r8 registrations come next (names appended
-    # here as they are registered; the window self-audit enforces the
-    # invariant either way).
     "q_record_linkage",
     "q9_product_profit",
     "q_mannwhitney",
@@ -132,7 +101,6 @@ PRIORITY: list[str] = [
     "q_spearman_rho",
     "q_kendall_tau",
     "q_partial_corr",
-    "q_theil_sen",
     "q_grubbs",
     "q_brier_decomp",
     "q_lift_curves",
@@ -146,10 +114,7 @@ PRIORITY: list[str] = [
     "q_friedman",
     "q_pareto_front",
     "q_mood_median",
-    "q_runs_test",
-    "q_hodges_lehmann",
     "q_js_sources",
-    "q_pettitt",
     "q_ndcg",
     "q_info_gain",
     "q_adamic_adar",
@@ -158,8 +123,7 @@ PRIORITY: list[str] = [
     "q_cramers_v",
     "q_weighted_kappa",
     "q_log_odds",
-    # --- rotation tail (stable driver-green queries; a truncated
-    # window costs nothing here).  r7-green first. ---
+    # r7-green
     "q_rollup_replay",
     "q_welch_ttest",
     "q_bootstrap_ci",
@@ -190,10 +154,8 @@ PRIORITY: list[str] = [
     "q_mann_kendall",
     "q_roc_auc",
     "q_kmv_overlap",
-    "q_vocab_growth",
     "q_rrf_fusion",
     "q_jaro_linkage",
-    "q_pca_power",
     "q_random_projection",
     "q_kcore",
     "q_holt_forecast",
@@ -261,7 +223,6 @@ PRIORITY: list[str] = [
     "q_k_anonymity",
     "q_jaccard_prefix",
     "q_range_frame",
-    "q_dataset_card",
     "q_normalize_text",
     "q_dup_token_frac",
     "q_compression_ratio",

@@ -2888,9 +2888,12 @@ def theil_sen(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     in ONE map-combinable shuffle; pairwise slopes live on the
     |days|² strictly-upper self-join (dimension-sized), and each
     median is an exact order statistic — lower+upper middle averaged
-    — selected by row_number over the collapsed pair/residual tables.
-    Exactness: daily means ROUND(6), slopes/residuals ROUND(9) before
-    ranking, rank ties broken by the pair's day keys."""
+    — selected by ``parallelism.exact_median`` (prefix-sum rank
+    intervals over the value marginal), so even a decade-scale daily
+    series (~5·10⁷ slope pairs) never funnels through a single sort
+    task.  Exactness: daily means ROUND(6), slopes/residuals ROUND(9)
+    before selection; selection reads only values, so tie order is
+    irrelevant by construction."""
     day = F.date_trunc("day", F.col(ts_col))
     vq = F.col(value_col).cast("decimal(18,4)")
     daily = (
@@ -2927,30 +2930,16 @@ def theil_sen(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         ).alias("slope"),
     )
 
-    def median_of(frame: DataFrame, col: str, order_keys) -> DataFrame:
-        w = Window.orderBy(F.col(col).asc(), *order_keys)
-        ranked = frame.withColumn("rn", F.row_number().over(w))
-        cnt = frame.agg(F.count("*").alias("m"))
-        lo = (F.col("m") + 1) / 2
-        return (
-            ranked.crossJoin(broadcast(cnt))
-            .filter(
-                (F.col("rn") == F.floor(lo))
-                | (F.col("rn") == F.ceil(lo))
-            )
-            .agg(F.avg(col).alias(f"med_{col}"), F.max("m").alias("m"))
-        )
+    from conte_to_fresco_etl_spark.parallelism import exact_median
 
-    med_slope = median_of(
-        slopes, "slope", [F.col("da").asc(), F.col("db").asc()]
-    )
+    med_slope = exact_median(slopes, "slope")
     resid = daily.crossJoin(broadcast(med_slope)).select(
         "d",
         F.round(
             F.col("v") - F.col("med_slope") * F.col("d").cast("double"), 9
         ).alias("r"),
     )
-    med_int = median_of(resid, "r", [F.col("d").asc()])
+    med_int = exact_median(resid, "r")
     nd_row = daily.agg(F.count("*").alias("n_days"))
     return (
         nd_row.crossJoin(broadcast(med_slope))
@@ -3533,8 +3522,12 @@ def runs_test(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     the variance degenerates).
 
     Scale posture: one daily collapse; the median is an exact order
-    statistic over the days-sized table; signs and the run count come
-    from one lag window over that collapsed table."""
+    statistic selected by ``parallelism.kth_element`` (prefix-sum rank
+    intervals — no sort task); signs and the run count come from one
+    lag window over the collapsed days-sized table (its only upstream
+    join is the structurally 1-row median cross, so the window input
+    stays days-sized by construction)."""
+    from conte_to_fresco_etl_spark.parallelism import kth_element
     day = F.date_trunc("day", F.col(ts_col))
     vq = F.col(value_col).cast("decimal(18,4)")
     daily = (
@@ -3548,16 +3541,15 @@ def runs_test(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         .persist()  # keeps the daily aggregate visible (see theil_sen)
     )
     cnt = daily.agg(F.count("*").alias("nd"))
-    w = Window.orderBy("v", "day")
-    med = (
-        daily.withColumn("rn", F.row_number().over(w))
-        .crossJoin(broadcast(cnt))
-        .filter(
-            F.col("rn")
-            == F.ceil(F.col("nd").cast("double") / F.lit(2.0))
-        )
-        .select(F.col("v").alias("median"))
-    )
+    # the lower-middle convention this test has always used:
+    # rank ceil(nd / 2) — the k-th VALUE is tie-order independent,
+    # so the marginal-interval selection is exact
+    med = kth_element(
+        daily,
+        "v",
+        lambda m: [F.ceil(m.cast("double") / F.lit(2.0))],
+        out_col="median",
+    ).select("median")
     signs = (
         daily.crossJoin(broadcast(med))
         .filter(F.col("v") != F.col("median"))
@@ -3612,8 +3604,10 @@ def hodges_lehmann(
 
     Scale posture: one daily collapse, Walsh averages on the
     |days|(|days|+1)/2 self-join (dimension-sized), the median an
-    exact lower+upper-middle order statistic (theil_sen discipline,
-    ROUND(9) ties broken by day keys)."""
+    exact lower+upper-middle order statistic selected by
+    ``parallelism.exact_median`` (prefix-sum rank intervals over the
+    Walsh-value marginal — the theil_sen discipline; no single sort
+    task even at decade-scale pair counts)."""
     day = F.date_trunc("day", F.col(ts_col))
     vq = F.col(value_col).cast("decimal(18,4)")
     daily = (
@@ -3645,19 +3639,9 @@ def hodges_lehmann(
         "db",
         F.round((F.col("va") + F.col("vb")) / F.lit(2.0), 9).alias("w"),
     )
-    rw = Window.orderBy(
-        F.col("w").asc(), F.col("da").asc(), F.col("db").asc()
-    )
-    ranked = walsh.withColumn("rn", F.row_number().over(rw))
-    cnt = walsh.agg(F.count("*").alias("m"))
-    lo = (F.col("m") + 1) / 2
-    med = (
-        ranked.crossJoin(broadcast(cnt))
-        .filter(
-            (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.ceil(lo))
-        )
-        .agg(F.avg("w").alias("hl"), F.max("m").alias("m"))
-    )
+    from conte_to_fresco_etl_spark.parallelism import exact_median
+
+    med = exact_median(walsh, "w", out_col="hl")
     nd_row = daily.agg(F.count("*").alias("n_days"))
     return nd_row.crossJoin(broadcast(med)).select(
         F.col("n_days").cast("long").alias("n_days"),
@@ -3706,19 +3690,26 @@ def pettitt_test(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         ).alias("m2"),
     )
     cnt = daily.agg(F.count("*").alias("n"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # U_t = cumsum(midrank_x2) - t(n+1): BOTH running quantities come
+    # from ONE distributed prefix scan over the day-keyed table (the
+    # row index t is the cumsum of 1) — no global window anywhere,
+    # even though the input is only days-sized (house discipline:
+    # every cumulative shape rides prefix_sums)
+    scanned = prefix_sums(
+        daily.join(ranks, "v").withColumn("__one", F.lit(1)),
+        "day",
+        ["m2", "__one"],
+    )
     u = (
-        daily.join(ranks, "v")
-        .crossJoin(broadcast(cnt))
+        scanned.crossJoin(broadcast(cnt))
         .select(
             "day",
             "n",
             (
-                F.sum("m2").over(w)
-                - F.row_number().over(Window.orderBy("day"))
-                * (F.col("n") + 1)
+                F.col("cum_m2")
+                - F.col("cum___one") * (F.col("n") + 1)
             ).alias("ut"),
-            F.row_number().over(Window.orderBy("day")).alias("t"),
+            F.col("cum___one").alias("t"),
         )
         .filter(F.col("t") < F.col("n"))
     )

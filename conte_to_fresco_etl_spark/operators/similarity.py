@@ -1691,11 +1691,16 @@ def pca_top_component(
     """
     # One partition: the matrix is d^2 rows; the final-round aggregate
     # reads it whole, and 64 near-empty cache partitions cost more
-    # scheduler overhead than the data.
+    # scheduler overhead than the data.  localCheckpoint (not persist):
+    # the collect() below materializes it anyway, the truncated lineage
+    # prints FLAT (Scan ExistingRDD) so the downstream scalar-cross
+    # BNLJs are structurally provable as bounded, and no window ever
+    # sits above this table (the persist-keeps-lineage concern does
+    # not apply).
     cov = (
         covariance_matrix(df, vec_col, round_digits)
         .repartition(1)
-        .persist()
+        .localCheckpoint()
     )
     q12 = _Decimal(1).scaleb(-round_digits)
 

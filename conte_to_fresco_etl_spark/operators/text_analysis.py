@@ -1877,10 +1877,11 @@ def vocab_growth(
     Each token's first appearance is ``min(doc_id)`` — ONE aggregation
     over the (doc, distinct token) explode, map-side combinable.  The
     corpus then collapses to ``ceil(n_docs / bucket_size)`` bucket
-    rows; the cumulative windows and the regression run on that
-    dimension-sized table (the global-window child is an aggregate, so
-    nothing raw crosses a single task).  Regression moments are
-    ROUND(12)/DECIMAL-summed — order-independent, hash-stable.
+    rows; the cumulative sums ride ``parallelism.prefix_sums`` over
+    that dimension-sized table (house discipline — no global window
+    node at all) and the regression runs on the same rows.
+    Regression moments are ROUND(12)/DECIMAL-summed —
+    order-independent, hash-stable.
 
     Output per bucket: ``(bucket, docs_cum, tokens_cum, vocab_cum,
     heaps_beta, heaps_k)`` — beta/k are corpus-level constants repeated
@@ -1902,23 +1903,22 @@ def vocab_growth(
         F.count("*").alias("docs"),
         F.sum(F.size("tk")).alias("toks"),
     )
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = (
-        per_b.join(new_v, "bucket", "left")
-        .select(
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    cum = prefix_sums(
+        per_b.join(new_v, "bucket", "left").select(
             "bucket",
             "docs",
             "toks",
             F.coalesce("new_vocab", F.lit(0)).alias("nv"),
-        )
-        .select(
-            "bucket",
-            F.sum("docs").over(w).cast("long").alias("docs_cum"),
-            F.sum("toks").over(w).cast("long").alias("tokens_cum"),
-            F.sum("nv").over(w).cast("long").alias("vocab_cum"),
-        )
+        ),
+        "bucket",
+        ["docs", "toks", "nv"],
+    ).select(
+        "bucket",
+        F.col("cum_docs").cast("long").alias("docs_cum"),
+        F.col("cum_toks").cast("long").alias("tokens_cum"),
+        F.col("cum_nv").cast("long").alias("vocab_cum"),
     )
     pts = cum.filter(
         (F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0)

@@ -151,6 +151,78 @@ def prefix_sums(
     )
 
 
+def kth_element(
+    df: DataFrame,
+    value_col: str,
+    ranks_of_m,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact order-statistic selection WITHOUT a global sort task: a
+    ONE-row DataFrame ``({out_col}, m)`` where ``{out_col}`` is the
+    average of the values at the 1-based ranks ``ranks_of_m(m_col)``
+    (a list of rank expressions over the total-count column) and ``m``
+    is the input row count.
+
+    The naive spelling — ``row_number() over (ORDER BY value)`` then
+    filtering to the target ranks — sorts the ENTIRE input in one task
+    (the same WindowExec worst case :func:`prefix_sums` exists to
+    kill).  This is the Mann-Whitney discipline applied to selection:
+
+    1. collapse to the VALUE-MARGINAL count table (|distinct values|
+       rows, one map-combinable shuffle);
+    2. :func:`prefix_sums` over the marginal gives each distinct value
+       its inclusive cumulative count — i.e. the half-open rank
+       interval ``(cum - cnt, cum]`` it occupies;
+    3. the k-th element is the unique marginal row whose interval
+       contains k: ``cum >= k AND cum - cnt < k`` — a filter against
+       the 1-row broadcast total, never a sort.
+
+    Exactness: identical to the row_number spelling for ANY tie
+    structure and tie-break order (ties share a value, and selection
+    only ever reads the value).  ``ranks_of_m`` receives the ``m``
+    Column and returns rank expressions (e.g. lower/upper middle for
+    the median); rows matching ANY requested rank are averaged."""
+    from pyspark.sql import functions as F
+
+    out = out_col or f"kth_{value_col}"
+    marg = df.groupBy(value_col).agg(F.count("*").alias("__mcnt"))
+    cum = prefix_sums(marg, value_col, ["__mcnt"], prefix="__cm_")
+    tot = df.agg(F.count("*").alias("m"))
+    ranks = ranks_of_m(F.col("m"))
+    hit = None
+    for k in ranks:
+        cond = (F.col("__cm___mcnt") >= k) & (
+            (F.col("__cm___mcnt") - F.col("__mcnt")) < k
+        )
+        hit = cond if hit is None else (hit | cond)
+    return (
+        cum.join(F.broadcast(tot), hit)
+        .agg(F.avg(value_col).alias(out), F.max("m").alias("m"))
+    )
+
+
+def exact_median(
+    df: DataFrame, value_col: str, out_col: str | None = None
+) -> DataFrame:
+    """ONE-row ``({out_col} = exact median, m = count)`` via
+    :func:`kth_element` at the lower and upper middle ranks
+    ``floor((m+1)/2)`` / ``ceil((m+1)/2)`` (their average — the
+    textbook even-n median).  Bit-identical to the single-task
+    ``row_number`` median for any tie structure, with no global sort
+    task anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    return kth_element(
+        df,
+        value_col,
+        lambda m: [
+            F.floor((m + F.lit(1)) / F.lit(2)),
+            F.ceil((m + F.lit(1)) / F.lit(2)),
+        ],
+        out_col=out_col or f"med_{value_col}",
+    )
+
+
 def prefix_max(
     df: DataFrame,
     order_col: str,

@@ -2441,14 +2441,17 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # token_share's corpus-total window runs directly above the
+    # per-source AGGREGATE (|sources| rows through the single window
+    # task, never the join output) — the join with lang_mix happens
+    # after the share is already attached
     w_all = Window.partitionBy()
+    per_source = per_source.withColumn(
+        "token_share",
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all),
+    )
     return (
         per_source.join(lang_mix, "source")
-        .withColumn(
-            "token_share",
-            F.col("n_tokens").cast("double")
-            / F.sum("n_tokens").over(w_all),
-        )
         .select(
             "source", "n_docs", "n_tokens",
             F.col("dup_docs").cast("long").alias("dup_docs"),

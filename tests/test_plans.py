@@ -608,11 +608,90 @@ def _unpartitioned_window_offenses(plan: str) -> list[str]:
     itself warns 'No Partition Defined for Window operation').  Windowing
     a table already collapsed to dimension size is fine; windowing raw
     rows globally is the q_mannwhitney-class scale-killer this guard
-    exists to catch at commit time."""
+    exists to catch at commit time.
+
+    r9 tightening: a collapsing node only CREDITS the window if no
+    Join/Expand sits on the ancestor path between them.  The r8 rule
+    ("any collapse anywhere in the subtree") had a loophole: an
+    aggregate BELOW an expanding self-join credited a window over the
+    join OUTPUT, so a days-collapse feeding a days² pair table hid a
+    days²-sized single-task sort (the shape theil_sen/hodges_lehmann
+    carried until their medians moved to ``parallelism.exact_median``).
+    A join whose OTHER side is itself structurally 1-row-bounded
+    (keys=[] aggregate / a 1-row Limit) cannot expand the path side,
+    so those joins stay transparent — the scalar-cross shape every
+    runs_test-class days-sized median legitimately uses."""
     lines = plan.split("\n")
 
     def _depth(ln: str) -> int:
         return len(ln) - len(ln.lstrip(" :+-"))
+
+    def _node(ln: str) -> str:
+        """Node body with tree chars AND the whole-stage-codegen
+        '*(N) ' prefix stripped, so startswith() sees the operator."""
+        b = ln.lstrip(" :+-")
+        if b.startswith("*("):
+            b = b.split(") ", 1)[-1]
+        return b
+
+    def _is_collapse(s: str) -> bool:
+        return (
+            ("Aggregate(" in s) or ("WindowGroupLimit" in s)
+            or ("Limit" in s)
+            # TakeOrderedAndProject bounds its output to `limit` rows —
+            # the distributed top-k IS a collapsing operator (q_ndcg's
+            # k-row position windows sit above it)
+            or ("TakeOrderedAndProject" in s)
+        )
+
+    def _is_join(s: str) -> bool:
+        return ("Join" in s) or ("CartesianProduct" in s) or (
+            _node(s).startswith("Expand")
+        )
+
+    def _is_one_row_bounded(sub: list[str]) -> bool:
+        """A subtree that structurally yields at most one row (or a
+        literal handful): a global (keys=[]) aggregate or a Limit at
+        its root-ish — the broadcast scalar shape."""
+        for s in sub:
+            if not s.strip():
+                continue
+            b = _node(s)
+            if "Aggregate(keys=[], " in s or "Aggregate(keys=[]," in s:
+                return True
+            if b.startswith(("CollectLimit", "GlobalLimit", "LocalLimit",
+                             "TakeOrderedAndProject")):
+                return True
+            # stop at the first non-pass-through node: only unary
+            # projections/exchanges are transparent for boundedness
+            if not b.startswith(
+                ("Project", "Filter", "BroadcastExchange", "Exchange",
+                 "ColumnarToRow", "InputAdapter", "WholeStageCodegen",
+                 "Sort ", "Coalesce", "AQEShuffleRead", "ShuffleQueryStage",
+                 "BroadcastQueryStage", "ReusedExchange")
+            ):
+                return False
+        return False
+
+    def _subtree(idx: int) -> list[str]:
+        d = _depth(lines[idx])
+        out = []
+        for nxt in lines[idx + 1:]:
+            if nxt.strip() and _depth(nxt) <= d:
+                break
+            out.append(nxt)
+        return out
+
+    def _children(idx: int, sub: list[str]) -> list[int]:
+        """Absolute indices of the direct children of lines[idx] within
+        its subtree (the minimal-depth lines of the subtree)."""
+        if not sub:
+            return []
+        depths = [(_depth(s), j) for j, s in enumerate(sub) if s.strip()]
+        if not depths:
+            return []
+        dmin = min(d for d, _ in depths)
+        return [idx + 1 + j for d, j in depths if d == dmin]
 
     offenses = []
     for i, ln in enumerate(lines):
@@ -629,22 +708,41 @@ def _unpartitioned_window_offenses(plan: str) -> list[str]:
         )
         if partitioned:
             continue
-        d = _depth(ln)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if nxt.strip() and _depth(nxt) <= d:
-                break
-            subtree.append(nxt)
-        collapsed = any(
-            ("Aggregate(" in s) or ("WindowGroupLimit" in s)
-            or ("Limit" in s)
-            # TakeOrderedAndProject bounds its output to `limit` rows —
-            # the distributed top-k IS a collapsing operator (q_ndcg's
-            # k-row position windows sit above it)
-            or ("TakeOrderedAndProject" in s)
-            for s in subtree
-        )
-        if not collapsed:
+
+        def _credited(idx: int) -> bool:
+            """Does the subtree under lines[idx] contain a collapsing
+            node reachable without crossing a cardinality-expanding
+            Join/Expand?"""
+            for c in _children(idx, _subtree(idx)):
+                s = lines[c]
+                if _is_collapse(s):
+                    return True
+                if _is_join(s):
+                    # transparent only if some child side is 1-row
+                    # bounded (scalar cross) — then recurse into the
+                    # OTHER side(s)
+                    kids = _children(c, _subtree(c))
+                    bounded = [
+                        k for k in kids
+                        if _is_one_row_bounded([lines[k]] + _subtree(k))
+                    ]
+                    if not bounded:
+                        continue  # expanding join: path dies here
+                    for k in kids:
+                        if k in bounded:
+                            continue
+                        if _credited(k) or _is_collapse(lines[k]):
+                            return True
+                    # all non-bounded sides failed; if EVERY side is
+                    # bounded the join output is itself ~1 row
+                    if len(bounded) == len(kids):
+                        return True
+                    continue
+                if _credited(c):
+                    return True
+            return False
+
+        if not _credited(i):
             offenses.append(body.split("windowspecdefinition")[0].strip())
     return offenses
 
@@ -667,6 +765,35 @@ def test_unpartitioned_window_guard_catches_regression(spark):
         .select("v", F.rank().over(Window.orderBy("v")).alias("r"))
     )
     assert not _unpartitioned_window_offenses(_physical(good))
+
+
+def test_unpartitioned_window_guard_sees_through_join_loophole(spark):
+    """r9 tightening: a collapse BELOW an expanding self-join must NOT
+    credit a global window over the join OUTPUT (the days²-pair shape
+    theil_sen/hodges_lehmann carried until r9), while a join against a
+    structurally 1-row side (scalar cross) stays transparent."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 30).alias("v")
+    )
+    daily = df.groupBy("v").agg(F.count("*").alias("c"))
+    # aggregate -> expanding self-join -> global window: must FIRE
+    a = daily.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = daily.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    bad = pairs.select(
+        "va", "vb",
+        F.row_number().over(Window.orderBy("ca", "va", "vb")).alias("rn"),
+    )
+    assert _unpartitioned_window_offenses(_physical(bad)), _physical(bad)
+    # aggregate -> 1-row scalar cross -> global window: must NOT fire
+    tot = daily.agg(F.sum("c").alias("m"))
+    scalar_cross = daily.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.row_number().over(Window.orderBy("c", "v")).alias("rn"),
+    )
+    assert not _unpartitioned_window_offenses(_physical(scalar_cross))
 
 
 #: Queries whose plans legitimately carry an unpartitioned Window over a
@@ -703,7 +830,7 @@ def test_priority_window_accounting():
     (the TPC-H family got zero rows twice).  This test replaces that
     prose with arithmetic: every query that has NEVER had a driver
     CORRECTNESS row, plus every query modified/registered this round
-    (``REGATE_R8``), must sit inside the first 50 registered names.
+    (``REGATE_R9``), must sit inside the first 50 registered names.
     """
     import glob
     import json
@@ -727,14 +854,14 @@ def test_priority_window_accounting():
                 green.add(name)
 
     never_checked = set(registered) - green
-    regated = {n for n in entrymod.REGATE_R8 if n in registered}
+    regated = {n for n in entrymod.REGATE_R9 if n in registered}
     deferred = [n for n in entrymod.DEFER_NEXT_ROUND if n in registered]
     must_gate = (never_checked - set(deferred)) | regated
     outside = sorted(must_gate - window)
     assert not outside, (
         f"{len(outside)} must-gate queries fall OUTSIDE the 50-query driver "
         f"window and will get no CORRECTNESS row this round: {outside}. "
-        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R8 first)."
+        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R9 first)."
     )
     # Deferred late registrations must sit IMMEDIATELY after the window
     # (head of next round's rotation) — r5's late queries sat mid-tail
@@ -750,10 +877,249 @@ def test_priority_window_accounting():
     assert not missing, f"registered but absent from PRIORITY: {missing}"
 
 
+#: For BNLJ broadcast sides that are NOT structurally 1-row/limited —
+#: keyed (grouped) aggregates over a bounded domain, literal tables
+#: arriving as Scan ExistingRDD, hash-sampled query batches: the side
+#: must match one of these REGISTERED plan-text patterns, each a
+#: precise statement of WHY the domain is bounded.  ``__pid`` offsets
+#: tables are accepted globally.  Registering a pattern here is the
+#: conscious "this domain is bounded" decision the old prose
+#: annotations made — but now a corrupted entry (pointing a data-sized
+#: side at the BNLJ) FAILS the structural test instead of surviving on
+#: stale prose: raw FileScan-rooted data matches none of these.
+BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
+    # 9-row literal Benford first-digit probability table
+    "q_benford": ("Scan ExistingRDD[digit#",),
+    # aggregated bloom bitmap: ONE localCheckpointed row
+    "q_decontaminate_bloom": ("Scan ExistingRDD[__bm#",),
+    # daily (date_trunc) collapse: |days|-sized by construction
+    "q_theil_sen": ("date_trunc(day",),
+    "q_hodges_lehmann": ("date_trunc(day",),
+    # per-source KMV sketch stats / k=64-capped postings: |sources| rows
+    "q_kmv_overlap": ("keys=[g#",),
+    # quasi-identifier value-domain spine (bounded attribute grid)
+    "q_t_closeness": ("keys=[__v#",),
+    # rating-band marginals: |bands| <= 5
+    "q_weighted_kappa": ("keys=[rb#", "keys=[ra#"),
+    "q_cramers_v": ("keys=[rb#", "keys=[ra#"),
+    # calibration-bin lattice: width_bucket caps bins at ~20
+    "q_isotonic_calibration": ("keys=[bin#",),
+    # bounded 10x24 (priority x hour) cell grid self-join
+    "q_kendall_tau": ("keys=[x#",),
+    # 1-in-100 hash-sampled anchor batch (vec_id % 100 = 0)
+    "q_hard_negatives": ("% 100) = 0",),
+    # recall probe: the <=250-doc id-capped pair sample (the literal
+    # cap is pushed to the scan, so it shows in PushedFilters)
+    "q_lsh_recall": ("LessThan(doc_id,250)",),
+}
+
+
+def _bnlj_unbounded_broadcasts(
+    plan: str, extra_keys: tuple[str, ...] = ()
+) -> list[str]:
+    """Return the BroadcastNestedLoopJoin nodes in a physical plan whose
+    broadcast side is NOT structurally bounded.  Bounded means the
+    broadcast subtree's root path (through cardinality-preserving unary
+    nodes) reaches one of: a global ``keys=[]`` aggregate (1 row), a
+    Limit / TakeOrderedAndProject (k rows), a LocalTableScan (literal),
+    an aggregate grouped by an explicitly registered bounded-domain key
+    (``__pid`` offsets tables are accepted globally), or a join all of
+    whose sides are themselves bounded (scalar x scalar crosses).
+
+    This replaces trusting the BNLJ_ALLOWED prose: at 100 TB an
+    accidental data-sized BNLJ side is the difference between minutes
+    and weeks, so boundedness must be a property of the PLAN, not of a
+    comment."""
+    # Spark prints a cached relation's inner AdaptiveSparkPlan
+    # (isFinalPlan=true) with its OWN base indentation, which can jump
+    # SHALLOWER than the enclosing tree and corrupt parent/child depth
+    # inference for everything after it.  Excise such nested blocks:
+    # the inner print runs until a line carrying an outer tree-bar
+    # (':' before the block's base column) or climbing above the base
+    # depth resumes the real tree.  The excised content is the cached
+    # plan body — its boundedness, when needed, is carried by a
+    # registered per-query pattern instead.
+    raw = plan.split("\n")
+
+    def _rdepth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    pruned: list[str] = []
+    i = 0
+    while i < len(raw):
+        ln = raw[i]
+        if (
+            ln.lstrip(" :+-").startswith("AdaptiveSparkPlan isFinalPlan=true")
+            and i + 1 < len(raw)
+            and raw[i + 1].strip()
+            and _rdepth(raw[i + 1]) < _rdepth(ln)
+        ):
+            pruned.append(ln)  # keep the node itself (as a leaf)
+            base = _rdepth(raw[i + 1])
+            j = i + 1
+            while j < len(raw):
+                l2 = raw[j]
+                if l2.strip() and (
+                    ":" in l2[: max(0, base - 1)] or _rdepth(l2) < base
+                ):
+                    break
+                j += 1
+            i = j
+            continue
+        pruned.append(ln)
+        i += 1
+
+    # AQE section headers break parent/child depth inference in
+    # correctly-indented (top-level) prints too — drop them
+    lines = [
+        ln for ln in pruned
+        if not ln.lstrip(" :+-").startswith(("== Final Plan ==",
+                                             "== Initial Plan ==",
+                                             "== Current Plan =="))
+    ]
+
+    def _depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    def _node(ln: str) -> str:
+        b = ln.lstrip(" :+-")
+        if b.startswith("*("):
+            b = b.split(") ", 1)[-1]
+        return b
+
+    def _subtree_idx(idx: int) -> list[int]:
+        d = _depth(lines[idx])
+        out = []
+        for j in range(idx + 1, len(lines)):
+            if lines[j].strip() and _depth(lines[j]) <= d:
+                break
+            out.append(j)
+        return out
+
+    def _children(idx: int) -> list[int]:
+        sub = [j for j in _subtree_idx(idx) if lines[j].strip()]
+        if not sub:
+            return []
+        dmin = min(_depth(lines[j]) for j in sub)
+        return [j for j in sub if _depth(lines[j]) == dmin]
+
+    _PASS_THROUGH = (
+        "Project", "Filter", "BroadcastExchange", "Exchange", "Sort ",
+        "Sort[", "Window", "Coalesce", "ColumnarToRow", "InputAdapter",
+        "WholeStageCodegen", "AQEShuffleRead", "InMemoryTableScan",
+        "InMemoryRelation", "AdaptiveSparkPlan",
+    )
+    # query-stage markers print their real child at the SAME text depth
+    # (no +- marker shift), so a stage line may appear childless with
+    # the content as its sibling — treat the marker itself as neutral
+    _STAGE_MARKERS = ("ResultQueryStage", "ShuffleQueryStage",
+                      "BroadcastQueryStage", "TableCacheQueryStage")
+
+    def _keyed_agg_allowed(ln: str) -> bool:
+        if "Aggregate(keys=[" not in ln:
+            return False
+        keys = ln.split("Aggregate(keys=[", 1)[1].split("]", 1)[0]
+        if not keys:
+            return False
+        return any(a in keys for a in ("__pid", "__bpid"))
+
+    def _literal_range_bounded(b: str) -> bool:
+        # Range (1, 20, step=1, splits=8): statically sized — bounded
+        # when the literal span is dimension-scale
+        if not b.startswith("Range ("):
+            return False
+        try:
+            inner = b.split("Range (", 1)[1].split(")", 1)[0]
+            start, end = [int(x.strip()) for x in inner.split(",")[:2]]
+            return (end - start) <= 100_000
+        except (ValueError, IndexError):
+            return False
+
+    def _bounded(idx: int) -> bool:
+        ln = lines[idx]
+        b = _node(ln)
+        if "Aggregate(keys=[], " in ln or "Aggregate(keys=[]," in ln:
+            return True
+        if _keyed_agg_allowed(ln):
+            return True
+        if b.startswith(("CollectLimit", "GlobalLimit", "LocalLimit",
+                         "TakeOrderedAndProject")):
+            return True
+        if b.startswith(("LocalTableScan", "Scan OneRowRelation")):
+            return True
+        if _literal_range_bounded(b):
+            return True
+        if ("Join" in b) or b.startswith(("CartesianProduct", "Expand")):
+            kids = _children(idx)
+            return bool(kids) and all(_bounded(k) for k in kids)
+        if b.startswith("ReusedExchange"):
+            # leaf reference to an exchange defined elsewhere: cheap
+            # conservative fallback — accept only if every
+            # BroadcastExchange subtree in the plan is bounded
+            return all(
+                _bounded(j)
+                for j, l2 in enumerate(lines)
+                if _node(l2).startswith("BroadcastExchange")
+            )
+        if b.startswith(_STAGE_MARKERS):
+            kids = _children(idx)
+            # childless marker: real content parsed as a sibling and
+            # checked there
+            return (not kids) or all(_bounded(k) for k in kids)
+        if b.startswith(_PASS_THROUGH):
+            kids = _children(idx)
+            return bool(kids) and all(_bounded(k) for k in kids)
+        return False
+
+    offenses = []
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        kids = _children(i)
+        # the BNLJ line names its own build side — use it; fall back to
+        # locating the BroadcastExchange child, then to checking every
+        # side (strictest)
+        sides = kids
+        if len(kids) == 2:
+            if "BuildRight" in ln:
+                sides = [kids[1]]
+            elif "BuildLeft" in ln:
+                sides = [kids[0]]
+            else:
+
+                def _is_bcast_side(idx: int) -> bool:
+                    j = idx
+                    while True:
+                        b = _node(lines[j])
+                        if b.startswith(("BroadcastExchange",
+                                         "BroadcastQueryStage",
+                                         "ReusedExchange")):
+                            return True
+                        kk = _children(j)
+                        if len(kk) != 1:
+                            return False
+                        j = kk[0]
+
+                bcast = [k for k in kids if _is_bcast_side(k)]
+                sides = bcast if bcast else kids
+        for k in sides:
+            if _bounded(k):
+                continue
+            side_text = "\n".join(
+                [lines[k]] + [lines[j] for j in _subtree_idx(k)]
+            )
+            if extra_keys and any(p in side_text for p in extra_keys):
+                continue  # registered bounded-domain pattern matched
+            offenses.append(_node(ln)[:80] + " <- " + _node(lines[k])[:60])
+    return offenses
+
+
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
     """Every catalog query's physical plan: zero CartesianProduct
     anywhere; BroadcastNestedLoopJoin only where a 1-row scalar or a
-    bounded sample/literal side makes it the right plan."""
+    bounded sample/literal side makes it the right plan — and (r9) the
+    boundedness of every allow-listed BNLJ's broadcast side is verified
+    STRUCTURALLY against the plan, not trusted from the annotation."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -765,9 +1131,53 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
         )
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
-            offenders[name] = "BroadcastNestedLoopJoin (not allow-listed)"
+        elif "BroadcastNestedLoopJoin" in plan:
+            if name not in BNLJ_ALLOWED:
+                offenders[name] = "BroadcastNestedLoopJoin (not allow-listed)"
+            else:
+                bad = _bnlj_unbounded_broadcasts(
+                    plan, BNLJ_BOUNDED_PATTERNS.get(name, ())
+                )
+                if bad:
+                    offenders[name] = f"unbounded BNLJ side: {bad[0]}"
     assert not offenders, offenders
+
+
+def test_bnlj_structural_check_catches_corruption(spark):
+    """A data-sized broadcast side pointed at a BNLJ must FAIL the
+    structural check (the self-verification the r8 prose annotations
+    could not give), while the legitimate scalar-cross and offsets
+    shapes pass."""
+    # real file-scan-rooted data (a literal Range would legitimately
+    # pass the static-size rule)
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").alias("id"), (F.col("user_id") % 30).alias("v")
+    )
+    # corrupted: non-equi join against a broadcast of RAW data
+    raw = df.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    bad = df.join(F.broadcast(raw), F.col("v") < F.col("v2"))
+    plan_bad = _physical(bad)
+    assert "BroadcastNestedLoopJoin" in plan_bad
+    assert _bnlj_unbounded_broadcasts(plan_bad), plan_bad
+    # legitimate: scalar cross (keys=[] aggregate broadcast side)
+    tot = df.agg(F.sum("v").alias("m"))
+    good = df.crossJoin(F.broadcast(tot))
+    plan_good = _physical(good)
+    assert "BroadcastNestedLoopJoin" in plan_good
+    assert not _bnlj_unbounded_broadcasts(plan_good), plan_good
+    # legitimate: keyed aggregate side under a REGISTERED bounded key
+    grp = df.groupBy("v").agg(F.count("*").alias("c"))
+    keyed = df.join(
+        F.broadcast(grp.select(F.col("v").alias("vb"), "c")),
+        F.col("v") < F.col("vb"),
+    )
+    plan_keyed = _physical(keyed)
+    assert "BroadcastNestedLoopJoin" in plan_keyed
+    assert _bnlj_unbounded_broadcasts(plan_keyed)  # unregistered: fails
+    # registered bounded-domain pattern: ok
+    assert not _bnlj_unbounded_broadcasts(plan_keyed, ("keys=[v#",))
+    # a registered pattern must NOT rescue the raw-data corruption
+    assert _bnlj_unbounded_broadcasts(plan_bad, ("keys=[v#",))
 
 
 def test_prefix_sums_matches_global_window(spark):
@@ -844,3 +1254,52 @@ def test_prefix_max_matches_global_window_incl_exclusive(spark):
         }
         assert inc == {k: m for k, (m, _) in expect.items()}
         assert exc == {k: mx for k, (_, mx) in expect.items()}
+
+
+def test_kth_element_and_exact_median_match_row_number(spark):
+    """parallelism.kth_element / exact_median == the single-task
+    row_number spelling, bit-for-bit, across odd/even counts, heavy
+    ties, negative values, and a single-row input — and the plan has
+    NO unpartitioned Window node at all (that is the point)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from conte_to_fresco_etl_spark.parallelism import exact_median, kth_element
+
+    rng = random.Random(99)
+    cases = [
+        [round(rng.uniform(-5, 5), 2) for _ in range(n)]
+        for n in (1, 2, 7, 400)
+    ]
+    cases.append([1.5] * 50 + [2.5] * 49)  # tie-heavy, even
+    cases.append([-3.0] * 7 + [4.0])       # tie-heavy, mostly one value
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, v double"
+        ).repartition(7)
+        med = exact_median(df, "v").collect()[0]
+        w = Window.orderBy(F.col("v").asc(), F.col("i").asc())
+        ranked = df.withColumn("rn", F.row_number().over(w))
+        m = len(vals)
+        lo, hi = (m + 1) // 2, -(-(m + 1) // 2)
+        expect_rows = [
+            r["v"] for r in ranked.filter(
+                F.col("rn").isin(lo, hi)
+            ).collect()
+        ]
+        expect = sum(expect_rows) / len(expect_rows)
+        assert med["m"] == m
+        assert med["med_v"] == expect, (vals[:8], med["med_v"], expect)
+        # arbitrary rank probe: the 3rd element (when it exists)
+        if m >= 3:
+            third = kth_element(
+                df, "v", lambda mm: [F.lit(3)], out_col="third"
+            ).collect()[0]
+            expect3 = [r["v"] for r in ranked.filter(F.col("rn") == 3).collect()][0]
+            assert third["third"] == expect3
+    # plan hygiene: no unpartitioned window anywhere in the selection
+    plan = _physical(exact_median(
+        spark.range(100).select((F.col("id") % 9).alias("v")), "v"
+    ))
+    assert not _unpartitioned_window_offenses(plan), plan

@@ -57,6 +57,9 @@ REGATE_R9: list[str] = [
     # covariance cache persist -> localCheckpoint (flat cached plan so
     # the scalar-cross BNLJs are structurally provable)
     "q_pca_power",
+    # NEW r9: container-walker driver row (OGG-Opus pages/CRC/TOC +
+    # MP4 box grammar, oracle-recomputed from md5 digits)
+    "q_container_stats",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -80,6 +83,7 @@ PRIORITY: list[str] = [
     "q_vocab_growth",
     "q_dataset_card",
     "q_pca_power",
+    "q_container_stats",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

@@ -738,11 +738,14 @@ def container_stats(df: DataFrame) -> DataFrame:
     batch.
 
     Output: (media_id, format, codec, channels, sample_rate, n_pages,
-    n_packets, last_granule); the audio columns are NULL for image
-    formats.  MP4 rows (media_mp4.py walk) reuse the container-count
-    columns: n_pages = track count, n_packets = sample-entry count.
-    Same scale posture as decode_stats: payloads never leave the
-    executor, one Arrow round trip, batch-local work only."""
+    n_packets, last_granule, duration_ms); the audio columns are NULL
+    for image formats.  MP4 rows (media_mp4.py walk) reuse the
+    container-count columns: n_pages = track count, n_packets =
+    sample-entry count; duration_ms comes from mvhd.  OGG-Opus rows
+    get duration_ms from the RFC 6716 TOC bytes (packet-level parse,
+    no DSP — media_ogg.opus_stream_stats).  Same scale posture as
+    decode_stats: payloads never leave the executor, one Arrow round
+    trip, batch-local work only."""
     from conte_to_fresco_etl_spark.operators.media_ogg import (
         ogg_stream_info,
     )
@@ -752,7 +755,7 @@ def container_stats(df: DataFrame) -> DataFrame:
             out = {
                 "media_id": [], "format": [], "codec": [],
                 "channels": [], "sample_rate": [], "n_pages": [],
-                "n_packets": [], "last_granule": [],
+                "n_packets": [], "last_granule": [], "duration_ms": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
@@ -767,6 +770,7 @@ def container_stats(df: DataFrame) -> DataFrame:
                     "codec": None, "channels": None,
                     "sample_rate": None, "n_pages": None,
                     "n_packets": None, "last_granule": None,
+                    "duration_ms": None,
                 }
                 if fmt == "ogg":
                     try:
@@ -778,6 +782,7 @@ def container_stats(df: DataFrame) -> DataFrame:
                             "n_pages": info["n_pages"],
                             "n_packets": info["n_packets"],
                             "last_granule": info["last_granule"],
+                            "duration_ms": info.get("duration_ms"),
                         }
                     except ValueError:
                         fmt = "corrupt-ogg"
@@ -795,6 +800,11 @@ def container_stats(df: DataFrame) -> DataFrame:
                             "n_pages": info["n_tracks"],
                             "n_packets": len(info["codecs"]),
                             "last_granule": None,
+                            "duration_ms": (
+                                None
+                                if info["duration_s"] is None
+                                else round(info["duration_s"] * 1000.0, 6)
+                            ),
                         }
                     except ValueError:
                         fmt = "corrupt-mp4"
@@ -810,7 +820,7 @@ def container_stats(df: DataFrame) -> DataFrame:
         batches,
         schema="media_id long, format string, codec string, "
         "channels long, sample_rate long, n_pages long, "
-        "n_packets long, last_granule long",
+        "n_packets long, last_granule long, duration_ms double",
     )
 
 

@@ -151,6 +151,96 @@ def parse_ogg(payload: bytes, verify_crc: bool = True) -> dict:
     }
 
 
+#: RFC 6716 §3.1 Table 2 — TOC config number -> (mode, bandwidth,
+#: samples per frame at 48 kHz).  Frame sizes are exact in samples
+#: (2.5 ms = 120), so packet durations stay integer arithmetic.
+_OPUS_CONFIGS: dict[int, tuple[str, str, int]] = {}
+for _c in range(32):
+    if _c < 12:  # SILK-only: NB/MB/WB x 10/20/40/60 ms
+        _bw = ("nb", "mb", "wb")[_c // 4]
+        _spf = (480, 960, 1920, 2880)[_c % 4]
+        _OPUS_CONFIGS[_c] = ("silk", _bw, _spf)
+    elif _c < 16:  # Hybrid: SWB/FB x 10/20 ms
+        _bw = "swb" if _c < 14 else "fb"
+        _spf = (480, 960)[_c % 2]
+        _OPUS_CONFIGS[_c] = ("hybrid", _bw, _spf)
+    else:  # CELT-only: NB/WB/SWB/FB x 2.5/5/10/20 ms
+        _bw = ("nb", "wb", "swb", "fb")[(_c - 16) // 4]
+        _spf = (120, 240, 480, 960)[_c % 4]
+        _OPUS_CONFIGS[_c] = ("celt", _bw, _spf)
+
+
+def opus_packet_info(packet: bytes) -> dict:
+    """Decode an Opus packet's TOC (RFC 6716 §3.1-3.2) WITHOUT any
+    DSP: ``(config, mode, bandwidth, stereo, n_frames,
+    samples_per_frame, duration_samples, duration_ms)``.
+
+    The TOC byte is ``config(5) | stereo(1) | code(2)``; the frame
+    count comes from the code: 0 = one frame, 1/2 = two frames
+    (CBR/VBR), 3 = the next byte's low 6 bits carry the count (its
+    high bits flag VBR and padding).  A packet longer than the spec's
+    120 ms ceiling, a zero frame count, or an empty packet raises
+    ``ValueError`` — corrupt crawl bytes fail loudly."""
+    if not packet:
+        raise ValueError("empty Opus packet")
+    toc = packet[0]
+    config = toc >> 3
+    stereo = bool((toc >> 2) & 0x01)
+    code = toc & 0x03
+    if code == 0:
+        n_frames = 1
+    elif code in (1, 2):
+        n_frames = 2
+    else:
+        if len(packet) < 2:
+            raise ValueError("Opus code-3 packet missing frame-count byte")
+        n_frames = packet[1] & 0x3F
+        if n_frames == 0:
+            raise ValueError("Opus code-3 packet with zero frames")
+    mode, bandwidth, spf = _OPUS_CONFIGS[config]
+    duration = n_frames * spf
+    if duration > 5760:  # 120 ms at 48 kHz (RFC 6716 §3.2.5)
+        raise ValueError(
+            f"Opus packet duration {duration} samples exceeds the "
+            "120 ms ceiling"
+        )
+    return {
+        "config": config,
+        "mode": mode,
+        "bandwidth": bandwidth,
+        "stereo": stereo,
+        "n_frames": n_frames,
+        "samples_per_frame": spf,
+        "duration_samples": duration,
+        "duration_ms": duration / 48.0,
+    }
+
+
+def opus_stream_stats(packets: list[bytes]) -> dict:
+    """Packet-level triage over a reassembled Opus packet stream
+    (header and tags packets excluded by the caller): TOC-summed
+    duration, mode/bandwidth histograms, stereo presence — the audio
+    inventory a crawl pipeline needs WITHOUT running SILK/CELT DSP."""
+    total = 0
+    modes: dict[str, int] = {}
+    bands: dict[str, int] = {}
+    any_stereo = False
+    for pkt in packets:
+        info = opus_packet_info(pkt)
+        total += info["duration_samples"]
+        modes[info["mode"]] = modes.get(info["mode"], 0) + 1
+        bands[info["bandwidth"]] = bands.get(info["bandwidth"], 0) + 1
+        any_stereo = any_stereo or info["stereo"]
+    return {
+        "n_audio_packets": len(packets),
+        "duration_samples": total,
+        "duration_ms": total / 48.0,
+        "modes": modes,
+        "bandwidths": bands,
+        "any_stereo": any_stereo,
+    }
+
+
 def ogg_stream_info(payload: bytes, verify_crc: bool = True) -> dict:
     """Container-level stream description: walk the pages, identify
     the codec from the first packet, and read its identification
@@ -180,6 +270,22 @@ def ogg_stream_info(payload: bytes, verify_crc: bool = True) -> dict:
         info["channels"] = first[9]
         (info["pre_skip"],) = struct.unpack_from("<H", first, 10)
         (info["sample_rate"],) = struct.unpack_from("<I", first, 12)
+        # packet-level triage from the TOC bytes (RFC 6716): audio
+        # packets follow OpusHead and the OpusTags comment header
+        audio = parsed["packets"][1:]
+        if audio and audio[0][:8] == b"OpusTags":
+            audio = audio[1:]
+        stats = opus_stream_stats(audio)
+        info["duration_samples"] = stats["duration_samples"]
+        info["duration_ms"] = stats["duration_ms"]
+        info["modes"] = stats["modes"]
+        info["bandwidths"] = stats["bandwidths"]
+        # the granule-delta duration (RFC 7845: granules tick PCM
+        # samples at 48 kHz, offset by pre_skip) cross-checks the TOC
+        # sum when the stream carries granules
+        info["granule_duration_samples"] = max(
+            0, parsed["last_granule"] - info["pre_skip"]
+        )
     elif first[:7] == b"\x01vorbis" and len(first) >= 30:
         info["codec"] = "vorbis"
         info["channels"] = first[11]

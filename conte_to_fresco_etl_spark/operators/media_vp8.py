@@ -1608,8 +1608,21 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     filter_type = bd.read_bool(128)
     filter_level = bd.read_literal(6)
     sharpness = bd.read_literal(3)
-    if bd.read_bool(128):  # loop filter deltas
-        raise NotImplementedError("VP8 loop-filter deltas not supported")
+    # loop-filter adjustments (RFC 6386 section 9.4): per-reference and
+    # per-mode level deltas.  On a key frame only INTRA_FRAME (index 0)
+    # and the B_PRED mode delta (index 0) can apply — libvpx's
+    # lf_init_lut maps every other intra mode to the no-delta row.
+    lf_delta_enabled = bd.read_bool(128)
+    ref_lf_deltas = [0, 0, 0, 0]
+    mode_lf_deltas = [0, 0, 0, 0]
+    if lf_delta_enabled:
+        if bd.read_bool(128):  # mode_ref_lf_delta_update
+            for i in range(4):
+                if bd.read_bool(128):
+                    ref_lf_deltas[i] = bd.read_signed(6)
+            for i in range(4):
+                if bd.read_bool(128):
+                    mode_lf_deltas[i] = bd.read_signed(6)
     n_parts = 1 << bd.read_literal(2)
     qi = bd.read_literal(7)
     deltas = []
@@ -1706,9 +1719,19 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                 else:
                     seg_id = bd.read_bool(seg_tree_probs[1])
             dqf = seg_dqf[seg_id]
-            lf_levels[mb_r][mb_c] = seg_level[seg_id]
             skip = bd.read_bool(prob_skip_false) if mb_no_skip else 0
             ymode = bd.read_tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            # per-MB filter level: segment base, then the RFC 6386 §9.4
+            # adjustments (key frame: INTRA_FRAME ref delta always; the
+            # mode delta row 0 applies to B_PRED macroblocks only —
+            # libvpx vp8_loop_filter_frame_init), clamped at the end
+            lvl = seg_level[seg_id]
+            if lf_delta_enabled:
+                lvl += ref_lf_deltas[0]
+                if ymode == B_PRED:
+                    lvl += mode_lf_deltas[0]
+                lvl = min(max(lvl, 0), 63)
+            lf_levels[mb_r][mb_c] = lvl
             bmodes = None
             if ymode == B_PRED:
                 bmodes = []
@@ -1786,7 +1809,13 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
                 planes, mb_r, mb_c, ymode, uvmode, bmodes, qcoef, dqf
             )
 
-    if any(any(lv > 0 for lv in row) for row in lf_levels):
+    # libvpx gates the whole pass on the FRAME-level filter_level (a
+    # zero header level skips filtering even when segment/delta math
+    # would yield positive per-MB levels); per-MB zero levels are then
+    # skipped inside loop_filter_frame
+    if filter_level > 0 and any(
+        any(lv > 0 for lv in row) for row in lf_levels
+    ):
         lf = loop_filter_frame if filter_type == 0 else (
             loop_filter_frame_simple
         )
@@ -1839,6 +1868,8 @@ def encode_vp8(
     filter_type: int = 0,
     b_pred: bool = False,
     n_partitions: int = 1,
+    ref_lf_delta: int = 0,
+    i4x4_lf_delta: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image as a VP8 key frame.  Whole-
     block intra modes (DC/V/H/TM for luma 16x16 and chroma 8x8) are
@@ -1859,7 +1890,12 @@ def encode_vp8(
     ``n_partitions`` (1/2/4/8) splits the token stream across VP8's
     row-parallel decode partitions: row r's tokens land in partition
     r %% n — entropy CONTEXTS stay spatial (shared across partitions),
-    only the bool streams split."""
+    only the bool streams split.  ``ref_lf_delta``/``i4x4_lf_delta``
+    emit the RFC 6386 §9.4 loop-filter adjustments (the INTRA_FRAME
+    reference delta and the B_PRED mode delta — the two rows a key
+    frame can exercise; libwebp writes exactly this shape for its
+    ``i4x4_lf_delta_``), applied to the in-loop reconstruction with
+    the decoder's own clamp so round trips stay bit-exact."""
     if n_partitions not in (1, 2, 4, 8):
         raise ValueError("n_partitions must be 1, 2, 4 or 8")
     arr = np.asarray(img)
@@ -1914,7 +1950,22 @@ def encode_vp8(
     mbe.write_bool(128, 1 if filter_type else 0)
     mbe.write_literal(filter_level, 6)
     mbe.write_literal(sharpness, 3)
-    mbe.write_bool(128, 0)  # no loop-filter deltas
+    use_lf_deltas = ref_lf_delta != 0 or i4x4_lf_delta != 0
+    mbe.write_bool(128, 1 if use_lf_deltas else 0)
+    if use_lf_deltas:
+        mbe.write_bool(128, 1)  # mode_ref_lf_delta_update
+        for i in range(4):  # reference deltas: INTRA_FRAME only
+            if i == 0 and ref_lf_delta != 0:
+                mbe.write_bool(128, 1)
+                mbe.write_signed(ref_lf_delta, 6)
+            else:
+                mbe.write_bool(128, 0)
+        for i in range(4):  # mode deltas: B_PRED row only
+            if i == 0 and i4x4_lf_delta != 0:
+                mbe.write_bool(128, 1)
+                mbe.write_signed(i4x4_lf_delta, 6)
+            else:
+                mbe.write_bool(128, 0)
     mbe.write_literal(n_partitions.bit_length() - 1, 2)
     mbe.write_literal(qi, 7)
     for _ in range(5):
@@ -2132,14 +2183,22 @@ def encode_vp8(
                     dqf,
                 )
 
-    if filter_level > 0:
+    # effective level after the §9.4 adjustments (uniform: this
+    # encoder codes the whole frame either B_PRED or whole-block);
+    # the frame-level gate mirrors libvpx — header level 0 skips the
+    # pass even if deltas would raise it
+    eff_level = filter_level
+    if use_lf_deltas:
+        eff_level += ref_lf_delta + (i4x4_lf_delta if b_pred else 0)
+        eff_level = min(max(eff_level, 0), 63)
+    if filter_level > 0 and eff_level > 0:
         # post-pass on the finished reconstruction: key-frame intra
         # prediction above never sees filtered pixels, matching the
         # decoder's ordering exactly
         lf = loop_filter_frame if filter_type == 0 else (
             loop_filter_frame_simple
         )
-        lf(planes, mb_rows, mb_cols, filter_level, sharpness, interior)
+        lf(planes, mb_rows, mb_cols, eff_level, sharpness, interior)
     if recon_out is not None:
         recon_out.update(planes)
     part1 = mbe.finish()

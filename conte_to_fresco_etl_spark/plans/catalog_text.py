@@ -1219,6 +1219,233 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Container triage over real OGG-Opus / MP4 payloads (the walkers'
+# driver row): per-document fixture containers are built byte-for-byte
+# from md5(text) hex digits, so the oracle recomputes every walker
+# output (page/packet/track counts, codec identification, RFC 6716
+# TOC-summed Opus duration, RFC 7845 granule bookkeeping, mvhd
+# duration) from the same digits with pure SQL arithmetic.
+# ---------------------------------------------------------------------------
+
+#: d(i): 0-based hex digit i of md5(text) as an integer (SQL side).
+def _sql_hexd(i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+
+
+def _sql_opus_spf(cfg: str) -> str:
+    """RFC 6716 Table 2: samples-per-frame at 48 kHz for a config."""
+    return (
+        f"(CASE WHEN {cfg} < 12 THEN "
+        f"  (CASE ({cfg}) % 4 WHEN 0 THEN 480 WHEN 1 THEN 960 "
+        f"   WHEN 2 THEN 1920 ELSE 2880 END) "
+        f"WHEN {cfg} < 16 THEN "
+        f"  (CASE WHEN ({cfg}) % 2 = 0 THEN 480 ELSE 960 END) "
+        f"ELSE "
+        f"  (CASE ({cfg}) % 4 WHEN 0 THEN 120 WHEN 1 THEN 240 "
+        f"   WHEN 2 THEN 480 ELSE 960 END) END)"
+    )
+
+
+def _container_stats_sql() -> str:
+    # Opus: total samples over the 1 + d5 % 4 audio packets, packet j
+    # using config d(6+j) % 32 (code 0 — one frame per packet)
+    total = " + ".join(
+        f"(CASE WHEN {j} < n_audio THEN "
+        + _sql_opus_spf(f"{_sql_hexd(6 + j)} % 32")
+        + " ELSE 0 END)"
+        for j in range(4)
+    )
+    # MP4: track t is video iff d(2+t) % 2 = 0 (t < n_tracks = 1 + d1 % 3)
+    any_vide = " OR ".join(
+        f"({t} < n_tracks AND {_sql_hexd(2 + t)} % 2 = 0)" for t in range(3)
+    )
+    any_soun = " OR ".join(
+        f"({t} < n_tracks AND {_sql_hexd(2 + t)} % 2 = 1)" for t in range(3)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hx
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT media_id, hx,
+             {_sql_hexd(0)} % 2 = 0 AS is_ogg,
+             1 + {_sql_hexd(5)} % 4 AS n_audio,
+             1 + {_sql_hexd(1)} % 3 AS n_tracks
+      FROM h
+    ),
+    q AS (
+      SELECT media_id, hx, is_ogg, n_audio, n_tracks,
+             {total} AS total_samples,
+             {_sql_hexd(3)} * 16 + {_sql_hexd(4)} AS pre_skip,
+             ({any_vide}) AS any_vide,
+             ({any_soun}) AS any_soun
+      FROM p
+    )
+    SELECT media_id,
+           CASE WHEN is_ogg THEN 'ogg' ELSE 'mp4' END AS format,
+           CASE WHEN is_ogg THEN 'opus'
+                WHEN any_vide THEN 'avc1' ELSE 'mp4a' END AS codec,
+           CASE WHEN is_ogg THEN CAST(1 + {_sql_hexd(1)} % 2 AS BIGINT)
+                WHEN any_soun THEN CAST(1 + {_sql_hexd(5)} % 2 AS BIGINT)
+                END AS channels,
+           CASE WHEN is_ogg THEN CAST(
+                  (CASE {_sql_hexd(2)} % 5 WHEN 0 THEN 8000 WHEN 1 THEN 12000
+                   WHEN 2 THEN 16000 WHEN 3 THEN 24000 ELSE 48000 END)
+                  AS BIGINT)
+                WHEN any_soun THEN CAST(
+                  (CASE {_sql_hexd(6)} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   WHEN 2 THEN 32000 ELSE 48000 END) AS BIGINT)
+                END AS sample_rate,
+           CAST(CASE WHEN is_ogg THEN 2 + n_audio ELSE n_tracks END
+                AS BIGINT) AS n_pages,
+           CAST(CASE WHEN is_ogg THEN 2 + n_audio ELSE n_tracks END
+                AS BIGINT) AS n_packets,
+           CASE WHEN is_ogg THEN CAST(pre_skip + total_samples AS BIGINT)
+                END AS last_granule,
+           CASE WHEN is_ogg
+                THEN ROUND(CAST(total_samples AS DOUBLE) / 48.0, 6)
+                ELSE ROUND(CAST({_sql_hexd(7)} * 16 + {_sql_hexd(8)}
+                           AS DOUBLE) * 1000.0, 6)
+                END AS duration_ms
+    FROM q
+"""
+
+
+@_q("q_container_stats", _container_stats_sql())
+def q_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video container triage as a declared query, REAL walkers
+    end-to-end: each document becomes a spec-valid container built
+    from its md5 hex digits — an OGG-Opus stream (RFC 3533 pages with
+    real CRCs, OpusHead/OpusTags headers, 1-4 audio packets whose TOC
+    bytes draw from all 32 RFC 6716 configs, RFC 7845 granule
+    bookkeeping) or an ISO-BMFF MP4 (ftyp/moov/mvhd + 1-3 trak trees
+    with hdlr + stsd sample entries) — shipped as a binary column and
+    walked by ``media.container_stats``.  The oracle recomputes every
+    output (codec identification, page/packet/track counts, TOC-summed
+    duration, granule, mvhd duration) from the same digits, so the
+    page CRC math, lacing reassembly, box-grammar recursion, and TOC
+    semantics are all inside the gate."""
+    import struct
+
+    from conte_to_fresco_etl_spark.operators.media import container_stats
+
+    def build_payloads(it):
+        import hashlib
+
+        import pandas as pd
+
+        from conte_to_fresco_etl_spark.operators.media_mp4 import build_box
+        from conte_to_fresco_etl_spark.operators.media_ogg import (
+            _OPUS_CONFIGS,
+            build_ogg_page,
+        )
+
+        def ogg_payload(h: str) -> bytes:
+            d = [int(c, 16) for c in h]
+            channels = 1 + d[1] % 2
+            rate = (8000, 12000, 16000, 24000, 48000)[d[2] % 5]
+            pre_skip = d[3] * 16 + d[4]
+            n_audio = 1 + d[5] % 4
+            head = (
+                b"OpusHead" + bytes([1, channels])
+                + struct.pack("<H", pre_skip)
+                + struct.pack("<I", rate)
+                + struct.pack("<h", 0) + bytes([0])
+            )
+            tags = (
+                b"OpusTags" + struct.pack("<I", 2) + b"cs"
+                + struct.pack("<I", 0)
+            )
+            serial = d[0] * 16 + d[1]
+            pages = [
+                build_ogg_page(serial, 0, 0, [head], header_type=0x02),
+                build_ogg_page(serial, 1, 0, [tags]),
+            ]
+            granule = pre_skip
+            for j in range(n_audio):
+                config = d[6 + j] % 32
+                stereo = d[10 + j] % 2
+                toc = (config << 3) | (stereo << 2)  # code 0: one frame
+                pkt = bytes([toc]) + b"\x00" * d[11]
+                granule += _OPUS_CONFIGS[config][2]
+                flags = 0x04 if j == n_audio - 1 else 0
+                pages.append(
+                    build_ogg_page(
+                        serial, 2 + j, granule, [pkt], header_type=flags
+                    )
+                )
+            return b"".join(pages)
+
+        def mp4_payload(h: str) -> bytes:
+            d = [int(c, 16) for c in h]
+            n_tracks = 1 + d[1] % 3
+            ftyp = build_box(
+                b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom"
+            )
+            dur_s = d[7] * 16 + d[8]
+            mvhd = build_box(
+                b"mvhd",
+                bytes(4) + bytes(8)
+                + struct.pack(">I", 1)        # timescale: 1 unit = 1 s
+                + struct.pack(">I", dur_s)
+                + bytes(80),
+            )
+            traks = b""
+            for t in range(n_tracks):
+                vide = d[2 + t] % 2 == 0
+                if vide:
+                    entry = struct.pack(">I", 16) + b"avc1" + bytes(8)
+                    hdlr = build_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+                else:
+                    ch = 1 + d[5] % 2
+                    rate = (8000, 16000, 32000, 48000)[d[6] % 4]
+                    entry = (
+                        struct.pack(">I", 36) + b"mp4a" + bytes(6)
+                        + struct.pack(">H", 1) + bytes(8)
+                        + struct.pack(">H", ch)
+                        + struct.pack(">H", 16) + bytes(4)
+                        + struct.pack(">I", rate << 16)
+                    )
+                    hdlr = build_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+                stsd = build_box(
+                    b"stsd", bytes(4) + struct.pack(">I", 1) + entry
+                )
+                traks += build_box(
+                    b"trak",
+                    build_box(
+                        b"mdia",
+                        hdlr + build_box(b"minf", build_box(b"stbl", stsd)),
+                    ),
+                )
+            return ftyp + build_box(b"moov", mvhd + traks)
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                ids.append(did)
+                payloads.append(
+                    ogg_payload(h) if int(h[0], 16) % 2 == 0
+                    else mp4_payload(h)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    media = docs.mapInPandas(
+        build_payloads, schema="media_id long, payload binary"
+    )
+    out = container_stats(media)
+    return out.select(
+        "media_id", "format", "codec", "channels", "sample_rate",
+        "n_pages", "n_packets", "last_granule",
+        F.round("duration_ms", 6).alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed curation pipeline
 # ---------------------------------------------------------------------------
 

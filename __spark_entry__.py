@@ -60,6 +60,26 @@ REGATE_R9: list[str] = [
     # NEW r9: container-walker driver row (OGG-Opus pages/CRC/TOC +
     # MP4 box grammar, oracle-recomputed from md5 digits)
     "q_container_stats",
+    # NEW r9: exact order statistics (prefix-sum rank intervals)
+    "q_exact_quantiles",
+    "q_weighted_median",
+    "q_trimmed_mean",
+    # NEW r9: nonparametric k-sample / whole-distribution tests
+    "q_kruskal_wallis",
+    "q_cramer_von_mises",
+    # NEW r9: drift / inequality / concentration
+    "q_hellinger_drift",
+    "q_theil_index",
+    "q_herfindahl",
+    # NEW r9: retrieval & ranking-agreement metrics
+    "q_mrr",
+    "q_map_at_k",
+    "q_kendall_w",
+    "q_rbo",
+    # NEW r9: graph structure metrics
+    "q_link_scores",
+    "q_transitivity",
+    "q_assortativity",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -84,6 +104,21 @@ PRIORITY: list[str] = [
     "q_dataset_card",
     "q_pca_power",
     "q_container_stats",
+    "q_exact_quantiles",
+    "q_weighted_median",
+    "q_trimmed_mean",
+    "q_kruskal_wallis",
+    "q_cramer_von_mises",
+    "q_hellinger_drift",
+    "q_theil_index",
+    "q_herfindahl",
+    "q_mrr",
+    "q_map_at_k",
+    "q_kendall_w",
+    "q_rbo",
+    "q_link_scores",
+    "q_transitivity",
+    "q_assortativity",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

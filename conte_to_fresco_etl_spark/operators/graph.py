@@ -843,3 +843,186 @@ def adamic_adar(
             ).alias("aa_score"),
         )
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """The classical link-prediction score panel over an undirected
+    edge list, one row per pair sharing >= 1 neighbor: common
+    neighbors, Jaccard = cn/(deg_a + deg_b - cn), preferential
+    attachment = deg_a * deg_b, and resource allocation =
+    sum 1/deg(z) (Adamic-Adar's harder-decaying sibling) — the
+    feature set a candidate-ranking model starts from, next to
+    [[q_adamic_adar]]'s single score.  Output: ``(a, b, n_common,
+    jaccard, pref_attach, res_alloc)`` with a < b, ROUND(6).
+
+    Scale posture: the adamic_adar wedge posting self-join (cost
+    Σ deg² over the collapsed graph) plus one broadcast degree
+    re-attach; every weight is ROUND(9)-pinned and decimal-summed."""
+    und = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionAll(
+        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("deg"))
+    adj = und.join(deg, "v").select(
+        "u",
+        "v",
+        F.round(F.lit(1.0) / F.col("deg").cast("double"), 9).alias("w"),
+    )
+    l = adj.select(F.col("u").alias("a"), F.col("v").alias("z"), "w")
+    r = adj.select(F.col("u").alias("b"), F.col("v").alias("z"))
+    pairs = (
+        l.join(r, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.col("w").cast("decimal(28,9)")).alias("__ra"),
+        )
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__db"))
+    out = pairs.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    return out.select(
+        "a",
+        "b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("__da") + F.col("__db") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+        (F.col("__da").cast("long") * F.col("__db")).alias("pref_attach"),
+        F.round(F.col("__ra").cast("double"), 6).alias("res_alloc"),
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Global clustering coefficient (transitivity): C = 3 * triangles
+    / wedges, with wedges = sum_v deg(v)(deg(v)-1)/2 over the
+    canonicalized simple graph — the one-number answer to "is this
+    interaction graph clumpy or star-like", complementing the
+    per-node [[q_triangle_count]].  Output — ONE row: ``(n_nodes,
+    n_edges, n_triangles, n_wedges, transitivity)`` (ROUND 6; NULL
+    when the graph has no wedge).
+
+    Scale posture: triangles ride triangle_count's degree-ordered
+    orientation (Σ min-degree² bound); wedges are one degree
+    collapse."""
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tri = triangle_count(canon, "u", "v").agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / F.lit(3))
+        .cast("long")
+        .alias("n_triangles")
+    )
+    both = canon.select(F.col("u").alias("n")).unionByName(
+        canon.select(F.col("v").alias("n"))
+    )
+    degs = both.groupBy("n").agg(F.count("*").alias("deg"))
+    stats = degs.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+        (
+            F.sum(
+                (F.col("deg") * (F.col("deg") - 1)).cast("decimal(38,0)")
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    j = stats.join(F.broadcast(tri), F.lit(True))
+    return j.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        ).alias("transitivity"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every edge counted in BOTH directions —
+    positive = hubs link hubs (social), negative = hubs link leaves
+    (infrastructure/bot fans).  Output — ONE row: ``(n_edges,
+    assortativity)`` (ROUND 6; NULL when either marginal is
+    degenerate).
+
+    Scale posture: one degree collapse, two broadcast degree
+    attaches, decimal moment sums (integer degrees — exact)."""
+    canon = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    both = canon.select(F.col("u").alias("n")).unionByName(
+        canon.select(F.col("v").alias("n"))
+    )
+    deg = both.groupBy("n").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("__dv"))
+    ends = canon.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # both directions: (du, dv) and (dv, du)
+    xy = ends.select(
+        F.col("__du").alias("x"), F.col("__dv").alias("y")
+    ).unionAll(
+        ends.select(F.col("__dv").alias("x"), F.col("__du").alias("y"))
+    )
+    mom = xy.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+    )
+    md = F.col("m").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / md
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / md
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / md
+    return mom.select(
+        (F.col("m") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("assortativity"),
+    )

@@ -4006,3 +4006,646 @@ def weighted_kappa(
             ),
         ).alias("wkappa"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, ps: list[float]
+) -> DataFrame:
+    """Exact type-1 quantiles of a data-sized column in ONE pass over
+    the value marginal: for each p, the value at rank ``ceil(p * m)``
+    — selected by the prefix-sum rank-interval discipline
+    (``parallelism.kth_element``'s shape, vectorized over all the
+    requested ranks at once), never a global sort.  Output — ONE row:
+    ``(m, q_<p>...)``; the exact complement to the approximate
+    percentile_approx/quantile-sketch operators when the report needs
+    the true order statistic at any scale.
+
+    Cross-engine exactness: rank expressions are computed with the
+    IDENTICAL double arithmetic on both sides (``ceil(p * m)`` with p
+    the same literal), so even where p*m sits on an IEEE boundary the
+    two engines pick the same row."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    marg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("__cnt"))
+    )
+    cum = prefix_sums(marg, value_col, ["__cnt"], prefix="__cm_")
+    tot = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count("*").alias("m")
+    )
+    joined = cum.join(broadcast(tot), F.lit(True))
+    picks = []
+    for p in ps:
+        k = F.ceil(F.lit(float(p)) * F.col("m").cast("double"))
+        cond = (F.col("__cm___cnt") >= k) & (
+            (F.col("__cm___cnt") - F.col("__cnt")) < k
+        )
+        tag = str(p).replace("0.", "").replace(".", "_")
+        picks.append(
+            F.max(F.when(cond, F.col(value_col))).alias(f"q_{tag}")
+        )
+    return joined.agg(F.max("m").alias("m"), *picks)
+
+
+def weighted_median(
+    df: DataFrame, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact lower weighted median: the smallest value whose inclusive
+    cumulative weight reaches half the total — selected from the
+    value-marginal weight table via the distributed prefix sum with
+    the comparison kept in DOUBLED integers (``2*cum >= W``), so tie
+    structure and floating error cannot move the pick.  Output — ONE
+    row: ``(total_weight, w_median)``."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    marg = rows.groupBy("__v").agg(F.sum("__w").alias("__mw"))
+    cum = prefix_sums(marg, "__v", ["__mw"], prefix="__cm_")
+    tot = rows.agg(F.sum("__w").alias("total_weight"))
+    cond = (
+        (F.lit(2) * F.col("__cm___mw") >= F.col("total_weight"))
+        & (
+            F.lit(2) * (F.col("__cm___mw") - F.col("__mw"))
+            < F.col("total_weight")
+        )
+    )
+    return (
+        cum.join(broadcast(tot), cond)
+        .agg(
+            F.max("total_weight").alias("total_weight"),
+            F.max("__v").alias("w_median"),
+        )
+    )
+
+
+def trimmed_mean(
+    df: DataFrame, value_col: str, trim: float = 0.1
+) -> DataFrame:
+    """Exact two-sided trimmed mean: drop the lowest and highest
+    ``floor(trim * m)`` observations BY RANK, average the rest — the
+    outlier-hard location summary between the mean and the median.
+    Fully distributed: each value-marginal row contributes
+    ``overlap([cum-cnt, cum], (lo, hi]) * value`` to a decimal sum, so
+    no row ever needs a global sort or a single task.  Output — ONE
+    row: ``(m, n_kept, trimmed_mean)`` (ROUND 6; NULL when trimming
+    empties the sample)."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    marg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count("*").alias("__cnt"))
+    )
+    cum = prefix_sums(marg, value_col, ["__cnt"], prefix="__cm_")
+    tot = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count("*").alias("m")
+    )
+    lo = F.floor(F.lit(float(trim)) * F.col("m").cast("double"))
+    hi = F.col("m") - lo
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("__cm___cnt"), hi)
+        - F.greatest(F.col("__cm___cnt") - F.col("__cnt"), lo),
+    )
+    # decimal(value) x integer overlap == summing ROUND(value, 6)
+    # `overlap` times — exactly the per-row decimal sum the oracle
+    # spells, for ANY duplicate multiplicity
+    contrib = (
+        F.round(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+        * overlap.cast("decimal(10,0)")
+    ).cast("decimal(28,6)")
+    return (
+        cum.join(broadcast(tot), F.lit(True))
+        .agg(
+            F.max("m").alias("m"),
+            F.sum(overlap).cast("long").alias("n_kept"),
+            F.sum(contrib).alias("__s"),
+        )
+        .select(
+            "m",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.round(
+                    F.col("__s").cast("double")
+                    / F.col("n_kept").cast("double"),
+                    6,
+                ),
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Kruskal-Wallis H test: the k-sample generalization of
+    Mann-Whitney — do any of the groups stochastically dominate?
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), with the standard tie
+    correction C = 1 - sum(t^3 - t)/(N^3 - N).  Output — ONE row:
+    ``(n, k_groups, h_stat, h_corrected)`` (ROUND 6; NULL when C
+    degenerates to 0, i.e. every value tied).
+
+    Scale posture: midranks come from the DISTRIBUTED prefix sum over
+    the pooled value marginal (the Mann-Whitney doubled-integer
+    discipline — exact for any tie structure); per-group rank sums are
+    one map-combinable aggregation; the k-row collapse carries
+    ROUND(6)-pinned decimal terms so the cross-group sum is
+    order-independent."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    marg = vals.groupBy("__v").agg(F.count("*").alias("__tn"))
+    ranks = prefix_sums(marg, "__v", ["__tn"], prefix="__cm_").select(
+        "__v",
+        "__tn",
+        (
+            F.lit(2) * (F.col("__cm___tn") - F.col("__tn"))
+            + F.col("__tn")
+            + F.lit(1)
+        ).alias("__m2"),
+    )
+    per_g = (
+        vals.join(ranks.select("__v", "__m2"), "__v")
+        .groupBy("__g")
+        .agg(F.sum("__m2").alias("__r2"), F.count("*").alias("__ng"))
+    )
+    # R_g = r2/2  =>  R_g^2/n_g = r2^2 / (4 n_g); double product (the
+    # integers exceed long^2), ROUND(6)-pinned, decimal-summed
+    term = F.round(
+        F.col("__r2").cast("double")
+        * F.col("__r2").cast("double")
+        / (F.lit(4.0) * F.col("__ng").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    sums = per_g.agg(
+        F.sum(term).alias("__s"), F.count("*").alias("k_groups")
+    )
+    ties = marg.agg(
+        F.sum(
+            (F.col("__tn") * F.col("__tn") * F.col("__tn") - F.col("__tn"))
+            .cast("decimal(38,0)")
+        ).alias("__tie")
+    )
+    tot = vals.agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
+        * F.col("__s").cast("double")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("__tie").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return (
+        sums.join(broadcast(tot), F.lit(True))
+        .join(broadcast(ties), F.lit(True))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k_groups").cast("long").alias("k_groups"),
+            F.when(F.col("n") >= 2, F.round(h, 6)).alias("h_stat"),
+            F.when((F.col("n") >= 2) & (c > 0), F.round(h / c, 6)).alias(
+                "h_corrected"
+            ),
+        )
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion in its discrete ECDF form
+    (Anderson 1962): T = (n*m/(n+m)^2) * sum over the pooled sample of
+    (F_n(x) - G_m(x))^2, counting multiplicity — the whole-distribution
+    drift test that weights every quantile (where KS sees only the max
+    gap).  Output — ONE row: ``(n_a, n_b, t_stat)`` (ROUND 6).
+
+    Scale posture: one pooled value-marginal collapse with per-group
+    counts; BOTH ECDFs ride a single distributed prefix scan; terms
+    are ROUND(12)-pinned decimal sums."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).alias("__v"),
+    )
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    cum = prefix_sums(marg, "__v", ["__ca", "__cb"], prefix="__cm_")
+    tot = vals.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    gap = (
+        F.col("__cm___ca").cast("double") / na
+        - F.col("__cm___cb").cast("double") / nb
+    )
+    term = F.round(
+        (F.col("__ca") + F.col("__cb")).cast("double") * gap * gap, 12
+    ).cast("decimal(38,12)")
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term).alias("__s"),
+    )
+    na2 = F.col("n_a").cast("double")
+    nb2 = F.col("n_b").cast("double")
+    t = (
+        na2 * nb2 / ((na2 + nb2) * (na2 + nb2))
+        * F.col("__s").cast("double")
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(t, 6)
+        ).alias("t_stat"),
+    )
+
+
+def theil_index(df: DataFrame, unit_col: str, value_col: str) -> DataFrame:
+    """Theil inequality indices over per-unit totals: T = mean of
+    (x/mu) ln(x/mu) and L = mean of ln(mu/x) — the decomposable
+    concentration gauges (0 = perfectly even, ln n = one unit holds
+    everything).  Units with non-positive totals drop (logs).  Output
+    — ONE row: ``(n_units, theil_t, theil_l)`` (ROUND 6).
+
+    Scale posture: one per-unit collapse, a 1-row mean broadcast, and
+    ROUND(12) decimal sums for the order-independent final terms."""
+    per = (
+        df.filter(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("__x")
+        )
+        .filter(F.col("__x") > 0)
+        .select(F.col("__x").cast("double").alias("__x"))
+    )
+    tot = per.agg(
+        F.count("*").alias("n_units"),
+        (F.sum(F.col("__x").cast("decimal(28,4)")).cast("double")
+         / F.count("*")).alias("__mu"),
+    )
+    d12 = "decimal(38,12)"
+    j = per.crossJoin(broadcast(tot))
+    r = F.col("__x") / F.col("__mu")
+    agg = j.agg(
+        F.max("n_units").alias("n_units"),
+        F.sum(F.round(r * F.log(r), 12).cast(d12)).alias("__t"),
+        F.sum(F.round(F.log(F.lit(1.0) / r), 12).cast(d12)).alias("__l"),
+    )
+    n = F.col("n_units").cast("double")
+    return agg.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(F.col("__t").cast("double") / n, 6).alias("theil_t"),
+        F.round(F.col("__l").cast("double") / n, 6).alias("theil_l"),
+    )
+
+
+def herfindahl_by_group(
+    df: DataFrame, group_col: str, unit_col: str, value_col: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration per group: the sum of
+    squared unit shares of the group's total value, plus the
+    normalized form (HHI - 1/n)/(1 - 1/n) — "is this event type's
+    volume spread across users or owned by a few".  Output per group:
+    ``(group, n_units, hhi, hhi_norm)`` (ROUND 6; hhi_norm NULL for
+    single-unit groups).
+
+    Scale posture: one (group, unit) collapse, group totals re-join
+    broadcast-sized, ROUND(12) decimal share sums."""
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(unit_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(unit_col).alias("__u")
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,4)")).alias("__x"))
+        .filter(F.col("__x") > 0)
+    )
+    totals = cells.groupBy("__g").agg(
+        F.sum("__x").alias("__t"), F.count("*").alias("n_units")
+    )
+    share = F.col("__x").cast("double") / F.col("__t").cast("double")
+    per = (
+        cells.join(broadcast(totals), "__g")
+        .groupBy("__g")
+        .agg(
+            F.max("n_units").alias("n_units"),
+            F.sum(
+                F.round(share * share, 12).cast("decimal(38,12)")
+            ).alias("__h"),
+        )
+    )
+    n = F.col("n_units").cast("double")
+    hhi = F.col("__h").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(hhi, 6).alias("hhi"),
+        F.when(
+            F.col("n_units") > 1,
+            F.round(
+                (hhi - F.lit(1.0) / n) / (F.lit(1.0) - F.lit(1.0) / n), 6
+            ),
+        ).alias("hhi_norm"),
+    )
+
+
+def reciprocal_rank_by_group(
+    df: DataFrame, group_col: str, item_col: str, score, relevant
+) -> DataFrame:
+    """Per-query reciprocal rank: rank each group's items by
+    ``score`` (ROUND 6, desc; item id asc tiebreak) and report the
+    rank of the first relevant item — averaging the ``rr`` column
+    gives MRR.  Output per group: ``(group, n_items, n_relevant,
+    first_rank, rr)`` (rr NULL when the group has no relevant item).
+
+    Scale posture: one (group, item) collapse; ranking windows are
+    PARTITIONED by group (never global); the first-relevant pick is a
+    per-group min."""
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        )
+        .agg(
+            F.round(score, 6).alias("__s"),
+            F.max(relevant.cast("int")).alias("__rel"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__i").asc()
+    )
+    ranked = cells.withColumn("__r", F.row_number().over(w))
+    return (
+        ranked.groupBy("__g")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("__rel").alias("n_relevant"),
+            F.min(F.when(F.col("__rel") == 1, F.col("__r"))).alias(
+                "first_rank"
+            ),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.col("first_rank").cast("long").alias("first_rank"),
+            F.round(
+                F.lit(1.0) / F.col("first_rank").cast("double"), 6
+            ).alias("rr"),
+        )
+    )
+
+
+def average_precision_by_group(
+    df: DataFrame, group_col: str, item_col: str, score, relevant,
+    k: int = 20,
+) -> DataFrame:
+    """Average precision at k per query group: AP@k = (1/min(R, k)) *
+    sum over relevant ranks i <= k of precision@i, with R the group's
+    TOTAL relevant count — averaging the ``ap`` column gives MAP@k.
+    Output per group: ``(group, n_relevant, rel_in_topk, ap)`` (ROUND
+    6; NULL when the group has no relevant item).
+
+    Scale posture: the (group, item) collapse and one PARTITIONED rank
+    window; precision@i = (running relevant count)/i comes from the
+    same window; ROUND(9) decimal term sums."""
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        )
+        .agg(
+            F.round(score, 6).alias("__s"),
+            F.max(relevant.cast("int")).alias("__rel"),
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__i").asc()
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cells.select(
+        "__g",
+        "__rel",
+        F.row_number().over(w).alias("__r"),
+        F.sum("__rel").over(wcum).alias("__cumrel"),
+    )
+    term = F.when(
+        (F.col("__rel") == 1) & (F.col("__r") <= k),
+        F.round(
+            F.col("__cumrel").cast("double") / F.col("__r").cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.groupBy("__g")
+        .agg(
+            F.sum("__rel").alias("n_relevant"),
+            F.sum(
+                F.when(
+                    (F.col("__rel") == 1) & (F.col("__r") <= k), 1
+                ).otherwise(0)
+            ).alias("rel_in_topk"),
+            F.sum(term.cast("decimal(38,9)")).alias("__ap_num"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.col("rel_in_topk").cast("long").alias("rel_in_topk"),
+            F.when(
+                F.col("n_relevant") > 0,
+                F.round(
+                    F.col("__ap_num").cast("double")
+                    / F.least(
+                        F.col("n_relevant").cast("double"), F.lit(float(k))
+                    ),
+                    6,
+                ),
+            ).alias("ap"),
+        )
+    )
+
+
+def kendall_w(
+    df: DataFrame, rater_col: str, item_col, value_col: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W across raters with the
+    tie correction: do the raters (sources/models/days) rank the items
+    the same way?  Each (rater, item) cell is the ROUND(6) mean of
+    ``value_col`` over the COMPLETE rater x item grid (missing cells
+    rate 0 — deterministic both engines); ranks within a rater are
+    midranks.  W = 12 S / (m^2(n^3 - n) - m * sum_j T_j) with
+    S = sum_i (R_i - mean R)^2 and T_j the rater's tie term.  Output —
+    ONE row: ``(m_raters, n_items, w)`` (ROUND 6).
+
+    Scale posture: the grid is |raters| x |items| (dimension-sized by
+    contract); rank windows are PARTITIONED by rater; the item
+    rank-sum collapse and 1-row moments finish it."""
+    cells = (
+        df.filter(F.col(rater_col).isNotNull())
+        .groupBy(
+            F.col(rater_col).alias("__j"), item_col.alias("__i")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("__v")
+        )
+    )
+    raters = cells.select("__j").distinct()
+    items = cells.select("__i").distinct()
+    grid = (
+        raters.crossJoin(broadcast(items))
+        .join(cells, ["__j", "__i"], "left")
+        .select(
+            "__j", "__i", F.coalesce("__v", F.lit(0.0)).alias("__v")
+        )
+    )
+    # midranks within each rater: rank + (ties - 1)/2, doubled to stay
+    # integer: m2 = 2*rank(v) + (cnt_ties - 1)  where rank() is the
+    # MIN rank of the tie run (SQL RANK semantics)
+    wr = Window.partitionBy("__j").orderBy(F.col("__v").asc())
+    ranked = grid.select(
+        "__j",
+        "__i",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count("*").over(
+                Window.partitionBy("__j", "__v")
+            )
+            - F.lit(1)
+        ).alias("__m2"),
+    )
+    per_item = ranked.groupBy("__i").agg(F.sum("__m2").alias("__r2"))
+    ties = (
+        grid.groupBy("__j", "__v")
+        .agg(F.count("*").alias("__t"))
+        .groupBy("__j")
+        .agg(
+            F.sum(
+                (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+                .cast("decimal(38,0)")
+            ).alias("__tj")
+        )
+        .agg(F.sum("__tj").alias("__tsum"), F.count("*").alias("m_raters"))
+    )
+    n_items = items.agg(F.count("*").alias("n_items"))
+    moments = (
+        per_item.crossJoin(broadcast(n_items))
+        .agg(
+            F.max("n_items").alias("n_items"),
+            F.sum(F.col("__r2").cast("decimal(38,0)")).alias("__sum_r2"),
+            F.sum(
+                (F.col("__r2").cast("decimal(38,0)")
+                 * F.col("__r2")).cast("decimal(38,0)")
+            ).alias("__sum_r2sq"),
+        )
+    )
+    # S = sum (R_i - mean)^2 with R_i = r2/2: in doubled units
+    # S2 = sum r2^2 - (sum r2)^2 / n, S = S2 / 4
+    j = moments.join(broadcast(ties), F.lit(True))
+    nd = F.col("n_items").cast("double")
+    md = F.col("m_raters").cast("double")
+    s2 = (
+        F.col("__sum_r2sq").cast("double")
+        - F.col("__sum_r2").cast("double")
+        * F.col("__sum_r2").cast("double") / nd
+    )
+    denom = md * md * (nd * nd * nd - nd) - md * F.col("__tsum").cast(
+        "double"
+    )
+    return j.select(
+        F.col("m_raters").cast("long").alias("m_raters"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.when(
+            denom > 0, F.round(F.lit(12.0) * (s2 / F.lit(4.0)) / denom, 6)
+        ).alias("w"),
+    )
+
+
+def rank_biased_overlap(
+    df: DataFrame, item_col: str, score_a, score_b,
+    k: int = 50, p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    rankings of the same items: RBO@k = (1-p) * sum_{d=1..k} p^(d-1) *
+    |A_d intersect B_d| / d — the top-weighted agreement measure for
+    "did the new scorer reorder what users actually see".  Output —
+    ONE row: ``(k, in_both, rbo)`` (ROUND 6).
+
+    Scale posture: both rankings are TakeOrdered(k) (ROUND(6) scores,
+    item-id tiebreak); the depth sum runs on the <= k^2 (pair x depth)
+    literal-bounded grid."""
+    cells = df.groupBy(F.col(item_col).alias("__i")).agg(
+        F.round(score_a, 6).alias("__sa"),
+        F.round(score_b, 6).alias("__sb"),
+    )
+    top_a = cells.orderBy(
+        F.col("__sa").desc(), F.col("__i").asc()
+    ).limit(int(k)).select(
+        "__i",
+        F.row_number()
+        .over(Window.orderBy(F.col("__sa").desc(), F.col("__i").asc()))
+        .alias("__ra"),
+    )
+    top_b = cells.orderBy(
+        F.col("__sb").desc(), F.col("__i").asc()
+    ).limit(int(k)).select(
+        "__i",
+        F.row_number()
+        .over(Window.orderBy(F.col("__sb").desc(), F.col("__i").asc()))
+        .alias("__rb"),
+    )
+    both = top_a.join(top_b, "__i")
+    spark = df.sparkSession
+    depths = spark.range(1, int(k) + 1).select(
+        F.col("id").alias("__d")
+    )
+    # overlap(d) counts pairs with both ranks <= d; each pair adds the
+    # geometric tail term at every depth it is visible at
+    contrib = both.join(
+        F.broadcast(depths),
+        (F.col("__ra") <= F.col("__d")) & (F.col("__rb") <= F.col("__d")),
+    ).select(
+        F.round(
+            F.lit(1.0 - float(p))
+            * F.pow(F.lit(float(p)), F.col("__d").cast("double") - 1)
+            / F.col("__d").cast("double"),
+            12,
+        ).cast("decimal(38,12)").alias("__t")
+    )
+    n_both = both.agg(F.count("*").alias("in_both"))
+    agg = contrib.agg(F.sum("__t").alias("__rbo"))
+    return agg.join(broadcast(n_both), F.lit(True)).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.col("in_both").cast("long").alias("in_both"),
+        F.round(F.coalesce(F.col("__rbo").cast("double"), F.lit(0.0)), 6)
+        .alias("rbo"),
+    )

@@ -3174,3 +3174,72 @@ def log_odds_tokens(
         .limit(int(top_k))
         .select("token", "z_score", "delta")
     )
+
+
+def hellinger_tvd_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hellinger distance and total-variation distance of each group's
+    unigram distribution from the corpus distribution — the two
+    classical f-divergence drift gauges next to [[q_js_sources]]'s JS
+    (Hellinger weights rare-token disagreement, TVD is the max
+    re-weighting cost).  Output: ``(group, n_tokens, hellinger, tvd)``
+    per group (ROUND 6).
+
+    Tokens ABSENT from a group collapse in closed form on both
+    measures: they add 0 to the Bhattacharyya sum (p = 0) and
+    ``(1 - q_cov)/2`` to TVD — so the computation stays on the
+    (group, token) table with one corpus-marginal join, never a dense
+    group x vocabulary grid (the js_divergence_by_group posture)."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    tok = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(group_col).alias("grp"), F.col(text_col)
+            ).filter(F.col("grp").isNotNull()),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("grp", F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    cells = tok.groupBy("grp", "tok").agg(F.count("*").alias("cs"))
+    cells = cells.localCheckpoint(eager=False)
+    corpus = cells.groupBy("tok").agg(F.sum("cs").alias("cq"))
+    tot_q = corpus.agg(F.sum("cq").alias("nq"))
+    tot_s = cells.groupBy("grp").agg(F.sum("cs").alias("ns"))
+    j = (
+        cells.join(corpus, "tok")
+        .join(F.broadcast(tot_s), "grp")
+        .crossJoin(F.broadcast(tot_q))
+    )
+    p = F.col("cs").cast("double") / F.col("ns").cast("double")
+    q = F.col("cq").cast("double") / F.col("nq").cast("double")
+    d12 = "decimal(38,12)"
+    per = j.groupBy("grp").agg(
+        F.max("ns").alias("n_tokens"),
+        F.sum(F.round(F.sqrt(p * q), 12).cast(d12)).alias("bc"),
+        F.sum(F.round(F.abs(p - q), 12).cast(d12)).alias("adiff_in"),
+        F.sum(F.round(q, 12).cast(d12)).alias("q_cov"),
+    )
+    hell = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("bc").cast("double")
+        )
+    )
+    tvd = F.lit(0.5) * (
+        F.col("adiff_in").cast("double")
+        + (F.lit(1.0) - F.col("q_cov").cast("double"))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(hell, 6).alias("hellinger"),
+        F.round(tvd, 6).alias("tvd"),
+    )

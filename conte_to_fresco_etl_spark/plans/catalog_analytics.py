@@ -6999,3 +6999,706 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_kappa(
         ev, band(F.col("value")), band(F.col("value") + jitter)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics at scale (r9): quantiles / weighted median /
+# trimmed mean — the prefix-sum rank-interval selection family
+# ---------------------------------------------------------------------------
+
+_EXACT_QUANTILES_SQL = """
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+             COUNT(*) OVER () AS m
+      FROM v
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS m,
+           MAX(CASE WHEN rn = CEIL(CAST(0.25 AS DOUBLE) * m) THEN x END)
+             AS q_25,
+           MAX(CASE WHEN rn = CEIL(CAST(0.5 AS DOUBLE) * m) THEN x END)
+             AS q_5,
+           MAX(CASE WHEN rn = CEIL(CAST(0.75 AS DOUBLE) * m) THEN x END)
+             AS q_75,
+           MAX(CASE WHEN rn = CEIL(CAST(0.9 AS DOUBLE) * m) THEN x END)
+             AS q_9,
+           MAX(CASE WHEN rn = CEIL(CAST(0.99 AS DOUBLE) * m) THEN x END)
+             AS q_99
+    FROM r
+"""
+
+@_q("q_exact_quantiles", _EXACT_QUANTILES_SQL)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles (p25/50/75/90/99) of the lineitem price
+    column — TRUE order statistics, selected via the distributed
+    prefix-sum rank-interval discipline with no global sort task (the
+    exact complement to q_quantile_sketch / q_value_percentiles)."""
+    from conte_to_fresco_etl_spark.operators.robust import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH v AS (
+      SELECT l_extendedprice AS x, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    marg AS (
+      SELECT x, SUM(w) AS mw FROM v GROUP BY x
+    ),
+    c AS (
+      SELECT x, mw, SUM(mw) OVER (ORDER BY x) AS cum,
+             SUM(mw) OVER () AS total
+      FROM marg
+    )
+    SELECT CAST(MAX(total) AS BIGINT) AS total_weight,
+           MAX(CASE WHEN 2 * cum >= total AND 2 * (cum - mw) < total
+                    THEN x END) AS w_median
+    FROM c
+"""
+
+@_q("q_weighted_median", _WEIGHTED_MEDIAN_SQL)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median of price weighted by quantity —
+    doubled-integer comparison against the total, selected from the
+    value marginal by the distributed prefix sum."""
+    from conte_to_fresco_etl_spark.operators.robust import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(li, "l_extendedprice", "l_quantity")
+
+
+_TRIMMED_MEAN_SQL = """
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+             COUNT(*) OVER () AS m
+      FROM v
+    ),
+    k AS (
+      SELECT x, rn, m,
+             FLOOR(CAST(0.1 AS DOUBLE) * m) AS lo,
+             m - FLOOR(CAST(0.1 AS DOUBLE) * m) AS hi
+      FROM r
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS m,
+           CAST(SUM(CASE WHEN rn > lo AND rn <= hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN rn > lo AND rn <= hi
+                          THEN CAST(ROUND(x, 6) AS DECIMAL(28,6))
+                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / SUM(CASE WHEN rn > lo AND rn <= hi THEN 1 ELSE 0 END),
+                 6) AS trimmed_mean
+    FROM k
+"""
+
+@_q("q_trimmed_mean", _TRIMMED_MEAN_SQL)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of the price column — rank-based
+    trimming computed from marginal-interval overlaps (each distinct
+    value contributes its kept-rank count), fully distributed."""
+    from conte_to_fresco_etl_spark.operators.robust import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    return trimmed_mean(li, "l_extendedprice", trim=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric k-sample / whole-distribution tests (r9)
+# ---------------------------------------------------------------------------
+
+_KRUSKAL_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    marg AS (
+      SELECT v, COUNT(*) AS tn FROM vals GROUP BY v
+    ),
+    rk AS (
+      SELECT v, tn,
+             2 * (SUM(tn) OVER (ORDER BY v) - tn) + tn + 1 AS m2
+      FROM marg
+    ),
+    per_g AS (
+      SELECT g, SUM(m2) AS r2, COUNT(*) AS ng
+      FROM vals JOIN rk USING (v) GROUP BY g
+    ),
+    s AS (
+      SELECT SUM(CAST(ROUND(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                            / (4.0 * CAST(ng AS DOUBLE)), 6)
+                      AS DECIMAL(38,6))) AS ssum,
+             COUNT(*) AS k_groups
+      FROM per_g
+    ),
+    t AS (
+      SELECT SUM(CAST(tn AS DECIMAL(38,0)) * tn * tn
+                 - CAST(tn AS DECIMAL(38,0))) AS tie
+      FROM marg
+    ),
+    n AS (SELECT COUNT(*) AS n FROM vals)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(s.k_groups AS BIGINT) AS k_groups,
+           CASE WHEN n.n >= 2 THEN ROUND(
+             12.0 / (CAST(n.n AS DOUBLE) * (n.n + 1.0))
+               * CAST(s.ssum AS DOUBLE) - 3.0 * (n.n + 1.0), 6)
+           END AS h_stat,
+           CASE WHEN n.n >= 2
+                 AND 1.0 - CAST(t.tie AS DOUBLE)
+                     / (CAST(n.n AS DOUBLE) * n.n * n.n - n.n) > 0
+           THEN ROUND(
+             (12.0 / (CAST(n.n AS DOUBLE) * (n.n + 1.0))
+               * CAST(s.ssum AS DOUBLE) - 3.0 * (n.n + 1.0))
+             / (1.0 - CAST(t.tie AS DOUBLE)
+                / (CAST(n.n AS DOUBLE) * n.n * n.n - n.n)), 6)
+           END AS h_corrected
+    FROM s, t, n
+"""
+
+@_q("q_kruskal_wallis", _KRUSKAL_SQL)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all event types: the k-sample rank test
+    behind "does ANY variant shift the metric", midranks on the
+    distributed prefix sum (doubled-integer tie discipline)."""
+    from conte_to_fresco_etl_spark.operators.robust import kruskal_wallis
+
+    return kruskal_wallis(_events(spark, sf_dir), "event_type", "value")
+
+
+_CVM_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'click' AS isa, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cma,
+             SUM(cb) OVER (ORDER BY v) AS cmb
+      FROM marg
+    ),
+    t AS (
+      SELECT SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b
+      FROM vals
+    ),
+    s AS (
+      SELECT SUM(CAST(ROUND(
+               CAST(ca + cb AS DOUBLE)
+               * (CAST(cma AS DOUBLE) / t.n_a
+                  - CAST(cmb AS DOUBLE) / t.n_b)
+               * (CAST(cma AS DOUBLE) / t.n_a
+                  - CAST(cmb AS DOUBLE) / t.n_b), 12)
+             AS DECIMAL(38,12))) AS ssum
+      FROM c, t
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a,
+           CAST(t.n_b AS BIGINT) AS n_b,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN ROUND(
+             CAST(t.n_a AS DOUBLE) * t.n_b
+             / ((CAST(t.n_a AS DOUBLE) + t.n_b)
+                * (CAST(t.n_a AS DOUBLE) + t.n_b))
+             * CAST(s.ssum AS DOUBLE), 6)
+           END AS t_stat
+    FROM s, t
+"""
+
+@_q("q_cramer_von_mises", _CVM_SQL)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion (click vs view): the
+    whole-distribution drift test that integrates the squared ECDF
+    gap over the pooled sample — both ECDFs from one distributed
+    prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import cramer_von_mises
+
+    return cramer_von_mises(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration (r9)
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+      HAVING SUM(CAST(value AS DECIMAL(18,4))) > 0
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_units,
+             CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM per
+    )
+    SELECT CAST(MAX(n_units) AS BIGINT) AS n_units,
+           ROUND(CAST(SUM(CAST(ROUND((x / mu) * ln(x / mu), 12)
+                                AS DECIMAL(38,12))) AS DOUBLE)
+                 / MAX(n_units), 6) AS theil_t,
+           ROUND(CAST(SUM(CAST(ROUND(ln(1.0e0 / (x / mu)), 12)
+                                AS DECIMAL(38,12))) AS DOUBLE)
+                 / MAX(n_units), 6) AS theil_l
+    FROM per CROSS JOIN tot
+"""
+
+@_q("q_theil_index", _THEIL_SQL)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality of per-user total event value — the
+    decomposable concentration gauges for "is engagement spread or
+    captured by a few accounts"."""
+    from conte_to_fresco_etl_spark.operators.robust import theil_index
+
+    return theil_index(_events(spark, sf_dir), "user_id", "value")
+
+
+_HHI_SQL = """
+    WITH cells AS (
+      SELECT event_type AS g, user_id AS u,
+             SUM(CAST(value AS DECIMAL(18,4))) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL
+      GROUP BY 1, 2
+      HAVING SUM(CAST(value AS DECIMAL(18,4))) > 0
+    ),
+    totals AS (
+      SELECT g, SUM(x) AS t, COUNT(*) AS n_units FROM cells GROUP BY 1
+    ),
+    per AS (
+      SELECT c.g, MAX(n_units) AS n_units,
+             SUM(CAST(ROUND((CAST(x AS DOUBLE) / CAST(t AS DOUBLE))
+                            * (CAST(x AS DOUBLE) / CAST(t AS DOUBLE)),
+                            12) AS DECIMAL(38,12))) AS h
+      FROM cells c JOIN totals USING (g) GROUP BY 1
+    )
+    SELECT g AS event_type, CAST(n_units AS BIGINT) AS n_units,
+           ROUND(CAST(h AS DOUBLE), 6) AS hhi,
+           CASE WHEN n_units > 1 THEN ROUND(
+             (CAST(h AS DOUBLE) - 1.0e0 / n_units)
+             / (1.0e0 - 1.0e0 / n_units), 6) END AS hhi_norm
+    FROM per
+"""
+
+@_q("q_herfindahl", _HHI_SQL)
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-user value shares
+    inside each event type — plus the size-normalized form."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        herfindahl_by_group,
+    )
+
+    return herfindahl_by_group(
+        _events(spark, sf_dir), "event_type", "user_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / ranking-agreement metrics (r9)
+# ---------------------------------------------------------------------------
+
+_MRR_SQL = """
+    WITH cells AS (
+      SELECT event_type AS g, user_id AS i,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+               AS s,
+             MAX(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS rel
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT g, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY g ORDER BY s DESC, i ASC) AS rnk
+      FROM cells
+    )
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant,
+           CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+             AS first_rank,
+           ROUND(1.0e0 / MIN(CASE WHEN rel = 1 THEN rnk END), 6) AS rr
+    FROM r GROUP BY 1
+"""
+
+@_q("q_mrr", _MRR_SQL)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query reciprocal rank (queries = event types, items = users
+    ranked by total value, relevance = a deterministic user subset):
+    the MRR building block, partitioned rank windows only."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        reciprocal_rank_by_group,
+    )
+
+    ev = _events(spark, sf_dir)
+    return reciprocal_rank_by_group(
+        ev,
+        "event_type",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        F.col("user_id") % 7 == 0,
+    )
+
+
+_MAP_SQL = """
+    WITH cells AS (
+      SELECT event_type AS g, user_id AS i,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+               AS s,
+             MAX(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS rel
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT g, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY g ORDER BY s DESC, i ASC) AS rnk,
+             SUM(rel) OVER (
+               PARTITION BY g ORDER BY s DESC, i ASC
+               ROWS UNBOUNDED PRECEDING) AS cumrel
+      FROM cells
+    )
+    SELECT g AS event_type,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant,
+           CAST(SUM(CASE WHEN rel = 1 AND rnk <= 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rel_in_topk,
+           CASE WHEN SUM(rel) > 0 THEN ROUND(
+             CAST(SUM(CASE WHEN rel = 1 AND rnk <= 20
+                      THEN CAST(ROUND(CAST(cumrel AS DOUBLE) / rnk, 9)
+                                AS DECIMAL(38,9))
+                      ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE)
+             / LEAST(CAST(SUM(rel) AS DOUBLE), 20.0), 6)
+           END AS ap
+    FROM r GROUP BY 1
+"""
+
+@_q("q_map_at_k", _MAP_SQL)
+def q_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision@20 per query group — precision@i at each
+    relevant rank from ONE partitioned cumulative window; averaging
+    the ap column is MAP@20."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        average_precision_by_group,
+    )
+
+    ev = _events(spark, sf_dir)
+    return average_precision_by_group(
+        ev,
+        "event_type",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        F.col("user_id") % 7 == 0,
+        k=20,
+    )
+
+
+_KENDALL_W_SQL = """
+    WITH cells AS (
+      SELECT event_type AS j, user_id % 20 AS i,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT r.j, it.i, COALESCE(c.v, 0.0) AS v
+      FROM (SELECT DISTINCT j FROM cells) r
+      CROSS JOIN (SELECT DISTINCT i FROM cells) it
+      LEFT JOIN cells c ON c.j = r.j AND c.i = it.i
+    ),
+    ranked AS (
+      SELECT j, i,
+             2 * RANK() OVER (PARTITION BY j ORDER BY v ASC)
+               + COUNT(*) OVER (PARTITION BY j, v) - 1 AS m2
+      FROM grid
+    ),
+    per_item AS (SELECT i, SUM(m2) AS r2 FROM ranked GROUP BY 1),
+    ties AS (
+      SELECT SUM(tj) AS tsum, COUNT(*) AS m_raters FROM (
+        SELECT j, SUM(CAST(t AS DECIMAL(38,0)) * t * t
+                      - CAST(t AS DECIMAL(38,0))) AS tj
+        FROM (SELECT j, v, COUNT(*) AS t FROM grid GROUP BY 1, 2)
+        GROUP BY 1
+      )
+    ),
+    nn AS (SELECT COUNT(DISTINCT i) AS n_items FROM cells),
+    mom AS (
+      SELECT MAX(n_items) AS n_items,
+             SUM(CAST(r2 AS DECIMAL(38,0))) AS sum_r2,
+             SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS sum_r2sq
+      FROM per_item CROSS JOIN nn
+    )
+    SELECT CAST(m_raters AS BIGINT) AS m_raters,
+           CAST(n_items AS BIGINT) AS n_items,
+           CASE WHEN CAST(m_raters AS DOUBLE) * m_raters
+                     * (CAST(n_items AS DOUBLE) * n_items * n_items
+                        - n_items)
+                   - m_raters * CAST(tsum AS DOUBLE) > 0
+           THEN ROUND(
+             12.0 * ((CAST(sum_r2sq AS DOUBLE)
+                      - CAST(sum_r2 AS DOUBLE) * CAST(sum_r2 AS DOUBLE)
+                        / n_items) / 4.0)
+             / (CAST(m_raters AS DOUBLE) * m_raters
+                * (CAST(n_items AS DOUBLE) * n_items * n_items - n_items)
+                - m_raters * CAST(tsum AS DOUBLE)), 6)
+           END AS w
+    FROM mom CROSS JOIN ties
+"""
+
+@_q("q_kendall_w", _KENDALL_W_SQL)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance across event types rating
+    user buckets by mean value — tie-corrected, midranks from
+    partitioned windows over the complete rater x item grid."""
+    from conte_to_fresco_etl_spark.operators.robust import kendall_w
+
+    return kendall_w(
+        _events(spark, sf_dir),
+        "event_type",
+        (F.col("user_id") % 20),
+        "value",
+    )
+
+
+_RBO_SQL = """
+    WITH cells AS (
+      SELECT user_id AS i,
+             ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS sa,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+               AS sb
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ),
+    ta AS (
+      SELECT i, ROW_NUMBER() OVER (ORDER BY sa DESC, i ASC) AS ra
+      FROM cells ORDER BY sa DESC, i ASC LIMIT 50
+    ),
+    tb AS (
+      SELECT i, ROW_NUMBER() OVER (ORDER BY sb DESC, i ASC) AS rb
+      FROM cells ORDER BY sb DESC, i ASC LIMIT 50
+    ),
+    bo AS (SELECT ta.i, ra, rb FROM ta JOIN tb USING (i)),
+    contrib AS (
+      SELECT CAST(ROUND(0.1e0 * pow(0.9e0, CAST(d AS DOUBLE) - 1)
+                        / CAST(d AS DOUBLE), 12) AS DECIMAL(38,12)) AS t
+      FROM bo, generate_series(1, 50) AS g(d)
+      WHERE ra <= d AND rb <= d
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bo) AS in_both,
+           ROUND(COALESCE(CAST(SUM(t) AS DOUBLE), 0.0), 6) AS rbo
+    FROM contrib
+"""
+
+@_q("q_rbo", _RBO_SQL)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, truncated at 50) between the
+    count-based and value-based top-50 user rankings — top-weighted
+    ranking agreement; both rankings are TakeOrdered(50)."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        rank_biased_overlap,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return rank_biased_overlap(
+        ev.select(F.col("user_id"), F.col("value")),
+        "user_id",
+        F.count("*").cast("double"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+        k=50,
+        p=0.9,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph structure metrics over the co-occurrence graph (r9)
+# ---------------------------------------------------------------------------
+
+#: shared CTE prefix: the hour-bucket user co-occurrence graph
+#: (q_adamic_adar's construction) canonicalized to a < b simple edges
+_COOCCUR_EDGES_CTE = """
+    posts AS (
+      SELECT DISTINCT user_id AS k, date_trunc('hour', ts) AS ctx
+      FROM events WHERE user_id < 40
+    ),
+    edges AS (
+      SELECT a.k AS a, b.k AS b
+      FROM posts a JOIN posts b ON a.ctx = b.ctx AND a.k < b.k
+      GROUP BY 1, 2 HAVING COUNT(*) >= 8
+    )
+"""
+
+_LINK_SCORES_SQL = f"""
+    WITH {_COOCCUR_EDGES_CTE},
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b AS u, a AS v FROM edges
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY 1),
+    adj AS (
+      SELECT u, und.v,
+             ROUND(1.0e0 / CAST(deg AS DOUBLE), 9) AS w
+      FROM und JOIN deg ON und.v = deg.v
+    ),
+    pairs AS (
+      SELECT l.u AS a, r.u AS b, COUNT(*) AS n_common,
+             SUM(CAST(l.w AS DECIMAL(28,9))) AS ra
+      FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+             AS jaccard,
+           CAST(da.deg AS BIGINT) * db.deg AS pref_attach,
+           ROUND(CAST(ra AS DOUBLE), 6) AS res_alloc
+    FROM pairs JOIN deg da ON pairs.a = da.v
+               JOIN deg db ON pairs.b = db.v
+"""
+
+@_q("q_link_scores", _LINK_SCORES_SQL)
+def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-prediction feature panel (common neighbors, Jaccard,
+    preferential attachment, resource allocation) over the user
+    co-occurrence graph — one wedge posting self-join plus broadcast
+    degree attaches."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction_scores,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=8,
+    )
+    return link_prediction_scores(edges)
+
+
+_TRANSITIVITY_SQL = f"""
+    WITH {_COOCCUR_EDGES_CTE},
+    canon AS (SELECT DISTINCT a AS u, b AS v FROM edges WHERE a < b),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM canon e1
+      JOIN canon e2 ON e2.u = e1.v
+      JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT u AS n FROM canon UNION ALL SELECT v AS n FROM canon
+    ),
+    deg AS (SELECT n, COUNT(*) AS deg FROM nodes GROUP BY 1),
+    st AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) / 2
+                  AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0 THEN ROUND(
+             3.0 * CAST(n_triangles AS DOUBLE)
+             / CAST(n_wedges AS DOUBLE), 6) END AS transitivity
+    FROM st CROSS JOIN tri
+"""
+
+@_q("q_transitivity", _TRANSITIVITY_SQL)
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the co-occurrence graph:
+    3 x triangles / wedges, triangles via the degree-ordered
+    orientation, wedges from one degree collapse."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        clustering_coefficient,
+        cooccurrence_edges,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=8,
+    )
+    return clustering_coefficient(edges)
+
+
+_ASSORTATIVITY_SQL = f"""
+    WITH {_COOCCUR_EDGES_CTE},
+    canon AS (SELECT DISTINCT a AS u, b AS v FROM edges WHERE a < b),
+    nodes AS (
+      SELECT u AS n FROM canon UNION ALL SELECT v AS n FROM canon
+    ),
+    deg AS (SELECT n, COUNT(*) AS deg FROM nodes GROUP BY 1),
+    ends AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM canon JOIN deg du ON canon.u = du.n
+                 JOIN deg dv ON canon.v = dv.n
+    ),
+    xy AS (
+      SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends
+    ),
+    mom AS (
+      SELECT COUNT(*) AS m,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m > 0
+                 AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m > 0
+           THEN ROUND(
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / m)
+             / sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx / m)
+                    * (CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy / m)), 6)
+           END AS assortativity
+    FROM mom
+"""
+
+@_q("q_assortativity", _ASSORTATIVITY_SQL)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-occurrence graph: Pearson
+    correlation of endpoint degrees over both edge directions."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_assortativity,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    edges = cooccurrence_edges(
+        ev,
+        key_col="user_id",
+        context_col=F.date_trunc("hour", F.col("ts")),
+        min_shared=8,
+    )
+    return degree_assortativity(edges)

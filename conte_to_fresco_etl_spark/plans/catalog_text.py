@@ -7359,3 +7359,52 @@ def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isNotNull()
     )
     return log_odds_tokens(docs, F.col("lang") == "en", top_k=30)
+
+
+_HELLINGER_SQL = f"""
+    WITH tok AS (
+      SELECT grp, tok FROM (
+        SELECT source AS grp, unnest({_sql_tokens('text')}) AS tok
+        FROM documents WHERE source IS NOT NULL
+      ) WHERE length(tok) > 0
+    ),
+    cells AS (SELECT grp, tok, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(cs) AS cq FROM cells GROUP BY 1),
+    tq AS (SELECT SUM(cq) AS nq FROM corpus),
+    ts_ AS (SELECT grp, SUM(cs) AS ns FROM cells GROUP BY 1),
+    j AS (
+      SELECT c.grp, ns,
+             CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+             CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE) AS q
+      FROM cells c JOIN corpus USING (tok) JOIN ts_ USING (grp)
+      CROSS JOIN tq
+    ),
+    per AS (
+      SELECT grp, MAX(ns) AS n_tokens,
+             SUM(CAST(ROUND(sqrt(p * q), 12) AS DECIMAL(38,12))) AS bc,
+             SUM(CAST(ROUND(abs(p - q), 12) AS DECIMAL(38,12)))
+               AS adiff_in,
+             SUM(CAST(ROUND(q, 12) AS DECIMAL(38,12))) AS q_cov
+      FROM j GROUP BY 1
+    )
+    SELECT grp AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(sqrt(GREATEST(0.0e0,
+                               1.0e0 - CAST(bc AS DOUBLE))), 6)
+             AS hellinger,
+           ROUND(0.5e0 * (CAST(adiff_in AS DOUBLE)
+                          + (1.0e0 - CAST(q_cov AS DOUBLE))), 6) AS tvd
+    FROM per
+"""
+
+
+@_q("q_hellinger_drift", _HELLINGER_SQL)
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger + total-variation distance of each source's unigram
+    distribution from the corpus — the f-divergence drift pair next
+    to q_js_sources, with the absent-token mass in closed form (no
+    dense source x vocabulary grid)."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        hellinger_tvd_by_group,
+    )
+
+    return hellinger_tvd_by_group(_t(spark, sf_dir, "documents"))

@@ -597,6 +597,21 @@ BNLJ_ALLOWED = {
     "q_record_linkage",         # per-field u-estimate (1-row broadcast)
     "q_t_closeness",            # value-domain spine + 1-row totals
     "q_pca_power",              # n / mean-vector / norm / trace (1-row each)
+    # r9 additions — every broadcast side below is structurally
+    # verified by _bnlj_unbounded_broadcasts (keys=[] aggregates,
+    # prefix-scan offsets tables, literal Ranges, or a registered
+    # bounded-domain pattern)
+    "q_exact_quantiles",        # total-count 1-row cross + offsets join
+    "q_weighted_median",        # total-weight 1-row selection join + offsets
+    "q_trimmed_mean",           # total-count 1-row cross + offsets join
+    "q_kruskal_wallis",         # n / tie-sum 1-row crosses + offsets join
+    "q_cramer_von_mises",       # group-total 1-row cross + offsets join
+    "q_theil_index",            # n/mean 1-row cross
+    "q_hellinger_drift",        # corpus-total 1-row cross
+    "q_kendall_w",              # item-spine broadcast (registered) + 1-row
+                                # moments/ties crosses
+    "q_rbo",                    # literal 50-row depth Range + 1-row count
+    "q_transitivity",           # triangle-total 1-row cross
 }
 
 
@@ -911,6 +926,9 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
     # recall probe: the <=250-doc id-capped pair sample (the literal
     # cap is pushed to the scan, so it shows in PushedFilters)
     "q_lsh_recall": ("LessThan(doc_id,250)",),
+    # Kendall-W item spine: the distinct (user_id % 20) buckets —
+    # a <= 20-row domain by construction
+    "q_kendall_w": ("keys=[__i#",),
 }
 
 

@@ -80,6 +80,17 @@ REGATE_R9: list[str] = [
     "q_link_scores",
     "q_transitivity",
     "q_assortativity",
+    # NEW r9: lexical richness / readability / diversity / ROUGE
+    "q_yule_k",
+    "q_readability",
+    "q_distinct_ngrams",
+    "q_rouge_pairs",
+    # NEW r9: experimentation (ratio metrics, DiD, planning)
+    "q_delta_method",
+    "q_diff_in_diff",
+    "q_power_analysis",
+    # NEW r9: SAX shape symbolization
+    "q_sax_symbols",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -119,6 +130,14 @@ PRIORITY: list[str] = [
     "q_link_scores",
     "q_transitivity",
     "q_assortativity",
+    "q_yule_k",
+    "q_readability",
+    "q_distinct_ngrams",
+    "q_rouge_pairs",
+    "q_delta_method",
+    "q_diff_in_diff",
+    "q_power_analysis",
+    "q_sax_symbols",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

@@ -4649,3 +4649,275 @@ def rank_biased_overlap(
         F.round(F.coalesce(F.col("__rbo").cast("double"), F.lit(0.0)), 6)
         .alias("rbo"),
     )
+
+
+def ratio_metric_delta(
+    df: DataFrame, unit_col: str, num_col, den_col
+) -> DataFrame:
+    """Delta-method inference for a ratio-of-means metric R = mean(Y)/
+    mean(X) over randomization units: Var(R) ~= (s_yy - 2R s_xy +
+    R^2 s_xx) / (n * mean(X)^2) — the correct SE for revenue-per-view
+    style metrics where per-unit Y and X are correlated and naive
+    per-event CIs are wrong.  Output — ONE row: ``(n_units, ratio, se,
+    ci_lo, ci_hi)`` (95% normal CI, ROUND 6; NULL when mean(X) == 0 or
+    n < 2).
+
+    Scale posture: ONE per-unit collapse (ROUND(6)-quantized Y and X),
+    then quantize-then-multiply decimal moment sums — the welch_ttest
+    discipline extended to the cross-moment."""
+    per = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.round(num_col, 6).alias("__y"),
+            F.round(den_col, 6).alias("__x"),
+        )
+    )
+    d6 = "decimal(18,6)"
+    mom = per.agg(
+        F.count("*").alias("n_units"),
+        F.sum(F.col("__y").cast(d6)).alias("__sy"),
+        F.sum(F.col("__x").cast(d6)).alias("__sx"),
+        F.sum(
+            (F.col("__y").cast(d6) * F.col("__y").cast(d6)).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__syy"),
+        F.sum(
+            (F.col("__x").cast(d6) * F.col("__x").cast(d6)).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__sxx"),
+        F.sum(
+            (F.col("__y").cast(d6) * F.col("__x").cast(d6)).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__sxy"),
+    )
+    n = F.col("n_units").cast("double")
+    my = F.col("__sy").cast("double") / n
+    mx = F.col("__sx").cast("double") / n
+    # sample (co)variances, ddof = 1
+    vyy = (F.col("__syy").cast("double") - n * my * my) / (n - F.lit(1.0))
+    vxx = (F.col("__sxx").cast("double") - n * mx * mx) / (n - F.lit(1.0))
+    vxy = (F.col("__sxy").cast("double") - n * my * mx) / (n - F.lit(1.0))
+    r = my / mx
+    var = (vyy - F.lit(2.0) * r * vxy + r * r * vxx) / (n * mx * mx)
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = (F.col("n_units") >= 2) & (mx != 0)
+    z = F.lit(1.959963984540054)
+    return mom.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.when(mx != 0, F.round(r, 6)).alias("ratio"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(r - z * se, 6)).alias("ci_lo"),
+        F.when(ok, F.round(r + z * se, 6)).alias("ci_hi"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame, treat, post, value_col: str
+) -> DataFrame:
+    """2x2 difference-in-differences: DiD = (T,post - T,pre) -
+    (C,post - C,pre) over cell means, with the normal-approximation
+    SE = sqrt(sum s_cell^2 / n_cell) — the pre-trend-adjusted effect
+    estimate for staged rollouts where plain post-only comparison
+    confounds with time.  Output — ONE row: ``(n, did, se, z_stat)``
+    (ROUND 6; NULL when any cell has n < 2 or the SE degenerates).
+
+    Scale posture: the corpus collapses to FOUR cells in one
+    map-combinable pass (quantize-then-square decimal moments); the
+    2x2 algebra runs on that 4-row table via conditional sums."""
+    vq = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            treat.cast("int").alias("__t"), post.cast("int").alias("__p")
+        )
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(vq).alias("__s"),
+            F.sum((vq * vq).cast("decimal(38,12)")).alias("__ss"),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (F.col("__ss").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    per = cells.select(
+        "__t",
+        "__p",
+        "__n",
+        F.round(mean, 9).alias("__m"),
+        F.round(var / nd, 12).alias("__vm"),  # variance of the cell mean
+    )
+
+    def pick(col, t, p):
+        return F.max(
+            F.when((F.col("__t") == t) & (F.col("__p") == p), F.col(col))
+        )
+
+    agg = per.agg(
+        F.sum("__n").alias("n"),
+        F.min("__n").alias("__minn"),
+        F.count("*").alias("__cells"),
+        (
+            (pick("__m", 1, 1) - pick("__m", 1, 0))
+            - (pick("__m", 0, 1) - pick("__m", 0, 0))
+        ).alias("__did"),
+        (
+            pick("__vm", 1, 1)
+            + pick("__vm", 1, 0)
+            + pick("__vm", 0, 1)
+            + pick("__vm", 0, 0)
+        ).alias("__var"),
+    )
+    ok = (
+        (F.col("__cells") == 4)
+        & (F.col("__minn") >= 2)
+        & (F.col("__var") > 0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("__cells") == 4, F.round(F.col("__did"), 6)).alias(
+            "did"
+        ),
+        F.when(ok, F.round(F.sqrt(F.col("__var")), 6)).alias("se"),
+        F.when(
+            ok, F.round(F.col("__did") / F.sqrt(F.col("__var")), 6)
+        ).alias("z_stat"),
+    )
+
+
+def power_analysis_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rel_mde: float = 0.05,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Required per-arm sample size for a two-sample z-test of each
+    group's metric at a relative MDE: n = 2 sigma^2 (z_a/2 + z_b)^2 /
+    delta^2 with delta = rel_mde * mean — the "how long must this
+    experiment run" table, per metric slice.  Output per group:
+    ``(group, n_obs, mean, sd, mde_abs, n_required)`` (ROUND 6;
+    n_required NULL when the mean is 0 or n < 2).
+
+    Scale posture: one map-combinable moment collapse per group
+    (quantize-then-square decimal discipline)."""
+    vq = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(vq).alias("__s"),
+            F.sum((vq * vq).cast("decimal(38,12)")).alias("__ss"),
+        )
+    )
+    nd = F.col("n_obs").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (F.col("__ss").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    delta = F.lit(float(rel_mde)) * mean
+    zsum = F.lit(float(z_alpha) + float(z_beta))
+    n_req = F.ceil(
+        F.lit(2.0) * var * zsum * zsum / (delta * delta)
+    )
+    ok = (F.col("n_obs") >= 2) & (mean != 0) & (var > 0)
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(mean, 6).alias("mean"),
+        F.when(F.col("n_obs") >= 2, F.round(F.sqrt(var), 6)).alias("sd"),
+        F.round(delta, 6).alias("mde_abs"),
+        F.when(ok, n_req.cast("long")).alias("n_required"),
+    )
+
+
+#: N(0,1) quartile breakpoints for the 4-letter SAX alphabet
+SAX_BREAKPOINTS_4 = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_symbols(
+    df: DataFrame, ts_col: str, value_col: str, n_segments: int = 8
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of the daily mean series:
+    z-normalize, Piecewise Aggregate Approximation into
+    ``n_segments``, then map each segment mean to the 4-letter
+    alphabet at the N(0,1) quartile breakpoints — the shape-index
+    that makes motif/anomaly search a string problem.  Output per
+    segment: ``(segment, n_days, paa, symbol)`` (ROUND 6; symbol 'b'
+    for a zero-variance series, z = 0 convention).
+
+    Scale posture: one daily collapse; the day index rides the
+    distributed prefix sum (house discipline — no global window);
+    moments are quantize-then-square decimal sums; PAA is a
+    segment-keyed collapse of ROUND(9) z-scores."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .persist()
+    )
+    idx = prefix_sums(
+        daily.withColumn("__one", F.lit(1)), "day", ["__one"]
+    ).select("day", "v", (F.col("cum___one") - 1).alias("__i"))
+    v6 = F.round(F.col("v"), 6).cast("decimal(18,6)")
+    mom = daily.agg(
+        F.count("*").alias("__n"),
+        F.sum(v6).alias("__s"),
+        F.sum((v6 * v6).cast("decimal(38,12)")).alias("__ss"),
+    )
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nd
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__ss").cast("double") / nd - mu * mu, F.lit(0.0)
+        )
+    )
+    z = F.when(sigma > 0, F.round((F.col("v") - mu) / sigma, 9)).otherwise(
+        F.lit(0.0)
+    )
+    seg = F.floor(
+        F.col("__i") * F.lit(int(n_segments)) / F.col("__n")
+    ).alias("segment")
+    paa = (
+        idx.join(broadcast(mom), F.lit(True))
+        .select(seg, z.alias("__z"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.sum(F.col("__z").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("paa"),
+        )
+    )
+    b1, b2, b3 = SAX_BREAKPOINTS_4
+    sym = (
+        F.when(F.col("paa") < F.lit(b1), F.lit("a"))
+        .when(F.col("paa") < F.lit(b2), F.lit("b"))
+        .when(F.col("paa") < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return paa.select(
+        F.col("segment").cast("long").alias("segment"),
+        F.col("n_days").cast("long").alias("n_days"),
+        "paa",
+        sym.alias("symbol"),
+    )

@@ -3243,3 +3243,309 @@ def hellinger_tvd_by_group(
         F.round(hell, 6).alias("hellinger"),
         F.round(tvd, 6).alias("tvd"),
     )
+
+
+def lexical_richness_by_group(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Classical lexical-richness panel per group: vocabulary size V,
+    hapax ratio V1/V, Guiraud's R = V/sqrt(N), and Yule's K =
+    10^4 (sum c_t^2 - N)/N^2 — the repetitiveness gauges a corpus
+    audit reads next to the Zipf slope (K is length-invariant, so
+    templated/bot text shows as high K at any size).  Output per
+    group: ``(group, n_tokens, vocab, hapax_ratio, guiraud_r,
+    yule_k)`` (ROUND 6).
+
+    Scale posture: ONE (group, token) count shuffle; every statistic
+    is an integer aggregate over it (exact at any scale)."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    tok = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(group_col).alias("__g"), F.col(text_col)
+            ).filter(F.col("__g").isNotNull()),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("__g", F.explode(tokens(F.col(text_col))).alias("__t"))
+        .filter(F.length("__t") > 0)
+    )
+    cells = tok.groupBy("__g", "__t").agg(F.count("*").alias("__c"))
+    per = cells.groupBy("__g").agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("__v"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__v1"),
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)")).alias(
+            "__c2"
+        ),
+    )
+    nd = F.col("__n").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__v").cast("long").alias("vocab"),
+        F.round(
+            F.col("__v1").cast("double") / F.col("__v").cast("double"), 6
+        ).alias("hapax_ratio"),
+        F.round(F.col("__v").cast("double") / F.sqrt(nd), 6).alias(
+            "guiraud_r"
+        ),
+        F.round(
+            F.lit(10000.0)
+            * (F.col("__c2").cast("double") - nd)
+            / (nd * nd),
+            6,
+        ).alias("yule_k"),
+    )
+
+
+def readability_by_group(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per group from a
+    deterministic, dependency-free syllable counter (per-word count of
+    ``[aeiouy]+`` vowel groups, minimum 1) and sentence counter
+    (``[.!?]+`` runs, minimum 1 per document) — the quality-filter
+    feature every readability-based curation recipe starts from, here
+    with BOTH engines computing the identical closed form.  Output per
+    group: ``(group, n_docs, words, sentences, syllables, flesch,
+    fk_grade)`` (ROUND 6).
+
+    Scale posture: entirely map-side per document (array expressions,
+    no UDF), one group collapse."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    toks = tokens(F.col(text_col))
+    base = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(group_col).alias("__g"), F.col(text_col)
+            ).filter(
+                F.col("__g").isNotNull() & F.col(text_col).isNotNull()
+            ),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select(
+            "__g",
+            F.size(toks).alias("__w"),
+            F.greatest(
+                F.lit(1),
+                F.size(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit("[.!?]+"), F.lit(0)
+                    )
+                ),
+            ).alias("__s"),
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, w: acc
+                + F.greatest(
+                    F.lit(1),
+                    F.size(
+                        F.regexp_extract_all(
+                            w, F.lit("[aeiouy]+"), F.lit(0)
+                        )
+                    ),
+                ),
+            ).alias("__y"),
+        )
+        .filter(F.col("__w") > 0)
+    )
+    per = base.groupBy("__g").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__w").alias("__ws"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__y").alias("__ys"),
+    )
+    wps = F.col("__ws").cast("double") / F.col("__ss").cast("double")
+    ypw = F.col("__ys").cast("double") / F.col("__ws").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("__ws").cast("long").alias("words"),
+        F.col("__ss").cast("long").alias("sentences"),
+        F.col("__ys").cast("long").alias("syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+def distinct_ngram_ratios(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Distinct-n diversity ratios (distinct n-grams / total n-grams,
+    n = 1..3) per group — the generation-diversity metric (Li et al.
+    2016's distinct-1/2) applied as a corpus audit: near-duplicate or
+    templated sources collapse the ratio long before exact dedup
+    fires.  Output per group: ``(group, total_1, distinct_1, ratio_1,
+    ..., ratio_3)`` (ROUND 6).
+
+    Scale posture: three (group, gram) count shuffles over map-side
+    gram emission (array expressions, no UDF); ratios from integer
+    aggregates."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.select(F.col(group_col).alias("__g"), F.col(text_col)).filter(
+            F.col("__g").isNotNull()
+        ),
+        DENSE_BYTES_PER_TASK,
+    ).select("__g", tokens(F.col(text_col)).alias("__t"))
+
+    def grams(n: int):
+        t = F.col("__t")
+        # guard: sequence(1, 0) DESCENDS — emit [] below n tokens
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(t, i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = None
+    for n in (1, 2, 3):
+        cnt = (
+            base.select("__g", F.explode(grams(n)).alias("__gram"))
+            .filter(F.length("__gram") > 0)
+            .groupBy("__g", "__gram")
+            .agg(F.count("*").alias("__c"))
+            .groupBy("__g")
+            .agg(
+                F.sum("__c").alias(f"total_{n}"),
+                F.count("*").alias(f"distinct_{n}"),
+            )
+        )
+        out = cnt if out is None else out.join(cnt, "__g", "left")
+    sel = [F.col("__g").alias(group_col)]
+    for n in (1, 2, 3):
+        t, d = F.col(f"total_{n}"), F.col(f"distinct_{n}")
+        sel += [
+            F.coalesce(t, F.lit(0)).cast("long").alias(f"total_{n}"),
+            F.coalesce(d, F.lit(0)).cast("long").alias(f"distinct_{n}"),
+            F.when(
+                t > 0,
+                F.round(d.cast("double") / t.cast("double"), 6),
+            ).alias(f"ratio_{n}"),
+        ]
+    return out.select(*sel)
+
+
+def rouge_recall_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_id: int = 60,
+) -> DataFrame:
+    """ROUGE-1 and ROUGE-2 recall of each document against its
+    predecessor id (candidate d vs reference d-1) over a bounded id
+    range — the n-gram recall metric summarization/distillation evals
+    report, here as the declared-query form of the clipped-count
+    machinery (token multiset intersection over ref totals).  Output:
+    ``(cand_id, ref_id, rouge1_recall, rouge2_recall)`` (ROUND 6;
+    0 when nothing overlaps, NULL when the reference side is empty).
+
+    Scale posture: per-doc n-gram count tables (map-side emission),
+    pair overlap via (gram, adjacent-id) equi-joins — the pair spine
+    is id-arithmetic, never a cross."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.filter(
+            F.col(id_col).isNotNull() & (F.col(id_col) < max_id)
+        ).select(F.col(id_col).alias("__d"), F.col(text_col)),
+        DENSE_BYTES_PER_TASK,
+    ).select("__d", tokens(F.col(text_col)).alias("__t"))
+
+    def gram_counts(n: int) -> DataFrame:
+        t = F.col("__t")
+        g = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            base.select("__d", F.explode(g).alias("__gram"))
+            .filter(F.length("__gram") > 0)
+            .groupBy("__d", "__gram")
+            .agg(F.count("*").alias("__c"))
+        )
+
+    ids = base.select("__d").distinct()
+    prev = ids.select((F.col("__d") + 1).alias("__d"))
+    spine = ids.join(prev, "__d").select(
+        F.col("__d").alias("cand_id"), (F.col("__d") - 1).alias("ref_id")
+    )
+    out = spine
+    for n, label in ((1, "rouge1_recall"), (2, "rouge2_recall")):
+        gc = gram_counts(n).localCheckpoint(eager=False)
+        cand = gc.select(
+            F.col("__d").alias("cand_id"),
+            F.col("__gram"),
+            F.col("__c").alias("__cc"),
+        )
+        ref = gc.select(
+            (F.col("__d") + 1).alias("cand_id"),
+            F.col("__gram"),
+            F.col("__c").alias("__rc"),
+        )
+        ov = (
+            cand.join(ref, ["cand_id", "__gram"])
+            .groupBy("cand_id")
+            .agg(
+                F.sum(F.least(F.col("__cc"), F.col("__rc"))).alias("__ov")
+            )
+        )
+        rt = gc.groupBy("__d").agg(F.sum("__c").alias("__rt")).select(
+            (F.col("__d") + 1).alias("cand_id"), "__rt"
+        )
+        out = (
+            out.join(ov, "cand_id", "left")
+            .join(rt, "cand_id", "left")
+            .withColumn(
+                label,
+                F.when(
+                    F.col("__rt") > 0,
+                    F.round(
+                        F.coalesce(F.col("__ov"), F.lit(0)).cast("double")
+                        / F.col("__rt").cast("double"),
+                        6,
+                    ),
+                ),
+            )
+            .drop("__ov", "__rt")
+        )
+    return out.select(
+        F.col("cand_id").cast("long").alias("cand_id"),
+        F.col("ref_id").cast("long").alias("ref_id"),
+        "rouge1_recall",
+        "rouge2_recall",
+    )

@@ -7702,3 +7702,253 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=8,
     )
     return degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------------
+# Experimentation additions (r9): delta method / DiD / power analysis
+# ---------------------------------------------------------------------------
+
+_DELTA_METHOD_SQL = """
+    WITH per AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 6)
+               AS y,
+             ROUND(CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                        ELSE 0 END) AS DOUBLE), 6) AS x
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(CAST(y AS DECIMAL(38,6))
+                      * CAST(y AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+               AS syy,
+             SUM(CAST(CAST(x AS DECIMAL(38,6))
+                      * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+               AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(38,6))
+                      * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+               AS sxy
+      FROM per
+    ),
+    c AS (
+      SELECT CAST(n AS BIGINT) AS n_units,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sy AS DOUBLE) / n AS my,
+             CAST(sx AS DOUBLE) / n AS mx,
+             (CAST(syy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n)
+                * (CAST(sy AS DOUBLE) / n)) / (n - 1.0) AS vyy,
+             (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n)
+                * (CAST(sx AS DOUBLE) / n)) / (n - 1.0) AS vxx,
+             (CAST(sxy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n)
+                * (CAST(sx AS DOUBLE) / n)) / (n - 1.0) AS vxy
+      FROM mom
+    )
+    SELECT n_units,
+           CASE WHEN mx <> 0 THEN ROUND(my / mx, 6) END AS ratio,
+           CASE WHEN n_units >= 2 AND mx <> 0 THEN ROUND(sqrt(GREATEST(
+             (vyy - 2.0 * (my / mx) * vxy
+              + (my / mx) * (my / mx) * vxx) / (nd * mx * mx), 0.0)), 6)
+           END AS se,
+           CASE WHEN n_units >= 2 AND mx <> 0 THEN ROUND(
+             my / mx - 1.959963984540054 * sqrt(GREATEST(
+               (vyy - 2.0 * (my / mx) * vxy
+                + (my / mx) * (my / mx) * vxx) / (nd * mx * mx), 0.0)), 6)
+           END AS ci_lo,
+           CASE WHEN n_units >= 2 AND mx <> 0 THEN ROUND(
+             my / mx + 1.959963984540054 * sqrt(GREATEST(
+               (vyy - 2.0 * (my / mx) * vxy
+                + (my / mx) * (my / mx) * vxx) / (nd * mx * mx), 0.0)), 6)
+           END AS ci_hi
+    FROM c
+"""
+
+@_q("q_delta_method", _DELTA_METHOD_SQL)
+def q_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method SE/CI for click-revenue-per-view over user units —
+    the correct ratio-metric inference (correlated per-unit numerator
+    and denominator), one per-unit collapse + decimal moments."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        ratio_metric_delta,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ratio_metric_delta(
+        ev,
+        "user_id",
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).cast("double"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("double"),
+    )
+
+
+_DID_SQL = """
+    WITH cells AS (
+      SELECT CAST(user_id % 2 = 0 AS INT) AS t,
+             CAST(day(ts) >= 16 AS INT) AS p,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                      AS DECIMAL(18,6))) AS s,
+             SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                           AS DECIMAL(38,6))
+                      * CAST(ROUND(CAST(value AS DOUBLE), 6)
+                             AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS ss
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT t, p, n,
+             ROUND(CAST(s AS DOUBLE) / n, 9) AS m,
+             ROUND(((CAST(ss AS DOUBLE)
+                     - n * (CAST(s AS DOUBLE) / n)
+                       * (CAST(s AS DOUBLE) / n)) / (n - 1.0)) / n, 12)
+               AS vm
+      FROM cells
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, MIN(n) AS minn, COUNT(*) AS ncells,
+             (MAX(CASE WHEN t = 1 AND p = 1 THEN m END)
+              - MAX(CASE WHEN t = 1 AND p = 0 THEN m END))
+             - (MAX(CASE WHEN t = 0 AND p = 1 THEN m END)
+                - MAX(CASE WHEN t = 0 AND p = 0 THEN m END)) AS did,
+             MAX(CASE WHEN t = 1 AND p = 1 THEN vm END)
+             + MAX(CASE WHEN t = 1 AND p = 0 THEN vm END)
+             + MAX(CASE WHEN t = 0 AND p = 1 THEN vm END)
+             + MAX(CASE WHEN t = 0 AND p = 0 THEN vm END) AS var
+      FROM per
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN ncells = 4 THEN ROUND(did, 6) END AS did,
+           CASE WHEN ncells = 4 AND minn >= 2 AND var > 0
+           THEN ROUND(sqrt(var), 6) END AS se,
+           CASE WHEN ncells = 4 AND minn >= 2 AND var > 0
+           THEN ROUND(did / sqrt(var), 6) END AS z_stat
+    FROM agg
+"""
+
+@_q("q_diff_in_diff", _DID_SQL)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences (treat = even user ids, post =
+    month day >= 16) with the four-cell normal SE — the corpus
+    collapses to 4 moment rows in one pass."""
+    from conte_to_fresco_etl_spark.operators.robust import diff_in_diff
+
+    ev = _events(spark, sf_dir)
+    return diff_in_diff(
+        ev.filter(F.col("user_id").isNotNull()),
+        (F.col("user_id") % 2) == 0,
+        F.dayofmonth(F.col("ts")) >= 16,
+        "value",
+    )
+
+
+_POWER_SQL = """
+    WITH per AS (
+      SELECT event_type AS g, COUNT(*) AS n_obs,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                      AS DECIMAL(18,6))) AS s,
+             SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                           AS DECIMAL(38,6))
+                      * CAST(ROUND(CAST(value AS DOUBLE), 6)
+                             AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS ss
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT g, n_obs,
+             CAST(s AS DOUBLE) / n_obs AS mean,
+             (CAST(ss AS DOUBLE) - n_obs * (CAST(s AS DOUBLE) / n_obs)
+                * (CAST(s AS DOUBLE) / n_obs)) / (n_obs - 1.0) AS var
+      FROM per
+    )
+    SELECT g AS event_type, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(mean, 6) AS mean,
+           CASE WHEN n_obs >= 2 THEN ROUND(sqrt(var), 6) END AS sd,
+           ROUND(0.05 * mean, 6) AS mde_abs,
+           CASE WHEN n_obs >= 2 AND mean <> 0 AND var > 0
+           THEN CAST(CEIL(2.0 * var
+                          * (1.959963984540054 + 0.8416212335729143)
+                          * (1.959963984540054 + 0.8416212335729143)
+                          / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
+           END AS n_required
+    FROM c
+"""
+
+@_q("q_power_analysis", _POWER_SQL)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric required sample size per arm (two-sided alpha 0.05,
+    power 0.8, 5% relative MDE) from one moment collapse — the "how
+    long must this test run" planning table."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        power_analysis_by_group,
+    )
+
+    return power_analysis_by_group(
+        _events(spark, sf_dir), "event_type", "value", rel_mde=0.05
+    )
+
+
+_SAX_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS s,
+             SUM(CAST(CAST(ROUND(v, 6) AS DECIMAL(38,6))
+                      * CAST(ROUND(v, 6) AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS ss
+      FROM daily
+    ),
+    z AS (
+      SELECT FLOOR(i * 8 / n) AS segment,
+             CASE WHEN sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n)
+                              * (CAST(s AS DOUBLE) / n), 0.0)) > 0
+             THEN ROUND((v - CAST(s AS DOUBLE) / n)
+                        / sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+                               - (CAST(s AS DOUBLE) / n)
+                                 * (CAST(s AS DOUBLE) / n), 0.0)), 9)
+             ELSE 0.0 END AS zv
+      FROM idx CROSS JOIN mom
+    ),
+    paa AS (
+      SELECT segment, COUNT(*) AS n_days,
+             ROUND(CAST(SUM(CAST(zv AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS paa
+      FROM z GROUP BY 1
+    )
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(n_days AS BIGINT) AS n_days, paa,
+           CASE WHEN paa < -0.6744897501960817 THEN 'a'
+                WHEN paa < 0.0 THEN 'b'
+                WHEN paa < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa
+"""
+
+@_q("q_sax_symbols", _SAX_SQL)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily mean series (8 PAA segments,
+    4-letter N(0,1)-quartile alphabet) — the shape string for motif
+    and anomaly search; day indices from the distributed prefix sum,
+    never a global window."""
+    from conte_to_fresco_etl_spark.operators.robust import sax_symbols
+
+    return sax_symbols(_events(spark, sf_dir), "ts", "value", n_segments=8)

@@ -7408,3 +7408,214 @@ def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hellinger_tvd_by_group(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical richness / readability / diversity / ROUGE (r9)
+# ---------------------------------------------------------------------------
+
+_YULE_SQL = f"""
+    WITH tok AS (
+      SELECT g, t FROM (
+        SELECT lang AS g, unnest({_sql_tokens('text')}) AS t
+        FROM documents WHERE lang IS NOT NULL
+      ) WHERE length(t) > 0
+    ),
+    cells AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT g, SUM(c) AS n, COUNT(*) AS v,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS c2
+      FROM cells GROUP BY 1
+    )
+    SELECT g AS lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           ROUND(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+             AS hapax_ratio,
+           ROUND(CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE)), 6)
+             AS guiraud_r,
+           ROUND(10000.0 * (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yule_k
+    FROM per
+"""
+
+@_q("q_yule_k", _YULE_SQL)
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness panel per language: vocabulary, hapax ratio,
+    Guiraud R, Yule's K — the length-invariant repetitiveness gauges,
+    one (lang, token) count shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        lexical_richness_by_group,
+    )
+
+    return lexical_richness_by_group(_t(spark, sf_dir, "documents"))
+
+
+_READABILITY_SQL = f"""
+    WITH base AS (
+      SELECT lang AS g,
+             len({_sql_tokens('text')}) AS w,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+             list_sum(list_transform({_sql_tokens('text')},
+                 x -> GREATEST(1, len(regexp_extract_all(x,
+                                                         '[aeiouy]+')))))
+               AS y
+      FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    ),
+    per AS (
+      SELECT g, COUNT(*) AS n_docs, SUM(w) AS ws, SUM(s) AS ss,
+             SUM(y) AS ys
+      FROM base WHERE w > 0 GROUP BY 1
+    )
+    SELECT g AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ws AS BIGINT) AS words, CAST(ss AS BIGINT) AS sentences,
+           CAST(ys AS BIGINT) AS syllables,
+           ROUND(206.835 - 1.015 * (CAST(ws AS DOUBLE) / ss)
+                 - 84.6 * (CAST(ys AS DOUBLE) / ws), 6) AS flesch,
+           ROUND(0.39 * (CAST(ws AS DOUBLE) / ss)
+                 + 11.8 * (CAST(ys AS DOUBLE) / ws) - 15.59, 6)
+             AS fk_grade
+    FROM per
+"""
+
+@_q("q_readability", _READABILITY_SQL)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per language from
+    the deterministic vowel-group syllable counter — map-side array
+    expressions, one group collapse, identical closed form in both
+    engines."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        readability_by_group,
+    )
+
+    return readability_by_group(_t(spark, sf_dir, "documents"))
+
+
+def _sql_grams(n: int) -> str:
+    toks = _sql_tokens("text")
+    if n == 1:
+        return f"unnest({toks})"
+    joined = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                                for j in range(n))
+    return (
+        f"unnest(CASE WHEN len(toks) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {joined}) END)"
+    )
+
+
+_DISTINCT_NGRAMS_SQL = f"""
+    WITH t AS (
+      SELECT source AS g, {_sql_tokens('text')} AS toks
+      FROM documents WHERE source IS NOT NULL
+    ),
+    g1 AS (
+      SELECT g, SUM(c) AS total_1, COUNT(*) AS distinct_1 FROM (
+        SELECT g, gram, COUNT(*) AS c FROM (
+          SELECT g, unnest(toks) AS gram FROM t
+        ) WHERE length(gram) > 0 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    g2 AS (
+      SELECT g, SUM(c) AS total_2, COUNT(*) AS distinct_2 FROM (
+        SELECT g, gram, COUNT(*) AS c FROM (
+          SELECT g, {_sql_grams(2).replace("unnest(CASE", "unnest(CASE").replace(_sql_tokens('text'), 'toks')} AS gram FROM t
+        ) WHERE length(gram) > 0 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    g3 AS (
+      SELECT g, SUM(c) AS total_3, COUNT(*) AS distinct_3 FROM (
+        SELECT g, gram, COUNT(*) AS c FROM (
+          SELECT g, {_sql_grams(3).replace(_sql_tokens('text'), 'toks')} AS gram FROM t
+        ) WHERE length(gram) > 0 GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT g1.g AS source,
+           CAST(COALESCE(total_1, 0) AS BIGINT) AS total_1,
+           CAST(COALESCE(distinct_1, 0) AS BIGINT) AS distinct_1,
+           CASE WHEN total_1 > 0 THEN ROUND(
+             CAST(distinct_1 AS DOUBLE) / total_1, 6) END AS ratio_1,
+           CAST(COALESCE(total_2, 0) AS BIGINT) AS total_2,
+           CAST(COALESCE(distinct_2, 0) AS BIGINT) AS distinct_2,
+           CASE WHEN total_2 > 0 THEN ROUND(
+             CAST(distinct_2 AS DOUBLE) / total_2, 6) END AS ratio_2,
+           CAST(COALESCE(total_3, 0) AS BIGINT) AS total_3,
+           CAST(COALESCE(distinct_3, 0) AS BIGINT) AS distinct_3,
+           CASE WHEN total_3 > 0 THEN ROUND(
+             CAST(distinct_3 AS DOUBLE) / total_3, 6) END AS ratio_3
+    FROM g1 LEFT JOIN g2 USING (g) LEFT JOIN g3 USING (g)
+"""
+
+@_q("q_distinct_ngrams", _DISTINCT_NGRAMS_SQL)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity ratios per source — the generation-
+    diversity audit (templated sources collapse the ratio before
+    exact dedup fires); map-side gram emission, integer aggregates."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        distinct_ngram_ratios,
+    )
+
+    return distinct_ngram_ratios(_t(spark, sf_dir, "documents"))
+
+
+_ROUGE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS d, {_sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id < 60
+    ),
+    ids AS (SELECT DISTINCT d FROM base),
+    spine AS (
+      SELECT a.d AS cand_id, a.d - 1 AS ref_id
+      FROM ids a JOIN ids b ON a.d = b.d + 1
+    ),
+    gc1 AS (
+      SELECT d, gram, COUNT(*) AS c FROM (
+        SELECT d, unnest(toks) AS gram FROM base
+      ) WHERE length(gram) > 0 GROUP BY 1, 2
+    ),
+    gc2 AS (
+      SELECT d, gram, COUNT(*) AS c FROM (
+        SELECT d, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         END) AS gram
+        FROM base
+      ) WHERE length(gram) > 0 GROUP BY 1, 2
+    ),
+    ov1 AS (
+      SELECT c1.d AS cand_id, SUM(LEAST(c1.c, r1.c)) AS ov
+      FROM gc1 c1 JOIN gc1 r1 ON c1.gram = r1.gram AND c1.d = r1.d + 1
+      GROUP BY 1
+    ),
+    rt1 AS (SELECT d + 1 AS cand_id, SUM(c) AS rt FROM gc1 GROUP BY 1),
+    ov2 AS (
+      SELECT c2.d AS cand_id, SUM(LEAST(c2.c, r2.c)) AS ov
+      FROM gc2 c2 JOIN gc2 r2 ON c2.gram = r2.gram AND c2.d = r2.d + 1
+      GROUP BY 1
+    ),
+    rt2 AS (SELECT d + 1 AS cand_id, SUM(c) AS rt FROM gc2 GROUP BY 1)
+    SELECT s.cand_id, s.ref_id,
+           CASE WHEN rt1.rt > 0 THEN ROUND(
+             CAST(COALESCE(ov1.ov, 0) AS DOUBLE) / rt1.rt, 6) END
+             AS rouge1_recall,
+           CASE WHEN rt2.rt > 0 THEN ROUND(
+             CAST(COALESCE(ov2.ov, 0) AS DOUBLE) / rt2.rt, 6) END
+             AS rouge2_recall
+    FROM spine s
+    LEFT JOIN ov1 ON s.cand_id = ov1.cand_id
+    LEFT JOIN rt1 ON s.cand_id = rt1.cand_id
+    LEFT JOIN ov2 ON s.cand_id = ov2.cand_id
+    LEFT JOIN rt2 ON s.cand_id = rt2.cand_id
+"""
+
+@_q("q_rouge_pairs", _ROUGE_SQL)
+def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 recall of each document against its predecessor over
+    a bounded id range — clipped n-gram counts, adjacent-id equi-join
+    pair spine (never a cross)."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        rouge_recall_pairs,
+    )
+
+    return rouge_recall_pairs(_t(spark, sf_dir, "documents"), max_id=60)

@@ -612,6 +612,7 @@ BNLJ_ALLOWED = {
                                 # moments/ties crosses
     "q_rbo",                    # literal 50-row depth Range + 1-row count
     "q_transitivity",           # triangle-total 1-row cross
+    "q_sax_symbols",            # z-moment 1-row cross + offsets join
 }
 
 

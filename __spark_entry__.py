@@ -91,6 +91,15 @@ REGATE_R9: list[str] = [
     "q_power_analysis",
     # NEW r9: SAX shape symbolization
     "q_sax_symbols",
+    # NEW r9 batch 3: scale/trend/drift/white-noise tests, R/S,
+    # one-sample KS, vocabulary coverage
+    "q_ansari_bradley",
+    "q_jonckheere",
+    "q_page_hinkley",
+    "q_ljung_box",
+    "q_ks_uniform",
+    "q_hurst_exponent",
+    "q_vocab_coverage",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -138,6 +147,13 @@ PRIORITY: list[str] = [
     "q_diff_in_diff",
     "q_power_analysis",
     "q_sax_symbols",
+    "q_ansari_bradley",
+    "q_jonckheere",
+    "q_page_hinkley",
+    "q_ljung_box",
+    "q_ks_uniform",
+    "q_hurst_exponent",
+    "q_vocab_coverage",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

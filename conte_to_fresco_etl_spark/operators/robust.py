@@ -4921,3 +4921,482 @@ def sax_symbols(
         "paa",
         sym.alias("symbol"),
     )
+
+
+def ansari_bradley(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test: with pooled midranks m,
+    each observation scores min(m, N+1-m) (small at the extremes,
+    large in the middle), W = sum of group A's scores — a dispersion
+    difference shifts W even when locations agree (the scale sibling
+    of Mann-Whitney).  Normal approximation with the standard no-tie
+    moments (even/odd N forms).  Output — ONE row: ``(n_a, n_b,
+    w_stat, z_stat)`` (ROUND 6; NULL z below 2 per side or degenerate
+    variance).
+
+    Scale posture: midranks from the distributed prefix sum over the
+    pooled value marginal, scores carried DOUBLED as integers (exact
+    under any tie structure); one 1-row moment cross."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).alias("__v"),
+    )
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    cum = prefix_sums(marg, "__v", ["__ca", "__cb"], prefix="__cm_")
+    tot = vals.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("n_b"),
+    )
+    j = cum.join(broadcast(tot), F.lit(True))
+    n = F.col("n_a") + F.col("n_b")
+    tn = F.col("__ca") + F.col("__cb")
+    cumt = F.col("__cm___ca") + F.col("__cm___cb")
+    m2 = F.lit(2) * (cumt - tn) + tn + F.lit(1)  # doubled midrank
+    score2 = F.least(m2, F.lit(2) * (n + 1) - m2)  # doubled AB score
+    w2 = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(
+            (F.col("__ca").cast("decimal(38,0)") * score2).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__w2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = na + nb
+    w = F.col("__w2").cast("double") / F.lit(2.0)
+    even = (F.col("n_a") + F.col("n_b")) % 2 == 0
+    e_w = F.when(even, na * (nd + 2) / F.lit(4.0)).otherwise(
+        na * (nd + 1) * (nd + 1) / (F.lit(4.0) * nd)
+    )
+    var_w = F.when(
+        even,
+        na * nb * (nd + 2) * (nd - 2) / (F.lit(48.0) * (nd - 1)),
+    ).otherwise(
+        na * nb * (nd + 1) * (F.lit(3.0) + nd * nd)
+        / (F.lit(48.0) * nd * nd)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (var_w > 0)
+    return w2.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(w, 6).alias("w_stat"),
+        F.when(ok, F.round((w - e_w) / F.sqrt(var_w), 6)).alias("z_stat"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, group_order, value_col: str, k_groups: int
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test across k
+    ORDERED groups: J = sum over group pairs i < j of the
+    Mann-Whitney count U_ij (#{a in i, b in j : a < b} + ties/2) —
+    strictly more powerful than Kruskal-Wallis when the hypothesis is
+    monotone ("the metric rises with the dose/bucket").  Normal
+    approximation with the standard no-tie moments.  Output — ONE
+    row: ``(n, j_stat, z_stat)`` (ROUND 6).
+
+    Scale posture: per-group counts AND per-group cumulative counts
+    ride ONE distributed prefix scan of the pooled value marginal;
+    J is assembled from the k(k-1)/2 unrolled pair terms as exact
+    doubled integers; group sizes are a k-row collapse."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & group_order.isNotNull()
+    ).select(
+        group_order.cast("int").alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    ccols = [f"__c{g}" for g in range(k_groups)]
+    marg = vals.groupBy("__v").agg(
+        *[
+            F.sum(F.when(F.col("__g") == g, 1).otherwise(0)).alias(c)
+            for g, c in enumerate(ccols)
+        ]
+    )
+    cum = prefix_sums(marg, "__v", ccols, prefix="__cm_")
+    # doubled U contribution at value v for pair (i, j):
+    # 2*c_j*(cum_i - c_i)  (strictly-less)  +  c_j*c_i  (ties)
+    terms = []
+    for i in range(k_groups):
+        for jg in range(i + 1, k_groups):
+            ci, cj = F.col(f"__c{i}"), F.col(f"__c{jg}")
+            lt = F.col(f"__cm___c{i}") - ci
+            terms.append(
+                (F.lit(2) * cj * lt + cj * ci).cast("decimal(38,0)")
+            )
+    j2 = cum.agg(
+        F.sum(sum(terms[1:], terms[0])).alias("__j2")
+    )
+    sizes = vals.groupBy("__g").agg(F.count("*").alias("__ng"))
+    mom = sizes.agg(
+        F.sum("__ng").alias("n"),
+        F.sum(
+            (F.col("__ng").cast("decimal(38,0)") * F.col("__ng")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__sn2"),
+        F.sum(
+            (
+                F.col("__ng").cast("decimal(38,0)")
+                * F.col("__ng")
+                * (F.lit(2) * F.col("__ng") + 3)
+            ).cast("decimal(38,0)")
+        ).alias("__sn23"),
+    )
+    out = j2.join(broadcast(mom), F.lit(True))
+    nd = F.col("n").cast("double")
+    jstat = F.col("__j2").cast("double") / F.lit(2.0)
+    e_j = (nd * nd - F.col("__sn2").cast("double")) / F.lit(4.0)
+    var_j = (
+        nd * nd * (F.lit(2.0) * nd + 3)
+        - F.col("__sn23").cast("double")
+    ) / F.lit(72.0)
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(jstat, 6).alias("j_stat"),
+        F.when(
+            var_j > 0, F.round((jstat - e_j) / F.sqrt(var_j), 6)
+        ).alias("z_stat"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame, ts_col: str, value_col: str, delta: float = 0.005
+) -> DataFrame:
+    """Page-Hinkley drift statistic over the daily mean series:
+    m_t = sum_{i<=t}(x_i - mean - delta), PH = max_t (m_t - min_{i<=t}
+    m_i) — the classical sequential upward-drift detector (alarm when
+    PH exceeds lambda); reported here as the max over the series with
+    its day.  Output — ONE row: ``(n_days, ph_stat, at_day)``
+    (ROUND 6).
+
+    Scale posture: one daily collapse, a 1-row mean cross, cumulative
+    sums AND the running minimum both on the distributed prefix
+    machinery (prefix_sums + prefix_max on the negated series), the
+    argmax a TakeOrdered(1)."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_max, prefix_sums
+
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .persist()
+    )
+    mu = daily.agg(
+        F.round(
+            F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("__mu"),
+        F.count("*").alias("n_days"),
+    )
+    dev = daily.join(broadcast(mu), F.lit(True)).select(
+        "day",
+        "n_days",
+        F.round(
+            F.col("v") - F.col("__mu") - F.lit(float(delta)), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("__d"),
+    )
+    m = prefix_sums(dev, "day", ["__d"]).select(
+        "day", "n_days", F.col("cum___d").alias("__m")
+    )
+    runmin = prefix_max(
+        m.withColumn("__neg", (-F.col("__m")).cast("decimal(38,9)")),
+        "day",
+        "__neg",
+        out_col="__negmin",
+    )
+    ph = runmin.select(
+        "day",
+        "n_days",
+        (F.col("__m").cast("double") + F.col("__negmin").cast("double"))
+        .alias("__ph"),
+    )
+    top = ph.orderBy(
+        F.col("__ph").desc(), F.col("day").asc()
+    ).limit(1)
+    return top.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("__ph"), 6).alias("ph_stat"),
+        F.col("day").alias("at_day"),
+    )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    mean series: for each block size w, average R/S over consecutive
+    w-day blocks (R = range of within-block cumulative deviations,
+    S = population std), then H = the log2-log2 least-squares slope —
+    H > 0.5 long-range persistence, < 0.5 mean reversion.  Output per
+    block size plus the fitted H repeated: ``(w, n_blocks, mean_rs,
+    hurst)`` (ROUND 6; blocks with zero variance drop).
+
+    Scale posture: ONE day-index prefix scan; per-(w, block)
+    cumulative deviations ride windows PARTITIONED by block (w-row
+    partitions); the regression runs on |block_sizes| rows."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+        .persist()
+    )
+    idx = prefix_sums(
+        daily.withColumn("__one", F.lit(1)), "day", ["__one"]
+    ).select("day", "v", (F.col("cum___one") - 1).alias("__i"))
+    idx = idx.localCheckpoint(eager=False)
+    per_w = []
+    for w in block_sizes:
+        blk = idx.select(
+            F.floor(F.col("__i") / w).alias("__b"),
+            F.col("__i").alias("__t"),
+            "v",
+        )
+        sizes = blk.groupBy("__b").agg(
+            F.count("*").alias("__bn"),
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                9,
+            ).alias("__bm"),
+            F.sum(
+                (
+                    F.round(F.col("v"), 6).cast("decimal(18,6)")
+                    * F.round(F.col("v"), 6).cast("decimal(18,6)")
+                ).cast("decimal(38,12)")
+            ).alias("__bss"),
+        ).filter(F.col("__bn") == w)  # full blocks only
+        joined = blk.join(broadcast(sizes), "__b")
+        wcum = (
+            Window.partitionBy("__b")
+            .orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cumdev = joined.select(
+            "__b",
+            "__bn",
+            "__bm",
+            "__bss",
+            F.sum(
+                F.round(F.col("v") - F.col("__bm"), 9).cast(
+                    "decimal(38,9)"
+                )
+            )
+            .over(wcum)
+            .alias("__cd"),
+        )
+        rs = (
+            cumdev.groupBy("__b")
+            .agg(
+                F.max("__bn").alias("__bn"),
+                F.max("__bm").alias("__bm"),
+                F.max("__bss").alias("__bss"),
+                (
+                    F.max(F.col("__cd")).cast("double")
+                    - F.min(F.col("__cd")).cast("double")
+                ).alias("__r"),
+            )
+            .select(
+                "__b",
+                "__r",
+                F.sqrt(
+                    F.greatest(
+                        F.col("__bss").cast("double") / F.col("__bn")
+                        - F.col("__bm") * F.col("__bm"),
+                        F.lit(0.0),
+                    )
+                ).alias("__s"),
+            )
+            .filter(F.col("__s") > 0)
+        )
+        per_w.append(
+            rs.agg(
+                F.lit(int(w)).cast("long").alias("w"),
+                F.count("*").alias("n_blocks"),
+                F.round(
+                    F.sum(
+                        F.round(F.col("__r") / F.col("__s"), 9).cast(
+                            "decimal(38,9)"
+                        )
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mean_rs"),
+            )
+        )
+    pts = per_w[0]
+    for p in per_w[1:]:
+        pts = pts.unionByName(p)
+    pts = pts.filter(F.col("mean_rs") > 0).localCheckpoint(eager=False)
+    lg2 = F.log(F.lit(2.0))
+    mom = pts.agg(
+        F.count("*").alias("__k"),
+        F.sum(
+            F.round(F.log(F.col("w").cast("double")) / lg2, 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__sx"),
+        F.sum(
+            F.round(F.log(F.col("mean_rs")) / lg2, 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__sy"),
+        F.sum(
+            F.round(
+                (F.log(F.col("w").cast("double")) / lg2)
+                * (F.log(F.col("mean_rs")) / lg2),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__sxy"),
+        F.sum(
+            F.round(
+                (F.log(F.col("w").cast("double")) / lg2)
+                * (F.log(F.col("w").cast("double")) / lg2),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__sxx"),
+    )
+    kd = F.col("__k").cast("double")
+    slope = (
+        F.col("__sxy").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sy").cast("double") / kd
+    ) / (
+        F.col("__sxx").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx").cast("double") / kd
+    )
+    return pts.join(broadcast(mom), F.lit(True)).select(
+        "w",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "mean_rs",
+        F.when(F.col("__k") >= 2, F.round(slope, 6)).alias("hurst"),
+    )
+
+
+def ljung_box(
+    df: DataFrame, ts_col: str, value_col: str, h: int = 5
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on the daily mean
+    series: Q = n(n+2) sum_{k=1..h} acf_k^2 / (n-k) — "is there ANY
+    autocorrelation structure left", the residual-diagnostic
+    complement to the per-lag [[q_acf]].  Output — ONE row: ``(n, h,
+    q_stat)`` (ROUND 6; NULL when n <= h).
+
+    Scale posture: rides `gapfill.autocorrelation` (one ordered
+    window over the days-sized collapse producing all h lags); the Q
+    assembly is an h-row collapse of ROUND(12) decimal terms."""
+    from conte_to_fresco_etl_spark.operators.gapfill import autocorrelation
+
+    day = F.date_trunc("day", F.col(ts_col))
+    vq = F.col(value_col).cast("decimal(18,4)")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(vq).cast("double") / F.count("*").cast("double"), 6
+            ).alias("v")
+        )
+    )
+    rho = autocorrelation(daily, "day", "v", max_lag=h)
+    # n recovers exactly from any row: n_pairs(L) = n - L
+    agg = rho.agg(
+        F.max(F.col("n_pairs") + F.col("lag")).alias("n"),
+        F.count("*").alias("h"),
+        F.sum(
+            F.round(
+                F.col("acf") * F.col("acf")
+                / F.col("n_pairs").cast("double"),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__s"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("h").cast("long").alias("h"),
+        F.when(
+            F.col("n") > F.col("h"),
+            F.round(
+                nd * (nd + F.lit(2.0)) * F.col("__s").cast("double"), 6
+            ),
+        ).alias("q_stat"),
+    )
+
+
+def ks_uniform(
+    df: DataFrame, value_col: str, lo: float, hi: float
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov statistic against U(lo, hi):
+    D = sup_x |F_n(x) - F(x)| evaluated at both sides of every ECDF
+    step (the sup is attained at a step) — the goodness-of-fit
+    companion to the two-sample [[q_ks_test]].  Output — ONE row:
+    ``(n, d_stat, at_value)`` (ROUND 6).
+
+    Scale posture: the ECDF rides ONE distributed prefix scan of the
+    value marginal; the sup is a TakeOrdered(1) over marginal rows."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v")
+    )
+    marg = vals.groupBy("__v").agg(F.count("*").alias("__c"))
+    cum = prefix_sums(marg, "__v", ["__c"], prefix="__cm_")
+    tot = vals.agg(F.count("*").alias("n"))
+    span = float(hi) - float(lo)
+    cdf = F.least(
+        F.greatest(
+            (F.col("__v") - F.lit(float(lo))) / F.lit(span), F.lit(0.0)
+        ),
+        F.lit(1.0),
+    )
+    nd = F.col("n").cast("double")
+    gap = F.greatest(
+        F.abs(F.col("__cm___c").cast("double") / nd - cdf),
+        F.abs((F.col("__cm___c") - F.col("__c")).cast("double") / nd - cdf),
+    )
+    scored = cum.join(broadcast(tot), F.lit(True)).select(
+        "n", F.round(gap, 9).alias("__d"), F.col("__v")
+    )
+    top = scored.orderBy(
+        F.col("__d").desc(), F.col("__v").asc()
+    ).limit(1)
+    return top.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__d"), 6).alias("d_stat"),
+        F.col("__v").alias("at_value"),
+    )

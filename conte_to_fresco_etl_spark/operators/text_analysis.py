@@ -3549,3 +3549,56 @@ def rouge_recall_pairs(
         "rouge1_recall",
         "rouge2_recall",
     )
+
+
+def vocabulary_coverage_by_group(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-coverage estimators per group: Chao1 richness
+    (bias-corrected, V + V1(V1-1)/(2(V2+1)) — how many types exist
+    that we have NOT crawled yet) and the Good-Turing unseen mass
+    P0 = V1/N (the probability the NEXT token is a new type) — the
+    "is more crawling worth it" pair next to [[q_vocab_growth]]'s
+    Heaps curve.  Output per group: ``(group, n_tokens, vocab, v1,
+    v2, chao1, unseen_mass, coverage)`` (ROUND 6).
+
+    Scale posture: ONE (group, token) count shuffle; every estimator
+    is an integer aggregate over it."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    tok = (
+        ensure_min_parallelism(
+            df.select(
+                F.col(group_col).alias("__g"), F.col(text_col)
+            ).filter(F.col("__g").isNotNull()),
+            DENSE_BYTES_PER_TASK,
+        )
+        .select("__g", F.explode(tokens(F.col(text_col))).alias("__t"))
+        .filter(F.length("__t") > 0)
+    )
+    cells = tok.groupBy("__g", "__t").agg(F.count("*").alias("__c"))
+    per = cells.groupBy("__g").agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("__v"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__v1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("__v2"),
+    )
+    v1d = F.col("__v1").cast("double")
+    chao1 = F.col("__v").cast("double") + v1d * (v1d - 1) / (
+        F.lit(2.0) * (F.col("__v2").cast("double") + 1)
+    )
+    p0 = v1d / F.col("__n").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__v").cast("long").alias("vocab"),
+        F.col("__v1").cast("long").alias("v1"),
+        F.col("__v2").cast("long").alias("v2"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(p0, 6).alias("unseen_mass"),
+        F.round(F.lit(1.0) - p0, 6).alias("coverage"),
+    )

@@ -7952,3 +7952,361 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.robust import sax_symbols
 
     return sax_symbols(_events(spark, sf_dir), "ts", "value", n_segments=8)
+
+
+# ---------------------------------------------------------------------------
+# Batch-3 additions (r9): scale/trend/drift tests, R/S, white-noise,
+# one-sample KS
+# ---------------------------------------------------------------------------
+
+_ANSARI_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'click' AS isa, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             SUM(ca + cb) OVER (ORDER BY v) AS cumt
+      FROM marg
+    ),
+    t AS (
+      SELECT SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b
+      FROM vals
+    ),
+    w AS (
+      SELECT SUM(CAST(ca AS DECIMAL(38,0))
+                 * LEAST(2 * (cumt - (ca + cb)) + (ca + cb) + 1,
+                         2 * (t.n_a + t.n_b + 1)
+                         - (2 * (cumt - (ca + cb)) + (ca + cb) + 1)))
+               AS w2
+      FROM c, t
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           ROUND(CAST(w2 AS DOUBLE) / 2.0, 6) AS w_stat,
+           CASE WHEN t.n_a >= 2 AND t.n_b >= 2 THEN
+             CASE WHEN (t.n_a + t.n_b) % 2 = 0 THEN ROUND(
+               (CAST(w2 AS DOUBLE) / 2.0
+                - CAST(t.n_a AS DOUBLE) * (t.n_a + t.n_b + 2) / 4.0)
+               / sqrt(CAST(t.n_a AS DOUBLE) * t.n_b
+                      * (t.n_a + t.n_b + 2) * (t.n_a + t.n_b - 2)
+                      / (48.0 * (t.n_a + t.n_b - 1))), 6)
+             ELSE ROUND(
+               (CAST(w2 AS DOUBLE) / 2.0
+                - CAST(t.n_a AS DOUBLE) * (t.n_a + t.n_b + 1)
+                  * (t.n_a + t.n_b + 1) / (4.0 * (t.n_a + t.n_b)))
+               / sqrt(CAST(t.n_a AS DOUBLE) * t.n_b * (t.n_a + t.n_b + 1)
+                      * (3.0 + CAST(t.n_a + t.n_b AS DOUBLE)
+                         * (t.n_a + t.n_b))
+                      / (48.0 * CAST(t.n_a + t.n_b AS DOUBLE)
+                         * (t.n_a + t.n_b))), 6)
+             END
+           END AS z_stat
+    FROM w, t
+"""
+
+@_q("q_ansari_bradley", _ANSARI_SQL)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test (click vs view): dispersion
+    difference via doubled-integer AB scores on the prefix-sum
+    midranks."""
+    from conte_to_fresco_etl_spark.operators.robust import ansari_bradley
+
+    return ansari_bradley(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+_JONCKHEERE_SQL = """
+    WITH vals AS (
+      SELECT CAST(FLOOR(hour(ts) / 6) AS INT) AS g, value AS v
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS c3
+      FROM vals GROUP BY v
+    ),
+    c AS (
+      SELECT v, c0, c1, c2, c3,
+             SUM(c0) OVER (ORDER BY v) AS m0,
+             SUM(c1) OVER (ORDER BY v) AS m1,
+             SUM(c2) OVER (ORDER BY v) AS m2,
+             SUM(c3) OVER (ORDER BY v) AS m3
+      FROM marg
+    ),
+    j AS (
+      SELECT SUM(CAST(2 * c1 * (m0 - c0) + c1 * c0 AS DECIMAL(38,0))
+                 + CAST(2 * c2 * (m0 - c0) + c2 * c0 AS DECIMAL(38,0))
+                 + CAST(2 * c3 * (m0 - c0) + c3 * c0 AS DECIMAL(38,0))
+                 + CAST(2 * c2 * (m1 - c1) + c2 * c1 AS DECIMAL(38,0))
+                 + CAST(2 * c3 * (m1 - c1) + c3 * c1 AS DECIMAL(38,0))
+                 + CAST(2 * c3 * (m2 - c2) + c3 * c2 AS DECIMAL(38,0)))
+               AS j2
+      FROM c
+    ),
+    mom AS (
+      SELECT SUM(ng) AS n,
+             SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS sn2,
+             SUM(CAST(ng AS DECIMAL(38,0)) * ng * (2 * ng + 3)) AS sn23
+      FROM (SELECT g, COUNT(*) AS ng FROM vals GROUP BY g)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(j2 AS DOUBLE) / 2.0, 6) AS j_stat,
+           CASE WHEN (CAST(n AS DOUBLE) * n * (2.0 * n + 3)
+                      - CAST(sn23 AS DOUBLE)) / 72.0 > 0
+           THEN ROUND(
+             (CAST(j2 AS DOUBLE) / 2.0
+              - (CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 4.0)
+             / sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3)
+                     - CAST(sn23 AS DOUBLE)) / 72.0), 6)
+           END AS z_stat
+    FROM j, mom
+"""
+
+@_q("q_jonckheere", _JONCKHEERE_SQL)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend across the four time-of-day
+    buckets — pairwise Mann-Whitney counts assembled from ONE
+    prefix scan of the pooled value marginal."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        jonckheere_terpstra,
+    )
+
+    return jonckheere_terpstra(
+        _events(spark, sf_dir),
+        F.floor(F.hour(F.col("ts")) / 6),
+        "value",
+        k_groups=4,
+    )
+
+
+_PAGE_HINKLEY_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    mu AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*), 6) AS mu,
+             COUNT(*) AS n_days
+      FROM daily
+    ),
+    m AS (
+      SELECT day, n_days,
+             SUM(CAST(ROUND(v - mu - 0.005, 9) AS DECIMAL(28,9)))
+               OVER (ORDER BY day) AS mt
+      FROM daily CROSS JOIN mu
+    ),
+    ph AS (
+      SELECT day, n_days,
+             CAST(mt AS DOUBLE)
+             - CAST(MIN(mt) OVER (ORDER BY day) AS DOUBLE) AS phv
+      FROM m
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           ROUND(phv, 6) AS ph_stat,
+           CAST(day AS TIMESTAMP) AS at_day
+    FROM ph ORDER BY phv DESC, day ASC LIMIT 1
+"""
+
+@_q("q_page_hinkley", _PAGE_HINKLEY_SQL)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift statistic over the daily series
+    (delta = 0.005) — cumulative deviations AND the running minimum
+    both on the distributed prefix machinery."""
+    from conte_to_fresco_etl_spark.operators.robust import page_hinkley
+
+    return page_hinkley(_events(spark, sf_dir), "ts", "value", delta=0.005)
+
+
+_LJUNG_BOX_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    mu AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*), 6) AS mu
+      FROM daily
+    ),
+    lagged AS (
+      SELECT v,
+             LAG(v, 1) OVER (ORDER BY day) AS l1,
+             LAG(v, 2) OVER (ORDER BY day) AS l2,
+             LAG(v, 3) OVER (ORDER BY day) AS l3,
+             LAG(v, 4) OVER (ORDER BY day) AS l4,
+             LAG(v, 5) OVER (ORDER BY day) AS l5
+      FROM daily
+    ),
+    den AS (
+      SELECT SUM(CAST(ROUND((v - mu) * (v - mu), 12)
+                      AS DECIMAL(28,12))) AS d
+      FROM lagged CROSS JOIN mu
+    ),
+    rho AS (
+      SELECT k.lag AS lag,
+             COUNT(CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2
+                   WHEN 3 THEN l3 WHEN 4 THEN l4 ELSE l5 END) AS n_pairs,
+             ROUND(CAST(SUM(CASE WHEN (CASE k.lag WHEN 1 THEN l1
+                            WHEN 2 THEN l2 WHEN 3 THEN l3
+                            WHEN 4 THEN l4 ELSE l5 END) IS NOT NULL
+                        THEN CAST(ROUND((v - mu)
+                             * ((CASE k.lag WHEN 1 THEN l1 WHEN 2 THEN l2
+                                 WHEN 3 THEN l3 WHEN 4 THEN l4 ELSE l5
+                                 END) - mu), 12) AS DECIMAL(28,12))
+                        END) AS DOUBLE)
+                   / CAST((SELECT d FROM den) AS DOUBLE), 6) AS acf
+      FROM lagged CROSS JOIN mu
+      CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS lag) k
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT MAX(n_pairs + lag) AS n, COUNT(*) AS h,
+             SUM(CAST(ROUND(acf * acf / CAST(n_pairs AS DOUBLE), 12)
+                      AS DECIMAL(38,12))) AS s
+      FROM rho
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(h AS BIGINT) AS h,
+           CASE WHEN n > h THEN ROUND(
+             CAST(n AS DOUBLE) * (n + 2.0) * CAST(s AS DOUBLE), 6)
+           END AS q_stat
+    FROM agg
+"""
+
+@_q("q_ljung_box", _LJUNG_BOX_SQL)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q (h=5) on the daily series — the portmanteau
+    white-noise test assembled from the shared-sort acf operator."""
+    from conte_to_fresco_etl_spark.operators.robust import ljung_box
+
+    return ljung_box(_events(spark, sf_dir), "ts", "value", h=5)
+
+
+_KS_UNIFORM_SQL = """
+    WITH vals AS (
+      SELECT value AS v FROM events WHERE value IS NOT NULL
+    ),
+    marg AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cm,
+             COUNT(*) OVER () AS dummy
+      FROM marg
+    ),
+    t AS (SELECT COUNT(*) AS n FROM vals),
+    scored AS (
+      SELECT t.n,
+             ROUND(GREATEST(
+               ABS(CAST(cm AS DOUBLE) / t.n
+                   - LEAST(GREATEST(v / 500.0, 0.0), 1.0)),
+               ABS(CAST(cm - c AS DOUBLE) / t.n
+                   - LEAST(GREATEST(v / 500.0, 0.0), 1.0))), 9) AS d,
+             v
+      FROM cum, t
+    )
+    SELECT CAST(n AS BIGINT) AS n, ROUND(d, 6) AS d_stat,
+           v AS at_value
+    FROM scored ORDER BY d DESC, v ASC LIMIT 1
+"""
+
+@_q("q_ks_uniform", _KS_UNIFORM_SQL)
+def q_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS against U(0, 500): the ECDF sup-gap evaluated at
+    both sides of every step, the ECDF from one prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import ks_uniform
+
+    return ks_uniform(_events(spark, sf_dir), "value", 0.0, 500.0)
+
+
+_HURST_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+    ),
+    blk AS (
+      SELECT w.w, FLOOR(i / w.w) AS b, i AS t, v
+      FROM idx CROSS JOIN (SELECT unnest([8, 16, 32]) AS w) w
+    ),
+    sizes AS (
+      SELECT w, b, COUNT(*) AS bn,
+             ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*), 9) AS bm,
+             SUM(CAST(CAST(ROUND(v, 6) AS DECIMAL(38,6))
+                      * CAST(ROUND(v, 6) AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS bss
+      FROM blk GROUP BY 1, 2 HAVING COUNT(*) = w
+    ),
+    cumdev AS (
+      SELECT blk.w, blk.b, bn, bm, bss,
+             SUM(CAST(ROUND(v - bm, 9) AS DECIMAL(38,9)))
+               OVER (PARTITION BY blk.w, blk.b ORDER BY t) AS cd
+      FROM blk JOIN sizes ON blk.w = sizes.w AND blk.b = sizes.b
+    ),
+    rs AS (
+      SELECT w, b,
+             CAST(MAX(cd) AS DOUBLE) - CAST(MIN(cd) AS DOUBLE) AS r,
+             sqrt(GREATEST(CAST(MAX(bss) AS DOUBLE) / MAX(bn)
+                           - MAX(bm) * MAX(bm), 0.0)) AS s
+      FROM cumdev GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT w, COUNT(*) AS n_blocks,
+             ROUND(CAST(SUM(CAST(ROUND(r / s, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) / COUNT(*), 6) AS mean_rs
+      FROM rs WHERE s > 0 GROUP BY 1
+    ),
+    good AS (SELECT * FROM pts WHERE mean_rs > 0),
+    mom AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(ROUND(ln(CAST(w AS DOUBLE)) / ln(2.0e0), 12)
+                      AS DECIMAL(38,12))) AS sx,
+             SUM(CAST(ROUND(ln(mean_rs) / ln(2.0e0), 12)
+                      AS DECIMAL(38,12))) AS sy,
+             SUM(CAST(ROUND((ln(CAST(w AS DOUBLE)) / ln(2.0e0))
+                            * (ln(mean_rs) / ln(2.0e0)), 12)
+                      AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(ROUND((ln(CAST(w AS DOUBLE)) / ln(2.0e0))
+                            * (ln(CAST(w AS DOUBLE)) / ln(2.0e0)), 12)
+                      AS DECIMAL(38,12))) AS sxx
+      FROM good
+    )
+    SELECT CAST(w AS BIGINT) AS w, CAST(n_blocks AS BIGINT) AS n_blocks,
+           mean_rs,
+           CASE WHEN k >= 2 THEN ROUND(
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / k)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / k), 6)
+           END AS hurst
+    FROM good CROSS JOIN mom
+"""
+
+@_q("q_hurst_exponent", _HURST_SQL)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (block sizes 8/16/32)
+    of the daily series — persistence vs mean reversion; per-block
+    cumulative deviations in block-partitioned windows only."""
+    from conte_to_fresco_etl_spark.operators.robust import hurst_exponent
+
+    return hurst_exponent(
+        _events(spark, sf_dir), "ts", "value", block_sizes=(8, 16, 32)
+    )

@@ -7619,3 +7619,41 @@ def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rouge_recall_pairs(_t(spark, sf_dir, "documents"), max_id=60)
+
+
+_CHAO1_SQL = f"""
+    WITH tok AS (
+      SELECT g, t FROM (
+        SELECT lang AS g, unnest({_sql_tokens('text')}) AS t
+        FROM documents WHERE lang IS NOT NULL
+      ) WHERE length(t) > 0
+    ),
+    cells AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT g, SUM(c) AS n, COUNT(*) AS v,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2
+      FROM cells GROUP BY 1
+    )
+    SELECT g AS lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+           ROUND(CAST(v AS DOUBLE)
+                 + CAST(v1 AS DOUBLE) * (v1 - 1)
+                   / (2.0 * (CAST(v2 AS DOUBLE) + 1)), 6) AS chao1,
+           ROUND(CAST(v1 AS DOUBLE) / n, 6) AS unseen_mass,
+           ROUND(1.0e0 - CAST(v1 AS DOUBLE) / n, 6) AS coverage
+    FROM per
+"""
+
+
+@_q("q_vocab_coverage", _CHAO1_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness + Good-Turing unseen mass per language — the
+    "is more crawling worth it" estimators from one (lang, token)
+    count shuffle."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        vocabulary_coverage_by_group,
+    )
+
+    return vocabulary_coverage_by_group(_t(spark, sf_dir, "documents"))

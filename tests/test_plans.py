@@ -613,6 +613,12 @@ BNLJ_ALLOWED = {
     "q_rbo",                    # literal 50-row depth Range + 1-row count
     "q_transitivity",           # triangle-total 1-row cross
     "q_sax_symbols",            # z-moment 1-row cross + offsets join
+    "q_ansari_bradley",         # group-total 1-row cross + offsets join
+    "q_jonckheere",             # group-moment 1-row cross + offsets join
+    "q_page_hinkley",           # mean 1-row cross + two prefix passes
+    "q_ljung_box",              # acf mean/denominator 1-row crosses
+    "q_ks_uniform",             # total-count 1-row cross + offsets join
+    "q_hurst_exponent",         # regression-moment 1-row cross
 }
 
 

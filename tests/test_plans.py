@@ -939,6 +939,56 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _plan_tree_text(df) -> str:
+    """Serialize a DataFrame's executed plan as WELL-FORMED tree text
+    (one node per line, uniform 3-space child indentation) by walking
+    the JVM plan tree directly.  Spark's own ``toString`` prints a
+    cached relation's inner AdaptiveSparkPlan with its OWN base
+    indentation — which can jump SHALLOWER than the enclosing tree and
+    silently swallow sibling subtrees from any text parser (the
+    full-suite q_cosine_sim_join flake: the staged posting cache's
+    nested print ate the BNLJ's broadcast child).  Walking the tree
+    makes parent/child structure exact; wrapper nodes with empty
+    ``children()`` (query stages, cached scans, reused exchanges,
+    adaptive plans) are resolved through their accessor methods."""
+    lines: list[str] = []
+
+    def rec(node, depth: int) -> None:
+        try:
+            simple = node.simpleString(1000)
+        except Exception:  # noqa: BLE001 — very old API fallback
+            simple = node.nodeName()
+        lines.append("   " * depth + "+- " + simple)
+        kids = []
+        try:
+            ch = node.children()
+            kids = [ch.apply(i) for i in range(ch.size())]
+        except Exception:  # noqa: BLE001
+            kids = []
+        if not kids:
+            # wrapper nodes: resolve the real child through accessors
+            for acc in ("child", "plan", "executedPlan", "inputPlan"):
+                try:
+                    inner = getattr(node, acc)()
+                    if inner is not None:
+                        kids = [inner]
+                        break
+                except Exception:  # noqa: BLE001
+                    continue
+            if not kids:
+                try:  # InMemoryTableScanExec -> cached physical plan
+                    inner = node.relation().cachedPlan()
+                    if inner is not None:
+                        kids = [inner]
+                except Exception:  # noqa: BLE001
+                    pass
+        for k in kids:
+            rec(k, depth + 1)
+
+    rec(df._jdf.queryExecution().executedPlan(), 0)
+    return "\n".join(lines)
+
+
 def _bnlj_unbounded_broadcasts(
     plan: str, extra_keys: tuple[str, ...] = ()
 ) -> list[str]:
@@ -1151,9 +1201,11 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark):
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name in sorted(qs):
-        plan = (
-            qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
-        )
+        df = qs[name](spark, sf)
+        # the well-formed tree serialization — session caches staged by
+        # earlier tests make Spark's own toString() unparseable (nested
+        # cached-plan prints at the WRONG indentation)
+        plan = _plan_tree_text(df)
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan:
@@ -1181,13 +1233,13 @@ def test_bnlj_structural_check_catches_corruption(spark):
     # corrupted: non-equi join against a broadcast of RAW data
     raw = df.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     bad = df.join(F.broadcast(raw), F.col("v") < F.col("v2"))
-    plan_bad = _physical(bad)
+    plan_bad = _plan_tree_text(bad)
     assert "BroadcastNestedLoopJoin" in plan_bad
     assert _bnlj_unbounded_broadcasts(plan_bad), plan_bad
     # legitimate: scalar cross (keys=[] aggregate broadcast side)
     tot = df.agg(F.sum("v").alias("m"))
     good = df.crossJoin(F.broadcast(tot))
-    plan_good = _physical(good)
+    plan_good = _plan_tree_text(good)
     assert "BroadcastNestedLoopJoin" in plan_good
     assert not _bnlj_unbounded_broadcasts(plan_good), plan_good
     # legitimate: keyed aggregate side under a REGISTERED bounded key
@@ -1196,7 +1248,7 @@ def test_bnlj_structural_check_catches_corruption(spark):
         F.broadcast(grp.select(F.col("v").alias("vb"), "c")),
         F.col("v") < F.col("vb"),
     )
-    plan_keyed = _physical(keyed)
+    plan_keyed = _plan_tree_text(keyed)
     assert "BroadcastNestedLoopJoin" in plan_keyed
     assert _bnlj_unbounded_broadcasts(plan_keyed)  # unregistered: fails
     # registered bounded-domain pattern: ok

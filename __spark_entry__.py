@@ -100,6 +100,13 @@ REGATE_R9: list[str] = [
     "q_ks_uniform",
     "q_hurst_exponent",
     "q_vocab_coverage",
+    # NEW r9 batch 4: parametric k-sample toolkit + ordinal effect
+    # size + cyclic goodness-of-fit
+    "q_anova",
+    "q_levene",
+    "q_jarque_bera",
+    "q_cliffs_delta",
+    "q_kuiper",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -154,6 +161,11 @@ PRIORITY: list[str] = [
     "q_ks_uniform",
     "q_hurst_exponent",
     "q_vocab_coverage",
+    "q_anova",
+    "q_levene",
+    "q_jarque_bera",
+    "q_cliffs_delta",
+    "q_kuiper",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

@@ -5400,3 +5400,308 @@ def ks_uniform(
         F.round(F.col("__d"), 6).alias("d_stat"),
         F.col("__v").alias("at_value"),
     )
+
+
+def kuiper_uniform(
+    df: DataFrame, value_col: str, lo: float, hi: float
+) -> DataFrame:
+    """One-sample Kuiper statistic against U(lo, hi):
+    V = D+ + D- where D+ = sup(F_n - F) and D- = sup(F - F_n) — the
+    rotation-invariant cousin of [[q_ks_uniform]] (equally sensitive at
+    the distribution's tails and center, and to cyclic shifts, which
+    makes it the right goodness-of-fit form for phase-like values such
+    as time-of-day).  Output — ONE row:
+    ``(n, d_plus, d_minus, v_stat)`` (ROUND 6).
+
+    Scale posture: identical to ks_uniform — the ECDF rides ONE
+    distributed prefix scan of the value marginal; both sups are one
+    keys=[] aggregate over marginal rows (no TakeOrdered needed since
+    the argmax value is not reported)."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v")
+    )
+    marg = vals.groupBy("__v").agg(F.count("*").alias("__c"))
+    cum = prefix_sums(marg, "__v", ["__c"], prefix="__cm_")
+    tot = vals.agg(F.count("*").alias("n"))
+    span = float(hi) - float(lo)
+    cdf = F.least(
+        F.greatest(
+            (F.col("__v") - F.lit(float(lo))) / F.lit(span), F.lit(0.0)
+        ),
+        F.lit(1.0),
+    )
+    nd = F.col("n").cast("double")
+    up = F.col("__cm___c").cast("double") / nd - cdf
+    dn = cdf - (F.col("__cm___c") - F.col("__c")).cast("double") / nd
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n").alias("n"),
+        F.max(F.round(up, 9)).alias("__dp"),
+        F.max(F.round(dn, 9)).alias("__dm"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.greatest(F.col("__dp"), F.lit(0.0)), 6).alias("d_plus"),
+        F.round(F.greatest(F.col("__dm"), F.lit(0.0)), 6).alias("d_minus"),
+        F.round(
+            F.greatest(F.col("__dp"), F.lit(0.0))
+            + F.greatest(F.col("__dm"), F.lit(0.0)),
+            6,
+        ).alias("v_stat"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups:
+    d = (#{x > y} - #{x < y}) / (n_a * n_b) over all cross pairs
+    (x from group a, y from group b) — the tie-robust companion the
+    [[q_mannwhitney]] significance test reports no magnitude for.
+    Output — ONE row: ``(n_a, n_b, n_gt, n_lt, cliffs_delta)``
+    (ROUND 6; |d|~0.15 small / 0.33 medium / 0.47 large per Romano
+    et al.'s conventional thresholds).
+
+    Scale posture: NEVER materializes the n_a*n_b pair space — for
+    each distinct pooled value, #{y < v} and #{y > v} come off the
+    b-count prefix scan, so the pair counts are one decimal-summed
+    aggregate over the value marginal (the Mann-Whitney discipline)."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).alias("__v"),
+    )
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    cum = prefix_sums(marg, "__v", ["__cb"], prefix="__cm_")
+    tot = vals.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("n_b"),
+    )
+    # b-values strictly below v / strictly above v, weighted by a's
+    # count at v: exact integers, decimal-summed (order-independent)
+    below = (F.col("__cm___cb") - F.col("__cb")).cast("decimal(38,0)")
+    above = (F.col("n_b") - F.col("__cm___cb")).cast("decimal(38,0)")
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("__ca").cast("decimal(38,0)") * below).alias("n_gt"),
+        F.sum(F.col("__ca").cast("decimal(38,0)") * above).alias("n_lt"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.col("n_lt").cast("long").alias("n_lt"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                (F.col("n_gt") - F.col("n_lt")).cast("double") / (na * nb),
+                6,
+            ),
+        ).alias("cliffs_delta"),
+    )
+
+
+def _group_moment_stats(
+    df: DataFrame, group_col, value_col: str
+) -> DataFrame:
+    """Per-group sufficient statistics (n, Σv, Σv²) with the package's
+    decimal-quantized moment discipline (see welch_ttest): v is pinned
+    to DECIMAL(18,4), and BOTH moments sum exact decimals of the same
+    quantized sample, so any downstream float is a deterministic
+    function of identical operands in any engine."""
+    vals = df.filter(
+        F.col(value_col).isNotNull() & group_col.isNotNull()
+    ).select(
+        group_col.alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vq = F.col("__v").cast("decimal(18,4)")
+    return vals.groupBy("__g").agg(
+        F.count("*").alias("__n"),
+        F.sum(vq).alias("__s1"),
+        F.sum((vq * vq).cast("decimal(38,8)")).alias("__s2"),
+    )
+
+
+def one_way_anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way fixed-effects ANOVA F test across k groups — the
+    parametric k-sample generalization of [[q_welch_ttest]] (equal
+    variances assumed; [[q_kruskal_wallis]] is the rank-based fallback).
+    F = (SSB/(k-1)) / (SSW/(N-k)) with eta² = SSB/(SSB+SSW) effect
+    size.  Output — ONE row:
+    ``(n, k_groups, ss_between, ss_within, f_stat, eta_sq)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable aggregation collapses the corpus
+    to k sufficient-stat rows (n, Σv, Σv² per group — decimal-exact),
+    and both sums of squares fall out of a SECOND k-row aggregate via
+    SSB = Σ S_g²/n_g - S²/N and SSW = Σ(Σv²_g) - Σ S_g²/n_g — no
+    grand-mean cross join, no second data pass."""
+    per_g = _group_moment_stats(df, F.col(group_col), value_col)
+    term = F.round(
+        F.col("__s1").cast("double")
+        * F.col("__s1").cast("double")
+        / F.col("__n").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = per_g.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum("__s1").alias("__s"),
+        F.sum("__s2").alias("__ss"),
+        F.sum(term).alias("__sq"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_groups").cast("double")
+    ssb = F.col("__sq").cast("double") - (
+        F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    )
+    ssw = F.col("__ss").cast("double") - F.col("__sq").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(
+            (F.col("k_groups") >= 2) & (F.col("n") > F.col("k_groups"))
+            & (ssw > 0),
+            F.round(fstat, 6),
+        ).alias("f_stat"),
+        F.when(
+            ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6)
+        ).alias("eta_sq"),
+    )
+
+
+def levene_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Levene's test for homogeneity of variances (mean-centered,
+    Levene 1960): the ANOVA F statistic computed on the absolute
+    deviations z_ij = |x_ij - mean_g| — the gate one runs BEFORE
+    trusting [[q_anova]]'s equal-variance assumption.  Output — ONE
+    row: ``(n, k_groups, w_stat)`` (ROUND 6).
+
+    Scale posture: pass 1 collapses the corpus to per-group means
+    (map-combinable); pass 2 joins the k-row mean table back by
+    BROADCAST equi-join, pins z = ROUND(|v - mean|, 6), and reuses the
+    same k-row sufficient-stat collapse as one_way_anova.  Mean
+    centering (not the Brown-Forsythe median) is deliberate: it keeps
+    both passes sort-free at any group size."""
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vq = F.col("__v").cast("decimal(18,4)")
+    means = vals.groupBy("__g").agg(
+        (F.sum(vq).cast("double") / F.count("*")).alias("__mean")
+    )
+    z = vals.join(broadcast(means), "__g").select(
+        "__g",
+        F.round(
+            F.abs(F.col("__v").cast("decimal(18,4)").cast("double")
+                  - F.col("__mean")),
+            6,
+        ).alias("__z"),
+    )
+    per_g = _group_moment_stats(z, F.col("__g"), "__z")
+    term = F.round(
+        F.col("__s1").cast("double")
+        * F.col("__s1").cast("double")
+        / F.col("__n").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = per_g.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum("__s1").alias("__s"),
+        F.sum("__s2").alias("__ss"),
+        F.sum(term).alias("__sq"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_groups").cast("double")
+    ssb = F.col("__sq").cast("double") - (
+        F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    )
+    ssw = F.col("__ss").cast("double") - F.col("__sq").cast("double")
+    w = ((nd - kd) / (kd - F.lit(1.0))) * (ssb / ssw)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.when(
+            (F.col("k_groups") >= 2) & (F.col("n") > F.col("k_groups"))
+            & (ssw > 0),
+            F.round(w, 6),
+        ).alias("w_stat"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Jarque-Bera normality screen per group: JB = n/6 * (g1² + g2²/4)
+    from the sample skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² - 3 — the moments-only normality test (no sort, no
+    quantiles), which is what makes it the 100 TB-viable alternative
+    to Shapiro-Wilk for "is this metric near-normal enough for the
+    parametric tests".  Output — one row per group:
+    ``(group, n, skewness, ex_kurtosis, jb_stat)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable aggregation pass per group
+    collapses the corpus to four power sums (Σv..Σv⁴) — v pinned to
+    ROUND 4, each power term ROUND-pinned then decimal-summed so the
+    central-moment algebra sees identical operands in any engine."""
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__v"),
+    )
+    v = F.col("__v")
+    per_g = vals.groupBy("group").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,4)")).alias("__s1"),
+        F.sum(F.round(v * v, 8).cast("decimal(38,8)")).alias("__s2"),
+        F.sum(F.round(v * v * v, 6).cast("decimal(38,6)")).alias("__s3"),
+        F.sum(
+            F.round(v * v * v * v, 6).cast("decimal(38,6)")
+        ).alias("__s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s1").cast("double") / nd
+    r2 = F.col("__s2").cast("double") / nd
+    r3 = F.col("__s3").cast("double") / nd
+    r4 = F.col("__s4").cast("double") / nd
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return per_g.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(g1, 6)).alias("skewness"),
+        F.when(ok, F.round(g2, 6)).alias("ex_kurtosis"),
+        F.when(ok, F.round(jb, 6)).alias("jb_stat"),
+    )

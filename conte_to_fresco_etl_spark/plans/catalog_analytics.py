@@ -8310,3 +8310,255 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hurst_exponent(
         _events(spark, sf_dir), "ts", "value", block_sizes=(8, 16, 32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Parametric k-sample tests, normality screens, ordinal effect sizes (r9
+# batch 4): the "can I even run the parametric test" toolkit — ANOVA, its
+# variance-homogeneity precondition (Levene), its normality precondition
+# (Jarque-Bera), the ordinal effect size (Cliff's delta), and the cyclic
+# goodness-of-fit form (Kuiper).
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM vals GROUP BY g
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k, SUM(s1) AS s, SUM(s2) AS ss,
+             SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS sq
+      FROM per_g
+    ),
+    d AS (
+      SELECT n, k,
+             CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - CAST(sq AS DOUBLE) AS ssw
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+           THEN ROUND((ssb / (k - 1.0))
+                      / (ssw / (CAST(n AS DOUBLE) - k)), 6)
+           END AS f_stat,
+           CASE WHEN ssb + ssw > 0
+           THEN ROUND(ssb / (ssb + ssw), 6) END AS eta_sq
+    FROM d
+"""
+
+@_q("q_anova", _ANOVA_SQL)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all event types: both sums of squares
+    from ONE k-row sufficient-stat collapse (SSB = sum S_g^2/n_g -
+    S^2/N), decimal-exact moments, no grand-mean cross join."""
+    from conte_to_fresco_etl_spark.operators.robust import one_way_anova
+
+    return one_way_anova(_events(spark, sf_dir), "event_type", "value")
+
+
+_LEVENE_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS mean
+      FROM vals GROUP BY g
+    ),
+    z AS (
+      SELECT vals.g,
+             ROUND(ABS(CAST(CAST(v AS DECIMAL(18,4)) AS DOUBLE) - mean),
+                   6) AS zv
+      FROM vals JOIN means ON vals.g = means.g
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(zv AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(zv AS DECIMAL(18,4)) * CAST(zv AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM z GROUP BY g
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k, SUM(s1) AS s, SUM(s2) AS ss,
+             SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS sq
+      FROM per_g
+    ),
+    d AS (
+      SELECT n, k,
+             CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - CAST(sq AS DOUBLE) AS ssw
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+           THEN ROUND(((CAST(n AS DOUBLE) - k) / (k - 1.0))
+                      * (ssb / ssw), 6)
+           END AS w_stat
+    FROM d
+"""
+
+@_q("q_levene", _LEVENE_SQL)
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene variance-homogeneity test (mean-centered) across event
+    types: k-row mean table broadcast back, ANOVA machinery on
+    |v - mean_g| — the precondition gate for q_anova."""
+    from conte_to_fresco_etl_spark.operators.robust import levene_test
+
+    return levene_test(_events(spark, sf_dir), "event_type", "value")
+
+
+_JB_SQL = """
+    WITH vals AS (
+      SELECT event_type AS grp, ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(ROUND(v * v, 8) AS DECIMAL(38,8))) AS s2,
+             SUM(CAST(ROUND(v * v * v, 6) AS DECIMAL(38,6))) AS s3,
+             SUM(CAST(ROUND(v * v * v * v, 6) AS DECIMAL(38,6))) AS s4
+      FROM vals GROUP BY grp
+    ),
+    m AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM per_g
+    ),
+    c AS (
+      SELECT grp, n,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                - 3.0 * mean * mean * mean * mean AS m4
+      FROM m
+    ),
+    g AS (
+      SELECT grp, n, m2,
+             m3 / sqrt(m2 * m2 * m2) AS g1,
+             m4 / (m2 * m2) - 3.0 AS g2
+      FROM c
+    )
+    SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND m2 > 0 THEN ROUND(g1, 6) END AS skewness,
+           CASE WHEN n >= 2 AND m2 > 0 THEN ROUND(g2, 6) END AS ex_kurtosis,
+           CASE WHEN n >= 2 AND m2 > 0 THEN ROUND(
+             CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)
+           END AS jb_stat
+    FROM g
+"""
+
+@_q("q_jarque_bera", _JB_SQL)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per event type: four ROUND-pinned
+    decimal power sums in one map-combinable pass; skew/kurtosis from
+    raw-moment algebra — sort-free normality at any scale."""
+    from conte_to_fresco_etl_spark.operators.robust import jarque_bera
+
+    return jarque_bera(_events(spark, sf_dir), "event_type", "value")
+
+
+_CLIFFS_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'purchase' AS isa, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb, SUM(cb) OVER (ORDER BY v) AS cmb FROM marg
+    ),
+    t AS (
+      SELECT SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b
+      FROM vals
+    ),
+    agg AS (
+      SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+             SUM(CAST(ca AS DECIMAL(18,0))
+                 * CAST(cmb - cb AS DECIMAL(18,0))) AS n_gt,
+             SUM(CAST(ca AS DECIMAL(18,0))
+                 * CAST(t.n_b - cmb AS DECIMAL(18,0))) AS n_lt
+      FROM cum, t
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             CAST(n_gt - n_lt AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS cliffs_delta
+    FROM agg
+"""
+
+@_q("q_cliffs_delta", _CLIFFS_SQL)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (purchase vs error event values): pair counts off
+    the b-count prefix scan — the n*m pair space is never built."""
+    from conte_to_fresco_etl_spark.operators.robust import cliffs_delta
+
+    return cliffs_delta(
+        _events(spark, sf_dir), "event_type", "value", "purchase", "error"
+    )
+
+
+_KUIPER_SQL = """
+    WITH vals AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) % 86400 AS v
+      FROM events WHERE ts IS NOT NULL
+    ),
+    marg AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cm FROM marg
+    ),
+    t AS (SELECT COUNT(*) AS n FROM vals),
+    agg AS (
+      SELECT MAX(t.n) AS n,
+             MAX(ROUND(CAST(cm AS DOUBLE) / t.n
+                 - LEAST(GREATEST((v - 0.0) / 86400.0, 0.0), 1.0),
+                 9)) AS dp,
+             MAX(ROUND(LEAST(GREATEST((v - 0.0) / 86400.0, 0.0), 1.0)
+                 - CAST(cm - c AS DOUBLE) / t.n, 9)) AS dm
+      FROM cum, t
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(GREATEST(dp, 0.0), 6) AS d_plus,
+           ROUND(GREATEST(dm, 0.0), 6) AS d_minus,
+           ROUND(GREATEST(dp, 0.0) + GREATEST(dm, 0.0), 6) AS v_stat
+    FROM agg
+"""
+
+@_q("q_kuiper", _KUIPER_SQL)
+def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper test of event time-of-day against U(0, 86400) — the
+    cyclic-sensitive goodness-of-fit (a KS run on clock time misses
+    shifts that wrap midnight; Kuiper's D+ + D- does not)."""
+    from conte_to_fresco_etl_spark.operators.robust import kuiper_uniform
+
+    tod = _events(spark, sf_dir).filter(F.col("ts").isNotNull()).select(
+        (F.col("ts").cast("long") % 86400).alias("tod")
+    )
+    return kuiper_uniform(tod, "tod", 0, 86400)

@@ -619,6 +619,8 @@ BNLJ_ALLOWED = {
     "q_ljung_box",              # acf mean/denominator 1-row crosses
     "q_ks_uniform",             # total-count 1-row cross + offsets join
     "q_hurst_exponent",         # regression-moment 1-row cross
+    "q_cliffs_delta",           # group-total 1-row cross + offsets join
+    "q_kuiper",                 # total-count 1-row cross + offsets join
 }
 
 

@@ -3464,3 +3464,192 @@ def test_weighted_kappa_orders_near_misses(spark):
     near = wk(lambda i, v: min(v + (i % 2), 3))
     far = wk(lambda i, v: 3 - v)
     assert near > far
+
+
+# ---------------------------------------------------------------------------
+# r9 batch 4: ANOVA / Levene / Jarque-Bera / Cliff's delta / Kuiper
+# ---------------------------------------------------------------------------
+
+
+def test_anova_matches_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import one_way_anova
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 5.0, 7.0]
+    c = [2.0, 2.0, 4.0, 4.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [
+        ("c", v) for v in c
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = one_way_anova(df, "g", "v").collect()[0]
+    groups = [a, b, c]
+    n = sum(len(g) for g in groups)
+    s = sum(sum(g) for g in groups)
+    ssb = sum(sum(g) ** 2 / len(g) for g in groups) - s * s / n
+    ssw = sum(sum(v * v for v in g) for g in groups) - sum(
+        sum(g) ** 2 / len(g) for g in groups
+    )
+    k = len(groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n"] == n and r["k_groups"] == k
+    assert abs(r["ss_between"] - round(ssb, 6)) < 1e-6
+    assert abs(r["ss_within"] - round(ssw, 6)) < 1e-6
+    assert abs(r["f_stat"] - round(f, 6)) < 1e-6
+    assert abs(r["eta_sq"] - round(ssb / (ssb + ssw), 6)) < 1e-6
+
+
+def test_anova_degenerate_nulls(spark):
+    from conte_to_fresco_etl_spark.operators.robust import one_way_anova
+
+    # one group: k-1 = 0 -> f_stat NULL; all-constant: ssw = 0 -> NULL
+    df1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert one_way_anova(df1, "g", "v").collect()[0]["f_stat"] is None
+    df2 = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0), ("b", 3.0)], "g string, v double"
+    )
+    assert one_way_anova(df2, "g", "v").collect()[0]["f_stat"] is None
+
+
+def test_levene_flags_unequal_variances(spark):
+    from conte_to_fresco_etl_spark.operators.robust import levene_test
+
+    # equal spread -> W ~ 0; 10x spread in one group -> large W
+    tight = [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+    same = [("b", float(v)) for v in (11, 12, 13, 14, 15)]
+    wide = [("b", float(v)) for v in (-10, 0, 10, 20, 30)]
+    w_same = levene_test(
+        spark.createDataFrame(tight + same, "g string, v double"),
+        "g", "v",
+    ).collect()[0]["w_stat"]
+    w_wide = levene_test(
+        spark.createDataFrame(tight + wide, "g string, v double"),
+        "g", "v",
+    ).collect()[0]["w_stat"]
+    assert w_same == 0.0  # identical |v - mean| profiles
+    assert w_wide > 5.0  # 10x spread: far past the F(1,8) 5% point
+
+
+def test_levene_matches_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import levene_test
+
+    a = [1.0, 4.0, 6.0, 9.0]
+    b = [2.0, 2.5, 3.0, 3.5, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    r = levene_test(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    za = [round(abs(v - sum(a) / len(a)), 6) for v in a]
+    zb = [round(abs(v - sum(b) / len(b)), 6) for v in b]
+    n, k = len(a) + len(b), 2
+    s = sum(za) + sum(zb)
+    sq = sum(za) ** 2 / len(za) + sum(zb) ** 2 / len(zb)
+    ssb = sq - s * s / n
+    ssw = sum(z * z for z in za + zb) - sq
+    w = ((n - k) / (k - 1)) * (ssb / ssw)
+    assert abs(r["w_stat"] - round(w, 6)) < 1e-5
+
+
+def test_jarque_bera_symmetric_vs_skewed(spark):
+    from conte_to_fresco_etl_spark.operators.robust import jarque_bera
+
+    sym = [("s", float(v)) for v in (-2, -1, -1, 0, 0, 0, 1, 1, 2)]
+    skw = [("k", float(v)) for v in (1, 1, 1, 1, 1, 2, 2, 3, 50)]
+    df = spark.createDataFrame(sym + skw, "g string, v double")
+    out = {r["group"]: r for r in jarque_bera(df, "g", "v").collect()}
+    assert out["s"]["skewness"] == 0.0  # exactly symmetric sample
+    assert abs(out["k"]["skewness"]) > 2.0
+    assert out["k"]["jb_stat"] > out["s"]["jb_stat"]
+
+
+def test_jarque_bera_matches_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import jarque_bera
+
+    vals = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    r = jarque_bera(df, "g", "v").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert abs(r["skewness"] - round(g1, 6)) < 1e-5
+    assert abs(r["ex_kurtosis"] - round(g2, 6)) < 1e-5
+    assert abs(r["jb_stat"] - round(jb, 6)) < 1e-5
+
+
+def test_jarque_bera_constant_group_null(spark):
+    from conte_to_fresco_etl_spark.operators.robust import jarque_bera
+
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "g string, v double"
+    )
+    r = jarque_bera(df, "g", "v").collect()[0]
+    assert r["skewness"] is None and r["jb_stat"] is None
+
+
+def test_cliffs_delta_counts_pairs(spark):
+    from conte_to_fresco_etl_spark.operators.robust import cliffs_delta
+
+    a = [3.0, 4.0, 5.0]
+    b = [1.0, 2.0, 3.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert r["n_gt"] == gt and r["n_lt"] == lt
+    assert r["cliffs_delta"] == round((gt - lt) / 9.0, 6)
+
+
+def test_cliffs_delta_extremes(spark):
+    from conte_to_fresco_etl_spark.operators.robust import cliffs_delta
+
+    # complete separation -> +1 ; identical samples -> 0
+    sep = [("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0)]
+    df = spark.createDataFrame(sep, "g string, v double")
+    assert cliffs_delta(df, "g", "v", "a", "b").collect()[0][
+        "cliffs_delta"
+    ] == 1.0
+    same = [("a", 5.0), ("a", 6.0), ("b", 5.0), ("b", 6.0)]
+    df2 = spark.createDataFrame(same, "g string, v double")
+    assert cliffs_delta(df2, "g", "v", "a", "b").collect()[0][
+        "cliffs_delta"
+    ] == 0.0
+
+
+def test_kuiper_uniform_exact_small(spark):
+    from conte_to_fresco_etl_spark.operators.robust import kuiper_uniform
+
+    # n=4 on U(0,1): values 0.1 0.2 0.3 0.4 — ECDF runs ahead of the
+    # diagonal: D+ at 0.4 (1.0 - 0.4 = 0.6), D- at 0.1 (0.1 - 0.0)
+    df = spark.createDataFrame(
+        [(0.1,), (0.2,), (0.3,), (0.4,)], "v double"
+    )
+    r = kuiper_uniform(df, "v", 0.0, 1.0).collect()[0]
+    assert r["n"] == 4
+    assert r["d_plus"] == 0.6
+    assert r["d_minus"] == 0.1
+    assert r["v_stat"] == 0.7
+
+
+def test_kuiper_catches_wraparound_shift(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        ks_uniform, kuiper_uniform,
+    )
+
+    # mass split at BOTH ends of the cycle (a midnight-straddling
+    # peak): KS sees two half-sized gaps, Kuiper adds them
+    vals = [i / 100.0 for i in range(10)] + [
+        (90 + i) / 100.0 for i in range(10)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    v = kuiper_uniform(df, "v", 0.0, 1.0).collect()[0]["v_stat"]
+    d = ks_uniform(df, "v", 0.0, 1.0).collect()[0]["d_stat"]
+    assert v > d + 0.3  # Kuiper strictly more sensitive here

@@ -107,6 +107,11 @@ REGATE_R9: list[str] = [
     "q_jarque_bera",
     "q_cliffs_delta",
     "q_kuiper",
+    # NEW r9 batch 5: paired / trend / autocorrelation / seasonality
+    "q_wilcoxon",
+    "q_durbin_watson",
+    "q_cochran_armitage",
+    "q_periodogram",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -166,6 +171,10 @@ PRIORITY: list[str] = [
     "q_jarque_bera",
     "q_cliffs_delta",
     "q_kuiper",
+    "q_wilcoxon",
+    "q_durbin_watson",
+    "q_cochran_armitage",
+    "q_periodogram",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

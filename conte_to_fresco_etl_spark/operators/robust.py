@@ -5705,3 +5705,307 @@ def jarque_bera(
         F.when(ok, F.round(g2, 6)).alias("ex_kurtosis"),
         F.when(ok, F.round(jb, 6)).alias("jb_stat"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    a,
+    b,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED observations: each key
+    contributes the difference of its group-a and group-b means, and
+    the test asks whether the differences are symmetric about zero —
+    the paired sibling of [[q_mannwhitney]] (which assumes independent
+    samples) and the rank-robust sibling of a paired t test.
+    Zero differences are dropped (Wilcoxon's convention); midranks
+    handle ties with the standard Σ(t³-t)/48 variance correction.
+    Output — ONE row:
+    ``(n_pairs, n_nonzero, w_plus, w_minus, z_stat)`` (ROUND 6).
+
+    Scale posture: the pair table is ONE keyed aggregation (conditional
+    decimal means per key — map-combinable); |d| midranks ride the
+    distributed prefix scan over the |d| marginal (the Mann-Whitney
+    doubled-integer discipline); everything after is 1-row algebra."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([a, b])
+    ).select(
+        F.col(key_col).alias("__k"),
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vq = F.col("__v").cast("decimal(18,4)")
+    pairs = (
+        vals.groupBy("__k")
+        .agg(
+            F.sum(F.when(F.col("__isa"), vq)).alias("__sa"),
+            F.count(F.when(F.col("__isa"), F.lit(1))).alias("__na"),
+            F.sum(F.when(~F.col("__isa"), vq)).alias("__sb"),
+            F.count(F.when(~F.col("__isa"), F.lit(1))).alias("__nb"),
+        )
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .select(
+            F.round(
+                F.col("__sa").cast("double") / F.col("__na")
+                - F.col("__sb").cast("double") / F.col("__nb"),
+                6,
+            ).alias("__d")
+        )
+    )
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    nz = pairs.filter(F.col("__d") != 0)
+    marg = nz.groupBy(F.abs(F.col("__d")).alias("__ad")).agg(
+        F.count("*").alias("__ct"),
+        F.sum(F.when(F.col("__d") > 0, 1).otherwise(0)).alias("__cp"),
+    )
+    cum = prefix_sums(marg, "__ad", ["__ct"], prefix="__cm_")
+    # doubled midrank: m2 = 2*(cum - ct) + ct + 1 ; rank = m2/2
+    m2 = (
+        F.lit(2) * (F.col("__cm___ct") - F.col("__ct"))
+        + F.col("__ct")
+        + F.lit(1)
+    ).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum(F.col("__ct")).alias("n_nonzero"),
+        F.sum(F.col("__cp").cast("decimal(38,0)") * m2).alias("__wp2"),
+        F.sum(
+            (
+                F.col("__ct").cast("decimal(38,0)")
+                * F.col("__ct")
+                * F.col("__ct")
+                - F.col("__ct")
+            ).cast("decimal(38,0)")
+        ).alias("__tie"),
+    )
+    nd = F.col("n_nonzero").cast("double")
+    wp = F.col("__wp2").cast("double") / F.lit(2.0)
+    wm = nd * (nd + F.lit(1.0)) / F.lit(2.0) - wp
+    var = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(
+        24.0
+    ) - F.col("__tie").cast("double") / F.lit(48.0)
+    z = (wp - nd * (nd + F.lit(1.0)) / F.lit(4.0)) / F.sqrt(var)
+    return agg.join(broadcast(n_pairs), F.lit(True)).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_nonzero"), F.lit(0)).cast("long").alias(
+            "n_nonzero"
+        ),
+        F.round(wp, 6).alias("w_plus"),
+        F.round(wm, 6).alias("w_minus"),
+        F.when((F.col("n_nonzero") >= 1) & (var > 0), F.round(z, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson statistic per series: DW = Σ(e_t - e_{t-1})² / Σe_t²
+    on the mean-centered series — the first-order autocorrelation screen
+    (DW ≈ 2 means none; → 0 strong positive; → 4 strong negative) that
+    validates the independence assumption behind [[q_welch_ttest]] /
+    [[q_anova]] on per-entity event streams.  Output — one row per key:
+    ``(key, n, dw_stat)`` (ROUND 6).
+
+    Scale posture: per-key means are one map-combinable collapse joined
+    back by keyed broadcast; the lag ride a PER-KEY window (partitioned
+    — never global); both quadratic sums are ROUND-pinned decimals, so
+    the ratio is order-independent."""
+    vals = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vq = F.col("__v").cast("decimal(18,4)")
+    means = vals.groupBy("key").agg(
+        (F.sum(vq).cast("double") / F.count("*")).alias("__mean")
+    )
+    w = Window.partitionBy("key").orderBy("__ts", "__id")
+    e = F.round(
+        F.col("__v").cast("decimal(18,4)").cast("double") - F.col("__mean"),
+        6,
+    )
+    resid = vals.join(broadcast(means), "key").select(
+        "key", e.alias("__e"), F.lag(e).over(w).alias("__ep")
+    )
+    agg = resid.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("__e") - F.col("__ep"))
+                * (F.col("__e") - F.col("__ep")),
+                10,
+            ).cast("decimal(38,10)")
+        ).alias("__num"),
+        F.sum(
+            F.round(F.col("__e") * F.col("__e"), 10).cast("decimal(38,10)")
+        ).alias("__den"),
+    )
+    return agg.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("__den") > 0),
+            F.round(
+                F.col("__num").cast("double")
+                / F.col("__den").cast("double"),
+                6,
+            ),
+        ).alias("dw_stat"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, success_col: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the success PROPORTION trend
+    monotonically across ordered exposure levels (dose-response)?
+    T = Σ s_i(r_i - n_i p̄), Var(T) = p̄(1-p̄)(Σ s_i²n_i - (Σ s_i n_i)²/N),
+    z = T/√Var — the ordered-alternative sibling of [[q_chi_square]]
+    (which ignores level order) for binary outcomes, as [[q_jonckheere]]
+    is for continuous ones.  Output — ONE row:
+    ``(n, k_levels, t_stat, z_stat)`` (ROUND 6).
+
+    Scale posture: the corpus collapses to one k-level contingency
+    table in a single map-combinable pass; ALL five sufficient sums
+    (N, R, Σsr, Σsn, Σs²n — exact integers) come off a second k-row
+    aggregate, so there is no cross join anywhere."""
+    vals = df.filter(
+        F.col(score_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(success_col).cast("boolean").alias("__ok"),
+    )
+    levels = vals.groupBy("__s").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("__r"),
+    )
+    agg = levels.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_levels"),
+        F.sum("__r").alias("__rr"),
+        F.sum(F.col("__s").cast("decimal(38,0)") * F.col("__r")).alias(
+            "__sr"
+        ),
+        F.sum(F.col("__s").cast("decimal(38,0)") * F.col("__n")).alias(
+            "__sn"
+        ),
+        F.sum(
+            F.col("__s").cast("decimal(38,0)")
+            * F.col("__s")
+            * F.col("__n")
+        ).alias("__ssn"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("__rr").cast("double") / nd
+    t = F.col("__sr").cast("double") - F.col("__sn").cast("double") * pbar
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("__ssn").cast("double")
+            - F.col("__sn").cast("double")
+            * F.col("__sn").cast("double")
+            / nd
+        )
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_levels").cast("long").alias("k_levels"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(var > 0, F.round(t / F.sqrt(var), 6)).alias("z_stat"),
+    )
+
+
+def periodogram(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    periods: tuple = (2, 3, 4, 5, 6, 7, 10, 14),
+) -> DataFrame:
+    """Schuster periodogram of the daily series at candidate periods:
+    I(p) = (C_p² + S_p²)/n with C_p = Σ(x_t - x̄)cos(2πt/p) and
+    S_p = Σ(x_t - x̄)sin(2πt/p) — seasonality detection by direct DFT
+    probe (is there a weekly cycle?), the frequency-domain companion
+    of [[q_acf]].  Output — one row per candidate period:
+    ``(period, n_days, power)`` (ROUND 6).
+
+    Scale posture: the corpus collapses to the DAILY series first
+    (map-combinable decimal means); the per-period probe is a
+    |periods|× map-side explode of that days-sized table — cos/sin
+    terms ROUND-pinned then decimal-summed; the day-zero anchor and
+    grand mean are one annotated 1-row broadcast cross."""
+    import math
+
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("day", F.col(ts_col)).alias("__day"))
+        .agg(
+            F.round(
+                F.sum(F.col(value_col).cast("double").cast("decimal(18,4)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__x")
+        )
+    )
+    stats = daily.agg(
+        F.count("*").alias("__nd"),
+        F.min("__day").alias("__d0"),
+        (
+            F.sum(F.col("__x").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("__xbar"),
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(int(p)).alias("period"),
+                F.lit(2.0 * math.pi / float(p)).alias("w"),
+            )
+            for p in periods
+        ]
+    )
+    t = F.datediff(F.col("__day"), F.col("__d0")).cast("double")
+    dx = F.col("__x") - F.col("__xbar")
+    exploded = (
+        daily.join(broadcast(stats), F.lit(True))
+        .select("__x", "__xbar", "__nd", t.alias("__t"), F.explode(probes).alias("__p"))
+        .select(
+            F.col("__p.period").alias("period"),
+            F.col("__nd"),
+            F.round(
+                dx * F.cos(F.col("__p.w") * F.col("__t")), 12
+            ).cast("decimal(38,12)").alias("__c"),
+            F.round(
+                dx * F.sin(F.col("__p.w") * F.col("__t")), 12
+            ).cast("decimal(38,12)").alias("__s"),
+        )
+    )
+    agg = exploded.groupBy("period").agg(
+        F.max("__nd").alias("n_days"),
+        F.sum("__c").alias("__cs"),
+        F.sum("__s").alias("__ss"),
+    )
+    power = (
+        F.col("__cs").cast("double") * F.col("__cs").cast("double")
+        + F.col("__ss").cast("double") * F.col("__ss").cast("double")
+    ) / F.col("n_days").cast("double")
+    return agg.select(
+        F.col("period").cast("long").alias("period"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(power, 6).alias("power"),
+    ).orderBy("period")

@@ -8562,3 +8562,233 @@ def q_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("long") % 86400).alias("tod")
     )
     return kuiper_uniform(tod, "tod", 0, 86400)
+
+
+# ---------------------------------------------------------------------------
+# Paired / trend / autocorrelation / seasonality tests (r9 batch 5): the
+# paired-design rank test, the dose-response proportion trend, the
+# residual-independence screen, and the frequency-domain seasonality probe.
+# ---------------------------------------------------------------------------
+
+_WILCOXON_SQL = """
+    WITH vals AS (
+      SELECT user_id AS k, event_type = 'purchase' AS isa,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    pairs AS (
+      SELECT ROUND(
+               CAST(SUM(CASE WHEN isa THEN CAST(v AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+               / COUNT(CASE WHEN isa THEN 1 END)
+             - CAST(SUM(CASE WHEN NOT isa THEN CAST(v AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+               / COUNT(CASE WHEN NOT isa THEN 1 END), 6) AS d
+      FROM vals GROUP BY k
+      HAVING COUNT(CASE WHEN isa THEN 1 END) > 0
+         AND COUNT(CASE WHEN NOT isa THEN 1 END) > 0
+    ),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+    nz AS (SELECT d FROM pairs WHERE d <> 0),
+    marg AS (
+      SELECT ABS(d) AS ad, COUNT(*) AS ct,
+             SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp
+      FROM nz GROUP BY ABS(d)
+    ),
+    cum AS (
+      SELECT ad, ct, cp, SUM(ct) OVER (ORDER BY ad) AS cm FROM marg
+    ),
+    agg AS (
+      SELECT SUM(ct) AS n_nonzero,
+             SUM(CAST(cp AS DECIMAL(18,0))
+                 * CAST(2 * (cm - ct) + ct + 1 AS DECIMAL(18,0))) AS wp2,
+             SUM(CAST(CAST(ct AS DECIMAL(18,0)) * ct * ct - ct
+                      AS DECIMAL(18,0))) AS tie
+      FROM cum
+    ),
+    sel AS (
+      SELECT CAST(np.n_pairs AS BIGINT) AS n_pairs,
+             CAST(COALESCE(agg.n_nonzero, 0) AS BIGINT) AS n_nonzero,
+             CAST(wp2 AS DOUBLE) / 2.0 AS wp,
+             CAST(COALESCE(agg.n_nonzero, 0) AS DOUBLE) AS nd,
+             CAST(tie AS DOUBLE) AS tied
+      FROM agg, np
+    )
+    SELECT n_pairs, n_nonzero,
+           ROUND(wp, 6) AS w_plus,
+           ROUND(nd * (nd + 1.0) / 2.0 - wp, 6) AS w_minus,
+           CASE WHEN n_nonzero >= 1
+                 AND nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+                     - tied / 48.0 > 0
+           THEN ROUND(
+             (wp - nd * (nd + 1.0) / 4.0)
+             / sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+                    - tied / 48.0), 6)
+           END AS z_stat
+    FROM sel
+"""
+
+@_q("q_wilcoxon", _WILCOXON_SQL)
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on per-user paired means (purchase vs view
+    value): the paired-design robust test — pair table is one keyed
+    collapse, |d| midranks ride the distributed prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        wilcoxon_signed_rank,
+    )
+
+    return wilcoxon_signed_rank(
+        _events(spark, sf_dir), "user_id", "event_type", "value",
+        "purchase", "view",
+    )
+
+
+_DW_SQL = """
+    WITH vals AS (
+      SELECT user_id AS key, ts, event_id AS id, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        AND user_id < 16
+    ),
+    means AS (
+      SELECT key, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) AS mean
+      FROM vals GROUP BY key
+    ),
+    resid AS (
+      SELECT vals.key,
+             ROUND(CAST(CAST(v AS DECIMAL(18,4)) AS DOUBLE) - mean, 6) AS e,
+             LAG(ROUND(CAST(CAST(v AS DECIMAL(18,4)) AS DOUBLE) - mean, 6))
+               OVER (PARTITION BY vals.key ORDER BY ts, id) AS ep
+      FROM vals JOIN means ON vals.key = means.key
+    ),
+    agg AS (
+      SELECT key, COUNT(*) AS n,
+             SUM(CAST(ROUND((e - ep) * (e - ep), 10)
+                      AS DECIMAL(38,10))) AS num,
+             SUM(CAST(ROUND(e * e, 10) AS DECIMAL(38,10))) AS den
+      FROM resid GROUP BY key
+    )
+    SELECT key, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND den > 0
+           THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS dw_stat
+    FROM agg
+"""
+
+@_q("q_durbin_watson", _DW_SQL)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson per user series (16 users): first-order residual
+    autocorrelation via PER-KEY lag windows — the independence screen
+    for per-entity metrics."""
+    from conte_to_fresco_etl_spark.operators.robust import durbin_watson
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 16)
+    return durbin_watson(ev, "user_id", "ts", "event_id", "value")
+
+
+_COCHRAN_ARMITAGE_SQL = """
+    WITH vals AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS s,
+             event_type = 'purchase' AS ok
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    lv AS (
+      SELECT s, COUNT(*) AS n,
+             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS r
+      FROM vals GROUP BY s
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k, SUM(r) AS rr,
+             SUM(CAST(s AS DECIMAL(18,0)) * r) AS sr,
+             SUM(CAST(s AS DECIMAL(18,0)) * n) AS sn,
+             SUM(CAST(s AS DECIMAL(18,0)) * s * n) AS ssn
+      FROM lv
+    ),
+    d AS (
+      SELECT n, k,
+             CAST(sr AS DOUBLE)
+               - CAST(sn AS DOUBLE)
+                 * (CAST(rr AS DOUBLE) / CAST(n AS DOUBLE)) AS t,
+             (CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(ssn AS DOUBLE)
+                  - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                    / CAST(n AS DOUBLE)) AS var
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_levels,
+           ROUND(t, 6) AS t_stat,
+           CASE WHEN var > 0 THEN ROUND(t / sqrt(var), 6) END AS z_stat
+    FROM d
+"""
+
+@_q("q_cochran_armitage", _COCHRAN_ARMITAGE_SQL)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend of purchase share across day-of-week
+    (scores 0=Sun..6=Sat): all five sufficient sums off one 7-row
+    contingency collapse — no cross join."""
+    from conte_to_fresco_etl_spark.operators.robust import cochran_armitage
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return cochran_armitage(ev, "dow", "ok")
+
+
+_PERIODOGRAM_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,4)))
+                        AS DOUBLE) / COUNT(*), 6) AS x
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS nd, MIN(day) AS d0,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS xbar
+      FROM daily
+    ),
+    probes(period, w) AS (VALUES
+      (2, 3.141592653589793), (3, 2.0943951023931953),
+      (4, 1.5707963267948966), (5, 1.2566370614359172),
+      (6, 1.0471975511965976), (7, 0.8975979010256552),
+      (10, 0.6283185307179586), (14, 0.4487989505128276)
+    ),
+    terms AS (
+      SELECT period, stats.nd,
+             CAST(ROUND((x - xbar)
+               * cos(w * CAST(date_diff('day', d0, day) AS DOUBLE)), 12)
+               AS DECIMAL(38,12)) AS c,
+             CAST(ROUND((x - xbar)
+               * sin(w * CAST(date_diff('day', d0, day) AS DOUBLE)), 12)
+               AS DECIMAL(38,12)) AS s
+      FROM daily, stats, probes
+    ),
+    agg AS (
+      SELECT period, MAX(nd) AS n_days, SUM(c) AS cs, SUM(s) AS ss
+      FROM terms GROUP BY period
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           CAST(n_days AS BIGINT) AS n_days,
+           ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                 / CAST(n_days AS DOUBLE), 6) AS power
+    FROM agg
+"""
+
+@_q("q_periodogram", _PERIODOGRAM_SQL)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily mean-value series at candidate
+    periods 2..14 days: seasonality by direct DFT probe over the
+    days-sized collapse — the weekly-cycle detector."""
+    from conte_to_fresco_etl_spark.operators.robust import periodogram
+
+    return periodogram(
+        _events(spark, sf_dir), "ts", "value",
+        periods=(2, 3, 4, 5, 6, 7, 10, 14),
+    )

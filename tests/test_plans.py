@@ -621,6 +621,8 @@ BNLJ_ALLOWED = {
     "q_hurst_exponent",         # regression-moment 1-row cross
     "q_cliffs_delta",           # group-total 1-row cross + offsets join
     "q_kuiper",                 # total-count 1-row cross + offsets join
+    "q_wilcoxon",               # pair-count 1-row cross + offsets join
+    "q_periodogram",            # day-zero/grand-mean 1-row cross
 }
 
 

@@ -3653,3 +3653,170 @@ def test_kuiper_catches_wraparound_shift(spark):
     v = kuiper_uniform(df, "v", 0.0, 1.0).collect()[0]["v_stat"]
     d = ks_uniform(df, "v", 0.0, 1.0).collect()[0]["d_stat"]
     assert v > d + 0.3  # Kuiper strictly more sensitive here
+
+
+# ---------------------------------------------------------------------------
+# r9 batch 5: Wilcoxon signed-rank / Durbin-Watson / Cochran-Armitage /
+# periodogram
+# ---------------------------------------------------------------------------
+
+
+def test_wilcoxon_signed_rank_matches_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        wilcoxon_signed_rank,
+    )
+
+    # keys with single observations per arm -> d = a - b directly
+    diffs = [1.0, -2.0, 3.0, 3.0, -4.0, 5.0, 0.0]
+    rows = []
+    for i, d in enumerate(diffs):
+        rows.append((i, "a", 10.0 + d))
+        rows.append((i, "b", 10.0))
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    r = wilcoxon_signed_rank(df, "k", "g", "v", "a", "b").collect()[0]
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    # midranks of |d|: |1|->1, |2|->2, |3|,|3|->3.5, |4|->5, |5|->6
+    ranks = {1.0: 1, 2.0: 2, 3.0: 3.5, 4.0: 5, 5.0: 6}
+    wp = sum(ranks[abs(d)] for d in nz if d > 0)
+    tie = 2**3 - 2
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (wp - n * (n + 1) / 4.0) / math.sqrt(var)
+    assert r["n_pairs"] == 7 and r["n_nonzero"] == 6
+    assert r["w_plus"] == wp
+    assert r["w_minus"] == n * (n + 1) / 2.0 - wp
+    assert abs(r["z_stat"] - round(z, 6)) < 1e-6
+
+
+def test_wilcoxon_all_zero_diffs(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        wilcoxon_signed_rank,
+    )
+
+    rows = [(i, g, 5.0) for i in range(4) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    r = wilcoxon_signed_rank(df, "k", "g", "v", "a", "b").collect()[0]
+    assert r["n_pairs"] == 4 and r["n_nonzero"] == 0
+    assert r["z_stat"] is None
+
+
+def test_durbin_watson_alternating_vs_trending(spark):
+    from conte_to_fresco_etl_spark.operators.robust import durbin_watson
+
+    # alternating series -> strong negative autocorr -> DW near 4;
+    # slow ramp -> strong positive autocorr -> DW near 0
+    alt = [(1, i, i, 10.0 if i % 2 == 0 else -10.0) for i in range(20)]
+    ramp = [(2, i, i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(
+        alt + ramp, "key long, ts long, id long, v double"
+    )
+    out = {
+        r["key"]: r["dw_stat"]
+        for r in durbin_watson(df, "key", "ts", "id", "v").collect()
+    }
+    assert out[1] > 3.5
+    assert out[2] < 0.5
+
+
+def test_durbin_watson_matches_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import durbin_watson
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "key long, ts long, id long, v double",
+    )
+    r = durbin_watson(df, "key", "ts", "id", "v").collect()[0]
+    mean = sum(vals) / len(vals)
+    e = [round(v - mean, 6) for v in vals]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, len(e))) / sum(
+        x * x for x in e
+    )
+    assert abs(r["dw_stat"] - round(dw, 6)) < 1e-6
+
+
+def test_cochran_armitage_detects_trend(spark):
+    from conte_to_fresco_etl_spark.operators.robust import cochran_armitage
+
+    # success rate rises with the score -> strongly positive z
+    rows = []
+    for s, rate in [(0, 0.1), (1, 0.3), (2, 0.5), (3, 0.7)]:
+        k = int(rate * 100)
+        rows += [(s, True)] * k + [(s, False)] * (100 - k)
+    df = spark.createDataFrame(rows, "s long, ok boolean")
+    r = cochran_armitage(df, "s", "ok").collect()[0]
+    assert r["n"] == 400 and r["k_levels"] == 4
+    assert r["z_stat"] > 5.0
+    # flat rates -> t = 0 exactly
+    flat = [(s, i < 30) for s in range(4) for i in range(100)]
+    df2 = spark.createDataFrame(flat, "s long, ok boolean")
+    r2 = cochran_armitage(df2, "s", "ok").collect()[0]
+    assert r2["t_stat"] == 0.0
+
+
+def test_cochran_armitage_matches_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import cochran_armitage
+
+    table = {0: (50, 5), 1: (40, 10), 2: (60, 30)}  # s -> (n, r)
+    rows = []
+    for s, (n, r_s) in table.items():
+        rows += [(s, True)] * r_s + [(s, False)] * (n - r_s)
+    df = spark.createDataFrame(rows, "s long, ok boolean")
+    out = cochran_armitage(df, "s", "ok").collect()[0]
+    n = sum(v[0] for v in table.values())
+    rr = sum(v[1] for v in table.values())
+    pbar = rr / n
+    t = sum(s * v[1] for s, v in table.items()) - pbar * sum(
+        s * v[0] for s, v in table.items()
+    )
+    var = (
+        pbar
+        * (1 - pbar)
+        * (
+            sum(s * s * v[0] for s, v in table.items())
+            - sum(s * v[0] for s, v in table.items()) ** 2 / n
+        )
+    )
+    assert abs(out["t_stat"] - round(t, 6)) < 1e-6
+    assert abs(out["z_stat"] - round(t / math.sqrt(var), 6)) < 1e-6
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    import datetime
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import periodogram
+
+    # daily series with a pure 7-day cycle: power concentrates at p=7
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i),
+         100.0 + 10.0 * math.cos(2 * math.pi * i / 7.0))
+        for i in range(56)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["period"]: r["power"] for r in
+           periodogram(df, "ts", "v", periods=(2, 3, 5, 7, 10)).collect()}
+    # p=10 is not an integer divisor of the 56-day span, so a little
+    # spectral leakage lands there — the planted peak still dominates
+    assert out[7] > 20 * max(out[p] for p in (2, 3, 5, 10))
+
+
+def test_periodogram_n_days_and_flat_series(spark):
+    import datetime
+
+    from conte_to_fresco_etl_spark.operators.robust import periodogram
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=i, hours=h), 42.0)
+        for i in range(10) for h in (1, 13)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = periodogram(df, "ts", "v", periods=(2, 7)).collect()
+    assert all(r["n_days"] == 10 for r in out)
+    assert all(r["power"] == 0.0 for r in out)  # demeaned flat = 0

@@ -112,6 +112,11 @@ REGATE_R9: list[str] = [
     "q_durbin_watson",
     "q_cochran_armitage",
     "q_periodogram",
+    # NEW r9 batch 6: tail-weighted / variance-robust two-sample tests
+    # + the Naive Bayes lexical classifier
+    "q_anderson_darling",
+    "q_brunner_munzel",
+    "q_naive_bayes",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (the r5/r6
@@ -175,6 +180,9 @@ PRIORITY: list[str] = [
     "q_durbin_watson",
     "q_cochran_armitage",
     "q_periodogram",
+    "q_anderson_darling",
+    "q_brunner_munzel",
+    "q_naive_bayes",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

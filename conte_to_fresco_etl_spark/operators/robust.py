@@ -6009,3 +6009,195 @@ def periodogram(
         F.col("n_days").cast("long").alias("n_days"),
         F.round(power, 6).alias("power"),
     ).orderBy("period")
+
+
+def anderson_darling_2samp(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Two-sample Anderson-Darling criterion, tie-adjusted midrank form
+    (Scholz & Stephens 1987, eq. 7 — the A2akN statistic scipy's
+    ``anderson_ksamp`` computes for k=2): weights the ECDF discrepancy
+    by 1/(F(1-F)), which makes it the TAIL-sensitive whole-distribution
+    drift test ([[q_ks_test]] sees the max gap, [[q_cramer_von_mises]]
+    the average; AD up-weights the tails where drift in extreme values
+    hides).  Output — ONE row: ``(n_a, n_b, a2_stat)`` (ROUND 6).
+
+    Scale posture: one pooled value-marginal collapse; per-sample and
+    pooled midrank cumulatives ride a single distributed prefix scan;
+    per-value terms are ROUND(12)-pinned decimal sums; the group
+    totals are one annotated 1-row broadcast cross."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).alias("__v"),
+    )
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    cum = prefix_sums(marg, "__v", ["__ca", "__cb"], prefix="__cm_")
+    tot = vals.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("n_b"),
+    )
+    lj = (F.col("__ca") + F.col("__cb")).cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    # midrank-adjusted cumulatives: B_j = C_j - l_j/2 (pooled),
+    # M_ij = C_ij - l_ij/2 (per sample)
+    bj = (F.col("__cm___ca") + F.col("__cm___cb")).cast("double") - lj / F.lit(2.0)
+    ma = F.col("__cm___ca").cast("double") - F.col("__ca").cast(
+        "double"
+    ) / F.lit(2.0)
+    mb = F.col("__cm___cb").cast("double") - F.col("__cb").cast(
+        "double"
+    ) / F.lit(2.0)
+    denom = bj * (nn - bj) - nn * lj / F.lit(4.0)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+
+    def term(mi, ni):
+        gap = nn * mi - bj * ni
+        return F.when(
+            denom > 0,
+            F.round(lj / nn * (gap * gap) / denom, 12),
+        ).otherwise(F.lit(0.0)).cast("decimal(38,12)")
+
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term(ma, na)).alias("__sa"),
+        F.sum(term(mb, nb)).alias("__sb"),
+    )
+    na2 = F.col("n_a").cast("double")
+    nb2 = F.col("n_b").cast("double")
+    nn2 = na2 + nb2
+    a2 = (
+        (nn2 - F.lit(1.0))
+        / nn2
+        * (
+            F.col("__sa").cast("double") / na2
+            + F.col("__sb").cast("double") / nb2
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(a2, 6)
+        ).alias("a2_stat"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Brunner-Munzel test (generalized Wilcoxon for the
+    Behrens-Fisher situation): tests P(X < Y) + P(X = Y)/2 = 1/2
+    WITHOUT assuming equal variances or distribution shapes — the
+    modern replacement for [[q_mannwhitney]] when the two groups'
+    spreads differ (where Mann-Whitney's variance assumption breaks).
+    Output — ONE row: ``(n_a, n_b, p_hat, w_stat)`` where p_hat is the
+    common-language effect P(a < b) + P(a = b)/2 and W the studentized
+    statistic (Brunner & Munzel 2000), ROUND(6).
+
+    Scale posture: pooled AND within-group midranks all ride ONE
+    distributed prefix scan of the two-count value marginal; the
+    rank-variance pass consumes the same marginal crossed with the
+    1-row rank-mean aggregate (annotated scalar cross); per-value
+    contributions are ROUND(12)-pinned decimal sums."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(value_col).alias("__v"),
+    )
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    cum = prefix_sums(marg, "__v", ["__ca", "__cb"], prefix="__cm_")
+    ct = F.col("__ca") + F.col("__cb")
+    cm = F.col("__cm___ca") + F.col("__cm___cb")
+    # doubled midranks (exact integers): pooled and within-group
+    m2p = F.lit(2) * (cm - ct) + ct + F.lit(1)
+    m2a = (
+        F.lit(2) * (F.col("__cm___ca") - F.col("__ca"))
+        + F.col("__ca")
+        + F.lit(1)
+    )
+    m2b = (
+        F.lit(2) * (F.col("__cm___cb") - F.col("__cb"))
+        + F.col("__cb")
+        + F.lit(1)
+    )
+    stage1 = cum.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.sum(
+            F.col("__ca").cast("decimal(38,0)") * m2p.cast("decimal(19,0)")
+        ).alias("__wa2"),
+        F.sum(
+            F.col("__cb").cast("decimal(38,0)") * m2p.cast("decimal(19,0)")
+        ).alias("__wb2"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    rbar_a = F.col("__wa2").cast("double") / (F.lit(2.0) * na)
+    rbar_b = F.col("__wb2").cast("double") / (F.lit(2.0) * nb)
+    # per-value squared deviations (R_pooled - R_within - Rbar + (n_i+1)/2)²
+    dev_a = (
+        m2p.cast("double") / F.lit(2.0)
+        - m2a.cast("double") / F.lit(2.0)
+        - rbar_a
+        + (na + F.lit(1.0)) / F.lit(2.0)
+    )
+    dev_b = (
+        m2p.cast("double") / F.lit(2.0)
+        - m2b.cast("double") / F.lit(2.0)
+        - rbar_b
+        + (nb + F.lit(1.0)) / F.lit(2.0)
+    )
+    agg = cum.join(broadcast(stage1), F.lit(True)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(rbar_a).alias("__ra"),
+        F.max(rbar_b).alias("__rb"),
+        F.sum(
+            F.round(F.col("__ca").cast("double") * dev_a * dev_a, 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__ssa"),
+        F.sum(
+            F.round(F.col("__cb").cast("double") * dev_b * dev_b, 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__ssb"),
+    )
+    na2 = F.col("n_a").cast("double")
+    nb2 = F.col("n_b").cast("double")
+    s2a = F.col("__ssa").cast("double") / (na2 - F.lit(1.0))
+    s2b = F.col("__ssb").cast("double") / (nb2 - F.lit(1.0))
+    sig = na2 * s2a + nb2 * s2b
+    w = (
+        na2
+        * nb2
+        * (F.col("__rb") - F.col("__ra"))
+        / ((na2 + nb2) * F.sqrt(sig))
+    )
+    p_hat = (F.col("__rb") - (nb2 + F.lit(1.0)) / F.lit(2.0)) / na2
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(p_hat, 6)
+        ).alias("p_hat"),
+        F.when(
+            (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (sig > 0),
+            F.round(w, 6),
+        ).alias("w_stat"),
+    )

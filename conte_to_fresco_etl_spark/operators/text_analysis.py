@@ -3602,3 +3602,126 @@ def vocabulary_coverage_by_group(
         F.round(p0, 6).alias("unseen_mass"),
         F.round(F.lit(1.0) - p0, 6).alias("coverage"),
     )
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained and evaluated distributed: train
+    on docs with ``id % test_mod != 0``, score the held-out rest, and
+    emit the confusion matrix — the classic fast lexical classifier
+    (language ID, quality tiers, topic routing) a curation pipeline
+    reaches for BEFORE paying for a neural one.  Laplace alpha=1
+    smoothing; tokens unseen in training still contribute their
+    smoothed per-class mass (they re-rank only via class totals).
+    Output — one row per confusion cell:
+    ``(true_label, pred_label, n_docs)``.
+
+    Scale posture: training IS aggregation — (class, token) counts and
+    class totals are map-combinable collapses; scoring joins test-doc
+    term frequencies against the vocabulary-sized model table by token
+    (the k-class fan-out is a broadcast of the k-row class table); the
+    argmax is a per-doc window over k rows.  Nothing all-pairs,
+    nothing driver-side except the k-row class stats."""
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__y"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    is_test = (F.col("__id") % F.lit(int(test_mod))) == 0
+    train_tok = (
+        base.filter(~is_test)
+        .select("__y", F.explode("__toks").alias("__tok"))
+    )
+    # model: per (class, token) counts; k-row class stats; |V| scalar
+    cnt = train_tok.groupBy(
+        F.col("__y").alias("__m_y"), F.col("__tok").alias("__m_tok")
+    ).agg(F.count("*").alias("__c"))
+    cls = train_tok.groupBy("__y").agg(F.count("*").alias("__tot"))
+    docs_cls = base.filter(~is_test).groupBy("__y").agg(
+        F.count("*").alias("__docs")
+    )
+    scal = train_tok.agg(
+        F.countDistinct("__tok").alias("__vocab"),
+    ).join(
+        F.broadcast(
+            base.filter(~is_test).agg(F.count("*").alias("__ndocs"))
+        ),
+        F.lit(True),
+    )
+    classes = (
+        cls.join(docs_cls, "__y")
+        .join(F.broadcast(scal), F.lit(True))
+        .select(
+            F.col("__y").alias("__c_y"),
+            F.col("__tot"),
+            F.col("__vocab"),
+            F.round(
+                F.log(
+                    F.col("__docs").cast("double")
+                    / F.col("__ndocs").cast("double")
+                ),
+                12,
+            ).alias("__prior"),
+        )
+    )
+    test_tf = (
+        base.filter(is_test)
+        .select("__id", "__y", F.explode("__toks").alias("__tok"))
+        .groupBy("__id", "__y", "__tok")
+        .agg(F.count("*").alias("__tf"))
+    )
+    # k-class fan-out (broadcast), then the vocab-sized model join;
+    # unseen (class, token) pairs coalesce to the Laplace numerator 1
+    fanned = test_tf.join(F.broadcast(classes), F.lit(True)).join(
+        cnt,
+        (F.col("__c_y") == F.col("__m_y"))
+        & (F.col("__tok") == F.col("__m_tok")),
+        "left",
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("__tot") + F.col("__vocab")).cast("double")
+        ),
+        12,
+    )
+    scores = fanned.groupBy(
+        F.col("__id"),
+        F.col("__y").alias("__true"),
+        F.col("__c_y"),
+        F.col("__prior"),
+    ).agg(
+        F.sum(
+            F.round(F.col("__tf").cast("double") * logp, 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__s")
+    )
+    ranked = scores.select(
+        "__id",
+        "__true",
+        "__c_y",
+        F.round(
+            F.col("__prior") + F.col("__s").cast("double"), 6
+        ).alias("__score"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__c_y").asc()
+    )
+    pred = ranked.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("__true").alias("true_label"),
+            F.col("__c_y").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -8792,3 +8792,179 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "ts", "value",
         periods=(2, 3, 4, 5, 6, 7, 10, 14),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tail-weighted and variance-robust two-sample tests (r9 batch 6)
+# ---------------------------------------------------------------------------
+
+_AD_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'click' AS isa, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cma,
+             SUM(cb) OVER (ORDER BY v) AS cmb
+      FROM marg
+    ),
+    t AS (
+      SELECT SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b
+      FROM vals
+    ),
+    terms AS (
+      SELECT t.n_a, t.n_b,
+             CAST(ca + cb AS DOUBLE) AS lj,
+             CAST(t.n_a + t.n_b AS DOUBLE) AS nn,
+             CAST(cma + cmb AS DOUBLE)
+               - CAST(ca + cb AS DOUBLE) / 2.0 AS bj,
+             CAST(cma AS DOUBLE) - CAST(ca AS DOUBLE) / 2.0 AS ma,
+             CAST(cmb AS DOUBLE) - CAST(cb AS DOUBLE) / 2.0 AS mb
+      FROM cum, t
+    ),
+    tt AS (
+      SELECT n_a, n_b,
+             CASE WHEN bj * (nn - bj) - nn * lj / 4.0 > 0
+             THEN CAST(ROUND(lj / nn
+               * ((nn * ma - bj * CAST(n_a AS DOUBLE))
+                  * (nn * ma - bj * CAST(n_a AS DOUBLE)))
+               / (bj * (nn - bj) - nn * lj / 4.0), 12)
+               AS DECIMAL(38,12))
+             ELSE CAST(0.0 AS DECIMAL(38,12)) END AS ta,
+             CASE WHEN bj * (nn - bj) - nn * lj / 4.0 > 0
+             THEN CAST(ROUND(lj / nn
+               * ((nn * mb - bj * CAST(n_b AS DOUBLE))
+                  * (nn * mb - bj * CAST(n_b AS DOUBLE)))
+               / (bj * (nn - bj) - nn * lj / 4.0), 12)
+               AS DECIMAL(38,12))
+             ELSE CAST(0.0 AS DECIMAL(38,12)) END AS tb
+      FROM terms
+    ),
+    agg AS (
+      SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             SUM(ta) AS sa, SUM(tb) AS sb
+      FROM tt
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             (CAST(n_a + n_b AS DOUBLE) - 1.0)
+             / CAST(n_a + n_b AS DOUBLE)
+             * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)), 6)
+           END AS a2_stat
+    FROM agg
+"""
+
+@_q("q_anderson_darling", _AD_SQL)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling (tie-adjusted midrank A2akN) between
+    click and view values: the tail-weighted drift test — all
+    cumulatives on one distributed prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        anderson_darling_2samp,
+    )
+
+    return anderson_darling_2samp(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+_BM_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'click' AS isa, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cma,
+             SUM(cb) OVER (ORDER BY v) AS cmb
+      FROM marg
+    ),
+    mr AS (
+      SELECT ca, cb,
+             2 * ((cma + cmb) - (ca + cb)) + (ca + cb) + 1 AS m2p,
+             2 * (cma - ca) + ca + 1 AS m2a,
+             2 * (cmb - cb) + cb + 1 AS m2b
+      FROM cum
+    ),
+    s1 AS (
+      SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+             SUM(CAST(ca AS DECIMAL(18,0))
+                 * CAST(m2p AS DECIMAL(19,0))) AS wa2,
+             SUM(CAST(cb AS DECIMAL(18,0))
+                 * CAST(m2p AS DECIMAL(19,0))) AS wb2
+      FROM mr
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(wa2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)) AS ra,
+             CAST(wb2 AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE)) AS rb
+      FROM s1
+    ),
+    tt AS (
+      SELECT d.n_a, d.n_b, d.ra, d.rb,
+             SUM(CAST(ROUND(CAST(ca AS DOUBLE)
+                   * (CAST(m2p AS DOUBLE) / 2.0
+                      - CAST(m2a AS DOUBLE) / 2.0
+                      - ra + (CAST(n_a AS DOUBLE) + 1.0) / 2.0)
+                   * (CAST(m2p AS DOUBLE) / 2.0
+                      - CAST(m2a AS DOUBLE) / 2.0
+                      - ra + (CAST(n_a AS DOUBLE) + 1.0) / 2.0), 12)
+                 AS DECIMAL(38,12))) AS ssa,
+             SUM(CAST(ROUND(CAST(cb AS DOUBLE)
+                   * (CAST(m2p AS DOUBLE) / 2.0
+                      - CAST(m2b AS DOUBLE) / 2.0
+                      - rb + (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
+                   * (CAST(m2p AS DOUBLE) / 2.0
+                      - CAST(m2b AS DOUBLE) / 2.0
+                      - rb + (CAST(n_b AS DOUBLE) + 1.0) / 2.0), 12)
+                 AS DECIMAL(38,12))) AS ssb
+      FROM mr, d GROUP BY d.n_a, d.n_b, d.ra, d.rb
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             (rb - (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
+             / CAST(n_a AS DOUBLE), 6) END AS p_hat,
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND CAST(n_a AS DOUBLE)
+                     * (CAST(ssa AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0))
+                   + CAST(n_b AS DOUBLE)
+                     * (CAST(ssb AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0))
+                   > 0
+           THEN ROUND(
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (rb - ra)
+             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                * sqrt(CAST(n_a AS DOUBLE)
+                       * (CAST(ssa AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) - 1.0))
+                     + CAST(n_b AS DOUBLE)
+                       * (CAST(ssb AS DOUBLE)
+                          / (CAST(n_b AS DOUBLE) - 1.0)))), 6)
+           END AS w_stat
+    FROM tt
+"""
+
+@_q("q_brunner_munzel", _BM_SQL)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (click vs view values): the
+    unequal-variance-safe rank test — pooled and within-group midranks
+    off ONE distributed prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import brunner_munzel
+
+    return brunner_munzel(
+        _events(spark, sf_dir), "event_type", "value", "click", "view"
+    )

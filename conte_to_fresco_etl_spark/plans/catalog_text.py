@@ -7657,3 +7657,86 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return vocabulary_coverage_by_group(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes lexical classifier (r9 batch 6): train/test split, Laplace
+# smoothing, per-class scoring, confusion matrix — training IS aggregation.
+# ---------------------------------------------------------------------------
+
+_NB_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS id, lang AS y, {_sql_tokens('text')} AS toks
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    train_tok AS (
+      SELECT y, t.tok FROM base, UNNEST(toks) AS t(tok) WHERE id % 5 <> 0
+    ),
+    cnt AS (
+      SELECT y AS m_y, tok AS m_tok, COUNT(*) AS c
+      FROM train_tok GROUP BY 1, 2
+    ),
+    cls AS (SELECT y, COUNT(*) AS tot FROM train_tok GROUP BY 1),
+    docs_cls AS (
+      SELECT y, COUNT(*) AS docs FROM base WHERE id % 5 <> 0 GROUP BY 1
+    ),
+    scal AS (
+      SELECT (SELECT COUNT(DISTINCT tok) FROM train_tok) AS vocab,
+             (SELECT COUNT(*) FROM base WHERE id % 5 <> 0) AS ndocs
+    ),
+    classes AS (
+      SELECT cls.y AS c_y, tot, vocab,
+             ROUND(ln(CAST(docs AS DOUBLE) / CAST(ndocs AS DOUBLE)),
+                   12) AS prior
+      FROM cls JOIN docs_cls ON cls.y = docs_cls.y, scal
+    ),
+    test_tf AS (
+      SELECT id, y, t.tok, COUNT(*) AS tf
+      FROM base, UNNEST(toks) AS t(tok) WHERE id % 5 = 0 GROUP BY 1, 2, 3
+    ),
+    fanned AS (
+      SELECT test_tf.id, test_tf.y AS true_y, c_y, prior, tf, tot,
+             vocab, c
+      FROM test_tf CROSS JOIN classes
+      LEFT JOIN cnt ON c_y = m_y AND test_tf.tok = m_tok
+    ),
+    scores AS (
+      SELECT id, true_y, c_y, prior,
+             SUM(CAST(ROUND(CAST(tf AS DOUBLE)
+                   * ROUND(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+                              / CAST(tot + vocab AS DOUBLE)), 12), 12)
+                 AS DECIMAL(38,12))) AS s
+      FROM fanned GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT id, true_y, c_y,
+             ROUND(prior + CAST(s AS DOUBLE), 6) AS score
+      FROM scores
+    ),
+    pred AS (
+      SELECT id, true_y, c_y,
+             ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY score DESC, c_y ASC) AS rn
+      FROM ranked
+    )
+    SELECT true_y AS true_label, c_y AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@_q("q_naive_bayes", _NB_SQL)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained on the 80%
+    hash split and evaluated on the rest: (class, token) counts and
+    class totals are map-combinable collapses, scoring is a
+    vocabulary-sized token join with a k-class broadcast fan-out, and
+    the argmax is a per-doc window over k rows."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        naive_bayes_classify,
+    )
+
+    return naive_bayes_classify(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id", text_col="text", label_col="lang", test_mod=5,
+    )

@@ -623,6 +623,11 @@ BNLJ_ALLOWED = {
     "q_kuiper",                 # total-count 1-row cross + offsets join
     "q_wilcoxon",               # pair-count 1-row cross + offsets join
     "q_periodogram",            # day-zero/grand-mean 1-row cross
+    "q_anderson_darling",       # group-total 1-row cross + offsets join
+    "q_brunner_munzel",         # rank-mean 1-row cross + offsets join
+    "q_naive_bayes",            # |classes|-row model-stat broadcast
+                                # (registered keys=[__y#] pattern) +
+                                # vocab/doc-count 1-row crosses
 }
 
 
@@ -940,6 +945,9 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
     # Kendall-W item spine: the distinct (user_id % 20) buckets —
     # a <= 20-row domain by construction
     "q_kendall_w": ("keys=[__i#",),
+    # Naive-Bayes class-stat table: keyed on the class label — a
+    # |classes|-row domain (5 langs) by construction
+    "q_naive_bayes": ("keys=[__y#",),
 }
 
 

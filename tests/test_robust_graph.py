@@ -3820,3 +3820,104 @@ def test_periodogram_n_days_and_flat_series(spark):
     out = periodogram(df, "ts", "v", periods=(2, 7)).collect()
     assert all(r["n_days"] == 10 for r in out)
     assert all(r["power"] == 0.0 for r in out)  # demeaned flat = 0
+
+
+# ---------------------------------------------------------------------------
+# r9 batch 6: Anderson-Darling / Brunner-Munzel
+# ---------------------------------------------------------------------------
+
+
+def test_anderson_darling_matches_scipy_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        anderson_darling_2samp,
+    )
+
+    a = [1.0, 2.0, 3.0, 7.0, 8.0]
+    b = [4.0, 5.0, 6.0, 6.0, 9.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anderson_darling_2samp(df, "g", "v", "a", "b").collect()[0]
+    # python twin of the A2akN midrank form (Scholz-Stephens eq. 7)
+    pooled = sorted(a + b)
+    zstar = sorted(set(pooled))
+    n, m = len(a), len(b)
+    nn = n + m
+    a2 = 0.0
+    for sample, ni in ((a, n), (b, m)):
+        inner = 0.0
+        for z in zstar:
+            lj = pooled.count(z)
+            cj = sum(1 for y in pooled if y <= z)
+            bj = cj - lj / 2.0
+            mij = sum(1 for y in sample if y <= z) - sample.count(z) / 2.0
+            denom = bj * (nn - bj) - nn * lj / 4.0
+            if denom > 0:
+                inner += lj / nn * (nn * mij - bj * ni) ** 2 / denom
+        a2 += inner / ni
+    a2 *= (nn - 1.0) / nn
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert abs(r["a2_stat"] - round(a2, 6)) < 1e-5
+
+
+def test_anderson_darling_identical_all_tied(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        anderson_darling_2samp,
+    )
+
+    rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anderson_darling_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert r["a2_stat"] == 0.0  # every term's denominator degenerates
+
+
+def test_brunner_munzel_matches_scipy_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import brunner_munzel
+
+    # scipy.stats.brunnermunzel reference fixture (its docstring data)
+    x1 = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    x2 = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+    rows = [("a", float(v)) for v in x1] + [("b", float(v)) for v in x2]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    # python twin
+    nx, ny = len(x1), len(x2)
+    pooled = sorted(x1 + x2)
+
+    def midrank(seq, x):
+        lo = sum(1 for y in seq if y < x)
+        eq = sum(1 for y in seq if y == x)
+        return lo + (eq + 1) / 2.0
+
+    rkx = [midrank(pooled, v) for v in x1]
+    rky = [midrank(pooled, v) for v in x2]
+    rkxx = [midrank(x1, v) for v in x1]
+    rkyy = [midrank(x2, v) for v in x2]
+    mx, my = sum(rkx) / nx, sum(rky) / ny
+    sx = sum(
+        (rkx[i] - rkxx[i] - mx + (nx + 1) / 2.0) ** 2 for i in range(nx)
+    ) / (nx - 1)
+    sy = sum(
+        (rky[i] - rkyy[i] - my + (ny + 1) / 2.0) ** 2 for i in range(ny)
+    ) / (ny - 1)
+    w = nx * ny * (my - mx) / ((nx + ny) * math.sqrt(nx * sx + ny * sy))
+    p_hat = (my - (ny + 1) / 2.0) / nx
+    assert r["n_a"] == nx and r["n_b"] == ny
+    assert abs(r["w_stat"] - round(w, 6)) < 1e-5
+    assert abs(r["p_hat"] - round(p_hat, 6)) < 1e-6
+    # scipy reports W = 3.1374674823029505 for this fixture
+    assert abs(r["w_stat"] - 3.137467) < 1e-5
+
+
+def test_brunner_munzel_symmetric_zero(spark):
+    from conte_to_fresco_etl_spark.operators.robust import brunner_munzel
+
+    # identical samples -> p_hat = 1/2, W = 0
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    assert r["p_hat"] == 0.5
+    assert r["w_stat"] == 0.0

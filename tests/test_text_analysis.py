@@ -1248,3 +1248,47 @@ def test_log_odds_directions_and_prior_shrinkage(spark):
     assert out["negword"]["z_score"] < -3
     if "hapax" in out:
         assert abs(out["hapax"]["z_score"]) < abs(out["posword"]["z_score"])
+
+
+# ---------------------------------------------------------------------------
+# r9 batch 6: Naive Bayes classifier
+# ---------------------------------------------------------------------------
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        naive_bayes_classify,
+    )
+
+    # two classes with disjoint vocabularies; ids ending in 0 are test
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "apple banana apple cherry", "fruit"))
+        else:
+            rows.append((i, "carrot potato onion carrot", "veg"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_classify(df, test_mod=5).collect()
+    cells = {(r["true_label"], r["pred_label"]): r["n_docs"] for r in out}
+    # test docs: ids 0,5,10,...,35 -> 4 fruit (even) + 4 veg (odd)
+    assert cells == {("fruit", "fruit"): 4, ("veg", "veg"): 4}
+
+
+def test_naive_bayes_prior_decides_oov_docs(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        naive_bayes_classify,
+    )
+
+    # the only test doc (id 0) contains one token unseen in training;
+    # smoothing gives every class the same likelihood, so the class
+    # PRIOR (majority class "big") must decide — and alphabetical
+    # tiebreak never enters
+    rows = [(0, "zzz-unseen", "small")]
+    rows += [(i, "alpha beta", "big") for i in range(1, 7)]
+    rows += [(7, "gamma delta", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_classify(df, test_mod=5).collect()
+    # id 0 and id 5 are test docs (0 % 5 == 0, 5 % 5 == 0)
+    cells = {(r["true_label"], r["pred_label"]): r["n_docs"] for r in out}
+    assert cells[("small", "big")] == 1  # OOV doc follows the prior
+    assert cells[("big", "big")] == 1

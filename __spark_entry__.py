@@ -123,10 +123,22 @@ REGATE_R9: list[str] = [
 # pattern: late additions wait one round).  The window self-audit test
 # requires these to sit IMMEDIATELY after the window — first in line
 # for next round's rotation — and they are locally parity-verified in
-# the meantime (tests/oracle_parity.py).  Empty in r8: the backlog fit
-# the window with slots to spare, and new r8 registrations were placed
-# directly inside the window (REGATE_R8).
-DEFER_NEXT_ROUND: list[str] = []
+# the meantime (tests/oracle_parity.py).  r9: the window filled at
+# exactly 50 (38 regates/new + batches 4-6), so the late third wave —
+# clustering-evaluation indices, effect sizes/equivalence, stratified
+# odds, the G-test, spectral entropy, and BLEU — waits here, each one
+# locally parity-verified at sf0.01.
+DEFER_NEXT_ROUND: list[str] = [
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_silhouette",
+    "q_effect_sizes",
+    "q_tost",
+    "q_mantel_haenszel",
+    "q_gtest",
+    "q_spectral_entropy",
+    "q_bleu_pairs",
+]
 
 PRIORITY: list[str] = [
     # --- round-9 window (the driver checks the first 50) ---
@@ -183,6 +195,17 @@ PRIORITY: list[str] = [
     "q_anderson_darling",
     "q_brunner_munzel",
     "q_naive_bayes",
+    # --- DEFER_NEXT_ROUND (positions 50..): late r9 registrations,
+    # locally parity-verified, first in line for the r10 window ---
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_silhouette",
+    "q_effect_sizes",
+    "q_tost",
+    "q_mantel_haenszel",
+    "q_gtest",
+    "q_spectral_entropy",
+    "q_bleu_pairs",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

@@ -6201,3 +6201,313 @@ def brunner_munzel(
             F.round(w, 6),
         ).alias("w_stat"),
     )
+
+
+def _welch_moments(
+    df: DataFrame, group_col: str, value_col: str, a, b
+):
+    """The welch_ttest sufficient-stat collapse (n, Σv, Σv² per group,
+    decimal-exact) pivoted wide — shared by the effect-size and
+    equivalence operators so every derived float sees identical
+    operands in any engine."""
+    two = df.filter(
+        F.col(group_col).isin([a, b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vq = F.col("__v").cast("decimal(18,4)")
+    per_g = two.groupBy("__g").agg(
+        F.count("*").alias("__n"),
+        F.sum(vq).alias("__s1"),
+        F.sum((vq * vq).cast("decimal(38,8)")).alias("__s2"),
+    )
+    return per_g.agg(
+        F.sum(F.when(F.col("__g") == a, F.col("__n"))).alias("n_a"),
+        F.sum(F.when(F.col("__g") == a, F.col("__s1"))).alias("__s1a"),
+        F.sum(F.when(F.col("__g") == a, F.col("__s2"))).alias("__s2a"),
+        F.sum(F.when(F.col("__g") == b, F.col("__n"))).alias("n_b"),
+        F.sum(F.when(F.col("__g") == b, F.col("__s1"))).alias("__s1b"),
+        F.sum(F.when(F.col("__g") == b, F.col("__s2"))).alias("__s2b"),
+    )
+
+
+def effect_sizes(
+    df: DataFrame, group_col: str, value_col: str, a, b
+) -> DataFrame:
+    """Standardized mean-difference effect sizes between two groups:
+    Cohen's d (pooled SD), Hedges' g (small-sample bias correction
+    J = 1 - 3/(4(n_a+n_b)-9)), and Glass's Δ (control-group SD — group
+    b is the control) — the MAGNITUDE companion to [[q_welch_ttest]]'s
+    significance (a p-value without an effect size is how trivially
+    true differences ship as "wins").  Output — ONE row:
+    ``(n_a, n_b, mean_diff, cohens_d, hedges_g, glass_delta)``
+    (ROUND 6).
+
+    Scale posture: ONE map-combinable aggregation collapses the corpus
+    to two sufficient-stat rows; everything after is scalar algebra
+    inside the plan."""
+    wide = _welch_moments(df, group_col, value_col, a, b)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__s1a").cast("double") / na
+    mb = F.col("__s1b").cast("double") / nb
+    va = (F.col("__s2a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("__s2b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (ma - mb) / F.sqrt(sp2)
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb) - F.lit(9.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return wide.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.when(ok & (sp2 > 0), F.round(d, 6)).alias("cohens_d"),
+        F.when(ok & (sp2 > 0), F.round(d * j, 6)).alias("hedges_g"),
+        F.when(ok & (vb > 0), F.round((ma - mb) / F.sqrt(vb), 6)).alias(
+            "glass_delta"
+        ),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    a,
+    b,
+    margin: float,
+) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): is the mean
+    difference provably INSIDE ±margin?  t_lower = (diff+margin)/se
+    must exceed and t_upper = (diff-margin)/se must fall below the
+    one-sided critical value — the test that distinguishes "no
+    significant difference" (absence of evidence) from "demonstrated
+    equivalence" (evidence of absence), the launch gate for
+    do-no-harm changes.  Welch (unequal-variance) standard error and
+    Welch-Satterthwaite df; the ``equivalent`` verdict uses the
+    z-approximation critical value 1.6449 (alpha = 0.05 one-sided) —
+    documented approximation, exact t quantiles need no data pass
+    anyway.  Output — ONE row: ``(n_a, n_b, mean_diff, se, t_lower,
+    t_upper, df, equivalent)`` (ROUND 6).
+
+    Scale posture: identical to effect_sizes — one sufficient-stat
+    collapse, scalar algebra after."""
+    wide = _welch_moments(df, group_col, value_col, a, b)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__s1a").cast("double") / na
+    mb = F.col("__s1b").cast("double") / nb
+    va = (F.col("__s2a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("__s2b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2a = va / na
+    se2b = vb / nb
+    se = F.sqrt(se2a + se2b)
+    diff = ma - mb
+    m = F.lit(float(margin))
+    t_lo = (diff + m) / se
+    t_hi = (diff - m) / se
+    dfw = (
+        (se2a + se2b)
+        * (se2a + se2b)
+        / (
+            se2a * se2a / (na - F.lit(1.0))
+            + se2b * se2b / (nb - F.lit(1.0))
+        )
+    )
+    crit = F.lit(1.6449)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se > 0)
+    return wide.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(t_lo, 6)).alias("t_lower"),
+        F.when(ok, F.round(t_hi, 6)).alias("t_upper"),
+        F.when(ok, F.round(dfw, 6)).alias("df"),
+        F.when(ok, (t_lo > crit) & (t_hi < -crit)).alias("equivalent"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across strata: OR_MH =
+    Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i) over per-stratum 2×2 tables —
+    the confounding-adjusted effect estimate (Simpson's-paradox
+    insurance: the crude OR pools strata and can reverse sign; MH
+    weights each stratum's OR by its information).  Output — ONE row:
+    ``(k_strata, n, or_crude, or_mh)`` (ROUND 6).
+
+    Scale posture: the corpus collapses to k 2×2 tables in one
+    map-combinable pass; both estimates come off a second k-row
+    aggregate of ROUND(12)-pinned decimal terms — no cross joins."""
+    vals = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(exposed_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"),
+        F.col(exposed_col).cast("boolean").alias("__e"),
+        F.col(outcome_col).cast("boolean").alias("__o"),
+    )
+    cells = vals.groupBy("__s").agg(
+        F.sum(F.when(F.col("__e") & F.col("__o"), 1).otherwise(0)).alias(
+            "__a"
+        ),
+        F.sum(F.when(F.col("__e") & ~F.col("__o"), 1).otherwise(0)).alias(
+            "__b"
+        ),
+        F.sum(F.when(~F.col("__e") & F.col("__o"), 1).otherwise(0)).alias(
+            "__c"
+        ),
+        F.sum(F.when(~F.col("__e") & ~F.col("__o"), 1).otherwise(0)).alias(
+            "__d"
+        ),
+    )
+    ni = (
+        F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+    ).cast("double")
+    num = F.round(
+        F.col("__a").cast("double") * F.col("__d").cast("double") / ni, 12
+    ).cast("decimal(38,12)")
+    den = F.round(
+        F.col("__b").cast("double") * F.col("__c").cast("double") / ni, 12
+    ).cast("decimal(38,12)")
+    agg = cells.agg(
+        F.count("*").alias("k_strata"),
+        F.sum(F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .alias("n"),
+        F.sum("__a").alias("__ta"),
+        F.sum("__b").alias("__tb"),
+        F.sum("__c").alias("__tc"),
+        F.sum("__d").alias("__td"),
+        F.sum(num).alias("__num"),
+        F.sum(den).alias("__den"),
+    )
+    crude = (
+        F.col("__ta").cast("double") * F.col("__td").cast("double")
+    ) / (F.col("__tb").cast("double") * F.col("__tc").cast("double"))
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("__tb") > 0) & (F.col("__tc") > 0), F.round(crude, 6)
+        ).alias("or_crude"),
+        F.when(
+            F.col("__den").cast("double") > 0,
+            F.round(
+                F.col("__num").cast("double")
+                / F.col("__den").cast("double"),
+                6,
+            ),
+        ).alias("or_mh"),
+    )
+
+
+def g_test(df: DataFrame, a_col, b_col) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence:
+    G = 2 Σ O ln(O/E) over observed contingency cells — the
+    information-theoretic sibling of [[q_chi_square]] (G is exactly
+    2N times the mutual information in nats, so it composes with the
+    entropy family; Pearson's X² is its second-order Taylor
+    approximation, diverging on small-expectation cells).  Absent
+    cells contribute 0 (O·ln(O/E) → 0 as O → 0), so sparse pairs need
+    no dense cell explosion.  Output — ONE row:
+    ``(n, n_a, n_b, dof, g_stat)`` (ROUND 6).
+
+    Scale posture: identical to chi_square_independence — one (a, b)
+    count shuffle collapses the corpus to the contingency table,
+    marginals are windows over the |cells| rows, the final sum is one
+    scalar of ROUND(12)-pinned decimal terms."""
+    a = a_col if not isinstance(a_col, str) else F.col(a_col)
+    b = b_col if not isinstance(b_col, str) else F.col(b_col)
+    cells = df.select(a.alias("a"), b.alias("b")).groupBy("a", "b").agg(
+        F.count("*").alias("o")
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_marg = cells.select(
+        "o",
+        F.sum("o").over(wa).alias("row_tot"),
+        F.sum("o").over(wb).alias("col_tot"),
+        F.sum("o").over(wall).alias("grand"),
+        F.col("a"),
+        F.col("b"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    o = F.col("o").cast("double")
+    term = F.round(o * F.log(o / e), 12).cast("decimal(28,12)")
+    agg = with_marg.agg(
+        F.max(F.col("grand")).alias("n"),
+        F.count_distinct("a").alias("n_a"),
+        F.count_distinct("b").alias("n_b"),
+        F.sum(term).alias("__g"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias(
+            "dof"
+        ),
+        F.round(F.lit(2.0) * F.col("__g").cast("double"), 6).alias(
+            "g_stat"
+        ),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    periods: tuple = (2, 3, 4, 5, 6, 7, 10, 14),
+) -> DataFrame:
+    """Spectral entropy of the daily series over the candidate-period
+    power spectrum: H = -Σ p_i ln(p_i) with p_i the normalized
+    periodogram power, plus H/ln(k) in [0, 1] — LOW means one period
+    dominates (strong seasonality), HIGH means noise-like; the
+    one-number "is this series forecastable" screen on top of
+    [[q_periodogram]].  Output — ONE row:
+    ``(k_periods, total_power, entropy, entropy_norm)`` (ROUND 6).
+
+    Scale posture: composes the periodogram (daily collapse + probe
+    explode); the normalization total is one annotated 1-row cross
+    over the |periods|-row power table."""
+    pw = periodogram(df, ts_col, value_col, periods=periods)
+    tot = pw.agg(
+        F.sum(F.col("power").cast("decimal(38,6)")).alias("__tot"),
+        F.count(F.when(F.col("power") > 0, F.lit(1))).alias("k_pos"),
+    )
+    p = F.col("power") / F.col("__tot").cast("double")
+    term = F.when(
+        F.col("power") > 0, F.round(-p * F.log(p), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(38,12)")
+    agg = pw.join(broadcast(tot), F.lit(True)).agg(
+        F.count("*").alias("k_periods"),
+        F.max("k_pos").alias("__kp"),
+        F.max(F.col("__tot")).alias("__t"),
+        F.sum(term).alias("__h"),
+    )
+    h = F.col("__h").cast("double")
+    return agg.select(
+        F.col("k_periods").cast("long").alias("k_periods"),
+        F.round(F.col("__t").cast("double"), 6).alias("total_power"),
+        F.when(F.col("__kp") >= 1, F.round(h, 6)).alias("entropy"),
+        F.when(
+            F.col("__kp") >= 2,
+            F.round(h / F.log(F.col("__kp").cast("double")), 6),
+        ).alias("entropy_norm"),
+    )

@@ -2004,3 +2004,297 @@ def margin_mining(
         )
         .select("query_id", "neighbor_id", "cosine", "margin")
     )
+
+
+def _centroid_table(
+    emb: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Long (label, dim, n_vecs, mean_val) centroid table with the
+    label_centroids discipline (R9-pinned decimal sums, ROUND(6)
+    means) — the shared input of the clustering-evaluation indices."""
+    x = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+    )
+    return (
+        x.groupBy("__g", "__dim")
+        .agg(
+            F.count("*").alias("__ng"),
+            F.sum(
+                F.round(F.col("__val").cast("double"), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("__s"),
+        )
+        .select(
+            "__g",
+            "__dim",
+            "__ng",
+            F.round(
+                F.col("__s").cast("double") / F.col("__ng"), 6
+            ).alias("__c"),
+        )
+    )
+
+
+def calinski_harabasz(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Calinski-Harabasz index (variance-ratio criterion) of a
+    labeling/clustering of an embedding corpus:
+    CH = (B/(k-1)) / (W/(N-k)) with B the between-centroid and W the
+    within-cluster dispersion — the clustering-quality score that
+    needs NO pairwise distances, which is what makes it the first
+    index to run at 100 TB ([[q_kmeans_step]] tells you the step
+    moved; this tells you whether the clustering is any good).
+    Output — ONE row: ``(n, k, b_disp, w_disp, ch_stat)`` (ROUND 6).
+
+    Scale posture: centroids are one (label, dim) narrow-row collapse;
+    the global centroid re-aggregates the k·d centroid rows; W joins
+    each (vector, dim) value against the BROADCAST k·d centroid table
+    by (label, dim) equi-join — all terms ROUND(12)-pinned decimal
+    sums, nothing pairwise, nothing collected."""
+    cent = _centroid_table(emb, label_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    # global per-dim centroid from the k-row-per-dim table
+    glob = cent.groupBy("__dim").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("__ng").cast("double") * F.col("__c"), 6
+                ).cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum("__ng")
+        ).alias("__gc")
+    )
+    b_tab = cent.join(F.broadcast(glob), "__dim").select(
+        F.round(
+            F.col("__ng").cast("double")
+            * (F.col("__c") - F.col("__gc"))
+            * (F.col("__c") - F.col("__gc")),
+            12,
+        ).cast("decimal(38,12)").alias("__bt")
+    )
+    b_agg = b_tab.agg(F.sum("__bt").alias("__b"))
+    x = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__g"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+    )
+    w_tab = x.join(F.broadcast(cent), ["__g", "__dim"]).select(
+        F.round(
+            (F.round(F.col("__val").cast("double"), 9) - F.col("__c"))
+            * (F.round(F.col("__val").cast("double"), 9) - F.col("__c")),
+            12,
+        ).cast("decimal(38,12)").alias("__wt")
+    )
+    w_agg = w_tab.agg(F.sum("__wt").alias("__w"))
+    sizes = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(label_col).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    bd = F.col("__b").cast("double")
+    wd = F.col("__w").cast("double")
+    ch = (bd / (kd - F.lit(1.0))) / (wd / (nd - kd))
+    return (
+        sizes.join(F.broadcast(b_agg), F.lit(True))
+        .join(F.broadcast(w_agg), F.lit(True))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.round(bd, 6).alias("b_disp"),
+            F.round(wd, 6).alias("w_disp"),
+            F.when(
+                (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (wd > 0),
+                F.round(ch, 6),
+            ).alias("ch_stat"),
+        )
+    )
+
+
+def davies_bouldin(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies-Bouldin index: DB = (1/k) Σ_g max_{h≠g} (s_g+s_h)/d_gh
+    with s_g the mean member-to-centroid Euclidean distance and d_gh
+    the centroid separation — LOWER is better (compact clusters, far
+    apart).  The worst-neighbor structure makes it the diagnosis
+    companion to [[q_calinski_harabasz]] (which cluster pair is
+    confusable, not just a global score).  Output — ONE row:
+    ``(k, db_index)`` (ROUND 6).
+
+    Scale posture: member distances come from ONE (vector, dim) pass
+    joined to the broadcast centroid table by (label, dim); centroid
+    separations are a k²·d self-join of the k·d centroid table
+    (dimension-sized); the max/mean collapse is k² → k → 1 rows."""
+    cent = _centroid_table(emb, label_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    x = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__g"),
+        F.col(id_col).alias("__rid"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+    )
+    d2 = (
+        x.join(F.broadcast(cent), ["__g", "__dim"])
+        .groupBy("__g", "__rid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.round(F.col("__val").cast("double"), 9)
+                     - F.col("__c"))
+                    * (F.round(F.col("__val").cast("double"), 9)
+                       - F.col("__c")),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("__d2")
+        )
+    )
+    s = d2.groupBy("__g").agg(
+        (
+            F.sum(
+                F.round(
+                    F.sqrt(F.col("__d2").cast("double")), 9
+                ).cast("decimal(38,9)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("__s")
+    )
+    ca = cent.select(
+        F.col("__g").alias("__ga"), "__dim", F.col("__c").alias("__cca")
+    )
+    cb = cent.select(
+        F.col("__g").alias("__gb"), "__dim", F.col("__c").alias("__ccb")
+    )
+    sep = (
+        ca.join(F.broadcast(cb), "__dim")
+        .filter(F.col("__ga") != F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("__cca") - F.col("__ccb"))
+                    * (F.col("__cca") - F.col("__ccb")),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("__dd")
+        )
+    )
+    sa = s.select(F.col("__g").alias("__ga"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col("__g").alias("__gb"), F.col("__s").alias("__sb"))
+    ratios = (
+        sep.join(F.broadcast(sa), "__ga")
+        .join(F.broadcast(sb), "__gb")
+        .select(
+            "__ga",
+            F.round(
+                (F.col("__sa") + F.col("__sb"))
+                / F.sqrt(F.col("__dd").cast("double")),
+                9,
+            ).alias("__r"),
+        )
+    )
+    worst = ratios.groupBy("__ga").agg(F.max("__r").alias("__w"))
+    return worst.agg(
+        F.count("*").cast("long").alias("k"),
+        F.round(
+            F.sum(F.col("__w").cast("decimal(38,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("db_index"),
+    )
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its OWN centroid, b = distance to the
+    NEAREST OTHER centroid, s = (b-a)/max(a,b); emit the per-label
+    mean — the member-level "is this point in the right cluster"
+    score, at centroid cost instead of the classic silhouette's O(n²)
+    pairwise cost (the standard scale substitution, e.g. in Spark
+    MLlib's ClusteringEvaluator).  Output — one row per label:
+    ``(label, n_vecs, mean_silhouette)`` (ROUND 6).
+
+    Scale posture: each (vector, dim) value joins the BROADCAST k·d
+    centroid table on dim (k-way fan-out — the k-class scoring shape,
+    same as naive_bayes); per-(vector, centroid) distances collapse
+    from n·k rows to n (min over others) to k (label means).  Nothing
+    pairwise in the corpus."""
+    cent = _centroid_table(emb, label_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    cfan = cent.select(
+        F.col("__g").alias("__cg"), "__dim", F.col("__c")
+    )
+    x = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__g"),
+        F.col(id_col).alias("__rid"),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+    )
+    d2 = (
+        x.join(F.broadcast(cfan), "__dim")
+        .groupBy("__g", "__rid", "__cg")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.round(F.col("__val").cast("double"), 9)
+                     - F.col("__c"))
+                    * (F.round(F.col("__val").cast("double"), 9)
+                       - F.col("__c")),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("__d2")
+        )
+    )
+    per_vec = d2.groupBy("__g", "__rid").agg(
+        F.min(
+            F.when(F.col("__cg") == F.col("__g"), F.col("__d2"))
+        ).alias("__a2"),
+        F.min(
+            F.when(F.col("__cg") != F.col("__g"), F.col("__d2"))
+        ).alias("__b2"),
+    )
+    a = F.sqrt(F.col("__a2").cast("double"))
+    b = F.sqrt(F.col("__b2").cast("double"))
+    sil = F.when(
+        F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 9)
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.select("__g", sil.alias("__sil"))
+        .groupBy("__g")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("__sil").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("__g").cast("long").alias("label"),
+            "n_vecs",
+            "mean_silhouette",
+        )
+    )

@@ -3725,3 +3725,137 @@ def naive_bayes_classify(
         )
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def bleu_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_id: int = 60,
+) -> DataFrame:
+    """BLEU-2 of each document against its predecessor id (candidate d
+    vs reference d-1) over a bounded id range: clipped modified n-gram
+    PRECISIONS (the [[q_rouge_pairs]] overlap machinery normalized by
+    the CANDIDATE side) with the brevity penalty
+    BP = min(1, e^(1 - ref_len/cand_len)) and the geometric mean
+    exp((ln p1 + ln p2)/2) — the generation-eval metric paired with
+    ROUGE's recall view.  Output: ``(cand_id, ref_id, p1, p2, bleu2)``
+    (ROUND 6; bleu2 = 0 when either precision is 0, NULL when the
+    candidate side is empty).
+
+    Scale posture: identical to rouge_recall_pairs — per-doc n-gram
+    count tables, adjacent-id equi-join pair spine, never a cross."""
+    from conte_to_fresco_etl_spark.functions.text import tokens
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        df.filter(
+            F.col(id_col).isNotNull() & (F.col(id_col) < max_id)
+        ).select(F.col(id_col).alias("__d"), F.col(text_col)),
+        DENSE_BYTES_PER_TASK,
+    ).select("__d", tokens(F.col(text_col)).alias("__t"))
+
+    def gram_counts(n: int) -> DataFrame:
+        t = F.col("__t")
+        g = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            base.select("__d", F.explode(g).alias("__gram"))
+            .filter(F.length("__gram") > 0)
+            .groupBy("__d", "__gram")
+            .agg(F.count("*").alias("__c"))
+        )
+
+    ids = base.select("__d").distinct()
+    prev = ids.select((F.col("__d") + 1).alias("__d"))
+    spine = ids.join(prev, "__d").select(
+        F.col("__d").alias("cand_id"), (F.col("__d") - 1).alias("ref_id")
+    )
+    out = spine
+    for n, plabel in ((1, "p1"), (2, "p2")):
+        gc = gram_counts(n).localCheckpoint(eager=False)
+        cand = gc.select(
+            F.col("__d").alias("cand_id"),
+            F.col("__gram"),
+            F.col("__c").alias("__cc"),
+        )
+        ref = gc.select(
+            (F.col("__d") + 1).alias("cand_id"),
+            F.col("__gram"),
+            F.col("__c").alias("__rc"),
+        )
+        ov = (
+            cand.join(ref, ["cand_id", "__gram"])
+            .groupBy("cand_id")
+            .agg(
+                F.sum(F.least(F.col("__cc"), F.col("__rc"))).alias("__ov")
+            )
+        )
+        ct = gc.groupBy("__d").agg(F.sum("__c").alias("__ct")).select(
+            F.col("__d").alias("cand_id"), "__ct"
+        )
+        prec = ct.join(ov, "cand_id", "left").select(
+            "cand_id",
+            F.when(
+                F.col("__ct") > 0,
+                F.round(
+                    F.coalesce(F.col("__ov"), F.lit(0)).cast("double")
+                    / F.col("__ct"),
+                    9,
+                ),
+            ).alias(plabel),
+        )
+        out = out.join(prec, "cand_id", "left")
+        if n == 1:
+            # unigram totals double as lengths for the brevity penalty
+            clen = gc.groupBy("__d").agg(F.sum("__c").alias("__cl"))
+            out = out.join(
+                clen.select(F.col("__d").alias("cand_id"), "__cl"),
+                "cand_id",
+                "left",
+            ).join(
+                clen.select(
+                    (F.col("__d") + 1).alias("cand_id"),
+                    F.col("__cl").alias("__rl"),
+                ),
+                "cand_id",
+                "left",
+            )
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(
+            F.lit(1.0)
+            - F.col("__rl").cast("double") / F.col("__cl").cast("double")
+        ),
+    )
+    bleu = F.when(
+        (F.col("p1") > 0) & (F.col("p2") > 0),
+        F.round(
+            bp
+            * F.exp(
+                (F.log(F.col("p1")) + F.log(F.col("p2"))) / F.lit(2.0)
+            ),
+            6,
+        ),
+    ).otherwise(
+        F.when(
+            F.col("p1").isNotNull() & F.col("p2").isNotNull(), F.lit(0.0)
+        )
+    )
+    return out.select(
+        "cand_id",
+        "ref_id",
+        F.round(F.col("p1"), 6).alias("p1"),
+        F.round(F.col("p2"), 6).alias("p2"),
+        bleu.alias("bleu2"),
+    )

@@ -8968,3 +8968,307 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brunner_munzel(
         _events(spark, sf_dir), "event_type", "value", "click", "view"
     )
+
+
+# ---------------------------------------------------------------------------
+# Effect sizes, equivalence, stratified odds, likelihood-ratio independence,
+# spectral entropy (r9, deferred to the r10 gate window)
+# ---------------------------------------------------------------------------
+
+_WELCH_WIDE_CTE = """
+    vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM vals GROUP BY g
+    ),
+    wide AS (
+      SELECT SUM(CASE WHEN g = 'purchase' THEN n END) AS n_a,
+             SUM(CASE WHEN g = 'purchase' THEN s1 END) AS s1a,
+             SUM(CASE WHEN g = 'purchase' THEN s2 END) AS s2a,
+             SUM(CASE WHEN g = 'view' THEN n END) AS n_b,
+             SUM(CASE WHEN g = 'view' THEN s1 END) AS s1b,
+             SUM(CASE WHEN g = 'view' THEN s2 END) AS s2b
+      FROM per_g
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             CAST(s2a AS DOUBLE) AS r2a, CAST(s2b AS DOUBLE) AS r2b
+      FROM wide
+    ),
+    vv AS (
+      SELECT n_a, n_b, ma, mb,
+             (r2a - CAST(n_a AS DOUBLE) * ma * ma)
+               / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+             (r2b - CAST(n_b AS DOUBLE) * mb * mb)
+               / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+      FROM m
+    )
+"""
+
+_EFFECT_SQL = f"""
+    WITH {_WELCH_WIDE_CTE},
+    d AS (
+      SELECT n_a, n_b, ma, mb, va, vb,
+             ((CAST(n_a AS DOUBLE) - 1.0) * va
+              + (CAST(n_b AS DOUBLE) - 1.0) * vb)
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS sp2
+      FROM vv
+    )
+    SELECT CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           ROUND(ma - mb, 6) AS mean_diff,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+           THEN ROUND((ma - mb) / sqrt(sp2), 6) END AS cohens_d,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+           THEN ROUND(((ma - mb) / sqrt(sp2))
+                      * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                             + CAST(n_b AS DOUBLE))
+                                      - 9.0)), 6)
+           END AS hedges_g,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND vb > 0
+           THEN ROUND((ma - mb) / sqrt(vb), 6) END AS glass_delta
+    FROM d
+"""
+
+@_q("q_effect_sizes", _EFFECT_SQL)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g / Glass's delta (purchase vs view value):
+    the magnitude companion to q_welch_ttest — one sufficient-stat
+    collapse, scalar algebra after."""
+    from conte_to_fresco_etl_spark.operators.robust import effect_sizes
+
+    return effect_sizes(
+        _events(spark, sf_dir), "event_type", "value", "purchase", "view"
+    )
+
+
+_TOST_MARGIN = 5.0
+
+_TOST_SQL = f"""
+    WITH {_WELCH_WIDE_CTE},
+    d AS (
+      SELECT n_a, n_b, ma, mb,
+             va / CAST(n_a AS DOUBLE) AS se2a,
+             vb / CAST(n_b AS DOUBLE) AS se2b
+      FROM vv
+    ),
+    e AS (
+      SELECT n_a, n_b, ma, mb, se2a, se2b,
+             sqrt(se2a + se2b) AS se
+      FROM d
+    )
+    SELECT CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           ROUND(ma - mb, 6) AS mean_diff,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+           THEN ROUND(se, 6) END AS se,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+           THEN ROUND((ma - mb + {_TOST_MARGIN!r}) / se, 6)
+           END AS t_lower,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+           THEN ROUND((ma - mb - {_TOST_MARGIN!r}) / se, 6)
+           END AS t_upper,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+           THEN ROUND((se2a + se2b) * (se2a + se2b)
+                      / (se2a * se2a / (CAST(n_a AS DOUBLE) - 1.0)
+                         + se2b * se2b / (CAST(n_b AS DOUBLE) - 1.0)), 6)
+           END AS df,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+           THEN (ma - mb + {_TOST_MARGIN!r}) / se > 1.6449
+                AND (ma - mb - {_TOST_MARGIN!r}) / se < -1.6449
+           END AS equivalent
+    FROM e
+"""
+
+@_q("q_tost", _TOST_SQL)
+def q_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence (purchase vs view value, margin ±5.0): the
+    do-no-harm launch gate — Welch se/df, one sufficient-stat
+    collapse."""
+    from conte_to_fresco_etl_spark.operators.robust import tost_equivalence
+
+    return tost_equivalence(
+        _events(spark, sf_dir), "event_type", "value",
+        "purchase", "view", margin=_TOST_MARGIN,
+    )
+
+
+_MH_SQL = """
+    WITH vals AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS s,
+             user_id % 2 = 0 AS e,
+             event_type = 'purchase' AS o
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT s,
+             SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS d
+      FROM vals GROUP BY s
+    ),
+    agg AS (
+      SELECT COUNT(*) AS k_strata, SUM(a + b + c + d) AS n,
+             SUM(a) AS ta, SUM(b) AS tb, SUM(c) AS tc, SUM(d) AS td,
+             SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                            / CAST(a + b + c + d AS DOUBLE), 12)
+                      AS DECIMAL(38,12))) AS num,
+             SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                            / CAST(a + b + c + d AS DOUBLE), 12)
+                      AS DECIMAL(38,12))) AS den
+      FROM cells
+    )
+    SELECT CAST(k_strata AS BIGINT) AS k_strata, CAST(n AS BIGINT) AS n,
+           CASE WHEN tb > 0 AND tc > 0 THEN ROUND(
+             (CAST(ta AS DOUBLE) * CAST(td AS DOUBLE))
+             / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 6)
+           END AS or_crude,
+           CASE WHEN CAST(den AS DOUBLE) > 0 THEN ROUND(
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS or_mh
+    FROM agg
+"""
+
+@_q("q_mantel_haenszel", _MH_SQL)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (purchase outcome, even/odd
+    user arms, stratified by day-of-week) vs the crude pooled OR —
+    Simpson's-paradox insurance from one k-stratum collapse."""
+    from conte_to_fresco_etl_spark.operators.robust import mantel_haenszel
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return mantel_haenszel(ev, "dow", "arm", "ok")
+
+
+_GTEST_SQL = """
+    WITH cells AS (
+      SELECT event_type AS a, user_id % 8 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY a) AS row_tot,
+             SUM(o) OVER (PARTITION BY b) AS col_tot,
+             SUM(o) OVER () AS grand,
+             a, b
+      FROM cells
+    )
+    SELECT CAST(MAX(grand) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                AS BIGINT) AS dof,
+           ROUND(2.0 * CAST(SUM(CAST(ROUND(
+             CAST(o AS DOUBLE)
+             * ln(CAST(o AS DOUBLE)
+                  / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(grand AS DOUBLE))), 12)
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS g_stat
+    FROM marg
+"""
+
+@_q("q_gtest", _GTEST_SQL)
+def q_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (event_type x user-bucket): the
+    likelihood-ratio sibling of q_chi_square (2N x mutual information
+    in nats) — one contingency collapse, windows over |cells| rows."""
+    from conte_to_fresco_etl_spark.operators.robust import g_test
+
+    ev = _events(spark, sf_dir)
+    return g_test(ev, F.col("event_type"), F.col("user_id") % 8)
+
+
+_SPECTRAL_ENTROPY_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,4)))
+                        AS DOUBLE) / COUNT(*), 6) AS x
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS nd, MIN(day) AS d0,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS xbar
+      FROM daily
+    ),
+    probes(period, w) AS (VALUES
+      (2, 3.141592653589793), (3, 2.0943951023931953),
+      (4, 1.5707963267948966), (5, 1.2566370614359172),
+      (6, 1.0471975511965976), (7, 0.8975979010256552),
+      (10, 0.6283185307179586), (14, 0.4487989505128276)
+    ),
+    terms AS (
+      SELECT period, stats.nd,
+             CAST(ROUND((x - xbar)
+               * cos(w * CAST(date_diff('day', d0, day) AS DOUBLE)), 12)
+               AS DECIMAL(38,12)) AS c,
+             CAST(ROUND((x - xbar)
+               * sin(w * CAST(date_diff('day', d0, day) AS DOUBLE)), 12)
+               AS DECIMAL(38,12)) AS s
+      FROM daily, stats, probes
+    ),
+    agg AS (
+      SELECT period, MAX(nd) AS n_days, SUM(c) AS cs, SUM(s) AS ss
+      FROM terms GROUP BY period
+    ),
+    pw AS (
+      SELECT period,
+             ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                   / CAST(n_days AS DOUBLE), 6) AS power
+      FROM agg
+    ),
+    tot AS (
+      SELECT SUM(CAST(power AS DECIMAL(38,6))) AS t,
+             COUNT(CASE WHEN power > 0 THEN 1 END) AS k_pos
+      FROM pw
+    ),
+    e AS (
+      SELECT COUNT(*) AS k_periods, MAX(k_pos) AS kp, MAX(t) AS t,
+             SUM(CASE WHEN power > 0
+                 THEN CAST(ROUND(-(power / CAST(t AS DOUBLE))
+                       * ln(power / CAST(t AS DOUBLE)), 12)
+                       AS DECIMAL(38,12))
+                 ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS h
+      FROM pw, tot
+    )
+    SELECT CAST(k_periods AS BIGINT) AS k_periods,
+           ROUND(CAST(t AS DOUBLE), 6) AS total_power,
+           CASE WHEN kp >= 1 THEN ROUND(CAST(h AS DOUBLE), 6)
+           END AS entropy,
+           CASE WHEN kp >= 2 THEN ROUND(
+             CAST(h AS DOUBLE) / ln(CAST(kp AS DOUBLE)), 6)
+           END AS entropy_norm
+    FROM e
+"""
+
+@_q("q_spectral_entropy", _SPECTRAL_ENTROPY_SQL)
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy over the candidate-period power spectrum: the
+    one-number forecastability screen composed on top of
+    q_periodogram's daily collapse."""
+    from conte_to_fresco_etl_spark.operators.robust import spectral_entropy
+
+    return spectral_entropy(
+        _events(spark, sf_dir), "ts", "value",
+        periods=(2, 3, 4, 5, 6, 7, 10, 14),
+    )

@@ -7740,3 +7740,239 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         id_col="doc_id", text_col="text", label_col="lang", test_mod=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering-evaluation indices (r9, deferred to the r10 gate window):
+# variance-ratio, worst-neighbor, and member-level scores over the label
+# clustering of the embedding corpus — all centroid-based (nothing pairwise).
+# ---------------------------------------------------------------------------
+
+_CLUSTER_X_CENT = """
+    x AS (
+      SELECT label AS g, vec_id AS rid, i AS dim,
+             ROUND(CAST(embedding[i] AS DOUBLE), 9) AS v
+      FROM embeddings, generate_series(1, 64) AS gs(i)
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+        AND i <= len(embedding)
+    ),
+    cent AS (
+      SELECT g, dim, COUNT(*) AS ng,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM x GROUP BY 1, 2
+    )
+"""
+
+_CH_SQL = f"""
+    WITH {_CLUSTER_X_CENT},
+    gcent AS (
+      SELECT dim,
+             CAST(SUM(CAST(ROUND(CAST(ng AS DOUBLE) * c, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE)
+               / SUM(ng) AS gc
+      FROM cent GROUP BY 1
+    ),
+    b AS (
+      SELECT SUM(CAST(ROUND(CAST(ng AS DOUBLE) * (c - gc) * (c - gc), 12)
+                      AS DECIMAL(38,12))) AS bsum
+      FROM cent JOIN gcent USING (dim)
+    ),
+    w AS (
+      SELECT SUM(CAST(ROUND((v - c) * (v - c), 12)
+                      AS DECIMAL(38,12))) AS wsum
+      FROM x JOIN cent ON x.g = cent.g AND x.dim = cent.dim
+    ),
+    sz AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(CAST(bsum AS DOUBLE), 6) AS b_disp,
+           ROUND(CAST(wsum AS DOUBLE), 6) AS w_disp,
+           CASE WHEN k >= 2 AND n > k AND CAST(wsum AS DOUBLE) > 0
+           THEN ROUND(
+             (CAST(bsum AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             / (CAST(wsum AS DOUBLE)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS ch_stat
+    FROM b, w, sz
+"""
+
+
+@_q("q_calinski_harabasz", _CH_SQL)
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio of the label clustering: B from
+    the k·d centroid table, W from one (vector, dim) pass against the
+    broadcast centroids — no pairwise distances anywhere."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    return calinski_harabasz(_t(spark, sf_dir, "embeddings"))
+
+
+_DB_SQL = f"""
+    WITH {_CLUSTER_X_CENT},
+    d2 AS (
+      SELECT x.g, x.rid,
+             SUM(CAST(ROUND((v - c) * (v - c), 12)
+                      AS DECIMAL(38,12))) AS dd2
+      FROM x JOIN cent ON x.g = cent.g AND x.dim = cent.dim
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT g, CAST(SUM(CAST(ROUND(sqrt(CAST(dd2 AS DOUBLE)), 9)
+                              AS DECIMAL(38,9))) AS DOUBLE)
+                / COUNT(*) AS sg
+      FROM d2 GROUP BY 1
+    ),
+    sep AS (
+      SELECT a.g AS ga, b2.g AS gb,
+             SUM(CAST(ROUND((a.c - b2.c) * (a.c - b2.c), 12)
+                      AS DECIMAL(38,12))) AS dd
+      FROM cent a JOIN cent b2 ON a.dim = b2.dim AND a.g <> b2.g
+      GROUP BY 1, 2
+    ),
+    ratios AS (
+      SELECT ga, ROUND((sa.sg + sb.sg) / sqrt(CAST(dd AS DOUBLE)), 9) AS r
+      FROM sep JOIN s sa ON sep.ga = sa.g JOIN s sb ON sep.gb = sb.g
+    ),
+    worst AS (SELECT ga, MAX(r) AS w FROM ratios GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS db_index
+    FROM worst
+"""
+
+
+@_q("q_davies_bouldin", _DB_SQL)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin worst-neighbor index: member distances from one
+    (vector, dim) pass, centroid separations from the k²·d
+    dimension-sized self-join."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        davies_bouldin,
+    )
+
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"))
+
+
+_SIL_SQL = f"""
+    WITH {_CLUSTER_X_CENT},
+    d2 AS (
+      SELECT x.g, x.rid, cent.g AS cg,
+             SUM(CAST(ROUND((v - c) * (v - c), 12)
+                      AS DECIMAL(38,12))) AS dd2
+      FROM x JOIN cent ON x.dim = cent.dim
+      GROUP BY 1, 2, 3
+    ),
+    pv AS (
+      SELECT g, rid,
+             MIN(CASE WHEN cg = g THEN dd2 END) AS a2,
+             MIN(CASE WHEN cg <> g THEN dd2 END) AS b2
+      FROM d2 GROUP BY 1, 2
+    ),
+    sil AS (
+      SELECT g,
+             CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                sqrt(CAST(b2 AS DOUBLE))) > 0
+             THEN ROUND((sqrt(CAST(b2 AS DOUBLE))
+                         - sqrt(CAST(a2 AS DOUBLE)))
+                        / GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                   sqrt(CAST(b2 AS DOUBLE))), 9)
+             ELSE 0.0 END AS sv
+      FROM pv
+    )
+    SELECT CAST(g AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(sv AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM sil GROUP BY 1
+"""
+
+
+@_q("q_silhouette", _SIL_SQL)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label: the k-way centroid
+    fan-out per vector (naive-bayes scoring shape), n·k rows collapse
+    to per-vector a/b then to k label means."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    return simplified_silhouette(_t(spark, sf_dir, "embeddings"))
+
+
+_BLEU_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS d, {_sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id < 60
+    ),
+    ids AS (SELECT DISTINCT d FROM base),
+    spine AS (
+      SELECT a.d AS cand_id, a.d - 1 AS ref_id
+      FROM ids a JOIN ids b ON a.d = b.d + 1
+    ),
+    gc1 AS (
+      SELECT d, gram, COUNT(*) AS c FROM (
+        SELECT d, unnest(toks) AS gram FROM base
+      ) WHERE length(gram) > 0 GROUP BY 1, 2
+    ),
+    gc2 AS (
+      SELECT d, gram, COUNT(*) AS c FROM (
+        SELECT d, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(1, len(toks) - 1),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         END) AS gram
+        FROM base
+      ) WHERE length(gram) > 0 GROUP BY 1, 2
+    ),
+    ov1 AS (
+      SELECT c1.d AS cand_id, SUM(LEAST(c1.c, r1.c)) AS ov
+      FROM gc1 c1 JOIN gc1 r1 ON c1.gram = r1.gram AND c1.d = r1.d + 1
+      GROUP BY 1
+    ),
+    ct1 AS (SELECT d AS cand_id, SUM(c) AS ct FROM gc1 GROUP BY 1),
+    ov2 AS (
+      SELECT c2.d AS cand_id, SUM(LEAST(c2.c, r2.c)) AS ov
+      FROM gc2 c2 JOIN gc2 r2 ON c2.gram = r2.gram AND c2.d = r2.d + 1
+      GROUP BY 1
+    ),
+    ct2 AS (SELECT d AS cand_id, SUM(c) AS ct FROM gc2 GROUP BY 1),
+    p1t AS (
+      SELECT ct1.cand_id,
+             CASE WHEN ct > 0 THEN ROUND(
+               CAST(COALESCE(ov, 0) AS DOUBLE) / ct, 9) END AS p1
+      FROM ct1 LEFT JOIN ov1 ON ct1.cand_id = ov1.cand_id
+    ),
+    p2t AS (
+      SELECT ct2.cand_id,
+             CASE WHEN ct > 0 THEN ROUND(
+               CAST(COALESCE(ov, 0) AS DOUBLE) / ct, 9) END AS p2
+      FROM ct2 LEFT JOIN ov2 ON ct2.cand_id = ov2.cand_id
+    ),
+    lens AS (SELECT d, SUM(c) AS l FROM gc1 GROUP BY 1)
+    SELECT s.cand_id, s.ref_id,
+           ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           CASE WHEN p1 > 0 AND p2 > 0 THEN ROUND(
+             LEAST(1.0, exp(1.0 - CAST(rl.l AS DOUBLE)
+                                  / CAST(cl.l AS DOUBLE)))
+             * exp((ln(p1) + ln(p2)) / 2.0), 6)
+           WHEN p1 IS NOT NULL AND p2 IS NOT NULL THEN 0.0
+           END AS bleu2
+    FROM spine s
+    LEFT JOIN p1t ON s.cand_id = p1t.cand_id
+    LEFT JOIN p2t ON s.cand_id = p2t.cand_id
+    LEFT JOIN lens cl ON s.cand_id = cl.d
+    LEFT JOIN lens rl ON s.ref_id = rl.d
+"""
+
+
+@_q("q_bleu_pairs", _BLEU_SQL)
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 of each document against its predecessor over a bounded
+    id range: clipped modified precisions + brevity penalty on the
+    adjacent-id pair spine — ROUGE's precision-side companion."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import bleu_pairs
+
+    return bleu_pairs(_t(spark, sf_dir, "documents"), max_id=60)

@@ -1211,3 +1211,67 @@ def test_margin_mining_matches_numpy_twin(spark, inputs):
         assert got[qi][0] == nid, qi
         assert got[qi][2] == margin, qi
         assert abs(got[qi][1] - cos) < 1e-9, qi
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: clustering-evaluation indices
+# ---------------------------------------------------------------------------
+
+
+def _cluster_fixture(spark, tight: bool):
+    # two 2-d clusters; tight=True separates them far apart
+    gap = 100.0 if tight else 0.5
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.0 + 0.1 * i, 0.0], 0))
+        rows.append((100 + i, [gap + 0.1 * i, gap], 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_calinski_harabasz_separation_monotone(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    good = calinski_harabasz(_cluster_fixture(spark, True)).collect()[0]
+    bad = calinski_harabasz(_cluster_fixture(spark, False)).collect()[0]
+    assert good["n"] == 16 and good["k"] == 2
+    assert good["ch_stat"] > 100 * bad["ch_stat"]
+    # same within-scatter up to the ROUND(6) centroid pin (the float32
+    # inputs land on different representable values after the shift)
+    assert abs(good["w_disp"] - bad["w_disp"]) < 1e-4
+
+
+def test_davies_bouldin_lower_is_better(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        davies_bouldin,
+    )
+
+    good = davies_bouldin(_cluster_fixture(spark, True)).collect()[0]
+    bad = davies_bouldin(_cluster_fixture(spark, False)).collect()[0]
+    assert good["k"] == 2
+    assert good["db_index"] < bad["db_index"] / 10
+
+
+def test_silhouette_bounds_and_separation(spark):
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    good = {
+        r["label"]: r["mean_silhouette"]
+        for r in simplified_silhouette(
+            _cluster_fixture(spark, True)
+        ).collect()
+    }
+    bad = {
+        r["label"]: r["mean_silhouette"]
+        for r in simplified_silhouette(
+            _cluster_fixture(spark, False)
+        ).collect()
+    }
+    for lbl in (0, 1):
+        assert -1.0 <= bad[lbl] <= good[lbl] <= 1.0
+        assert good[lbl] > 0.99  # far-apart clusters: s -> 1

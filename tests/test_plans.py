@@ -628,6 +628,9 @@ BNLJ_ALLOWED = {
     "q_naive_bayes",            # |classes|-row model-stat broadcast
                                 # (registered keys=[__y#] pattern) +
                                 # vocab/doc-count 1-row crosses
+    "q_calinski_harabasz",      # B/W dispersion 1-row crosses
+    "q_spectral_entropy",       # day-zero/grand-mean + power-total
+                                # 1-row crosses
 }
 
 

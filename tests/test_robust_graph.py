@@ -3921,3 +3921,115 @@ def test_brunner_munzel_symmetric_zero(spark):
     r = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
     assert r["p_hat"] == 0.5
     assert r["w_stat"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: effect sizes / TOST / Mantel-Haenszel / G-test /
+# spectral entropy
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_match_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import effect_sizes
+
+    a = [10.0, 12.0, 14.0, 16.0]
+    b = [9.0, 10.0, 11.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((v - ma) ** 2 for v in a) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (nb - 1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = (ma - mb) / sp
+    j = 1 - 3 / (4 * (na + nb) - 9)
+    assert abs(r["cohens_d"] - round(d, 6)) < 1e-6
+    assert abs(r["hedges_g"] - round(d * j, 6)) < 1e-6
+    assert abs(r["glass_delta"] - round((ma - mb) / math.sqrt(vb), 6)) < 1e-6
+    assert abs(r["hedges_g"]) < abs(r["cohens_d"])  # J < 1 always
+
+
+def test_tost_verdict_flips_with_margin(spark):
+    from conte_to_fresco_etl_spark.operators.robust import tost_equivalence
+
+    # tight samples, tiny true diff: equivalent under a wide margin,
+    # NOT under a margin narrower than the diff
+    a = [10.0 + 0.01 * i for i in range(50)]
+    b = [10.2 + 0.01 * i for i in range(50)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    wide = tost_equivalence(df, "g", "v", "a", "b", margin=1.0).collect()[0]
+    narrow = tost_equivalence(df, "g", "v", "a", "b", margin=0.05).collect()[0]
+    assert wide["equivalent"] is True
+    assert narrow["equivalent"] is False
+    assert wide["t_lower"] > 0 > wide["t_upper"]
+
+
+def test_mantel_haenszel_simpsons_paradox(spark):
+    from conte_to_fresco_etl_spark.operators.robust import mantel_haenszel
+
+    # classic confounding: within EACH stratum the exposure HELPS
+    # (OR > 1), but exposure concentrates in the hard stratum, so the
+    # crude pooled OR dips below the stratified estimate
+    rows = []
+    # stratum 0 (easy): exposed 10/12 success, unexposed 70/100
+    rows += [(0, True, True)] * 10 + [(0, True, False)] * 2
+    rows += [(0, False, True)] * 70 + [(0, False, False)] * 30
+    # stratum 1 (hard): exposed 30/100 success, unexposed 2/12
+    rows += [(1, True, True)] * 30 + [(1, True, False)] * 70
+    rows += [(1, False, True)] * 2 + [(1, False, False)] * 10
+    df = spark.createDataFrame(rows, "s long, e boolean, o boolean")
+    r = mantel_haenszel(df, "s", "e", "o").collect()[0]
+    assert r["k_strata"] == 2 and r["n"] == 224
+    # per-stratum ORs: (10*30)/(2*70) = 2.14 ; (30*10)/(70*2) = 2.14
+    assert r["or_mh"] > 1.5
+    assert r["or_crude"] < r["or_mh"]  # pooling hides the benefit
+
+
+def test_gtest_independence_and_association(spark):
+    from conte_to_fresco_etl_spark.operators.robust import g_test
+
+    # perfectly proportional table -> G = 0
+    rows = [("x", i % 2) for i in range(40)] + [
+        ("y", i % 2) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = g_test(df, "a", "b").collect()[0]
+    assert r["g_stat"] == 0.0 and r["dof"] == 1
+    # diagonal concentration -> large G, close to 2*N*MI
+    import math
+
+    dep = [("x", 0)] * 30 + [("y", 1)] * 30
+    df2 = spark.createDataFrame(dep, "a string, b long")
+    r2 = g_test(df2, "a", "b").collect()[0]
+    assert abs(r2["g_stat"] - 2 * 60 * math.log(2)) < 1e-4
+
+
+def test_spectral_entropy_pure_tone_vs_noise(spark):
+    import datetime
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import spectral_entropy
+
+    base = datetime.datetime(2024, 1, 1)
+    tone = [
+        (base + datetime.timedelta(days=i),
+         10.0 * math.cos(2 * math.pi * i / 7.0))
+        for i in range(56)
+    ]
+    # deterministic pseudo-noise (hash-based, no RNG seed dependency)
+    noise = [
+        (base + datetime.timedelta(days=i), float(hash((i, "n")) % 100))
+        for i in range(56)
+    ]
+    pt = spectral_entropy(
+        spark.createDataFrame(tone, "ts timestamp, v double"), "ts", "v"
+    ).collect()[0]
+    pn = spectral_entropy(
+        spark.createDataFrame(noise, "ts timestamp, v double"), "ts", "v"
+    ).collect()[0]
+    assert pt["entropy_norm"] < 0.4  # one period holds ~all the mass
+    assert pn["entropy_norm"] > pt["entropy_norm"]

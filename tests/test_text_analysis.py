@@ -1292,3 +1292,44 @@ def test_naive_bayes_prior_decides_oov_docs(spark):
     cells = {(r["true_label"], r["pred_label"]): r["n_docs"] for r in out}
     assert cells[("small", "big")] == 1  # OOV doc follows the prior
     assert cells[("big", "big")] == 1
+
+
+def test_bleu_pairs_identical_and_disjoint(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import bleu_pairs
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),   # identical to ref -> BLEU 1
+        (2, "dogs bark loudly at night"),  # disjoint from ref -> BLEU 0
+        (3, "dogs bark loudly at night dogs bark"),  # longer cand: BP=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cand_id"]: r for r in bleu_pairs(df, max_id=10).collect()}
+    assert out[1]["p1"] == 1.0 and out[1]["p2"] == 1.0
+    assert out[1]["bleu2"] == 1.0
+    assert out[2]["bleu2"] == 0.0
+    # cand 3 vs ref 2: p1 = 5/7 (clipped: 'dogs'/'bark' appear twice in
+    # cand but once in ref), p2 = 4/6; candidate longer -> BP = 1
+    assert out[3]["p1"] == round(5 / 7, 6)
+    assert out[3]["p2"] == round(4 / 6, 6)
+    import math
+
+    assert abs(
+        out[3]["bleu2"]
+        - round(math.exp((math.log(5 / 7) + math.log(4 / 6)) / 2), 6)
+    ) < 1e-6
+
+
+def test_bleu_brevity_penalty_applies(spark):
+    from conte_to_fresco_etl_spark.operators.text_analysis import bleu_pairs
+
+    import math
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d"),  # perfect precisions but half the length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["cand_id"]: x for x in bleu_pairs(df, max_id=10).collect()}[1]
+    assert r["p1"] == 1.0 and r["p2"] == 1.0
+    assert abs(r["bleu2"] - round(math.exp(1 - 8 / 4), 6)) < 1e-6

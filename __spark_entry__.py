@@ -138,6 +138,9 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_gtest",
     "q_spectral_entropy",
     "q_bleu_pairs",
+    "q_logrank",
+    "q_prop_test",
+    "q_poisson_ratio",
 ]
 
 PRIORITY: list[str] = [
@@ -206,6 +209,9 @@ PRIORITY: list[str] = [
     "q_gtest",
     "q_spectral_entropy",
     "q_bleu_pairs",
+    "q_logrank",
+    "q_prop_test",
+    "q_poisson_ratio",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

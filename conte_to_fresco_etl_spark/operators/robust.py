@@ -6511,3 +6511,198 @@ def spectral_entropy(
             F.round(h / F.log(F.col("__kp").cast("double")), 6),
         ).alias("entropy_norm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    observed_col: str,
+    a,
+    b,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two groups' survival curves:
+    at each distinct event time, compare group a's observed events to
+    its expectation under the pooled risk set, with the standard
+    hypergeometric variance and tie handling — the significance test
+    behind the [[q_survival_km]] curves (do the two arms' time-to-event
+    distributions differ?).  Output — ONE row:
+    ``(n_a, n_b, observed_a, expected_a, z_stat)`` (ROUND 6; z > 0
+    means group a fails FASTER than expected).
+
+    Scale posture: subjects collapse to the per-distinct-duration
+    marginal (per-group at-risk/event counts); BOTH groups' risk sets
+    ride ONE distributed prefix scan; per-time terms are ROUND(12)-
+    pinned decimal sums; the subject totals are one annotated 1-row
+    broadcast cross."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    subj = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(observed_col).isNotNull()
+        & F.col(group_col).isin([a, b])
+    ).select(
+        (F.col(group_col) == a).alias("__isa"),
+        F.col(duration_col).alias("__t"),
+        F.col(observed_col).cast("boolean").alias("__obs"),
+    )
+    marg = subj.groupBy("__t").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+        F.sum(
+            F.when(F.col("__isa") & F.col("__obs"), 1).otherwise(0)
+        ).alias("__da"),
+        F.sum(
+            F.when(~F.col("__isa") & F.col("__obs"), 1).otherwise(0)
+        ).alias("__db"),
+    )
+    cum = prefix_sums(marg, "__t", ["__ca", "__cb"], prefix="__cm_")
+    tot = subj.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("n_b"),
+    )
+    # at risk at t: duration >= t, i.e. total minus strictly-earlier
+    r1 = (F.col("n_a") - (F.col("__cm___ca") - F.col("__ca"))).cast(
+        "double"
+    )
+    r0 = (F.col("n_b") - (F.col("__cm___cb") - F.col("__cb"))).cast(
+        "double"
+    )
+    nt = r1 + r0
+    d = (F.col("__da") + F.col("__db")).cast("double")
+    e1 = d * (r1 / nt)
+    v = (
+        d
+        * (r1 / nt)
+        * (F.lit(1.0) - r1 / nt)
+        * ((nt - d) / (nt - F.lit(1.0)))
+    )
+    has_event = (F.col("__da") + F.col("__db")) > 0
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.when(has_event, F.col("__da")).otherwise(0)).alias(
+            "observed_a"
+        ),
+        F.sum(
+            F.when(has_event, F.round(e1, 12))
+            .otherwise(0.0)
+            .cast("decimal(38,12)")
+        ).alias("__e1"),
+        F.sum(
+            F.when(has_event & (nt > 1), F.round(v, 12))
+            .otherwise(0.0)
+            .cast("decimal(38,12)")
+        ).alias("__v"),
+    )
+    z = (
+        F.col("observed_a").cast("double")
+        - F.col("__e1").cast("double")
+    ) / F.sqrt(F.col("__v").cast("double"))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("observed_a").cast("long").alias("observed_a"),
+        F.round(F.col("__e1").cast("double"), 6).alias("expected_a"),
+        F.when(F.col("__v").cast("double") > 0, F.round(z, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col, success_col
+) -> DataFrame:
+    """Two-proportion z-test (pooled variance): the conversion-rate
+    A/B gate — z = (p_a - p_b)/√(p̂(1-p̂)(1/n_a + 1/n_b)) with p̂ the
+    pooled rate; the binary-outcome sibling of [[q_welch_ttest]].
+    ``group_col`` must be boolean (true = arm a).  Output — ONE row:
+    ``(n_a, n_b, p_a, p_b, z_stat)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable aggregation collapses the corpus
+    to four counts; scalar algebra after."""
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    s = (
+        success_col
+        if not isinstance(success_col, str)
+        else F.col(success_col)
+    )
+    vals = df.select(
+        g.cast("boolean").alias("__g"), s.cast("boolean").alias("__s")
+    ).filter(F.col("__g").isNotNull() & F.col("__s").isNotNull())
+    agg = vals.agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__g") & F.col("__s"), 1).otherwise(0)).alias(
+            "__sa"
+        ),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(~F.col("__g") & F.col("__s"), 1).otherwise(0)
+        ).alias("__sb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("__sa").cast("double") / na
+    pb = F.col("__sb").cast("double") / nb
+    pp = (F.col("__sa") + F.col("__sb")).cast("double") / (na + nb)
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("p_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("p_b"),
+        F.when(ok & (se > 0), F.round((pa - pb) / se, 6)).alias("z_stat"),
+    )
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    group_col,
+    event_col,
+    exposure_a: float,
+    exposure_b: float,
+) -> DataFrame:
+    """Incidence-rate ratio between two arms with known exposures:
+    IRR = (c_a/T_a)/(c_b/T_b), tested on the log scale with
+    se = √(1/c_a + 1/c_b) — the count-outcome member of the A/B
+    family (errors per machine-day, crashes per session-hour), where
+    the proportion test does not apply because events can recur.
+    ``group_col`` must be boolean (true = arm a); ``event_col``
+    selects which rows count.  Output — ONE row:
+    ``(c_a, c_b, rate_a, rate_b, irr, z_stat)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable aggregation collapses the corpus
+    to two counts; scalar algebra after."""
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    e = event_col if not isinstance(event_col, str) else F.col(event_col)
+    vals = df.select(
+        g.cast("boolean").alias("__g"), e.cast("boolean").alias("__e")
+    ).filter(F.col("__g").isNotNull() & F.col("__e").isNotNull())
+    agg = vals.agg(
+        F.sum(F.when(F.col("__g") & F.col("__e"), 1).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(
+            F.when(~F.col("__g") & F.col("__e"), 1).otherwise(0)
+        ).alias("c_b"),
+    )
+    ta = F.lit(float(exposure_a))
+    tb = F.lit(float(exposure_b))
+    ca = F.col("c_a").cast("double")
+    cb = F.col("c_b").cast("double")
+    ra = ca / ta
+    rb = cb / tb
+    irr = ra / rb
+    z = F.log(irr) / F.sqrt(F.lit(1.0) / ca + F.lit(1.0) / cb)
+    ok = (F.col("c_a") > 0) & (F.col("c_b") > 0)
+    return agg.select(
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(ok, F.round(irr, 6)).alias("irr"),
+        F.when(ok, F.round(z, 6)).alias("z_stat"),
+    )

@@ -9272,3 +9272,197 @@ def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "ts", "value",
         periods=(2, 3, 4, 5, 6, 7, 10, 14),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival comparison and count/proportion A/B gates (r9, deferred)
+# ---------------------------------------------------------------------------
+
+_LOGRANK_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0,
+             MAX(epoch_us(ts)) AS t1,
+             MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te
+      FROM events GROUP BY 1
+    ),
+    subj AS (
+      SELECT user_id % 2 = 0 AS isa,
+             CAST(FLOOR((COALESCE(te, t1) - t0) / 3600000000.0) AS BIGINT)
+               AS t,
+             (te IS NOT NULL) AS obs
+      FROM per_user
+    ),
+    marg AS (
+      SELECT t,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb,
+             SUM(CASE WHEN isa AND obs THEN 1 ELSE 0 END) AS da,
+             SUM(CASE WHEN NOT isa AND obs THEN 1 ELSE 0 END) AS db
+      FROM subj GROUP BY 1
+    ),
+    cum AS (
+      SELECT t, ca, cb, da, db,
+             SUM(ca) OVER (ORDER BY t) AS cma,
+             SUM(cb) OVER (ORDER BY t) AS cmb
+      FROM marg
+    ),
+    tt AS (
+      SELECT SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n_b
+      FROM subj
+    ),
+    terms AS (
+      SELECT tt.n_a, tt.n_b, da, db,
+             CAST(tt.n_a - (cma - ca) AS DOUBLE) AS r1,
+             CAST(tt.n_b - (cmb - cb) AS DOUBLE) AS r0,
+             CAST(da + db AS DOUBLE) AS d
+      FROM cum, tt
+    ),
+    agg AS (
+      SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             SUM(CASE WHEN da + db > 0 THEN da ELSE 0 END) AS observed_a,
+             SUM(CAST(CASE WHEN da + db > 0
+                 THEN ROUND(d * (r1 / (r1 + r0)), 12)
+                 ELSE 0.0 END AS DECIMAL(38,12))) AS e1,
+             SUM(CAST(CASE WHEN da + db > 0 AND r1 + r0 > 1
+                 THEN ROUND(d * (r1 / (r1 + r0))
+                            * (1.0 - r1 / (r1 + r0))
+                            * (((r1 + r0) - d) / ((r1 + r0) - 1.0)), 12)
+                 ELSE 0.0 END AS DECIMAL(38,12))) AS v
+      FROM terms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(observed_a AS BIGINT) AS observed_a,
+           ROUND(CAST(e1 AS DOUBLE), 6) AS expected_a,
+           CASE WHEN CAST(v AS DOUBLE) > 0 THEN ROUND(
+             (CAST(observed_a AS DOUBLE) - CAST(e1 AS DOUBLE))
+             / sqrt(CAST(v AS DOUBLE)), 6)
+           END AS z_stat
+    FROM agg
+"""
+
+@_q("q_logrank", _LOGRANK_SQL)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-first-error between even/odd user arms:
+    the significance companion to q_survival_km — both risk sets on
+    one distributed prefix scan over the duration marginal."""
+    from conte_to_fresco_etl_spark.operators.robust import logrank_test
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("te"),
+    )
+    subj = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        F.floor(
+            (F.coalesce(F.col("te"), F.col("t1")) - F.col("t0"))
+            / F.lit(3600000000.0)
+        ).alias("duration_h"),
+        F.col("te").isNotNull().alias("observed"),
+    )
+    return logrank_test(subj, "arm", "duration_h", "observed", True, False)
+
+
+_PROP_TEST_SQL = """
+    WITH vals AS (
+      SELECT user_id % 2 = 0 AS g, event_type = 'purchase' AS s
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN g THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN g AND s THEN 1 ELSE 0 END) AS sa,
+             SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS sb
+      FROM vals
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             CAST(sa + sb AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+      FROM agg
+    ),
+    e AS (
+      SELECT n_a, n_b, pa, pb,
+             sqrt(pp * (1.0 - pp)
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) AS se
+      FROM d
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 THEN ROUND(pa, 6) END AS p_a,
+           CASE WHEN n_b > 0 THEN ROUND(pb, 6) END AS p_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+           THEN ROUND((pa - pb) / se, 6) END AS z_stat
+    FROM e
+"""
+
+@_q("q_prop_test", _PROP_TEST_SQL)
+def q_prop_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase share between even/odd user
+    arms: the conversion-rate A/B gate — one four-count collapse."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        two_proportion_ztest,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return two_proportion_ztest(
+        ev, F.col("user_id") % 2 == 0, F.col("event_type") == "purchase"
+    )
+
+
+_POISSON_EXPOSURE_DAYS = 30.0
+
+_POISSON_SQL = f"""
+    WITH vals AS (
+      SELECT user_id % 2 = 0 AS g, event_type = 'error' AS e
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN g AND e THEN 1 ELSE 0 END) AS c_a,
+             SUM(CASE WHEN NOT g AND e THEN 1 ELSE 0 END) AS c_b
+      FROM vals
+    ),
+    d AS (
+      SELECT c_a, c_b,
+             CAST(c_a AS DOUBLE) / {_POISSON_EXPOSURE_DAYS!r} AS ra,
+             CAST(c_b AS DOUBLE) / {_POISSON_EXPOSURE_DAYS!r} AS rb
+      FROM agg
+    )
+    SELECT CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           ROUND(ra, 6) AS rate_a, ROUND(rb, 6) AS rate_b,
+           CASE WHEN c_a > 0 AND c_b > 0
+           THEN ROUND(ra / rb, 6) END AS irr,
+           CASE WHEN c_a > 0 AND c_b > 0
+           THEN ROUND(ln(ra / rb)
+                      / sqrt(1.0 / CAST(c_a AS DOUBLE)
+                             + 1.0 / CAST(c_b AS DOUBLE)), 6)
+           END AS z_stat
+    FROM d
+"""
+
+@_q("q_poisson_ratio", _POISSON_SQL)
+def q_poisson_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidence-rate ratio of errors between even/odd user arms over
+    the 30-day observation window: the recurring-count A/B gate."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        poisson_rate_ratio,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return poisson_rate_ratio(
+        ev,
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "error",
+        exposure_a=_POISSON_EXPOSURE_DAYS,
+        exposure_b=_POISSON_EXPOSURE_DAYS,
+    )

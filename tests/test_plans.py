@@ -631,6 +631,7 @@ BNLJ_ALLOWED = {
     "q_calinski_harabasz",      # B/W dispersion 1-row crosses
     "q_spectral_entropy",       # day-zero/grand-mean + power-total
                                 # 1-row crosses
+    "q_logrank",                # subject-total 1-row cross + offsets join
 }
 
 

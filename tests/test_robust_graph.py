@@ -4033,3 +4033,79 @@ def test_spectral_entropy_pure_tone_vs_noise(spark):
     ).collect()[0]
     assert pt["entropy_norm"] < 0.4  # one period holds ~all the mass
     assert pn["entropy_norm"] > pt["entropy_norm"]
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: log-rank / two-proportion / Poisson rate ratio
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_hand_computation(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import logrank_test
+
+    # arm a fails at 1, 2 (observed) and censors at 3;
+    # arm b fails at 2, 4 and censors at 4
+    rows = [
+        ("a", 1, True), ("a", 2, True), ("a", 3, False),
+        ("b", 2, True), ("b", 4, True), ("b", 4, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, obs boolean")
+    r = logrank_test(df, "g", "t", "obs", "a", "b").collect()[0]
+    # hand walk:
+    # t=1: risk a=3 b=3 n=6 d=1 da=1 e1=0.5  v=1*(.5)(.5)(5/5)=0.25
+    # t=2: risk a=2 b=3 n=5 d=2 da=1 e1=0.8  v=2*(.4)(.6)(3/4)=0.36
+    # t=4: risk a=0 b=2 n=2 d=1 da=0 e1=0    v=1*0*1*(1/1)=0
+    o, e1, v = 2, 0.5 + 0.8, 0.25 + 0.36
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["observed_a"] == o
+    assert abs(r["expected_a"] - round(e1, 6)) < 1e-9
+    assert abs(r["z_stat"] - round((o - e1) / math.sqrt(v), 6)) < 1e-6
+
+
+def test_logrank_identical_arms_zero(spark):
+    from conte_to_fresco_etl_spark.operators.robust import logrank_test
+
+    rows = [(g, t, True) for g in ("a", "b") for t in (1, 2, 3, 5)]
+    df = spark.createDataFrame(rows, "g string, t long, obs boolean")
+    r = logrank_test(df, "g", "t", "obs", "a", "b").collect()[0]
+    assert r["observed_a"] == 4
+    assert abs(r["z_stat"]) < 1e-9  # symmetric arms: O = E exactly
+
+
+def test_two_proportion_ztest_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        two_proportion_ztest,
+    )
+
+    rows = [(True, i < 30) for i in range(100)] + [
+        (False, i < 20) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    r = two_proportion_ztest(df, "g", "s").collect()[0]
+    pa, pb, pp = 0.3, 0.2, 0.25
+    se = math.sqrt(pp * 0.75 * (1 / 100 + 1 / 100))
+    assert r["p_a"] == 0.3 and r["p_b"] == 0.2
+    assert abs(r["z_stat"] - round((pa - pb) / se, 6)) < 1e-6
+
+
+def test_poisson_rate_ratio_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        poisson_rate_ratio,
+    )
+
+    rows = [(True, True)] * 40 + [(True, False)] * 60 + [
+        (False, True)
+    ] * 10 + [(False, False)] * 90
+    df = spark.createDataFrame(rows, "g boolean, e boolean")
+    r = poisson_rate_ratio(df, "g", "e", 20.0, 10.0).collect()[0]
+    assert r["c_a"] == 40 and r["c_b"] == 10
+    assert r["rate_a"] == 2.0 and r["rate_b"] == 1.0
+    assert r["irr"] == 2.0
+    z = math.log(2.0) / math.sqrt(1 / 40 + 1 / 10)
+    assert abs(r["z_stat"] - round(z, 6)) < 1e-6

@@ -141,6 +141,9 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_logrank",
     "q_prop_test",
     "q_poisson_ratio",
+    "q_bartlett",
+    "q_decision_stump",
+    "q_ridge_closed",
 ]
 
 PRIORITY: list[str] = [
@@ -212,6 +215,9 @@ PRIORITY: list[str] = [
     "q_logrank",
     "q_prop_test",
     "q_poisson_ratio",
+    "q_bartlett",
+    "q_decision_stump",
+    "q_ridge_closed",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

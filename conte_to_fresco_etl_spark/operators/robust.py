@@ -6706,3 +6706,227 @@ def poisson_rate_ratio(
         F.when(ok, F.round(irr, 6)).alias("irr"),
         F.when(ok, F.round(z, 6)).alias("z_stat"),
     )
+
+
+def bartlett_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Bartlett's test for homogeneity of variances: T = [(N-k)·ln s_p²
+    - Σ(n_i-1)·ln s_i²] / [1 + (Σ 1/(n_i-1) - 1/(N-k)) / (3(k-1))] —
+    the PARAMETRIC variance gate (most powerful under normality, where
+    [[q_levene]] is the robust fallback; run [[q_jarque_bera]] first to
+    pick).  Output — ONE row: ``(n, k_groups, t_stat)`` (ROUND 6).
+
+    Scale posture: the same single sufficient-stat collapse as
+    one_way_anova (n, Σv, Σv² per group, decimal-exact); the statistic
+    is a k-row aggregate of ROUND(12)-pinned per-group log terms."""
+    per_g = _group_moment_stats(df, F.col(group_col), value_col)
+    ni = F.col("__n").cast("double")
+    mi = F.col("__s1").cast("double") / ni
+    vi = (F.col("__s2").cast("double") - ni * mi * mi) / (ni - F.lit(1.0))
+    good = per_g.filter(F.col("__n") >= 2)
+    agg = good.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum(
+            F.round((ni - F.lit(1.0)) * vi, 8).cast("decimal(38,8)")
+        ).alias("__sw"),
+        F.sum(
+            F.when(
+                vi > 0, F.round((ni - F.lit(1.0)) * F.log(vi), 12)
+            ).cast("decimal(38,12)")
+        ).alias("__slog"),
+        F.sum(
+            F.round(F.lit(1.0) / (ni - F.lit(1.0)), 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("__sinv"),
+        F.count(F.when(vi <= 0, F.lit(1))).alias("__degenerate"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_groups").cast("double")
+    sp2 = F.col("__sw").cast("double") / (nd - kd)
+    num = (nd - kd) * F.log(sp2) - F.col("__slog").cast("double")
+    den = F.lit(1.0) + (
+        F.col("__sinv").cast("double") - F.lit(1.0) / (nd - kd)
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n") > F.col("k_groups"))
+        & (F.col("__degenerate") == 0)
+        & (sp2 > 0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.when(ok, F.round(num / den, 6)).alias("t_stat"),
+    )
+
+
+def decision_stump(
+    df: DataFrame, feature_cols: list, label_col: str
+) -> DataFrame:
+    """Depth-1 decision tree (stump) trained distributed: for every
+    feature, the binary split ``x <= t`` maximizing information gain
+    against a boolean label, evaluated at EVERY distinct feature value
+    — the exact greedy step every tree ensemble (GBDT, random forest)
+    repeats, here as the declared-query form: training IS aggregation
+    + a prefix scan.  Output — one row per feature:
+    ``(feature, best_threshold, info_gain, n_left, n_right)``
+    (ROUND 6; gain in nats; ties broken toward the LOWER threshold).
+
+    Scale posture: per feature, the corpus collapses to the
+    (value → count, positives) marginal; every candidate split's
+    left-side counts ride ONE distributed prefix scan of that
+    marginal; the argmax is TakeOrdered(1) per feature over marginal
+    rows; the label prior is the annotated 1-row broadcast cross.
+    Features iterate as separate prefix scans (|features| passes) —
+    never a composite global sort."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    def entropy(p):
+        return -(
+            F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(
+                p < 1, (F.lit(1.0) - p) * F.log(F.lit(1.0) - p)
+            ).otherwise(F.lit(0.0))
+        )
+
+    outs = []
+    for feat in feature_cols:
+        vals = df.filter(
+            F.col(feat).isNotNull() & F.col(label_col).isNotNull()
+        ).select(
+            F.col(feat).alias("__x"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+        marg = vals.groupBy("__x").agg(
+            F.count("*").alias("__c"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"),
+        )
+        cum = prefix_sums(marg, "__x", ["__c", "__p"], prefix="__cm_")
+        tot = vals.agg(
+            F.count("*").alias("__n"), 
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+        )
+        nd = F.col("__n").cast("double")
+        nl = F.col("__cm___c").cast("double")
+        nr = nd - nl
+        pl = F.col("__cm___p").cast("double") / nl
+        pr = (F.col("__np") - F.col("__cm___p")).cast("double") / nr
+        p0 = F.col("__np").cast("double") / nd
+        gain = entropy(p0) - (nl / nd) * entropy(pl) - (
+            nr / nd
+        ) * entropy(pr)
+        scored = (
+            cum.join(broadcast(tot), F.lit(True))
+            .filter(nr > 0)  # splitting above the max value is no split
+            .select(
+                F.lit(str(feat)).alias("feature"),
+                F.col("__x").alias("best_threshold"),
+                F.round(gain, 9).alias("__g"),
+                F.col("__cm___c").cast("long").alias("n_left"),
+                (F.col("__n") - F.col("__cm___c"))
+                .cast("long")
+                .alias("n_right"),
+            )
+        )
+        best = scored.orderBy(
+            F.col("__g").desc(), F.col("best_threshold").asc()
+        ).limit(1)
+        outs.append(
+            best.select(
+                "feature",
+                F.col("best_threshold").cast("double").alias(
+                    "best_threshold"
+                ),
+                F.round(F.col("__g"), 6).alias("info_gain"),
+                "n_left",
+                "n_right",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def ridge_closed_form(
+    df: DataFrame,
+    x1_col,
+    x2_col,
+    y_col,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Ridge regression with two features + intercept, solved in
+    CLOSED FORM inside the plan: the 3×3 normal equations
+    (XᵀX + λ·diag(0,1,1))·β = Xᵀy — XᵀX and Xᵀy are NINE decimal sums
+    over one corpus pass, and the solve is Cramer's rule as scalar
+    expressions on the 1-row aggregate (no iteration, no driver round
+    trips; [[q_logreg_train]] is the iterative sibling for losses with
+    no closed form).  The intercept is unpenalized (standard).
+    Output — ONE row: ``(n, beta0, beta1, beta2, lambda)`` (ROUND 6).
+
+    Scale posture: training IS one map-combinable aggregation; the
+    3×3 determinant algebra is driver-free scalar expressions."""
+    x1 = x1_col if not isinstance(x1_col, str) else F.col(x1_col)
+    x2 = x2_col if not isinstance(x2_col, str) else F.col(x2_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    vals = df.select(
+        x1.cast("double").alias("__x1"),
+        x2.cast("double").alias("__x2"),
+        y.cast("double").alias("__y"),
+    ).filter(
+        F.col("__x1").isNotNull()
+        & F.col("__x2").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+
+    def dsum(expr, scale=8):
+        return F.sum(F.round(expr, scale).cast("decimal(38,8)"))
+
+    a1 = F.col("__x1")
+    a2 = F.col("__x2")
+    yy = F.col("__y")
+    agg = vals.agg(
+        F.count("*").alias("n"),
+        dsum(a1).alias("__s1"),
+        dsum(a2).alias("__s2"),
+        dsum(a1 * a1).alias("__s11"),
+        dsum(a2 * a2).alias("__s22"),
+        dsum(a1 * a2).alias("__s12"),
+        dsum(yy).alias("__sy"),
+        dsum(a1 * yy).alias("__s1y"),
+        dsum(a2 * yy).alias("__s2y"),
+    )
+    # A = [[n, s1, s2], [s1, s11+λ, s12], [s2, s12, s22+λ]], b = [sy, s1y, s2y]
+    ld = F.lit(float(lam))
+    a00 = F.col("n").cast("double")
+    a01 = F.col("__s1").cast("double")
+    a02 = F.col("__s2").cast("double")
+    a11 = F.col("__s11").cast("double") + ld
+    a12 = F.col("__s12").cast("double")
+    a22 = F.col("__s22").cast("double") + ld
+    b0 = F.col("__sy").cast("double")
+    b1 = F.col("__s1y").cast("double")
+    b2 = F.col("__s2y").cast("double")
+
+    def det3(m00, m01, m02, m10, m11, m12, m20, m21, m22):
+        return (
+            m00 * (m11 * m22 - m12 * m21)
+            - m01 * (m10 * m22 - m12 * m20)
+            + m02 * (m10 * m21 - m11 * m20)
+        )
+
+    d = det3(a00, a01, a02, a01, a11, a12, a02, a12, a22)
+    d0 = det3(b0, a01, a02, b1, a11, a12, b2, a12, a22)
+    d1 = det3(a00, b0, a02, a01, b1, a12, a02, b2, a22)
+    d2 = det3(a00, a01, b0, a01, a11, b1, a02, a12, b2)
+    ok = (F.col("n") >= 3) & (F.abs(d) > F.lit(1e-12))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(d0 / d, 6)).alias("beta0"),
+        F.when(ok, F.round(d1 / d, 6)).alias("beta1"),
+        F.when(ok, F.round(d2 / d, 6)).alias("beta2"),
+        F.lit(float(lam)).alias("lambda"),
+    )

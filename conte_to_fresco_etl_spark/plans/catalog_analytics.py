@@ -9466,3 +9466,229 @@ def q_poisson_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         exposure_a=_POISSON_EXPOSURE_DAYS,
         exposure_b=_POISSON_EXPOSURE_DAYS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Parametric variance gate + closed-form/greedy supervised training
+# (r9, deferred): Bartlett, the decision stump, ridge in closed form.
+# ---------------------------------------------------------------------------
+
+_BARTLETT_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM vals GROUP BY g
+    ),
+    good AS (SELECT * FROM per_g WHERE n >= 2),
+    vv AS (
+      SELECT n,
+             (CAST(s2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS vi
+      FROM good
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k,
+             SUM(CAST(ROUND((CAST(n AS DOUBLE) - 1.0) * vi, 8)
+                      AS DECIMAL(38,8))) AS sw,
+             SUM(CASE WHEN vi > 0 THEN
+                 CAST(ROUND((CAST(n AS DOUBLE) - 1.0) * ln(vi), 12)
+                      AS DECIMAL(38,12)) END) AS slog,
+             SUM(CAST(ROUND(1.0 / (CAST(n AS DOUBLE) - 1.0), 12)
+                      AS DECIMAL(38,12))) AS sinv,
+             COUNT(CASE WHEN vi <= 0 THEN 1 END) AS degen
+      FROM vv
+    ),
+    d AS (
+      SELECT n, k, degen,
+             CAST(sw AS DOUBLE) / (CAST(n AS DOUBLE) - k) AS sp2,
+             CAST(slog AS DOUBLE) AS slog,
+             CAST(sinv AS DOUBLE) AS sinv
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN k >= 2 AND n > k AND degen = 0 AND sp2 > 0
+           THEN ROUND(
+             ((CAST(n AS DOUBLE) - k) * ln(sp2) - slog)
+             / (1.0 + (sinv - 1.0 / (CAST(n AS DOUBLE) - k))
+                      / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+           END AS t_stat
+    FROM d
+"""
+
+@_q("q_bartlett", _BARTLETT_SQL)
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's parametric variance-homogeneity test across event
+    types: the most-powerful-under-normality member of the q_levene
+    pair — same single sufficient-stat collapse as q_anova."""
+    from conte_to_fresco_etl_spark.operators.robust import bartlett_test
+
+    return bartlett_test(_events(spark, sf_dir), "event_type", "value")
+
+
+def _stump_feature_sql(feature: str, x_expr: str) -> str:
+    h = lambda p: (  # noqa: E731 — local SQL-text builder
+        f"-(CASE WHEN {p} > 0 THEN ({p}) * ln({p}) ELSE 0.0 END"
+        f" + CASE WHEN {p} < 1 THEN (1.0 - ({p})) * ln(1.0 - ({p}))"
+        f" ELSE 0.0 END)"
+    )
+    p0 = "CAST(np AS DOUBLE) / CAST(n AS DOUBLE)"
+    pl = "CAST(cp AS DOUBLE) / CAST(cc AS DOUBLE)"
+    pr = "CAST(np - cp AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(cc AS DOUBLE))"
+    gain = (
+        f"{h(p0)} - (CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) * {h(pl)}"
+        f" - ((CAST(n AS DOUBLE) - CAST(cc AS DOUBLE))"
+        f" / CAST(n AS DOUBLE)) * {h(pr)}"
+    )
+    return f"""
+      SELECT feature, CAST(best_threshold AS DOUBLE) AS best_threshold,
+             ROUND(g, 6) AS info_gain, n_left, n_right
+      FROM (
+        SELECT '{feature}' AS feature, x AS best_threshold,
+               ROUND({gain}, 9) AS g,
+               CAST(cc AS BIGINT) AS n_left,
+               CAST(n - cc AS BIGINT) AS n_right
+        FROM (
+          SELECT x, SUM(c) OVER (ORDER BY x) AS cc,
+                 SUM(p) OVER (ORDER BY x) AS cp
+          FROM (
+            SELECT x, COUNT(*) AS c,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p
+            FROM (
+              SELECT {x_expr} AS x, event_type = 'purchase' AS y
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND user_id IS NOT NULL AND event_type IS NOT NULL
+            ) GROUP BY x
+          )
+        ), (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL
+            AND user_id IS NOT NULL AND event_type IS NOT NULL
+        )
+        WHERE n - cc > 0
+        ORDER BY g DESC, best_threshold ASC LIMIT 1
+      )
+    """
+
+
+_STUMP_SQL = (
+    _stump_feature_sql("f_value", "CAST(value AS DOUBLE)")
+    + " UNION ALL "
+    + _stump_feature_sql(
+        "f_hour", "CAST(EXTRACT(hour FROM ts) AS DOUBLE)"
+    )
+    + " UNION ALL "
+    + _stump_feature_sql("f_bucket", "CAST(user_id % 50 AS DOUBLE)")
+)
+
+@_q("q_decision_stump", _STUMP_SQL)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 tree training (the exact GBDT/random-forest greedy
+    step): best information-gain split per feature, every candidate
+    threshold scored off one distributed prefix scan of the feature's
+    value marginal, argmax by TakeOrdered(1)."""
+    from conte_to_fresco_etl_spark.operators.robust import decision_stump
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col("value").cast("double").alias("f_value"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        (F.col("user_id") % 50).cast("double").alias("f_bucket"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return decision_stump(
+        ev, ["f_value", "f_hour", "f_bucket"], "label"
+    )
+
+
+_RIDGE_LAMBDA = 1.0
+
+_RIDGE_SQL = f"""
+    WITH vals AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x1,
+             CAST(EXTRACT(dow FROM ts) AS DOUBLE) AS x2,
+             CAST(value AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(ROUND(x1, 8) AS DECIMAL(38,8))) AS s1,
+             SUM(CAST(ROUND(x2, 8) AS DECIMAL(38,8))) AS s2,
+             SUM(CAST(ROUND(x1 * x1, 8) AS DECIMAL(38,8))) AS s11,
+             SUM(CAST(ROUND(x2 * x2, 8) AS DECIMAL(38,8))) AS s22,
+             SUM(CAST(ROUND(x1 * x2, 8) AS DECIMAL(38,8))) AS s12,
+             SUM(CAST(ROUND(y, 8) AS DECIMAL(38,8))) AS sy,
+             SUM(CAST(ROUND(x1 * y, 8) AS DECIMAL(38,8))) AS s1y,
+             SUM(CAST(ROUND(x2 * y, 8) AS DECIMAL(38,8))) AS s2y
+      FROM vals
+    ),
+    m AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS a00,
+             CAST(s1 AS DOUBLE) AS a01, CAST(s2 AS DOUBLE) AS a02,
+             CAST(s11 AS DOUBLE) + {_RIDGE_LAMBDA!r} AS a11,
+             CAST(s12 AS DOUBLE) AS a12,
+             CAST(s22 AS DOUBLE) + {_RIDGE_LAMBDA!r} AS a22,
+             CAST(sy AS DOUBLE) AS b0,
+             CAST(s1y AS DOUBLE) AS b1, CAST(s2y AS DOUBLE) AS b2
+      FROM agg
+    ),
+    dets AS (
+      SELECT n,
+             a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02) AS d,
+             b0 * (a11 * a22 - a12 * a12)
+               - a01 * (b1 * a22 - a12 * b2)
+               + a02 * (b1 * a12 - a11 * b2) AS d0,
+             a00 * (b1 * a22 - a12 * b2)
+               - b0 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * b2 - b1 * a02) AS d1,
+             a00 * (a11 * b2 - b1 * a12)
+               - a01 * (a01 * b2 - b1 * a02)
+               + b0 * (a01 * a12 - a11 * a02) AS d2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 3 AND ABS(d) > 1e-12
+           THEN ROUND(d0 / d, 6) END AS beta0,
+           CASE WHEN n >= 3 AND ABS(d) > 1e-12
+           THEN ROUND(d1 / d, 6) END AS beta1,
+           CASE WHEN n >= 3 AND ABS(d) > 1e-12
+           THEN ROUND(d2 / d, 6) END AS beta2,
+           {_RIDGE_LAMBDA!r} AS lambda
+    FROM dets
+"""
+
+@_q("q_ridge_closed", _RIDGE_SQL)
+def q_ridge_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (value ~ hour + day-of-week, lambda=1) solved
+    in closed form inside the plan: nine decimal sums -> Cramer's rule
+    as scalar expressions — training with zero iteration."""
+    from conte_to_fresco_etl_spark.operators.robust import ridge_closed_form
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return ridge_closed_form(
+        ev,
+        F.hour("ts").cast("double"),
+        (F.dayofweek("ts") - F.lit(1)).cast("double"),
+        F.col("value"),
+        lam=_RIDGE_LAMBDA,
+    )

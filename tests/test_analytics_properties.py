@@ -387,3 +387,86 @@ def test_interval_overlap_matches_brute_force(spark, xs, ys):
         if s1 <= s2 + l2 and s2 <= s1 + l1
     )
     assert got == want  # complete AND exactly-once
+
+
+# ---------------------------------------------------------------------------
+# r9: rank-statistic identities across operators
+# ---------------------------------------------------------------------------
+
+two_samples = st.tuples(
+    st.lists(st.integers(-8, 8).map(lambda q: q / 2.0), min_size=2,
+             max_size=20),
+    st.lists(st.integers(-8, 8).map(lambda q: q / 2.0), min_size=2,
+             max_size=20),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(two_samples)
+def test_cliffs_delta_is_rescaled_mannwhitney_u(spark, samples):
+    """Cliff's delta and Mann-Whitney U are the same statistic on two
+    scales: delta = 2*U_a/(n_a*n_b) - 1 for ANY tie structure — the two
+    operators take different plan paths (b-count prefix scan vs pooled
+    midranks), so the identity cross-checks both."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        cliffs_delta, mannwhitney_u,
+    )
+
+    a, b = samples
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    dlt = cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    mwu = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    n = len(a) * len(b)
+    assert dlt["n_gt"] + dlt["n_lt"] <= n
+    assert _close(
+        dlt["cliffs_delta"], round(2.0 * mwu["u_a"] / n - 1.0, 6), tol=2e-6
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(two_samples)
+def test_brunner_munzel_phat_complements_mannwhitney(spark, samples):
+    """The Brunner-Munzel common-language effect p_hat equals
+    U_a/(n_a*n_b) reflected: p_hat = P(a<b) + P(a=b)/2 = 1 - U_a/(nm)
+    — a third independent path over the same rank structure."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        brunner_munzel, mannwhitney_u,
+    )
+
+    a, b = samples
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    bm = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    mwu = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    n = len(a) * len(b)
+    assert _close(bm["p_hat"], round(1.0 - mwu["u_a"] / n, 6), tol=2e-6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(two_samples)
+def test_anova_two_groups_squares_welch_under_equal_n(spark, samples):
+    """With k=2 and EQUAL group sizes, the one-way ANOVA F equals the
+    pooled-variance t² — and the classic identity t² = F ties the two
+    sufficient-stat paths together.  (Unequal sizes still satisfy it
+    for the pooled t; we draw equal-size pairs to keep the twin
+    simple.)"""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import one_way_anova
+
+    a, b = samples
+    m = min(len(a), len(b))
+    a, b = a[:m], b[:m]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = one_way_anova(df, "g", "v").collect()[0]
+    if r["f_stat"] is None:
+        return  # degenerate: zero within-variance
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((v - ma) ** 2 for v in a) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (nb - 1)
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    t = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    assert _close(r["f_stat"], round(t * t, 6), tol=5e-5)

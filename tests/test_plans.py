@@ -632,6 +632,8 @@ BNLJ_ALLOWED = {
     "q_spectral_entropy",       # day-zero/grand-mean + power-total
                                 # 1-row crosses
     "q_logrank",                # subject-total 1-row cross + offsets join
+    "q_decision_stump",         # label-prior 1-row cross + offsets join
+                                # (one per feature)
 }
 
 

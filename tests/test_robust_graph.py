@@ -4109,3 +4109,102 @@ def test_poisson_rate_ratio_formula(spark):
     assert r["irr"] == 2.0
     z = math.log(2.0) / math.sqrt(1 / 40 + 1 / 10)
     assert abs(r["z_stat"] - round(z, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: Bartlett / decision stump / closed-form ridge
+# ---------------------------------------------------------------------------
+
+
+def test_bartlett_matches_formula(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import bartlett_test
+
+    groups = {"a": [1.0, 2.0, 4.0, 7.0], "b": [3.0, 3.5, 4.0, 4.5, 5.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    vis = {}
+    for g, vs in groups.items():
+        m = sum(vs) / len(vs)
+        vis[g] = sum((x - m) ** 2 for x in vs) / (len(vs) - 1)
+    sp2 = sum((len(vs) - 1) * vis[g] for g, vs in groups.items()) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(vis[g]) for g, vs in groups.items()
+    )
+    den = 1 + (
+        sum(1 / (len(vs) - 1) for vs in groups.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    assert r["n"] == n and r["k_groups"] == k
+    assert abs(r["t_stat"] - round(num / den, 6)) < 1e-5
+
+
+def test_bartlett_constant_group_null(spark):
+    from conte_to_fresco_etl_spark.operators.robust import bartlett_test
+
+    rows = [("a", 5.0)] * 4 + [("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # group a has zero variance: ln(0) undefined -> explicit NULL
+    assert bartlett_test(df, "g", "v").collect()[0]["t_stat"] is None
+
+
+def test_decision_stump_finds_planted_split(spark):
+    from conte_to_fresco_etl_spark.operators.robust import decision_stump
+
+    # label is exactly x <= 4 on feature f1; f2 is uninformative
+    rows = [
+        (float(x), float(x % 3), x <= 4) for x in range(10) for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y boolean")
+    out = {r["feature"]: r for r in
+           decision_stump(df, ["f1", "f2"], "y").collect()}
+    import math
+
+    assert out["f1"]["best_threshold"] == 4.0
+    # perfect split: gain = H(prior) with prior = 1/2
+    assert abs(out["f1"]["info_gain"] - round(math.log(2), 6)) < 1e-6
+    assert out["f1"]["n_left"] == 25 and out["f1"]["n_right"] == 25
+    # f2 = x % 3 carries a sliver of incidental signal over 0..9;
+    # the planted feature must dominate it by an order of magnitude
+    assert out["f2"]["info_gain"] < 0.05
+    assert out["f1"]["info_gain"] > 10 * out["f2"]["info_gain"]
+
+
+def test_decision_stump_no_split_above_max(spark):
+    from conte_to_fresco_etl_spark.operators.robust import decision_stump
+
+    rows = [(1.0, True), (1.0, False)]  # single value: no valid split
+    df = spark.createDataFrame(rows, "f double, y boolean")
+    assert decision_stump(df, ["f"], "y").collect() == []
+
+
+def test_ridge_closed_form_recovers_linear_signal(spark):
+    from conte_to_fresco_etl_spark.operators.robust import ridge_closed_form
+
+    # y = 2 + 3*x1 - 1*x2 exactly; with lambda=0 the solve is OLS and
+    # must recover the coefficients to rounding
+    rows = [
+        (float(i % 7), float(i % 5), 2.0 + 3.0 * (i % 7) - 1.0 * (i % 5))
+        for i in range(140)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = ridge_closed_form(df, "x1", "x2", "y", lam=0.0).collect()[0]
+    assert abs(r["beta0"] - 2.0) < 1e-4
+    assert abs(r["beta1"] - 3.0) < 1e-4
+    assert abs(r["beta2"] + 1.0) < 1e-4
+
+
+def test_ridge_lambda_shrinks_coefficients(spark):
+    from conte_to_fresco_etl_spark.operators.robust import ridge_closed_form
+
+    rows = [
+        (float(i % 7), float((i * 3) % 5), 1.0 + 2.0 * (i % 7))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    b_free = ridge_closed_form(df, "x1", "x2", "y", lam=0.0).collect()[0]
+    b_reg = ridge_closed_form(df, "x1", "x2", "y", lam=100.0).collect()[0]
+    assert abs(b_reg["beta1"]) < abs(b_free["beta1"])  # shrinkage

@@ -144,6 +144,9 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_bartlett",
     "q_decision_stump",
     "q_ridge_closed",
+    "q_auc_delong",
+    "q_average_precision",
+    "q_gumbel_maxima",
 ]
 
 PRIORITY: list[str] = [
@@ -218,6 +221,9 @@ PRIORITY: list[str] = [
     "q_bartlett",
     "q_decision_stump",
     "q_ridge_closed",
+    "q_auc_delong",
+    "q_average_precision",
+    "q_gumbel_maxima",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

@@ -6930,3 +6930,206 @@ def ridge_closed_form(
         F.when(ok, F.round(d2 / d, 6)).alias("beta2"),
         F.lit(float(lam)).alias("lambda"),
     )
+
+
+def auc_delong(df: DataFrame, label_col, score_col) -> DataFrame:
+    """ROC AUC with DeLong variance and normal CI: the placement-value
+    decomposition Var(AUC) = S10/m + S01/n (DeLong, DeLong &
+    Clarke-Pearson 1988, midrank/tie form) — [[q_roc_auc]] gives the
+    point estimate; this says whether the ranking is DISTINGUISHABLE
+    from chance (or from a competitor) at this sample size.  Output —
+    ONE row: ``(n_pos, n_neg, auc, var_auc, ci_lo, ci_hi)`` (ROUND 6;
+    95% normal interval, clipped to [0, 1]).
+
+    Scale posture: the corpus collapses to the per-distinct-score
+    class-count marginal; BOTH placement series (V10 over positives,
+    V01 over negatives) ride ONE distributed prefix scan; the
+    placement variances cross the marginal with the 1-row AUC
+    aggregate (annotated scalar cross); all terms ROUND(12)-pinned
+    decimal sums."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    sc = score_col if not isinstance(score_col, str) else F.col(score_col)
+    vals = df.select(
+        lab.cast("boolean").alias("__y"), sc.cast("double").alias("__v")
+    ).filter(F.col("__y").isNotNull() & F.col("__v").isNotNull())
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__cp"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).alias("__cn"),
+    )
+    cum = prefix_sums(marg, "__v", ["__cp", "__cn"], prefix="__cm_")
+    # placements at each distinct value (midrank tie handling):
+    # V10 = (#neg below + #neg tied / 2) / n_neg  (per positive there)
+    # V01 = (#pos above + #pos tied / 2) / n_pos  (per negative there)
+    stage1 = cum.agg(
+        F.sum("__cp").alias("n_pos"),
+        F.sum("__cn").alias("n_neg"),
+        F.sum(
+            F.col("__cp").cast("decimal(38,0)")
+            * (
+                F.lit(2) * (F.col("__cm___cn") - F.col("__cn"))
+                + F.col("__cn")
+            ).cast("decimal(19,0)")
+        ).alias("__u2"),  # 2 * sum over positives of (below + tied/2)
+    )
+    m = F.col("n_pos").cast("double")
+    n = F.col("n_neg").cast("double")
+    auc = F.col("__u2").cast("double") / (F.lit(2.0) * m * n)
+    v10 = (
+        (F.col("__cm___cn") - F.col("__cn")).cast("double")
+        + F.col("__cn").cast("double") / F.lit(2.0)
+    ) / n
+    v01 = (
+        (F.col("n_pos") - F.col("__cm___cp")).cast("double")
+        + F.col("__cp").cast("double") / F.lit(2.0)
+    ) / m
+    agg = cum.join(broadcast(stage1), F.lit(True)).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.max(F.round(auc, 12)).alias("__auc"),
+        F.sum(
+            F.round(
+                F.col("__cp").cast("double") * (v10 - auc) * (v10 - auc),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__s10"),
+        F.sum(
+            F.round(
+                F.col("__cn").cast("double")
+                * (v01 - auc)
+                * (v01 - auc),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__s01"),
+    )
+    m2 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    var = F.col("__s10").cast("double") / (m2 - F.lit(1.0)) / m2 + F.col(
+        "__s01"
+    ).cast("double") / (n2 - F.lit(1.0)) / n2
+    z = F.lit(1.959964)
+    se = F.sqrt(var)
+    ok = (F.col("n_pos") >= 2) & (F.col("n_neg") >= 2)
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(F.col("__auc"), 6).alias("auc"),
+        F.when(ok, F.round(var, 9)).alias("var_auc"),
+        F.when(ok, F.round(F.greatest(F.col("__auc") - z * se, F.lit(0.0)), 6)).alias(
+            "ci_lo"
+        ),
+        F.when(ok, F.round(F.least(F.col("__auc") + z * se, F.lit(1.0)), 6)).alias(
+            "ci_hi"
+        ),
+    )
+
+
+def average_precision(df: DataFrame, label_col, score_col) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation): AP = Σ_thresholds ΔRecall · Precision, swept over
+    every distinct score descending — the ranking metric that, unlike
+    [[q_roc_auc]], does NOT reward the easy negatives, which makes it
+    the right evaluation under class imbalance (quality filters where
+    keeps are 1%).  Ties share a threshold (the whole tied block
+    enters at once — sklearn's step convention).  Output — ONE row:
+    ``(n_pos, n_neg, average_precision, prevalence)`` (ROUND 6).
+
+    Scale posture: per-distinct-score class counts + ONE distributed
+    prefix scan (descending cumulative via total - ascending); the
+    threshold sweep is an aggregation over marginal rows with the
+    1-row class totals as the annotated scalar cross."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    sc = score_col if not isinstance(score_col, str) else F.col(score_col)
+    vals = df.select(
+        lab.cast("boolean").alias("__y"), sc.cast("double").alias("__v")
+    ).filter(F.col("__y").isNotNull() & F.col("__v").isNotNull())
+    marg = vals.groupBy("__v").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__cp"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).alias("__cn"),
+    )
+    cum = prefix_sums(marg, "__v", ["__cp", "__cn"], prefix="__cm_")
+    tot = vals.agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).alias("n_neg"),
+    )
+    # at threshold v (keep score >= v): descending cumulatives
+    tp = (F.col("n_pos") - (F.col("__cm___cp") - F.col("__cp"))).cast(
+        "double"
+    )
+    fp = (F.col("n_neg") - (F.col("__cm___cn") - F.col("__cn"))).cast(
+        "double"
+    )
+    prec = tp / (tp + fp)
+    d_rec = F.col("__cp").cast("double") / F.col("n_pos").cast("double")
+    term = F.when(
+        F.col("__cp") > 0, F.round(d_rec * prec, 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(38,12)")
+    agg = cum.join(broadcast(tot), F.lit(True)).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(term).alias("__ap"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(ok, F.round(F.col("__ap").cast("double"), 6)).alias(
+            "average_precision"
+        ),
+        F.round(
+            F.col("n_pos").cast("double")
+            / (F.col("n_pos") + F.col("n_neg")).cast("double"),
+            6,
+        ).alias("prevalence"),
+    )
+
+
+#: Euler-Mascheroni constant (Gumbel method-of-moments location shift).
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_block_maxima(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Gumbel (EV type I) fit to DAILY block maxima by method of
+    moments: β̂ = s·√6/π, μ̂ = x̄ - γ·β̂ — the extreme-value tail model
+    behind "what's the worst value we should expect in a month"
+    capacity planning; emits the T = 30-block return level
+    μ̂ - β̂·ln(-ln(1 - 1/T)).  Output — ONE row:
+    ``(n_blocks, mu, beta, return_level_30)`` (ROUND 6).
+
+    Scale posture: the corpus collapses to daily maxima (one
+    map-combinable pass); the moment fit is one aggregate over the
+    days-sized table — decimal-pinned moments, scalar algebra after."""
+    import math
+
+    daily = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("day", F.col(ts_col)).alias("__day"))
+        .agg(F.round(F.max(F.col(value_col).cast("double")), 6).alias("__x"))
+    )
+    vq = F.col("__x").cast("decimal(18,6)")
+    agg = daily.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(vq).alias("__s1"),
+        F.sum((vq * vq).cast("decimal(38,12)")).alias("__s2"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("__s1").cast("double") / nd
+    var = (F.col("__s2").cast("double") - nd * mean * mean) / (
+        nd - F.lit(1.0)
+    )
+    beta = F.sqrt(var) * F.lit(math.sqrt(6.0) / math.pi)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    t = 30.0
+    rl = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+    ok = (F.col("n_blocks") >= 2) & (var > 0)
+    return agg.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.when(ok, F.round(mu, 6)).alias("mu"),
+        F.when(ok, F.round(beta, 6)).alias("beta"),
+        F.when(ok, F.round(rl, 6)).alias("return_level_30"),
+    )

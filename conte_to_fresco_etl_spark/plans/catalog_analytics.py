@@ -9692,3 +9692,198 @@ def q_ridge_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         lam=_RIDGE_LAMBDA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-metric uncertainty and extreme-value tails (r9, deferred)
+# ---------------------------------------------------------------------------
+
+_DELONG_SQL = """
+    WITH vals AS (
+      SELECT (lang = 'en') AS y, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, cp, cn,
+             SUM(cp) OVER (ORDER BY v) AS cmp_,
+             SUM(cn) OVER (ORDER BY v) AS cmn
+      FROM marg
+    ),
+    s1 AS (
+      SELECT SUM(cp) AS n_pos, SUM(cn) AS n_neg,
+             SUM(CAST(cp AS DECIMAL(18,0))
+                 * CAST(2 * (cmn - cn) + cn AS DECIMAL(19,0))) AS u2
+      FROM cum
+    ),
+    d AS (
+      SELECT n_pos, n_neg,
+             CAST(u2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               AS auc0
+      FROM s1
+    ),
+    t AS (
+      SELECT d.n_pos, d.n_neg, ROUND(auc0, 12) AS auc,
+             SUM(CAST(ROUND(CAST(cp AS DOUBLE)
+               * ((CAST(cmn - cn AS DOUBLE) + CAST(cn AS DOUBLE) / 2.0)
+                  / CAST(d.n_neg AS DOUBLE) - auc0)
+               * ((CAST(cmn - cn AS DOUBLE) + CAST(cn AS DOUBLE) / 2.0)
+                  / CAST(d.n_neg AS DOUBLE) - auc0), 12)
+               AS DECIMAL(38,12))) AS s10,
+             SUM(CAST(ROUND(CAST(cn AS DOUBLE)
+               * ((CAST(d.n_pos - cmp_ AS DOUBLE)
+                   + CAST(cp AS DOUBLE) / 2.0)
+                  / CAST(d.n_pos AS DOUBLE) - auc0)
+               * ((CAST(d.n_pos - cmp_ AS DOUBLE)
+                   + CAST(cp AS DOUBLE) / 2.0)
+                  / CAST(d.n_pos AS DOUBLE) - auc0), 12)
+               AS DECIMAL(38,12))) AS s01
+      FROM cum, d GROUP BY d.n_pos, d.n_neg, auc0
+    ),
+    e AS (
+      SELECT n_pos, n_neg, auc,
+             CAST(s10 AS DOUBLE) / (CAST(n_pos AS DOUBLE) - 1.0)
+               / CAST(n_pos AS DOUBLE)
+             + CAST(s01 AS DOUBLE) / (CAST(n_neg AS DOUBLE) - 1.0)
+               / CAST(n_neg AS DOUBLE) AS var
+      FROM t
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(auc, 6) AS auc,
+           CASE WHEN n_pos >= 2 AND n_neg >= 2
+           THEN ROUND(var, 9) END AS var_auc,
+           CASE WHEN n_pos >= 2 AND n_neg >= 2
+           THEN ROUND(GREATEST(auc - 1.959964 * sqrt(var), 0.0), 6)
+           END AS ci_lo,
+           CASE WHEN n_pos >= 2 AND n_neg >= 2
+           THEN ROUND(LEAST(auc + 1.959964 * sqrt(var), 1.0), 6)
+           END AS ci_hi
+    FROM e
+"""
+
+@_q("q_auc_delong", _DELONG_SQL)
+def q_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC with the DeLong placement-value variance and 95% CI
+    (is-English vs document length): both placement series on one
+    distributed prefix scan — the uncertainty companion to q_roc_auc's
+    point estimate."""
+    from conte_to_fresco_etl_spark.operators.robust import auc_delong
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return auc_delong(
+        docs, F.col("lang") == "en", F.col("n_chars").cast("double")
+    )
+
+
+_AP_SQL = """
+    WITH vals AS (
+      SELECT (lang = 'en') AS y, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, cp, cn,
+             SUM(cp) OVER (ORDER BY v) AS cmp_,
+             SUM(cn) OVER (ORDER BY v) AS cmn
+      FROM marg
+    ),
+    tt AS (
+      SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+      FROM vals
+    ),
+    agg AS (
+      SELECT MAX(tt.n_pos) AS n_pos, MAX(tt.n_neg) AS n_neg,
+             SUM(CASE WHEN cp > 0 THEN CAST(ROUND(
+               (CAST(cp AS DOUBLE) / CAST(tt.n_pos AS DOUBLE))
+               * (CAST(tt.n_pos - (cmp_ - cp) AS DOUBLE)
+                  / (CAST(tt.n_pos - (cmp_ - cp) AS DOUBLE)
+                     + CAST(tt.n_neg - (cmn - cn) AS DOUBLE))), 12)
+               AS DECIMAL(38,12))
+             ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS ap
+      FROM cum, tt
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+           THEN ROUND(CAST(ap AS DOUBLE), 6) END AS average_precision,
+           ROUND(CAST(n_pos AS DOUBLE)
+                 / CAST(n_pos + n_neg AS DOUBLE), 6) AS prevalence
+    FROM agg
+"""
+
+@_q("q_average_precision", _AP_SQL)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step PR-AUC) of the is-English/length
+    ranking: the class-imbalance-honest companion to q_roc_auc —
+    threshold sweep over the score marginal's prefix scan."""
+    from conte_to_fresco_etl_spark.operators.robust import average_precision
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return average_precision(
+        docs, F.col("lang") == "en", F.col("n_chars").cast("double")
+    )
+
+
+_GUMBEL_SQL = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(MAX(CAST(value AS DOUBLE)), 6) AS x
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS s2
+      FROM daily
+    ),
+    d AS (
+      SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM agg
+    ),
+    e AS (
+      SELECT n, mean, var,
+             sqrt(var) * 0.779696801233676 AS beta
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CASE WHEN n >= 2 AND var > 0
+           THEN ROUND(mean - 0.5772156649015329 * beta, 6) END AS mu,
+           CASE WHEN n >= 2 AND var > 0
+           THEN ROUND(beta, 6) END AS beta,
+           CASE WHEN n >= 2 AND var > 0
+           THEN ROUND((mean - 0.5772156649015329 * beta)
+                      - beta * (-3.3842944934992527), 6)
+           END AS return_level_30
+    FROM e
+"""
+
+@_q("q_gumbel_maxima", _GUMBEL_SQL)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit to daily block maxima (method of moments) with the
+    30-day return level: the extreme-value capacity-planning tail
+    model — one daily-max collapse, scalar algebra after."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        gumbel_block_maxima,
+    )
+
+    return gumbel_block_maxima(_events(spark, sf_dir), "ts", "value")

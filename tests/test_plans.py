@@ -634,6 +634,8 @@ BNLJ_ALLOWED = {
     "q_logrank",                # subject-total 1-row cross + offsets join
     "q_decision_stump",         # label-prior 1-row cross + offsets join
                                 # (one per feature)
+    "q_auc_delong",             # placement-mean 1-row cross + offsets join
+    "q_average_precision",      # class-total 1-row cross + offsets join
 }
 
 

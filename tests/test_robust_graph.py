@@ -4208,3 +4208,103 @@ def test_ridge_lambda_shrinks_coefficients(spark):
     b_free = ridge_closed_form(df, "x1", "x2", "y", lam=0.0).collect()[0]
     b_reg = ridge_closed_form(df, "x1", "x2", "y", lam=100.0).collect()[0]
     assert abs(b_reg["beta1"]) < abs(b_free["beta1"])  # shrinkage
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: DeLong AUC / average precision / Gumbel maxima
+# ---------------------------------------------------------------------------
+
+
+def test_auc_delong_matches_hand_computation(spark):
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import auc_delong
+
+    pos = [3.0, 5.0, 5.0, 8.0]
+    neg = [1.0, 4.0, 5.0]
+    rows = [(True, v) for v in pos] + [(False, v) for v in neg]
+    df = spark.createDataFrame(rows, "y boolean, v double")
+    r = auc_delong(df, "y", "v").collect()[0]
+
+    def v10(x):
+        return (sum(1 for y in neg if y < x)
+                + 0.5 * sum(1 for y in neg if y == x)) / len(neg)
+
+    def v01(y):
+        return (sum(1 for x in pos if x > y)
+                + 0.5 * sum(1 for x in pos if x == y)) / len(pos)
+
+    auc = sum(v10(x) for x in pos) / len(pos)
+    s10 = sum((v10(x) - auc) ** 2 for x in pos) / (len(pos) - 1)
+    s01 = sum((v01(y) - auc) ** 2 for y in neg) / (len(neg) - 1)
+    var = s10 / len(pos) + s01 / len(neg)
+    assert r["n_pos"] == 4 and r["n_neg"] == 3
+    assert abs(r["auc"] - round(auc, 6)) < 1e-6
+    assert abs(r["var_auc"] - round(var, 9)) < 1e-8
+    se = math.sqrt(var)
+    assert abs(r["ci_hi"] - round(min(auc + 1.959964 * se, 1.0), 6)) < 1e-6
+
+
+def test_auc_delong_perfect_separation(spark):
+    from conte_to_fresco_etl_spark.operators.robust import auc_delong
+
+    rows = [(True, float(10 + i)) for i in range(5)] + [
+        (False, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "y boolean, v double")
+    r = auc_delong(df, "y", "v").collect()[0]
+    assert r["auc"] == 1.0 and r["var_auc"] == 0.0
+    assert r["ci_lo"] == 1.0 and r["ci_hi"] == 1.0
+
+
+def test_average_precision_matches_sklearn_convention(spark):
+    from conte_to_fresco_etl_spark.operators.robust import average_precision
+
+    # scores descending: 0.9(+) 0.8(-) 0.7(+) 0.6(-)
+    rows = [(True, 0.9), (False, 0.8), (True, 0.7), (False, 0.6)]
+    df = spark.createDataFrame(rows, "y boolean, v double")
+    r = average_precision(df, "y", "v").collect()[0]
+    # AP = 0.5*1.0 (at 0.9: P=1, dR=.5) + 0.5*(2/3) (at 0.7: P=2/3)
+    assert abs(r["average_precision"] - round(0.5 * 1.0 + 0.5 * 2 / 3, 6)) < 1e-6
+    assert r["prevalence"] == 0.5
+
+
+def test_average_precision_random_equals_prevalence(spark):
+    from conte_to_fresco_etl_spark.operators.robust import average_precision
+
+    # constant score: one threshold admits everything ->
+    # AP = precision at full recall = prevalence
+    rows = [(i % 4 == 0, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "y boolean, v double")
+    r = average_precision(df, "y", "v").collect()[0]
+    assert r["average_precision"] == r["prevalence"] == 0.25
+
+
+def test_gumbel_block_maxima_formula(spark):
+    import datetime
+    import math
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        gumbel_block_maxima,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # two events per day; daily max = the larger
+    maxima = [10.0, 14.0, 11.0, 18.0, 12.0, 16.0, 13.0, 15.0]
+    rows = []
+    for i, mx in enumerate(maxima):
+        rows.append((base + datetime.timedelta(days=i, hours=1), mx - 5.0))
+        rows.append((base + datetime.timedelta(days=i, hours=2), mx))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = gumbel_block_maxima(df, "ts", "v").collect()[0]
+    n = len(maxima)
+    mean = sum(maxima) / n
+    var = sum((x - mean) ** 2 for x in maxima) / (n - 1)
+    beta = math.sqrt(var) * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))
+    assert r["n_blocks"] == n
+    assert abs(r["mu"] - round(mu, 6)) < 1e-5
+    assert abs(r["beta"] - round(beta, 6)) < 1e-5
+    assert abs(r["return_level_30"] - round(rl, 6)) < 1e-5
+    assert r["return_level_30"] > max(maxima) - 5  # tail extrapolates up

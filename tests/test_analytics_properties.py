@@ -470,3 +470,23 @@ def test_anova_two_groups_squares_welch_under_equal_n(spark, samples):
     sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
     t = (ma - mb) / math.sqrt(sp2 * (1 / na + 1 / nb))
     assert _close(r["f_stat"], round(t * t, 6), tol=5e-5)
+
+
+@settings(max_examples=6, deadline=None)
+@given(two_samples)
+def test_delong_auc_is_mannwhitney_u_rescaled(spark, samples):
+    """The DeLong AUC point estimate must equal U_a/(n_a*n_b) from the
+    Mann-Whitney operator when 'positive' = group a and the score is
+    the value — a fourth independent path over the rank structure."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        auc_delong, mannwhitney_u,
+    )
+
+    a, b = samples
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    dl = auc_delong(df, F.col("g") == "a", F.col("v")).collect()[0]
+    mwu = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert _close(
+        dl["auc"], round(mwu["u_a"] / (len(a) * len(b)), 6), tol=2e-6
+    )

@@ -147,6 +147,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_auc_delong",
     "q_average_precision",
     "q_gumbel_maxima",
+    "q_hits",
 ]
 
 PRIORITY: list[str] = [
@@ -224,6 +225,7 @@ PRIORITY: list[str] = [
     "q_auc_delong",
     "q_average_precision",
     "q_gumbel_maxima",
+    "q_hits",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

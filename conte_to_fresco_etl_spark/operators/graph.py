@@ -1026,3 +1026,117 @@ def degree_assortativity(
             (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
         ).alias("assortativity"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_scores: bool = False,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list, L1-normalized per half-step: a good HUB points at good
+    authorities (h(u) = Σ_{u→v} a(v)), a good AUTHORITY is pointed at
+    by good hubs (a(v) = Σ_{u→v} h(u)) — the second classic
+    link-analysis fixpoint next to [[q_pagerank]] (PageRank scores
+    endorsement flow; HITS separates the CITING role from the CITED
+    role, which is what link-based source triage wants).  Output:
+    ``(node, hub, authority)`` (ROUND 12 after every normalization,
+    so the unrolled SQL oracle walks the identical fp sequence).
+
+    Scale posture: per half-step ONE score-edge equi-join keyed on the
+    node and ONE groupBy collapse (the Pregel partitioning, same as
+    pagerank); normalization totals are annotated 1-row broadcast
+    crosses; each round localCheckpoints (lazily — six eager
+    materialization jobs cost more than the fan-out they prevent at
+    3 iterations) so the recurrence does not fan the lazy plan
+    2^iterations wide.  ``broadcast_scores=True`` ships the score
+    vector to the edge partitions (pagerank's broadcast_ranks twin) —
+    the right plan when |nodes| is dimension-sized; leave False for
+    web-scale graphs where the score vector must hash-partition
+    alongside the edges."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_total = nodes.agg(F.count("*").cast("double").alias("__n"))
+    auth = nodes.join(F.broadcast(n_total)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("score")
+    )
+    hub = None
+    for _ in range(iterations):
+        a_side = F.broadcast(auth) if broadcast_scores else auth
+        h_raw = (
+            e.join(a_side, e["__d"] == a_side["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("score").cast("decimal(28,12)")
+                ).cast("double").alias("__raw")
+            )
+        )
+        h_tot = h_raw.agg(
+            F.sum(F.col("__raw").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__t")
+        )
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .join(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(F.col("__raw") / F.col("__t"), 12),
+                    F.lit(0.0),
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_side = F.broadcast(hub) if broadcast_scores else hub
+        a_raw = (
+            e.join(h_side, e["__s"] == h_side["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("score").cast("decimal(28,12)")
+                ).cast("double").alias("__raw")
+            )
+        )
+        a_tot = a_raw.agg(
+            F.sum(F.col("__raw").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__t")
+        )
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .join(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(F.col("__raw") / F.col("__t"), 12),
+                    F.lit(0.0),
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        hub.withColumnRenamed("score", "hub")
+        .join(
+            auth.withColumnRenamed("score", "authority"), "node"
+        )
+        .select(
+            "node",
+            F.round(F.col("hub"), 6).alias("hub"),
+            F.round(F.col("authority"), 6).alias("authority"),
+        )
+    )

@@ -9887,3 +9887,98 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gumbel_block_maxima(_events(spark, sf_dir), "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs and authorities (r9, deferred)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_sql(iterations: int = _HITS_ITERS) -> str:
+    """Unrolled-iteration HITS oracle (pagerank-oracle discipline: one
+    CTE triple per half-step, explicit DOUBLE casts, ROUND(x, 12) pins
+    after every L1 normalization)."""
+    parts = [
+        """
+    WITH ordered AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    de AS (
+      SELECT DISTINCT src, dst FROM ordered WHERE src IS NOT NULL
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM de UNION ALL SELECT dst FROM de
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    a0 AS (
+      SELECT node, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12)
+               AS score
+      FROM nodes
+    )"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    hr{k} AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(r.score AS DECIMAL(28,12))) AS DOUBLE) AS raw
+      FROM de e JOIN a{k - 1} r ON e.dst = r.node GROUP BY 1
+    ),
+    ht{k} AS (
+      SELECT CAST(SUM(CAST(raw AS DECIMAL(28,12))) AS DOUBLE) AS t
+      FROM hr{k}
+    ),
+    h{k} AS (
+      SELECT n.node,
+             COALESCE(ROUND(hr.raw / (SELECT t FROM ht{k}), 12),
+                      CAST(0.0 AS DOUBLE)) AS score
+      FROM nodes n LEFT JOIN hr{k} hr ON n.node = hr.node
+    ),
+    ar{k} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r.score AS DECIMAL(28,12))) AS DOUBLE) AS raw
+      FROM de e JOIN h{k} r ON e.src = r.node GROUP BY 1
+    ),
+    at{k} AS (
+      SELECT CAST(SUM(CAST(raw AS DECIMAL(28,12))) AS DOUBLE) AS t
+      FROM ar{k}
+    ),
+    a{k} AS (
+      SELECT n.node,
+             COALESCE(ROUND(ar.raw / (SELECT t FROM at{k}), 12),
+                      CAST(0.0 AS DOUBLE)) AS score
+      FROM nodes n LEFT JOIN ar{k} ar ON n.node = ar.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT h.node, ROUND(h.score, 6) AS hub,
+           ROUND(a.score, 6) AS authority
+    FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
+    )
+    return "".join(parts)
+
+
+@_q("q_hits", _hits_sql())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (3 iterations) over the event-type
+    transition graph: per half-step one node-keyed score-edge join +
+    one collapse (the Pregel partitioning), L1 normalizations as
+    annotated 1-row crosses — PageRank's citing-vs-cited companion."""
+    from conte_to_fresco_etl_spark.operators.graph import (
+        event_transitions,
+        hits,
+    )
+
+    edges = event_transitions(_events(spark, sf_dir))
+    return hits(
+        edges, iterations=_HITS_ITERS,
+        broadcast_scores=True,  # |nodes| = |event types|: dimension-sized
+    )

@@ -636,6 +636,8 @@ BNLJ_ALLOWED = {
                                 # (one per feature)
     "q_auc_delong",             # placement-mean 1-row cross + offsets join
     "q_average_precision",      # class-total 1-row cross + offsets join
+    "q_hits",                   # node-count + L1-normalization totals
+                                # (1-row crosses, one per half-step)
 }
 
 

@@ -4308,3 +4308,50 @@ def test_gumbel_block_maxima_formula(spark):
     assert abs(r["beta"] - round(beta, 6)) < 1e-5
     assert abs(r["return_level_30"] - round(rl, 6)) < 1e-5
     assert r["return_level_30"] > max(maxima) - 5  # tail extrapolates up
+
+
+# ---------------------------------------------------------------------------
+# r9 deferred wave: HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from conte_to_fresco_etl_spark.operators.graph import hits
+
+    # a and d only point (pure hubs); c is only pointed at (pure
+    # authority); b does both
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("d", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in hits(df, iterations=3).collect()}
+    assert out["c"]["hub"] == 0.0 and out["c"]["authority"] > 0.5
+    assert out["a"]["authority"] == 0.0 and out["a"]["hub"] > 0.3
+    assert out["d"]["hub"] > 0.3
+    # b is a weaker hub than a/d (points at one authority, not two)
+    assert out["b"]["hub"] < out["a"]["hub"]
+    # L1 normalization: each side sums to ~1
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_hits_symmetric_cycle_uniform(spark):
+    from conte_to_fresco_etl_spark.operators.graph import hits
+
+    # directed 4-cycle: every node an equal hub and equal authority
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hits(df, iterations=3).collect()
+    assert all(r["hub"] == 0.25 for r in out)
+    assert all(r["authority"] == 0.25 for r in out)
+
+
+def test_hits_broadcast_path_matches_shuffle_path(spark):
+    from conte_to_fresco_etl_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    shuf = {(r["node"], r["hub"], r["authority"])
+            for r in hits(df, iterations=2).collect()}
+    bcast = {(r["node"], r["hub"], r["authority"])
+             for r in hits(df, iterations=2,
+                           broadcast_scores=True).collect()}
+    assert shuf == bcast

@@ -148,6 +148,7 @@ DEFER_NEXT_ROUND: list[str] = [
     "q_average_precision",
     "q_gumbel_maxima",
     "q_hits",
+    "q_welch_anova",
 ]
 
 PRIORITY: list[str] = [
@@ -226,6 +227,7 @@ PRIORITY: list[str] = [
     "q_average_precision",
     "q_gumbel_maxima",
     "q_hits",
+    "q_welch_anova",
     # --- rotation tail (stable driver-green queries; a truncated
     # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",

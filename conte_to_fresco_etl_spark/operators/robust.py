@@ -7133,3 +7133,76 @@ def gumbel_block_maxima(
         F.when(ok, F.round(beta, 6)).alias("beta"),
         F.when(ok, F.round(rl, 6)).alias("return_level_30"),
     )
+
+
+def welch_anova(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-sample
+    F* test that does NOT assume equal variances — completing the
+    k-sample triangle with [[q_anova]] (equal variances assumed) and
+    [[q_kruskal_wallis]] (normality dropped): when [[q_levene]] /
+    [[q_bartlett]] reject, this is the parametric test that remains
+    valid.  F* = Σw_i(m_i - m̄_w)²/(k-1) / (1 + 2(k-2)/(k²-1)·Λ) with
+    w_i = n_i/s_i², m̄_w the w-weighted grand mean, and
+    Λ = Σ(1 - w_i/Σw)²/(n_i-1); df2 = (k²-1)/(3Λ).  Output — ONE row:
+    ``(n, k_groups, f_stat, df2)`` (ROUND 6).
+
+    Scale posture: the same single sufficient-stat collapse as
+    one_way_anova; the weighted grand mean is one annotated 1-row
+    cross back onto the k-row stat table; every per-group term is
+    ROUND(12)-pinned and decimal-summed."""
+    per_g = _group_moment_stats(df, F.col(group_col), value_col)
+    ni = F.col("__n").cast("double")
+    mi = F.col("__s1").cast("double") / ni
+    vi = (F.col("__s2").cast("double") - ni * mi * mi) / (ni - F.lit(1.0))
+    good = per_g.filter(F.col("__n") >= 2).select(
+        "__n",
+        mi.alias("__m"),
+        vi.alias("__v"),
+    ).filter(F.col("__v") > 0)
+    ni2 = F.col("__n").cast("double")
+    wi = ni2 / F.col("__v")
+    stage1 = good.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum(F.round(wi, 12).cast("decimal(38,12)")).alias("__sw"),
+        F.sum(
+            F.round(wi * F.col("__m"), 12).cast("decimal(38,12)")
+        ).alias("__swm"),
+    )
+    mw = F.col("__swm").cast("double") / F.col("__sw").cast("double")
+    agg = good.join(broadcast(stage1), F.lit(True)).agg(
+        F.max("n").alias("n"),
+        F.max("k_groups").alias("k_groups"),
+        F.max(F.col("__sw").cast("double")).alias("__swd"),
+        F.sum(
+            F.round(
+                wi * (F.col("__m") - mw) * (F.col("__m") - mw), 12
+            ).cast("decimal(38,12)")
+        ).alias("__num"),
+        F.sum(
+            F.round(
+                (F.lit(1.0) - wi / F.col("__sw").cast("double"))
+                * (F.lit(1.0) - wi / F.col("__sw").cast("double"))
+                / (ni2 - F.lit(1.0)),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("__lam"),
+    )
+    kd = F.col("k_groups").cast("double")
+    lam = F.col("__lam").cast("double")
+    fstar = (
+        F.col("__num").cast("double") / (kd - F.lit(1.0))
+    ) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (kd - F.lit(2.0)) / (kd * kd - F.lit(1.0)) * lam
+    )
+    df2 = (kd * kd - F.lit(1.0)) / (F.lit(3.0) * lam)
+    ok = (F.col("k_groups") >= 2) & (lam > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.when(ok, F.round(fstar, 6)).alias("f_stat"),
+        F.when(ok, F.round(df2, 6)).alias("df2"),
+    )

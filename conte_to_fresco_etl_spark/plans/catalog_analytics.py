@@ -9982,3 +9982,72 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_HITS_ITERS,
         broadcast_scores=True,  # |nodes| = |event types|: dimension-sized
     )
+
+
+_WELCH_ANOVA_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM vals GROUP BY g
+    ),
+    good AS (
+      SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(s2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS v
+      FROM per_g WHERE n >= 2
+    ),
+    g2 AS (SELECT n, m, v FROM good WHERE v > 0),
+    s1t AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k,
+             SUM(CAST(ROUND(CAST(n AS DOUBLE) / v, 12)
+                      AS DECIMAL(38,12))) AS sw,
+             SUM(CAST(ROUND((CAST(n AS DOUBLE) / v) * m, 12)
+                      AS DECIMAL(38,12))) AS swm
+      FROM g2
+    ),
+    agg AS (
+      SELECT MAX(s1t.n) AS n, MAX(s1t.k) AS k,
+             MAX(CAST(s1t.sw AS DOUBLE)) AS swd,
+             SUM(CAST(ROUND((CAST(g2.n AS DOUBLE) / v)
+               * (m - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE))
+               * (m - CAST(swm AS DOUBLE) / CAST(sw AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS num,
+             SUM(CAST(ROUND(
+               (1.0 - (CAST(g2.n AS DOUBLE) / v) / CAST(sw AS DOUBLE))
+               * (1.0 - (CAST(g2.n AS DOUBLE) / v) / CAST(sw AS DOUBLE))
+               / (CAST(g2.n AS DOUBLE) - 1.0), 12)
+               AS DECIMAL(38,12))) AS lam
+      FROM g2, s1t
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN k >= 2 AND CAST(lam AS DOUBLE) > 0
+           THEN ROUND(
+             (CAST(num AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                      * CAST(lam AS DOUBLE)), 6)
+           END AS f_stat,
+           CASE WHEN k >= 2 AND CAST(lam AS DOUBLE) > 0
+           THEN ROUND(
+             (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+             / (3.0 * CAST(lam AS DOUBLE)), 6)
+           END AS df2
+    FROM agg
+"""
+
+@_q("q_welch_anova", _WELCH_ANOVA_SQL)
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across event types: the
+    k-sample test that survives unequal variances — k-row sufficient
+    stats, weighted grand mean as the annotated 1-row cross."""
+    from conte_to_fresco_etl_spark.operators.robust import welch_anova
+
+    return welch_anova(_events(spark, sf_dir), "event_type", "value")

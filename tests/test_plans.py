@@ -638,6 +638,7 @@ BNLJ_ALLOWED = {
     "q_average_precision",      # class-total 1-row cross + offsets join
     "q_hits",                   # node-count + L1-normalization totals
                                 # (1-row crosses, one per half-step)
+    "q_welch_anova",            # weighted grand-mean 1-row cross
 }
 
 

@@ -4355,3 +4355,51 @@ def test_hits_broadcast_path_matches_shuffle_path(spark):
              for r in hits(df, iterations=2,
                            broadcast_scores=True).collect()}
     assert shuf == bcast
+
+
+def test_welch_anova_matches_formula(spark):
+    from conte_to_fresco_etl_spark.operators.robust import welch_anova
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [2.0, 4.0, 6.0, 8.0],
+        "c": [10.0, 10.5, 11.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_anova(df, "g", "v").collect()[0]
+    stats = {}
+    for g, vs in groups.items():
+        m = sum(vs) / len(vs)
+        v = sum((x - m) ** 2 for x in vs) / (len(vs) - 1)
+        stats[g] = (len(vs), m, v)
+    w = {g: n / v for g, (n, m, v) in stats.items()}
+    sw = sum(w.values())
+    mw = sum(w[g] * stats[g][1] for g in stats) / sw
+    k = len(stats)
+    num = sum(w[g] * (stats[g][1] - mw) ** 2 for g in stats) / (k - 1)
+    lam = sum(
+        (1 - w[g] / sw) ** 2 / (stats[g][0] - 1) for g in stats
+    )
+    f = num / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    assert r["n"] == 12 and r["k_groups"] == 3
+    assert abs(r["f_stat"] - round(f, 6)) < 1e-4
+    assert abs(r["df2"] - round(df2, 6)) < 1e-4
+
+
+def test_welch_anova_robust_where_classic_inflates(spark):
+    from conte_to_fresco_etl_spark.operators.robust import (
+        one_way_anova, welch_anova,
+    )
+
+    # equal means, wildly unequal variances AND sizes: the classic F
+    # and Welch F* disagree; Welch must stay small (no mean effect)
+    import math
+
+    tight = [("a", 10.0 + 0.01 * math.sin(i)) for i in range(50)]
+    wide = [("b", 10.0 + 10.0 * math.sin(i * 1.7)) for i in range(5)]
+    df = spark.createDataFrame(tight + wide, "g string, v double")
+    w = welch_anova(df, "g", "v").collect()[0]
+    assert w["f_stat"] is not None and w["f_stat"] < 4.0
+    assert w["df2"] < 10  # df driven by the small noisy group

@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from conte_to_fresco_etl_spark.session import get_spark  # noqa: E402
+from conte_to_fresco_etl_spark.session import get_spark, sweep_persisted  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 #: Every declared query is benched.  Derived from the registry (sorted
@@ -54,7 +54,7 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
         best = None
         for _ in range(2):
             # clearCache between runs: operators persist() intermediates,
@@ -72,6 +72,18 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # Deterministic block reclamation: clearCache above frees only
+        # CacheManager entries; localCheckpoint RDD blocks survive it
+        # and, left alone, accumulate across 347 queries x 2 runs in the
+        # single local-mode JVM (the round-9 driver bench OOM'd on
+        # exactly this).  sweep_persisted unpersists every surviving
+        # RDD except pin()-ed session-staged tables.
+        sweep_persisted(spark)
+        if (qi + 1) % 25 == 0:
+            # Nudge the JVM to compact after a block of queries: block
+            # frees are async and the heap high-water mark otherwise
+            # ratchets across hundreds of queries.
+            spark._jvm.System.gc()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from conte_to_fresco_etl_spark.session import free_blocks
 from conte_to_fresco_etl_spark.functions.text import (
     char_shingles,
     doc_fingerprint,
@@ -1034,6 +1035,7 @@ def connected_components(
     labels = labels.coalesce(parts).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
+    prev_ck = labels
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -1058,6 +1060,11 @@ def connected_components(
             .coalesce(parts)
             .localCheckpoint()
         )
+        # the eager checkpoint above consumed the previous round's
+        # label table; free its blocks so live checkpoints stay O(1)
+        # across rounds instead of one label table per round
+        free_blocks(prev_ck)
+        prev_ck = labels
         new_sum = obs.get["s"]
         if new_sum == prev_sum:  # fixed point: labels can only decrease
             converged = True
@@ -1149,7 +1156,11 @@ def connected_components_star(
     parts = max(
         1, min(edges.rdd.getNumPartitions(), int(prev_sig[0]) // 500_000 + 1)
     )
+    pre = edges
     edges = edges.coalesce(parts).localCheckpoint()
+    # the coalesced checkpoint (and the signature above) were the only
+    # consumers of the first edge materialization — free it now
+    free_blocks(pre)
     converged = False
     for _ in range(max_iters):
         # large-star over the symmetric view: for each center u emit
@@ -1184,6 +1195,10 @@ def connected_components_star(
             .localCheckpoint()
         )
         sig = signature(small)
+        # small's eager checkpoint consumed the previous round's edge
+        # table; free it (never ``base`` — the final node join still
+        # reads base's blocks)
+        free_blocks(edges)
         edges = small
         if sig == prev_sig:
             converged = True
@@ -1418,6 +1433,10 @@ def neardup_decision(
         df, id_col, text_col, quality_col, **minhash_kwargs
     ).persist()
     if cache_key is not None:
+        # no pin() needed: persist()-backed tables live in the
+        # CacheManager with intact lineage — a sweep or clearCache only
+        # costs a recompute (_repersisted restores the marker), never a
+        # crash, unlike the checkpoint-backed staged tables.
         _DECISION_CACHE[cache_key] = out
     return out
 
@@ -1511,7 +1530,12 @@ def repeated_spans_staged(
     # between consumers cannot force a recompute of the staged table.
     out = repeated_spans(df, **span_kwargs).localCheckpoint(eager=False)
     if cache_key is not None:
-        _SPANS_CACHE[cache_key] = out
+        # pin: session.sweep_persisted must never drop this table's
+        # checkpoint blocks — its lineage is truncated, so a later
+        # consumer could not recompute them.
+        from conte_to_fresco_etl_spark.session import pin
+
+        _SPANS_CACHE[cache_key] = pin(out)
     return out
 
 
@@ -1670,6 +1694,7 @@ def shingle_postings(
         .persist()
     )
     if cache_key is not None:
+        # persist()-backed (recompute-safe) — see _DECISION_CACHE note
         _POSTING_CACHE[cache_key] = posts
     return posts
 

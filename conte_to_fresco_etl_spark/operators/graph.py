@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conte_to_fresco_etl_spark.functions.core import normalize_ntz
+from conte_to_fresco_etl_spark.session import free_blocks
 
 
 def event_transitions(
@@ -183,6 +184,7 @@ def pagerank(
     )
     has_out = e.select(F.col("__s").alias("node")).distinct().persist()
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
+    prev_ck = None
     for _ in range(iterations):
         contrib = (
             e.join(maybe_bc(ranks), e["__s"] == ranks["node"])
@@ -228,6 +230,13 @@ def pagerank(
         # here; durable checkpoint() on a cluster).  The rank vector is
         # |nodes| rows, so the materialization is trivial.
         ranks = ranks.localCheckpoint(eager=True)
+        # the previous round's checkpoint blocks were consumed building
+        # this round (now materialized); free them eagerly instead of
+        # letting iterations-many rank vectors pile up in the block
+        # manager until a session-level sweep
+        if prev_ck is not None:
+            free_blocks(prev_ck)
+        prev_ck = ranks
     # ranks is materialized (eager checkpoints), so the per-call staging
     # caches can be released now — unlike the deliberately session-lived
     # dedup.neardup_decision table, these are scoped to this call
@@ -1074,6 +1083,8 @@ def hits(
         "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("score")
     )
     hub = None
+    prev_hub = None
+    auth_is_ck = False  # the initial auth is a plain plan, not a checkpoint
     for _ in range(iterations):
         a_side = F.broadcast(auth) if broadcast_scores else auth
         h_raw = (
@@ -1102,6 +1113,18 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager hub job above just materialized last round's (lazy)
+        # auth checkpoint and consumed it — and last round's hub was
+        # consumed producing that auth.  Free both now so live
+        # checkpoints stay O(1) across iterations instead of 2 per
+        # round.  (The initial auth is an unpersisted plain plan whose
+        # lineage reaches the persisted e/nodes staging tables — never
+        # free_blocks it, or the remaining rounds recompute them.)
+        if prev_hub is not None:
+            free_blocks(prev_hub)
+        if auth_is_ck:
+            free_blocks(auth)
+        prev_hub = hub
         h_side = F.broadcast(hub) if broadcast_scores else hub
         a_raw = (
             e.join(h_side, e["__s"] == h_side["node"])
@@ -1129,6 +1152,7 @@ def hits(
             )
             .localCheckpoint(eager=False)
         )
+        auth_is_ck = True
     return (
         hub.withColumnRenamed("score", "hub")
         .join(

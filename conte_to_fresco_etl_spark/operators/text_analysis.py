@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from conte_to_fresco_etl_spark.session import free_blocks
 from conte_to_fresco_etl_spark.functions.text import (
     LANG_STOPWORDS,
     EN_STOPWORDS,
@@ -744,11 +745,19 @@ def induce_bpe_merges(
         )
         # re-filter: a fuse can shrink a doc below 2 tokens, which the
         # pair builder (slice of size-1) must never see
+        prev_state = state
         state = (
             state.select(fused.alias("toks"))
             .filter(F.size("toks") >= 2)
             .localCheckpoint()
         )
+        # the eager checkpoint consumed the previous round's tokenized
+        # corpus — corpus-SIZED, the biggest per-round block in the
+        # package; free it immediately (n_merges of them otherwise sit
+        # in the block manager until a session sweep)
+        free_blocks(prev_state)
+    # the merge table is driver-local; the final round state is dead too
+    free_blocks(state)
     return spark.createDataFrame(
         merges, schema="merge_round long, bigram string, n long"
     )

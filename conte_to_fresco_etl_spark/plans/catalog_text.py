@@ -284,7 +284,10 @@ def q_doc_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=48, bands=12, shingle_n=5, threshold=0.5, seed=42,
         )
         comp = connected_components_star(pairs).localCheckpoint()
-        _STAR_CACHE[key] = comp
+        # pin: checkpoint-truncated lineage; sweep_persisted must keep it
+        from conte_to_fresco_etl_spark.session import pin
+
+        _STAR_CACHE[key] = pin(comp)
     w = Window.partitionBy("component")
     return comp.select(
         F.col("id").alias("doc_id"),
@@ -5671,7 +5674,10 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "documents"), **_DEDUP_PARAMS
         )
         labels = label_propagation(pairs, rounds=3).localCheckpoint()
-        _LPA_CACHE[key] = labels
+        # pin: checkpoint-truncated lineage; sweep_persisted must keep it
+        from conte_to_fresco_etl_spark.session import pin
+
+        _LPA_CACHE[key] = pin(labels)
     return labels
 
 

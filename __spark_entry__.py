@@ -41,94 +41,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # where a truncated window costs nothing.
 # Queries modified (or newly registered) in round 9.  Every name here MUST
 # also sit inside PRIORITY[:50]; tests/test_plans.py::test_priority_window_accounting
-# enforces that mechanically (never-driver-checked ∪ REGATE_R9 ⊆ window).
-REGATE_R9: list[str] = [
-    # medians re-keyed onto parallelism.exact_median / kth_element
-    # (prefix-sum rank-interval selection — no global sort task)
-    "q_theil_sen",
-    "q_hodges_lehmann",
-    "q_runs_test",
-    # cumulative scans re-keyed onto parallelism.prefix_sums (the
-    # tightened window guard no longer credits a collapse below a join)
-    "q_pettitt",
-    "q_vocab_growth",
-    # token_share window moved onto the per-source aggregate (pre-join)
-    "q_dataset_card",
-    # covariance cache persist -> localCheckpoint (flat cached plan so
-    # the scalar-cross BNLJs are structurally provable)
-    "q_pca_power",
-    # NEW r9: container-walker driver row (OGG-Opus pages/CRC/TOC +
-    # MP4 box grammar, oracle-recomputed from md5 digits)
-    "q_container_stats",
-    # NEW r9: exact order statistics (prefix-sum rank intervals)
-    "q_exact_quantiles",
-    "q_weighted_median",
-    "q_trimmed_mean",
-    # NEW r9: nonparametric k-sample / whole-distribution tests
-    "q_kruskal_wallis",
-    "q_cramer_von_mises",
-    # NEW r9: drift / inequality / concentration
-    "q_hellinger_drift",
-    "q_theil_index",
-    "q_herfindahl",
-    # NEW r9: retrieval & ranking-agreement metrics
-    "q_mrr",
-    "q_map_at_k",
-    "q_kendall_w",
-    "q_rbo",
-    # NEW r9: graph structure metrics
-    "q_link_scores",
-    "q_transitivity",
-    "q_assortativity",
-    # NEW r9: lexical richness / readability / diversity / ROUGE
-    "q_yule_k",
-    "q_readability",
-    "q_distinct_ngrams",
-    "q_rouge_pairs",
-    # NEW r9: experimentation (ratio metrics, DiD, planning)
-    "q_delta_method",
-    "q_diff_in_diff",
-    "q_power_analysis",
-    # NEW r9: SAX shape symbolization
-    "q_sax_symbols",
-    # NEW r9 batch 3: scale/trend/drift/white-noise tests, R/S,
-    # one-sample KS, vocabulary coverage
-    "q_ansari_bradley",
-    "q_jonckheere",
-    "q_page_hinkley",
-    "q_ljung_box",
-    "q_ks_uniform",
-    "q_hurst_exponent",
-    "q_vocab_coverage",
-    # NEW r9 batch 4: parametric k-sample toolkit + ordinal effect
-    # size + cyclic goodness-of-fit
-    "q_anova",
-    "q_levene",
-    "q_jarque_bera",
-    "q_cliffs_delta",
-    "q_kuiper",
-    # NEW r9 batch 5: paired / trend / autocorrelation / seasonality
-    "q_wilcoxon",
-    "q_durbin_watson",
-    "q_cochran_armitage",
-    "q_periodogram",
-    # NEW r9 batch 6: tail-weighted / variance-robust two-sample tests
-    # + the Naive Bayes lexical classifier
-    "q_anderson_darling",
-    "q_brunner_munzel",
-    "q_naive_bayes",
+# enforces that mechanically (never-driver-checked ∪ REGATE_R10 ⊆ window).
+# Queries modified (or newly registered) in round 10.  Every name here
+# MUST also sit inside PRIORITY[:50]; tests/test_plans.py::
+# test_priority_window_accounting enforces that mechanically
+# (never-driver-checked ∪ REGATE_R10 ⊆ window).
+#
+# r10's code change is block-manager hygiene (session.sweep_persisted /
+# free_blocks; iterative operators free superseded round checkpoints
+# eagerly) — results are bitwise-unchanged by design, but every query
+# whose execution path now calls free_blocks, or whose session-staged
+# table is pin()-ed, is regated so the hard driver signal re-proves it.
+REGATE_R10: list[str] = [
+    # pagerank / HITS free superseded rank//score checkpoints per round
+    "q_pagerank",
+    # connected_components (propagation) frees the previous label table
+    "q_doc_components",
+    "q_near_dup_clusters",
+    # neardup_decision consumers (canonical_docs -> connected_components)
+    "q_dedup_canonical",
+    "q_dedup_apply",
+    "q_incremental_dedup",
+    # star contraction frees the superseded edge table per round
+    "q_doc_components_star",
+    # BPE induction frees every round state (merge table is driver-local)
+    "q_bpe_merges",
+    # pin()-ed session-staged tables (LPA labels, repeated spans)
+    "q_label_propagation",
+    "q_modularity",
+    "q_repeated_spans",
+    "q_dup_token_frac",
 ]
 
-# Queries registered AFTER this round's 50-slot window filled (the r5/r6
-# pattern: late additions wait one round).  The window self-audit test
-# requires these to sit IMMEDIATELY after the window — first in line
-# for next round's rotation — and they are locally parity-verified in
-# the meantime (tests/oracle_parity.py).  r9: the window filled at
-# exactly 50 (38 regates/new + batches 4-6), so the late third wave —
-# clustering-evaluation indices, effect sizes/equivalence, stratified
-# odds, the G-test, spectral entropy, and BLEU — waits here, each one
-# locally parity-verified at sf0.01.
-DEFER_NEXT_ROUND: list[str] = [
+# Queries registered AFTER this round's 50-slot window filled (none yet
+# in r10; the r9 late wave below has rotated INTO the window head).
+DEFER_NEXT_ROUND: list[str] = []
+
+#: The 20 late-r9 registrations deferred last round — first in line
+#: this round, exactly as the rotation mechanism promises.  Each is
+#: locally parity-verified (tests/oracle_parity.py) since r9.
+_ROTATED_R9_DEFERRALS: list[str] = [
     "q_calinski_harabasz",
     "q_davies_bouldin",
     "q_silhouette",
@@ -152,10 +104,42 @@ DEFER_NEXT_ROUND: list[str] = [
 ]
 
 PRIORITY: list[str] = [
-    # --- round-9 window (the driver checks the first 50) ---
-    # Head: REGATE_R9 (plans changed this round); new r9 registrations
-    # are appended here as they land.  The window self-audit test
-    # enforces the invariant mechanically.
+    # --- round-10 window (the driver checks the first 50) ---
+    # Head: the 20 r9 deferrals (never driver-checked), then
+    # REGATE_R10 (execution paths touched by the block-cleanup
+    # work).  32 entries — 18 slots stay free for r10 additions.
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_silhouette",
+    "q_effect_sizes",
+    "q_tost",
+    "q_mantel_haenszel",
+    "q_gtest",
+    "q_spectral_entropy",
+    "q_bleu_pairs",
+    "q_logrank",
+    "q_prop_test",
+    "q_poisson_ratio",
+    "q_bartlett",
+    "q_decision_stump",
+    "q_ridge_closed",
+    "q_auc_delong",
+    "q_average_precision",
+    "q_gumbel_maxima",
+    "q_hits",
+    "q_welch_anova",
+    "q_pagerank",
+    "q_doc_components",
+    "q_near_dup_clusters",
+    "q_dedup_canonical",
+    "q_dedup_apply",
+    "q_incremental_dedup",
+    "q_doc_components_star",
+    "q_bpe_merges",
+    "q_label_propagation",
+    "q_modularity",
+    "q_repeated_spans",
+    "q_dup_token_frac",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",
@@ -206,30 +190,6 @@ PRIORITY: list[str] = [
     "q_anderson_darling",
     "q_brunner_munzel",
     "q_naive_bayes",
-    # --- DEFER_NEXT_ROUND (positions 50..): late r9 registrations,
-    # locally parity-verified, first in line for the r10 window ---
-    "q_calinski_harabasz",
-    "q_davies_bouldin",
-    "q_silhouette",
-    "q_effect_sizes",
-    "q_tost",
-    "q_mantel_haenszel",
-    "q_gtest",
-    "q_spectral_entropy",
-    "q_bleu_pairs",
-    "q_logrank",
-    "q_prop_test",
-    "q_poisson_ratio",
-    "q_bartlett",
-    "q_decision_stump",
-    "q_ridge_closed",
-    "q_auc_delong",
-    "q_average_precision",
-    "q_gumbel_maxima",
-    "q_hits",
-    "q_welch_anova",
-    # --- rotation tail (stable driver-green queries; a truncated
-    # window costs nothing here).  r8-green first. ---
     "q_eb_shrinkage",
     "q_markov_absorption",
     "q_negative_samples",
@@ -271,7 +231,6 @@ PRIORITY: list[str] = [
     "q_cramers_v",
     "q_weighted_kappa",
     "q_log_odds",
-    # r7-green
     "q_rollup_replay",
     "q_welch_ttest",
     "q_bootstrap_ci",
@@ -293,7 +252,6 @@ PRIORITY: list[str] = [
     "q_t_closeness",
     "q_kn_bigram_nll",
     "q_cosine_sim_join",
-    "q_label_propagation",
     "q_bh_fdr",
     "q_tokenizer_fertility",
     "q_audio_neardup",
@@ -316,9 +274,7 @@ PRIORITY: list[str] = [
     "q_unigram_apply",
     "q_feature_hashing",
     "q_randomized_response",
-    "q_modularity",
     "q_priority_sample",
-    # r6-green queries (CORRECTNESS_r06.json, 50/50)
     "q_cusum_drift",
     "q_mixture_diversity",
     "q_acf",
@@ -355,7 +311,6 @@ PRIORITY: list[str] = [
     "q_sessionize_attrib",
     "q_gini_concentration",
     "q_keyword_extract",
-    "q_near_dup_clusters",
     "q_stopword_profile",
     "q_doc_minhash_sim",
     "q_percentile_bands",
@@ -366,17 +321,14 @@ PRIORITY: list[str] = [
     "q_rare_token_docs",
     "q_span_extract",
     "q_quantile_sketch",
-    # r5-green queries
     "q_triangle_count",
     "q_k_anonymity",
     "q_jaccard_prefix",
     "q_range_frame",
     "q_normalize_text",
-    "q_dup_token_frac",
     "q_compression_ratio",
     "q_assign_splits",
     "q_semantic_dedup",
-    "q_doc_components_star",
     "q_mixture_weights",
     "q_media_features",
     "q_value_percentiles",
@@ -396,7 +348,6 @@ PRIORITY: list[str] = [
     "q_event_gaps",
     "q_scd2_intervals",
     "q_event_transitions",
-    "q_pagerank",
     "q_top_sequences",
     "q_interval_overlap",
     "q_time_weighted",
@@ -413,10 +364,6 @@ PRIORITY: list[str] = [
     "q_ivf_exhaustive",
     "q_ivfpq_topk",
     "q_temperature_sample",
-    # r4-green queries (stable, unmodified)
-    "q_dedup_canonical",
-    "q_dedup_apply",
-    "q_incremental_dedup",
     "q_kmeans_step",
     "q_bigram_nll",
     "q_doc_chunks",
@@ -424,10 +371,8 @@ PRIORITY: list[str] = [
     "q_curation_v2",
     "q_source_cap",
     "q_decontaminate_bloom",
-    "q_repeated_spans",
     "q_url_normalize",
     "q_quality_classifier",
-    "q_bpe_merges",
     "q_mad_outliers",
     "q_weighted_sample",
     "q_token_pmi",
@@ -458,7 +403,6 @@ PRIORITY: list[str] = [
     "q_gapfill",
     "q_funnel",
     "q_bm25_topk",
-    # r2/r3-green queries (stable, unmodified)
     "q_label_centroids",
     "q_decontaminate",
     "q_token_stats",
@@ -466,10 +410,7 @@ PRIORITY: list[str] = [
     "q_knn_classify",
     "q_top_bigrams",
     "q_distinct_counts",
-    "q_doc_components",
     "q_media_decode",
-    # r1-r3-green queries (stable since the first rounds; listed so the
-    # window self-audit can prove PRIORITY covers the whole registry)
     "conte_set3",
     "q1_pricing_summary",
     "q3_top_orders",

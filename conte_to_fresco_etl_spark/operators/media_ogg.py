@@ -280,6 +280,32 @@ def ogg_stream_info(payload: bytes, verify_crc: bool = True) -> dict:
         info["duration_ms"] = stats["duration_ms"]
         info["modes"] = stats["modes"]
         info["bandwidths"] = stats["bandwidths"]
+        # SILK LP-layer header triage (media_opus: §3.2 framing + §4.2
+        # header bits): speech-activity and redundancy stats with no
+        # DSP.  CELT-only packets carry no VAD bits; their activity is
+        # unknown, and a stream of only CELT packets reports None.
+        from conte_to_fresco_etl_spark.operators.media_opus import (
+            opus_packet_activity,
+        )
+
+        vad = silk_frames = 0
+        any_lbrr = False
+        saw_silk = False
+        try:
+            for pkt in audio:
+                act = opus_packet_activity(pkt)
+                if act["vad_frames"] is not None:
+                    saw_silk = True
+                    vad += act["vad_frames"]
+                    silk_frames += act["n_silk_frames"]
+                    any_lbrr = any_lbrr or act["any_lbrr"]
+        except ValueError:
+            # §3.2 framing violation: the TOC-level stats above stand
+            # on their own; activity is unknown, not zero
+            saw_silk = False
+        info["vad_frames"] = vad if saw_silk else None
+        info["n_silk_frames"] = silk_frames if saw_silk else None
+        info["any_lbrr"] = any_lbrr if saw_silk else None
         # the granule-delta duration (RFC 7845: granules tick PCM
         # samples at 48 kHz, offset by pre_skip) cross-checks the TOC
         # sum when the stream carries granules

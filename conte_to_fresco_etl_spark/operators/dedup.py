@@ -1382,22 +1382,6 @@ def canonical_docs(
 #: is the product every dedup consumer shares — components, canonical
 #: choice, and the apply filter all derive from it — and it is
 #: dup-subset-sized, so keeping it persisted for the session is cheap.
-def _repersisted(df: DataFrame) -> DataFrame:
-    """Session-staged tables are handed out by identity from the
-    module caches; a ``spark.catalog.clearCache()`` in between (the
-    bench harness does this between runs) silently strips their
-    persistence marker, after which every consumer branch recomputes
-    the full staging pipeline.  Restore the marker on cache hit."""
-    try:
-        if df.storageLevel.useMemory is False and (
-            df.storageLevel.useDisk is False
-        ):
-            df.persist()
-    except Exception:  # pragma: no cover - storageLevel API drift
-        pass
-    return df
-
-
 _DECISION_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -1428,16 +1412,22 @@ def neardup_decision(
     if cache_key is not None:
         hit = _DECISION_CACHE.get(cache_key)
         if hit is not None:
-            return _repersisted(hit)
+            return hit
+    # localCheckpoint + pin, NOT persist: the decision table's lineage
+    # passes through connected_components' final label checkpoint, so
+    # after a clearCache() it could only recompute while those blocks
+    # still existed — the round-10 bench crashed on exactly that
+    # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) once sweep_persisted started
+    # reclaiming checkpoints.  A pinned checkpoint survives both
+    # clearCache and the sweep, and the staging outlives run 2's
+    # clearCache for free.
     out = canonical_docs(
         df, id_col, text_col, quality_col, **minhash_kwargs
-    ).persist()
+    ).localCheckpoint(eager=False)
     if cache_key is not None:
-        # no pin() needed: persist()-backed tables live in the
-        # CacheManager with intact lineage — a sweep or clearCache only
-        # costs a recompute (_repersisted restores the marker), never a
-        # crash, unlike the checkpoint-backed staged tables.
-        _DECISION_CACHE[cache_key] = out
+        from conte_to_fresco_etl_spark.session import pin
+
+        _DECISION_CACHE[cache_key] = pin(out)
     return out
 
 
@@ -1674,7 +1664,7 @@ def shingle_postings(
     if cache_key is not None:
         hit = _POSTING_CACHE.get(cache_key)
         if hit is not None:
-            return _repersisted(hit)
+            return hit
     from conte_to_fresco_etl_spark.functions.text import tokens
 
     # text shingling is ~4x the per-byte CPU of the minhash path the
@@ -1691,11 +1681,16 @@ def shingle_postings(
             F.explode(_shingle_elems("__toks", ngram_n)).alias("tok"),
         )
         .distinct()
-        .persist()
     )
     if cache_key is not None:
-        # persist()-backed (recompute-safe) — see _DECISION_CACHE note
-        _POSTING_CACHE[cache_key] = posts
+        # checkpoint + pin (the _DECISION_CACHE convention): staged
+        # tables must survive both clearCache and sweep_persisted
+        posts = posts.localCheckpoint(eager=False)
+        from conte_to_fresco_etl_spark.session import pin
+
+        _POSTING_CACHE[cache_key] = pin(posts)
+    else:
+        posts = posts.persist()
     return posts
 
 

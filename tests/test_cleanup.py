@@ -191,3 +191,29 @@ def test_staged_caches_survive_sweep_and_stay_correct(spark, sf_dir):
     again = repeated_spans_staged(docs, cache_key=key, min_count=2)
     assert again is staged  # cache hit by identity
     assert again.count() == n1  # blocks still readable post-sweep
+
+
+def test_bench_style_sweep_across_staged_dedup_family(spark):
+    """Regression for the round-10 bench crash: the dedup decision
+    table is session-staged, and its lineage passes through
+    connected_components' final label checkpoint.  Interleave the
+    family's queries with clearCache + sweep exactly as bench.py does
+    — every consumer must keep working (the staging is pinned
+    checkpoint blocks now, not a CacheManager entry whose recompute
+    needs already-swept checkpoints)."""
+    from conte_to_fresco_etl_spark.plans import catalog
+    from conte_to_fresco_etl_spark.plans import catalog_text  # noqa: F401
+
+    sf_dir = "/root/testdata/sf0.001"
+    family = ["q_dedup_apply", "q_dedup_canonical", "q_doc_components"]
+    counts = {}
+    for name in family:
+        for _ in range(2):
+            spark.catalog.clearCache()
+            counts[name] = catalog.QUERIES[name](spark, sf_dir).count()
+        sweep_persisted(spark)
+    # second pass after all sweeps: the staged table must still serve
+    for name in family:
+        spark.catalog.clearCache()
+        assert catalog.QUERIES[name](spark, sf_dir).count() == counts[name]
+    sweep_persisted(spark)

@@ -1552,20 +1552,29 @@ def encode_coeffs(
 # ---------------------------------------------------------------------------
 
 
-def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
+def decode_vp8_planes(
+    payload: bytes, state_out: dict | None = None
+) -> tuple[dict, int, int]:
     """Decode a VP8 key frame to its raw reconstructed YUV420 planes
     (the spec-defined output, before any display color conversion):
     ({"y", "u", "v"}, width, height) with planes padded to whole
     macroblocks.  ``decode_vp8`` wraps this with the RGB conversion;
     the round-trip tests compare these planes BIT-EXACTLY against the
-    encoder's decoder-in-the-loop reconstruction."""
+    encoder's decoder-in-the-loop reconstruction.  ``state_out``, when
+    given, receives the frame's persistent-entropy outcome
+    ({"coef_probs", "refresh_entropy"}) — the stream driver
+    (media_vp8_inter.decode_vp8_stream) needs it to carry coefficient
+    probabilities into following inter frames."""
     if len(payload) < 10:
         raise ValueError("truncated VP8 frame")
     tag = payload[0] | payload[1] << 8 | payload[2] << 16
     keyframe = not (tag & 1)
     part1_size = tag >> 5
     if not keyframe:
-        raise NotImplementedError("VP8 inter frames need reference buffers")
+        raise ValueError(
+            "inter frame: single-frame decode has no reference buffers "
+            "— decode the stream with media_vp8_inter.decode_vp8_stream"
+        )
     if payload[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 start code")
     (wcode,) = struct.unpack("<H", payload[6:8])
@@ -1628,7 +1637,7 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
     deltas = []
     for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac
         deltas.append(bd.read_signed(4) if bd.read_bool(128) else 0)
-    bd.read_bool(128)  # refresh entropy probs
+    refresh_entropy = bd.read_bool(128)
     # per-segment dequant factors and loop-filter levels (segment 0 is
     # the whole frame when segmentation is off)
     if seg_enabled:
@@ -1661,6 +1670,9 @@ def decode_vp8_planes(payload: bytes) -> tuple[dict, int, int]:
 
     mb_no_skip = bd.read_bool(128)
     prob_skip_false = bd.read_literal(8) if mb_no_skip else 0
+    if state_out is not None:
+        state_out["coef_probs"] = probs
+        state_out["refresh_entropy"] = bool(refresh_entropy)
 
     mb_cols, mb_rows = (w + 15) // 16, (h + 15) // 16
     planes = {

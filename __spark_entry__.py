@@ -71,6 +71,10 @@ REGATE_R10: list[str] = [
     "q_modularity",
     "q_repeated_spans",
     "q_dup_token_frac",
+    # NEW r10: media-walker driver rows (IVF/VP8 tag triage; OGG-Opus
+    # SILK header bits through the real range coder)
+    "q_ivf_stats",
+    "q_opus_activity",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -140,6 +144,8 @@ PRIORITY: list[str] = [
     "q_modularity",
     "q_repeated_spans",
     "q_dup_token_frac",
+    "q_ivf_stats",
+    "q_opus_activity",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

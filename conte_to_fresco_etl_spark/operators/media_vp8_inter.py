@@ -1579,3 +1579,56 @@ def decode_ivf(payload: bytes) -> list[dict]:
     if ivf["fourcc"] != "VP80":
         raise ValueError(f"not a VP8 IVF stream ({ivf['fourcc']})")
     return decode_vp8_stream([f for _, f in ivf["frames"]])
+
+
+def ivf_frame_stats(payload: bytes) -> dict:
+    """Tag-level triage of a VP8 IVF file WITHOUT decoding: per-frame
+    uncompressed-header fields (keyframe bit, version, show_frame) and
+    keyframe start-code / dimension validation — the video inventory a
+    crawl pipeline wants before committing to a full decode.  Raises
+    ``ValueError`` on container corruption, a bad keyframe start code,
+    a frame too short for its own header, or a keyframe whose coded
+    dimensions contradict the IVF header."""
+    ivf = parse_ivf(payload)
+    if ivf["fourcc"] != "VP80":
+        raise ValueError(f"not a VP8 IVF stream ({ivf['fourcc']})")
+    n_key = n_shown = 0
+    total = max_bytes = 0
+    width = height = None
+    for _ts, frame in ivf["frames"]:
+        if len(frame) < 3:
+            raise ValueError("truncated VP8 frame in IVF")
+        tag = frame[0] | frame[1] << 8 | frame[2] << 16
+        keyframe = not (tag & 1)
+        version = (tag >> 1) & 7
+        if version > 3:
+            raise ValueError(f"bad VP8 version {version}")
+        show = (tag >> 4) & 1
+        part1 = tag >> 5
+        hdr = 10 if keyframe else 3
+        if hdr + part1 > len(frame):
+            raise ValueError("VP8 first-partition size overruns frame")
+        if keyframe:
+            if frame[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 start code in IVF keyframe")
+            w = (frame[6] | frame[7] << 8) & 0x3FFF
+            h = (frame[8] | frame[9] << 8) & 0x3FFF
+            if width is None:
+                width, height = w, h
+                if (w, h) != (ivf["width"], ivf["height"]):
+                    raise ValueError(
+                        "IVF header dimensions contradict keyframe"
+                    )
+            n_key += 1
+        n_shown += show
+        total += len(frame)
+        max_bytes = max(max_bytes, len(frame))
+    return {
+        "n_frames": len(ivf["frames"]),
+        "n_keyframes": n_key,
+        "n_shown": n_shown,
+        "width": width,
+        "height": height,
+        "total_frame_bytes": total,
+        "max_frame_bytes": max_bytes,
+    }

@@ -7982,3 +7982,291 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.text_analysis import bleu_pairs
 
     return bleu_pairs(_t(spark, sf_dir, "documents"), max_id=60)
+
+
+# ---------------------------------------------------------------------------
+# IVF/VP8 video container triage (round 10: the inter-frame codec's
+# file surface, tag-level — no decode)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_stats_sql() -> str:
+    # frame j exists when j < n_frames = 1 + d0 % 4; frame 0 is always
+    # a key frame, later frames are keys when d(3+j) % 4 = 0; frame 0
+    # is always shown, later frames when d(7+j) % 2 = 1.  Key frames
+    # carry 10 + d12 bytes (tag + start code + dims + part1 filler),
+    # inter frames 3 + d13.
+    def key_j(j: int) -> str:
+        return "TRUE" if j == 0 else f"({_sql_hexd(3 + j)} % 4 = 0)"
+
+    def show_j(j: int) -> str:
+        return "1" if j == 0 else f"({_sql_hexd(7 + j)} % 2)"
+
+    def len_j(j: int) -> str:
+        return (
+            f"(CASE WHEN {key_j(j)} THEN 10 + {_sql_hexd(12)} "
+            f"ELSE 3 + {_sql_hexd(13)} END)"
+        )
+
+    n_key = " + ".join(
+        f"(CASE WHEN {j} < n_frames AND {key_j(j)} THEN 1 ELSE 0 END)"
+        for j in range(4)
+    )
+    n_shown = " + ".join(
+        f"(CASE WHEN {j} < n_frames THEN {show_j(j)} ELSE 0 END)"
+        for j in range(4)
+    )
+    total = " + ".join(
+        f"(CASE WHEN {j} < n_frames THEN {len_j(j)} ELSE 0 END)"
+        for j in range(4)
+    )
+    mx = ", ".join(
+        f"(CASE WHEN {j} < n_frames THEN {len_j(j)} ELSE 0 END)"
+        for j in range(4)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hx
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT media_id, hx, 1 + {_sql_hexd(0)} % 4 AS n_frames
+      FROM h
+    )
+    SELECT media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST({n_key} AS BIGINT) AS n_keyframes,
+           CAST({n_shown} AS BIGINT) AS n_shown,
+           CAST(16 * (1 + {_sql_hexd(1)} % 4) AS BIGINT) AS width,
+           CAST(16 * (1 + {_sql_hexd(2)} % 4) AS BIGINT) AS height,
+           CAST({total} AS BIGINT) AS total_frame_bytes,
+           CAST(GREATEST({mx}) AS BIGINT) AS max_frame_bytes
+    FROM p
+"""
+
+
+@_q("q_ivf_stats", _ivf_stats_sql())
+def q_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8 video inventory over an IVF corpus, REAL walker end-to-end:
+    each document becomes a spec-valid IVF file built from its md5 hex
+    digits (DKIF header, per-frame 12-byte headers, VP8 frame tags
+    with key/show/version bits, key frames carrying the start code +
+    dimension words) and ``media_vp8_inter.ivf_frame_stats`` walks it
+    — frame counts, key/shown splits, dimensions, byte totals — with
+    the oracle recomputing every output from the same digits.  The
+    tag-level triage is what a crawl pipeline runs BEFORE committing
+    to a full ``decode_vp8_stream`` of petabytes of video."""
+    import struct as _struct
+
+    def build_and_walk(it):
+        import hashlib
+
+        import pandas as pd
+
+        from conte_to_fresco_etl_spark.operators.media_vp8_inter import (
+            build_ivf,
+            ivf_frame_stats,
+        )
+
+        def payload(h: str) -> bytes:
+            d = [int(c, 16) for c in h]
+            n_frames = 1 + d[0] % 4
+            w, hgt = 16 * (1 + d[1] % 4), 16 * (1 + d[2] % 4)
+            version = d[11] % 4
+            frames = []
+            for j in range(n_frames):
+                key = j == 0 or d[3 + j] % 4 == 0
+                show = 1 if j == 0 else d[7 + j] % 2
+                part1 = d[12] if key else d[13]
+                tag = (part1 << 5) | (show << 4) | (version << 1) | (
+                    0 if key else 1
+                )
+                head = bytes([tag & 0xFF, (tag >> 8) & 0xFF,
+                              (tag >> 16) & 0xFF])
+                if key:
+                    head += b"\x9d\x01\x2a" + _struct.pack("<HH", w, hgt)
+                frames.append(head + b"\x00" * part1)
+            return build_ivf(frames, w, hgt)
+
+        cols = ("n_frames", "n_keyframes", "n_shown", "width",
+                "height", "total_frame_bytes", "max_frame_bytes")
+        for pdf in it:
+            out = {"media_id": []}
+            out.update({c: [] for c in cols})
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                st = ivf_frame_stats(payload(h))
+                out["media_id"].append(did)
+                for c in cols:
+                    out[c].append(st[c])
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    return docs.mapInPandas(
+        build_and_walk,
+        schema="media_id long, n_frames long, n_keyframes long, "
+        "n_shown long, width long, height long, "
+        "total_frame_bytes long, max_frame_bytes long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# OGG-Opus speech-activity triage (round 10: SILK LP-layer header bits
+# through the real range decoder — no DSP)
+# ---------------------------------------------------------------------------
+
+
+def _opus_activity_sql() -> str:
+    # packet j (j < n_pkt = 1 + d0 % 3) uses SILK-WB config 8 + d(1+j)%4
+    # (10/20/40/60 ms); its SILK-frame count is 1/1/2/3 and VAD bit i
+    # is d(4 + 3j + i) % 2 for i < n_silk.
+    def spf(j: int) -> str:
+        return (
+            f"(CASE {_sql_hexd(1 + j)} % 4 WHEN 0 THEN 480 WHEN 1 THEN 960 "
+            f"WHEN 2 THEN 1920 ELSE 2880 END)"
+        )
+
+    def n_silk(j: int) -> str:
+        return (
+            f"(CASE {_sql_hexd(1 + j)} % 4 WHEN 2 THEN 2 WHEN 3 THEN 3 "
+            f"ELSE 1 END)"
+        )
+
+    def vad(j: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {i} < {n_silk(j)} THEN "
+            f"{_sql_hexd(4 + 3 * j + i)} % 2 ELSE 0 END)"
+            for i in range(3)
+        )
+
+    dur = " + ".join(
+        f"(CASE WHEN {j} < n_pkt THEN {spf(j)} ELSE 0 END)"
+        for j in range(3)
+    )
+    silk = " + ".join(
+        f"(CASE WHEN {j} < n_pkt THEN {n_silk(j)} ELSE 0 END)"
+        for j in range(3)
+    )
+    vads = " + ".join(
+        f"(CASE WHEN {j} < n_pkt THEN {vad(j)} ELSE 0 END)"
+        for j in range(3)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hx
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT media_id, hx, 1 + {_sql_hexd(0)} % 3 AS n_pkt
+      FROM h
+    )
+    SELECT media_id,
+           CAST(n_pkt AS BIGINT) AS n_audio_packets,
+           ROUND(CAST({dur} AS DOUBLE) / 48.0, 6) AS duration_ms,
+           CAST({silk} AS BIGINT) AS n_silk_frames,
+           CAST({vads} AS BIGINT) AS vad_frames,
+           FALSE AS any_lbrr
+    FROM p
+"""
+
+
+@_q("q_opus_activity", _opus_activity_sql())
+def q_opus_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-activity inventory over an OGG-Opus corpus with REAL
+    entropy coding end-to-end: each document becomes a spec-valid
+    OGG-Opus stream whose SILK LP-layer header bits (per-frame VAD
+    flags, the LBRR flag, the Table 11 frame-type symbol) are authored
+    with the RFC 6716 range ENCODER from its md5 digits, and
+    ``ogg_stream_info`` walks pages -> packets -> TOC -> range-decoded
+    header bits to recover them.  The oracle recomputes duration,
+    SILK-frame counts, and VAD totals from the same digits, so the
+    range coder round trip itself sits inside the driver's gate."""
+
+    def build_and_walk(it):
+        import hashlib
+        import struct as _struct
+
+        import pandas as pd
+
+        from conte_to_fresco_etl_spark.operators.media_ogg import (
+            _OPUS_CONFIGS,
+            build_ogg_page,
+            ogg_stream_info,
+        )
+        from conte_to_fresco_etl_spark.operators.media_opus import (
+            RangeEncoder,
+            SILK_TYPE_NO_VAD_ICDF,
+            SILK_TYPE_VAD_ICDF,
+        )
+
+        def payload(h: str) -> bytes:
+            d = [int(c, 16) for c in h]
+            n_pkt = 1 + d[0] % 3
+            head = (
+                b"OpusHead" + bytes([1, 1])
+                + _struct.pack("<H", d[2] * 8)
+                + _struct.pack("<I", 48000)
+                + _struct.pack("<h", 0) + bytes([0])
+            )
+            tags = (
+                b"OpusTags" + _struct.pack("<I", 2) + b"oa"
+                + _struct.pack("<I", 0)
+            )
+            serial = d[0] * 16 + d[1]
+            pages = [
+                build_ogg_page(serial, 0, 0, [head], header_type=0x02),
+                build_ogg_page(serial, 1, 0, [tags]),
+            ]
+            granule = d[2] * 8
+            st, qo = 1 + d[13] % 2, d[14] % 2
+            for j in range(n_pkt):
+                config = 8 + d[1 + j] % 4
+                spf = _OPUS_CONFIGS[config][2]
+                n_silk = {480: 1, 960: 1, 1920: 2, 2880: 3}[spf]
+                vad = [d[4 + 3 * j + i] % 2 for i in range(n_silk)]
+                enc = RangeEncoder()
+                for v in vad:
+                    enc.encode_bit_logp(v, 1)
+                enc.encode_bit_logp(0, 1)  # no LBRR
+                if vad[0]:
+                    enc.encode_icdf((st - 1) * 2 + qo, SILK_TYPE_VAD_ICDF)
+                else:
+                    enc.encode_icdf(qo, SILK_TYPE_NO_VAD_ICDF)
+                pkt = bytes([config << 3]) + enc.finish()
+                granule += spf
+                flags = 0x04 if j == n_pkt - 1 else 0
+                pages.append(
+                    build_ogg_page(
+                        serial, 2 + j, granule, [pkt], header_type=flags
+                    )
+                )
+            return b"".join(pages)
+
+        for pdf in it:
+            out = {
+                "media_id": [], "n_audio_packets": [], "duration_ms": [],
+                "n_silk_frames": [], "vad_frames": [], "any_lbrr": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                info = ogg_stream_info(payload(h))
+                out["media_id"].append(did)
+                out["n_audio_packets"].append(
+                    info["n_packets"] - 2  # minus OpusHead/OpusTags
+                )
+                out["duration_ms"].append(round(info["duration_ms"], 6))
+                out["n_silk_frames"].append(info["n_silk_frames"])
+                out["vad_frames"].append(info["vad_frames"])
+                out["any_lbrr"].append(info["any_lbrr"])
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    return docs.mapInPandas(
+        build_and_walk,
+        schema="media_id long, n_audio_packets long, duration_ms double, "
+        "n_silk_frames long, vad_frames long, any_lbrr boolean",
+    )

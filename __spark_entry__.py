@@ -75,6 +75,10 @@ REGATE_R10: list[str] = [
     # SILK header bits through the real range coder)
     "q_ivf_stats",
     "q_opus_activity",
+    # NEW r10: statistics-shelf additions
+    "q_dagostino_k2",
+    "q_wasserstein",
+    "q_brown_forsythe",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -146,6 +150,9 @@ PRIORITY: list[str] = [
     "q_dup_token_frac",
     "q_ivf_stats",
     "q_opus_activity",
+    "q_dagostino_k2",
+    "q_wasserstein",
+    "q_brown_forsythe",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

@@ -7206,3 +7206,265 @@ def welch_anova(
         F.when(ok, F.round(fstar, 6)).alias("f_stat"),
         F.when(ok, F.round(df2, 6)).alias("df2"),
     )
+
+
+def dagostino_k2(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test per group: the
+    skewness and kurtosis z-transforms (D'Agostino 1970; Anscombe &
+    Glynn 1983) combined as K² = Z1² + Z2² — the finite-sample-
+    calibrated upgrade of [[q_jarque_bera]] (whose χ² approximation is
+    only honest at large n).  Output — one row per group:
+    ``(group, n, z_skew, z_kurt, k2_stat)`` (ROUND 6), NULL below the
+    n >= 20 validity floor.
+
+    Scale posture: identical to jarque_bera — ONE map-combinable
+    power-sum collapse per group (Σv..Σv⁴ decimal-pinned), then pure
+    per-group scalar algebra.  Cross-engine exactness: g1 and
+    b2 = g2 + 3 are ROUND(12)-pinned before the transforms, and every
+    transform is the same IEEE expression tree (sqrt/ln/cbrt) in both
+    engines."""
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__v"),
+    )
+    v = F.col("__v")
+    per_g = vals.groupBy("group").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,4)")).alias("__s1"),
+        F.sum(F.round(v * v, 8).cast("decimal(38,8)")).alias("__s2"),
+        F.sum(F.round(v * v * v, 6).cast("decimal(38,6)")).alias("__s3"),
+        F.sum(
+            F.round(v * v * v * v, 6).cast("decimal(38,6)")
+        ).alias("__s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s1").cast("double") / nd
+    r2 = F.col("__s2").cast("double") / nd
+    r3 = F.col("__s3").cast("double") / nd
+    r4 = F.col("__s4").cast("double") / nd
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g1 = F.round(m3 / F.sqrt(m2 * m2 * m2), 12)
+    b2 = F.round(m4 / (m2 * m2), 12)
+
+    # Z1: D'Agostino (1970) skewness transform
+    y = g1 * F.sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+    beta2 = (
+        3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+        / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    ya = y / alpha
+    z1 = delta * F.log(ya + F.sqrt(ya * ya + 1.0))
+
+    # Z2: Anscombe-Glynn (1983) kurtosis transform
+    eb2 = 3.0 * (nd - 1.0) / (nd + 1.0)
+    vb2 = (
+        24.0 * nd * (nd - 2.0) * (nd - 3.0)
+        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+    )
+    x = (b2 - eb2) / F.sqrt(vb2)
+    beta1 = (
+        6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+        * F.sqrt(
+            6.0 * (nd + 3.0) * (nd + 5.0)
+            / (nd * (nd - 2.0) * (nd - 3.0))
+        )
+    )
+    a = 6.0 + 8.0 / beta1 * (
+        2.0 / beta1 + F.sqrt(1.0 + 4.0 / (beta1 * beta1))
+    )
+    z2 = (
+        (1.0 - 2.0 / (9.0 * a))
+        - F.cbrt(
+            (1.0 - 2.0 / a) / (1.0 + x * F.sqrt(2.0 / (a - 4.0)))
+        )
+    ) / F.sqrt(2.0 / (9.0 * a))
+
+    ok = (F.col("n") >= 20) & (m2 > 0)
+    return per_g.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(z1, 6)).alias("z_skew"),
+        F.when(ok, F.round(z2, 6)).alias("z_kurt"),
+        F.when(ok, F.round(z1 * z1 + z2 * z2, 6)).alias("k2_stat"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """1-D Wasserstein-1 distance (earth mover's distance) between two
+    groups' value distributions: W1 = ∫|F_a - F_b| dv — the
+    MAGNITUDE-aware drift metric next to [[q_ks_test]]'s supremum gap
+    (KS says the CDFs differ; W1 says by how much probability mass
+    times distance, the quantity a mixture rebalance actually moves).
+    Output — ONE row: ``(n_a, n_b, w1)`` (ROUND 6).
+
+    Exactness: per distinct value the integrand is
+    |cum_a·n_b - cum_b·n_a| (EXACT integers) times the gap to the next
+    distinct value (doubles on the ROUND-4 input grid); each segment
+    term is ROUND(6)-pinned, decimal-summed, and divided by n_a·n_b
+    once at the end.
+
+    Scale posture: one (value) count shuffle collapses the corpus to
+    the distinct-value marginal; cumulative counts AND the rank used
+    to find each value's successor ride the distributed two-pass
+    prefix sum (``parallelism.prefix_sums`` — never a single-task
+    global window); the successor lookup is a rank+1 equi-self-join
+    and the final sum is map-combinable."""
+    from conte_to_fresco_etl_spark.parallelism import prefix_sums
+
+    two = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double"), 4).alias("v"),
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+        F.lit(1).alias("one"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    cum = prefix_sums(per_v, "v", ["ca", "cb", "one"]).select(
+        "v",
+        F.col("cum_ca").alias("cum_a"),
+        F.col("cum_cb").alias("cum_b"),
+        F.col("cum_one").alias("rank"),
+    ).localCheckpoint(eager=False)
+    nxt = cum.select(
+        (F.col("rank") - 1).alias("rank"), F.col("v").alias("v_next")
+    )
+    segs = (
+        cum.join(nxt, "rank")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.round(
+                F.abs(
+                    F.col("cum_a").cast("decimal(18,0)")
+                    * F.col("n_b").cast("decimal(18,0)")
+                    - F.col("cum_b").cast("decimal(18,0)")
+                    * F.col("n_a").cast("decimal(18,0)")
+                ).cast("double")
+                * (F.col("v_next") - F.col("v")),
+                6,
+            ).cast("decimal(38,6)").alias("__seg"),
+        )
+    )
+    w1sum = segs.agg(F.sum("__seg").alias("__w")).crossJoin(
+        broadcast(tot)
+    )
+    degenerate = (F.col("n_a") == 0) | (F.col("n_b") == 0)
+    return w1sum.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.coalesce(F.col("__w").cast("double"), F.lit(0.0))
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            )
+        ).alias("w1"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: Levene's W computed
+    on deviations from each group's MEDIAN — the robust sibling of
+    [[q_levene]] (median centering keeps the test honest under the
+    skewed / heavy-tailed metrics mean centering over-rejects on).
+    Output — ONE row: ``(n, k_groups, w_stat)`` (ROUND 6).
+
+    Scale posture: the per-group exact median comes from the
+    per-group distinct-value marginal with a GROUP-PARTITIONED
+    cumulative count (partitioned window — each partition is one
+    group's marginal, never a global single-task sort), lower/upper
+    middle selected by integer rank conditions and averaged; the
+    k-row median table broadcasts back and the Levene sufficient-stat
+    collapse runs unchanged."""
+    from pyspark.sql import Window
+
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__v"),
+    )
+    marg = vals.groupBy("__g", "__v").agg(F.count("*").alias("__c"))
+    wcum = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = marg.select(
+        "__g", "__v", F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__g")).alias("__n"),
+    )
+    med = cum.groupBy("__g").agg(
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__n"), F.col("__v"))
+        ).alias("__lo"),
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__n") + 1, F.col("__v"))
+        ).alias("__hi"),
+    ).select(
+        "__g",
+        F.round((F.col("__lo") + F.col("__hi")) / 2.0, 4).alias("__med"),
+    )
+    z = vals.join(broadcast(med), "__g").select(
+        "__g",
+        F.round(F.abs(F.col("__v") - F.col("__med")), 6).alias("__z"),
+    )
+    per_g = _group_moment_stats(z, F.col("__g"), "__z")
+    term = F.round(
+        F.col("__s1").cast("double")
+        * F.col("__s1").cast("double")
+        / F.col("__n").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = per_g.agg(
+        F.sum("__n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum("__s1").alias("__s"),
+        F.sum("__s2").alias("__ss"),
+        F.sum(term).alias("__sq"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_groups").cast("double")
+    ssb = F.col("__sq").cast("double") - (
+        F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    )
+    ssw = F.col("__ss").cast("double") - F.col("__sq").cast("double")
+    w = ((nd - kd) / (kd - F.lit(1.0))) * (ssb / ssw)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.when(
+            (F.col("k_groups") >= 2) & (F.col("n") > F.col("k_groups"))
+            & (ssw > 0),
+            F.round(w, 6),
+        ).alias("w_stat"),
+    )

@@ -10051,3 +10051,227 @@ def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.robust import welch_anova
 
     return welch_anova(_events(spark, sf_dir), "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Round 10 statistics additions: D'Agostino K², 1-D Wasserstein,
+# Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+_DAGOSTINO_SQL = """
+    WITH vals AS (
+      SELECT event_type AS grp, ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(ROUND(v * v, 8) AS DECIMAL(38,8))) AS s2,
+             SUM(CAST(ROUND(v * v * v, 6) AS DECIMAL(38,6))) AS s3,
+             SUM(CAST(ROUND(v * v * v * v, 6) AS DECIMAL(38,6))) AS s4
+      FROM vals GROUP BY grp
+    ),
+    m AS (
+      SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM per_g
+    ),
+    c AS (
+      SELECT grp, n, nd,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                - 3.0 * mean * mean * mean * mean AS m4
+      FROM m
+    ),
+    g AS (
+      SELECT grp, n, nd, m2,
+             ROUND(m3 / sqrt(m2 * m2 * m2), 12) AS g1,
+             ROUND(m4 / (m2 * m2), 12) AS b2
+      FROM c
+    ),
+    s AS (
+      SELECT grp, n, nd, m2, g1, b2,
+             g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+             -1.0 + sqrt(2.0 * (
+               3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0)
+                   * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               - 1.0)) AS w2,
+             3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+             24.0 * nd * (nd - 2.0) * (nd - 3.0)
+               / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+               AS vb2,
+             6.0 * (nd * nd - 5.0 * nd + 2.0)
+               / ((nd + 7.0) * (nd + 9.0))
+               * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+                      / (nd * (nd - 2.0) * (nd - 3.0))) AS beta1
+      FROM g
+    ),
+    t AS (
+      SELECT grp, n, nd, m2,
+             (1.0 / sqrt(ln(sqrt(w2))))
+               * ln(y / sqrt(2.0 / (w2 - 1.0))
+                    + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                           * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS z1,
+             (b2 - eb2) / sqrt(vb2) AS x,
+             6.0 + 8.0 / beta1
+               * (2.0 / beta1 + sqrt(1.0 + 4.0 / (beta1 * beta1))) AS a
+      FROM s
+    ),
+    u AS (
+      SELECT grp, n, nd, m2, z1,
+             ((1.0 - 2.0 / (9.0 * a))
+              - cbrt((1.0 - 2.0 / a)
+                     / (1.0 + x * sqrt(2.0 / (a - 4.0)))))
+             / sqrt(2.0 / (9.0 * a)) AS z2
+      FROM t
+    )
+    SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 20 AND m2 > 0 THEN ROUND(z1, 6) END AS z_skew,
+           CASE WHEN n >= 20 AND m2 > 0 THEN ROUND(z2, 6) END AS z_kurt,
+           CASE WHEN n >= 20 AND m2 > 0
+                THEN ROUND(z1 * z1 + z2 * z2, 6) END AS k2_stat
+    FROM u
+"""
+
+
+@_q("q_dagostino_k2", _DAGOSTINO_SQL)
+def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality screen per event type:
+    the finite-sample-calibrated z-transforms of skewness and kurtosis
+    (the upgrade of q_jarque_bera's asymptotic χ²), still one
+    map-combinable power-sum collapse per group."""
+    from conte_to_fresco_etl_spark.operators.robust import dagostino_k2
+
+    return dagostino_k2(_events(spark, sf_dir), "event_type", "value")
+
+
+_WASSERSTEIN_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'purchase' AS isa,
+             ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b,
+             LEAD(v) OVER (ORDER BY v) AS v_next
+      FROM marg
+    ),
+    t AS (
+      SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM marg
+    ),
+    segs AS (
+      SELECT CAST(ROUND(
+               CAST(ABS(CAST(cum_a AS DECIMAL(18,0))
+                        * CAST(t.n_b AS DECIMAL(18,0))
+                        - CAST(cum_b AS DECIMAL(18,0))
+                        * CAST(t.n_a AS DECIMAL(18,0))) AS DOUBLE)
+               * (v_next - v), 6) AS DECIMAL(38,6)) AS seg
+      FROM cum, t WHERE v_next IS NOT NULL
+    ),
+    agg AS (
+      SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+             SUM(seg) AS w FROM t LEFT JOIN segs ON TRUE
+      GROUP BY ALL
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             COALESCE(CAST(w AS DOUBLE), 0.0)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS w1
+    FROM agg
+"""
+
+
+@_q("q_wasserstein", _WASSERSTEIN_SQL)
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between purchase and
+    error value distributions: the magnitude-aware drift metric next
+    to q_ks_test's supremum gap, with ECDF segments riding the
+    distributed prefix scan and exact-integer mass numerators."""
+    from conte_to_fresco_etl_spark.operators.robust import wasserstein_1d
+
+    return wasserstein_1d(
+        _events(spark, sf_dir), "event_type", "value", "purchase", "error"
+    )
+
+
+_BROWN_FORSYTHE_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    marg AS (
+      SELECT g, v, COUNT(*) AS c FROM vals GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v,
+             SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumc,
+             SUM(c) OVER (PARTITION BY g) AS ng
+      FROM marg
+    ),
+    med AS (
+      SELECT g, ROUND((
+               MIN(CASE WHEN 2 * cumc >= ng THEN v END)
+               + MIN(CASE WHEN 2 * cumc >= ng + 1 THEN v END)) / 2.0, 4)
+             AS med
+      FROM cum GROUP BY g
+    ),
+    z AS (
+      SELECT vals.g, ROUND(ABS(v - med), 6) AS zv
+      FROM vals JOIN med ON vals.g = med.g
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(zv AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(CAST(zv AS DECIMAL(18,4)) * CAST(zv AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM z GROUP BY g
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k, SUM(s1) AS s, SUM(s2) AS ss,
+             SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS sq
+      FROM per_g
+    ),
+    d AS (
+      SELECT n, k,
+             CAST(sq AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - CAST(sq AS DOUBLE) AS ssw
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+           THEN ROUND(((CAST(n AS DOUBLE) - k) / (k - 1.0))
+                      * (ssb / ssw), 6)
+           END AS w_stat
+    FROM d
+"""
+
+
+@_q("q_brown_forsythe", _BROWN_FORSYTHE_SQL)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types:
+    Levene's W on deviations from each group's exact median (the
+    robust centering), medians from group-partitioned cumulative
+    counts over the per-group value marginal."""
+    from conte_to_fresco_etl_spark.operators.robust import brown_forsythe
+
+    return brown_forsythe(_events(spark, sf_dir), "event_type", "value")

@@ -549,6 +549,8 @@ BNLJ_ALLOWED = {
     "q_hard_negatives",         # anchor-set broadcast (batch-sized)
     "q_kmv_overlap",            # |sources|-row sketch-stat self-join (a.g < b.g)
     "q_vocab_growth",           # regression moments (1-row broadcast)
+    "q_wasserstein",            # group totals (1-row broadcast) + the
+                                # prefix-sum offsets triangular join
     "q_acf",                    # series mean + denominator (1-row each)
     "q_heldout_nll",            # train-LM totals (1-row broadcast)
     "q_ks_test",                # group totals (1-row broadcast) + the

@@ -79,6 +79,11 @@ REGATE_R10: list[str] = [
     "q_dagostino_k2",
     "q_wasserstein",
     "q_brown_forsythe",
+    # NEW r10: regression diagnostics (break / heteroscedasticity /
+    # influence)
+    "q_chow_test",
+    "q_breusch_pagan",
+    "q_cooks_distance",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -153,6 +158,9 @@ PRIORITY: list[str] = [
     "q_dagostino_k2",
     "q_wasserstein",
     "q_brown_forsythe",
+    "q_chow_test",
+    "q_breusch_pagan",
+    "q_cooks_distance",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

@@ -7468,3 +7468,271 @@ def brown_forsythe(
             F.round(w, 6),
         ).alias("w_stat"),
     )
+
+
+def _xy_moments(vals: DataFrame, by: list | None = None):
+    """Shared simple-regression sufficient statistics over a frame
+    with quantized ``__x``/``__y`` columns: n, Σx, Σy, Σxy, Σx², Σy²
+    (decimal-exact, map-combinable)."""
+    xq = F.col("__x").cast("decimal(18,4)")
+    yq = F.col("__y").cast("decimal(18,4)")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(xq).cast("decimal(38,8)").alias("sx"),
+        F.sum(yq).cast("decimal(38,8)").alias("sy"),
+        F.sum((xq * yq).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((xq * xq).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((yq * yq).cast("decimal(38,8)")).alias("syy"),
+    ]
+    return vals.groupBy(*(by or [])).agg(*aggs)
+
+
+def chow_test(
+    df: DataFrame,
+    x_col,
+    value_col: str,
+    split_at: float,
+) -> DataFrame:
+    """Chow structural-break test for the simple regression
+    value ~ x at a KNOWN break point: did slope/intercept change
+    between the pre and post segments — the confirmatory sibling of
+    [[q_changepoint]]'s unsupervised CUSUM scan (you suspect a deploy
+    date; Chow tests exactly it).  Output — ONE row:
+    ``(n, n_pre, n_post, ssr_pooled, ssr_split, chow_f)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable pass collapses the corpus to
+    two segment sufficient-stat rows; pooled and per-segment residual
+    sums of squares are scalar algebra over the 2-row table (no
+    second data pass, no join)."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(x_col.cast("double"), 4).alias("__x"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__y"),
+    ).withColumn("__seg", (F.col("__x") < F.lit(split_at)).cast("int"))
+    per_seg = _xy_moments(vals, ["__seg"])
+
+    def ssr(n, sx, sy, sxy, sxx, syy):
+        nd = n.cast("double")
+        sxc = sxx.cast("double") - sx.cast("double") * sx.cast(
+            "double"
+        ) / nd
+        syc = syy.cast("double") - sy.cast("double") * sy.cast(
+            "double"
+        ) / nd
+        sxyc = sxy.cast("double") - sx.cast("double") * sy.cast(
+            "double"
+        ) / nd
+        return F.when(sxc > 0, syc - sxyc * sxyc / sxc).otherwise(syc)
+
+    agg = per_seg.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("__seg") == 1, F.col("n"))).alias("n_pre"),
+        F.sum(F.when(F.col("__seg") == 0, F.col("n"))).alias("n_post"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"), F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum(
+            F.round(
+                ssr(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"),
+                    F.col("sxx"), F.col("syy")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("ssr_split"),
+    )
+    ssr_pooled = F.round(
+        ssr(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"),
+            F.col("sxx"), F.col("syy")),
+        6,
+    )
+    nd = F.col("n").cast("double")
+    ssp = F.col("ssr_split").cast("double")
+    fstat = ((ssr_pooled - ssp) / F.lit(2.0)) / (
+        ssp / (nd - F.lit(4.0))
+    )
+    ok = (
+        (F.col("n_pre") >= 3) & (F.col("n_post") >= 3) & (ssp > 0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("n_pre"), F.lit(0)).cast("long").alias("n_pre"),
+        F.coalesce(F.col("n_post"), F.lit(0)).cast("long").alias(
+            "n_post"
+        ),
+        F.round(ssr_pooled, 6).alias("ssr_pooled"),
+        F.round(ssp, 6).alias("ssr_split"),
+        F.when(ok, F.round(fstat, 6)).alias("chow_f"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame, x_col, value_col: str
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    LM form) for the simple regression value ~ x: do the squared
+    residuals trend with x — the assumption gate for every
+    equal-variance inference run on top of [[q_trend_slope]].
+    Output — ONE row: ``(n, slope, lm_stat)`` (ROUND 6), where
+    lm_stat = n · R² of the e² ~ x auxiliary regression.
+
+    Scale posture: pass 1 collapses to the six regression moments
+    (1-row); the fitted line broadcasts back (annotated 1-row cross),
+    e² is pinned per row, and pass 2 collapses the auxiliary moments
+    the same way — two map-combinable passes, zero windows."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(x_col.cast("double"), 4).alias("__x"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__y"),
+    )
+    mom = _xy_moments(vals)
+    nd = F.col("n").cast("double")
+    sxc = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    sxyc = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    line = mom.select(
+        "n",
+        F.round(sxyc / sxc, 12).alias("__b"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (sxyc / sxc) * F.col("sx").cast("double")
+            )
+            / nd,
+            12,
+        ).alias("__a"),
+    )
+    e2 = vals.crossJoin(broadcast(line)).select(
+        "n",
+        "__x",
+        "__b",
+        F.round(
+            (F.col("__y") - F.col("__a") - F.col("__b") * F.col("__x"))
+            * (F.col("__y") - F.col("__a") - F.col("__b") * F.col("__x")),
+            4,
+        ).alias("__y2"),
+    )
+    aux = e2.groupBy("n").agg(
+        F.sum(F.col("__x").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")
+        .alias("ax"),
+        F.sum(F.col("__y2").cast("decimal(18,4)"))
+        .cast("decimal(38,8)")
+        .alias("ay"),
+        F.sum(
+            (
+                F.col("__x").cast("decimal(18,4)")
+                * F.col("__y2").cast("decimal(18,4)")
+            ).cast("decimal(38,8)")
+        ).alias("axy"),
+        F.sum(
+            (
+                F.col("__x").cast("decimal(18,4)")
+                * F.col("__x").cast("decimal(18,4)")
+            ).cast("decimal(38,8)")
+        ).alias("axx"),
+        F.sum(
+            (
+                F.col("__y2").cast("decimal(18,4)")
+                * F.col("__y2").cast("decimal(18,4)")
+            ).cast("decimal(38,8)")
+        ).alias("ayy"),
+        F.max("__b").alias("__b"),
+    )
+    nd2 = F.col("n").cast("double")
+    cxx = F.col("axx").cast("double") - F.col("ax").cast("double") * F.col(
+        "ax"
+    ).cast("double") / nd2
+    cyy = F.col("ayy").cast("double") - F.col("ay").cast("double") * F.col(
+        "ay"
+    ).cast("double") / nd2
+    cxy = F.col("axy").cast("double") - F.col("ax").cast(
+        "double"
+    ) * F.col("ay").cast("double") / nd2
+    r2 = cxy * cxy / (cxx * cyy)
+    ok = (F.col("n") >= 4) & (cxx > 0) & (cyy > 0)
+    return aux.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__b"), 6).alias("slope"),
+        F.when(ok, F.round(nd2 * r2, 6)).alias("lm_stat"),
+    )
+
+
+def regression_influence(
+    df: DataFrame, x_col, value_col: str
+) -> DataFrame:
+    """Per-point OLS influence diagnostics for the (collapsed) simple
+    regression value ~ x: leverage h_i, standardized residual, and
+    Cook's distance — which days are DRIVING [[q_trend_slope]]'s fit
+    (an incident day with high leverage can manufacture a trend).
+    Output — one row per distinct x:
+    ``(x, y, leverage, std_residual, cooks_d)`` (ROUND 6).
+
+    Scale posture: the corpus collapses to the per-x mean table FIRST
+    (days-sized for a time index); the six-moment fit over that table
+    is a 1-row aggregate crossed back (annotated); all diagnostics
+    are per-row closed forms — no windows, nothing iterative."""
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.round(x_col.cast("double"), 4).alias("__x"),
+            F.col(value_col).cast("decimal(18,4)").alias("__yq"),
+        )
+        .groupBy("__x")
+        .agg(
+            F.round(
+                F.sum("__yq").cast("double") / F.count("*"), 4
+            ).alias("__y")
+        )
+    )
+    mom = _xy_moments(daily)
+    nd = F.col("n").cast("double")
+    sxc = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    sxyc = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    syc = F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double") / nd
+    b = F.round(sxyc / sxc, 12)
+    line = mom.select(
+        "n",
+        b.alias("__b"),
+        F.round(
+            (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+            / nd,
+            12,
+        ).alias("__a"),
+        F.round(F.col("sx").cast("double") / nd, 12).alias("__xbar"),
+        F.round(sxc, 12).alias("__sxx"),
+        F.round(
+            F.when(nd > 2, (syc - sxyc * sxyc / sxc) / (nd - 2.0)), 12
+        ).alias("__s2"),
+    )
+    out = daily.crossJoin(broadcast(line))
+    h = (
+        F.lit(1.0) / F.col("n").cast("double")
+        + (F.col("__x") - F.col("__xbar"))
+        * (F.col("__x") - F.col("__xbar"))
+        / F.col("__sxx")
+    )
+    e = F.col("__y") - F.col("__a") - F.col("__b") * F.col("__x")
+    std = e / F.sqrt(F.col("__s2") * (F.lit(1.0) - h))
+    cook = (
+        e * e * h
+        / (
+            F.lit(2.0)
+            * F.col("__s2")
+            * (F.lit(1.0) - h)
+            * (F.lit(1.0) - h)
+        )
+    )
+    ok = (F.col("n") > 2) & (F.col("__s2") > 0) & (F.col("__sxx") > 0)
+    return out.select(
+        F.col("__x").alias("x"),
+        F.col("__y").alias("y"),
+        F.when(F.col("__sxx") > 0, F.round(h, 6)).alias("leverage"),
+        F.when(ok, F.round(std, 6)).alias("std_residual"),
+        F.when(ok, F.round(cook, 6)).alias("cooks_d"),
+    )

@@ -10275,3 +10275,278 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.robust import brown_forsythe
 
     return brown_forsythe(_events(spark, sf_dir), "event_type", "value")
+
+
+_X_HOURS = (
+    "CAST(FLOOR(epoch_us(ts) / 3600000000.0)"
+    " - FLOOR(epoch_us(TIMESTAMP '2024-01-01 00:00:00')"
+    " / 3600000000.0) AS DOUBLE)"
+)
+
+_XY_MOM = """
+      COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS sxx,
+             SUM(CAST(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS syy
+"""
+
+_CHOW_SQL = f"""
+    WITH base AS (
+      SELECT ROUND({_X_HOURS}, 4) AS x,
+             ROUND(CAST(value AS DOUBLE), 4) AS y,
+             CASE WHEN ROUND({_X_HOURS}, 4) < 360.0 THEN 1 ELSE 0 END AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT s, {_XY_MOM}
+      FROM base GROUP BY s
+    ),
+    r AS (
+      SELECT s, n, sx, sy, sxy, sxx, syy,
+             CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             ELSE CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS ssr
+      FROM m
+    ),
+    agg AS (
+      SELECT SUM(n) AS n,
+             SUM(CASE WHEN s = 1 THEN n END) AS n_pre,
+             SUM(CASE WHEN s = 0 THEN n END) AS n_post,
+             SUM(sx) AS sx, SUM(sy) AS sy, SUM(sxy) AS sxy,
+             SUM(sxx) AS sxx, SUM(syy) AS syy,
+             SUM(CAST(ROUND(ssr, 6) AS DECIMAL(38,6))) AS ssr_split
+      FROM r
+    ),
+    fin AS (
+      SELECT n, n_pre, n_post, ssr_split,
+             CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             ELSE CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS ssr_pooled
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COALESCE(n_pre, 0) AS BIGINT) AS n_pre,
+           CAST(COALESCE(n_post, 0) AS BIGINT) AS n_post,
+           ROUND(ssr_pooled, 6) AS ssr_pooled,
+           ROUND(CAST(ssr_split AS DOUBLE), 6) AS ssr_split,
+           CASE WHEN n_pre >= 3 AND n_post >= 3
+                 AND CAST(ssr_split AS DOUBLE) > 0
+           THEN ROUND(((ssr_pooled - CAST(ssr_split AS DOUBLE)) / 2.0)
+                      / (CAST(ssr_split AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - 4.0)), 6)
+           END AS chow_f
+    FROM fin
+"""
+
+
+@_q("q_chow_test", _CHOW_SQL)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at the mid-January deploy boundary
+    (hour index 360): did the value~time regression change slope or
+    level — the confirmatory sibling of q_changepoint, one
+    two-segment sufficient-stat collapse."""
+    from conte_to_fresco_etl_spark.operators.robust import chow_test
+
+    ev = _events(spark, sf_dir)
+    x = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0))
+        - F.floor(
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            / F.lit(3600000000.0)
+        )
+    ).cast("double")
+    return chow_test(ev, x, "value", split_at=360.0)
+
+
+_BP_SQL = f"""
+    WITH base AS (
+      SELECT ROUND({_X_HOURS}, 4) AS x,
+             ROUND(CAST(value AS DOUBLE), 4) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT {_XY_MOM}
+      FROM base
+    ),
+    line AS (
+      SELECT n,
+             ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+                   12) AS b,
+             ROUND((CAST(sy AS DOUBLE)
+                    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 12) AS a
+      FROM m
+    ),
+    e2 AS (
+      SELECT n, x,
+             ROUND((y - a - b * x) * (y - a - b * x), 4) AS y2,
+             b
+      FROM base, line
+    ),
+    aux AS (
+      SELECT n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS ax,
+             CAST(SUM(CAST(y2 AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS ay,
+             SUM(CAST(CAST(x AS DECIMAL(38,4)) * CAST(y2 AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS axy,
+             SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS axx,
+             SUM(CAST(CAST(y2 AS DECIMAL(38,4)) * CAST(y2 AS DECIMAL(18,4))
+                      AS DECIMAL(38,8))) AS ayy,
+             MAX(b) AS b
+      FROM e2 GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(b, 6) AS slope,
+           CASE WHEN n >= 4
+                 AND CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE)
+                     * CAST(ax AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                 AND CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE)
+                     * CAST(ay AS DOUBLE) / CAST(n AS DOUBLE) > 0
+           THEN ROUND(CAST(n AS DOUBLE) * (
+                  (CAST(axy AS DOUBLE) - CAST(ax AS DOUBLE)
+                   * CAST(ay AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(axy AS DOUBLE) - CAST(ax AS DOUBLE)
+                     * CAST(ay AS DOUBLE) / CAST(n AS DOUBLE))
+                  / ((CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE)
+                      * CAST(ax AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(ayy AS DOUBLE) - CAST(ay AS DOUBLE)
+                        * CAST(ay AS DOUBLE) / CAST(n AS DOUBLE)))),
+                6)
+           END AS lm_stat
+    FROM aux
+"""
+
+
+@_q("q_breusch_pagan", _BP_SQL)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity screen on the value~time
+    regression (Koenker LM = n·R² of e² on x): two map-combinable
+    passes with the fitted line as an annotated 1-row cross."""
+    from conte_to_fresco_etl_spark.operators.robust import breusch_pagan
+
+    ev = _events(spark, sf_dir)
+    x = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0))
+        - F.floor(
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            / F.lit(3600000000.0)
+        )
+    ).cast("double")
+    return breusch_pagan(ev, x, "value")
+
+
+_COOKS_SQL = f"""
+    WITH base AS (
+      SELECT ROUND({_X_HOURS}, 4) AS x,
+             CAST(value AS DECIMAL(18,4)) AS yq
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT x, ROUND(CAST(SUM(yq) AS DOUBLE) / COUNT(*), 4) AS y
+      FROM base GROUP BY x
+    ),
+    m AS (
+      SELECT {_XY_MOM}
+      FROM daily
+    ),
+    line AS (
+      SELECT n,
+             ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+                   12) AS b,
+             ROUND((CAST(sy AS DOUBLE)
+                    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 12) AS a,
+             ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 12) AS xbar,
+             ROUND(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 12) AS sxxc,
+             ROUND(CASE WHEN CAST(n AS DOUBLE) > 2 THEN
+                     ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) - 2.0)
+                   END, 12) AS s2
+      FROM m
+    ),
+    o AS (
+      SELECT daily.x, daily.y, n, b, a, xbar, sxxc, s2,
+             1.0 / CAST(n AS DOUBLE)
+               + (x - xbar) * (x - xbar) / sxxc AS h,
+             y - a - b * x AS e
+      FROM daily, line
+    )
+    SELECT x, y,
+           CASE WHEN sxxc > 0 THEN ROUND(h, 6) END AS leverage,
+           CASE WHEN n > 2 AND s2 > 0 AND sxxc > 0
+           THEN ROUND(e / sqrt(s2 * (1.0 - h)), 6) END AS std_residual,
+           CASE WHEN n > 2 AND s2 > 0 AND sxxc > 0
+           THEN ROUND(e * e * h
+                      / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+           END AS cooks_d
+    FROM o
+"""
+
+
+@_q("q_cooks_distance", _COOKS_SQL)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour OLS influence diagnostics (leverage, standardized
+    residual, Cook's distance) for the hourly-mean value~time fit:
+    which hours DRIVE q_trend_slope — days-sized collapse first, the
+    six-moment fit as an annotated 1-row cross, closed forms per row."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        regression_influence,
+    )
+
+    ev = _events(spark, sf_dir)
+    x = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000.0))
+        - F.floor(
+            F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            / F.lit(3600000000.0)
+        )
+    ).cast("double")
+    return regression_influence(ev, x, "value")

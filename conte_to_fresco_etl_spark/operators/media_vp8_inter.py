@@ -847,7 +847,10 @@ def decode_vp8_inter_frame(
                     dqf, bilinear, fullpel,
                 )
 
-    if filter_level > 0 and any(
+    # versions 2 and 3 run with NO loop filter (reference
+    # vp8_setup_version: no_lpf = 1); the header's filter fields are
+    # still present and parsed
+    if version < 2 and filter_level > 0 and any(
         any(lv > 0 for lv in row) for row in lf_levels
     ):
         lf = loop_filter_frame if filter_type == 0 else (
@@ -1045,6 +1048,7 @@ def encode_vp8_inter(
     search_range: int = 4,
     recon_out: dict | None = None,
     sign_bias: dict | None = None,
+    version: int = 0,
 ) -> bytes:
     """Encode an RGB frame as a VP8 inter frame against ``refs``.
 
@@ -1058,7 +1062,17 @@ def encode_vp8_inter(
     (prediction clamp, dequant, IDCT, loop filter), so ``recon_out``
     is bit-identical to what ``decode_vp8_inter_frame`` produces.
     Entropy probabilities stay at their defaults (no updates written,
-    refresh_entropy_probs=1)."""
+    refresh_entropy_probs=1).  ``version`` selects the reconstruction
+    profile (reference vp8_setup_version): 0 = sixtap + normal loop
+    filter, 1 = bilinear + simple filter, 2 = bilinear + no filter,
+    3 = full-pel bilinear + no filter (filter_level is forced to 0
+    for 2/3)."""
+    if version not in (0, 1, 2, 3):
+        raise ValueError(f"bad VP8 version {version}")
+    bilinear = version in (1, 2, 3)
+    fullpel = version == 3
+    if version >= 2:
+        filter_level = 0
     w, h = dims
     mb_cols, mb_rows = (w + 15) // 16, (h + 15) // 16
     ysrc, usrc, vsrc = _rgb_to_planes(img, mb_rows, mb_cols)
@@ -1087,7 +1101,7 @@ def encode_vp8_inter(
 
     # --- frame header (decoder field order) ---
     mbe.write_bool(128, 0)          # segmentation disabled
-    mbe.write_bool(128, 0)          # filter type: normal
+    mbe.write_bool(128, 0 if version == 0 else 1)  # filter type
     mbe.write_literal(filter_level, 6)
     mbe.write_literal(sharpness, 3)
     mbe.write_bool(128, 0)          # lf deltas disabled
@@ -1145,6 +1159,9 @@ def encode_vp8_inter(
             rc, cc = mb_r * 8, mb_c * 8
             ysb = ysrc[ry: ry + 16, cy: cy + 16]
 
+            def fp(m):
+                return (m[0] & ~7, m[1] & ~7) if fullpel else m
+
             # --- choose (ref, mode, mv) by luma SAD ---
             cand_refs = [LAST_FRAME] + (
                 [GOLDEN_FRAME] if allow_golden_ref else []
@@ -1168,7 +1185,7 @@ def encode_vp8_inter(
                 for mode, mv, pref in opts:
                     cmv = _clamp_mv(mv, mb_r, mb_c, mb_rows, mb_cols)
                     pred = predict_inter_block(
-                        rext["y"], ry, cy, 16, 16, cmv
+                        rext["y"], ry, cy, 16, 16, fp(cmv), bilinear
                     )
                     sad = int(np.abs(pred - ysb).sum())
                     key = (sad, pref, ref)
@@ -1251,7 +1268,7 @@ def encode_vp8_inter(
                         pred_y[br: br + 4, bc: bc + 4] = (
                             predict_inter_block(
                                 rext["y"], ry + br, cy + bc, 4, 4,
-                                csub[b],
+                                fp(csub[b]), bilinear,
                             )
                         )
                     pred_u = np.zeros((8, 8), dtype=np.int64)
@@ -1261,25 +1278,27 @@ def encode_vp8_inter(
                         cmv = split_chroma_mv(csub, ci)
                         pred_u[cr: cr + 4, ccol: ccol + 4] = (
                             predict_inter_block(
-                                rext["u"], rc + cr, cc + ccol, 4, 4, cmv
+                                rext["u"], rc + cr, cc + ccol, 4, 4,
+                                fp(cmv), bilinear,
                             )
                         )
                         pred_v[cr: cr + 4, ccol: ccol + 4] = (
                             predict_inter_block(
-                                rext["v"], rc + cr, cc + ccol, 4, 4, cmv
+                                rext["v"], rc + cr, cc + ccol, 4, 4,
+                                fp(cmv), bilinear,
                             )
                         )
                 else:
                     cmv = _clamp_mv(mv, mb_r, mb_c, mb_rows, mb_cols)
                     pred_y = predict_inter_block(
-                        rext["y"], ry, cy, 16, 16, cmv
+                        rext["y"], ry, cy, 16, 16, fp(cmv), bilinear
                     )
                     cmv2 = chroma_mv(cmv)
                     pred_u = predict_inter_block(
-                        rext["u"], rc, cc, 8, 8, cmv2
+                        rext["u"], rc, cc, 8, 8, fp(cmv2), bilinear
                     )
                     pred_v = predict_inter_block(
-                        rext["v"], rc, cc, 8, 8, cmv2
+                        rext["v"], rc, cc, 8, 8, fp(cmv2), bilinear
                     )
 
             # --- residual transform + quantization ---
@@ -1442,22 +1461,23 @@ def encode_vp8_inter(
                 reconstruct_inter_mb(
                     planes, mb_r, mb_c, mb_rows, mb_cols,
                     ref_ext[ref_name[ref]], mode, mv, sub_mvs, qcoef,
-                    dqf,
+                    dqf, bilinear, fullpel,
                 )
 
-    if filter_level > 0 and any(
+    if version < 2 and filter_level > 0 and any(
         any(lv > 0 for lv in row) for row in lf_levels
     ):
-        loop_filter_frame(
-            planes, mb_rows, mb_cols, lf_levels, sharpness, interior
+        lf = loop_filter_frame if version == 0 else (
+            loop_filter_frame_simple
         )
+        lf(planes, mb_rows, mb_cols, lf_levels, sharpness, interior)
     if recon_out is not None:
         recon_out.update(planes)
 
     part1 = mbe.finish()
     part2 = tbe.finish()
-    # inter frame: keyframe bit SET (tag & 1 == 1), version 0, show
-    tag = (len(part1) << 5) | (1 << 4) | 1
+    # inter frame: keyframe bit SET (tag & 1 == 1), show_frame on
+    tag = (len(part1) << 5) | (1 << 4) | (version << 1) | 1
     return bytes(
         [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
     ) + part1 + part2

@@ -362,3 +362,34 @@ def test_ivf_corrupt_rejected():
     ivf = build_ivf([kf], 64, 48)
     with pytest.raises(ValueError):
         parse_ivf(ivf[:-5])  # truncated last frame
+
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_round_trip_bitstream_versions(version):
+    """Versions 1-3 switch the reconstruction profile (bilinear MC;
+    simple/no loop filter; version 3 full-pel): each must round-trip
+    bit-exactly through the version-aware decoder paths."""
+    vid = _video(seed=31 + version)
+    kf, r0 = _keyframe(vid[0], qi=16)
+    refs = {"last": r0, "golden": r0, "altref": r0}
+    p1, r1 = _interframe(
+        vid[1], refs, (64, 48), qi=16, search_range=2,
+        filter_level=10, version=version,
+    )
+    frames = _assert_stream_matches([kf, p1], [r0, r1])
+    assert frames[1]["version"] == version
+
+
+def test_fullpel_version_masks_fractional_mvs():
+    """Version 3: a half-pixel pan still decodes bit-exactly because
+    BOTH sides mask the fractional MV bits at prediction time."""
+    rng = _rng(41)
+    base = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    shift = np.roll(base.astype(np.int64), 1, axis=1)
+    half = ((base.astype(np.int64) + shift) // 2).astype(np.uint8)
+    kf, r0 = _keyframe(base, qi=12)
+    refs = {"last": r0, "golden": r0, "altref": r0}
+    p1, r1 = _interframe(
+        half, refs, (48, 32), qi=12, search_range=2, version=3
+    )
+    _assert_stream_matches([kf, p1], [r0, r1])

@@ -84,6 +84,10 @@ REGATE_R10: list[str] = [
     "q_chow_test",
     "q_breusch_pagan",
     "q_cooks_distance",
+    # NEW r10: stream-stream interval join replay under the gate
+    "q_attribution_replay",
+    # NEW r10: energy distance (two-sample shelf closure)
+    "q_energy_distance",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -161,6 +165,8 @@ PRIORITY: list[str] = [
     "q_chow_test",
     "q_breusch_pagan",
     "q_cooks_distance",
+    "q_attribution_replay",
+    "q_energy_distance",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

@@ -10550,3 +10550,223 @@ def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("double")
     return regression_influence(ev, x, "value")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join replay (round 10: the attribution join
+# under the hard gate)
+# ---------------------------------------------------------------------------
+
+_ATTRIB_REPLAY_SQL = """
+    SELECT c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           c.event_id AS click_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.event_id AS purchase_id,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+#: One replay per (applicationId, sf_dir) — the _SCD2_REPLAY_DONE
+#: convention.
+_ATTRIB_REPLAY_DONE: dict[tuple, str] = {}
+
+
+@_q("q_attribution_replay", _ATTRIB_REPLAY_SQL)
+def q_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the click->purchase interval join under the
+    hard gate: events replay as three CHRONOLOGICAL micro-batches
+    through the watermarked stream-stream join
+    (``streaming/pipeline.py:stream_stream_attribution_join``) —
+    BOTH sides unbounded, state held per side until the watermark
+    proves no more matches can arrive.  Chronological batching keeps
+    every pair's click alive until its purchases have streamed (a
+    purchase within 30 minutes of a click can be at most one batch
+    behind under a 1-hour watermark delay), so the appended output
+    must hash-match the plain batch interval join — the convergence
+    contract that was previously pinned only by pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from conte_to_fresco_etl_spark.streaming.pipeline import (
+        stream_stream_attribution_join,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _ATTRIB_REPLAY_DONE.get(key)
+    if out is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_attrib_replay",
+            hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:16],
+        )
+        src = os.path.join(base, "src")
+        out = os.path.join(base, "out")
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        cut_row = ev.agg(
+            F.percentile(F.unix_timestamp("ts"), 1.0 / 3.0).alias("c1"),
+            F.percentile(F.unix_timestamp("ts"), 2.0 / 3.0).alias("c2"),
+        ).collect()
+        c1, c2 = cut_row[0]["c1"], cut_row[0]["c2"]
+        if c1 is not None:
+            uts = F.unix_timestamp("ts")
+            batches = [
+                ev.filter(uts <= c1),
+                ev.filter((uts > c1) & (uts <= c2)),
+                ev.filter(uts > c2),
+            ]
+        else:
+            batches = [ev]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+
+        def side(etype: str, id_alias: str, extra=None):
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .filter(F.col("event_type") == etype)
+                .select(
+                    "user_id", "ts",
+                    F.col("event_id").alias(id_alias),
+                    *(extra or []),
+                )
+            )
+            return s
+
+        clicks = side("click", "click_id")
+        purchases = side(
+            "purchase", "purchase_id", [F.col("value").alias("amount")]
+        )
+        joined = stream_stream_attribution_join(
+            clicks, purchases, within="30 minutes",
+            watermark_delay="1 hour",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _ATTRIB_REPLAY_DONE[key] = out
+    try:
+        return spark.read.parquet(out).select(
+            "user_id", "click_ts", "click_id",
+            "purchase_ts", "purchase_id", "amount",
+        )
+    except Exception:  # zero matches: carry the schema
+        return spark.createDataFrame(
+            [],
+            "user_id long, click_ts timestamp, click_id long, "
+            "purchase_ts timestamp, purchase_id long, amount double",
+        )
+
+
+_ENERGY_SQL = """
+    WITH vals AS (
+      SELECT event_type = 'purchase' AS isa,
+             ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'error')
+    ),
+    marg AS (
+      SELECT v,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    m2 AS (
+      SELECT v, ca, cb,
+             CAST(ca * CAST(v AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS sva,
+             CAST(cb * CAST(v AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS svb
+      FROM marg
+    ),
+    t AS (
+      SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+             SUM(sva) AS ta, SUM(svb) AS tb
+      FROM m2
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(ca) OVER (ORDER BY v) AS cum_ca,
+             SUM(cb) OVER (ORDER BY v) AS cum_cb,
+             SUM(sva) OVER (ORDER BY v) AS cum_sva,
+             SUM(svb) OVER (ORDER BY v) AS cum_svb
+      FROM m2
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(CAST(ca AS DOUBLE) * (
+          (v * CAST(cum_cb AS DOUBLE) - CAST(cum_svb AS DOUBLE))
+          + ((CAST(t.tb AS DOUBLE) - CAST(cum_svb AS DOUBLE))
+             - v * (CAST(t.n_b AS DOUBLE) - CAST(cum_cb AS DOUBLE)))
+        ), 6) AS DECIMAL(38,6)) AS txy,
+        CAST(ROUND(CAST(ca AS DOUBLE) * (
+          (v * CAST(cum_ca AS DOUBLE) - CAST(cum_sva AS DOUBLE))
+          + ((CAST(t.ta AS DOUBLE) - CAST(cum_sva AS DOUBLE))
+             - v * (CAST(t.n_a AS DOUBLE) - CAST(cum_ca AS DOUBLE)))
+        ), 6) AS DECIMAL(38,6)) AS txx,
+        CAST(ROUND(CAST(cb AS DOUBLE) * (
+          (v * CAST(cum_cb AS DOUBLE) - CAST(cum_svb AS DOUBLE))
+          + ((CAST(t.tb AS DOUBLE) - CAST(cum_svb AS DOUBLE))
+             - v * (CAST(t.n_b AS DOUBLE) - CAST(cum_cb AS DOUBLE)))
+        ), 6) AS DECIMAL(38,6)) AS tyy
+      FROM cum, t
+    ),
+    agg AS (
+      SELECT MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+             SUM(txy) AS sxy, SUM(txx) AS sxx, SUM(tyy) AS syy
+      FROM t LEFT JOIN terms ON TRUE
+      GROUP BY ALL
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             CAST(sxy AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS e_xy,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             CAST(sxx AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)), 6)
+           END AS e_xx,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             CAST(syy AS DOUBLE)
+             / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS e_yy,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN ROUND(
+             2.0 * (CAST(sxy AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             - CAST(sxx AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+             - CAST(syy AS DOUBLE)
+               / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS energy_dist
+    FROM agg
+"""
+
+
+@_q("q_energy_distance", _ENERGY_SQL)
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample energy distance between purchase and error value
+    distributions — the moment-free any-difference test, with every
+    pairwise-distance expectation collapsed onto one prefix scan of
+    the value marginal (nothing pairwise ever materializes)."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        energy_distance_1d,
+    )
+
+    return energy_distance_1d(
+        _events(spark, sf_dir), "event_type", "value", "purchase", "error"
+    )

@@ -4403,3 +4403,133 @@ def test_welch_anova_robust_where_classic_inflates(spark):
     w = welch_anova(df, "g", "v").collect()[0]
     assert w["f_stat"] is not None and w["f_stat"] < 4.0
     assert w["df2"] < 10  # df driven by the small noisy group
+
+
+def test_wasserstein_matches_brute_force(spark):
+    """W1 from the prefix-scan segments equals the brute-force
+    quantile-coupling integral on a small two-group sample."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import wasserstein_1d
+
+    rng = np.random.default_rng(5)
+    a = np.round(rng.normal(10, 2, 40), 4)
+    b = np.round(rng.normal(12, 3, 25), 4)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    # brute force: integral of |F_a - F_b| over the merged grid
+    grid = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    assert got["n_a"] == 40 and got["n_b"] == 25
+    assert abs(got["w1"] - w1) < 1e-4
+
+
+def test_energy_distance_matches_brute_force(spark):
+    """The marginal-collapsed energy distance equals the O(n²)
+    pairwise definition (V-statistic form) on a small sample —
+    nothing pairwise runs in the operator, so this is the shape
+    proof."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        energy_distance_1d,
+    )
+
+    rng = np.random.default_rng(9)
+    a = np.round(rng.normal(0, 1, 30), 4)
+    b = np.round(rng.normal(1, 2, 20), 4)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = energy_distance_1d(df, "g", "v", "a", "b").collect()[0]
+    exy = float(np.abs(a[:, None] - b[None, :]).mean())
+    exx = float(np.abs(a[:, None] - a[None, :]).mean())
+    eyy = float(np.abs(b[:, None] - b[None, :]).mean())
+    assert abs(got["e_xy"] - exy) < 1e-4
+    assert abs(got["e_xx"] - exx) < 1e-4
+    assert abs(got["e_yy"] - eyy) < 1e-4
+    assert abs(got["energy_dist"] - (2 * exy - exx - eyy)) < 1e-4
+    # identical distributions -> distance ~ 0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in a],
+        "g string, v double",
+    )
+    z = energy_distance_1d(same, "g", "v", "a", "b").collect()[0]
+    assert abs(z["energy_dist"]) < 1e-9
+
+
+def test_brown_forsythe_prefers_median_under_skew(spark):
+    """Construct equal-variance-by-median groups where one group has
+    heavy right-skew: Brown-Forsythe (median center) must report a
+    SMALLER statistic than mean-centered Levene — the robustness the
+    variant exists for."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import (
+        brown_forsythe,
+        levene_test,
+    )
+
+    rng = np.random.default_rng(3)
+    sym = rng.normal(0, 1, 200)
+    skew = np.concatenate([rng.normal(0, 1, 180), rng.lognormal(2, 1, 20)])
+    rows = [("sym", float(v)) for v in sym] + [
+        ("skew", float(v)) for v in skew
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    bf = brown_forsythe(df, "g", "v").collect()[0]["w_stat"]
+    lv = levene_test(df, "g", "v").collect()[0]["w_stat"]
+    assert bf is not None and lv is not None
+    assert bf < lv
+
+
+def test_dagostino_k2_flags_heavy_tails(spark):
+    """A near-normal group must score a far smaller K² than a
+    heavy-tailed one at the same n; both z-components finite."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import dagostino_k2
+
+    rng = np.random.default_rng(11)
+    rows = [("norm", float(v)) for v in rng.normal(0, 1, 500)] + [
+        ("heavy", float(v)) for v in rng.standard_t(2, 500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["group"]: r for r in dagostino_k2(df, "g", "v").collect()}
+    assert out["norm"]["k2_stat"] < out["heavy"]["k2_stat"]
+    for r in out.values():
+        assert r["z_skew"] is not None and r["z_kurt"] is not None
+
+
+def test_chow_detects_planted_break(spark):
+    """A noisy slope flip at the known break point must yield a large
+    Chow F, a homogeneous noisy series a small one, and a PERFECT
+    piecewise fit (zero split SSR) the guarded NULL."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.robust import chow_test
+
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0, 1, 100)
+    rows_break = [
+        (float(t), float((t if t < 50 else 100 - t) + noise[t]))
+        for t in range(100)
+    ]
+    rows_flat = [
+        (float(t), float(2 * t + 1 + noise[t])) for t in range(100)
+    ]
+    rows_exact = [
+        (float(t), float(t if t < 50 else 100 - t)) for t in range(100)
+    ]
+    db = spark.createDataFrame(rows_break, "x double, v double")
+    dfl = spark.createDataFrame(rows_flat, "x double, v double")
+    dex = spark.createDataFrame(rows_exact, "x double, v double")
+    fb = chow_test(db, F.col("x"), "v", split_at=50.0).collect()[0]
+    ff = chow_test(dfl, F.col("x"), "v", split_at=50.0).collect()[0]
+    fe = chow_test(dex, F.col("x"), "v", split_at=50.0).collect()[0]
+    assert fb["chow_f"] is not None and fb["chow_f"] > 100
+    assert ff["chow_f"] is not None and ff["chow_f"] < 5
+    assert fe["chow_f"] is None and fe["ssr_split"] == 0.0

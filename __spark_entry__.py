@@ -88,6 +88,8 @@ REGATE_R10: list[str] = [
     "q_attribution_replay",
     # NEW r10: energy distance (two-sample shelf closure)
     "q_energy_distance",
+    # NEW r10: partial autocorrelation over the gated ACF values
+    "q_pacf",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -167,6 +169,7 @@ PRIORITY: list[str] = [
     "q_cooks_distance",
     "q_attribution_replay",
     "q_energy_distance",
+    "q_pacf",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

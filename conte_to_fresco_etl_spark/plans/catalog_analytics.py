@@ -10770,3 +10770,80 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return energy_distance_1d(
         _events(spark, sf_dir), "event_type", "value", "purchase", "error"
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (round 10: AR-order diagnostic over the
+# gated ACF values)
+# ---------------------------------------------------------------------------
+
+_PACF_SQL = f"""
+    WITH acf AS ({_ACF_SQL}),
+    r AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN acf END) AS r3,
+             MAX(CASE WHEN lag = 1 THEN n_pairs END) AS n_pairs_1
+      FROM acf
+    ),
+    l2 AS (
+      SELECT r1, r2, r3, n_pairs_1,
+             CASE WHEN 1.0 - r1 * r1 <> 0.0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+      FROM r
+    ),
+    l3 AS (
+      SELECT r1, r2, r3, n_pairs_1, p2,
+             r1 - p2 * r1 AS phi21
+      FROM l2
+    )
+    SELECT CAST(n_pairs_1 AS BIGINT) AS n_pairs_1,
+           ROUND(r1, 6) AS pacf_1,
+           ROUND(p2, 6) AS pacf_2,
+           CASE WHEN 1.0 - phi21 * r1 - p2 * r2 <> 0.0
+                THEN ROUND((r3 - phi21 * r2 - p2 * r1)
+                           / (1.0 - phi21 * r1 - p2 * r2), 6)
+           END AS pacf_3
+    FROM l3
+"""
+
+
+@_q("q_pacf", _PACF_SQL)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3, by the Durbin-Levinson recursion unrolled in closed form over
+    the SAME ROUND(6)-pinned ACF values q_acf gates — the AR-order
+    diagnostic (where does the PACF cut off) next to q_acf's MA view.
+    The 3-row ACF table pivots to one row (bounded) and everything
+    after is scalar algebra; no new data pass."""
+    from conte_to_fresco_etl_spark.operators.gapfill import autocorrelation
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    acf = autocorrelation(daily, "day", "x", max_lag=3)
+    r = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+        F.max(F.when(F.col("lag") == 1, F.col("n_pairs"))).alias(
+            "n_pairs_1"
+        ),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = F.when(
+        F.lit(1.0) - r1 * r1 != 0.0, (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    )
+    phi21 = r1 - p2 * r1
+    p3_den = F.lit(1.0) - phi21 * r1 - p2 * r2
+    return r.select(
+        F.col("n_pairs_1").cast("long").alias("n_pairs_1"),
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(p2, 6).alias("pacf_2"),
+        F.when(
+            p3_den != 0.0,
+            F.round((r3 - phi21 * r2 - p2 * r1) / p3_den, 6),
+        ).alias("pacf_3"),
+    )

@@ -555,6 +555,8 @@ BNLJ_ALLOWED = {
     "q_cooks_distance",         # six-moment fit row (1-row broadcast)
     "q_energy_distance",        # group totals (1-row broadcast) + the
                                 # prefix-sum offsets triangular join
+    "q_pacf",                   # daily-series mean/denominator
+                                # (1-row broadcasts, the q_acf shape)
     "q_acf",                    # series mean + denominator (1-row each)
     "q_heldout_nll",            # train-LM totals (1-row broadcast)
     "q_ks_test",                # group totals (1-row broadcast) + the

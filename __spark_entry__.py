@@ -90,6 +90,8 @@ REGATE_R10: list[str] = [
     "q_energy_distance",
     # NEW r10: partial autocorrelation over the gated ACF values
     "q_pacf",
+    # NEW r10: Alexander-Govern k-sample test (robust k-sample corner)
+    "q_alexander_govern",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -170,6 +172,7 @@ PRIORITY: list[str] = [
     "q_attribution_replay",
     "q_energy_distance",
     "q_pacf",
+    "q_alexander_govern",
     "q_theil_sen",
     "q_hodges_lehmann",
     "q_runs_test",

@@ -7847,3 +7847,83 @@ def energy_distance_1d(
             "energy_dist"
         ),
     )
+
+
+def alexander_govern(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Alexander-Govern k-sample test of equal means under UNEQUAL
+    variances: each group's t-score against the variance-weighted
+    grand mean passes through Hill's normalizing transformation and
+    A = Σ z_i² is χ²(k−1) — the normal-scores sibling of
+    [[q_welch_anova]] (better calibrated at small/imbalanced n_i),
+    completing the k-sample corner with q_anova / q_kruskal_wallis.
+    Output — ONE row: ``(n, k_groups, a_stat)`` (ROUND 6).
+
+    Scale posture: ONE map-combinable sufficient-stat collapse to k
+    rows (n, Σv, Σv² decimal-exact); the variance-weighted grand mean
+    is a 1-row aggregate over the k-row table crossed back
+    (structurally proven bounded); Hill's transform is per-group
+    scalar algebra — t pinned ROUND(12) so both engines walk one IEEE
+    sqrt/ln polynomial tree."""
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.round(F.col(value_col).cast("double"), 4).alias("__v"),
+    )
+    v = F.col("__v")
+    per_g = vals.groupBy("__g").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,4)")).alias("__s1"),
+        F.sum(F.round(v * v, 8).cast("decimal(38,8)")).alias("__s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s1").cast("double") / nd
+    m2 = F.col("__s2").cast("double") / nd - mean * mean
+    se2 = F.round(m2 * nd / (nd - 1.0) / nd, 12)
+    stats = per_g.select(
+        "__g", "n",
+        F.round(mean, 12).alias("__m"),
+        se2.alias("__se2"),
+    ).filter((F.col("n") >= 2) & (F.col("__se2") > 0))
+    grand = stats.agg(
+        F.round(
+            F.sum(F.col("__m") / F.col("__se2"))
+            / F.sum(F.lit(1.0) / F.col("__se2")),
+            12,
+        ).alias("__grand"),
+    )
+    t = F.round(
+        (F.col("__m") - F.col("__grand")) / F.sqrt(F.col("__se2")), 12
+    )
+    vdf = F.col("n").cast("double") - 1.0
+    a = vdf - 0.5
+    b = 48.0 * (a * a)
+    c = F.sqrt(a * F.log(1.0 + (t * t) / vdf))
+    c2 = c * c
+    c3 = c2 * c
+    c5 = c3 * c2
+    c7 = c5 * c2
+    z = (
+        c
+        + (c3 + 3.0 * c) / b
+        - (4.0 * c7 + 33.0 * c5 + 240.0 * c3 + 855.0 * c)
+        / (10.0 * (b * b) + 8.0 * (b * (c2 * c2)) + 1000.0 * b)
+    )
+    zt = stats.crossJoin(broadcast(grand)).select(
+        "n", F.round(z * z, 12).cast("decimal(28,12)").alias("__z2")
+    )
+    out = zt.agg(
+        F.sum("n").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum("__z2").alias("__a"),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.when(
+            F.col("k_groups") >= 2,
+            F.round(F.col("__a").cast("double"), 6),
+        ).alias("a_stat"),
+    )

@@ -10847,3 +10847,78 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((r3 - phi21 * r2 - p2 * r1) / p3_den, 6),
         ).alias("pacf_3"),
     )
+
+
+_AG_SQL = """
+    WITH vals AS (
+      SELECT event_type AS g, ROUND(CAST(value AS DOUBLE), 4) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(ROUND(v * v, 8) AS DECIMAL(38,8))) AS s2
+      FROM vals GROUP BY g
+    ),
+    st AS (
+      SELECT g, n,
+             ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 12) AS m,
+             ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+                   / CAST(n AS DOUBLE), 12) AS se2
+      FROM per_g
+    ),
+    ok AS (
+      SELECT * FROM st WHERE n >= 2 AND se2 > 0
+    ),
+    gr AS (
+      SELECT ROUND(SUM(m / se2) / SUM(1.0 / se2), 12) AS grand FROM ok
+    ),
+    tt AS (
+      SELECT n, ROUND((m - grand) / sqrt(se2), 12) AS t,
+             CAST(n AS DOUBLE) - 1.0 AS vdf
+      FROM ok, gr
+    ),
+    hc AS (
+      SELECT n,
+             vdf - 0.5 AS a,
+             48.0 * ((vdf - 0.5) * (vdf - 0.5)) AS b,
+             sqrt((vdf - 0.5) * ln(1.0 + (t * t) / vdf)) AS c
+      FROM tt
+    ),
+    hz AS (
+      SELECT n,
+             c + ((c * c) * c + 3.0 * c) / b
+               - (4.0 * ((((c * c) * c) * (c * c)) * (c * c))
+                  + 33.0 * (((c * c) * c) * (c * c))
+                  + 240.0 * ((c * c) * c) + 855.0 * c)
+                 / (10.0 * (b * b)
+                    + 8.0 * (b * ((c * c) * (c * c)))
+                    + 1000.0 * b) AS z
+      FROM hc
+    ),
+    agg AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k,
+             SUM(CAST(ROUND(z * z, 12) AS DECIMAL(28,12))) AS a_sum
+      FROM hz
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CASE WHEN k >= 2 THEN ROUND(CAST(a_sum AS DOUBLE), 6)
+           END AS a_stat
+    FROM agg
+"""
+
+
+@_q("q_alexander_govern", _AG_SQL)
+def q_alexander_govern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alexander-Govern equal-means test across event types under
+    unequal variances: per-group t against the variance-weighted grand
+    mean through Hill's normalizing transform, A = Σz² — the
+    small-sample-calibrated sibling of q_welch_anova."""
+    from conte_to_fresco_etl_spark.operators.robust import (
+        alexander_govern,
+    )
+
+    return alexander_govern(_events(spark, sf_dir), "event_type", "value")

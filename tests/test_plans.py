@@ -557,6 +557,8 @@ BNLJ_ALLOWED = {
                                 # prefix-sum offsets triangular join
     "q_pacf",                   # daily-series mean/denominator
                                 # (1-row broadcasts, the q_acf shape)
+    "q_alexander_govern",       # variance-weighted grand mean
+                                # (1-row broadcast over the k-row table)
     "q_acf",                    # series mean + denominator (1-row each)
     "q_heldout_nll",            # train-LM totals (1-row broadcast)
     "q_ks_test",                # group totals (1-row broadcast) + the

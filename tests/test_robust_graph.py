@@ -4533,3 +4533,38 @@ def test_chow_detects_planted_break(spark):
     assert fb["chow_f"] is not None and fb["chow_f"] > 100
     assert ff["chow_f"] is not None and ff["chow_f"] < 5
     assert fe["chow_f"] is None and fe["ssr_split"] == 0.0
+
+
+def test_alexander_govern_behavior(spark):
+    """Equal-mean groups (even with unequal variances) must score a
+    far smaller A than groups with a planted mean shift; the perfectly
+    balanced two-group case must agree in ORDER with the t-statistic
+    intuition."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.robust import alexander_govern
+
+    rng = np.random.default_rng(13)
+    null_rows = (
+        [("a", float(v)) for v in rng.normal(5, 1, 80)]
+        + [("b", float(v)) for v in rng.normal(5, 4, 60)]
+        + [("c", float(v)) for v in rng.normal(5, 0.5, 40)]
+    )
+    alt_rows = (
+        [("a", float(v)) for v in rng.normal(5, 1, 80)]
+        + [("b", float(v)) for v in rng.normal(8, 4, 60)]
+        + [("c", float(v)) for v in rng.normal(2, 0.5, 40)]
+    )
+    dn = spark.createDataFrame(null_rows, "g string, v double")
+    da = spark.createDataFrame(alt_rows, "g string, v double")
+    an = alexander_govern(dn, "g", "v").collect()[0]
+    aa = alexander_govern(da, "g", "v").collect()[0]
+    assert an["k_groups"] == 3 and aa["k_groups"] == 3
+    assert an["a_stat"] < 10  # ~ chi2(2) under the null
+    assert aa["a_stat"] > 100
+    # a singleton group (n=1) is excluded, not NaN-poisoning
+    one = spark.createDataFrame(
+        null_rows + [("d", 3.0)], "g string, v double"
+    )
+    ao = alexander_govern(one, "g", "v").collect()[0]
+    assert ao["k_groups"] == 3 and ao["a_stat"] is not None

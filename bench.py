@@ -4,11 +4,16 @@
 JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is forced with a count() (full pipeline execution, no
+Each query is forced with a noop-sink write (full pipeline execution, no
 collect-to-driver cost for wide results).  A warmup query absorbs JVM/
-codegen startup, and each query's reported time is the MIN of two
-consecutive runs: run-to-run noise on this box is ±20%, and min-of-2 is
-the standard steady-state estimator (noise is strictly additive).
+codegen startup, and each query's reported time is the MIN of its runs:
+noise on this box is strictly additive, so min is the steady-state
+estimator.  Two runs by default; when the first two disagree by more
+than 1.5x the query gets a THIRD run — round-10 showed in-suite tail
+timings can swing up to ~8x same-code (a GC/compaction pause landing in
+one run), and min-of-2 cannot tell an 8.8s reading from the query's true
+1.9s floor.  The adaptive third run resolves exactly those cases without
+paying 3x wall-clock on the ~95% of queries whose two runs agree.
 """
 
 from __future__ import annotations
@@ -55,8 +60,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for qi, name in enumerate(HEADLINE):
-        best = None
-        for _ in range(2):
+        runs: list[float] = []
+        # 2 runs normally; a 3rd when the first two disagree >1.5x (a
+        # GC pause or compaction landed in one of them — the min of two
+        # such runs is still not a steady-state reading, see docstring).
+        while len(runs) < 2 or (
+            len(runs) == 2 and max(runs) > 1.5 * min(runs)
+        ):
             # clearCache between runs: operators persist() intermediates,
             # and Spark's CacheManager matches identical plans — without
             # this, run 2 would measure a cache hit, not the query.
@@ -69,9 +79,8 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         # Deterministic block reclamation: clearCache above frees only
         # CacheManager entries; localCheckpoint RDD blocks survive it
         # and, left alone, accumulate across 347 queries x 2 runs in the
@@ -105,7 +114,12 @@ def main() -> None:
             fh, indent=1, sort_keys=True,
         )
 
-    budget = 2800
+    # 1800, not 2800: the driver's tail capture is 2000 bytes — a longer
+    # line arrives mid-truncated and the driver records parsed=null (it
+    # did, every round from r4 to r10).  1800 leaves headroom for the
+    # trailing newline and any stray prefix byte while still carrying
+    # the ~40 slowest queries inline; BENCH_FULL.json has the rest.
+    budget = 1800
     by_cost = sorted(timings, key=lambda n: -timings[n])
     shown: dict[str, float] = {}
     for name in by_cost:

@@ -36,6 +36,7 @@ compatible with the similarity/dedup operators (dedup.py, similarity.py).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -52,6 +53,21 @@ Codec = Callable[[bytes, str], np.ndarray]
 
 #: Fixed output grid for decode/resize fakes (H, W).
 _FAKE_DIM = 8
+
+#: Per-ROW decode budget (bytes).  Arrow already caps the BATCH at
+#: ``spark.sql.execution.arrow.maxBytesPerBatch`` (64 MiB default,
+#: pinned in session.DEFAULT_CONF), but a batch cannot split a single
+#: row — one pathological multi-hundred-MB media cell in a real crawl
+#: would still materialize whole in the Python worker AND the decoded
+#: array can be larger than the payload (entropy-coded formats).  Rows
+#: over this limit are never handed to a codec: ``decode_stats`` emits
+#: them as skip-with-reason rows (byte-identity columns still computed,
+#: n_values=0, skip_reason set), and the feature walkers drop or
+#: null them per their documented contract.  Override with
+#: ``SPARK_GRAFT_MAX_DECODE_BYTES`` or per-call ``max_bytes=``.
+MAX_DECODE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MAX_DECODE_BYTES", str(32 << 20))
+)
 
 
 def strict_codec(payload: bytes, modality: str) -> np.ndarray:
@@ -663,18 +679,29 @@ def fake_codec(payload: bytes, modality: str) -> np.ndarray:
     )
 
 
-def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
+def decode_stats(
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    max_bytes: int | None = None,
+) -> DataFrame:
     """Decode each payload and emit summary stats — the minimal
     decode-then-reduce pattern (schema: id, modality, n_bytes,
-    payload_md5, n_values, mean, std).  One Arrow round-trip; payloads
-    never leave the executor.
+    payload_md5, n_values, mean, std, skip_reason).  One Arrow
+    round-trip; payloads never leave the executor.
 
     ``n_bytes`` and ``payload_md5`` are computed FROM THE PAYLOAD BYTES
     inside the same Arrow batch as the decode: they pin, per row, that
     the binary column crossing the Python boundary is byte-identical to
     the source — the SQL-expressible half of the operator that the
     DuckDB oracle gates exactly (plans/catalog_text.py:q_media_decode),
-    while the codec-dependent half (mean/std) stays Python-verified."""
+    while the codec-dependent half (mean/std) stays Python-verified.
+
+    Memory contract: a payload larger than ``max_bytes`` (default
+    :data:`MAX_DECODE_BYTES`) is never handed to the codec — its row
+    still appears, with the byte-identity columns filled, ``n_values``
+    0, null mean/std, and ``skip_reason`` naming the limit.  No silent
+    drops: every input row is accounted for in the output."""
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -686,6 +713,7 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
                 "n_values": [],
                 "mean": [],
                 "std": [],
+                "skip_reason": [],
             }
             for mid, mod, payload in zip(
                 pdf["media_id"], pdf["modality"], pdf["payload"]
@@ -693,24 +721,34 @@ def decode_stats(df: DataFrame, codec: Codec = strict_codec) -> DataFrame:
                 if payload is None:
                     continue
                 raw = bytes(payload)
+                out["media_id"].append(mid)
+                out["modality"].append(mod)
+                out["n_bytes"].append(len(raw))
+                out["payload_md5"].append(hashlib.md5(raw).hexdigest())
+                if len(raw) > limit:
+                    out["n_values"].append(0)
+                    out["mean"].append(None)
+                    out["std"].append(None)
+                    out["skip_reason"].append(
+                        f"oversize: {len(raw)} bytes > max_bytes={limit}"
+                    )
+                    continue
                 # float64 stats regardless of decode dtype: float32
                 # accumulation would quantize the mean per batch shape,
                 # while the float64 value is the one a SQL oracle can
                 # recompute exactly
                 arr = codec(raw, mod).astype(np.float64)
-                out["media_id"].append(mid)
-                out["modality"].append(mod)
-                out["n_bytes"].append(len(raw))
-                out["payload_md5"].append(hashlib.md5(raw).hexdigest())
                 out["n_values"].append(int(arr.size))
                 out["mean"].append(float(arr.mean()))
                 out["std"].append(float(arr.std()))
+                out["skip_reason"].append(None)
             yield pd.DataFrame(out)
 
     return ensure_min_parallelism(df.select("media_id", "modality", "payload"), DENSE_BYTES_PER_TASK).mapInPandas(
         batches,
         schema="media_id long, modality string, n_bytes long, "
-        "payload_md5 string, n_values long, mean double, std double",
+        "payload_md5 string, n_values long, mean double, std double, "
+        "skip_reason string",
     )
 
 
@@ -825,7 +863,10 @@ def container_stats(df: DataFrame) -> DataFrame:
 
 
 def extract_features(
-    df: DataFrame, codec: Codec = strict_codec, dim: int = 64
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    dim: int = 64,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Decode → fixed-width feature vector (``array<float>``), the
     embedding-column producer: output feeds similarity.brute_force_topk /
@@ -833,7 +874,13 @@ def extract_features(
 
     The fake path flattens/pads the decoded array to ``dim`` — a real
     deployment swaps in a model forward pass per Arrow batch (the batch
-    boundary is exactly where GPU batching would sit)."""
+    boundary is exactly where GPU batching would sit).
+
+    Memory contract: payloads over ``max_bytes`` (default
+    :data:`MAX_DECODE_BYTES`) are not decoded; their row is emitted
+    with a NULL embedding so downstream joins can count/route them
+    (``decode_stats`` carries the per-row reason)."""
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -843,7 +890,12 @@ def extract_features(
             ):
                 if payload is None:
                     continue
-                flat = codec(bytes(payload), mod).ravel().astype(np.float32)
+                raw = bytes(payload)
+                if len(raw) > limit:
+                    ids.append(mid)
+                    vecs.append(None)
+                    continue
+                flat = codec(raw, mod).ravel().astype(np.float32)
                 vec = np.zeros(dim, dtype=np.float32)
                 vec[: min(dim, flat.size)] = flat[:dim]
                 ids.append(mid)
@@ -859,7 +911,10 @@ def extract_features(
 
 
 def ahash_signatures(
-    df: DataFrame, codec: Codec = strict_codec, bits: int = 32
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    bits: int = 32,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """(media_id, ahash: long) — perceptual average-hash per image.
 
@@ -878,6 +933,7 @@ def ahash_signatures(
     if bits < 1 or bits > 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
     weights = (1 << np.arange(bits, dtype=np.int64))
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -887,7 +943,10 @@ def ahash_signatures(
             ):
                 if payload is None or mod != "image":
                     continue
-                arr = codec(bytes(payload), mod)
+                raw = bytes(payload)
+                if len(raw) > limit:
+                    continue  # accounted via decode_stats.skip_reason
+                arr = codec(raw, mod)
                 if arr.ndim == 3 and arr.shape[2] == 3:
                     px = arr.astype(np.int64)
                     gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) >> 2
@@ -998,7 +1057,10 @@ def ahash_neardup_pairs(
 
 
 def audio_energy_signatures(
-    df: DataFrame, codec: Codec = strict_codec, n_windows: int = 32
+    df: DataFrame,
+    codec: Codec = strict_codec,
+    n_windows: int = 32,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """(media_id, ehash: long) — energy-hash fingerprint per audio clip:
     decode PCM samples, recover exact integers (the codec normalizes by
@@ -1012,6 +1074,7 @@ def audio_energy_signatures(
     if n_windows < 1 or n_windows > 63:
         raise ValueError(f"n_windows must be in [1, 63], got {n_windows}")
     weights = (1 << np.arange(n_windows, dtype=np.int64))
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1021,7 +1084,10 @@ def audio_energy_signatures(
             ):
                 if payload is None or mod != "audio":
                     continue
-                arr = codec(bytes(payload), mod)
+                raw = bytes(payload)
+                if len(raw) > limit:
+                    continue  # accounted via decode_stats.skip_reason
+                arr = codec(raw, mod)
                 ints = np.rint(
                     arr.astype(np.float64).ravel() * 32768.0
                 ).astype(np.int64)
@@ -1063,11 +1129,13 @@ def resize_images(
     width: int,
     height: int,
     codec: Codec = strict_codec,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-emit as binary (float32
     bytes in the fake path; a real codec would re-encode).  Keeps the
     MEDIA_SCHEMA shape so resized outputs flow back into the same
     pipeline."""
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1077,7 +1145,10 @@ def resize_images(
             ):
                 if payload is None or mod != "image":
                     continue
-                img = codec(bytes(payload), mod)
+                raw = bytes(payload)
+                if len(raw) > limit:
+                    continue  # accounted via decode_stats.skip_reason
+                img = codec(raw, mod)
                 ys = (np.arange(height) * img.shape[0] // height).clip(
                     0, img.shape[0] - 1
                 )
@@ -1097,12 +1168,14 @@ def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,
     codec: Codec = strict_codec,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (row
     explosion happens inside the Arrow batch, not via ``explode`` on a
     materialized frame array — frames never exist as one giant row).
     Frame count derives from ``meta.duration_ms``; the fake 'frame' is
     the decoded grid perturbed per frame index."""
+    limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1112,9 +1185,12 @@ def sample_frames(
             ):
                 if payload is None or mod != "video":
                     continue
+                raw = bytes(payload)
+                if len(raw) > limit:
+                    continue  # accounted via decode_stats.skip_reason
                 duration = (meta or {}).get("duration_ms") or 0
                 n_frames = max(1, int(duration // every_ms))
-                base = codec(bytes(payload), mod)
+                base = codec(raw, mod)
                 for i in range(n_frames):
                     ids.append(mid)
                     idxs.append(i)

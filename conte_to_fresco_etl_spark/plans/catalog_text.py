@@ -1221,6 +1221,87 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The per-row decode budget gated end-to-end: every 7th document's PPM
+# payload is padded past the 64-byte test budget, so decode_stats must
+# emit it as a skip-with-reason row (byte-identity columns computed
+# from the padded bytes, n_values 0, NULL mean, the exact reason
+# string) while the in-budget rows decode normally.  The oracle
+# recomputes BOTH behaviors — including the reason text — from the same
+# md5-derived payload construction.  Padded payloads are not valid PPMs
+# (trailing junk): the oracle matching proves the codec never saw them.
+_MEDIA_BUDGET_SQL = f"""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             '{_PPM_HEADER}' || substr(md5(text), 1, 12) ||
+               CASE WHEN doc_id % 7 = 0 THEN repeat('x', 200) ELSE '' END
+               AS s,
+             substr(md5(text), 1, 12) AS px,
+             (doc_id % 7 = 0) AS oversize
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT media_id, s, oversize,
+             list_transform(generate_series(1, 12),
+                            i -> CAST(ascii(substr(px, i, 1)) AS DOUBLE))
+               AS vals
+      FROM d
+    )
+    SELECT media_id,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           md5(s) AS payload_md5,
+           CAST(CASE WHEN oversize THEN 0 ELSE 12 END AS BIGINT)
+             AS n_values,
+           CASE WHEN oversize THEN NULL
+                ELSE ROUND(list_sum(vals) / 12.0, 6) END AS mean,
+           CASE WHEN oversize
+                THEN 'oversize: ' ||
+                     CAST(octet_length(encode(s)) AS VARCHAR) ||
+                     ' bytes > max_bytes=64'
+                ELSE NULL END AS skip_reason
+    FROM p
+"""
+
+@_q("q_media_budget", _MEDIA_BUDGET_SQL)
+def q_media_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media walkers' memory contract as a declared query: payloads
+    over the decode budget never reach the codec but are never silently
+    dropped either — decode_stats accounts them with byte-identity
+    columns plus a reason string.  Every 7th payload is padded past a
+    64-byte budget (and is NOT a valid PPM — trailing junk after the
+    pixel bytes — so a budget breach would crash the decode rather than
+    pass); the oracle recomputes the split, the padded lengths/md5s,
+    and the reason text itself."""
+    from conte_to_fresco_etl_spark.operators.media import (
+        decode_stats,
+        numpy_codec,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode(
+            F.concat(
+                F.lit(_PPM_HEADER),
+                F.substring(F.md5(F.col("text")), 1, 12),
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.lit("x" * 200)
+                ).otherwise(F.lit("")),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    out = decode_stats(media, codec=numpy_codec, max_bytes=64)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "payload_md5",
+        "n_values",
+        F.round("mean", 6).alias("mean"),
+        "skip_reason",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Container triage over real OGG-Opus / MP4 payloads (the walkers'
 # driver row): per-document fixture containers are built byte-for-byte

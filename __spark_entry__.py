@@ -108,6 +108,9 @@ REGATE_R11: list[str] = [
     "q_media_decode",
     "q_media_features",
     "q_media_budget",
+    # density-adaptive LSH banding (the r11 scaling-bench fix): the
+    # banded candidate set changed, so the driver re-proves the gate
+    "q_embedding_neardup_lsh",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -150,6 +153,7 @@ PRIORITY: list[str] = [
     "q_media_decode",
     "q_media_features",
     "q_media_budget",
+    "q_embedding_neardup_lsh",
     # --- round-10 window below ---
     # Head: the 20 r9 deferrals (never driver-checked), then
     # REGATE_R10 (execution paths touched by the block-cleanup
@@ -480,7 +484,6 @@ PRIORITY: list[str] = [
     "q_dedup_exact",
     "q_doc_profile",
     "q_dq_report",
-    "q_embedding_neardup_lsh",
     "q_except_customers",
     "q_exitcode_case",
     "q_hostlist_parse",

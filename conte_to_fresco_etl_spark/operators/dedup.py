@@ -851,6 +851,10 @@ def embedding_lsh_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    adaptive_bits: bool = False,
+    target_bucket: int = 64,
+    min_bits: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the scale
     default (nothing is ever collected to the driver).
@@ -873,16 +877,50 @@ def embedding_lsh_neardup_pairs(
     are seeded driver-side constants shipped in the plan closure, so a
     DuckDB oracle can mirror the exact candidate set from the same
     literals (plans/catalog_text.py:q_embedding_neardup_lsh).
+
+    Density-adaptive banding (``adaptive_bits=True``) — the knob that
+    keeps this linear at scale: with FIXED band width the key space is
+    constant, so expected candidates grow as n²/2^bits per band — the
+    r11 one-decade bench measured 37x wall-clock at 10x rows (~100x
+    pair work) on exactly this.  When adaptive, each band owns a
+    ``n_planes/bands``-bit signature segment but only its LOW ``bits``
+    are the bucket key, with ``bits = clamp(ceil(log2(n /
+    target_bucket)), min_bits, segment)`` derived from one count of the
+    input (free from table stats on a real warehouse).  Bucket sizes
+    stay ~target_bucket as n grows → candidates O(n·target_bucket).
+    The formula is one clamp + one log2, so a SQL oracle derives the
+    SAME bits from its own COUNT(*) and the candidate set stays exactly
+    gated.  Recall narrows as bits widen (the standard LSH trade:
+    p_band = p_bit^bits) — widen ``n_planes`` to add bands if the
+    operating point needs recall back.
+
+    ``max_bucket`` (independent, default off) drops (band, key) buckets
+    larger than the cap before the self-join — the skew guard for
+    CLUSTERED corpora where one dense region floods a bucket even at
+    the adaptive width.  Dropped buckets are exact-countable from the
+    signatures (``groupBy(band, key).count() > max_bucket``) — account
+    them next to the result rather than trusting the cap silently.
     """
+    import math
+
     from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes
 
     planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
-    bits_per_band = n_planes // bands
-    mask = (1 << bits_per_band) - 1
+    segment = n_planes // bands
 
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
     )
+    if adaptive_bits:
+        n = vecs.count()
+        bits_per_band = min(
+            segment,
+            max(min_bits, math.ceil(math.log2(max(n, 1) / target_bucket)))
+            if n > target_bucket else min_bits,
+        )
+    else:
+        bits_per_band = segment
+    mask = (1 << bits_per_band) - 1
 
     def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(n_planes)
@@ -904,7 +942,10 @@ def embedding_lsh_neardup_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * bits_per_band)
+                # each band owns a fixed SEGMENT of the signature; only
+                # the low bits_per_band of it form the bucket key, so
+                # adaptive narrowing never makes bands share planes
+                F.shiftright(F.col("sig"), b * segment)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
@@ -912,6 +953,22 @@ def embedding_lsh_neardup_pairs(
         ]
     )
     exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+    if max_bucket is not None:
+        # the bucket-size table is bounded by bands * 2^bits rows —
+        # broadcastable by construction
+        fits = (
+            exploded.groupBy(
+                F.col("b.band").alias("__band"), F.col("b.key").alias("__key")
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+        )
+        exploded = exploded.join(
+            F.broadcast(fits),
+            (F.col("b.band") == F.col("__band"))
+            & (F.col("b.key") == F.col("__key")),
+            "left_semi",
+        )
     l, r = exploded.alias("l"), exploded.alias("r")
     cand = (
         l.join(

@@ -417,9 +417,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hyperplane literals shared by the Spark plan and the oracle: the SAME
 # seeded floats parameterize both engines, so the banded candidate set
 # is identical and the gate is exact (not a recall approximation).
+# r11: 48 planes (4 bands x 12-bit segments) with DENSITY-ADAPTIVE band
+# width — both engines derive bits = clamp(ceil(log2(n/64)), 4, 12)
+# from their own count of the corpus, so bucket sizes stay ~64 as n
+# grows and candidates stay O(n) (the fixed 4-bit keys measured ~100x
+# pair work at 10x rows in the r11 one-decade bench).  The clamp means
+# the gate sf (n=200) runs at the 4-bit floor while sf1 runs at 9 bits,
+# one formula gated at every scale.
 from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes  # noqa: E402
 
-_EMB_PLANES = make_hyperplanes(dim=64, n_planes=16, seed=42)
+_EMB_PLANES = make_hyperplanes(dim=64, n_planes=48, seed=42)
 _EMB_SIG_SQL = "\n           + ".join(
     f"(CASE WHEN list_dot_product(e, ["
     + ", ".join(repr(float(x)) for x in p)
@@ -427,12 +434,19 @@ _EMB_SIG_SQL = "\n           + ".join(
     for i, p in enumerate(_EMB_PLANES)
 )
 _EMB_BANDS_SQL = "\n      UNION ALL\n".join(
-    f"SELECT vec_id, (sig >> {b * 4}) & 15 AS key, {b} AS band FROM s"
+    f"SELECT vec_id, (sig >> {b * 12}) & ((CAST(1 AS BIGINT) << bits) - 1)"
+    f" AS key, {b} AS band FROM s, p"
     for b in range(4)
 )
 
 _NEARDUP_LSH_SQL = f"""
     WITH {_VEC_CTE},
+    p AS (
+      SELECT LEAST(12, GREATEST(4,
+               CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 64.0)) AS BIGINT)
+             )) AS bits
+      FROM n WHERE e IS NOT NULL
+    ),
     s AS (
       SELECT vec_id, {_EMB_SIG_SQL} AS sig FROM n
     ),
@@ -460,14 +474,19 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs >= 0.35 via banded hyperplane LSH — the
     scale-default path (no driver collect; narrow bucket-key shuffle).
     The oracle mirrors the band join from the same plane literals, so
-    the candidate set — not just the scores — is gated exactly."""
+    the candidate set — not just the scores — is gated exactly; the
+    r11 density-adaptive band width (bits from log2(n), same clamp
+    formula in both engines) keeps bucket sizes ~64 and candidate
+    counts O(n) at any corpus size (the fixed-width form measured 37x
+    wall-clock at 10x rows — see SCALE.md r11)."""
     from conte_to_fresco_etl_spark.operators.dedup import (
         embedding_lsh_neardup_pairs,
     )
 
     return embedding_lsh_neardup_pairs(
         _t(spark, sf_dir, "embeddings"),
-        threshold=0.35, dim=64, n_planes=16, bands=4, seed=42,
+        threshold=0.35, dim=64, n_planes=48, bands=4, seed=42,
+        adaptive_bits=True, target_bucket=64, min_bits=4,
     )
 
 

@@ -111,6 +111,8 @@ REGATE_R11: list[str] = [
     # density-adaptive LSH banding (the r11 scaling-bench fix): the
     # banded candidate set changed, so the driver re-proves the gate
     "q_embedding_neardup_lsh",
+    # NEW r11: the corpus-scale hard-negative miner (LSH candidates)
+    "q_hard_negatives_lsh",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -154,6 +156,7 @@ PRIORITY: list[str] = [
     "q_media_features",
     "q_media_budget",
     "q_embedding_neardup_lsh",
+    "q_hard_negatives_lsh",
     # --- round-10 window below ---
     # Head: the 20 r9 deferrals (never driver-checked), then
     # REGATE_R10 (execution paths touched by the block-cleanup

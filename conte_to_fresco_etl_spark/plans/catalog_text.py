@@ -553,8 +553,22 @@ _LSH_ANN_SQL_TEMPLATE = """
 # the approximate top-k admits an exact oracle: DuckDB rebuilds the same
 # band keys from the same seeded hyperplanes and must reproduce the
 # candidate sets, scores, and ranking bit-for-bit.
+# q_lsh_ann_topk keeps the FIXED 16-plane / 4-bit form (its own
+# fragments below — the shared _EMB_* fragments moved to 48-plane
+# adaptive banding in r11): the first 16 rows of the seed-42 plane set
+# are identical in both, so these literals equal the pre-r11 ones.
+_LSH16_SIG_SQL = "\n           + ".join(
+    f"(CASE WHEN list_dot_product(e, ["
+    + ", ".join(repr(float(x)) for x in p)
+    + f"]) > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i, p in enumerate(make_hyperplanes(dim=64, n_planes=16, seed=42))
+)
+_LSH16_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"SELECT vec_id, (sig >> {b * 4}) & 15 AS key, {b} AS band FROM s"
+    for b in range(4)
+)
 _LSH_ANN_SQL = _LSH_ANN_SQL_TEMPLATE.format(
-    vec_cte=_VEC_CTE, sig_sql=_EMB_SIG_SQL, bands_sql=_EMB_BANDS_SQL
+    vec_cte=_VEC_CTE, sig_sql=_LSH16_SIG_SQL, bands_sql=_LSH16_BANDS_SQL
 )
 
 @_q("q_lsh_ann_topk", _LSH_ANN_SQL)
@@ -4216,6 +4230,78 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hard_negative_topk(
         _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0, k=5
+    )
+
+
+# The SCALE path for hard-negative mining: the exact miner above is
+# anchors x corpus (O(n²) with a fractional anchor set — 55x wall-clock
+# at 10x rows in the r11 one-decade bench); this one generates
+# candidates through the SAME density-adaptive sign-LSH bands as
+# q_embedding_neardup_lsh (shared plane literals + the count-derived
+# bits clamp), then exact-scores, label-filters, and ranks only the
+# candidates.  Deterministic given the literals, so the approximate
+# result is gated bit-for-bit.
+_HARDNEG_LSH_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    ),
+    p AS (
+      SELECT LEAST(12, GREATEST(4,
+               CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 64.0)) AS BIGINT)
+             )) AS bits
+      FROM n WHERE e IS NOT NULL
+    ),
+    s AS (
+      SELECT vec_id, {_EMB_SIG_SQL} AS sig FROM n
+    ),
+    bands AS (
+      {_EMB_BANDS_SQL}
+    ),
+    qb AS (SELECT * FROM bands WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS neighbor_id, q.vec_id AS query_id
+      FROM bands c JOIN qb q ON c.band = q.band AND c.key = q.key
+                            AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+      SELECT query_id, neighbor_id, neighbor_label, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+               AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(a.label AS BIGINT) AS neighbor_label,
+               ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                     END, 6) AS cosine
+        FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+                  JOIN n b ON cand.query_id = b.vec_id
+        WHERE a.label <> b.label
+      )
+    ) WHERE rank <= 5
+"""
+
+@_q("q_hard_negatives_lsh", _HARDNEG_LSH_SQL)
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through density-adaptive LSH candidates —
+    the corpus-scale sibling of q_hard_negatives (which stays as the
+    exact yardstick, like q_ann_topk for the top-k family).  Candidate
+    generation, exact rescoring, label filter, and ranking are all
+    deterministic from the shared plane literals, so the oracle gates
+    the whole approximate pipeline bit-for-bit."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        hard_negative_topk_lsh,
+    )
+
+    return hard_negative_topk_lsh(
+        _t(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0, k=5,
+        dim=64, n_planes=48, bands=4, seed=42,
+        adaptive_bits=True, target_bucket=64, min_bits=4,
     )
 
 

@@ -1343,3 +1343,55 @@ def test_silhouette_bounds_and_separation(spark):
     for lbl in (0, 1):
         assert -1.0 <= bad[lbl] <= good[lbl] <= 1.0
         assert good[lbl] > 0.99  # far-apart clusters: s -> 1
+
+
+def test_hard_negative_topk_lsh_contract(spark, sf_dir):
+    """The LSH miner obeys the hard-negative contract on real data:
+    every returned neighbor carries a DIFFERENT label than its anchor,
+    ranks are dense 1..<=k per anchor ordered by (cosine desc, id asc),
+    the result is a label-filtered subset of the LSH candidate space
+    (precision 1 on scores: exact cosine is applied), and the whole
+    pipeline is deterministic across invocations."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    out = hard_negative_topk_lsh(
+        emb, F.col("vec_id") % 100 == 0, k=5
+    ).collect()
+    assert out, "miner returned nothing on the fixture corpus"
+    by_q: dict = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ordered = sorted(
+            rows, key=lambda r: (-r["cosine"], r["neighbor_id"])
+        )
+        assert [r["neighbor_id"] for r in ordered] == [
+            r["neighbor_id"] for r in rows
+        ]
+    # determinism (seeded planes, count-derived bits)
+    again = hard_negative_topk_lsh(
+        emb, F.col("vec_id") % 100 == 0, k=5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # the exact miner at the same anchors: any LSH hit it also returns
+    # must agree on the score (precision of the rescoring)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in hard_negative_topk(
+            emb, F.col("vec_id") % 100 == 0, k=5
+        ).collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9

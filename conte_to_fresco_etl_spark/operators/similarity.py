@@ -186,9 +186,36 @@ def make_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def resolve_n_centroids(
+    corpus: DataFrame,
+    n_centroids: int | str,
+    vec_col: str = "embedding",
+    min_centroids: int = 8,
+    max_centroids: int = 65536,
+) -> int:
+    """Resolve ``n_centroids="auto"`` to ``clamp(round(sqrt(n)), min,
+    max)`` from one count of the corpus — the standard IVF sizing rule
+    (cluster size AND probe cost both O(sqrt n)).  The r11 one-decade
+    bench measured the cost of NOT scaling this: a gate-sized fixed-8
+    quantizer puts n/8 vectors in every list, so probes approach brute
+    force as the corpus grows (q_ivf_ann_topk ran 12.6x at 10x rows).
+    Like the adaptive LSH bits clamp, the formula is count-derived and
+    engine-neutral, so a SQL oracle can mirror it; the GATED IVF
+    queries keep their fixed gate-sized quantizers because their
+    oracles pin literals at the gate sf (documented in SCALE.md r11).
+    Integer values pass through untouched."""
+    if isinstance(n_centroids, int):
+        return n_centroids
+    if n_centroids != "auto":
+        raise ValueError(f"n_centroids must be an int or 'auto', got "
+                         f"{n_centroids!r}")
+    n = corpus.filter(F.col(vec_col).isNotNull()).count()
+    return min(max_centroids, max(min_centroids, round(math.sqrt(max(n, 1)))))
+
+
 def seed_centroids(
     corpus: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | str = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "cent",
@@ -206,6 +233,7 @@ def seed_centroids(
     corpus collect.  Quality: hash-seeded centroids are k-means|| step
     0; pass them to ``train_ivf_centroids`` when list balance matters
     more than oracle exactness."""
+    n_centroids = resolve_n_centroids(corpus, n_centroids, vec_col)
     h = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
         1,
@@ -259,7 +287,7 @@ def spherical_kmeans_core(
 
 def train_ivf_centroids(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
@@ -282,6 +310,7 @@ def train_ivf_centroids(
     below 1M rows, so at 100 TB the driver still only ever pulls a
     bounded sample — the corpus itself never leaves the executors
     during *search*, only this capped training read."""
+    n_centroids = resolve_n_centroids(corpus, n_centroids, vec_col)
     df = corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
     if sample_fraction < 1.0:
         bucket = F.conv(

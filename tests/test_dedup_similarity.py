@@ -1395,3 +1395,25 @@ def test_hard_negative_topk_lsh_contract(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_resolve_n_centroids_auto(spark, sf_dir):
+    """n_centroids='auto' resolves to clamp(round(sqrt(n)), 8, 65536) —
+    the IVF sizing rule the r11 scaling bench motivated (fixed-size
+    quantizers make probe cost approach brute force as n grows)."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        resolve_n_centroids,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    want = min(65536, max(8, round(math.sqrt(n))))
+    assert resolve_n_centroids(emb, "auto") == want
+    assert resolve_n_centroids(emb, 8) == 8  # ints pass through
+    with pytest.raises(ValueError, match="auto"):
+        resolve_n_centroids(emb, "sqrt")
+    cents = seed_centroids(emb, n_centroids="auto")
+    assert cents.shape[0] == want

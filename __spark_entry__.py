@@ -113,6 +113,8 @@ REGATE_R11: list[str] = [
     "q_embedding_neardup_lsh",
     # NEW r11: the corpus-scale hard-negative miner (LSH candidates)
     "q_hard_negatives_lsh",
+    # NEW r11: the sqrt(n)-sized IVF quantizer, gated at every scale
+    "q_ivf_auto_topk",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -157,6 +159,7 @@ PRIORITY: list[str] = [
     "q_media_budget",
     "q_embedding_neardup_lsh",
     "q_hard_negatives_lsh",
+    "q_ivf_auto_topk",
     # --- round-10 window below ---
     # Head: the 20 r9 deferrals (never driver-checked), then
     # REGATE_R10 (execution paths touched by the block-cleanup

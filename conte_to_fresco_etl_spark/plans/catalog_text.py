@@ -674,6 +674,101 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sqrt(n)-sized quantizer GATED (r11): the fixed-8 IVF queries keep
+# gate-sized quantizers by oracle design, which the one-decade bench
+# showed approaching brute force as n grows (cluster size n/8).  Here
+# BOTH engines derive n_centroids = clamp(round(sqrt(n)), 8, 65536)
+# from their own count — Python round() is banker's but sqrt(int) is
+# never exactly .5, so the two rounds agree — and the hash-ranked seed
+# draw stays a pure function of the table, so assignment, probes, and
+# ranking remain exactly oracle-checkable at EVERY corpus size.
+_IVF_AUTO_SQL = f"""
+    WITH {_VEC_CTE},
+    nc AS (
+      SELECT LEAST(65536, GREATEST(8,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+             )) AS k
+      FROM n WHERE e IS NOT NULL
+    ),
+    ranked AS (
+      SELECT n.*,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15),
+                        vec_id
+             ) AS hr
+      FROM n
+    ),
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm, CAST(hr AS BIGINT) - 1 AS c
+      FROM ranked, nc WHERE hr <= nc.k
+    ),
+    d AS (
+      SELECT n.vec_id, cents.c,
+             ROUND(CASE WHEN n.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(n.e, cents.ce)
+                             / (n.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM n CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                     END, 6) AS cosine
+        FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
+                  JOIN n b ON cand.query_id = b.vec_id
+      )
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ivf_auto_topk", _IVF_AUTO_SQL)
+def q_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the sqrt(n)-sized quantizer — the deployment form
+    of the IVF family: probe cost stays O(sqrt n) per query instead of
+    O(n/8), and the sizing rule itself (resolve_n_centroids) sits
+    inside the driver gate because both engines derive the same
+    centroid count from their own count of the corpus."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivf_topk,
+        seed_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids="auto")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _ivf_trained_sql() -> str | None:
     """Oracle for the PRODUCTION quantizer path: retrain the identical
     spherical-k-means centroids from the gate tables WITHOUT Spark

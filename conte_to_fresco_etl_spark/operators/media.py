@@ -700,7 +700,9 @@ def decode_stats(
     :data:`MAX_DECODE_BYTES`) is never handed to the codec — its row
     still appears, with the byte-identity columns filled, ``n_values``
     0, null mean/std, and ``skip_reason`` naming the limit.  No silent
-    drops: every input row is accounted for in the output."""
+    drops among decodable inputs: every NON-NULL payload row is
+    accounted for in the output (null payloads are filtered out before
+    the decode pass — pre-existing behavior the schema test pins)."""
     limit = MAX_DECODE_BYTES if max_bytes is None else max_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -422,8 +422,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from their own count of the corpus, so bucket sizes stay ~64 as n
 # grows and candidates stay O(n) (the fixed 4-bit keys measured ~100x
 # pair work at 10x rows in the r11 one-decade bench).  The clamp means
-# the gate sf (n=200) runs at the 4-bit floor while sf1 runs at 9 bits,
-# one formula gated at every scale.
+# the gate sf0.01 (n=500: ceil(log2(500/64)) = 3, clamped up) runs at
+# the 4-bit floor, sf0.1 (n=2000) at 5 bits, and sf1 (n=20000) at
+# 9 bits — one formula gated at every scale.
 from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes  # noqa: E402
 
 _EMB_PLANES = make_hyperplanes(dim=64, n_planes=48, seed=42)
@@ -684,31 +685,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking remain exactly oracle-checkable at EVERY corpus size.
 _IVF_AUTO_SQL = f"""
     WITH {_VEC_CTE},
+    -- nn: null-filtered universe — the Spark side (seed_centroids /
+    -- ivf_topk) drops null embeddings before ranking seeds, assigning
+    -- cells, or emitting candidates, so a rank<=k gate must rank and
+    -- probe over the same filtered set
+    nn AS (SELECT * FROM n WHERE e IS NOT NULL),
     nc AS (
       SELECT LEAST(65536, GREATEST(8,
                CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
              )) AS k
-      FROM n WHERE e IS NOT NULL
+      FROM nn
     ),
     ranked AS (
-      SELECT n.*,
+      SELECT nn.*,
              ROW_NUMBER() OVER (
                ORDER BY substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15),
                         vec_id
              ) AS hr
-      FROM n
+      FROM nn
     ),
     cents AS (
       SELECT e AS ce, nrm AS cnrm, CAST(hr AS BIGINT) - 1 AS c
       FROM ranked, nc WHERE hr <= nc.k
     ),
     d AS (
-      SELECT n.vec_id, cents.c,
-             ROUND(CASE WHEN n.nrm * cents.cnrm = 0 THEN 0.0
-                        ELSE list_dot_product(n.e, cents.ce)
-                             / (n.nrm * cents.cnrm)
+      SELECT nn.vec_id, cents.c,
+             ROUND(CASE WHEN nn.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(nn.e, cents.ce)
+                             / (nn.nrm * cents.cnrm)
                    END, 6) AS d
-      FROM n CROSS JOIN cents
+      FROM nn CROSS JOIN cents
     ),
     assign AS (
       SELECT vec_id, c FROM (
@@ -740,8 +746,8 @@ _IVF_AUTO_SQL = f"""
                ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
                           ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
                      END, 6) AS cosine
-        FROM cand JOIN n a ON cand.neighbor_id = a.vec_id
-                  JOIN n b ON cand.query_id = b.vec_id
+        FROM cand JOIN nn a ON cand.neighbor_id = a.vec_id
+                  JOIN nn b ON cand.query_id = b.vec_id
       )
     ) WHERE rank <= 5
 """
@@ -4338,9 +4344,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is gated bit-for-bit.
 _HARDNEG_LSH_SQL = f"""
     WITH v AS (
+      -- null-filtered universe: the Spark side drops null embeddings
+      -- before signing/banding, so a rank<=k gate must too (a null row
+      -- would otherwise band into key 0 and perturb candidate sets)
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     n AS (
       SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
@@ -4349,7 +4358,7 @@ _HARDNEG_LSH_SQL = f"""
       SELECT LEAST(12, GREATEST(4,
                CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 64.0)) AS BIGINT)
              )) AS bits
-      FROM n WHERE e IS NOT NULL
+      FROM n
     ),
     s AS (
       SELECT vec_id, {_EMB_SIG_SQL} AS sig FROM n

@@ -139,11 +139,12 @@ def main() -> None:
                     break
                 runs.append(dt)
             row = out.setdefault(name, {})
-            if timed_out and not runs:
-                row[scale_key] = None
+            # a timeout is recorded even when a partial reading is kept:
+            # min-of-1 (or an unresolved adaptive 3rd run) must not
+            # present itself as a confirmed min-of-2
+            if timed_out:
                 row.setdefault("timeout", []).append(scale_key)
-            else:
-                row[scale_key] = round(min(runs), 3)
+            row[scale_key] = round(min(runs), 3) if runs else None
             sweep_persisted(spark)
             if (qi + 1) % 25 == 0:
                 spark._jvm.System.gc()

@@ -1383,7 +1383,16 @@ def hard_negative_topk_lsh(
     bands → distinct (query, neighbor) → re-attach vectors/labels by id
     → exact cosine (Arrow batch einsum) → rank window per anchor.
     Nothing is collected to the driver; the shuffle carries bucket keys
-    and id pairs, never vectors."""
+    and id pairs, never vectors.
+
+    Block hygiene: this operator persists NOTHING — the banded
+    signature table feeds both join sides, so its one-matmul-per-vector
+    scan is recomputed once per side rather than cached (r11 persisted
+    it and leaked a block per invocation in long-lived sessions;
+    tests/test_cleanup.py pins the leak-free contract).  A caller
+    mining repeatedly against the same corpus should stage the
+    signature table themselves (write it out, or persist + unpersist
+    around the batch of calls)."""
     planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
     segment = n_planes // bands
 
@@ -1428,7 +1437,7 @@ def hard_negative_topk_lsh(
     )
     exploded = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("b")
-    ).persist()
+    )
     anchors = base.filter(query_pred).select(F.col(id_col).alias("__qid"))
     qb = exploded.join(
         F.broadcast(anchors), exploded[id_col] == anchors["__qid"]

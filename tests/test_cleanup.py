@@ -217,3 +217,34 @@ def test_bench_style_sweep_across_staged_dedup_family(spark):
         spark.catalog.clearCache()
         assert catalog.QUERIES[name](spark, sf_dir).count() == counts[name]
     sweep_persisted(spark)
+
+
+def test_hard_negative_lsh_leaves_no_live_blocks(spark, sf_dir):
+    """The r11 LSH hard-negative miner persisted its banded signature
+    table and never unpersisted it — a leaked block per invocation in
+    a long-lived session (the bench harness's sweep hid it).  The
+    operator now persists nothing: no net live blocks after the call
+    returns, AND none after the result is fully consumed, across
+    repeated invocations."""
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        hard_negative_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = _persisted_ids(spark)
+    first = None
+    for _ in range(3):
+        out = hard_negative_topk_lsh(
+            emb, F.col("vec_id") % 100 == 0, k=5,
+            dim=64, n_planes=48, bands=4, seed=42,
+        )
+        # building the plan must not leave blocks behind
+        assert _persisted_ids(spark) - base == set()
+        got = out.count()
+        if first is None:
+            first = got
+        assert got == first  # recompute-per-side is deterministic
+        # consuming it must not either (no persist, no checkpoint)
+        assert _persisted_ids(spark) - base == set()

@@ -851,7 +851,7 @@ def embedding_lsh_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
-    adaptive_bits: bool = False,
+    adaptive_bits: bool = True,
     target_bucket: int = 64,
     min_bits: int = 4,
     max_bucket: int | None = None,
@@ -878,11 +878,16 @@ def embedding_lsh_neardup_pairs(
     DuckDB oracle can mirror the exact candidate set from the same
     literals (plans/catalog_text.py:q_embedding_neardup_lsh).
 
-    Density-adaptive banding (``adaptive_bits=True``) — the knob that
-    keeps this linear at scale: with FIXED band width the key space is
-    constant, so expected candidates grow as n²/2^bits per band — the
-    r11 one-decade bench measured 37x wall-clock at 10x rows (~100x
-    pair work) on exactly this.  When adaptive, each band owns a
+    Density-adaptive banding (``adaptive_bits=True``, the DEFAULT since
+    r12) — the knob that keeps this linear at scale: with FIXED band
+    width the key space is constant, so expected candidates grow as
+    n²/2^bits per band — the r11 one-decade bench measured 37x
+    wall-clock at 10x rows (~100x pair work) on exactly this, through
+    the library default of the time (``adaptive_bits=False``); the
+    scale-safe form is now what a direct caller gets.  Pass
+    ``adaptive_bits=False`` only where a FIXED key width is pinned by
+    an external contract (e.g. an oracle with hard-coded band
+    literals).  When adaptive, each band owns a
     ``n_planes/bands``-bit signature segment but only its LOW ``bits``
     are the bucket key, with ``bits = clamp(ceil(log2(n /
     target_bucket)), min_bits, segment)`` derived from one count of the

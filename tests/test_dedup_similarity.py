@@ -174,11 +174,46 @@ def test_embedding_lsh_adaptive_bits(spark, sf_dir):
     narrow = {
         (r["id_a"], r["id_b"])
         for r in embedding_lsh_neardup_pairs(
-            emb, threshold=0.35, n_planes=48, bands=4
+            emb, threshold=0.35, n_planes=48, bands=4, adaptive_bits=False
         ).collect()
     }
     assert narrow <= got  # 12-bit buckets are sub-buckets of adaptive
     assert expect_bits <= 12
+
+
+def test_embedding_lsh_adaptive_is_the_default(spark, sf_dir):
+    """The scale-safe banding is the DEFAULT (r12): a direct library
+    call with no banding kwargs gets the density-adaptive form — the
+    fixed-width form (37x wall-clock at 10x rows in the r11 scaling
+    bench) must be an explicit opt-in.  Pinned both by signature
+    introspection and by behavior at a plane count where the two forms
+    differ."""
+    import inspect
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    sig = inspect.signature(embedding_lsh_neardup_pairs)
+    assert sig.parameters["adaptive_bits"].default is True
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # at 48/4 (12-bit segments) and this n, adaptive narrows to
+    # clamp(ceil(log2(n/64)), 4, 12) < 12 bits: the default call must
+    # produce the adaptive candidate set, not the fixed 12-bit one
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=48, bands=4
+        ).collect()
+    }
+    adaptive = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=48, bands=4, adaptive_bits=True
+        ).collect()
+    }
+    assert default_pairs == adaptive
 
 
 def test_embedding_lsh_max_bucket_skew_guard(spark):

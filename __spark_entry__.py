@@ -117,6 +117,33 @@ REGATE_R11: list[str] = [
     "q_ivf_auto_topk",
 ]
 
+# Queries modified (or newly registered) in round 12.  Every name here
+# MUST also sit inside PRIORITY[:50]; tests/test_plans.py::
+# test_priority_window_accounting enforces that mechanically.
+#
+# r12's change is the IVF auto-quantizer migration (the r11 verdict's
+# top ask): the production-shaped gated IVF family now sizes its
+# quantizer clamp(round(sqrt n), 8, 65536) from a count on BOTH
+# engines, plus the null-embedding oracle fix (rank-based LSH/IVF
+# oracles now rank over the same null-filtered universe Spark uses),
+# the adaptive-banding library default flip, and the persist-hygiene
+# fix in hard_negative_topk_lsh.
+REGATE_R12: list[str] = [
+    # NEW r12: IVF-PQ behind the sqrt(n) coarse quantizer — the
+    # deployment form of the compressed-domain family
+    "q_ivfpq_auto_topk",
+    # migrated to n_centroids='auto' (oracle re-derives k from count)
+    "q_ivf_trained_topk",
+    "q_ivf_served_topk",
+    # oracle null-filter fix (rank-based candidate universe)
+    "q_ivf_auto_topk",
+    # oracle null-filter fix + the operator is now persist-free
+    "q_hard_negatives_lsh",
+    # operator default flipped to adaptive_bits=True (catalog call was
+    # already explicit — regated so the driver re-proves the gate)
+    "q_embedding_neardup_lsh",
+]
+
 # Queries registered AFTER this round's 50-slot window filled (none yet
 # in r10; the r9 late wave below has rotated INTO the window head).
 DEFER_NEXT_ROUND: list[str] = []
@@ -148,18 +175,27 @@ _ROTATED_R9_DEFERRALS: list[str] = [
 ]
 
 PRIORITY: list[str] = [
-    # --- round-11 window (the driver checks the first 50) ---
-    # Head: REGATE_R11 (media walkers grew the decode-budget contract;
-    # q_media_budget is this round's only new registration), then the
-    # r10 window entries (all driver-green in CORRECTNESS_r10) in their
-    # prior order — harmless to regate, and the accounting test only
-    # REQUIRES never-checked + REGATE_R11 inside the first 50.
+    # --- round-12 window (the driver checks the first 50) ---
+    # Head: REGATE_R12 (IVF auto-quantizer migration; q_ivfpq_auto_topk
+    # is this round's only new registration), then the yardstick
+    # siblings whose docstrings changed (execution untouched — free
+    # slots), then the r11 window entries (all driver-green in
+    # CORRECTNESS_r11) in their prior order — harmless to regate, and
+    # the accounting test only REQUIRES never-checked + REGATE_R12
+    # inside the first 50.
+    "q_ivfpq_auto_topk",
+    "q_ivf_trained_topk",
+    "q_ivf_served_topk",
+    "q_ivf_auto_topk",
+    "q_hard_negatives_lsh",
+    "q_embedding_neardup_lsh",
+    "q_ivf_ann_topk",
+    "q_pq_topk",
+    "q_ivfpq_topk",
+    # --- round-11 window below ---
     "q_media_decode",
     "q_media_features",
     "q_media_budget",
-    "q_embedding_neardup_lsh",
-    "q_hard_negatives_lsh",
-    "q_ivf_auto_topk",
     # --- round-10 window below ---
     # Head: the 20 r9 deferrals (never driver-checked), then
     # REGATE_R10 (execution paths touched by the block-cleanup
@@ -373,7 +409,6 @@ PRIORITY: list[str] = [
     "q_unigram_nll",
     "q_ngram_novelty",
     "q_embedding_neardup",
-    "q_ivf_served_topk",
     "q_scd2_replay",
     "q_grouping_sets",
     "q_sessionize_attrib",
@@ -402,13 +437,11 @@ PRIORITY: list[str] = [
     "q_zorder_key",
     "q_json_extract",
     "q_editdist_pairs",
-    "q_ivf_trained_topk",
     "q_session_window",
     "q_merge_upsert",
     "q_snapshot_diff",
     "q_boilerplate_frac",
     "q_soft_quality_sample",
-    "q_pq_topk",
     "q_bpe_apply",
     "q_url_dedup",
     "q_retention",
@@ -427,9 +460,7 @@ PRIORITY: list[str] = [
     "q_quality_propagation",
     "q_group_reservoir",
     "q_lang_confusion",
-    "q_ivf_ann_topk",
     "q_ivf_exhaustive",
-    "q_ivfpq_topk",
     "q_temperature_sample",
     "q_kmeans_step",
     "q_bigram_nll",

@@ -200,10 +200,11 @@ def resolve_n_centroids(
     quantizer puts n/8 vectors in every list, so probes approach brute
     force as the corpus grows (q_ivf_ann_topk ran 12.6x at 10x rows).
     Like the adaptive LSH bits clamp, the formula is count-derived and
-    engine-neutral, so a SQL oracle can mirror it; the GATED IVF
-    queries keep their fixed gate-sized quantizers because their
-    oracles pin literals at the gate sf (documented in SCALE.md r11).
-    Integer values pass through untouched."""
+    engine-neutral, so a SQL oracle can mirror it — since r12 every
+    PRODUCTION-shaped gated IVF query (q_ivf_auto_topk,
+    q_ivf_trained_topk, q_ivf_served_topk, q_ivfpq_auto_topk) sizes its
+    quantizer through this rule, with the fixed-8 forms kept only as
+    documented yardsticks.  Integer values pass through untouched."""
     if isinstance(n_centroids, int):
         return n_centroids
     if n_centroids != "auto":
@@ -1626,7 +1627,7 @@ def served_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     index_path: str,
-    n_centroids: int = 8,
+    n_centroids: int | str = "auto",
     k: int = 5,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -1640,7 +1641,14 @@ def served_ivf_topk(
     through the parquet round trip so the serving path is exercised
     even on a cold start.  Search results are identical to
     ``ivf_topk`` over freshly trained centroids — persistence changes
-    WHEN training costs are paid, never the answer."""
+    WHEN training costs are paid, never the answer.
+
+    ``n_centroids`` defaults to ``"auto"`` (r12): the quantizer is
+    sized clamp(round(sqrt n), 8, 65536) by ``resolve_n_centroids``
+    from one count of the corpus, so probe cost stays O(sqrt n) per
+    query — the r11 one-decade bench measured the fixed-8 serving path
+    at 10.5x wall-clock for 10x rows (every probe scanned n/8
+    vectors)."""
     spark = corpus.sparkSession
     fp = corpus_fingerprint(corpus, id_col, vec_col)
     state = None

@@ -658,7 +658,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``train_ivf_centroids``, recall-tested in tests/test_similarity);
     this catalog entry trades a step of quantizer quality for a HARD
     gate on the whole approximate probe path — cells, probe sets,
-    candidate scoring, ranking."""
+    candidate scoring, ranking.
+
+    YARDSTICK (r12): this fixed-8 form is kept as the small-quantizer
+    reference point the way q_ann_topk anchors brute force — probes
+    scan n/8 vectors, measured 11.9x at 10x rows.  The deployment form
+    is ``q_ivf_auto_topk`` (same search, sqrt(n)-sized quantizer,
+    2.3x at 10x rows)."""
     from conte_to_fresco_etl_spark.operators.similarity import (
         ivf_topk,
         seed_centroids,
@@ -784,7 +790,15 @@ def _ivf_trained_sql() -> str | None:
     pattern.  The gate contract runs oracles at sf0.01, so literals are
     derived from the sf0.01 table; if it is absent (foreign checkout),
     return None and the query falls back to the driver's rows-only
-    check."""
+    check.
+
+    r12: the quantizer is COUNT-SIZED, not fixed-8 — k = clamp(
+    round(sqrt(n)), 8, 65536) from the oracle's own row count, the
+    same ``resolve_n_centroids('auto')`` rule the Spark side applies
+    to its own count, so the two engines derive the same k at every
+    gate sf (the fixed-8 form measured 12.7x wall-clock at 10x rows in
+    the r11 one-decade bench: every probe scanned n/8 vectors)."""
+    import math
     import os
 
     path = os.path.join(
@@ -807,10 +821,11 @@ def _ivf_trained_sql() -> str | None:
             for i, v in zip(cols["vec_id"], cols["embedding"])
             if v is not None
         ]
+        k = min(65536, max(8, round(math.sqrt(max(len(pairs), 1)))))
         cents = spherical_kmeans_core(
             np.array([p[0] for p in pairs]),
             np.array([p[1] for p in pairs], dtype=np.float64),
-            n_centroids=8,
+            n_centroids=k,
             iters=10,
             seed=42,
         )
@@ -882,14 +897,20 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ivf_ann_topk.  The oracle retrains the identical centroids from
     the same table via the shared NumPy core and embeds them as
     literals, closing the r3 gap where only the hash-seeded stand-in
-    quantizer was hash-gated."""
+    quantizer was hash-gated.
+
+    r12: the quantizer is sqrt(n)-SIZED (``n_centroids='auto'`` →
+    clamp(round(sqrt n), 8, 65536) from one count) — the oracle builder
+    derives the same k from its own row count before retraining, so
+    the gate holds at every sf while probe cost stays O(sqrt n) per
+    query (fixed-8 measured 12.7x at 10x rows, BENCH_FULL_SF1 r11)."""
     from conte_to_fresco_etl_spark.operators.similarity import (
         ivf_topk,
         train_ivf_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=8, iters=10, seed=42)
+    cents = train_ivf_centroids(emb, n_centroids="auto", iters=10, seed=42)
     out = ivf_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), cents, k=5, n_probe=4
     )
@@ -907,7 +928,10 @@ def q_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions stop re-paying the training read — at 100 TB retraining
     per job is real money.  Results are identical to
     ``q_ivf_trained_topk`` by construction (parquet doubles round-trip
-    float64 exactly), which is exactly what the shared oracle pins."""
+    float64 exactly), which is exactly what the shared oracle pins.
+    r12: serves the sqrt(n)-sized quantizer (``n_centroids='auto'``),
+    same migration and same count-derived oracle k as the trained
+    form (fixed-8 serving measured 10.5x at 10x rows)."""
     import hashlib
     import os
     import tempfile
@@ -928,7 +952,7 @@ def q_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") % 50 == 0),
         index_path=idx,
-        n_centroids=8,
+        n_centroids="auto",
         k=5,
         n_probe=4,
     )
@@ -1028,7 +1052,15 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook draw (oracle-reconstructable), map-side encode to 8 codes
     per vector, ADC scoring as 8 table lookups per pair instead of a
     64-dim dot product.  The compressed-domain path that lets a 100 TB
-    embedding corpus search from a 32x smaller code table."""
+    embedding corpus search from a 32x smaller code table.
+
+    YARDSTICK (r12): FLAT ADC still scans every code per query —
+    compression shrinks the per-pair constant (D FLOPs → M lookups),
+    not the O(n_q · n) pair count, so this form measured 7.7x at 10x
+    rows and is kept as the compressed-domain brute-force anchor.  The
+    deployment form is ``q_ivfpq_auto_topk``: the same codes behind a
+    sqrt(n)-sized coarse quantizer, so only probed lists are ADC-
+    scored."""
     from conte_to_fresco_etl_spark.operators.similarity import (
         pq_codebooks,
         pq_topk,
@@ -1133,7 +1165,12 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate: the coarse quantizer prunes WHICH vectors are scored, PQ
     compresses HOW each surviving pair is scored; the prunings
     multiply.  The oracle is literal-free — both seeded quantizers are
-    re-derived inside SQL from the table alone."""
+    re-derived inside SQL from the table alone.
+
+    YARDSTICK (r12): fixed-8 coarse stage (probed lists hold n/8
+    codes, 5.5x at 10x rows).  The deployment form is
+    ``q_ivfpq_auto_topk`` — identical codes and ADC, sqrt(n)-sized
+    coarse quantizer."""
     from conte_to_fresco_etl_spark.operators.similarity import (
         ivfpq_topk,
         pq_codebooks,
@@ -1142,6 +1179,136 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = seed_centroids(emb, n_centroids=8)
+    cb = pq_codebooks(emb, m_sub=8, k_sub=16)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), cents, cb, k=5, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", "approx_d2",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# The deployment form of the compressed-domain family: the SAME
+# hash-ranked PQ codebooks and ADC scoring as q_pq_topk/q_ivfpq_topk,
+# behind a COUNT-SIZED coarse quantizer — nc/ranked derive k =
+# clamp(round(sqrt n), 8, 65536) exactly as _IVF_AUTO_SQL does, so each
+# probed list holds ~sqrt(n) codes and per-query ADC work is
+# O(n_probe * sqrt(n) * M) instead of the flat scan's O(n * M).
+# Literal-free: both quantizers re-derive inside SQL from the
+# null-filtered table, so the gate is exact at every corpus size.
+_IVFPQ_AUTO_SQL = f"""
+    WITH {_VEC_CTE},
+    nn AS (SELECT * FROM n WHERE e IS NOT NULL),
+    nc AS (
+      SELECT LEAST(65536, GREATEST(8,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+             )) AS k
+      FROM nn
+    ),
+    ranked AS (
+      SELECT nn.*,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15),
+                        vec_id
+             ) AS hr
+      FROM nn
+    ),
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm, CAST(hr AS BIGINT) - 1 AS c
+      FROM ranked, nc WHERE hr <= nc.k
+    ),
+    cd AS (
+      SELECT nn.vec_id, cents.c,
+             ROUND(CASE WHEN nn.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(nn.e, cents.ce)
+                             / (nn.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM nn CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM cd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ),
+    cb0 AS (
+      SELECT e, CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
+               AS cidx
+      FROM (
+        SELECT *, substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15) AS h
+        FROM nn ORDER BY h, vec_id LIMIT 16
+      )
+    ),
+    cb AS (
+      SELECT u.m AS m, cidx AS c, e[u.m*8+1 : u.m*8+8] AS cw
+      FROM cb0, (SELECT unnest(generate_series(0, 7)) AS m) u
+    ),
+    pd AS (
+      SELECT nn.vec_id, cb.m, cb.c,
+             ROUND(list_sum(list_transform(generate_series(1, 8),
+                   i -> (nn.e[cb.m*8+i] - cb.cw[i])
+                        * (nn.e[cb.m*8+i] - cb.cw[i]))), 6) AS d2
+      FROM nn CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, c ASC) AS rn
+        FROM pd
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(SUM(dq.d2), 6) AS approx_d2
+      FROM cand
+      JOIN codes co ON co.vec_id = cand.neighbor_id
+      JOIN pd dq ON dq.vec_id = cand.query_id
+                AND dq.m = co.m AND dq.c = co.c
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT query_id, neighbor_id, approx_d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_d2 ASC, neighbor_id ASC) AS BIGINT)
+               AS rank
+      FROM adc
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ivfpq_auto_topk", _IVFPQ_AUTO_SQL)
+def q_ivfpq_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the sqrt(n)-sized coarse quantizer — the deployment
+    form of the compressed-domain family (the r12 scale sibling that
+    retires q_pq_topk/q_ivfpq_topk to yardsticks): probe cost per
+    query is O(n_probe * sqrt(n)) code rows, each scored as M table
+    lookups, and both quantizers (count-sized hash-ranked centroids,
+    hash-ranked PQ codebooks) are pure functions of the table that the
+    literal-free oracle re-derives in SQL at any corpus size."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        seed_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids="auto")
     cb = pq_codebooks(emb, m_sub=8, k_sub=16)
     out = ivfpq_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), cents, cb, k=5, n_probe=4

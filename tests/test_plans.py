@@ -498,7 +498,8 @@ def test_catalog_queries_survive_empty_tables(spark, tmp_path):
     probe = [
         # formerly crashed: driver-side empty collections
         "q_ivf_ann_topk", "q_ivf_exhaustive", "q_ivf_trained_topk",
-        "q_ivf_served_topk", "q_ivfpq_topk", "q_pq_topk",
+        "q_ivf_served_topk", "q_ivfpq_topk", "q_ivfpq_auto_topk",
+        "q_pq_topk",
         "q_semantic_dedup", "q_temperature_sample",
         # one representative per major family
         "q1_pricing_summary", "q_minhash_lsh", "q_doc_profile",
@@ -882,7 +883,7 @@ def test_priority_window_accounting():
     (the TPC-H family got zero rows twice).  This test replaces that
     prose with arithmetic: every query that has NEVER had a driver
     CORRECTNESS row, plus every query modified/registered this round
-    (``REGATE_R11``), must sit inside the first 50 registered names.
+    (``REGATE_R12``), must sit inside the first 50 registered names.
     """
     import glob
     import json
@@ -906,14 +907,14 @@ def test_priority_window_accounting():
                 green.add(name)
 
     never_checked = set(registered) - green
-    regated = {n for n in entrymod.REGATE_R11 if n in registered}
+    regated = {n for n in entrymod.REGATE_R12 if n in registered}
     deferred = [n for n in entrymod.DEFER_NEXT_ROUND if n in registered]
     must_gate = (never_checked - set(deferred)) | regated
     outside = sorted(must_gate - window)
     assert not outside, (
         f"{len(outside)} must-gate queries fall OUTSIDE the 50-query driver "
         f"window and will get no CORRECTNESS row this round: {outside}. "
-        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R11 first)."
+        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R12 first)."
     )
     # Deferred late registrations must sit IMMEDIATELY after the window
     # (head of next round's rotation) — r5's late queries sat mid-tail

@@ -51,6 +51,12 @@ produce byte-identical logical content.
 Usage:  python tools/gen_scale_data.py [--src /root/testdata/sf0.1]
                                        [--out .scaledata/sf1]
                                        [--replicas 10]
+
+Second decade (sf10, 100x sf0.1):
+        python tools/gen_scale_data.py --out .scaledata/sf10 --replicas 100
+Replicas r >= 26 switch from Caesar rotations (which repeat mod 26 and
+would create exact cross-replica duplicate texts) to seeded random
+alphabet permutations — see ``_caesar_table``.
 """
 
 from __future__ import annotations
@@ -117,12 +123,37 @@ def gen_relational(src: str, out: str, replicas: int) -> None:
 
 
 def _caesar_table(r: int) -> dict[int, int]:
+    """Per-replica character bijection on the letters.
+
+    r < 26: the Caesar rotation by r (unchanged since r11, so the sf1
+    dataset regenerates byte-identical to the r11 artifacts).
+
+    r >= 26: rotations repeat mod 26, so a 100-replica (sf10) build
+    would hand several replicas the IDENTICAL transform — every base
+    document would gain exact cross-replica duplicates, manufacturing
+    near-dup structure the way the word-suffix generator did.  Those
+    replicas instead use a seeded random permutation of the alphabet
+    (numpy default_rng(1000 + r)): still a character-level bijection —
+    within-replica shingle structure identical to the base corpus —
+    while any two replicas' transforms differ (26! >> replicas, and
+    the identity/rotation cases are re-drawn)."""
     lo = "abcdefghijklmnopqrstuvwxyz"
     hi = lo.upper()
+    if r < 26:
+        perm = [(i + r) % 26 for i in range(26)]
+    else:
+        rng = np.random.default_rng(1000 + r)
+        while True:
+            perm = list(rng.permutation(26))
+            # reject pure rotations (incl. identity): those collide
+            # with a Caesar replica's transform
+            if any((perm[i] - i) % 26 != (perm[0] - 0) % 26
+                   for i in range(26)):
+                break
     table = {}
     for alpha in (lo, hi):
         for i, ch in enumerate(alpha):
-            table[ord(ch)] = ord(alpha[(i + r) % 26])
+            table[ord(ch)] = ord(alpha[perm[i]])
     return table
 
 

@@ -8,6 +8,8 @@ first two disagree >1.5x).
 Writes BENCH_SCALING.json:
   {"sf_small": .., "sf_big": .., "queries":
       {name: {"t_small": s, "t_big": s, "ratio": r}}, ...}
+With --huge (a third scale, e.g. sf10 = 100x rows) each row also gets
+"t_huge" and "ratio2" = t_huge / t_big — the second decade.
 
 ratio = t_big / t_small.  With 10x data on fixed local[32] cores, a
 perfectly linear operator shows ratio <= 10 (less when the sf0.1
@@ -57,6 +59,42 @@ PINNED = [
     "q_jonckheere",
     "q_exact_quantiles",
     "q_spearman_rho",
+    # r12: the migrated sqrt(n) IVF family + the LSH scale siblings —
+    # the production ANN paths whose decade slopes the round is about
+    "q_ivf_auto_topk",
+    "q_ivf_trained_topk",
+    "q_ivf_served_topk",
+    "q_ivfpq_auto_topk",
+    "q_hard_negatives_lsh",
+    # r12: the biggest sf1 movers from BENCH_FULL_SF1 (top by absolute
+    # sf1 cost, not sf0.1 cost — the sf0.1 top-N alone under-selects
+    # constant-amortizing queries whose decade ratio is high)
+    "q_count_min",
+    "q_bpe_apply",
+    "q_tokenizer_fertility",
+    "q_jaccard_prefix",
+    "q_snm_pairs",
+    "q_feature_hashing",
+    "q_opus_activity",
+]
+
+#: Documented exact/fixed-quantizer anchors: kept in the one-decade
+#: table as reference points, but EXCLUDED from the --huge (second
+#: decade) pass — each is a known superlinear yardstick whose scale
+#: sibling is the measured path (q_ann_topk -> LSH/IVF top-k,
+#: q_embedding_neardup -> _lsh, q_hard_negatives -> _lsh, fixed-8
+#: IVF/PQ -> the auto family).  Running one at 100x rows would just
+#: burn the timeout re-proving its own docstring; the skip is recorded
+#: in the row ("t_huge": "skipped-yardstick"), never silent.
+HUGE_SKIP_YARDSTICKS = [
+    "q_ann_topk",
+    "q_embedding_neardup",
+    "q_hard_negatives",
+    "q_ivf_ann_topk",
+    "q_ivf_exhaustive",
+    "q_ivf_served_topk_fixed",  # historical alias; absent today
+    "q_pq_topk",
+    "q_ivfpq_topk",
 ]
 
 
@@ -100,6 +138,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument(
+        "--huge", default=None,
+        help="optional third scale (e.g. .scaledata/sf10, 100x rows): "
+             "adds a t_huge column and a ratio2 = t_huge/t_big — the "
+             "second decade that exposes n*sqrt(n) terms one decade "
+             "can hide",
+    )
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
@@ -124,9 +169,15 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    scales = [("t_small", args.small), ("t_big", args.big)]
+    if args.huge:
+        scales.append(("t_huge", args.huge))
     out: dict[str, dict] = {}
-    for scale_key, sf_dir in (("t_small", args.small), ("t_big", args.big)):
+    for scale_key, sf_dir in scales:
         for qi, name in enumerate(names):
+            if scale_key == "t_huge" and name in HUGE_SKIP_YARDSTICKS:
+                out.setdefault(name, {})[scale_key] = "skipped-yardstick"
+                continue
             runs: list[float] = []
             timed_out = False
             while len(runs) < 2 or (
@@ -156,10 +207,13 @@ def main() -> None:
     for name, row in out.items():
         if row.get("t_small") and row.get("t_big"):
             row["ratio"] = round(row["t_big"] / row["t_small"], 2)
+        if row.get("t_big") and isinstance(row.get("t_huge"), float):
+            row["ratio2"] = round(row["t_huge"] / row["t_big"], 2)
 
     payload = {
         "sf_small": args.small,
         "sf_big": args.big,
+        **({"sf_huge": args.huge} if args.huge else {}),
         "data_ratio": 10,
         "cpus": int(cpus),
         "methodology": "noop sink, min-of-2 (+adaptive 3rd >1.5x), "

@@ -1452,3 +1452,39 @@ def test_resolve_n_centroids_auto(spark, sf_dir):
         resolve_n_centroids(emb, "sqrt")
     cents = seed_centroids(emb, n_centroids="auto")
     assert cents.shape[0] == want
+
+
+def test_trained_and_served_auto_quantizer_agree(spark, sf_dir, tmp_path):
+    """The r12 migration contract: with n_centroids='auto' the trained
+    path sizes its quantizer clamp(round(sqrt n), 8, 65536) from the
+    corpus count, the served path (train -> parquet -> reload) returns
+    bit-identical results, and the quantizer actually HAS sqrt(n)
+    cells — the property that keeps per-probe work O(sqrt n) instead
+    of O(n/8)."""
+    import math
+
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    want_k = min(65536, max(8, round(math.sqrt(n))))
+
+    cents = sim.train_ivf_centroids(emb, n_centroids="auto", iters=10,
+                                    seed=42)
+    assert cents.shape[0] == want_k
+
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    )
+    idx = str(tmp_path / "auto_idx")
+    served = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.served_ivf_topk(
+            emb, queries, index_path=idx, n_centroids="auto", k=5, n_probe=4
+        ).collect()
+    )
+    assert served == direct
+    # the persisted quantizer is the sqrt(n)-sized one
+    assert sim.load_index(spark, idx)["centroids"].shape[0] == want_k

@@ -142,6 +142,14 @@ REGATE_R12: list[str] = [
     # operator default flipped to adaptive_bits=True (catalog call was
     # already explicit — regated so the driver re-proves the gate)
     "q_embedding_neardup_lsh",
+    # r12 second-decade fix: ivf_topk/ivfpq_topk/lsh_topk candidate
+    # generation rewritten from an O(batch x queries) mask to an
+    # inverted-index slice gather (results bit-identical — 8/8 local
+    # parity — but every consumer's execution path changed)
+    "q_ivf_ann_topk",
+    "q_ivf_exhaustive",
+    "q_ivfpq_topk",
+    "q_lsh_ann_topk",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -192,6 +200,8 @@ PRIORITY: list[str] = [
     "q_ivf_ann_topk",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_ivf_exhaustive",
+    "q_lsh_ann_topk",
     # --- round-11 window below ---
     "q_media_decode",
     "q_media_features",
@@ -460,7 +470,6 @@ PRIORITY: list[str] = [
     "q_quality_propagation",
     "q_group_reservoir",
     "q_lang_confusion",
-    "q_ivf_exhaustive",
     "q_temperature_sample",
     "q_kmeans_step",
     "q_bigram_nll",
@@ -527,7 +536,6 @@ PRIORITY: list[str] = [
     "q_interval_join",
     "q_interval_violations",
     "q_jobid_normalize",
-    "q_lsh_ann_topk",
     "q_minhash_lsh",
     "q_minmax_summary",
     "q_ngram_jaccard",

@@ -75,13 +75,48 @@ def _candidate_cosines(
     the candidate count, not the cross product.  Returns (ci, qi,
     rounded cosines) for the candidate pairs."""
     ci, qi = np.nonzero(cand)
+    return ci, qi, _pair_cosines(v, v_norms, q_mat, q_norms, ci, qi)
+
+
+def _pair_cosines(
+    v: np.ndarray,
+    v_norms: np.ndarray,
+    q_mat: np.ndarray,
+    q_norms: np.ndarray,
+    ci: np.ndarray,
+    qi: np.ndarray,
+) -> np.ndarray:
+    """Rounded cosines for explicit (corpus row, query row) index pairs
+    — one fused einsum over the gathered rows, FLOPs = |pairs|."""
     if ci.size == 0:
-        return ci, qi, np.zeros(0)
+        return np.zeros(0)
     num = np.einsum("ij,ij->i", v[ci], q_mat[qi])
     den = v_norms[ci] * q_norms[qi]
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.where(den != 0, num / den, 0.0)
-    return ci, qi, np.round(cos, 6)
+    return np.round(cos, 6)
+
+
+def _slice_gather(
+    row_starts: np.ndarray, row_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand per-row [start, start+count) slices into flat gather
+    indices: returns (row index repeated per slice element, flat
+    positions into the sliced array).  The O(|pairs|) primitive behind
+    inverted-index candidate generation — replaces materializing an
+    O(rows x queries) boolean mask (which the r12 second-decade bench
+    measured at 20-34x wall-clock for 10x rows on the IVF family: the
+    mask itself was brute-force-shaped even when candidates were
+    sqrt(n)-sparse)."""
+    total = int(row_counts.sum())
+    if total == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty
+    rows = np.repeat(np.arange(row_counts.size), row_counts)
+    offs = np.arange(total) - np.repeat(
+        np.cumsum(row_counts) - row_counts, row_counts
+    )
+    return rows, np.repeat(row_starts, row_counts) + offs
 
 
 def _local_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -377,16 +412,32 @@ def ivf_topk(
     # rounded scores keep ascending centroid order
     q_d = _rounded_cosines(q_mat, q_norms, cents, cent_norms)
     probes = np.argsort(-q_d, axis=1, kind="stable")[:, :n_probe]
+    # INVERTED probe index (r12): query indices grouped by probed
+    # centroid, so each corpus row finds its candidate queries with one
+    # O(1) slice lookup on its own cell — work is O(|candidates|).  The
+    # previous (batch x queries x n_probe) equality tensor was
+    # brute-force-shaped no matter how sparse the candidates: the r12
+    # sf10 bench measured the whole sqrt(n)-quantized family at 20-27x
+    # for 10x rows on exactly that mask.
+    flat_c = probes.ravel()
+    flat_q = np.repeat(np.arange(len(q_ids), dtype=np.int64),
+                       probes.shape[1])
+    order = np.argsort(flat_c, kind="stable")
+    inv_q = flat_q[order]
+    cell_bounds = np.searchsorted(
+        flat_c[order], np.arange(len(cents) + 1)
+    ).astype(np.int64)
     bc = corpus.sparkSession.sparkContext.broadcast(
-        (q_ids, q_mat, q_norms, probes)
+        (q_ids, q_mat, q_norms, inv_q, cell_bounds)
     )
 
-    # n_probe >= n_centroids probes every list: the mask is all-True, so
-    # per-pair gathers only add overhead — one BLAS matmul is cheaper.
+    # n_probe >= n_centroids probes every list: every pair is a
+    # candidate, so per-pair gathers only add overhead — one BLAS
+    # matmul is cheaper.
     full_probe = n_probe >= len(cents)
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_qmat, b_qnorms, b_probes = bc.value
+        b_qids, b_qmat, b_qnorms, b_inv_q, b_bounds = bc.value
         for pdf in it:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -400,15 +451,16 @@ def ivf_topk(
                     pair_counter.add(int(v.shape[0]) * int(b_qids.size))
             else:
                 c_assign = assign(v, v_norms)  # (m,)
-                # candidate where the corpus row's list is probed
-                cand = (
-                    c_assign[:, None, None] == b_probes[None, :, :]
-                ).any(axis=2)
-                cand &= c_ids[:, None] != b_qids[None, :]
+                # candidates = queries whose probe set contains the
+                # row's cell: slice the inverted index per row
+                starts = b_bounds[c_assign]
+                counts = b_bounds[c_assign + 1] - starts
+                ci, flat = _slice_gather(starts, counts)
+                qi = b_inv_q[flat]
+                keep = c_ids[ci] != b_qids[qi]
+                ci, qi = ci[keep], qi[keep]
                 # distance math only on probed pairs — never the full matmul
-                ci, qi, cos = _candidate_cosines(
-                    cand, v, v_norms, b_qmat, b_qnorms
-                )
+                cos = _pair_cosines(v, v_norms, b_qmat, b_qnorms, ci, qi)
                 if pair_counter is not None:
                     # + m x n_cents for the batch's own centroid assign
                     pair_counter.add(
@@ -485,24 +537,47 @@ def lsh_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
+    # per-band SORTED query keys + the sort permutation (r12): corpus
+    # rows find band-matching queries via searchsorted ranges — an
+    # O(|collisions|) hash-join shape per batch, replacing the
+    # (batch x queries x bands) equality tensor whose cost was the
+    # cross product even when collisions were sparse (the same
+    # brute-force-shaped mask the sf10 bench caught on the IVF family)
+    q_keys = band_keys(q_mat)  # (nq, bands)
+    q_sort = np.argsort(q_keys, axis=0, kind="stable").astype(np.int64)
+    q_keys_sorted = np.take_along_axis(q_keys, q_sort, axis=0)
     bc = corpus.sparkSession.sparkContext.broadcast(
-        (q_ids, q_mat, q_norms, band_keys(q_mat))
+        (q_ids, q_mat, q_norms, q_keys_sorted, q_sort)
     )
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_qmat, b_qnorms, b_qkeys = bc.value
+        b_qids, b_qmat, b_qnorms, b_qkeys, b_qsort = bc.value
+        nq = b_qids.size
         for pdf in it:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             v_norms = np.sqrt((v * v).sum(axis=1))
             c_keys = band_keys(v)  # (m, bands)
-            # candidate where ANY band key matches (pigeonhole)
-            cand = (c_keys[:, None, :] == b_qkeys[None, :, :]).any(axis=2)
-            cand &= c_ids[:, None] != b_qids[None, :]
+            # candidate where ANY band key matches (pigeonhole): gather
+            # per band, then dedup pairs that collide in several bands
+            parts = []
+            for b in range(bands):
+                lo = np.searchsorted(b_qkeys[:, b], c_keys[:, b], "left")
+                hi = np.searchsorted(b_qkeys[:, b], c_keys[:, b], "right")
+                ci_b, flat = _slice_gather(
+                    lo.astype(np.int64), (hi - lo).astype(np.int64)
+                )
+                if ci_b.size:
+                    parts.append(ci_b * nq + b_qsort[flat, b])
+            if parts:
+                pair_key = np.unique(np.concatenate(parts))
+                ci, qi = pair_key // nq, pair_key % nq
+                keep = c_ids[ci] != b_qids[qi]
+                ci, qi = ci[keep], qi[keep]
+            else:
+                ci = qi = np.zeros(0, dtype=np.int64)
             # distance math only on colliding pairs — never the full matmul
-            ci, qi, cos = _candidate_cosines(
-                cand, v, v_norms, b_qmat, b_qnorms
-            )
+            cos = _pair_cosines(v, v_norms, b_qmat, b_qnorms, ci, qi)
             if pair_counter is not None:
                 # + m x n_planes sign projections for the batch's keys
                 pair_counter.add(
@@ -1009,12 +1084,23 @@ def ivfpq_topk(
         qm = q_mat[:, m * sub : (m + 1) * sub]
         diff = qm[:, None, :] - codebooks[m][None, :, :]
         tables[:, m, :] = np.round((diff * diff).sum(axis=2), 6)
+    # inverted probe index, exactly as ivf_topk (r12): candidate
+    # generation is an O(|candidates|) slice gather per batch, never an
+    # O(batch x queries) mask
+    flat_c = probe_sets.ravel()
+    flat_q = np.repeat(np.arange(len(q_ids), dtype=np.int64),
+                       probe_sets.shape[1])
+    porder = np.argsort(flat_c, kind="stable")
+    inv_q = flat_q[porder]
+    cell_bounds = np.searchsorted(
+        flat_c[porder], np.arange(cents.shape[0] + 1)
+    ).astype(np.int64)
     bc = corpus.sparkSession.sparkContext.broadcast(
-        (q_ids, tables, probe_sets, cents, c_norms, codebooks)
+        (q_ids, tables, inv_q, cell_bounds, cents, c_norms, codebooks)
     )
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_qids, b_tables, b_probes, b_cents, b_cnorms, cb = bc.value
+        b_qids, b_tables, b_inv_q, b_bounds, b_cents, b_cnorms, cb = bc.value
         for pdf in it:
             if not len(pdf):
                 continue
@@ -1024,11 +1110,13 @@ def ivfpq_topk(
             ccos = _rounded_cosines(v, v_norms, b_cents, b_cnorms)
             assign = ccos.argmax(axis=1)  # first max = lowest index
             codes = _pq_assign(v, cb)
-            # candidate mask (nq, B): corpus row's list is probed
-            cand = (
-                assign[None, :, None] == b_probes[:, None, :]
-            ).any(axis=2) & (c_ids[None, :] != b_qids[:, None])
-            qi, ci = np.nonzero(cand)
+            # candidates = queries probing the row's cell
+            starts = b_bounds[assign]
+            counts = b_bounds[assign + 1] - starts
+            ci, flat = _slice_gather(starts, counts)
+            qi = b_inv_q[flat]
+            keep = c_ids[ci] != b_qids[qi]
+            ci, qi = ci[keep], qi[keep]
             if qi.size == 0:
                 continue
             if pair_counter is not None:
@@ -1538,12 +1626,150 @@ def corpus_fingerprint(
     return f"{row['__n']}:{row['__s'] if row['__s'] is not None else 0}"
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector, cell): each corpus vector labeled with its IVF
+    cell — argmax of ROUND(cosine, 6) with ties to the lower centroid
+    index, byte-identical to the assignment ``ivf_topk`` computes
+    inline.  One map-side Arrow pass, no shuffle.
+
+    This is the INGEST half of the stored-assignment serving shape:
+    computing cells costs O(n * n_centroids * d) — with the sqrt(n)
+    quantizer that is the n^1.5 term of the whole IVF family (the r12
+    sf10 bench measured it at 13-15x per decade when re-paid on every
+    search).  Pay it once here, store the labeled corpus partitioned
+    by cell, and every later search is candidate-gather + rescoring
+    only (``served_ivf_topk`` warm path)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_norms = np.sqrt((cents * cents).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((cents, cent_norms))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_cents, b_cnorms = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cell = _rounded_cosines(v, v_norms, b_cents, b_cnorms).argmax(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    return ensure_min_parallelism(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
+        batches, schema=f"{id_col} long, {vec_col} array<double>, cell int"
+    )
+
+
+def ivf_topk_preassigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF top-k over a corpus whose cell assignment is STORED (one
+    ``assign_cells`` pass at ingest, partitioned by cell) instead of
+    recomputed per search: each Arrow batch reads its ``cell`` column,
+    slice-gathers candidate queries from the inverted probe index, and
+    rescores only candidates — per-search work drops from
+    O(n * n_centroids * d) to O(|candidates| * d).  Results are
+    bit-identical to ``ivf_topk`` over the same centroids (same rounded
+    assignment, same probe order, same rescoring), pinned by the
+    serve-twice test and the q_ivf_served_topk gate.  When the probed
+    cell set is small relative to n_centroids (few queries), the
+    cell-partitioned layout also prunes whole partitions via the
+    pushed ``cell IN (...)`` filter."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size == 0:
+        return assigned.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    cent_norms = np.sqrt((cents * cents).sum(axis=1))
+    q_ids, q_mat, q_norms = _collect_matrix(queries, id_col, vec_col)
+    if q_ids.size == 0:
+        return assigned.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    q_d = _rounded_cosines(q_mat, q_norms, cents, cent_norms)
+    probes = np.argsort(-q_d, axis=1, kind="stable")[:, :n_probe]
+    flat_c = probes.ravel()
+    flat_q = np.repeat(np.arange(len(q_ids), dtype=np.int64),
+                       probes.shape[1])
+    order = np.argsort(flat_c, kind="stable")
+    inv_q = flat_q[order]
+    cell_bounds = np.searchsorted(
+        flat_c[order], np.arange(len(cents) + 1)
+    ).astype(np.int64)
+    probed_cells = [int(c) for c in np.unique(flat_c)]
+    bc = assigned.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, inv_q, cell_bounds)
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat, b_qnorms, b_inv_q, b_bounds = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norms = np.sqrt((v * v).sum(axis=1))
+            cell = pdf[cell_col].to_numpy(dtype=np.int64)
+            starts = b_bounds[cell]
+            counts = b_bounds[cell + 1] - starts
+            ci, flat = _slice_gather(starts, counts)
+            qi = b_inv_q[flat]
+            keep = c_ids[ci] != b_qids[qi]
+            ci, qi = ci[keep], qi[keep]
+            cos = _pair_cosines(v, v_norms, b_qmat, b_qnorms, ci, qi)
+            yield _local_topk(
+                pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "cosine": cos,
+                    }
+                ),
+                k,
+            )
+
+    pruned = assigned.filter(F.col(cell_col).isin(probed_cells))
+    scored = ensure_min_parallelism(
+        pruned.select(id_col, vec_col, cell_col)
+    ).mapInPandas(
+        score_batches,
+        schema="query_id long, neighbor_id long, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def save_index(
     spark,
     path: str,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     fingerprint: str | None = None,
+    assigned: DataFrame | None = None,
 ) -> None:
     """Persist trained ANN state (IVF centroids and/or PQ codebooks) as
     plain parquet tables under ``path``:
@@ -1584,6 +1810,23 @@ def save_index(
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
         meta.append(("m_sub", str(cbs.shape[0])))
         meta.append(("k_sub", str(cbs.shape[1])))
+    if assigned is not None:
+        # the cell-labeled corpus, partitioned by cell: the stored-
+        # assignment serving layout (ivf_topk_preassigned) — probed
+        # cells prune partitions, and no search re-pays the
+        # O(n * n_centroids * d) assignment.  Hash-repartition ON the
+        # cell key first so every cell directory gets exactly ONE file
+        # (without it, each of the W write tasks drops a fragment into
+        # every cell it touches — W x n_centroids small files, and the
+        # r12 warm-serve measurement was file-listing-bound instead of
+        # candidate-bound).
+        n_tasks = int(
+            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        assigned.repartition(n_tasks, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/corpus")
+        meta.append(("assigned", "1"))
     spark.createDataFrame(
         meta, "key string, value string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -1596,7 +1839,12 @@ def load_index(spark, path: str) -> dict:
     index order, so they are bit-identical to what was saved."""
     import os
 
-    out: dict = {"centroids": None, "codebooks": None, "fingerprint": None}
+    out: dict = {
+        "centroids": None,
+        "codebooks": None,
+        "fingerprint": None,
+        "assigned_path": None,
+    }
     meta_path = f"{path}/meta"
     if not os.path.exists(meta_path.replace("file:", "")):
         raise FileNotFoundError(f"no ANN index at {path}")
@@ -1604,6 +1852,8 @@ def load_index(spark, path: str) -> dict:
         r["key"]: r["value"] for r in spark.read.parquet(meta_path).collect()
     }
     out["fingerprint"] = meta.get("fingerprint")
+    if meta.get("assigned") == "1":
+        out["assigned_path"] = f"{path}/corpus"
     if "n_centroids" in meta:
         rows = sorted(
             spark.read.parquet(f"{path}/centroids").collect(),
@@ -1648,7 +1898,16 @@ def served_ivf_topk(
     from one count of the corpus, so probe cost stays O(sqrt n) per
     query — the r11 one-decade bench measured the fixed-8 serving path
     at 10.5x wall-clock for 10x rows (every probe scanned n/8
-    vectors)."""
+    vectors).
+
+    The index also stores the CELL-LABELED corpus (``assign_cells``,
+    partitioned by cell): a warm serve runs
+    ``ivf_topk_preassigned`` over the stored layout, skipping the
+    O(n * n_centroids * d) per-search assignment — with the sqrt(n)
+    quantizer that matmul is the family's n^1.5 term (13-15x per
+    decade in the r12 sf10 bench when re-paid each search).  A legacy
+    index without the stored corpus still serves through ``ivf_topk``.
+    """
     spark = corpus.sparkSession
     fp = corpus_fingerprint(corpus, id_col, vec_col)
     state = None
@@ -1667,8 +1926,27 @@ def served_ivf_topk(
             iters=iters,
             seed=seed,
         )
-        save_index(spark, index_path, centroids=cents, fingerprint=fp)
+        save_index(
+            spark,
+            index_path,
+            centroids=cents,
+            fingerprint=fp,
+            assigned=assign_cells(
+                corpus, cents, id_col=id_col, vec_col=vec_col
+            ),
+        )
         state = load_index(spark, index_path)
+    if state.get("assigned_path"):
+        assigned = spark.read.parquet(state["assigned_path"])
+        return ivf_topk_preassigned(
+            assigned,
+            queries,
+            state["centroids"],
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return ivf_topk(
         corpus,
         queries,

@@ -1936,7 +1936,14 @@ def served_ivf_topk(
             ),
         )
         state = load_index(spark, index_path)
-    if state.get("assigned_path"):
+    cents_arr = np.asarray(
+        state["centroids"] if state["centroids"] is not None else []
+    )
+    # empty corpus -> empty quantizer: the assigned-corpus parquet has
+    # zero part files (nothing to partition), so the stored layout is
+    # unreadable by construction — fall through to ivf_topk, which
+    # returns the canonical empty result for an empty quantizer
+    if state.get("assigned_path") and cents_arr.size:
         assigned = spark.read.parquet(state["assigned_path"])
         return ivf_topk_preassigned(
             assigned,

@@ -1488,3 +1488,49 @@ def test_trained_and_served_auto_quantizer_agree(spark, sf_dir, tmp_path):
     assert served == direct
     # the persisted quantizer is the sqrt(n)-sized one
     assert sim.load_index(spark, idx)["centroids"].shape[0] == want_k
+
+
+def test_inverted_probe_index_equals_mask_formulation():
+    """Property check (NumPy-only, no Spark): the r12 inverted-probe
+    candidate generation produces EXACTLY the candidate set of the
+    O(batch x queries) mask it replaced, for random probe tables and
+    assignments — the defense-in-depth twin of the end-to-end oracle
+    parity on the IVF family."""
+    import numpy as np
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        _slice_gather,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n_cents = int(rng.integers(1, 40))
+        n_q = int(rng.integers(0, 60))
+        n_probe = int(rng.integers(1, min(n_cents, 6) + 1))
+        m = int(rng.integers(0, 80))
+        # distinct probed centroids per query (as argsort produces)
+        probes = np.empty((n_q, n_probe), dtype=np.int64)
+        for q in range(n_q):
+            probes[q] = rng.choice(n_cents, size=n_probe, replace=False)
+        c_assign = rng.integers(0, n_cents, size=m).astype(np.int64)
+
+        # reference: the old mask
+        mask = (
+            c_assign[:, None, None] == probes[None, :, :]
+        ).any(axis=2) if m and n_q else np.zeros((m, n_q), dtype=bool)
+        ref = set(zip(*np.nonzero(mask)))
+
+        # new: inverted index + slice gather
+        flat_c = probes.ravel()
+        flat_q = np.repeat(np.arange(n_q, dtype=np.int64), n_probe)
+        order = np.argsort(flat_c, kind="stable")
+        inv_q = flat_q[order]
+        bounds = np.searchsorted(
+            flat_c[order], np.arange(n_cents + 1)
+        ).astype(np.int64)
+        starts = bounds[c_assign]
+        counts = bounds[c_assign + 1] - starts
+        ci, flat = _slice_gather(starts, counts)
+        got = set(zip(ci.tolist(), inv_q[flat].tolist()))
+
+        assert got == ref

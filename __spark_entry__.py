@@ -152,6 +152,31 @@ REGATE_R12: list[str] = [
     "q_lsh_ann_topk",
 ]
 
+# Queries modified (or newly registered) in round 13.  Every name here
+# MUST also sit inside PRIORITY[:50]; tests/test_plans.py::
+# test_priority_window_accounting enforces that mechanically.
+#
+# r13's changes: the ANN-backed classifier (knn_classify method='ivf';
+# the exact form re-labeled YARDSTICK), the incremental serving-index
+# append (append_index — frozen quantizer, additive fingerprint merge),
+# the ivf_topk_preassigned full-probe/isin-skip and served warm-path
+# degrade fixes (ADVICE r12), the auto-widening adaptive LSH banding
+# (embedding_lsh_neardup_pairs past the segment cap), and the
+# persist-hygiene restructures (covariance/PCA, media fingerprints,
+# robust/text_analysis sites).
+REGATE_R13: list[str] = [
+    # NEW r13: the approximate classifier, hash-gated end to end
+    "q_knn_classify_ivf",
+    # NEW r13: append_index + fingerprint merge + warm serve, gated
+    "q_ivf_served_incremental",
+    # exact classifier: knn_classify grew the method dispatch (exact
+    # path's plan unchanged — regated so the driver re-proves it)
+    "q_knn_classify",
+    # save_index task-count fallback + warm-path degrade + preassigned
+    # full-probe/isin-skip all sit on the served execution path
+    "q_ivf_served_topk",
+]
+
 # Queries registered AFTER this round's 50-slot window filled (none yet
 # in r10; the r9 late wave below has rotated INTO the window head).
 DEFER_NEXT_ROUND: list[str] = []
@@ -183,7 +208,15 @@ _ROTATED_R9_DEFERRALS: list[str] = [
 ]
 
 PRIORITY: list[str] = [
-    # --- round-12 window (the driver checks the first 50) ---
+    # --- round-13 window (the driver checks the first 50) ---
+    # Head: REGATE_R13 — never-checked new registrations first, then
+    # the regated execution paths, then the r12 window entries (all
+    # driver-green in CORRECTNESS_r12) fill the remaining slots.
+    "q_knn_classify_ivf",
+    "q_ivf_served_incremental",
+    "q_knn_classify",
+    "q_ivf_served_topk",
+    # --- round-12 window below ---
     # Head: REGATE_R12 (IVF auto-quantizer migration; q_ivfpq_auto_topk
     # is this round's only new registration), then the yardstick
     # siblings whose docstrings changed (execution untouched — free

@@ -618,23 +618,64 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "exact",
+    n_centroids: int | str = "auto",
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification: label each query vector with
-    the most frequent label among its ``k`` exact-cosine nearest
-    labeled neighbors (ties: more votes wins, then the smaller label —
+    the most frequent label among its ``k`` nearest labeled neighbors
+    by rounded cosine (ties: more votes wins, then the smaller label —
     fully deterministic, so the whole classifier admits an exact SQL
     oracle).
 
     Returns (query_id, pred_label, n_votes).
 
-    Plan shape: the neighbor search is ``brute_force_topk`` (corpus
-    streams, queries broadcast); the surviving top-k table is tiny
-    (k x |queries|) and BROADCASTS back against the corpus's (id,
-    label) projection, so attaching labels costs no corpus shuffle;
-    one small groupBy + rank window finishes the vote."""
-    topk = brute_force_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
-    )
+    ``method`` picks the neighbor search:
+
+    * ``"exact"`` — ``brute_force_topk``.  YARDSTICK: every corpus
+      vector scores against every query (one BLAS matmul per Arrow
+      batch), so per-search work is O(n · |queries| · d) — measured
+      13.9x wall-clock at 10x rows (BENCH_FULL_SF1 r12).  Keep it as
+      the recall-1 baseline; classify at corpus scale with the ANN
+      sibling below.
+    * ``"ivf"`` — the scale path: the vote runs over ``ivf_topk``
+      candidates behind a hash-seeded coarse quantizer sized
+      ``clamp(round(sqrt n), 8, 65536)`` (``resolve_n_centroids``), so
+      per-query work is O(n_probe · sqrt(n) · d).  The quantizer is a
+      pure function of the corpus (``seed_centroids``), which keeps
+      the approximate classifier exactly oracle-checkable
+      (q_knn_classify_ivf); pass ``centroids`` (e.g. k-means-trained)
+      to trade oracle exactness for list balance, and note
+      ``n_probe >= n_centroids`` provably degrades to the exact vote
+      (the q_ivf_exhaustive trick).
+
+    Plan shape: the neighbor search streams the corpus with queries
+    broadcast; the surviving top-k table is tiny (k x |queries|) and
+    BROADCASTS back against the corpus's (id, label) projection, so
+    attaching labels costs no corpus shuffle; one small groupBy + rank
+    window finishes the vote."""
+    if method == "exact":
+        topk = brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "ivf":
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else seed_centroids(
+                corpus, n_centroids=n_centroids, id_col=id_col,
+                vec_col=vec_col,
+            )
+        )
+        topk = ivf_topk(
+            corpus, queries, cents, k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(
+            f"method must be 'exact' or 'ivf', got {method!r}"
+        )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )
@@ -1721,6 +1762,12 @@ def ivf_topk_preassigned(
         (q_ids, q_mat, q_norms, inv_q, cell_bounds)
     )
 
+    # n_probe >= n_centroids probes every list (the q_ivf_exhaustive
+    # exactness configuration): every pair is a candidate, so per-pair
+    # gathers only add overhead — one BLAS matmul per batch is cheaper
+    # (the same branch ivf_topk takes; results identical either way).
+    full_probe = n_probe >= len(cents)
+
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_qids, b_qmat, b_qnorms, b_inv_q, b_bounds = bc.value
         for pdf in it:
@@ -1729,14 +1776,19 @@ def ivf_topk_preassigned(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             v_norms = np.sqrt((v * v).sum(axis=1))
-            cell = pdf[cell_col].to_numpy(dtype=np.int64)
-            starts = b_bounds[cell]
-            counts = b_bounds[cell + 1] - starts
-            ci, flat = _slice_gather(starts, counts)
-            qi = b_inv_q[flat]
-            keep = c_ids[ci] != b_qids[qi]
-            ci, qi = ci[keep], qi[keep]
-            cos = _pair_cosines(v, v_norms, b_qmat, b_qnorms, ci, qi)
+            if full_probe:
+                cosm = _rounded_cosines(v, v_norms, b_qmat, b_qnorms)
+                ci, qi = np.nonzero(c_ids[:, None] != b_qids[None, :])
+                cos = cosm[ci, qi]
+            else:
+                cell = pdf[cell_col].to_numpy(dtype=np.int64)
+                starts = b_bounds[cell]
+                counts = b_bounds[cell + 1] - starts
+                ci, flat = _slice_gather(starts, counts)
+                qi = b_inv_q[flat]
+                keep = c_ids[ci] != b_qids[qi]
+                ci, qi = ci[keep], qi[keep]
+                cos = _pair_cosines(v, v_norms, b_qmat, b_qnorms, ci, qi)
             yield _local_topk(
                 pd.DataFrame(
                     {
@@ -1748,7 +1800,14 @@ def ivf_topk_preassigned(
                 k,
             )
 
-    pruned = assigned.filter(F.col(cell_col).isin(probed_cells))
+    # When the probe sets cover every cell the isin filter keeps all
+    # rows anyway — skip it: under the sqrt(n) auto quantizer the
+    # literal list can reach 65536 entries, which costs plan size and
+    # per-row evaluation for zero pruning.
+    if len(probed_cells) >= len(cents):
+        pruned = assigned
+    else:
+        pruned = assigned.filter(F.col(cell_col).isin(probed_cells))
     scored = ensure_min_parallelism(
         pruned.select(id_col, vec_col, cell_col)
     ).mapInPandas(
@@ -1761,6 +1820,30 @@ def ivf_topk_preassigned(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _cell_write_tasks(raw, fallback: int) -> int:
+    """Shuffle-partition conf parsed defensively: managed deployments
+    may set ``spark.sql.shuffle.partitions`` to a non-integer value
+    such as ``"auto"`` (AQE-managed), where a bare ``int()`` would
+    break every index save — fall back to the cluster's default
+    parallelism."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return fallback
+
+
+def _write_cell_layout(assigned: DataFrame, path: str, mode: str) -> None:
+    """Write a cell-labeled corpus hash-repartitioned ON the cell key
+    (one file per cell per write — see the save_index comment)."""
+    n_tasks = _cell_write_tasks(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", None),
+        assigned.sparkSession.sparkContext.defaultParallelism,
+    )
+    assigned.repartition(n_tasks, "cell").write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def save_index(
@@ -1820,12 +1903,7 @@ def save_index(
         # every cell it touches — W x n_centroids small files, and the
         # r12 warm-serve measurement was file-listing-bound instead of
         # candidate-bound).
-        n_tasks = int(
-            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        assigned.repartition(n_tasks, "cell").write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/corpus")
+        _write_cell_layout(assigned, f"{path}/corpus", mode="overwrite")
         meta.append(("assigned", "1"))
     spark.createDataFrame(
         meta, "key string, value string"
@@ -1871,6 +1949,79 @@ def load_index(spark, path: str) -> dict:
             cbs[r["m"], r["idx"]] = r["vec"]
         out["codebooks"] = cbs
     return out
+
+
+def _merge_fingerprints(a: str | None, b: str) -> str | None:
+    """Combine two ``corpus_fingerprint`` values over DISJOINT row
+    sets: the fingerprint is ``count:sum(xxhash64(id, vec))`` with an
+    exact decimal sum, so the union's fingerprint is the component-wise
+    integer sum — an O(batch) incremental update that keeps the stored
+    index's identity equal to ``corpus_fingerprint(full corpus)``
+    without ever rescanning the historical corpus."""
+    if a is None:
+        return None
+    n_a, s_a = a.split(":")
+    n_b, s_b = b.split(":")
+    return f"{int(n_a) + int(n_b)}:{int(s_a) + int(s_b)}"
+
+
+def append_index(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally append a batch of vectors to a stored IVF serving
+    index (``save_index`` with ``assigned=``): assign the NEW rows to
+    cells under the index's existing centroids and append them into the
+    cell-partitioned corpus layout.  The quantizer is FROZEN at first
+    build (the FAISS add-after-train convention) — appending never
+    retrains or re-assigns the historical corpus, so ingest cost is
+    O(|batch| * n_centroids * d), and a serve over the appended layout
+    is bit-identical to a one-shot build of the full corpus under the
+    same centroids (cell assignment is a pure per-row function of the
+    centroids; pinned by tests/test_incremental_index.py and the
+    q_ivf_served_incremental gate).
+
+    The meta fingerprint is updated to the MERGED corpus identity
+    (``_merge_fingerprints`` — the count:sum form is additive over
+    disjoint batches), so a later ``served_ivf_topk(full_corpus, ...)``
+    recognizes the appended index as fresh and serves warm instead of
+    rebuilding.  Callers appending rows whose ids already exist must
+    dedup first (``incremental_neardup`` is the gate-shaped tool) —
+    like FAISS ``add``, this operator does not upsert.
+
+    Mirrors the reference's monthly incremental staging
+    (conte-etl-step-2-manager.py:61-149: new files land next to the
+    processed set, never re-deriving it) for the ANN serving layout."""
+    state = load_index(spark, path)
+    if state["centroids"] is None or not state["centroids"].size:
+        raise ValueError(
+            f"index at {path} has no centroids to assign against; "
+            "build it with save_index(centroids=..., assigned=...) first"
+        )
+    if not state.get("assigned_path"):
+        raise ValueError(
+            f"index at {path} has no stored corpus layout (assigned=1) "
+            "to append to"
+        )
+    assigned = assign_cells(
+        new_rows, state["centroids"], id_col=id_col, vec_col=vec_col
+    )
+    _write_cell_layout(assigned, state["assigned_path"], mode="append")
+    batch_fp = corpus_fingerprint(new_rows, id_col, vec_col)
+    merged = _merge_fingerprints(state["fingerprint"], batch_fp)
+    # rewrite meta with the merged identity, preserving every other key
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    meta = [
+        (r["key"], r["value"]) for r in meta_rows if r["key"] != "fingerprint"
+    ]
+    if merged is not None:
+        meta.append(("fingerprint", merged))
+    spark.createDataFrame(
+        meta, "key string, value string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def served_ivf_topk(
@@ -1944,16 +2095,23 @@ def served_ivf_topk(
     # unreadable by construction — fall through to ivf_topk, which
     # returns the canonical empty result for an empty quantizer
     if state.get("assigned_path") and cents_arr.size:
-        assigned = spark.read.parquet(state["assigned_path"])
-        return ivf_topk_preassigned(
-            assigned,
-            queries,
-            state["centroids"],
-            k=k,
-            n_probe=n_probe,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        # degrade, don't raise: an index whose meta says assigned=1 but
+        # whose corpus/ dir is missing or unreadable (partial copy,
+        # hand-pruned dir) serves through the corpus-side path like
+        # every other corruption mode, instead of failing the search
+        try:
+            assigned = spark.read.parquet(state["assigned_path"])
+            return ivf_topk_preassigned(
+                assigned,
+                queries,
+                state["centroids"],
+                k=k,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        except Exception:  # noqa: BLE001 — stale/partial layout
+            pass
     return ivf_topk(
         corpus,
         queries,

@@ -962,6 +962,144 @@ def q_ivf_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental serving-index append under the hard gate: the quantizer
+# is FROZEN at first build (hash-seeded over the BASE batch only — the
+# FAISS add-after-train convention), so the oracle derives centroids
+# from the base subset, assigns the FULL corpus (base + appended batch)
+# under them, and re-runs the probe search — exactly what a serve over
+# the appended cell layout must produce if append_index assigned and
+# wrote the new rows correctly AND merged the fingerprint correctly
+# (a broken merge makes served_ivf_topk silently retrain on the full
+# corpus, which this oracle's base-only centroids would catch).
+_IVF_INCR_SQL = f"""
+    WITH {_VEC_CTE},
+    nn AS (SELECT * FROM n WHERE e IS NOT NULL),
+    base AS (SELECT * FROM nn WHERE vec_id % 4 <> 0),
+    nc AS (
+      SELECT LEAST(65536, GREATEST(8,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+             )) AS k
+      FROM base
+    ),
+    ranked AS (
+      SELECT base.*,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15),
+                        vec_id
+             ) AS hr
+      FROM base
+    ),
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm, CAST(hr AS BIGINT) - 1 AS c
+      FROM ranked, nc WHERE hr <= nc.k
+    ),
+    d AS (
+      SELECT nn.vec_id, cents.c,
+             ROUND(CASE WHEN nn.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(nn.e, cents.ce)
+                             / (nn.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM nn CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c ASC) AS rn
+        FROM d WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                          ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                     END, 6) AS cosine
+        FROM cand JOIN nn a ON cand.neighbor_id = a.vec_id
+                  JOIN nn b ON cand.query_id = b.vec_id
+      )
+    ) WHERE rank <= 5
+"""
+
+@_q("q_ivf_served_incremental", _IVF_INCR_SQL)
+def q_ivf_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-corpus ANN serving (the r12 verdict's #2 ask, mirroring
+    the q_incremental_dedup shape): build the stored cell layout from
+    the base batch (vec_id % 4 <> 0), ``append_index`` the new batch
+    under the FROZEN quantizer — O(|batch|) ingest, no rebuild of the
+    historical layout — then serve the full corpus.  The serve routes
+    through ``served_ivf_topk``, which only takes the warm
+    (preassigned) path if the fingerprint ``append_index`` merged
+    additively equals the full corpus's own fingerprint, so the gate
+    covers assignment, the appended layout, AND the identity
+    bookkeeping; the oracle re-derives everything from the full table
+    with base-only centroids."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        append_index,
+        assign_cells,
+        corpus_fingerprint,
+        save_index,
+        seed_centroids,
+        served_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_idx",
+        hashlib.md5(
+            f"{spark.sparkContext.applicationId}:{sf_dir}:incr".encode()
+        ).hexdigest()[:16],
+    )
+    # append is add-only (FAISS convention): rebuild the two-batch
+    # history from scratch each invocation so re-runs stay idempotent
+    shutil.rmtree(idx, ignore_errors=True)
+    cents = seed_centroids(base, n_centroids="auto")
+    save_index(
+        spark,
+        idx,
+        centroids=cents,
+        fingerprint=corpus_fingerprint(base),
+        assigned=assign_cells(base, cents),
+    )
+    append_index(spark, idx, batch)
+    out = served_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        index_path=idx,
+        n_centroids="auto",
+        k=5,
+        n_probe=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _pq_sql(m_sub: int = 8, k_sub: int = 16, k: int = 5) -> str | None:
     """Oracle for product-quantization ADC search: rebuild the
     hash-ranked codebook draw from the gate table WITHOUT Spark (the
@@ -2470,7 +2608,14 @@ _KNN_SQL = """
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-NN majority-vote label prediction for the query subset
     (vec_id % 50 = 0) against the labeled remainder — exact neighbor
-    search, deterministic vote, fully oracled."""
+    search, deterministic vote, fully oracled.
+
+    YARDSTICK (r13): the exact vote scores every corpus vector against
+    every query (O(n · |queries| · d) per classification pass —
+    measured 13.9x at 10x rows, BENCH_FULL_SF1 r12); it anchors recall
+    1 the way q_ann_topk anchors exact top-k.  The deployment form is
+    ``q_knn_classify_ivf``: the same deterministic vote over
+    inverted-probe IVF candidates behind the sqrt(n) auto quantizer."""
     from conte_to_fresco_etl_spark.operators.similarity import knn_classify
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2478,6 +2623,128 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 50 != 0),
         emb.filter(F.col("vec_id") % 50 == 0),
         k=10,
+    )
+
+
+# The ANN-backed classifier stays exactly oracle-checkable because the
+# coarse quantizer is hash-seeded from the CORPUS side (a pure function
+# of the labeled table) and count-sized by the same
+# clamp(round(sqrt n), 8, 65536) rule both engines derive from their own
+# count — the q_ivf_auto_topk machinery with the vote stacked on top.
+_KNN_IVF_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+      FROM v WHERE e IS NOT NULL
+    ),
+    c AS (SELECT * FROM n0 WHERE vec_id % 50 <> 0),
+    q AS (SELECT * FROM n0 WHERE vec_id % 50 = 0),
+    nc AS (
+      SELECT LEAST(65536, GREATEST(8,
+               CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+             )) AS k
+      FROM c
+    ),
+    ranked AS (
+      SELECT c.*,
+             ROW_NUMBER() OVER (
+               ORDER BY substr(md5('cent:' || CAST(vec_id AS VARCHAR)), 1, 15),
+                        vec_id
+             ) AS hr
+      FROM c
+    ),
+    cents AS (
+      SELECT e AS ce, nrm AS cnrm, CAST(hr AS BIGINT) - 1 AS cc
+      FROM ranked, nc WHERE hr <= nc.k
+    ),
+    dc AS (
+      SELECT c.vec_id, cents.cc,
+             ROUND(CASE WHEN c.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(c.e, cents.ce)
+                             / (c.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM c CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, cc FROM (
+        SELECT vec_id, cc,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cc ASC) AS rn
+        FROM dc
+      ) WHERE rn = 1
+    ),
+    dq AS (
+      SELECT q.vec_id, cents.cc,
+             ROUND(CASE WHEN q.nrm * cents.cnrm = 0 THEN 0.0
+                        ELSE list_dot_product(q.e, cents.ce)
+                             / (q.nrm * cents.cnrm)
+                   END, 6) AS d
+      FROM q CROSS JOIN cents
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cc FROM (
+        SELECT vec_id, cc,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cc ASC) AS rn
+        FROM dq
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cc = p.cc
+      WHERE a.vec_id <> p.query_id
+    ),
+    topk AS (
+      SELECT query_id, nlabel FROM (
+        SELECT cand.query_id, b.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+                 ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                            ELSE list_dot_product(a.e, b.e)
+                                 / (a.nrm * b.nrm)
+                       END, 6) DESC,
+                 cand.neighbor_id ASC) AS rank
+        FROM cand JOIN c b ON cand.neighbor_id = b.vec_id
+                  JOIN q a ON cand.query_id = a.vec_id
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, nlabel, COUNT(*) AS n_votes FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(nlabel AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, nlabel ASC) AS r
+      FROM votes
+    ) WHERE r = 1
+"""
+
+@_q("q_knn_classify_ivf", _KNN_IVF_SQL)
+def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed k-NN classification — the scale sibling of
+    q_knn_classify (r12 verdict's top ask): the same deterministic
+    10-NN majority vote, but the neighbor search runs through the
+    inverted-probe IVF path (``knn_classify(method='ivf')``) behind a
+    hash-seeded sqrt(n) quantizer, so a corpus-labeling pass costs
+    O(n_probe · sqrt(n) · d) per query instead of O(n · d).  The
+    quantizer is a pure function of the labeled corpus, so the oracle
+    re-derives cells, probe sets, candidates, ranks, and the vote at
+    any sf — the whole approximate classifier is hash-gated, not just
+    its machinery."""
+    from conte_to_fresco_etl_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=10,
+        method="ivf",
+        n_centroids="auto",
+        n_probe=4,
     )
 
 

@@ -1534,3 +1534,236 @@ def test_inverted_probe_index_equals_mask_formulation():
         got = set(zip(ci.tolist(), inv_q[flat].tolist()))
 
         assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# r13: incremental serving-index append + ANN-backed classification
+# ---------------------------------------------------------------------------
+
+def test_append_index_matches_one_shot_build(spark, sf_dir, tmp_path):
+    """append_index under a FROZEN quantizer must be invisible to the
+    serve: the appended cell layout yields bit-identical results to a
+    one-shot build of the full corpus under the same centroids, and
+    the additively merged meta fingerprint equals the full corpus's
+    own fingerprint (so served_ivf_topk recognizes the appended index
+    as fresh)."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "incr_idx")
+
+    cents = sim.seed_centroids(base, n_centroids="auto")
+    sim.save_index(
+        spark, idx,
+        centroids=cents,
+        fingerprint=sim.corpus_fingerprint(base),
+        assigned=sim.assign_cells(base, cents),
+    )
+    sim.append_index(spark, idx, batch)
+
+    state = sim.load_index(spark, idx)
+    assert state["fingerprint"] == sim.corpus_fingerprint(emb)
+
+    stored = spark.read.parquet(state["assigned_path"])
+    n_emb = emb.filter(F.col("embedding").isNotNull()).count()
+    assert stored.count() == n_emb
+
+    served = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk_preassigned(
+            stored, queries, cents, k=5, n_probe=4
+        ).collect()
+    )
+    one_shot = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk_preassigned(
+            sim.assign_cells(emb, cents), queries, cents, k=5, n_probe=4
+        ).collect()
+    )
+    direct = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    )
+    assert served == one_shot == direct
+
+    # and a full served_ivf_topk over the appended index takes the warm
+    # path without retraining (merged fingerprint == full fingerprint)
+    real_trainer = sim.train_ivf_centroids
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("retrained despite a freshly appended index")
+
+    sim.train_ivf_centroids = _poisoned
+    try:
+        warm = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in sim.served_ivf_topk(
+                emb, queries, index_path=idx, n_centroids="auto",
+                k=5, n_probe=4,
+            ).collect()
+        )
+    finally:
+        sim.train_ivf_centroids = real_trainer
+    assert warm == direct
+
+
+def test_append_index_requires_built_layout(spark, sf_dir, tmp_path):
+    """Appending into an index that has no centroids, or no stored cell
+    layout, is a caller error — loud, never a silent partial write."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+
+    bare = str(tmp_path / "bare_idx")
+    sim.save_index(spark, bare, fingerprint="0:0")
+    with pytest.raises(ValueError, match="no centroids"):
+        sim.append_index(spark, bare, batch)
+
+    cents_only = str(tmp_path / "cents_idx")
+    cents = sim.seed_centroids(emb, n_centroids=8)
+    sim.save_index(spark, cents_only, centroids=cents, fingerprint="0:0")
+    with pytest.raises(ValueError, match="no stored corpus layout"):
+        sim.append_index(spark, cents_only, batch)
+
+
+def test_merge_fingerprints_is_additive(spark, sf_dir):
+    """The count:sum fingerprint merges additively over disjoint
+    batches — the O(batch) identity update append_index relies on."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sim.corpus_fingerprint(emb.filter(F.col("vec_id") % 4 != 0))
+    b = sim.corpus_fingerprint(emb.filter(F.col("vec_id") % 4 == 0))
+    assert sim._merge_fingerprints(a, b) == sim.corpus_fingerprint(emb)
+    assert sim._merge_fingerprints(None, b) is None
+    assert sim._merge_fingerprints("2:-7", "3:10") == "5:3"
+
+
+def test_served_degrades_when_corpus_layout_missing(spark, sf_dir, tmp_path):
+    """An index whose meta says assigned=1 but whose corpus/ dir is
+    gone (partial copy, hand-pruned checkout) must degrade to the
+    corpus-side search like every other corruption path — same
+    results, no raise."""
+    import shutil
+
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "pruned_idx")
+
+    healthy = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.served_ivf_topk(
+            emb, queries, index_path=idx, n_centroids=8, k=5, n_probe=4
+        ).collect()
+    )
+    shutil.rmtree(f"{idx}/corpus")
+    degraded = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.served_ivf_topk(
+            emb, queries, index_path=idx, n_centroids=8, k=5, n_probe=4
+        ).collect()
+    )
+    assert degraded == healthy
+
+
+def test_cell_write_tasks_parses_defensively():
+    """Non-integer spark.sql.shuffle.partitions values (e.g. "auto" on
+    AQE-managed deployments) fall back to default parallelism instead
+    of breaking index saves."""
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        _cell_write_tasks,
+    )
+
+    assert _cell_write_tasks("64", 8) == 64
+    assert _cell_write_tasks("auto", 8) == 8
+    assert _cell_write_tasks(None, 8) == 8
+
+
+def test_preassigned_full_probe_matches_corpus_side(spark, sf_dir):
+    """n_probe >= n_centroids probes every list: the preassigned path
+    must take the same full-probe matmul branch as ivf_topk and (by
+    the q_ivf_exhaustive argument) reproduce exact search."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = sim.seed_centroids(emb, n_centroids=8)
+    pre = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.ivf_topk_preassigned(
+            sim.assign_cells(emb, cents), queries, cents, k=5, n_probe=8
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    )
+    assert pre == exact
+
+
+def test_knn_classify_ivf_full_probe_equals_exact(spark, sf_dir):
+    """The ANN-backed classifier with n_probe >= n_centroids provably
+    degrades to the exact vote — the full-probe exactness trick that
+    makes the approximate path's machinery hard-checkable."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sorted(
+        (r["query_id"], r["pred_label"], r["n_votes"])
+        for r in sim.knn_classify(corpus, queries, k=10).collect()
+    )
+    full_probe = sorted(
+        (r["query_id"], r["pred_label"], r["n_votes"])
+        for r in sim.knn_classify(
+            corpus, queries, k=10, method="ivf", n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert full_probe == exact
+
+    with pytest.raises(ValueError, match="method"):
+        sim.knn_classify(corpus, queries, method="annoy")
+
+
+def test_knn_classify_ivf_recall(spark, sf_dir):
+    """The ANN classifier must track the exact vote as probes widen —
+    the classifier analog of the ANN recall tests.  The test table's
+    embeddings are near-random, so a 10-vote majority is knife-edge
+    and low-probe agreement is noisy by construction (real clustered
+    embeddings concentrate neighbors in few cells); the quality bar is
+    therefore set at a high-probe point (16 of ~22 auto centroids),
+    with every query answered at any probe width."""
+    from conte_to_fresco_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        r["query_id"]: r["pred_label"]
+        for r in sim.knn_classify(corpus, queries, k=10).collect()
+    }
+    low = {
+        r["query_id"]: r["pred_label"]
+        for r in sim.knn_classify(
+            corpus, queries, k=10, method="ivf", n_centroids="auto",
+            n_probe=4,
+        ).collect()
+    }
+    assert set(low) == set(exact)  # every query answered even at 4 probes
+    wide = {
+        r["query_id"]: r["pred_label"]
+        for r in sim.knn_classify(
+            corpus, queries, k=10, method="ivf", n_centroids="auto",
+            n_probe=16,
+        ).collect()
+    }
+    assert set(wide) == set(exact)
+    agree = sum(1 for q in exact if wide[q] == exact[q])
+    assert agree / len(exact) >= 0.7, f"{agree}/{len(exact)} labels agree"

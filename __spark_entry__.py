@@ -175,6 +175,14 @@ REGATE_R13: list[str] = [
     # save_index task-count fallback + warm-path degrade + preassigned
     # full-probe/isin-skip all sit on the served execution path
     "q_ivf_served_topk",
+    # NEW r13: auto-widened banding engaged at gate size (16/4 planes,
+    # target bucket 2 — the segment-cap cliff mechanics, hard-gated)
+    "q_neardup_lsh_autowiden",
+    # banding rework (per-band keys via adaptive_band_geometry, persist
+    # removed): results bit-identical below the cliff, but both
+    # execution paths changed — the driver re-proves the gates
+    "q_embedding_neardup_lsh",
+    "q_hard_negatives_lsh",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -216,6 +224,9 @@ PRIORITY: list[str] = [
     "q_ivf_served_incremental",
     "q_knn_classify",
     "q_ivf_served_topk",
+    "q_neardup_lsh_autowiden",
+    "q_embedding_neardup_lsh",
+    "q_hard_negatives_lsh",
     # --- round-12 window below ---
     # Head: REGATE_R12 (IVF auto-quantizer migration; q_ivfpq_auto_topk
     # is this round's only new registration), then the yardstick

@@ -855,6 +855,7 @@ def embedding_lsh_neardup_pairs(
     target_bucket: int = 64,
     min_bits: int = 4,
     max_bucket: int | None = None,
+    auto_widen: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the scale
     default (nothing is ever collected to the driver).
@@ -887,17 +888,33 @@ def embedding_lsh_neardup_pairs(
     scale-safe form is now what a direct caller gets.  Pass
     ``adaptive_bits=False`` only where a FIXED key width is pinned by
     an external contract (e.g. an oracle with hard-coded band
-    literals).  When adaptive, each band owns a
-    ``n_planes/bands``-bit signature segment but only its LOW ``bits``
-    are the bucket key, with ``bits = clamp(ceil(log2(n /
-    target_bucket)), min_bits, segment)`` derived from one count of the
-    input (free from table stats on a real warehouse).  Bucket sizes
-    stay ~target_bucket as n grows → candidates O(n·target_bucket).
-    The formula is one clamp + one log2, so a SQL oracle derives the
-    SAME bits from its own COUNT(*) and the candidate set stays exactly
-    gated.  Recall narrows as bits widen (the standard LSH trade:
-    p_band = p_bit^bits) — widen ``n_planes`` to add bands if the
-    operating point needs recall back.
+    literals).  When adaptive, each band owns a plane SEGMENT but only
+    its LOW ``bits`` are the bucket key, with ``bits =
+    clamp(ceil(log2(n / target_bucket)), min_bits, segment)`` derived
+    from one count of the input (free from table stats on a real
+    warehouse).  Bucket sizes stay ~target_bucket as n grows →
+    candidates O(n·target_bucket).  The formula is one clamp + one
+    log2, so a SQL oracle derives the SAME bits from its own COUNT(*)
+    and the candidate set stays exactly gated.  Recall narrows as bits
+    widen (the standard LSH trade: p_band = p_bit^bits) — widen
+    ``n_planes`` to add bands if the operating point needs recall back.
+
+    ``auto_widen`` (the r13 cliff fix, DEFAULT): past n ≈
+    target_bucket · 2^(n_planes/bands) the clamp used to SILENTLY pin
+    bits at the segment width and candidates re-entered the quadratic
+    regime (~262k rows at the 48/4/64 default — SCALE.md r12
+    documented "widen n_planes" as a manual upgrade).  Now
+    ``similarity.adaptive_band_geometry`` widens the per-band plane
+    segment (and the prefix-stable seeded plane set) to the demanded
+    width automatically, so the key space keeps growing with n at any
+    corpus size; below the cliff the results are bit-identical to the
+    unwidened form (the widened geometry only engages past it).
+    ``auto_widen=False`` restores the capped behavior with a LOUD
+    warning at the envelope edge.  The q_embedding_neardup_lsh oracle
+    embeds plane literals for the UNWIDENED regime (gate tables sit
+    far below the cliff); the widened mechanics are gated by
+    q_neardup_lsh_autowiden, whose geometry forces widening at gate
+    size.
 
     ``max_bucket`` (independent, default off) drops (band, key) buckets
     larger than the cap before the self-join — the skew guard for
@@ -906,58 +923,63 @@ def embedding_lsh_neardup_pairs(
     signatures (``groupBy(band, key).count() > max_bucket``) — account
     them next to the result rather than trusting the cap silently.
     """
-    import math
-
-    from conte_to_fresco_etl_spark.operators.similarity import make_hyperplanes
-
-    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
-    segment = n_planes // bands
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        adaptive_band_geometry,
+        make_hyperplanes,
+    )
 
     vecs = df.select(F.col(id_col), F.col(vec_col)).filter(
         F.col(vec_col).isNotNull()
     )
+    segment = n_planes // bands
     if adaptive_bits:
         n = vecs.count()
-        bits_per_band = min(
-            segment,
-            max(min_bits, math.ceil(math.log2(max(n, 1) / target_bucket)))
-            if n > target_bucket else min_bits,
+        segment, bits_per_band, n_planes = adaptive_band_geometry(
+            n, n_planes, bands, target_bucket, min_bits, auto_widen
         )
     else:
         bits_per_band = segment
-    mask = (1 << bits_per_band) - 1
+    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
 
-    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(n_planes)
+    def key_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-band bucket keys computed directly from the sign bits:
+        # each band owns a SEGMENT of the (possibly auto-widened) plane
+        # set and only the low bits_per_band of it form the key, so
+        # adaptive narrowing never makes bands share planes — and a
+        # widened geometry (bands * segment > 64 planes) needs no
+        # packed signature long at all
+        weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
         for pdf in it:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             bits = (v @ planes_np.T) > 0
-            sigs = (bits.astype(np.int64) << shifts).sum(axis=1)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
-
-    # One long per vector; cheap enough to recompute per branch, but the
-    # self-join reads it twice — persist, same rationale as minhash.
-    sigs = ensure_min_parallelism(vecs).mapInPandas(
-        sig_batches, schema=f"{id_col} long, sig long"
-    ).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                # each band owns a fixed SEGMENT of the signature; only
-                # the low bits_per_band of it form the bucket key, so
-                # adaptive narrowing never makes bands share planes
-                F.shiftright(F.col("sig"), b * segment)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
+            keys = np.stack(
+                [
+                    (
+                        bits[:, b * segment : b * segment + bits_per_band]
+                        .astype(np.int64)
+                        * weights
+                    ).sum(axis=1)
+                    for b in range(bands)
+                ],
+                axis=1,
             )
-            for b in range(bands)
-        ]
+            yield pd.DataFrame({id_col: ids, "keys": list(keys)})
+
+    # Block hygiene (r13): the self-join reads the band keys once per
+    # side — recompute the one-matmul-per-vector scan per side instead
+    # of persisting it (the hard_negative_topk_lsh convention; r12's
+    # persist here leaked a block per invocation in long-lived
+    # sessions).  Callers banding repeatedly should stage the key
+    # table themselves.
+    sigs = ensure_min_parallelism(vecs).mapInPandas(
+        key_batches, schema=f"{id_col} long, keys array<bigint>"
     )
-    exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+    exploded = sigs.select(
+        F.col(id_col), F.posexplode("keys").alias("band", "key")
+    ).select(F.col(id_col), F.struct("band", "key").alias("b"))
     if max_bucket is not None:
         # the bucket-size table is bounded by bands * 2^bits rows —
         # broadcastable by construction

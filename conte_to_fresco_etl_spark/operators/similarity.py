@@ -217,8 +217,70 @@ def brute_force_topk(
 
 
 def make_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes.  PREFIX-STABLE in ``n_planes``: the
+    generator fills row-major, so the first k rows of a wider draw
+    equal the k-row draw — widening a plane set never changes the
+    planes (and therefore the band keys) an existing configuration
+    already uses.  Auto-widened banding depends on this."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def adaptive_band_geometry(
+    n: int,
+    n_planes: int,
+    bands: int,
+    target_bucket: int,
+    min_bits: int,
+    auto_widen: bool = True,
+) -> tuple[int, int, int]:
+    """Resolve the density-adaptive banding geometry from one corpus
+    count: returns ``(segment, bits_per_band, n_planes_eff)`` where
+    each band owns a ``segment``-plane slice of the (possibly widened)
+    plane set and its LOW ``bits_per_band`` sign bits form the bucket
+    key — ``bits = clamp(ceil(log2(n / target_bucket)), min_bits,
+    segment)``, the same one-clamp formula a SQL oracle derives from
+    its own COUNT(*).
+
+    ``auto_widen`` (the r13 cliff fix, DEFAULT): when the demanded
+    bits exceed the configured segment width (past n ≈ target_bucket ·
+    2^segment — ~262k rows at 64·2^12) the segment WIDENS to the
+    demanded width and the plane set grows to ``bands * segment``
+    planes, so bucket sizes keep tracking ~target_bucket instead of
+    silently re-entering the n²/2^bits quadratic regime the clamp was
+    built to kill (SCALE.md r12 documented this as a manual upgrade;
+    the 96-plane control run proved the mechanics).  Widening is
+    prefix-stable in the plane draw but SHIFTS bands 1.. onto new
+    segment boundaries, so results below the cliff are bit-identical
+    to the unwidened form while past it the key space keeps growing.
+    With ``auto_widen=False`` the demanded width is clamped to the
+    segment (the pre-r13 behavior) and a LOUD warning marks the
+    envelope edge instead."""
+    import warnings
+
+    segment = n_planes // bands
+    needed = (
+        max(min_bits, math.ceil(math.log2(max(n, 1) / target_bucket)))
+        if n > target_bucket
+        else min_bits
+    )
+    if needed > segment:
+        if auto_widen:
+            segment = needed
+            n_planes = bands * segment
+        else:
+            warnings.warn(
+                f"adaptive LSH banding: corpus size n={n} demands "
+                f"{needed}-bit band keys but the configured geometry "
+                f"({n_planes} planes / {bands} bands) caps at "
+                f"{segment} bits — candidate volume grows ~n^2/2^"
+                f"{segment} past this point.  Pass auto_widen=True "
+                f"(the default) or widen n_planes to >= "
+                f"{bands * needed}.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    return segment, min(segment, needed), n_planes
 
 
 def resolve_n_centroids(
@@ -1492,6 +1554,7 @@ def hard_negative_topk_lsh(
     adaptive_bits: bool = True,
     target_bucket: int = 64,
     min_bits: int = 4,
+    auto_widen: bool = True,
 ) -> DataFrame:
     """Hard-negative mining at corpus scale: LSH band candidates
     instead of anchors x corpus.  ``hard_negative_topk`` scores every
@@ -1522,52 +1585,56 @@ def hard_negative_topk_lsh(
     tests/test_cleanup.py pins the leak-free contract).  A caller
     mining repeatedly against the same corpus should stage the
     signature table themselves (write it out, or persist + unpersist
-    around the batch of calls)."""
-    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
-    segment = n_planes // bands
+    around the batch of calls).
 
+    ``auto_widen`` (r13, default): the band geometry widens past the
+    segment cap exactly as ``dedup.embedding_lsh_neardup_pairs`` does
+    (``adaptive_band_geometry``) — past n ≈ target_bucket · 2^segment
+    the demanded key width used to clamp silently and candidates
+    re-entered the quadratic regime.  The q_hard_negatives_lsh oracle
+    embeds plane literals for the unwidened regime (gate tables sit
+    far below the cliff); the widened mechanics are gated by
+    q_neardup_lsh_autowiden over the shared geometry helper."""
     base = emb.select(
         F.col(id_col), F.col(label_col), F.col(vec_col)
     ).filter(F.col(vec_col).isNotNull())
+    segment = n_planes // bands
     if adaptive_bits:
         n = base.count()
-        bits_per_band = min(
-            segment,
-            max(min_bits, math.ceil(math.log2(max(n, 1) / target_bucket)))
-            if n > target_bucket else min_bits,
+        segment, bits_per_band, n_planes = adaptive_band_geometry(
+            n, n_planes, bands, target_bucket, min_bits, auto_widen
         )
     else:
         bits_per_band = segment
-    mask = (1 << bits_per_band) - 1
+    planes_np = np.asarray(make_hyperplanes(dim, n_planes, seed))
 
-    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(n_planes)
+    def key_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
         for pdf in it:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             bits = (v @ planes_np.T) > 0
-            sigs = (bits.astype(np.int64) << shifts).sum(axis=1)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            keys = np.stack(
+                [
+                    (
+                        bits[:, b * segment : b * segment + bits_per_band]
+                        .astype(np.int64)
+                        * weights
+                    ).sum(axis=1)
+                    for b in range(bands)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame({id_col: ids, "keys": list(keys)})
 
     sigs = ensure_min_parallelism(base.select(id_col, vec_col)).mapInPandas(
-        sig_batches, schema=f"{id_col} long, sig long"
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * segment)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for b in range(bands)
-        ]
+        key_batches, schema=f"{id_col} long, keys array<bigint>"
     )
     exploded = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("b")
-    )
+        F.col(id_col), F.posexplode("keys").alias("band", "key")
+    ).select(F.col(id_col), F.struct("band", "key").alias("b"))
     anchors = base.filter(query_pred).select(F.col(id_col).alias("__qid"))
     qb = exploded.join(
         F.broadcast(anchors), exploded[id_col] == anchors["__qid"]

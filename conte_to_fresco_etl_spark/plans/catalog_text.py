@@ -491,6 +491,89 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Auto-widened banding under the hard gate (the r12 verdict's #3 ask):
+# the density rule used to CLAMP bits at the configured segment width,
+# so past n ≈ target_bucket · 2^segment candidates re-entered the
+# quadratic regime the adaptive clamp was built to kill.  The geometry
+# here (16 planes / 4 bands / target_bucket=2) forces that cliff AT
+# GATE SIZE: n=500 demands 8-bit keys against a 4-bit segment, so the
+# segment widens to 8 and the plane set to 32 — both engines derive
+# bits = GREATEST(4, ceil(log2(n / 2))) from their own count, UNCAPPED,
+# and slice band b's planes from [b·bits, b·bits + bits).  The literal
+# set below covers bits <= 24 (96 planes, the r12 control-run width) —
+# n up to 2 · 2^24 ≈ 33M rows, four decades above any gate table.
+_WIDEN_PLANES = make_hyperplanes(dim=64, n_planes=96, seed=42)
+_WIDEN_BITLIST_SQL = ",\n        ".join(
+    "CASE WHEN list_dot_product(e, ["
+    + ", ".join(repr(float(x)) for x in p)
+    + "]) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for p in _WIDEN_PLANES
+)
+_WIDEN_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band,"
+    f" CAST(list_sum(list_transform(generate_series(1, p.bits),"
+    f" i -> bl[{b} * p.bits + i] * (CAST(1 AS BIGINT) << (i - 1))))"
+    f" AS BIGINT) AS key FROM s, p"
+    for b in range(4)
+)
+
+_NEARDUP_AUTOWIDEN_SQL = f"""
+    WITH {_VEC_CTE},
+    nn AS (SELECT vec_id, e, nrm FROM n WHERE e IS NOT NULL),
+    p AS (
+      SELECT CASE WHEN count(*) > 2
+                  THEN GREATEST(4, CAST(ceil(log2(
+                         CAST(count(*) AS DOUBLE) / 2.0)) AS BIGINT))
+                  ELSE 4 END AS bits
+      FROM nn
+    ),
+    s AS (
+      SELECT vec_id, [
+        {_WIDEN_BITLIST_SQL}
+      ] AS bl
+      FROM nn
+    ),
+    bands AS (
+      {_WIDEN_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bands l
+      JOIN bands r ON l.band = r.band AND l.key = r.key
+                   AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             ROUND(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                        ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                   END, 6) AS cosine
+      FROM cand JOIN nn a ON cand.id_a = a.vec_id
+                JOIN nn b ON cand.id_b = b.vec_id
+    ) WHERE cosine >= 0.35
+"""
+
+@_q("q_neardup_lsh_autowiden", _NEARDUP_AUTOWIDEN_SQL)
+def q_neardup_lsh_autowiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the AUTO-WIDENED adaptive banding
+    engaged at gate size: a deliberately narrow geometry (16 planes /
+    4 bands, target bucket 2) demands more key bits than its segments
+    hold, so ``adaptive_band_geometry`` widens the per-band plane
+    segment and the seeded plane set instead of silently clamping —
+    the exact mechanics that keep the library-default geometry linear
+    past its own ~262k-row cliff, hard-gated here because the oracle
+    derives the same uncapped width from its own count and slices the
+    same prefix-stable plane literals."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    return embedding_lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35, dim=64, n_planes=16, bands=4, seed=42,
+        adaptive_bits=True, target_bucket=2, min_bits=4,
+    )
+
+
 _ANN_SQL = f"""
     WITH {_VEC_CTE},
     q AS (SELECT * FROM n WHERE vec_id % 50 = 0)

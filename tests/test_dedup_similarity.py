@@ -1767,3 +1767,137 @@ def test_knn_classify_ivf_recall(spark, sf_dir):
     assert set(wide) == set(exact)
     agree = sum(1 for q in exact if wide[q] == exact[q])
     assert agree / len(exact) >= 0.7, f"{agree}/{len(exact)} labels agree"
+
+
+# ---------------------------------------------------------------------------
+# r13: auto-widened adaptive banding (the segment-cap cliff fix)
+# ---------------------------------------------------------------------------
+
+def test_adaptive_band_geometry_widens_past_segment_cap():
+    """Below the cliff the geometry is untouched; past it the segment
+    (and the plane set) widen to the demanded key width; with
+    auto_widen=False the demand clamps to the segment and a LOUD
+    warning marks the envelope edge — never a silent re-entry into the
+    quadratic regime."""
+    import warnings
+
+    from conte_to_fresco_etl_spark.operators.similarity import (
+        adaptive_band_geometry,
+    )
+
+    # library default geometry, below the cliff: unchanged
+    assert adaptive_band_geometry(20_000, 48, 4, 64, 4) == (12, 9, 48)
+    assert adaptive_band_geometry(200_000, 48, 4, 64, 4) == (12, 12, 48)
+    # just past the 64 * 2^12 cliff: 13-bit demand widens to 4x13 planes
+    assert adaptive_band_geometry(300_000, 48, 4, 64, 4) == (13, 13, 52)
+    # a decade later: keeps tracking density
+    assert adaptive_band_geometry(3_000_000, 48, 4, 64, 4) == (16, 16, 64)
+    # tiny corpus: floor at min_bits
+    assert adaptive_band_geometry(10, 48, 4, 64, 4) == (12, 4, 48)
+    # capped form warns loudly instead of widening
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = adaptive_band_geometry(300_000, 48, 4, 64, 4, auto_widen=False)
+    assert got == (12, 12, 48)
+    assert any("n_planes" in str(x.message) for x in w)
+
+
+def test_neardup_autowiden_below_cliff_is_identical(spark, sf_dir):
+    """Auto-widening must be invisible below the cliff: the default
+    call and auto_widen=False produce the same pairs when the demanded
+    width fits the configured segments (bit-identity of the r13
+    per-band-key rewrite with the r12 packed-signature form is pinned
+    by the q_embedding_neardup_lsh oracle, whose literals predate the
+    rewrite)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    widened = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=48, bands=4
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=48, bands=4, auto_widen=False
+        ).collect()
+    }
+    assert widened == capped
+
+
+def test_neardup_autowiden_keeps_precision_and_bounds_buckets(spark, sf_dir):
+    """With a geometry that forces widening at test size (4-bit
+    segments, target bucket 2), the widened form must (a) stay a
+    subset of the exact pairs (precision 1) and (b) surface far fewer
+    pairs than the capped 4-bit form — the whole point of widening is
+    a growing key space (the sets are NOT nested: widening shifts
+    bands 1.. onto new segment boundaries, so only the volume claim
+    holds)."""
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    widened = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=16, bands=4,
+            target_bucket=2, min_bits=4,
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    assert widened <= exact
+    import warnings
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_lsh_neardup_pairs(
+                emb, threshold=0.35, n_planes=16, bands=4,
+                target_bucket=2, min_bits=4, auto_widen=False,
+            ).collect()
+        }
+    assert capped <= exact  # the capped form is precision-1 too
+    assert len(widened) < len(capped)
+
+
+def test_embedding_lsh_leaves_no_live_blocks(spark, sf_dir):
+    """r13 extends the hard_negative_topk_lsh persist-free contract to
+    the near-dup LSH path: the band-key table is recomputed per join
+    side, so repeated invocations leave zero net live blocks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _persisted_ids() -> set[int]:
+        out = set()
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        )
+        while it.hasNext():
+            out.add(it.next().getKey())
+        return out
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+
+    base = _persisted_ids()
+    first = None
+    for _ in range(3):
+        out = embedding_lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=48, bands=4
+        )
+        assert _persisted_ids() - base == set()
+        got = out.count()
+        if first is None:
+            first = got
+        assert got == first
+        assert _persisted_ids() - base == set()

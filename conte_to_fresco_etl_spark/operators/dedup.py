@@ -578,7 +578,9 @@ def decontaminate_bloom(
             bitmap[r["__w"]] = r["__word"]
         spark = train.sparkSession
         bm_df = spark.createDataFrame(
-            [(bitmap,)], "__bm array<long>"
+            # 1 slice: one Python-worker eval instead of 32 (r13)
+            spark.sparkContext.parallelize([(bitmap,)], 1),
+            "__bm array<long>",
         )
 
         def _might_contain(g: Column) -> Column:
@@ -1989,7 +1991,10 @@ def lsh_candidate_curve(
     Output: ``(bands, rows_per_band, s, p_candidate, s50)``.
     """
     layouts = spark.createDataFrame(
-        [(int(b), int(r)) for b, r in band_options],
+        # 1 slice: one Python-worker eval instead of 32 (r13)
+        spark.sparkContext.parallelize(
+            [(int(b), int(r)) for b, r in band_options], 1
+        ),
         "bands int, rows_per_band int",
     )
     grid = spark.range(1, s_steps + 1).select(
@@ -2075,6 +2080,11 @@ def lsh_recall_report(
             >= F.lit(t)
         )
         .select("id_a", "id_b")
+        # both pair tables feed TWO consumers (their own count and the
+        # hit join): checkpoint so the all-pairs intersect and the LSH
+        # signature build each run ONCE instead of per consumer (r13;
+        # guide §3.3 — blocks reclaimed by session.sweep_persisted)
+        .localCheckpoint(eager=False)
     )
     est = minhash_lsh_pairs(
         df,
@@ -2085,7 +2095,7 @@ def lsh_recall_report(
         shingle_n=shingle_n,
         threshold=threshold,
         seed=seed,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_true = exact.agg(F.count("*").alias("n_true"))
     n_est = est.agg(F.count("*").alias("n_est"))
     n_hit = est.join(exact, ["id_a", "id_b"]).agg(

@@ -305,7 +305,14 @@ def triangle_count(
             F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
         )
         .filter(F.col("u") < F.col("v"))
+        # canon feeds the degree pass AND both orientation join sides:
+        # checkpoint truncates the (often join-heavy) upstream edge
+        # build so it is computed ONCE and the downstream plan stays
+        # edge-list-sized (r13; guide §3.3 — the un-truncated form
+        # re-planned and re-executed the edge build up to 5x: a
+        # 7.7k-line physical plan with 458 Exchanges at sf0.1)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     both = canon.select(F.col("u").alias("n")).unionByName(
         canon.select(F.col("v").alias("n"))
@@ -334,7 +341,11 @@ def triangle_count(
             F.least("rk_u", "rk_v").alias("rk_lo"),
             F.greatest("rk_u", "rk_v").alias("rk_hi"),
         )
-    ).persist()
+        # three consumers (two wedge sides + the closing semi-join):
+        # checkpoint so orientation is computed once — the previous
+        # persist() was unpersisted before the first action ran, so
+        # every consumer recomputed the full orientation join (r13)
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("lo").alias("pivot"),
         F.col("hi").alias("x"),
@@ -358,7 +369,9 @@ def triangle_count(
         .unionByName(tris.select(F.col("y").alias("node")))
     )
     out = members.groupBy("node").agg(F.count("*").alias("n_triangles"))
-    oriented.unpersist(blocking=False)
+    # checkpoint blocks (canon, oriented) are reclaimed by the session
+    # sweep (session.sweep_persisted), the repo-wide convention for
+    # lazily-checkpointed intermediates
     return out
 
 
@@ -665,6 +678,12 @@ def modularity(
     the label table is dimension-sized, sort-merge otherwise);
     everything collapses to |communities| rows before the scalar
     algebra; m enters as the annotated 1-row broadcast."""
+    # pairs feeds THREE consumers (label attach, degree count, m):
+    # checkpoint so an expensive upstream pair build (LSH banding,
+    # signature Python stages) runs ONCE and the downstream plan is
+    # edge-list-sized (r13; guide §3.3 — blocks reclaimed by
+    # session.sweep_persisted)
+    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=False)
     la = labels.select(
         F.col(node_col).alias("na"), F.col(label_col).alias("la")
     )

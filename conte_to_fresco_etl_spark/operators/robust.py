@@ -353,7 +353,11 @@ def benford_screen(
     totals = digits.groupBy("key").agg(F.sum("o").alias("n"))
     spark = df.sparkSession
     bp = spark.createDataFrame(
-        [(dd, BENFORD_P[dd]) for dd in range(1, 10)], "digit int, p double"
+        # 1 slice: one Python-worker eval instead of 32 (r13)
+        spark.sparkContext.parallelize(
+            [(dd, BENFORD_P[dd]) for dd in range(1, 10)], 1
+        ),
+        "digit int, p double",
     )
     # dense digit domain: every (key, digit in 1..9) cell exists
     dense = totals.crossJoin(F.broadcast(bp))
@@ -2349,8 +2353,12 @@ def logistic_regression_gd(
     )
     spark = df.sparkSession
     weights = spark.createDataFrame(
-        [("intercept", round(b, 6))]
-        + [(n, round(w[n], 6)) for n in names],
+        # 1 slice: one Python-worker eval instead of 32 (r13)
+        spark.sparkContext.parallelize(
+            [("intercept", round(b, 6))]
+            + [(n, round(w[n], 6)) for n in names],
+            1,
+        ),
         "term string, value double",
     )
     return weights.unionAll(

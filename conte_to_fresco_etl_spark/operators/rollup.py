@@ -311,10 +311,17 @@ def kmv_overlap(
         .distinct()
     )
     wk = Window.partitionBy("g").orderBy("h")
+    # the |groups|·k sketch feeds THREE consumers (per-group estimates
+    # and both union-sketch sides): checkpoint so the shingle explode +
+    # distinct — the only data-sized pass — runs ONCE and the
+    # downstream plan is sketch-sized (r13; guide §3.3.  Un-truncated,
+    # the 1k-line plan re-ran the explode per consumer: 52 Exchanges
+    # at sf0.1; blocks are reclaimed by session.sweep_persisted)
     sk = (
         hs.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .select("g", "h")
+        .localCheckpoint(eager=False)
     )
     est = sk.groupBy("g").agg(
         F.count("*").alias("n"), F.max("h").alias("mx")

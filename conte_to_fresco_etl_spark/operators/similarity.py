@@ -1901,6 +1901,21 @@ def _cell_write_tasks(raw, fallback: int) -> int:
         return fallback
 
 
+def _write_small_table(spark, rows, schema: str, path: str) -> None:
+    """Write a driver-local handful of rows (centroids / codebooks /
+    meta) as ONE parquet file via a single-slice parallelize.  The
+    previous ``createDataFrame(rows).coalesce(1)`` shape parallelized
+    the list into ``defaultParallelism`` pickled Python partitions and
+    then made ONE task evaluate all of them sequentially — ~150 ms of
+    Python-worker round-trip per partition, ~5 s per tiny write on
+    local[32] (measured r13; guide §4 — the boundary cost is per
+    partition, not per row).  One slice = one evaluation, same single
+    output file, byte-identical table."""
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    ).write.mode("overwrite").parquet(path)
+
+
 def _write_cell_layout(assigned: DataFrame, path: str, mode: str) -> None:
     """Write a cell-labeled corpus hash-repartitioned ON the cell key
     (one file per cell per write — see the save_index comment)."""
@@ -1944,9 +1959,9 @@ def save_index(
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
         rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-        spark.createDataFrame(
-            rows, "idx int, vec array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        _write_small_table(
+            spark, rows, "idx int, vec array<double>", f"{path}/centroids"
+        )
         meta.append(("n_centroids", str(len(cents))))
     if codebooks is not None:
         cbs = np.asarray(codebooks, dtype=np.float64)
@@ -1955,9 +1970,10 @@ def save_index(
             for m in range(cbs.shape[0])
             for i in range(cbs.shape[1])
         ]
-        spark.createDataFrame(
-            rows, "m int, idx int, vec array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        _write_small_table(
+            spark, rows, "m int, idx int, vec array<double>",
+            f"{path}/codebooks",
+        )
         meta.append(("m_sub", str(cbs.shape[0])))
         meta.append(("k_sub", str(cbs.shape[1])))
     if assigned is not None:
@@ -1972,9 +1988,9 @@ def save_index(
         # candidate-bound).
         _write_cell_layout(assigned, f"{path}/corpus", mode="overwrite")
         meta.append(("assigned", "1"))
-    spark.createDataFrame(
-        meta, "key string, value string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_small_table(
+        spark, meta, "key string, value string", f"{path}/meta"
+    )
 
 
 def load_index(spark, path: str) -> dict:
@@ -2086,9 +2102,9 @@ def append_index(
     ]
     if merged is not None:
         meta.append(("fingerprint", merged))
-    spark.createDataFrame(
-        meta, "key string, value string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_small_table(
+        spark, meta, "key string, value string", f"{path}/meta"
+    )
 
 
 def served_ivf_topk(
@@ -2507,11 +2523,18 @@ def random_projection(
     scale = math.sqrt(float(out_dim))
     spark = df.sparkSession
     sgn = spark.createDataFrame(
-        [
-            (k, j, float(signs[k - 1][j - 1]))
-            for k in range(1, out_dim + 1)
-            for j in range(1, in_dim + 1)
-        ],
+        # single-slice parallelize: a plain createDataFrame(list) fans
+        # the literal table into |defaultParallelism| pickled Python
+        # partitions, each costing a worker round-trip when the
+        # broadcast side is built (r13; guide §4)
+        spark.sparkContext.parallelize(
+            [
+                (k, j, float(signs[k - 1][j - 1]))
+                for k in range(1, out_dim + 1)
+                for j in range(1, in_dim + 1)
+            ],
+            1,
+        ),
         "k int, j int, s double",
     )
     vecs = df.filter(
@@ -2747,6 +2770,47 @@ def _centroid_table(
     )
 
 
+def _centroid_vectors(cent: DataFrame) -> DataFrame:
+    """(label, centroid-array) view of the long ``_centroid_table``:
+    the k·d narrow rows re-assembled into one ``array<double>`` per
+    label (dim-sorted), so member-to-centroid distances can run as a
+    per-row array expression instead of a (vector, dim) explode joined
+    against the k·d table — the r13 optimization that removes the
+    n·d(·k) intermediate from the clustering indices (guide §2.3:
+    aggregate before you shuffle / don't explode what an array
+    expression can walk in place)."""
+    return cent.groupBy("__g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__dim", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__cvec")
+    )
+
+
+def _sq_dist_dec(vec_col, cvec_col):
+    """Σ_dim ROUND((ROUND(v, 9) − c)², 12) as an EXACT decimal — the
+    identical term set the exploded dim-join form aggregates, summed
+    in place over the zipped arrays.  Exactness: each term is a
+    decimal(20,12) (the ROUND(…,12) value is exact at scale 12 and
+    |term| < 1e8 by construction); the running sum stays ≤
+    decimal(33,12) (never hits Spark's precision-38 scale-reduction),
+    and decimal addition is associative, so the result equals the
+    decimal(38,12) SUM of the same terms bit for bit."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            cvec_col,
+            lambda v, c: F.round(
+                (F.round(v.cast("double"), 9) - c)
+                * (F.round(v.cast("double"), 9) - c),
+                12,
+            ).cast("decimal(20,12)"),
+        ),
+        F.lit(0).cast("decimal(32,12)"),
+        lambda acc, t: (acc + t).cast("decimal(32,12)"),
+    )
+
+
 def calinski_harabasz(
     emb: DataFrame,
     label_col: str = "label",
@@ -2789,19 +2853,19 @@ def calinski_harabasz(
         ).cast("decimal(38,12)").alias("__bt")
     )
     b_agg = b_tab.agg(F.sum("__bt").alias("__b"))
+    # W: per-row array expression against the broadcast per-label
+    # centroid vector — the same ROUND(12) decimal terms the exploded
+    # (vector, dim) ⋈ (label, dim) join summed, but with no n·d
+    # intermediate and no join (r13; decimal addition is exact and
+    # associative, so the total is bit-identical)
     x = emb.filter(
         F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
-        F.col(label_col).alias("__g"),
-        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+        F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
     )
-    w_tab = x.join(F.broadcast(cent), ["__g", "__dim"]).select(
-        F.round(
-            (F.round(F.col("__val").cast("double"), 9) - F.col("__c"))
-            * (F.round(F.col("__val").cast("double"), 9) - F.col("__c")),
-            12,
-        ).cast("decimal(38,12)").alias("__wt")
-    )
+    w_tab = x.join(
+        F.broadcast(_centroid_vectors(cent)), "__g"
+    ).select(_sq_dist_dec(F.col("__v"), F.col("__cvec")).alias("__wt"))
     w_agg = w_tab.agg(F.sum("__wt").alias("__w"))
     sizes = emb.filter(
         F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
@@ -2851,26 +2915,21 @@ def davies_bouldin(
     cent = _centroid_table(emb, label_col, vec_col).localCheckpoint(
         eager=False
     )
-    x = emb.filter(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
-        F.col(label_col).alias("__g"),
-        F.col(id_col).alias("__rid"),
-        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
-    )
+    # member → own-centroid distance as a per-row array expression
+    # against the broadcast per-label centroid vector (r13): the same
+    # ROUND(12) decimal terms the exploded dim-join summed per
+    # (__g, __rid) group, with no n·d intermediate (bit-identical —
+    # decimal addition is exact and associative)
     d2 = (
-        x.join(F.broadcast(cent), ["__g", "__dim"])
-        .groupBy("__g", "__rid")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.round(F.col("__val").cast("double"), 9)
-                     - F.col("__c"))
-                    * (F.round(F.col("__val").cast("double"), 9)
-                       - F.col("__c")),
-                    12,
-                ).cast("decimal(38,12)")
-            ).alias("__d2")
+        emb.filter(
+            F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
+        )
+        .join(F.broadcast(_centroid_vectors(cent)), "__g")
+        .select(
+            "__g", _sq_dist_dec(F.col("__v"), F.col("__cvec")).alias("__d2")
         )
     )
     s = d2.groupBy("__g").agg(
@@ -2883,25 +2942,32 @@ def davies_bouldin(
             / F.count("*")
         ).alias("__s")
     )
-    ca = cent.select(
-        F.col("__g").alias("__ga"), "__dim", F.col("__c").alias("__cca")
+    # centroid separations from the k-row array view (k² zip_with
+    # sums instead of the k²·d dim self-join; same ROUND(12) decimal
+    # terms, exact sum — r13)
+    cv = _centroid_vectors(cent)
+    ca = cv.select(
+        F.col("__g").alias("__ga"), F.col("__cvec").alias("__va")
     )
-    cb = cent.select(
-        F.col("__g").alias("__gb"), "__dim", F.col("__c").alias("__ccb")
+    cb = cv.select(
+        F.col("__g").alias("__gb"), F.col("__cvec").alias("__vb")
     )
-    sep = (
-        ca.join(F.broadcast(cb), "__dim")
-        .filter(F.col("__ga") != F.col("__gb"))
-        .groupBy("__ga", "__gb")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("__cca") - F.col("__ccb"))
-                    * (F.col("__cca") - F.col("__ccb")),
-                    12,
-                ).cast("decimal(38,12)")
-            ).alias("__dd")
-        )
+    sep = ca.join(
+        F.broadcast(cb), F.col("__ga") != F.col("__gb")
+    ).select(
+        "__ga",
+        "__gb",
+        F.aggregate(
+            F.zip_with(
+                F.col("__va"),
+                F.col("__vb"),
+                lambda a, b: F.round((a - b) * (a - b), 12).cast(
+                    "decimal(20,12)"
+                ),
+            ),
+            F.lit(0).cast("decimal(32,12)"),
+            lambda acc, t: (acc + t).cast("decimal(32,12)"),
+        ).alias("__dd"),
     )
     sa = s.select(F.col("__g").alias("__ga"), F.col("__s").alias("__sa"))
     sb = s.select(F.col("__g").alias("__gb"), F.col("__s").alias("__sb"))
@@ -2951,37 +3017,38 @@ def simplified_silhouette(
     cent = _centroid_table(emb, label_col, vec_col).localCheckpoint(
         eager=False
     )
-    cfan = cent.select(
-        F.col("__g").alias("__cg"), "__dim", F.col("__c")
+    # all k centroids broadcast as ONE map row; each vector computes
+    # its k distances as an array expression (r13) — the same
+    # ROUND(12) decimal term sums the exploded (vector, dim) ⋈ cfan
+    # join aggregated over n·d·k rows, now with no join, no explode
+    # and no (g, rid, cg) shuffle (bit-identical: decimal addition is
+    # exact; MIN over a decimal array equals MIN over the group)
+    cmap = _centroid_vectors(cent).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__g", "__cvec"))
+        ).alias("__cm")
     )
     x = emb.filter(
         F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(label_col).alias("__g"),
         F.col(id_col).alias("__rid"),
-        F.posexplode(F.col(vec_col)).alias("__dim", "__val"),
+        F.col(vec_col).alias("__v"),
     )
-    d2 = (
-        x.join(F.broadcast(cfan), "__dim")
-        .groupBy("__g", "__rid", "__cg")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.round(F.col("__val").cast("double"), 9)
-                     - F.col("__c"))
-                    * (F.round(F.col("__val").cast("double"), 9)
-                       - F.col("__c")),
-                    12,
-                ).cast("decimal(38,12)")
-            ).alias("__d2")
-        )
-    )
-    per_vec = d2.groupBy("__g", "__rid").agg(
-        F.min(
-            F.when(F.col("__cg") == F.col("__g"), F.col("__d2"))
+    per_vec = x.join(F.broadcast(cmap), F.lit(True)).select(
+        "__g",
+        "__rid",
+        _sq_dist_dec(
+            F.col("__v"), F.element_at(F.col("__cm"), F.col("__g"))
         ).alias("__a2"),
-        F.min(
-            F.when(F.col("__cg") != F.col("__g"), F.col("__d2"))
+        F.array_min(
+            F.transform(
+                F.filter(
+                    F.map_entries(F.col("__cm")),
+                    lambda e: e["key"] != F.col("__g"),
+                ),
+                lambda e: _sq_dist_dec(F.col("__v"), e["value"]),
+            )
         ).alias("__b2"),
     )
     a = F.sqrt(F.col("__a2").cast("double"))

@@ -759,7 +759,9 @@ def induce_bpe_merges(
     # the merge table is driver-local; the final round state is dead too
     free_blocks(state)
     return spark.createDataFrame(
-        merges, schema="merge_round long, bigram string, n long"
+        # 1 slice: one Python-worker eval instead of 32 (r13)
+        spark.sparkContext.parallelize(merges, 1),
+        schema="merge_round long, bigram string, n long",
     )
 
 

@@ -3167,10 +3167,17 @@ def q_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         t0 = tmax or _dt.datetime(2024, 1, 1)
         for k in (1, 2):
+            # single-slice parallelize, NOT createDataFrame(list)
+            # .coalesce(1): the latter fans the 1-row list into
+            # |defaultParallelism| pickled Python partitions that one
+            # task then evaluates sequentially (~5 s per sentinel
+            # write on local[32]; r13, guide §4)
             spark.createDataFrame(
-                [("-1", t0 + _dt.timedelta(hours=3 * k), 0.0)],
+                spark.sparkContext.parallelize(
+                    [("-1", t0 + _dt.timedelta(hours=3 * k), 0.0)], 1
+                ),
                 "user_id string, ts timestamp, value double",
-            ).coalesce(1).write.mode("append").parquet(src)
+            ).write.mode("append").parquet(src)
         stream = (
             spark.readStream.schema(
                 "user_id string, ts timestamp, value double"

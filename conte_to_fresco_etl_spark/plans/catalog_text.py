@@ -5727,7 +5727,14 @@ def q_doc_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, **_DEDUP_PARAMS).persist()
+    # checkpoint, not persist (r13): the pair table feeds the id-set
+    # prune AND the final join, and the shingle-set table feeds BOTH
+    # join sides — un-truncated, each consumer re-planned (and partly
+    # re-ran) the LSH signature build (55 Exchanges / 21 Python nodes
+    # in the sf0.1 plan); checkpointing pins each to one computation
+    pairs = minhash_lsh_pairs(docs, **_DEDUP_PARAMS).localCheckpoint(
+        eager=False
+    )
     cand_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -5737,6 +5744,7 @@ def q_doc_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(cand_ids), "doc_id")
         .filter(F.length(F.col("text")) >= 5)
         .select("doc_id", char_shingles("text", 5).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter

@@ -673,19 +673,28 @@ def referential_audit(
             .agg(F.count("*").alias("c"))
         )
         parent_keys = parent.select(F.col(pk_col).alias("k")).distinct()
-        orphans = keys.join(parent_keys, "k", "left_anti")
-        stats = keys.agg(
+        # ONE pass over the key table (r13): mark orphans with a left
+        # join against the (distinct) parent keys and fold every stat
+        # into a single aggregate — the previous shape ran an anti-join
+        # plus TWO separate aggregates crossJoined back together,
+        # re-planning the child collapse twice (~7 Exchanges per edge;
+        # q_fk_orphans carried 100 Exchanges / a 1.9k-line plan at
+        # sf0.1).  A left join + NULL test is exactly left_anti
+        # semantics, so every count/sum is unchanged.
+        marked = keys.join(
+            parent_keys.withColumn("__present", F.lit(1)), "k", "left"
+        )
+        orphan = F.col("__present").isNull()
+        stats = marked.agg(
             F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
             F.count("*").alias("n_fk_keys"),
-        )
-        ostats = orphans.agg(
-            F.count("*").alias("n_orphan_keys"),
-            F.coalesce(F.sum("c"), F.lit(0))
+            F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
+            F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0))
             .cast("long")
             .alias("n_orphan_rows"),
         )
         outs.append(
-            stats.crossJoin(ostats).select(
+            stats.select(
                 F.lit(label).alias("edge"),
                 "n_rows",
                 "n_fk_keys",

@@ -520,6 +520,9 @@ def test_catalog_queries_survive_empty_tables(spark, tmp_path):
 #: regression: at corpus scale an accidental nested-loop join is the
 #: difference between minutes and weeks.
 BNLJ_ALLOWED = {
+    "q_silhouette",             # all-centroid map (1-row broadcast, r13)
+    "q_davies_bouldin",         # |labels|-row centroid-vector self-join
+                                # (non-equi __ga != __gb, r13)
     "q11_important_parts",      # scalar HAVING threshold (1-row broadcast)
     "q22_dormant_customers",    # scalar avg balance (1-row broadcast)
     "q_above_mean",             # scalar mean (1-row broadcast)
@@ -970,6 +973,9 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
     # Naive-Bayes class-stat table: keyed on the class label — a
     # |classes|-row domain (5 langs) by construction
     "q_naive_bayes": ("keys=[__y#",),
+    # centroid-vector table: keyed on the cluster label — a |labels|-row
+    # domain by construction (r13 array-expression rewrite)
+    "q_davies_bouldin": ("keys=[__g#",),
 }
 
 

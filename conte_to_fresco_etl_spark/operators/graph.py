@@ -27,11 +27,70 @@ oracle reproduces every iterate bit-for-bit.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from conte_to_fresco_etl_spark.functions.core import normalize_ntz
 from conte_to_fresco_etl_spark.session import free_blocks
+
+
+# ---------------------------------------------------------------------------
+# Single-task fixpoint execution for dimension-sized graphs
+#
+# The iterative operators below (pagerank / hits / markov_absorption) pin
+# every iterate with ROUND(x, 12) + DECIMAL sums so an unrolled SQL oracle
+# reproduces them bit-for-bit.  When the node set is DIMENSION-sized (the
+# callers' broadcast_ranks / broadcast_scores declaration — an event-type
+# or per-host graph), driving each round as separate Spark jobs is pure
+# scheduling overhead: the r13 baseline measured the 25-row transition
+# fixpoint at 2-4s of job/stage latency on top of a 0.9s edge build
+# (guide §1.2: fix the distributed algorithm first).  These helpers run
+# ALL rounds inside ONE applyInPandas task over the collapsed edge table,
+# mirroring the in-plan arithmetic exactly:
+#
+# - Spark's round(double, s) is BigDecimal.valueOf(x).setScale(s, HALF_UP)
+#   → double; BigDecimal.valueOf uses Double.toString (shortest round-trip
+#   repr), which is what Python's repr(float) produces, so
+#   Decimal(repr(x)).quantize(1e-s, HALF_UP) walks the identical values.
+# - cast(double AS decimal(p, s)) performs the same HALF_UP quantize; the
+#   DECIMAL sums are exact integer math in both engines.
+# The distributed Pregel-style paths remain for web-scale graphs
+# (broadcast flags False), and `test_hits_broadcast_path_matches_shuffle_
+# path` pins the two paths bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _jround(x: float, scale: int) -> float:
+    """Spark ``round(double, scale)``: HALF_UP on the shortest decimal
+    repr, back to double (NaN/Inf pass through, as in RoundBase)."""
+    if x != x or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _jdec(x: float, scale: int) -> Decimal:
+    """Spark ``cast(double AS decimal(_, scale))``: HALF_UP quantize of
+    the shortest decimal repr."""
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+
+
+def _single_task(df: DataFrame, fn, out_schema: StructType) -> DataFrame:
+    """Run ``fn`` (pandas DataFrame -> pandas DataFrame) over ALL rows of
+    a dimension-sized ``df`` in one applyInPandas task (one constant
+    group).  An empty input yields an empty result frame."""
+    return df.groupBy(F.lit(1).alias("__fx")).applyInPandas(
+        lambda pdf: fn(pdf), schema=out_schema
+    )
 
 
 def event_transitions(
@@ -143,13 +202,17 @@ def pagerank(
     iteration (see module docstring).  Everything stays in-plan: N and
     the dangling mass are 1-row broadcast crossJoins, never collects.
 
-    ``broadcast_ranks=True`` ships the rank vector to the edge
-    partitions instead of shuffling edges onto it — the right plan when
-    |nodes| is dimension-sized (an event-type or per-host graph, as in
-    the gate): every iteration becomes one map-side join + one
-    AQE-coalesced aggregate.  Leave it False for web-scale graphs,
-    where the rank vector is as big as the corpus and must hash-
-    partition alongside the edges.
+    ``broadcast_ranks=True`` declares |nodes| dimension-sized (an
+    event-type or per-host graph, as in the gate); since r13 that
+    declaration routes the whole fixpoint into ONE applyInPandas task
+    over the collapsed (src, dst, w, multiplicity) edge table — the
+    iterate arithmetic (ROUND(12) pins, DECIMAL(28,12) sums) is
+    mirrored exactly (see `_jround`/`_jdec`), so results are
+    bit-identical to the Pregel path while paying one tiny job instead
+    of per-round materialization jobs.  Leave it False for web-scale
+    graphs, where the rank vector is as big as the corpus and must
+    hash-partition alongside the edges (per iteration: one rank-edge
+    join + one AQE-coalesced aggregate).
     """
     e = edges.select(
         F.col(src_col).alias("__s"),
@@ -165,6 +228,8 @@ def pagerank(
         e = e.join(outdeg, "__s").select(
             "__s", "__d", (F.lit(1.0) / F.col("__deg")).alias("__w")
         )
+    if broadcast_ranks:
+        return _pagerank_single_task(e, iterations, damping)
     # The edge list is referenced once per iteration AND by the node /
     # dangling derivations — the rank recurrence additionally fans out
     # the plan ~2^iterations.  Persist the dimension-sized staging
@@ -244,6 +309,68 @@ def pagerank(
     nodes.unpersist()
     has_out.unpersist()
     return ranks.select("node", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def _pagerank_single_task(
+    e: DataFrame, iterations: int, damping: float
+) -> DataFrame:
+    """All PageRank rounds in one task over the collapsed edge table
+    (see the module helper block).  ``e`` is (__s, __d, __w); duplicate
+    edge rows are collapsed in-plan to a multiplicity so the gathered
+    table is bounded by |distinct edges|, and each duplicate's
+    contribution is the DECIMAL term times the multiplicity (exact)."""
+    node_t = e.schema["__s"].dataType
+    out_schema = StructType(
+        [
+            StructField("node", node_t),
+            StructField("rank", DoubleType()),
+        ]
+    )
+    damping = float(damping)
+    iters = int(iterations)
+
+    def run(pdf):
+        import pandas as pd
+
+        srcs = pdf["__s"].tolist()
+        dsts = pdf["__d"].tolist()
+        ws = pdf["__w"].tolist()
+        ms = pdf["__m"].tolist()
+        nodes = set(srcs) | set(dsts)
+        n = float(len(nodes))
+        r0 = _jround(1.0 / n, 12)
+        rank = {v: r0 for v in nodes}
+        has_out = set(srcs)
+        no_out = [v for v in nodes if v not in has_out]
+        zero = Decimal(0)
+        for _ in range(iters):
+            contrib: dict = {}
+            for u, v, w, m in zip(srcs, dsts, ws, ms):
+                c = _jdec(_jround(rank[u] * w, 12), 12) * m
+                contrib[v] = contrib.get(v, zero) + c
+            dang = zero
+            for v in no_out:
+                dang += _jdec(rank[v], 12)
+            dang_f = float(dang)
+            rank = {
+                v: _jround(
+                    (1.0 - damping) / n
+                    + damping
+                    * (
+                        (float(contrib[v]) if v in contrib else 0.0)
+                        + dang_f / n
+                    ),
+                    12,
+                )
+                for v in nodes
+            }
+        out = list(nodes)
+        return pd.DataFrame(
+            {"node": out, "rank": [_jround(rank[v], 6) for v in out]}
+        )
+
+    ec = e.groupBy("__s", "__d", "__w").agg(F.count("*").alias("__m"))
+    return _single_task(ec, run, out_schema)
 
 
 def cooccurrence_edges(
@@ -767,56 +894,61 @@ def markov_absorption(
     Output: ``(state, p_win)`` per state, ROUND(6).
 
     Scale posture: the chain runs on the COLLAPSED transition table
-    (|states|² rows at most — dimension-sized by construction); per
-    round one tiny join + one (src) aggregation + a lazy
-    localCheckpoint to stop the 2^rounds lineage fan-out.  The raw
+    (|states|² rows at most — dimension-sized by construction), so
+    since r13 ALL rounds execute inside ONE applyInPandas task over
+    that table (module helper block) instead of K lazy-checkpointed
+    tiny joins: the per-round ROUND(12)-pin + DECIMAL(38,12) sum
+    sequence is mirrored exactly, results bit-identical, and the
+    query pays one job instead of a 12-round nested plan.  The raw
     event stream is touched only by the upstream transition build."""
     t = transitions.select(
         F.col(src_col).alias("s"),
         F.col(dst_col).alias("d"),
         F.col(prob_col).cast("double").alias("p"),
     ).filter(~F.col("s").isin([win_state, lose_state]))
-    t = t.localCheckpoint(eager=False)
-    states = (
-        t.select(F.col("s").alias("state"))
-        .unionByName(t.select(F.col("d").alias("state")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    out_schema = StructType(
+        [
+            StructField("state", t.schema["s"].dataType),
+            StructField("p_win", DoubleType()),
+        ]
     )
-    fixed = F.when(
-        F.col("state") == win_state, F.lit(1.0)
-    ).when(F.col("state") == lose_state, F.lit(0.0))
-    v = states.select(
-        "state", F.coalesce(fixed, F.lit(0.0)).alias("pw")
-    )
-    for _ in range(iterations):
-        contrib = (
-            t.join(
-                v.select(F.col("state").alias("d"), "pw"), "d"
-            )
-            .groupBy(F.col("s").alias("state"))
-            .agg(
-                F.round(
-                    F.sum(
-                        F.round(F.col("p") * F.col("pw"), 12).cast(
-                            "decimal(38,12)"
-                        )
-                    ).cast("double"),
-                    12,
-                ).alias("nxt")
-            )
+    iters = int(iterations)
+    win, lose = win_state, lose_state
+
+    def run(pdf):
+        import pandas as pd
+
+        srcs = pdf["s"].tolist()
+        dsts = pdf["d"].tolist()
+        ps = pdf["p"].tolist()
+        ms = pdf["__m"].tolist()
+        states = set(srcs) | set(dsts)
+        v = {
+            st: (1.0 if st == win else 0.0 if st == lose else 0.0)
+            for st in states
+        }
+        zero = Decimal(0)
+        for _ in range(iters):
+            acc: dict = {}
+            for s, d, p, m in zip(srcs, dsts, ps, ms):
+                term = _jdec(_jround(p * v[d], 12), 12) * m
+                acc[s] = acc.get(s, zero) + term
+            nxt = {s: _jround(float(x), 12) for s, x in acc.items()}
+            v = {
+                st: (
+                    1.0
+                    if st == win
+                    else 0.0 if st == lose else nxt.get(st, 0.0)
+                )
+                for st in states
+            }
+        out = list(states)
+        return pd.DataFrame(
+            {"state": out, "p_win": [_jround(v[st], 6) for st in out]}
         )
-        v = (
-            states.join(contrib, "state", "left")
-            .select(
-                "state",
-                F.coalesce(
-                    fixed, F.coalesce(F.col("nxt"), F.lit(0.0))
-                ).alias("pw"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return v.select("state", F.round(F.col("pw"), 6).alias("p_win"))
+
+    tc = t.groupBy("s", "d", "p").agg(F.count("*").alias("__m"))
+    return _single_task(tc, run, out_schema)
 
 
 def adamic_adar(
@@ -1084,13 +1216,17 @@ def hits(
     the right plan when |nodes| is dimension-sized; leave False for
     web-scale graphs where the score vector must hash-partition
     alongside the edges."""
-    e = (
-        edges.select(
-            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-        )
-        .distinct()
-        .persist()
-    )
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    if broadcast_scores:
+        # |nodes| declared dimension-sized: run every half-step in ONE
+        # applyInPandas task over the distinct edge table, mirroring
+        # the in-plan ROUND(12)/DECIMAL(28,12) sequence exactly (module
+        # helper block; bit-identity pinned by
+        # test_hits_broadcast_path_matches_shuffle_path).
+        return _hits_single_task(e, iterations)
+    e = e.persist()
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
@@ -1183,3 +1319,74 @@ def hits(
             F.round(F.col("authority"), 6).alias("authority"),
         )
     )
+
+
+def _ieee_div(a: float, b: float) -> float:
+    """JVM double division (0/0 = NaN, x/0 = signed Inf) — Python's
+    ``/`` raises on zero instead."""
+    if b != 0.0:
+        return a / b
+    if a == 0.0 or a != a:
+        return float("nan")
+    return math.copysign(math.inf, a) * math.copysign(1.0, b)
+
+
+def _hits_single_task(e: DataFrame, iterations: int) -> DataFrame:
+    """All HITS half-steps in one task over the distinct edge table,
+    walking the in-plan ROUND(12)/DECIMAL(28,12) sequence exactly (see
+    the module helper block)."""
+    node_t = e.schema["__s"].dataType
+    out_schema = StructType(
+        [
+            StructField("node", node_t),
+            StructField("hub", DoubleType()),
+            StructField("authority", DoubleType()),
+        ]
+    )
+    iters = int(iterations)
+
+    def run(pdf):
+        import pandas as pd
+
+        srcs = pdf["__s"].tolist()
+        dsts = pdf["__d"].tolist()
+        nodes = set(srcs) | set(dsts)
+        n = float(len(nodes))
+        a0 = _jround(1.0 / n, 12)
+        auth = {v: a0 for v in nodes}
+        hub: dict = {}
+        zero = Decimal(0)
+
+        def half_step(score_of_far_end, key_pairs):
+            # raw(k) = cast-to-double of the DECIMAL(28,12) sum of the
+            # far-end scores; total re-quantizes the double raws; the
+            # normalized score coalesces missing raws to 0.0.
+            raw: dict = {}
+            for k, far in key_pairs:
+                raw[k] = raw.get(k, zero) + _jdec(score_of_far_end[far], 12)
+            raw_f = {k: float(v) for k, v in raw.items()}
+            tot = float(
+                sum((_jdec(v, 12) for v in raw_f.values()), zero)
+            )
+            return {
+                v: (
+                    _jround(_ieee_div(raw_f[v], tot), 12)
+                    if v in raw_f
+                    else 0.0
+                )
+                for v in nodes
+            }
+
+        for _ in range(iters):
+            hub = half_step(auth, zip(srcs, dsts))
+            auth = half_step(hub, zip(dsts, srcs))
+        out = list(nodes)
+        return pd.DataFrame(
+            {
+                "node": out,
+                "hub": [_jround(hub[v], 6) for v in out],
+                "authority": [_jround(auth[v], 6) for v in out],
+            }
+        )
+
+    return _single_task(e, run, out_schema)

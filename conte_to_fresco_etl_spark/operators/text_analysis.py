@@ -721,6 +721,16 @@ def induce_bpe_merges(
         lambda x, y: F.concat_ws(" ", x, y),
     )
     merges: list[tuple[int, str, int]] = []
+    # r13: round state checkpoints LAZILY — round N's fuse pipelines
+    # into round N+1's count job (one corpus pass per round instead of
+    # a separate eager-materialization pass + a count pass), and the
+    # LAST round skips its fuse entirely (the old eager final state was
+    # materialized and immediately freed — a dead corpus pass).  Counts
+    # and the fuse regex are unchanged, so the merge table is
+    # bit-identical.  free_blocks only ever runs on MATERIALIZED
+    # checkpoints: state[N-1] is freed after the round-N count job
+    # (which computed and stored state[N] FROM it) has finished.
+    to_free = None
     for rnd in range(n_merges):
         top = (
             state.select(F.explode(bigrams).alias("bigram"))
@@ -730,11 +740,18 @@ def induce_bpe_merges(
             .limit(1)
             .collect()
         )
+        # the collect above materialized `state`; the corpus block it
+        # was derived from (two rounds back) is now fully consumed
+        if to_free is not None:
+            free_blocks(to_free)
+            to_free = None
         if not top:
             break
         pair, n = top[0][0], top[0][1]
         pa, pb = pair.split(" ", 1)
         merges.append((rnd, pair, int(n)))
+        if rnd == n_merges - 1:
+            break  # nothing re-counts: don't build a dead final state
         fused = F.split(
             F.regexp_replace(
                 F.array_join("toks", " "),
@@ -745,18 +762,14 @@ def induce_bpe_merges(
         )
         # re-filter: a fuse can shrink a doc below 2 tokens, which the
         # pair builder (slice of size-1) must never see
-        prev_state = state
+        to_free = state
         state = (
             state.select(fused.alias("toks"))
             .filter(F.size("toks") >= 2)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # the eager checkpoint consumed the previous round's tokenized
-        # corpus — corpus-SIZED, the biggest per-round block in the
-        # package; free it immediately (n_merges of them otherwise sit
-        # in the block manager until a session sweep)
-        free_blocks(prev_state)
-    # the merge table is driver-local; the final round state is dead too
+    # the merge table is driver-local; the last counted state is dead
+    # (materialized by its count job above, so free_blocks is safe)
     free_blocks(state)
     return spark.createDataFrame(
         # 1 slice: one Python-worker eval instead of 32 (r13)
@@ -1059,7 +1072,14 @@ def bigram_nll(
         .agg(F.count("*").alias("__cnt"))
         .persist()
     )
-    bc = tf.groupBy("bigram").agg(F.sum("__cnt").alias("__bc"))
+    # r13: bc feeds three consumers (pc, V, the term join) — share one
+    # materialization instead of re-aggregating the persisted tf per
+    # consumer (batch-1 multi-consumer convention)
+    bc = (
+        tf.groupBy("bigram")
+        .agg(F.sum("__cnt").alias("__bc"))
+        .localCheckpoint(eager=False)
+    )
     prev = F.split(F.col("bigram"), " ", 2).getItem(0)
     pc = bc.groupBy(prev.alias("__prev")).agg(
         F.sum("__bc").alias("__pc")
@@ -1732,10 +1752,14 @@ def heldout_nll(
         .agg(F.count("*").alias("__cnt"))
         .persist()
     )
+    # r13: vocab feeds two consumers (the totals scalar and the scoring
+    # join) — share one materialization instead of re-aggregating the
+    # persisted tf per consumer (batch-1 multi-consumer convention)
     vocab = (
         tf.filter(F.col("split") == "train")
         .groupBy("term")
         .agg(F.sum("__cnt").alias("__vc"))
+        .localCheckpoint(eager=False)
     )
     totals = vocab.agg(
         F.sum("__vc").alias("__n_train"), F.count("*").alias("__v")
@@ -1826,14 +1850,25 @@ def kneser_ney_nll(
         .agg(F.count("*").alias("__cnt"))
         .persist()
     )
-    bc = tf.groupBy("bigram").agg(F.sum("__cnt").alias("__bc"))
+    # r13: bc feeds FOUR consumers (pc, cw, the T scalar, the term
+    # join) — a lazy localCheckpoint shares one materialization instead
+    # of re-aggregating the persisted tf per consumer (batch-1
+    # multi-consumer convention), and T = Σ n1f derives from the
+    # dimension-sized pc aggregate (count of distinct bigrams = sum of
+    # per-prefix distinct-continuation counts — exact integer identity),
+    # removing one full pass over bc.
+    bc = (
+        tf.groupBy("bigram")
+        .agg(F.sum("__cnt").alias("__bc"))
+        .localCheckpoint(eager=False)
+    )
     prev = F.split(F.col("bigram"), " ", 2).getItem(0)
     cur = F.split(F.col("bigram"), " ", 2).getItem(1)
     pc = bc.groupBy(prev.alias("__prev")).agg(
         F.sum("__bc").alias("__pc"), F.count("*").alias("__n1f")
     )
     cw = bc.groupBy(cur.alias("__cur")).agg(F.count("*").alias("__n1b"))
-    t_types = bc.agg(F.count("*").alias("__t"))
+    t_types = pc.agg(F.sum("__n1f").alias("__t"))
     d = F.lit(discount)
     bc_d = F.col("__bc").cast("double")
     pc_d = F.col("__pc").cast("double")
@@ -2321,7 +2356,14 @@ def unigram_lm_tokenizer(
             new[r["p"]] = int(r["pc"])
         vocab_counts = new
 
-    final = _em_round_df(_uni_logprobs(vocab_counts))
+    # r13: the final round feeds BOTH the usage total and the top-k —
+    # share one materialization instead of running the Viterbi map pass
+    # + piece reduce twice (batch-1 multi-consumer convention; the rank
+    # window upstream sits above a Limit, so the raw-row-window guard
+    # still sees a collapse)
+    final = _em_round_df(_uni_logprobs(vocab_counts)).localCheckpoint(
+        eager=False
+    )
     tot = final.agg(F.sum("pc").cast("double").alias("tot"))
     # top-k first (distributed TakeOrdered), THEN the rank window over
     # only top_out rows — a global row_number over the full piece
@@ -3650,20 +3692,33 @@ def naive_bayes_classify(
         base.filter(~is_test)
         .select("__y", F.explode("__toks").alias("__tok"))
     )
-    # model: per (class, token) counts; k-row class stats; |V| scalar
-    cnt = train_tok.groupBy(
-        F.col("__y").alias("__m_y"), F.col("__tok").alias("__m_tok")
-    ).agg(F.count("*").alias("__c"))
-    cls = train_tok.groupBy("__y").agg(F.count("*").alias("__tot"))
-    docs_cls = base.filter(~is_test).groupBy("__y").agg(
-        F.count("*").alias("__docs")
+    # model: per (class, token) counts; k-row class stats; |V| scalar.
+    # r13: cnt is the ONE tokenize+explode collapse — class totals
+    # (Σ __c per class ≡ per-class token count) and the vocabulary size
+    # (distinct __m_tok ≡ distinct train token) DERIVE from it instead
+    # of re-running the corpus tokenization per statistic, and the
+    # class doc counts feed both the prior join and the ndocs scalar
+    # (exact integer identities; batch-1 multi-consumer convention).
+    cnt = (
+        train_tok.groupBy(
+            F.col("__y").alias("__m_y"), F.col("__tok").alias("__m_tok")
+        )
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    scal = train_tok.agg(
-        F.countDistinct("__tok").alias("__vocab"),
+    cls = cnt.groupBy(F.col("__m_y").alias("__y")).agg(
+        F.sum("__c").alias("__tot")
+    )
+    docs_cls = (
+        base.filter(~is_test)
+        .groupBy("__y")
+        .agg(F.count("*").alias("__docs"))
+        .localCheckpoint(eager=False)
+    )
+    scal = cnt.agg(
+        F.countDistinct("__m_tok").alias("__vocab"),
     ).join(
-        F.broadcast(
-            base.filter(~is_test).agg(F.count("*").alias("__ndocs"))
-        ),
+        F.broadcast(docs_cls.agg(F.sum("__docs").alias("__ndocs"))),
         F.lit(True),
     )
     classes = (

@@ -5899,6 +5899,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conte_to_fresco_etl_spark.operators.text_analysis import unigram_nll
 
     docs = _t(spark, sf_dir, "documents")
+    # r13: examined for the multi-consumer pattern (scored feeds the
+    # cutpoint aggregate AND the bucketing join) — left alone: the
+    # shared subtree root is the unigram_nll groupBy(doc) exchange,
+    # which Catalyst already dedupes via ReusedExchange; an explicit
+    # checkpoint measured flat (0.99x) while adding block churn.
     scored = unigram_nll(docs).join(docs.select("doc_id", "source"), "doc_id")
     cuts = scored.groupBy("source").agg(
         F.percentile("nll", F.lit(0.3333333333333333)).alias("c1"),

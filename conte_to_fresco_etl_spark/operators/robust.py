@@ -2688,11 +2688,17 @@ def spearman_rho(df: DataFrame, x: Column, y: Column) -> DataFrame:
     tables data-sized); two equi-joins re-attach ranks to cells."""
     from conte_to_fresco_etl_spark.parallelism import prefix_sums
 
+    # r13: the cell collapse feeds THREE consumers (both marginal rank
+    # tables and the moment join) — share one materialization instead
+    # of re-collapsing the raw stream per consumer (batch-1
+    # multi-consumer convention; downstream windows are all
+    # __pid-partitioned inside prefix_sums, so no guard concern)
     cells = (
         df.select(x.alias("x"), y.alias("y"))
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
 
     def midranks(axis: str) -> DataFrame:
@@ -6808,14 +6814,21 @@ def decision_stump(
             F.col(feat).alias("__x"),
             F.col(label_col).cast("boolean").alias("__y"),
         )
+        # r13: the (value -> count, positives) marginal is the ONE
+        # corpus collapse per feature; the label prior derives from it
+        # (Σ __c / Σ __p — exact integer identities) instead of paying
+        # a second corpus scan per feature — the marginal's exchange is
+        # shared via ReusedExchange, so no checkpoint is needed (an
+        # explicit one measured 1.16x at sf0.1: block churn on a
+        # dimension-sized table).  Guide §2.3-2.4.
         marg = vals.groupBy("__x").agg(
             F.count("*").alias("__c"),
             F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"),
         )
         cum = prefix_sums(marg, "__x", ["__c", "__p"], prefix="__cm_")
-        tot = vals.agg(
-            F.count("*").alias("__n"), 
-            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+        tot = marg.agg(
+            F.sum("__c").alias("__n"),
+            F.sum("__p").alias("__np"),
         )
         nd = F.col("__n").cast("double")
         nl = F.col("__cm___c").cast("double")

@@ -187,7 +187,11 @@ def kth_element(
     out = out_col or f"kth_{value_col}"
     marg = df.groupBy(value_col).agg(F.count("*").alias("__mcnt"))
     cum = prefix_sums(marg, value_col, ["__mcnt"], prefix="__cm_")
-    tot = df.agg(F.count("*").alias("m"))
+    # r13: the total derives from the marginal (Σ marginal counts = row
+    # count, exact integer identity) instead of a second full pass over
+    # ``df`` — the marginal's exchange is shared via ReusedExchange, so
+    # every kth_element/exact_median call drops one input scan.
+    tot = marg.agg(F.sum("__mcnt").alias("m"))
     ranks = ranks_of_m(F.col("m"))
     hit = None
     for k in ranks:

@@ -183,6 +183,44 @@ REGATE_R13: list[str] = [
     # execution paths changed — the driver re-proves the gates
     "q_embedding_neardup_lsh",
     "q_hard_negatives_lsh",
+    # --- r13 OPTIMIZATION batches (results bit-identical by local
+    # oracle parity, but every execution path below changed — the
+    # driver re-proves each under the hard gate) ---
+    # batch 1: multi-consumer plan truncation / explode-join removal
+    "q_triangle_count",
+    "q_transitivity",
+    "q_modularity",
+    "q_silhouette",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_lsh_recall",
+    "q_kmv_overlap",
+    "q_fk_orphans",
+    "q_doc_minhash_sim",
+    # batch 2: single-slice small-table parallelize (tiny-write fix)
+    "q_decontaminate_bloom",
+    "q_lsh_calibration",
+    "q_benford",
+    "q_logreg_train",
+    "q_random_projection",
+    "q_sessionize_replay",
+    # batch 3: dimension-sized graph fixpoints in one task
+    "q_pagerank",
+    "q_hits",
+    "q_markov_absorption",
+    # batch 4: LM family multi-consumer collapses / lazy BPE rounds
+    "q_bpe_merges",
+    "q_kn_bigram_nll",
+    "q_bigram_nll",
+    "q_heldout_nll",
+    "q_unigram_tokenizer",
+    "q_naive_bayes",
+    # batch 5: kth_element total derivation + spearman cell checkpoint
+    "q_spearman_rho",
+    "q_decision_stump",
+    "q_theil_sen",
+    "q_runs_test",
+    "q_hodges_lehmann",
 ]
 
 # Queries registered AFTER this round's 50-slot window filled (none yet
@@ -227,6 +265,37 @@ PRIORITY: list[str] = [
     "q_neardup_lsh_autowiden",
     "q_embedding_neardup_lsh",
     "q_hard_negatives_lsh",
+    # r13 optimization-touched execution paths (REGATE_R13 tail):
+    "q_triangle_count",
+    "q_transitivity",
+    "q_modularity",
+    "q_silhouette",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_lsh_recall",
+    "q_kmv_overlap",
+    "q_fk_orphans",
+    "q_doc_minhash_sim",
+    "q_decontaminate_bloom",
+    "q_lsh_calibration",
+    "q_benford",
+    "q_logreg_train",
+    "q_random_projection",
+    "q_sessionize_replay",
+    "q_pagerank",
+    "q_hits",
+    "q_markov_absorption",
+    "q_bpe_merges",
+    "q_kn_bigram_nll",
+    "q_bigram_nll",
+    "q_heldout_nll",
+    "q_unigram_tokenizer",
+    "q_naive_bayes",
+    "q_spearman_rho",
+    "q_decision_stump",
+    "q_theil_sen",
+    "q_runs_test",
+    "q_hodges_lehmann",
     # --- round-12 window below ---
     # Head: REGATE_R12 (IVF auto-quantizer migration; q_ivfpq_auto_topk
     # is this round's only new registration), then the yardstick

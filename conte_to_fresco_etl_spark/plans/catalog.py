@@ -51,8 +51,28 @@ from conte_to_fresco_etl_spark.functions.text import LANG_STOPWORDS, EN_STOPWORD
 # helpers
 # ---------------------------------------------------------------------------
 
+#: Per-process memo of each table's parquet SCHEMA (metadata only — the
+#: catalog/metastore equivalent; every query still scans the parquet
+#: itself).  Motivation (r13, measured): a bare ``spark.read.parquet``
+#: pays ~0.25-0.32s of footer/schema inference PER CALL on this box,
+#: while ``spark.read.schema(s).parquet`` costs ~0.07-0.10s — across
+#: 366 queries x 1-3 table reads each that inference is a large slice
+#: of the per-query fixed cost (guide §6: production tables resolve
+#: schemas through a catalog, not per-query file inspection).  The
+#: first read of each (dir, table) still infers and seeds the memo, so
+#: behavior is schema-identical by construction.
+_SCHEMA_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return normalize_ntz(df)
+    return normalize_ntz(spark.read.schema(sch).parquet(path))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,9 +161,11 @@ REGATE_R12: list[str] = [
 # append (append_index — frozen quantizer, additive fingerprint merge),
 # the ivf_topk_preassigned full-probe/isin-skip and served warm-path
 # degrade fixes (ADVICE r12), the auto-widening adaptive LSH banding
-# (embedding_lsh_neardup_pairs past the segment cap), and the
-# persist-hygiene restructures (covariance/PCA, media fingerprints,
-# robust/text_analysis sites).
+# (embedding_lsh_neardup_pairs past the segment cap), and the r13
+# OPTIMIZATION batches below (plan truncation, small-table writes,
+# single-task fixpoints, multi-consumer collapses).  The r12 verdict's
+# persist-hygiene batch (item 4) is NOT in this round — deferred with
+# rationale in OPTIMIZATION_r13.md.
 REGATE_R13: list[str] = [
     # NEW r13: the approximate classifier, hash-gated end to end
     "q_knn_classify_ivf",

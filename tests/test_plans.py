@@ -640,7 +640,7 @@ BNLJ_ALLOWED = {
     "q_anderson_darling",       # group-total 1-row cross + offsets join
     "q_brunner_munzel",         # rank-mean 1-row cross + offsets join
     "q_naive_bayes",            # |classes|-row model-stat broadcast
-                                # (registered keys=[__y#] pattern) +
+                                # (registered keys=[__m_y#] pattern) +
                                 # vocab/doc-count 1-row crosses
     "q_calinski_harabasz",      # B/W dispersion 1-row crosses
     "q_spectral_entropy",       # day-zero/grand-mean + power-total
@@ -971,8 +971,11 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
     # a <= 20-row domain by construction
     "q_kendall_w": ("keys=[__i#",),
     # Naive-Bayes class-stat table: keyed on the class label — a
-    # |classes|-row domain (5 langs) by construction
-    "q_naive_bayes": ("keys=[__y#",),
+    # |classes|-row domain (5 langs) by construction.  Since the r13
+    # single-collapse rewrite the only label-keyed aggregate still
+    # VISIBLE in the broadcast side is cls (grouped on __m_y; the
+    # doc-count aggregate is behind a localCheckpoint scan)
+    "q_naive_bayes": ("keys=[__m_y#",),
     # centroid-vector table: keyed on the cluster label — a |labels|-row
     # domain by construction (r13 array-expression rewrite)
     "q_davies_bouldin": ("keys=[__g#",),

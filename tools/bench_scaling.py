@@ -205,10 +205,18 @@ def main() -> None:
             )
 
     for name, row in out.items():
+        # a scale that timed out kept at most a min-of-1 reading: any
+        # ratio built on it is annotated so consumers can't read an
+        # unconfirmed single sample as a confirmed min-of-2
+        partial = set(row.get("timeout", []))
         if row.get("t_small") and row.get("t_big"):
             row["ratio"] = round(row["t_big"] / row["t_small"], 2)
+            if partial & {"t_small", "t_big"}:
+                row["ratio_partial"] = True
         if row.get("t_big") and isinstance(row.get("t_huge"), float):
             row["ratio2"] = round(row["t_huge"] / row["t_big"], 2)
+            if partial & {"t_big", "t_huge"}:
+                row["ratio2_partial"] = True
 
     payload = {
         "sf_small": args.small,

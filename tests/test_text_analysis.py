@@ -455,6 +455,98 @@ def test_induce_bpe_regex_fuse_equals_python_fold(spark):
     assert got == _py_bpe_merges(texts, 5)
 
 
+def test_induce_bpe_overlap_chains(spark):
+    """Adjacent/overlapping merge sites are the hard case for any fuse
+    implementation (greedy resume-after-match consumption, repeated
+    tokens, sites touching at both ends).  Repeat-heavy corpora
+    exercise every adjacency shape against the Python fold twin.
+    Added in r13 while evaluating the delta-patched trainer (rejected
+    on measurement — see OPTIMIZATION_r13.md); kept because the
+    corpora strengthen the black-box gate on ANY future rewrite."""
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+    from conte_to_fresco_etl_spark.plans.catalog_text import _py_bpe_merges
+
+    texts = [
+        "a a a a a a a a",
+        "a a a a",
+        "b a a a b a a",
+        "a a b b a a b b a a",
+        "x x x x x x",
+        "a b a b a b a b a b",
+        "b b b a a a b b b a a a",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_round"], r["bigram"], r["n"])
+        for r in induce_bpe_merges(df, n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _py_bpe_merges(texts, 6)
+
+
+def test_induce_bpe_nul_tokens(spark):
+    """Tokens containing NUL bytes must train exactly (the r13
+    delta-patch experiment used NUL as a fuse sentinel; this pins that
+    any such scheme keeps NUL-bearing corpora exact)."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+    from conte_to_fresco_etl_spark.plans.catalog_text import _py_bpe_merges
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "a\x00b", "\x00", "c\x00", "a", "b", "q"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 20)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_round"], r["bigram"], r["n"])
+        for r in induce_bpe_merges(df, n_merges=5)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == _py_bpe_merges(texts, 5)
+
+
+def test_induce_bpe_joiner_metachars(spark):
+    """Joiner strings with regex/replacement metacharacters (and NUL)
+    survive the fuse replacement escaping across rounds."""
+    import random
+
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        induce_bpe_merges,
+    )
+    from conte_to_fresco_etl_spark.plans.catalog_text import _py_bpe_merges
+
+    rng = random.Random(31)
+    vocab = ["a", "b", "c", "a$b", "x\\y", "a", "b"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 16)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for joiner in ("<>", "$\\", "\x00"):
+        got = [
+            (r["merge_round"], r["bigram"], r["n"])
+            for r in induce_bpe_merges(df, n_merges=4, joiner=joiner)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == _py_bpe_merges(texts, 4, joiner=joiner), joiner
+
+
 def test_apply_bpe_merges_fuses_in_order_map_only(spark):
     """Applying a trained merge table must fuse in merge order (later
     merges see earlier merges' tokens) in a zero-shuffle projection."""

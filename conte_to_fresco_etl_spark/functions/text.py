@@ -47,6 +47,27 @@ def tokens(c: Column | str, lowercase: bool = True) -> Column:
     )
 
 
+def explode_nonempty(c: Column | str) -> Column:
+    """``explode`` of a DERIVED array column without the optimizer's
+    inferred pre-filter.  ``InferFiltersFromGenerate`` adds
+    ``size(child) > 0 AND isnotnull(child)`` under an explode whose
+    child is a bare attribute, and predicate pushdown then inlines the
+    array-producing expression (tokenize, shingle) into a scan-side
+    Filter — re-deriving it per row BELOW the fan-out repartition,
+    i.e. single-task at one-row-group-per-file scale (r13, measured on
+    q_unigram_nll and siblings).  Wrapping the child in the equivalent
+    ``when()`` guard leaves the rule nothing to infer; results are
+    identical — explode drops NULL exactly as it drops empty arrays."""
+    c = _col(c)
+    return F.explode(F.when(F.size(c) > 0, c))
+
+
+def posexplode_nonempty(c: Column | str) -> Column:
+    """``posexplode`` twin of :func:`explode_nonempty`."""
+    c = _col(c)
+    return F.posexplode(F.when(F.size(c) > 0, c))
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (BPE-ish proxy: see ``approx_bpe_count``)."""
     return F.size(tokens(c)).cast("long")

@@ -1646,13 +1646,22 @@ def repeated_spans(
 
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") >= k)
+        # no size filter: a Filter above the tokenizing projection is
+        # pushed below it and tokenizes twice per row (r13); the >= k
+        # guard lives inside the gram expression — without it,
+        # sequence(1, size-k+1) on a short doc DESCENDS (the Spark 4
+        # gotcha) and would fabricate grams.  NULL rows are dropped by
+        # posexplode exactly like the old filter dropped them.
+    )
     grams = base.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1)),
-                lambda i: F.array_join(F.slice("__toks", i, k), " "),
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(k - 1)),
+                    lambda i: F.array_join(F.slice("__toks", i, k), " "),
+                ),
             )
         ).alias("__p", "__g"),
     )

@@ -508,36 +508,40 @@ def classification_metrics(
     scatter → class agg → 1-row final agg.  No persist, no join of
     the tiny tables, a single job (the previous 5-subplan join form
     measured ~2s of pure job/persist overhead at sf0.1)."""
-    # NULL-label rows are excluded AFTER the cell aggregation: the
-    # predicate is over the same label values either way, but a
-    # pre-agg filter on a projected classifier column gets the
-    # classifier expression inlined TWICE per row by CollapseProject
-    # (once in the filter, once in the agg key); post-agg it runs on
-    # |classes|² rows
-    cells = (
-        df.groupBy(F.col(gold_col).alias("g"), F.col(pred_col).alias("p"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("g").isNotNull() & F.col("p").isNotNull())
-    )
+    # NULL-label rows are excluded AFTER the cell aggregation, and NOT
+    # via a Filter node: a key filter above the aggregation is pushed
+    # BELOW it (and through the projection) by Catalyst, inlining a
+    # projected classifier column's expression into a per-row scan
+    # filter — measured ~2x the whole lang-id evaluation on
+    # q_classifier_metrics (the guide §4.4 duplication, with pure
+    # expressions instead of a UDF).  Guarding the scatter array
+    # (explode drops empty arrays) expresses the same exclusion with no
+    # Filter for the optimizer to move: null-keyed cells survive the
+    # |classes|²-sized aggregation and scatter nothing.
+    cells = df.groupBy(
+        F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
+    ).agg(F.count("*").alias("n"))
     zero = F.lit(0).cast("long")
+    scatter = F.array(
+        F.struct(
+            F.col("g").alias("cls"),
+            F.col("n").alias("gold_n"),
+            zero.alias("pred_n"),
+            F.when(F.col("g") == F.col("p"), F.col("n"))
+            .otherwise(zero)
+            .alias("tp_n"),
+        ),
+        F.struct(
+            F.col("p").alias("cls"),
+            zero.alias("gold_n"),
+            F.col("n").alias("pred_n"),
+            zero.alias("tp_n"),
+        ),
+    )
+    both = F.col("g").isNotNull() & F.col("p").isNotNull()
     scattered = cells.select(
         F.explode(
-            F.array(
-                F.struct(
-                    F.col("g").alias("cls"),
-                    F.col("n").alias("gold_n"),
-                    zero.alias("pred_n"),
-                    F.when(F.col("g") == F.col("p"), F.col("n"))
-                    .otherwise(zero)
-                    .alias("tp_n"),
-                ),
-                F.struct(
-                    F.col("p").alias("cls"),
-                    zero.alias("gold_n"),
-                    F.col("n").alias("pred_n"),
-                    zero.alias("tp_n"),
-                ),
-            )
+            F.when(both, scatter).otherwise(F.slice(scatter, 1, 0))
         ).alias("e")
     ).select("e.*")
     per_class = scattered.groupBy("cls").agg(

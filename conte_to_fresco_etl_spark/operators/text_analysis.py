@@ -35,7 +35,9 @@ from conte_to_fresco_etl_spark.functions.text import (
     EN_STOPWORDS,
     approx_bpe_count,
     doc_fingerprint,
+    explode_nonempty,
     lang_id,
+    posexplode_nonempty,
     punct_ratio,
     quality_score,
     simhash32,
@@ -380,10 +382,16 @@ def top_tfidf_terms(
 
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") > 0)
-    n_docs = toks.count()
+    )
+    # docs-with-tokens count folded into the aggregate (no Filter node:
+    # a size() filter above the tokenizing projection would be pushed
+    # below it and run the tokenizer twice per row — r13); the tf
+    # branch needs no filter at all, explode drops empty arrays
+    n_docs = toks.agg(
+        F.sum((F.size("__toks") > 0).cast("long")).alias("n")
+    ).collect()[0]["n"] or 0
     tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(F.col(id_col), explode_nonempty("__toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("__cnt"))
     )
@@ -450,13 +458,19 @@ def unigram_nll(
         ensure_min_parallelism,
     )
 
+    # NO size()>0 pre-filter: explode drops empty arrays already, and a
+    # Filter above the tokenizing projection gets pushed BELOW it,
+    # inlining tokens() into a per-row scan predicate — the whole
+    # tokenization then runs TWICE per row (Filter and Project are
+    # separate codegen operators; subexpression elimination does not
+    # cross them).  Same r13 finding as classification_metrics.
     toks = ensure_min_parallelism(
         df.select(F.col(id_col), F.col(text_col)), DENSE_BYTES_PER_TASK
     ).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") > 0)
+    )
     tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(F.col(id_col), explode_nonempty("__toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("__cnt"))
     )
@@ -845,7 +859,7 @@ def chunk_documents(
     step = max_tokens - overlap
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") > 0)
+    )
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(step)),
@@ -857,7 +871,16 @@ def chunk_documents(
         base.select(
             F.col(id_col),
             F.col("__toks"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            # zero-token docs emit NULL (not a 1-chunk sequence), which
+            # explode drops — the former size()>0 Filter above the
+            # tokenizing projection was pushed below it and ran the
+            # tokenizer twice per row (r13)
+            F.explode(
+                F.when(
+                    F.size("__toks") > 0,
+                    F.sequence(F.lit(0), n_chunks - 1),
+                )
+            ).alias("chunk_id"),
         )
         .select(
             F.col(id_col),
@@ -1048,9 +1071,11 @@ def bigram_nll(
     toks = tokens(F.col(text_col))
     base = ensure_min_parallelism(
         df.select(F.col(id_col), F.col(text_col)), DENSE_BYTES_PER_TASK
-    ).select(F.col(id_col), toks.alias("__toks")).filter(
-        F.size("__toks") >= 2
-    )
+    ).select(F.col(id_col), toks.alias("__toks"))
+    # no size filter: a Filter above the tokenizing projection is
+    # pushed below it (and below the fan-out exchange) and tokenizes
+    # twice per row (r13); the >= 2 guard lives inside the pair
+    # expression instead
     tf = (
         base.select(
             F.col(id_col),
@@ -1061,10 +1086,13 @@ def bigram_nll(
             # index (measured ~2x on the identical pair build in
             # induce_bpe_merges)
             F.explode(
-                F.zip_with(
-                    F.slice("__toks", 1, F.size("__toks") - 1),
-                    F.slice("__toks", 2, F.size("__toks") - 1),
-                    lambda x, y: F.concat(x, F.lit(" "), y),
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.zip_with(
+                        F.slice("__toks", 1, F.size("__toks") - 1),
+                        F.slice("__toks", 2, F.size("__toks") - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    ),
                 )
             ).alias("bigram"),
         )
@@ -1400,18 +1428,22 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # the docs-with-tokens predicate lives INSIDE the stats aggregate
+    # (a Filter above the tokenizing projection is pushed below it and
+    # tokenizes twice per row — r13); the tf branch needs no filter,
+    # explode drops empty arrays
     toks = df.select(
         F.col(id_col), tokens(text_col).alias("__toks")
-    ).filter(F.size("__toks") > 0)
+    )
     stats = toks.agg(
-        F.count("*").cast("double").alias("__n_docs"),
+        F.sum((F.size("__toks") > 0).cast("double")).alias("__n_docs"),
         F.sum(F.size("__toks").cast("double")).alias("__sum_dl"),
     )
     tf = (
         toks.select(
             F.col(id_col),
             F.size("__toks").cast("double").alias("__dl"),
-            F.explode("__toks").alias("term"),
+            explode_nonempty("__toks").alias("term"),
         )
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "term")
@@ -1653,10 +1685,11 @@ def dsir_logweights(
         .select(
             F.col(id_col), "__is_t", tokens(F.col(text_col)).alias("__toks")
         )
-        .filter(F.size("__toks") > 0)
+        # no size filter: explode drops empty arrays, and a Filter here
+        # would be pushed below the projection and tokenize twice (r13)
     )
     tf = (
-        toks.select(F.col(id_col), "__is_t", F.explode("__toks").alias("term"))
+        toks.select(F.col(id_col), "__is_t", explode_nonempty("__toks").alias("term"))
         .groupBy(id_col, "__is_t", "term")
         .agg(F.count("*").alias("__cnt"))
         .persist()
@@ -1744,10 +1777,11 @@ def heldout_nll(
         .select(
             F.col(id_col), "split", tokens(F.col(text_col)).alias("__toks")
         )
-        .filter(F.size("__toks") > 0)
+        # no size filter: explode drops empty arrays, and a Filter here
+        # would be pushed below the projection and tokenize twice (r13)
     )
     tf = (
-        toks.select(F.col(id_col), "split", F.explode("__toks").alias("term"))
+        toks.select(F.col(id_col), "split", explode_nonempty("__toks").alias("term"))
         .groupBy(id_col, "split", "term")
         .agg(F.count("*").alias("__cnt"))
         .persist()
@@ -1833,16 +1867,23 @@ def kneser_ney_nll(
             df.select(F.col(id_col), F.col(text_col)), DENSE_BYTES_PER_TASK
         )
         .select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") >= 2)
+        # no size filter: a Filter above the tokenizing projection is
+        # pushed below it and tokenizes twice per row (r13); the >= 2
+        # guard lives inside the pair expression instead (slice with a
+        # negative length on a 0-token doc would error; NULL rows are
+        # dropped by explode like the old filter dropped them)
     )
     tf = (
         base.select(
             F.col(id_col),
             F.explode(
-                F.zip_with(
-                    F.slice("__toks", 1, F.size("__toks") - 1),
-                    F.slice("__toks", 2, F.size("__toks") - 1),
-                    lambda x, y: F.concat(x, F.lit(" "), y),
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.zip_with(
+                        F.slice("__toks", 1, F.size("__toks") - 1),
+                        F.slice("__toks", 2, F.size("__toks") - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    ),
                 )
             ).alias("bigram"),
         )
@@ -2780,12 +2821,15 @@ def mattr(
         df.select(F.col(id_col).alias("id"), F.col(text_col)),
         DENSE_BYTES_PER_TASK,
     ).select("id", tokens(F.col(text_col)).alias("toks"))
+    # no size>=w pre-filter: a Filter above the tokenizing projection
+    # is pushed below it and tokenizes twice per row (r13); docs
+    # shorter than one window lose every position to the pos filter
+    # below anyway (floor(len/w)*w = 0), so results are identical
     pos = (
-        base.filter(F.size("toks") >= w)
-        .select(
+        base.select(
             "id",
             F.size("toks").alias("len"),
-            F.posexplode("toks").alias("pos", "tok"),
+            posexplode_nonempty("toks").alias("pos", "tok"),
         )
         .filter(F.col("pos") < F.floor(F.col("len") / w) * w)
         .select(
@@ -2843,14 +2887,20 @@ def conditional_entropy(
             df.select(F.col(text_col)), DENSE_BYTES_PER_TASK
         )
         .select(toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
+        # no size filter: pushed below the projection it tokenizes
+        # twice per row (r13) — the >= 2 guard lives inside the pair
+        # expression (NULL rows dropped by explode, slice never sees a
+        # negative length)
     )
     pairs = base.select(
         F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                ),
             )
         ).alias("bg")
     ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
@@ -3081,8 +3131,15 @@ def span_corruption_plan(
             df.select(F.col(id_col).alias("id"), F.col(text_col)),
             DENSE_BYTES_PER_TASK,
         )
+        # n >= 1 ⟺ length(trim(text)) > 0 — the EQUIVALENT cheap
+        # predicate on the raw column, filtered BEFORE the tokenizing
+        # projection: a filter on the projected n is pushed below the
+        # projection and tokenizes twice per row (r13).  (NULL text
+        # fails both forms; split of non-blank trimmed text always
+        # yields >= 1 token.)  n >= 1 also guards sequence(0, n-1),
+        # which DESCENDS for n = 0.
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select("id", F.size(tokens(F.col(text_col))).alias("n"))
-        .filter(F.col("n") >= 1)
     )
     pos = base.select(
         "id",
@@ -3382,7 +3439,13 @@ def readability_by_group(
             df.select(
                 F.col(group_col).alias("__g"), F.col(text_col)
             ).filter(
-                F.col("__g").isNotNull() & F.col(text_col).isNotNull()
+                F.col("__g").isNotNull()
+                & F.col(text_col).isNotNull()
+                # __w > 0 ⟺ length(trim(text)) > 0: the equivalent
+                # cheap predicate on the raw column — a filter on the
+                # projected __w is pushed below the projection and
+                # tokenizes twice per row (r13)
+                & (F.length(F.trim(F.col(text_col))) > 0)
             ),
             DENSE_BYTES_PER_TASK,
         )
@@ -3411,7 +3474,6 @@ def readability_by_group(
                 ),
             ).alias("__y"),
         )
-        .filter(F.col("__w") > 0)
     )
     per = base.groupBy("__g").agg(
         F.count("*").alias("n_docs"),
@@ -3690,7 +3752,7 @@ def naive_bayes_classify(
     is_test = (F.col("__id") % F.lit(int(test_mod))) == 0
     train_tok = (
         base.filter(~is_test)
-        .select("__y", F.explode("__toks").alias("__tok"))
+        .select("__y", explode_nonempty("__toks").alias("__tok"))
     )
     # model: per (class, token) counts; k-row class stats; |V| scalar.
     # r13: cnt is the ONE tokenize+explode collapse — class totals
@@ -3739,7 +3801,7 @@ def naive_bayes_classify(
     )
     test_tf = (
         base.filter(is_test)
-        .select("__id", "__y", F.explode("__toks").alias("__tok"))
+        .select("__id", "__y", explode_nonempty("__toks").alias("__tok"))
         .groupBy("__id", "__y", "__tok")
         .agg(F.count("*").alias("__tf"))
     )

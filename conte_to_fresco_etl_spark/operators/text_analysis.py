@@ -1437,7 +1437,14 @@ def bm25_topk(
     )
     stats = toks.agg(
         F.sum((F.size("__toks") > 0).cast("double")).alias("__n_docs"),
-        F.sum(F.size("__toks").cast("double")).alias("__sum_dl"),
+        # greatest(size, 0): config-independent — size(NULL) is NULL
+        # under ANSI (sum skips it) but -1 under legacy sizeOfNull
+        # (would silently subtract 1 per NULL-text row); greatest maps
+        # both to a sum-neutral 0, so the total equals the old
+        # size()>0-prefiltered form under EITHER setting (ADVICE r13)
+        F.sum(
+            F.greatest(F.size("__toks"), F.lit(0)).cast("double")
+        ).alias("__sum_dl"),
     )
     tf = (
         toks.select(

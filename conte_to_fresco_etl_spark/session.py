@@ -39,6 +39,17 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.maxRecordsPerFile": "1000000",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # r14 (guide §1.2 step 2 — per-"task" work, here the DRIVER's):
+    # PySpark 4 wraps every DataFrame-API call in an error-context
+    # capture (Python stack walk + an IPython import probe + two extra
+    # py4j round trips to set/clear the JVM-side origin).  That is a
+    # debugging aid for interactive sessions; in a production driver
+    # it is pure per-call overhead — measured 32% of plan-construction
+    # time on floor-bound queries (3.05s -> 2.07s per 8 builds,
+    # plans/r14/floor_probe_baseline.json).  Scale-independent: it
+    # changes no plan, no result, and costs the same per API call on a
+    # 100 TB cluster driver as on local[32].
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

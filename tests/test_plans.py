@@ -960,8 +960,9 @@ BNLJ_BOUNDED_PATTERNS: dict[str, tuple[str, ...]] = {
     "q_cramers_v": ("keys=[rb#", "keys=[ra#"),
     # calibration-bin lattice: width_bucket caps bins at ~20
     "q_isotonic_calibration": ("keys=[bin#",),
-    # bounded 10x24 (priority x hour) cell grid self-join
-    "q_kendall_tau": ("keys=[x#",),
+    # bounded 10x24 (priority x hour) cell grid self-join — BOTH keys
+    # named (multi-key registration: each dimension is bounded)
+    "q_kendall_tau": ("keys=[x#&&, y#",),
     # 1-in-100 hash-sampled anchor batch (vec_id % 100 = 0)
     "q_hard_negatives": ("% 100) = 0",),
     # recall probe: the <=250-doc id-capped pair sample (the literal
@@ -1226,7 +1227,38 @@ def _bnlj_unbounded_broadcasts(
             side_text = "\n".join(
                 [lines[k]] + [lines[j] for j in _subtree_idx(k)]
             )
-            if extra_keys and any(p in side_text for p in extra_keys):
+
+            def _pattern_matches(p: str) -> bool:
+                if "&&" in p:
+                    # explicit multi-key registration: every fragment
+                    # must land on ONE line — the registrant names
+                    # each key of the bounded grid (e.g. kendall_tau's
+                    # 10x24 (priority, hour) cell aggregate)
+                    frags = p.split("&&")
+                    return any(
+                        all(f in ln2 for f in frags)
+                        for ln2 in side_text.split("\n")
+                    )
+                if p not in side_text:
+                    return False
+                if not p.startswith("keys=["):
+                    return True
+                # A bounded-DOMAIN key pattern must match a SINGLE-key
+                # aggregate: the same prefix also appears in multi-key
+                # aggregates (e.g. naive_bayes' (class, token) model
+                # collapse shares its first key with the |classes|-row
+                # cls aggregate), and a (bounded x data-sized) key pair
+                # is NOT bounded by the registered key alone (ADVICE
+                # r13).  Registered domains are plain columns, so a
+                # ", " inside the printed key list means multi-key.
+                for ln2 in side_text.split("\n"):
+                    if p in ln2:
+                        keys = ln2.split("keys=[", 1)[1].split("]", 1)[0]
+                        if ", " not in keys:
+                            return True
+                return False
+
+            if extra_keys and any(_pattern_matches(p) for p in extra_keys):
                 continue  # registered bounded-domain pattern matched
             offenses.append(_node(ln)[:80] + " <- " + _node(lines[k])[:60])
     return offenses

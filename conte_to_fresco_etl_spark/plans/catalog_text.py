@@ -3510,20 +3510,80 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy sequence packing.  Every stage is individually gated; this
     entry gates their COMPOSITION (filter interplay, cap-after-filter
     ordering, packing over the surviving set)."""
-    from conte_to_fresco_etl_spark.operators.dedup import decontaminate
+    import pandas as pd
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        _gram_posting_batches,
+        decontaminate,
+    )
     from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _QUALITY_METRIC_COLS,
+        _quality_metric_lists,
         pack_sequences,
         quality_filters,
+    )
+    from conte_to_fresco_etl_spark.parallelism import (
+        DENSE_BYTES_PER_TASK,
+        ensure_min_parallelism,
     )
     from conte_to_fresco_etl_spark.validation import cap_per_group
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_filters(docs).filter(F.col("keep")).select("doc_id")
+    # r14 (guide §4): quality + decontaminate each tokenized the corpus
+    # in their OWN Arrow pass (plus a third for the eval slice).  This
+    # fused pass tokenizes ONCE, emitting per-doc metric rows (__g NULL,
+    # values from the operator's _quality_metric_lists — bit-identical
+    # by construction) and per-doc distinct 3-gram posting rows (the
+    # operator's _gram_posting_batches), checkpointed for its three
+    # consumers.  The operators themselves are NOT forked: rounding +
+    # thresholding stay in quality_filters(raw_metrics=...), the
+    # counting join stays in decontaminate(train_grams=/eval_grams=...).
+    gram_fn = _gram_posting_batches(["doc_id"], "text", 3)
+    mcols = list(_QUALITY_METRIC_COLS)
+
+    def fused_batches(it):
+        for pdf in it:
+            if len(pdf):
+                m = _quality_metric_lists(pdf["text"])
+                mf = pd.DataFrame({"doc_id": pdf["doc_id"]})
+                mf["__g"] = pd.Series([None] * len(pdf), dtype=object)
+                for c in mcols:
+                    mf[c] = m[c]
+                yield mf[["doc_id", "__g", *mcols]]
+            for gf in gram_fn(iter([pdf])):
+                if len(gf):
+                    gf = gf.copy()
+                    for c in mcols:
+                        gf[c] = None
+                    yield gf[["doc_id", "__g", *mcols]]
+
+    fused = (
+        ensure_min_parallelism(
+            docs.select("doc_id", "text"), DENSE_BYTES_PER_TASK
+        )
+        .mapInPandas(
+            fused_batches,
+            schema="doc_id long, __g string, "
+            + ", ".join(f"{c} double" for c in mcols),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw_metrics = fused.filter(F.col("__g").isNull()).select(
+        "doc_id", *mcols
+    )
+    grams = fused.filter(F.col("__g").isNotNull()).select("doc_id", "__g")
+    q = (
+        quality_filters(docs, raw_metrics=raw_metrics)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
     dc = (
         decontaminate(
             docs.filter(F.col("doc_id") % 97 != 0),
             docs.filter(F.col("doc_id") % 97 == 0),
             ngram_n=3,
+            train_grams=grams.filter(F.col("doc_id") % 97 != 0),
+            eval_grams=grams.filter(F.col("doc_id") % 97 == 0),
         )
         .filter(~F.col("contaminated"))
         .select("doc_id")

@@ -1425,3 +1425,79 @@ def test_bleu_brevity_penalty_applies(spark):
     r = {x["cand_id"]: x for x in bleu_pairs(df, max_id=10).collect()}[1]
     assert r["p1"] == 1.0 and r["p2"] == 1.0
     assert abs(r["bleu2"] - round(math.exp(1 - 8 / 4), 6)) < 1e-6
+
+
+def test_fused_curation_hooks_match_in_operator_passes(spark):
+    """The r14 curation-fuse composition hooks are bit-identical to the
+    in-operator Arrow passes: quality_filters(raw_metrics=...) fed from
+    _quality_metric_lists reproduces every verdict, and decontaminate
+    (train_grams=/eval_grams=...) fed from _gram_posting_batches
+    reproduces every contamination count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from conte_to_fresco_etl_spark.operators.dedup import (
+        _gram_posting_batches,
+        decontaminate,
+    )
+    from conte_to_fresco_etl_spark.operators.text_analysis import (
+        _QUALITY_METRIC_COLS,
+        _quality_metric_lists,
+        quality_filters,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "x x x x x x x x x x"),          # degenerate repetition
+        (2, "- bullet one\n- bullet two\n- bullet three"),
+        (3, None),                             # NULL text
+        (4, "dots... dots... dots...\nline\nline"),
+        (5, "## symbols ## everywhere ##"),
+        (6, "ab"),                             # shorter than ngram_n
+        (7, "alpha beta gamma delta shared tail tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # ---- quality: fused raw metrics == in-operator Arrow pass -------
+    def fused_metrics(it):
+        for pdf in it:
+            if len(pdf):
+                out = {"doc_id": pdf["doc_id"]}
+                out.update(_quality_metric_lists(pdf["text"]))
+                yield pd.DataFrame(out)
+
+    raw = df.mapInPandas(
+        fused_metrics,
+        schema="doc_id long, "
+        + ", ".join(f"{c} double" for c in _QUALITY_METRIC_COLS),
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_filters(df, raw_metrics=raw).collect()
+    }
+    want = {
+        r["doc_id"]: r.asDict() for r in quality_filters(df).collect()
+    }
+    assert got == want
+
+    # ---- decontaminate: precomputed grams == in-operator passes -----
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    ev = df.filter(F.col("doc_id") % 3 == 0)
+    gram_fn = _gram_posting_batches(["doc_id"], "text", 2)
+    grams = df.mapInPandas(gram_fn, schema="doc_id long, __g string")
+    got_dc = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(
+            train,
+            ev,
+            ngram_n=2,
+            train_grams=grams.filter(F.col("doc_id") % 3 != 0),
+            eval_grams=grams.filter(F.col("doc_id") % 3 == 0),
+        ).collect()
+    }
+    want_dc = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(train, ev, ngram_n=2).collect()
+    }
+    assert got_dc == want_dc

@@ -4568,3 +4568,28 @@ def test_alexander_govern_behavior(spark):
     )
     ao = alexander_govern(one, "g", "v").collect()[0]
     assert ao["k_groups"] == 3 and ao["a_stat"] is not None
+
+
+def test_single_task_guard_rejects_misdeclared_graph(spark, monkeypatch):
+    """The single-task fixpoint paths are gated by a row cap (r14): a
+    caller declaring a non-dimension-sized graph broadcast-able fails
+    fast with a descriptive error instead of amplifying through the
+    in-task iteration; under the cap the path is unchanged."""
+    import pytest
+
+    from conte_to_fresco_etl_spark.operators import graph as gmod
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    monkeypatch.setattr(gmod, "_SINGLE_TASK_MAX_ROWS", 2)
+    with pytest.raises(Exception, match="NOT dimension-sized"):
+        gmod.pagerank(
+            df, iterations=2, weight_col=None, broadcast_ranks=True
+        ).collect()
+
+    monkeypatch.setattr(gmod, "_SINGLE_TASK_MAX_ROWS", 5_000_000)
+    ok = gmod.pagerank(
+        df, iterations=2, weight_col=None, broadcast_ranks=True
+    ).collect()
+    assert len(ok) == 4

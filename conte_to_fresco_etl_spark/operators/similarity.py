@@ -2299,7 +2299,13 @@ def covariance_matrix(
     emb = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("__e")
     )
-    emb = ensure_min_parallelism(emb, 64 * 1024).persist()
+    # r14: the pair-contribution stage amplifies every input vector into
+    # ~d^2/2 (i, j, ci*cj) rows — CPU work per INPUT byte is ~d/2 times a
+    # normal scan, so the fan-out hint divides the default 64 KiB/task by
+    # that amplification (d ~ 64 across the catalog embeddings).  Measured
+    # at sf0.1/local[32]: the decimal pair aggregate ran on 12 partitions
+    # (input-byte sizing) with 32 cores idle-waiting on stragglers.
+    emb = ensure_min_parallelism(emb, 2 * 1024).persist()
     x = emb.select(F.posexplode("__e").alias("p", "xv")).select(
         (F.col("p") + 1).alias("dim"), F.col("xv").cast("double").alias("v")
     )
@@ -2858,10 +2864,16 @@ def calinski_harabasz(
     # (vector, dim) ⋈ (label, dim) join summed, but with no n·d
     # intermediate and no join (r13; decimal addition is exact and
     # associative, so the total is bit-identical)
-    x = emb.filter(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
-        F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
+    # r14: the W projection folds one interpreted decimal aggregate of
+    # d terms per row — fan by the ~d/8 work amplification (see
+    # simplified_silhouette), not by input bytes.
+    x = ensure_min_parallelism(
+        emb.filter(
+            F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(
+            F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
+        ),
+        8 * 1024,
     )
     w_tab = x.join(
         F.broadcast(_centroid_vectors(cent)), "__g"
@@ -2920,12 +2932,16 @@ def davies_bouldin(
     # ROUND(12) decimal terms the exploded dim-join summed per
     # (__g, __rid) group, with no n·d intermediate (bit-identical —
     # decimal addition is exact and associative)
+    # r14: fan by the ~d/8 decimal-fold amplification (see
+    # simplified_silhouette), not by input bytes.
     d2 = (
-        emb.filter(
-            F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
-        )
-        .select(
-            F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
+        ensure_min_parallelism(
+            emb.filter(
+                F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+            ).select(
+                F.col(label_col).alias("__g"), F.col(vec_col).alias("__v")
+            ),
+            8 * 1024,
         )
         .join(F.broadcast(_centroid_vectors(cent)), "__g")
         .select(
@@ -3028,12 +3044,21 @@ def simplified_silhouette(
             F.collect_list(F.struct("__g", "__cvec"))
         ).alias("__cm")
     )
-    x = emb.filter(
-        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
-        F.col(label_col).alias("__g"),
-        F.col(id_col).alias("__rid"),
-        F.col(vec_col).alias("__v"),
+    # r14: the per-vector distance projection evaluates k interpreted
+    # decimal fold expressions (~k·d decimal ops per row) — CPU per
+    # input byte is ~k·d/8 times a plain scan, so fan by amplified
+    # work, not input bytes (2 KiB/task ≈ 64 KiB of evaluated terms;
+    # measured: the silhouette stage ran on 12 input-sized partitions
+    # with 20 of 32 cores idle).
+    x = ensure_min_parallelism(
+        emb.filter(
+            F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+        ).select(
+            F.col(label_col).alias("__g"),
+            F.col(id_col).alias("__rid"),
+            F.col(vec_col).alias("__v"),
+        ),
+        2 * 1024,
     )
     per_vec = x.join(F.broadcast(cmap), F.lit(True)).select(
         "__g",

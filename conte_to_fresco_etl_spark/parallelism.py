@@ -76,6 +76,7 @@ def prefix_sums(
     order_col: str,
     sum_cols: list[str],
     prefix: str = "cum_",
+    input_pinned: bool = False,
 ) -> DataFrame:
     """Distributed cumulative sums: for every row, the INCLUSIVE running
     sum of each ``sum_cols`` entry over the global ``order_col`` order,
@@ -104,11 +105,24 @@ def prefix_sums(
 
     Both the offsets aggregate and the output consume the partitioned
     frame; a lazy localCheckpoint pins the (sampled) range boundaries
-    so the two sides cannot disagree on partition ids."""
+    so the two sides cannot disagree on partition ids.
+
+    The INPUT is pinned with its own lazy localCheckpoint first (r14):
+    the range exchange's RangePartitioner runs a synchronous sample job
+    over its child during plan construction (``toRdd`` inside the lazy
+    checkpoint below), and without the pin that sample pass re-executes
+    the caller's whole upstream pipeline — typically a full-input
+    aggregation, or Theil-Sen's pairwise-slope join — a second time.
+    Pinning the (marginal-sized) input makes the sample read persisted
+    blocks, so the upstream runs exactly once per call.  A caller that
+    has ALREADY pinned ``df`` (to share the materialization with its
+    own second consumer, e.g. :func:`kth_element`'s total) passes
+    ``input_pinned=True`` to skip the redundant inner checkpoint."""
     from pyspark.sql import Window, functions as F
 
     cols = df.columns
-    parts = df.repartitionByRange(order_col).withColumn(
+    pinned = df if input_pinned else df.localCheckpoint(eager=False)
+    parts = pinned.repartitionByRange(order_col).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = (
@@ -185,12 +199,18 @@ def kth_element(
     from pyspark.sql import functions as F
 
     out = out_col or f"kth_{value_col}"
-    marg = df.groupBy(value_col).agg(F.count("*").alias("__mcnt"))
-    cum = prefix_sums(marg, value_col, ["__mcnt"], prefix="__cm_")
+    # r14: the marginal is pinned ONCE here and shared by all three of
+    # its consumers (the range sample job, the cumsum chain, and the
+    # total) — without the pin each consumer re-ran the full marginal
+    # aggregation (three input scans per kth_element call).
+    marg = df.groupBy(value_col).agg(F.count("*").alias("__mcnt")) \
+        .localCheckpoint(eager=False)
+    cum = prefix_sums(
+        marg, value_col, ["__mcnt"], prefix="__cm_", input_pinned=True
+    )
     # r13: the total derives from the marginal (Σ marginal counts = row
     # count, exact integer identity) instead of a second full pass over
-    # ``df`` — the marginal's exchange is shared via ReusedExchange, so
-    # every kth_element/exact_median call drops one input scan.
+    # ``df``.
     tot = marg.agg(F.sum("__mcnt").alias("m"))
     ranks = ranks_of_m(F.col("m"))
     hit = None
@@ -244,11 +264,16 @@ def prefix_max(
     ``descending`` orders the scan from the top; ``exclusive`` emits
     the max of STRICTLY earlier rows (NULL for the first row) — the
     shape a skyline/Pareto scan needs.  ``order_col`` must be unique
-    per row (callers scan tables already grouped by the order key)."""
+    per row (callers scan tables already grouped by the order key).
+
+    The input is pinned before the range exchange for the same reason
+    as :func:`prefix_sums`: the RangePartitioner sample job otherwise
+    re-executes the caller's upstream pipeline a second time."""
     from pyspark.sql import Window, functions as F
 
     cols = df.columns
-    parts = df.repartitionByRange(
+    pinned = df.localCheckpoint(eager=False)
+    parts = pinned.repartitionByRange(
         F.col(order_col).desc() if descending else F.col(order_col)
     ).withColumn("__pid", F.spark_partition_id())
     order = F.col(order_col).desc() if descending else F.col(order_col)

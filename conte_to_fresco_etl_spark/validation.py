@@ -663,9 +663,112 @@ def referential_audit(
     and only that key table left-joins the parent's key set — at 100 TB
     the join input is |distinct keys|, not |child rows|, and the final
     union is edge-count rows.  NULL fks are excluded (SQL FK semantics:
-    NULL never violates)."""
+    NULL never violates).
+
+    Edges whose fk and pk key TYPES match are fused into ONE plan per
+    key type (r14): the per-edge spelling planned an independent
+    collapse + join + 1-row aggregate PER EDGE — 10 edges drove ~37
+    Spark jobs and ~40 Exchanges at sf0.1, almost all fixed scheduling
+    cost.  The fused form tags every key row with its edge label, runs
+    one (edge, key) collapse, one left join against the unioned parent
+    key set and one groupBy(edge) aggregate, then left-joins a literal
+    edge list so an edge with zero non-NULL fk keys still emits its
+    all-zero row (the empty-aggregate semantics of the per-edge form).
+    Counts are unchanged: the edge label rides the join key, so no key
+    ever matches across edges.  Mixed-type edge lists keep the per-edge
+    path for the odd edges (no cross-type key coercion is introduced)."""
+    from collections import OrderedDict
+
+    def _edge_stats(marked: DataFrame, group_cols: list[str]) -> DataFrame:
+        orphan = F.col("__present").isNull()
+        agg = [
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count("*").alias("n_fk_keys"),
+            F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
+            F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+        ]
+        grouped = (
+            marked.groupBy(*group_cols).agg(*agg)
+            if group_cols
+            else marked.agg(*agg)
+        )
+        return grouped.withColumn(
+            "orphan_rate",
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("n_orphan_rows").cast("double"),
+                        F.col("n_rows").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+
+    out_cols = [
+        "edge", "n_rows", "n_fk_keys", "n_orphan_keys", "n_orphan_rows",
+        "orphan_rate",
+    ]
+    groups: "OrderedDict[str, list]" = OrderedDict()
+    odd = []
+    for edge in edges:
+        label, child, fk_col, parent, pk_col = edge
+        fk_t = dict(child.dtypes).get(fk_col)
+        pk_t = dict(parent.dtypes).get(pk_col)
+        if fk_t is not None and fk_t == pk_t:
+            groups.setdefault(fk_t, []).append(edge)
+        else:
+            odd.append(edge)
+
     outs = []
-    for label, child, fk_col, parent, pk_col in edges:
+    for grp in groups.values():
+        spark = grp[0][1].sparkSession
+        child_keys = None
+        parent_keys = None
+        for label, child, fk_col, parent, pk_col in grp:
+            ck = child.select(
+                F.lit(label).alias("edge"), F.col(fk_col).alias("k")
+            ).filter(F.col("k").isNotNull())
+            child_keys = ck if child_keys is None else child_keys.unionAll(ck)
+            pkk = parent.select(
+                F.lit(label).alias("edge"), F.col(pk_col).alias("k")
+            ).distinct()
+            parent_keys = (
+                pkk if parent_keys is None else parent_keys.unionAll(pkk)
+            )
+        keys = child_keys.groupBy("edge", "k").agg(F.count("*").alias("c"))
+        marked = keys.join(
+            parent_keys.withColumn("__present", F.lit(1)),
+            ["edge", "k"],
+            "left",
+        )
+        stats = _edge_stats(marked, ["edge"])
+        # literal edge list as a pure expression (explode of a lit
+        # array — no Python-partition parallelize for a driver list)
+        labels = [label for label, *_ in grp]
+        edge_df = spark.range(1).select(
+            F.explode(F.array(*[F.lit(x) for x in labels])).alias("edge")
+        )
+        filled = edge_df.join(stats, "edge", "left").select(
+            "edge",
+            F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+            F.coalesce("n_fk_keys", F.lit(0).cast("long")).alias(
+                "n_fk_keys"
+            ),
+            F.coalesce("n_orphan_keys", F.lit(0).cast("long")).alias(
+                "n_orphan_keys"
+            ),
+            F.coalesce("n_orphan_rows", F.lit(0).cast("long")).alias(
+                "n_orphan_rows"
+            ),
+            F.coalesce("orphan_rate", F.lit(0.0)).alias("orphan_rate"),
+        )
+        outs.append(filled)
+
+    for label, child, fk_col, parent, pk_col in odd:
         keys = (
             child.select(F.col(fk_col).alias("k"))
             .filter(F.col("k").isNotNull())
@@ -673,45 +776,15 @@ def referential_audit(
             .agg(F.count("*").alias("c"))
         )
         parent_keys = parent.select(F.col(pk_col).alias("k")).distinct()
-        # ONE pass over the key table (r13): mark orphans with a left
-        # join against the (distinct) parent keys and fold every stat
-        # into a single aggregate — the previous shape ran an anti-join
-        # plus TWO separate aggregates crossJoined back together,
-        # re-planning the child collapse twice (~7 Exchanges per edge;
-        # q_fk_orphans carried 100 Exchanges / a 1.9k-line plan at
-        # sf0.1).  A left join + NULL test is exactly left_anti
-        # semantics, so every count/sum is unchanged.
         marked = keys.join(
             parent_keys.withColumn("__present", F.lit(1)), "k", "left"
         )
-        orphan = F.col("__present").isNull()
-        stats = marked.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
-            F.count("*").alias("n_fk_keys"),
-            F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
-            F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0))
-            .cast("long")
-            .alias("n_orphan_rows"),
-        )
         outs.append(
-            stats.select(
-                F.lit(label).alias("edge"),
-                "n_rows",
-                "n_fk_keys",
-                "n_orphan_keys",
-                "n_orphan_rows",
-                F.round(
-                    F.coalesce(
-                        F.try_divide(
-                            F.col("n_orphan_rows").cast("double"),
-                            F.col("n_rows").cast("double"),
-                        ),
-                        F.lit(0.0),
-                    ),
-                    6,
-                ).alias("orphan_rate"),
+            _edge_stats(marked, []).select(
+                F.lit(label).alias("edge"), *out_cols[1:]
             )
         )
+
     result = outs[0]
     for df in outs[1:]:
         result = result.unionAll(df)

@@ -2012,6 +2012,9 @@ def load_index(spark, path: str) -> dict:
     meta = {
         r["key"]: r["value"] for r in spark.read.parquet(meta_path).collect()
     }
+    # the raw rows ride along so a writer (append_index) can rewrite
+    # meta without a second read job over the same tiny table
+    out["meta"] = dict(meta)
     out["fingerprint"] = meta.get("fingerprint")
     if meta.get("assigned") == "1":
         out["assigned_path"] = f"{path}/corpus"
@@ -2096,9 +2099,9 @@ def append_index(
     batch_fp = corpus_fingerprint(new_rows, id_col, vec_col)
     merged = _merge_fingerprints(state["fingerprint"], batch_fp)
     # rewrite meta with the merged identity, preserving every other key
-    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    # (rows reused from load_index above — no second read job)
     meta = [
-        (r["key"], r["value"]) for r in meta_rows if r["key"] != "fingerprint"
+        (k, v) for k, v in state["meta"].items() if k != "fingerprint"
     ]
     if merged is not None:
         meta.append(("fingerprint", merged))
@@ -2183,7 +2186,13 @@ def served_ivf_topk(
         # hand-pruned dir) serves through the corpus-side path like
         # every other corruption mode, instead of failing the search
         try:
-            assigned = spark.read.parquet(state["assigned_path"])
+            # explicit schema: assign_cells writes exactly this shape,
+            # so the read skips footer-based inference over the
+            # many-small-files cell layout (a name/type drift surfaces
+            # inside this try and degrades to the corpus path below)
+            assigned = spark.read.schema(
+                f"{id_col} long, {vec_col} array<double>, cell int"
+            ).parquet(state["assigned_path"])
             return ivf_topk_preassigned(
                 assigned,
                 queries,

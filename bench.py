@@ -50,6 +50,24 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    # Optional contamination probe (r14, opt-in, additions-only): the
+    # box shows a ROAMING ~10-min slow window that lands on a different
+    # alphabetical stretch each run (r13 verdict item 4), so two
+    # alphabetical runs can shadow the SAME queries and misread the
+    # window as a per-query regression.  SPARK_GRAFT_BENCH_SHUFFLE=<int>
+    # runs the same queries in a seeded-shuffled order; compare two
+    # differently-seeded runs per-query (min) to separate host windows
+    # from real movers.  OFF by default — the driver's alphabetical
+    # order stays the round-over-round comparable baseline, and
+    # session-staged families keep amortizing into their first member
+    # deterministically.  The output contract is unchanged.
+    order = list(HEADLINE)
+    shuffle_seed = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE")
+    if shuffle_seed:
+        import random
+
+        random.Random(int(shuffle_seed)).shuffle(order)
+
     # warmup: JVM + codegen + parquet footer caches, plus the Python
     # worker pool (Arrow-path operators reuse workers; the pool spin-up
     # is a fixed per-session cost, not per-query work)
@@ -59,7 +77,7 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(order):
         runs: list[float] = []
         # 2 runs normally; a 3rd when the first two disagree >1.5x (a
         # GC pause or compaction landed in one of them — the min of two

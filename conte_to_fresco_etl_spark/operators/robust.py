@@ -4044,15 +4044,20 @@ def exact_quantiles(
     two engines pick the same row."""
     from conte_to_fresco_etl_spark.parallelism import prefix_sums
 
+    # r14: the marginal is pinned once and shared by the range sample
+    # job, the cumsum chain AND the total (Σ marginal counts ≡ row
+    # count, exact integer identity) — previously the total was a
+    # second full input scan and the sample job a third.
     marg = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
-    cum = prefix_sums(marg, value_col, ["__cnt"], prefix="__cm_")
-    tot = df.filter(F.col(value_col).isNotNull()).agg(
-        F.count("*").alias("m")
+    cum = prefix_sums(
+        marg, value_col, ["__cnt"], prefix="__cm_", input_pinned=True
     )
+    tot = marg.agg(F.sum("__cnt").alias("m"))
     joined = cum.join(broadcast(tot), F.lit(True))
     picks = []
     for p in ps:
@@ -4084,9 +4089,15 @@ def weighted_median(
         F.col(value_col).alias("__v"),
         F.col(weight_col).cast("long").alias("__w"),
     )
-    marg = rows.groupBy("__v").agg(F.sum("__w").alias("__mw"))
-    cum = prefix_sums(marg, "__v", ["__mw"], prefix="__cm_")
-    tot = rows.agg(F.sum("__w").alias("total_weight"))
+    # r14: pinned marginal shared by sample job, cumsum and the total
+    # (Σ per-value weight sums ≡ the total weight, exact integer
+    # identity) — drops a second full input scan (see exact_quantiles)
+    marg = rows.groupBy("__v").agg(F.sum("__w").alias("__mw")) \
+        .localCheckpoint(eager=False)
+    cum = prefix_sums(
+        marg, "__v", ["__mw"], prefix="__cm_", input_pinned=True
+    )
+    tot = marg.agg(F.sum("__mw").alias("total_weight"))
     cond = (
         (F.lit(2) * F.col("__cm___mw") >= F.col("total_weight"))
         & (
@@ -4116,15 +4127,20 @@ def trimmed_mean(
     empties the sample)."""
     from conte_to_fresco_etl_spark.parallelism import prefix_sums
 
+    # r14: the marginal is pinned once and shared by the range sample
+    # job, the cumsum chain AND the total (Σ marginal counts ≡ row
+    # count, exact integer identity) — previously the total was a
+    # second full input scan and the sample job a third.
     marg = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
-    cum = prefix_sums(marg, value_col, ["__cnt"], prefix="__cm_")
-    tot = df.filter(F.col(value_col).isNotNull()).agg(
-        F.count("*").alias("m")
+    cum = prefix_sums(
+        marg, value_col, ["__cnt"], prefix="__cm_", input_pinned=True
     )
+    tot = marg.agg(F.sum("__cnt").alias("m"))
     lo = F.floor(F.lit(float(trim)) * F.col("m").cast("double"))
     hi = F.col("m") - lo
     overlap = F.greatest(

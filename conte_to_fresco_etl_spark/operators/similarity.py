@@ -2384,14 +2384,26 @@ def covariance_matrix(
             ).alias("cv"),
         )
     )
-    # Session-lived persist (the dedup staging convention): the union
-    # references ``upper`` twice — without it the corpus-sized
-    # aggregate runs once per branch (measured ~1.4s extra at sf0.1).
-    upper = upper.persist()
-    mirror = upper.filter(F.col("i") != F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "cv"
+    # Mirror via a single explode (r14): the previous spelling
+    # union'd ``upper`` with its own transposed filter — two consumers
+    # of the corpus-sized aggregate, which needed a session-lived
+    # persist to avoid running it twice (persist-hygiene debt: the
+    # block leaked into library callers' sessions).  Emitting the
+    # off-diagonal transpose inline makes the aggregate single-consumer
+    # — no persist, no second branch, same (i, j, cv) row set (the
+    # decimal sum for (i, j) IS the (j, i) value, so the mirror is
+    # exact either way).
+    ent = F.struct(F.col("i"), F.col("j"), F.col("cv"))
+    swp = F.struct(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("cv")
     )
-    return upper.unionByName(mirror)
+    return upper.select(
+        F.explode(
+            F.when(F.col("i") == F.col("j"), F.array(ent)).otherwise(
+                F.array(ent, swp)
+            )
+        ).alias("__e")
+    ).select("__e.i", "__e.j", "__e.cv")
 
 
 def pca_top_component(

@@ -2286,20 +2286,41 @@ def tfidf_cosine_pairs(
     )
     wp = posts.join(wterm, "tok")
     if bucket_table is not None:
+        import hashlib
         import re
 
         from conte_to_fresco_etl_spark.sources.bucketed import (
             read_table,
+            suggest_buckets,
             write_bucketed,
         )
 
+        # scale-adaptive bucket count (r14, measured at sf10: 8 fixed
+        # buckets capped the Σ df² self-join at 8 tasks — 25-58s vs 13s
+        # at 32 buckets): derived from the DOCUMENT scan bytes with a
+        # ~2 MiB/bucket divisor, i.e. ~64 MiB of posting volume per
+        # bucket under the ~30x shingle+weight expansion measured on
+        # this corpus shape.
+        nb = suggest_buckets(df, bytes_per_bucket=2 * 1024 * 1024)
+        n_buckets = max(n_buckets, nb)
         # suffix the caller's name with the session's applicationId:
         # building this query eagerly materializes a catalog table, and
         # two concurrent sessions sharing a warehouse dir must never
-        # race on one fixed location (ADVICE r7)
+        # race on one fixed location (ADVICE r7).  Write ONCE per
+        # (input, layout, session) — r14: the unconditional write made
+        # every re-run re-pay the posting shuffle+write (33-62s at
+        # sf10), which is exactly the cost the stored layout exists to
+        # amortize; the input identity rides cache_key (source path) or
+        # the scan file list.
         app = df.sparkSession.sparkContext.applicationId
-        tbl = f"{bucket_table}_{re.sub(r'[^0-9A-Za-z]', '_', app)}"
-        write_bucketed(wp, tbl, "tok", n_buckets=n_buckets)
+        ident = hashlib.md5(
+            repr((cache_key, sorted(df.inputFiles()), n_buckets)).encode()
+        ).hexdigest()[:10]
+        tbl = "{}_{}_{}".format(
+            bucket_table, ident, re.sub(r"[^0-9A-Za-z]", "_", app)
+        )
+        if not df.sparkSession.catalog.tableExists(tbl):
+            write_bucketed(wp, tbl, "tok", n_buckets=n_buckets)
         wp = read_table(df.sparkSession, tbl)
         # merge hint: at test scale the posting table is
         # broadcast-small, which would swap in a BroadcastExchange and

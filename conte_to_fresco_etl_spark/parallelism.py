@@ -36,6 +36,27 @@ DEFAULT_BYTES_PER_TASK = 4 * 1024 * 1024
 DENSE_BYTES_PER_TASK = 64 * 1024
 
 
+def estimate_input_bytes(df: DataFrame) -> int:
+    """Best-effort input size from the plan's scan files (public API —
+    ``df.inputFiles()``); non-local / unstat-able URIs count as 0, so
+    callers treat the estimate as a lower bound."""
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        est_bytes = 0
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme in ("", "file"):
+                try:
+                    est_bytes += os.path.getsize(unquote(parsed.path))
+                except OSError:
+                    pass
+        return est_bytes
+    except Exception:  # noqa: BLE001 — stats unavailable: be conservative
+        return 0
+
+
 def ensure_min_parallelism(
     df: DataFrame, bytes_per_task: int = DEFAULT_BYTES_PER_TASK
 ) -> DataFrame:
@@ -51,20 +72,7 @@ def ensure_min_parallelism(
     # Non-local URIs we can't stat cheaply count as 0: conservative —
     # the guard only ever fans OUT, never down-partitions, and at
     # remote-storage scale inputs arrive as many splits anyway.
-    try:
-        import os
-        from urllib.parse import unquote, urlparse
-
-        est_bytes = 0
-        for uri in df.inputFiles():
-            parsed = urlparse(uri)
-            if parsed.scheme in ("", "file"):
-                try:
-                    est_bytes += os.path.getsize(unquote(parsed.path))
-                except OSError:
-                    pass
-    except Exception:  # noqa: BLE001 — stats unavailable: be conservative
-        est_bytes = 0
+    est_bytes = estimate_input_bytes(df)
     want = max(1, min(sc.defaultParallelism, est_bytes // bytes_per_task))
     if want > 1 and df.rdd.getNumPartitions() < want:
         return df.repartition(want)

@@ -366,9 +366,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bucketed:
         from conte_to_fresco_etl_spark.sources.bucketed import (
             ensure_bucketed,
+            suggest_buckets,
         )
 
         tok = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # ONE scale-adaptive count from the larger side, shared by both
+        # writes — the exchange only disappears when the specs agree
+        nb = suggest_buckets(li)
         li = ensure_bucketed(
             li.select(
                 "l_orderkey", "l_partkey", "l_suppkey",
@@ -376,12 +380,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "q9_lineitem_bkt",
             "l_orderkey",
+            n_buckets=nb,
             token=tok,
         )
         o = ensure_bucketed(
             o.select("o_orderkey", "o_orderdate"),
             "q9_orders_bkt",
             "o_orderkey",
+            n_buckets=nb,
             token=tok,
         # merge hint: at gate scale orders is broadcast-small, which
         # would swap in a BroadcastExchange and mask the bucket

@@ -22,6 +22,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def suggest_buckets(
+    df: DataFrame,
+    bytes_per_bucket: int = 32 * 1024 * 1024,
+    lo: int = 8,
+    hi: int = 4096,
+) -> int:
+    """Scale-adaptive bucket count from the plan's scan bytes:
+    ``clamp(input_bytes / bytes_per_bucket, lo, hi)``.
+
+    A FIXED count is wrong at both ends (r14, measured): 8 buckets
+    capped the sf10 posting self-join at 8 tasks — 25–58s vs 13s at 32
+    buckets on local[32] — while an input-sized count would explode the
+    file count for small tables.  Co-joined tables must share ONE
+    count (Spark only drops the exchange when the bucket specs agree):
+    compute it from the LARGER side and pass it to both writes.
+    Derived tables whose size is a known expansion of the scanned
+    input (e.g. shingle postings) pass a proportionally smaller
+    ``bytes_per_bucket``."""
+    from conte_to_fresco_etl_spark.parallelism import estimate_input_bytes
+
+    est = estimate_input_bytes(df)
+    return max(lo, min(hi, int(est // max(1, bytes_per_bucket))))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -77,6 +101,10 @@ def ensure_bucketed(
     spark = df.sparkSession
     app = re.sub(r"[^0-9A-Za-z]", "_", spark.sparkContext.applicationId)
     tok = re.sub(r"[^0-9A-Za-z]", "_", token)
+    # the bucket count is part of the layout identity: a caller that
+    # derives a different count (suggest_buckets on changed input) must
+    # get a fresh table, never a silently mis-bucketed reuse
+    base = f"{base}_b{n_buckets}"
     tbl = f"{base}_{tok}_{app}" if tok else f"{base}_{app}"
     if not spark.catalog.tableExists(tbl):
         write_bucketed(df, tbl, key, n_buckets=n_buckets)

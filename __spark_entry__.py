@@ -255,8 +255,83 @@ _ROTATED_R9_DEFERRALS: list[str] = [
     "q_welch_anova",
 ]
 
+# Queries whose EXECUTION PATH changed in round 14 (optimization 2/2).
+# Results are bit-identical by the local 366/366 oracle-parity sweep,
+# but the driver must re-prove each under the hard gate; every name
+# MUST sit inside PRIORITY[:50] (test_priority_window_accounting).
+REGATE_R14: list[str] = [
+    # fused referential audit (one plan per key type + literal edge fill)
+    "q_fk_orphans",
+    # marginal pinned + total derived from it (new aggregate exprs)
+    "q_exact_quantiles",
+    "q_weighted_median",
+    "q_trimmed_mean",
+    # covariance explode-mirror + amplification fan-out
+    "q_pca_power",
+    # clustering indices: amplification fan-out repartition
+    "q_silhouette",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    # kth_element/exact_median shared pinned marginal
+    "q_theil_sen",
+    "q_hodges_lehmann",
+    "q_mood_median",
+    # curation corpus tokenization fused to one Arrow pass (r14 batch 3)
+    "q_curation_v2",
+    "q_curation_v3",
+    "q_quality_filters",
+    "q_decontaminate",
+    # bm25 corpus length sum made ANSI-independent
+    "q_bm25_topk",
+    # shingle-side checkpoint reverted (r13 re-adjudication)
+    "q_doc_minhash_sim",
+    # serving index: meta reuse on append + explicit-schema layout read
+    "q_ivf_served_incremental",
+    "q_ivf_served_topk",
+    # single-task fixpoint row-cap guard inside the applyInPandas body
+    "q_pagerank",
+    "q_hits",
+    "q_markov_absorption",
+    # prefix_sums/prefix_max input pin (range-sample job now reads the
+    # pinned marginal) — every rank/ECDF/order-statistic consumer
+    "q_wilcoxon",
+    "q_jonckheere",
+    "q_kuiper",
+    "q_wasserstein",
+    "q_logrank",
+    "q_mannwhitney",
+    "q_spearman_rho",
+    "q_runs_test",
+    "q_pettitt",
+    "q_hurst_exponent",
+    "q_page_hinkley",
+    "q_vocab_growth",
+    "q_anderson_darling",
+    "q_energy_distance",
+    "q_ks_test",
+    "q_ks_uniform",
+    "q_cliffs_delta",
+    "q_kruskal_wallis",
+    "q_brunner_munzel",
+    "q_ansari_bradley",
+    "q_cramer_von_mises",
+    "q_auc_delong",
+    "q_average_precision",
+    "q_negative_samples",
+    "q_sax_symbols",
+    "q_friedman",
+    "q_jarque_bera",
+    "q_decision_stump",
+]
+# NOT regated, with reasons: q_cosine_sim_join / q9_product_profit — the
+# r14 bucketed-layout changes live entirely behind SPARK_GRAFT_BUCKETED=1
+# (flag-ON verified row-for-row equal to flag-OFF at sf1; the gate
+# measures the flag-OFF path, whose plan is bit-unchanged).
+
 PRIORITY: list[str] = [
-    # --- round-13 window (the driver checks the first 50) ---
+    # --- round-14 window (the driver checks the first 50) ---
+    *REGATE_R14,
+    # --- round-13 window below (all driver-green in CORRECTNESS_r13) ---
     # Head: REGATE_R13 — never-checked new registrations first, then
     # the regated execution paths, then the r12 window entries (all
     # driver-green in CORRECTNESS_r12) fill the remaining slots.

@@ -886,7 +886,7 @@ def test_priority_window_accounting():
     (the TPC-H family got zero rows twice).  This test replaces that
     prose with arithmetic: every query that has NEVER had a driver
     CORRECTNESS row, plus every query modified/registered this round
-    (``REGATE_R13``), must sit inside the first 50 registered names.
+    (``REGATE_R14``), must sit inside the first 50 registered names.
     """
     import glob
     import json
@@ -910,14 +910,14 @@ def test_priority_window_accounting():
                 green.add(name)
 
     never_checked = set(registered) - green
-    regated = {n for n in entrymod.REGATE_R13 if n in registered}
+    regated = {n for n in entrymod.REGATE_R14 if n in registered}
     deferred = [n for n in entrymod.DEFER_NEXT_ROUND if n in registered]
     must_gate = (never_checked - set(deferred)) | regated
     outside = sorted(must_gate - window)
     assert not outside, (
         f"{len(outside)} must-gate queries fall OUTSIDE the 50-query driver "
         f"window and will get no CORRECTNESS row this round: {outside}. "
-        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R13 first)."
+        f"Reorder __spark_entry__.PRIORITY (never-checked + REGATE_R14 first)."
     )
     # Deferred late registrations must sit IMMEDIATELY after the window
     # (head of next round's rotation) — r5's late queries sat mid-tail
